@@ -1,0 +1,51 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/**
+ * Explicit schemas for the five wire formats the reference consumes
+ * (see SURVEY.md §1.2). The reference declares schemas per DAG edge in
+ * code (`declarer.declare(new Fields(...))`); here they are ordinary
+ * `StructType`s so Catalyst can prune/push down against them.
+ *
+ * Reference: record formats at pageview/PageView.java:44-46,
+ * RollingFlightDist.java:91-113, RollingHashtagCount.java:44-63,
+ * lib/spout/RandomMessageSpout.java:57-65.
+ */
+object Schemas {
+
+  /** `view` topic: TSV `url \t status \t zip \t user` (PageView.java:44-46). */
+  val pageView: StructType = StructType(Seq(
+    StructField("url", StringType, nullable = true),
+    StructField("http_status", IntegerType, nullable = true),
+    StructField("zip_code", IntegerType, nullable = true),
+    StructField("user_id", IntegerType, nullable = true)))
+
+  /** `adsb` topic: one JSON object per line, trailing comma
+   *  (RollingFlightDist.java:90-113). PosTime is epoch millis; Spd knots;
+   *  Trak track degrees; Gnd on-ground flag (true => dropped). */
+  val adsb: StructType = StructType(Seq(
+    StructField("Id", LongType, nullable = true),
+    StructField("Icao", StringType, nullable = true),
+    StructField("PosTime", LongType, nullable = true),
+    StructField("Lat", DoubleType, nullable = true),
+    StructField("Long", DoubleType, nullable = true),
+    StructField("Spd", DoubleType, nullable = true),
+    StructField("Trak", DoubleType, nullable = true),
+    StructField("Gnd", BooleanType, nullable = true)))
+
+  /** `book` topic: raw text line (WordCount.java:63). */
+  val sentence: StructType = StructType(Seq(
+    StructField("sentence", StringType, nullable = true)))
+
+  /** `rand`/`bytes` topics: fixed-size digit strings (RandomMessageSpout.java:57-65). */
+  val randMessage: StructType = StructType(Seq(
+    StructField("message", StringType, nullable = true)))
+}
+
+/** Typed views of the parsed records, for `Dataset[T]` paths. */
+case class PageView(url: String, http_status: Int, zip_code: Int, user_id: Int)
+
+case class AdsbPosition(
+    icao: String, posTime: Long, lat: Double, lng: Double,
+    spd: Double, trak: Double)
