@@ -2,26 +2,42 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  import graft.queries.BenchQueries
+  import graft.queries.{BenchQueries, Oracles}
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    BenchQueries.wordcount(spark, "/root/testdata/sf0.001")
+    BenchQueries.flightDist(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wordcount" -> BenchQueries.wordcount,
     "grep" -> BenchQueries.grep,
+    "sol" -> BenchQueries.sol,
+    "dataclean" -> BenchQueries.dataclean,
+    "pageview_count" -> BenchQueries.pageviewCount,
+    "unique_visitor" -> BenchQueries.uniqueVisitor,
+    "rolling_count" -> BenchQueries.rollingCount,
+    "rolling_hashtag" -> BenchQueries.rollingHashtag,
+    "rolling_geo" -> BenchQueries.rollingGeo,
+    "rolling_sort" -> BenchQueries.rollingSort,
+    "flight_dist" -> BenchQueries.flightDist,
+    "trident_wordcount" -> BenchQueries.tridentWordcount,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
-    "wordcount" ->
-      """SELECT word, count(*) AS cnt
-        |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents) t
-        |WHERE word <> '' GROUP BY word""".stripMargin,
-    "grep" ->
-      "SELECT count(*) AS matches FROM documents WHERE regexp_matches(text, 'spark')",
+    "wordcount" -> Oracles.wordcount,
+    "grep" -> Oracles.grep,
+    "sol" -> Oracles.sol,
+    "dataclean" -> Oracles.dataclean,
+    "pageview_count" -> Oracles.pageviewCount,
+    "unique_visitor" -> Oracles.uniqueVisitor,
+    "rolling_count" -> Oracles.rollingCount,
+    "rolling_hashtag" -> Oracles.rollingHashtag,
+    "rolling_geo" -> Oracles.rollingGeo,
+    "rolling_sort" -> Oracles.rollingSort,
+    "flight_dist" -> Oracles.flightDist,
+    "trident_wordcount" -> Oracles.tridentWordcount,
   )
 }

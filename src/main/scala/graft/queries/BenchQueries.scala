@@ -3,31 +3,138 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.CountAggregator
 import graft.model.Tables
 import graft.ops._
 
 /**
- * The reference's 12 topologies (SURVEY.md §2, table at top) as batch
- * queries over the driver-generated parquet (TESTDATA.md), plus the
- * LLM-data-pipeline extensions. Each query is a named composition of
- * `graft.ops` operators; the same ops compose under Structured Streaming
- * (graft.streaming) — that shared core is the point of the design.
+ * The reference's 12 topologies (SURVEY.md §2 table) as batch queries over
+ * the driver-generated parquet (TESTDATA.md). Each query is a composition
+ * of `graft.ops` operators; the same ops run under Structured Streaming in
+ * `graft.streaming`. Inputs map onto testdata via [[SyntheticSources]] so
+ * every query exercises its real wire-format parse path.
  *
- * Inputs are mapped onto the testdata tables:
- *   book sentences   -> documents.text
- *   page views       -> events (url:=event_type, user:=user_id, ...)
- *   tweets           -> synthesized 13-field pipe lines from documents
- *   adsb positions   -> synthesized deterministic positions from events
+ * Windowed topologies use event-time sliding windows (2 h length / 1 h
+ * slide — same decoupled winLen/emitFreq shape as conf.yaml:22-23) over
+ * `events.ts`; the reference's processing-time trigger cadence lives in
+ * the streaming entry points (SURVEY.md §7.4 risk 2).
  */
 object BenchQueries {
 
-  val GrepPattern = "spark" // reference default pattern is "Tom" (conf.yaml:33)
+  val GrepPattern = "spark" // reference default "Tom" (conf/conf.yaml:33)
+  val DistThresholdKm = 10.0 // collision_warning.dist_threshold_km (conf.yaml:25)
+  val SpecSteps = 3 // collision_warning.speculative_comp_num (conf.yaml:26)
+  val SpecStepSec = 5 // collision_warning.speculative_comp_time_step_sec (conf.yaml:27)
 
-  /** Topology 1: WordCount — kafka -> SplitSentence -> Count (WordCount.java:49). */
+  /** Topology 1: WordCount (WordCount.java:49) — split + running count. */
   def wordcount(spark: SparkSession, sfDir: String): DataFrame =
     TextOps.wordCount(Tables.documents(spark, sfDir), col("text"))
 
-  /** Topology 2: Grep — regex filter + running match count (Grep.java:52). */
+  /** Topology 2: Grep (Grep.java:52) — regex filter + global match count. */
   def grep(spark: SparkSession, sfDir: String): DataFrame =
     TextOps.grepCount(Tables.documents(spark, sfDir), col("text"), GrepPattern)
+
+  /** Topology 3: SOL (SOL.java:54) — identity const-bolt chain, depth from
+   *  sol.topology_level=3 (conf.yaml:32). The Storm hops were shuffles;
+   *  Spark fuses the chain into one codegen stage (that's the win). */
+  def sol(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.constChain(Tables.events(spark, sfDir), col("props"), levels = 3)
+
+  /** Topology 4: DataClean (DataClean.java:50) — parse page views, keep
+   *  records with http_status != 200, emit the raw view line. */
+  def dataclean(spark: SparkSession, sfDir: String): DataFrame = {
+    val lines = SyntheticSources.pageViewLines(Tables.events(spark, sfDir))
+    val parsed = PageViewOps.parse(lines, col("page_view"))
+    PageViewOps.filterNot(parsed, col("http_status"), 200, col("page_view"))
+  }
+
+  /** Topology 5: PageViewCount (PageViewCount.java:46) — running count per URL. */
+  def pageviewCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val lines = SyntheticSources.pageViewLines(Tables.events(spark, sfDir))
+    PageViewOps.parse(lines, col("page_view"))
+      .groupBy("url").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Topology 6: UniqueVisitor (UniqueVisitor.java:55) — sliding-window
+   *  exact distinct users per URL (UniqueVisitorBolt.java:36-93). */
+  def uniqueVisitor(spark: SparkSession, sfDir: String): DataFrame = {
+    val lines = SyntheticSources.pageViewLines(Tables.events(spark, sfDir))
+    val parsed = PageViewOps.parse(lines, col("page_view"))
+    WindowOps.windowedDistinct(parsed, col("ts"), col("url"), "url",
+      col("user_id"), "2 hours", "1 hour")
+  }
+
+  /** Topology 7: RollingCount (RollingCount.java:49) — sliding-window count
+   *  per key (word := event_type). */
+  def rollingCount(spark: SparkSession, sfDir: String): DataFrame =
+    WindowOps.slidingCount(Tables.events(spark, sfDir), col("ts"),
+      col("event_type"), "word", "2 hours", "1 hour")
+
+  /** Topology 8: RollingHashtagCount (RollingHashtagCount.java:92) —
+   *  13-field tweet parse + hashtag extraction + count. */
+  def rollingHashtag(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.extractHashtags(
+      SyntheticSources.tweetLines(Tables.documents(spark, sfDir)), col("tweet"))
+      .groupBy("hashtag").agg(count(lit(1)).as("cnt"))
+
+  /** Topology 9: RollingGeoCount (RollingGeoCount.java:104) — grid-zone
+   *  bucketing + sliding-window count per zone. */
+  def rollingGeo(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = SyntheticSources.geoPoints(Tables.events(spark, sfDir))
+      .withColumn("zone", GeoOps.zoneOf(col("lat"), col("lng")))
+    WindowOps.slidingCount(pts, col("ts"), col("zone"), "zone", "2 hours", "1 hour")
+  }
+
+  /** Topology 10: RollingSort (RollingSort.java:54) — per-window sort,
+   *  top-k rows with rank (SortBolt logs topK rows per tick). */
+  def rollingSort(spark: SparkSession, sfDir: String): DataFrame =
+    WindowOps.topKPerWindow(Tables.events(spark, sfDir), col("ts"), "1 hour",
+      k = 5, order = Seq(col("value"), col("event_id")))
+      .select(col("w_start"), col("rn"), col("event_id"), col("value"))
+
+  /**
+   * Topology 11: RollingFlightDist (RollingFlightDist.java:329) — the
+   * all-pairs proximity join. Decomposed Spark-first (SURVEY.md §2.7):
+   * latest-position-per-aircraft (hash-agg argmax) -> broadcast theta
+   * self-join on icao ordering -> speculative timesteps via
+   * explode(sequence) -> dead-reckoning + haversine -> threshold filter.
+   * The reference's hashCode-ownership sharding (RollingFlightDist.java:213)
+   * is replaced by the partitioned broadcast join.
+   */
+  def flightDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val pos = SyntheticSources.adsbPositions(Tables.events(spark, sfDir))
+    val latest = WindowOps.latestPerKey(pos, Seq("icao"), Seq("pos_time", "event_id"))
+    val a = latest.select(col("icao").as("icao1"), col("pos_time").as("pt1"),
+      col("lat").as("lat1"), col("lng").as("lng1"),
+      col("spd_kms").as("spd1"), col("trak").as("trak1"))
+    val b = latest.select(col("icao").as("icao2"), col("pos_time").as("pt2"),
+      col("lat").as("lat2"), col("lng").as("lng2"),
+      col("spd_kms").as("spd2"), col("trak").as("trak2"))
+    val paired = a.join(broadcast(b), col("icao1") < col("icao2"))
+      .withColumn("step", explode(sequence(lit(0), lit(SpecSteps - 1))))
+      .withColumn("curr_time",
+        greatest(col("pt1"), col("pt2")) + col("step") * lit(SpecStepSec * 1000L))
+    val p1 = GeoOps.destinationPoint(col("lat1"), col("lng1"), col("trak1"),
+      col("spd1") * (col("curr_time") - col("pt1")) / 1000)
+    val p2 = GeoOps.destinationPoint(col("lat2"), col("lng2"), col("trak2"),
+      col("spd2") * (col("curr_time") - col("pt2")) / 1000)
+    paired.withColumn("p1", p1).withColumn("p2", p2)
+      .withColumn("dist_km", GeoOps.haversineKm(
+        col("p1.lat"), col("p1.lng"), col("p2.lat"), col("p2.lng")))
+      .filter(col("dist_km") <= DistThresholdKm)
+      .select(col("icao1"), col("icao2"), col("step"), col("curr_time"),
+        round(col("dist_km"), 1).as("dist_r"))
+  }
+
+  /** Topology 12: TridentWordCount (TridentWordCount.java:54) — the typed
+   *  Dataset path: flatMap + groupByKey + a CombinerAggregator-shaped
+   *  `Aggregator` (same monoid contract as Trident Count). */
+  def tridentWordcount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(col("text")).as[String]
+      .flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      .groupByKey(identity)
+      .agg(new CountAggregator[String]().toColumn.name("cnt"))
+      .toDF("word", "cnt")
+  }
 }

@@ -1,0 +1,131 @@
+package graft.queries
+
+import SyntheticSources._
+
+/**
+ * DuckDB oracle SQL for every SQL-expressible query in [[BenchQueries]].
+ * Mirrors each Spark plan's arithmetic *structurally* (same operation
+ * order) so integer/string results match exactly and float results match
+ * to libm ulps (rounded where emitted). Column aliases must equal the
+ * Spark output names — the driver sorts columns by name before hashing.
+ */
+object Oracles {
+
+  private val slide2h = "CROSS JOIN (VALUES (0),(1)) h(h)"
+  private val wStart = "date_trunc('hour', ts) - h.h * INTERVAL 1 HOUR"
+
+  val wordcount: String =
+    """SELECT word, count(*) AS cnt
+      |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents) t
+      |WHERE word <> '' GROUP BY word""".stripMargin
+
+  val grep: String =
+    s"SELECT count(*) AS matches FROM documents WHERE regexp_matches(text, '${BenchQueries.GrepPattern}')"
+
+  val sol: String = "SELECT props AS message FROM events"
+
+  val dataclean: String =
+    s"""WITH $pageViewSql
+       |SELECT url || chr(9) || CAST(http_status AS VARCHAR) || chr(9) ||
+       |       CAST(zip_code AS VARCHAR) || chr(9) || CAST(user_id AS VARCHAR) AS page_view
+       |FROM pv WHERE http_status <> 200""".stripMargin
+
+  val pageviewCount: String =
+    s"""WITH $pageViewSql
+       |SELECT url, count(*) AS cnt FROM pv GROUP BY url""".stripMargin
+
+  val uniqueVisitor: String =
+    s"""WITH $pageViewSql
+       |SELECT $wStart AS w_start, url, count(DISTINCT user_id) AS uniques
+       |FROM pv $slide2h GROUP BY 1, 2""".stripMargin
+
+  val rollingCount: String =
+    s"""SELECT $wStart AS w_start, event_type AS word, count(*) AS cnt
+       |FROM events $slide2h GROUP BY 1, 2""".stripMargin
+
+  val rollingHashtag: String =
+    s"""WITH $tweetTextSql
+       |SELECT word AS hashtag, count(*) AS cnt
+       |FROM (SELECT unnest(string_split(txt, ' ')) AS word FROM tw) t
+       |WHERE word LIKE '#%' AND length(word) > 1 GROUP BY 1""".stripMargin
+
+  /** Zone arithmetic mirrors GeoOps.zoneOf / RollingGeoCount.java:64-77. */
+  val rollingGeo: String =
+    s"""WITH $geoSql,
+       |z AS (
+       |  SELECT ts,
+       |         CASE WHEN lat >= -80 AND lat < 84 AND lng >= -180 AND lng < 180 THEN
+       |           CAST(CAST(1 + floor((lng + 180) / 6) AS INTEGER) AS VARCHAR) ||
+       |           substr('CDEFGHIJKLMNOPQRSTUVWX', CAST(
+       |             CASE WHEN lat < -32 THEN floor((lat + 80) / 8)
+       |                  WHEN lat < 8  THEN 7 + floor((lat + 32) / 8)
+       |                  WHEN lat < 72 THEN 13 + floor((lat - 8) / 8)
+       |                  ELSE 21 END AS INTEGER) + 1, 1)
+       |         ELSE 'undefined' END AS zone
+       |  FROM geo)
+       |SELECT $wStart AS w_start, zone, count(*) AS cnt
+       |FROM z $slide2h GROUP BY 1, 2""".stripMargin
+
+  val rollingSort: String =
+    """SELECT * FROM (
+      |  SELECT date_trunc('hour', ts) AS w_start,
+      |         CAST(row_number() OVER (
+      |           PARTITION BY date_trunc('hour', ts)
+      |           ORDER BY value, event_id) AS BIGINT) AS rn,
+      |         event_id, value
+      |  FROM events) t WHERE rn <= 5""".stripMargin
+
+  /** Mirrors flightDist stage-by-stage: latest-per-icao, theta self-join,
+   *  speculative steps, dead-reckoning (computeLatLong), haversine
+   *  (computeDist), threshold. Same expression structure as GeoOps so
+   *  doubles agree to libm ulps; emitted distance is rounded to 0.1 km. */
+  val flightDist: String = {
+    val steps = (0 until BenchQueries.SpecSteps).map(i => s"($i)").mkString(",")
+    s"""WITH $adsbSql,
+       |latest AS (
+       |  SELECT icao, pos_time, lat, lng, spd_kms, trak FROM (
+       |    SELECT pos.*, row_number() OVER (
+       |      PARTITION BY icao ORDER BY pos_time DESC, event_id DESC) AS rn
+       |    FROM pos) t
+       |  WHERE rn = 1),
+       |paired AS (
+       |  SELECT a.icao AS icao1, a.pos_time AS pt1, a.lat AS lat1, a.lng AS lng1,
+       |         a.spd_kms AS spd1, a.trak AS trak1,
+       |         b.icao AS icao2, b.pos_time AS pt2, b.lat AS lat2, b.lng AS lng2,
+       |         b.spd_kms AS spd2, b.trak AS trak2, s.step,
+       |         greatest(a.pos_time, b.pos_time) + s.step * ${BenchQueries.SpecStepSec * 1000L} AS curr_time
+       |  FROM latest a JOIN latest b ON a.icao < b.icao
+       |  CROSS JOIN (VALUES $steps) s(step)),
+       |rel AS (
+       |  SELECT *, spd1 * (curr_time - pt1) / 1000 / 6378.137 AS d1,
+       |            spd2 * (curr_time - pt2) / 1000 / 6378.137 AS d2 FROM paired),
+       |plat AS (
+       |  SELECT *,
+       |    asin(sin(radians(lat1)) * cos(d1) + cos(radians(lat1)) * sin(d1) * cos(radians(trak1))) AS plat1_r,
+       |    asin(sin(radians(lat2)) * cos(d2) + cos(radians(lat2)) * sin(d2) * cos(radians(trak2))) AS plat2_r
+       |  FROM rel),
+       |proj AS (
+       |  SELECT icao1, icao2, step, curr_time,
+       |    degrees(plat1_r) AS plat1,
+       |    degrees(radians(lng1) + atan2(sin(radians(trak1)) * sin(d1) * cos(radians(lat1)),
+       |            cos(d1) - sin(radians(lat1)) * sin(plat1_r))) AS plng1,
+       |    degrees(plat2_r) AS plat2,
+       |    degrees(radians(lng2) + atan2(sin(radians(trak2)) * sin(d2) * cos(radians(lat2)),
+       |            cos(d2) - sin(radians(lat2)) * sin(plat2_r))) AS plng2
+       |  FROM plat),
+       |dist AS (
+       |  SELECT icao1, icao2, step, curr_time,
+       |    6378.137 * 2 * atan2(
+       |      sqrt(sin(radians(plat2 - plat1) / 2) * sin(radians(plat2 - plat1) / 2) +
+       |           cos(radians(plat1)) * cos(radians(plat2)) *
+       |           sin(radians(plng2 - plng1) / 2) * sin(radians(plng2 - plng1) / 2)),
+       |      sqrt(1 - (sin(radians(plat2 - plat1) / 2) * sin(radians(plat2 - plat1) / 2) +
+       |           cos(radians(plat1)) * cos(radians(plat2)) *
+       |           sin(radians(plng2 - plng1) / 2) * sin(radians(plng2 - plng1) / 2)))) AS dist_km
+       |  FROM proj)
+       |SELECT icao1, icao2, step, curr_time, round(dist_km, 1) AS dist_r
+       |FROM dist WHERE dist_km <= ${BenchQueries.DistThresholdKm}""".stripMargin
+  }
+
+  val tridentWordcount: String = wordcount
+}
