@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  import graft.queries.{BenchQueries, Oracles}
+  import graft.queries.{BenchQueries, Oracles, PipelineQueries}
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -22,6 +22,21 @@ object SparkEntry {
     "rolling_sort" -> BenchQueries.rollingSort,
     "flight_dist" -> BenchQueries.flightDist,
     "trident_wordcount" -> BenchQueries.tridentWordcount,
+    // training-data pipeline extensions
+    "dedup_exact" -> PipelineQueries.dedupExact,
+    "dedup_fingerprint" -> PipelineQueries.dedupFingerprint,
+    "dedup_ngram" -> PipelineQueries.dedupNgram,
+    "dedup_minhash" -> PipelineQueries.dedupMinhash,
+    "dedup_simhash" -> PipelineQueries.dedupSimhash,
+    "sim_topk" -> PipelineQueries.simTopK,
+    "sim_ann" -> PipelineQueries.simAnn,
+    "embed_neardup" -> PipelineQueries.embedNearDup,
+    "text_langid" -> PipelineQueries.textLangId,
+    "text_quality" -> PipelineQueries.textQuality,
+    "text_tokens" -> PipelineQueries.textTokens,
+    "mm_meta" -> PipelineQueries.mmMeta,
+    "mm_frames" -> PipelineQueries.mmFrames,
+    "mm_features" -> PipelineQueries.mmFeatures,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -39,5 +54,17 @@ object SparkEntry {
     "rolling_sort" -> Oracles.rollingSort,
     "flight_dist" -> Oracles.flightDist,
     "trident_wordcount" -> Oracles.tridentWordcount,
+    // pipeline extensions (minhash/simhash/ann/features are rows-only:
+    // xxhash64/LSH/stub-decode aren't reproducible in DuckDB SQL)
+    "dedup_exact" -> Oracles.dedupExact,
+    "dedup_fingerprint" -> Oracles.dedupFingerprint,
+    "dedup_ngram" -> Oracles.dedupNgram,
+    "sim_topk" -> Oracles.simTopK,
+    "embed_neardup" -> Oracles.embedNearDup,
+    "text_langid" -> Oracles.textLangId,
+    "text_quality" -> Oracles.textQuality,
+    "text_tokens" -> Oracles.textTokens,
+    "mm_meta" -> Oracles.mmMeta,
+    "mm_frames" -> Oracles.mmFrames,
   )
 }

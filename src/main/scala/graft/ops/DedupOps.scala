@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines: exact,
+ * fingerprint, n-gram Jaccard, MinHash+LSH, SimHash.
+ *
+ * Scale design (100 TB): signature computation (minhash/simhash/
+ * fingerprint) is row-local projection — no shuffle, fully parallel.
+ * The only shuffles are (a) the band-bucket join for LSH candidates,
+ * which shuffles small (id, band-hash) pairs, never documents, and
+ * (b) the verify join, which touches candidate pairs only. Exact
+ * all-pairs verification is restricted to candidates/blocks, never the
+ * full cross product.
+ */
+object DedupOps {
+
+  /** Exact dedup: group identical keys, keep the smallest id as the
+   *  canonical survivor. Output: (keeper, n) per duplicate group. */
+  def exactGroups(df: DataFrame, id: Column, key: Column): DataFrame =
+    df.groupBy(key.as("k")).agg(min(id).as("keeper"), count(lit(1)).as("n"))
+      .select(col("keeper"), col("n"))
+
+  /** Distinct word n-gram shingles of `text` (empty array when the text
+   *  has fewer than n words). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = filter(split(text, "\\s+"), x => length(x) > 0)
+    val grams = transform(sequence(lit(0), size(w) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))
+    when(size(w) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
+  }
+
+  /**
+   * Exact n-gram Jaccard near-duplicate pairs within a blocking column
+   * (e.g. source/shard). Output: (id1, id2, jaccard) for jaccard >=
+   * threshold, id1 < id2. The block join keeps the pair space bounded;
+   * for unblocked discovery at scale use [[minhashCandidates]] first.
+   */
+  def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, block: Column,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = df.select(id.as("id"), block.as("blk"), explode(shingles(text, n)).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.blk") === col("y.blk") &&
+          col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id1"), col("y.id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("s1"), col("id1") === col("s1.id"))
+      .join(sizes.as("s2"), col("id2") === col("s2.id"))
+      .withColumn("jaccard", col("inter") / (col("s1.sz") + col("s2.sz") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /**
+   * MinHash signature: k seeded-hash minima over the shingle set, as one
+   * row-local array expression (no explode, no shuffle). Hash family:
+   * h_i(s) = xxhash64(i, s) — k independent keyed hashes (an affine
+   * family over one base hash would need mod-2^64 multiplies, which ANSI
+   * mode rejects as long overflow).
+   */
+  def minhashSignature(text: Column, k: Int = 64, shingleN: Int = 3): Column = {
+    val sh = shingles(text, shingleN)
+    array((0 until k).map { i =>
+      array_min(transform(sh, s => xxhash64(lit(i), s)))
+    }: _*)
+  }
+
+  /** LSH band hashes over a minhash signature: `bands` buckets of
+   *  `rows` signature slots each (b=16, r=4 targets J ~ 0.5+). */
+  def lshBandHashes(sig: Column, bands: Int = 16, rows: Int = 4): Column =
+    array((0 until bands).map { b =>
+      xxhash64((0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*)
+    }: _*)
+
+  /**
+   * MinHash+LSH candidate pairs: docs sharing any band bucket.
+   * Shuffles only (id, band, hash) triples; the equi-join on
+   * (band, hash) is a plain hash join — the 100 TB-safe path.
+   */
+  def minhashCandidates(df: DataFrame, id: Column, text: Column,
+      k: Int = 64, bands: Int = 16): DataFrame = {
+    val rows = k / bands
+    val banded = df
+      .select(id.as("id"), minhashSignature(text, k).as("sig"))
+      // docs with < shingleN words have an empty shingle set -> null minima
+      .filter(element_at(col("sig"), 1).isNotNull)
+      .select(col("id"), posexplode(lshBandHashes(col("sig"), bands, rows)))
+      .toDF("id", "band", "bh")
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"))
+      .distinct()
+  }
+
+  /** LSH candidates verified with exact shingle Jaccard. Output:
+   *  (id1, id2, jaccard) for jaccard >= threshold. */
+  def minhashNearDups(df: DataFrame, id: Column, text: Column,
+      threshold: Double = 0.5): DataFrame = {
+    val cands = minhashCandidates(df, id, text)
+    val sh = df.select(id.as("sid"), shingles(text).as("shs"))
+    cands
+      .join(sh.as("a"), col("id1") === col("a.sid"))
+      .join(sh.as("b"), col("id2") === col("b.sid"))
+      .withColumn("inter", size(array_intersect(col("a.shs"), col("b.shs"))))
+      .withColumn("jaccard",
+        col("inter") / (size(col("a.shs")) + size(col("b.shs")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /**
+   * 64-bit SimHash pack: per bit, sum +1/-1 over the word-hash array in
+   * `__simhash_bases`, sign becomes the bit. A single row-local fold —
+   * expressed in SQL because shiftright by a lambda variable has no
+   * Scala-functions wrapper (it requires a literal shift amount).
+   */
+  private val simhashPackExpr: String = {
+    val counters =
+      """aggregate(__simhash_bases, array_repeat(0L, 64),
+        |  (acc, h) -> zip_with(acc, sequence(0, 63),
+        |    (c, j) -> c + ((shiftright(h, CAST(j AS INT)) & 1L) * 2L - 1L)))""".stripMargin
+    s"""aggregate(zip_with($counters, sequence(0, 63),
+       |  (c, j) -> IF(c > 0L, shiftleft(1L, CAST(j AS INT)), 0L)),
+       |  0L, (acc, v) -> acc | v)""".stripMargin
+  }
+
+  /** Adds a `simhash` column (64-bit word-feature SimHash) from `text`. */
+  def simhashOf(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.withColumn("__simhash_bases",
+        transform(filter(split(lower(text), "\\s+"), x => length(x) > 0),
+          x => xxhash64(x)))
+      .withColumn("simhash", expr(simhashPackExpr))
+      .drop("__simhash_bases")
+
+  /**
+   * SimHash near-duplicate pairs with Hamming distance <= maxHamming,
+   * found by the pigeonhole band trick: split the 64-bit signature into
+   * 4 16-bit chunks; any pair within distance 3 shares at least one
+   * chunk exactly — equi-join per chunk, then verify with bit_count.
+   */
+  def simhashNearDups(df: DataFrame, id: Column, text: Column,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashOf(df, id, text).select(id.as("id"), col("simhash"))
+    val chunked = sigs.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("id", "simhash", "chunk_idx", "chunk")
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx") &&
+          col("x.chunk") === col("y.chunk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal-column plumbing: image/audio/video payloads as opaque
+ * `binary` columns with typed metadata, plus decode / feature-extract /
+ * frame-sample stages.
+ *
+ * The actual media decode is STUBBED (no codec libraries in this
+ * environment) behind [[decodeStub]] — a deterministic fake with the
+ * real Spark-side shape: binary in, fixed-size feature vector out,
+ * executed per-partition batch like a real decoder UDF would be. All
+ * surrounding plumbing (schema, slicing, metadata, partitioning) is
+ * real column expressions.
+ */
+object MultimodalOps {
+
+  /** Deterministic synthetic 64-byte blob derived from text — stands in
+   *  for a fetched image payload (testdata ships no binary column). */
+  def synthBlob(text: Column): Column =
+    unhex(concat(md5(text), md5(concat(text, lit("1"))),
+      md5(concat(text, lit("2"))), md5(concat(text, lit("3")))))
+
+  /** Typed metadata for an opaque binary payload: byte length + leading
+   *  magic bytes (hex). This is the "catalog row" for a media object. */
+  def binaryMeta(bytes: Column): Column = struct(
+    length(bytes).cast("int").as("n_bytes"),
+    hex(substring(bytes, 1, 4)).as("magic"))
+
+  /** Frame sampling: `frames` fixed-length slices at `stride` intervals,
+   *  as hex strings (video keyframe-grid analog, row-local). */
+  def frameSample(bytes: Column, frames: Int, frameLen: Int, stride: Int): Column =
+    array((0 until frames).map(i =>
+      hex(substring(bytes, i * stride + 1, frameLen))): _*)
+
+  /**
+   * STUB decode: 16-bin byte-value histogram as the "extracted feature
+   * vector". In production this is the image/audio decoder (???) —
+   * the signature, null handling, and per-batch execution shape are
+   * what the pipeline depends on, and those are real.
+   */
+  val decodeStub: UserDefinedFunction = udf { bytes: Array[Byte] =>
+    if (bytes == null) null
+    else {
+      val h = new Array[Long](16)
+      bytes.foreach(b => h((b & 0xFF) >> 4) += 1L)
+      h.toSeq
+    }
+  }
+
+  /** Full pipeline stage: blob -> (meta, frames, features). */
+  def enrich(df: DataFrame, bytes: Column): DataFrame =
+    df.withColumn("meta", binaryMeta(bytes))
+      .withColumn("frames", frameSample(bytes, frames = 4, frameLen = 8, stride = 16))
+      .withColumn("features", decodeStub(bytes))
+}

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over embedding columns (`array<float>`).
+ *
+ * Scale design (100 TB): the corpus stays partitioned and is streamed
+ * once per search; queries are broadcast. Brute force is the exact
+ * baseline (one BroadcastNestedLoopJoin, no shuffle of the corpus);
+ * the LSH path buckets both sides so only same-bucket candidates are
+ * scored (equi-join on bucket id — a hash join, no cross product).
+ */
+object SimilarityOps {
+
+  /** Dot product in double precision via a sequential left fold —
+   *  deterministic accumulation order, reproducible across engines. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /**
+   * Exact top-k cosine neighbors for `queryIds` against the whole corpus.
+   * Output: (query_id, rank, neighbor_id, cos_r). Queries are broadcast;
+   * the corpus side never shuffles for scoring (the only exchange is the
+   * final per-query rank, keyed by query_id — tiny).
+   */
+  def cosineTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val scored = scoreAgainstQueries(emb, queryIds)
+    val rank = row_number().over(
+      Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id")))
+    scored.withColumn("rank", rank.cast("bigint")).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos_r"))
+  }
+
+  private def scoreAgainstQueries(emb: DataFrame, queryIds: Seq[Long]): DataFrame = {
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    val q = withNorm.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    withNorm.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")))
+  }
+
+  /**
+   * Random-hyperplane LSH bucket id: `bits` sign bits of projections onto
+   * deterministic pseudorandom hyperplanes. Plane p's component d is a
+   * +/-1 derived from xxhash64(p, d) — sign-random-projection, row-local.
+   */
+  def lshBucket(emb: Column, dim: Int, bits: Int = 12): Column = {
+    val planeBits = (0 until bits).map { p =>
+      val proj = (0 until dim).map { d =>
+        val sign = when(xxhash64(lit(p), lit(d)) % 2 === 0, 1.0).otherwise(-1.0)
+        element_at(emb, d + 1).cast("double") * sign
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    planeBits.reduce(_.bitwiseOR(_))
+  }
+
+  /**
+   * Approximate top-k: score only same-LSH-bucket candidates. Recall is
+   * tested against [[cosineTopK]] in the suite; at 100 TB this replaces
+   * the corpus-wide scan with a bucket equi-join.
+   */
+  def annTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      dim: Int, bits: Int = 8): DataFrame = {
+    val withB = emb.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"),
+      lshBucket(col("embedding"), dim, bits).as("bucket"))
+    val q = withB.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
+    val scored = withB.join(broadcast(q),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")))
+    val rank = row_number().over(
+      Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id")))
+    scored.withColumn("rank", rank.cast("bigint")).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos_r"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold, id1 < id2.
+   *  Exact within-corpus variant (O(n^2) scoring — bound the corpus or
+   *  pre-bucket with [[lshBucket]] at scale). */
+  def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    val a = withNorm.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = withNorm.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("nrm").as("n2"))
+    a.join(broadcast(b), col("id1") < col("id2"))
+      .withColumn("cos", cosine(col("e1"), col("e2"), col("n1"), col("n2")))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos_r"))
+  }
+}

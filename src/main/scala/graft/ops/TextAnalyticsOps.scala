@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data pipelines: language ID,
+ * quality scoring, token counting, document fingerprinting. All pure
+ * column expressions (array higher-order functions — row-local, no
+ * shuffle, no UDFs), so they run identically in batch and streaming and
+ * scale linearly with document count.
+ */
+object TextAnalyticsOps {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword-hit
+   *  language heuristic. Deliberately small + deterministic. */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "los", "una"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "une", "est"))
+
+  /** Non-empty whitespace tokens. */
+  def words(text: Column): Column =
+    filter(split(text, "\\s+"), w => length(w) > 0)
+
+  /** Occurrences of any word from `stops` (not distinct — frequency). */
+  def stopwordHits(text: Column, stops: Seq[String]): Column =
+    size(filter(words(text), w => w.isin(stops: _*)))
+
+  /**
+   * Language-ID heuristic: argmax of stopword-hit counts with a fixed
+   * precedence order (en > es > de > fr) for ties; no hits at all -> "und".
+   */
+  def langId(text: Column): Column = {
+    val scores = Stopwords.map { case (lang, stops) => lang -> stopwordHits(text, stops) }
+    val pred = scores.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, ((lang, s), i)) =>
+        val laterMax = scores.drop(i + 1).map(_._2)
+        val isMax = laterMax.foldLeft(s > 0: Column)((c, o) => c && s >= o)
+        when(acc.isNotNull, acc).otherwise(when(isMax, lit(lang)))
+    }
+    coalesce(pred, lit("und"))
+  }
+
+  /** Quality features + a combined [0,1]-ish score. All ratios are exact
+   *  int/int double divisions — reproducible across engines. */
+  def qualityFeatures(text: Column): Column = {
+    val nWords = size(words(text))
+    val nChars = length(text)
+    val meanWlen = length(regexp_replace(text, "\\s+", "")) / nWords
+    val stopRatio = stopwordHits(text, Stopwords.head._2) / nWords
+    val alphaRatio = length(regexp_replace(text, "[^a-zA-Z]", "")) / nChars
+    val score = stopRatio * 0.4 + alphaRatio * 0.3 +
+      least(meanWlen / 10.0, lit(1.0)) * 0.3
+    struct(nWords.cast("long").as("n_words"), meanWlen.as("mean_wlen"),
+      stopRatio.as("stop_ratio"), alphaRatio.as("alpha_ratio"), score.as("score"))
+  }
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(words(text)).cast("long")
+
+  /** BPE-ish sub-word token count: letter runs, single digits, single
+   *  punctuation — the classic pre-tokenizer regex shape. */
+  val BpeishPattern = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpeishPattern), lit(0))).cast("long")
+
+  /** Canonical document fingerprint: md5 of whitespace-collapsed,
+   *  trimmed, lower-cased text (lowercase hex both in Spark and DuckDB). */
+  def fingerprint(text: Column): Column =
+    md5(trim(lower(regexp_replace(text, "\\s+", " "))))
+}

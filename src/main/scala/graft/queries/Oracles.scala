@@ -128,4 +128,128 @@ object Oracles {
   }
 
   val tridentWordcount: String = wordcount
+
+  // ---- training-data pipeline oracles ------------------------------------
+
+  val dedupExact: String =
+    "SELECT min(doc_id) AS keeper, count(*) AS n FROM documents GROUP BY text"
+
+  val dedupFingerprint: String =
+    """SELECT md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+      |       min(doc_id) AS keeper, count(*) AS n
+      |FROM documents GROUP BY 1""".stripMargin
+
+  val dedupNgram: String =
+    """WITH w AS (
+      |  SELECT doc_id, source,
+      |         list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS ws
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, source, unnest(list_distinct(
+      |    CASE WHEN len(ws) >= 3
+      |         THEN list_transform(range(0, len(ws) - 2),
+      |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+      |         ELSE [] END)) AS sh
+      |  FROM w),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS i
+      |  FROM sh x JOIN sh y
+      |    ON x.sh = y.sh AND x.source = y.source AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id1, id2, i / (s1.sz + s2.sz - i) AS jaccard
+      |FROM inter
+      |JOIN sizes s1 ON id1 = s1.doc_id
+      |JOIN sizes s2 ON id2 = s2.doc_id
+      |WHERE i / (s1.sz + s2.sz - i) >= 0.8""".stripMargin
+
+  private val dotSql =
+    "list_sum(list_transform(list_zip(%s, %s), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+
+  val simTopK: String = {
+    val ids = PipelineQueries.SimQueryIds.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${dotSql.format("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+       |      FROM e WHERE vec_id IN ($ids)),
+       |s AS (
+       |  SELECT query_id, vec_id,
+       |         ${dotSql.format("embedding", "q_emb")} / (nrm * q_nrm) AS cos
+       |  FROM e CROSS JOIN q WHERE vec_id <> query_id),
+       |r AS (
+       |  SELECT query_id,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
+       |         vec_id AS neighbor_id, round(cos, 4) AS cos_r
+       |  FROM s)
+       |SELECT query_id, rank, neighbor_id, cos_r FROM r WHERE rank <= ${PipelineQueries.SimK}""".stripMargin
+  }
+
+  val embedNearDup: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${dotSql.format("embedding", "embedding")}) AS nrm
+       |  FROM embeddings)
+       |SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |       round(${dotSql.format("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) AS cos_r
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE ${dotSql.format("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= ${PipelineQueries.NearDupCos}""".stripMargin
+
+  private def stopListSql(stops: Seq[String]) = stops.map(s => s"'$s'").mkString(", ")
+  private val langScores = graft.ops.TextAnalyticsOps.Stopwords.map { case (lang, stops) =>
+    s"len(list_filter(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0), w -> w IN (${stopListSql(stops)}))) AS s_$lang"
+  }.mkString(",\n         ")
+
+  val textLangId: String =
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |         $langScores
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |       WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+       |       WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
+       |       WHEN s_fr > 0 THEN 'fr'
+       |       ELSE 'und' END AS lang_pred
+       |FROM s""".stripMargin
+
+  val textQuality: String = {
+    val stops = stopListSql(graft.ops.TextAnalyticsOps.Stopwords.head._2)
+    s"""WITH f AS (
+       |  SELECT doc_id, text,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |         CAST(len(ws) AS BIGINT) AS n_words,
+       |         length(regexp_replace(text, '\\s+', '', 'g')) / len(ws) AS mean_wlen,
+       |         len(list_filter(ws, w -> w IN ($stops))) / len(ws) AS stop_ratio,
+       |         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) AS alpha_ratio
+       |  FROM f)
+       |SELECT doc_id, n_words, mean_wlen, stop_ratio, alpha_ratio,
+       |       stop_ratio * 0.4 + alpha_ratio * 0.3 + least(mean_wlen / 10.0, 1.0) * 0.3 AS score
+       |FROM g""".stripMargin
+  }
+
+  val textTokens: String =
+    s"""SELECT doc_id,
+       |  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(lower(text), '${graft.ops.TextAnalyticsOps.BpeishPattern}')) AS BIGINT) AS bpe_tokens
+       |FROM documents""".stripMargin
+
+  private val blobHexSql =
+    "upper(md5(text) || md5(text || '1') || md5(text || '2') || md5(text || '3'))"
+
+  val mmMeta: String =
+    s"""SELECT doc_id,
+       |  CAST(octet_length(unhex(md5(text) || md5(text || '1') || md5(text || '2') || md5(text || '3'))) AS INTEGER) AS n_bytes,
+       |  upper(substr(md5(text), 1, 8)) AS magic
+       |FROM documents""".stripMargin
+
+  val mmFrames: String =
+    s"""WITH b AS (SELECT doc_id, $blobHexSql AS hx FROM documents)
+       |SELECT doc_id, CAST(u.i AS INTEGER) AS frame_idx,
+       |       substr(hx, u.i * 32 + 1, 16) AS frame_hex
+       |FROM b CROSS JOIN (VALUES (0),(1),(2),(3)) u(i)""".stripMargin
 }

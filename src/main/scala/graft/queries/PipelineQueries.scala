@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops._
+
+/**
+ * Training-data pipeline queries (the engine's north-star extensions
+ * beyond the reference's 12 topologies): deduplication, similarity
+ * search, text analysis, multimodal columns — over `documents` and
+ * `embeddings` (TESTDATA.md).
+ */
+object PipelineQueries {
+
+  val SimQueryIds: Seq[Long] = (0L until 10L)
+  val SimK = 10
+  val EmbedDim = 64
+  val NearDupCos = 0.45 // max pairwise cosine in testdata is ~0.51
+
+  // ---- deduplication ------------------------------------------------------
+
+  /** Exact dedup groups: canonical survivor + group size per identical text. */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    DedupOps.exactGroups(Tables.documents(spark, sfDir), col("doc_id"), col("text"))
+
+  /** Fingerprint dedup: md5 of normalized text as the group key. */
+  def dedupFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(TextAnalyticsOps.fingerprint(col("text")).as("fingerprint"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+
+  /** Exact 3-gram Jaccard near-dup pairs, blocked by source shard. */
+  def dedupNgram(spark: SparkSession, sfDir: String): DataFrame =
+    DedupOps.ngramJaccardPairs(Tables.documents(spark, sfDir),
+      col("doc_id"), col("text"), col("source"), n = 3, threshold = 0.8)
+
+  /** MinHash+LSH candidates verified by exact Jaccard (no SQL oracle —
+   *  xxhash64 signatures aren't reproducible in DuckDB; correctness is
+   *  covered by DedupOpsSpec recall tests against dedupNgram). */
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    DedupOps.minhashNearDups(Tables.documents(spark, sfDir),
+      col("doc_id"), col("text"), threshold = 0.5)
+
+  /** SimHash near-dup pairs (Hamming <= 3 via pigeonhole bands). */
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    DedupOps.simhashNearDups(Tables.documents(spark, sfDir),
+      col("doc_id"), col("text"), maxHamming = 3)
+
+  // ---- similarity search --------------------------------------------------
+
+  /** Brute-force exact cosine top-k for the first 10 vectors. */
+  def simTopK(spark: SparkSession, sfDir: String): DataFrame =
+    SimilarityOps.cosineTopK(Tables.embeddings(spark, sfDir), SimQueryIds, SimK)
+
+  /** LSH-bucketed approximate top-k (scale path; recall vs brute force
+   *  is asserted in SimilarityOpsSpec). */
+  def simAnn(spark: SparkSession, sfDir: String): DataFrame =
+    SimilarityOps.annTopK(Tables.embeddings(spark, sfDir), SimQueryIds, SimK,
+      dim = EmbedDim, bits = 8)
+
+  /** Embedding near-duplicate pairs (cosine >= threshold). */
+  def embedNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    SimilarityOps.embeddingNearDups(Tables.embeddings(spark, sfDir), NearDupCos)
+
+  // ---- text analysis ------------------------------------------------------
+
+  def textLangId(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextAnalyticsOps.langId(col("text")).as("lang_pred"))
+
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("q", TextAnalyticsOps.qualityFeatures(col("text")))
+      .select(col("doc_id"), col("q.n_words"), col("q.mean_wlen"),
+        col("q.stop_ratio"), col("q.alpha_ratio"), col("q.score"))
+
+  def textTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(col("doc_id"),
+      TextAnalyticsOps.wsTokenCount(col("text")).as("ws_tokens"),
+      TextAnalyticsOps.bpeishTokenCount(col("text")).as("bpe_tokens"))
+
+  // ---- multimodal columns -------------------------------------------------
+
+  private def blobs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), MultimodalOps.synthBlob(col("text")).as("bytes"))
+
+  def mmMeta(spark: SparkSession, sfDir: String): DataFrame =
+    blobs(spark, sfDir)
+      .withColumn("meta", MultimodalOps.binaryMeta(col("bytes")))
+      .select(col("doc_id"), col("meta.n_bytes"), col("meta.magic"))
+
+  def mmFrames(spark: SparkSession, sfDir: String): DataFrame =
+    blobs(spark, sfDir)
+      .select(col("doc_id"), posexplode(
+        MultimodalOps.frameSample(col("bytes"), frames = 4, frameLen = 8, stride = 16)))
+      .toDF("doc_id", "frame_idx", "frame_hex")
+
+  /** Stub-decoded feature vectors (rows-only check; decode is the
+   *  documented stub boundary). */
+  def mmFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    blobs(spark, sfDir)
+      .select(col("doc_id"), MultimodalOps.decodeStub(col("bytes")).as("features"))
+}

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "s0"),
+    (2L, "the quick brown fox jumps over the lazy cat", "s0"), // near-dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog", "s0"), // exact dup of 1
+    (4L, "completely different words appear in this one here", "s0"),
+    (5L, "short text", "s1")).toDF("doc_id", "text", "source")
+
+  test("exactGroups keeps min id and group size") {
+    val m = DedupOps.exactGroups(docs, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toMap
+    assert(m(1L) == 2L) // docs 1 and 3
+    assert(m.values.sum == 5L)
+  }
+
+  test("shingles builds distinct word n-grams; short text -> empty") {
+    val sh = docs.filter($"doc_id" === 5L)
+      .select(DedupOps.shingles(col("text"), 3)).as[Seq[String]].head()
+    assert(sh.isEmpty)
+    val sh1 = docs.filter($"doc_id" === 1L)
+      .select(DedupOps.shingles(col("text"), 3)).as[Seq[String]].head()
+    assert(sh1.head == "the quick brown" && sh1.size == 7)
+  }
+
+  test("ngramJaccardPairs finds exact and near dups above threshold") {
+    val pairs = DedupOps.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      col("source"), 3, 0.5).as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 3L)) == 1.0) // exact dup
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) > 0.5) // near dup
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhashNearDups recovers the pairs exact jaccard finds (recall)") {
+    val exact = DedupOps.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      col("source"), 3, 0.5).select("id1", "id2").as[(Long, Long)].collect().toSet
+    val lsh = DedupOps.minhashNearDups(docs, col("doc_id"), col("text"), 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(lsh), s"LSH missed ${exact.diff(lsh)}")
+  }
+
+  test("simhashOf: identical texts same signature, near texts close in hamming") {
+    val sigs = DedupOps.simhashOf(docs, col("doc_id"), col("text"))
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(3L))
+    val hammingNear = java.lang.Long.bitCount(sigs(1L) ^ sigs(2L))
+    val hammingFar = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    assert(hammingNear < hammingFar)
+  }
+
+  test("simhashNearDups finds exact dup pair at hamming 0") {
+    val pairs = DedupOps.simhashNearDups(docs, col("doc_id"), col("text"), 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)))
+  }
+}

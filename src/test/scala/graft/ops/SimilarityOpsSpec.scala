@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilarityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+
+  private val emb = Seq(
+    (0L, vec(1, 0, 0, 0)),
+    (1L, vec(0.9, 0.1, 0, 0)), // close to 0
+    (2L, vec(0, 1, 0, 0)), // orthogonal to 0
+    (3L, vec(-1, 0, 0, 0)), // opposite of 0
+    (4L, vec(0.8, 0.2, 0, 0))) // close-ish to 0
+    .toDF("vec_id", "embedding")
+
+  test("dot and l2Norm compute in double precision") {
+    val d = emb.filter($"vec_id" === 0L)
+      .select(SimilarityOps.dot(col("embedding"), col("embedding"))).as[Double].head()
+    assert(d == 1.0)
+  }
+
+  test("cosineTopK ranks by cosine descending with id tiebreak") {
+    val out = SimilarityOps.cosineTopK(emb, Seq(0L), k = 3)
+      .orderBy("rank").as[(Long, Long, Long, Double)].collect()
+    assert(out.map(_._3).toSeq == Seq(1L, 4L, 2L)) // neighbors by similarity
+    assert(out.head._4 > 0.99) // cos(v0, v1) ~ 0.9938
+  }
+
+  test("annTopK achieves full recall on tight clusters (same bucket)") {
+    val brute = SimilarityOps.cosineTopK(emb, Seq(0L), 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    val ann = SimilarityOps.annTopK(emb, Seq(0L), 2, dim = 4, bits = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    // ANN may drop cross-bucket neighbors but must find same-bucket ones;
+    // near-identical vectors share all sign bits
+    assert(ann.subsetOf(brute) || ann.nonEmpty)
+    assert(ann.contains(1L)) // 0.9938 cosine -> same bucket under any plane set
+  }
+
+  test("embeddingNearDups returns canonical ordered pairs above threshold") {
+    val pairs = SimilarityOps.embeddingNearDups(emb, 0.99)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.forall(p => p._1 < p._2))
+    assert(!pairs.exists(p => p._2 == 3L)) // opposite vector is not a near-dup
+  }
+}

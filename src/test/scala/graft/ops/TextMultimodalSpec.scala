@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId: stopword argmax with precedence, und when no hits") {
+    val df = Seq(
+      (1L, "the cat and the dog of a house"),
+      (2L, "el perro y la casa de los gatos"),
+      (3L, "der hund und die katze ist nicht da"),
+      (4L, "xyzzy plugh qwerty")).toDF("id", "text")
+    val m = df.select(col("id"), TextAnalyticsOps.langId(col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(m == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "und"))
+  }
+
+  test("quality features: exact ratios") {
+    val df = Seq("the cat sat").toDF("text") // 3 words, 9 letters, 11 chars
+    val q = df.select(TextAnalyticsOps.qualityFeatures(col("text")).as("q"))
+      .select($"q.n_words", $"q.mean_wlen", $"q.stop_ratio", $"q.alpha_ratio")
+      .as[(Long, Double, Double, Double)].head()
+    assert(q._1 == 3L)
+    assert(q._2 == 3.0) // 9 non-space chars / 3 words
+    assert(q._3 == 1.0 / 3.0)
+    assert(q._4 == 9.0 / 11.0)
+  }
+
+  test("token counts: whitespace vs bpe-ish") {
+    val df = Seq("Hello world-42!").toDF("text")
+    val t = df.select(
+      TextAnalyticsOps.wsTokenCount(col("text")),
+      TextAnalyticsOps.bpeishTokenCount(col("text"))).as[(Long, Long)].head()
+    assert(t._1 == 2L)
+    // hello, world, -, 4, 2, ! -> 6
+    assert(t._2 == 6L)
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val df = Seq(("a", "The  Quick   Fox"), ("b", "the quick fox")).toDF("id", "text")
+    val fps = df.select(TextAnalyticsOps.fingerprint(col("text"))).as[String].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0).matches("[0-9a-f]{32}"))
+  }
+
+  test("multimodal: blob synth, meta, frames, stub decode shapes") {
+    val df = Seq((7L, "some document text")).toDF("doc_id", "text")
+    val out = MultimodalOps.enrich(
+      df.withColumn("bytes", MultimodalOps.synthBlob(col("text"))), col("bytes"))
+    val row = out.select($"meta.n_bytes", $"meta.magic", size($"frames"),
+      element_at($"frames", 1), size($"features"),
+      aggregate($"features", lit(0L), (a, b) => a + b)).head()
+    assert(row.getInt(0) == 64) // 4 x md5 = 64 bytes
+    assert(row.getString(1).matches("[0-9A-F]{8}"))
+    assert(row.getInt(2) == 4) // 4 frames
+    assert(row.getString(3).matches("[0-9A-F]{16}")) // 8-byte frame hex
+    assert(row.getInt(4) == 16) // 16 histogram bins
+    assert(row.getLong(5) == 64L) // histogram sums to blob length
+  }
+
+  test("stub decode handles null payloads") {
+    val df = Seq((1L, null: Array[Byte])).toDF("id", "bytes")
+    val out = df.select(MultimodalOps.decodeStub(col("bytes")).as("f"))
+    assert(out.filter(col("f").isNull).count() == 1)
+  }
+}
