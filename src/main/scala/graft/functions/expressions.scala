@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/**
+ * Native Catalyst expressions for the hot numeric kernels. Both emit a
+ * single static-method call from codegen: Spark's expression-tree
+ * codegen for the equivalent column compositions generates methods far
+ * past HotSpot's 8 KB JIT bytecode limit (measured 28 KB for the fused
+ * flight-distance projection), which silently fall back to the bytecode
+ * interpreter (~50x slower). A one-call kernel stays tiny and JITs.
+ */
+
+/** Double-precision dot product of two float vectors, sequential fold —
+ *  byte-compatible with `aggregate(zip_with(a,b,(x,y)->double(x)*double(y)),0d,+)`. */
+case class FloatVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorMath.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorMath {
+  /** Sequential left-fold dot product in double precision (same
+   *  accumulation order as the HOF formulation and the DuckDB oracle). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** SimHash-64 fold over feature hashes: bit j of the result is the
+   *  sign of sum_i(((h_i >> j) & 1) * 2 - 1). */
+  def simhash(hashes: ArrayData): Long = {
+    val n = hashes.numElements()
+    val counters = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < 64) {
+        counters(j) += (((h >>> j) & 1L).toInt << 1) - 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (counters(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
+/**
+ * Fused speculative-projection distance: dead-reckon two aircraft along
+ * their tracks and return the haversine distance of the projected points.
+ * children = (lat1, lng1, trak1, distKm1, lat2, lng2, trak2, distKm2),
+ * all DoubleType. Mirrors DistFilterBolt (RollingFlightDist.java:157-187,
+ * 232-259) via [[GeoMath.projectedDistKm]].
+ */
+case class ProjectedDist(children: Seq[Expression]) extends Expression {
+  require(children.length == 8, "ProjectedDist takes 8 double arguments")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else {
+      val d = vs.map(_.asInstanceOf[Double])
+      GeoMath.projectedDistKm(d(0), d(1), d(2), d(3), d(4), d(5), d(6), d(7))
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    val anyNull = evals.map(_.isNull).mkString(" || ")
+    val args = evals.map(_.value).mkString(", ")
+    ev.copy(code =
+      code"""
+        ${evals.map(_.code).mkString("\n")}
+        boolean ${ev.isNull} = $anyNull;
+        double ${ev.value} = -1.0;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.GeoMath.projectedDistKm($args);
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+/**
+ * 64-bit SimHash over an array of 64-bit feature hashes: per bit, sum
+ * +1/-1 across features; the sign becomes the bit. Native kernel — the
+ * equivalent nested HOF fold (aggregate over zip_with per bit) is
+ * interpreted per lambda call, ~50x slower.
+ */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.simhash(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorMath.simhash($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column wrappers for the native expressions. */
+object native {
+  import org.apache.spark.sql.GraftColumnBridge
+
+  def simhash64(featureHashes: Column): Column =
+    GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(featureHashes)))
+
+  def vec_dot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(FloatVectorDot(GraftColumnBridge.expression(a),
+      GraftColumnBridge.expression(b)))
+
+  def projected_dist(lat1: Column, lng1: Column, trak1: Column, distKm1: Column,
+      lat2: Column, lng2: Column, trak2: Column, distKm2: Column): Column =
+    GraftColumnBridge.column(ProjectedDist(
+      Seq(lat1, lng1, trak1, distKm1, lat2, lng2, trak2, distKm2)
+        .map(GraftColumnBridge.expression)))
+}

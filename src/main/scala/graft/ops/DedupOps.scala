@@ -41,7 +41,16 @@ object DedupOps {
    */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, block: Column,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = df.select(id.as("id"), block.as("blk"), explode(shingles(text, n)).as("sh"))
+    // join on the 64-bit shingle hash, not the string: the shuffle carries
+    // fixed-width longs and the sort-merge compares ints (collisions are
+    // 2^-64-scale and would only perturb one inter count by 1).
+    // repartition first: shingle building is the heavy per-row stage and
+    // must not inherit a narrow scan layout (e.g. one small file).
+    // x/y join sides shuffle on the same keys from the same child, so
+    // ReuseExchange computes the shingle subtree once for both.
+    val n_part = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sh = df.repartition(n_part).select(id.as("id"), block.as("blk"),
+      explode(transform(shingles(text, n), s => xxhash64(s))).as("sh"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.sh") === col("y.sh") && col("x.blk") === col("y.blk") &&
@@ -57,17 +66,28 @@ object DedupOps {
   }
 
   /**
-   * MinHash signature: k seeded-hash minima over the shingle set, as one
-   * row-local array expression (no explode, no shuffle). Hash family:
-   * h_i(s) = xxhash64(i, s) — k independent keyed hashes (an affine
-   * family over one base hash would need mod-2^64 multiplies, which ANSI
-   * mode rejects as long overflow).
+   * MinHash signatures: k seeded-hash minima over each doc's shingle
+   * set. Hash family: h_i(s) = xxhash64(i, s) — k independent keyed
+   * hashes (an affine family over one base hash would need mod-2^64
+   * multiplies, which ANSI mode rejects as long overflow).
+   *
+   * Shape: explode shingles, then ONE two-phase hash aggregate with k
+   * `min` columns — partial minima combine map-side, so the shuffle
+   * carries k longs per doc, never shingle strings. (A single row-local
+   * array expression would duplicate the shingle pipeline k times in one
+   * projection and blow up codegen — measured 50x slower.)
    */
-  def minhashSignature(text: Column, k: Int = 64, shingleN: Int = 3): Column = {
-    val sh = shingles(text, shingleN)
-    array((0 until k).map { i =>
-      array_min(transform(sh, s => xxhash64(lit(i), s)))
-    }: _*)
+  def minhashSignatures(df: DataFrame, id: Column, text: Column,
+      k: Int = 64, shingleN: Int = 3): DataFrame = {
+    // hash each shingle string ONCE, then derive the k family members by
+    // re-hashing the fixed-width base (8 bytes) — not the string k times.
+    // repartition: see ngramJaccardPairs (heavy per-row stage needs fan-out)
+    val sh = df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(id.as("id"),
+        explode(transform(shingles(text, shingleN), s => xxhash64(s))).as("h0"))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("h0"))).as(s"m$i"))
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** LSH band hashes over a minhash signature: `bands` buckets of
@@ -85,10 +105,8 @@ object DedupOps {
   def minhashCandidates(df: DataFrame, id: Column, text: Column,
       k: Int = 64, bands: Int = 16): DataFrame = {
     val rows = k / bands
-    val banded = df
-      .select(id.as("id"), minhashSignature(text, k).as("sig"))
-      // docs with < shingleN words have an empty shingle set -> null minima
-      .filter(element_at(col("sig"), 1).isNotNull)
+    // docs with < shingleN words have no shingles and drop out naturally
+    val banded = minhashSignatures(df, id, text, k)
       .select(col("id"), posexplode(lshBandHashes(col("sig"), bands, rows)))
       .toDF("id", "band", "bh")
     banded.as("x").join(banded.as("y"),
@@ -103,7 +121,8 @@ object DedupOps {
   def minhashNearDups(df: DataFrame, id: Column, text: Column,
       threshold: Double = 0.5): DataFrame = {
     val cands = minhashCandidates(df, id, text)
-    val sh = df.select(id.as("sid"), shingles(text).as("shs"))
+    val sh = df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(id.as("sid"), shingles(text).as("shs"))
     cands
       .join(sh.as("a"), col("id1") === col("a.sid"))
       .join(sh.as("b"), col("id2") === col("b.sid"))
@@ -114,29 +133,14 @@ object DedupOps {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
-  /**
-   * 64-bit SimHash pack: per bit, sum +1/-1 over the word-hash array in
-   * `__simhash_bases`, sign becomes the bit. A single row-local fold —
-   * expressed in SQL because shiftright by a lambda variable has no
-   * Scala-functions wrapper (it requires a literal shift amount).
-   */
-  private val simhashPackExpr: String = {
-    val counters =
-      """aggregate(__simhash_bases, array_repeat(0L, 64),
-        |  (acc, h) -> zip_with(acc, sequence(0, 63),
-        |    (c, j) -> c + ((shiftright(h, CAST(j AS INT)) & 1L) * 2L - 1L)))""".stripMargin
-    s"""aggregate(zip_with($counters, sequence(0, 63),
-       |  (c, j) -> IF(c > 0L, shiftleft(1L, CAST(j AS INT)), 0L)),
-       |  0L, (acc, v) -> acc | v)""".stripMargin
-  }
-
-  /** Adds a `simhash` column (64-bit word-feature SimHash) from `text`. */
+  /** Adds a `simhash` column: 64-bit SimHash over word-feature hashes —
+   *  per bit, the sign of the +1/-1 sum across words. Row-local: hash
+   *  words with xxhash64, fold with the native SimHash64 kernel
+   *  (graft.functions.SimHash64 — the pure-HOF fold is interpreted). */
   def simhashOf(df: DataFrame, id: Column, text: Column): DataFrame =
-    df.withColumn("__simhash_bases",
-        transform(filter(split(lower(text), "\\s+"), x => length(x) > 0),
-          x => xxhash64(x)))
-      .withColumn("simhash", expr(simhashPackExpr))
-      .drop("__simhash_bases")
+    df.withColumn("simhash", graft.functions.native.simhash64(
+      transform(filter(split(lower(text), "\\s+"), x => length(x) > 0),
+        x => xxhash64(x))))
 
   /**
    * SimHash near-duplicate pairs with Hamming distance <= maxHamming,

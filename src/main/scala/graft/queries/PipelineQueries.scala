@@ -85,6 +85,9 @@ object PipelineQueries {
 
   private def blobs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
+      // fan out: md5-blob synthesis + downstream decode are per-row heavy
+      // and the documents scan may be a single small file split
+      .repartition(spark.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), MultimodalOps.synthBlob(col("text")).as("bytes"))
 
   def mmMeta(spark: SparkSession, sfDir: String): DataFrame =

@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.{GeoOps, SimilarityOps}
+
+class NativeExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("FloatVectorDot is bit-identical to the HOF fold formulation") {
+    val df = Seq(
+      (Seq(1.5f, -2.25f, 3.125f), Seq(0.5f, 4.0f, -1.0f)),
+      (Seq(0.1f, 0.2f, 0.3f), Seq(0.4f, 0.5f, 0.6f))).toDF("a", "b")
+    val rows = df.select(
+      SimilarityOps.dot(col("a"), col("b")).as("native"),
+      SimilarityOps.dotHof(col("a"), col("b")).as("hof"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (n, h) => assert(n == h) } // exact, not approx
+  }
+
+  test("FloatVectorDot null propagation") {
+    val df = Seq((Option(Seq(1.0f)), Option.empty[Seq[Float]])).toDF("a", "b")
+    val r = df.select(SimilarityOps.dot(col("a"), col("b"))).collect()
+    assert(r.head.isNullAt(0))
+  }
+
+  test("ProjectedDist is bit-identical to the composed column math") {
+    val df = Seq(
+      (40.1, -73.9, 95.0, 12.5, 40.6, -73.2, 270.0, 3.75),
+      (40.0, -74.0, 0.0, 0.0, 40.0, -74.0, 0.0, 0.0), // zero distance
+      (-33.9, 151.2, 45.0, 100.0, -37.8, 144.9, 300.0, 55.0))
+      .toDF("lat1", "lng1", "trak1", "d1", "lat2", "lng2", "trak2", "d2")
+    val p1 = GeoOps.destinationPoint(col("lat1"), col("lng1"), col("trak1"), col("d1"))
+    val p2 = GeoOps.destinationPoint(col("lat2"), col("lng2"), col("trak2"), col("d2"))
+    val rows = df.select(
+      native.projected_dist(col("lat1"), col("lng1"), col("trak1"), col("d1"),
+        col("lat2"), col("lng2"), col("trak2"), col("d2")).as("fused"),
+      GeoOps.haversineKm(p1.getField("lat"), p1.getField("lng"),
+        p2.getField("lat"), p2.getField("lng")).as("composed"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (f, c) => assert(f == c, s"fused=$f composed=$c") }
+  }
+}
