@@ -104,37 +104,7 @@ object BenchQueries {
   def flightDist(spark: SparkSession, sfDir: String): DataFrame = {
     val pos = SyntheticSources.adsbPositions(Tables.events(spark, sfDir))
     val latest = WindowOps.latestPerKey(pos, Seq("icao"), Seq("pos_time", "event_id"))
-    // Explicit fan-out of the probe side: post-agg `latest` is tiny and
-    // lands in ~1 partition; the O(n^2) pair generation + trig below must
-    // run on all cores. Fixed partition count so AQE won't re-coalesce.
-    val shufflePartitions = spark.sessionState.conf.numShufflePartitions
-    val a = latest.select(col("icao").as("icao1"), col("pos_time").as("pt1"),
-      col("lat").as("lat1"), col("lng").as("lng1"),
-      col("spd_kms").as("spd1"), col("trak").as("trak1"))
-      // round-robin, NOT hash-by-icao: hash would be statically redundant
-      // with the upstream groupBy(icao) partitioning and get elided, and
-      // AQE then coalesces the tiny-by-bytes agg output to one partition
-      .repartition(shufflePartitions)
-    val b = latest.select(col("icao").as("icao2"), col("pos_time").as("pt2"),
-      col("lat").as("lat2"), col("lng").as("lng2"),
-      col("spd_kms").as("spd2"), col("trak").as("trak2"))
-    val paired = a.join(broadcast(b), col("icao1") < col("icao2"))
-      .withColumn("step", explode(sequence(lit(0), lit(SpecSteps - 1))))
-      .withColumn("curr_time",
-        greatest(col("pt1"), col("pt2")) + col("step") * lit(SpecStepSec * 1000L))
-    // Fused native expression (graft.functions.ProjectedDist): identical
-    // math to GeoOps.destinationPoint + haversineKm, but emitted as one
-    // static call so the hot stage stays under HotSpot's JIT method limit
-    // (the inlined column form generated a 28 KB method -> interpreted).
-    paired
-      .withColumn("dist_km", graft.functions.native.projected_dist(
-        col("lat1"), col("lng1"), col("trak1"),
-        col("spd1") * (col("curr_time") - col("pt1")) / 1000,
-        col("lat2"), col("lng2"), col("trak2"),
-        col("spd2") * (col("curr_time") - col("pt2")) / 1000))
-      .filter(col("dist_km") <= DistThresholdKm)
-      .select(col("icao1"), col("icao2"), col("step"), col("curr_time"),
-        round(col("dist_km"), 1).as("dist_r"))
+    JoinOps.proximityPairs(latest, DistThresholdKm, SpecSteps, SpecStepSec)
   }
 
   /** Topology 12: TridentWordCount (TridentWordCount.java:54) — the typed

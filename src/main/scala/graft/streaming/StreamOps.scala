@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.model.AdsbPosition
+import graft.ops.JoinOps
+
+/**
+ * Structured Streaming forms of the reference topologies. Each reuses
+ * the same `graft.ops` column pipelines as the batch queries — that
+ * shared core is the design win over the reference, which duplicates
+ * every operator per engine (e.g. Count vs Trident Count).
+ *
+ * Semantics mapping (SURVEY.md §2.10):
+ *  - per-tuple emission        -> update-mode micro-batch emission
+ *                                 (final-state-per-trigger equivalence)
+ *  - tick tuples (emitFreq)    -> Trigger.ProcessingTime
+ *  - SlidingWindow slots       -> window(ts, winLen, slide) + watermark
+ *  - at-least-once + acker     -> exactly-once with checkpointing
+ *  - max.spout.pending         -> maxOffsetsPerTrigger (Kafka source)
+ */
+object StreamOps {
+
+  /** Kafka topic as a string stream — the analog of KafkaSpout +
+   *  StringScheme (common/BenchmarkBase.java:70-73). */
+  def kafkaLines(spark: SparkSession, bootstrap: String, topic: String,
+      maxOffsetsPerTrigger: Long = 100000L): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest") // kafka.api.OffsetRequest.EarliestTime()
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger) // backpressure
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value")
+
+  /** Running count per key, emitted per trigger (WordCount.Count /
+   *  PageViewCount semantics — unbounded state, update mode). */
+  def runningCount(lines: DataFrame, key: Column, keyName: String): DataFrame =
+    lines.groupBy(key.as(keyName)).agg(count(lit(1)).as("cnt"))
+
+  /** Sliding-window count per key with watermarked eviction —
+   *  RollingCountBolt + SlidingWindow, state managed by Spark. */
+  def slidingCount(lines: DataFrame, tsName: String, key: Column, keyName: String,
+      winLen: String, slide: String, watermarkDelay: String): DataFrame =
+    lines.withWatermark(tsName, watermarkDelay)
+      .groupBy(window(col(tsName), winLen, slide).as("w"), key.as(keyName))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("w_start"), col(keyName), col("cnt"))
+
+  /** Sliding-window distinct per key — UniqueVisitorBolt. Streaming
+   *  aggregation cannot hold exact distinct cheaply at scale; HLL++
+   *  (approx_count_distinct) is the honest 100 TB path (SURVEY.md §4.3). */
+  def slidingApproxDistinct(lines: DataFrame, tsName: String, key: Column,
+      keyName: String, item: Column, winLen: String, slide: String,
+      watermarkDelay: String): DataFrame =
+    lines.withWatermark(tsName, watermarkDelay)
+      .groupBy(window(col(tsName), winLen, slide).as("w"), key.as(keyName))
+      .agg(approx_count_distinct(item).as("uniques"))
+      .select(col("w.start").as("w_start"), col(keyName), col("uniques"))
+
+  /**
+   * Continuously-maintained latest position per aircraft via keyed state
+   * (mapGroupsWithState) — the streaming form of WindowOps.latestPerKey
+   * and the exact analog of DistFilterBolt's flightMap
+   * (RollingFlightDist.java:216-218: newer PosTime wins).
+   */
+  def latestPositions(positions: Dataset[AdsbPosition]): Dataset[AdsbPosition] = {
+    import positions.sparkSession.implicits._
+    positions.groupByKey(_.icao)
+      .mapGroupsWithState[AdsbPosition, AdsbPosition](GroupStateTimeout.NoTimeout) {
+        (_, updates, state: GroupState[AdsbPosition]) =>
+          val freshest = (state.getOption.iterator ++ updates)
+            .maxBy(p => (p.posTime, p.lat, p.lng)) // posTime wins; determinisitic tiebreak
+          state.update(freshest)
+          freshest
+      }
+  }
+
+  /**
+   * Per-trigger proximity warnings with cumulative state: each
+   * micro-batch folds its position reports into a versioned
+   * latest-position snapshot (parquet, one version per batch — the
+   * freshest-position map of DistFilterBolt, RollingFlightDist.java:216),
+   * then runs the batch pairwise join (JoinOps.proximityPairs) on the
+   * FULL snapshot. Per-trigger snapshot semantics — coarser interleaving
+   * than the reference's per-tuple compare but the same warning set over
+   * time (SURVEY.md §7.4 risk 3).
+   */
+  def proximityWarnings(positions: Dataset[AdsbPosition], thresholdKm: Double,
+      steps: Int, stepSec: Int, triggerSec: Int, checkpointDir: String,
+      stateDir: String)(
+      onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+    positions.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(s"$triggerSec seconds"))
+      .foreachBatch { (batch: Dataset[AdsbPosition], batchId: Long) =>
+        val spark = batch.sparkSession
+        val updates = batch.toDF().select(col("icao"),
+          col("posTime").as("pos_time"), col("lat"), col("lng"),
+          (col("spd") * graft.ops.GeoOps.KnotToKmPerSec).as("spd_kms"),
+          col("trak"))
+        val prevDir = new java.io.File(s"$stateDir/v${batchId - 1}")
+        val merged =
+          if (prevDir.exists()) spark.read.parquet(prevDir.getPath).union(updates)
+          else updates
+        val latest = graft.ops.WindowOps.latestPerKey(merged,
+          Seq("icao"), Seq("pos_time"))
+        latest.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        val snapshot = spark.read.parquet(s"$stateDir/v$batchId")
+        onBatch(JoinOps.proximityPairs(snapshot, thresholdKm, steps, stepSec), batchId)
+      }
+      .start()
+  }
+
+  /** Start a query into the in-memory sink (tests / console parity with
+   *  the reference's log-based observability). */
+  def toMemory(df: DataFrame, name: String, mode: OutputMode,
+      checkpointDir: String): StreamingQuery =
+    df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).option("checkpointLocation", checkpointDir).start()
+}

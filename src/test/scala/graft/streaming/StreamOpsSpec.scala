@@ -1,0 +1,132 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.model.AdsbPosition
+import graft.ops.TextOps
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ckpt() = Files.createTempDirectory("graft-ckpt").toString
+
+  test("runningCount under update mode matches WordCount per-trigger totals") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val words = TextOps.splitWords(in.toDF().toDF("sentence"), col("sentence"))
+    val q = StreamOps.toMemory(
+      StreamOps.runningCount(words, col("word"), "word"),
+      "wc_test", OutputMode.Update, ckpt())
+    try {
+      in.addData("a b a", "c")
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("wc_test").as[(String, Long)].collect().toMap
+      assert(afterBatch1 == Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
+
+      in.addData("a c c")
+      q.processAllAvailable()
+      // update mode re-emits only changed keys; latest row per key wins
+      val latest = spark.table("wc_test").groupBy("word")
+        .agg(max("cnt").as("cnt")).as[(String, Long)].collect().toMap
+      assert(latest == Map("a" -> 3L, "b" -> 1L, "c" -> 3L))
+    } finally q.stop()
+  }
+
+  test("slidingCount: watermarked sliding windows count per hop") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val df = in.toDF().toDF("ts", "word")
+    val q = StreamOps.toMemory(
+      StreamOps.slidingCount(df, "ts", col("word"), "word",
+        "2 hours", "1 hour", "10 minutes"),
+      "sc_test", OutputMode.Update, ckpt())
+    try {
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 10:30:00"), "x"),
+        (Timestamp.valueOf("2024-01-01 10:40:00"), "x"),
+        (Timestamp.valueOf("2024-01-01 11:10:00"), "x"))
+      q.processAllAvailable()
+      val out = spark.table("sc_test")
+        .select(date_format(col("w_start"), "HH:mm").as("w"), col("cnt"))
+        .as[(String, Long)].collect().toMap
+      assert(out == Map("09:00" -> 2L, "10:00" -> 3L, "11:00" -> 1L))
+    } finally q.stop()
+  }
+
+  test("checkpointed restart resumes running count exactly-once (Trident semantics)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val counts = StreamOps.runningCount(
+      TextOps.splitWords(in.toDF().toDF("sentence"), col("sentence")),
+      col("word"), "word")
+    val checkpoint = ckpt()
+    val seen = scala.collection.concurrent.TrieMap[String, Long]()
+    def start() = counts.writeStream.outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.as[(String, Long)].collect().foreach { case (w, c) => seen(w) = c }
+      }.start() // memory sink can't recover from checkpoints; foreachBatch can
+    val q1 = start()
+    try {
+      in.addData("a a b")
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the same checkpoint: state must resume, not recount
+    val q2 = start()
+    try {
+      in.addData("a")
+      q2.processAllAvailable()
+      assert(seen("a") == 3L) // 2 before restart + 1 after, counted once
+    } finally q2.stop()
+  }
+
+  test("latestPositions keyed state: newest posTime wins across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[AdsbPosition]
+    val q = StreamOps.toMemory(
+      StreamOps.latestPositions(in.toDS()).toDF(),
+      "lp_test", OutputMode.Update, ckpt())
+    try {
+      in.addData(AdsbPosition("A", 100L, 40.0, -73.0, 300.0, 90.0))
+      q.processAllAvailable()
+      in.addData(
+        AdsbPosition("A", 50L, 41.0, -75.0, 310.0, 180.0), // stale -> ignored
+        AdsbPosition("B", 10L, 42.0, -70.0, 250.0, 45.0))
+      q.processAllAvailable()
+      val latest = spark.table("lp_test").as[AdsbPosition].collect()
+        .groupBy(_.icao).map { case (k, vs) => k -> vs.last }
+      assert(latest("A").posTime == 100L && latest("A").lat == 40.0)
+      assert(latest("B").posTime == 10L)
+    } finally q.stop()
+  }
+
+  test("proximityWarnings: cumulative state joins across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[AdsbPosition]
+    @volatile var pairs: Set[(String, String)] = Set.empty
+    val q = StreamOps.proximityWarnings(in.toDS(), thresholdKm = 20.0,
+      steps = 1, stepSec = 5, triggerSec = 1, ckpt(),
+      Files.createTempDirectory("graft-state").toString) { (warnings, _) =>
+      pairs = warnings.select("icao1", "icao2")
+        .as[(String, String)].collect().toSet
+    }
+    try {
+      in.addData(
+        AdsbPosition("A", 1000L, 40.00, -73.00, 0.0, 0.0),
+        AdsbPosition("B", 1000L, 40.05, -73.00, 0.0, 0.0), // ~5.6 km from A
+        AdsbPosition("C", 1000L, 45.00, -60.00, 0.0, 0.0)) // far away
+      q.processAllAvailable()
+      assert(pairs == Set(("A", "B")))
+      // D arrives alone in batch 2 — must pair against state from batch 1
+      in.addData(AdsbPosition("D", 2000L, 40.02, -73.01, 0.0, 0.0))
+      q.processAllAvailable()
+      assert(pairs == Set(("A", "B"), ("A", "D"), ("B", "D")))
+    } finally q.stop()
+  }
+}
