@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.ops._
+import graft.queries.BenchQueries
+import graft.sources.Generators
+import graft.streaming.StreamOps
+
+/**
+ * CLI runner mirroring the reference's `run_topo` entry points
+ * (run_topo:20-73): each topology as a live Structured Streaming query.
+ *
+ * Usage:
+ *   runMain graft.Run <topology> [options]
+ *     --source kafka:<bootstrap>/<topic> | file:<path> | pageview | rand
+ *     --rate <rowsPerSecond>         (generator/file sources, default 1000)
+ *     --emit-freq <seconds>          (trigger cadence, default 10 —
+ *                                     the reference's tick-tuple emitFreq)
+ *     --win-len <seconds>            (window length, default 60)
+ *     --checkpoint <dir>             (default: temp dir)
+ *
+ * Topologies: wordcount grep sol dataclean pageview_count unique_visitor
+ * rolling_count rolling_hashtag_count rolling_geo_count rolling_sort
+ * rolling_flight_dist trident_wordcount
+ */
+object Run {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse(sys.error("usage: Run <topology> [options]"))
+    val opts = args.drop(1).sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    val rate = opts.getOrElse("rate", "1000").toInt
+    val emitFreq = opts.getOrElse("emit-freq", "10").toInt
+    val winLen = opts.getOrElse("win-len", "60").toInt
+    val checkpoint = opts.getOrElse("checkpoint",
+      Files.createTempDirectory("graft-run").toString)
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName(s"graft-$name")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    /** Source -> (ts, value) string lines, per --source. */
+    def lines(): DataFrame = opts.get("source") match {
+      case Some(s) if s.startsWith("kafka:") =>
+        val rest = s.stripPrefix("kafka:")
+        val (bootstrap, topic) = rest.splitAt(rest.lastIndexOf('/'))
+        StreamOps.kafkaLines(spark, bootstrap, topic.drop(1))
+          .select(current_timestamp().as("ts"), col("value"))
+      case Some(s) if s.startsWith("file:") =>
+        Generators.fileReplayStream(spark, s.stripPrefix("file:"), rate)
+          .toDF("ts", "value")
+      case Some("pageview") => Generators.pageViewStream(spark, rate).toDF("ts", "value")
+      case Some("adsb") => Generators.adsbStream(spark, rate).toDF("ts", "value")
+      case Some("rand") | None => Generators.randomMessageStream(spark, rate).toDF("ts", "value")
+      case Some(other) => sys.error(s"unknown source: $other")
+    }
+
+    val winS = s"$winLen seconds"
+    val slideS = s"$emitFreq seconds"
+    val wm = "0 seconds" // processing-time-like: no late data from live sources
+
+    val (df, mode) = name match {
+      case "wordcount" | "trident_wordcount" =>
+        (StreamOps.runningCount(
+          TextOps.splitWords(lines(), col("value")), col("word"), "word"),
+          OutputMode.Update)
+      case "grep" =>
+        (StreamOps.runningCount(
+          TextOps.grepFilter(lines(), col("value"), BenchQueries.GrepPattern)
+            .select(lit(1).as("one")), col("one"), "one"), OutputMode.Update)
+      case "sol" =>
+        (TextOps.constChain(lines(), col("value"), levels = 3), OutputMode.Append)
+      case "dataclean" =>
+        val parsed = PageViewOps.parse(lines(), col("value"))
+        (PageViewOps.filterNot(parsed, col("http_status"), 200, col("value")),
+          OutputMode.Append)
+      case "pageview_count" =>
+        (StreamOps.runningCount(
+          PageViewOps.parse(lines(), col("value")), col("url"), "url"),
+          OutputMode.Update)
+      case "unique_visitor" =>
+        (StreamOps.slidingApproxDistinct(
+          PageViewOps.parse(lines(), col("value")), "ts", col("url"), "url",
+          col("user_id"), winS, slideS, wm), OutputMode.Update)
+      case "rolling_count" =>
+        val words = lines()
+          .select(col("ts"), explode(split(col("value"), "\\s+")).as("word"))
+          .filter(length(col("word")) > 0)
+        (StreamOps.slidingCount(words, "ts", col("word"), "word",
+          winS, slideS, wm), OutputMode.Update)
+      case "rolling_hashtag_count" =>
+        val tags = lines().select(col("ts"),
+          explode(split(element_at(split(col("value"), "\\|", -1), 5), " ")).as("hashtag"))
+          .filter(col("hashtag").startsWith("#") && length(col("hashtag")) > 1)
+        (StreamOps.slidingCount(tags, "ts", col("hashtag"), "hashtag",
+          winS, slideS, wm), OutputMode.Update)
+      case "rolling_geo_count" =>
+        val zones = lines().select(col("ts"), AdsbOps.zoneOfLine(col("value")).as("zone"))
+        (StreamOps.slidingCount(zones, "ts", col("zone"), "zone",
+          winS, slideS, wm), OutputMode.Update)
+      case "rolling_sort" | "rolling_flight_dist" =>
+        runForeachBatch(spark, name, lines(), emitFreq, checkpoint)
+        return
+      case other => sys.error(s"unknown topology: $other")
+    }
+
+    val q = df.writeStream.format("console")
+      .outputMode(mode)
+      .option("truncate", "false").option("numRows", "20")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(s"$emitFreq seconds"))
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The two per-trigger-sort topologies run through foreachBatch. */
+  private def runForeachBatch(spark: SparkSession, name: String, lines: DataFrame,
+      emitFreq: Int, checkpoint: String): Unit = {
+    val q = name match {
+      case "rolling_sort" =>
+        lines.writeStream
+          .outputMode(OutputMode.Append)
+          .option("checkpointLocation", checkpoint)
+          .trigger(Trigger.ProcessingTime(s"$emitFreq seconds"))
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            // SortBolt: sort the tick's chunk, show top rows (RollingSort.java:96-116)
+            println(s"=== batch $id (sorted) ===")
+            batch.orderBy(col("value")).show(20, truncate = false)
+          }.start()
+      case "rolling_flight_dist" =>
+        val positions = AdsbOps.parsePositionsTyped(lines, col("value"))
+        StreamOps.proximityWarnings(positions,
+          BenchQueries.DistThresholdKm, BenchQueries.SpecSteps,
+          BenchQueries.SpecStepSec, emitFreq, checkpoint,
+          Files.createTempDirectory("graft-flight-state").toString) { (warnings, id) =>
+          println(s"=== batch $id proximity warnings ===")
+          warnings.orderBy(col("dist_r")).show(20, truncate = false)
+        }
+    }
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.model.{AdsbPosition, Schemas}
+
+/**
+ * ADS-B aircraft-report parsing: one JSON object per line with a
+ * trailing comma (FIXTURES.md §3).
+ *
+ * Two consumers with different strictness in the reference:
+ *  - LatLongFilterBolt (RollingFlightDist.java:59-122): requires
+ *    Icao/PosTime/Lat/Long/Spd/Trak all present, drops on-ground
+ *    (Gnd==true; null treated airborne), strips the trailing comma.
+ *  - ZoneIndex (RollingGeoCount.java:42-89): only needs Lat/Long; keeps
+ *    unparseable rows as sentinel zones (no_latlng / undefined).
+ */
+object AdsbOps {
+
+  private def parsed(line: Column): Column =
+    from_json(regexp_replace(line, ",$", ""), Schemas.adsb)
+
+  /** LatLongFilterBolt: parse + validate + project. Malformed or
+   *  incomplete reports and on-ground aircraft are dropped. */
+  def parsePositions(df: DataFrame, line: Column): DataFrame = {
+    val j = parsed(line)
+    df.withColumn("j", j)
+      .filter(col("j.Icao").isNotNull && col("j.PosTime").isNotNull &&
+        col("j.Lat").isNotNull && col("j.Long").isNotNull &&
+        col("j.Spd").isNotNull && col("j.Trak").isNotNull &&
+        !coalesce(col("j.Gnd"), lit(false)))
+      .select(col("j.Icao").as("icao"), col("j.PosTime").as("posTime"),
+        col("j.Lat").as("lat"), col("j.Long").as("lng"),
+        col("j.Spd").as("spd"), col("j.Trak").as("trak"))
+  }
+
+  /** Typed form for keyed-state streaming (graft.streaming). */
+  def parsePositionsTyped(df: DataFrame, line: Column): Dataset[AdsbPosition] = {
+    import df.sparkSession.implicits._
+    parsePositions(df, line).as[AdsbPosition]
+  }
+
+  /** ZoneIndex: line -> grid-zone string with the reference's sentinel
+   *  semantics (RollingGeoCount.java:54-77): lines not shaped like
+   *  `{"Id"...},` or with missing Lat/Long -> "no_latlng"; out-of-range
+   *  coordinates -> "undefined". */
+  def zoneOfLine(line: Column): Column = {
+    val j = parsed(line)
+    when(!(line.startsWith("{\"Id\"") && line.endsWith("},")), lit("no_latlng"))
+      .otherwise(GeoOps.zoneOf(j.getField("Lat"), j.getField("Long")))
+  }
+}
