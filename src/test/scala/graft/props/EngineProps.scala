@@ -1,0 +1,121 @@
+package graft.props
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.GeoMath
+import graft.ops._
+
+/**
+ * Property-based invariants (SURVEY.md §5.4): window-count conservation,
+ * distinct <= count, pair canonicalization + input-order invariance,
+ * dead-reckoning distance consistency.
+ */
+object EngineProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("EngineProps")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ---- pure-math properties (no Spark) ------------------------------------
+
+  private val latGen = Gen.choose(-60.0, 60.0)
+  private val lngGen = Gen.choose(-179.0, 179.0)
+  private val brgGen = Gen.choose(0.0, 360.0)
+  private val distGen = Gen.choose(0.0, 500.0)
+
+  private def destination(lat: Double, lng: Double, brg: Double, d: Double): (Double, Double) = {
+    val latR = Math.toRadians(lat)
+    val lat2R = GeoMath.destLatRad(latR, d / GeoMath.EarthRadiusKm, Math.toRadians(brg))
+    val lng2R = GeoMath.destLngRad(latR, Math.toRadians(lng),
+      d / GeoMath.EarthRadiusKm, Math.toRadians(brg), lat2R)
+    (Math.toDegrees(lat2R), Math.toDegrees(lng2R))
+  }
+
+  property("deadReckoning: haversine(origin, destination(d)) == d") =
+    forAll(latGen, lngGen, brgGen, distGen) { (lat, lng, brg, d) =>
+      val (dlat, dlng) = destination(lat, lng, brg, d)
+      math.abs(GeoMath.haversineKm(lat, lng, dlat, dlng) - d) < d * 1e-6 + 1e-6
+    }
+
+  property("deadReckoning: distance monotone in speed*time") =
+    forAll(latGen, lngGen, brgGen, Gen.choose(1.0, 200.0)) { (lat, lng, brg, d) =>
+      val (l1, g1) = destination(lat, lng, brg, d)
+      val (l2, g2) = destination(lat, lng, brg, d * 2)
+      GeoMath.haversineKm(lat, lng, l2, g2) > GeoMath.haversineKm(lat, lng, l1, g1)
+    }
+
+  property("haversine: symmetric, non-negative, zero iff same point") =
+    forAll(latGen, lngGen, latGen, lngGen) { (a, b, c, d) =>
+      val fwd = GeoMath.haversineKm(a, b, c, d)
+      val rev = GeoMath.haversineKm(c, d, a, b)
+      fwd == rev && fwd >= 0 && GeoMath.haversineKm(a, b, a, b) == 0.0
+    }
+
+  // ---- Spark operator properties ------------------------------------------
+
+  private val keyGen = Gen.oneOf("k1", "k2", "k3")
+  private val eventsGen = Gen.listOfN(30,
+    Gen.zip(Gen.choose(0, 6 * 3600), keyGen, Gen.choose(0, 99)))
+
+  property("slidingCount: sum of per-hop counts == slots * total") =
+    forAll(eventsGen) { evs =>
+      import spark.implicits._
+      val df = evs.map { case (s, k, _) =>
+        (new java.sql.Timestamp(1704067200000L + s * 1000L), k)
+      }.toDF("ts", "k")
+      val summed = WindowOps.slidingCount(df, col("ts"), col("k"), "k", "2 hours", "1 hour")
+        .agg(sum("cnt")).as[Long].head()
+      summed == 2L * evs.size
+    }
+
+  property("windowedDistinct <= slidingCount per (window, key)") =
+    forAll(eventsGen) { evs =>
+      import spark.implicits._
+      val df = evs.map { case (s, k, u) =>
+        (new java.sql.Timestamp(1704067200000L + s * 1000L), k, u)
+      }.toDF("ts", "k", "u")
+      val cnt = WindowOps.slidingCount(df, col("ts"), col("k"), "k", "2 hours", "1 hour")
+      val dst = WindowOps.windowedDistinct(df, col("ts"), col("k"), "k", col("u"), "2 hours", "1 hour")
+      cnt.join(dst, Seq("w_start", "k"))
+        .filter(col("uniques") > col("cnt")).count() == 0
+    }
+
+  private val posGen = Gen.listOfN(12, Gen.zip(
+    Gen.choose(0, 7), Gen.choose(0L, 1000L), latGen, lngGen,
+    Gen.choose(0.01, 0.3), brgGen))
+
+  property("proximityPairs: canonical order + input-order invariance") =
+    forAll(posGen) { ps =>
+      import spark.implicits._
+      def run(rows: List[(Int, Long, Double, Double, Double, Double)]) = {
+        val df = rows.map { case (i, t, la, ln, s, b) => (s"AC$i", t, la, ln, s, b) }
+          .toDF("icao", "pos_time", "lat", "lng", "spd_kms", "trak")
+        val latest = WindowOps.latestPerKey(df, Seq("icao"), Seq("pos_time", "lat"))
+        JoinOps.proximityPairs(latest, 500.0, 2, 5)
+          .as[(String, String, Int, Long, Double)].collect().toSet
+      }
+      val fwd = run(ps)
+      val rev = run(ps.reverse)
+      fwd == rev && fwd.forall(p => p._1 < p._2)
+    }
+
+  property("exactGroups: group sizes partition the input") =
+    forAll(Gen.listOfN(25, Gen.oneOf("a", "b", "c", "d"))) { texts =>
+      import spark.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val groups = DedupOps.exactGroups(df, col("id"), col("text"))
+        .as[(Long, Long)].collect()
+      groups.map(_._2).sum == texts.size &&
+        groups.forall { case (keeper, _) => keeper >= 0 && keeper < texts.size }
+    }
+}
