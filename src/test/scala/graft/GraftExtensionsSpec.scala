@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+  test("extensions register native functions for SQL") {
+    // Force a NEW session (sharing any existing SparkContext): getOrCreate
+    // would silently return another suite's session without extensions.
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // withExtensions (not the spark.sql.extensions conf): the conf is
+    // static and only applies when the session creates the SparkContext,
+    // which another suite already did here
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("ext-spec")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val dot = spark.sql(
+        "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+          "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+        .collect().head.getDouble(0)
+      assert(dot == 11.0)
+      val sim = spark.sql(
+        "SELECT simhash64(array(xxhash64('hello'), xxhash64('world'))) AS s")
+        .collect().head.getLong(0)
+      assert(sim != 0L)
+      val pd = spark.sql(
+        "SELECT projected_dist(40.0D, -74.0D, 0.0D, 0.0D, 40.0D, -74.0D, 0.0D, 0.0D) AS p")
+        .collect().head.getDouble(0)
+      assert(pd == 0.0)
+    } finally {
+      // do NOT stop: the SparkContext is shared with the other suites
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach { s =>
+        SparkSession.setDefaultSession(s)
+        SparkSession.setActiveSession(s)
+      }
+    }
+  }
+}
