@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  import graft.queries.{BenchQueries, Oracles, PipelineQueries}
+  import graft.queries.{AnalyticsQueries, BenchQueries, Oracles, PipelineQueries}
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -37,6 +37,9 @@ object SparkEntry {
     "mm_meta" -> PipelineQueries.mmMeta,
     "mm_frames" -> PipelineQueries.mmFrames,
     "mm_features" -> PipelineQueries.mmFeatures,
+    // classic analytic joins (engine-completeness demonstrations)
+    "q_revenue_by_region" -> AnalyticsQueries.revenueByRegion,
+    "q_top_brands" -> AnalyticsQueries.topBrands,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -66,5 +69,7 @@ object SparkEntry {
     "text_tokens" -> Oracles.textTokens,
     "mm_meta" -> Oracles.mmMeta,
     "mm_frames" -> Oracles.mmFrames,
+    "q_revenue_by_region" -> Oracles.revenueByRegion,
+    "q_top_brands" -> Oracles.topBrands,
   )
 }

@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/**
+ * Classic analytic join/agg queries over the TPC-H-ish tables. The
+ * reference has no equi-joins (SURVEY.md §2.7) — Spark provides them
+ * natively; these queries pin the join planning the engine relies on at
+ * scale: dimension tables broadcast (region/nation/customer), the fact
+ * table streams through without a shuffle until the final aggregation.
+ *
+ * Money math: factors are cast to DECIMAL before multiplying/summing so
+ * aggregation is exact and order-independent (a raw double sum is
+ * accumulation-order dependent and won't hash-match an oracle), then
+ * cast back to double for a stable output schema.
+ */
+object AnalyticsQueries {
+
+  /** Revenue by region: lineitem |x| orders |x| customer |x| nation |x|
+   *  region. Dims broadcast; one shuffle for the final group-by. */
+  def revenueByRegion(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(
+      col("l_orderkey"),
+      (col("l_extendedprice").cast("decimal(14,2)") *
+        (lit(java.math.BigDecimal.ONE).cast("decimal(3,2)") -
+          col("l_discount").cast("decimal(3,2)"))).as("rev"))
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val nat = Tables.nation(spark, sfDir).select("n_nationkey", "n_regionkey")
+    val reg = Tables.region(spark, sfDir).select("r_regionkey", "r_name")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Top part brands by shipped quantity, deterministic tiebreak. */
+  def topBrands(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select("l_partkey", "l_quantity")
+    val part = Tables.part(spark, sfDir).select("p_partkey", "p_brand")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(col("l_quantity").cast("decimal(14,2)")).cast("double").as("qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("qty").desc, col("p_brand"))
+      .limit(10)
+  }
+}

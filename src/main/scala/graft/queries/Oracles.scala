@@ -238,6 +238,26 @@ object Oracles {
        |  CAST(len(regexp_extract_all(lower(text), '${graft.ops.TextAnalyticsOps.BpeishPattern}')) AS BIGINT) AS bpe_tokens
        |FROM documents""".stripMargin
 
+  val revenueByRegion: String =
+    """SELECT r_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) *
+      |           (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
+
+  val topBrands: String =
+    """SELECT p_brand,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS qty,
+      |       count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand
+      |ORDER BY qty DESC, p_brand LIMIT 10""".stripMargin
+
   private val blobHexSql =
     "upper(md5(text) || md5(text || '1') || md5(text || '2') || md5(text || '3'))"
 
