@@ -40,6 +40,7 @@ object SparkEntry {
     // classic analytic joins (engine-completeness demonstrations)
     "q_revenue_by_region" -> AnalyticsQueries.revenueByRegion,
     "q_top_brands" -> AnalyticsQueries.topBrands,
+    "sessionize" -> AnalyticsQueries.sessionize,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -71,5 +72,6 @@ object SparkEntry {
     "mm_frames" -> Oracles.mmFrames,
     "q_revenue_by_region" -> Oracles.revenueByRegion,
     "q_top_brands" -> Oracles.topBrands,
+    "sessionize" -> Oracles.sessionize,
   )
 }

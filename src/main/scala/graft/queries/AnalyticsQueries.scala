@@ -40,6 +40,23 @@ object AnalyticsQueries {
         count(lit(1)).as("n_items"))
   }
 
+  /**
+   * Sessionization: gap-based session windows per user over the events
+   * stream (30-minute inactivity gap). The reference has no session
+   * windows (SURVEY.md §2.10) — this is native `session_window` in
+   * Spark, and the same expression runs under Structured Streaming with
+   * a watermark. Session start is emitted as epoch millis: the parquet
+   * timestamps are nanosecond-precision, which Spark truncates to
+   * micros — a raw timestamp output would diverge from the oracle in
+   * sub-microsecond digits.
+   */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_millis(col("w.start")).as("s_start_ms"), col("user_id"),
+        col("n_events"))
+
   /** Top part brands by shipped quantity, deterministic tiebreak. */
   def topBrands(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir).select("l_partkey", "l_quantity")

@@ -250,6 +250,27 @@ object Oracles {
       |JOIN region   ON n_regionkey = r_regionkey
       |GROUP BY r_name""".stripMargin
 
+  /** Gaps-and-islands sessionization. New session when the gap from the
+   *  previous event is >= 30 min (Spark's session_window end bound is
+   *  exclusive). epoch_ms truncation matches Spark's micros-truncated
+   *  timestamps at millisecond granularity. */
+  val sessionize: String =
+    """WITH e AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |               OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                          ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM e)
+      |SELECT CAST(epoch_ms(min(ts)) AS BIGINT) AS s_start_ms, user_id,
+      |       count(*) AS n_events
+      |FROM s GROUP BY sid, user_id""".stripMargin
+
   val topBrands: String =
     """SELECT p_brand,
       |       CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS qty,

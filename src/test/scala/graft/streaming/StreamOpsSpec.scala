@@ -86,6 +86,35 @@ class StreamOpsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("session_window works under streaming with watermark (sessionize)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val sessions = in.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("s_start"), col("user_id"), col("n_events"))
+    // session aggregation streams in APPEND mode only: sessions emit once
+    // the watermark passes their end
+    val q = StreamOps.toMemory(sessions, "sess_test", OutputMode.Append, ckpt())
+    try {
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+        (Timestamp.valueOf("2024-01-01 10:20:00"), 1L), // same session
+        (Timestamp.valueOf("2024-01-01 11:30:00"), 1L)) // gap > 30m -> new
+      q.processAllAvailable()
+      // push the watermark (1h delay) past both session ends, then flush
+      in.addData((Timestamp.valueOf("2024-01-01 14:00:00"), 2L))
+      q.processAllAvailable()
+      in.addData((Timestamp.valueOf("2024-01-01 15:00:00"), 2L))
+      q.processAllAvailable()
+      val out = spark.table("sess_test").filter(col("user_id") === 1L)
+        .select(date_format(col("s_start"), "HH:mm").as("s"), col("n_events"))
+        .as[(String, Long)].collect().toMap
+      assert(out == Map("10:00" -> 2L, "11:30" -> 1L))
+    } finally q.stop()
+  }
+
   test("latestPositions keyed state: newest posTime wins across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[AdsbPosition]
