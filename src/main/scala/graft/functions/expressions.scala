@@ -49,6 +49,44 @@ object VectorMath {
     acc
   }
 
+  /** Word n-gram shingle hashes; see [[ShingleHashes]]. Split semantics
+   *  match Java regex \s+ with empty tokens dropped (maximal runs of
+   *  ASCII whitespace); hash matches Spark's xxhash64 (XXH64, seed 42)
+   *  over the gram's UTF-8 bytes; first-occurrence dedup matches
+   *  array_distinct. */
+  def shingleHashes(text: String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val words = new java.util.ArrayList[String]()
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && isWs(text.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(text.charAt(i))) i += 1
+      if (i > start) words.add(text.substring(start, i))
+    }
+    val m = words.size - n + 1
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var g = 0
+    while (g < math.max(m, 0)) {
+      val sb = new java.lang.StringBuilder(words.get(g))
+      var j = 1
+      while (j < n) { sb.append(' ').append(words.get(g + j)); j += 1 }
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      seen.add(org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        u, org.apache.spark.sql.types.StringType, 42L))
+      g += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** Java regex \s (no UNICODE_CHARACTER_CLASS): [ \t\n\x0B\f\r]. */
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   /** SimHash-64 fold over feature hashes: bit j of the result is the
    *  sign of sum_i(((h_i >> j) & 1) * 2 - 1). */
   def simhash(hashes: ArrayData): Long = {
@@ -116,6 +154,32 @@ case class ProjectedDist(children: Seq[Expression]) extends Expression {
 }
 
 /**
+ * Distinct word n-gram shingle hashes of a text: split on ASCII
+ * whitespace runs, join each n consecutive words with a single space,
+ * xxhash64 (seed 42) each gram, keep first occurrences. Bit-compatible
+ * with `array_distinct(transform(...))` + `xxhash64` over
+ * `filter(split(text,"\\s+"), ...)` — asserted in NativeExprSpec — but
+ * one JIT-friendly kernel instead of interpreted per-element lambdas.
+ */
+case class ShingleHashes(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.shingleHashes(v.toString, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.VectorMath.shingleHashes($t.toString(), $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * 64-bit SimHash over an array of 64-bit feature hashes: per bit, sum
  * +1/-1 across features; the sign becomes the bit. Native kernel — the
  * equivalent nested HOF fold (aggregate over zip_with per bit) is
@@ -139,6 +203,9 @@ case class SimHash64(child: Expression)
 /** Column wrappers for the native expressions. */
 object native {
   import org.apache.spark.sql.GraftColumnBridge
+
+  def shingle_hashes(text: Column, n: Int): Column =
+    GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(text), n))
 
   def simhash64(featureHashes: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(featureHashes)))

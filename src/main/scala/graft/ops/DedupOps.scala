@@ -50,7 +50,7 @@ object DedupOps {
     // ReuseExchange computes the shingle subtree once for both.
     val n_part = df.sparkSession.sessionState.conf.numShufflePartitions
     val sh = df.repartition(n_part).select(id.as("id"), block.as("blk"),
-      explode(transform(shingles(text, n), s => xxhash64(s))).as("sh"))
+      explode(graft.functions.native.shingle_hashes(text, n)).as("sh"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.sh") === col("y.sh") && col("x.blk") === col("y.blk") &&
@@ -79,12 +79,13 @@ object DedupOps {
    */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
       k: Int = 64, shingleN: Int = 3): DataFrame = {
-    // hash each shingle string ONCE, then derive the k family members by
-    // re-hashing the fixed-width base (8 bytes) — not the string k times.
+    // hash each shingle string ONCE (native ShingleHashes kernel), then
+    // derive the k family members by re-hashing the fixed-width base
+    // (8 bytes) — not the string k times.
     // repartition: see ngramJaccardPairs (heavy per-row stage needs fan-out)
     val sh = df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
       .select(id.as("id"),
-        explode(transform(shingles(text, shingleN), s => xxhash64(s))).as("h0"))
+        explode(graft.functions.native.shingle_hashes(text, shingleN)).as("h0"))
     val mins = (0 until k).map(i => min(xxhash64(lit(i), col("h0"))).as(s"m$i"))
     sh.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
@@ -121,8 +122,9 @@ object DedupOps {
   def minhashNearDups(df: DataFrame, id: Column, text: Column,
       threshold: Double = 0.5): DataFrame = {
     val cands = minhashCandidates(df, id, text)
+    // verify on hashed shingle sets (same sets the candidates came from)
     val sh = df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
-      .select(id.as("sid"), shingles(text).as("shs"))
+      .select(id.as("sid"), graft.functions.native.shingle_hashes(text, 3).as("shs"))
     cands
       .join(sh.as("a"), col("id1") === col("a.sid"))
       .join(sh.as("b"), col("id2") === col("b.sid"))

@@ -25,6 +25,21 @@ class NativeExprSpec extends SparkSpec {
     assert(r.head.isNullAt(0))
   }
 
+  test("ShingleHashes is bit-identical to the composed shingle+hash columns") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "  leading\tand   multiple\nwhitespace  runs ",
+      "a b a b a b", // repeated shingles -> distinct dedup
+      "two words", // fewer than n -> empty
+      "").toDF("text")
+    val composed = df.select(
+      transform(graft.ops.DedupOps.shingles(col("text"), 3), s => xxhash64(s)).as("h"))
+      .as[Seq[Long]].collect()
+    val nativeH = df.select(native.shingle_hashes(col("text"), 3).as("h"))
+      .as[Seq[Long]].collect()
+    assert(composed.toSeq == nativeH.toSeq)
+  }
+
   test("ProjectedDist is bit-identical to the composed column math") {
     val df = Seq(
       (40.1, -73.9, 95.0, 12.5, 40.6, -73.2, 270.0, 3.75),
