@@ -87,6 +87,31 @@ object VectorMath {
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
+  /** Sign-random-projection bucket; see [[LshBucket]]. Plane signs come
+   *  from Spark's XXH64 over (plane << 32 | dim) with seed 42, so the
+   *  "random" hyperplanes are deterministic and identical on every
+   *  executor without any broadcast. */
+  def lshBucket(emb: ArrayData, bits: Int): Long = {
+    val dim = emb.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < bits) {
+      var proj = 0.0
+      var d = 0
+      while (d < dim) {
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          (p.toLong << 32) | d.toLong,
+          org.apache.spark.sql.types.LongType, 42L)
+        val sign = if ((h & 1L) == 0L) 1.0 else -1.0
+        proj += emb.getFloat(d).toDouble * sign
+        d += 1
+      }
+      if (proj >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
   /** SimHash-64 fold over feature hashes: bit j of the result is the
    *  sign of sum_i(((h_i >> j) & 1) * 2 - 1). */
   def simhash(hashes: ArrayData): Long = {
@@ -180,6 +205,28 @@ case class ShingleHashes(child: Expression, n: Int)
 }
 
 /**
+ * Sign-random-projection LSH bucket id for a float vector: `bits`
+ * pseudorandom +/-1 hyperplanes (plane p, dim d sign = parity of
+ * XXH64(p << 32 | d)), bucket bit p = sign of the projection. One
+ * kernel call per row — the composed column form is bits x dim
+ * element_at terms (512+ nodes), which blows past the JIT method limit.
+ */
+case class LshBucket(child: Expression, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.lshBucket(v.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorMath.lshBucket($a, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * 64-bit SimHash over an array of 64-bit feature hashes: per bit, sum
  * +1/-1 across features; the sign becomes the bit. Native kernel — the
  * equivalent nested HOF fold (aggregate over zip_with per bit) is
@@ -203,6 +250,9 @@ case class SimHash64(child: Expression)
 /** Column wrappers for the native expressions. */
 object native {
   import org.apache.spark.sql.GraftColumnBridge
+
+  def lsh_bucket(emb: Column, bits: Int): Column =
+    GraftColumnBridge.column(LshBucket(GraftColumnBridge.expression(emb), bits))
 
   def shingle_hashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(text), n))

@@ -60,19 +60,13 @@ object SimilarityOps {
 
   /**
    * Random-hyperplane LSH bucket id: `bits` sign bits of projections onto
-   * deterministic pseudorandom hyperplanes. Plane p's component d is a
-   * +/-1 derived from xxhash64(p, d) — sign-random-projection, row-local.
+   * deterministic pseudorandom +/-1 hyperplanes (derived from hashes, so
+   * identical on every executor with no broadcast). Native kernel
+   * (graft.functions.LshBucket) — the composed column form is bits x dim
+   * expression nodes and trips the JIT method-size limit.
    */
-  def lshBucket(emb: Column, dim: Int, bits: Int = 12): Column = {
-    val planeBits = (0 until bits).map { p =>
-      val proj = (0 until dim).map { d =>
-        val sign = when(xxhash64(lit(p), lit(d)) % 2 === 0, 1.0).otherwise(-1.0)
-        element_at(emb, d + 1).cast("double") * sign
-      }.reduce(_ + _)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    planeBits.reduce(_.bitwiseOR(_))
-  }
+  def lshBucket(emb: Column, dim: Int, bits: Int = 12): Column =
+    graft.functions.native.lsh_bucket(emb, bits)
 
   /**
    * Approximate top-k: score only same-LSH-bucket candidates. Recall is
