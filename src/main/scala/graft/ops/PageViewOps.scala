@@ -26,7 +26,6 @@ object PageViewOps {
       .filter(col("pv.url").isNotNull && col("pv.http_status").isNotNull &&
         col("pv.zip_code").isNotNull && col("pv.user_id").isNotNull)
       .select((df.columns.map(col).toSeq :+ col("pv.*")): _*)
-      .drop("pv")
   }
 
   /** FilterBolt: keep rows where `field` != `toFilter`, emit `emit` only. */

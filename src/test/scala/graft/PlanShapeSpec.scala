@@ -1,0 +1,51 @@
+package graft
+
+import graft.SparkSpec
+
+/** Plan-shape regression guards: the physical plans the scale design
+  * depends on (SCALE.md). Runs against the smoke data — plan shapes
+  * don't depend on input size for these checks. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("no accidental cartesian products anywhere") {
+    SparkEntry.queries.keys.foreach { name =>
+      assert(!plan(name).contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("pair-generation joins are broadcast nested-loop (theta joins)") {
+    Seq("flight_dist", "embed_neardup").foreach { name =>
+      assert(plan(name).contains("BroadcastNestedLoopJoin"), name)
+    }
+  }
+
+  test("analytic dim joins broadcast (no shuffled fact-dim join)") {
+    val p = plan("q_revenue_by_region")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "dim join degraded to SMJ")
+  }
+
+  test("dedup candidate joins are hash equi-joins on 64-bit keys") {
+    val p = plan("dedup_ngram")
+    assert(p.contains("Join") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("aggregation queries keep two-phase partial aggregation") {
+    // partial_count markers show map-side combine before the shuffle
+    Seq("wordcount", "rolling_count", "pageview_count").foreach { name =>
+      assert(plan(name).contains("partial_count"), s"$name lost partial agg")
+    }
+  }
+
+  test("scans prune columns (wordcount reads only text)") {
+    val p = SparkEntry.queries("wordcount")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<text:string>"))
+  }
+}
