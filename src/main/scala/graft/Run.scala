@@ -53,7 +53,9 @@ object Run {
     def lines(): DataFrame = opts.get("source") match {
       case Some(s) if s.startsWith("kafka:") =>
         val rest = s.stripPrefix("kafka:")
-        val (bootstrap, topic) = rest.splitAt(rest.lastIndexOf('/'))
+        val slash = rest.lastIndexOf('/')
+        require(slash > 0, s"--source kafka needs <bootstrap>/<topic>, got: $s")
+        val (bootstrap, topic) = rest.splitAt(slash)
         StreamOps.kafkaLines(spark, bootstrap, topic.drop(1))
           .select(current_timestamp().as("ts"), col("value"))
       case Some(s) if s.startsWith("file:") =>
@@ -99,9 +101,8 @@ object Run {
         (StreamOps.slidingCount(words, "ts", col("word"), "word",
           winS, slideS, wm), OutputMode.Update)
       case "rolling_hashtag_count" =>
-        val tags = lines().select(col("ts"),
-          explode(split(element_at(split(col("value"), "\\|", -1), 5), " ")).as("hashtag"))
-          .filter(col("hashtag").startsWith("#") && length(col("hashtag")) > 1)
+        // same parse op as the batch query (13-field + '['-prefix guards)
+        val tags = TextOps.extractHashtags(lines(), col("value"))
         (StreamOps.slidingCount(tags, "ts", col("hashtag"), "hashtag",
           winS, slideS, wm), OutputMode.Update)
       case "rolling_geo_count" =>

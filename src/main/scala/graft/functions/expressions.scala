@@ -39,7 +39,9 @@ object VectorMath {
   /** Sequential left-fold dot product in double precision (same
    *  accumulation order as the HOF formulation and the DuckDB oracle). */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements()
+    // fold over the shorter length: ragged inputs must not read past a
+    // buffer (UnsafeArrayData.getFloat has no bounds check)
+    val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {

@@ -104,10 +104,10 @@ object DedupOps {
    * (band, hash) is a plain hash join — the 100 TB-safe path.
    */
   def minhashCandidates(df: DataFrame, id: Column, text: Column,
-      k: Int = 64, bands: Int = 16): DataFrame = {
+      k: Int = 64, bands: Int = 16, shingleN: Int = 3): DataFrame = {
     val rows = k / bands
     // docs with < shingleN words have no shingles and drop out naturally
-    val banded = minhashSignatures(df, id, text, k)
+    val banded = minhashSignatures(df, id, text, k, shingleN)
       .select(col("id"), posexplode(lshBandHashes(col("sig"), bands, rows)))
       .toDF("id", "band", "bh")
     banded.as("x").join(banded.as("y"),
@@ -120,11 +120,12 @@ object DedupOps {
   /** LSH candidates verified with exact shingle Jaccard. Output:
    *  (id1, id2, jaccard) for jaccard >= threshold. */
   def minhashNearDups(df: DataFrame, id: Column, text: Column,
-      threshold: Double = 0.5): DataFrame = {
-    val cands = minhashCandidates(df, id, text)
+      threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
+    val cands = minhashCandidates(df, id, text, shingleN = shingleN)
     // verify on hashed shingle sets (same sets the candidates came from)
     val sh = df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
-      .select(id.as("sid"), graft.functions.native.shingle_hashes(text, 3).as("shs"))
+      .select(id.as("sid"),
+        graft.functions.native.shingle_hashes(text, shingleN).as("shs"))
     cands
       .join(sh.as("a"), col("id1") === col("a.sid"))
       .join(sh.as("b"), col("id2") === col("b.sid"))

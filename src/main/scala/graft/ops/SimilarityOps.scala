@@ -65,7 +65,7 @@ object SimilarityOps {
    * (graft.functions.LshBucket) — the composed column form is bits x dim
    * expression nodes and trips the JIT method-size limit.
    */
-  def lshBucket(emb: Column, dim: Int, bits: Int = 12): Column =
+  def lshBucket(emb: Column, bits: Int = 12): Column =
     graft.functions.native.lsh_bucket(emb, bits)
 
   /**
@@ -74,10 +74,10 @@ object SimilarityOps {
    * the corpus-wide scan with a bucket equi-join.
    */
   def annTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
-      dim: Int, bits: Int = 8): DataFrame = {
+      bits: Int = 8): DataFrame = {
     val withB = emb.select(col("vec_id"), col("embedding"),
       l2Norm(col("embedding")).as("nrm"),
-      lshBucket(col("embedding"), dim, bits).as("bucket"))
+      lshBucket(col("embedding"), bits).as("bucket"))
     val q = withB.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))

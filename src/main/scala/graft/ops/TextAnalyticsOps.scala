@@ -44,13 +44,15 @@ object TextAnalyticsOps {
   }
 
   /** Quality features + a combined [0,1]-ish score. All ratios are exact
-   *  int/int double divisions — reproducible across engines. */
+   *  int/int double divisions — reproducible across engines. Divisors are
+   *  nullif-guarded: empty/whitespace-only docs yield null features, not
+   *  an ANSI DIVIDE_BY_ZERO that kills the job. */
   def qualityFeatures(text: Column): Column = {
     val nWords = size(words(text))
     val nChars = length(text)
-    val meanWlen = length(regexp_replace(text, "\\s+", "")) / nWords
-    val stopRatio = stopwordHits(text, Stopwords.head._2) / nWords
-    val alphaRatio = length(regexp_replace(text, "[^a-zA-Z]", "")) / nChars
+    val meanWlen = length(regexp_replace(text, "\\s+", "")) / nullif(nWords, lit(0))
+    val stopRatio = stopwordHits(text, Stopwords.head._2) / nullif(nWords, lit(0))
+    val alphaRatio = length(regexp_replace(text, "[^a-zA-Z]", "")) / nullif(nChars, lit(0))
     val score = stopRatio * 0.4 + alphaRatio * 0.3 +
       least(meanWlen / 10.0, lit(1.0)) * 0.3
     struct(nWords.cast("long").as("n_words"), meanWlen.as("mean_wlen"),

@@ -49,7 +49,8 @@ object TextOps {
   def extractHashtags(df: DataFrame, line: Column, out: String = "hashtag"): DataFrame = {
     val fields = split(line, "\\|", -1)
     df.filter(!line.startsWith("[") && size(fields) === 13)
-      .select(explode(split(element_at(fields, 5), " ")).as(out))
+      .select((df.columns.map(col).toSeq :+
+        explode(split(element_at(fields, 5), " ")).as(out)): _*)
       .filter(col(out).startsWith("#") && length(col(out)) > 1)
   }
 

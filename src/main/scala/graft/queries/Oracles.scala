@@ -223,9 +223,9 @@ object Oracles {
        |g AS (
        |  SELECT doc_id,
        |         CAST(len(ws) AS BIGINT) AS n_words,
-       |         length(regexp_replace(text, '\\s+', '', 'g')) / len(ws) AS mean_wlen,
-       |         len(list_filter(ws, w -> w IN ($stops))) / len(ws) AS stop_ratio,
-       |         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) AS alpha_ratio
+       |         length(regexp_replace(text, '\\s+', '', 'g')) / nullif(len(ws), 0) AS mean_wlen,
+       |         len(list_filter(ws, w -> w IN ($stops))) / nullif(len(ws), 0) AS stop_ratio,
+       |         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / nullif(length(text), 0) AS alpha_ratio
        |  FROM f)
        |SELECT doc_id, n_words, mean_wlen, stop_ratio, alpha_ratio,
        |       stop_ratio * 0.4 + alpha_ratio * 0.3 + least(mean_wlen / 10.0, 1.0) * 0.3 AS score

@@ -16,7 +16,6 @@ object PipelineQueries {
 
   val SimQueryIds: Seq[Long] = (0L until 10L)
   val SimK = 10
-  val EmbedDim = 64
   val NearDupCos = 0.45 // max pairwise cosine in testdata is ~0.51
 
   // ---- deduplication ------------------------------------------------------
@@ -58,7 +57,7 @@ object PipelineQueries {
    *  is asserted in SimilarityOpsSpec). */
   def simAnn(spark: SparkSession, sfDir: String): DataFrame =
     SimilarityOps.annTopK(Tables.embeddings(spark, sfDir), SimQueryIds, SimK,
-      dim = EmbedDim, bits = 8)
+      bits = 8)
 
   /** Embedding near-duplicate pairs (cosine >= threshold). */
   def embedNearDup(spark: SparkSession, sfDir: String): DataFrame =

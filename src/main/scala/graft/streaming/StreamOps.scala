@@ -102,14 +102,32 @@ object StreamOps {
           col("posTime").as("pos_time"), col("lat"), col("lng"),
           (col("spd") * graft.ops.GeoOps.KnotToKmPerSec).as("spd_kms"),
           col("trak"))
-        val prevDir = new java.io.File(s"$stateDir/v${batchId - 1}")
-        val merged =
-          if (prevDir.exists()) spark.read.parquet(prevDir.getPath).union(updates)
-          else updates
+        // resume from the NEWEST existing version, not batchId-1: after a
+        // checkpoint restart batch ids continue but a fresh run must still
+        // find the accumulated state. Old versions are pruned (keep 2, so
+        // a concurrent reader of the previous version never races the
+        // delete).
+        def versions(): Seq[Long] = {
+          val fs = new java.io.File(stateDir).listFiles()
+          if (fs == null) Seq.empty
+          else fs.toSeq.collect {
+            case f if f.getName.startsWith("v") => f.getName.drop(1).toLong
+          }.sorted
+        }
+        val existing = versions()
+        val merged = existing.lastOption match {
+          case Some(v) => spark.read.parquet(s"$stateDir/v$v").union(updates)
+          case None => updates
+        }
         val latest = graft.ops.WindowOps.latestPerKey(merged,
           Seq("icao"), Seq("pos_time"))
-        latest.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
-        val snapshot = spark.read.parquet(s"$stateDir/v$batchId")
+        val next = existing.lastOption.getOrElse(-1L) + 1
+        latest.write.mode("overwrite").parquet(s"$stateDir/v$next")
+        versions().dropRight(2).foreach { v =>
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(s"$stateDir/v$v"))
+        }
+        val snapshot = spark.read.parquet(s"$stateDir/v$next")
         onBatch(JoinOps.proximityPairs(snapshot, thresholdKm, steps, stepSec), batchId)
       }
       .start()

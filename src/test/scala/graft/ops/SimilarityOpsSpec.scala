@@ -33,7 +33,7 @@ class SimilarityOpsSpec extends SparkSpec {
   test("annTopK achieves full recall on tight clusters (same bucket)") {
     val brute = SimilarityOps.cosineTopK(emb, Seq(0L), 2)
       .select("neighbor_id").as[Long].collect().toSet
-    val ann = SimilarityOps.annTopK(emb, Seq(0L), 2, dim = 4, bits = 4)
+    val ann = SimilarityOps.annTopK(emb, Seq(0L), 2, bits = 4)
       .select("neighbor_id").as[Long].collect().toSet
     // ANN may drop cross-bucket neighbors but must find same-bucket ones;
     // near-identical vectors share all sign bits

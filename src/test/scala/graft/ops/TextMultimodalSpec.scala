@@ -29,6 +29,17 @@ class TextMultimodalSpec extends SparkSpec {
     assert(q._4 == 9.0 / 11.0)
   }
 
+  test("quality features on empty/whitespace-only text yield nulls, not errors") {
+    // ANSI mode turns a bare /0 into DIVIDE_BY_ZERO; degenerate docs must
+    // not kill a 100TB quality-scoring job — divisors are nullif-guarded
+    val df = Seq("", "   ").toDF("text")
+    val rows = df.select(TextAnalyticsOps.qualityFeatures(col("text")).as("q"))
+      .select($"q.n_words", $"q.mean_wlen", $"q.score").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getLong(0) == 0L))
+    assert(rows.forall(r => r.isNullAt(1) && r.isNullAt(2)))
+  }
+
   test("token counts: whitespace vs bpe-ish") {
     val df = Seq("Hello world-42!").toDF("text")
     val t = df.select(

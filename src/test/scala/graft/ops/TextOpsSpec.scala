@@ -31,7 +31,8 @@ class TextOpsSpec extends SparkSpec {
     val skipBracket = "[status line|a|b|c|#no|d|e|f|g|h|i|j|k"
     val wrongArity = "a|b|c|d|#nope|e"
     val df = Seq(good, skipBracket, wrongArity).toDF("tweet")
-    val tags = TextOps.extractHashtags(df, col("tweet")).as[String].collect().sorted
+    val tags = TextOps.extractHashtags(df, col("tweet"))
+      .select("hashtag").as[String].collect().sorted
     assert(tags.toSeq == Seq("#tag1", "#x"))
   }
 

@@ -158,4 +158,33 @@ class StreamOpsSpec extends SparkSpec {
       assert(pairs == Set(("A", "B"), ("A", "D"), ("B", "D")))
     } finally q.stop()
   }
+
+  test("proximityWarnings: snapshot state survives a restarted query") {
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = Files.createTempDirectory("graft-state-restart").toString
+    @volatile var pairs: Set[(String, String)] = Set.empty
+    def launch(in: MemoryStream[AdsbPosition]) =
+      StreamOps.proximityWarnings(in.toDS(), thresholdKm = 20.0,
+        steps = 1, stepSec = 5, triggerSec = 1, ckpt(), stateDir) { (w, _) =>
+        pairs = w.select("icao1", "icao2").as[(String, String)].collect().toSet
+      }
+    val in1 = MemoryStream[AdsbPosition]
+    val q1 = launch(in1)
+    try {
+      in1.addData(
+        AdsbPosition("A", 1000L, 40.00, -73.00, 0.0, 0.0),
+        AdsbPosition("B", 1000L, 40.05, -73.00, 0.0, 0.0))
+      q1.processAllAvailable()
+      assert(pairs == Set(("A", "B")))
+    } finally q1.stop()
+    // a brand-new query (fresh source + checkpoint, batch ids restart at
+    // 0) must still see A and B from the persisted snapshot
+    val in2 = MemoryStream[AdsbPosition]
+    val q2 = launch(in2)
+    try {
+      in2.addData(AdsbPosition("D", 2000L, 40.02, -73.01, 0.0, 0.0))
+      q2.processAllAvailable()
+      assert(pairs == Set(("A", "B"), ("A", "D"), ("B", "D")))
+    } finally q2.stop()
+  }
 }
