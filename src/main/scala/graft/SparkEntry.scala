@@ -41,6 +41,7 @@ object SparkEntry {
     "q_revenue_by_region" -> AnalyticsQueries.revenueByRegion,
     "q_top_brands" -> AnalyticsQueries.topBrands,
     "sessionize" -> AnalyticsQueries.sessionize,
+    "salted_distinct" -> AnalyticsQueries.saltedDistinct,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -73,5 +74,6 @@ object SparkEntry {
     "q_revenue_by_region" -> Oracles.revenueByRegion,
     "q_top_brands" -> Oracles.topBrands,
     "sessionize" -> Oracles.sessionize,
+    "salted_distinct" -> Oracles.saltedDistinct,
   )
 }

@@ -49,6 +49,21 @@ object WindowOps {
       .select(col("w.start").as("w_start"), col(keyName), col("uniques"))
 
   /**
+   * Skew-resistant EXACT distinct per key: salt stage-1 by a hash of the
+   * item (so each distinct item lands in exactly one salt bucket — the
+   * per-bucket exact distinct counts partition the true count), then sum
+   * buckets in stage 2. A hot key's state splits across `salts` reducers
+   * instead of melting one; both shuffles carry aggregated rows only.
+   * Equality with the unsalted form is property-tested.
+   */
+  def saltedDistinct(df: DataFrame, key: Column, keyName: String, item: Column,
+      salts: Int = 16): DataFrame =
+    df.groupBy(key.as(keyName), pmod(xxhash64(item), lit(salts)).as("__salt"))
+      .agg(count_distinct(item).as("partial"))
+      .groupBy(keyName)
+      .agg(sum("partial").as("uniques"))
+
+  /**
    * Latest row per key: argmax over `orderCols` (lexicographic; include a
    * tiebreaker column for determinism). Reference: RollingLatLongBolt /
    * LatLongReducer newest-PosTime-wins (lib/reducer/LatLongReducer.java:24-52)

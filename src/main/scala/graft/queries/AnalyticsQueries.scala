@@ -57,6 +57,13 @@ object AnalyticsQueries {
       .select(unix_millis(col("w.start")).as("s_start_ms"), col("user_id"),
         col("n_events"))
 
+  /** Skew-resistant exact distinct users per event type (the salted
+   *  two-stage plan — oracle is the plain COUNT(DISTINCT), which the
+   *  salting must reproduce exactly). */
+  def saltedDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.WindowOps.saltedDistinct(Tables.events(spark, sfDir),
+      col("event_type"), "event_type", col("user_id"), salts = 16)
+
   /** Top part brands by shipped quantity, deterministic tiebreak. */
   def topBrands(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir).select("l_partkey", "l_quantity")

@@ -271,6 +271,9 @@ object Oracles {
       |       count(*) AS n_events
       |FROM s GROUP BY sid, user_id""".stripMargin
 
+  val saltedDistinct: String =
+    "SELECT event_type, count(DISTINCT user_id) AS uniques FROM events GROUP BY event_type"
+
   val topBrands: String =
     """SELECT p_brand,
       |       CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS qty,

@@ -61,6 +61,20 @@ object StreamOps {
       .select(col("w.start").as("w_start"), col(keyName), col("uniques"))
 
   /**
+   * Streaming exact dedup on a key expression (e.g. the md5 fingerprint
+   * from TextAnalyticsOps.fingerprint): first occurrence passes, later
+   * duplicates drop. Watermarked so the seen-keys state is evicted once
+   * the event time passes — the streaming form of the pipeline dedup
+   * stage (bounded state at 100 TB instead of an ever-growing seen-set).
+   */
+  def streamingDedup(df: DataFrame, tsName: String, dedupKey: Column,
+      watermarkDelay: String): DataFrame =
+    df.withColumn("__dedup_key", dedupKey)
+      .withWatermark(tsName, watermarkDelay)
+      .dropDuplicates("__dedup_key")
+      .drop("__dedup_key")
+
+  /**
    * Continuously-maintained latest position per aircraft via keyed state
    * (mapGroupsWithState) — the streaming form of WindowOps.latestPerKey
    * and the exact analog of DistFilterBolt's flightMap

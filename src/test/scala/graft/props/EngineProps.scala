@@ -109,6 +109,17 @@ object EngineProps extends Properties("graft") {
       fwd == rev && fwd.forall(p => p._1 < p._2)
     }
 
+  property("saltedDistinct == plain count_distinct per key") =
+    forAll(Gen.listOfN(40, Gen.zip(keyGen, Gen.choose(0, 25)))) { evs =>
+      import spark.implicits._
+      val df = evs.toDF("k", "u")
+      val salted = WindowOps.saltedDistinct(df, col("k"), "k", col("u"), salts = 4)
+        .as[(String, Long)].collect().toMap
+      val plain = df.groupBy("k").agg(count_distinct(col("u")).as("d"))
+        .as[(String, Long)].collect().toMap
+      salted == plain
+    }
+
   property("exactGroups: group sizes partition the input") =
     forAll(Gen.listOfN(25, Gen.oneOf("a", "b", "c", "d"))) { texts =>
       import spark.implicits._

@@ -115,6 +115,43 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDedup: first occurrence passes, duplicates drop across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val df = in.toDF().toDF("ts", "text")
+    val deduped = StreamOps.streamingDedup(df, "ts",
+      graft.ops.TextAnalyticsOps.fingerprint(col("text")), "1 hour")
+    val q = StreamOps.toMemory(deduped, "dedup_test", OutputMode.Append, ckpt())
+    try {
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), "Doc One"),
+        (Timestamp.valueOf("2024-01-01 10:01:00"), "doc  one"), // fp-dup
+        (Timestamp.valueOf("2024-01-01 10:02:00"), "doc two"))
+      q.processAllAvailable()
+      in.addData((Timestamp.valueOf("2024-01-01 10:03:00"), "DOC ONE")) // cross-batch dup
+      q.processAllAvailable()
+      val texts = spark.table("dedup_test").select("text").as[String].collect().toSet
+      assert(texts == Set("Doc One", "doc two"))
+    } finally q.stop()
+  }
+
+  test("stateless text-analysis ops run unchanged under streaming") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val analyzed = in.toDF().toDF("text").select(
+      col("text"),
+      graft.ops.TextAnalyticsOps.langId(col("text")).as("lang"),
+      graft.ops.TextAnalyticsOps.wsTokenCount(col("text")).as("toks"))
+    val q = StreamOps.toMemory(analyzed, "ta_test", OutputMode.Append, ckpt())
+    try {
+      in.addData("the cat and the dog", "el perro y la casa de")
+      q.processAllAvailable()
+      val out = spark.table("ta_test").select("lang", "toks")
+        .as[(String, Long)].collect().toSet
+      assert(out == Set(("en", 5L), ("es", 6L)))
+    } finally q.stop()
+  }
+
   test("latestPositions keyed state: newest posTime wins across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[AdsbPosition]
