@@ -113,12 +113,17 @@ object Generators {
       .select(col("timestamp").as("ts"), col("sentence"))
   }
 
-  /** Batch form: the file's lines with a stable 0-based index. */
+  /** The file's lines with a stable 0-based index, loaded eagerly (the
+   *  reference's FileReadSpout holds the whole file in memory too,
+   *  tools/FileReader.java:45-52). An index computed lazily with
+   *  monotonically_increasing_id would be rejected inside streaming
+   *  plans, and a replay fixture is small by construction. */
   def indexedLines(spark: SparkSession, path: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    spark.read.text(path)
-      .withColumn("line_idx",
-        row_number().over(Window.orderBy(monotonically_increasing_id())) - 1)
-      .select(col("line_idx").cast("long"), col("value").as("sentence"))
+    import spark.implicits._
+    val src = scala.io.Source.fromFile(path)
+    val lines = try src.getLines().toIndexedSeq finally src.close()
+    lines.zipWithIndex
+      .map { case (l, i) => (i.toLong, l) }
+      .toDF("line_idx", "sentence")
   }
 }
