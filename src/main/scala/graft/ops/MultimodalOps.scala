@@ -56,4 +56,26 @@ object MultimodalOps {
     df.withColumn("meta", binaryMeta(bytes))
       .withColumn("frames", frameSample(bytes, frames = 4, frameLen = 8, stride = 16))
       .withColumn("features", decodeStub(bytes))
+
+  /**
+   * Partition-batched decode — the Scala analog of `mapInPandas`: the
+   * decoder sees a whole partition iterator, so a real implementation
+   * can amortize per-batch setup (codec contexts, model sessions, GPU
+   * transfer) across rows instead of paying it per record. The decode
+   * itself is the same deterministic stub as [[decodeStub]].
+   */
+  def decodePartitioned(df: DataFrame, idCol: String, bytesCol: String)
+      : org.apache.spark.sql.Dataset[(Long, Seq[Long])] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol), col(bytesCol)).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition setup happens HERE, once (??? in production:
+        // open the codec / load the model)
+        rows.map { case (id, bytes) =>
+          val h = new Array[Long](16)
+          if (bytes != null) bytes.foreach(b => h((b & 0xFF) >> 4) += 1L)
+          (id, h.toSeq)
+        }
+      }
+  }
 }

@@ -72,6 +72,17 @@ class TextMultimodalSpec extends SparkSpec {
     assert(row.getLong(5) == 64L) // histogram sums to blob length
   }
 
+  test("partition-batched decode matches the scalar stub") {
+    val df = Seq((1L, "alpha"), (2L, "beta"))
+      .toDF("doc_id", "text")
+      .withColumn("bytes", MultimodalOps.synthBlob(col("text")))
+    val scalar = df.select(col("doc_id"), MultimodalOps.decodeStub(col("bytes")))
+      .as[(Long, Seq[Long])].collect().toMap
+    val batched = MultimodalOps.decodePartitioned(df, "doc_id", "bytes")
+      .collect().toMap
+    assert(scalar == batched)
+  }
+
   test("stub decode handles null payloads") {
     val df = Seq((1L, null: Array[Byte])).toDF("id", "bytes")
     val out = df.select(MultimodalOps.decodeStub(col("bytes")).as("f"))
