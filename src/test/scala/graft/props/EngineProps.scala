@@ -120,6 +120,42 @@ object EngineProps extends Properties("graft") {
       salted == plain
     }
 
+  /** Independent scalar transcription of the zone decision tree
+   *  (RollingGeoCount.java:64-77) to cross-check the column formula. */
+  private def zoneRef(lat: Double, lng: Double): String = {
+    if (!(-80 <= lat && lat < 84 && -180 <= lng && lng < 180)) "undefined"
+    else {
+      val letter =
+        if (lat < -32) ('C' + ((lat + 80) / 8).toInt).toChar
+        else if (lat < 8) ('J' + ((lat + 32) / 8).toInt).toChar
+        else if (lat < 72) ('P' + ((lat - 8) / 8).toInt).toChar
+        else 'X'
+      s"${1 + ((lng + 180) / 6).toInt}$letter"
+    }
+  }
+
+  property("zoneOf column formula == scalar reference transcription") =
+    forAll(Gen.listOfN(30, Gen.zip(
+      Gen.oneOf(Gen.choose(-90.0, 90.0), Gen.oneOf(-80.0, -32.0, 8.0, 72.0, 83.99, 84.0)),
+      Gen.oneOf(Gen.choose(-190.0, 190.0), Gen.oneOf(-180.0, 179.99, 180.0))))) { pts =>
+      import spark.implicits._
+      val got = pts.toDF("lat", "lng")
+        .select(GeoOps.zoneOf(col("lat"), col("lng"))).as[String].collect()
+      got.toSeq == pts.map { case (la, ln) => zoneRef(la, ln) }
+    }
+
+  property("pageview TSV round-trips through parse") =
+    forAll(Gen.listOfN(15, Gen.zip(
+      Gen.oneOf("http://foo.com", "/page/x", "a"), Gen.choose(100, 599),
+      Gen.choose(10000, 99999), Gen.choose(0, 99)))) { pvs =>
+      import spark.implicits._
+      val lines = pvs.map { case (u, s, z, uid) => s"$u\t$s\t$z\t$uid" }.toDF("page_view")
+      val parsed = PageViewOps.parse(lines, col("page_view"))
+        .select("url", "http_status", "zip_code", "user_id")
+        .as[(String, Int, Int, Int)].collect()
+      parsed.toSeq.sorted == pvs.sorted
+    }
+
   property("exactGroups: group sizes partition the input") =
     forAll(Gen.listOfN(25, Gen.oneOf("a", "b", "c", "d"))) { texts =>
       import spark.implicits._
