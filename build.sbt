@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Forked `run` output must reach stdout RAW (no sbt "[info] " prefix):
+// the bench/verify drivers parse the JSON result line from stdout.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // suites share one local SparkContext; parallel suites race on the
 // active/default SparkSession (breaks extension registration tests)
 Test / parallelExecution := false

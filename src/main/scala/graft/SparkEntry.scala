@@ -71,6 +71,7 @@ object SparkEntry {
     "text_tokens" -> Oracles.textTokens,
     "mm_meta" -> Oracles.mmMeta,
     "mm_frames" -> Oracles.mmFrames,
+    "mm_features" -> Oracles.mmFeatures,
     "q_revenue_by_region" -> Oracles.revenueByRegion,
     "q_top_brands" -> Oracles.topBrands,
     "sessionize" -> Oracles.sessionize,

@@ -296,4 +296,22 @@ object Oracles {
        |SELECT doc_id, CAST(u.i AS INTEGER) AS frame_idx,
        |       substr(hx, u.i * 32 + 1, 16) AS frame_hex
        |FROM b CROSS JOIN (VALUES (0),(1),(2),(3)) u(i)""".stripMargin
+
+  /** The decode stub's 16-bin high-nibble byte histogram, recomputed from
+   *  the blob's hex form: byte i's high nibble is hex char 2i+1 (1-based),
+   *  so collect those chars and count occurrences of each hex digit. */
+  val mmFeatures: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |         md5(text) || md5(text || '1') || md5(text || '2') || md5(text || '3') AS hx
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, array_to_string(
+      |    list_transform(range(0, 64), i -> substr(hx, CAST(2*i+1 AS INT), 1)), '') AS nib
+      |  FROM b)
+      |SELECT doc_id, CAST(d.i AS INTEGER) AS bin,
+      |       CAST(length(nib) - length(replace(nib,
+      |         substr('0123456789abcdef', CAST(d.i + 1 AS INT), 1), '')) AS BIGINT) AS cnt
+      |FROM n CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),
+      |                          (8),(9),(10),(11),(12),(13),(14),(15)) d(i)""".stripMargin
 }

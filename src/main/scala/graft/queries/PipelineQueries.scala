@@ -100,9 +100,14 @@ object PipelineQueries {
         MultimodalOps.frameSample(col("bytes"), frames = 4, frameLen = 8, stride = 16)))
       .toDF("doc_id", "frame_idx", "frame_hex")
 
-  /** Stub-decoded feature vectors (rows-only check; decode is the
-   *  documented stub boundary). */
+  /** Stub-decoded feature vectors, exploded to (doc_id, bin, cnt) rows.
+   *  Long format keeps array columns out of the result (the driver's
+   *  pandas compare can't sort ndarray cells) and makes the histogram
+   *  oracle-checkable: the stub's 16-bin byte-nibble histogram is
+   *  recomputable in SQL from the blob's hex form. */
   def mmFeatures(spark: SparkSession, sfDir: String): DataFrame =
     blobs(spark, sfDir)
-      .select(col("doc_id"), MultimodalOps.decodeStub(col("bytes")).as("features"))
+      .select(col("doc_id"),
+        posexplode(MultimodalOps.decodeStub(col("bytes"))))
+      .toDF("doc_id", "bin", "cnt")
 }
