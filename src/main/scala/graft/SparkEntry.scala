@@ -59,12 +59,13 @@ object SparkEntry {
     "rolling_sort" -> Oracles.rollingSort,
     "flight_dist" -> Oracles.flightDist,
     "trident_wordcount" -> Oracles.tridentWordcount,
-    // pipeline extensions (minhash/simhash/ann/features are rows-only:
-    // xxhash64/LSH/stub-decode aren't reproducible in DuckDB SQL)
     "dedup_exact" -> Oracles.dedupExact,
     "dedup_fingerprint" -> Oracles.dedupFingerprint,
     "dedup_ngram" -> Oracles.dedupNgram,
+    "dedup_minhash" -> Oracles.dedupMinhash,
+    "dedup_simhash" -> Oracles.dedupSimhash,
     "sim_topk" -> Oracles.simTopK,
+    "sim_ann" -> Oracles.simAnn,
     "embed_neardup" -> Oracles.embedNearDup,
     "text_langid" -> Oracles.textLangId,
     "text_quality" -> Oracles.textQuality,

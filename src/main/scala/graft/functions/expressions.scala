@@ -137,6 +137,47 @@ object VectorMath {
     }
     sig
   }
+
+  /** Per-word feature hashes (duplicates kept, in order); see
+   *  [[WordHashes]]. `portable=false`: Spark xxhash64 (XXH64 seed 42)
+   *  over UTF-8 bytes — the fast family. `portable=true`: top 60 bits
+   *  of md5 — equals `conv(substring(md5(w),1,15),16,10)` and DuckDB's
+   *  `CAST('0x' || substr(md5(w),1,15) AS BIGINT)`, so signatures built
+   *  from it are reproducible in any engine with md5. */
+  def wordHashes(text: String, portable: Boolean): ArrayData = {
+    val out = new java.util.ArrayList[java.lang.Long]()
+    val md = if (portable) java.security.MessageDigest.getInstance("MD5") else null
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && isWs(text.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(text.charAt(i))) i += 1
+      if (i > start) {
+        val w = text.substring(start, i)
+        val h =
+          if (portable) {
+            md.reset()
+            val d = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            // first 8 bytes big-endian, minus the lowest nibble = first
+            // 15 hex chars of the digest as an unsigned 60-bit value
+            var v = 0L
+            var b = 0
+            while (b < 8) { v = (v << 8) | (d(b) & 0xFFL); b += 1 }
+            v >>> 4
+          } else {
+            org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+              org.apache.spark.unsafe.types.UTF8String.fromString(w),
+              org.apache.spark.sql.types.StringType, 42L)
+          }
+        out.add(h)
+      }
+    }
+    val arr = new Array[Long](out.size)
+    var k = 0
+    while (k < arr.length) { arr(k) = out.get(k); k += 1 }
+    ArrayData.toArrayData(arr)
+  }
 }
 
 /**
@@ -229,6 +270,34 @@ case class LshBucket(child: Expression, bits: Int)
 }
 
 /**
+ * Per-word feature hashes of a text: split on ASCII whitespace runs,
+ * hash each word (duplicates kept, in arrival order — SimHash needs
+ * frequencies, unlike [[ShingleHashes]]' distinct sets). Two families:
+ * `portable=false` -> xxhash64 seed 42 (fast path for production);
+ * `portable=true` -> top 60 bits of md5, bit-compatible with
+ * `conv(substring(md5(w),1,15),16,10)` in any SQL engine, which makes
+ * downstream signatures (SimHash) oracle-verifiable. One kernel call
+ * per row vs an interpreted per-element HOF lambda.
+ */
+case class WordHashes(child: Expression, portable: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.wordHashes(v.toString, portable)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.VectorMath.wordHashes($t.toString(), $portable)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * 64-bit SimHash over an array of 64-bit feature hashes: per bit, sum
  * +1/-1 across features; the sign becomes the bit. Native kernel — the
  * equivalent nested HOF fold (aggregate over zip_with per bit) is
@@ -261,6 +330,9 @@ object native {
 
   def simhash64(featureHashes: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(featureHashes)))
+
+  def word_hashes(text: Column, portable: Boolean): Column =
+    GraftColumnBridge.column(WordHashes(GraftColumnBridge.expression(text), portable))
 
   def vec_dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(FloatVectorDot(GraftColumnBridge.expression(a),

@@ -137,13 +137,16 @@ object DedupOps {
   }
 
   /** Adds a `simhash` column: 64-bit SimHash over word-feature hashes —
-   *  per bit, the sign of the +1/-1 sum across words. Row-local: hash
-   *  words with xxhash64, fold with the native SimHash64 kernel
-   *  (graft.functions.SimHash64 — the pure-HOF fold is interpreted). */
-  def simhashOf(df: DataFrame, id: Column, text: Column): DataFrame =
+   *  per bit, the sign of the +1/-1 sum across words. Row-local: one
+   *  WordHashes + one SimHash64 native kernel call per row (the HOF
+   *  split/filter/transform form is interpreted per element).
+   *  `portable=true` (default) uses the md5-60 word-hash family so the
+   *  signature is reproducible in any SQL engine (DuckDB oracle);
+   *  `portable=false` uses xxhash64 — the faster production family. */
+  def simhashOf(df: DataFrame, id: Column, text: Column,
+      portable: Boolean = true): DataFrame =
     df.withColumn("simhash", graft.functions.native.simhash64(
-      transform(filter(split(lower(text), "\\s+"), x => length(x) > 0),
-        x => xxhash64(x))))
+      graft.functions.native.word_hashes(lower(text), portable)))
 
   /**
    * SimHash near-duplicate pairs with Hamming distance <= maxHamming,

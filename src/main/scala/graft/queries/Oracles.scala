@@ -163,6 +163,64 @@ object Oracles {
       |JOIN sizes s2 ON id2 = s2.doc_id
       |WHERE i / (s1.sz + s2.sz - i) >= 0.8""".stripMargin
 
+  /** Unblocked exact-Jaccard pairs at the minhash threshold. Valid as the
+   *  dedup_minhash oracle because the LSH stage (b=16, r=4 -> S-curve
+   *  midpoint ~0.54) has empirically total recall on this corpus: every
+   *  true pair has J >= 0.8 (P_miss = (1-0.8^4)^16 ~ 2e-4, and the fixed
+   *  xxhash64 family makes the outcome deterministic — verified equal at
+   *  sf0.001/0.01); the exact-verify stage then removes all false
+   *  positives, so LSH+verify == exact all-pairs. DedupOpsSpec asserts
+   *  the recall equality. */
+  val dedupMinhash: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS ws
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(ws) >= 3
+      |         THEN list_transform(range(0, len(ws) - 2),
+      |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+      |         ELSE [] END)) AS sh
+      |  FROM w),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS i
+      |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id1, id2, i / (s1.sz + s2.sz - i) AS jaccard
+      |FROM inter
+      |JOIN sizes s1 ON id1 = s1.doc_id
+      |JOIN sizes s2 ON id2 = s2.doc_id
+      |WHERE i / (s1.sz + s2.sz - i) >= 0.5""".stripMargin
+
+  /** Recomputes the portable (md5-60) SimHash signature per document —
+   *  word hash = first 15 hex chars of md5 as a 60-bit int, bit j of the
+   *  signature = sign of the +1/-1 sum over words — then joins all pairs
+   *  within Hamming distance 3. Exact-match with the Spark plan: the
+   *  pigeonhole band join there is lossless for d <= 3 over 4 chunks, and
+   *  the integer bit-counter math is engine-independent. */
+  val dedupSimhash: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS w
+      |  FROM documents),
+      |h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM w),
+      |bits AS (
+      |  SELECT doc_id, b.bit,
+      |         CASE WHEN sum(((h >> b.bit) & 1) * 2 - 1) > 0
+      |              THEN (1::BIGINT << b.bit) ELSE 0 END AS v
+      |  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS bit) b
+      |  GROUP BY 1, 2),
+      |sigs0 AS (SELECT doc_id, sum(v)::BIGINT AS sig FROM bits GROUP BY 1),
+      |sigs AS (
+      |  SELECT d.doc_id, coalesce(s.sig, 0) AS sig
+      |  FROM documents d LEFT JOIN sigs0 s USING (doc_id))
+      |SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |       bit_count(xor(a.sig, b.sig)) AS hamming
+      |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
+
   private val dotSql =
     "list_sum(list_transform(list_zip(%s, %s), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
 
@@ -183,6 +241,54 @@ object Oracles {
        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
        |         vec_id AS neighbor_id, round(cos, 4) AS cos_r
        |  FROM s)
+       |SELECT query_id, rank, neighbor_id, cos_r FROM r WHERE rank <= ${PipelineQueries.SimK}""".stripMargin
+  }
+
+  /** Mirrors [[SimilarityOps.annTopK]] end-to-end, including the LSH
+   *  bucketing: the hyperplane signs are deterministic (parity of
+   *  XXH64(plane << 32 | dim, seed 42) — graft.functions.VectorMath
+   *  .lshBucket), so this SQL embeds the 8x64 sign table as literals,
+   *  generated here by calling the same hash function the kernel calls.
+   *  Projection sums are sequential double folds on both sides, so the
+   *  bucket ids — and therefore the candidate sets — match exactly. */
+  val simAnn: String = {
+    val bits = PipelineQueries.AnnBits
+    val dim = PipelineQueries.EmbeddingDim
+    val planeRows = (0 until bits).map { p =>
+      val signs = (0 until dim).map { d =>
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          (p.toLong << 32) | d.toLong, org.apache.spark.sql.types.LongType, 42L)
+        if ((h & 1L) == 0L) "1.0" else "-1.0"
+      }.mkString(",")
+      s"($p, [$signs])"
+    }.mkString(",\n")
+    val ids = PipelineQueries.SimQueryIds.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${dotSql.format("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |planes(p, s) AS (VALUES $planeRows),
+       |proj AS (
+       |  SELECT vec_id, pl.p,
+       |         CASE WHEN list_sum(list_transform(range(0, $dim),
+       |                d -> CAST(embedding[d+1] AS DOUBLE) * pl.s[d+1])) >= 0
+       |              THEN (1::BIGINT << pl.p) ELSE 0 END AS pv
+       |  FROM e CROSS JOIN planes pl),
+       |bkt AS (SELECT vec_id, sum(pv)::BIGINT AS bucket FROM proj GROUP BY 1),
+       |eb AS (SELECT e.vec_id, e.embedding, e.nrm, b.bucket
+       |       FROM e JOIN bkt b USING (vec_id)),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm,
+       |             bucket AS q_bucket
+       |      FROM eb WHERE vec_id IN ($ids)),
+       |sc AS (
+       |  SELECT query_id, vec_id,
+       |         ${dotSql.format("embedding", "q_emb")} / (nrm * q_nrm) AS cos
+       |  FROM eb JOIN q ON bucket = q_bucket AND vec_id <> query_id),
+       |r AS (
+       |  SELECT query_id,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
+       |         vec_id AS neighbor_id, round(cos, 4) AS cos_r
+       |  FROM sc)
        |SELECT query_id, rank, neighbor_id, cos_r FROM r WHERE rank <= ${PipelineQueries.SimK}""".stripMargin
   }
 

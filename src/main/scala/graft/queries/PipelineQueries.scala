@@ -17,6 +17,8 @@ object PipelineQueries {
   val SimQueryIds: Seq[Long] = (0L until 10L)
   val SimK = 10
   val NearDupCos = 0.45 // max pairwise cosine in testdata is ~0.51
+  val AnnBits = 8 // LSH hyperplanes for sim_ann
+  val EmbeddingDim = 64 // embeddings.embedding dim (TESTDATA.md)
 
   // ---- deduplication ------------------------------------------------------
 
@@ -35,14 +37,18 @@ object PipelineQueries {
     DedupOps.ngramJaccardPairs(Tables.documents(spark, sfDir),
       col("doc_id"), col("text"), col("source"), n = 3, threshold = 0.8)
 
-  /** MinHash+LSH candidates verified by exact Jaccard (no SQL oracle —
-   *  xxhash64 signatures aren't reproducible in DuckDB; correctness is
-   *  covered by DedupOpsSpec recall tests against dedupNgram). */
+  /** MinHash+LSH candidates verified by exact Jaccard. Oracle-checked:
+   *  the exact-verify stage makes the output equal unblocked all-pairs
+   *  Jaccard >= threshold whenever LSH recall is total, which it is on
+   *  this corpus (every true pair has J >= 0.8 — see Oracles.dedupMinhash
+   *  and the DedupOpsSpec recall assertion). */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
     DedupOps.minhashNearDups(Tables.documents(spark, sfDir),
       col("doc_id"), col("text"), threshold = 0.5)
 
-  /** SimHash near-dup pairs (Hamming <= 3 via pigeonhole bands). */
+  /** SimHash near-dup pairs (Hamming <= 3 via pigeonhole bands). Uses
+   *  the portable md5-60 word-hash family so the signatures — and the
+   *  pairs — are recomputable in DuckDB (Oracles.dedupSimhash). */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
     DedupOps.simhashNearDups(Tables.documents(spark, sfDir),
       col("doc_id"), col("text"), maxHamming = 3)
@@ -54,7 +60,9 @@ object PipelineQueries {
     SimilarityOps.cosineTopK(Tables.embeddings(spark, sfDir), SimQueryIds, SimK)
 
   /** LSH-bucketed approximate top-k (scale path; recall vs brute force
-   *  is asserted in SimilarityOpsSpec). */
+   *  is asserted in SimilarityOpsSpec). Oracle-checked end-to-end: the
+   *  deterministic hyperplane sign table is embedded in the DuckDB SQL
+   *  (Oracles.simAnn), so the oracle mirrors the approximation itself. */
   def simAnn(spark: SparkSession, sfDir: String): DataFrame =
     SimilarityOps.annTopK(Tables.embeddings(spark, sfDir), SimQueryIds, SimK,
       bits = 8)

@@ -40,6 +40,27 @@ class NativeExprSpec extends SparkSpec {
     assert(composed.toSeq == nativeH.toSeq)
   }
 
+  test("WordHashes matches the composed split+hash columns, both families") {
+    val df = Seq(
+      "the quick brown fox the quick", // duplicates kept
+      "  leading\tand   multiple\nwhitespace  runs ",
+      "único wörd ünïcode", // multi-byte UTF-8
+      "").toDF("text")
+    val composedXx = df.select(
+      transform(filter(split(col("text"), "\\s+"), w => length(w) > 0),
+        w => xxhash64(w)).as("h")).as[Seq[Long]].collect()
+    val nativeXx = df.select(native.word_hashes(col("text"), portable = false).as("h"))
+      .as[Seq[Long]].collect()
+    assert(composedXx.toSeq == nativeXx.toSeq)
+    val composedMd5 = df.select(
+      transform(filter(split(col("text"), "\\s+"), w => length(w) > 0),
+        w => conv(substring(md5(w), 1, 15), 16, 10).cast("long")).as("h"))
+      .as[Seq[Long]].collect()
+    val nativeMd5 = df.select(native.word_hashes(col("text"), portable = true).as("h"))
+      .as[Seq[Long]].collect()
+    assert(composedMd5.toSeq == nativeMd5.toSeq)
+  }
+
   test("ProjectedDist is bit-identical to the composed column math") {
     val df = Seq(
       (40.1, -73.9, 95.0, 12.5, 40.6, -73.2, 270.0, 3.75),
