@@ -37,11 +37,17 @@ object SparkEntry {
     "mm_meta" -> PipelineQueries.mmMeta,
     "mm_frames" -> PipelineQueries.mmFrames,
     "mm_features" -> PipelineQueries.mmFeatures,
+    "text_repetition" -> PipelineQueries.textRepetition,
     // classic analytic joins (engine-completeness demonstrations)
     "q_revenue_by_region" -> AnalyticsQueries.revenueByRegion,
     "q_top_brands" -> AnalyticsQueries.topBrands,
     "sessionize" -> AnalyticsQueries.sessionize,
     "salted_distinct" -> AnalyticsQueries.saltedDistinct,
+    // temporal joins + sketch-contract scale variants
+    "asof_join" -> AnalyticsQueries.asofClicks,
+    "range_join" -> AnalyticsQueries.rangePairs,
+    "value_quantiles" -> AnalyticsQueries.valueQuantiles,
+    "uv_approx" -> BenchQueries.uniqueVisitorApprox,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -73,9 +79,14 @@ object SparkEntry {
     "mm_meta" -> Oracles.mmMeta,
     "mm_frames" -> Oracles.mmFrames,
     "mm_features" -> Oracles.mmFeatures,
+    "text_repetition" -> Oracles.textRepetition,
     "q_revenue_by_region" -> Oracles.revenueByRegion,
     "q_top_brands" -> Oracles.topBrands,
     "sessionize" -> Oracles.sessionize,
     "salted_distinct" -> Oracles.saltedDistinct,
+    "asof_join" -> Oracles.asofClicks,
+    "range_join" -> Oracles.rangePairs,
+    "value_quantiles" -> Oracles.valueQuantiles,
+    "uv_approx" -> Oracles.uvApprox,
   )
 }

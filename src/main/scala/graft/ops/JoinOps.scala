@@ -1,15 +1,84 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
  * The reference's one join: the all-pairs aircraft proximity check
- * (DistFilterBolt, RollingFlightDist.java:124-269), decomposed Spark-first.
- * Shared by the batch query (BenchQueries.flightDist) and the streaming
+ * (DistFilterBolt, RollingFlightDist.java:124-269), decomposed Spark-first —
+ * plus the temporal joins a training-data/eventlog pipeline needs at scale
+ * (point-in-time as-of join, banded range join), which Spark has no
+ * built-in operator for. Shared by the batch queries and the streaming
  * per-trigger path (graft.streaming.StreamOps.proximityWarnings).
  */
 object JoinOps {
+
+  /**
+   * Point-in-time (as-of) join: attach to each probe row the latest build
+   * row with `build.tsCol <= probe.tsCol` on the same key — the classic
+   * event -> most-recent-prior-state lookup. Equal timestamps DO match;
+   * ties among build rows at the same timestamp resolve to the largest
+   * `tiebreak` value. Inner semantics: probes with no prior build row are
+   * dropped. Output: key columns, probe payload, then `asof_<tsCol>` and
+   * the build payload.
+   *
+   * Scale design: NOT a join at all. Both sides union into one relation
+   * tagged by side; a single `last(_, ignoreNulls)` running window over
+   * (key) ordered by (ts, side, tiebreak) forward-fills the latest build
+   * payload onto each probe row. One shuffle on the key + one
+   * per-partition sort — linear in input — where the naive formulation
+   * (theta join + argmax) is O(probe x build) per key. This is the same
+   * plan a sort-merge as-of join would produce, built from primitives.
+   */
+  def asOfJoin(probe: DataFrame, build: DataFrame, keyCols: Seq[String],
+      tsCol: String, tiebreak: String): DataFrame = {
+    val bPayload = build.columns.toSeq.filterNot(c => keyCols.contains(c) || c == tsCol)
+    val bStruct = struct(col(tsCol).as(s"asof_$tsCol") +: bPayload.map(col): _*)
+    val bType = build.select(bStruct.as("__b")).schema.head.dataType
+    val pPayload = probe.columns.toSeq.filterNot(keyCols.contains)
+    val pStruct = struct(pPayload.map(col): _*)
+    val pType = probe.select(pStruct.as("__p")).schema.head.dataType
+    val b = build.select(keyCols.map(col) ++ Seq(col(tsCol).as("__ts"),
+      lit(0).as("__side"), col(tiebreak).cast("long").as("__tb"),
+      bStruct.as("__b"), lit(null).cast(pType).as("__p")): _*)
+    val p = probe.select(keyCols.map(col) ++ Seq(col(tsCol).as("__ts"),
+      lit(1).as("__side"), lit(Long.MaxValue).as("__tb"),
+      lit(null).cast(bType).as("__b"), pStruct.as("__p")): _*)
+    // build rows sort before probe rows at the same ts (side 0 < 1), so a
+    // build row exactly at the probe's ts is visible to the fill (<=)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts"), col("__side"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.unionByName(p)
+      .withColumn("__m", last(col("__b"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__m").isNotNull)
+      .select(keyCols.map(col) ++ pPayload.map(c => col(s"__p.$c").as(c)) ++
+        (s"asof_$tsCol" +: bPayload).map(c => col(s"__m.$c").as(c)): _*)
+  }
+
+  /**
+   * Banded range join: (left, right) pairs sharing `keyCols` with
+   * `0 <= right.rightTsMs - left.leftTsMs <= gapMs` (epoch-millis longs).
+   *
+   * The band trick turns the range predicate into an equi-join: both
+   * sides bucket time by gapMs (exact integer division), each left row
+   * probes its own bucket and the next, and the exact predicate
+   * re-filters candidates. The shuffle is hash-partitioned on
+   * (key, bucket) — never a theta/cross join — so it scales like any
+   * equi-join, with candidate blow-up bounded at 2x. This is the
+   * standard interval-join plan streaming engines build internally.
+   */
+  def bandedRangeJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTsMs: String, rightTsMs: String, gapMs: Long): DataFrame = {
+    val l = left.withColumn("__bucket",
+      explode(array(expr(s"$leftTsMs div $gapMs"), expr(s"$leftTsMs div $gapMs") + 1)))
+    val r = right.withColumn("__bucket", expr(s"$rightTsMs div $gapMs"))
+    l.join(r, keyCols :+ "__bucket")
+      .filter(col(rightTsMs) >= col(leftTsMs) &&
+        col(rightTsMs) - col(leftTsMs) <= gapMs)
+      .drop("__bucket")
+  }
 
   /**
    * Pairwise speculative proximity warnings over a snapshot of latest

@@ -64,6 +64,62 @@ object AnalyticsQueries {
     graft.ops.WindowOps.saltedDistinct(Tables.events(spark, sfDir),
       col("event_type"), "event_type", col("user_id"), salts = 16)
 
+  val RangeGapMs = 1800000L // 30 min attribution window
+
+  /** As-of attribution: each purchase event joined to the same user's
+   *  latest click at-or-before it (point-in-time join — JoinOps.asOfJoin,
+   *  the no-join forward-fill plan). Timestamps compare at epoch-millis
+   *  granularity so the oracle's arithmetic is integer-exact. */
+  def asofClicks(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val probe = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"))
+    val build = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"))
+    graft.ops.JoinOps.asOfJoin(probe, build, Seq("user_id"), "ts_ms", "click_id")
+      .withColumn("lag_ms", col("ts_ms") - col("asof_ts_ms"))
+      .select(col("purchase_id"), col("user_id"), col("ts_ms"),
+        col("click_id"), col("lag_ms"))
+  }
+
+  /** Banded range join: every (click, purchase) pair by the same user
+   *  within a 30-minute window (JoinOps.bandedRangeJoin — the equi-join
+   *  band plan, no theta join). */
+  def rangePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_millis(col("ts")).as("c_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_millis(col("ts")).as("p_ms"))
+    graft.ops.JoinOps.bandedRangeJoin(clicks, purchases, Seq("user_id"),
+      "c_ms", "p_ms", RangeGapMs)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("p_ms") - col("c_ms")).as("gap_ms"))
+  }
+
+  /**
+   * Value quantiles per event type: exact interpolated percentiles
+   * (sort-based aggregate, mirrored by DuckDB quantile_cont) plus the
+   * sketch contract — `percentile_approx` (the fixed-size-state 100 TB
+   * path) must land within 5% of exact, emitted as a checked boolean so
+   * the oracle verifies the accuracy guarantee, not the sketch internals.
+   */
+  def valueQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(value, 0.5)").as("e50"),
+        expr("percentile(value, 0.95)").as("e95"),
+        expr("percentile_approx(value, 0.5, 1000)").as("a50"),
+        expr("percentile_approx(value, 0.95, 1000)").as("a95"))
+      .select(col("event_type"), col("n"),
+        round(col("e50"), 4).as("p50_r"), round(col("e95"), 4).as("p95_r"),
+        (abs(col("a50") - col("e50")) <= abs(col("e50")) * 0.05).as("p50_ok"),
+        (abs(col("a95") - col("e95")) <= abs(col("e95")) * 0.05).as("p95_ok"))
+
   /** Top part brands by shipped quantity, deterministic tiebreak. */
   def topBrands(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir).select("l_partkey", "l_quantity")

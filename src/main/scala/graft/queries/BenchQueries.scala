@@ -64,6 +64,30 @@ object BenchQueries {
       col("user_id"), "2 hours", "1 hour")
   }
 
+  /**
+   * Scale variant of topology 6: windowed distinct via HLL++ sketch
+   * (SURVEY.md §4.3.2 — the 100 TB path where exact per-window sets
+   * don't fit). Emits the exact count plus a checked accuracy contract:
+   * `approx_count_distinct(rsd=0.03)` must land within max(15%, +-2) of
+   * exact (Spark's HLL++ has no sparse mode, so tiny cardinalities carry
+   * a small absolute error; at rsd 0.03 the register array is large
+   * enough that window-sized sets sit in the near-exact linear-counting
+   * regime). The boolean lets the DuckDB oracle verify the sketch's
+   * guarantee (the estimate is deterministic) without reproducing HLL
+   * internals.
+   */
+  def uniqueVisitorApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val lines = SyntheticSources.pageViewLines(Tables.events(spark, sfDir))
+    val parsed = PageViewOps.parse(lines, col("page_view"))
+    parsed
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("url"))
+      .agg(count_distinct(col("user_id")).as("uniques"),
+        approx_count_distinct(col("user_id"), 0.03).as("approx"))
+      .select(col("w.start").as("w_start"), col("url"), col("uniques"),
+        (abs(col("approx") - col("uniques")) <=
+          greatest(col("uniques") * 0.15, lit(2))).as("approx_ok"))
+  }
+
   /** Topology 7: RollingCount (RollingCount.java:49) — sliding-window count
    *  per key (word := event_type). */
   def rollingCount(spark: SparkSession, sfDir: String): DataFrame =

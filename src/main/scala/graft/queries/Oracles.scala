@@ -380,6 +380,80 @@ object Oracles {
   val saltedDistinct: String =
     "SELECT event_type, count(DISTINCT user_id) AS uniques FROM events GROUP BY event_type"
 
+  /** As-of semantics spelled out relationally: per purchase, the click
+   *  with the greatest ts_ms <= purchase.ts_ms, ties to the largest
+   *  click_id — exactly the (ts, side, tiebreak) order the Spark
+   *  forward-fill plan uses. Inner: unmatched purchases drop. */
+  val asofClicks: String =
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT event_id AS click_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+      |  FROM events WHERE event_type = 'click')
+      |SELECT p.purchase_id, p.user_id, p.ts_ms, l.click_id,
+      |       p.ts_ms - l.ts_ms AS lag_ms
+      |FROM p CROSS JOIN LATERAL (
+      |  SELECT c.click_id, c.ts_ms FROM c
+      |  WHERE c.user_id = p.user_id AND c.ts_ms <= p.ts_ms
+      |  ORDER BY c.ts_ms DESC, c.click_id DESC LIMIT 1) l""".stripMargin
+
+  /** The band join's exact predicate, as a plain inequality join. */
+  val rangePairs: String =
+    s"""WITH c AS (
+       |  SELECT event_id AS click_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS c_ms
+       |  FROM events WHERE event_type = 'click'),
+       |p AS (
+       |  SELECT event_id AS purchase_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS p_ms
+       |  FROM events WHERE event_type = 'purchase')
+       |SELECT c.user_id, c.click_id, p.purchase_id, p.p_ms - c.c_ms AS gap_ms
+       |FROM c JOIN p USING (user_id)
+       |WHERE p.p_ms >= c.c_ms AND p.p_ms - c.c_ms <= ${AnalyticsQueries.RangeGapMs}""".stripMargin
+
+  /** Exact interpolated percentiles (quantile_cont mirrors Spark's
+   *  `percentile` lower+(upper-lower)*frac definition; rounded to absorb
+   *  sub-ulp association differences). The sketch flags are literal TRUE:
+   *  the accuracy contract is deterministic on this data, so the Spark
+   *  side must also emit all-true — that IS the check. */
+  val valueQuantiles: String =
+    """SELECT event_type, count(*) AS n,
+      |       round(quantile_cont(value, 0.5), 4) AS p50_r,
+      |       round(quantile_cont(value, 0.95), 4) AS p95_r,
+      |       true AS p50_ok, true AS p95_ok
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Exact windowed distinct + literal-TRUE sketch contract (see
+   *  BenchQueries.uniqueVisitorApprox — the HLL estimate is deterministic,
+   *  so the within-15% boolean must come out all-true on the Spark side). */
+  val uvApprox: String =
+    s"""WITH $pageViewSql
+       |SELECT $wStart AS w_start, url, count(DISTINCT user_id) AS uniques,
+       |       true AS approx_ok
+       |FROM pv $slide2h GROUP BY 1, 2""".stripMargin
+
+  /** Word/2-gram repetition ratios; all divisions are int/int -> double
+   *  single operations, engine-exact. */
+  val textRepetition: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS w
+      |  FROM documents),
+      |f AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+      |t AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_words FROM f GROUP BY 1),
+      |g AS (
+      |  SELECT doc_id,
+      |         len(list_distinct(CASE WHEN len(ws) >= 2
+      |           THEN list_transform(range(0, len(ws) - 1),
+      |                  i -> ws[i+1] || ' ' || ws[i+2])
+      |           ELSE [] END)) AS d2,
+      |         len(ws) - 1 AS t2
+      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+      |                x -> len(x) > 0) AS ws
+      |        FROM documents))
+      |SELECT t.doc_id, top_c / n_words AS top_word_frac,
+      |       CASE WHEN t2 > 0 THEN (t2 - d2) / t2 END AS dup_2gram_frac
+      |FROM t JOIN g ON t.doc_id = g.doc_id""".stripMargin
+
   val topBrands: String =
     """SELECT p_brand,
       |       CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS qty,

@@ -88,6 +88,35 @@ object PipelineQueries {
       TextAnalyticsOps.wsTokenCount(col("text")).as("ws_tokens"),
       TextAnalyticsOps.bpeishTokenCount(col("text")).as("bpe_tokens"))
 
+  /**
+   * Gopher-style repetition signals per document: `top_word_frac` (most
+   * frequent word's share of all words) and `dup_2gram_frac` (share of
+   * 2-gram occurrences that are repeats). Word frequencies are computed
+   * relationally — explode + two-phase hash agg, one shuffle on
+   * (doc_id, word), never a per-row frequency map — so the plan is the
+   * same at 100 TB; the distinct-2-gram count is row-local (shingles).
+   */
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    // fan out: the documents scan is a single small file split, and both
+    // branches below do heavy per-row work before their first shuffle
+    val docs = Tables.documents(spark, sfDir)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+    val freq = docs
+      .select(col("doc_id"), explode(TextAnalyticsOps.words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_c"), sum(col("c")).as("n_words"))
+    // distinct 2-grams via the hashed-shingle kernel (one JIT'd call per
+    // row; the string-array HOF form is interpreted per element) —
+    // counting distinct hashes == counting distinct grams (2^-64 collisions)
+    val grams = docs.select(col("doc_id"),
+      size(graft.functions.native.shingle_hashes(col("text"), 2)).as("d2"),
+      (TextAnalyticsOps.wsTokenCount(col("text")) - 1).as("t2"))
+    freq.join(grams, "doc_id")
+      .select(col("doc_id"),
+        (col("top_c") / col("n_words")).as("top_word_frac"),
+        when(col("t2") > 0, (col("t2") - col("d2")) / col("t2")).as("dup_2gram_frac"))
+  }
+
   // ---- multimodal columns -------------------------------------------------
 
   private def blobs(spark: SparkSession, sfDir: String): DataFrame =
