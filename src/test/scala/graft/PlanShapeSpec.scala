@@ -43,6 +43,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("asOfJoin plans as a single-pass window, never a join") {
+    val p = plan("asof_join")
+    assert(!p.contains("Join"), "as-of degraded to a join:\n" + p)
+    assert(p.contains("Window"), "expected the forward-fill window")
+  }
+
+  test("bandedRangeJoin plans as an equi-join, never nested-loop") {
+    val p = plan("range_join")
+    assert(p.contains("Join") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "band join must be a hash/sort-merge equi-join:\n" + p)
+  }
+
   test("scans prune columns (wordcount reads only text)") {
     val p = SparkEntry.queries("wordcount")(spark, sfDir)
       .queryExecution.executedPlan.toString
