@@ -48,6 +48,10 @@ object SparkEntry {
     "range_join" -> AnalyticsQueries.rangePairs,
     "value_quantiles" -> AnalyticsQueries.valueQuantiles,
     "uv_approx" -> BenchQueries.uniqueVisitorApprox,
+    // multi-level agg, window frames, set ops
+    "q_rollup" -> AnalyticsQueries.eventRollup,
+    "q_moving_avg" -> AnalyticsQueries.movingAvg,
+    "q_anti_join" -> AnalyticsQueries.clickNoPurchase,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -88,5 +92,8 @@ object SparkEntry {
     "range_join" -> Oracles.rangePairs,
     "value_quantiles" -> Oracles.valueQuantiles,
     "uv_approx" -> Oracles.uvApprox,
+    "q_rollup" -> Oracles.eventRollup,
+    "q_moving_avg" -> Oracles.movingAvg,
+    "q_anti_join" -> Oracles.clickNoPurchase,
   )
 }

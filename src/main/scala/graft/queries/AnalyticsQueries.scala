@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
@@ -119,6 +120,46 @@ object AnalyticsQueries {
         round(col("e50"), 4).as("p50_r"), round(col("e95"), 4).as("p95_r"),
         (abs(col("a50") - col("e50")) <= abs(col("e50")) * 0.05).as("p50_ok"),
         (abs(col("a95") - col("e95")) <= abs(col("e95")) * 0.05).as("p95_ok"))
+
+  /** Multi-level aggregation: ROLLUP over (event_type, day) — per-type
+   *  per-day, per-type subtotals, and the grand total in one pass
+   *  (Catalyst plans Expand + single hash agg). Decimal-exact sums;
+   *  `day` emitted as string so null subtotal markers compare cleanly. */
+  def eventRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("day", to_date(col("ts")).cast("string"))
+      .rollup(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_v"))
+      .select(col("event_type"), col("day"), col("n"), col("sum_v"))
+
+  /**
+   * Row-frame window analytics: per-user moving average of `value` over
+   * the current and 3 preceding events (ROWS frame, the streaming-ledger
+   * idiom). Sum is decimal-exact inside the frame; the final divide is
+   * one double op, so it hash-matches across engines.
+   */
+  def movingAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val frame = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-3, 0)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        round(sum(col("value").cast("decimal(14,2)")).over(frame).cast("double") /
+          count(lit(1)).over(frame), 4).as("ma_r"))
+  }
+
+  /** Anti join (set-difference): (user, day) pairs with a click but no
+   *  purchase that day. Plans as a broadcast/shuffled anti join — the
+   *  relational NOT EXISTS, no subquery re-scan. */
+  def clickNoPurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("day", to_date(col("ts")).cast("string"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "day").distinct()
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "day")
+    clicks.join(purchases, Seq("user_id", "day"), "left_anti")
+  }
 
   /** Top part brands by shipped quantity, deterministic tiebreak. */
   def topBrands(spark: SparkSession, sfDir: String): DataFrame = {

@@ -431,6 +431,30 @@ object Oracles {
        |       true AS approx_ok
        |FROM pv $slide2h GROUP BY 1, 2""".stripMargin
 
+  val eventRollup: String =
+    """SELECT event_type, day, count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_v
+      |FROM (SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, value
+      |      FROM events) t
+      |GROUP BY ROLLUP (event_type, day)""".stripMargin
+
+  /** ROWS-frame moving average: decimal-exact frame sum, one double
+   *  divide, rounded — mirrors the Spark window expression exactly. */
+  val movingAvg: String =
+    """SELECT event_id, user_id,
+      |       round(CAST(sum(CAST(value AS DECIMAL(14,2))) OVER w AS DOUBLE) /
+      |             (count(*) OVER w), 4) AS ma_r
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  val clickNoPurchase: String =
+    """SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+      |FROM events WHERE event_type = 'click'
+      |EXCEPT
+      |SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+      |FROM events WHERE event_type = 'purchase'""".stripMargin
+
   /** Word/2-gram repetition ratios; all divisions are int/int -> double
    *  single operations, engine-exact. */
   val textRepetition: String =

@@ -75,6 +75,24 @@ object StreamOps {
       .drop("__dedup_key")
 
   /**
+   * Watermarked stream-stream interval join: right rows within
+   * `[left.ts, left.ts + gap]` on an equality key — the streaming form
+   * of JoinOps.bandedRangeJoin, using Spark's native stream-stream join.
+   * The watermarks plus the two-sided time condition bound BOTH state
+   * stores: each side evicts rows once the other side's watermark passes
+   * the join window, so state is O(gap x rate), not O(stream). Column
+   * names must be disjoint apart from the range condition's inputs
+   * (pre-alias the sides); `keyEq` is the equality predicate.
+   */
+  def streamingRangeJoin(left: DataFrame, right: DataFrame, keyEq: Column,
+      leftTs: String, rightTs: String, gap: String,
+      watermarkDelay: String): DataFrame =
+    left.withWatermark(leftTs, watermarkDelay)
+      .join(right.withWatermark(rightTs, watermarkDelay),
+        keyEq && col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $gap"))
+
+  /**
    * Continuously-maintained latest position per aircraft via keyed state
    * (mapGroupsWithState) — the streaming form of WindowOps.latestPerKey
    * and the exact analog of DistFilterBolt's flightMap

@@ -152,6 +152,30 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingRangeJoin: interval pairs across batches, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val buys = MemoryStream[(Timestamp, Long, Long)]
+    val joined = StreamOps.streamingRangeJoin(
+      clicks.toDF().toDF("c_ts", "c_user", "click_id"),
+      buys.toDF().toDF("p_ts", "p_user", "purchase_id"),
+      col("c_user") === col("p_user"), "c_ts", "p_ts", "30 minutes", "1 hour")
+      .select("click_id", "purchase_id")
+    val q = StreamOps.toMemory(joined, "rj_test", OutputMode.Append, ckpt())
+    try {
+      clicks.addData((Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 100L))
+      q.processAllAvailable()
+      // purchase arrives a batch later: must join against buffered click
+      buys.addData(
+        (Timestamp.valueOf("2024-01-01 10:20:00"), 1L, 200L), // within 30m
+        (Timestamp.valueOf("2024-01-01 11:00:00"), 1L, 201L), // outside
+        (Timestamp.valueOf("2024-01-01 10:20:00"), 2L, 202L)) // other user
+      q.processAllAvailable()
+      val out = spark.table("rj_test").as[(Long, Long)].collect().toSet
+      assert(out == Set((100L, 200L)))
+    } finally q.stop()
+  }
+
   test("latestPositions keyed state: newest posTime wins across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[AdsbPosition]
