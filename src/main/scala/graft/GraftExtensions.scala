@@ -5,7 +5,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{FloatVectorDot, ProjectedDist, SimHash64}
+import org.apache.spark.sql.catalyst.expressions.Literal
+
+import graft.functions.{FloatVectorDot, LshBucket, ProjectedDist, ShingleHashes, SimHash64, WordHashes}
 
 /**
  * Spark extension point: registers the engine's native expressions as
@@ -29,5 +31,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("projected_dist"),
       new ExpressionInfo(classOf[ProjectedDist].getName, "projected_dist"),
       (args: Seq[Expression]) => ProjectedDist(args)))
+    // int-literal second arguments (n / bits / portable flag)
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => ShingleHashes(args.head, intArg(args, 1, "n"))))
+    ext.injectFunction((
+      FunctionIdentifier("lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucket].getName, "lsh_bucket"),
+      (args: Seq[Expression]) => LshBucket(args.head, intArg(args, 1, "bits"))))
+    ext.injectFunction((
+      FunctionIdentifier("word_hashes"),
+      new ExpressionInfo(classOf[WordHashes].getName, "word_hashes"),
+      (args: Seq[Expression]) =>
+        WordHashes(args.head, boolArg(args, 1, "portable"))))
   }
+
+  private def intArg(args: Seq[Expression], i: Int, name: String): Int =
+    args(i) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"argument $name must be an integer literal, got $other")
+    }
+
+  private def boolArg(args: Seq[Expression], i: Int, name: String): Boolean =
+    args(i) match {
+      case Literal(v: Boolean, _) => v
+      case other => throw new IllegalArgumentException(
+        s"argument $name must be a boolean literal, got $other")
+    }
 }

@@ -92,6 +92,50 @@ object StreamOps {
         keyEq && col(rightTs) >= col(leftTs) &&
           col(rightTs) <= col(leftTs) + expr(s"INTERVAL $gap"))
 
+  /** Envelope for [[temporalAsOf]]: both sides union into one tagged
+   *  relation (probe rows have isBuild = false). */
+  case class Timed(key: Long, ts: Long, id: Long, isBuild: Boolean)
+  case class LatestBuild(ts: Long, id: Long)
+  case class TemporalMatch(key: Long, probeId: Long, probeTs: Long,
+      buildId: Long, buildTs: Long)
+
+  /**
+   * Streaming temporal join (the streaming as-of): each probe event
+   * joins the latest build row with ts <= probe.ts on its key, where
+   * "latest" is keyed state maintained across triggers — Flink calls
+   * this a temporal table join; it is the streaming form of
+   * JoinOps.asOfJoin. Within a micro-batch the group's rows process in
+   * (ts, side, id) order — builds before probes at equal ts, so <=
+   * matches — and the state only moves forward (a stale build arriving
+   * after a newer one never regresses it). Caveat shared with Flink's
+   * processing-time temporal join: a build row arriving in a LATER
+   * trigger than a probe cannot retro-match it; with per-key-ordered
+   * sources the result equals the batch as-of join. Probes with no
+   * prior build drop (inner semantics, like the batch op).
+   */
+  def temporalAsOf(events: Dataset[Timed]): Dataset[TemporalMatch] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[LatestBuild, TemporalMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[LatestBuild]) =>
+          var latest = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer[TemporalMatch]()
+          rows.toSeq.sortBy(e => (e.ts, if (e.isBuild) 0 else 1, e.id)).foreach { e =>
+            if (e.isBuild) {
+              if (latest == null || e.ts > latest.ts ||
+                (e.ts == latest.ts && e.id > latest.id)) {
+                latest = LatestBuild(e.ts, e.id)
+              }
+            } else if (latest != null) {
+              out += TemporalMatch(key, e.id, e.ts, latest.id, latest.ts)
+            }
+          }
+          if (latest != null) state.update(latest)
+          out.iterator
+      }
+  }
+
   /**
    * Continuously-maintained latest position per aircraft via keyed state
    * (mapGroupsWithState) — the streaming form of WindowOps.latestPerKey

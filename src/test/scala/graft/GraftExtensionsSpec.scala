@@ -34,6 +34,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT projected_dist(40.0D, -74.0D, 0.0D, 0.0D, 40.0D, -74.0D, 0.0D, 0.0D) AS p")
         .collect().head.getDouble(0)
       assert(pd == 0.0)
+      val sh = spark.sql(
+        "SELECT size(shingle_hashes('a b c d', 3)) AS n")
+        .collect().head.getInt(0)
+      assert(sh == 2) // "a b c", "b c d"
+      val lb = spark.sql(
+        "SELECT lsh_bucket(array(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT)), 4) AS b")
+        .collect().head.getLong(0)
+      assert(lb >= 0L && lb < 16L)
+      val wh = spark.sql(
+        "SELECT size(word_hashes('one two  three', true)) AS n")
+        .collect().head.getInt(0)
+      assert(wh == 3)
     } finally {
       // do NOT stop: the SparkContext is shared with the other suites
       SparkSession.clearActiveSession()

@@ -176,6 +176,39 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("temporalAsOf: probes match latest prior build, state spans batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.{Timed, TemporalMatch}
+    val in = MemoryStream[Timed]
+    val q = StreamOps.temporalAsOf(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("ta_join")
+      .outputMode(OutputMode.Append).option("checkpointLocation", ckpt()).start()
+    try {
+      in.addData(
+        Timed(1L, 10L, 100L, isBuild = true),
+        Timed(1L, 10L, 101L, isBuild = true), // tie -> larger id wins
+        Timed(1L, 10L, 500L, isBuild = false), // equal ts matches (<=)
+        Timed(1L, 5L, 501L, isBuild = false), // before any build -> drops
+        Timed(2L, 99L, 502L, isBuild = false)) // key with no build -> drops
+      q.processAllAvailable()
+      // batch 2: probe must see the build kept in state from batch 1
+      in.addData(Timed(1L, 20L, 503L, isBuild = false))
+      q.processAllAvailable()
+      // batch 3: stale build must not regress state
+      in.addData(
+        Timed(1L, 7L, 102L, isBuild = true),
+        Timed(1L, 30L, 504L, isBuild = false))
+      q.processAllAvailable()
+      val out = spark.table("ta_join")
+        .select("probeId", "buildId", "buildTs")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(out == Set(
+        (500L, 101L, 10L),
+        (503L, 101L, 10L),
+        (504L, 101L, 10L)))
+    } finally q.stop()
+  }
+
   test("latestPositions keyed state: newest posTime wins across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[AdsbPosition]
