@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import org.apache.spark.sql.catalyst.expressions.Literal
 
-import graft.functions.{FloatVectorDot, LshBucket, ProjectedDist, ShingleHashes, SimHash64, WordHashes}
+import graft.functions.{FloatVectorDot, LangId, LshBucket, ProjectedDist, ShingleHashes, SimHash64, WordHashes}
 
 /**
  * Spark extension point: registers the engine's native expressions as
@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("projected_dist"),
       new ExpressionInfo(classOf[ProjectedDist].getName, "projected_dist"),
       (args: Seq[Expression]) => ProjectedDist(args)))
+    ext.injectFunction((
+      FunctionIdentifier("lang_id"),
+      new ExpressionInfo(classOf[LangId].getName, "lang_id"),
+      (args: Seq[Expression]) => LangId(args.head)))
     // int-literal second arguments (n / bits / portable flag)
     ext.injectFunction((
       FunctionIdentifier("shingle_hashes"),

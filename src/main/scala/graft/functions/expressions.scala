@@ -36,6 +36,58 @@ case class FloatVectorDot(left: Expression, right: Expression)
 }
 
 object VectorMath {
+  /** Canonical per-language stopword table for the language-ID heuristic
+   *  (single source of truth; `ops.TextAnalyticsOps.Stopwords` aliases
+   *  it). Order is the tie-break precedence: en > es > de > fr. */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "los", "una"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "une", "est"))
+
+  private val langTags: Array[org.apache.spark.unsafe.types.UTF8String] =
+    (Stopwords.map(_._1) :+ "und")
+      .map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+  private val stopSets: Array[java.util.HashSet[String]] =
+    Stopwords.map { case (_, ws) =>
+      val s = new java.util.HashSet[String]()
+      ws.foreach(s.add)
+      s
+    }.toArray
+
+  /** One-pass language ID; see [[LangId]]. Tokenizes like Java regex
+   *  \s+ (empty tokens dropped), counts per-language stopword hits (a
+   *  word may hit several languages), returns the first language in
+   *  table order whose count is > 0 and >= every later language's
+   *  count; no hits at all -> "und". Equal to the composed
+   *  split/filter/isin argmax column formulation (NativeExprSpec). */
+  def langId(text: String): org.apache.spark.unsafe.types.UTF8String = {
+    val nLang = stopSets.length
+    val counts = new Array[Int](nLang)
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && isWs(text.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(text.charAt(i))) i += 1
+      if (i > start) {
+        val w = text.substring(start, i)
+        var l = 0
+        while (l < nLang) {
+          if (stopSets(l).contains(w)) counts(l) += 1
+          l += 1
+        }
+      }
+    }
+    var best = nLang // sentinel: "und"
+    var l = nLang - 1
+    while (l >= 0) {
+      if (counts(l) > 0 && (best == nLang || counts(l) >= counts(best))) best = l
+      l -= 1
+    }
+    langTags(best)
+  }
+
   /** Sequential left-fold dot product in double precision (same
    *  accumulation order as the HOF formulation and the DuckDB oracle). */
   def dot(a: ArrayData, b: ArrayData): Double = {
@@ -318,6 +370,31 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/**
+ * One-pass stopword-argmax language ID over a text column. The composed
+ * column form re-splits the text once per language and walks each token
+ * array with interpreted HOF lambdas (4 regex splits + 4 filters per
+ * row — the slowest projection in the engine, measured 6.1 s at sf0.1);
+ * this kernel tokenizes once and checks each token against all language
+ * sets in a single JIT'd call. Null text -> null (callers coalesce to
+ * "und" to match the SQL formulation's CASE/ELSE).
+ */
+case class LangId(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.langId(v.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.VectorMath.langId($t.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column wrappers for the native expressions. */
 object native {
   import org.apache.spark.sql.GraftColumnBridge
@@ -333,6 +410,9 @@ object native {
 
   def word_hashes(text: Column, portable: Boolean): Column =
     GraftColumnBridge.column(WordHashes(GraftColumnBridge.expression(text), portable))
+
+  def lang_id(text: Column): Column =
+    GraftColumnBridge.column(LangId(GraftColumnBridge.expression(text)))
 
   def vec_dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(FloatVectorDot(GraftColumnBridge.expression(a),

@@ -13,12 +13,9 @@ import org.apache.spark.sql.functions._
 object TextAnalyticsOps {
 
   /** Tiny per-language stopword lists for the n-gram/stopword-hit
-   *  language heuristic. Deliberately small + deterministic. */
-  val Stopwords: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
-    "es" -> Seq("el", "la", "de", "y", "que", "los", "una"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
-    "fr" -> Seq("le", "la", "de", "et", "les", "une", "est"))
+   *  language heuristic. Deliberately small + deterministic. Canonical
+   *  definition lives beside the native kernel (functions.VectorMath). */
+  val Stopwords: Seq[(String, Seq[String])] = graft.functions.VectorMath.Stopwords
 
   /** Non-empty whitespace tokens. */
   def words(text: Column): Column =
@@ -30,9 +27,18 @@ object TextAnalyticsOps {
 
   /**
    * Language-ID heuristic: argmax of stopword-hit counts with a fixed
-   * precedence order (en > es > de > fr) for ties; no hits at all -> "und".
+   * precedence order (en > es > de > fr) for ties; no hits at all (or
+   * null text) -> "und". Fast path: one-pass native kernel
+   * ([[graft.functions.LangId]]) — bit-equal to [[langIdHof]]
+   * (NativeExprSpec) but tokenizes once instead of 4 regex splits +
+   * interpreted array lambdas per row.
    */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column =
+    coalesce(graft.functions.native.lang_id(text), lit("und"))
+
+  /** Reference formulation of [[langId]] from composed built-in columns;
+   *  kept for cross-validation against the native kernel. */
+  def langIdHof(text: Column): Column = {
     val scores = Stopwords.map { case (lang, stops) => lang -> stopwordHits(text, stops) }
     val pred = scores.zipWithIndex.foldLeft(lit(null).cast("string")) {
       case (acc, ((lang, s), i)) =>

@@ -61,6 +61,29 @@ class NativeExprSpec extends SparkSpec {
     assert(composedMd5.toSeq == nativeMd5.toSeq)
   }
 
+  test("LangId kernel equals the composed split/filter/isin argmax") {
+    val df = Seq(
+      "the cat sat on the mat and the dog is in a box", // en
+      "el que la de una y los", // es
+      "der die das und ist nicht", // de
+      "le et les une est", // fr
+      "la de", // hits es AND fr equally -> es by precedence
+      "xyzzy plugh", // no hits -> und
+      "  the\t\nde   la  ", // whitespace runs + multi-lang hits
+      "").toDF("text")
+    val rows = df.select(
+      graft.ops.TextAnalyticsOps.langId(col("text")).as("native"),
+      graft.ops.TextAnalyticsOps.langIdHof(col("text")).as("hof"))
+      .as[(String, String)].collect()
+    rows.foreach { case (n, h) => assert(n == h) }
+    // null text -> "und" on both paths (the SQL CASE/ELSE contract)
+    val nulls = Seq(Option.empty[String]).toDF("text").select(
+      graft.ops.TextAnalyticsOps.langId(col("text")).as("native"),
+      graft.ops.TextAnalyticsOps.langIdHof(col("text")).as("hof"))
+      .as[(String, String)].collect()
+    assert(nulls.head == (("und", "und")))
+  }
+
   test("ProjectedDist is bit-identical to the composed column math") {
     val df = Seq(
       (40.1, -73.9, 95.0, 12.5, 40.6, -73.2, 270.0, 3.75),
