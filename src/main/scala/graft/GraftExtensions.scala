@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import org.apache.spark.sql.catalyst.expressions.Literal
 
-import graft.functions.{FloatVectorDot, LangId, LshBucket, ProjectedDist, ShingleHashes, SimHash64, WordHashes}
+import graft.functions.{BpeishTokenCount, FloatVectorDot, LangId, LshBucket, ProjectedDist, ShingleHashes, SimHash64, WordHashes, WsTokenCount}
 
 /**
  * Spark extension point: registers the engine's native expressions as
@@ -31,6 +31,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("projected_dist"),
       new ExpressionInfo(classOf[ProjectedDist].getName, "projected_dist"),
       (args: Seq[Expression]) => ProjectedDist(args)))
+    ext.injectFunction((
+      FunctionIdentifier("ws_token_count"),
+      new ExpressionInfo(classOf[WsTokenCount].getName, "ws_token_count"),
+      (args: Seq[Expression]) => WsTokenCount(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("bpeish_token_count"),
+      new ExpressionInfo(classOf[BpeishTokenCount].getName, "bpeish_token_count"),
+      (args: Seq[Expression]) => BpeishTokenCount(args.head)))
     ext.injectFunction((
       FunctionIdentifier("lang_id"),
       new ExpressionInfo(classOf[LangId].getName, "lang_id"),

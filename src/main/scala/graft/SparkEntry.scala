@@ -30,6 +30,7 @@ object SparkEntry {
     "dedup_simhash" -> PipelineQueries.dedupSimhash,
     "sim_topk" -> PipelineQueries.simTopK,
     "sim_ann" -> PipelineQueries.simAnn,
+    "sim_ivf" -> PipelineQueries.simIvf,
     "embed_neardup" -> PipelineQueries.embedNearDup,
     "text_langid" -> PipelineQueries.textLangId,
     "text_quality" -> PipelineQueries.textQuality,
@@ -37,6 +38,7 @@ object SparkEntry {
     "mm_meta" -> PipelineQueries.mmMeta,
     "mm_frames" -> PipelineQueries.mmFrames,
     "mm_features" -> PipelineQueries.mmFeatures,
+    "mm_resize" -> PipelineQueries.mmResize,
     "text_repetition" -> PipelineQueries.textRepetition,
     // classic analytic joins (engine-completeness demonstrations)
     "q_revenue_by_region" -> AnalyticsQueries.revenueByRegion,
@@ -52,6 +54,9 @@ object SparkEntry {
     "q_rollup" -> AnalyticsQueries.eventRollup,
     "q_moving_avg" -> AnalyticsQueries.movingAvg,
     "q_anti_join" -> AnalyticsQueries.clickNoPurchase,
+    "q_pivot" -> AnalyticsQueries.eventPivot,
+    "q_gaps" -> AnalyticsQueries.eventGaps,
+    "q_intersect" -> AnalyticsQueries.clickAndPurchase,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -76,6 +81,7 @@ object SparkEntry {
     "dedup_simhash" -> Oracles.dedupSimhash,
     "sim_topk" -> Oracles.simTopK,
     "sim_ann" -> Oracles.simAnn,
+    "sim_ivf" -> Oracles.simIvf,
     "embed_neardup" -> Oracles.embedNearDup,
     "text_langid" -> Oracles.textLangId,
     "text_quality" -> Oracles.textQuality,
@@ -83,6 +89,7 @@ object SparkEntry {
     "mm_meta" -> Oracles.mmMeta,
     "mm_frames" -> Oracles.mmFrames,
     "mm_features" -> Oracles.mmFeatures,
+    "mm_resize" -> Oracles.mmResize,
     "text_repetition" -> Oracles.textRepetition,
     "q_revenue_by_region" -> Oracles.revenueByRegion,
     "q_top_brands" -> Oracles.topBrands,
@@ -95,5 +102,8 @@ object SparkEntry {
     "q_rollup" -> Oracles.eventRollup,
     "q_moving_avg" -> Oracles.movingAvg,
     "q_anti_join" -> Oracles.clickNoPurchase,
+    "q_pivot" -> Oracles.eventPivot,
+    "q_gaps" -> Oracles.eventGaps,
+    "q_intersect" -> Oracles.clickAndPurchase,
   )
 }

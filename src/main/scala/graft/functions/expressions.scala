@@ -141,6 +141,47 @@ object VectorMath {
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
+  /** Whitespace token count; see [[WsTokenCount]]. Counts maximal
+   *  non-whitespace runs — equals
+   *  `size(filter(split(text, "\\s+"), w -> length(w) > 0))`. */
+  def wsTokenCount(s: String): Long = {
+    var i = 0
+    var n = 0L
+    val len = s.length
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      if (i < len) n += 1
+      while (i < len && !isWs(s.charAt(i))) i += 1
+    }
+    n
+  }
+
+  /** BPE-ish token count; see [[BpeishTokenCount]]. Counts matches of
+   *  `[a-z]+|[0-9]|[^a-z0-9\\s]` over the input (callers lowercase
+   *  first): one per maximal a-z run, one per other non-whitespace code
+   *  point (digits and punctuation tokenize per character; astral code
+   *  points count once, like Java regex). */
+  def bpeishTokenCount(s: String): Long = {
+    var i = 0
+    var n = 0L
+    val len = s.length
+    while (i < len) {
+      val c = s.charAt(i)
+      if (c >= 'a' && c <= 'z') {
+        n += 1
+        i += 1
+        while (i < len && s.charAt(i) >= 'a' && s.charAt(i) <= 'z') i += 1
+      } else if (isWs(c)) {
+        i += 1
+      } else {
+        n += 1
+        i += (if (Character.isHighSurrogate(c) && i + 1 < len &&
+          Character.isLowSurrogate(s.charAt(i + 1))) 2 else 1)
+      }
+    }
+    n
+  }
+
   /** Sign-random-projection bucket; see [[LshBucket]]. Plane signs come
    *  from Spark's XXH64 over (plane << 32 | dim) with seed 42, so the
    *  "random" hyperplanes are deterministic and identical on every
@@ -395,6 +436,46 @@ case class LangId(child: Expression)
     copy(child = newChild)
 }
 
+/** Whitespace-token count of a text: maximal non-whitespace runs, one
+ *  pass, no array allocation — equals the composed
+ *  `size(filter(split ...))` form (NativeExprSpec) without the regex
+ *  split and per-element lambda. */
+case class WsTokenCount(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.wsTokenCount(v.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.VectorMath.wsTokenCount($t.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** BPE-ish sub-word token count (pre-tokenizer regex
+ *  `[a-z]+|[0-9]|[^a-z0-9\s]` as a one-pass scan; callers lowercase the
+ *  input). Equals `size(regexp_extract_all(...))` (NativeExprSpec)
+ *  without materializing the match array. */
+case class BpeishTokenCount(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.bpeishTokenCount(v.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.VectorMath.bpeishTokenCount($t.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column wrappers for the native expressions. */
 object native {
   import org.apache.spark.sql.GraftColumnBridge
@@ -413,6 +494,12 @@ object native {
 
   def lang_id(text: Column): Column =
     GraftColumnBridge.column(LangId(GraftColumnBridge.expression(text)))
+
+  def ws_token_count(text: Column): Column =
+    GraftColumnBridge.column(WsTokenCount(GraftColumnBridge.expression(text)))
+
+  def bpeish_token_count(text: Column): Column =
+    GraftColumnBridge.column(BpeishTokenCount(GraftColumnBridge.expression(text)))
 
   def vec_dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(FloatVectorDot(GraftColumnBridge.expression(a),

@@ -36,6 +36,18 @@ object MultimodalOps {
     array((0 until frames).map(i =>
       hex(substring(bytes, i * stride + 1, frameLen))): _*)
 
+  /** Nearest-neighbor resize of a `w`x`h` single-channel byte image by
+   *  integer `factor`: keep the byte at every factor-th row/col
+   *  (top-left anchor). Row-local substring gather — no decode library
+   *  needed for this sampling step; a real codec pipeline would resize
+   *  post-decode inside [[decodePartitioned]]. Output hex, like
+   *  [[frameSample]]. */
+  def resizeNearest(bytes: Column, w: Int, h: Int, factor: Int): Column =
+    hex(concat((for {
+      r <- 0 until h by factor
+      c <- 0 until w by factor
+    } yield substring(bytes, r * w + c + 1, 1)): _*))
+
   /**
    * STUB decode: 16-bin byte-value histogram as the "extracted feature
    * vector". In production this is the image/audio decoder (???) —

@@ -91,6 +91,63 @@ object SimilarityOps {
         round(col("cos"), 4).as("cos_r"))
   }
 
+  /**
+   * IVF (inverted-file) approximate top-k — the second scale path next
+   * to [[annTopK]]'s LSH. Coarse quantizer: the first `nCells` vectors
+   * by vec_id act as centroids (a deterministic "training sample"; a
+   * production deployment would k-means them — the cell/probe structure
+   * is identical either way). Every corpus vector is assigned to its
+   * nearest centroid by cosine (ties -> smaller centroid id); a query
+   * probes its `nProbe` nearest cells and scores only vectors in them.
+   *
+   * Scale shape: the centroid matrix is collected once (nCells x dim —
+   * the trained quantizer artifact) and embedded as literals, so cell
+   * assignment is a row-local codegen'd projection over the corpus —
+   * zero shuffle, exactly how IVF ships its quantizer to every node.
+   * The probe join is a broadcast hash equi-join on cell id; only
+   * same-cell candidates are scored, never the whole corpus.
+   */
+  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents: Array[Seq[Float]] = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Float](1))
+    // same sequential double fold as l2Norm/the oracle: bit-identical
+    val cNorms = cents.map(c =>
+      math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+
+    def cellScores(e: Column, nrm: Column): Seq[Column] =
+      cents.indices.map(i => dot(e, typedlit(cents(i))) / (nrm * cNorms(i)))
+    // leftmost argmax: first centroid whose score >= every later score
+    def cellOf(scores: Seq[Column]): Column =
+      scores.zipWithIndex.foldLeft(lit(null).cast("int")) { case (acc, (s, i)) =>
+        val isMax = scores.drop(i + 1).foldLeft(lit(true))((c, o) => c && s >= o)
+        when(acc.isNotNull, acc).otherwise(when(isMax, lit(i)))
+      }
+    // nProbe nearest cells, row-local: sort (−score, cid) structs
+    def probeCells(scores: Seq[Column]): Column =
+      transform(slice(array_sort(array(scores.zipWithIndex.map { case (s, i) =>
+        struct((-s).as("ns"), lit(i).as("cid")) }: _*)), 1, nProbe),
+        p => p.getField("cid"))
+
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    val assigned = withNorm.withColumn("cell",
+      cellOf(cellScores(col("embedding"), col("nrm"))))
+    val probes = withNorm.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"),
+        explode(probeCells(cellScores(col("embedding"), col("nrm")))).as("cell"))
+    val scored = assigned.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")))
+    val rank = row_number().over(
+      Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id")))
+    scored.withColumn("rank", rank.cast("bigint")).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos_r"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, id1 < id2.
    *  Exact within-corpus variant (O(n^2) scoring — bound the corpus or
    *  pre-bucket with [[lshBucket]] at scale). */

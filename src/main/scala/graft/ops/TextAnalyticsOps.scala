@@ -65,13 +65,23 @@ object TextAnalyticsOps {
       stopRatio.as("stop_ratio"), alphaRatio.as("alpha_ratio"), score.as("score"))
   }
 
-  /** Whitespace token count. */
-  def wsTokenCount(text: Column): Column = size(words(text)).cast("long")
+  /** Whitespace token count (native one-pass kernel; bit-equal to the
+   *  split/filter form [[wsTokenCountHof]] — NativeExprSpec). */
+  def wsTokenCount(text: Column): Column =
+    graft.functions.native.ws_token_count(text)
+
+  /** Reference formulation of [[wsTokenCount]], kept for cross-checks. */
+  def wsTokenCountHof(text: Column): Column = size(words(text)).cast("long")
 
   /** BPE-ish sub-word token count: letter runs, single digits, single
-   *  punctuation — the classic pre-tokenizer regex shape. */
+   *  punctuation — the classic pre-tokenizer regex shape. Native
+   *  one-pass scan; bit-equal to [[bpeishTokenCountHof]]. */
   val BpeishPattern = "[a-z]+|[0-9]|[^a-z0-9\\s]"
   def bpeishTokenCount(text: Column): Column =
+    graft.functions.native.bpeish_token_count(lower(text))
+
+  /** Reference regex formulation of [[bpeishTokenCount]]. */
+  def bpeishTokenCountHof(text: Column): Column =
     size(regexp_extract_all(lower(text), lit(BpeishPattern), lit(0))).cast("long")
 
   /** Canonical document fingerprint: md5 of whitespace-collapsed,

@@ -161,6 +161,46 @@ object AnalyticsQueries {
     clicks.join(purchases, Seq("user_id", "day"), "left_anti")
   }
 
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot (long -> wide conditional aggregation): hourly event matrix,
+   *  one count column per event type. Explicit pivot values, so Catalyst
+   *  plans ONE hash aggregate — no type-discovery job, no per-type
+   *  re-scan of the fact table. */
+  def eventPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val wide = Tables.events(spark, sfDir)
+      .withColumn("hour", date_trunc("hour", col("ts")))
+      .groupBy(col("hour"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    wide.select(unix_millis(col("hour")).as("hour_ms") +:
+      EventTypes.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+  }
+
+  /** Lag-window analytics: per-user inter-event gaps (lag over an
+   *  event-time order with a deterministic tiebreak), then integer-exact
+   *  gap aggregates — the funnel/latency idiom. */
+  def eventGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+      .filter(col("prev_ms").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        max(col("ts_ms") - col("prev_ms")).as("max_gap_ms"),
+        sum(col("ts_ms") - col("prev_ms")).as("sum_gap_ms"))
+  }
+
+  /** Set intersection: users who both clicked and purchased. Spark plans
+   *  INTERSECT as aggregate + left-semi join — no double scan union
+   *  trick needed. */
+  def clickAndPurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.filter(col("event_type") === "click").select("user_id")
+      .intersect(ev.filter(col("event_type") === "purchase").select("user_id"))
+  }
+
   /** Top part brands by shipped quantity, deterministic tiebreak. */
   def topBrands(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir).select("l_partkey", "l_quantity")

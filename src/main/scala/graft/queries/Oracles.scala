@@ -292,6 +292,40 @@ object Oracles {
        |SELECT query_id, rank, neighbor_id, cos_r FROM r WHERE rank <= ${PipelineQueries.SimK}""".stripMargin
   }
 
+  /** Mirrors [[SimilarityOps.ivfTopK]] end-to-end, including the IVF
+   *  partitioning: the coarse quantizer is deterministic (centroids =
+   *  vec_id < IvfCells), so cells, probe lists, and candidate sets are
+   *  recomputable relationally — no literal tables needed. Cosines are
+   *  sequential double folds on both sides, so cell argmax and probe
+   *  ranking (score DESC, cid ASC) match exactly. */
+  val simIvf: String = {
+    val ids = PipelineQueries.SimQueryIds.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${dotSql.format("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS cid, embedding AS c_emb, nrm AS c_nrm
+       |      FROM e WHERE vec_id < ${PipelineQueries.IvfCells}),
+       |a AS (
+       |  SELECT vec_id, embedding, nrm, cid,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY ${dotSql.format("embedding", "c_emb")} / (nrm * c_nrm) DESC, cid) AS rnk
+       |  FROM e CROSS JOIN c),
+       |cells AS (SELECT vec_id, embedding, nrm, cid AS cell FROM a WHERE rnk = 1),
+       |qp AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm, cid AS cell
+       |       FROM a WHERE vec_id IN ($ids) AND rnk <= ${PipelineQueries.IvfProbe}),
+       |sc AS (
+       |  SELECT query_id, vec_id,
+       |         ${dotSql.format("embedding", "q_emb")} / (nrm * q_nrm) AS cos
+       |  FROM cells JOIN qp USING (cell) WHERE vec_id <> query_id),
+       |r AS (
+       |  SELECT query_id,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
+       |         vec_id AS neighbor_id, round(cos, 4) AS cos_r
+       |  FROM sc)
+       |SELECT query_id, rank, neighbor_id, cos_r FROM r WHERE rank <= ${PipelineQueries.SimK}""".stripMargin
+  }
+
   val embedNearDup: String =
     s"""WITH e AS (
        |  SELECT vec_id, embedding,
@@ -455,6 +489,29 @@ object Oracles {
       |SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
       |FROM events WHERE event_type = 'purchase'""".stripMargin
 
+  val eventPivot: String = {
+    val cols = AnalyticsQueries.EventTypes.map(t =>
+      s"count(*) FILTER (event_type = '$t') AS n_$t").mkString(",\n       ")
+    s"""SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+       |       $cols
+       |FROM events GROUP BY 1""".stripMargin
+  }
+
+  val eventGaps: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |         epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+      |           (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_gaps,
+      |       max(gap_ms) AS max_gap_ms, sum(gap_ms) AS sum_gap_ms
+      |FROM g WHERE gap_ms IS NOT NULL GROUP BY user_id""".stripMargin
+
+  val clickAndPurchase: String =
+    """SELECT user_id FROM events WHERE event_type = 'click'
+      |INTERSECT
+      |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin
+
   /** Word/2-gram repetition ratios; all divisions are int/int -> double
    *  single operations, engine-exact. */
   val textRepetition: String =
@@ -500,6 +557,15 @@ object Oracles {
        |SELECT doc_id, CAST(u.i AS INTEGER) AS frame_idx,
        |       substr(hx, u.i * 32 + 1, 16) AS frame_hex
        |FROM b CROSS JOIN (VALUES (0),(1),(2),(3)) u(i)""".stripMargin
+
+  /** Nearest-neighbor 8x8 -> 4x4 byte gather, recomputed on the blob's
+   *  hex form: byte p (1-based) is hex chars (p-1)*2+1..+2. */
+  val mmResize: String = {
+    val ps = for { r <- 0 until 8 by 2; c <- 0 until 8 by 2 } yield r * 8 + c + 1
+    val slices = ps.map(p => s"substr(hx, ${(p - 1) * 2 + 1}, 2)").mkString(" || ")
+    s"""WITH b AS (SELECT doc_id, $blobHexSql AS hx FROM documents)
+       |SELECT doc_id, $slices AS resized_hex FROM b""".stripMargin
+  }
 
   /** The decode stub's 16-bin high-nibble byte histogram, recomputed from
    *  the blob's hex form: byte i's high nibble is hex char 2i+1 (1-based),

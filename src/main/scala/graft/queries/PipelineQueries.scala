@@ -19,6 +19,8 @@ object PipelineQueries {
   val NearDupCos = 0.45 // max pairwise cosine in testdata is ~0.51
   val AnnBits = 8 // LSH hyperplanes for sim_ann
   val EmbeddingDim = 64 // embeddings.embedding dim (TESTDATA.md)
+  val IvfCells = 16 // IVF coarse-quantizer cells for sim_ivf
+  val IvfProbe = 4 // cells probed per query
 
   // ---- deduplication ------------------------------------------------------
 
@@ -66,6 +68,14 @@ object PipelineQueries {
   def simAnn(spark: SparkSession, sfDir: String): DataFrame =
     SimilarityOps.annTopK(Tables.embeddings(spark, sfDir), SimQueryIds, SimK,
       bits = 8)
+
+  /** IVF-partitioned approximate top-k (the second scale path next to
+   *  LSH). Deterministic coarse quantizer (first IvfCells vectors), so
+   *  the cells — and the candidate sets — are recomputable relationally
+   *  in DuckDB (Oracles.simIvf). */
+  def simIvf(spark: SparkSession, sfDir: String): DataFrame =
+    SimilarityOps.ivfTopK(Tables.embeddings(spark, sfDir), SimQueryIds, SimK,
+      nCells = IvfCells, nProbe = IvfProbe)
 
   /** Embedding near-duplicate pairs (cosine >= threshold). */
   def embedNearDup(spark: SparkSession, sfDir: String): DataFrame =
@@ -136,6 +146,16 @@ object PipelineQueries {
       .select(col("doc_id"), posexplode(
         MultimodalOps.frameSample(col("bytes"), frames = 4, frameLen = 8, stride = 16)))
       .toDF("doc_id", "frame_idx", "frame_hex")
+
+  /** Nearest-neighbor downsample of the blob viewed as an 8x8 byte
+   *  image, factor 2 -> 4x4 (16 bytes, hex). The resize "kernel" is a
+   *  row-local byte gather — the real-codec version slots into
+   *  decodePartitioned; the Spark-side shape (binary in, fixed-size
+   *  binary out, zero shuffle) is what the pipeline depends on. */
+  def mmResize(spark: SparkSession, sfDir: String): DataFrame =
+    blobs(spark, sfDir).select(col("doc_id"),
+      MultimodalOps.resizeNearest(col("bytes"), w = 8, h = 8, factor = 2)
+        .as("resized_hex"))
 
   /** Stub-decoded feature vectors, exploded to (doc_id, bin, cnt) rows.
    *  Long format keeps array columns out of the result (the driver's

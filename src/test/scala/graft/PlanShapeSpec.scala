@@ -56,6 +56,19 @@ class PlanShapeSpec extends SparkSpec {
       "band join must be a hash/sort-merge equi-join:\n" + p)
   }
 
+  test("pivot with explicit values plans ONE aggregate pass, no re-scans") {
+    val p = plan("q_pivot")
+    // one scan of events; pivot must not expand to per-type scans
+    assert("FileScan parquet".r.findAllIn(p).size == 1, "pivot re-scans:\n" + p)
+  }
+
+  test("IVF probe join is a broadcast hash equi-join; assignment is row-local") {
+    val p = plan("sim_ivf")
+    assert(p.contains("BroadcastHashJoin"), "probe join must broadcast:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "IVF must never fall back to all-pairs:\n" + p)
+  }
+
   test("scans prune columns (wordcount reads only text)") {
     val p = SparkEntry.queries("wordcount")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -84,6 +84,26 @@ class NativeExprSpec extends SparkSpec {
     assert(nulls.head == (("und", "und")))
   }
 
+  test("token-count kernels equal the split/regex formulations") {
+    val df = Seq(
+      "the quick brown fox",
+      "  leading\tand   multiple\nwhitespace  runs ",
+      "don't stop! 42 is a number, ok?",
+      "ABC Mixed-CASE 123 ... (parens)",
+      "único wörd ünïcode  nbsp", // NBSP is NOT Java \\s
+      "emoji 😀 pair", // astral code point counts once
+      "").toDF("text")
+    import graft.ops.TextAnalyticsOps._
+    val rows = df.select(
+      wsTokenCount(col("text")).as("wn"), wsTokenCountHof(col("text")).as("wh"),
+      bpeishTokenCount(col("text")).as("bn"), bpeishTokenCountHof(col("text")).as("bh"))
+      .as[(Long, Long, Long, Long)].collect()
+    rows.foreach { case (wn, wh, bn, bh) =>
+      assert(wn == wh, s"ws: $wn != $wh")
+      assert(bn == bh, s"bpe: $bn != $bh")
+    }
+  }
+
   test("ProjectedDist is bit-identical to the composed column math") {
     val df = Seq(
       (40.1, -73.9, 95.0, 12.5, 40.6, -73.2, 270.0, 3.75),

@@ -41,6 +41,27 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(ann.contains(1L)) // 0.9938 cosine -> same bucket under any plane set
   }
 
+  test("ivfTopK: full recall when every cell is probed, subset when not") {
+    // 8 vectors; centroids = first 4 (nCells=4). Probing all 4 cells
+    // must reproduce brute force exactly; probing 1 cell returns a
+    // subset ranked the same way.
+    val corpus = Seq(
+      (0L, vec(1, 0, 0, 0)), (1L, vec(0, 1, 0, 0)),
+      (2L, vec(0, 0, 1, 0)), (3L, vec(0, 0, 0, 1)),
+      (4L, vec(0.9, 0.1, 0, 0)), (5L, vec(0.1, 0.9, 0, 0)),
+      (6L, vec(0, 0.1, 0.9, 0)), (7L, vec(0.5, 0.5, 0, 0)))
+      .toDF("vec_id", "embedding")
+    val brute = SimilarityOps.cosineTopK(corpus, Seq(0L), 5)
+      .select("rank", "neighbor_id").as[(Long, Long)].collect().toSeq
+    val full = SimilarityOps.ivfTopK(corpus, Seq(0L), 5, nCells = 4, nProbe = 4)
+      .select("rank", "neighbor_id").as[(Long, Long)].collect().toSeq
+    assert(full == brute)
+    val one = SimilarityOps.ivfTopK(corpus, Seq(0L), 5, nCells = 4, nProbe = 1)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(one.subsetOf(brute.map(_._2).toSet))
+    assert(one.contains(4L)) // nearest neighbor shares v0's cell
+  }
+
   test("embeddingNearDups returns canonical ordered pairs above threshold") {
     val pairs = SimilarityOps.embeddingNearDups(emb, 0.99)
       .select("id1", "id2").as[(Long, Long)].collect().toSet

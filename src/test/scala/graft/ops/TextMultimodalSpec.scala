@@ -7,6 +7,17 @@ import graft.SparkSpec
 class TextMultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("resizeNearest gathers the factor-strided bytes, top-left anchor") {
+    import spark.implicits._
+    // 2x2 from a 4x4 byte "image" 00..0F: keep rows 0,2 cols 0,2 ->
+    // bytes 0x00, 0x02, 0x08, 0x0A
+    val img = Seq(Tuple1((0 until 16).map(_.toByte).toArray)).toDF("bytes")
+    val out = img.select(
+      MultimodalOps.resizeNearest(col("bytes"), w = 4, h = 4, factor = 2))
+      .as[String].head()
+    assert(out == "0002080A")
+  }
+
   test("langId: stopword argmax with precedence, und when no hits") {
     val df = Seq(
       (1L, "the cat and the dog of a house"),
