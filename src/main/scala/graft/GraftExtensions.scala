@@ -39,10 +39,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bpeish_token_count"),
       new ExpressionInfo(classOf[BpeishTokenCount].getName, "bpeish_token_count"),
       (args: Seq[Expression]) => BpeishTokenCount(args.head)))
+    // coalesce to 'und' so SQL callers get the same null contract as the
+    // Scala path (TextAnalyticsOps.langId: null text -> 'und')
     ext.injectFunction((
       FunctionIdentifier("lang_id"),
       new ExpressionInfo(classOf[LangId].getName, "lang_id"),
-      (args: Seq[Expression]) => LangId(args.head)))
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.Coalesce(
+          Seq(LangId(args.head), Literal("und")))))
     // int-literal second arguments (n / bits / portable flag)
     ext.injectFunction((
       FunctionIdentifier("shingle_hashes"),

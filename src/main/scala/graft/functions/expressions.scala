@@ -207,6 +207,59 @@ object VectorMath {
     bucket
   }
 
+  /** IVF coarse-quantizer probe list; see [[IvfProbeCells]]. Returns the
+   *  `nProbe` nearest centroid ids by cosine, best first, ties → smaller
+   *  cid. Exactly equal to sorting structs of (ns = −coalesce(dot/
+   *  nullif(|e||c|, 0), −∞), cid) ascending and taking the first nProbe
+   *  cids: zero-denominator cosines rank last (ns = +∞), NaN scores rank
+   *  after even those (Double.compare: NaN > +∞ — Spark's double
+   *  ordering), equal scores break to the smaller cid. */
+  def ivfProbeCells(emb: ArrayData, cents: Array[Array[Float]],
+      cNorms: Array[Double], nProbe: Int): ArrayData = {
+    val dim = emb.numElements()
+    var nsq = 0.0
+    var i = 0
+    while (i < dim) {
+      val x = emb.getFloat(i).toDouble
+      nsq += x * x
+      i += 1
+    }
+    val nrm = math.sqrt(nsq)
+    val n = cents.length
+    val ns = new Array[Double](n) // negated score: smaller = nearer
+    var c = 0
+    while (c < n) {
+      val cent = cents(c)
+      val m = math.min(dim, cent.length)
+      var acc = 0.0
+      var j = 0
+      while (j < m) {
+        acc += emb.getFloat(j).toDouble * cent(j).toDouble
+        j += 1
+      }
+      val denom = nrm * cNorms(c)
+      ns(c) = if (denom == 0.0) Double.PositiveInfinity else -(acc / denom)
+      c += 1
+    }
+    val k = math.min(nProbe, n)
+    val out = new Array[Int](k)
+    val used = new Array[Boolean](n)
+    var r = 0
+    while (r < k) {
+      var best = -1
+      var c2 = 0
+      while (c2 < n) {
+        if (!used(c2) &&
+          (best == -1 || java.lang.Double.compare(ns(c2), ns(best)) < 0)) best = c2
+        c2 += 1
+      }
+      used(best) = true
+      out(r) = best
+      r += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** SimHash-64 fold over feature hashes: bit j of the result is the
    *  sign of sum_i(((h_i >> j) & 1) * 2 - 1). */
   def simhash(hashes: ArrayData): Long = {
@@ -391,6 +444,39 @@ case class WordHashes(child: Expression, portable: Boolean)
 }
 
 /**
+ * IVF coarse-quantizer probe list for a float vector: the `nProbe`
+ * nearest centroid ids by cosine (best first, ties → smaller cid).
+ * The trained quantizer (centroids + their norms) rides along as an
+ * expression *reference object*, not as plan literals: the composed
+ * column form (an array of 16 per-centroid score structs, each with a
+ * 64-float literal) is a ~2000-node tree that Catalyst's constraint
+ * propagation re-canonicalizes combinatorially once the result becomes
+ * a join key — measured 66 s of driver time at any data size — and a
+ * single opaque node sidesteps that while also JIT-ing as one kernel.
+ */
+case class IvfProbeCells(child: Expression, centroids: Array[Array[Float]],
+    cNorms: Array[Double], nProbe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.ivfProbeCells(v.asInstanceOf[ArrayData], centroids, cNorms, nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val nRef = ctx.addReferenceObj("cNorms", cNorms, "double[]")
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorMath.ivfProbeCells($a, $cRef, $nRef, $nProbe)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * 64-bit SimHash over an array of 64-bit feature hashes: per bit, sum
  * +1/-1 across features; the sign becomes the bit. Native kernel — the
  * equivalent nested HOF fold (aggregate over zip_with per bit) is
@@ -504,6 +590,11 @@ object native {
   def vec_dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(FloatVectorDot(GraftColumnBridge.expression(a),
       GraftColumnBridge.expression(b)))
+
+  def ivf_probe_cells(emb: Column, centroids: Array[Array[Float]],
+      cNorms: Array[Double], nProbe: Int): Column =
+    GraftColumnBridge.column(IvfProbeCells(GraftColumnBridge.expression(emb),
+      centroids, cNorms, nProbe))
 
   def projected_dist(lat1: Column, lng1: Column, trak1: Column, distKm1: Column,
       lat2: Column, lng2: Column, trak2: Column, distKm2: Column): Column =

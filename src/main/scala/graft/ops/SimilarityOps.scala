@@ -116,28 +116,25 @@ object SimilarityOps {
     val cNorms = cents.map(c =>
       math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
 
-    def cellScores(e: Column, nrm: Column): Seq[Column] =
-      cents.indices.map(i => dot(e, typedlit(cents(i))) / (nrm * cNorms(i)))
-    // leftmost argmax: first centroid whose score >= every later score
-    def cellOf(scores: Seq[Column]): Column =
-      scores.zipWithIndex.foldLeft(lit(null).cast("int")) { case (acc, (s, i)) =>
-        val isMax = scores.drop(i + 1).foldLeft(lit(true))((c, o) => c && s >= o)
-        when(acc.isNotNull, acc).otherwise(when(isMax, lit(i)))
-      }
-    // nProbe nearest cells, row-local: sort (−score, cid) structs
-    def probeCells(scores: Seq[Column]): Column =
-      transform(slice(array_sort(array(scores.zipWithIndex.map { case (s, i) =>
-        struct((-s).as("ns"), lit(i).as("cid")) }: _*)), 1, nProbe),
-        p => p.getField("cid"))
-
+    // Cell assignment / probe ranking is ONE native expression node
+    // (graft.functions.IvfProbeCells): nearest cells by cosine, best
+    // first, ties → smaller cid, zero-norm → −∞ score (ranks last, same
+    // on the DuckDB side via nullif/coalesce). The quantizer rides along
+    // as a codegen reference object, not as plan literals — the composed
+    // per-centroid-struct form was a ~2000-node tree that (a) round 2's
+    // self-referencing when-fold made exponential (the 2 GiB-plan hang)
+    // and (b) even flattened, cost ~66 s of driver-side constraint
+    // propagation once `cell` became a join key.
+    val centArr = cents.map(_.toArray)
     val withNorm = emb.select(col("vec_id"), col("embedding"),
       l2Norm(col("embedding")).as("nrm"))
-    val assigned = withNorm.withColumn("cell",
-      cellOf(cellScores(col("embedding"), col("nrm"))))
+    val assigned = withNorm.withColumn("cell", element_at(
+      graft.functions.native.ivf_probe_cells(col("embedding"), centArr, cNorms, 1), 1))
     val probes = withNorm.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"),
-        explode(probeCells(cellScores(col("embedding"), col("nrm")))).as("cell"))
+        explode(graft.functions.native.ivf_probe_cells(col("embedding"),
+          centArr, cNorms, nProbe)).as("cell"))
     val scored = assigned.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")))

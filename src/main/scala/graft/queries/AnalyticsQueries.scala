@@ -181,7 +181,10 @@ object AnalyticsQueries {
    *  event-time order with a deterministic tiebreak), then integer-exact
    *  gap aggregates — the funnel/latency idiom. */
   def eventGaps(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // order by the projected ts_ms (ts itself is projected away below);
+    // the gap aggregates are invariant to which equal-ts_ms row comes
+    // first, so this still matches the oracle's ORDER BY ts, event_id
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
     Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"))
       .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))

@@ -309,7 +309,8 @@ object Oracles {
        |a AS (
        |  SELECT vec_id, embedding, nrm, cid,
        |         row_number() OVER (PARTITION BY vec_id
-       |           ORDER BY ${dotSql.format("embedding", "c_emb")} / (nrm * c_nrm) DESC, cid) AS rnk
+       |           ORDER BY coalesce(${dotSql.format("embedding", "c_emb")} / nullif(nrm * c_nrm, 0),
+       |                             CAST('-infinity' AS DOUBLE)) DESC, cid) AS rnk
        |  FROM e CROSS JOIN c),
        |cells AS (SELECT vec_id, embedding, nrm, cid AS cell FROM a WHERE rnk = 1),
        |qp AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm, cid AS cell

@@ -12,6 +12,17 @@ class PlanShapeSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
+  test("plan trees stay bounded (no exponential expression blowup)") {
+    // round-2 regression: a when-chain fold that referenced its own
+    // accumulator twice per step made sim_ivf's plan 2^16x larger (a
+    // 2 GiB plan string) and hung the bench at plan stringification
+    SparkEntry.queries.keys.foreach { name =>
+      val len = plan(name).length
+      assert(len < 2 * 1000 * 1000,
+        s"$name plan string is $len chars - expression tree blowup?")
+    }
+  }
+
   test("no accidental cartesian products anywhere") {
     SparkEntry.queries.keys.foreach { name =>
       assert(!plan(name).contains("CartesianProduct"),

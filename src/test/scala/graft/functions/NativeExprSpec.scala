@@ -19,6 +19,38 @@ class NativeExprSpec extends SparkSpec {
     rows.foreach { case (n, h) => assert(n == h) } // exact, not approx
   }
 
+  test("IvfProbeCells equals the composed (-score, cid) struct-sort form") {
+    val cents: Array[Array[Float]] = Array(
+      Array(1.0f, 0.0f, 0.0f),
+      Array(0.0f, 1.0f, 0.0f),
+      Array(0.7f, 0.7f, 0.0f),
+      Array(0.0f, 0.0f, 0.0f), // zero-norm centroid -> -inf score, ranks last
+      Array(-1.0f, 0.0f, 0.0f))
+    val cNorms = cents.map(c =>
+      math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+    val df = Seq(
+      Seq(1.0f, 0.1f, 0.0f),
+      Seq(0.1f, 1.0f, 0.0f),
+      Seq(0.5f, 0.5f, 0.5f),
+      Seq(-2.0f, 0.0f, 1.0f),
+      Seq(0.0f, 0.0f, 0.0f) // zero-norm vector: every score -inf -> cid order
+    ).toDF("e")
+    val nrm = sqrt(SimilarityOps.dot(col("e"), col("e")))
+    val composed = df.select(transform(slice(array_sort(array(
+      cents.indices.map { i =>
+        val s = coalesce(
+          SimilarityOps.dot(col("e"), typedlit(cents(i).toSeq)) /
+            nullif(nrm * cNorms(i), lit(0.0)),
+          lit(Double.NegativeInfinity))
+        struct((-s).as("ns"), lit(i).as("cid"))
+      }: _*)), 1, 3), p => p.getField("cid")).as("cells"))
+      .as[Seq[Int]].collect()
+    val nativeC = df.select(
+      native.ivf_probe_cells(col("e"), cents, cNorms, 3).as("cells"))
+      .as[Seq[Int]].collect()
+    assert(composed.toSeq == nativeC.toSeq)
+  }
+
   test("FloatVectorDot null propagation") {
     val df = Seq((Option(Seq(1.0f)), Option.empty[Seq[Float]])).toDF("a", "b")
     val r = df.select(SimilarityOps.dot(col("a"), col("b"))).collect()
