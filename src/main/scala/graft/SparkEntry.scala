@@ -32,6 +32,7 @@ object SparkEntry {
     "sim_ann" -> PipelineQueries.simAnn,
     "sim_ivf" -> PipelineQueries.simIvf,
     "embed_neardup" -> PipelineQueries.embedNearDup,
+    "embed_neardup_lsh" -> PipelineQueries.embedNearDupLsh,
     "text_langid" -> PipelineQueries.textLangId,
     "text_quality" -> PipelineQueries.textQuality,
     "text_tokens" -> PipelineQueries.textTokens,
@@ -40,6 +41,7 @@ object SparkEntry {
     "mm_features" -> PipelineQueries.mmFeatures,
     "mm_resize" -> PipelineQueries.mmResize,
     "text_repetition" -> PipelineQueries.textRepetition,
+    "pipeline_curate" -> PipelineQueries.pipelineCurate,
     // classic analytic joins (engine-completeness demonstrations)
     "q_revenue_by_region" -> AnalyticsQueries.revenueByRegion,
     "q_top_brands" -> AnalyticsQueries.topBrands,
@@ -83,6 +85,7 @@ object SparkEntry {
     "sim_ann" -> Oracles.simAnn,
     "sim_ivf" -> Oracles.simIvf,
     "embed_neardup" -> Oracles.embedNearDup,
+    "embed_neardup_lsh" -> Oracles.embedNearDupLsh,
     "text_langid" -> Oracles.textLangId,
     "text_quality" -> Oracles.textQuality,
     "text_tokens" -> Oracles.textTokens,
@@ -91,6 +94,7 @@ object SparkEntry {
     "mm_features" -> Oracles.mmFeatures,
     "mm_resize" -> Oracles.mmResize,
     "text_repetition" -> Oracles.textRepetition,
+    "pipeline_curate" -> Oracles.pipelineCurate,
     "q_revenue_by_region" -> Oracles.revenueByRegion,
     "q_top_brands" -> Oracles.topBrands,
     "sessionize" -> Oracles.sessionize,

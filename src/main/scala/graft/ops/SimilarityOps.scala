@@ -145,6 +145,50 @@ object SimilarityOps {
         round(col("cos"), 4).as("cos_r"))
   }
 
+  /**
+   * LSH-blocked near-duplicate pairs — the 100 TB path next to the
+   * exact [[embeddingNearDups]]: `tables` independent bands of `bits`
+   * sign bits each (OR-amplification — a pair is a candidate if ANY
+   * band's sub-bucket matches, the standard recall fix for moderate
+   * cosine thresholds where a single wide bucket misses almost
+   * everything). One [[lshBucket]] kernel call computes all
+   * bits×tables planes; band sub-buckets are bit-sliced from it.
+   * Candidates flow as distinct (id1, id2) pairs through a self
+   * equi-join on (band, bucket) — shuffle hash join on small keys,
+   * no broadcast, no nested loop; vectors are re-joined by id only
+   * for the surviving candidates (documents-never-shuffle pattern,
+   * same as the text dedup ops). Recall is the LSH approximation
+   * itself; the oracle (Oracles.embedNearDupLsh) mirrors the banding
+   * exactly via the deterministic sign table, and SimilarityOpsSpec
+   * asserts pairs ⊆ the exact variant's pairs.
+   */
+  def embeddingNearDupsLsh(emb: DataFrame, threshold: Double,
+      bits: Int = 4, tables: Int = 8): DataFrame = {
+    require(bits * tables <= 63, "bits * tables must fit in a long")
+    val mask = (1L << bits) - 1
+    val withB = emb.select(col("vec_id"),
+      lshBucket(col("embedding"), bits * tables).as("allbits"))
+    val banded = withB.select(col("vec_id"),
+      posexplode(array((0 until tables).map(t =>
+        shiftrightunsigned(col("allbits"), t * bits).bitwiseAND(lit(mask))): _*)))
+      .toDF("vec_id", "band", "bucket")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+      .distinct()
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    cand
+      .join(withNorm.select(col("vec_id").as("id1"), col("embedding").as("e1"),
+        col("nrm").as("n1")), "id1")
+      .join(withNorm.select(col("vec_id").as("id2"), col("embedding").as("e2"),
+        col("nrm").as("n2")), "id2")
+      .withColumn("cos", cosine(col("e1"), col("e2"), col("n1"), col("n2")))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos_r"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, id1 < id2.
    *  Exact within-corpus variant (O(n^2) scoring — bound the corpus or
    *  pre-bucket with [[lshBucket]] at scale). */

@@ -251,10 +251,11 @@ object Oracles {
    *  generated here by calling the same hash function the kernel calls.
    *  Projection sums are sequential double folds on both sides, so the
    *  bucket ids — and therefore the candidate sets — match exactly. */
-  val simAnn: String = {
-    val bits = PipelineQueries.AnnBits
-    val dim = PipelineQueries.EmbeddingDim
-    val planeRows = (0 until bits).map { p =>
+  /** Deterministic hyperplane sign table as SQL VALUES rows — generated
+   *  by calling the same hash (XXH64 of plane<<32|dim, seed 42) the
+   *  LshBucket kernel calls, so SQL-side buckets match exactly. */
+  private def lshPlanesSql(bits: Int, dim: Int): String =
+    (0 until bits).map { p =>
       val signs = (0 until dim).map { d =>
         val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
           (p.toLong << 32) | d.toLong, org.apache.spark.sql.types.LongType, 42L)
@@ -262,12 +263,11 @@ object Oracles {
       }.mkString(",")
       s"($p, [$signs])"
     }.mkString(",\n")
-    val ids = PipelineQueries.SimQueryIds.mkString(", ")
-    s"""WITH e AS (
-       |  SELECT vec_id, embedding,
-       |         sqrt(${dotSql.format("embedding", "embedding")}) AS nrm
-       |  FROM embeddings),
-       |planes(p, s) AS (VALUES $planeRows),
+
+  /** Shared bucket-assignment CTEs (planes -> per-plane sign bit ->
+   *  bucket id), appended after an `e(vec_id, embedding, nrm)` CTE. */
+  private def lshBucketCtes(bits: Int, dim: Int): String =
+    s"""planes(p, s) AS (VALUES ${lshPlanesSql(bits, dim)}),
        |proj AS (
        |  SELECT vec_id, pl.p,
        |         CASE WHEN list_sum(list_transform(range(0, $dim),
@@ -276,7 +276,17 @@ object Oracles {
        |  FROM e CROSS JOIN planes pl),
        |bkt AS (SELECT vec_id, sum(pv)::BIGINT AS bucket FROM proj GROUP BY 1),
        |eb AS (SELECT e.vec_id, e.embedding, e.nrm, b.bucket
-       |       FROM e JOIN bkt b USING (vec_id)),
+       |       FROM e JOIN bkt b USING (vec_id))""".stripMargin
+
+  val simAnn: String = {
+    val bits = PipelineQueries.AnnBits
+    val dim = PipelineQueries.EmbeddingDim
+    val ids = PipelineQueries.SimQueryIds.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${dotSql.format("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |${lshBucketCtes(bits, dim)},
        |q AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm,
        |             bucket AS q_bucket
        |      FROM eb WHERE vec_id IN ($ids)),
@@ -325,6 +335,38 @@ object Oracles {
        |         vec_id AS neighbor_id, round(cos, 4) AS cos_r
        |  FROM sc)
        |SELECT query_id, rank, neighbor_id, cos_r FROM r WHERE rank <= ${PipelineQueries.SimK}""".stripMargin
+  }
+
+  /** Mirrors [[SimilarityOps.embeddingNearDupsLsh]] end-to-end: same
+   *  deterministic sign table, same bits×tables banding, distinct
+   *  candidate pairs from ANY matching band — the oracle checks the
+   *  OR-amplified LSH approximation itself. */
+  val embedNearDupLsh: String = {
+    val bits = PipelineQueries.NearDupBits
+    val tables = PipelineQueries.NearDupTables
+    val dim = PipelineQueries.EmbeddingDim
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${dotSql.format("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |planes(p, s) AS (VALUES ${lshPlanesSql(bits * tables, dim)}),
+       |proj AS (
+       |  SELECT vec_id, pl.p,
+       |         list_sum(list_transform(range(0, $dim),
+       |           d -> CAST(embedding[d+1] AS DOUBLE) * pl.s[d+1])) AS pr
+       |  FROM e CROSS JOIN planes pl),
+       |bkt AS (
+       |  SELECT vec_id, CAST(p // $bits AS INT) AS band,
+       |         sum(CASE WHEN pr >= 0 THEN (1::BIGINT << (p % $bits)) ELSE 0 END)::BIGINT AS bucket
+       |  FROM proj GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM bkt a JOIN bkt b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT id1, id2,
+       |       round(${dotSql.format("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm), 4) AS cos_r
+       |FROM cand JOIN e ea ON id1 = ea.vec_id JOIN e eb ON id2 = eb.vec_id
+       |WHERE ${dotSql.format("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) >= ${PipelineQueries.NearDupCos}""".stripMargin
   }
 
   val embedNearDup: String =
@@ -378,6 +420,39 @@ object Oracles {
        |  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS ws_tokens,
        |  CAST(len(regexp_extract_all(lower(text), '${graft.ops.TextAnalyticsOps.BpeishPattern}')) AS BIGINT) AS bpe_tokens
        |FROM documents""".stripMargin
+
+  /** Mirrors [[PipelineQueries.pipelineCurate]]: same feature math as
+   *  textQuality, same lang CASE as textLangId, same fingerprint as
+   *  dedupFingerprint, composed the same way. */
+  val pipelineCurate: String = {
+    val stops = stopListSql(graft.ops.TextAnalyticsOps.Stopwords.head._2)
+    s"""WITH f AS (
+       |  SELECT doc_id, text,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, text,
+       |         CAST(len(ws) AS BIGINT) AS n_words,
+       |         length(regexp_replace(text, '\\s+', '', 'g')) / nullif(len(ws), 0) AS mean_wlen,
+       |         len(list_filter(ws, w -> w IN ($stops))) / nullif(len(ws), 0) AS stop_ratio,
+       |         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / nullif(length(text), 0) AS alpha_ratio,
+       |         $langScores
+       |  FROM f),
+       |k AS (
+       |  SELECT doc_id, text, n_words,
+       |         stop_ratio * 0.4 + alpha_ratio * 0.3 + least(mean_wlen / 10.0, 1.0) * 0.3 AS score,
+       |         CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |              WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+       |              WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
+       |              WHEN s_fr > 0 THEN 'fr'
+       |              ELSE 'und' END AS lang_pred
+       |  FROM g)
+       |SELECT min(doc_id) AS doc_id, n_words, score, count(*) AS n_copies
+       |FROM k
+       |WHERE lang_pred = 'en' AND score >= ${PipelineQueries.CurateMinScore}
+       |  AND n_words >= ${PipelineQueries.CurateMinWords}
+       |GROUP BY md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))), n_words, score""".stripMargin
+  }
 
   val revenueByRegion: String =
     """SELECT r_name,

@@ -18,6 +18,8 @@ object PipelineQueries {
   val SimK = 10
   val NearDupCos = 0.45 // max pairwise cosine in testdata is ~0.51
   val AnnBits = 8 // LSH hyperplanes for sim_ann
+  val NearDupBits = 4 // sign bits per LSH band for embed_neardup_lsh
+  val NearDupTables = 8 // OR-amplified bands (any-band match -> candidate)
   val EmbeddingDim = 64 // embeddings.embedding dim (TESTDATA.md)
   val IvfCells = 16 // IVF coarse-quantizer cells for sim_ivf
   val IvfProbe = 4 // cells probed per query
@@ -81,6 +83,12 @@ object PipelineQueries {
   def embedNearDup(spark: SparkSession, sfDir: String): DataFrame =
     SimilarityOps.embeddingNearDups(Tables.embeddings(spark, sfDir), NearDupCos)
 
+  /** LSH-blocked near-dup pairs (the 100 TB path: banded same-bucket
+   *  equi-join instead of all-pairs; oracle mirrors the banding). */
+  def embedNearDupLsh(spark: SparkSession, sfDir: String): DataFrame =
+    SimilarityOps.embeddingNearDupsLsh(Tables.embeddings(spark, sfDir),
+      NearDupCos, bits = NearDupBits, tables = NearDupTables)
+
   // ---- text analysis ------------------------------------------------------
 
   def textLangId(spark: SparkSession, sfDir: String): DataFrame =
@@ -126,6 +134,33 @@ object PipelineQueries {
         (col("top_c") / col("n_words")).as("top_word_frac"),
         when(col("t2") > 0, (col("t2") - col("d2")) / col("t2")).as("dup_2gram_frac"))
   }
+
+  val CurateMinScore = 0.40
+  val CurateMinWords = 20L
+
+  /**
+   * End-to-end curation pass — the composition a real training-data
+   * pipeline runs, as ONE declarative plan: enrich every document with
+   * language + quality signals (row-local projections, zero shuffle),
+   * keep English docs above quality/length thresholds, then collapse
+   * exact duplicates to their canonical survivor (min doc_id per
+   * normalized fingerprint — one two-phase hash agg, the only shuffle
+   * in the query; grouping also by n_words/score is free since dup
+   * texts share them, and keeps the columns without a second pass).
+   */
+  def pipelineCurate(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        TextAnalyticsOps.langId(col("text")).as("lang_pred"),
+        TextAnalyticsOps.qualityFeatures(col("text")).as("q"))
+      .select(col("doc_id"), col("text"), col("lang_pred"),
+        col("q.n_words").as("n_words"), col("q.score").as("score"))
+      .filter(col("lang_pred") === "en" &&
+        col("score") >= CurateMinScore && col("n_words") >= CurateMinWords)
+      .groupBy(TextAnalyticsOps.fingerprint(col("text")).as("fp"),
+        col("n_words"), col("score"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_words"), col("score"), col("n_copies"))
 
   // ---- multimodal columns -------------------------------------------------
 

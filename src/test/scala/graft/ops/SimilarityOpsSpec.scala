@@ -69,4 +69,14 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(pairs.forall(p => p._1 < p._2))
     assert(!pairs.exists(p => p._2 == 3L)) // opposite vector is not a near-dup
   }
+
+  test("embeddingNearDupsLsh pairs are a subset of exact; near-identical found") {
+    val exact = SimilarityOps.embeddingNearDups(emb, 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val lsh = SimilarityOps.embeddingNearDupsLsh(emb, 0.9, bits = 4, tables = 8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    // near-identical vectors agree on every plane -> every band matches
+    assert(lsh.contains((0L, 1L)))
+  }
 }
