@@ -31,6 +31,7 @@ object SparkEntry {
     "sim_topk" -> PipelineQueries.simTopK,
     "sim_ann" -> PipelineQueries.simAnn,
     "sim_ivf" -> PipelineQueries.simIvf,
+    "sim_ivf_kmeans" -> PipelineQueries.simIvfKmeans,
     "embed_neardup" -> PipelineQueries.embedNearDup,
     "embed_neardup_lsh" -> PipelineQueries.embedNearDupLsh,
     "text_langid" -> PipelineQueries.textLangId,
@@ -84,6 +85,7 @@ object SparkEntry {
     "sim_topk" -> Oracles.simTopK,
     "sim_ann" -> Oracles.simAnn,
     "sim_ivf" -> Oracles.simIvf,
+    "sim_ivf_kmeans" -> Oracles.simIvfKmeans,
     "embed_neardup" -> Oracles.embedNearDup,
     "embed_neardup_lsh" -> Oracles.embedNearDupLsh,
     "text_langid" -> Oracles.textLangId,

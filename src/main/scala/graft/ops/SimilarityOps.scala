@@ -108,24 +108,76 @@ object SimilarityOps {
    * same-cell candidates are scored, never the whole corpus.
    */
   def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents: Array[Seq[Float]] = emb.filter(col("vec_id") < nCells)
-      .select(col("vec_id"), col("embedding")).collect()
-      .sortBy(_.getLong(0)).map(_.getSeq[Float](1))
-    // same sequential double fold as l2Norm/the oracle: bit-identical
-    val cNorms = cents.map(c =>
-      math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+      nCells: Int = 16, nProbe: Int = 4): DataFrame =
+    ivfTopKWith(emb, queryIds, k, seedCentroids(emb, nCells), nProbe)
 
-    // Cell assignment / probe ranking is ONE native expression node
-    // (graft.functions.IvfProbeCells): nearest cells by cosine, best
-    // first, ties → smaller cid, zero-norm → −∞ score (ranks last, same
-    // on the DuckDB side via nullif/coalesce). The quantizer rides along
-    // as a codegen reference object, not as plan literals — the composed
-    // per-centroid-struct form was a ~2000-node tree that (a) round 2's
-    // self-referencing when-fold made exponential (the 2 GiB-plan hang)
-    // and (b) even flattened, cost ~66 s of driver-side constraint
-    // propagation once `cell` became a join key.
-    val centArr = cents.map(_.toArray)
+  /** The deterministic "training sample" quantizer: the first `nCells`
+    * vectors by vec_id. [[kmeansCentroids]] is the trained variant. */
+  def seedCentroids(emb: DataFrame, nCells: Int): Array[Array[Float]] =
+    emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Float](1).toArray)
+
+  /**
+   * Lloyd's k-means over the corpus: assign every vector to its
+   * nearest-by-cosine centroid (the same [[graft.functions.IvfProbeCells]]
+   * kernel the query path uses), recompute each centroid as the mean of
+   * its members, repeat. Per-dimension sums are DECIMAL-exact (a double
+   * sum is accumulation-order dependent across partitions — the trained
+   * centroids would differ run to run and could never be
+   * oracle-reproduced); the only float rounding is the final
+   * exact-sum → double → /n → float chain, which any engine reproduces
+   * deterministically. Each iteration is one row-local assignment
+   * projection + one two-phase hash agg whose shuffle carries
+   * k × dim partials per map partition — the corpus never shuffles.
+   * Empty cells keep their previous centroid.
+   */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): Array[Array[Float]] = {
+    var cents = seedCentroids(emb, k)
+    for (_ <- 0 until iters) {
+      val cNorms = cents.map(c =>
+        math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+      val stats = emb
+        .withColumn("cell", element_at(
+          graft.functions.native.ivf_probe_cells(col("embedding"), cents, cNorms, 1), 1))
+        .select(col("cell"), posexplode(col("embedding")))
+        .toDF("cell", "d", "v")
+        .groupBy(col("cell"), col("d"))
+        .agg(sum(col("v").cast("decimal(20,10)")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone)
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          (r.getDecimal(2).doubleValue() / r.getLong(3)).toFloat
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** IVF top-k with a k-means-trained quantizer (the production IVF
+    * shape: train on the corpus, then probe). */
+  def ivfTopKKmeans(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      nCells: Int, iters: Int, nProbe: Int): DataFrame =
+    ivfTopKWith(emb, queryIds, k, kmeansCentroids(emb, nCells, iters), nProbe)
+
+  /**
+   * IVF probe/score with an explicit quantizer. Cell assignment / probe
+   * ranking is ONE native expression node
+   * (graft.functions.IvfProbeCells): nearest cells by cosine, best
+   * first, ties → smaller cid, zero-norm → −∞ score (ranks last, same
+   * on the DuckDB side via nullif/coalesce). The quantizer rides along
+   * as a codegen reference object, not as plan literals — the composed
+   * per-centroid-struct form was a ~2000-node tree that (a) round 2's
+   * self-referencing when-fold made exponential (the 2 GiB-plan hang)
+   * and (b) even flattened, cost ~66 s of driver-side constraint
+   * propagation once `cell` became a join key.
+   */
+  def ivfTopKWith(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      centArr: Array[Array[Float]], nProbe: Int): DataFrame = {
+    // same sequential double fold as l2Norm/the oracle: bit-identical
+    val cNorms = centArr.map(c =>
+      math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
     val withNorm = emb.select(col("vec_id"), col("embedding"),
       l2Norm(col("embedding")).as("nrm"))
     val assigned = withNorm.withColumn("cell", element_at(

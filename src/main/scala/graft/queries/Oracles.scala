@@ -369,6 +369,65 @@ object Oracles {
        |WHERE ${dotSql.format("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) >= ${PipelineQueries.NearDupCos}""".stripMargin
   }
 
+  /**
+   * Mirrors [[SimilarityOps.ivfTopKKmeans]] end-to-end, *including the
+   * k-means training*: the Lloyd iterations are unrolled as CTE blocks
+   * (assign by cosine argmax → per-dimension DECIMAL-exact mean →
+   * exact-sum → DOUBLE → /n → FLOAT — the same rounding chain Spark
+   * executes, so the trained centroids are bit-identical), then the
+   * standard IVF probe/score tail. Empty cells keep the previous
+   * centroid (LEFT JOIN + coalesce, matching the Scala fold).
+   */
+  val simIvfKmeans: String = {
+    val k = PipelineQueries.KmCells
+    val iters = PipelineQueries.KmIters
+    val dim = PipelineQueries.EmbeddingDim
+    val ids = PipelineQueries.SimQueryIds.mkString(", ")
+    def cScore(ce: String) =
+      s"coalesce((${dotSql.format("e.embedding", ce)}) / nullif(e.nrm * sqrt(${dotSql.format(ce, ce)}), 0), CAST('-infinity' AS DOUBLE))"
+    val iterCtes = (1 to iters).map { i =>
+      val p = i - 1
+      s"""a$i AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid AS cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cScore("c.ce")} DESC, c.cid) AS rnk
+         |    FROM e CROSS JOIN c$p c) t WHERE rnk = 1),
+         |s$i AS (
+         |  SELECT cell, d.d AS d,
+         |         CAST(CAST(sum(CAST(embedding[d.d + 1] AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS FLOAT) AS v
+         |  FROM a$i CROSS JOIN (SELECT unnest(range(0, $dim)) AS d) d
+         |  GROUP BY 1, 2),
+         |n$i AS (SELECT cell AS cid, list(v ORDER BY d) AS ce FROM s$i GROUP BY 1),
+         |c$i AS (SELECT c.cid, coalesce(n.ce, c.ce) AS ce
+         |        FROM c$p c LEFT JOIN n$i n USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${dotSql.format("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, embedding AS ce FROM e WHERE vec_id < $k),
+       |$iterCtes,
+       |a AS (
+       |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${cScore("c.ce")} DESC, c.cid) AS rnk
+       |  FROM e CROSS JOIN c$iters c),
+       |cells AS (SELECT vec_id, embedding, nrm, cid AS cell FROM a WHERE rnk = 1),
+       |qp AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm, cid AS cell
+       |       FROM a WHERE vec_id IN ($ids) AND rnk <= ${PipelineQueries.KmProbe}),
+       |sc AS (
+       |  SELECT query_id, vec_id,
+       |         ${dotSql.format("embedding", "q_emb")} / (nrm * q_nrm) AS cos
+       |  FROM cells JOIN qp USING (cell) WHERE vec_id <> query_id),
+       |r AS (
+       |  SELECT query_id,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
+       |         vec_id AS neighbor_id, round(cos, 4) AS cos_r
+       |  FROM sc)
+       |SELECT query_id, rank, neighbor_id, cos_r FROM r WHERE rank <= ${PipelineQueries.SimK}""".stripMargin
+  }
+
   val embedNearDup: String =
     s"""WITH e AS (
        |  SELECT vec_id, embedding,

@@ -23,6 +23,9 @@ object PipelineQueries {
   val EmbeddingDim = 64 // embeddings.embedding dim (TESTDATA.md)
   val IvfCells = 16 // IVF coarse-quantizer cells for sim_ivf
   val IvfProbe = 4 // cells probed per query
+  val KmCells = 8 // k-means-trained IVF cells for sim_ivf_kmeans
+  val KmIters = 2 // Lloyd iterations
+  val KmProbe = 4 // cells probed per query (of KmCells)
 
   // ---- deduplication ------------------------------------------------------
 
@@ -78,6 +81,15 @@ object PipelineQueries {
   def simIvf(spark: SparkSession, sfDir: String): DataFrame =
     SimilarityOps.ivfTopK(Tables.embeddings(spark, sfDir), SimQueryIds, SimK,
       nCells = IvfCells, nProbe = IvfProbe)
+
+  /** IVF top-k with a k-means-TRAINED quantizer (the production IVF
+   *  shape): KmIters Lloyd iterations over the corpus — decimal-exact
+   *  means, so the trained centroids are deterministic and the whole
+   *  train+probe pipeline is recomputable relationally in DuckDB
+   *  (Oracles.simIvfKmeans unrolls the iterations). */
+  def simIvfKmeans(spark: SparkSession, sfDir: String): DataFrame =
+    SimilarityOps.ivfTopKKmeans(Tables.embeddings(spark, sfDir), SimQueryIds,
+      SimK, nCells = KmCells, iters = KmIters, nProbe = KmProbe)
 
   /** Embedding near-duplicate pairs (cosine >= threshold). */
   def embedNearDup(spark: SparkSession, sfDir: String): DataFrame =

@@ -70,6 +70,24 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 3L)) // opposite vector is not a near-dup
   }
 
+  test("kmeansCentroids: deterministic, right shape, centroids move to members") {
+    val c1 = SimilarityOps.kmeansCentroids(emb, k = 2, iters = 2)
+    val c2 = SimilarityOps.kmeansCentroids(emb, k = 2, iters = 2)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq) // decimal-exact means
+    assert(c1.length == 2 && c1.forall(_.length == emb.head.getSeq[Float](1).length))
+    val seeds = SimilarityOps.seedCentroids(emb, 2)
+    assert(c1.map(_.toSeq).toSeq != seeds.map(_.toSeq).toSeq) // training moved them
+  }
+
+  test("ivfTopKKmeans neighbors are a subset of brute force") {
+    val brute = SimilarityOps.cosineTopK(emb, Seq(0L), 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    val trained = SimilarityOps.ivfTopKKmeans(emb, Seq(0L), 3,
+      nCells = 2, iters = 2, nProbe = 2) // probe ALL cells -> full recall
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(trained == brute)
+  }
+
   test("embeddingNearDupsLsh pairs are a subset of exact; near-identical found") {
     val exact = SimilarityOps.embeddingNearDups(emb, 0.9)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
