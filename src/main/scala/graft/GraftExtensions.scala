@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import org.apache.spark.sql.catalyst.expressions.Literal
 
-import graft.functions.{BpeishTokenCount, FloatVectorDot, LangId, LshBucket, ProjectedDist, ShingleHashes, SimHash64, WordHashes, WsTokenCount}
+import graft.functions.{BpeishTokenCount, FloatVectorDot, LangId, LshBucket, ProjectedDist, QualityStats, ShingleHashes, SimHash64, WordHashes, WsTokenCount}
 
 /**
  * Spark extension point: registers the engine's native expressions as
@@ -47,6 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.Coalesce(
           Seq(LangId(args.head), Literal("und")))))
+    ext.injectFunction((
+      FunctionIdentifier("quality_stats"),
+      new ExpressionInfo(classOf[QualityStats].getName, "quality_stats"),
+      (args: Seq[Expression]) => QualityStats(args.head)))
     // int-literal second arguments (n / bits / portable flag)
     ext.injectFunction((
       FunctionIdentifier("shingle_hashes"),

@@ -207,6 +207,43 @@ object VectorMath {
     bucket
   }
 
+  /** One-pass text quality counts; see [[QualityStats]]. Word loop
+   *  mirrors \s+ tokenization (maximal non-ws runs, empty dropped);
+   *  char counts are Unicode code points (surrogate pair = 1), matching
+   *  Spark's `length` (UTF8String.numChars) and the regex-replace
+   *  length deltas of the composed form. */
+  def qualityStats(text: String): InternalRow = {
+    val len = text.length
+    var nWords = 0L
+    var nStop = 0L
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(text.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(text.charAt(i))) i += 1
+      if (i > start) {
+        nWords += 1
+        if (stopSets(0).contains(text.substring(start, i))) nStop += 1
+      }
+    }
+    var nNonWs = 0L
+    var nAlpha = 0L
+    i = 0
+    while (i < len) {
+      val c = text.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) nAlpha += 1
+      if (!isWs(c)) {
+        nNonWs += 1
+        // a surrogate pair is one code point; low half is never ws/alpha
+        if (Character.isHighSurrogate(c) && i + 1 < len &&
+          Character.isLowSurrogate(text.charAt(i + 1))) i += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nWords, nNonWs, nStop, nAlpha))
+  }
+
   /** IVF coarse-quantizer probe list; see [[IvfProbeCells]]. Returns the
    *  `nProbe` nearest centroid ids by cosine, best first, ties → smaller
    *  cid. Exactly equal to sorting structs of (ns = −coalesce(dot/
@@ -522,6 +559,35 @@ case class LangId(child: Expression)
     copy(child = newChild)
 }
 
+/**
+ * One-pass quality counts over a text column:
+ * struct(n_words, n_nonws_chars, n_stop_en_hits, n_alpha_chars), all
+ * longs. The composed form costs two regexp_replace passes, a regex
+ * split, and an interpreted in-list lambda per row; this kernel is two
+ * linear scans in one JIT'd call. Ratio/score math stays in composed
+ * columns on top (TextAnalyticsOps.qualityFeatures) so the formula is
+ * engine-visible and unchanged; NativeExprSpec pins count equality to
+ * the regex formulations.
+ */
+case class QualityStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq("n_words", "n_nonws", "n_stop", "n_alpha").map(n =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.qualityStats(v.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.VectorMath.qualityStats($t.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Whitespace-token count of a text: maximal non-whitespace runs, one
  *  pass, no array allocation — equals the composed
  *  `size(filter(split ...))` form (NativeExprSpec) without the regex
@@ -580,6 +646,9 @@ object native {
 
   def lang_id(text: Column): Column =
     GraftColumnBridge.column(LangId(GraftColumnBridge.expression(text)))
+
+  def quality_stats(text: Column): Column =
+    GraftColumnBridge.column(QualityStats(GraftColumnBridge.expression(text)))
 
   def ws_token_count(text: Column): Column =
     GraftColumnBridge.column(WsTokenCount(GraftColumnBridge.expression(text)))

@@ -49,11 +49,29 @@ object TextAnalyticsOps {
     coalesce(pred, lit("und"))
   }
 
-  /** Quality features + a combined [0,1]-ish score. All ratios are exact
-   *  int/int double divisions — reproducible across engines. Divisors are
+  /** Quality features + a combined [0,1]-ish score. Counts come from
+   *  the one-pass [[graft.functions.QualityStats]] kernel (the composed
+   *  form is two regexp_replace passes + a split + an in-list lambda per
+   *  row — see [[qualityFeaturesHof]], kept for cross-checks); the
+   *  ratio/score math stays composed columns, all exact int/int double
+   *  divisions — reproducible across engines. Divisors are
    *  nullif-guarded: empty/whitespace-only docs yield null features, not
    *  an ANSI DIVIDE_BY_ZERO that kills the job. */
   def qualityFeatures(text: Column): Column = {
+    val st = graft.functions.native.quality_stats(text)
+    val nWords = st.getField("n_words")
+    val meanWlen = st.getField("n_nonws") / nullif(nWords, lit(0L))
+    val stopRatio = st.getField("n_stop") / nullif(nWords, lit(0L))
+    val alphaRatio = st.getField("n_alpha") / nullif(length(text).cast("long"), lit(0L))
+    val score = stopRatio * 0.4 + alphaRatio * 0.3 +
+      least(meanWlen / 10.0, lit(1.0)) * 0.3
+    struct(nWords.as("n_words"), meanWlen.as("mean_wlen"),
+      stopRatio.as("stop_ratio"), alphaRatio.as("alpha_ratio"), score.as("score"))
+  }
+
+  /** Reference formulation of [[qualityFeatures]] from composed built-in
+   *  columns; kept for cross-validation against the native kernel. */
+  def qualityFeaturesHof(text: Column): Column = {
     val nWords = size(words(text))
     val nChars = length(text)
     val meanWlen = length(regexp_replace(text, "\\s+", "")) / nullif(nWords, lit(0))

@@ -19,6 +19,19 @@ class NativeExprSpec extends SparkSpec {
     rows.foreach { case (n, h) => assert(n == h) } // exact, not approx
   }
 
+  test("QualityStats-backed features equal the composed regex formulation") {
+    val df = Seq(
+      "the quick brown fox jumps of the lazy dog",
+      "  leading\tand   multiple\nwhitespace  runs ",
+      "", "   ", "word",
+      "Ünïcödé, text! 12 😀 emoji & MIXED case").toDF("text")
+    val kernel = df.select(graft.ops.TextAnalyticsOps.qualityFeatures(col("text")).as("q"))
+      .selectExpr("q.*").collect().map(_.toSeq)
+    val hof = df.select(graft.ops.TextAnalyticsOps.qualityFeaturesHof(col("text")).as("q"))
+      .selectExpr("q.*").collect().map(_.toSeq)
+    assert(kernel.toSeq == hof.toSeq) // exact, including null features
+  }
+
   test("IvfProbeCells equals the composed (-score, cid) struct-sort form") {
     val cents: Array[Array[Float]] = Array(
       Array(1.0f, 0.0f, 0.0f),
