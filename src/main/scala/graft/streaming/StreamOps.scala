@@ -75,6 +75,30 @@ object StreamOps {
       .drop("__dedup_key")
 
   /**
+   * Streaming curation: the SAME enrichment/filter/dedup semantics as
+   * the batch `PipelineQueries.pipelineCurate`, under continuous
+   * ingestion. Enrichment (language ID + quality features) is row-local
+   * projection — identical code path batch/streaming; the exact-dedup
+   * stage becomes watermarked [[streamingDedup]] on the fingerprint
+   * (first occurrence survives, bounded state). Expects (ts, doc_id,
+   * text) columns.
+   */
+  def curateStream(docs: DataFrame, tsName: String, minScore: Double,
+      minWords: Long, watermarkDelay: String): DataFrame = {
+    import graft.ops.TextAnalyticsOps
+    val enriched = docs.select(col(tsName), col("doc_id"), col("text"),
+      TextAnalyticsOps.langId(col("text")).as("lang_pred"),
+      TextAnalyticsOps.qualityFeatures(col("text")).as("q"))
+      .select(col(tsName), col("doc_id"), col("text"), col("lang_pred"),
+        col("q.n_words").as("n_words"), col("q.score").as("score"))
+      .filter(col("lang_pred") === "en" &&
+        col("score") >= minScore && col("n_words") >= minWords)
+    streamingDedup(enriched, tsName,
+      TextAnalyticsOps.fingerprint(col("text")), watermarkDelay)
+      .select(col(tsName), col("doc_id"), col("n_words"), col("score"))
+  }
+
+  /**
    * Watermarked stream-stream interval join: right rows within
    * `[left.ts, left.ts + gap]` on an equality key — the streaming form
    * of JoinOps.bandedRangeJoin, using Spark's native stream-stream join.

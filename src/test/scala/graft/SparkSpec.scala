@@ -12,6 +12,8 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // managed tables (bucketing specs) land under target/, not the repo root
+    .config("spark.sql.warehouse.dir", "target/spark-warehouse")
     .getOrCreate()
 
   override def afterAll(): Unit = {

@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.Tables
+
+/** Co-located join/agg layout: after bucketing both sides on the join
+  * key, the join and the keyed aggregation must plan WITHOUT an
+  * Exchange — the write-time shuffle replaces every query-time one. */
+class BucketedTablesSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def withNoBroadcast[A](f: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bucketed equi-join and keyed agg plan with zero Exchange") {
+    BucketedTables.writeBucketed(
+      Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity"),
+      "lineitem_b", "l_orderkey", buckets = 4)
+    BucketedTables.writeBucketed(
+      Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+      "orders_b", "o_orderkey", buckets = 4)
+    withNoBroadcast {
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+      val jPlan = joined.queryExecution.executedPlan.toString
+      assert(jPlan.contains("SortMergeJoin"), jPlan)
+      assert(!jPlan.contains("Exchange"), "bucketed join still shuffles:\n" + jPlan)
+
+      val agg = spark.table("lineitem_b").groupBy("l_orderkey")
+        .agg(sum("l_quantity"))
+      val aPlan = agg.queryExecution.executedPlan.toString
+      assert(!aPlan.contains("Exchange"), "bucketed agg still shuffles:\n" + aPlan)
+
+      // and the results are right (vs the unbucketed join)
+      val got = joined.count()
+      val want = Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(got == want)
+    }
+  }
+}

@@ -135,6 +135,29 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curateStream: enrich + filter + dedup match batch curation semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val keep = "the cat and the dog sat of the mat and the dog ran to the " +
+      "house and the cat slept in the sun all day long again and again"
+    val q = StreamOps.toMemory(
+      StreamOps.curateStream(in.toDF().toDF("ts", "doc_id", "text"),
+        "ts", minScore = 0.1, minWords = 20L, watermarkDelay = "1 hour"),
+      "cur_test", OutputMode.Append, ckpt())
+    try {
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, keep),
+        (Timestamp.valueOf("2024-01-01 10:01:00"), 2L, "el perro y la casa de " * 5),
+        (Timestamp.valueOf("2024-01-01 10:02:00"), 3L, "too short"))
+      q.processAllAvailable()
+      // duplicate text in a later batch must be dropped by the dedup state
+      in.addData((Timestamp.valueOf("2024-01-01 10:30:00"), 4L, keep))
+      q.processAllAvailable()
+      val ids = spark.table("cur_test").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L)) // es doc filtered, short doc filtered, dup dropped
+    } finally q.stop()
+  }
+
   test("stateless text-analysis ops run unchanged under streaming") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
