@@ -55,6 +55,8 @@ object SparkEntry {
     "uv_approx" -> BenchQueries.uniqueVisitorApprox,
     // multi-level agg, window frames, set ops
     "q_rollup" -> AnalyticsQueries.eventRollup,
+    "q_cube" -> AnalyticsQueries.eventCube,
+    "q_topn_group" -> AnalyticsQueries.topBrandsPerRegion,
     "q_moving_avg" -> AnalyticsQueries.movingAvg,
     "q_anti_join" -> AnalyticsQueries.clickNoPurchase,
     "q_pivot" -> AnalyticsQueries.eventPivot,
@@ -106,6 +108,8 @@ object SparkEntry {
     "value_quantiles" -> Oracles.valueQuantiles,
     "uv_approx" -> Oracles.uvApprox,
     "q_rollup" -> Oracles.eventRollup,
+    "q_cube" -> Oracles.eventCube,
+    "q_topn_group" -> Oracles.topBrandsPerRegion,
     "q_moving_avg" -> Oracles.movingAvg,
     "q_anti_join" -> Oracles.clickNoPurchase,
     "q_pivot" -> Oracles.eventPivot,

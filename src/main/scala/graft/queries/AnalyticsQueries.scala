@@ -195,6 +195,44 @@ object AnalyticsQueries {
         sum(col("ts_ms") - col("prev_ms")).as("sum_gap_ms"))
   }
 
+  /** CUBE over (event_type, day) with an explicit grouping-flag vector:
+   *  all four aggregation levels in one Expand + single hash agg (the
+   *  rollup's sibling; gid disambiguates real NULLs from subtotal
+   *  markers — emitted as grouping(a)*2 + grouping(b) on both engines). */
+  def eventCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("day", to_date(col("ts")).cast("string"))
+      .cube(col("event_type"), col("day"))
+      .agg((grouping(col("event_type")) * 2 + grouping(col("day")))
+          .cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_v"))
+      .select(col("event_type"), col("day"), col("gid"), col("n"), col("sum_v"))
+
+  /** Top-2 part brands per region by shipped quantity: the
+   *  dense_rank-per-group idiom over a multi-way dim join (broadcast
+   *  dims; one shuffle for the agg, one tiny one for the per-region
+   *  rank — WindowGroupLimit prunes before the final sort). */
+  def topBrandsPerRegion(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val nat = Tables.nation(spark, sfDir).select("n_nationkey", "n_regionkey")
+    val reg = Tables.region(spark, sfDir).select("r_regionkey", "r_name")
+    val part = Tables.part(spark, sfDir).select("p_partkey", "p_brand")
+    val qty = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("r_name"), col("p_brand"))
+      .agg(sum(col("l_quantity").cast("decimal(14,2)")).cast("double").as("qty"))
+    val rk = dense_rank().over(
+      Window.partitionBy(col("r_name")).orderBy(col("qty").desc, col("p_brand")))
+    qty.withColumn("rk", rk.cast("int")).filter(col("rk") <= 2)
+  }
+
   /** Set intersection: users who both clicked and purchased. Spark plans
    *  INTERSECT as aggregate + left-semi join — no double scan union
    *  trick needed. */

@@ -617,6 +617,32 @@ object Oracles {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
       |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  val eventCube: String =
+    """SELECT event_type, day,
+      |       CAST(GROUPING(event_type) * 2 + GROUPING(day) AS INTEGER) AS gid,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_v
+      |FROM (SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, value
+      |      FROM events) t
+      |GROUP BY CUBE (event_type, day)""".stripMargin
+
+  val topBrandsPerRegion: String =
+    """WITH q AS (
+      |  SELECT r_name, p_brand,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS qty
+      |  FROM lineitem
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation   ON c_nationkey = n_nationkey
+      |  JOIN region   ON n_regionkey = r_regionkey
+      |  JOIN part     ON l_partkey = p_partkey
+      |  GROUP BY r_name, p_brand)
+      |SELECT * FROM (
+      |  SELECT r_name, p_brand, qty,
+      |         CAST(dense_rank() OVER (PARTITION BY r_name
+      |           ORDER BY qty DESC, p_brand) AS INTEGER) AS rk
+      |  FROM q) t WHERE rk <= 2""".stripMargin
+
   val clickNoPurchase: String =
     """SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
       |FROM events WHERE event_type = 'click'
