@@ -169,4 +169,56 @@ object DedupOps {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /**
+   * Connected components over a near-dup pair graph by iterated
+   * min-label propagation — the clustering step a real pipeline runs
+   * after pairwise candidate generation (a pair list alone over-deletes:
+   * A~B, B~C must collapse to ONE cluster even when A!~C). Each
+   * iteration is one equi-join + one min-agg (both shuffles on the
+   * 64-bit node id); iterations needed = graph diameter, which for
+   * near-dup clusters is tiny. Runs to an exact fixpoint (label =
+   * component minimum — deterministic, engine-reproducible; the oracle
+   * computes the same fixpoint with a recursive CTE), with a
+   * convergence check per round (a one-row count, not a data collect)
+   * and per-round persist + lineage truncation via localCheckpoint so
+   * the plan doesn't grow with iterations.
+   *
+   * @param edges (id1, id2) undirected pairs
+   * @param nodes one `id` column; isolated nodes become singletons
+   * @return (id, cluster) — cluster = min node id of the component
+   */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+      maxIters: Int = 30): DataFrame = {
+    val sym = edges.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(edges.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint(true)
+    // Propagate only over nodes that appear in an edge: at corpus scale
+    // the near-dup subgraph is orders of magnitude smaller than the
+    // node set, and isolated nodes are singleton clusters by definition
+    // (unioned back, label = own id, at the end — no iteration cost).
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("dst"), col("cluster")), "dst")
+        .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
+      val updated = labels
+        .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+            .as("cluster"),
+          (col("nbr_min") < col("cluster")).as("changed"))
+        .localCheckpoint(true)
+      converged = updated.filter(col("changed")).limit(1).isEmpty
+      labels = updated.select(col("id"), col("cluster"))
+      i += 1
+    }
+    nodes.select(col("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+  }
 }

@@ -221,6 +221,21 @@ object Oracles {
       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
 
+  /** Mirrors [[PipelineQueries.dedupClusters]]: the same minhash pairs
+   *  (embedded as a derived table), symmetric closure, then per-node
+   *  min reachable label via a recursive CTE — the same fixpoint the
+   *  Spark min-label propagation converges to. */
+  val dedupClusters: String =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT id1, id2 FROM ($dedupMinhash) mh),
+       |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+       |          UNION SELECT id2, id1 FROM pairs),
+       |reach(node, l) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.node)
+       |SELECT node AS doc_id, min(l) AS cluster FROM reach GROUP BY node""".stripMargin
+
   private val dotSql =
     "list_sum(list_transform(list_zip(%s, %s), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
 

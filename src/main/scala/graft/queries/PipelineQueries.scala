@@ -60,6 +60,18 @@ object PipelineQueries {
     DedupOps.simhashNearDups(Tables.documents(spark, sfDir),
       col("doc_id"), col("text"), maxHamming = 3)
 
+  /** Near-dup CLUSTERS: minhash pairs -> connected components -> one
+   *  canonical cluster id per document (pairs alone over-delete: A~B,
+   *  B~C must collapse to one cluster even when A!~C). Exact fixpoint,
+   *  so the recursive-CTE oracle reproduces it. */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = DedupOps.minhashNearDups(docs, col("doc_id"), col("text"),
+      threshold = 0.5).select("id1", "id2")
+    DedupOps.connectedComponents(pairs, docs.select(col("doc_id").as("id")))
+      .select(col("id").as("doc_id"), col("cluster"))
+  }
+
   // ---- similarity search --------------------------------------------------
 
   /** Brute-force exact cosine top-k for the first 10 vectors. */

@@ -61,4 +61,16 @@ class DedupOpsSpec extends SparkSpec {
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 3L)))
   }
+
+  test("connectedComponents: multi-hop chains collapse, singletons survive") {
+    // chain 0-1-2-3-4 (diameter 4 -> needs several propagation rounds),
+    // separate pair 10-11, isolated 20
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id1", "id2")
+    val nodes = (Seq(0L, 1L, 2L, 3L, 4L, 10L, 11L, 20L)).toDF("id")
+    val got = DedupOps.connectedComponents(edges, nodes)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
 }
