@@ -688,6 +688,28 @@ object Oracles {
       |INTERSECT
       |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin
 
+  /** Mirrors [[PipelineQueries.textTfidf]] structurally: tf ->
+   *  doc-frequency over the tf relation -> tf * ln(N/df) -> top-3 per
+   *  doc (score DESC, term ASC). ln is the platform libm on both
+   *  engines; scores rounded to 4. */
+  val textTfidf: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |s AS (
+       |  SELECT doc_id, tf.term, tf * ln(CAST(n.n AS DOUBLE) / dfreq) AS score
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+       |SELECT doc_id, term, CAST(rn AS INTEGER) AS rk, round(score, 4) AS tfidf_r
+       |FROM (
+       |  SELECT doc_id, term, score, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+       |  FROM s) t
+       |WHERE rn <= ${PipelineQueries.TfidfTopTerms}""".stripMargin
+
   /** Word/2-gram repetition ratios; all divisions are int/int -> double
    *  single operations, engine-exact. */
   val textRepetition: String =

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
@@ -129,6 +130,33 @@ object PipelineQueries {
     Tables.documents(spark, sfDir).select(col("doc_id"),
       TextAnalyticsOps.wsTokenCount(col("text")).as("ws_tokens"),
       TextAnalyticsOps.bpeishTokenCount(col("text")).as("bpe_tokens"))
+
+  val TfidfTopTerms = 3
+
+  /**
+   * TF-IDF top terms per document: tf from one explode + two-phase hash
+   * agg on (doc_id, word); document frequency from a second agg over the
+   * same tf relation (never re-scanning documents); idf = ln(N/df) with
+   * the corpus size N resolved once at plan build. Top-terms ranking is
+   * WindowGroupLimit-pruned per doc. One shuffle per agg plus the tiny
+   * rank exchange — the shape is identical at 100 TB.
+   */
+  def textTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(TextAnalyticsOps.words(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("score", col("tf") * log(lit(n.toDouble) / col("dfreq")))
+    val rk = row_number().over(
+      Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term")))
+    scored.withColumn("rk", rk.cast("int")).filter(col("rk") <= TfidfTopTerms)
+      .select(col("doc_id"), col("term"), col("rk"),
+        round(col("score"), 4).as("tfidf_r"))
+  }
 
   /**
    * Gopher-style repetition signals per document: `top_word_frac` (most
