@@ -242,6 +242,32 @@ object AnalyticsQueries {
       .intersect(ev.filter(col("event_type") === "purchase").select("user_id"))
   }
 
+  /**
+   * Time-series resample + gap fill: per-user hourly mean value on a
+   * dense hourly grid (generated row-locally with sequence/explode
+   * between each user's first and last active hour), missing hours
+   * forward-filled with the last observation (LOCF — `last(ignoreNulls)`
+   * over an ordered running frame). Grid generation is bounded fan-out
+   * (hours in range), the fill is one window pass — no self-join, no
+   * per-gap probing.
+   */
+  def eventResample(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .withColumn("h", date_trunc("hour", col("ts")))
+      .groupBy(col("user_id"), col("h"))
+      .agg((sum(col("value").cast("decimal(14,2)")).cast("double") /
+        count(lit(1))).as("hv"))
+    val grid = hourly.groupBy("user_id")
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("user_id"), unix_millis(col("h")).as("h_ms"),
+        round(last(col("hv"), ignoreNulls = true).over(w), 4).as("v_ff"))
+  }
+
   /** Top part brands by shipped quantity, deterministic tiebreak. */
   def topBrands(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir).select("l_partkey", "l_quantity")

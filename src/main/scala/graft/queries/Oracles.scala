@@ -733,6 +733,25 @@ object Oracles {
       |       CASE WHEN t2 > 0 THEN (t2 - d2) / t2 END AS dup_2gram_frac
       |FROM t JOIN g ON t.doc_id = g.doc_id""".stripMargin
 
+  /** Mirrors [[AnalyticsQueries.eventResample]]: hourly decimal-exact
+   *  mean, dense per-user hour grid, LOCF via IGNORE NULLS last_value
+   *  over the same running ROWS frame. */
+  val eventResample: String =
+    """WITH hourly AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS h,
+      |         CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS hv
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      |  FROM bounds),
+      |j AS (SELECT g.user_id, g.h, hv FROM grid g LEFT JOIN hourly USING (user_id, h))
+      |SELECT user_id, CAST(epoch_ms(h) AS BIGINT) AS h_ms,
+      |       round(last_value(hv IGNORE NULLS) OVER (
+      |         PARTITION BY user_id ORDER BY h
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_ff
+      |FROM j""".stripMargin
+
   val topBrands: String =
     """SELECT p_brand,
       |       CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS qty,
