@@ -19,6 +19,20 @@ class BucketedTablesSpec extends SparkSpec {
   }
 
   test("bucketed equi-join and keyed agg plan with zero Exchange") {
+    // the in-memory catalog forgets tables between JVM runs but the
+    // warehouse directory survives — clear both or CREATE fails with
+    // LOCATION_ALREADY_EXISTS
+    Seq("lineitem_b", "orders_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
     BucketedTables.writeBucketed(
       Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity"),
       "lineitem_b", "l_orderkey", buckets = 4)
