@@ -31,4 +31,16 @@ object BucketedTables {
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(table)
+
+  /** Write `df` hive-style partitioned by `partCol` (low-cardinality
+    * columns only — day, source shard, event type). Scans filtered on
+    * the partition column read ONLY the matching directories
+    * (PartitionFilters in the scan, zero data touched elsewhere) — the
+    * other half of the 100 TB layout story next to bucketing: partition
+    * prune the time/shard axis, bucket the join-key axis. */
+  def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
+    df.write
+      .partitionBy(partCol)
+      .mode("overwrite")
+      .parquet(path)
 }

