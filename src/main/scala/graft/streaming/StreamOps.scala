@@ -116,6 +116,45 @@ object StreamOps {
         keyEq && col(rightTs) >= col(leftTs) &&
           col(rightTs) <= col(leftTs) + expr(s"INTERVAL $gap"))
 
+  /**
+   * Similarity search as a continuous service: a stream of query
+   * vectors (query_id, embedding) scored per trigger against a static
+   * corpus. Each micro-batch broadcasts that trigger's queries and
+   * streams the corpus through the SAME scoring pipeline the batch
+   * operator uses (corpus never shuffles; only the tiny per-query rank
+   * exchanges) — foreachBatch is the honest idiom for per-trigger
+   * relational algebra that streaming-native operators can't express
+   * (global rank over a micro-batch).
+   */
+  def streamingTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      checkpoint: String)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ops.SimilarityOps
+    val withNorm = corpus.select(col("vec_id"), col("embedding"),
+      SimilarityOps.l2Norm(col("embedding")).as("nrm"))
+    queries.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val q = batch.select(col("query_id"), col("embedding").as("q_emb"),
+          SimilarityOps.l2Norm(col("embedding")).as("q_nrm"))
+        val scored = withNorm.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cos", SimilarityOps.cosine(col("embedding"),
+            col("q_emb"), col("nrm"), col("q_nrm")))
+        val rank = org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("vec_id")))
+        sink(scored.withColumn("rank", rank.cast("bigint"))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("rank"),
+            col("vec_id").as("neighbor_id"), round(col("cos"), 4).as("cos_r")),
+          id)
+      }
+      .start()
+  }
+
   /** Envelope for [[temporalAsOf]]: both sides union into one tagged
    *  relation (probe rows have isBuild = false). */
   case class Timed(key: Long, ts: Long, id: Long, isBuild: Boolean)

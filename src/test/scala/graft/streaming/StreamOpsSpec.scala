@@ -158,6 +158,31 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingTopK: per-trigger neighbors match the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val in = MemoryStream[(Long, Seq[Float])]
+    val results = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val q = StreamOps.streamingTopK(
+      in.toDF().toDF("query_id", "embedding"), corpus, k = 2, ckpt()) {
+      (batch, _) =>
+        results ++= batch.select("query_id", "rank", "neighbor_id")
+          .as[(Long, Long, Long)].collect()
+    }
+    try {
+      in.addData((100L, Seq(1.0f, 0.05f)))
+      q.processAllAvailable()
+      // nearest to (1, .05): vec 0, then vec 1
+      assert(results.toList == List((100L, 1L, 0L), (100L, 2L, 1L)))
+      in.addData((200L, Seq(0.0f, 1.0f)))
+      q.processAllAvailable()
+      assert(results.exists { case (qid, r, n) => qid == 200L && r == 1L && n == 2L })
+    } finally q.stop()
+  }
+
   test("stateless text-analysis ops run unchanged under streaming") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
