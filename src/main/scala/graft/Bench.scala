@@ -24,24 +24,10 @@ object Bench {
     try SparkEntry.queries("wordcount")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
-    // Per-query watchdog: one pathological query (e.g. a plan-explosion
-    // hang at analysis time) must fail alone, not turn the whole round's
-    // bench into a global timeout (round-2 regression: rc=124, no JSON).
-    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "240").toLong
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      @volatile var ok = false
-      val worker = new Thread(() =>
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); ok = true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }, s"bench-$name")
-      worker.setDaemon(true)
-      worker.start()
-      worker.join(timeoutSec * 1000)
-      if (worker.isAlive) {
-        System.err.println(s"[bench] $name timed out after ${timeoutSec}s")
-        spark.sparkContext.cancelAllJobs() // free executors; daemon thread dies with the JVM
+      val ok = Watchdog.run(spark, "bench", name, Watchdog.timeoutSec) {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       }
       // a failed query must not report its time-to-failure as a speedup
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)

@@ -15,22 +15,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Per-query watchdog (mirrors Bench): one hung query must not zero
-    // the whole round's correctness file (round-2 regression: {}).
-    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "240").toLong
+    // Per-query watchdog (shared with Bench): one hung query must not
+    // zero the whole round's correctness file (round-2 regression: {}).
     SparkEntry.queries.foreach { case (name, fn) =>
-      val worker = new Thread(() =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      Watchdog.run(spark, "verify", name, Watchdog.timeoutSec) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        }, s"verify-$name")
-      worker.setDaemon(true)
-      worker.start()
-      worker.join(timeoutSec * 1000)
-      if (worker.isAlive) {
-        System.err.println(s"[verify] $name timed out after ${timeoutSec}s")
-        spark.sparkContext.cancelAllJobs()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -228,20 +228,20 @@ object VectorMath {
     }
     var nNonWs = 0L
     var nAlpha = 0L
+    var nChars = 0L
     i = 0
     while (i < len) {
       val c = text.charAt(i)
+      nChars += 1
       if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) nAlpha += 1
-      if (!isWs(c)) {
-        nNonWs += 1
-        // a surrogate pair is one code point; low half is never ws/alpha
-        if (Character.isHighSurrogate(c) && i + 1 < len &&
-          Character.isLowSurrogate(text.charAt(i + 1))) i += 1
-      }
+      if (!isWs(c)) nNonWs += 1
+      // a surrogate pair is one code point; low half is never ws/alpha
+      if (Character.isHighSurrogate(c) && i + 1 < len &&
+        Character.isLowSurrogate(text.charAt(i + 1))) i += 1
       i += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](nWords, nNonWs, nStop, nAlpha))
+      Array[Any](nWords, nNonWs, nStop, nAlpha, nChars))
   }
 
   /** IVF coarse-quantizer probe list; see [[IvfProbeCells]]. Returns the
@@ -561,8 +561,9 @@ case class LangId(child: Expression)
 
 /**
  * One-pass quality counts over a text column:
- * struct(n_words, n_nonws_chars, n_stop_en_hits, n_alpha_chars), all
- * longs. The composed form costs two regexp_replace passes, a regex
+ * struct(n_words, n_nonws_chars, n_stop_en_hits, n_alpha_chars,
+ * n_chars), all longs (char counts are Unicode code points, matching
+ * Spark's `length`). The composed form costs two regexp_replace passes, a regex
  * split, and an interpreted in-list lambda per row; this kernel is two
  * linear scans in one JIT'd call. Ratio/score math stays in composed
  * columns on top (TextAnalyticsOps.qualityFeatures) so the formula is
@@ -573,7 +574,7 @@ case class QualityStats(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.StructType(
-    Seq("n_words", "n_nonws", "n_stop", "n_alpha").map(n =>
+    Seq("n_words", "n_nonws", "n_stop", "n_alpha", "n_chars").map(n =>
       org.apache.spark.sql.types.StructField(n,
         org.apache.spark.sql.types.LongType, nullable = false)))
 

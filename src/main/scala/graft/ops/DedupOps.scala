@@ -217,6 +217,11 @@ object DedupOps {
       labels = updated.select(col("id"), col("cluster"))
       i += 1
     }
+    // an unconverged result is silently WRONG (labels are not yet the
+    // component minimum and won't match the oracle fixpoint) — fail loud
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters iterations " +
+        "(component diameter exceeds maxIters); raise maxIters")
     nodes.select(col("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))

@@ -62,7 +62,7 @@ object TextAnalyticsOps {
     val nWords = st.getField("n_words")
     val meanWlen = st.getField("n_nonws") / nullif(nWords, lit(0L))
     val stopRatio = st.getField("n_stop") / nullif(nWords, lit(0L))
-    val alphaRatio = st.getField("n_alpha") / nullif(length(text).cast("long"), lit(0L))
+    val alphaRatio = st.getField("n_alpha") / nullif(st.getField("n_chars"), lit(0L))
     val score = stopRatio * 0.4 + alphaRatio * 0.3 +
       least(meanWlen / 10.0, lit(1.0)) * 0.3
     struct(nWords.as("n_words"), meanWlen.as("mean_wlen"),

@@ -142,9 +142,11 @@ object PipelineQueries {
    * rank exchange — the shape is identical at 100 TB.
    */
   def textTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    // count the raw table (parquet rowcount, no shuffle) — counting the
+    // repartitioned frame would shuffle the full text just for N
+    val n = Tables.documents(spark, sfDir).count()
     val docs = Tables.documents(spark, sfDir)
       .repartition(spark.sessionState.conf.numShufflePartitions)
-    val n = docs.count()
     val tf = docs
       .select(col("doc_id"), explode(TextAnalyticsOps.words(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))

@@ -63,24 +63,31 @@ object StreamOps {
   /**
    * Streaming exact dedup on a key expression (e.g. the md5 fingerprint
    * from TextAnalyticsOps.fingerprint): first occurrence passes, later
-   * duplicates drop. Watermarked so the seen-keys state is evicted once
-   * the event time passes — the streaming form of the pipeline dedup
-   * stage (bounded state at 100 TB instead of an ever-growing seen-set).
+   * duplicates within the watermark delay drop. Uses
+   * `dropDuplicatesWithinWatermark`: plain `dropDuplicates` on a key
+   * subset that excludes the event-time column NEVER evicts its state
+   * (the watermark only bounds state when event time is part of the
+   * keys), which would be exactly the unbounded seen-set this op exists
+   * to avoid. The trade is explicit: duplicates farther apart than the
+   * delay pass through — the streaming contract at 100 TB is bounded
+   * state + windowed dedup, with the batch pass as the exact sweep.
    */
   def streamingDedup(df: DataFrame, tsName: String, dedupKey: Column,
       watermarkDelay: String): DataFrame =
     df.withColumn("__dedup_key", dedupKey)
       .withWatermark(tsName, watermarkDelay)
-      .dropDuplicates("__dedup_key")
+      .dropDuplicatesWithinWatermark("__dedup_key")
       .drop("__dedup_key")
 
   /**
-   * Streaming curation: the SAME enrichment/filter/dedup semantics as
-   * the batch `PipelineQueries.pipelineCurate`, under continuous
-   * ingestion. Enrichment (language ID + quality features) is row-local
-   * projection — identical code path batch/streaming; the exact-dedup
-   * stage becomes watermarked [[streamingDedup]] on the fingerprint
-   * (first occurrence survives, bounded state). Expects (ts, doc_id,
+   * Streaming curation: the batch `PipelineQueries.pipelineCurate`
+   * stages under continuous ingestion. The enrichment + filter are the
+   * IDENTICAL row-local ops; the dedup stage differs in two documented
+   * ways inherent to streaming: the survivor is the first arrival (not
+   * the min doc_id — a stream can't know a smaller id arrives later),
+   * there is no n_copies count, and only duplicates within the
+   * watermark delay are caught ([[streamingDedup]]'s bounded-state
+   * contract; the batch pass is the exact sweep). Expects (ts, doc_id,
    * text) columns.
    */
   def curateStream(docs: DataFrame, tsName: String, minScore: Double,

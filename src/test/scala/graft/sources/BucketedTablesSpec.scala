@@ -69,7 +69,7 @@ class BucketedTablesSpec extends SparkSpec {
     val scan = spark.read.parquet(path).filter(col("event_type") === "click")
     val plan = scan.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") &&
-      plan.contains("isnotnull(event_type") || plan.contains("event_type#"),
+      (plan.contains("isnotnull(event_type") || plan.contains("event_type#")),
       "expected partition filters in scan:\n" + plan)
     // pruning is observable: only the click directory is listed
     val parts = new java.io.File(path).listFiles()
