@@ -36,9 +36,57 @@ object StreamOps {
       .selectExpr("CAST(value AS STRING) AS value")
 
   /** Running count per key, emitted per trigger (WordCount.Count /
-   *  PageViewCount semantics — unbounded state, update mode). */
+   *  PageViewCount semantics — unbounded state, update mode). Exact
+   *  reference parity; on an unbounded key domain use
+   *  [[runningCountTtl]] (SURVEY §7.4.4). */
   def runningCount(lines: DataFrame, key: Column, keyName: String): DataFrame =
     lines.groupBy(key.as(keyName)).agg(count(lit(1)).as("cnt"))
+
+  /**
+   * Running count with per-key EVENT-TIME TTL — the bounded-state
+   * variant of [[runningCount]] for unbounded key domains (URLs, user
+   * ids, doc fingerprints at 100 TB). Keyed state via
+   * flatMapGroupsWithState with an event-time timeout: once the
+   * watermark passes a key's last event + ttl, its count is evicted and
+   * restarts from zero on the next arrival — the explicit trade that
+   * keeps state O(active keys), not O(all keys ever). Event-time (not
+   * processing-time) timeouts keep the op deterministic under replay
+   * and don't force the engine to schedule empty wall-clock batches.
+   * Emits (key, cnt) per updated key per trigger (update mode).
+   */
+  def runningCountTtl(lines: DataFrame, tsName: String, key: Column,
+      ttlMs: Long, watermarkDelay: String = "0 seconds"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark0 = lines.sparkSession
+    import spark0.implicits._
+    // the watermarked timestamp column itself must reach the stateful
+    // operator (the analyzer rejects event-time timeout otherwise) —
+    // convert to millis inside the lambda, not in a projection
+    lines.withWatermark(tsName, watermarkDelay)
+      .select(key.cast("string").as("k"), col(tsName).as("ts"))
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long)](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (k: String, rows: Iterator[(String, java.sql.Timestamp)],
+            state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var n = 0L
+            var maxTs = Long.MinValue
+            rows.foreach { r => n += 1; if (r._2.getTime > maxTs) maxTs = r._2.getTime }
+            val cnt = state.getOption.getOrElse(0L) + n
+            state.update(cnt)
+            // evict once the watermark passes last-event + ttl; guard
+            // against a timeout already in the past vs the watermark
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(math.max(maxTs + ttlMs, wm + 1))
+            Iterator((k, cnt))
+          }
+      }.toDF("key", "cnt")
+  }
 
   /** Sliding-window count per key with watermarked eviction —
    *  RollingCountBolt + SlidingWindow, state managed by Spark. */

@@ -135,6 +135,31 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningCountTtl counts while active, evicts after watermark + ttl") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.toMemory(
+      StreamOps.runningCountTtl(in.toDF().toDF("ts", "word"), "ts",
+        col("word"), ttlMs = 10 * 60 * 1000L),
+      "rc_ttl_test", OutputMode.Update, ckpt())
+    def at(s: String) = Timestamp.valueOf(s)
+    try {
+      in.addData((at("2024-01-01 10:00:00"), "a"), (at("2024-01-01 10:00:00"), "b"),
+        (at("2024-01-01 10:00:00"), "b"))
+      q.processAllAvailable() // a=1, b=2; watermark -> 10:00
+      in.addData((at("2024-01-01 11:00:00"), "a"))
+      q.processAllAvailable() // a=2; watermark -> 11:00 (> b's 10:10 timeout)
+      in.addData((at("2024-01-01 12:00:00"), "x"))
+      q.processAllAvailable() // b evicted this batch (no data for b)
+      in.addData((at("2024-01-01 12:01:00"), "b"))
+      q.processAllAvailable() // b restarts from zero
+      val out = spark.table("rc_ttl_test").as[(String, Long)].collect()
+      val bCounts = out.filter(_._1 == "b").map(_._2).toSet
+      assert(bCounts == Set(2L, 1L), s"b was not evicted+restarted: $bCounts")
+      assert(out.filter(_._1 == "a").map(_._2).max == 2L)
+    } finally q.stop()
+  }
+
   test("curateStream: enrich + filter + dedup match batch curation semantics") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, String)]
