@@ -46,6 +46,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT size(word_hashes('one two  three', true)) AS n")
         .collect().head.getInt(0)
       assert(wh == 3)
+      val qs = spark.sql(
+        "SELECT quality_stats('the cat sat').n_words AS n")
+        .collect().head.getLong(0)
+      assert(qs == 3L)
+      // lang_id coalesces null to 'und' like the Scala path
+      val li = spark.sql("SELECT lang_id(CAST(NULL AS STRING)) AS l")
+        .collect().head.getString(0)
+      assert(li == "und")
     } finally {
       // do NOT stop: the SparkContext is shared with the other suites
       SparkSession.clearActiveSession()
