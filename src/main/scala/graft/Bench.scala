@@ -24,18 +24,26 @@ object Bench {
     try SparkEntry.queries("wordcount")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def timed(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok = Watchdog.run(spark, "bench", name, Watchdog.timeoutSec) {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       }
       // a failed query must not report its time-to-failure as a speedup
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // cold pass: includes one-time codegen/JIT per pipeline (the
+    // headline `value`, comparable across rounds) …
+    val results = SparkEntry.queries.map { case (name, fn) => name -> timed(name, fn) }
+    // … then a warm pass: steady-state per-query seconds, what a second
+    // run of the same pipeline costs once the JIT noise is paid
+    val warm = SparkEntry.queries.map { case (name, fn) => name -> timed(name, fn) }
+    def js(m: Map[String, Double]) =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalWarm = if (warm.nonEmpty) warm.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"value_warm":$totalWarm,"queries_warm":${js(warm)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
