@@ -73,4 +73,19 @@ class JoinOpsSpec extends SparkSpec {
     // band join must produce each qualifying pair exactly once
     assert(fast.sorted == naive.sorted)
   }
+
+  test("saltedJoin equals the plain equi-join on a skewed key") {
+    val rnd = new scala.util.Random(7)
+    // 80% of rows share one hot key — the distribution salting exists for
+    val skewed = Seq.tabulate(500)(i =>
+      (i.toLong, if (rnd.nextInt(5) < 4) "hot" else s"k${rnd.nextInt(10)}"))
+      .toDF("row_id", "k")
+    val dim = (Seq("hot") ++ (0 until 10).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, v) => (k, v.toLong) }.toDF("k", "dim_v")
+    val fast = JoinOps.saltedJoin(skewed, dim, "k", salts = 8)
+      .select("row_id", "dim_v").as[(Long, Long)].collect().toSeq
+    val plain = skewed.join(dim, Seq("k"))
+      .select("row_id", "dim_v").as[(Long, Long)].collect().toSeq
+    assert(fast.sorted == plain.sorted)
+  }
 }
