@@ -268,6 +268,57 @@ object AnalyticsQueries {
         round(last(col("hv"), ignoreNulls = true).over(w), 4).as("v_ff"))
   }
 
+  /** Data-profiling summary of the events table: one row per profiled
+   *  column with count / nulls / exact distinct / min / max (stringly
+   *  typed so heterogeneous columns stack) — the describe/profile
+   *  staple, all in two-phase hash aggs over one scan per column
+   *  branch, unioned. */
+  def eventProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    def prof(c: String, v: org.apache.spark.sql.Column): DataFrame =
+      ev.agg(count(lit(1)).as("n_rows"),
+        sum(when(v.isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(v).as("n_distinct"),
+        min(v).cast("string").as("min_v"),
+        max(v).cast("string").as("max_v"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_v"), col("max_v"))
+    prof("event_type", col("event_type"))
+      .union(prof("user_id", col("user_id")))
+      .union(prof("value", col("value").cast("decimal(14,2)")))
+  }
+
+  val HistBuckets = 10
+
+  /** Equi-width histogram of `value` between its min and max: bucket
+   *  index via the standard width_bucket arithmetic (clamped so the max
+   *  lands in the last bucket), one agg pass after a scalar-subquery
+   *  style bounds broadcast. */
+  def eventHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val bounds = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    ev.crossJoin(broadcast(bounds))
+      .select(least(
+        floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / HistBuckets)),
+        lit(HistBuckets - 1L)).cast("int").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+  }
+
+  /** FULL OUTER join: per (user, day), click count vs purchase count,
+   *  absent sides coalesced to zero — the reconciliation idiom. */
+  def clickPurchaseMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("day", to_date(col("ts")).cast("string"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "day").agg(count(lit(1)).as("n_clicks"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "day").agg(count(lit(1)).as("n_purch"))
+    clicks.join(purchases, Seq("user_id", "day"), "full_outer")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("n_purch"), lit(0L)).as("n_purch"))
+  }
+
   /** Top part brands by shipped quantity, deterministic tiebreak. */
   def topBrands(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir).select("l_partkey", "l_quantity")

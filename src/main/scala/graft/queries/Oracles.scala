@@ -752,6 +752,48 @@ object Oracles {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_ff
       |FROM j""".stripMargin
 
+  val eventProfile: String =
+    """SELECT 'event_type' AS "column", count(*) AS n_rows,
+      |       sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS n_null,
+      |       count(DISTINCT event_type) AS n_distinct,
+      |       CAST(min(event_type) AS VARCHAR) AS min_v,
+      |       CAST(max(event_type) AS VARCHAR) AS max_v
+      |FROM events
+      |UNION ALL
+      |SELECT 'user_id', count(*),
+      |       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+      |       count(DISTINCT user_id),
+      |       CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+      |FROM events
+      |UNION ALL
+      |SELECT 'value', count(*),
+      |       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+      |       count(DISTINCT CAST(value AS DECIMAL(14,2))),
+      |       CAST(min(CAST(value AS DECIMAL(14,2))) AS VARCHAR),
+      |       CAST(max(CAST(value AS DECIMAL(14,2))) AS VARCHAR)
+      |FROM events""".stripMargin
+
+  /** Equi-width histogram with the same clamped floor arithmetic. */
+  val eventHistogram: String =
+    s"""WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+       |SELECT CAST(least(floor((value - lo) / ((hi - lo) / ${AnalyticsQueries.HistBuckets})),
+       |            ${AnalyticsQueries.HistBuckets - 1}) AS INTEGER) AS bucket,
+       |       count(*) AS n
+       |FROM events CROSS JOIN b GROUP BY 1""".stripMargin
+
+  val clickPurchaseMatrix: String =
+    """WITH c AS (
+      |  SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS n_clicks
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |p AS (
+      |  SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS n_purch
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT coalesce(c.user_id, p.user_id) AS user_id,
+      |       coalesce(c.day, p.day) AS day,
+      |       coalesce(n_clicks, 0) AS n_clicks,
+      |       coalesce(n_purch, 0) AS n_purch
+      |FROM c FULL OUTER JOIN p ON c.user_id = p.user_id AND c.day = p.day""".stripMargin
+
   val topBrands: String =
     """SELECT p_brand,
       |       CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS qty,
