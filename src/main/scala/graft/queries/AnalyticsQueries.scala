@@ -268,6 +268,21 @@ object AnalyticsQueries {
         round(last(col("hv"), ignoreNulls = true).over(w), 4).as("v_ff"))
   }
 
+  /** The salted-join plan under the correctness gate: events (power-law
+   *  event_type key) salted-joined to a derived per-type dim table,
+   *  then aggregated — the oracle is the PLAIN join+agg, which the
+   *  salting must reproduce exactly (salts only route rows). */
+  def saltedJoinRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select("event_type", "value")
+    // deterministic little dim: weight = length of the type name
+    val dim = ev.select(col("event_type")).distinct()
+      .select(col("event_type"), length(col("event_type")).cast("long").as("weight"))
+    graft.ops.JoinOps.saltedJoin(ev, dim, "event_type", salts = 8)
+      .groupBy(col("event_type"))
+      .agg(sum(col("value").cast("decimal(14,2)") * col("weight"))
+        .cast("double").as("wsum"), count(lit(1)).as("n"))
+  }
+
   /** Data-profiling summary of the events table: one row per profiled
    *  column with count / nulls / exact distinct / min / max (stringly
    *  typed so heterogeneous columns stack) — the describe/profile

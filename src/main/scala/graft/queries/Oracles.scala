@@ -752,6 +752,17 @@ object Oracles {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_ff
       |FROM j""".stripMargin
 
+  /** The plain join+agg the salted plan must reproduce exactly. */
+  val saltedJoinRevenue: String =
+    """WITH dim AS (
+      |  SELECT event_type, CAST(length(event_type) AS BIGINT) AS weight
+      |  FROM (SELECT DISTINCT event_type FROM events) t)
+      |SELECT e.event_type,
+      |       CAST(sum(CAST(e.value AS DECIMAL(14,2)) * weight) AS DOUBLE) AS wsum,
+      |       count(*) AS n
+      |FROM events e JOIN dim USING (event_type)
+      |GROUP BY 1""".stripMargin
+
   val eventProfile: String =
     """SELECT 'event_type' AS "column", count(*) AS n_rows,
       |       sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS n_null,
