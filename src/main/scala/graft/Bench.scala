@@ -41,8 +41,10 @@ object Bench {
     val warm = SparkEntry.queries.map { case (name, fn) => name -> timed(name, fn) }
     def js(m: Map[String, Double]) =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val totalWarm = if (warm.nonEmpty) warm.values.sum else 0.0
+    // totals sum only successful queries: adding the -1 failure
+    // sentinel would make the bench look FASTER because a query failed
+    val total = results.values.filter(_ >= 0).sum
+    val totalWarm = warm.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"value_warm":$totalWarm,"queries_warm":${js(warm)},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -81,6 +81,33 @@ object JoinOps {
   }
 
   /**
+   * Skew-resistant equi-join: when one join key is hot enough that a
+   * single reducer drowns (the classic power-law key), salt the skewed
+   * side into `salts` sub-keys and replicate the other side across all
+   * salts, so the hot key's rows spread over `salts` reducers. The
+   * result set is identical to the plain equi-join (salts only route
+   * rows; JoinOpsSpec asserts equality, and the `salted_join` query
+   * puts the plan under the DuckDB gate). The salt is a DETERMINISTIC
+   * hash of the row's columns — a nondeterministic salt (rand,
+   * monotonically_increasing_id) used as a shuffle key can silently
+   * drop/duplicate rows when a stage is partially recomputed after a
+   * fetch failure (rows re-enumerate in a different order and route to
+   * different reducers than the surviving map outputs did). AQE's
+   * skew-join split handles sort-merge cases adaptively at runtime;
+   * explicit salting is the plan-level tool when the skew is known and
+   * extreme, or the join is not a splittable SMJ. Replication
+   * multiplies the small side by `salts` — size it accordingly.
+   */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    val salted = skewed.withColumn("__salt",
+      pmod(xxhash64(skewed.columns.map(col): _*), lit(salts.toLong)).cast("int"))
+    val replicated = other.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /**
    * Pairwise speculative proximity warnings over a snapshot of latest
    * positions (columns: icao, pos_time, lat, lng, spd_kms, trak).
    *
@@ -91,27 +118,6 @@ object JoinOps {
    * (graft.functions.ProjectedDist). Output: (icao1, icao2, step,
    * curr_time, dist_r) canonically ordered, dist rounded to 0.1 km.
    */
-  /**
-   * Skew-resistant equi-join: when one join key is hot enough that a
-   * single reducer drowns (the classic power-law key), salt the skewed
-   * side into `salts` sub-keys and replicate the other side across all
-   * salts, so the hot key's rows spread over `salts` reducers. The
-   * result set is identical to the plain equi-join (salts only route
-   * rows; JoinOpsSpec asserts equality). AQE's skew-join split handles
-   * sort-merge cases adaptively at runtime; explicit salting is the
-   * plan-level tool when the skew is known and extreme, or the join is
-   * not a splittable SMJ. Replication multiplies the small side by
-   * `salts` — size it accordingly.
-   */
-  def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
-      salts: Int): DataFrame = {
-    val salted = skewed.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
-    val replicated = other.withColumn("__salt",
-      explode(sequence(lit(0), lit(salts - 1))))
-    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
-  }
-
   def proximityPairs(latest: DataFrame, thresholdKm: Double,
       steps: Int, stepSec: Int): DataFrame = {
     // Explicit fan-out of the probe side: a post-agg snapshot is tiny and

@@ -312,10 +312,12 @@ object AnalyticsQueries {
   def eventHistogram(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val bounds = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    // degenerate hi==lo would divide by zero (NULL bucket, or a throw
+    // under ANSI) — all-equal values belong in bucket 0 by definition
     ev.crossJoin(broadcast(bounds))
-      .select(least(
+      .select(when(col("hi") === col("lo"), lit(0L)).otherwise(least(
         floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / HistBuckets)),
-        lit(HistBuckets - 1L)).cast("int").as("bucket"))
+        lit(HistBuckets - 1L))).cast("int").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
   }
 

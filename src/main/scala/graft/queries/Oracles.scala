@@ -784,11 +784,13 @@ object Oracles {
       |       CAST(max(CAST(value AS DECIMAL(14,2))) AS VARCHAR)
       |FROM events""".stripMargin
 
-  /** Equi-width histogram with the same clamped floor arithmetic. */
+  /** Equi-width histogram with the same clamped floor arithmetic (and
+   *  the same hi==lo -> bucket 0 degenerate-data guard). */
   val eventHistogram: String =
     s"""WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
-       |SELECT CAST(least(floor((value - lo) / ((hi - lo) / ${AnalyticsQueries.HistBuckets})),
-       |            ${AnalyticsQueries.HistBuckets - 1}) AS INTEGER) AS bucket,
+       |SELECT CAST(CASE WHEN hi = lo THEN 0 ELSE
+       |         least(floor((value - lo) / ((hi - lo) / ${AnalyticsQueries.HistBuckets})),
+       |               ${AnalyticsQueries.HistBuckets - 1}) END AS INTEGER) AS bucket,
        |       count(*) AS n
        |FROM events CROSS JOIN b GROUP BY 1""".stripMargin
 

@@ -56,7 +56,6 @@ object StreamOps {
    */
   def runningCountTtl(lines: DataFrame, tsName: String, key: Column,
       ttlMs: Long, watermarkDelay: String = "0 seconds"): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     val spark0 = lines.sparkSession
     import spark0.implicits._
     // the watermarked timestamp column itself must reach the stateful
@@ -66,10 +65,13 @@ object StreamOps {
       .select(key.cast("string").as("k"), col(tsName).as("ts"))
       .as[(String, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Long, (String, Long)](
+      // state = (count, max event ts ever seen): the timeout must come
+      // from the RUNNING max, not this batch's max — a late row would
+      // otherwise shorten the TTL and evict a live count early
+      .flatMapGroupsWithState[(Long, Long), (String, Long)](
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (k: String, rows: Iterator[(String, java.sql.Timestamp)],
-            state: GroupState[Long]) =>
+            state: GroupState[(Long, Long)]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
@@ -77,12 +79,14 @@ object StreamOps {
             var n = 0L
             var maxTs = Long.MinValue
             rows.foreach { r => n += 1; if (r._2.getTime > maxTs) maxTs = r._2.getTime }
-            val cnt = state.getOption.getOrElse(0L) + n
-            state.update(cnt)
+            val (prevCnt, prevMax) = state.getOption.getOrElse((0L, Long.MinValue))
+            val cnt = prevCnt + n
+            val runningMax = math.max(prevMax, maxTs)
+            state.update((cnt, runningMax))
             // evict once the watermark passes last-event + ttl; guard
             // against a timeout already in the past vs the watermark
             val wm = state.getCurrentWatermarkMs()
-            state.setTimeoutTimestamp(math.max(maxTs + ttlMs, wm + 1))
+            state.setTimeoutTimestamp(math.max(runningMax + ttlMs, wm + 1))
             Iterator((k, cnt))
           }
       }.toDF("key", "cnt")
