@@ -44,8 +44,18 @@ object AdsbOps {
   /** ZoneIndex: line -> grid-zone string with the reference's sentinel
    *  semantics (RollingGeoCount.java:54-77): lines not shaped like
    *  `{"Id"...},` or with missing Lat/Long -> "no_latlng"; out-of-range
-   *  coordinates -> "undefined". */
+   *  coordinates -> "undefined". The Lat/Long extraction is the native
+   *  one-pass AdsbLatLng kernel — from_json tokenizes the whole object
+   *  per row and capped the zone pipeline at 0.36 M rows/s; the
+   *  from_json formulation is kept below for cross-checks. */
   def zoneOfLine(line: Column): Column = {
+    val ll = graft.functions.native.adsb_latlng(line)
+    when(!(line.startsWith("{\"Id\"") && line.endsWith("},")), lit("no_latlng"))
+      .otherwise(GeoOps.zoneOf(ll.getField("lat"), ll.getField("lng")))
+  }
+
+  /** from_json reference formulation of [[zoneOfLine]] (cross-check). */
+  def zoneOfLineHof(line: Column): Column = {
     val j = parsed(line)
     when(!(line.startsWith("{\"Id\"") && line.endsWith("},")), lit("no_latlng"))
       .otherwise(GeoOps.zoneOf(j.getField("Lat"), j.getField("Long")))

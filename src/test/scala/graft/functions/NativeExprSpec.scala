@@ -19,6 +19,29 @@ class NativeExprSpec extends SparkSpec {
     rows.foreach { case (n, h) => assert(n == h) } // exact, not approx
   }
 
+  test("AdsbLatLng kernel equals the from_json formulation on all line shapes") {
+    val df = Seq(
+      """{"Id":1,"Icao":"A1B2C3","PosTime":1700000000000,"Lat":40.64,"Long":-73.78,"Spd":250.0,"Trak":90.0},""",
+      """{"Id":2,"Icao":"FFF","Lat":-12.5,"Long":179.99},""",
+      """{"Id":3,"Icao":"ABC","Lat":null,"Long":-73.78},""",
+      """{"Id":4,"Icao":"ABC","Long":-73.78},""", // Lat missing
+      """{"Id":5,"Lat":1e2,"Long":-1.5E-3},""", // exponents
+      """{"Id":6,"Lat": 7.25 ,"Long": -0.5},""", // spaces after colon
+      """not json at all""",
+      """{"Id":7,"Lat":40.0,"Long":-73.0}""" // no trailing comma
+    ).toDF("line")
+    val kernel = df.select(graft.ops.AdsbOps.zoneOfLine(col("line"))).collect().toSeq
+    val hof = df.select(graft.ops.AdsbOps.zoneOfLineHof(col("line"))).collect().toSeq
+    assert(kernel == hof)
+    // and the raw struct matches from_json field-for-field
+    val k2 = df.select(native.adsb_latlng(col("line")).as("s"))
+      .selectExpr("s.lat", "s.lng").collect().map(_.toSeq).toSeq
+    val j2 = df.select(from_json(regexp_replace(col("line"), ",$", ""),
+      graft.model.Schemas.adsb).as("j"))
+      .selectExpr("j.Lat", "j.Long").collect().map(_.toSeq).toSeq
+    assert(k2 == j2)
+  }
+
   test("QualityStats-backed features equal the composed regex formulation") {
     val df = Seq(
       "the quick brown fox jumps of the lazy dog",
