@@ -244,6 +244,24 @@ object VectorMath {
       Array[Any](nWords, nNonWs, nStop, nAlpha, nChars))
   }
 
+  /** One-pass page-view TSV parse; see [[PageViewFields]]. Raw tab
+   *  split — the reference's own PageView.fromString semantics
+   *  (PageView.java:48-61) — with per-field typed parse: empty token →
+   *  null string, non-integer token → null int (what from_csv PERMISSIVE
+   *  yields on this quote-free feed; NativeExprSpec pins equality). */
+  def pageViewFields(line: String): InternalRow = {
+    val tokens = line.split("\t", -1)
+    def str(i: Int): Any =
+      if (i >= tokens.length || tokens(i).isEmpty) null
+      else org.apache.spark.unsafe.types.UTF8String.fromString(tokens(i))
+    def int(i: Int): Any =
+      if (i >= tokens.length) null
+      else try Integer.valueOf(tokens(i))
+      catch { case _: NumberFormatException => null }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](str(0), int(1), int(2), int(3)))
+  }
+
   /** One-pass Lat/Long extraction from an ADS-B JSON line; see
    *  [[AdsbLatLng]]. Scans for the `"Lat":` / `"Long":` keys and
    *  parses the following number (null / missing / malformed → null
@@ -590,6 +608,38 @@ case class LangId(child: Expression)
 }
 
 /**
+ * One-pass page-view TSV parse: struct(url, http_status, zip_code,
+ * user_id). from_csv runs a full Univocity CSV parser per row (quote
+ * handling this tab feed never uses); the raw tab split is both faster
+ * and closer to the reference's PageView.fromString. Equality with the
+ * from_csv formulation is pinned in NativeExprSpec on well-formed,
+ * short, long, empty-token, and non-numeric lines.
+ */
+case class PageViewFields(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("url",
+      org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("http_status",
+      org.apache.spark.sql.types.IntegerType, nullable = true),
+    org.apache.spark.sql.types.StructField("zip_code",
+      org.apache.spark.sql.types.IntegerType, nullable = true),
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.IntegerType, nullable = true)))
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.pageViewFields(v.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.VectorMath.pageViewFields($t.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * One-pass (lat, lng) extraction from an ADS-B JSON line — the hot
  * parse of the rolling_geo topology needs exactly two numeric fields,
  * and from_json pays a full Jackson tokenization of the object per row
@@ -713,6 +763,9 @@ object native {
 
   def adsb_latlng(line: Column): Column =
     GraftColumnBridge.column(AdsbLatLng(GraftColumnBridge.expression(line)))
+
+  def pageview_fields(line: Column): Column =
+    GraftColumnBridge.column(PageViewFields(GraftColumnBridge.expression(line)))
 
   def ws_token_count(text: Column): Column =
     GraftColumnBridge.column(WsTokenCount(GraftColumnBridge.expression(text)))

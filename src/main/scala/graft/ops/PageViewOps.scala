@@ -17,9 +17,22 @@ object PageViewOps {
   /**
    * Parse TSV page-view lines; malformed rows (fewer than 4 fields / bad
    * casts, PageView.java:51-53) are dropped. Extra columns in `df` (e.g. an
-   * event-time envelope) are carried through.
+   * event-time envelope) are carried through. The parse is the native
+   * one-pass PageViewFields kernel (raw tab split — the reference's own
+   * PageView.fromString semantics; from_csv pays a full Univocity CSV
+   * parser per row for quoting this feed never uses). The from_csv
+   * formulation is kept in [[parseHof]] for cross-checks.
    */
   def parse(df: DataFrame, line: Column): DataFrame = {
+    val parsed = df.withColumn("pv", graft.functions.native.pageview_fields(line))
+    parsed
+      .filter(col("pv.url").isNotNull && col("pv.http_status").isNotNull &&
+        col("pv.zip_code").isNotNull && col("pv.user_id").isNotNull)
+      .select((df.columns.map(col).toSeq :+ col("pv.*")): _*)
+  }
+
+  /** from_csv reference formulation of [[parse]] (cross-check). */
+  def parseHof(df: DataFrame, line: Column): DataFrame = {
     val parsed = df.withColumn(
       "pv", from_csv(line, Schemas.pageView, Map("sep" -> "\t")))
     parsed

@@ -42,6 +42,25 @@ class NativeExprSpec extends SparkSpec {
     assert(k2 == j2)
   }
 
+  test("PageViewFields kernel equals the from_csv formulation per line shape") {
+    val df = Seq(
+      "/page/a\t200\t94709\t42", // well-formed
+      "/page/b\t404\t94117\t7",
+      "only\ttwo", // short
+      "/u\t200\t94709\t1\textra", // extra field
+      "\t200\t94709\t42", // empty url token
+      "/u\tabc\t94709\t42", // non-numeric status
+      "/u\t-200\t94709\t42", // negative int
+      "" // empty line
+    ).toDF("line")
+    val kernel = df.select(native.pageview_fields(col("line")).as("pv"))
+      .selectExpr("pv.*").collect().map(_.toSeq).toSeq
+    val csv = df.select(from_csv(col("line"), graft.model.Schemas.pageView,
+      Map("sep" -> "\t")).as("pv"))
+      .selectExpr("pv.*").collect().map(_.toSeq).toSeq
+    assert(kernel == csv)
+  }
+
   test("QualityStats-backed features equal the composed regex formulation") {
     val df = Seq(
       "the quick brown fox jumps of the lazy dog",
