@@ -65,6 +65,24 @@ object Generators {
       .select(col("timestamp").as("ts"),
         randomMessage(col("value"), sizeInBytes).as("message"))
 
+  // ---- tweet feed (13 pipe-delimited fields, text at index 4) -------------
+
+  /** Pipe-delimited 13-field tweet line with a deterministic hashtag
+   *  planted in the text field (RollingHashtagCount.java:44-63 wire
+   *  format; FIXTURES.md). */
+  def tweetLine(idx: Column): Column = {
+    val u = u01(idx, 20)
+    val tag = when(u < 0.33, "#spark").when(u < 0.66, "#data").otherwise("#stream")
+    val text = concat_ws(" ", lit("rt"), tag, lit("msg"),
+      pmod(idx, lit(1000L)).cast("string"))
+    concat(lit("u0|u1|u2|u3|"), text, lit("|f5|f6|f7|f8|f9|f10|f11|f12"))
+  }
+
+  def tweetStream(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+      .select(col("timestamp").as("ts"), tweetLine(col("value")).as("tweet"))
+
   // ---- ADS-B feed (adsb topic wire format, FIXTURES.md §3) ----------------
 
   /** JSON position report lines (trailing comma included, like the
