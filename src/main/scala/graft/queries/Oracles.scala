@@ -856,4 +856,49 @@ object Oracles {
       |         substr('0123456789abcdef', CAST(d.i + 1 AS INT), 1), '')) AS BIGINT) AS cnt
       |FROM n CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),
       |                          (8),(9),(10),(11),(12),(13),(14),(15)) d(i)""".stripMargin
+
+  // ---- mergeable-sketch contracts (SketchQueries) --------------------------
+  // Exact values recomputed relationally; the sketch estimates are
+  // asserted Spark-side as within-tolerance booleans (literal TRUE
+  // here), same contract pattern as uv_approx / value_quantiles.
+
+  val hllDistinct: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS hll_ok
+      |FROM events GROUP BY event_type
+      |UNION ALL
+      |SELECT '__all__', count(DISTINCT user_id), true FROM events""".stripMargin
+
+  val thetaSets: String =
+    """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+      |     p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |SELECT
+      |  count(*) FILTER (WHERE c.user_id IS NOT NULL AND p.user_id IS NOT NULL)
+      |    AS n_inter,
+      |  count(*) AS n_union,
+      |  count(*) FILTER (WHERE c.user_id IS NOT NULL AND p.user_id IS NULL)
+      |    AS n_diff,
+      |  true AS inter_ok, true AS union_ok, true AS diff_ok
+      |FROM c FULL JOIN p ON c.user_id = p.user_id""".stripMargin
+
+  val kllQuantiles: String =
+    """SELECT event_type, count(*) AS n,
+      |       round(quantile_cont(value, 0.5), 4) AS p50_r,
+      |       round(quantile_cont(value, 0.95), 4) AS p95_r,
+      |       true AS rank50_ok, true AS rank95_ok
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** approx_top_k with maxItemsTracked >= distinct count never evicts:
+   *  counts are exact, so the oracle is the plain relational top-k. */
+  val heavyHitters: String =
+    """SELECT CAST(row_number() OVER (ORDER BY n DESC, event_type) AS BIGINT)
+      |         AS rank, event_type, n
+      |FROM (SELECT event_type, count(*) AS n FROM events GROUP BY 1) t""".stripMargin
+
+  /** Item ties at the top-k boundary make returned items engine-
+   *  dependent; the deterministic projection is the rank -> count
+   *  sequence (items dropped on both sides). */
+  val heavyUsers: String =
+    """SELECT CAST(row_number() OVER (ORDER BY n DESC) AS BIGINT) AS rank, n
+      |FROM (SELECT user_id, count(*) AS n FROM events GROUP BY 1
+      |      ORDER BY n DESC, user_id LIMIT 10) t""".stripMargin
 }
