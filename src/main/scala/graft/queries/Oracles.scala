@@ -680,7 +680,7 @@ object Oracles {
       |           (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
       |  FROM events)
       |SELECT user_id, count(*) AS n_gaps,
-      |       max(gap_ms) AS max_gap_ms, sum(gap_ms) AS sum_gap_ms
+      |       max(gap_ms) AS max_gap_ms, CAST(sum(gap_ms) AS BIGINT) AS sum_gap_ms
       |FROM g WHERE gap_ms IS NOT NULL GROUP BY user_id""".stripMargin
 
   val clickAndPurchase: String =
@@ -765,20 +765,20 @@ object Oracles {
 
   val eventProfile: String =
     """SELECT 'event_type' AS "column", count(*) AS n_rows,
-      |       sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS n_null,
+      |       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
       |       count(DISTINCT event_type) AS n_distinct,
       |       CAST(min(event_type) AS VARCHAR) AS min_v,
       |       CAST(max(event_type) AS VARCHAR) AS max_v
       |FROM events
       |UNION ALL
       |SELECT 'user_id', count(*),
-      |       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+      |       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
       |       count(DISTINCT user_id),
       |       CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
       |FROM events
       |UNION ALL
       |SELECT 'value', count(*),
-      |       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+      |       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
       |       count(DISTINCT CAST(value AS DECIMAL(14,2))),
       |       CAST(min(CAST(value AS DECIMAL(14,2))) AS VARCHAR),
       |       CAST(max(CAST(value AS DECIMAL(14,2))) AS VARCHAR)
