@@ -17,10 +17,19 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Per-query watchdog (shared with Bench): one hung query must not
     // zero the whole round's correctness file (round-2 regression: {}).
+    // On timeout/failure the partial output dir is deleted — a
+    // half-written parquet dir would otherwise be globbed by the driver
+    // and compared as if it were the full result.
     SparkEntry.queries.foreach { case (name, fn) =>
-      Watchdog.run(spark, "verify", name, Watchdog.timeoutSec) {
+      val ok = Watchdog.run(spark, "verify", name, Watchdog.timeoutSec) {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+      }
+      if (!ok) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -304,14 +304,17 @@ object StreamOps {
         // checkpoint restart batch ids continue but a fresh run must still
         // find the accumulated state. Old versions are pruned (keep 2, so
         // a concurrent reader of the previous version never races the
-        // delete).
-        def versions(): Seq[Long] = {
-          val fs = new java.io.File(stateDir).listFiles()
-          if (fs == null) Seq.empty
-          else fs.toSeq.collect {
-            case f if f.getName.startsWith("v") => f.getName.drop(1).toLong
+        // delete). Listing and pruning go through the Hadoop FileSystem
+        // resolved from the path's scheme — stateDir may be local on a
+        // laptop but HDFS/S3 on a cluster, where java.io.File sees nothing.
+        val statePath = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def versions(): Seq[Long] =
+          if (!fs.exists(statePath)) Seq.empty
+          else fs.listStatus(statePath).toSeq.map(_.getPath.getName).collect {
+            case n if n.length > 1 && n.head == 'v' && n.tail.forall(_.isDigit) =>
+              n.tail.toLong
           }.sorted
-        }
         val existing = versions()
         val merged = existing.lastOption match {
           case Some(v) => spark.read.parquet(s"$stateDir/v$v").union(updates)
@@ -322,8 +325,7 @@ object StreamOps {
         val next = existing.lastOption.getOrElse(-1L) + 1
         latest.write.mode("overwrite").parquet(s"$stateDir/v$next")
         versions().dropRight(2).foreach { v =>
-          org.apache.commons.io.FileUtils.deleteQuietly(
-            new java.io.File(s"$stateDir/v$v"))
+          fs.delete(new org.apache.hadoop.fs.Path(statePath, s"v$v"), true)
         }
         val snapshot = spark.read.parquet(s"$stateDir/v$next")
         onBatch(JoinOps.proximityPairs(snapshot, thresholdKm, steps, stepSec), batchId)
