@@ -50,6 +50,17 @@ for name in sorted(oracle):
         print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
         fails += 1
         continue
+    # The driver's hash is DTYPE-SENSITIVE (pandas values are hashed as
+    # materialized: int64 1 != float64 1.0). A DuckDB HUGEINT aggregate
+    # materializing as float64 against Spark's int64 must FAIL here like
+    # it fails in the driver gate (the r5 q_gaps/q_profile escape).
+    dtype_mismatch = [c for c in got.columns
+                      if got[c].dtype.kind != want[c].dtype.kind]
+    if dtype_mismatch:
+        print(f"FAIL {name}: dtype mismatch in "
+              f"{[(c, str(got[c].dtype), str(want[c].dtype)) for c in dtype_mismatch]}")
+        fails += 1
+        continue
     diff_cols = []
     for c in got.columns:
         g, w = got[c], want[c]

@@ -888,11 +888,17 @@ object Oracles {
       |FROM events GROUP BY event_type""".stripMargin
 
   /** approx_top_k with maxItemsTracked >= distinct count never evicts:
-   *  counts are exact, so the oracle is the plain relational top-k. */
+   *  counts are exact, so the oracle is the plain relational top-k.
+   *  The rank <= 5 guard mirrors the Spark side's k=5: without it the
+   *  oracle returns EVERY type ranked and only agrees while the data
+   *  happens to have exactly 5 types (SketchQueriesSpec proves the
+   *  guard with a 7-type fixture). */
   val heavyHitters: String =
-    """SELECT CAST(row_number() OVER (ORDER BY n DESC, event_type) AS BIGINT)
-      |         AS rank, event_type, n
-      |FROM (SELECT event_type, count(*) AS n FROM events GROUP BY 1) t""".stripMargin
+    """SELECT rank, event_type, n FROM (
+      |  SELECT CAST(row_number() OVER (ORDER BY n DESC, event_type) AS BIGINT)
+      |           AS rank, event_type, n
+      |  FROM (SELECT event_type, count(*) AS n FROM events GROUP BY 1) t) r
+      |WHERE rank <= 5""".stripMargin
 
   /** Item ties at the top-k boundary make returned items engine-
    *  dependent; the deterministic projection is the rank -> count

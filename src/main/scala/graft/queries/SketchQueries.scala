@@ -140,12 +140,16 @@ object SketchQueries {
   def heavyHitters(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .agg(expr("approx_top_k(event_type, 5, 64)").as("top"))
-      .select(explode(col("top")).as("e"))
-      .select(col("e.item").as("event_type"), col("e.count").as("n"))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("n").desc, col("event_type"))).cast("bigint"))
-      .select(col("rank"), col("event_type"), col("n"))
+      // rank by sorting the k-element array in place (count desc, item asc
+      // for tie determinism) and posexploding — no window function, so no
+      // single-partition WindowExec over what is already a <= k-row side
+      .select(posexplode(expr(
+        """array_sort(top, (l, r) ->
+          |  CASE WHEN l.count > r.count THEN -1 WHEN l.count < r.count THEN 1
+          |       WHEN l.item < r.item THEN -1 WHEN l.item > r.item THEN 1
+          |       ELSE 0 END)""".stripMargin)))
+      .select((col("pos") + 1).cast("bigint").as("rank"),
+        col("col.item").as("event_type"), col("col.count").as("n"))
 
   /**
    * approx_top_k at user cardinality, where boundary TIES between equal
@@ -157,10 +161,11 @@ object SketchQueries {
   def heavyUsers(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .agg(expr("approx_top_k(user_id, 10, 65536)").as("top"))
-      .select(explode(col("top")).as("e"))
-      .select(col("e.count").as("n"))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("n").desc)).cast("bigint"))
-      .select(col("rank"), col("n"))
+      // rank via array_sort + posexplode (see heavyHitters); only the
+      // count sequence is emitted, so tie order among equal counts is moot
+      .select(posexplode(expr(
+        """array_sort(top, (l, r) ->
+          |  CASE WHEN l.count > r.count THEN -1 WHEN l.count < r.count THEN 1
+          |       ELSE 0 END)""".stripMargin)))
+      .select((col("pos") + 1).cast("bigint").as("rank"), col("col.count").as("n"))
 }
