@@ -21,19 +21,34 @@ object AdsbOps {
   private def parsed(line: Column): Column =
     from_json(regexp_replace(line, ",$", ""), Schemas.adsb)
 
-  /** LatLongFilterBolt: parse + validate + project. Malformed or
-   *  incomplete reports and on-ground aircraft are dropped. */
-  def parsePositions(df: DataFrame, line: Column): DataFrame = {
-    val j = parsed(line)
-    df.withColumn("j", j)
+  /** Parse + the LatLongFilterBolt guards (RollingFlightDist.java:91-113):
+   *  all six fields present, on-ground (Gnd==true) dropped, Gnd null
+   *  treated airborne. Rows that survive keep the parsed struct as `j`. */
+  private def validReports(df: DataFrame, line: Column): DataFrame =
+    df.withColumn("j", parsed(line))
       .filter(col("j.Icao").isNotNull && col("j.PosTime").isNotNull &&
         col("j.Lat").isNotNull && col("j.Long").isNotNull &&
         col("j.Spd").isNotNull && col("j.Trak").isNotNull &&
         !coalesce(col("j.Gnd"), lit(false)))
+
+  /** LatLongFilterBolt: parse + validate + project. Malformed or
+   *  incomplete reports and on-ground aircraft are dropped. */
+  def parsePositions(df: DataFrame, line: Column): DataFrame =
+    validReports(df, line)
       .select(col("j.Icao").as("icao"), col("j.PosTime").as("posTime"),
         col("j.Lat").as("lat"), col("j.Long").as("lng"),
         col("j.Spd").as("spd"), col("j.Trak").as("trak"))
-  }
+
+  /** [[parsePositions]] plus the report Id (the feed's message id) — the
+   *  deterministic tiebreaker the batch-gated snapshot argmax needs when
+   *  PosTime ties (the reference's HashMap last-write-wins order has no
+   *  batch analog). */
+  def parsePositionsWithId(df: DataFrame, line: Column): DataFrame =
+    validReports(df, line)
+      .select(col("j.Id").as("event_id"),
+        col("j.Icao").as("icao"), col("j.PosTime").as("posTime"),
+        col("j.Lat").as("lat"), col("j.Long").as("lng"),
+        col("j.Spd").as("spd"), col("j.Trak").as("trak"))
 
   /** Typed form for keyed-state streaming (graft.streaming). */
   def parsePositionsTyped(df: DataFrame, line: Column): Dataset[AdsbPosition] = {

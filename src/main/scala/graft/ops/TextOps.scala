@@ -62,4 +62,17 @@ object TextOps {
     (1 to math.max(levels - 1, 1)).foldLeft(df.select(in.as("message"))) {
       (d, _) => d.select(col("message"))
     }
+
+  /** Exchange-per-hop variant of [[constChain]]: the thing SOL actually
+   *  measures is the NETWORK hop — every bolt level is shuffleGrouping'd
+   *  (SOL.java:44-49), so each hop serializes + transfers every tuple.
+   *  A round-robin repartition between levels reproduces that exchange
+   *  cost under Spark (results identical — identity op); benching both
+   *  forms puts a number on what stage fusion saves. */
+  def constChainShuffled(df: DataFrame, in: Column, levels: Int): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    (1 to math.max(levels - 1, 1)).foldLeft(df.select(in.as("message"))) {
+      (d, _) => d.repartition(parts).select(col("message"))
+    }
+  }
 }

@@ -104,4 +104,31 @@ object WindowOps {
    *  no global sort, no single-task bottleneck. */
   def globalTopK(df: DataFrame, k: Int, order: Column*): DataFrame =
     df.orderBy(order: _*).limit(k)
+
+  /**
+   * Count-based last-N sort: ring-buffer parity with the reference's
+   * SortBolt, which overwrites the oldest of `chunkSize` slots per
+   * arrival and sorts the surviving chunk each tick
+   * (RollingSort.java:70-71,120-127). The time-window form above
+   * ([[topKPerWindow]]) is the scale-native reading; this one keeps the
+   * reference's exact "last N ARRIVALS" semantics.
+   *
+   * Shape: "last n arrivals" = top-n by arrival order descending —
+   * planned as TakeOrderedAndProject (per-partition top-n, single
+   * merge; no global sort). The final rank over the surviving <= n rows
+   * is an array_sort + posexplode of one collected chunk — bounded at n
+   * elements by construction (n plays chunkSize, which the reference
+   * also holds in one task's heap), and window-exec-free.
+   *
+   * @param arrival arrival-order columns, newest = greatest (include a
+   *                tiebreaker for determinism)
+   * @param sortFields output columns, ranked lexicographically ascending
+   */
+  def lastNSorted(df: DataFrame, arrival: Seq[Column], n: Int,
+      sortFields: Seq[String]): DataFrame =
+    df.orderBy(arrival.map(_.desc): _*).limit(n)
+      .agg(sort_array(collect_list(struct(sortFields.map(col): _*))).as("chunk"))
+      .select(posexplode(col("chunk")))
+      .select((col("pos") + 1).cast("bigint").as("rn") +:
+        sortFields.map(f => col(s"col.$f").as(f)): _*)
 }

@@ -40,6 +40,13 @@ object BenchQueries {
   def sol(spark: SparkSession, sfDir: String): DataFrame =
     TextOps.constChain(Tables.events(spark, sfDir), col("props"), levels = 3)
 
+  /** Exchange-per-hop SOL variant: the reference's hops are shuffleGrouping
+   *  network exchanges (SOL.java:44-49) — `sol` above shows Spark's fusion
+   *  win; this keeps the per-hop exchange so the bench carries an explicit
+   *  serialization+shuffle cost number (VERDICT r6 missing #2). */
+  def solShuffled(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.constChainShuffled(Tables.events(spark, sfDir), col("props"), levels = 3)
+
   /** Topology 4: DataClean (DataClean.java:50) — parse page views, keep
    *  records with http_status != 200, emit the raw view line. */
   def dataclean(spark: SparkSession, sfDir: String): DataFrame = {
@@ -116,6 +123,16 @@ object BenchQueries {
       k = 5, order = Seq(col("value"), col("event_id")))
       .select(col("w_start"), col("rn"), col("event_id"), col("value"))
 
+  /** Count-based variant of topology 10: the reference's SortBolt holds the
+   *  last `chunkSize` ARRIVALS in an overwrite-oldest ring buffer
+   *  (RollingSort.java:70-71,120-127) — not a time window. Arrival order
+   *  := (ts, event_id); chunk=500 stands in for rolling_sort.chunk_size
+   *  (conf.yaml:21 — 3M, which at test SFs would never evict; 500
+   *  truncates at every SF so the last-N semantics are really exercised). */
+  def rollingSortLastN(spark: SparkSession, sfDir: String): DataFrame =
+    WindowOps.lastNSorted(Tables.events(spark, sfDir),
+      Seq(col("ts"), col("event_id")), n = 500, Seq("value", "event_id"))
+
   /**
    * Topology 11: RollingFlightDist (RollingFlightDist.java:329) — the
    * all-pairs proximity join. Decomposed Spark-first (SURVEY.md §2.7):
@@ -127,6 +144,25 @@ object BenchQueries {
    */
   def flightDist(spark: SparkSession, sfDir: String): DataFrame = {
     val pos = SyntheticSources.adsbPositions(Tables.events(spark, sfDir))
+    val latest = WindowOps.latestPerKey(pos, Seq("icao"), Seq("pos_time", "event_id"))
+    JoinOps.proximityPairs(latest, DistThresholdKm, SpecSteps, SpecStepSec)
+  }
+
+  /**
+   * Wire-format variant of topology 11: the SAME latest/proximity
+   * pipeline, but entered through the ADS-B JSON wire parse
+   * (LatLongFilterBolt semantics, RollingFlightDist.java:91-113) instead
+   * of pre-parsed columns — trailing-comma strip, null-field drop,
+   * Gnd==true drop, Gnd-null-airborne all under the DuckDB hash gate
+   * (VERDICT r6 missing #1). Spd arrives in knots and is converted
+   * post-parse (RollingFlightDist.java:131).
+   */
+  def flightDistWire(spark: SparkSession, sfDir: String): DataFrame = {
+    val lines = SyntheticSources.adsbWireLines(Tables.events(spark, sfDir))
+    val pos = AdsbOps.parsePositionsWithId(lines, col("adsb"))
+      .select(col("event_id"), col("icao"), col("posTime").as("pos_time"),
+        col("lat"), col("lng"),
+        (col("spd") * GeoOps.KnotToKmPerSec).as("spd_kms"), col("trak"))
     val latest = WindowOps.latestPerKey(pos, Seq("icao"), Seq("pos_time", "event_id"))
     JoinOps.proximityPairs(latest, DistThresholdKm, SpecSteps, SpecStepSec)
   }

@@ -24,6 +24,9 @@ object Oracles {
 
   val sol: String = "SELECT props AS message FROM events"
 
+  /** Identity chain — the shuffles only move rows, never change them. */
+  val solShuffled: String = sol
+
   val dataclean: String =
     s"""WITH $pageViewSql
        |SELECT url || chr(9) || CAST(http_status AS VARCHAR) || chr(9) ||
@@ -75,13 +78,23 @@ object Oracles {
       |         event_id, value
       |  FROM events) t WHERE rn <= 5""".stripMargin
 
+  /** Last-500-arrivals ring buffer (newest by ts, event_id), ranked by
+   *  (value, event_id) — RollingSort's count-based chunk semantics. */
+  val rollingSortLastN: String =
+    """WITH lastn AS (
+      |  SELECT event_id, value FROM events
+      |  ORDER BY ts DESC, event_id DESC LIMIT 500)
+      |SELECT CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS rn,
+      |       value, event_id
+      |FROM lastn""".stripMargin
+
   /** Mirrors flightDist stage-by-stage: latest-per-icao, theta self-join,
    *  speculative steps, dead-reckoning (computeLatLong), haversine
    *  (computeDist), threshold. Same expression structure as GeoOps so
    *  doubles agree to libm ulps; emitted distance is rounded to 0.1 km. */
-  val flightDist: String = {
+  private def flightDistFrom(posCte: String): String = {
     val steps = (0 until BenchQueries.SpecSteps).map(i => s"($i)").mkString(",")
-    s"""WITH $adsbSql,
+    s"""WITH $posCte,
        |latest AS (
        |  SELECT icao, pos_time, lat, lng, spd_kms, trak FROM (
        |    SELECT pos.*, row_number() OVER (
@@ -126,6 +139,13 @@ object Oracles {
        |SELECT icao1, icao2, step, curr_time, round(dist_km, 1) AS dist_r
        |FROM dist WHERE dist_km <= ${BenchQueries.DistThresholdKm}""".stripMargin
   }
+
+  val flightDist: String = flightDistFrom(adsbSql)
+
+  /** Same pipeline entered through the JSON wire parse: the guards drop
+   *  the Spd-null / Gnd-true slivers; position arithmetic is unchanged
+   *  because the JSON double embed round-trips exactly. */
+  val flightDistWire: String = flightDistFrom(adsbWireSql)
 
   val tridentWordcount: String = wordcount
 

@@ -83,6 +83,45 @@ object SyntheticSources {
       |         (value * 31) % 360.0 AS trak
       |  FROM events)""".stripMargin
 
+  /**
+   * events -> raw ADS-B JSON wire lines (the actual `adsb` topic format,
+   * RollingFlightDist.java:91-113), same position arithmetic as
+   * [[adsbPositions]] but with Spd carried in KNOTS as on the wire, and
+   * deterministic slivers exercising every LatLongFilterBolt guard:
+   *  - every line ends with the feed's trailing comma (stripped on parse)
+   *  - event_id % 37 == 0  -> "Spd":null        (null-field drop)
+   *  - event_id % 41 == 0  -> "Gnd":true        (on-ground drop)
+   *  - even event_id       -> Gnd field omitted (null = airborne, kept)
+   *  - otherwise           -> "Gnd":false       (airborne, kept)
+   * Doubles embed via Spark's shortest-round-trip double->string cast, so
+   * the parsed-back values are bit-identical to [[adsbPositions]]'s and
+   * the oracle can compute positions directly from events ([[adsbWireSql]]).
+   */
+  def adsbWireLines(events: DataFrame): DataFrame = {
+    val evid = col("event_id")
+    events.select(
+      col("event_id"),
+      concat(
+        lit("{\"Id\":"), evid,
+        lit(",\"Icao\":\""), col("user_id").cast("string"),
+        lit("\",\"PosTime\":"), lit(1700000000000L) + (evid % 300) * 1000,
+        lit(",\"Lat\":"), lit(40.0) + col("value") % 1.0,
+        lit(",\"Long\":"), lit(-74.0) + (col("value") * 7) % 1.0,
+        lit(",\"Spd\":"),
+        when(evid % 37 === 0, lit("null"))
+          .otherwise((lit(50.0) + col("value")).cast("string")),
+        lit(",\"Trak\":"), (col("value") * 31) % 360.0,
+        when(evid % 41 === 0, lit(",\"Gnd\":true"))
+          .when(evid % 2 === 0, lit(""))
+          .otherwise(lit(",\"Gnd\":false")),
+        lit("},")).as("adsb"))
+  }
+
+  /** [[adsbSql]] restricted to the rows the wire guards keep: the oracle
+   *  side of the parse gate (kept in lock-step by string rewrite). */
+  val adsbWireSql: String = adsbSql.replace("FROM events)",
+    "FROM events WHERE event_id % 37 <> 0 AND event_id % 41 <> 0)")
+
   /** events -> wide-range geo points for zone bucketing (with a
    *  deterministic out-of-range sliver to exercise the sentinel). */
   def geoPoints(events: DataFrame): DataFrame =

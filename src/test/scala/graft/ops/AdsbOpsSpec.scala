@@ -26,6 +26,29 @@ class AdsbOpsSpec extends SparkSpec {
     assert(out.head == AdsbPosition("A1B2", 1500000000000L, 42.7, -73.7, 310.0, 95.0))
   }
 
+  test("parsePositionsWithId keeps the wire Id for tiebreaking") {
+    val df = Seq(good, onGround).toDF("line")
+    val out = AdsbOps.parsePositionsWithId(df, col("line")).collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "A1B2")))
+  }
+
+  test("adsbWireLines round-trips bit-exactly to adsbPositions minus the guard slivers") {
+    import graft.queries.SyntheticSources
+    // events-shaped fixture covering every guard residue: %37, %41, even/odd
+    val events = (0L until 200L).map(i =>
+      (i, i % 7, s"p$i", 0.37 + i * 1.113)).toDF("event_id", "user_id", "props", "value")
+    val viaWire = AdsbOps.parsePositionsWithId(
+        SyntheticSources.adsbWireLines(events), col("adsb"))
+      .select(col("event_id"), col("icao"), col("posTime").as("pos_time"),
+        col("lat"), col("lng"),
+        (col("spd") * GeoOps.KnotToKmPerSec).as("spd_kms"), col("trak"))
+    val direct = SyntheticSources.adsbPositions(events)
+      .filter(col("event_id") % 37 =!= 0 && col("event_id") % 41 =!= 0)
+      .select(viaWire.columns.map(col): _*)
+    assert(viaWire.count() == 190) // 200 - 6 (%37) - 5 (%41), %0 once
+    assert(viaWire.exceptAll(direct).isEmpty && direct.exceptAll(viaWire).isEmpty)
+  }
+
   test("zoneOfLine: sentinel semantics mirror ZoneIndex") {
     val outOfRange =
       """{"Id":6,"Icao":"K1L2","PosTime":1,"Lat":85.0,"Long":0.0},"""

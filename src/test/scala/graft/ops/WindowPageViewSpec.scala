@@ -73,4 +73,28 @@ class WindowPageViewSpec extends SparkSpec {
       .as[String].collect().sorted
     assert(out.toSeq == Seq("bad", "worse"))
   }
+
+  test("lastNSorted keeps only the newest n arrivals (overwrite-oldest)") {
+    // arrivals in ts order: v=9 (oldest), 1, 8, 2, 5 — ring of size 3
+    // keeps {8, 2, 5}: the oldest two are overwritten, NOT the largest
+    val df = Seq(
+      (t("2024-01-01 10:00:00"), 1L, 9.0), (t("2024-01-01 10:01:00"), 2L, 1.0),
+      (t("2024-01-01 10:02:00"), 3L, 8.0), (t("2024-01-01 10:03:00"), 4L, 2.0),
+      (t("2024-01-01 10:04:00"), 5L, 5.0)).toDF("ts", "event_id", "value")
+    val out = WindowOps.lastNSorted(df, Seq(col("ts"), col("event_id")),
+      n = 3, Seq("value", "event_id"))
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(out == Seq((1L, 2.0, 4L), (2L, 5.0, 5L), (3L, 8.0, 3L)))
+  }
+
+  test("lastNSorted ties on arrival ts break by tiebreaker desc") {
+    val df = Seq(
+      (t("2024-01-01 10:00:00"), 1L, 1.0), (t("2024-01-01 10:00:00"), 2L, 2.0),
+      (t("2024-01-01 10:00:00"), 3L, 3.0)).toDF("ts", "event_id", "value")
+    val out = WindowOps.lastNSorted(df, Seq(col("ts"), col("event_id")),
+      n = 2, Seq("value", "event_id"))
+      .as[(Long, Double, Long)].collect().toSeq
+    // event_id 3 and 2 are "newest" at the tied ts
+    assert(out == Seq((1L, 2.0, 2L), (2L, 3.0, 3L)))
+  }
 }
