@@ -181,8 +181,16 @@ object DedupOps {
    * component minimum — deterministic, engine-reproducible; the oracle
    * computes the same fixpoint with a recursive CTE), with a
    * convergence check per round (a one-row count, not a data collect)
-   * and per-round persist + lineage truncation via localCheckpoint so
-   * the plan doesn't grow with iterations.
+   * and per-round persist + lineage truncation so the plan doesn't grow
+   * with iterations.
+   *
+   * Lineage truncation has a fault-tolerance trade: `localCheckpoint`
+   * stores blocks on executors ONLY — fast, but after truncation there
+   * is no recompute path, so one lost executor mid-iteration kills the
+   * job. Fine locally and for short runs; at cluster scale set
+   * `spark.sparkContext.setCheckpointDir(<reliable storage>)` first and
+   * this operator automatically switches to reliable `checkpoint()`
+   * (HDFS/object-store-backed, survives executor loss) every iteration.
    *
    * @param edges (id1, id2) undirected pairs
    * @param nodes one `id` column; isolated nodes become singletons
@@ -190,29 +198,33 @@ object DedupOps {
    */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
       maxIters: Int = 30): DataFrame = {
-    val sym = edges.select(col("id1").as("src"), col("id2").as("dst"))
-      .union(edges.select(col("id2").as("src"), col("id1").as("dst")))
-      .localCheckpoint(true)
+    // reliable checkpoint when a checkpoint dir is configured (cluster
+    // mode); executor-memory localCheckpoint otherwise (local/dev)
+    def truncate(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint(true)
+    val sym = truncate(
+      edges.select(col("id1").as("src"), col("id2").as("dst"))
+        .union(edges.select(col("id2").as("src"), col("id1").as("dst"))))
     // Propagate only over nodes that appear in an edge: at corpus scale
     // the near-dup subgraph is orders of magnitude smaller than the
     // node set, and isolated nodes are singleton clusters by definition
     // (unioned back, label = own id, at the end — no iteration cost).
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster"))
-      .localCheckpoint(true)
+    var labels = truncate(
+      sym.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("cluster")))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val neighborMin = sym
         .join(labels.select(col("id").as("dst"), col("cluster")), "dst")
         .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
-      val updated = labels
+      val updated = truncate(labels
         .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
             .as("cluster"),
-          (col("nbr_min") < col("cluster")).as("changed"))
-        .localCheckpoint(true)
+          (col("nbr_min") < col("cluster")).as("changed")))
       converged = updated.filter(col("changed")).limit(1).isEmpty
       labels = updated.select(col("id"), col("cluster"))
       i += 1

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener.{
+  QueryIdleEvent, QueryProgressEvent, QueryStartedEvent, QueryTerminatedEvent}
+
+/**
+ * Offset-lag observability: the Structured Streaming analog of the
+ * reference's Kafka offsets monitor, whose saturation signal is
+ * (latest available offset - committed consumer offset) sampled per
+ * partition (monitors/offsets/offsets_monitor.py:60-72). A pipeline
+ * that keeps up shows bounded lag; a saturated one shows lag growing
+ * linearly with wall time — the reference uses exactly this divergence
+ * to find the max sustainable ingest rate.
+ *
+ * Per completed trigger this records input rows, input/processed
+ * rates, and backlog = latestOffset - endOffset summed across sources
+ * that report offsets numerically:
+ *  - rate source: offsets are seconds since stream start, so lag is
+ *    "seconds of generated data not yet consumed";
+ *  - Kafka: offsets are per-partition message counts in a JSON object
+ *    ({"topic":{"0":n,...}}), so lag is total messages behind — the
+ *    same number the reference's monitor emits.
+ *
+ * One listener instance observes one session; samples are keyed by
+ * query runId so concurrent queries don't interleave. Register via
+ * `spark.streams.addListener`.
+ */
+final class ConsumerLagListener extends StreamingQueryListener {
+
+  /** One completed trigger's worth of saturation signal. */
+  final case class Sample(runId: String, batchId: Long, rows: Long,
+      inputRowsPerSec: Double, processedRowsPerSec: Double, lag: Option[Long])
+
+  private val buf = ArrayBuffer.empty[Sample]
+
+  def samples(runId: java.util.UUID): Seq[Sample] =
+    buf.synchronized(buf.filter(_.runId == runId.toString).toVector)
+
+  def clear(): Unit = buf.synchronized(buf.clear())
+
+  /** Sum every integer in an offset blob: a bare long (rate source)
+   *  is one value; a Kafka-style nested JSON object sums its
+   *  per-partition leaves. Non-numeric/absent offsets -> None. */
+  private[streaming] def offsetSum(s: String): Option[Long] = {
+    if (s == null) None
+    else {
+      val t = s.trim
+      if (t.matches("-?\\d+")) Some(t.toLong)
+      else if (t.startsWith("{")) {
+        // sum the digits that FOLLOW a colon — the per-partition VALUES
+        // in {"topic":{"0":123,"1":4}}; quoted keys stay out of the sum
+        val vals = ":\\s*(-?\\d+)".r.findAllMatchIn(t).map(_.group(1).toLong).toList
+        if (vals.isEmpty) None else Some(vals.sum)
+      } else None
+    }
+  }
+
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    val p = event.progress
+    val lags = p.sources.toSeq.flatMap { s =>
+      for {
+        latest <- offsetSum(s.latestOffset)
+        committed <- offsetSum(s.endOffset)
+      } yield latest - committed
+    }
+    val sample = Sample(p.runId.toString, p.batchId, p.numInputRows,
+      p.inputRowsPerSecond, p.processedRowsPerSecond,
+      if (lags.isEmpty) None else Some(lags.sum))
+    buf.synchronized { buf += sample; () }
+  }
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+  override def onQueryIdle(event: QueryIdleEvent): Unit = ()
+}

@@ -8,7 +8,7 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 import graft.ops.{AdsbOps, PageViewOps, TextOps}
 import graft.sources.Generators
-import graft.streaming.StreamOps
+import graft.streaming.{ConsumerLagListener, StreamOps}
 
 /** Dev tool: sustained streaming throughput (rows/s) per topology on
   * the rate-source generators — the reference's figure of merit
@@ -28,6 +28,11 @@ object ThroughputProbe {
     val wanted: String => Boolean =
       if (args.isEmpty) _ => true else args.toSet
 
+    // offset-lag series per trigger — the reference's saturation metric
+    // (offsets_monitor.py:60-72): growing lag = the topology can't keep up
+    val lagListener = new ConsumerLagListener
+    spark.streams.addListener(lagListener)
+
     def report(name: String, q: org.apache.spark.sql.streaming.StreamingQuery,
         sleepMs: Long): Unit = {
       Thread.sleep(sleepMs)
@@ -38,6 +43,14 @@ object ThroughputProbe {
       try q.stop() catch { case _: Throwable => }
       val avg = if (rps.nonEmpty) rps.sum / rps.length else 0.0
       println(f"[tp] $name%-18s ${avg / 1e6}%6.2f M rows/s (${rps.length} triggers)")
+      val lags = lagListener.samples(q.runId).flatMap(_.lag)
+      if (lags.nonEmpty)
+        // rate source offsets are SECONDS of generated data; a saturated
+        // probe is EXPECTED to trail (offered >> sustainable) — the
+        // signal is the slope across the series, flat = keeping up
+        println(s"[lag] $name lag series (s of data behind): " +
+          s"${lags.take(12).mkString(", ")}" +
+          (if (lags.sizeIs > 12) ", ..." else ""))
     }
 
     /** One topology, isolated: a failure prints and the sweep continues. */

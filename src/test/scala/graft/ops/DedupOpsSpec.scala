@@ -73,4 +73,28 @@ class DedupOpsSpec extends SparkSpec {
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
+
+  test("connectedComponents uses reliable checkpoints when a dir is set") {
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty) // suite-order guard: dir leaks to later suites
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt")
+    sc.setCheckpointDir(dir.toString)
+    try {
+      val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("id1", "id2")
+      val nodes = Seq(0L, 1L, 2L, 3L, 9L).toDF("id")
+      val got = DedupOps.connectedComponents(edges, nodes)
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 9L -> 9L))
+      // reliable RDD checkpoint files actually landed in the dir
+      val wrote = java.nio.file.Files.walk(dir).filter(_.toFile.isFile).count()
+      assert(wrote > 0, "no checkpoint files written to reliable storage")
+    } finally {
+      // restore executor-local truncation for the rest of the JVM: the
+      // public API has no unset, so reach the private field via reflection
+      val f = sc.getClass.getDeclaredField("checkpointDir")
+      f.setAccessible(true)
+      f.set(sc, None)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
 }

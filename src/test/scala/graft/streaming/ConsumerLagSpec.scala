@@ -1,0 +1,53 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+class ConsumerLagSpec extends SparkSpec {
+
+  test("offsetSum handles rate-source longs, Kafka objects, and junk") {
+    val l = new ConsumerLagListener
+    assert(l.offsetSum("42") == Some(42L))
+    assert(l.offsetSum(" -3 ") == Some(-3L))
+    // Kafka-style per-partition offsets: sum of values, keys ignored
+    assert(l.offsetSum("""{"view":{"0":100,"1":23}}""") == Some(123L))
+    assert(l.offsetSum("""{"t":{"0":5},"u":{"0":7,"1":1}}""") == Some(13L))
+    assert(l.offsetSum(null).isEmpty)
+    assert(l.offsetSum("").isEmpty)
+    assert(l.offsetSum("not-an-offset").isEmpty)
+    assert(l.offsetSum("{}").isEmpty)
+  }
+
+  test("listener records per-trigger lag samples for a rate query") {
+    val listener = new ConsumerLagListener
+    spark.streams.addListener(listener)
+    val ckpt = Files.createTempDirectory("lag-ckpt").toString
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", 100).load()
+      .select(col("value"))
+      .writeStream.format("noop")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    try {
+      // wait until at least two non-empty triggers completed
+      val deadline = System.currentTimeMillis() + 30000
+      while (listener.samples(q.runId).count(_.rows > 0) < 2 &&
+          System.currentTimeMillis() < deadline) Thread.sleep(200)
+      val samples = listener.samples(q.runId).filter(_.rows > 0)
+      assert(samples.size >= 2, s"only ${samples.size} samples recorded")
+      // rate source reports latestOffset, so lag must be defined and sane
+      // (consumed offset can't be ahead of available)
+      assert(samples.forall(_.lag.exists(_ >= 0L)),
+        s"lags: ${samples.map(_.lag)}")
+      assert(samples.forall(_.batchId >= 0))
+    } finally {
+      try q.stop() catch { case _: Throwable => }
+      spark.streams.removeListener(listener)
+    }
+  }
+}
