@@ -23,9 +23,17 @@ object AdsbOps {
 
   /** Parse + the LatLongFilterBolt guards (RollingFlightDist.java:91-113):
    *  all six fields present, on-ground (Gnd==true) dropped, Gnd null
-   *  treated airborne. Rows that survive keep the parsed struct as `j`. */
+   *  treated airborne. Rows that survive keep the parsed struct as `j`.
+   *
+   *  The parse rides inside `explode(array(...))`: the Generate node is
+   *  a predicate-pushdown barrier, so the guard filter evaluates on the
+   *  parsed STRUCT attribute instead of being pushed below the
+   *  projection and alias-substituted into 7 independent
+   *  build+parse-the-line copies (one per conjunct — measured 7.6x
+   *  scaling vs the struct form at sf0.1 when the line itself is a
+   *  synthesized column). One parse per row, guaranteed by plan shape. */
   private def validReports(df: DataFrame, line: Column): DataFrame =
-    df.withColumn("j", parsed(line))
+    df.select(explode(array(parsed(line))).as("j"))
       .filter(col("j.Icao").isNotNull && col("j.PosTime").isNotNull &&
         col("j.Lat").isNotNull && col("j.Long").isNotNull &&
         col("j.Spd").isNotNull && col("j.Trak").isNotNull &&

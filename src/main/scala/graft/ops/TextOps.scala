@@ -66,9 +66,17 @@ object TextOps {
   /** Exchange-per-hop variant of [[constChain]]: the thing SOL actually
    *  measures is the NETWORK hop — every bolt level is shuffleGrouping'd
    *  (SOL.java:44-49), so each hop serializes + transfers every tuple.
-   *  A round-robin repartition between levels reproduces that exchange
-   *  cost under Spark (results identical — identity op); benching both
-   *  forms puts a number on what stage fusion saves. */
+   *  A round-robin repartition between levels declares that exchange
+   *  per hop (results identical — identity op).
+   *
+   *  Catalyst's CollapseRepartition then merges the ADJACENT identity
+   *  exchanges into one (plan-guarded in PlanShapeSpec): where Storm
+   *  pays levels-1 identical network hops, Spark proves them redundant
+   *  and pays exactly one full-data exchange — that surviving exchange
+   *  is the serialization+transfer unit cost the bench carries
+   *  (multiply by levels-1 for the Storm-equivalent bill). Defeating
+   *  the optimizer to keep all hops would benchmark a pessimization
+   *  no Spark user would run. */
   def constChainShuffled(df: DataFrame, in: Column, levels: Int): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     (1 to math.max(levels - 1, 1)).foldLeft(df.select(in.as("message"))) {

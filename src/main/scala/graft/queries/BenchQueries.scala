@@ -42,8 +42,9 @@ object BenchQueries {
 
   /** Exchange-per-hop SOL variant: the reference's hops are shuffleGrouping
    *  network exchanges (SOL.java:44-49) — `sol` above shows Spark's fusion
-   *  win; this keeps the per-hop exchange so the bench carries an explicit
-   *  serialization+shuffle cost number (VERDICT r6 missing #2). */
+   *  win; this declares the per-hop exchange so the bench carries an
+   *  explicit serialization+shuffle cost number (one exchange survives
+   *  CollapseRepartition — see TextOps.constChainShuffled). */
   def solShuffled(spark: SparkSession, sfDir: String): DataFrame =
     TextOps.constChainShuffled(Tables.events(spark, sfDir), col("props"), levels = 3)
 

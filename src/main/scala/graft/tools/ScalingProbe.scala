@@ -9,10 +9,10 @@ object ScalingProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = Seq("wordcount", "dataclean", "rolling_count", "unique_visitor",
-      "flight_dist", "dedup_minhash", "dedup_exact", "sim_topk", "text_langid",
-      "text_quality", "q_revenue_by_region", "q_resample", "sessionize",
-      "pipeline_curate")
+    // all registered queries by default; pass names to probe a subset
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else graft.SparkEntry.queries.keys.toSeq.sorted
     def run(name: String, sf: String): Double = {
       val fn = graft.SparkEntry.queries(name)
       fn(spark, sf).write.format("noop").mode("overwrite").save() // warm (JIT + code cache)

@@ -85,4 +85,27 @@ class PlanShapeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("ReadSchema: struct<text:string>"))
   }
+
+  test("sol fuses to zero exchanges; sol_shuffled pays exactly one") {
+    assert(!plan("sol").contains("Exchange"), "sol must stay fused")
+    // CollapseRepartition merges the adjacent identity hops: Storm's
+    // levels-1 identical network exchanges survive as ONE full-data
+    // exchange — the unit serialization+transfer cost under the bench
+    val hops = "Exchange RoundRobinPartitioning".r
+      .findAllIn(plan("sol_shuffled")).size
+    assert(hops == 1, s"expected the one surviving exchange, got $hops")
+  }
+
+  test("rolling_sort_lastn takes last-N via TakeOrderedAndProject, no window") {
+    val p = plan("rolling_sort_lastn")
+    assert(p.contains("TakeOrderedAndProject"),
+      "last-N must plan per-partition top-N + merge, not a global sort:\n" + p)
+    assert(!p.contains("Window"), "rank must come from array_sort, not WindowExec")
+  }
+
+  test("flight_dist_wire keeps the broadcast theta-join snapshot shape") {
+    val p = plan("flight_dist_wire")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
