@@ -292,6 +292,73 @@ object VectorMath {
       Array[Any](field("Lat"), field("Long")))
   }
 
+  /** One-pass FULL ADS-B report extraction; see [[AdsbReport]]. Same
+   *  key-targeted scan as [[adsbLatLng]] extended to all 8 wire fields
+   *  (string / long / double / boolean typed parses; null / missing /
+   *  malformed token → null field). The trailing comma needs no
+   *  stripping — the scan never reads past the value it targets. */
+  def adsbReport(line: String): InternalRow = {
+    val len = line.length
+    // index of the first value char after `"key":` (spaces skipped), or -1
+    def valueAt(key: String): Int = {
+      val k = "\"" + key + "\":"
+      val at = line.indexOf(k)
+      if (at < 0) -1
+      else {
+        var i = at + k.length
+        while (i < len && line.charAt(i) == ' ') i += 1
+        i
+      }
+    }
+    def numEnd(start: Int): Int = {
+      var i = start
+      while (i < len && (line.charAt(i) == '-' || line.charAt(i) == '+' ||
+        line.charAt(i) == '.' || line.charAt(i) == 'e' || line.charAt(i) == 'E' ||
+        (line.charAt(i) >= '0' && line.charAt(i) <= '9'))) i += 1
+      i
+    }
+    def dbl(key: String): Any = {
+      val s = valueAt(key)
+      if (s < 0 || line.startsWith("null", s)) null
+      else {
+        val e = numEnd(s)
+        if (e == s) null
+        else try java.lang.Double.valueOf(line.substring(s, e))
+        catch { case _: NumberFormatException => null }
+      }
+    }
+    def lng(key: String): Any = {
+      val s = valueAt(key)
+      if (s < 0 || line.startsWith("null", s)) null
+      else {
+        val e = numEnd(s)
+        if (e == s) null
+        else try java.lang.Long.valueOf(line.substring(s, e))
+        catch { case _: NumberFormatException => null }
+      }
+    }
+    def str(key: String): Any = {
+      val s = valueAt(key)
+      if (s < 0 || s >= len || line.charAt(s) != '"') null
+      else {
+        val close = line.indexOf('"', s + 1) // feed strings carry no escapes
+        if (close < 0) null
+        else org.apache.spark.unsafe.types.UTF8String
+          .fromString(line.substring(s + 1, close))
+      }
+    }
+    def bool(key: String): Any = {
+      val s = valueAt(key)
+      if (s < 0) null
+      else if (line.startsWith("true", s)) java.lang.Boolean.TRUE
+      else if (line.startsWith("false", s)) java.lang.Boolean.FALSE
+      else null
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](lng("Id"), str("Icao"), lng("PosTime"), dbl("Lat"),
+        dbl("Long"), dbl("Spd"), dbl("Trak"), bool("Gnd")))
+  }
+
   /** IVF coarse-quantizer probe list; see [[IvfProbeCells]]. Returns the
    *  `nProbe` nearest centroid ids by cosine, best first, ties → smaller
    *  cid. Exactly equal to sorting structs of (ns = −coalesce(dot/
@@ -699,6 +766,53 @@ case class QualityStats(child: Expression)
     copy(child = newChild)
 }
 
+/**
+ * One-pass full ADS-B report parse: struct(Id, Icao, PosTime, Lat,
+ * Long, Spd, Trak, Gnd) — field names match `Schemas.adsb` so
+ * consumers swap in for `from_json` unchanged. from_json tokenizes the
+ * whole object per row with Jackson (the measured 6x tax that
+ * motivated [[AdsbLatLng]]); this scans for each key and parses only
+ * its value, and needs no trailing-comma strip. Field-level equality
+ * with the from_json formulation is pinned in NativeExprSpec on
+ * generator-shaped and guard-exercising lines; on non-JSON garbage
+ * from_json yields a NULL STRUCT while this yields a struct of nulls —
+ * operator-level equivalent (every guard fails either way; AdsbOpsSpec
+ * pins the drop set). Same accepted limitation as [[AdsbLatLng]]:
+ * a key string occurring inside a string VALUE would false-match —
+ * impossible for this feed's hex Icao values.
+ */
+case class AdsbReport(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("Id",
+      org.apache.spark.sql.types.LongType, nullable = true),
+    org.apache.spark.sql.types.StructField("Icao",
+      org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("PosTime",
+      org.apache.spark.sql.types.LongType, nullable = true),
+    org.apache.spark.sql.types.StructField("Lat",
+      org.apache.spark.sql.types.DoubleType, nullable = true),
+    org.apache.spark.sql.types.StructField("Long",
+      org.apache.spark.sql.types.DoubleType, nullable = true),
+    org.apache.spark.sql.types.StructField("Spd",
+      org.apache.spark.sql.types.DoubleType, nullable = true),
+    org.apache.spark.sql.types.StructField("Trak",
+      org.apache.spark.sql.types.DoubleType, nullable = true),
+    org.apache.spark.sql.types.StructField("Gnd",
+      org.apache.spark.sql.types.BooleanType, nullable = true)))
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.adsbReport(v.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.VectorMath.adsbReport($t.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Whitespace-token count of a text: maximal non-whitespace runs, one
  *  pass, no array allocation — equals the composed
  *  `size(filter(split ...))` form (NativeExprSpec) without the regex
@@ -763,6 +877,9 @@ object native {
 
   def adsb_latlng(line: Column): Column =
     GraftColumnBridge.column(AdsbLatLng(GraftColumnBridge.expression(line)))
+
+  def adsb_report(line: Column): Column =
+    GraftColumnBridge.column(AdsbReport(GraftColumnBridge.expression(line)))
 
   def pageview_fields(line: Column): Column =
     GraftColumnBridge.column(PageViewFields(GraftColumnBridge.expression(line)))

@@ -18,7 +18,14 @@ import graft.model.{AdsbPosition, Schemas}
  */
 object AdsbOps {
 
+  /** Production parse: the one-pass AdsbReport key-scan kernel (no
+   *  Jackson tokenization, no trailing-comma strip needed). Field names
+   *  match [[parsedJson]]; NativeExprSpec pins field equality. */
   private def parsed(line: Column): Column =
+    graft.functions.native.adsb_report(line)
+
+  /** from_json reference formulation of [[parsed]] (cross-check only). */
+  private[ops] def parsedJson(line: Column): Column =
     from_json(regexp_replace(line, ",$", ""), Schemas.adsb)
 
   /** Parse + the LatLongFilterBolt guards (RollingFlightDist.java:91-113):
@@ -79,7 +86,7 @@ object AdsbOps {
 
   /** from_json reference formulation of [[zoneOfLine]] (cross-check). */
   def zoneOfLineHof(line: Column): Column = {
-    val j = parsed(line)
+    val j = parsedJson(line)
     when(!(line.startsWith("{\"Id\"") && line.endsWith("},")), lit("no_latlng"))
       .otherwise(GeoOps.zoneOf(j.getField("Lat"), j.getField("Long")))
   }

@@ -42,6 +42,26 @@ class NativeExprSpec extends SparkSpec {
     assert(k2 == j2)
   }
 
+  test("AdsbReport kernel equals the from_json formulation on all 8 fields") {
+    val df = Seq(
+      """{"Id":1,"Icao":"A1B2C3","PosTime":1700000000000,"Lat":40.64,"Long":-73.78,"Spd":250.0,"Trak":90.0,"Gnd":false},""",
+      """{"Id":2,"Icao":"C3D4","PosTime":1500000000001,"Lat":40.0,"Long":-74.0,"Spd":250.0,"Trak":180.0},""", // Gnd absent
+      """{"Id":3,"Icao":"E5F6","PosTime":1500000000002,"Lat":41.0,"Long":-72.0,"Spd":5.0,"Trak":0.0,"Gnd":true},""",
+      """{"Id":4,"Icao":"G7H8","PosTime":1500000000003,"Lat":41.0,"Long":-72.0,"Spd":null,"Trak":0.0},""", // Spd null
+      """{"Id":5,"Icao":"I9J0","PosTime":1500000000004},""", // most fields missing
+      """{"Id":6,"Icao":"K1L2","PosTime":-7,"Lat":1e2,"Long":-1.5E-3,"Spd": 33.5 ,"Trak":359.9,"Gnd":null},""",
+      """not json at all""",
+      """{"Id":7,"Icao":"M","PosTime":1,"Lat":40.0,"Long":-73.0,"Spd":1.0,"Trak":2.0,"Gnd":false}""" // no trailing comma
+    ).toDF("line")
+    val fields = Seq("Id", "Icao", "PosTime", "Lat", "Long", "Spd", "Trak", "Gnd")
+    val kernel = df.select(native.adsb_report(col("line")).as("s"))
+      .selectExpr(fields.map(f => s"s.$f"): _*).collect().map(_.toSeq).toSeq
+    val json = df.select(from_json(regexp_replace(col("line"), ",$", ""),
+      graft.model.Schemas.adsb).as("j"))
+      .selectExpr(fields.map(f => s"j.$f"): _*).collect().map(_.toSeq).toSeq
+    assert(kernel == json)
+  }
+
   test("PageViewFields kernel equals the from_csv formulation per line shape") {
     val df = Seq(
       "/page/a\t200\t94709\t42", // well-formed
