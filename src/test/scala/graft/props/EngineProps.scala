@@ -156,6 +156,65 @@ object EngineProps extends Properties("graft") {
       parsed.toSeq.sorted == pvs.sorted
     }
 
+  /** Randomized feed-shaped ADS-B lines: each field independently
+   *  absent / JSON null / type-correct value, random space after the
+   *  colon, trailing comma or not. Types stay wire-correct (longs for
+   *  Id/PosTime, doubles for Lat/Long/Spd/Trak) — type-MISMATCHED JSON
+   *  is outside the feed contract and the kernel's documented scope. */
+  private val adsbLineGen: Gen[String] = {
+    def tok(value: Gen[String]): Gen[Option[String]] = Gen.frequency(
+      2 -> Gen.const(None), // absent
+      1 -> Gen.const(Some("null")),
+      7 -> value.map(Some(_)))
+    val longTok = Gen.choose(-1000L, 2000000000000L).map(_.toString)
+    val dblTok = Gen.oneOf(
+      Gen.choose(-180.0, 180.0).map(_.toString),
+      Gen.choose(-1.0e-3, 1.0e-3).map(_.toString), // exponent notation
+      Gen.oneOf("0.0", "-0.0", "360.0"))
+    val strTok = Gen.listOfN(6, Gen.oneOf(('0' to '9') ++ ('A' to 'F')))
+      .map(cs => "\"" + cs.mkString + "\"")
+    val boolTok = Gen.oneOf("true", "false")
+    for {
+      id <- tok(longTok); icao <- tok(strTok); pt <- tok(longTok)
+      lat <- tok(dblTok); lngV <- tok(dblTok); spd <- tok(dblTok)
+      trak <- tok(dblTok); gnd <- tok(boolTok)
+      space <- Gen.oneOf("", " ")
+      trail <- Gen.oneOf("", ",")
+    } yield {
+      val fields = Seq("Id" -> id, "Icao" -> icao, "PosTime" -> pt,
+        "Lat" -> lat, "Long" -> lngV, "Spd" -> spd, "Trak" -> trak,
+        "Gnd" -> gnd).collect { case (k, Some(v)) => s""""$k":$space$v""" }
+      fields.mkString("{", ",", "}") + trail
+    }
+  }
+
+  property("AdsbReport kernel == from_json field-for-field on random lines") =
+    forAll(Gen.listOfN(25, adsbLineGen)) { lines =>
+      import spark.implicits._
+      val df = lines.toDF("line")
+      val fields = Seq("Id", "Icao", "PosTime", "Lat", "Long", "Spd", "Trak", "Gnd")
+      val kernel = df.select(graft.functions.native.adsb_report(col("line")).as("s"))
+        .selectExpr(fields.map(f => s"s.$f"): _*).collect().map(_.toSeq).toSeq
+      val json = df.select(from_json(regexp_replace(col("line"), ",$", ""),
+        graft.model.Schemas.adsb).as("j"))
+        .selectExpr(fields.map(f => s"j.$f"): _*).collect().map(_.toSeq).toSeq
+      kernel == json
+    }
+
+  property("lastNSorted == sorted suffix of arrival order") =
+    forAll(Gen.listOfN(20, Gen.choose(0.0, 50.0)), Gen.choose(1, 25)) { (vals, n) =>
+      import spark.implicits._
+      // arrival order = event_id (ts constant -> tiebreaker decides)
+      val rows = vals.zipWithIndex.map { case (v, i) =>
+        (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), i.toLong, v) }
+      val got = WindowOps.lastNSorted(rows.toDF("ts", "event_id", "value"),
+        Seq(col("ts"), col("event_id")), n, Seq("value", "event_id"))
+        .as[(Long, Double, Long)].collect().toSeq
+      val want = rows.takeRight(n).map { case (_, id, v) => (v, id) }.sorted
+        .zipWithIndex.map { case ((v, id), r) => (r + 1L, v, id) }
+      got == want
+    }
+
   property("exactGroups: group sizes partition the input") =
     forAll(Gen.listOfN(25, Gen.oneOf("a", "b", "c", "d"))) { texts =>
       import spark.implicits._
