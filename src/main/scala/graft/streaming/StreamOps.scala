@@ -101,6 +101,32 @@ object StreamOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("w_start"), col(keyName), col("cnt"))
 
+  /**
+   * Streaming ring-buffer sort: SortBolt's EXACT tick semantics
+   * (RollingSort.java:70-127) — keyed state holds the last `n` ARRIVALS
+   * (overwrite oldest), and every trigger re-emits the key's sorted,
+   * ranked chunk. State is a bounded Vector (fixed size n — never
+   * grows), so this is safe on an unbounded stream; arrival order
+   * within a micro-batch follows partition iterator order, the same
+   * arrival race the reference's multi-worker shuffleGrouping has.
+   * Batch form: `WindowOps.lastNSorted` (gated as `rolling_sort_lastn`).
+   */
+  def lastNSortedStream(values: Dataset[(String, Double)], n: Int)
+      : Dataset[(String, Long, Double)] = {
+    import values.sparkSession.implicits._
+    values.groupByKey(_._1)
+      .flatMapGroupsWithState[Vector[Double], (String, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[Vector[Double]]) =>
+          val buf = rows.foldLeft(state.getOption.getOrElse(Vector.empty[Double])) {
+            (b, r) => (if (b.size >= n) b.drop(b.size - n + 1) else b) :+ r._2
+          }
+          state.update(buf)
+          buf.sorted.zipWithIndex.iterator
+            .map { case (v, i) => (key, i + 1L, v) }
+      }
+  }
+
   /** Sliding-window distinct per key — UniqueVisitorBolt. Streaming
    *  aggregation cannot hold exact distinct cheaply at scale; HLL++
    *  (approx_count_distinct) is the honest 100 TB path (SURVEY.md §4.3). */

@@ -354,4 +354,27 @@ class StreamOpsSpec extends SparkSpec {
       assert(pairs == Set(("A", "B"), ("A", "D"), ("B", "D")))
     } finally q2.stop()
   }
+
+  test("lastNSortedStream: keyed ring buffer overwrites oldest, re-emits sorted") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    val q = StreamOps.toMemory(
+      StreamOps.lastNSortedStream(in.toDS(), n = 3).toDF("key", "rn", "value"),
+      "lastn_test", OutputMode.Update, ckpt())
+    try {
+      in.addData(("k", 9.0), ("k", 1.0))
+      q.processAllAvailable()
+      val batch1 = spark.table("lastn_test")
+        .select("rn", "value").as[(Long, Double)].collect().toSet
+      assert(batch1 == Set((1L, 1.0), (2L, 9.0)))
+
+      in.addData(("k", 8.0), ("k", 2.0), ("k", 5.0))
+      q.processAllAvailable()
+      // arrivals 9,1,8,2,5 with ring size 3 -> survivors {8,2,5}: the
+      // oldest (9, then 1) were overwritten, NOT the smallest/largest
+      val rows = spark.table("lastn_test").as[(String, Long, Double)].collect()
+      val lastEmit = rows.takeRight(3).map { case (_, rn, v) => (rn, v) }.toSet
+      assert(lastEmit == Set((1L, 2.0), (2L, 5.0), (3L, 8.0)), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
 }
