@@ -347,4 +347,35 @@ object AnalyticsQueries {
       .orderBy(col("qty").desc, col("p_brand"))
       .limit(10)
   }
+
+  /** Unpivot/melt (`stack` — the inverse of [[eventPivot]]): per-type
+   *  metrics to long (event_type, metric, val) format, the shape every
+   *  metrics store and ML feature pipeline wants. One agg pass, then a
+   *  row-local generator — no extra shuffle. Metrics are all DOUBLE so
+   *  the melted column is one type; the sum goes through DECIMAL for
+   *  order-independence (see class doc). */
+  def eventUnpivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_v"),
+        count_distinct(col("user_id")).cast("double").as("n_users"))
+      .select(col("event_type"), expr(
+        "stack(3, 'n', n, 'sum_v', sum_v, 'n_users', n_users) AS (metric, val)"))
+
+  /** Distribution-rank window medley: quartile bucket (ntile),
+   *  percent_rank and cume_dist per event over value within its type —
+   *  the feature-scaling/outlier idiom. Deterministic: the window order
+   *  carries an event_id tiebreak; both rank ratios are exact rationals
+   *  ((rank-1)/(n-1), rank/n) rounded identically in both engines.
+   *  ntile is cast to BIGINT to match DuckDB's type. */
+  def eventRankFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("q4", ntile(4).over(w).cast("bigint"))
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+  }
 }

@@ -693,6 +693,29 @@ object Oracles {
        |FROM events GROUP BY 1""".stripMargin
   }
 
+  /** Mirrors eventUnpivot: same agg CTE, UNION ALL melt (engine-agnostic
+   *  UNPIVOT); all metrics double, sum via DECIMAL. */
+  val eventUnpivot: String =
+    """WITH agg AS (
+      |  SELECT event_type,
+      |         CAST(count(*) AS DOUBLE) AS n,
+      |         CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_v,
+      |         CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users
+      |  FROM events GROUP BY 1)
+      |SELECT event_type, 'n' AS metric, n AS val FROM agg
+      |UNION ALL SELECT event_type, 'sum_v', sum_v FROM agg
+      |UNION ALL SELECT event_type, 'n_users', n_users FROM agg""".stripMargin
+
+  /** Mirrors eventRankFuncs: identical window order + tiebreak; rank
+   *  ratios rounded to 6 in both engines; ntile is BIGINT in DuckDB. */
+  val eventRankFuncs: String =
+    """SELECT event_id, event_type, value,
+      |       ntile(4) OVER w AS q4,
+      |       round(percent_rank() OVER w, 6) AS pr,
+      |       round(cume_dist() OVER w, 6) AS cd
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin
+
   val eventGaps: String =
     """WITH g AS (
       |  SELECT user_id,
