@@ -26,7 +26,7 @@ import graft.streaming.StreamOps
  *
  * Topologies: wordcount grep sol dataclean pageview_count unique_visitor
  * rolling_count rolling_hashtag_count rolling_geo_count rolling_sort
- * rolling_flight_dist trident_wordcount
+ * rolling_sort_lastn rolling_flight_dist trident_wordcount
  */
 object Run {
   def main(args: Array[String]): Unit = {
@@ -112,6 +112,17 @@ object Run {
       case "rolling_sort" | "rolling_flight_dist" =>
         runForeachBatch(spark, name, lines(), emitFreq, checkpoint)
         return
+      case "rolling_sort_lastn" =>
+        // SortBolt's exact ring semantics: one global chunk (single bolt
+        // instance) of the last N numeric values, re-emitted sorted per
+        // trigger; N from --win-len (stands in for chunk_size here)
+        import spark.implicits._
+        (StreamOps.lastNSortedStream(
+          lines().select(lit("all").as("k"),
+            substring(col("value"), 1, 8).cast("double").as("v"))
+            .as[(String, Double)], winLen)
+          .toDF("key", "rn", "value"),
+          OutputMode.Update)
       case other => sys.error(s"unknown topology: $other")
     }
 
