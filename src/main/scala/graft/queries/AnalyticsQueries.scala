@@ -363,6 +363,19 @@ object AnalyticsQueries {
       .select(col("event_type"), expr(
         "stack(3, 'n', n, 'sum_v', sum_v, 'n_users', n_users) AS (metric, val)"))
 
+  /** JSON property extraction + aggregation over the semi-structured
+   *  `props` column (`get_json_object` — Catalyst's codegen JSON path
+   *  expression): the event-property analytics idiom. Integer-exact
+   *  aggregates; the oracle re-casts DuckDB's HUGEINT sum to BIGINT. */
+  def eventJsonProps(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("bigint")
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+  }
+
   /** Distribution-rank window medley: quartile bucket (ntile),
    *  percent_rank and cume_dist per event over value within its type —
    *  the feature-scaling/outlier idiom. Deterministic: the window order

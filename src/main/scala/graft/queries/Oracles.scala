@@ -706,6 +706,14 @@ object Oracles {
       |UNION ALL SELECT event_type, 'sum_v', sum_v FROM agg
       |UNION ALL SELECT event_type, 'n_users', n_users FROM agg""".stripMargin
 
+  /** Mirrors eventJsonProps; sums re-cast from HUGEINT to BIGINT. */
+  val eventJsonProps: String =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+      |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Mirrors eventRankFuncs: identical window order + tiebreak; rank
    *  ratios rounded to 6 in both engines; ntile is BIGINT in DuckDB. */
   val eventRankFuncs: String =
