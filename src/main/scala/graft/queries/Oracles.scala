@@ -151,6 +151,11 @@ object Oracles {
 
   // ---- training-data pipeline oracles ------------------------------------
 
+  /** Mirrors hashSample: identical md5 hex in both engines. */
+  val hashSample: String =
+    """SELECT doc_id, source, md5(text) AS h FROM documents
+      |WHERE substr(md5(text), 1, 1) IN ('0', '1', '2')""".stripMargin
+
   val dedupExact: String =
     "SELECT min(doc_id) AS keeper, count(*) AS n FROM documents GROUP BY text"
 

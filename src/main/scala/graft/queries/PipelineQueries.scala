@@ -15,6 +15,20 @@ import graft.ops._
  */
 object PipelineQueries {
 
+  /**
+   * Deterministic hash sampling — the reproducible downsample at corpus
+   * scale. Membership is a pure function of CONTENT (md5 prefix), so
+   * there is no RNG, no state, and no coordination: re-runs, retried
+   * tasks, and other engines select the identical subset (which is also
+   * why it can sit under the DuckDB hash gate — `rand()` sampling never
+   * could). Keeps docs whose md5 falls in the first 3/16 of hash space
+   * (~18.75%); row-local filter, pushed to the scan, zero shuffle.
+   */
+  def hashSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      .filter(substring(col("h"), 1, 1).isin("0", "1", "2"))
+
   val SimQueryIds: Seq[Long] = (0L until 10L)
   val SimK = 10
   val NearDupCos = 0.45 // max pairwise cosine in testdata is ~0.51
