@@ -381,7 +381,14 @@ object AnalyticsQueries {
    *  the feature-scaling/outlier idiom. Deterministic: the window order
    *  carries an event_id tiebreak; both rank ratios are exact rationals
    *  ((rank-1)/(n-1), rank/n) rounded identically in both engines.
-   *  ntile is cast to BIGINT to match DuckDB's type. */
+   *  ntile is cast to BIGINT to match DuckDB's type.
+   *
+   *  Scale note: exact per-row ranks within a LOW-CARDINALITY partition
+   *  key are inherently sort-bound — each of the 5 types is one window
+   *  partition (~20% of the corpus through a single task's sort). That
+   *  is the operator's contract, not a plan defect; at 100 TB the rank
+   *  estimate comes from the KLL sketch instead (`sk_kll_quantiles`'s
+   *  rank-error contract), and this exact form runs on bounded slices. */
   def eventRankFuncs(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("value"), col("event_id"))
