@@ -117,9 +117,13 @@ object Run {
         // instance) of the last N numeric values, re-emitted sorted per
         // trigger; N from --win-len (stands in for chunk_size here)
         import spark.implicits._
+        // non-numeric lines (file:/kafka/pageview sources) cast to null;
+        // drop them BEFORE binding the primitive-Double encoder, which
+        // would otherwise crash the query on the first such row
         (StreamOps.lastNSortedStream(
           lines().select(lit("all").as("k"),
             substring(col("value"), 1, 8).cast("double").as("v"))
+            .filter(col("v").isNotNull)
             .as[(String, Double)], winLen)
           .toDF("key", "rn", "value"),
           OutputMode.Update)

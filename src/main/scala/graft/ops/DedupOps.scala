@@ -203,6 +203,25 @@ object DedupOps {
     def truncate(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint(true)
+    // Reliable checkpoint file of a just-checkpointed DataFrame (None
+    // for localCheckpoint / non-checkpoint plans). Spark only deletes
+    // these files itself with referenceTracking.cleanCheckpoints=true,
+    // and then only on driver GC — a 30-iteration run would otherwise
+    // hold 30 full label-set snapshots in reliable storage, so the loop
+    // below deletes iteration i's snapshot as soon as i+1 materializes.
+    def checkpointFileOf(df: DataFrame): Option[String] =
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.getCheckpointFile
+        case _ => None
+      }
+    def deleteCheckpoint(df: DataFrame, file: Option[String]): Unit =
+      file.foreach { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(
+          df.sparkSession.sparkContext.hadoopConfiguration)
+        fs.delete(path, true)
+        ()
+      }
     val sym = truncate(
       edges.select(col("id1").as("src"), col("id2").as("dst"))
         .union(edges.select(col("id2").as("src"), col("id1").as("dst"))))
@@ -215,6 +234,7 @@ object DedupOps {
         .select(col("id"), col("id").as("cluster")))
     var converged = false
     var i = 0
+    var prevLabelFile = checkpointFileOf(labels)
     while (!converged && i < maxIters) {
       val neighborMin = sym
         .join(labels.select(col("id").as("dst"), col("cluster")), "dst")
@@ -226,6 +246,11 @@ object DedupOps {
             .as("cluster"),
           (col("nbr_min") < col("cluster")).as("changed")))
       converged = updated.filter(col("changed")).limit(1).isEmpty
+      // `updated`'s checkpoint is materialized (checkpoint() is eager),
+      // so the previous label snapshot is unreachable — reclaim it now
+      // rather than waiting for a driver GC that may never run
+      deleteCheckpoint(updated, prevLabelFile)
+      prevLabelFile = checkpointFileOf(updated)
       labels = updated.select(col("id"), col("cluster"))
       i += 1
     }
@@ -234,6 +259,9 @@ object DedupOps {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIters iterations " +
         "(component diameter exceeds maxIters); raise maxIters")
+    // the edge list is only read inside the loop; the returned plan
+    // references just the final label snapshot (which must stay live)
+    deleteCheckpoint(sym, checkpointFileOf(sym))
     nodes.select(col("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))

@@ -41,19 +41,31 @@ final class ConsumerLagListener extends StreamingQueryListener {
 
   def clear(): Unit = buf.synchronized(buf.clear())
 
-  /** Sum every integer in an offset blob: a bare long (rate source)
-   *  is one value; a Kafka-style nested JSON object sums its
-   *  per-partition leaves. Non-numeric/absent offsets -> None. */
+  /** Sum the integer leaves of an offset blob: a bare long (rate
+   *  source) is one value; a Kafka-style nested JSON object sums its
+   *  per-partition leaf VALUES ({"topic":{"0":123,"1":4}} -> 127).
+   *  Parsed as real JSON, not a colon-digits regex: a source whose
+   *  offset embeds numerics inside strings (e.g. a timestamp
+   *  "2024-01-01T00:00:12") must not contribute to the sum — string
+   *  leaves are skipped, and a blob with NO integral leaves (or any
+   *  non-integral numeric leaf) is not offset-countable -> None. */
   private[streaming] def offsetSum(s: String): Option[Long] = {
     if (s == null) None
     else {
       val t = s.trim
       if (t.matches("-?\\d+")) Some(t.toLong)
       else if (t.startsWith("{")) {
-        // sum the digits that FOLLOW a colon — the per-partition VALUES
-        // in {"topic":{"0":123,"1":4}}; quoted keys stay out of the sum
-        val vals = ":\\s*(-?\\d+)".r.findAllMatchIn(t).map(_.group(1).toLong).toList
-        if (vals.isEmpty) None else Some(vals.sum)
+        try {
+          val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(t)
+          def leaves(n: com.fasterxml.jackson.databind.JsonNode): Iterator[Long] =
+            if (n.isObject || n.isArray)
+              scala.jdk.CollectionConverters.IteratorHasAsScala(n.elements()).asScala
+                .flatMap(leaves)
+            else if (n.canConvertToLong && n.isIntegralNumber) Iterator(n.asLong())
+            else Iterator.empty
+          val vals = leaves(root).toList
+          if (vals.isEmpty) None else Some(vals.sum)
+        } catch { case _: com.fasterxml.jackson.core.JacksonException => None }
       } else None
     }
   }

@@ -85,15 +85,33 @@ class DedupOpsSpec extends SparkSpec {
       val got = DedupOps.connectedComponents(edges, nodes)
         .as[(Long, Long)].collect().toMap
       assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 9L -> 9L))
-      // reliable RDD checkpoint files actually landed in the dir
+      // reliable RDD checkpoint files actually landed in the dir...
       val wrote = java.nio.file.Files.walk(dir).filter(_.toFile.isFile).count()
       assert(wrote > 0, "no checkpoint files written to reliable storage")
+      // ...and stale per-iteration snapshots were reclaimed: only the
+      // final label set (one rdd-N dir) may remain live — without the
+      // eager delete this chain (4+ iterations) leaves 5+ of them
+      val rddDirs = java.nio.file.Files.walk(dir)
+        .filter(p => p.toFile.isDirectory && p.getFileName.toString.startsWith("rdd-"))
+        .count()
+      assert(rddDirs <= 1,
+        s"$rddDirs iteration snapshots left in reliable storage, expected <= 1")
     } finally {
       // restore executor-local truncation for the rest of the JVM: the
-      // public API has no unset, so reach the private field via reflection
-      val f = sc.getClass.getDeclaredField("checkpointDir")
-      f.setAccessible(true)
-      f.set(sc, None)
+      // public API has no unset, so reach the private field via
+      // reflection — guarded, because the field name is an
+      // implementation detail and a rename must not mask the real
+      // assertion above or silently leak the dir into later suites
+      try {
+        val f = sc.getClass.getDeclaredField("checkpointDir")
+        f.setAccessible(true)
+        f.set(sc, None)
+      } catch {
+        case e: ReflectiveOperationException =>
+          fail("could not reset SparkContext.checkpointDir via reflection " +
+            s"(field renamed in this Spark version?): $e — later suites " +
+            "would inherit a reliable checkpoint dir", e)
+      }
       org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
     }
   }

@@ -20,6 +20,13 @@ class ConsumerLagSpec extends SparkSpec {
     assert(l.offsetSum("").isEmpty)
     assert(l.offsetSum("not-an-offset").isEmpty)
     assert(l.offsetSum("{}").isEmpty)
+    // numerics embedded in STRING leaves (timestamps, metadata) must not
+    // pollute the sum — the old colon-digits regex would return 12 here
+    assert(l.offsetSum("""{"ts":"2024-01-01T00:00:12"}""").isEmpty)
+    assert(l.offsetSum("""{"meta":"v2:99","t":{"0":5}}""") == Some(5L))
+    // fractional leaves are not offsets; malformed JSON is not countable
+    assert(l.offsetSum("""{"watermark":1.5}""").isEmpty)
+    assert(l.offsetSum("""{"t":{"0":5""").isEmpty)
   }
 
   test("listener records per-trigger lag samples for a rate query") {
