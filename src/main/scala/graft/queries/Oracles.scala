@@ -48,9 +48,10 @@ object Oracles {
 
   val rollingHashtag: String =
     s"""WITH $tweetTextSql
-       |SELECT word AS hashtag, count(*) AS cnt
-       |FROM (SELECT unnest(string_split(txt, ' ')) AS word FROM tw) t
-       |WHERE word LIKE '#%' AND length(word) > 1 GROUP BY 1""".stripMargin
+       |SELECT $wStart AS w_start, word AS hashtag, count(*) AS cnt
+       |FROM (SELECT ts, unnest(string_split(txt, ' ')) AS word FROM tw) t
+       |$slide2h
+       |WHERE word LIKE '#%' AND length(word) > 1 GROUP BY 1, 2""".stripMargin
 
   /** Zone arithmetic mirrors GeoOps.zoneOf / RollingGeoCount.java:64-77. */
   val rollingGeo: String =

@@ -43,16 +43,24 @@ object SyntheticSources {
       "\\bspark\\b", "#spark"), "\\bdata\\b", "#data"), "\\bstream\\b", "#stream")
 
   /** documents -> pipe-delimited 13-field tweet lines with hashtags
-   *  planted in the text field. */
+   *  planted in the text field, plus a deterministic arrival time
+   *  (documents carry no timestamp, so tweets arrive one per minute
+   *  cycling over a 4 h band — several 2 h/1 h window hops exist at
+   *  every sf). The envelope `ts` is what RollingCountBolt windows on
+   *  in topology 8 (RollingHashtagCount.java:83-92). */
   def tweetLines(documents: DataFrame): DataFrame =
     documents.select(
+      timestamp_seconds(lit(1704067200L) + (col("doc_id") % 240) * 60).as("ts"),
       concat(lit("u0|u1|u2|u3|"), hashtagify(col("text")),
         lit("|f5|f6|f7|f8|f9|f10|f11|f12")).as("tweet"))
 
-  /** DuckDB CTE producing the same hashtagged text (pre-split). */
+  /** DuckDB CTE producing the same hashtagged text (pre-split) and the
+   *  same arrival time (make_timestamp is naive, matching the UTC
+   *  session's timestamp_seconds value-for-value). */
   val tweetTextSql: String =
     """tw AS (
-      |  SELECT regexp_replace(regexp_replace(regexp_replace(text,
+      |  SELECT make_timestamp(1704067200000000 + (doc_id % 240) * 60000000) AS ts,
+      |         regexp_replace(regexp_replace(regexp_replace(text,
       |           '\bspark\b', '#spark', 'g'), '\bdata\b', '#data', 'g'),
       |           '\bstream\b', '#stream', 'g') AS txt
       |  FROM documents)""".stripMargin
