@@ -26,7 +26,8 @@ import graft.streaming.StreamOps
  *
  * Topologies: wordcount grep sol dataclean pageview_count unique_visitor
  * rolling_count rolling_hashtag_count rolling_geo_count rolling_sort
- * rolling_sort_lastn rolling_flight_dist trident_wordcount
+ * rolling_sort_lastn rolling_flight_dist rolling_flight_dist_snapshot
+ * trident_wordcount
  */
 object Run {
   def main(args: Array[String]): Unit = {
@@ -109,9 +110,20 @@ object Run {
         val zones = lines().select(col("ts"), AdsbOps.zoneOfLine(col("value")).as("zone"))
         (StreamOps.slidingCount(zones, "ts", col("zone"), "zone",
           winS, slideS, wm), OutputMode.Update)
-      case "rolling_sort" | "rolling_flight_dist" =>
+      case "rolling_sort" | "rolling_flight_dist_snapshot" =>
         runForeachBatch(spark, name, lines(), emitFreq, checkpoint)
         return
+      case "rolling_flight_dist" =>
+        // per-event incremental formulation — DistFilterBolt's actual
+        // arrival interleaving; won SURVEY §7.4.3's decide-by-test
+        // (ProximityFidelitySpec: emits a superset of the snapshot
+        // path's warnings, exactly equal per pair's freshest positions).
+        // The per-trigger snapshot join remains available as
+        // rolling_flight_dist_snapshot.
+        val positions = AdsbOps.parsePositionsTyped(lines(), col("value"))
+        (StreamOps.proximityWarningsPerEvent(positions,
+          BenchQueries.DistThresholdKm, BenchQueries.SpecSteps,
+          BenchQueries.SpecStepSec).toDF(), OutputMode.Append)
       case "rolling_sort_lastn" =>
         // SortBolt's exact ring semantics: one global chunk (single bolt
         // instance) of the last N numeric values, re-emitted sorted per
@@ -153,7 +165,7 @@ object Run {
             println(s"=== batch $id (sorted) ===")
             batch.orderBy(col("value")).show(20, truncate = false)
           }.start()
-      case "rolling_flight_dist" =>
+      case "rolling_flight_dist_snapshot" =>
         val positions = AdsbOps.parsePositionsTyped(lines, col("value"))
         StreamOps.proximityWarnings(positions,
           BenchQueries.DistThresholdKm, BenchQueries.SpecSteps,

@@ -49,3 +49,20 @@ case class PageView(url: String, http_status: Int, zip_code: Int, user_id: Int)
 case class AdsbPosition(
     icao: String, posTime: Long, lat: Double, lng: Double,
     spd: Double, trak: Double)
+
+/** One aircraft's freshest report — DistFilterBolt's flightMap value
+ *  (RollingFlightDist.java:216-218); speed already in km/s. */
+case class FlightState(posTime: Long, lat: Double, lng: Double,
+    spdKms: Double, trak: Double)
+
+/** A position report fanned out to one comparison shard (the Spark
+ *  analog of DistFilterBolt's allGrouping broadcast + hashCode
+ *  ownership, RollingFlightDist.java:213): `owned` marks the one shard
+ *  whose state this aircraft lives in. */
+case class ShardedReport(shard: Int, owned: Boolean, icao: String,
+    posTime: Long, lat: Double, lng: Double, spdKms: Double, trak: Double)
+
+/** One speculative proximity warning, canonically ordered by icao —
+ *  same shape as `JoinOps.proximityPairs` rows. */
+case class ProximityWarning(icao1: String, icao2: String, step: Int,
+    curr_time: Long, dist_r: Double)

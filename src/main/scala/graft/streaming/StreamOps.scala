@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
-import graft.model.AdsbPosition
+import graft.model.{AdsbPosition, FlightState, ProximityWarning, ShardedReport}
 import graft.ops.JoinOps
 
 /**
@@ -357,6 +357,90 @@ object StreamOps {
         onBatch(JoinOps.proximityPairs(snapshot, thresholdKm, steps, stepSec), batchId)
       }
       .start()
+  }
+
+  /**
+   * Per-EVENT incremental proximity warnings — DistFilterBolt's actual
+   * arrival interleaving (RollingFlightDist.java:213-256), as opposed to
+   * [[proximityWarnings]]'s per-trigger snapshot join: each arriving
+   * report is compared against the continuously-maintained latest
+   * positions of the other aircraft AS OF that arrival, then (if owned
+   * by the shard) installed as its aircraft's freshest position when
+   * strictly newer (:217).
+   *
+   * Sharding mirrors the reference's allGrouping + hashCode ownership:
+   * every report is fanned out to all `numShards` comparison shards,
+   * each shard's keyed state holds only the aircraft it owns
+   * (floorMod(icao.hashCode, numShards)), so a pair is compared exactly
+   * once per arrival — at the shard owning the OTHER aircraft. State is
+   * therefore partitioned, not replicated: at 1000 executors each shard
+   * carries 1/numShards of the fleet, and fan-out cost (numShards
+   * copies of each small report) is the same network price Storm pays
+   * for allGrouping.
+   *
+   * `strictSharding = true` reproduces the reference verbatim: an OWNED
+   * arrival only updates the map and is never compared
+   * (:213-219) — which silently means same-shard pairs are never warned
+   * and a single-task deployment emits NOTHING. The default (false)
+   * closes that blind spot: every arrival is compared against the
+   * shard's owned flights (excluding itself) before the state update,
+   * making results shard-count-invariant (ProximityFidelitySpec proves
+   * both properties).
+   *
+   * Arrival order within a trigger is made deterministic by sorting on
+   * (posTime, icao) — the replay-stable stand-in for Storm's
+   * nondeterministic tuple arrival.
+   */
+  def proximityWarningsPerEvent(positions: Dataset[AdsbPosition],
+      thresholdKm: Double, steps: Int, stepSec: Int, numShards: Int = 1,
+      strictSharding: Boolean = false): Dataset[ProximityWarning] = {
+    val spark0 = positions.sparkSession
+    import spark0.implicits._
+    val sharded = positions.flatMap { p =>
+      val owner = math.floorMod(p.icao.hashCode, numShards)
+      (0 until numShards).iterator.map { s =>
+        ShardedReport(s, s == owner, p.icao, p.posTime, p.lat, p.lng,
+          p.spd * graft.ops.GeoOps.KnotToKmPerSec, p.trak)
+      }
+    }
+    sharded.groupByKey(_.shard)
+      .flatMapGroupsWithState[Map[String, FlightState], ProximityWarning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, reports, state) =>
+        var owned = state.getOption.getOrElse(Map.empty[String, FlightState])
+        val out = Vector.newBuilder[ProximityWarning]
+        reports.toVector.sortBy(r => (r.posTime, r.icao)).foreach { r =>
+          if (!strictSharding || !r.owned) {
+            owned.foreach { case (icao2, f) =>
+              if (icao2 != r.icao) {
+                // same step loop + arithmetic as JoinOps.proximityPairs
+                // (one fused GeoMath call), so the two formulations are
+                // bit-comparable (RollingFlightDist.java:230-258)
+                var currTime = math.max(r.posTime, f.posTime)
+                var i = 0
+                while (i < steps) {
+                  val dist = graft.functions.GeoMath.projectedDistKm(
+                    r.lat, r.lng, r.trak, r.spdKms * (currTime - r.posTime) / 1000,
+                    f.lat, f.lng, f.trak, f.spdKms * (currTime - f.posTime) / 1000)
+                  if (dist <= thresholdKm) {
+                    val distR = BigDecimal(dist)
+                      .setScale(1, BigDecimal.RoundingMode.HALF_UP).toDouble
+                    val (i1, i2) =
+                      if (r.icao < icao2) (r.icao, icao2) else (icao2, r.icao)
+                    out += ProximityWarning(i1, i2, i, currTime, distR)
+                  }
+                  currTime += 1000L * stepSec
+                  i += 1
+                }
+              }
+            }
+          }
+          if (r.owned && owned.get(r.icao).forall(_.posTime < r.posTime))
+            owned = owned.updated(r.icao,
+              FlightState(r.posTime, r.lat, r.lng, r.spdKms, r.trak))
+        }
+        state.update(owned)
+        out.result().iterator
+      }
   }
 
   /** Start a query into the in-memory sink (tests / console parity with
