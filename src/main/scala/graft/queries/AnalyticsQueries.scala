@@ -383,19 +383,63 @@ object AnalyticsQueries {
    *  ((rank-1)/(n-1), rank/n) rounded identically in both engines.
    *  ntile is cast to BIGINT to match DuckDB's type.
    *
-   *  Scale note: exact per-row ranks within a LOW-CARDINALITY partition
-   *  key are inherently sort-bound — each of the 5 types is one window
-   *  partition (~20% of the corpus through a single task's sort). That
-   *  is the operator's contract, not a plan defect; at 100 TB the rank
-   *  estimate comes from the KLL sketch instead (`sk_kll_quantiles`'s
-   *  rank-error contract), and this exact form runs on bounded slices. */
+   *  Scale design — range-partitioned TWO-PASS exact rank, not a
+   *  per-type window: `ntile/percent_rank().over(partitionBy(type))`
+   *  would push ~20% of the corpus through ONE task's sort (5 types =
+   *  5 window partitions). Instead: (1) range-shuffle on the full
+   *  (type, value, id) order so every task sorts an even slice;
+   *  (2) local row_number per (physical partition, type), whose window
+   *  groups are bounded by the slice size, never by type cardinality;
+   *  (3) per-(partition, type) counts — a few-hundred-row aggregate —
+   *  turned into cumulative boundary offsets and broadcast back;
+   *  global rank = local row number + offset. The tiebroken order is
+   *  total, so rank == row_number and all three functions are pure
+   *  arithmetic on (rank, n): ntile's uneven-bucket rule
+   *  (first n%4 buckets get one extra row), (rank-1)/(n-1), rank/n —
+   *  bit-identical to the window functions they replace. At 100 TB the
+   *  sketch-based rank estimate (`sk_kll_quantiles`) remains the
+   *  cheaper one-pass alternative when 6-decimal exactness isn't
+   *  required. */
   def eventRankFuncs(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("value"), col("event_id"))
-    Tables.events(spark, sfDir)
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ordCols = Seq(col("event_type"), col("value"), col("event_id"))
+    val ranged = Tables.events(spark, sfDir)
       .select(col("event_id"), col("event_type"), col("value"))
-      .withColumn("q4", ntile(4).over(w).cast("bigint"))
-      .withColumn("pr", round(percent_rank().over(w), 6))
-      .withColumn("cd", round(cume_dist().over(w), 6))
+      .repartitionByRange(parts, ordCols: _*)
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("pid"), col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val local = ranged.withColumn("local_rn", row_number().over(wLocal))
+    // tiny side: one row per (partition, type); offsets = rows of the
+    // same type in lower-range partitions (range order leads with type).
+    // part_n = max(local_rn), not count(*): same value (the order is
+    // total), and depending on the window output keeps this branch's
+    // subtree identical to the main branch, letting exchange/stage
+    // reuse share the shuffles instead of re-planning a pruned copy
+    val counts = local.groupBy(col("pid"), col("event_type"))
+      .agg(max(col("local_rn")).cast("bigint").as("part_n"))
+    val offsets = counts
+      .withColumn("offset",
+        coalesce(sum(col("part_n")).over(
+          Window.partitionBy(col("event_type")).orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("event_type"), col("offset"))
+    val totals = counts.groupBy(col("event_type"))
+      .agg(sum(col("part_n")).as("n"))
+    local
+      .join(broadcast(offsets), Seq("pid", "event_type"))
+      .join(broadcast(totals), Seq("event_type"))
+      .withColumn("rn", col("local_rn") + col("offset"))
+      .withColumn("q4", expr(
+        """CAST(CASE WHEN rn - 1 < (n % 4) * (n DIV 4 + 1)
+          |     THEN (rn - 1) DIV (n DIV 4 + 1) + 1
+          |     ELSE n % 4 + (rn - 1 - (n % 4) * (n DIV 4 + 1)) DIV (n DIV 4) + 1
+          |END AS BIGINT)""".stripMargin))
+      .withColumn("pr", round(
+        when(col("n") === 1, 0.0)
+          .otherwise((col("rn") - 1).cast("double") / (col("n") - 1)), 6))
+      .withColumn("cd", round(col("rn").cast("double") / col("n"), 6))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("q4"), col("pr"), col("cd"))
   }
 }

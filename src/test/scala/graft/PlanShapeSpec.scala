@@ -108,4 +108,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_rank_funcs ranks via range partitions, never a per-type window sort") {
+    val p = plan("q_rank_funcs")
+    // the two-pass rank: a rangepartitioning exchange spreads the sort
+    assert(p.contains("Exchange rangepartitioning"),
+      "expected the range-partitioned first pass:\n" + p)
+    // and no full-data window may partition on event_type ALONE — five
+    // types = five window partitions = one task sorting 20% of the
+    // corpus (the round-7 scale-killer this query was rebuilt to avoid).
+    // The one legit type-alone window (boundary offsets over the tiny
+    // counts aggregate) orders by pid, so match the bad shape exactly:
+    // partition [event_type] ordered by [value, ...]
+    val badWindow = "\\], \\[event_type#\\d+\\], \\[value#".r
+    assert(badWindow.findFirstIn(p).isEmpty,
+      "full-data window partitioned by low-cardinality event_type alone:\n" + p)
+    // rank arithmetic replaces the rank window functions entirely
+    assert(!p.contains("ntile") && !p.contains("percent_rank") &&
+      !p.contains("cume_dist"),
+      "rank window functions crept back in:\n" + p)
+  }
 }
