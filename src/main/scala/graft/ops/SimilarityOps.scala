@@ -242,9 +242,23 @@ object SimilarityOps {
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold, id1 < id2.
-   *  Exact within-corpus variant (O(n^2) scoring — bound the corpus or
-   *  pre-bucket with [[lshBucket]] at scale). */
-  def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
+   *  Exact within-corpus variant — the O(n^2) BASELINE, guarded so it
+   *  cannot be pointed at a full corpus by accident: corpora larger
+   *  than `maxCorpus` throw, directing callers to the LSH sibling
+   *  ([[embeddingNearDupsLsh]], banded equi-join, sub-quadratic). The
+   *  default cap of 100k vectors ~= 5e9 cosine scorings and a ~25 MB
+   *  broadcast at 64 float dims — the practical ceiling where exact
+   *  all-pairs is still a reasonable recall-oracle job, and far past
+   *  where LSH should already be the production path. The size check
+   *  is one count() action (metadata-only on a parquet scan). */
+  def embeddingNearDups(emb: DataFrame, threshold: Double,
+      maxCorpus: Long = 100000L): DataFrame = {
+    val corpus = emb.count()
+    require(corpus <= maxCorpus,
+      s"embeddingNearDups is the exact O(n^2) baseline: corpus of $corpus " +
+        s"vectors exceeds maxCorpus=$maxCorpus (~${corpus * corpus / 2} " +
+        "pair scorings). Use embeddingNearDupsLsh for the scale path, or " +
+        "raise maxCorpus explicitly if an exact recall oracle is intended.")
     val withNorm = emb.select(col("vec_id"), col("embedding"),
       l2Norm(col("embedding")).as("nrm"))
     // Fan the probe side out across all cores: the corpus often arrives in

@@ -70,6 +70,18 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 3L)) // opposite vector is not a near-dup
   }
 
+  test("embeddingNearDups refuses a corpus beyond maxCorpus") {
+    // the exact form is the O(n^2) baseline; past the cap it must fail
+    // loud and point at the LSH sibling, not silently run all-pairs
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.embeddingNearDups(emb, 0.9, maxCorpus = emb.count() - 1)
+    }
+    assert(e.getMessage.contains("embeddingNearDupsLsh"))
+    // at or under the cap it runs
+    assert(SimilarityOps.embeddingNearDups(emb, 0.9,
+      maxCorpus = emb.count()).count() > 0)
+  }
+
   test("kmeansCentroids: deterministic, right shape, centroids move to members") {
     val c1 = SimilarityOps.kmeansCentroids(emb, k = 2, iters = 2)
     val c2 = SimilarityOps.kmeansCentroids(emb, k = 2, iters = 2)
