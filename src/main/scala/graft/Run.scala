@@ -27,7 +27,7 @@ import graft.streaming.StreamOps
  * Topologies: wordcount grep sol dataclean pageview_count unique_visitor
  * rolling_count rolling_hashtag_count rolling_geo_count rolling_sort
  * rolling_sort_lastn rolling_flight_dist rolling_flight_dist_snapshot
- * trident_wordcount
+ * hash_sample json_props trident_wordcount
  */
 object Run {
   def main(args: Array[String]): Unit = {
@@ -124,6 +124,23 @@ object Run {
         (StreamOps.proximityWarningsPerEvent(positions,
           BenchQueries.DistThresholdKm, BenchQueries.SpecSteps,
           BenchQueries.SpecStepSec).toDF(), OutputMode.Append)
+      case "hash_sample" =>
+        // deterministic content-hash downsampling, live: the same
+        // row-local predicate as the gated batch query — no RNG, no
+        // state, so replays and retries keep the identical subset
+        (lines().filter(graft.queries.PipelineQueries.hashSamplePredicate(
+          md5(col("value")))), OutputMode.Append)
+      case "json_props" =>
+        // semi-structured property stats, live (adsb source emits JSON):
+        // row-local get_json_object extraction + running agg per key
+        val clean = regexp_replace(col("value"), ",$", "")
+        (lines()
+          .select(get_json_object(clean, "$.Icao").as("icao"),
+            get_json_object(clean, "$.Spd").cast("double").as("spd"))
+          .filter(col("icao").isNotNull)
+          .groupBy(col("icao"))
+          .agg(count(lit(1)).as("n"), round(avg(col("spd")), 3).as("avg_spd")),
+          OutputMode.Update)
       case "rolling_sort_lastn" =>
         // SortBolt's exact ring semantics: one global chunk (single bolt
         // instance) of the last N numeric values, re-emitted sorted per

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -27,7 +27,14 @@ object PipelineQueries {
   def hashSample(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
-      .filter(substring(col("h"), 1, 1).isin("0", "1", "2"))
+      .filter(hashSamplePredicate(col("h")))
+
+  /** The membership predicate of [[hashSample]] over an md5 hex string:
+   *  first nibble in 0-2 (~3/16 of hash space). Row-local and
+   *  stateless, so the SAME predicate serves batch and streaming
+   *  (Run's `hash_sample` topology, IntegrationSmokeSpec). */
+  def hashSamplePredicate(md5Hex: Column): Column =
+    substring(md5Hex, 1, 1).isin("0", "1", "2")
 
   val SimQueryIds: Seq[Long] = (0L until 10L)
   val SimK = 10
