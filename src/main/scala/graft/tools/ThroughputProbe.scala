@@ -167,6 +167,35 @@ object ThroughputProbe {
         AdsbOps.parsePositionsTyped(
           Generators.adsbStream(spark, 1000000), col("adsb"))).toDF()
     }
+    // lag_drain: the saturation signal itself, end-to-end. Admission
+    // (maxRowsPerTrigger) deliberately below availability accrual
+    // (rowsPerSecond), so lag GROWS while the generator outruns the
+    // consumer, peaks when the bounded sequence is fully generated,
+    // then DRAINS to 0 — the exact backlog curve the reference's
+    // offsets monitor uses to find the max sustainable ingest rate
+    // (monitors/offsets/offsets_monitor.py:60-72).
+    if (wanted("lag_drain")) {
+      val ckpt = Files.createTempDirectory("tp-lag-drain")
+      try {
+        val q = spark.readStream
+          .format(classOf[graft.sources.ThrottledSeqSource].getName)
+          .option("totalRows", 1200000)
+          .option("rowsPerSecond", 200000)
+          .option("maxRowsPerTrigger", 100000)
+          .load()
+          .writeStream.format("noop").outputMode(OutputMode.Append)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.ProcessingTime("1 second"))
+          .start()
+        q.processAllAvailable()
+        try q.stop() catch { case _: Throwable => }
+        val lags = lagListener.samples(q.runId).filter(_.rows > 0).flatMap(_.lag)
+        println(s"[lag] lag_drain series (rows behind): ${lags.mkString(", ")}")
+        val peak = if (lags.nonEmpty) lags.max else 0L
+        println(s"[lag] lag_drain peak backlog $peak rows; " +
+          s"drained to ${lags.lastOption.getOrElse(-1L)}")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
+    }
     spark.stop()
   }
 }

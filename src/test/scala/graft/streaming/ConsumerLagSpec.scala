@@ -57,4 +57,33 @@ class ConsumerLagSpec extends SparkSpec {
       spark.streams.removeListener(listener)
     }
   }
+
+  test("rate-limited source registers backlog and drains it " +
+      "(offsets_monitor.py:60-72 semantics)") {
+    // admission below availability is the deterministic form of
+    // maxOffsetsPerTrigger < generation rate: a 50-row pre-built
+    // backlog consumed 10 rows per trigger must show positive lag that
+    // decreases to 0 as the queue drains. (Spark's built-in local
+    // sources can never show this — rate consumes all-available every
+    // trigger and file reports no latest offset — which is why the
+    // ThrottledSeqSource exists.)
+    val listener = new ConsumerLagListener
+    spark.streams.addListener(listener)
+    val ckpt = Files.createTempDirectory("lag-drain-ckpt").toString
+    val q = spark.readStream
+      .format(classOf[graft.sources.ThrottledSeqSource].getName)
+      .option("totalRows", 50).option("maxRowsPerTrigger", 10).load()
+      .writeStream.format("noop")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      val lags = listener.samples(q.runId).filter(_.rows > 0).flatMap(_.lag)
+      // 5 draining triggers: 40, 30, 20, 10, 0 rows behind
+      assert(lags == Seq(40L, 30L, 20L, 10L, 0L), s"lag series: $lags")
+    } finally {
+      try q.stop() catch { case _: Throwable => }
+      spark.streams.removeListener(listener)
+    }
+  }
 }
