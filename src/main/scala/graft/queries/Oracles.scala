@@ -262,6 +262,28 @@ object Oracles {
        |  SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.node)
        |SELECT node AS doc_id, min(l) AS cluster FROM reach GROUP BY node""".stripMargin
 
+  /** Survivor per multi-doc cluster: nests the cluster fixpoint and the
+   *  quality-score CTEs as subqueries (their hash-gated queries prove
+   *  both sides bit-identical), then picks max (score, -doc_id).
+   *  Lazy: textQuality is declared further down this object. */
+  lazy val dedupSurvivors: String =
+    s"""WITH cl AS ($dedupClusters),
+       |sc AS (SELECT doc_id, coalesce(score, -1.0) AS score FROM ($textQuality) q),
+       |j AS (SELECT cl.cluster, cl.doc_id, sc.score FROM cl JOIN sc USING (doc_id)),
+       |r AS (SELECT cluster, doc_id,
+       |        count(*) OVER (PARTITION BY cluster) AS n_docs,
+       |        row_number() OVER (PARTITION BY cluster ORDER BY score DESC, doc_id) AS rn
+       |      FROM j)
+       |SELECT cluster, doc_id AS survivor, CAST(n_docs AS BIGINT) AS n_docs
+       |FROM r WHERE rn = 1 AND n_docs >= 2""".stripMargin
+
+  val sampleStratified: String =
+    s"""SELECT doc_id, source, h, rn FROM (
+       |  SELECT doc_id, source, md5(text) AS h,
+       |         row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+       |  FROM documents) t
+       |WHERE rn <= ${PipelineQueries.StratifiedN}""".stripMargin
+
   private val dotSql =
     "list_sum(list_transform(list_zip(%s, %s), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
 

@@ -94,6 +94,50 @@ object PipelineQueries {
       .select(col("id").as("doc_id"), col("cluster"))
   }
 
+  /** Survivor SELECTION — the step that makes [[dedupClusters]]
+   *  actionable: per duplicate cluster, keep the highest-quality member
+   *  (quality score from the one-pass kernel; ties broken by min
+   *  doc_id — a total order, so selection is deterministic and
+   *  engine-reproducible). Emits one row per multi-doc cluster:
+   *  (cluster, survivor, n_docs); everything else in the cluster is
+   *  the delete list. Scale shape: clusters and row-local scores join
+   *  on doc_id, then ONE two-phase max_by/count agg on the 64-bit
+   *  cluster id — no window over the corpus, no skew (cluster sizes
+   *  are near-dup groups, inherently small). */
+  def dedupSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val scores = docs.select(col("doc_id"),
+      coalesce(TextAnalyticsOps.qualityFeatures(col("text")).getField("score"),
+        lit(-1.0)).as("score"))
+    dedupClusters(spark, sfDir).join(scores, "doc_id")
+      .groupBy(col("cluster"))
+      .agg(
+        max_by(col("doc_id"),
+          struct(col("score"), (-col("doc_id")).as("nid"))).as("survivor"),
+        count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  /** Docs drawn per stratum for [[sampleStratified]]. */
+  val StratifiedN = 5
+
+  /** Deterministic STRATIFIED sample: exactly [[StratifiedN]] docs per
+   *  source, chosen by content-hash rank (md5 order) — fixed-size
+   *  per-group sampling with zero RNG, so retries/replays/other
+   *  engines select the identical subset (same contract as
+   *  [[hashSample]], which samples a global fraction instead). Scale
+   *  shape: the `rn <= N` filter on a rank window plans a
+   *  WindowGroupLimit — every map task forwards at most N rows per
+   *  group to the shuffle, so the per-group sort state is bounded by
+   *  N x partitions, never the stratum size. */
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id")))
+        .cast("bigint"))
+      .filter(col("rn") <= StratifiedN)
+
   // ---- similarity search --------------------------------------------------
 
   /** Brute-force exact cosine top-k for the first 10 vectors. */

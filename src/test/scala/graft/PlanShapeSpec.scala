@@ -109,6 +109,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("sample_stratified bounds per-group sort state via WindowGroupLimit") {
+    val p = plan("sample_stratified")
+    // the rn <= N filter must push a group limit below the shuffle:
+    // each map task forwards at most N rows per stratum, so state is
+    // N x partitions — never the stratum size
+    assert(p.contains("WindowGroupLimit"),
+      "rank filter did not plan a WindowGroupLimit:\n" + p)
+  }
+
   test("q_rank_funcs ranks via range partitions, never a per-type window sort") {
     val p = plan("q_rank_funcs")
     // the two-pass rank: a rangepartitioning exchange spreads the sort
