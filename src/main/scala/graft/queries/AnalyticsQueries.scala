@@ -400,11 +400,18 @@ object AnalyticsQueries {
    *  sketch-based rank estimate (`sk_kll_quantiles`) remains the
    *  cheaper one-pass alternative when 6-decimal exactness isn't
    *  required. */
-  def eventRankFuncs(spark: SparkSession, sfDir: String): DataFrame = {
-    val parts = spark.sessionState.conf.numShufflePartitions
+  def eventRankFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    distributionRanks(Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value")))
+
+  /** The two-pass core of [[eventRankFuncs]] over any
+   *  (event_id, event_type, value) frame — factored out so the
+   *  property suite can pin it against the window-function reference
+   *  on arbitrary generated inputs (EngineProps). */
+  def distributionRanks(ev: DataFrame): DataFrame = {
+    val parts = ev.sparkSession.sessionState.conf.numShufflePartitions
     val ordCols = Seq(col("event_type"), col("value"), col("event_id"))
-    val ranged = Tables.events(spark, sfDir)
-      .select(col("event_id"), col("event_type"), col("value"))
+    val ranged = ev
       .repartitionByRange(parts, ordCols: _*)
       .withColumn("pid", spark_partition_id())
     val wLocal = Window.partitionBy(col("pid"), col("event_type"))

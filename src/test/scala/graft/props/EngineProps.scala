@@ -215,6 +215,31 @@ object EngineProps extends Properties("graft") {
       got == want
     }
 
+  property("two-pass distributionRanks == rank-window reference") =
+    forAll(
+      Gen.choose(1, 60).flatMap(n =>
+        Gen.listOfN(n, Gen.zip(Gen.oneOf("a", "b", "c"),
+          Gen.chooseNum(-50, 50).map(_ / 4.0))))) { rows =>
+      import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      // unique ids fix the tiebroken total order; duplicate values are
+      // common by construction (quarter-integer grid) so the tiebreak
+      // path is really exercised
+      val df = rows.zipWithIndex
+        .map { case ((t, v), i) => (i.toLong, t, v) }
+        .toDF("event_id", "event_type", "value")
+      val got = graft.queries.AnalyticsQueries.distributionRanks(df)
+        .as[(Long, String, Double, Long, Double, Double)].collect().toSet
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      val want = df
+        .withColumn("q4", ntile(4).over(w).cast("bigint"))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .as[(Long, String, Double, Long, Double, Double)].collect().toSet
+      got == want
+    }
+
   property("exactGroups: group sizes partition the input") =
     forAll(Gen.listOfN(25, Gen.oneOf("a", "b", "c", "d"))) { texts =>
       import spark.implicits._
