@@ -167,6 +167,24 @@ object ThroughputProbe {
         AdsbOps.parsePositionsTyped(
           Generators.adsbStream(spark, 1000000), col("adsb"))).toDF()
     }
+    // the per-event proximity join (rolling_flight_dist's streaming
+    // default): JSON parse -> shard fan-out -> keyed-state compare per
+    // arrival. Per-arrival work is O(fleet) total (each shard compares
+    // against its owned subset; the subsets partition the fleet), with
+    // parallelism = numShards — so the sustainable EVENT rate is
+    // ~ sharded-compare capacity / (fleet x steps), inherently below
+    // the row-shaped topologies above. Offered accordingly lower; the
+    // snapshot path (flight_latest + per-trigger join) stays the right
+    // choice when fleet x rate outruns this and per-arrival warning
+    // latency isn't required.
+    measure("flight_proximity_pe", OutputMode.Append, sleepMs = 60000) {
+      StreamOps.proximityWarningsPerEvent(
+        AdsbOps.parsePositionsTyped(
+          Generators.adsbStream(spark, 20000), col("adsb")),
+        graft.queries.BenchQueries.DistThresholdKm,
+        graft.queries.BenchQueries.SpecSteps,
+        graft.queries.BenchQueries.SpecStepSec, numShards = 8).toDF()
+    }
     // lag_drain: the saturation signal itself, end-to-end. Admission
     // (maxRowsPerTrigger) deliberately below availability accrual
     // (rowsPerSecond), so lag GROWS while the generator outruns the
