@@ -409,31 +409,10 @@ object StreamOps {
         var owned = state.getOption.getOrElse(Map.empty[String, FlightState])
         val out = Vector.newBuilder[ProximityWarning]
         reports.toVector.sortBy(r => (r.posTime, r.icao)).foreach { r =>
-          if (!strictSharding || !r.owned) {
+          if (!strictSharding || !r.owned)
             owned.foreach { case (icao2, f) =>
-              if (icao2 != r.icao) {
-                // same step loop + arithmetic as JoinOps.proximityPairs
-                // (one fused GeoMath call), so the two formulations are
-                // bit-comparable (RollingFlightDist.java:230-258)
-                var currTime = math.max(r.posTime, f.posTime)
-                var i = 0
-                while (i < steps) {
-                  val dist = graft.functions.GeoMath.projectedDistKm(
-                    r.lat, r.lng, r.trak, r.spdKms * (currTime - r.posTime) / 1000,
-                    f.lat, f.lng, f.trak, f.spdKms * (currTime - f.posTime) / 1000)
-                  if (dist <= thresholdKm) {
-                    val distR = BigDecimal(dist)
-                      .setScale(1, BigDecimal.RoundingMode.HALF_UP).toDouble
-                    val (i1, i2) =
-                      if (r.icao < icao2) (r.icao, icao2) else (icao2, r.icao)
-                    out += ProximityWarning(i1, i2, i, currTime, distR)
-                  }
-                  currTime += 1000L * stepSec
-                  i += 1
-                }
-              }
+              out ++= speculativeWarnings(r, icao2, f, thresholdKm, steps, stepSec)
             }
-          }
           if (r.owned && owned.get(r.icao).forall(_.posTime < r.posTime))
             owned = owned.updated(r.icao,
               FlightState(r.posTime, r.lat, r.lng, r.spdKms, r.trak))
@@ -441,6 +420,66 @@ object StreamOps {
         state.update(owned)
         out.result().iterator
       }
+  }
+
+  /** One arrival vs one stored flight: the speculative step loop —
+   *  same arithmetic as JoinOps.proximityPairs (one fused GeoMath call
+   *  per step), so every formulation is bit-comparable
+   *  (RollingFlightDist.java:230-258). Shared by the
+   *  flatMapGroupsWithState and transformWithState forms. */
+  private[streaming] def speculativeWarnings(r: ShardedReport, icao2: String,
+      f: FlightState, thresholdKm: Double, steps: Int,
+      stepSec: Int): Seq[ProximityWarning] = {
+    if (icao2 == r.icao) return Nil
+    val out = Vector.newBuilder[ProximityWarning]
+    var currTime = math.max(r.posTime, f.posTime)
+    var i = 0
+    while (i < steps) {
+      val dist = graft.functions.GeoMath.projectedDistKm(
+        r.lat, r.lng, r.trak, r.spdKms * (currTime - r.posTime) / 1000,
+        f.lat, f.lng, f.trak, f.spdKms * (currTime - f.posTime) / 1000)
+      if (dist <= thresholdKm) {
+        val distR = BigDecimal(dist)
+          .setScale(1, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val (i1, i2) = if (r.icao < icao2) (r.icao, icao2) else (icao2, r.icao)
+        out += ProximityWarning(i1, i2, i, currTime, distR)
+      }
+      currTime += 1000L * stepSec
+      i += 1
+    }
+    out.result()
+  }
+
+  /**
+   * `transformWithState` formulation of [[proximityWarningsPerEvent]] —
+   * identical semantics (ProximityFidelitySpec asserts equal output),
+   * different STATE GRANULARITY: the fMGWS form reads and rewrites the
+   * shard's whole `Map[icao, FlightState]` blob every trigger, while
+   * this processor keys a `MapState` per aircraft, so a trigger only
+   * writes the entries it updated — with the RocksDB state store
+   * provider that is point lookups + delta commits instead of
+   * full-map (de)serialization, the formulation that holds up when a
+   * shard owns thousands of aircraft. Requires
+   * `spark.sql.streaming.stateStore.providerClass =
+   * ...state.RocksDBStateStoreProvider` (TWS's supported provider).
+   */
+  def proximityWarningsTws(positions: Dataset[AdsbPosition],
+      thresholdKm: Double, steps: Int, stepSec: Int, numShards: Int = 1,
+      strictSharding: Boolean = false): Dataset[ProximityWarning] = {
+    val spark0 = positions.sparkSession
+    import spark0.implicits._
+    val sharded = positions.flatMap { p =>
+      val owner = math.floorMod(p.icao.hashCode, numShards)
+      (0 until numShards).iterator.map { s =>
+        ShardedReport(s, s == owner, p.icao, p.posTime, p.lat, p.lng,
+          p.spd * graft.ops.GeoOps.KnotToKmPerSec, p.trak)
+      }
+    }
+    sharded.groupByKey(_.shard)
+      .transformWithState(
+        new ProximityShardProcessor(thresholdKm, steps, stepSec, strictSharding),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append)
   }
 
   /** Start a query into the in-memory sink (tests / console parity with

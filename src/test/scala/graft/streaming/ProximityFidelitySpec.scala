@@ -121,6 +121,43 @@ class ProximityFidelitySpec extends SparkSpec {
     assert(one.last == three.last)
   }
 
+  test("transformWithState formulation (MapState per aircraft) emits " +
+      "the same warnings as flatMapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    // TWS requires the RocksDB state store provider; set for this
+    // query's session and restore after so other suites keep HDFS state
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[AdsbPosition]
+      val name = s"prox_tws_${System.nanoTime()}"
+      val q = StreamOps.toMemory(
+        StreamOps.proximityWarningsTws(in.toDS(), DistThresholdKm,
+          SpecSteps, SpecStepSec, numShards = 2).toDF(),
+        name, OutputMode.Append,
+        Files.createTempDirectory("prox-tws-ckpt").toString)
+      val tws = try {
+        Seq(trigger1, trigger2).map { batch =>
+          in.addData(batch)
+          q.processAllAvailable()
+          spark.table(name).as[ProximityWarning].collect()
+            .map(w => (w.icao1, w.icao2, w.step, w.curr_time, w.dist_r)).toSet
+        }
+      } finally q.stop()
+      val fmgws = runPerEvent(Seq(trigger1, trigger2), shards = 2, strict = false)
+      assert(tws.last.nonEmpty)
+      assert(tws == fmgws,
+        s"TWS and fMGWS diverged: ${tws.last.diff(fmgws.last)} / ${fmgws.last.diff(tws.last)}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("strict sharding reproduces the reference blind spot: " +
       "single-task deployment emits nothing") {
     // DistFilterBolt only compares NON-owned arrivals against its owned
