@@ -263,100 +263,271 @@ object VectorMath {
   }
 
   /** One-pass Lat/Long extraction from an ADS-B JSON line; see
-   *  [[AdsbLatLng]]. Scans for the `"Lat":` / `"Long":` keys and
-   *  parses the following number (null / missing / malformed → null
-   *  field), matching from_json's values on this feed's shape without
-   *  tokenizing the whole object. */
+   *  [[AdsbLatLng]]. Same strict parse as [[adsbReport]] (the full
+   *  Jackson-equivalence contract), projected to the two geo fields. */
   def adsbLatLng(line: String): InternalRow = {
-    def field(key: String): Any = {
-      val k = "\"" + key + "\":"
-      val at = line.indexOf(k)
-      if (at < 0) null
-      else {
-        var i = at + k.length
-        val len = line.length
-        while (i < len && line.charAt(i) == ' ') i += 1
-        val start = i
-        if (line.startsWith("null", i)) null
-        else {
-          while (i < len && (line.charAt(i) == '-' || line.charAt(i) == '+' ||
-            line.charAt(i) == '.' || line.charAt(i) == 'e' || line.charAt(i) == 'E' ||
-            (line.charAt(i) >= '0' && line.charAt(i) <= '9'))) i += 1
-          if (i == start) null
-          else try java.lang.Double.valueOf(line.substring(start, i))
-          catch { case _: NumberFormatException => null }
-        }
-      }
-    }
+    val full = adsbReport(line)
+      .asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](field("Lat"), field("Long")))
+      Array[Any](full.values(3), full.values(4)))
   }
 
-  /** One-pass FULL ADS-B report extraction; see [[AdsbReport]]. Same
-   *  key-targeted scan as [[adsbLatLng]] extended to all 8 wire fields
-   *  (string / long / double / boolean typed parses; null / missing /
-   *  malformed token → null field). The trailing comma needs no
-   *  stripping — the scan never reads past the value it targets. */
+  /** One-pass FULL ADS-B report extraction; see [[AdsbReport]]. A
+   *  strict single-pass tokenizer over the wire-object grammar,
+   *  equivalent to `from_json` (PERMISSIVE) — fuzzed against it on
+   *  corrupted lines (EngineProps "MALFORMED"). PERMISSIVE's two
+   *  failure classes, each verified empirically, are reproduced:
+   *   - LEXICAL failure (not an object; bad number grammar like a
+   *     leading zero or bare/trailing dot; unterminated string; bad
+   *     separator; truncation; a trailing comma inside the object;
+   *     malformed nested value under an UNKNOWN key) → ALL fields
+   *     null, wherever in the record it happens;
+   *   - CONVERSION failure on a schema field (float token or string
+   *     or literal for a long field, string/number for the boolean,
+   *     long overflow, any VALID nested value for a non-string field)
+   *     → that field is left as-is (an earlier duplicate's value
+   *     survives) and parsing CONTINUES — later fields still land;
+   *     the one stop-and-keep case is a BROKEN nested value under the
+   *     string field, where Jackson dies mid-copy.
+   *  Also matched: duplicate keys → last wins (null included);
+   *  unknown keys with valid values (nested too) are skipped; number/
+   *  boolean tokens for the string field Icao become their literal
+   *  text and nested values its COMPACT re-serialization (Jackson's
+   *  writeRaw normalization); non-quoted NaN/Infinity literals parse
+   *  for double fields (allowNonNumericNumbers); bytes after the
+   *  closing `}` (the feed's trailing comma) are ignored. Documented
+   *  out-of-contract (never on this feed's wire): backslash escapes
+   *  in strings — Jackson unescapes them, this kernel treats them as
+   *  lexical corruption. */
   def adsbReport(line: String): InternalRow = {
     val len = line.length
-    // index of the first value char after `"key":` (spaces skipped), or -1
-    def valueAt(key: String): Int = {
-      val k = "\"" + key + "\":"
-      val at = line.indexOf(k)
-      if (at < 0) -1
+    var i = 0
+    val vals = new Array[Any](8)
+    def allNull(): InternalRow =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(new Array[Any](8))
+    def asBuilt(): InternalRow =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+    def ws(): Unit = {
+      while (i < len && { val c = line.charAt(i)
+        c == ' ' || c == '\t' || c == '\n' || c == '\r' }) i += 1
+    }
+    // string body after the opening quote: content, or null on
+    // unterminated / escape / control char (all lexical)
+    def stringBody(): String = {
+      val start = i
+      while (i < len && line.charAt(i) != '"') {
+        val c = line.charAt(i)
+        if (c == '\\' || c < ' ') return null
+        i += 1
+      }
+      if (i >= len) return null
+      val s = line.substring(start, i)
+      i += 1
+      s
+    }
+    // strict JSON number at i (leading sign already included); returns
+    // (token, integral) or null on grammar violation (lexical). NaN /
+    // Infinity literal families are handled by the caller.
+    def numberToken(): (String, Boolean) = {
+      val nStart = i
+      var integral = true
+      if (i < len && line.charAt(i) == '-') i += 1
+      if (i >= len) return null
+      val d0 = line.charAt(i)
+      if (d0 == '0') i += 1
+      else if (d0 >= '1' && d0 <= '9') {
+        while (i < len && line.charAt(i) >= '0' && line.charAt(i) <= '9') i += 1
+      } else return null
+      if (i < len && line.charAt(i) == '.') {
+        integral = false
+        i += 1
+        if (i >= len || line.charAt(i) < '0' || line.charAt(i) > '9') return null
+        while (i < len && line.charAt(i) >= '0' && line.charAt(i) <= '9') i += 1
+      }
+      if (i < len && (line.charAt(i) == 'e' || line.charAt(i) == 'E')) {
+        integral = false
+        i += 1
+        if (i < len && (line.charAt(i) == '+' || line.charAt(i) == '-')) i += 1
+        if (i >= len || line.charAt(i) < '0' || line.charAt(i) > '9') return null
+        while (i < len && line.charAt(i) >= '0' && line.charAt(i) <= '9') i += 1
+      }
+      (line.substring(nStart, i), integral)
+    }
+    def lit(t: String): Boolean =
+      if (line.startsWith(t, i)) { i += t.length; true } else false
+    // ANY nested/flat JSON value at i, appended COMPACTLY to sb (null
+    // sb = validate-and-skip). False = lexical corruption.
+    def pValue(sb: java.lang.StringBuilder): Boolean = {
+      ws()
+      if (i >= len) return false
+      val c = line.charAt(i)
+      if (c == '"') {
+        i += 1
+        val b = stringBody()
+        if (b == null) return false
+        if (sb != null) sb.append('"').append(b).append('"')
+        true
+      } else if (c == '{' || c == '[') {
+        val close = if (c == '{') '}' else ']'
+        i += 1
+        if (sb != null) sb.append(c)
+        ws()
+        if (i < len && line.charAt(i) == close) {
+          i += 1
+          if (sb != null) sb.append(close)
+          return true
+        }
+        var first = true
+        while (true) {
+          if (!first && sb != null) sb.append(',')
+          first = false
+          if (c == '{') {
+            ws()
+            if (i >= len || line.charAt(i) != '"') return false
+            i += 1
+            val k = stringBody()
+            if (k == null) return false
+            if (sb != null) sb.append('"').append(k).append('"').append(':')
+            ws()
+            if (i >= len || line.charAt(i) != ':') return false
+            i += 1
+          }
+          if (!pValue(sb)) return false
+          ws()
+          if (i < len && line.charAt(i) == ',') i += 1
+          else if (i < len && line.charAt(i) == close) {
+            i += 1
+            if (sb != null) sb.append(close)
+            return true
+          } else return false
+        }
+        false // unreachable
+      } else if (lit("null")) { if (sb != null) sb.append("null"); true }
+      else if (lit("true")) { if (sb != null) sb.append("true"); true }
+      else if (lit("false")) { if (sb != null) sb.append("false"); true }
+      else if (lit("NaN")) { if (sb != null) sb.append("NaN"); true }
+      else if (lit("Infinity")) { if (sb != null) sb.append("Infinity"); true }
+      else if (lit("+Infinity")) { if (sb != null) sb.append("+Infinity"); true }
+      else if (lit("-Infinity")) { if (sb != null) sb.append("-Infinity"); true }
       else {
-        var i = at + k.length
-        while (i < len && line.charAt(i) == ' ') i += 1
-        i
+        val t = numberToken()
+        if (t == null) return false
+        if (sb != null) sb.append(t._1)
+        true
       }
     }
-    def numEnd(start: Int): Int = {
-      var i = start
-      while (i < len && (line.charAt(i) == '-' || line.charAt(i) == '+' ||
-        line.charAt(i) == '.' || line.charAt(i) == 'e' || line.charAt(i) == 'E' ||
-        (line.charAt(i) >= '0' && line.charAt(i) <= '9'))) i += 1
-      i
-    }
-    def dbl(key: String): Any = {
-      val s = valueAt(key)
-      if (s < 0 || line.startsWith("null", s)) null
-      else {
-        val e = numEnd(s)
-        if (e == s) null
-        else try java.lang.Double.valueOf(line.substring(s, e))
-        catch { case _: NumberFormatException => null }
+    def utf8(s: String): Any =
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)
+
+    ws()
+    if (i >= len || line.charAt(i) != '{') return allNull()
+    i += 1
+    ws()
+    if (i < len && line.charAt(i) == '}') return asBuilt()
+    while (true) {
+      ws()
+      if (i >= len || line.charAt(i) != '"') return allNull()
+      i += 1
+      val key = stringBody()
+      if (key == null) return allNull()
+      ws()
+      if (i >= len || line.charAt(i) != ':') return allNull()
+      i += 1
+      ws()
+      if (i >= len) return allNull()
+      val fieldIdx = key match {
+        case "Id" => 0; case "Icao" => 1; case "PosTime" => 2; case "Lat" => 3
+        case "Long" => 4; case "Spd" => 5; case "Trak" => 6; case "Gnd" => 7
+        case _ => -1
       }
-    }
-    def lng(key: String): Any = {
-      val s = valueAt(key)
-      if (s < 0 || line.startsWith("null", s)) null
-      else {
-        val e = numEnd(s)
-        if (e == s) null
-        else try java.lang.Long.valueOf(line.substring(s, e))
-        catch { case _: NumberFormatException => null }
+      val c = line.charAt(i)
+      if (c == '"') {
+        i += 1
+        val v = stringBody()
+        if (v == null) return allNull() // lexical, wherever it happens
+        fieldIdx match {
+          case -1 => ()
+          case 1 => vals(1) = utf8(v)
+          case 3 | 4 | 5 | 6 => v match {
+            // Spark's non-numeric STRING forms for double fields
+            case "NaN" => vals(fieldIdx) = java.lang.Double.valueOf(Double.NaN)
+            case "Infinity" | "+Infinity" | "+INF" =>
+              vals(fieldIdx) = java.lang.Double.valueOf(Double.PositiveInfinity)
+            case "-Infinity" | "-INF" =>
+              vals(fieldIdx) = java.lang.Double.valueOf(Double.NegativeInfinity)
+            case _ => () // conversion: string for a number — field
+                          // stays as-is (earlier dup wins), parsing continues
+          }
+          case _ => () // conversion: string for long/bool — continue
+        }
+      } else if (c == '{' || c == '[') {
+        if (fieldIdx == 1) {
+          // nested under the STRING field: Jackson re-serializes it
+          // compactly; a broken interior stops the record keeping what
+          // was built (writeRaw's failure is conversion-context)
+          val sb = new java.lang.StringBuilder
+          if (!pValue(sb)) return asBuilt()
+          vals(1) = utf8(sb.toString)
+        } else if (fieldIdx >= 0) {
+          // conversion fails at the START token, then Jackson SKIPS the
+          // value and continues the record; a broken interior makes the
+          // skip itself blow up (lexical) -> all-null
+          if (!pValue(null)) return allNull()
+        } else {
+          if (!pValue(null)) return allNull() // skipChildren blows up: lexical
+        }
+      } else if (lit("null")) {
+        if (fieldIdx >= 0) vals(fieldIdx) = null
+      } else if (lit("true") || lit("false")) {
+        val b = c == 't'
+        fieldIdx match {
+          case -1 => ()
+          case 7 => vals(7) = java.lang.Boolean.valueOf(b)
+          case 1 => vals(1) = utf8(if (b) "true" else "false")
+          case _ => () // conversion: bool for a number — continue
+        }
+      } else if (lit("NaN") || lit("Infinity") || lit("+Infinity")) {
+        val pos = c != '-'
+        fieldIdx match {
+          case -1 => ()
+          case 3 | 4 | 5 | 6 => vals(fieldIdx) = java.lang.Double.valueOf(
+            if (c == 'N') Double.NaN
+            else if (pos) Double.PositiveInfinity else Double.NegativeInfinity)
+          case 1 => vals(1) = utf8(line.substring(i - (if (c == 'N') 3 else if (c == '+') 9 else 8), i))
+          case _ => () // conversion: float token for long/bool — continue
+        }
+      } else if (lit("-Infinity")) {
+        fieldIdx match {
+          case -1 => ()
+          case 3 | 4 | 5 | 6 => vals(fieldIdx) = java.lang.Double.valueOf(Double.NegativeInfinity)
+          case 1 => vals(1) = utf8("-Infinity")
+          case _ => () // conversion — continue
+        }
+      } else {
+        val t = numberToken()
+        if (t == null) return allNull() // bad number grammar: lexical
+        fieldIdx match {
+          case -1 => ()
+          case 0 | 2 =>
+            // float token / overflow for a long field: conversion error,
+            // field untouched, record continues
+            if (t._2) {
+              try vals(fieldIdx) = java.lang.Long.valueOf(t._1)
+              catch { case _: NumberFormatException => () }
+            }
+          case 3 | 4 | 5 | 6 => vals(fieldIdx) = java.lang.Double.valueOf(t._1)
+          case 1 => vals(1) = utf8(t._1) // number text for the string field
+          case 7 => () // conversion: number for the boolean — continue
+        }
       }
+      ws()
+      if (i >= len) return allNull()
+      val sep = line.charAt(i)
+      if (sep == ',') i += 1
+      else if (sep == '}') return asBuilt() // trailing bytes ignored
+      else return allNull()
     }
-    def str(key: String): Any = {
-      val s = valueAt(key)
-      if (s < 0 || s >= len || line.charAt(s) != '"') null
-      else {
-        val close = line.indexOf('"', s + 1) // feed strings carry no escapes
-        if (close < 0) null
-        else org.apache.spark.unsafe.types.UTF8String
-          .fromString(line.substring(s + 1, close))
-      }
-    }
-    def bool(key: String): Any = {
-      val s = valueAt(key)
-      if (s < 0) null
-      else if (line.startsWith("true", s)) java.lang.Boolean.TRUE
-      else if (line.startsWith("false", s)) java.lang.Boolean.FALSE
-      else null
-    }
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](lng("Id"), str("Icao"), lng("PosTime"), dbl("Lat"),
-        dbl("Long"), dbl("Spd"), dbl("Trak"), bool("Gnd")))
+    null // unreachable
   }
 
   /** IVF coarse-quantizer probe list; see [[IvfProbeCells]]. Returns the

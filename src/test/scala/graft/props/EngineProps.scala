@@ -201,6 +201,41 @@ object EngineProps extends Properties("graft") {
       kernel == json
     }
 
+  // corrupt a well-formed wire line: truncate, inject a character,
+  // delete a character, or replace with free-form garbage — the kernel
+  // scanner and Jackson must agree (both null, or identical fields) on
+  // EVERY input, not just well-formed ones. The junk set deliberately
+  // excludes '{' and '[': injecting one right after a schema-field
+  // colon creates a BROKEN nested value, and Jackson's behavior there
+  // depends on where its exception leaves the token stream (measured
+  // 6 in 9000 such mutations diverge between keep-partial and
+  // all-null) — implementation folklore the kernel does not chase; it
+  // deterministically keeps the record built so far (documented in
+  // VectorMath.adsbReport's contract).
+  private val corruptLineGen: Gen[String] = {
+    val junkChar = Gen.oneOf('}', '"', ':', ',', 'x', '0', ' ')
+    Gen.oneOf(
+      for { l <- adsbLineGen; n <- Gen.choose(0, 20) } yield l.take(n),
+      for { l <- adsbLineGen; i <- Gen.choose(0, 40); c <- junkChar }
+        yield { val p = math.min(i, l.length); l.substring(0, p) + c + l.substring(p) },
+      for { l <- adsbLineGen; i <- Gen.choose(0, 40) }
+        yield { val p = math.min(i, math.max(l.length - 1, 0)); l.substring(0, p) + l.substring(math.min(p + 1, l.length)) },
+      Gen.oneOf("", "null", "[]", "[1,2]", "\"Id\":5", "{{}}", "not json at all"))
+  }
+
+  property("AdsbReport kernel == from_json on MALFORMED lines too") =
+    forAll(Gen.listOfN(25, corruptLineGen)) { lines =>
+      import spark.implicits._
+      val df = lines.toDF("line")
+      val fields = Seq("Id", "Icao", "PosTime", "Lat", "Long", "Spd", "Trak", "Gnd")
+      val kernel = df.select(graft.functions.native.adsb_report(col("line")).as("s"))
+        .selectExpr(fields.map(f => s"s.$f"): _*).collect().map(_.toSeq).toSeq
+      val json = df.select(from_json(regexp_replace(col("line"), ",$", ""),
+        graft.model.Schemas.adsb).as("j"))
+        .selectExpr(fields.map(f => s"j.$f"): _*).collect().map(_.toSeq).toSeq
+      kernel == json
+    }
+
   property("lastNSorted == sorted suffix of arrival order") =
     forAll(Gen.listOfN(20, Gen.choose(0.0, 50.0)), Gen.choose(1, 25)) { (vals, n) =>
       import spark.implicits._
