@@ -236,6 +236,39 @@ object EngineProps extends Properties("graft") {
       kernel == json
     }
 
+  // corrupted page-view TSV lines: the kernel implements the
+  // reference's RAW tab-split (PageView.fromString — no quoting), so
+  // the comparable from_csv formulation disables Univocity's quote
+  // char; with it enabled, a '"' in the input switches tokenization
+  // modes and the two legitimately diverge (quote-free feed contract)
+  private val corruptPvGen: Gen[String] = {
+    val pvLine = for {
+      p <- Gen.choose(0, 9); st <- Gen.choose(100, 599)
+      zip <- Gen.choose(94700, 94709); uid <- Gen.choose(0L, 100000L)
+    } yield s"/page/p$p\t$st\t$zip\t$uid"
+    val junkChar = Gen.oneOf('\t', '"', '0', 'x', ' ', '-', '+', '.', ',')
+    Gen.oneOf(
+      for { l <- pvLine; n <- Gen.choose(0, 12) } yield l.take(n),
+      for { l <- pvLine; i <- Gen.choose(0, 30); c <- junkChar }
+        yield { val p = math.min(i, l.length); l.substring(0, p) + c + l.substring(p) },
+      for { l <- pvLine; i <- Gen.choose(0, 30) }
+        yield { val p = math.min(i, math.max(l.length - 1, 0)); l.substring(0, p) + l.substring(math.min(p + 1, l.length)) },
+      Gen.oneOf("", "\t", "\t\t\t\t\t", "a\tb\tc\td\te",
+        "99999999999999\t1\t2\t3", "1.5\t2\t3\t4"))
+  }
+
+  property("PageViewFields kernel == unquoted from_csv on malformed lines") =
+    forAll(Gen.listOfN(25, corruptPvGen)) { lines =>
+      import spark.implicits._
+      val df = lines.toDF("line")
+      val kernel = df.select(graft.functions.native.pageview_fields(col("line")).as("pv"))
+        .selectExpr("pv.*").collect().map(_.toSeq).toSeq
+      val csv = df.select(from_csv(col("line"), graft.model.Schemas.pageView,
+        Map("sep" -> "\t", "quote" -> "")).as("pv"))
+        .selectExpr("pv.*").collect().map(_.toSeq).toSeq
+      kernel == csv
+    }
+
   property("lastNSorted == sorted suffix of arrival order") =
     forAll(Gen.listOfN(20, Gen.choose(0.0, 50.0)), Gen.choose(1, 25)) { (vals, n) =>
       import spark.implicits._
