@@ -308,6 +308,40 @@ object EngineProps extends Properties("graft") {
       got == want
     }
 
+  // random text over the full character-class zoo (whitespace runs,
+  // stopwords of several languages, unicode, astral pairs, punctuation,
+  // digits) — every text kernel must equal its composed formulation on
+  // ALL of it, not just the curated spec fixtures
+  private val textGen: Gen[String] = {
+    val token = Gen.oneOf(
+      Gen.oneOf("the", "a", "of", "el", "la", "de", "der", "und", "le",
+        "est", "une", "word", "xyzzy"),
+      Gen.listOfN(5, Gen.alphaNumChar).map(_.mkString),
+      Gen.oneOf("don't", "a.b,c!", "(par)", "42", "ÜNÏcödé", "wörd",
+        "😀", "😀🎉", " nbsp", "MIXED-Case"),
+      Gen.oneOf(" ", "\t", "\n", "", "\f", "\r", "  ", ""))
+    Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, token).map(_.mkString(" ")))
+  }
+
+  property("text kernels == composed formulations on random text") =
+    forAll(Gen.listOfN(15, textGen)) { texts =>
+      import spark.implicits._
+      import graft.ops.TextAnalyticsOps._
+      val df = texts.toDF("text")
+      val rows = df.select(
+        langId(col("text")).as("ln"), langIdHof(col("text")).as("lh"),
+        wsTokenCount(col("text")).as("wn"), wsTokenCountHof(col("text")).as("wh"),
+        bpeishTokenCount(col("text")).as("bn"), bpeishTokenCountHof(col("text")).as("bh"))
+        .as[(String, String, Long, Long, Long, Long)].collect()
+      val quality = df.select(qualityFeatures(col("text")).as("q"))
+        .selectExpr("q.*").collect().map(_.toSeq).toSeq
+      val qualityHof = df.select(qualityFeaturesHof(col("text")).as("q"))
+        .selectExpr("q.*").collect().map(_.toSeq).toSeq
+      rows.forall { case (ln, lh, wn, wh, bn, bh) =>
+        ln == lh && wn == wh && bn == bh
+      } && quality == qualityHof
+    }
+
   property("exactGroups: group sizes partition the input") =
     forAll(Gen.listOfN(25, Gen.oneOf("a", "b", "c", "d"))) { texts =>
       import spark.implicits._
