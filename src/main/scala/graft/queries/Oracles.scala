@@ -277,6 +277,23 @@ object Oracles {
        |SELECT cluster, doc_id AS survivor, CAST(n_docs AS BIGINT) AS n_docs
        |FROM r WHERE rn = 1 AND n_docs >= 2""".stripMargin
 
+  val dedupIncremental: String =
+    s"""WITH d AS (SELECT doc_id, md5(text) AS fp FROM documents),
+       |fresh AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+       |hist AS (SELECT fp FROM d WHERE doc_id % 5 <> 0)
+       |SELECT min(doc_id) AS doc_id, fp FROM fresh
+       |WHERE fp NOT IN (SELECT fp FROM hist)
+       |GROUP BY fp""".stripMargin
+
+  /** Same score CTE as textQuality (proven bit-identical by its own
+   *  gate); quantile_cont == Spark's interpolated percentile, the
+   *  equivalence value_quantiles gates. Lazy: textQuality is declared
+   *  further down this object. */
+  lazy val qualityCut: String =
+    s"""WITH sc AS (SELECT doc_id, score FROM ($textQuality) q)
+       |SELECT doc_id, score FROM sc
+       |WHERE score >= (SELECT quantile_cont(score, 0.25) FROM sc)""".stripMargin
+
   val sampleStratified: String =
     s"""SELECT doc_id, source, h, rn FROM (
        |  SELECT doc_id, source, md5(text) AS h,

@@ -118,6 +118,42 @@ object PipelineQueries {
       .filter(col("n_docs") >= 2)
   }
 
+  /** Cross-batch INCREMENTAL dedup — the ingest-time pattern: a new
+   *  batch (deterministic 20% slice, doc_id % 5 == 0, so the split is
+   *  sf-independent) is admitted against the HISTORICAL corpus by
+   *  content fingerprint: left_anti join on md5, then min-id per
+   *  fingerprint dedupes within the batch itself. Scale shape: only
+   *  fixed-width fingerprints shuffle (never text), the anti join is a
+   *  hash equi-join, and at 100 TB the historical side is the
+   *  bucketed-by-fp fingerprint table, making the anti join
+   *  shuffle-free on ingest (sources.BucketedTables). */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val hist = docs.filter(col("doc_id") % 5 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 5 === 0)
+    fresh.join(hist.select(col("fp")), Seq("fp"), "left_anti")
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("fp"))
+  }
+
+  /** Corpus-RELATIVE quality gate: keep docs scoring at or above the
+   *  corpus p25 quality score. The threshold is a one-row exact
+   *  interpolated percentile (the same `percentile` == quantile_cont
+   *  equivalence `value_quantiles` gates) broadcast back over the
+   *  corpus — the canonical two-job "filter by corpus statistic"
+   *  pattern; the corpus itself streams through once per job and
+   *  never shuffles. */
+  def qualityCut(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        TextAnalyticsOps.qualityFeatures(col("text")).getField("score").as("score"))
+    val thr = scored.agg(percentile(col("score"), lit(0.25)).as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("score") >= col("thr"))
+      .select(col("doc_id"), col("score"))
+  }
+
   /** Docs drawn per stratum for [[sampleStratified]]. */
   val StratifiedN = 5
 
