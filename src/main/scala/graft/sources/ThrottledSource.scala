@@ -35,6 +35,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  *  - `maxRowsPerTrigger` admission cap per micro-batch (0 = unlimited)
  *  - `rowsPerSecond`     availability accrual rate (0 = all available
  *                        immediately: a pre-built backlog)
+ *  - `numPartitions`     parallel read splits per micro-batch
+ *                        (default 4; each batch's admitted range is
+ *                        chunked evenly, like Kafka topic partitions)
  *
  * Usage: `spark.readStream.format(classOf[ThrottledSeqSource].getName)
  *   .option("totalRows", 50).option("maxRowsPerTrigger", 10).load()`
@@ -65,7 +68,8 @@ private[sources] class ThrottledSeqTable(options: CaseInsensitiveStringMap)
           new ThrottledSeqStream(
             totalRows = options.getLong("totalRows", 0L),
             maxRowsPerTrigger = options.getLong("maxRowsPerTrigger", 0L),
-            rowsPerSecond = options.getLong("rowsPerSecond", 0L))
+            rowsPerSecond = options.getLong("rowsPerSecond", 0L),
+            numPartitions = options.getLong("numPartitions", 4L).toInt)
       }
     }
 }
@@ -75,9 +79,10 @@ private[sources] case class SeqOffset(v: Long) extends Offset {
 }
 
 private[sources] class ThrottledSeqStream(totalRows: Long,
-    maxRowsPerTrigger: Long, rowsPerSecond: Long)
+    maxRowsPerTrigger: Long, rowsPerSecond: Long, numPartitions: Int = 4)
     extends MicroBatchStream with SupportsAdmissionControl {
   require(totalRows > 0, "totalRows must be set > 0")
+  require(numPartitions > 0, "numPartitions must be > 0")
   private val startMs = System.currentTimeMillis()
 
   /** Rows available so far: the full sequence (pre-built backlog), or
@@ -115,8 +120,17 @@ private[sources] class ThrottledSeqStream(totalRows: Long,
     throw new UnsupportedOperationException(
       "admission-controlled source: use latestOffset(start, limit)")
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    Array(SeqRange(start.asInstanceOf[SeqOffset].v, end.asInstanceOf[SeqOffset].v))
+  /** The admitted range, split into even chunks so a batch reads in
+   *  parallel (empty chunks elided — a small batch may use fewer). */
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SeqOffset].v
+    val e = end.asInstanceOf[SeqOffset].v
+    val n = e - s
+    if (n <= 0) Array.empty
+    else (0 until numPartitions).iterator.map { p =>
+      SeqRange(s + n * p / numPartitions, s + n * (p + 1) / numPartitions)
+    }.filter(r => r.until > r.from).map(r => r: InputPartition).toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory = new SeqReaderFactory
 }
 

@@ -86,4 +86,29 @@ class ConsumerLagSpec extends SparkSpec {
       spark.streams.removeListener(listener)
     }
   }
+
+  test("throttled source delivers the exact sequence once, in parallel splits") {
+    import spark.implicits._
+    val listener = new ConsumerLagListener
+    spark.streams.addListener(listener)
+    val ckpt = Files.createTempDirectory("seq-once-ckpt").toString
+    val q = spark.readStream
+      .format(classOf[graft.sources.ThrottledSeqSource].getName)
+      .option("totalRows", 1000).option("maxRowsPerTrigger", 300)
+      .option("numPartitions", 7)
+      .load()
+      .writeStream.format("memory").queryName("seq_once")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      // exactly-once across chunked parallel reads and 4 admitted
+      // batches: every value 0..999 exactly one time
+      val got = spark.table("seq_once").as[Long].collect().sorted
+      assert(got.toSeq == (0L until 1000L))
+    } finally {
+      try q.stop() catch { case _: Throwable => }
+      spark.streams.removeListener(listener)
+    }
+  }
 }
