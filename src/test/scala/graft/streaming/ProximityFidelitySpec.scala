@@ -158,6 +158,44 @@ class ProximityFidelitySpec extends SparkSpec {
     }
   }
 
+  test("per-event state survives a checkpointed restart " +
+      "(same warnings as an uninterrupted run)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("prox-restart-ckpt").toString
+    val seen = ArrayBuffer.empty[Warning]
+    // memory sink can't recover a checkpoint; foreachBatch can
+    def start(in: MemoryStream[AdsbPosition]) =
+      StreamOps.proximityWarningsPerEvent(in.toDS(), DistThresholdKm,
+        SpecSteps, SpecStepSec).toDF()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = batch.collect().map(r => (r.getString(0), r.getString(1),
+            r.getInt(2), r.getLong(3), r.getDouble(4)))
+          seen.synchronized { seen ++= rows; () }
+        }.start()
+    // trigger 1, then STOP — the latest-position maps live only in the
+    // state store now
+    val in1 = MemoryStream[AdsbPosition]
+    val q1 = start(in1)
+    try { in1.addData(trigger1); q1.processAllAvailable() } finally q1.stop()
+    // a FRESH source seeded so the recovered query re-reads batch 0's
+    // data (MemoryStream offsets restart at 0; real sources replay by
+    // offset) — then trigger 2 against the RECOVERED state
+    val in2 = MemoryStream[AdsbPosition]
+    in2.addData(trigger1)
+    val q2 = start(in2)
+    val restarted = try {
+      in2.addData(trigger2)
+      q2.processAllAvailable()
+      seen.synchronized(seen.toSet)
+    } finally q2.stop()
+    val uninterrupted = runPerEvent(Seq(trigger1, trigger2),
+      shards = 1, strict = false).last
+    assert(restarted == uninterrupted,
+      s"restart diverged: ${restarted.diff(uninterrupted)} / " +
+        s"${uninterrupted.diff(restarted)}")
+  }
+
   test("strict sharding reproduces the reference blind spot: " +
       "single-task deployment emits nothing") {
     // DistFilterBolt only compares NON-owned arrivals against its owned
