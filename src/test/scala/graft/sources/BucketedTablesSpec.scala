@@ -9,6 +9,7 @@ import graft.model.Tables
   * key, the join and the keyed aggregation must plan WITHOUT an
   * Exchange — the write-time shuffle replaces every query-time one. */
 class BucketedTablesSpec extends SparkSpec {
+  import spark.implicits._
 
   private val sfDir = "/root/testdata/sf0.001"
 
@@ -57,6 +58,43 @@ class BucketedTablesSpec extends SparkSpec {
       val want = Tables.lineitem(spark, sfDir)
         .join(Tables.orders(spark, sfDir),
           col("l_orderkey") === col("o_orderkey")).count()
+      assert(got == want)
+    }
+  }
+
+  test("fingerprint-bucketed ingest: incremental dedup anti-join " +
+      "plans with zero Exchange") {
+    // the scale claim in PipelineQueries.dedupIncremental made
+    // concrete: with the historical fingerprint table AND the incoming
+    // batch bucketed on fp, the admit-or-reject anti join needs no
+    // shuffle at ingest time
+    Seq("fp_hist_b", "fp_batch_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    BucketedTables.writeBucketed(
+      docs.filter(col("doc_id") % 5 =!= 0), "fp_hist_b", "fp", buckets = 4)
+    BucketedTables.writeBucketed(
+      docs.filter(col("doc_id") % 5 === 0), "fp_batch_b", "fp", buckets = 4)
+    withNoBroadcast {
+      val admitted = spark.table("fp_batch_b")
+        .join(spark.table("fp_hist_b").select("fp"), Seq("fp"), "left_anti")
+      val plan = admitted.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        "bucketed ingest anti-join still shuffles:\n" + plan)
+      // same admitted set as the plain (shuffling) formulation
+      val got = admitted.select("doc_id").as[Long].collect().toSet
+      val want = graft.queries.PipelineQueries
+        .dedupIncremental(spark, sfDir).select("doc_id").as[Long].collect().toSet
       assert(got == want)
     }
   }
