@@ -27,7 +27,7 @@ import graft.streaming.StreamOps
  * Topologies: wordcount grep sol dataclean pageview_count unique_visitor
  * rolling_count rolling_hashtag_count rolling_geo_count rolling_sort
  * rolling_sort_lastn rolling_flight_dist rolling_flight_dist_snapshot
- * hash_sample json_props trident_wordcount
+ * hash_sample json_props quality_cut trident_wordcount
  */
 object Run {
   def main(args: Array[String]): Unit = {
@@ -124,6 +124,16 @@ object Run {
         (StreamOps.proximityWarningsPerEvent(positions,
           BenchQueries.DistThresholdKm, BenchQueries.SpecSteps,
           BenchQueries.SpecStepSec).toDF(), OutputMode.Append)
+      case "quality_cut" =>
+        // corpus-relative gate, live: the p25 threshold is a corpus
+        // statistic computed by the BATCH pass (pipeline_quality_cut)
+        // and applied here as a static bound — the classic
+        // offline-statistic / online-filter split; scoring itself is
+        // the same row-local kernel
+        val thr = opts.getOrElse("threshold", "0.3").toDouble
+        (lines().select(col("ts"), col("value"),
+          TextAnalyticsOps.qualityFeatures(col("value")).getField("score").as("score"))
+          .filter(col("score") >= thr), OutputMode.Append)
       case "hash_sample" =>
         // deterministic content-hash downsampling, live: the same
         // row-local predicate as the gated batch query — no RNG, no

@@ -65,6 +65,33 @@ class IntegrationSmokeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quality_cut streams: static-threshold gate matches the batch filter") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and runs on",
+      "aaaa bbbb", "1 2 3 4 5 6 7 8 9", "",
+      "a perfectly ordinary sentence with the usual words in it",
+      "zz", "the the the the the the")
+    def gate(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("value"),
+        graft.ops.TextAnalyticsOps.qualityFeatures(col("value"))
+          .getField("score").as("score"))
+      .filter(col("score") >= 0.3)
+    val in = MemoryStream[String]
+    val q = graft.streaming.StreamOps.toMemory(gate(in.toDF().toDF("value")),
+      "qc_smoke", OutputMode.Append,
+      Files.createTempDirectory("qc-ckpt").toString)
+    try {
+      in.addData(texts)
+      q.processAllAvailable()
+      val streamed = spark.table("qc_smoke").select("value").as[String].collect().toSet
+      val batch = gate(texts.toDF("value")).select("value").as[String].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty && streamed.size < texts.size)
+    } finally q.stop()
+  }
+
   test("json_props streams: running per-key stats match the batch agg") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
