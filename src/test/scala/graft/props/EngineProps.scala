@@ -342,6 +342,57 @@ object EngineProps extends Properties("graft") {
       } && quality == qualityHof
     }
 
+  // stratified sampling invariants: exactly min(N, |stratum|) rows per
+  // group, and the SAME rows regardless of how the input is
+  // partitioned (WindowGroupLimit must not make the choice
+  // placement-dependent)
+  property("stratified top-N by hash: per-group size + partitioning invariance") =
+    forAll(
+      Gen.listOf(Gen.zip(Gen.oneOf("s0", "s1", "s2"), Gen.alphaStr.map(_.take(12)))),
+      Gen.choose(1, 4), Gen.choose(1, 8)) { (rows, n, parts) =>
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      def sample(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id")))
+          .cast("bigint"))
+        .filter(col("rn") <= n)
+      val df = rows.zipWithIndex
+        .map { case ((src, txt), i) => (i.toLong, src, txt) }
+        .toDF("doc_id", "source", "text")
+      val a = sample(df).collect().map(_.toSeq).toSet
+      val b = sample(df.repartition(parts)).collect().map(_.toSeq).toSet
+      val sizes = a.groupBy(_(1)).view.mapValues(_.size).toMap
+      val strata = rows.groupBy(_._1).view.mapValues(_.size).toMap
+      a == b && strata.forall { case (src, total) =>
+        sizes.getOrElse(src, 0) == math.min(n, total)
+      }
+    }
+
+  // incremental dedup against a brute-force reference: admitted =
+  // fingerprints present in the new batch but absent from history,
+  // each with the smallest new doc_id carrying it
+  property("dedupIncremental == brute-force set difference") =
+    forAll(Gen.listOf(Gen.zip(Gen.choose(0L, 60L), Gen.oneOf("a", "b", "c", "d", "e")))) { raw =>
+      import spark.implicits._
+      // unique ids, text drawn from a tiny pool so cross-batch
+      // collisions are common
+      val rows = raw.zipWithIndex.map { case ((_, t), i) => (i.toLong, t) }
+      val df = rows.toDF("doc_id", "text")
+      val docs = df.select(col("doc_id"), md5(col("text")).as("fp"))
+      val hist = docs.filter(col("doc_id") % 5 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 5 === 0)
+      val got = fresh.join(hist.select(col("fp")), Seq("fp"), "left_anti")
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id")).as[Long].collect().toSet
+      val histTexts = rows.filter(_._1 % 5 != 0).map(_._2).toSet
+      val want = rows.filter(_._1 % 5 == 0)
+        .filterNot(r => histTexts.contains(r._2))
+        .groupBy(_._2).values.map(_.map(_._1).min).toSet
+      got == want
+    }
+
   property("exactGroups: group sizes partition the input") =
     forAll(Gen.listOfN(25, Gen.oneOf("a", "b", "c", "d"))) { texts =>
       import spark.implicits._
