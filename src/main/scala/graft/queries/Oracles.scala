@@ -277,12 +277,16 @@ object Oracles {
        |SELECT cluster, doc_id AS survivor, CAST(n_docs AS BIGINT) AS n_docs
        |FROM r WHERE rn = 1 AND n_docs >= 2""".stripMargin
 
+  /** NOT EXISTS, not NOT IN: a null fingerprint (null text) in the
+   *  history would make NOT IN return nothing, while Spark's left_anti
+   *  keeps non-matching rows — NOT EXISTS has the anti-join's
+   *  null semantics on both engines. */
   val dedupIncremental: String =
     s"""WITH d AS (SELECT doc_id, md5(text) AS fp FROM documents),
        |fresh AS (SELECT * FROM d WHERE doc_id % 5 = 0),
        |hist AS (SELECT fp FROM d WHERE doc_id % 5 <> 0)
-       |SELECT min(doc_id) AS doc_id, fp FROM fresh
-       |WHERE fp NOT IN (SELECT fp FROM hist)
+       |SELECT min(doc_id) AS doc_id, fp FROM fresh f
+       |WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = f.fp)
        |GROUP BY fp""".stripMargin
 
   /** Same score CTE as textQuality (proven bit-identical by its own
