@@ -311,47 +311,50 @@ object VectorMath {
       while (i < len && { val c = line.charAt(i)
         c == ' ' || c == '\t' || c == '\n' || c == '\r' }) i += 1
     }
-    // string body after the opening quote: content, or null on
-    // unterminated / escape / control char (all lexical)
-    def stringBody(): String = {
+    // string body after the opening quote, allocation-free: returns
+    // (start << 32) | end, or -1 on unterminated / escape / control
+    // char (all lexical); callers substring only when a value is kept
+    def stringSpan(): Long = {
       val start = i
       while (i < len && line.charAt(i) != '"') {
         val c = line.charAt(i)
-        if (c == '\\' || c < ' ') return null
+        if (c == '\\' || c < ' ') return -1L
         i += 1
       }
-      if (i >= len) return null
-      val s = line.substring(start, i)
+      if (i >= len) return -1L
+      val end = i
       i += 1
-      s
+      (start.toLong << 32) | end
     }
-    // strict JSON number at i (leading sign already included); returns
-    // (token, integral) or null on grammar violation (lexical). NaN /
-    // Infinity literal families are handled by the caller.
-    def numberToken(): (String, Boolean) = {
+    // strict JSON number at i; returns the span like stringSpan (or
+    // -1 on grammar violation) and leaves whether the token stayed
+    // integral in `numIntegral`. NaN / Infinity literal families are
+    // handled by the callers.
+    var numIntegral = true
+    def numberSpan(): Long = {
       val nStart = i
-      var integral = true
+      numIntegral = true
       if (i < len && line.charAt(i) == '-') i += 1
-      if (i >= len) return null
+      if (i >= len) return -1L
       val d0 = line.charAt(i)
       if (d0 == '0') i += 1
       else if (d0 >= '1' && d0 <= '9') {
         while (i < len && line.charAt(i) >= '0' && line.charAt(i) <= '9') i += 1
-      } else return null
+      } else return -1L
       if (i < len && line.charAt(i) == '.') {
-        integral = false
+        numIntegral = false
         i += 1
-        if (i >= len || line.charAt(i) < '0' || line.charAt(i) > '9') return null
+        if (i >= len || line.charAt(i) < '0' || line.charAt(i) > '9') return -1L
         while (i < len && line.charAt(i) >= '0' && line.charAt(i) <= '9') i += 1
       }
       if (i < len && (line.charAt(i) == 'e' || line.charAt(i) == 'E')) {
-        integral = false
+        numIntegral = false
         i += 1
         if (i < len && (line.charAt(i) == '+' || line.charAt(i) == '-')) i += 1
-        if (i >= len || line.charAt(i) < '0' || line.charAt(i) > '9') return null
+        if (i >= len || line.charAt(i) < '0' || line.charAt(i) > '9') return -1L
         while (i < len && line.charAt(i) >= '0' && line.charAt(i) <= '9') i += 1
       }
-      (line.substring(nStart, i), integral)
+      (nStart.toLong << 32) | i
     }
     def lit(t: String): Boolean =
       if (line.startsWith(t, i)) { i += t.length; true } else false
@@ -363,9 +366,10 @@ object VectorMath {
       val c = line.charAt(i)
       if (c == '"') {
         i += 1
-        val b = stringBody()
-        if (b == null) return false
-        if (sb != null) sb.append('"').append(b).append('"')
+        val sp = stringSpan()
+        if (sp < 0) return false
+        if (sb != null) sb.append('"')
+          .append(line, (sp >> 32).toInt, (sp & 0xFFFFFFFFL).toInt).append('"')
         true
       } else if (c == '{' || c == '[') {
         val close = if (c == '{') '}' else ']'
@@ -385,9 +389,11 @@ object VectorMath {
             ws()
             if (i >= len || line.charAt(i) != '"') return false
             i += 1
-            val k = stringBody()
-            if (k == null) return false
-            if (sb != null) sb.append('"').append(k).append('"').append(':')
+            val k = stringSpan()
+            if (k < 0) return false
+            if (sb != null) sb.append('"')
+              .append(line, (k >> 32).toInt, (k & 0xFFFFFFFFL).toInt)
+              .append('"').append(':')
             ws()
             if (i >= len || line.charAt(i) != ':') return false
             i += 1
@@ -410,9 +416,9 @@ object VectorMath {
       else if (lit("+Infinity")) { if (sb != null) sb.append("+Infinity"); true }
       else if (lit("-Infinity")) { if (sb != null) sb.append("-Infinity"); true }
       else {
-        val t = numberToken()
-        if (t == null) return false
-        if (sb != null) sb.append(t._1)
+        val t = numberSpan()
+        if (t < 0) return false
+        if (sb != null) sb.append(line, (t >> 32).toInt, (t & 0xFFFFFFFFL).toInt)
         true
       }
     }
@@ -428,36 +434,43 @@ object VectorMath {
       ws()
       if (i >= len || line.charAt(i) != '"') return allNull()
       i += 1
-      val key = stringBody()
-      if (key == null) return allNull()
+      val kSpan = stringSpan()
+      if (kSpan < 0) return allNull()
       ws()
       if (i >= len || line.charAt(i) != ':') return allNull()
       i += 1
       ws()
       if (i >= len) return allNull()
-      val fieldIdx = key match {
-        case "Id" => 0; case "Icao" => 1; case "PosTime" => 2; case "Lat" => 3
-        case "Long" => 4; case "Spd" => 5; case "Trak" => 6; case "Gnd" => 7
-        case _ => -1
-      }
+      val kS = (kSpan >> 32).toInt
+      val kE = (kSpan & 0xFFFFFFFFL).toInt
+      def keyIs(k: String): Boolean =
+        kE - kS == k.length && line.regionMatches(kS, k, 0, k.length)
+      val fieldIdx =
+        if (keyIs("Id")) 0 else if (keyIs("Icao")) 1
+        else if (keyIs("PosTime")) 2 else if (keyIs("Lat")) 3
+        else if (keyIs("Long")) 4 else if (keyIs("Spd")) 5
+        else if (keyIs("Trak")) 6 else if (keyIs("Gnd")) 7 else -1
       val c = line.charAt(i)
       if (c == '"') {
         i += 1
-        val v = stringBody()
-        if (v == null) return allNull() // lexical, wherever it happens
+        val vSpan = stringSpan()
+        if (vSpan < 0) return allNull() // lexical, wherever it happens
+        val vS = (vSpan >> 32).toInt
+        val vE = (vSpan & 0xFFFFFFFFL).toInt
+        def vIs(t: String): Boolean =
+          vE - vS == t.length && line.regionMatches(vS, t, 0, t.length)
         fieldIdx match {
           case -1 => ()
-          case 1 => vals(1) = utf8(v)
-          case 3 | 4 | 5 | 6 => v match {
-            // Spark's non-numeric STRING forms for double fields
-            case "NaN" => vals(fieldIdx) = java.lang.Double.valueOf(Double.NaN)
-            case "Infinity" | "+Infinity" | "+INF" =>
+          case 1 => vals(1) = utf8(line.substring(vS, vE))
+          case 3 | 4 | 5 | 6 =>
+            // Spark's non-numeric STRING forms for double fields;
+            // any other string for a number is a conversion error —
+            // field stays as-is (earlier dup wins), parsing continues
+            if (vIs("NaN")) vals(fieldIdx) = java.lang.Double.valueOf(Double.NaN)
+            else if (vIs("Infinity") || vIs("+Infinity") || vIs("+INF"))
               vals(fieldIdx) = java.lang.Double.valueOf(Double.PositiveInfinity)
-            case "-Infinity" | "-INF" =>
+            else if (vIs("-Infinity") || vIs("-INF"))
               vals(fieldIdx) = java.lang.Double.valueOf(Double.NegativeInfinity)
-            case _ => () // conversion: string for a number — field
-                          // stays as-is (earlier dup wins), parsing continues
-          }
           case _ => () // conversion: string for long/bool — continue
         }
       } else if (c == '{' || c == '[') {
@@ -504,20 +517,22 @@ object VectorMath {
           case _ => () // conversion — continue
         }
       } else {
-        val t = numberToken()
-        if (t == null) return allNull() // bad number grammar: lexical
-        fieldIdx match {
-          case -1 => ()
-          case 0 | 2 =>
-            // float token / overflow for a long field: conversion error,
-            // field untouched, record continues
-            if (t._2) {
-              try vals(fieldIdx) = java.lang.Long.valueOf(t._1)
-              catch { case _: NumberFormatException => () }
-            }
-          case 3 | 4 | 5 | 6 => vals(fieldIdx) = java.lang.Double.valueOf(t._1)
-          case 1 => vals(1) = utf8(t._1) // number text for the string field
-          case 7 => () // conversion: number for the boolean — continue
+        val t = numberSpan()
+        if (t < 0) return allNull() // bad number grammar: lexical
+        if (fieldIdx >= 0) {
+          val tok = line.substring((t >> 32).toInt, (t & 0xFFFFFFFFL).toInt)
+          fieldIdx match {
+            case 0 | 2 =>
+              // float token / overflow for a long field: conversion
+              // error, field untouched, record continues
+              if (numIntegral) {
+                try vals(fieldIdx) = java.lang.Long.valueOf(tok)
+                catch { case _: NumberFormatException => () }
+              }
+            case 3 | 4 | 5 | 6 => vals(fieldIdx) = java.lang.Double.valueOf(tok)
+            case 1 => vals(1) = utf8(tok) // number text for the string field
+            case _ => () // conversion: number for the boolean — continue
+          }
         }
       }
       ws()
