@@ -102,14 +102,17 @@ private[sources] class ThrottledSeqStream(totalRows: Long,
     else ReadLimit.allAvailable()
 
   /** Admission: advance at most the read limit past `start`, never past
-   *  availability. */
+   *  availability — and never BEHIND `start`: after a checkpoint
+   *  restart the accrual clock restarts at zero, so raw availability
+   *  can momentarily trail the committed offset (offsets must be
+   *  monotone; the batch is simply empty until the clock catches up). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[SeqOffset].v
     val cap = limit match {
       case r: ReadMaxRows => s + r.maxRows()
       case _ => Long.MaxValue
     }
-    SeqOffset(math.min(available(), cap))
+    SeqOffset(math.max(s, math.min(available(), cap)))
   }
 
   /** The TRUE head of the queue — what the progress reporter records as
