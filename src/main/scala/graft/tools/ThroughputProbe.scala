@@ -205,9 +205,17 @@ object ThroughputProbe {
           .option("checkpointLocation", ckpt.toString)
           .trigger(Trigger.ProcessingTime("1 second"))
           .start()
-        q.processAllAvailable()
+        // processAllAvailable can't be used here: at start the accrual
+        // clock has produced nothing, so it returns before the first
+        // row exists. Poll until the backlog has visibly grown AND
+        // drained back to zero (or time out).
+        val deadline = System.currentTimeMillis() + 60000
+        def series() = lagListener.samples(q.runId).filter(_.rows > 0).flatMap(_.lag)
+        while ({ val l = series()
+          !(l.nonEmpty && l.max > 0 && l.last == 0) &&
+            System.currentTimeMillis() < deadline }) Thread.sleep(500)
         try q.stop() catch { case _: Throwable => }
-        val lags = lagListener.samples(q.runId).filter(_.rows > 0).flatMap(_.lag)
+        val lags = series()
         println(s"[lag] lag_drain series (rows behind): ${lags.mkString(", ")}")
         val peak = if (lags.nonEmpty) lags.max else 0L
         println(s"[lag] lag_drain peak backlog $peak rows; " +
