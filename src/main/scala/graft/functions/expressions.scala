@@ -299,6 +299,13 @@ object VectorMath {
    *  out-of-contract (never on this feed's wire): backslash escapes
    *  in strings — Jackson unescapes them, this kernel treats them as
    *  lexical corruption. */
+  /** Max container nesting for [[adsbReport]]'s tokenizer, counting the
+   *  record's root object — Jackson's StreamReadConstraints default
+   *  (`DEFAULT_MAX_DEPTH = 1000`), so the kernel and `from_json` reject
+   *  the same pathological depth instead of this recursion overflowing
+   *  the task's stack where Jackson degrades to a null row. */
+  val MaxJsonDepth = 1000
+
   def adsbReport(line: String): InternalRow = {
     val len = line.length
     var i = 0
@@ -359,8 +366,20 @@ object VectorMath {
     def lit(t: String): Boolean =
       if (line.startsWith(t, i)) { i += t.length; true } else false
     // ANY nested/flat JSON value at i, appended COMPACTLY to sb (null
-    // sb = validate-and-skip). False = lexical corruption.
-    def pValue(sb: java.lang.StringBuilder): Boolean = {
+    // sb = validate-and-skip). False = lexical corruption. `depth` is
+    // the container nesting level INCLUDING the record's root object
+    // (the main loop below parses at depth 1): a value nested deeper
+    // than MaxJsonDepth is a lexical failure, mirroring Jackson's
+    // StreamReadConstraints default (max nesting 1000) so a corrupt
+    // line of ten thousand '['s nulls the record like from_json does
+    // instead of overflowing the stack. Depth overflow is flagged
+    // separately from ordinary interior corruption because the two
+    // diverge under the STRING field: the reader's nextToken throws
+    // on the depth constraint BEFORE writeRaw's conversion context
+    // opens, so from_json nulls the whole record (verified
+    // empirically) where a broken interior keeps what was built.
+    var depthExceeded = false
+    def pValue(sb: java.lang.StringBuilder, depth: Int): Boolean = {
       ws()
       if (i >= len) return false
       val c = line.charAt(i)
@@ -372,6 +391,7 @@ object VectorMath {
           .append(line, (sp >> 32).toInt, (sp & 0xFFFFFFFFL).toInt).append('"')
         true
       } else if (c == '{' || c == '[') {
+        if (depth > MaxJsonDepth) { depthExceeded = true; return false }
         val close = if (c == '{') '}' else ']'
         i += 1
         if (sb != null) sb.append(c)
@@ -398,7 +418,7 @@ object VectorMath {
             if (i >= len || line.charAt(i) != ':') return false
             i += 1
           }
-          if (!pValue(sb)) return false
+          if (!pValue(sb, depth + 1)) return false
           ws()
           if (i < len && line.charAt(i) == ',') i += 1
           else if (i < len && line.charAt(i) == close) {
@@ -479,15 +499,15 @@ object VectorMath {
           // compactly; a broken interior stops the record keeping what
           // was built (writeRaw's failure is conversion-context)
           val sb = new java.lang.StringBuilder
-          if (!pValue(sb)) return asBuilt()
+          if (!pValue(sb, 2)) return if (depthExceeded) allNull() else asBuilt()
           vals(1) = utf8(sb.toString)
         } else if (fieldIdx >= 0) {
           // conversion fails at the START token, then Jackson SKIPS the
           // value and continues the record; a broken interior makes the
           // skip itself blow up (lexical) -> all-null
-          if (!pValue(null)) return allNull()
+          if (!pValue(null, 2)) return allNull()
         } else {
-          if (!pValue(null)) return allNull() // skipChildren blows up: lexical
+          if (!pValue(null, 2)) return allNull() // skipChildren blows up: lexical
         }
       } else if (lit("null")) {
         if (fieldIdx >= 0) vals(fieldIdx) = null

@@ -86,13 +86,36 @@ object PipelineQueries {
    *  canonical cluster id per document (pairs alone over-delete: A~B,
    *  B~C must collapse to one cluster even when A!~C). Exact fixpoint,
    *  so the recursive-CTE oracle reproduces it. */
-  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val pairs = DedupOps.minhashNearDups(docs, col("doc_id"), col("text"),
-      threshold = 0.5).select("id1", "id2")
-    DedupOps.connectedComponents(pairs, docs.select(col("doc_id").as("id")))
-      .select(col("id").as("doc_id"), col("cluster"))
-  }
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    clusterFrame(spark, sfDir)
+
+  /** The converged cluster frame, computed ONCE per (session, corpus)
+   *  and shared by [[dedupClusters]] and [[dedupSurvivors]] — the
+   *  fixpoint is deterministic, so reuse is semantics-free, and
+   *  re-running the whole iteration per consumer (the round-8 shape)
+   *  just re-pays the most expensive plan in the suite. The frame's
+   *  lineage is already truncated to the final label snapshot
+   *  (connectedComponents checkpoints every iteration), so later
+   *  consumers re-read that materialized snapshot instead of
+   *  re-propagating labels. Keyed by session so concurrent/TEST
+   *  sessions never share localCheckpoint blocks across stores. */
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]
+
+  /** The session's UUID (never reused, unlike an identity hash, so a
+   *  stopped test session can't alias a later one's cache slot) via
+   *  the private-API bridge. */
+  private def sessionKey(spark: SparkSession): String =
+    org.apache.spark.sql.GraftColumnBridge.sessionUUID(spark)
+
+  private def clusterFrame(spark: SparkSession, sfDir: String): DataFrame =
+    clusterCache.computeIfAbsent((sessionKey(spark), sfDir), _ => {
+      val docs = Tables.documents(spark, sfDir)
+      val pairs = DedupOps.minhashNearDups(docs, col("doc_id"), col("text"),
+        threshold = 0.5).select("id1", "id2")
+      DedupOps.connectedComponents(pairs, docs.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("cluster"))
+    })
 
   /** Survivor SELECTION — the step that makes [[dedupClusters]]
    *  actionable: per duplicate cluster, keep the highest-quality member
@@ -103,13 +126,15 @@ object PipelineQueries {
    *  the delete list. Scale shape: clusters and row-local scores join
    *  on doc_id, then ONE two-phase max_by/count agg on the 64-bit
    *  cluster id — no window over the corpus, no skew (cluster sizes
-   *  are near-dup groups, inherently small). */
+   *  are near-dup groups, inherently small). Reads the SHARED converged
+   *  cluster frame ([[clusterFrame]]) — it never re-runs the CC
+   *  fixpoint when [[dedupClusters]] already has in this session. */
   def dedupSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val scores = docs.select(col("doc_id"),
       coalesce(TextAnalyticsOps.qualityFeatures(col("text")).getField("score"),
         lit(-1.0)).as("score"))
-    dedupClusters(spark, sfDir).join(scores, "doc_id")
+    clusterFrame(spark, sfDir).join(scores, "doc_id")
       .groupBy(col("cluster"))
       .agg(
         max_by(col("doc_id"),

@@ -47,8 +47,11 @@ final class ConsumerLagListener extends StreamingQueryListener {
    *  Parsed as real JSON, not a colon-digits regex: a source whose
    *  offset embeds numerics inside strings (e.g. a timestamp
    *  "2024-01-01T00:00:12") must not contribute to the sum — string
-   *  leaves are skipped, and a blob with NO integral leaves (or any
-   *  non-integral numeric leaf) is not offset-countable -> None. */
+   *  leaves are skipped. A blob with NO integral leaves is not
+   *  offset-countable -> None; so is one with ANY non-integral (or
+   *  long-overflowing) NUMERIC leaf — fractional offsets mean the
+   *  blob isn't a message count, and a partial sum over the integral
+   *  remainder would understate the backlog silently. */
   private[streaming] def offsetSum(s: String): Option[Long] = {
     if (s == null) None
     else {
@@ -57,14 +60,16 @@ final class ConsumerLagListener extends StreamingQueryListener {
       else if (t.startsWith("{")) {
         try {
           val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(t)
-          def leaves(n: com.fasterxml.jackson.databind.JsonNode): Iterator[Long] =
+          def leaves(n: com.fasterxml.jackson.databind.JsonNode)
+              : Iterator[com.fasterxml.jackson.databind.JsonNode] =
             if (n.isObject || n.isArray)
               scala.jdk.CollectionConverters.IteratorHasAsScala(n.elements()).asScala
                 .flatMap(leaves)
-            else if (n.canConvertToLong && n.isIntegralNumber) Iterator(n.asLong())
-            else Iterator.empty
-          val vals = leaves(root).toList
-          if (vals.isEmpty) None else Some(vals.sum)
+            else Iterator(n)
+          val nums = leaves(root).filter(_.isNumber).toList
+          if (nums.exists(n => !n.isIntegralNumber || !n.canConvertToLong)) None
+          else if (nums.isEmpty) None
+          else Some(nums.map(_.asLong()).sum)
         } catch { case _: com.fasterxml.jackson.core.JacksonException => None }
       } else None
     }

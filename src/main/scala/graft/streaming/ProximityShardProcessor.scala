@@ -18,9 +18,17 @@ import graft.model.{FlightState, ProximityWarning, ShardedReport}
  * it touched, and the store does point lookups instead of
  * (de)serializing the shard's whole map — the difference that matters
  * when one shard owns thousands of aircraft.
+ *
+ * `ttlMs` is the event-time silence TTL of
+ * [[StreamOps.proximityWarningsPerEvent]]'s contract: entries stale
+ * relative to an arrival are invisible to its comparisons, and entries
+ * stale relative to the shard's event-time high-water mark are
+ * point-deleted (`removeKey`) after the batch. Event-time, not
+ * `TTLConfig`: the built-in TTL is processing-time-based, which would
+ * make replays nondeterministic.
  */
 private[streaming] class ProximityShardProcessor(thresholdKm: Double,
-    steps: Int, stepSec: Int, strictSharding: Boolean)
+    steps: Int, stepSec: Int, strictSharding: Boolean, ttlMs: Long)
     extends StatefulProcessor[Int, ShardedReport, ProximityWarning] {
 
   @transient private var owned: MapState[String, FlightState] = _
@@ -32,18 +40,30 @@ private[streaming] class ProximityShardProcessor(thresholdKm: Double,
   override def handleInputRows(shard: Int, rows: Iterator[ShardedReport],
       timerValues: TimerValues): Iterator[ProximityWarning] = {
     val out = Vector.newBuilder[ProximityWarning]
+    var cursor = Long.MinValue
     // deterministic replay-stable arrival order, as in the fMGWS form
     rows.toVector.sortBy(r => (r.posTime, r.icao)).foreach { r =>
+      cursor = math.max(cursor, r.posTime)
       if (!strictSharding || !r.owned)
         owned.iterator().foreach { case (icao2, f) =>
-          out ++= StreamOps.speculativeWarnings(
-            r, icao2, f, thresholdKm, steps, stepSec)
+          // difference form — never overflows, even at ttl = MaxValue
+          if (r.posTime - f.posTime <= ttlMs)
+            out ++= StreamOps.speculativeWarnings(
+              r, icao2, f, thresholdKm, steps, stepSec)
         }
       if (r.owned &&
           (!owned.containsKey(r.icao) || owned.getValue(r.icao).posTime < r.posTime))
         owned.updateValue(r.icao,
           FlightState(r.posTime, r.lat, r.lng, r.spdKms, r.trak))
     }
+    // physical eviction at the shard's event-time high-water mark
+    // (matches StreamOps.processShardBatch; the freshest entry always
+    // survives, so the cursor is monotone across batches)
+    owned.iterator().foreach { case (_, f) =>
+      cursor = math.max(cursor, f.posTime) }
+    val stale = owned.iterator().collect {
+      case (icao, f) if cursor - f.posTime > ttlMs => icao }.toVector
+    stale.foreach(owned.removeKey)
     out.result().iterator
   }
 }

@@ -390,12 +390,32 @@ object StreamOps {
    * Arrival order within a trigger is made deterministic by sorting on
    * (posTime, icao) — the replay-stable stand-in for Storm's
    * nondeterministic tuple arrival.
+   *
+   * STATE TTL: the reference retains every aircraft's latest position
+   * forever (RollingFlightDist.java:216-218) — unbounded at fleet
+   * scale, where decommissioned/out-of-range aircraft accumulate. Here
+   * an aircraft silent for more than `silenceTtlSec` (default: the
+   * speculative horizon `steps * stepSec` — a fix older than the
+   * horizon could only be compared by extrapolating it past the model's
+   * own speculative window) is (a) INVISIBLE to comparisons — arrival
+   * `r` sees stored `f` only when `f.posTime >= r.posTime - ttl`, a
+   * pure function of the two reports, so results don't depend on
+   * trigger chunking — and (b) physically EVICTED from the keyed state
+   * once the shard's event-time high-water mark passes its fix by the
+   * TTL (watermark semantics: a report arriving more than the TTL out
+   * of event-time order may find a silent aircraft already deleted —
+   * the standard allowed-lateness contract, and exactly what (a)'s
+   * visibility rule would have excluded anyway). Pass
+   * `silenceTtlSec = Long.MaxValue` for the reference's retain-forever
+   * behavior.
    */
   def proximityWarningsPerEvent(positions: Dataset[AdsbPosition],
       thresholdKm: Double, steps: Int, stepSec: Int, numShards: Int = 1,
-      strictSharding: Boolean = false): Dataset[ProximityWarning] = {
+      strictSharding: Boolean = false,
+      silenceTtlSec: Long = -1L): Dataset[ProximityWarning] = {
     val spark0 = positions.sparkSession
     import spark0.implicits._
+    val ttlMs = resolveTtlMs(silenceTtlSec, steps, stepSec)
     val sharded = positions.flatMap { p =>
       val owner = math.floorMod(p.icao.hashCode, numShards)
       (0 until numShards).iterator.map { s =>
@@ -406,20 +426,54 @@ object StreamOps {
     sharded.groupByKey(_.shard)
       .flatMapGroupsWithState[Map[String, FlightState], ProximityWarning](
         OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, reports, state) =>
-        var owned = state.getOption.getOrElse(Map.empty[String, FlightState])
-        val out = Vector.newBuilder[ProximityWarning]
-        reports.toVector.sortBy(r => (r.posTime, r.icao)).foreach { r =>
-          if (!strictSharding || !r.owned)
-            owned.foreach { case (icao2, f) =>
-              out ++= speculativeWarnings(r, icao2, f, thresholdKm, steps, stepSec)
-            }
-          if (r.owned && owned.get(r.icao).forall(_.posTime < r.posTime))
-            owned = owned.updated(r.icao,
-              FlightState(r.posTime, r.lat, r.lng, r.spdKms, r.trak))
-        }
+        val (owned, out) = processShardBatch(
+          state.getOption.getOrElse(Map.empty[String, FlightState]),
+          reports.toVector, thresholdKm, steps, stepSec, strictSharding, ttlMs)
         state.update(owned)
-        out.result().iterator
+        out.iterator
       }
+  }
+
+  /** `silenceTtlSec < 0` selects the default TTL — the speculative
+   *  horizon; saturating multiplication guards MaxValue-style opt-outs
+   *  from overflowing to a negative TTL. */
+  private[streaming] def resolveTtlMs(silenceTtlSec: Long, steps: Int,
+      stepSec: Int): Long = {
+    val sec = if (silenceTtlSec < 0) steps.toLong * stepSec else silenceTtlSec
+    if (sec > Long.MaxValue / 1000L) Long.MaxValue else sec * 1000L
+  }
+
+  /** One shard's batch transition — DistFilterBolt's arrival loop plus
+   *  the TTL contract documented on [[proximityWarningsPerEvent]] —
+   *  factored pure so the eviction behavior is unit-testable without a
+   *  state store. Returns (state after physical eviction, warnings). */
+  private[streaming] def processShardBatch(owned0: Map[String, FlightState],
+      reports: Seq[ShardedReport], thresholdKm: Double, steps: Int,
+      stepSec: Int, strictSharding: Boolean,
+      ttlMs: Long): (Map[String, FlightState], Vector[ProximityWarning]) = {
+    var owned = owned0
+    val out = Vector.newBuilder[ProximityWarning]
+    reports.sortBy(r => (r.posTime, r.icao)).foreach { r =>
+      if (!strictSharding || !r.owned)
+        owned.foreach { case (icao2, f) =>
+          // difference form: r - MaxValue would wrap; r - f never can
+          // (both are epoch millis); a NEWER stored fix is negative-
+          // silent and always visible
+          if (r.posTime - f.posTime <= ttlMs)
+            out ++= speculativeWarnings(r, icao2, f, thresholdKm, steps, stepSec)
+        }
+      if (r.owned && owned.get(r.icao).forall(_.posTime < r.posTime))
+        owned = owned.updated(r.icao,
+          FlightState(r.posTime, r.lat, r.lng, r.spdKms, r.trak))
+    }
+    // physical eviction at the shard's event-time high-water mark: the
+    // freshest owned entry always survives its own cursor, so the
+    // cursor is monotone across batches and eviction never resurrects
+    val cursor = (reports.iterator.map(_.posTime) ++
+      owned.valuesIterator.map(_.posTime)).foldLeft(Long.MinValue)(math.max)
+    // difference form (cursor >= f.posTime for every owned f by
+    // construction, so this never overflows, even at ttl = MaxValue)
+    (owned.filter { case (_, f) => cursor - f.posTime <= ttlMs }, out.result())
   }
 
   /** One arrival vs one stored flight: the speculative step loop —
@@ -462,12 +516,19 @@ object StreamOps {
    * shard owns thousands of aircraft. Requires
    * `spark.sql.streaming.stateStore.providerClass =
    * ...state.RocksDBStateStoreProvider` (TWS's supported provider).
+   *
+   * Applies the same event-time silence TTL as
+   * [[proximityWarningsPerEvent]] (see its contract; default = the
+   * speculative horizon), with per-entry `removeKey` eviction — point
+   * deletes, matching the per-aircraft state granularity.
    */
   def proximityWarningsTws(positions: Dataset[AdsbPosition],
       thresholdKm: Double, steps: Int, stepSec: Int, numShards: Int = 1,
-      strictSharding: Boolean = false): Dataset[ProximityWarning] = {
+      strictSharding: Boolean = false,
+      silenceTtlSec: Long = -1L): Dataset[ProximityWarning] = {
     val spark0 = positions.sparkSession
     import spark0.implicits._
+    val ttlMs = resolveTtlMs(silenceTtlSec, steps, stepSec)
     val sharded = positions.flatMap { p =>
       val owner = math.floorMod(p.icao.hashCode, numShards)
       (0 until numShards).iterator.map { s =>
@@ -477,7 +538,8 @@ object StreamOps {
     }
     sharded.groupByKey(_.shard)
       .transformWithState(
-        new ProximityShardProcessor(thresholdKm, steps, stepSec, strictSharding),
+        new ProximityShardProcessor(thresholdKm, steps, stepSec,
+          strictSharding, ttlMs),
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Append)
   }

@@ -137,4 +137,43 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("cume_dist"),
       "rank window functions crept back in:\n" + p)
   }
+
+  test("q_rank_funcs materializes its range shuffle ONCE (exchange reuse)") {
+    // distributionRanks' correctness depends on the counts branch and
+    // the main branch seeing the SAME range boundaries: range
+    // partitioning samples with an RDD-derived seed, so if exchange
+    // reuse ever fails to unify the two identical subtrees the two
+    // executions could draw different boundaries and the broadcast
+    // offsets would join against wrong pids, silently mis-ranking.
+    // Guard: after execution, the final plan must hold exactly one
+    // IDENTITY-distinct rangepartitioning exchange, however many times
+    // it is referenced (ReusedExchange / reused query stage).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    val df = SparkEntry.queries("q_rank_funcs")(spark, sfDir)
+    // collect() finalizes THIS DataFrame's adaptive plan (a write would
+    // execute a separate QueryExecution and leave this one un-staged)
+    df.collect()
+    val distinct = scala.collection.mutable.Set[Int]()
+    var refs = 0
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case r: ReusedExchangeExec => walk(r.child)
+      case s: ShuffleExchangeExec
+          if s.outputPartitioning.isInstanceOf[RangePartitioning] =>
+        refs += 1
+        distinct += System.identityHashCode(s)
+        s.children.foreach(walk)
+      case other => other.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    assert(refs >= 2,
+      s"expected the range exchange to be referenced by both branches, saw $refs")
+    assert(distinct.size == 1,
+      s"range shuffle materialized ${distinct.size} times — boundary seeds " +
+        "may diverge between the counts and main branches")
+  }
 }

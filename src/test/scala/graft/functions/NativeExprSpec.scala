@@ -62,6 +62,31 @@ class NativeExprSpec extends SparkSpec {
     assert(kernel == json)
   }
 
+  test("AdsbReport kernel bounds nesting depth like Jackson: deep " +
+      "corruption nulls the record in BOTH engines, never a stack overflow") {
+    // > MaxJsonDepth (1000) nested containers: Jackson's
+    // StreamReadConstraints rejects the record (PERMISSIVE -> null
+    // fields); the kernel must fail lexically at its depth bound
+    // instead of recursing one frame per '[' and killing the task
+    def nest(n: Int, inner: String) = ("[" * n) + inner + ("]" * n)
+    val df = Seq(
+      s"""{"Id":8,"Unknown":${nest(2000, "1")},"Icao":"DEEP"},""",
+      s"""{"Id":9,"Icao":${nest(2000, "\"x\"")}},""", // under the string field
+      s"""{"Id":10,"Lat":${nest(2000, "1.5")},"Icao":"N"},""", // numeric field
+      s"""{"Id":11,"Unknown":${nest(500, "1")},"Icao":"OK"},""", // within bounds
+      s"""{"Id":12,"Icao":${nest(500, "\"y\"")}},"""
+    ).toDF("line")
+    val fields = Seq("Id", "Icao", "PosTime", "Lat", "Long", "Spd", "Trak", "Gnd")
+    val kernel = df.select(native.adsb_report(col("line")).as("s"))
+      .selectExpr(fields.map(f => s"s.$f"): _*).collect().map(_.toSeq).toSeq
+    val json = df.select(from_json(regexp_replace(col("line"), ",$", ""),
+      graft.model.Schemas.adsb).as("j"))
+      .selectExpr(fields.map(f => s"j.$f"): _*).collect().map(_.toSeq).toSeq
+    assert(kernel == json)
+    // the in-bounds cases actually parsed (the guard isn't over-eager)
+    assert(kernel(3)(0) == 11L)
+  }
+
   test("PageViewFields kernel equals the from_csv formulation per line shape") {
     val df = Seq(
       "/page/a\t200\t94709\t42", // well-formed

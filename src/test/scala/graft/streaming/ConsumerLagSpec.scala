@@ -27,6 +27,13 @@ class ConsumerLagSpec extends SparkSpec {
     // fractional leaves are not offsets; malformed JSON is not countable
     assert(l.offsetSum("""{"watermark":1.5}""").isEmpty)
     assert(l.offsetSum("""{"t":{"0":5""").isEmpty)
+    // ANY fractional numeric leaf poisons the whole blob: the blob is
+    // not a message count, and summing only the integral remainder
+    // would understate the backlog silently
+    assert(l.offsetSum("""{"a":1.5,"b":2}""").isEmpty)
+    assert(l.offsetSum("""{"t":{"0":5,"wm":0.25},"u":{"0":7}}""").isEmpty)
+    // a long-overflowing integral leaf is equally uncountable
+    assert(l.offsetSum("""{"a":123456789012345678901234567890,"b":2}""").isEmpty)
   }
 
   test("listener records per-trigger lag samples for a rate query") {

@@ -196,6 +196,54 @@ class ProximityFidelitySpec extends SparkSpec {
         s"${uninterrupted.diff(restarted)}")
   }
 
+  test("silence TTL: a stale aircraft is invisible to comparisons and " +
+      "physically evicted; ttl=MaxValue reproduces retain-forever") {
+    import graft.model.{FlightState, ShardedReport}
+    // default TTL resolves to the speculative horizon
+    val ttlMs = StreamOps.resolveTtlMs(-1L, SpecSteps, SpecStepSec)
+    assert(ttlMs == SpecSteps.toLong * SpecStepSec * 1000L)
+    // "100"'s last fix; "200" arrives one step past the horizon, 2.2 km
+    // away — would warn at every speculative step without the TTL
+    val st0 = Map("100" -> FlightState(t0, 40.50, -73.50, 0.051, 0.0))
+    val late = ShardedReport(0, owned = true, "200", t0 + ttlMs + 1000,
+      40.52, -73.50, 0.051, 0.0)
+    val (st, warns) = StreamOps.processShardBatch(st0, Seq(late),
+      DistThresholdKm, SpecSteps, SpecStepSec, strictSharding = false, ttlMs)
+    assert(warns.isEmpty, s"stale fix must be invisible, got $warns")
+    assert(!st.contains("100"), "eviction must fire at the high-water mark")
+    assert(st.contains("200"), "the fresh arrival must be installed")
+    // opt-out: ttl = MaxValue keeps the reference's retain-forever
+    // semantics (and must not overflow the difference comparisons)
+    val keepMs = StreamOps.resolveTtlMs(Long.MaxValue, SpecSteps, SpecStepSec)
+    val (stAll, warnsAll) = StreamOps.processShardBatch(st0, Seq(late),
+      DistThresholdKm, SpecSteps, SpecStepSec, strictSharding = false, keepMs)
+    assert(warnsAll.nonEmpty, "retain-forever must still warn")
+    assert(stAll.contains("100") && stAll.contains("200"))
+    // an aircraft silent exactly AT the horizon stays (strict >)
+    val atEdge = ShardedReport(0, owned = true, "200", t0 + ttlMs,
+      40.52, -73.50, 0.051, 0.0)
+    val (stEdge, warnsEdge) = StreamOps.processShardBatch(st0, Seq(atEdge),
+      DistThresholdKm, SpecSteps, SpecStepSec, strictSharding = false, ttlMs)
+    assert(stEdge.contains("100") && warnsEdge.nonEmpty)
+  }
+
+  test("silence TTL evicts through both streaming formulations: a " +
+      "beyond-horizon arrival yields no warning against the stale fleet") {
+    implicit val sqlCtx = spark.sqlContext
+    val horizonMs = SpecSteps.toLong * SpecStepSec * 1000L
+    // trigger 3 arrives one full horizon past trigger 1's fixes: every
+    // stored aircraft is stale by then, so nothing may warn, and the
+    // stale entries must not linger in state
+    val lateTrigger = Seq(
+      AdsbPosition("100", t0 + horizonMs + 20000, 40.50, -73.50, 100.0, 0.0))
+    val withTtl = runPerEvent(Seq(trigger1, lateTrigger), shards = 1,
+      strict = false)
+    // trigger 1's own warnings still fire; the late arrival adds NONE
+    assert(withTtl.head.nonEmpty)
+    assert(withTtl.last == withTtl.head,
+      s"stale comparisons leaked: ${withTtl.last.diff(withTtl.head)}")
+  }
+
   test("strict sharding reproduces the reference blind spot: " +
       "single-task deployment emits nothing") {
     // DistFilterBolt only compares NON-owned arrivals against its owned
