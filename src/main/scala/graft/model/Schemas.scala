@@ -66,3 +66,10 @@ case class ShardedReport(shard: Int, owned: Boolean, icao: String,
  *  same shape as `JoinOps.proximityPairs` rows. */
 case class ProximityWarning(icao1: String, icao2: String, step: Int,
     curr_time: Long, dist_r: Double)
+
+/** One decoded image's projection (MultimodalOps.decodeImagePartitioned):
+ *  pixel dimensions + 16-bin luminance histogram; width = -1 marks an
+ *  undecodable payload (kept, not dropped — a curation pipeline filters
+ *  or quarantines on it explicitly). */
+case class ImageFeatures(id: Long, width: Int, height: Int,
+    lum_hist: Seq[Long])

@@ -90,4 +90,56 @@ object MultimodalOps {
         }
       }
   }
+
+  /**
+   * REAL image decode in the [[decodePartitioned]] shape — the one
+   * media path this environment CAN decode honestly: `javax.imageio`
+   * is JDK-public, so PNG/GIF/BMP/JPEG payloads become pixel
+   * dimensions + a 16-bin luminance histogram with no external codec.
+   * The partition hook does real setup work here (disable ImageIO's
+   * per-read disk cache once for the partition); decode stays
+   * `ImageIO.read` per row because payload FORMAT may vary row to row
+   * — a single-format corpus would hoist one `ImageReader` and
+   * `setInput` per row, which is exactly what this shape is for.
+   * Undecodable bytes yield `width = -1` rather than dropping the row
+   * or killing the task — curation filters on it downstream. The gated
+   * `mm_*` queries keep the synthetic-blob contract (testdata ships no
+   * real binaries); TextMultimodalSpec drives this path with an actual
+   * encoded PNG.
+   */
+  def decodeImagePartitioned(df: DataFrame, idCol: String, bytesCol: String)
+      : org.apache.spark.sql.Dataset[graft.model.ImageFeatures] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol), col(bytesCol)).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // no executor temp files
+        rows.map { case (id, bytes) =>
+          val img =
+            try {
+              if (bytes == null || bytes.isEmpty) null
+              else javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+            } catch { case _: java.io.IOException => null }
+          if (img == null) graft.model.ImageFeatures(id, -1, -1, Nil)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val hist = new Array[Long](16)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val lum =
+                  (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+                hist(lum >> 4) += 1L
+                x += 1
+              }
+              y += 1
+            }
+            graft.model.ImageFeatures(id, w, h, hist.toSeq)
+          }
+        }
+      }
+  }
 }

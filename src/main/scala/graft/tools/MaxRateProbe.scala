@@ -1,0 +1,176 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.ops.{AdsbOps, PageViewOps, TextOps}
+import graft.sources.{Generators, ThrottledSeqSource}
+import graft.streaming.{ConsumerLagListener, StreamOps}
+
+/** Dev tool: MAX SUSTAINABLE INGEST RATE per streaming topology — the
+  * reference's actual figure of merit (its offsets monitor bisects the
+  * broker rate until consumer lag stops draining,
+  * monitors/offsets/offsets_monitor.py:60-72).
+  *
+  * Where [[ThroughputProbe]] saturates each topology and reads the
+  * average processed rate, this probe answers the operational question
+  * directly: the highest `rowsPerSecond` at which the topology still
+  * CONSUMES EVERYTHING IT IS OFFERED in real time. Each trial offers
+  * `rate x genSec` rows through the admission-controlled
+  * [[ThrottledSeqSource]] (availability accrues at `rate`, so the
+  * backlog signal is real) and is sustainable iff the full sequence is
+  * consumed within the generation window plus a small grace — an
+  * unsustainable rate leaves a backlog that is still draining at the
+  * deadline, exactly the diverging-lag curve the reference looks for.
+  * The search doubles from a seed to bracket the capacity, then runs a
+  * 3-step geometric bisection (resolution ~±10-20%, well inside the
+  * shared-box noise band).
+  *
+  * Args: optional topology names to probe a subset.
+  * Output: one `[maxrate]` line per topology; paste into SCALE.md.
+  */
+object MaxRateProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val wanted: String => Boolean =
+      if (args.isEmpty) _ => true else args.toSet
+
+    val lagListener = new ConsumerLagListener
+    spark.streams.addListener(lagListener)
+
+    val genSec = 15L // seconds of data offered per trial
+    val graceSec = 6L // trigger quantization + final-drain allowance
+
+    /** Throttled deterministic stream: (ts, value). Availability
+      * accrues at `rate` rows/s; admission is unlimited, so the only
+      * thing that can hold consumption back is the topology itself. */
+    def throttled(rate: Long): DataFrame =
+      spark.readStream.format(classOf[ThrottledSeqSource].getName)
+        .option("totalRows", rate * genSec)
+        .option("rowsPerSecond", rate)
+        .option("numPartitions", 32)
+        .load()
+        .select(current_timestamp().as("ts"), col("value"))
+
+    /** One trial: does `topology(throttled(rate))` consume all
+      * `rate x genSec` rows within genSec + grace? */
+    def sustainable(name: String, rate: Long, mode: OutputMode,
+        topology: DataFrame => DataFrame): Boolean = {
+      val total = rate * genSec
+      val ckpt = Files.createTempDirectory(s"maxrate-$name-$rate")
+      try {
+        val q = topology(throttled(rate)).writeStream.format("noop")
+          .outputMode(mode)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.ProcessingTime("1 second"))
+          .start()
+        val deadline = System.currentTimeMillis() + (genSec + graceSec) * 1000
+        def consumed() = lagListener.samples(q.runId).map(_.rows).sum
+        try {
+          while (consumed() < total && System.currentTimeMillis() < deadline)
+            Thread.sleep(250)
+          consumed() >= total
+        } finally { try q.stop() catch { case _: Throwable => () } }
+      } catch { case e: Throwable =>
+        println(s"[maxrate] $name@$rate FAILED: " +
+          s"${e.getClass.getSimpleName} ${e.getMessage}")
+        false
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
+    }
+
+    /** Bracket by doubling from the seed, then geometric bisection. */
+    def search(name: String, seed: Long, mode: OutputMode)(
+        topology: DataFrame => DataFrame): Unit = if (wanted(name)) {
+      // warmup trial (codegen/state-store init) — result ignored
+      sustainable(name, math.max(seed / 8, 1000), mode, topology)
+      var good = 0L
+      var bad = 0L
+      var r = seed
+      while (bad == 0 && r <= seed * 64) {
+        if (sustainable(name, r, mode, topology)) { good = r; r *= 2 }
+        else bad = r
+      }
+      // seed itself unsustainable: walk down to find a floor
+      while (good == 0 && bad > 2000) {
+        val lower = bad / 4
+        if (sustainable(name, lower, mode, topology)) good = lower
+        else bad = lower
+      }
+      if (good == 0) { println(s"[maxrate] $name unsustainable at floor"); return }
+      (1 to 3).foreach { _ =>
+        if (bad > 0) {
+          val mid = math.round(math.sqrt(good.toDouble * bad.toDouble))
+          if (sustainable(name, mid, mode, topology)) good = mid else bad = mid
+        }
+      }
+      val upper = if (bad > 0) bad.toString else s">=${r / 2 * 2}(unbracketed)"
+      println(f"[maxrate] $name%-18s max sustained ~ ${good / 1000.0}%9.1f k rows/s " +
+        s"(bracket $good..$upper)")
+    }
+
+    // ---- topology table (mirrors ThroughputProbe's set, fed by the
+    // ---- throttled source so the backlog signal is real) ------------
+
+    search("sol", seed = 2000000, OutputMode.Append) { in =>
+      TextOps.constChain(
+        in.select(col("ts"), Generators.randomMessage(col("value")).as("message")),
+        col("message"), levels = 3)
+    }
+    search("grep", seed = 2000000, OutputMode.Update) { in =>
+      TextOps.grepCount(
+        in.select(col("ts"), Generators.randomMessage(col("value")).as("message")),
+        col("message"), "123")
+    }
+    search("wordcount", seed = 1000000, OutputMode.Update) { in =>
+      StreamOps.runningCount(
+        TextOps.splitWords(
+          in.select(col("ts"), Generators.randomMessage(col("value")).as("value")),
+          col("value")),
+        col("word"), "word")
+    }
+    search("dataclean", seed = 1000000, OutputMode.Append) { in =>
+      val pv = PageViewOps.parse(
+        in.select(col("ts"), Generators.pageViewLine(col("value")).as("page_view")),
+        col("page_view"))
+      PageViewOps.filterNot(pv, col("http_status"), 200, col("url"), col("user_id"))
+    }
+    search("pageview_count", seed = 1000000, OutputMode.Update) { in =>
+      StreamOps.runningCount(
+        PageViewOps.parse(
+          in.select(col("ts"), Generators.pageViewLine(col("value")).as("value")),
+          col("value")),
+        col("url"), "url")
+    }
+    search("rolling_count", seed = 1000000, OutputMode.Update) { in =>
+      StreamOps.slidingCount(
+        in.select(col("ts"), Generators.pageViewLine(col("value")).as("value")),
+        "ts", substring(col("value"), 1, 8), "key",
+        "60 seconds", "10 seconds", "0 seconds")
+    }
+    search("rolling_geo", seed = 500000, OutputMode.Update) { in =>
+      StreamOps.slidingCount(
+        in.select(col("ts"),
+          AdsbOps.zoneOfLine(Generators.adsbLine(col("value"),
+            (col("ts").cast("double") * 1000).cast("long"))).as("zone")),
+        "ts", col("zone"), "zone", "60 seconds", "10 seconds", "0 seconds")
+    }
+    search("flight_proximity_pe", seed = 8000, OutputMode.Append) { in =>
+      StreamOps.proximityWarningsPerEvent(
+        AdsbOps.parsePositionsTyped(
+          in.select(col("ts"), Generators.adsbLine(col("value"),
+            (col("ts").cast("double") * 1000).cast("long")).as("adsb")),
+          col("adsb")),
+        graft.queries.BenchQueries.DistThresholdKm,
+        graft.queries.BenchQueries.SpecSteps,
+        graft.queries.BenchQueries.SpecStepSec, numShards = 8).toDF()
+    }
+    spark.stop()
+  }
+}

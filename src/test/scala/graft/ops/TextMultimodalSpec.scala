@@ -99,4 +99,30 @@ class TextMultimodalSpec extends SparkSpec {
     val out = df.select(MultimodalOps.decodeStub(col("bytes")).as("f"))
     assert(out.filter(col("f").isNull).count() == 1)
   }
+
+  test("decodeImagePartitioned decodes a REAL encoded PNG (javax.imageio) " +
+      "and quarantines undecodable bytes as width = -1") {
+    // build an actual 8x6 PNG in memory: left half black, right half
+    // white — known dimensions, known luminance histogram
+    val img = new java.awt.image.BufferedImage(
+      8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xFFFFFF)
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", buf))
+    val png = buf.toByteArray
+    val junk = Array[Byte](1, 2, 3, 4)
+    val df = Seq((1L, png), (2L, junk), (3L, null: Array[Byte]))
+      .toDF("doc_id", "bytes")
+    val out = MultimodalOps.decodeImagePartitioned(df, "doc_id", "bytes")
+      .collect().map(f => f.id -> f).toMap
+    val ok = out(1L)
+    assert(ok.width == 8 && ok.height == 6)
+    assert(ok.lum_hist.length == 16)
+    assert(ok.lum_hist.head == 24L, "24 black pixels land in bin 0")
+    assert(ok.lum_hist.last == 24L, "24 white pixels land in bin 15")
+    assert(ok.lum_hist.sum == 48L, "every pixel binned exactly once")
+    assert(out(2L).width == -1 && out(3L).width == -1,
+      "undecodable payloads are quarantined, not dropped")
+  }
 }
