@@ -188,6 +188,59 @@ object EngineProps extends Properties("graft") {
     }
   }
 
+  /** Random WELL-FORMED JSON value, depth-bounded: scalars, arrays,
+   *  objects, occasional space after ':'/','. Valid nesting has fully
+   *  defined PERMISSIVE semantics (skip under unknown keys, conversion
+   *  error under scalar schema fields, compact re-serialization under
+   *  the string field) — unlike the BROKEN containers the malformed
+   *  fuzzer documents as excluded, whose divergence is Jackson
+   *  implementation folklore. */
+  private def jsonValueGen(depth: Int): Gen[String] = {
+    val scalar = Gen.oneOf(
+      Gen.choose(-999, 99999).map(_.toString),
+      Gen.oneOf("null", "true", "false", "1.5", "-0.25", "\"str\"", "\"\""))
+    if (depth <= 0) scalar
+    else Gen.frequency(
+      3 -> scalar,
+      2 -> (for {
+        n <- Gen.choose(0, 3); sp <- Gen.oneOf("", " ")
+        vs <- Gen.listOfN(n, jsonValueGen(depth - 1))
+      } yield vs.mkString("[", "," + sp, "]")),
+      2 -> (for {
+        n <- Gen.choose(0, 3); sp <- Gen.oneOf("", " ")
+        ks <- Gen.listOfN(n, Gen.oneOf("a", "b", "Lat", "k9"))
+        vs <- Gen.listOfN(n, jsonValueGen(depth - 1))
+      } yield ks.zip(vs).map { case (k, v) => s""""$k":$sp$v""" }
+        .mkString("{", "," + sp, "}")))
+  }
+
+  /** A feed line with one extra field whose value is a random VALID
+   *  nested JSON value — under a schema key (conversion semantics) or
+   *  an unknown one (skip semantics), injected as the first field. */
+  private val nestedFieldLineGen: Gen[String] = for {
+    base <- adsbLineGen
+    key <- Gen.oneOf("Id", "Icao", "PosTime", "Lat", "Gnd", "Extra", "Zz")
+    v <- jsonValueGen(3)
+  } yield {
+    val field = s""""$key":$v"""
+    if (base.startsWith("{}")) "{" + field + base.substring(1)
+    else "{" + field + "," + base.substring(1)
+  }
+
+  property("AdsbReport kernel == from_json when fields hold VALID nested " +
+      "JSON (skip / conversion / string re-serialization semantics)") =
+    forAll(Gen.listOfN(25, nestedFieldLineGen)) { lines =>
+      import spark.implicits._
+      val df = lines.toDF("line")
+      val fields = Seq("Id", "Icao", "PosTime", "Lat", "Long", "Spd", "Trak", "Gnd")
+      val kernel = df.select(graft.functions.native.adsb_report(col("line")).as("s"))
+        .selectExpr(fields.map(f => s"s.$f"): _*).collect().map(_.toSeq).toSeq
+      val json = df.select(from_json(regexp_replace(col("line"), ",$", ""),
+        graft.model.Schemas.adsb).as("j"))
+        .selectExpr(fields.map(f => s"j.$f"): _*).collect().map(_.toSeq).toSeq
+      kernel == json
+    }
+
   property("AdsbReport kernel == from_json field-for-field on random lines") =
     forAll(Gen.listOfN(25, adsbLineGen)) { lines =>
       import spark.implicits._
