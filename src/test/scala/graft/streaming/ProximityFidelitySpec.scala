@@ -244,6 +244,43 @@ class ProximityFidelitySpec extends SparkSpec {
       s"stale comparisons leaked: ${withTtl.last.diff(withTtl.head)}")
   }
 
+  test("silence TTL evicts in the transformWithState processor too " +
+      "(MapState removeKey path): beyond-horizon arrival warns nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val horizonMs = SpecSteps.toLong * SpecStepSec * 1000L
+      val lateTrigger = Seq(
+        AdsbPosition("100", t0 + horizonMs + 20000, 40.50, -73.50, 100.0, 0.0))
+      val in = MemoryStream[AdsbPosition]
+      val name = s"prox_tws_ttl_${System.nanoTime()}"
+      val q = StreamOps.toMemory(
+        StreamOps.proximityWarningsTws(in.toDS(), DistThresholdKm,
+          SpecSteps, SpecStepSec, numShards = 2).toDF(),
+        name, OutputMode.Append,
+        Files.createTempDirectory("prox-tws-ttl-ckpt").toString)
+      val sets = try {
+        Seq(trigger1, lateTrigger).map { batch =>
+          in.addData(batch)
+          q.processAllAvailable()
+          spark.table(name).as[ProximityWarning].collect()
+            .map(w => (w.icao1, w.icao2, w.step, w.curr_time, w.dist_r)).toSet
+        }
+      } finally q.stop()
+      assert(sets.head.nonEmpty, "trigger 1 must warn")
+      assert(sets.last == sets.head,
+        s"TWS leaked stale comparisons: ${sets.last.diff(sets.head)}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("strict sharding reproduces the reference blind spot: " +
       "single-task deployment emits nothing") {
     // DistFilterBolt only compares NON-owned arrivals against its owned
