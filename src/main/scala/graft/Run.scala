@@ -23,6 +23,10 @@ import graft.streaming.StreamOps
  *                                     the reference's tick-tuple emitFreq)
  *     --win-len <seconds>            (window length, default 60)
  *     --checkpoint <dir>             (default: temp dir)
+ *     --silence-ttl <seconds | off>  (rolling_flight_dist only: evict
+ *                                     aircraft silent this long; default
+ *                                     = the speculative horizon; `off`
+ *                                     = the reference's retain-forever)
  *
  * Topologies: wordcount grep sol dataclean pageview_count unique_visitor
  * rolling_count rolling_hashtag_count rolling_geo_count rolling_sort
@@ -121,9 +125,15 @@ object Run {
         // The per-trigger snapshot join remains available as
         // rolling_flight_dist_snapshot.
         val positions = AdsbOps.parsePositionsTyped(lines(), col("value"))
+        val ttlSec = opts.get("silence-ttl") match {
+          case Some("off") => Long.MaxValue
+          case Some(s) => s.toLong
+          case None => -1L // the speculative horizon
+        }
         (StreamOps.proximityWarningsPerEvent(positions,
           BenchQueries.DistThresholdKm, BenchQueries.SpecSteps,
-          BenchQueries.SpecStepSec).toDF(), OutputMode.Append)
+          BenchQueries.SpecStepSec, silenceTtlSec = ttlSec).toDF(),
+          OutputMode.Append)
       case "quality_cut" =>
         // corpus-relative gate, live: the p25 threshold is a corpus
         // statistic computed by the BATCH pass (pipeline_quality_cut)
