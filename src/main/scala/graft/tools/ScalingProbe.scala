@@ -9,7 +9,11 @@ object ScalingProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // all registered queries by default; pass names to probe a subset
+    // all registered queries by default; pass names to probe a subset.
+    // Scale dirs via SPARK_GRAFT_SF_A/B so the next rung (sf0.1 -> sf1)
+    // is one env change when the driver publishes sf1 testdata.
+    val sfA = sys.env.getOrElse("SPARK_GRAFT_SF_A", "/root/testdata/sf0.01")
+    val sfB = sys.env.getOrElse("SPARK_GRAFT_SF_B", "/root/testdata/sf0.1")
     val names =
       if (args.nonEmpty) args.toSeq
       else graft.SparkEntry.queries.keys.toSeq.sorted
@@ -23,10 +27,11 @@ object ScalingProbe {
       }
       times.sorted.apply(1) // median of 3
     }
-    println(f"${"query"}%-22s ${"sf0.01"}%8s ${"sf0.1"}%8s ${"ratio"}%6s")
+    def label(p: String) = p.split('/').last
+    println(f"${"query"}%-22s ${label(sfA)}%8s ${label(sfB)}%8s ${"ratio"}%6s")
     names.foreach { n =>
-      val a = run(n, "/root/testdata/sf0.01")
-      val b = run(n, "/root/testdata/sf0.1")
+      val a = run(n, sfA)
+      val b = run(n, sfB)
       println(f"$n%-22s $a%8.3f $b%8.3f ${b / a}%6.2f")
     }
     spark.stop()
