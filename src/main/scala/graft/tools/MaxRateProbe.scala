@@ -77,7 +77,13 @@ object MaxRateProbe {
           while (consumed() < total && System.currentTimeMillis() < deadline)
             Thread.sleep(250)
           consumed() >= total
-        } finally { try q.stop() catch { case _: Throwable => () } }
+        } finally {
+          try q.stop() catch { case _: Throwable => () }
+          // let async state-store maintenance quiesce before the dir
+          // delete below (it races the removal with harmless but noisy
+          // FileNotFound/chmod errors otherwise)
+          Thread.sleep(500)
+        }
       } catch { case e: Throwable =>
         println(s"[maxrate] $name@$rate FAILED: " +
           s"${e.getClass.getSimpleName} ${e.getMessage}")
@@ -153,6 +159,21 @@ object MaxRateProbe {
         in.select(col("ts"), Generators.pageViewLine(col("value")).as("value")),
         "ts", substring(col("value"), 1, 8), "key",
         "60 seconds", "10 seconds", "0 seconds")
+    }
+    search("unique_visitor", seed = 2000000, OutputMode.Update) { in =>
+      StreamOps.slidingApproxDistinct(
+        PageViewOps.parse(
+          in.select(col("ts"), Generators.pageViewLine(col("value")).as("pv")),
+          col("pv")),
+        "ts", col("url"), "url", col("user_id"),
+        "60 seconds", "10 seconds", "0 seconds")
+    }
+    search("rolling_hashtag", seed = 2000000, OutputMode.Update) { in =>
+      StreamOps.slidingCount(
+        TextOps.extractHashtags(
+          in.select(col("ts"), Generators.tweetLine(col("value")).as("tweet")),
+          col("tweet")),
+        "ts", col("hashtag"), "hashtag", "60 seconds", "5 seconds", "0 seconds")
     }
     search("rolling_geo", seed = 500000, OutputMode.Update) { in =>
       StreamOps.slidingCount(
