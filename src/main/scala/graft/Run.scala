@@ -27,6 +27,14 @@ import graft.streaming.StreamOps
  *                                     aircraft silent this long; default
  *                                     = the speculative horizon; `off`
  *                                     = the reference's retain-forever)
+ *     --ttl <seconds>                (wordcount/trident_wordcount/
+ *                                     pageview_count: evict a key's
+ *                                     running count once it is silent
+ *                                     this long in EVENT time — the
+ *                                     bounded-state variant for
+ *                                     unbounded key domains at 100 TB;
+ *                                     default: the reference's
+ *                                     retain-forever runningCount)
  *
  * Topologies: wordcount grep sol dataclean pageview_count unique_visitor
  * rolling_count rolling_hashtag_count rolling_geo_count rolling_sort
@@ -76,11 +84,15 @@ object Run {
     val slideS = s"$emitFreq seconds"
     val wm = "0 seconds" // processing-time-like: no late data from live sources
 
+    /** --ttl in millis, if given (validated > 0). */
+    def ttlMsOpt: Option[Long] = opts.get("ttl").map { s =>
+      val sec = s.toLong; require(sec > 0, s"--ttl must be > 0, got $sec")
+      sec * 1000L
+    }
+
     val (df, mode) = name match {
       case "wordcount" | "trident_wordcount" =>
-        (StreamOps.runningCount(
-          TextOps.splitWords(lines(), col("value")), col("word"), "word"),
-          OutputMode.Update)
+        (wordCountTopology(lines(), ttlMsOpt), OutputMode.Update)
       case "grep" =>
         (StreamOps.runningCount(
           TextOps.grepFilter(lines(), col("value"), BenchQueries.GrepPattern)
@@ -92,9 +104,7 @@ object Run {
         (PageViewOps.filterNot(parsed, col("http_status"), 200, col("value")),
           OutputMode.Append)
       case "pageview_count" =>
-        (StreamOps.runningCount(
-          PageViewOps.parse(lines(), col("value")), col("url"), "url"),
-          OutputMode.Update)
+        (pageViewCountTopology(lines(), ttlMsOpt), OutputMode.Update)
       case "unique_visitor" =>
         (StreamOps.slidingApproxDistinct(
           PageViewOps.parse(lines(), col("value")), "ts", col("url"), "url",
@@ -186,6 +196,34 @@ object Run {
       .trigger(Trigger.ProcessingTime(s"$emitFreq seconds"))
       .start()
     q.awaitTermination()
+  }
+
+  /** The wordcount live topology over (ts, value) lines — factored so
+   *  RunTopologySpec can drive the EXACT Run composition (including the
+   *  --ttl wiring) from a MemoryStream. `ttlMs = Some(t)` selects the
+   *  bounded-state event-time-TTL running count; None is the
+   *  reference's retain-forever form. */
+  private[graft] def wordCountTopology(lines: DataFrame,
+      ttlMs: Option[Long]): DataFrame = {
+    // ts must survive the split for the TTL form (event-time eviction)
+    val words = lines
+      .select(col("ts"), explode(split(col("value"), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+    ttlMs match {
+      case Some(ttl) => StreamOps.runningCountTtl(words, "ts", col("word"), ttl)
+      case None => StreamOps.runningCount(words, col("word"), "word")
+    }
+  }
+
+  /** The pageview_count live topology — same --ttl contract as
+   *  [[wordCountTopology]], keyed by url (PageViewOps.parse keeps ts). */
+  private[graft] def pageViewCountTopology(lines: DataFrame,
+      ttlMs: Option[Long]): DataFrame = {
+    val pv = PageViewOps.parse(lines, col("value"))
+    ttlMs match {
+      case Some(ttl) => StreamOps.runningCountTtl(pv, "ts", col("url"), ttl)
+      case None => StreamOps.runningCount(pv, col("url"), "url")
+    }
   }
 
   /** The two per-trigger-sort topologies run through foreachBatch. */

@@ -119,7 +119,14 @@ object MultimodalOps {
               if (bytes == null || bytes.isEmpty) null
               else javax.imageio.ImageIO.read(
                 new java.io.ByteArrayInputStream(bytes))
-            } catch { case _: java.io.IOException => null }
+            } catch {
+              // ImageIO plugin readers throw unchecked exceptions
+              // (IllegalArgument, IndexOutOfBounds, CMMException, ...)
+              // on truncated payloads whose magic matches a known
+              // format — those must quarantine as width = -1 too, not
+              // kill the task.
+              case scala.util.control.NonFatal(_) => null
+            }
           if (img == null) graft.model.ImageFeatures(id, -1, -1, Nil)
           else {
             val w = img.getWidth

@@ -102,13 +102,47 @@ object PipelineQueries {
   private val clusterCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]
 
+  /** Contexts that already carry the cache-eviction listener (by
+   *  applicationId; one SparkContext is active per JVM at a time). */
+  private val hookedContexts = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean])
+
+  /** EVICTION: without this, entries for stopped sessions pin their
+   *  DataFrames (and localCheckpoint lineage) for the JVM's life — a
+   *  slow leak in a long-lived multi-session service. Every cached
+   *  frame's lineage lives in the (single-per-JVM) SparkContext, so
+   *  when that context ends ALL entries are unusable regardless of
+   *  which session created them — clear the whole cache on
+   *  applicationEnd. `SparkContext.stop()` drains the listener bus
+   *  before returning, so the clear is visible as soon as the stop
+   *  completes (PipelineQueriesSpec pins this). */
+  private def ensureEvictionHook(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    if (hookedContexts.add(sc.applicationId)) {
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          clusterCache.clear()
+          hookedContexts.remove(sc.applicationId)
+        }
+      })
+    }
+  }
+
+  /** Test-visible view of the cache keys (session UUID, corpus dir). */
+  private[queries] def cachedClusterKeys: Set[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    clusterCache.keySet.asScala.toSet
+  }
+
   /** The session's UUID (never reused, unlike an identity hash, so a
    *  stopped test session can't alias a later one's cache slot) via
    *  the private-API bridge. */
   private def sessionKey(spark: SparkSession): String =
     org.apache.spark.sql.GraftColumnBridge.sessionUUID(spark)
 
-  private def clusterFrame(spark: SparkSession, sfDir: String): DataFrame =
+  private def clusterFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureEvictionHook(spark)
     clusterCache.computeIfAbsent((sessionKey(spark), sfDir), _ => {
       val docs = Tables.documents(spark, sfDir)
       val pairs = DedupOps.minhashNearDups(docs, col("doc_id"), col("text"),
@@ -116,6 +150,7 @@ object PipelineQueries {
       DedupOps.connectedComponents(pairs, docs.select(col("doc_id").as("id")))
         .select(col("id").as("doc_id"), col("cluster"))
     })
+  }
 
   /** Survivor SELECTION — the step that makes [[dedupClusters]]
    *  actionable: per duplicate cluster, keep the highest-quality member

@@ -398,14 +398,18 @@ object StreamOps {
    * speculative horizon `steps * stepSec` — a fix older than the
    * horizon could only be compared by extrapolating it past the model's
    * own speculative window) is (a) INVISIBLE to comparisons — arrival
-   * `r` sees stored `f` only when `f.posTime >= r.posTime - ttl`, a
-   * pure function of the two reports, so results don't depend on
-   * trigger chunking — and (b) physically EVICTED from the keyed state
-   * once the shard's event-time high-water mark passes its fix by the
-   * TTL (watermark semantics: a report arriving more than the TTL out
-   * of event-time order may find a silent aircraft already deleted —
-   * the standard allowed-lateness contract, and exactly what (a)'s
-   * visibility rule would have excluded anyway). Pass
+   * `r` sees stored `f` only when `f.posTime >= r.posTime - ttl` — and
+   * (b) physically EVICTED from the keyed state once the shard's
+   * event-time high-water mark `C` passes its fix by the TTL. For
+   * IN-ORDER data the two rules coincide and results are independent
+   * of trigger chunking: anything evicted was already invisible to
+   * every later arrival. For LATE data they do not: a report `r` below
+   * the high-water mark by ANY amount may find entries with posTime in
+   * `[r.posTime - ttl, C - ttl)` already deleted if eviction ran in an
+   * earlier trigger, though rule (a) alone would have shown them — so
+   * out-of-order output CAN depend on how triggers chunked the stream
+   * (the standard allowed-lateness contract, not a pure pairwise
+   * rule). Pass
    * `silenceTtlSec = Long.MaxValue` for the reference's retain-forever
    * behavior.
    */

@@ -116,7 +116,9 @@ object MaxRateProbe {
           if (sustainable(name, mid, mode, topology)) good = mid else bad = mid
         }
       }
-      val upper = if (bad > 0) bad.toString else s">=${r / 2 * 2}(unbracketed)"
+      // unbracketed: the loop exited with `good` as the last VERIFIED
+      // sustainable rate; `r` itself was never tried, so claim >= good
+      val upper = if (bad > 0) bad.toString else s">=$good(unbracketed)"
       println(f"[maxrate] $name%-18s max sustained ~ ${good / 1000.0}%9.1f k rows/s " +
         s"(bracket $good..$upper)")
     }

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamOps
+
+/** Smoke test for the Run CLI's --ttl wiring: drives the EXACT
+  * topology compositions Run serves (`Run.wordCountTopology` /
+  * `Run.pageViewCountTopology`) from a MemoryStream and shows the
+  * TTL form really evicts — the 100 TB-shaped bounded-state variant
+  * is drivable end-to-end, not spec-only (round-10 punch item). */
+class RunTopologySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ckpt() = Files.createTempDirectory("graft-run-spec").toString
+  private def at(s: String) = Timestamp.valueOf(s)
+
+  test("Run wordcount --ttl evicts a silent word's count; " +
+      "no --ttl keeps the reference's retain-forever semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val lines = in.toDF().toDF("ts", "value")
+    // 10-minute event-time TTL, exactly as `--ttl 600` wires it
+    val q = StreamOps.toMemory(
+      Run.wordCountTopology(lines, Some(600 * 1000L)),
+      "run_wc_ttl", OutputMode.Update, ckpt())
+    try {
+      in.addData((at("2024-01-01 10:00:00"), "hip hip hooray"))
+      q.processAllAvailable() // hip=2, hooray=1; watermark -> 10:00
+      in.addData((at("2024-01-01 11:00:00"), "hooray"))
+      q.processAllAvailable() // watermark 11:00 > hip's 10:10 timeout
+      in.addData((at("2024-01-01 12:00:00"), "tick"))
+      q.processAllAvailable() // hip physically evicted
+      in.addData((at("2024-01-01 12:01:00"), "hip"))
+      q.processAllAvailable() // hip restarts from zero
+      val out = spark.table("run_wc_ttl").as[(String, Long)].collect()
+      val hip = out.filter(_._1 == "hip").map(_._2).toSet
+      assert(hip == Set(2L, 1L), s"hip not evicted+restarted: $hip")
+      assert(out.filter(_._1 == "hooray").map(_._2).max == 2L,
+        "live keys keep counting across the same span")
+    } finally q.stop()
+
+    // default form (no --ttl): same stream shape, count never resets
+    val in2 = MemoryStream[(Timestamp, String)]
+    val q2 = StreamOps.toMemory(
+      Run.wordCountTopology(in2.toDF().toDF("ts", "value"), None),
+      "run_wc_plain", OutputMode.Update, ckpt())
+    try {
+      in2.addData((at("2024-01-01 10:00:00"), "hip hip"))
+      q2.processAllAvailable()
+      in2.addData((at("2024-01-01 13:00:00"), "hip"))
+      q2.processAllAvailable()
+      val hip = spark.table("run_wc_plain").as[(String, Long)].collect()
+        .filter(_._1 == "hip").map(_._2).max
+      assert(hip == 3L, "retain-forever form must never restart a count")
+    } finally q2.stop()
+  }
+
+  test("Run pageview_count --ttl evicts a silent url through the real " +
+      "TSV parse (ts survives PageViewOps.parse)") {
+    implicit val sqlCtx = spark.sqlContext
+    def pv(url: String): String = // url \t status \t zip \t user_id
+      s"$url\t200\t10001\t7" // user_id is IntegerType — must be numeric
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.toMemory(
+      Run.pageViewCountTopology(in.toDF().toDF("ts", "value"),
+        Some(600 * 1000L)),
+      "run_pvc_ttl", OutputMode.Update, ckpt())
+    try {
+      in.addData((at("2024-01-01 10:00:00"), pv("/a")),
+        (at("2024-01-01 10:00:00"), pv("/a")),
+        (at("2024-01-01 10:00:00"), pv("/b")))
+      q.processAllAvailable() // /a=2, /b=1
+      in.addData((at("2024-01-01 11:00:00"), pv("/b")))
+      q.processAllAvailable() // watermark 11:00 > /a's 10:10 timeout
+      in.addData((at("2024-01-01 12:00:00"), pv("/c")))
+      q.processAllAvailable() // /a evicted
+      in.addData((at("2024-01-01 12:01:00"), pv("/a")))
+      q.processAllAvailable() // /a restarts
+      val out = spark.table("run_pvc_ttl").as[(String, Long)].collect()
+      val a = out.filter(_._1 == "/a").map(_._2).toSet
+      assert(a == Set(2L, 1L), s"/a not evicted+restarted: $a")
+      assert(out.filter(_._1 == "/b").map(_._2).max == 2L)
+    } finally q.stop()
+  }
+}

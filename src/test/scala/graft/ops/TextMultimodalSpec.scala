@@ -125,4 +125,53 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(2L).width == -1 && out(3L).width == -1,
       "undecodable payloads are quarantined, not dropped")
   }
+
+  test("decodeImagePartitioned quarantines malformed payloads whose magic " +
+      "MATCHES a known format (plugin readers throw unchecked exceptions)") {
+    // Junk with no matching magic makes ImageIO.read return null — the
+    // easy path. The dangerous path is a payload that selects a real
+    // plugin reader and then blows up inside it: PNG/GIF readers throw
+    // IIOException but also unchecked IllegalArgumentException /
+    // IndexOutOfBounds on truncated or field-corrupted input. Feed a
+    // deterministic zoo of such payloads; every one must come back as
+    // width = -1, never a task kill.
+    val img = new java.awt.image.BufferedImage(
+      8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8) img.setRGB(x, y, 0x808080)
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", buf))
+    val png = buf.toByteArray
+    val truncations = // valid 8-byte PNG signature, cut mid-structure
+      (9 until png.length by 7).map(n => png.take(n))
+    val ihdrCorrupt = Seq( // patch IHDR fields to invalid values
+      { val b = png.clone(); b(16) = 0x80.toByte; b }, // width sign bit
+      { val b = png.clone(); java.util.Arrays.fill(b, 16, 24, 0.toByte); b }, // w=h=0
+      { val b = png.clone(); b(24) = 3; b(25) = 9; b }, // bad depth/color combo
+      { val b = png.clone(); java.util.Arrays.fill(b, 29, b.length, 0x41.toByte); b }) // body garbage
+    val gifGarbage = Seq( // valid GIF magic, garbage descriptor/body
+      "GIF89a".getBytes("US-ASCII") ++ Array.tabulate[Byte](20)(i => (i * 37).toByte),
+      "GIF87a".getBytes("US-ASCII"))
+    val zoo = (truncations ++ ihdrCorrupt ++ gifGarbage).zipWithIndex
+      .map { case (b, i) => (i.toLong, b) }
+    val df = zoo.toDF("doc_id", "bytes")
+    val out = MultimodalOps.decodeImagePartitioned(df, "doc_id", "bytes")
+      .collect().map(f => f.id -> f).toMap
+    // THE contract under test: a malformed matching-magic payload must
+    // never kill the task or drop its row — it either quarantines
+    // (width = -1) or, for a truncation cut past the header, the
+    // reader may salvage a partial image (Java's PNG reader tolerates
+    // a missing IEND/short IDAT); both are rows, never exceptions.
+    assert(out.size == zoo.length, "no row dropped, no task killed")
+    val nTrunc = truncations.length
+    zoo.foreach { case (id, _) =>
+      val f = out(id)
+      if (id < nTrunc) // truncation: quarantined or salvaged at true dims
+        assert(f.width == -1 || (f.width == 8 && f.height == 6),
+          s"truncation #$id neither quarantined nor salvaged: $f")
+      else // field-corrupted IHDR / GIF garbage: must quarantine
+        assert(f.width == -1, s"corrupted payload #$id not quarantined: $f")
+    }
+    assert(zoo.take(nTrunc).map(t => out(t._1)).exists(_.width == -1),
+      "at least one truncation must exercise the in-reader failure path")
+  }
 }
