@@ -39,7 +39,8 @@ import graft.streaming.StreamOps
  * Topologies: wordcount grep sol dataclean pageview_count unique_visitor
  * rolling_count rolling_hashtag_count rolling_geo_count rolling_sort
  * rolling_sort_lastn rolling_flight_dist rolling_flight_dist_snapshot
- * hash_sample json_props quality_cut trident_wordcount
+ * hash_sample json_props quality_cut curate trident_wordcount
+ * (curate also takes --threshold <minScore> and --min-words <n>)
  */
 object Run {
   def main(args: Array[String]): Unit = {
@@ -154,6 +155,11 @@ object Run {
         (lines().select(col("ts"), col("value"),
           TextAnalyticsOps.qualityFeatures(col("value")).getField("score").as("score"))
           .filter(col("score") >= thr), OutputMode.Append)
+      case "curate" =>
+        val minScore = opts.getOrElse("threshold", "0.1").toDouble
+        val minWords = opts.getOrElse("min-words", "5").toLong
+        (curateTopology(lines(), minScore, minWords, s"$winLen seconds"),
+          OutputMode.Append)
       case "hash_sample" =>
         // deterministic content-hash downsampling, live: the same
         // row-local predicate as the gated batch query — no RNG, no
@@ -225,6 +231,18 @@ object Run {
       case None => StreamOps.runningCount(pv, col("url"), "url")
     }
   }
+
+  /** The full curation pipeline, live (pipeline_curate's streaming
+   *  form): language-ID + quality enrichment, threshold filter,
+   *  watermarked fingerprint dedup. doc_id for an anonymous line feed
+   *  is its content hash — deterministic under replay. Factored for
+   *  RunTopologySpec like the counting topologies. */
+  private[graft] def curateTopology(lines: DataFrame, minScore: Double,
+      minWords: Long, watermarkDelay: String): DataFrame =
+    StreamOps.curateStream(
+      lines.select(col("ts"), xxhash64(col("value")).as("doc_id"),
+        col("value").as("text")),
+      "ts", minScore, minWords, watermarkDelay)
 
   /** The two per-trigger-sort topologies run through foreachBatch. */
   private def runForeachBatch(spark: SparkSession, name: String, lines: DataFrame,

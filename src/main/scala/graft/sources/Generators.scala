@@ -86,10 +86,16 @@ object Generators {
   // ---- ADS-B feed (adsb topic wire format, FIXTURES.md §3) ----------------
 
   /** JSON position report lines (trailing comma included, like the
-   *  adsbexchange feed the reference consumes): ~40 aircraft circling a
-   *  1-degree box around (40.5, -73.5), 2% on-ground, deterministic. */
-  def adsbLine(idx: Column, tsMillis: Column): Column = {
-    val icao = concat(lit("AC"), lpad(pmod(idx, lit(40L)).cast("string"), 3, "0"))
+   *  adsbexchange feed the reference consumes): `fleet` aircraft
+   *  (default ~40, the reference feed's magnitude) circling a 1-degree
+   *  box around (40.5, -73.5), 2% on-ground, deterministic. Larger
+   *  fleets drive the proximity-state probes at realistic scale. */
+  def adsbLine(idx: Column, tsMillis: Column, fleet: Int = 40): Column = {
+    // pad width grows with the fleet (3 at the default 40 — keeps the
+    // wire format byte-identical to the pre-parameterized generator)
+    val width = math.max(3, (fleet - 1).toString.length)
+    val icao = concat(lit("AC"),
+      lpad(pmod(idx, lit(fleet.toLong)).cast("string"), width, "0"))
     val lat = lit(40.0) + u01(idx, 10)
     val lng = lit(-74.0) + u01(idx, 11)
     val spd = lit(100.0) + u01(idx, 12) * 400.0
@@ -113,6 +119,19 @@ object Generators {
       .select(col("timestamp").as("ts"),
         adsbLine(col("value"),
           (col("timestamp").cast("double") * 1000).cast("long")).as("adsb"))
+
+  // ---- document feed (curation-pipeline probes) ---------------------------
+
+  /** English-looking document line: stopword-heavy so the language-ID
+   *  and quality kernels classify it `en` with a real score, cycling
+   *  through `distinct` bodies so fingerprint dedup sees a bounded key
+   *  domain with genuine duplicates — the state shape a live curation
+   *  topology carries. */
+  def docLine(idx: Column, distinct: Int = 10000): Column =
+    concat_ws(" ",
+      lit("the quick brown fox and the lazy dog walked to the market"),
+      lit("and then the cat sat on the mat near the old house number"),
+      pmod(idx, lit(distinct.toLong)).cast("string"))
 
   // ---- FileReadSpout (lib/spout/FileReadSpout.java:32-85) -----------------
 

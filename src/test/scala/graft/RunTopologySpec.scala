@@ -60,6 +60,30 @@ class RunTopologySpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("Run curate serves the live curation pipeline: quality filter " +
+      "drops junk, watermarked dedup drops repeats, doc_id is the " +
+      "content hash") {
+    implicit val sqlCtx = spark.sqlContext
+    val keep = "the cat and the dog sat on the mat and the dog ran to " +
+      "the house and the cat slept in the sun all day long once more"
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.toMemory(
+      Run.curateTopology(in.toDF().toDF("ts", "value"),
+        minScore = 0.1, minWords = 5L, watermarkDelay = "1 hour"),
+      "run_curate", OutputMode.Append, ckpt())
+    try {
+      in.addData(
+        (at("2024-01-01 10:00:00"), keep),
+        (at("2024-01-01 10:01:00"), "short junk"))
+      q.processAllAvailable()
+      in.addData((at("2024-01-01 10:30:00"), keep)) // dup within watermark
+      q.processAllAvailable()
+      val rows = spark.table("run_curate").collect()
+      assert(rows.length == 1, s"expected 1 curated doc, got ${rows.length}")
+      assert(rows.head.getAs[Long]("doc_id") != 0L)
+    } finally q.stop()
+  }
+
   test("Run pageview_count --ttl evicts a silent url through the real " +
       "TSV parse (ts survives PageViewOps.parse)") {
     implicit val sqlCtx = spark.sqlContext
