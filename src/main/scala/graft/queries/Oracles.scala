@@ -564,6 +564,97 @@ object Oracles {
        |  CAST(len(regexp_extract_all(lower(text), '${graft.ops.TextAnalyticsOps.BpeishPattern}')) AS BIGINT) AS bpe_tokens
        |FROM documents""".stripMargin
 
+  /** Mirrors [[PipelineQueries.textChunks]]: same whitespace word
+   *  array, ceil(len/k) chunks per non-empty doc, 1-based clipped
+   *  slices (DuckDB `lst[a:b]` is 1-based inclusive with end clipping
+   *  — aligned with Spark's `slice(arr, start, length)`), md5 over the
+   *  space-joined chunk. */
+  val textChunks: String = {
+    val k = graft.queries.PipelineQueries.ChunkTokens
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS lst
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lst,
+       |         unnest(range(0, CAST(ceil(len(lst) / $k.0) AS BIGINT))) AS chunk_id
+       |  FROM w WHERE len(lst) > 0)
+       |SELECT doc_id,
+       |  CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(len(lst[chunk_id * $k + 1 : (chunk_id + 1) * $k]) AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(lst[chunk_id * $k + 1 : (chunk_id + 1) * $k], ' ')) AS chunk_hash
+       |FROM c""".stripMargin
+  }
+
+  /** Mirrors [[PipelineQueries.packSequences]]: same token count as
+   *  textTokens' ws_tokens, same per-source cumulative cut. */
+  val packSequences: String = {
+    val n = graft.queries.PipelineQueries.PackTokens
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT doc_id, source, n_tokens,
+       |  CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens) / $n.0) AS BIGINT) AS seq_id
+       |FROM t""".stripMargin
+  }
+
+  /** Mirrors [[PipelineQueries.decontaminate]]: same whitespace words,
+   *  same distinct n-grams per doc (DISTINCT doc_id, ng ≡ the kernel's
+   *  first-occurrence dedup), same holdout slice — joined on the gram
+   *  STRING where Spark joins on its xxhash64 (equal results modulo a
+   *  2^-64 collision). */
+  val decontaminate: String = {
+    val n = graft.queries.PipelineQueries.DecontN
+    val h = graft.queries.PipelineQueries.DecontHoldout
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS lst
+       |  FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id, array_to_string(lst[i.i : i.i + ${n - 1}], ' ') AS ng
+       |  FROM w CROSS JOIN LATERAL unnest(range(1, len(lst) - $n + 2)) i(i)
+       |  WHERE len(lst) >= $n),
+       |bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % $h = 0)
+       |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+       |FROM g JOIN bench USING (ng)
+       |WHERE g.doc_id % $h != 0
+       |GROUP BY g.doc_id""".stripMargin
+  }
+
+  /** Mirrors [[PipelineQueries.mixWeights]]: same token count as
+   *  textTokens' ws_tokens, same integer quantization (floor of an
+   *  IEEE-exact sqrt of identical bigints), exact integer normalizer,
+   *  one identical-operand double division, round half-away matches
+   *  Spark's HALF_UP for positives. */
+  val mixWeights: String = {
+    val s = graft.queries.PipelineQueries.MixScale
+    s"""WITH t AS (
+       |  SELECT source,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |                                   x -> len(x) > 0))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |q AS (SELECT *, CAST(floor(sqrt(n_tokens) * $s) AS BIGINT) AS scaled FROM t)
+       |SELECT source, n_docs, n_tokens,
+       |       round(scaled / (SELECT sum(scaled) FROM q), 6) AS weight
+       |FROM q""".stripMargin
+  }
+
+  /** Mirrors [[PipelineQueries.splitAssign]]: DuckDB's '0x'-prefixed
+   *  CAST reproduces Spark's conv(hex, 16, 10) on the same lowercase
+   *  md5 prefix. */
+  val splitAssign: String = {
+    val d = graft.queries.PipelineQueries.SplitHexDigits
+    s"""SELECT doc_id, source, bucket,
+       |  CASE WHEN bucket < 80 THEN 'train'
+       |       WHEN bucket < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id, source,
+       |        CAST(('0x' || substring(md5(text), 1, $d)) AS BIGINT) % 100 AS bucket
+       |      FROM documents)""".stripMargin
+  }
+
   /** Mirrors [[PipelineQueries.pipelineCurate]]: same feature math as
    *  textQuality, same lang CASE as textLangId, same fingerprint as
    *  dedupFingerprint, composed the same way. */

@@ -292,6 +292,159 @@ object PipelineQueries {
       TextAnalyticsOps.wsTokenCount(col("text")).as("ws_tokens"),
       TextAnalyticsOps.bpeishTokenCount(col("text")).as("bpe_tokens"))
 
+  /** Tokens per training chunk ([[textChunks]]). */
+  val ChunkTokens = 50
+
+  /**
+   * Sequence CHUNKING — split every document into consecutive
+   * `ChunkTokens`-token training chunks (the pretraining tokenize-and-
+   * cut step): chunk i of a doc holds word tokens [i*k, (i+1)*k), the
+   * last chunk ragged. Emits (doc_id, chunk_id, n_tokens, chunk_hash)
+   * with the hash over the space-joined chunk so the content mapping —
+   * not just the counts — is oracle-checked. Scale shape: one
+   * row-local split + a Generate (explode) — narrow, no shuffle, no
+   * state; fan-out is sum(ceil(tokens/k)), i.e. proportional to corpus
+   * token count, the same output volume any tokenizer pass emits.
+   * Empty docs produce zero chunks (filtered before the explode —
+   * `sequence(0, -1)` would emit a [0,-1] range, not an empty one).
+   */
+  def textChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = ChunkTokens
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextAnalyticsOps.words(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), col("w"), explode(sequence(lit(0),
+        ceil(size(col("w")) / lit(k.toDouble)).cast("int") - 1)).as("c"))
+      .select(col("doc_id"), col("c").cast("bigint").as("chunk_id"),
+        size(slice(col("w"), col("c") * k + 1, lit(k))).cast("bigint")
+          .as("n_tokens"),
+        md5(array_join(slice(col("w"), col("c") * k + 1, lit(k)), " "))
+          .as("chunk_hash"))
+  }
+
+  /** Token budget per packed sequence ([[packSequences]]). */
+  val PackTokens = 200
+
+  /**
+   * Greedy sequence PACKING — concatenate documents in (source,
+   * doc_id) order and cut every `PackTokens` tokens: each doc is
+   * assigned to the sequence where its first token lands
+   * (seq_id = floor(preceding-token-count / budget)), the
+   * deterministic concatenate-then-cut packing a pretraining loader
+   * applies to short documents. Scale shape: one row-local token
+   * count, then a cumulative sum windowed PER SOURCE — bounded
+   * parallel groups (sources), never a global single-partition sort;
+   * a skewed mega-source would sub-shard the window key the same way
+   * the salted ops do. Deterministic: the order key is total, so
+   * packing is replay- and engine-stable (which is what lets DuckDB
+   * reproduce it bit-for-bit).
+   */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val cum = sum(col("n_tokens")).over(
+      Window.partitionBy(col("source")).orderBy(col("doc_id")))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        TextAnalyticsOps.wsTokenCount(col("text")).as("n_tokens"))
+      .withColumn("seq_id",
+        floor((cum - col("n_tokens")) / lit(PackTokens.toDouble))
+          .cast("bigint"))
+  }
+
+  /** Shingle width for [[decontaminate]] (real pipelines use 8-13; the
+   *  synthetic 30-word vocabulary needs 4 to be selective). */
+  val DecontN = 4
+
+  /** Benchmark holdout: docs with doc_id % DecontHoldout == 0. */
+  val DecontHoldout = 20
+
+  /**
+   * Benchmark DECONTAMINATION — flag training documents sharing any
+   * `DecontN`-gram with a held-out benchmark set (the test-set-overlap
+   * scrub every pretraining corpus runs before training; the holdout
+   * here is the deterministic doc_id % [[DecontHoldout]] == 0 slice,
+   * standing in for an external eval suite). Output: (doc_id, n_hits)
+   * for contaminated training docs, n_hits = distinct shared n-grams.
+   * Scale shape: both sides flow as 64-bit shingle hashes (the
+   * [[graft.functions.native.shingle_hashes]] kernel — the shuffle
+   * never carries gram strings); the benchmark's distinct-hash set is
+   * two-phase-aggregated then BROADCAST (eval benchmarks are tiny
+   * relative to the corpus by construction), so the corpus-side
+   * shingles never shuffle for the join — the only exchange is the
+   * final per-doc two-phase count. A 2^-64-probability hash collision
+   * would perturb one count by 1 — the standard fingerprint trade,
+   * same as the n-gram/minhash dedup family.
+   */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    def shingles(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      explode(graft.functions.native.shingle_hashes(col("text"), DecontN))
+        .as("sh"))
+    val docs = Tables.documents(spark, sfDir)
+    val bench = shingles(docs.filter(col("doc_id") % DecontHoldout === 0))
+      .select("sh").distinct()
+    shingles(docs.filter(col("doc_id") % DecontHoldout =!= 0))
+      .join(broadcast(bench), "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Weight quantization for [[mixWeights]]: sqrt-scaled counts are
+   *  floored to 1/[[MixScale]] granularity so the normalizing total is
+   *  an exact integer sum (order-independent ⇒ engine-stable), not a
+   *  float reduction. */
+  val MixScale = 1000
+
+  /**
+   * Temperature-scaled source MIXTURE WEIGHTS — the per-source sampling
+   * weights a pretraining loader draws from: w_i ∝ tokens_i^alpha with
+   * alpha = 0.5 (sqrt temperature, the classic upweight-the-tail
+   * mixture). Output: (source, n_docs, n_tokens, weight).
+   * Determinism device: sqrt(tokens) is IEEE-exact and engine-stable,
+   * but a float SUM over sources is addition-order-dependent — so the
+   * scaled value is quantized to an integer (floor(sqrt·MixScale)) and
+   * the normalizer is an exact bigint sum broadcast back; the final
+   * division is one double op on identical operands in any engine.
+   * Scale shape: one two-phase agg over documents (the token count is
+   * the row-local kernel), then a one-row broadcast — the corpus never
+   * shuffles; identical at 100 TB.
+   */
+  def mixWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val bySource = Tables.documents(spark, sfDir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalyticsOps.wsTokenCount(col("text"))).as("n_tokens"))
+      .withColumn("scaled", floor(sqrt(col("n_tokens")) * MixScale))
+    val tot = bySource.agg(sum(col("scaled")).as("tot"))
+    bySource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("scaled") / col("tot"), 6).as("weight"))
+  }
+
+  /** Hex digits of the md5 prefix consumed by [[splitAssign]]
+   *  (6 hex digits = 24 bits, far above the 100-bucket modulus). */
+  val SplitHexDigits = 6
+
+  /**
+   * Deterministic TRAIN/VAL/TEST SPLIT — assign every document to a
+   * split by a pure function of its CONTENT: bucket = the first
+   * [[SplitHexDigits]] md5 hex digits mod 100; train < 80, val < 90,
+   * test otherwise (80/10/10). Same contract as [[hashSample]]: no
+   * RNG, no state, no coordination — retried tasks, re-runs, other
+   * engines, and future corpus versions assign the identical split
+   * (content-keyed, so a doc keeps its split even if re-ingested under
+   * a new doc_id — the property that prevents test-set leakage across
+   * corpus rebuilds). Row-local projection, zero shuffle, zero state.
+   */
+  def splitAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = (conv(substring(md5(col("text")), 1, SplitHexDigits),
+      16, 10).cast("bigint") % 100).as("bucket")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), bucket)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+  }
+
   val TfidfTopTerms = 3
 
   /**

@@ -36,4 +36,133 @@ class PipelineQueriesSpec extends SparkSpec {
         survivors("cluster") === clusters("cluster"))
     assert(member.count() == survivors.count())
   }
+
+  test("textChunks partitions every document exactly: chunk ids " +
+      "contiguous from 0, full chunks except the ragged last, token " +
+      "sums equal the doc's word count, and the plan has no Exchange") {
+    import graft.ops.TextAnalyticsOps
+    val k = PipelineQueries.ChunkTokens
+    val chunks = PipelineQueries.textChunks(spark, sfDir)
+    val perDoc = chunks.groupBy("doc_id").agg(
+      count(lit(1)).as("n_chunks"), sum("n_tokens").as("tok_sum"),
+      max("chunk_id").as("max_id"), min("chunk_id").as("min_id"),
+      sum(when(col("n_tokens") === k, 1L).otherwise(0L)).as("full"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        TextAnalyticsOps.wsTokenCount(col("text")).as("n_tokens"))
+    val joined = perDoc.join(docs, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (nc, tokSum, maxId, minId, full, tok) = (r.getAs[Long]("n_chunks"),
+        r.getAs[Long]("tok_sum"), r.getAs[Long]("max_id"),
+        r.getAs[Long]("min_id"), r.getAs[Long]("full"),
+        r.getAs[Long]("n_tokens"))
+      assert(tokSum == tok, s"chunk tokens must reassemble the doc: $r")
+      assert(minId == 0 && maxId == nc - 1, s"ids must be 0..n-1: $r")
+      assert(nc == (tok + k - 1) / k, s"ceil(tok/k) chunks: $r")
+      assert(full >= nc - 1, s"only the last chunk may be ragged: $r")
+    }
+    // row-local split + explode: a shuffle here would be a planner bug
+    val plan = chunks.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "textChunks must not shuffle")
+  }
+
+  test("decontaminate flags exactly the training docs sharing a " +
+      "DecontN-gram with the holdout, with exact distinct-overlap counts " +
+      "(recomputed in Scala from raw text)") {
+    val n = PipelineQueries.DecontN
+    val h = PipelineQueries.DecontHoldout
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def grams(text: String): Set[String] = {
+      val w = text.split("\\s+").filter(_.nonEmpty)
+      if (w.length < n) Set.empty
+      else w.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val bench = docs.filter(_._1 % h == 0).flatMap(d => grams(d._2)).toSet
+    val expected = docs.filter(_._1 % h != 0)
+      .map { case (id, t) => id -> (grams(t) & bench).size.toLong }
+      .filter(_._2 > 0).toMap
+    val got = PipelineQueries.decontaminate(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+    assert(got.nonEmpty, "holdout shares no n-gram with training docs")
+    assert(got == expected)
+  }
+
+  test("mixWeights: weights are positive, sum to ~1, and order by " +
+      "token count with the sqrt temperature compressing ratios") {
+    val rows = PipelineQueries.mixWeights(spark, sfDir)
+      .select("source", "n_docs", "n_tokens", "weight").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val wSum = rows.map(_._4).sum
+    assert(math.abs(wSum - 1.0) < rows.length * 1e-6,
+      s"weights must sum to 1 up to rounding, got $wSum")
+    // per-source counts match a direct recompute
+    val direct = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy("source").agg(count(lit(1)).as("n"),
+        sum(graft.ops.TextAnalyticsOps.wsTokenCount(col("text"))).as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { case (src, nd, nt, _) => assert(direct(src) == ((nd, nt))) }
+    // monotone in tokens; sqrt temperature: weight ratio ≤ token ratio
+    for (a <- rows; b <- rows if a._3 > b._3) {
+      assert(a._4 >= b._4, s"more tokens must not weigh less: $a vs $b")
+      assert(a._4 / b._4 <= a._3.toDouble / b._3 + 1e-3,
+        s"sqrt temperature must compress the ratio: $a vs $b")
+    }
+  }
+
+  test("splitAssign is the pure md5-bucket split: assignment matches a " +
+      "JVM MessageDigest recompute, covers every doc, and never shuffles") {
+    val df = PipelineQueries.splitAssign(spark, sfDir)
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rows = df.select("doc_id", "bucket", "split").collect()
+    assert(rows.length == texts.size, "split must cover every document")
+    rows.foreach { r =>
+      val hex = md.digest(texts(r.getLong(0)).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val bucket = java.lang.Long.parseLong(
+        hex.take(PipelineQueries.SplitHexDigits), 16) % 100
+      val split = if (bucket < 80) "train" else if (bucket < 90) "val" else "test"
+      assert(r.getAs[Long]("bucket") == bucket && r.getString(2) == split, s"$r")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "splitAssign must be row-local")
+  }
+
+  test("packSequences plans one hash exchange on source and no global " +
+      "single-partition sort") {
+    val df = PipelineQueries.packSequences(spark, sfDir)
+    df.collect()
+    // AQE's toString appends the pre-adaptive "Initial Plan" — guard
+    // only the final executed section
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("SinglePartition"),
+      "packing must never funnel to one partition")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1 && plan.contains("hashpartitioning(source"),
+      s"expected exactly one hash exchange on source:\n$plan")
+  }
+
+  test("packSequences is the exact concatenate-then-cut packing: " +
+      "recomputed per-source running cut matches seq_id for every doc") {
+    val n = PipelineQueries.PackTokens
+    val rows = PipelineQueries.packSequences(spark, sfDir)
+      .select("source", "doc_id", "n_tokens", "seq_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy(_._2).foreach { case (src, id, tok, seq) =>
+        assert(seq == cum / n,
+          s"doc $id in $src: expected seq ${cum / n}, got $seq")
+        cum += tok
+      }
+    }
+  }
 }
