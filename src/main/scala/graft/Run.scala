@@ -40,7 +40,9 @@ import graft.streaming.StreamOps
  * rolling_count rolling_hashtag_count rolling_geo_count rolling_sort
  * rolling_sort_lastn rolling_flight_dist rolling_flight_dist_snapshot
  * hash_sample json_props quality_cut curate trident_wordcount
- * (curate also takes --threshold <minScore> and --min-words <n>)
+ * decontaminate
+ * (curate also takes --threshold <minScore> and --min-words <n>;
+ *  decontaminate takes --bench <parquet path> for the benchmark set)
  */
 object Run {
   def main(args: Array[String]): Unit = {
@@ -160,6 +162,9 @@ object Run {
         val minWords = opts.getOrElse("min-words", "5").toLong
         (curateTopology(lines(), minScore, minWords, s"$winLen seconds"),
           OutputMode.Append)
+      case "decontaminate" =>
+        (decontaminateTopology(spark, lines(), opts.getOrElse("bench",
+          "/root/testdata/sf0.001/documents.parquet")), OutputMode.Append)
       case "hash_sample" =>
         // deterministic content-hash downsampling, live: the same
         // row-local predicate as the gated batch query — no RNG, no
@@ -243,6 +248,23 @@ object Run {
       lines.select(col("ts"), xxhash64(col("value")).as("doc_id"),
         col("value").as("text")),
       "ts", minScore, minWords, watermarkDelay)
+
+  /** The decontaminate live topology — benchmark-overlap scrub at
+   *  ingest: the benchmark shingle set is a static offline artifact
+   *  (like quality_cut's threshold), the stream side a stateless
+   *  row-local gate (StreamOps.decontaminateStream has the scale
+   *  reasoning). Factored so RunTopologySpec drives the exact
+   *  composition. */
+  private[graft] def decontaminateTopology(spark: SparkSession,
+      lines: DataFrame, benchPath: String): DataFrame = {
+    val bench = spark.read.parquet(benchPath)
+      .filter(col("doc_id") %
+        graft.queries.PipelineQueries.DecontHoldout === 0)
+      .select(col("text"))
+    StreamOps.decontaminateStream(
+      lines.select(col("ts"), col("value").as("text")), bench,
+      graft.queries.PipelineQueries.DecontN)
+  }
 
   /** The two per-trigger-sort topologies run through foreachBatch. */
   private def runForeachBatch(spark: SparkSession, name: String, lines: DataFrame,

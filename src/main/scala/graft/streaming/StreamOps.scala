@@ -184,6 +184,40 @@ object StreamOps {
   }
 
   /**
+   * Live benchmark-DECONTAMINATION gate — flag streaming documents that
+   * share any word n-gram with a static benchmark set (the streaming
+   * form of `PipelineQueries.decontaminate`, the test-set-overlap scrub
+   * applied at INGEST time instead of as a batch sweep). The
+   * benchmark's distinct 64-bit shingle hashes are collapsed into one
+   * static row (`collect_set` over the ShingleHashes kernel) and
+   * broadcast-joined into the stream on a constant key; per-document
+   * hit counting is then a row-local `array_intersect` — no streaming
+   * aggregation, no state, Append-safe, and per-doc counts identical
+   * to the batch query's (both sides are distinct gram-hash sets).
+   * Scale: the benchmark side is small by construction (an eval
+   * suite), the same offline-statistic / online-filter split as the
+   * `quality_cut` topology; the stream side stays stateless so
+   * throughput is bounded by the shingle kernel, not by state I/O.
+   * Docs must carry a `text` column; all input columns pass through
+   * with `n_hits` appended, docs with zero overlap are dropped.
+   */
+  def decontaminateStream(docs: DataFrame, bench: DataFrame, n: Int): DataFrame = {
+    val benchSet = bench
+      .select(explode(graft.functions.native.shingle_hashes(col("text"), n)).as("sh"))
+      .agg(collect_set(col("sh")).as("bench_sh"))
+      .withColumn("jk", lit(1))
+    val passthrough = docs.columns.map(col)
+    docs
+      .withColumn("sh", graft.functions.native.shingle_hashes(col("text"), n))
+      .withColumn("jk", lit(1))
+      .join(broadcast(benchSet), "jk")
+      .select(passthrough :+
+        size(array_intersect(col("sh"), col("bench_sh"))).cast("bigint")
+          .as("n_hits"): _*)
+      .filter(col("n_hits") > 0)
+  }
+
+  /**
    * Watermarked stream-stream interval join: right rows within
    * `[left.ts, left.ts + gap]` on an equality key — the streaming form
    * of JoinOps.bandedRangeJoin, using Spark's native stream-stream join.

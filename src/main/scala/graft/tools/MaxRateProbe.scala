@@ -230,6 +230,16 @@ object MaxRateProbe {
             .getField("score").as("score"))
         .filter(col("score") >= 0.3)
     }
+    search("decontaminate", seed = 200000, OutputMode.Append) { in =>
+      val bench = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(col("doc_id") %
+          graft.queries.PipelineQueries.DecontHoldout === 0)
+        .select(col("text"))
+      StreamOps.decontaminateStream(
+        in.select(col("ts"), Generators.docLine(col("value")).as("text")),
+        bench, graft.queries.PipelineQueries.DecontN)
+    }
     search("pipeline_curate", seed = 500000, OutputMode.Append) { in =>
       StreamOps.curateStream(
         in.select(col("ts"), col("value").as("doc_id"),

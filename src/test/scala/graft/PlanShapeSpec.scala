@@ -47,6 +47,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Join") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("decontaminate joins the broadcast benchmark set, never shuffling " +
+      "corpus shingles") {
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "benchmark set must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus shingles shuffled for the benchmark join:\n" + p)
+  }
+
   test("aggregation queries keep two-phase partial aggregation") {
     // partial_count markers show map-side combine before the shuffle
     Seq("wordcount", "rolling_count", "pageview_count").foreach { name =>

@@ -84,6 +84,33 @@ class RunTopologySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Run decontaminate gates lines against the benchmark parquet: " +
+      "an overlapping line is flagged with its hit count, clean lines pass") {
+    implicit val sqlCtx = spark.sqlContext
+    val benchPath = "/root/testdata/sf0.001/documents.parquet"
+    // a line sharing exactly one 4-gram with the holdout: the first 4
+    // words of a benchmark doc, embedded in otherwise-novel text
+    val benchDoc = spark.read.parquet(benchPath)
+      .filter(org.apache.spark.sql.functions.col("doc_id")
+        % graft.queries.PipelineQueries.DecontHoldout === 0)
+      .select("text").head().getString(0)
+    val gram = benchDoc.split("\\s+").filter(_.nonEmpty)
+      .take(graft.queries.PipelineQueries.DecontN).mkString(" ")
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.toMemory(
+      Run.decontaminateTopology(spark, in.toDF().toDF("ts", "value"), benchPath),
+      "run_decont", OutputMode.Append, ckpt())
+    try {
+      in.addData(
+        (at("2024-01-01 10:00:00"), s"zz1 zz2 $gram zz3 zz4"),
+        (at("2024-01-01 10:01:00"), "zz1 zz2 zz3 zz4 zz5 zz6 zz7"))
+      q.processAllAvailable()
+      val rows = spark.table("run_decont").collect()
+      assert(rows.length == 1, s"expected only the overlapping line: ${rows.toSeq}")
+      assert(rows.head.getAs[Long]("n_hits") == 1L)
+    } finally q.stop()
+  }
+
   test("Run pageview_count --ttl evicts a silent url through the real " +
       "TSV parse (ts survives PageViewOps.parse)") {
     implicit val sqlCtx = spark.sqlContext

@@ -160,6 +160,35 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontaminateStream: flagged docs and per-doc hit counts match " +
+      "the batch decontaminate query exactly (stateless broadcast gate)") {
+    import graft.queries.PipelineQueries
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val h = PipelineQueries.DecontHoldout
+    val bench = docs.filter(col("doc_id") % h === 0).select("text")
+    val training = docs.filter(col("doc_id") % h =!= 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.toMemory(
+      StreamOps.decontaminateStream(in.toDF().toDF("doc_id", "text"),
+        bench, PipelineQueries.DecontN),
+      "decont_test", OutputMode.Append, ckpt())
+    try {
+      // two batches: the gate is stateless, so chunking must not matter
+      val (a, b) = training.splitAt(training.length / 2)
+      in.addData(a.toIndexedSeq); q.processAllAvailable()
+      in.addData(b.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("decont_test").select("doc_id", "n_hits")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = PipelineQueries.decontaminate(spark, sfDir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(expected.nonEmpty && got == expected)
+    } finally q.stop()
+  }
+
   test("curateStream: enrich + filter + dedup match batch curation semantics") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, String)]
