@@ -40,7 +40,7 @@ import graft.streaming.StreamOps
  * rolling_count rolling_hashtag_count rolling_geo_count rolling_sort
  * rolling_sort_lastn rolling_flight_dist rolling_flight_dist_snapshot
  * hash_sample json_props quality_cut curate trident_wordcount
- * decontaminate
+ * decontaminate text_chunks
  * (curate also takes --threshold <minScore> and --min-words <n>;
  *  decontaminate takes --bench <parquet path> for the benchmark set)
  */
@@ -161,6 +161,12 @@ object Run {
         val minScore = opts.getOrElse("threshold", "0.1").toDouble
         val minWords = opts.getOrElse("min-words", "5").toLong
         (curateTopology(lines(), minScore, minWords, s"$winLen seconds"),
+          OutputMode.Append)
+      case "text_chunks" =>
+        // tokenize-and-cut, live: the same row-local chunk projection
+        // as the gated batch query (stateless — no watermark, no state)
+        (graft.queries.PipelineQueries.chunkProjection(
+          lines().select(col("ts"), col("value").as("text"))),
           OutputMode.Append)
       case "decontaminate" =>
         (decontaminateTopology(spark, lines(), opts.getOrElse("bench",

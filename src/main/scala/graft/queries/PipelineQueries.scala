@@ -308,18 +308,26 @@ object PipelineQueries {
    * Empty docs produce zero chunks (filtered before the explode —
    * `sequence(0, -1)` would emit a [0,-1] range, not an empty one).
    */
-  def textChunks(spark: SparkSession, sfDir: String): DataFrame = {
+  def textChunks(spark: SparkSession, sfDir: String): DataFrame =
+    chunkProjection(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+
+  /** The row-local chunk explode of [[textChunks]] over any
+   *  (passthrough..., text) frame — shared by the batch query and
+   *  Run's live `text_chunks` topology (stateless, so the SAME
+   *  projection serves both, like `hashSamplePredicate`). */
+  def chunkProjection(df: DataFrame): DataFrame = {
     val k = ChunkTokens
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), TextAnalyticsOps.words(col("text")).as("w"))
+    val passthrough = df.columns.filter(_ != "text").map(col)
+    df.select(passthrough :+ TextAnalyticsOps.words(col("text")).as("w"): _*)
       .filter(size(col("w")) > 0)
-      .select(col("doc_id"), col("w"), explode(sequence(lit(0),
-        ceil(size(col("w")) / lit(k.toDouble)).cast("int") - 1)).as("c"))
-      .select(col("doc_id"), col("c").cast("bigint").as("chunk_id"),
+      .select(passthrough ++ Seq(col("w"), explode(sequence(lit(0),
+        ceil(size(col("w")) / lit(k.toDouble)).cast("int") - 1)).as("c")): _*)
+      .select(passthrough ++ Seq(col("c").cast("bigint").as("chunk_id"),
         size(slice(col("w"), col("c") * k + 1, lit(k))).cast("bigint")
           .as("n_tokens"),
         md5(array_join(slice(col("w"), col("c") * k + 1, lit(k)), " "))
-          .as("chunk_hash"))
+          .as("chunk_hash")): _*)
   }
 
   /** Token budget per packed sequence ([[packSequences]]). */

@@ -218,6 +218,42 @@ object StreamOps {
   }
 
   /**
+   * Live greedy sequence PACKING — the streaming form of
+   * `PipelineQueries.packSequences`: each arriving document is assigned
+   * to the training sequence where its first token lands, from a
+   * per-source RUNNING token offset held in keyed state (one long per
+   * source — state is O(sources), never O(stream)). Within a trigger a
+   * source's docs pack in doc_id order; across triggers the offset
+   * carries forward, so with per-source-ordered arrival (the loader
+   * contract for an ingest feed — same caveat as [[temporalAsOf]]) the
+   * assignment equals the batch query's bit-for-bit. Emits
+   * (doc_id, source, n_tokens, seq_id), Append (an assignment never
+   * retracts — exactly why the greedy cut, not bin-packing, is the
+   * loader standard).
+   */
+  def packSequencesStream(docs: DataFrame, budget: Int): DataFrame = {
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    docs.select(col("doc_id").cast("long"), col("source"),
+        graft.ops.TextAnalyticsOps.wsTokenCount(col("text")).as("n_tokens"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[(Long, String, Long)],
+            state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._1).map { case (id, _, tok) =>
+            val seq = cum / budget // floor(preceding tokens / budget)
+            cum += tok
+            (id, src, tok, seq)
+          }
+          state.update(cum)
+          out.iterator
+      }.toDF("doc_id", "source", "n_tokens", "seq_id")
+  }
+
+  /**
    * Watermarked stream-stream interval join: right rows within
    * `[left.ts, left.ts + gap]` on an equality key — the streaming form
    * of JoinOps.bandedRangeJoin, using Spark's native stream-stream join.

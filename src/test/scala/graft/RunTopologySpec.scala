@@ -111,6 +111,32 @@ class RunTopologySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Run text_chunks cuts live lines into 50-token chunks with the " +
+      "batch projection's exact hashes") {
+    implicit val sqlCtx = spark.sqlContext
+    val k = graft.queries.PipelineQueries.ChunkTokens
+    val text = (1 to (k + 3)).map(i => s"w$i").mkString(" ") // 2 chunks
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.toMemory(
+      graft.queries.PipelineQueries.chunkProjection(
+        in.toDF().toDF("ts", "value")
+          .select(org.apache.spark.sql.functions.col("ts"),
+            org.apache.spark.sql.functions.col("value").as("text"))),
+      "run_chunks", OutputMode.Append, ckpt())
+    try {
+      in.addData((at("2024-01-01 10:00:00"), text))
+      q.processAllAvailable()
+      val rows = spark.table("run_chunks")
+        .select("chunk_id", "n_tokens", "chunk_hash").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+      assert(rows.map(r => (r._1, r._2)).toSeq == Seq((0L, k.toLong), (1L, 3L)))
+      val expectedHash = java.security.MessageDigest.getInstance("MD5")
+        .digest((1 to k).map(i => s"w$i").mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(rows.head._3 == expectedHash)
+    } finally q.stop()
+  }
+
   test("Run pageview_count --ttl evicts a silent url through the real " +
       "TSV parse (ts survives PageViewOps.parse)") {
     implicit val sqlCtx = spark.sqlContext

@@ -189,6 +189,38 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("packSequencesStream carries the per-source token offset across " +
+      "triggers: assignments match the batch packing on ordered arrival") {
+    import graft.queries.PipelineQueries
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1) // per-source-ordered arrival (ids are total order)
+    val in = MemoryStream[(Long, String, String)]
+    val q = StreamOps.toMemory(
+      StreamOps.packSequencesStream(
+        in.toDF().toDF("doc_id", "source", "text"),
+        PipelineQueries.PackTokens),
+      "pack_test", OutputMode.Append, ckpt())
+    try {
+      // three triggers: the running offset must survive the batch cuts
+      docs.grouped(math.max(docs.length / 3, 1)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq); q.processAllAvailable()
+      }
+      val got = spark.table("pack_test")
+        .select("doc_id", "source", "n_tokens", "seq_id").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      val expected = PipelineQueries.packSequences(spark, sfDir)
+        .select("doc_id", "source", "n_tokens", "seq_id").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(expected.nonEmpty && got == expected)
+    } finally q.stop()
+  }
+
   test("curateStream: enrich + filter + dedup match batch curation semantics") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, String)]
