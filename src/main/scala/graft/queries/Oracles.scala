@@ -655,6 +655,24 @@ object Oracles {
        |      FROM documents)""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.textScrub]]: same word split, same
+   *  in-place substitution preserving multiplicity and position. */
+  val textScrub: String = {
+    val bl = graft.queries.PipelineQueries.ScrubBlocklist
+    val tok = graft.queries.PipelineQueries.ScrubToken
+    val isBlocked = bl.map(b => s"x = '$b'").mkString(" OR ")
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS lst
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(list_filter(lst, x -> $isBlocked)) AS BIGINT) AS n_redacted,
+       |  md5(array_to_string(
+       |    list_transform(lst, x -> CASE WHEN $isBlocked THEN '$tok' ELSE x END),
+       |    ' ')) AS clean_hash
+       |FROM w""".stripMargin
+  }
+
   /** Mirrors [[PipelineQueries.pipelineCurate]]: same feature math as
    *  textQuality, same lang CASE as textLangId, same fingerprint as
    *  dedupFingerprint, composed the same way. */

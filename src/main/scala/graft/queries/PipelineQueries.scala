@@ -453,6 +453,46 @@ object PipelineQueries {
           .otherwise("test"))
   }
 
+  /** Blocklist for [[textScrub]] — stands in for a PII/unsafe-token
+   *  list; "the"/"a" are the corpus's function words, so the scrub has
+   *  REAL effect on this synthetic data (most docs redact something),
+   *  unlike an email/phone regex which would match nothing here. */
+  val ScrubBlocklist: Seq[String] = Seq("the", "a")
+
+  /** Replacement token [[textScrub]] substitutes for blocked words. */
+  val ScrubToken = "<scrub>"
+
+  /**
+   * Blocklist SCRUB — redact blocklisted tokens in place (the
+   * mechanics of PII / unsafe-token redaction: match, substitute a
+   * sentinel, count): every blocked word becomes [[ScrubToken]],
+   * multiplicity and position preserved (set-based `array_except`
+   * would silently dedup — redaction must not reorder or collapse the
+   * document). Output (doc_id, n_redacted, clean_hash) with the hash
+   * over the redacted text so the gate checks the full substitution,
+   * not just counts. Row-local HOF projection (filter/transform over
+   * the words array) — zero shuffle, zero state; the same projection
+   * serves Run's live `text_scrub` topology via [[scrubProjection]].
+   */
+  def textScrub(spark: SparkSession, sfDir: String): DataFrame =
+    scrubProjection(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+
+  /** The row-local redaction of [[textScrub]] over any
+   *  (passthrough..., text) frame — shared batch/live, like
+   *  [[chunkProjection]]. */
+  def scrubProjection(df: DataFrame): DataFrame = {
+    val blocked: Column => Column =
+      t => ScrubBlocklist.map(t === _).reduce(_ || _)
+    val w = TextAnalyticsOps.words(col("text"))
+    val passthrough = df.columns.filter(_ != "text").map(col)
+    df.select(passthrough ++ Seq(
+      size(filter(w, blocked)).cast("bigint").as("n_redacted"),
+      md5(array_join(
+        transform(w, t => when(blocked(t), lit(ScrubToken)).otherwise(t)),
+        " ")).as("clean_hash")): _*)
+  }
+
   val TfidfTopTerms = 3
 
   /**

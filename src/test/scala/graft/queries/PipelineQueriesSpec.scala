@@ -134,6 +134,32 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), "splitAssign must be row-local")
   }
 
+  test("textScrub redacts in place: counts and redacted text match a " +
+      "Scala recompute, multiplicity/position preserved, zero Exchange") {
+    val bl = PipelineQueries.ScrubBlocklist.toSet
+    val df = PipelineQueries.textScrub(spark, sfDir)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rows = df.select("doc_id", "n_redacted", "clean_hash").collect()
+    assert(rows.length == docs.size)
+    var totalRedacted = 0L
+    rows.foreach { r =>
+      val w = docs(r.getLong(0)).split("\\s+").filter(_.nonEmpty)
+      val expected = w.map(t => if (bl(t)) PipelineQueries.ScrubToken else t)
+        .mkString(" ")
+      val hash = md.digest(expected.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getLong(1) == w.count(bl), s"$r")
+      assert(r.getString(2) == hash, s"$r")
+      totalRedacted += r.getLong(1)
+    }
+    assert(totalRedacted > 0, "blocklist must have real effect on the corpus")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "textScrub must be row-local")
+  }
+
   test("packSequences plans one hash exchange on source and no global " +
       "single-partition sort") {
     val df = PipelineQueries.packSequences(spark, sfDir)
