@@ -40,7 +40,7 @@ import graft.streaming.StreamOps
  * rolling_count rolling_hashtag_count rolling_geo_count rolling_sort
  * rolling_sort_lastn rolling_flight_dist rolling_flight_dist_snapshot
  * hash_sample json_props quality_cut curate trident_wordcount
- * decontaminate text_chunks text_scrub
+ * decontaminate text_chunks text_scrub split_assign
  * (curate also takes --threshold <minScore> and --min-words <n>;
  *  decontaminate takes --bench <parquet path> for the benchmark set)
  */
@@ -161,6 +161,13 @@ object Run {
         val minScore = opts.getOrElse("threshold", "0.1").toDouble
         val minWords = opts.getOrElse("min-words", "5").toLong
         (curateTopology(lines(), minScore, minWords, s"$winLen seconds"),
+          OutputMode.Append)
+      case "split_assign" =>
+        // deterministic train/val/test routing at ingest: the same
+        // content-keyed bucket as the gated batch query — stateless,
+        // so replays and other engines route identically
+        (graft.queries.PipelineQueries.splitProjection(
+          lines().select(col("ts"), col("value").as("text"))),
           OutputMode.Append)
       case "text_scrub" =>
         // blocklist redaction, live: the same row-local substitution

@@ -442,11 +442,19 @@ object PipelineQueries {
    * a new doc_id — the property that prevents test-set leakage across
    * corpus rebuilds). Row-local projection, zero shuffle, zero state.
    */
-  def splitAssign(spark: SparkSession, sfDir: String): DataFrame = {
+  def splitAssign(spark: SparkSession, sfDir: String): DataFrame =
+    splitProjection(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("source"),
+        col("text")))
+
+  /** The row-local bucket/split assignment of [[splitAssign]] over any
+   *  (passthrough..., text) frame — shared batch/live, like
+   *  [[chunkProjection]] and [[scrubProjection]]. */
+  def splitProjection(df: DataFrame): DataFrame = {
     val bucket = (conv(substring(md5(col("text")), 1, SplitHexDigits),
       16, 10).cast("bigint") % 100).as("bucket")
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"), bucket)
+    val passthrough = df.columns.filter(_ != "text").map(col)
+    df.select(passthrough :+ bucket: _*)
       .withColumn("split",
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val")

@@ -230,6 +230,10 @@ object MaxRateProbe {
             .getField("score").as("score"))
         .filter(col("score") >= 0.3)
     }
+    search("split_assign", seed = 2000000, OutputMode.Append) { in =>
+      graft.queries.PipelineQueries.splitProjection(
+        in.select(col("ts"), Generators.docLine(col("value")).as("text")))
+    }
     search("text_scrub", seed = 1000000, OutputMode.Append) { in =>
       graft.queries.PipelineQueries.scrubProjection(
         in.select(col("ts"), Generators.docLine(col("value")).as("text")))

@@ -446,6 +446,75 @@ object EngineProps extends Properties("graft") {
       got == want
     }
 
+  // ---- loader projections vs pure-Scala references on adversarial ---------
+  // whitespace (every Java \s char, runs, leading ws, unicode tokens,
+  // the sentinel itself appearing in the input)
+
+  private val ldrTokenGen =
+    Gen.oneOf("the", "a", "cat", "dog", "x1", "Ω≈ç", "zz..!", "<scrub>")
+  private val ldrWsGen =
+    Gen.oneOf(" ", "\t", "\n", "", "\f", "\r", "  ", " \t ")
+  private val ldrDocGen: Gen[String] = for {
+    n <- Gen.choose(0, 130)
+    toks <- Gen.listOfN(n, ldrTokenGen)
+    seps <- Gen.listOfN(n, ldrWsGen)
+    lead <- ldrWsGen
+  } yield lead + toks.zip(seps).map { case (t, s) => t + s }.mkString
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  property("chunkProjection == reference tokenize-and-cut") =
+    forAll(Gen.listOfN(5, ldrDocGen)) { docs =>
+      import spark.implicits._
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.queries.PipelineQueries.chunkProjection(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+      val k = graft.queries.PipelineQueries.ChunkTokens
+      val expected = docs.zipWithIndex.flatMap { case (t, i) =>
+        val w = t.split("\\s+").filter(_.nonEmpty)
+        w.grouped(k).zipWithIndex.map { case (chunk, c) =>
+          (i.toLong, c.toLong, chunk.length.toLong, md5Hex(chunk.mkString(" ")))
+        }
+      }.toSet
+      got == expected
+    }
+
+  property("scrubProjection == reference in-place redaction") =
+    forAll(Gen.listOfN(5, ldrDocGen)) { docs =>
+      import spark.implicits._
+      val bl = graft.queries.PipelineQueries.ScrubBlocklist.toSet
+      val tok = graft.queries.PipelineQueries.ScrubToken
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.queries.PipelineQueries.scrubProjection(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val expected = docs.zipWithIndex.map { case (t, i) =>
+        val w = t.split("\\s+").filter(_.nonEmpty)
+        (i.toLong, w.count(bl).toLong,
+          md5Hex(w.map(x => if (bl(x)) tok else x).mkString(" ")))
+      }.toSet
+      got == expected
+    }
+
+  property("splitProjection bucket == md5-prefix mod 100 on any text") =
+    forAll(Gen.listOfN(5, ldrDocGen)) { docs =>
+      import spark.implicits._
+      val d = graft.queries.PipelineQueries.SplitHexDigits
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.queries.PipelineQueries.splitProjection(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val expected = docs.zipWithIndex.map { case (t, i) =>
+        val b = java.lang.Long.parseLong(md5Hex(t).take(d), 16) % 100
+        (i.toLong, b, if (b < 80) "train" else if (b < 90) "val" else "test")
+      }.toSet
+      got == expected
+    }
+
   property("exactGroups: group sizes partition the input") =
     forAll(Gen.listOfN(25, Gen.oneOf("a", "b", "c", "d"))) { texts =>
       import spark.implicits._
