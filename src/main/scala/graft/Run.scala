@@ -40,7 +40,7 @@ import graft.streaming.StreamOps
  * rolling_count rolling_hashtag_count rolling_geo_count rolling_sort
  * rolling_sort_lastn rolling_flight_dist rolling_flight_dist_snapshot
  * hash_sample json_props quality_cut curate trident_wordcount
- * decontaminate text_chunks text_scrub split_assign
+ * decontaminate text_chunks text_scrub split_assign mix_weights
  * (curate also takes --threshold <minScore> and --min-words <n>;
  *  decontaminate takes --bench <parquet path> for the benchmark set)
  */
@@ -127,7 +127,7 @@ object Run {
         val zones = lines().select(col("ts"), AdsbOps.zoneOfLine(col("value")).as("zone"))
         (StreamOps.slidingCount(zones, "ts", col("zone"), "zone",
           winS, slideS, wm), OutputMode.Update)
-      case "rolling_sort" | "rolling_flight_dist_snapshot" =>
+      case "rolling_sort" | "rolling_flight_dist_snapshot" | "mix_weights" =>
         runForeachBatch(spark, name, lines(), emitFreq, checkpoint)
         return
       case "rolling_flight_dist" =>
@@ -299,6 +299,18 @@ object Run {
             println(s"=== batch $id (sorted) ===")
             batch.orderBy(col("value")).show(20, truncate = false)
           }.start()
+      case "mix_weights" =>
+        // live mixture monitor: the line sources carry no source tag,
+        // so tag deterministically by content hash (stands in for the
+        // upstream source field a real feed would carry)
+        val docs = lines.select(
+          concat(lit("src"), pmod(xxhash64(col("value")), lit(20L)))
+            .as("source"),
+          col("value").as("text"))
+        StreamOps.mixWeightsStream(docs, checkpoint) { (weights, id) =>
+          println(s"=== batch $id mixture weights ===")
+          weights.orderBy(col("source")).show(25, truncate = false)
+        }
       case "rolling_flight_dist_snapshot" =>
         val positions = AdsbOps.parsePositionsTyped(lines, col("value"))
         StreamOps.proximityWarnings(positions,

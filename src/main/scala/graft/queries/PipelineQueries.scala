@@ -415,14 +415,22 @@ object PipelineQueries {
    * the row-local kernel), then a one-row broadcast — the corpus never
    * shuffles; identical at 100 TB.
    */
-  def mixWeights(spark: SparkSession, sfDir: String): DataFrame = {
-    val bySource = Tables.documents(spark, sfDir)
+  def mixWeights(spark: SparkSession, sfDir: String): DataFrame =
+    weightsOf(Tables.documents(spark, sfDir)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(TextAnalyticsOps.wsTokenCount(col("text"))).as("n_tokens"))
+        sum(TextAnalyticsOps.wsTokenCount(col("text"))).as("n_tokens")))
+
+  /** The temperature weighting of [[mixWeights]] over any
+   *  (source, n_docs, n_tokens) totals frame — shared by the batch
+   *  query and the live mixture monitor
+   *  (`StreamOps.mixWeightsStream`), which re-applies it per trigger
+   *  to the Complete-mode totals snapshot. */
+  def weightsOf(bySource: DataFrame): DataFrame = {
+    val scaled = bySource
       .withColumn("scaled", floor(sqrt(col("n_tokens")) * MixScale))
-    val tot = bySource.agg(sum(col("scaled")).as("tot"))
-    bySource.crossJoin(broadcast(tot))
+    val tot = scaled.agg(sum(col("scaled")).as("tot"))
+    scaled.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         round(col("scaled") / col("tot"), 6).as("weight"))
   }

@@ -218,6 +218,34 @@ object StreamOps {
   }
 
   /**
+   * Live MIXTURE MONITOR — the streaming form of
+   * `PipelineQueries.mixWeights`: running per-source doc/token totals
+   * as a Complete-mode aggregate (group count = sources, bounded by
+   * construction — the one output mode whose re-emission is exactly
+   * the full snapshot the normalizer needs), with the temperature
+   * weights computed per trigger in foreachBatch over that snapshot
+   * via the SAME `weightsOf` the gated batch query uses. A chained
+   * streaming agg (totals → normalizer) would be unsupported — and
+   * unnecessary: the per-trigger batch is a static frame. State is one
+   * (count, sum) pair per source, the same O(sources) bound as
+   * [[packSequencesStream]].
+   */
+  def mixWeightsStream(docs: DataFrame, checkpoint: String)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val totals = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(graft.ops.TextAnalyticsOps.wsTokenCount(col("text")))
+        .as("n_tokens"))
+    totals.writeStream
+      .outputMode(OutputMode.Complete)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.queries.PipelineQueries.weightsOf(batch), id)
+      }
+      .start()
+  }
+
+  /**
    * Live greedy sequence PACKING — the streaming form of
    * `PipelineQueries.packSequences`: each arriving document is assigned
    * to the training sequence where its first token lands, from a

@@ -230,6 +230,21 @@ object MaxRateProbe {
             .getField("score").as("score"))
         .filter(col("score") >= 0.3)
     }
+    search("mix_weights", seed = 2000000, OutputMode.Complete,
+      fb = Some { (totals: DataFrame, _: Long) =>
+        // the live monitor's per-trigger work: temperature weights
+        // over the complete totals snapshot (bounded: one row/source)
+        graft.queries.PipelineQueries.weightsOf(totals).collect(); ()
+      }) { in =>
+      in.select(
+          concat(lit("src"), pmod(xxhash64(col("value")), lit(20L)))
+            .as("source"),
+          Generators.docLine(col("value")).as("text"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(graft.ops.TextAnalyticsOps.wsTokenCount(col("text")))
+            .as("n_tokens"))
+    }
     search("split_assign", seed = 2000000, OutputMode.Append) { in =>
       graft.queries.PipelineQueries.splitProjection(
         in.select(col("ts"), Generators.docLine(col("value")).as("text")))

@@ -189,6 +189,37 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mixWeightsStream: each trigger's complete snapshot reproduces " +
+      "the batch temperature weights over everything seen so far") {
+    import graft.queries.PipelineQueries
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    @volatile var last: Set[(String, Long, Long, Double)] = Set.empty
+    val q = StreamOps.mixWeightsStream(
+      in.toDF().toDF("source", "text"), ckpt()) { (w, _) =>
+      last = w.select("source", "n_docs", "n_tokens", "weight").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    }
+    def expectedOver(rows: Seq[(String, String)]): Set[(String, Long, Long, Double)] =
+      PipelineQueries.weightsOf(
+        rows.toDF("source", "text").groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(graft.ops.TextAnalyticsOps.wsTokenCount(col("text")))
+            .as("n_tokens")))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    try {
+      val batch1 = Seq("s1" -> "one two three", "s2" -> "a b c d e f")
+      val batch2 = Seq("s1" -> "four five", "s3" -> "x")
+      in.addData(batch1); q.processAllAvailable()
+      assert(last == expectedOver(batch1))
+      in.addData(batch2); q.processAllAvailable()
+      assert(last == expectedOver(batch1 ++ batch2))
+    } finally q.stop()
+  }
+
   test("packSequencesStream carries the per-source token offset across " +
       "triggers: assignments match the batch packing on ordered arrival") {
     import graft.queries.PipelineQueries
