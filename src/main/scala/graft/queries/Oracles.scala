@@ -673,6 +673,23 @@ object Oracles {
        |FROM w""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.shuffleShard]]: same seeded content
+   *  hash, same '0x' cast for the shard bits, same (hash, doc_id)
+   *  total order per shard. */
+  val shuffleShard: String = {
+    val seed = graft.queries.PipelineQueries.ShuffleSeed
+    val s = graft.queries.PipelineQueries.ShuffleShards
+    val d = graft.queries.PipelineQueries.SplitHexDigits
+    s"""WITH h AS (
+       |  SELECT doc_id, md5('$seed' || '|' || text) AS h FROM documents)
+       |SELECT doc_id,
+       |  CAST(('0x' || substring(h, 1, $d)) AS BIGINT) % $s AS shard,
+       |  CAST(row_number() OVER (
+       |    PARTITION BY CAST(('0x' || substring(h, 1, $d)) AS BIGINT) % $s
+       |    ORDER BY h, doc_id) AS BIGINT) AS pos
+       |FROM h""".stripMargin
+  }
+
   /** Mirrors [[PipelineQueries.pipelineCurate]]: same feature math as
    *  textQuality, same lang CASE as textLangId, same fingerprint as
    *  dedupFingerprint, composed the same way. */

@@ -509,6 +509,41 @@ object PipelineQueries {
         " ")).as("clean_hash")): _*)
   }
 
+  /** Shard count for [[shuffleShard]] — at 100 TB this is O(thousands),
+   *  chosen so each shard's slice fits one task's sort. */
+  val ShuffleShards = 8
+
+  /** Seed folded into the shuffle hash — a new seed is a new epoch's
+   *  order, with zero data movement until the sort itself. */
+  val ShuffleSeed = "epoch0"
+
+  /**
+   * Deterministic corpus SHUFFLE + SHARD — the reproducible
+   * training-order randomization a pretraining loader needs: each doc
+   * gets a pseudorandom rank from md5(seed|content) — no RNG, so
+   * re-runs, retried tasks, and other engines produce the identical
+   * order — a shard from the hash's leading bits, and a position from
+   * its rank within the shard. Ties (duplicate texts — this corpus
+   * has them by design) break by doc_id, keeping the order total and
+   * engine-stable. Output (doc_id, shard, pos).
+   * Scale shape: one hash exchange on shard, then a per-shard sort —
+   * bounded parallel groups, never a global single-partition sort;
+   * [[ShuffleShards]] is the knob that bounds each slice (the same
+   * trade every epoch-shuffling loader makes). A different epoch =
+   * a different seed constant — the plan is unchanged.
+   */
+  def shuffleShard(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = md5(concat_ws("|", lit(ShuffleSeed), col("text")))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), h.as("h"),
+        (conv(substring(h, 1, SplitHexDigits), 16, 10).cast("bigint")
+          % ShuffleShards).as("shard"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
+        .cast("bigint"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   val TfidfTopTerms = 3
 
   /**

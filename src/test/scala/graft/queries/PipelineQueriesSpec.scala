@@ -160,6 +160,41 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), "textScrub must be row-local")
   }
 
+  test("shuffleShard is the deterministic epoch shuffle: shard and " +
+      "position match a JVM recompute, positions are contiguous per " +
+      "shard, and the plan never funnels to one partition") {
+    val df = PipelineQueries.shuffleShard(spark, sfDir)
+    df.collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expected = docs.toSeq
+      .map { case (id, t) =>
+        val h = hex(PipelineQueries.ShuffleSeed + "|" + t)
+        val shard = java.lang.Long.parseLong(
+          h.take(PipelineQueries.SplitHexDigits), 16) %
+          PipelineQueries.ShuffleShards
+        (id, h, shard)
+      }
+      .groupBy(_._3).flatMap { case (shard, members) =>
+        members.sortBy(m => (m._2, m._1)).zipWithIndex.map {
+          case ((id, _, _), i) => id -> ((shard, i + 1L))
+        }
+      }.toMap
+    val got = df.select("doc_id", "shard", "pos").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size == docs.length && got == expected)
+    // one hash exchange on shard; a single-partition sort would be the
+    // global-shuffle anti-pattern this operator exists to avoid
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("SinglePartition"))
+    assert(plan.contains("hashpartitioning(shard"))
+  }
+
   test("packSequences plans one hash exchange on source and no global " +
       "single-partition sort") {
     val df = PipelineQueries.packSequences(spark, sfDir)
