@@ -264,6 +264,10 @@ object StreamOps {
     import spark0.implicits._
     docs.select(col("doc_id").cast("long"), col("source"),
         graft.ops.TextAnalyticsOps.wsTokenCount(col("text")).as("n_tokens"))
+      // a null id/source/text row would crash the primitive-Long
+      // encoder below — drop malformed rows BEFORE binding it, the
+      // same guard order as Run's rolling_sort_lastn
+      .na.drop()
       .as[(Long, String, Long)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[Long, (Long, String, Long, Long)](
