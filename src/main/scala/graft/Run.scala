@@ -307,7 +307,7 @@ object Run {
           concat(lit("src"), pmod(xxhash64(col("value")), lit(20L)))
             .as("source"),
           col("value").as("text"))
-        StreamOps.mixWeightsStream(docs, checkpoint) { (weights, id) =>
+        StreamOps.mixWeightsStream(docs, checkpoint, emitFreq) { (weights, id) =>
           println(s"=== batch $id mixture weights ===")
           weights.orderBy(col("source")).show(25, truncate = false)
         }

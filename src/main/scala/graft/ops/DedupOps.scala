@@ -44,12 +44,12 @@ object DedupOps {
     // join on the 64-bit shingle hash, not the string: the shuffle carries
     // fixed-width longs and the sort-merge compares ints (collisions are
     // 2^-64-scale and would only perturb one inter count by 1).
-    // repartition first: shingle building is the heavy per-row stage and
-    // must not inherit a narrow scan layout (e.g. one small file).
+    // fanOut: shingle building is the heavy per-row stage and must not
+    // inherit a narrow scan layout (e.g. one small file) — but a wide
+    // scan passes through with no exchange (FanOut contract).
     // x/y join sides shuffle on the same keys from the same child, so
     // ReuseExchange computes the shingle subtree once for both.
-    val n_part = df.sparkSession.sessionState.conf.numShufflePartitions
-    val sh = df.repartition(n_part).select(id.as("id"), block.as("blk"),
+    val sh = FanOut.fanOut(df).select(id.as("id"), block.as("blk"),
       explode(graft.functions.native.shingle_hashes(text, n)).as("sh"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("x").join(sh.as("y"),
@@ -82,8 +82,8 @@ object DedupOps {
     // hash each shingle string ONCE (native ShingleHashes kernel), then
     // derive the k family members by re-hashing the fixed-width base
     // (8 bytes) — not the string k times.
-    // repartition: see ngramJaccardPairs (heavy per-row stage needs fan-out)
-    val sh = df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    // fanOut: see ngramJaccardPairs (heavy per-row stage; narrow scans only)
+    val sh = FanOut.fanOut(df)
       .select(id.as("id"),
         explode(graft.functions.native.shingle_hashes(text, shingleN)).as("h0"))
     val mins = (0 until k).map(i => min(xxhash64(lit(i), col("h0"))).as(s"m$i"))
@@ -123,7 +123,7 @@ object DedupOps {
       threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
     val cands = minhashCandidates(df, id, text, shingleN = shingleN)
     // verify on hashed shingle sets (same sets the candidates came from)
-    val sh = df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    val sh = FanOut.fanOut(df)
       .select(id.as("sid"),
         graft.functions.native.shingle_hashes(text, shingleN).as("shs"))
     cands

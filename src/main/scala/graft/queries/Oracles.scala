@@ -656,11 +656,17 @@ object Oracles {
   }
 
   /** Mirrors [[PipelineQueries.textScrub]]: same word split, same
-   *  in-place substitution preserving multiplicity and position. */
+   *  in-place substitution preserving multiplicity and position.
+   *  Blocklist entries are interpolated into SQL string literals, so
+   *  quotes are doubled ('' is the SQL escape) — without it an entry
+   *  containing a quote would silently break or skew the oracle if
+   *  [[PipelineQueries.ScrubBlocklist]] ever grows toward real PII
+   *  tokens (e.g. O'Brien). */
   val textScrub: String = {
+    def q(s: String): String = s.replace("'", "''")
     val bl = graft.queries.PipelineQueries.ScrubBlocklist
-    val tok = graft.queries.PipelineQueries.ScrubToken
-    val isBlocked = bl.map(b => s"x = '$b'").mkString(" OR ")
+    val tok = q(graft.queries.PipelineQueries.ScrubToken)
+    val isBlocked = bl.map(b => s"x = '${q(b)}'").mkString(" OR ")
     s"""WITH w AS (
        |  SELECT doc_id,
        |         list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS lst

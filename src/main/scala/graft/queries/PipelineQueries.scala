@@ -556,10 +556,9 @@ object PipelineQueries {
    */
   def textTfidf(spark: SparkSession, sfDir: String): DataFrame = {
     // count the raw table (parquet rowcount, no shuffle) — counting the
-    // repartitioned frame would shuffle the full text just for N
+    // fanned-out frame would shuffle the full text just for N
     val n = Tables.documents(spark, sfDir).count()
-    val docs = Tables.documents(spark, sfDir)
-      .repartition(spark.sessionState.conf.numShufflePartitions)
+    val docs = FanOut.fanOut(Tables.documents(spark, sfDir))
     val tf = docs
       .select(col("doc_id"), explode(TextAnalyticsOps.words(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -582,10 +581,10 @@ object PipelineQueries {
    * same at 100 TB; the distinct-2-gram count is row-local (shingles).
    */
   def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
-    // fan out: the documents scan is a single small file split, and both
-    // branches below do heavy per-row work before their first shuffle
-    val docs = Tables.documents(spark, sfDir)
-      .repartition(spark.sessionState.conf.numShufflePartitions)
+    // fan out (conditionally): locally the documents scan is a single
+    // small file split and both branches below do heavy per-row work
+    // before their first shuffle; a wide scan passes through untouched
+    val docs = FanOut.fanOut(Tables.documents(spark, sfDir))
     val freq = docs
       .select(col("doc_id"), explode(TextAnalyticsOps.words(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
@@ -632,10 +631,10 @@ object PipelineQueries {
   // ---- multimodal columns -------------------------------------------------
 
   private def blobs(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      // fan out: md5-blob synthesis + downstream decode are per-row heavy
-      // and the documents scan may be a single small file split
-      .repartition(spark.sessionState.conf.numShufflePartitions)
+    // fan out (conditionally): md5-blob synthesis + downstream decode are
+    // per-row heavy and the local documents scan is a single small file
+    // split; at scale the scan is already wide and no exchange appears
+    FanOut.fanOut(Tables.documents(spark, sfDir))
       .select(col("doc_id"), MultimodalOps.synthBlob(col("text")).as("bytes"))
 
   def mmMeta(spark: SparkSession, sfDir: String): DataFrame =

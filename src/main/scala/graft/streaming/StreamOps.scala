@@ -230,19 +230,25 @@ object StreamOps {
    * (count, sum) pair per source, the same O(sources) bound as
    * [[packSequencesStream]].
    */
-  def mixWeightsStream(docs: DataFrame, checkpoint: String)(
+  def mixWeightsStream(docs: DataFrame, checkpoint: String,
+      emitFreqSec: Long = 0L)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val totals = docs.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum(graft.ops.TextAnalyticsOps.wsTokenCount(col("text")))
         .as("n_tokens"))
-    totals.writeStream
+    val writer = totals.writeStream
       .outputMode(OutputMode.Complete)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         sink(graft.queries.PipelineQueries.weightsOf(batch), id)
       }
-      .start()
+    // same --emit-freq pacing contract as the other Run topologies
+    // (0 = default trigger, for tests that drain as fast as possible)
+    val paced = if (emitFreqSec > 0)
+      writer.trigger(Trigger.ProcessingTime(s"$emitFreqSec seconds"))
+    else writer
+    paced.start()
   }
 
   /**

@@ -116,9 +116,11 @@ object MaxRateProbe {
         if (sustainable(name, r, mode, topology, fb)) { good = r; r *= 2 }
         else bad = r
       }
-      // seed itself unsustainable: walk down to find a floor
+      // seed itself unsustainable: walk down to find a floor — clamped
+      // so the probe never tests below `floor` (bad/4 alone could
+      // undershoot it, e.g. floor=50 with bad=60 would probe 15)
       while (good == 0 && bad > floor) {
-        val lower = bad / 4
+        val lower = math.max(bad / 4, floor)
         if (sustainable(name, lower, mode, topology, fb)) good = lower
         else bad = lower
       }

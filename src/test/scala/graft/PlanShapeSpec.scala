@@ -184,4 +184,35 @@ class PlanShapeSpec extends SparkSpec {
       s"range shuffle materialized ${distinct.size} times — boundary seeds " +
         "may diverge between the counts and main branches")
   }
+
+  test("fan-out repartition is conditional on scan width (no full-text " +
+      "shuffle at scale)") {
+    import org.apache.spark.sql.functions.col
+    val parts = spark.sessionState.conf.numShufflePartitions
+    // narrow input (one slice, the local-parquet shape): fanOut must
+    // insert the round-robin exchange so the heavy kernel parallelizes
+    val narrow = spark.createDataFrame(spark.sparkContext.parallelize(
+      Seq((1L, "a b c d"), (2L, "b c d e")), 1)).toDF("doc_id", "text")
+    val narrowPlan =
+      ops.FanOut.fanOut(narrow).queryExecution.executedPlan.toString
+    assert(narrowPlan.contains("RoundRobinPartitioning"),
+      "narrow scan did not fan out:\n" + narrowPlan)
+    // wide input (>= shuffle parallelism, the 100 TB scan shape):
+    // fanOut is the identity — no exchange of any kind in the plan
+    val wide = spark.createDataFrame(spark.sparkContext.parallelize(
+      (1L to 16L).map(i => (i, "a b c d e")), parts)).toDF("doc_id", "text")
+    val widePlan =
+      ops.FanOut.fanOut(wide).queryExecution.executedPlan.toString
+    assert(!widePlan.contains("Exchange"),
+      "pre-widened input still shuffled:\n" + widePlan)
+    // end-to-end through the heaviest consumer: a pre-widened documents
+    // frame reaches the shingle kernel with NO text-carrying round-robin
+    // exchange — the only exchanges left are the fixed-width (id, minima)
+    // aggregation shuffles downstream of the kernel
+    val sigPlan = ops.DedupOps
+      .minhashSignatures(wide, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!sigPlan.contains("RoundRobinPartitioning"),
+      "wide input re-shuffled before the shingle stage:\n" + sigPlan)
+  }
 }
