@@ -182,6 +182,108 @@ object VectorMath {
     n
   }
 
+  /** Frozen BPE merge table for [[bpeTokenCount]] — learned OFFLINE
+   *  from the sf0.01 documents corpus with the standard BPE learning
+   *  loop (public algorithm, Sennrich et al. 2016: start from
+   *  characters; repeatedly take the corpus-weighted most frequent
+   *  adjacent symbol pair, ties broken by lexicographically smallest
+   *  pair for determinism; merge all its occurrences left-to-right),
+   *  then frozen here as data — exactly how a production tokenizer
+   *  ships its merges file; re-learning is an offline concern. 48
+   *  merges reduce every frequent corpus word to one token while rare
+   *  words stay multi-token — which is what makes BPE counts
+   *  meaningful inputs to chunking/packing/mixture decisions, where
+   *  the bpeish regex heuristic only counted character-class runs. */
+  val BpeMerges: IndexedSeq[(String, String)] = Vector(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
+    ("custo", "mer"), ("f", "i"), ("fi", "l"), ("fil", "t"),
+    ("filt", "er"), ("a", "l"), ("al", "l"), ("m", "all"),
+    ("s", "mall"), ("g", "e"), ("l", "ow"), ("mer", "ge"),
+    ("s", "low"), ("c", "t"), ("ct", "or"), ("d", "er"),
+    ("e", "ctor"), ("or", "der"), ("v", "ector"))
+
+  /** Merge-rank lookup keyed "a b" — symbols never contain whitespace
+   *  (words are whitespace-split before segmentation), so the space
+   *  key is unambiguous. */
+  private val BpeRank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    BpeMerges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.put(a + " " + b, Integer.valueOf(i))
+    }
+    m
+  }
+
+  /** Per-word segmentation memo. Natural-language corpora repeat a
+   *  small vocabulary millions of times per partition, so the merge
+   *  loop runs once per DISTINCT word per executor, not once per
+   *  occurrence. Bounded: adversarial all-unique streams stop
+   *  inserting at [[BpeMemoMax]] entries and just compute. */
+  private val bpeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val BpeMemoMax = 1 << 16
+
+  /** BPE segment count of ONE word under [[BpeMerges]]: repeatedly
+   *  merge the LEFTMOST occurrence of the LOWEST-RANK adjacent symbol
+   *  pair until no pair is in the table — the iterative merge-table
+   *  schedule (one merge per step, re-scan after each) that the DuckDB
+   *  oracle replays step-for-step with a recursive CTE, which is what
+   *  makes real BPE oracle-gateable. Surrogate pairs enter as one
+   *  two-char symbol so astral text can't split a code point. */
+  def bpeWordTokens(w: String): Int = {
+    val cached = bpeMemo.get(w)
+    if (cached != null) return cached.intValue()
+    val syms = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < w.length) {
+      val step = if (Character.isHighSurrogate(w.charAt(i)) && i + 1 < w.length &&
+        Character.isLowSurrogate(w.charAt(i + 1))) 2 else 1
+      syms.add(w.substring(i, i + step))
+      i += step
+    }
+    var merged = true
+    while (merged && syms.size > 1) {
+      var bestRank = Integer.MAX_VALUE
+      var bestAt = -1
+      var j = 0
+      while (j < syms.size - 1) {
+        val r = BpeRank.get(syms.get(j) + " " + syms.get(j + 1))
+        if (r != null && r.intValue() < bestRank) {
+          bestRank = r.intValue(); bestAt = j
+        }
+        j += 1
+      }
+      if (bestAt < 0) merged = false
+      else {
+        syms.set(bestAt, syms.get(bestAt) + syms.get(bestAt + 1))
+        syms.remove(bestAt + 1)
+      }
+    }
+    val n = syms.size
+    if (bpeMemo.size < BpeMemoMax) bpeMemo.put(w, Integer.valueOf(n))
+    n
+  }
+
+  /** Whole-text merge-table BPE token count; see [[BpeTokenCount]].
+   *  Whitespace word split (same maximal-run scan as
+   *  [[wsTokenCount]]), per-word segment counts summed. */
+  def bpeTokenCount(s: String): Long = {
+    var i = 0
+    var total = 0L
+    val len = s.length
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(s.charAt(i))) i += 1
+      if (i > start) total += bpeWordTokens(s.substring(start, i))
+    }
+    total
+  }
+
   /** Sign-random-projection bucket; see [[LshBucket]]. Plane signs come
    *  from Spark's XXH64 over (plane << 32 | dim) with seed 42, so the
    *  "random" hyperplanes are deterministic and identical on every
@@ -1059,6 +1161,29 @@ case class BpeishTokenCount(child: Expression)
     copy(child = newChild)
 }
 
+/** REAL merge-table BPE token count (vs the [[BpeishTokenCount]] regex
+ *  heuristic, which survives for cross-checks): whitespace words
+ *  segmented against the frozen corpus-learned
+ *  [[VectorMath.BpeMerges]] table — leftmost occurrence of the
+ *  lowest-rank pair, one merge per step — counts summed over the
+ *  text. Callers lowercase the input. Stays inside whole-stage
+ *  codegen via a static call, like every kernel here. */
+case class BpeTokenCount(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.bpeTokenCount(v.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.VectorMath.bpeTokenCount($t.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column wrappers for the native expressions. */
 object native {
   import org.apache.spark.sql.GraftColumnBridge
@@ -1095,6 +1220,9 @@ object native {
 
   def bpeish_token_count(text: Column): Column =
     GraftColumnBridge.column(BpeishTokenCount(GraftColumnBridge.expression(text)))
+
+  def bpe_token_count(text: Column): Column =
+    GraftColumnBridge.column(BpeTokenCount(GraftColumnBridge.expression(text)))
 
   def vec_dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(FloatVectorDot(GraftColumnBridge.expression(a),

@@ -102,6 +102,17 @@ object TextAnalyticsOps {
   def bpeishTokenCountHof(text: Column): Column =
     size(regexp_extract_all(lower(text), lit(BpeishPattern), lit(0))).cast("long")
 
+  /** REAL merge-table BPE token count: whitespace words segmented
+   *  against the frozen corpus-learned merge list
+   *  ([[graft.functions.VectorMath.BpeMerges]]) by iteratively merging
+   *  the leftmost occurrence of the lowest-rank adjacent pair — the
+   *  merge-table algorithm a production tokenizer applies, so these
+   *  counts (unlike the [[bpeishTokenCount]] character-class
+   *  heuristic) reflect actual subword segmentation. Row-local native
+   *  kernel, zero shuffle, memoized per distinct word per executor. */
+  def bpeTokenCount(text: Column): Column =
+    graft.functions.native.bpe_token_count(lower(text))
+
   /** Canonical document fingerprint: md5 of whitespace-collapsed,
    *  trimmed, lower-cased text (lowercase hex both in Spark and DuckDB). */
   def fingerprint(text: Column): Column =

@@ -564,6 +564,56 @@ object Oracles {
        |  CAST(len(regexp_extract_all(lower(text), '${graft.ops.TextAnalyticsOps.BpeishPattern}')) AS BIGINT) AS bpe_tokens
        |FROM documents""".stripMargin
 
+  /** Mirrors [[PipelineQueries.textTokensBpe]]: REAL merge-table BPE,
+   *  replayed step-for-step in SQL. The merge table (the same frozen
+   *  [[graft.functions.VectorMath.BpeMerges]] the kernel uses — the
+   *  sim_ann embed-the-table pattern) drives a recursive CTE over the
+   *  DISTINCT words: each word starts as '|'-fenced characters
+   *  ('|c|h|a|r|s|'); each step finds the lowest-rank pair whose
+   *  fenced form '|a|b|' occurs, and splices its LEFTMOST occurrence
+   *  (strpos) into '|ab|' — exactly the kernel's schedule, so the
+   *  segmentations agree on ANY input, not just this corpus. Terminal
+   *  state per word = arg_max over the step counter; token count =
+   *  fence count - 1; per-doc counts re-join through the exploded
+   *  word list (LEFT, so wordless docs keep bpe_tokens = 0 like the
+   *  kernel). */
+  val textTokensBpe: String = {
+    val vals = graft.functions.VectorMath.BpeMerges.zipWithIndex.map {
+      case ((a, b), i) =>
+        s"(${i + 1},'${a.replace("'", "''")}','${b.replace("'", "''")}')"
+    }.mkString(",")
+    s"""WITH RECURSIVE
+       |m(rk, a, b) AS (SELECT * FROM (VALUES $vals) t(rk, a, b)),
+       |lw AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS lst
+       |  FROM documents),
+       |dw(w) AS (SELECT DISTINCT unnest(lst) FROM lw),
+       |it(w, s, i) AS (
+       |  SELECT w, '|' || array_to_string(string_split(w, ''), '|') || '|', 0 FROM dw
+       |  UNION ALL
+       |  SELECT x.w,
+       |         substr(x.s, 1, strpos(x.s, '|'||m.a||'|'||m.b||'|') - 1)
+       |           || '|' || m.a || m.b || '|'
+       |           || substr(x.s, strpos(x.s, '|'||m.a||'|'||m.b||'|') + len('|'||m.a||'|'||m.b||'|')),
+       |         x.i + 1
+       |  FROM (SELECT w, s, i,
+       |          (SELECT min(rk) FROM m WHERE contains(s, '|'||m.a||'|'||m.b||'|')) AS brk
+       |        FROM it) x
+       |  JOIN m ON m.rk = x.brk),
+       |wc AS (
+       |  SELECT w, arg_max(len(s) - len(replace(s, '|', '')) - 1, i) AS n
+       |  FROM it GROUP BY w),
+       |bp AS (
+       |  SELECT doc_id, sum(wc.n) AS bpe
+       |  FROM (SELECT doc_id, unnest(lst) AS w FROM lw) tok
+       |  JOIN wc USING (w) GROUP BY doc_id)
+       |SELECT lw.doc_id,
+       |  CAST(len(lw.lst) AS BIGINT) AS ws_tokens,
+       |  CAST(coalesce(bp.bpe, 0) AS BIGINT) AS bpe_tokens
+       |FROM lw LEFT JOIN bp USING (doc_id)""".stripMargin
+  }
+
   /** Mirrors [[PipelineQueries.textChunks]]: same whitespace word
    *  array, ceil(len/k) chunks per non-empty doc, 1-based clipped
    *  slices (DuckDB `lst[a:b]` is 1-based inclusive with end clipping

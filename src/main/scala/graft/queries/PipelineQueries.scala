@@ -292,6 +292,17 @@ object PipelineQueries {
       TextAnalyticsOps.wsTokenCount(col("text")).as("ws_tokens"),
       TextAnalyticsOps.bpeishTokenCount(col("text")).as("bpe_tokens"))
 
+  /** [[textTokens]] with REAL merge-table BPE instead of the bpeish
+   *  regex heuristic: per-doc whitespace and BPE-subword token counts
+   *  under the frozen corpus-learned merge list. Same scale shape —
+   *  one row-local projection, no shuffle; the oracle replays the
+   *  identical merge schedule in a DuckDB recursive CTE over the same
+   *  table (over DISTINCT words — the memo trick, relationally). */
+  def textTokensBpe(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(col("doc_id"),
+      TextAnalyticsOps.wsTokenCount(col("text")).as("ws_tokens"),
+      TextAnalyticsOps.bpeTokenCount(col("text")).as("bpe_tokens"))
+
   /** Tokens per training chunk ([[textChunks]]). */
   val ChunkTokens = 50
 

@@ -236,6 +236,58 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("BpeTokenCount applies the frozen merge table with the documented " +
+      "schedule (min-rank pair, leftmost occurrence, one merge per step)") {
+    // independent reference implementation (immutable-list style, no
+    // sharing with the kernel's ArrayList loop or its memo)
+    val rank: Map[(String, String), Int] =
+      VectorMath.BpeMerges.zipWithIndex.toMap
+    def refWord(w: String): Int = {
+      var syms: List[String] = w.map(_.toString).toList
+      var halt = false
+      while (!halt && syms.size > 1) {
+        val pairs = syms.zip(syms.tail).zipWithIndex
+          .flatMap { case (p, i) => rank.get(p).map(r => (r, i)) }
+        if (pairs.isEmpty) halt = true
+        else {
+          val (_, at) = pairs.min // min rank, then leftmost index
+          syms = syms.take(at) ::: (syms(at) + syms(at + 1)) :: syms.drop(at + 2)
+        }
+      }
+      syms.size
+    }
+    def refText(s: String): Long =
+      s.toLowerCase.split("\\s+").filter(_.nonEmpty).map(refWord(_).toLong).sum
+    // pinned segmentations: frequent corpus words collapse to ONE
+    // token, rare/unseen words stay multi-token — the property that
+    // makes these counts meaningful (the bpeish heuristic counts both
+    // cases identically as one letter-run)
+    assert(refWord("customer") == 1 && refWord("vector") == 1)
+    assert(refWord("group") == 5 && refWord("the") == 3)
+    assert(refWord("tokenizer") > 1)
+    // kernel == reference on corpus-like text, edge shapes, and fuzz
+    val fixed = Seq(
+      "the customer hash join order merge",
+      "  leading\tand   multiple\nwhitespace  runs ",
+      "UPPER Case Vector CUSTOMER", // lowered before segmenting
+      "unseen tokenizer wordshapes zzz qqq",
+      "parthashrow partpart rowrow", // concatenations re-segment
+      "")
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdehjlmnorstuvw " // merge-table letters + space
+    val fuzz = Seq.fill(200)(
+      Seq.fill(rnd.nextInt(30))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = (fixed ++ fuzz).toDF("text")
+    val rows = df.select(col("text"),
+      graft.ops.TextAnalyticsOps.bpeTokenCount(col("text")).as("n"))
+      .as[(String, Long)].collect()
+    rows.foreach { case (t, n) => assert(n == refText(t), s"'$t': $n") }
+    // null propagates like every unary kernel
+    val nulls = Seq[String](null).toDF("text")
+      .select(graft.ops.TextAnalyticsOps.bpeTokenCount(col("text"))).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("ProjectedDist is bit-identical to the composed column math") {
     val df = Seq(
       (40.1, -73.9, 95.0, 12.5, 40.6, -73.2, 270.0, 3.75),
