@@ -353,20 +353,88 @@ object PipelineQueries {
    * applies to short documents. Scale shape: one row-local token
    * count, then a cumulative sum windowed PER SOURCE — bounded
    * parallel groups (sources), never a global single-partition sort;
-   * a skewed mega-source would sub-shard the window key the same way
-   * the salted ops do. Deterministic: the order key is total, so
-   * packing is replay- and engine-stable (which is what lets DuckDB
-   * reproduce it bit-for-bit).
+   * for a skewed MEGA-source whose single window group would bottleneck
+   * one task, [[packSequencesSharded]] is the sub-sharded two-pass
+   * prefix-sum form with bit-identical output (PackShardingSpec).
+   * Deterministic: the order key is total, so packing is replay- and
+   * engine-stable (which is what lets DuckDB reproduce it
+   * bit-for-bit).
    */
-  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame =
+    packSequencesOf(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"),
+          TextAnalyticsOps.wsTokenCount(col("text")).as("n_tokens")))
+
+  /** The windowed assignment of [[packSequences]] over any
+   *  (doc_id, source, n_tokens) frame — shared by the sfDir query and
+   *  the sharded-equivalence property test. */
+  def packSequencesOf(tokens: DataFrame): DataFrame = {
     val cum = sum(col("n_tokens")).over(
       Window.partitionBy(col("source")).orderBy(col("doc_id")))
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"),
-        TextAnalyticsOps.wsTokenCount(col("text")).as("n_tokens"))
+    tokens.withColumn("seq_id",
+      floor((cum - col("n_tokens")) / lit(PackTokens.toDouble))
+        .cast("bigint"))
+  }
+
+  /** Sub-shard width (in doc_id units) for [[packSequencesSharded]]:
+   *  contiguous doc_id ranges of this width form the inner prefix-sum
+   *  buckets. Any positive value is correct (PackShardingSpec fuzzes
+   *  several); the knob trades bucket parallelism against the size of
+   *  the per-(source, bucket) totals frame. */
+  val PackShardWidth = 64L
+
+  /**
+   * [[packSequences]] for SKEWED sources — the salted sub-shard form
+   * promised next to the salted dedup ops. The plain form's per-source
+   * cumulative window serializes each source into one task; fine for
+   * balanced mixtures, a straggler when one mega-source dominates the
+   * corpus. This form computes the same cumulative sum as a two-pass
+   * distributed prefix sum (the same decomposition as the
+   * range-partitioned two-pass rank in AnalyticsQueries):
+   *
+   *  1. bucket = floor(doc_id / [[PackShardWidth]]) — contiguous
+   *     doc_id ranges, so within-source order across buckets is the
+   *     bucket order (row-local, no shuffle, deterministic — no RNG
+   *     salt, same replay-stability contract as the plain form);
+   *  2. within-(source, bucket) cumulative window — parallelism is
+   *     now sources x buckets, bounded task size;
+   *  3. per-(source, bucket) token totals (two-phase agg, tiny) get an
+   *     EXCLUSIVE running offset over the tiny frame and broadcast
+   *     back — the shuffle carries one long per bucket, never rows.
+   *
+   * seq_id = floor((bucket_offset + cum_in_bucket - n_tokens) /
+   * budget) — algebraically the plain form's assignment, bit-for-bit
+   * (PackShardingSpec proves equality under fuzz; the gate runs both
+   * against the SAME DuckDB oracle).
+   */
+  def packSequencesSharded(spark: SparkSession, sfDir: String): DataFrame =
+    packSequencesShardedOf(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"),
+          TextAnalyticsOps.wsTokenCount(col("text")).as("n_tokens")),
+      PackShardWidth)
+
+  /** The sub-sharded assignment of [[packSequencesSharded]] over any
+   *  (doc_id, source, n_tokens) frame. */
+  def packSequencesShardedOf(tokens: DataFrame, width: Long): DataFrame = {
+    val bucketed = tokens.withColumn("bkt", floor(col("doc_id") / lit(width)))
+    val cumIn = sum(col("n_tokens")).over(
+      Window.partitionBy(col("source"), col("bkt")).orderBy(col("doc_id")))
+    val offsets = bucketed.groupBy(col("source"), col("bkt"))
+      .agg(sum(col("n_tokens")).as("tot"))
+      .withColumn("off",
+        coalesce(sum(col("tot")).over(
+          Window.partitionBy(col("source")).orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("bkt"), col("off"))
+    bucketed
+      .withColumn("cum_in", cumIn)
+      .join(broadcast(offsets), Seq("source", "bkt"))
       .withColumn("seq_id",
-        floor((cum - col("n_tokens")) / lit(PackTokens.toDouble))
-          .cast("bigint"))
+        floor((col("off") + col("cum_in") - col("n_tokens"))
+          / lit(PackTokens.toDouble)).cast("bigint"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("seq_id"))
   }
 
   /** Shingle width for [[decontaminate]] (real pipelines use 8-13; the
