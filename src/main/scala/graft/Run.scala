@@ -127,7 +127,8 @@ object Run {
         val zones = lines().select(col("ts"), AdsbOps.zoneOfLine(col("value")).as("zone"))
         (StreamOps.slidingCount(zones, "ts", col("zone"), "zone",
           winS, slideS, wm), OutputMode.Update)
-      case "rolling_sort" | "rolling_flight_dist_snapshot" | "mix_weights" =>
+      case "rolling_sort" | "rolling_flight_dist_snapshot" | "mix_weights" |
+          "shuffle_shard" =>
         runForeachBatch(spark, name, lines(), emitFreq, checkpoint)
         return
       case "rolling_flight_dist" =>
@@ -146,6 +147,14 @@ object Run {
         (StreamOps.proximityWarningsPerEvent(positions,
           BenchQueries.DistThresholdKm, BenchQueries.SpecSteps,
           BenchQueries.SpecStepSec, silenceTtlSec = ttlSec).toDF(),
+          OutputMode.Append)
+      case "sessionize" =>
+        // gap-based session windows per user, live — native
+        // session_window + watermark (--win-len is the gap seconds;
+        // wm 0s matches the in-order live sources). User identity for
+        // an anonymous line feed is a deterministic content-hash
+        // bucket (mix_weights' tagging trick).
+        (sessionizeTopology(lines(), s"$winLen seconds", wm),
           OutputMode.Append)
       case "quality_cut" =>
         // corpus-relative gate, live: the p25 threshold is a corpus
@@ -268,6 +277,30 @@ object Run {
         col("value").as("text")),
       "ts", minScore, minWords, watermarkDelay)
 
+  /** The sessionize live topology over (ts, value) lines — the gated
+   *  batch query's sessionAgg over a watermarked stream
+   *  (StreamOps.sessionizeStream), users tagged by content hash.
+   *  Factored so RunTopologySpec drives the exact composition. */
+  private[graft] def sessionizeTopology(lines: DataFrame, gap: String,
+      watermarkDelay: String): DataFrame =
+    graft.streaming.StreamOps.sessionizeStream(
+      lines.select(col("ts"),
+        pmod(xxhash64(col("value")), lit(50L)).as("user_id")),
+      gap, watermarkDelay)
+
+  /** One EPOCH of live shuffle+shard over a micro-batch of (ts, value)
+   *  lines: the gated batch query's seeded projection
+   *  ([[graft.queries.PipelineQueries.shardProjection]]) applied to
+   *  the slice. The hash `h` doubles as doc identity for the
+   *  anonymous feed (curateTopology's content-hash convention) and as
+   *  the rank tiebreak — duplicate lines tie as identical rows, so
+   *  the epoch's assignment multiset is deterministic under replay.
+   *  Factored so RunTopologySpec drives the exact composition. */
+  private[graft] def epochShardAssignment(batch: DataFrame): DataFrame =
+    graft.queries.PipelineQueries.shardProjection(
+      batch.select(col("value").as("text")), col("h"))
+      .select(col("h").as("doc_hash"), col("shard"), col("pos"))
+
   /** The decontaminate live topology — benchmark-overlap scrub at
    *  ingest: the benchmark shingle set is a static offline artifact
    *  (like quality_cut's threshold), the stream side a stateless
@@ -298,6 +331,23 @@ object Run {
             // SortBolt: sort the tick's chunk, show top rows (RollingSort.java:96-116)
             println(s"=== batch $id (sorted) ===")
             batch.orderBy(col("value")).show(20, truncate = false)
+          }.start()
+      case "shuffle_shard" =>
+        // per-EPOCH reshuffle: one trigger = one epoch slice, ranked
+        // by the SAME seeded content-hash projection as the gated
+        // batch query (epoch boundaries are a loader-side choice; the
+        // projection doesn't change) — naturally foreachBatch, since
+        // a rank within an epoch is a bounded batch computation, not
+        // unbounded streaming state
+        lines.writeStream
+          .outputMode(OutputMode.Append)
+          .option("checkpointLocation", checkpoint)
+          .trigger(Trigger.ProcessingTime(s"$emitFreq seconds"))
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            println(s"=== epoch $id shard assignment ===")
+            epochShardAssignment(batch)
+              .orderBy(col("shard"), col("pos"))
+              .show(20, truncate = false)
           }.start()
       case "mix_weights" =>
         // live mixture monitor: the line sources carry no source tag,

@@ -52,8 +52,20 @@ object AnalyticsQueries {
    * sub-microsecond digits.
    */
   def sessionize(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
-      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+    sessionAgg(Tables.events(spark, sfDir), SessionGap)
+
+  /** Gap duration for [[sessionize]] and its live form. */
+  val SessionGap = "30 minutes"
+
+  /** The session aggregation of [[sessionize]] over any (ts, user_id)
+   *  frame — shared by the gated batch query and
+   *  [[graft.streaming.StreamOps.sessionizeStream]] (the
+   *  chunkProjection batch+live pattern): identical expression, so
+   *  batch and stream agree wherever Append-mode finalization has
+   *  closed the session (RunTopologySpec pins it). */
+  def sessionAgg(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(unix_millis(col("w.start")).as("s_start_ms"), col("user_id"),
         col("n_events"))

@@ -611,16 +611,33 @@ object PipelineQueries {
    * trade every epoch-shuffling loader makes). A different epoch =
    * a different seed constant — the plan is unchanged.
    */
-  def shuffleShard(spark: SparkSession, sfDir: String): DataFrame = {
-    val h = md5(concat_ws("|", lit(ShuffleSeed), col("text")))
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), h.as("h"),
-        (conv(substring(h, 1, SplitHexDigits), 16, 10).cast("bigint")
-          % ShuffleShards).as("shard"))
-      .withColumn("pos", row_number().over(
-        Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
-        .cast("bigint"))
+  def shuffleShard(spark: SparkSession, sfDir: String): DataFrame =
+    shardProjection(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      col("doc_id"))
       .select(col("doc_id"), col("shard"), col("pos"))
+
+  /** The seeded shuffle+shard projection of [[shuffleShard]] over any
+   *  frame with a `text` column — shared by the batch query and Run's
+   *  per-epoch `shuffle_shard` topology (the chunkProjection /
+   *  scrubProjection batch+live pattern). The text column is dropped
+   *  BEFORE the per-shard rank window, so the shard exchange carries
+   *  only fixed-width hashes + passthrough columns, never document
+   *  bytes. Emits passthrough plus (h, shard, pos); `tieBreak`
+   *  totalizes the rank among hash ties (duplicate texts) and must be
+   *  a surviving column — doc_id in batch, `h` itself for an
+   *  anonymous line feed (ties are then between identical rows, so
+   *  the output multiset stays deterministic). */
+  def shardProjection(df: DataFrame, tieBreak: Column): DataFrame = {
+    val passthrough = df.columns.filter(_ != "text").map(col)
+    df.select(passthrough ++ Seq(
+        md5(concat_ws("|", lit(ShuffleSeed), col("text"))).as("h")): _*)
+      .withColumn("shard",
+        conv(substring(col("h"), 1, SplitHexDigits), 16, 10).cast("bigint")
+          % ShuffleShards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("h"), tieBreak))
+        .cast("bigint"))
   }
 
   val TfidfTopTerms = 3

@@ -158,6 +158,26 @@ object StreamOps {
       .drop("__dedup_key")
 
   /**
+   * Live gap-based sessionization — the streaming form of
+   * `AnalyticsQueries.sessionize`, via the IDENTICAL
+   * `sessionAgg` expression (native `session_window`) over a
+   * watermarked stream. Runs in Append mode: a (user, session) row is
+   * emitted exactly once, when the watermark passes the session's
+   * close (last event + gap) — the loader-friendly finalized-sessions
+   * contract, and also what bounds state: Spark evicts a session's
+   * accumulator at emission, so state is O(open sessions), never
+   * O(history). Session merging (an event bridging two open windows
+   * collapses them) is the engine's native semantics on both sides,
+   * which is why batch and stream agree row-for-row on any in-order
+   * feed once sessions finalize (RunTopologySpec). Expects
+   * (ts, user_id) columns.
+   */
+  def sessionizeStream(events: DataFrame, gap: String,
+      watermarkDelay: String): DataFrame =
+    graft.queries.AnalyticsQueries.sessionAgg(
+      events.withWatermark("ts", watermarkDelay), gap)
+
+  /**
    * Streaming curation: the batch `PipelineQueries.pipelineCurate`
    * stages under continuous ingestion. The enrichment + filter are the
    * IDENTICAL row-local ops; the dedup stage differs in two documented

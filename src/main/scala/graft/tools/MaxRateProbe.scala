@@ -259,6 +259,25 @@ object MaxRateProbe {
       graft.queries.PipelineQueries.chunkProjection(
         in.select(col("ts"), Generators.docLine(col("value")).as("text")))
     }
+    // sessionize: watermarked native session_window per content-hash
+    // user — Append emits only finalized sessions, so sustained rate
+    // measures the stateful merge path, not the sink
+    search("sessionize", seed = 1000000, OutputMode.Append) { in =>
+      graft.streaming.StreamOps.sessionizeStream(
+        in.select(col("ts"),
+          pmod(xxhash64(col("value")), lit(50L)).as("user_id")),
+        gap = "10 seconds", watermarkDelay = "0 seconds")
+    }
+    // shuffle_shard: per-epoch reshuffle — foreachBatch IS the epoch;
+    // the seeded shard/pos projection ranks each trigger's slice
+    search("shuffle_shard", seed = 1000000, OutputMode.Append,
+      fb = Some { (batch: DataFrame, _: Long) =>
+        graft.queries.PipelineQueries.shardProjection(batch, col("h"))
+          .select(col("h"), col("shard"), col("pos"))
+          .write.format("noop").mode("overwrite").save()
+      }) { in =>
+      in.select(Generators.docLine(col("value")).as("text"))
+    }
     search("decontaminate", seed = 200000, OutputMode.Append) { in =>
       val bench = spark.read
         .parquet("/root/testdata/sf0.001/documents.parquet")

@@ -137,6 +137,100 @@ class RunTopologySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Run sessionize emits finalized sessions that equal the batch " +
+      "sessionAgg on an in-order fixture (gap merge included)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val gap = "60 seconds"
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.toMemory(
+      Run.sessionizeTopology(in.toDF().toDF("ts", "value"), gap,
+        "0 seconds"),
+      "run_sessions", OutputMode.Append, ckpt())
+    // two users (distinct line contents), sessions that extend (within
+    // gap), close (beyond gap), and restart
+    val fixture = Seq(
+      (at("2024-01-01 10:00:00"), "aaa"), // u1 s1
+      (at("2024-01-01 10:00:30"), "aaa"), // u1 s1 extends
+      (at("2024-01-01 10:00:40"), "bbb"), // u2 s1
+      (at("2024-01-01 10:05:00"), "aaa"), // u1 s2 (gap passed)
+      (at("2024-01-01 10:05:30"), "bbb")) // u2 s2
+    // a far-future sentinel (third content bucket) pushes the watermark
+    // past every fixture session's close so Append finalizes them all
+    val sentinel = (at("2024-01-01 12:00:00"), "zzz")
+    try {
+      fixture.foreach { e => in.addData(e); q.processAllAvailable() }
+      // two sentinel batches: the first advances the watermark past
+      // every fixture session's close, the second triggers the batch
+      // that emits against it (watermark commits at end-of-batch)
+      in.addData(sentinel)
+      q.processAllAvailable()
+      in.addData((at("2024-01-01 12:00:01"), "zzz"))
+      q.processAllAvailable()
+      val streamed = spark.table("run_sessions")
+        .select("s_start_ms", "user_id", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.queries.AnalyticsQueries.sessionAgg(
+        fixture.toDF("ts", "value")
+          .select(col("ts"),
+            org.apache.spark.sql.functions.pmod(
+              org.apache.spark.sql.functions.xxhash64(col("value")),
+              org.apache.spark.sql.functions.lit(50L)).as("user_id")),
+        gap)
+        .select("s_start_ms", "user_id", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch.size == 4, s"fixture should yield 4 sessions: $batch")
+      assert(streamed == batch,
+        s"stream ${streamed.toSeq.sorted} != batch ${batch.toSeq.sorted}")
+    } finally q.stop()
+  }
+
+  test("Run shuffle_shard assigns each epoch the batch projection's " +
+      "exact shard/pos, restarting ranks per epoch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val in = MemoryStream[(Timestamp, String)]
+    val epochs =
+      scala.collection.mutable.Map[Long, Seq[(String, Long, Long)]]()
+    val q = in.toDF().toDF("ts", "value").writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rows = Run.epochShardAssignment(batch)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        epochs.synchronized { epochs(id) = rows.toSeq }
+      }.start()
+    try {
+      val e0 = Seq("alpha beta", "gamma delta", "epsilon zeta", "eta theta")
+      val e1 = Seq("iota kappa", "alpha beta") // a repeat from epoch 0
+      in.addData(e0.map(t => (at("2024-01-01 10:00:00"), t)))
+      q.processAllAvailable()
+      in.addData(e1.map(t => (at("2024-01-01 10:01:00"), t)))
+      q.processAllAvailable()
+      // each epoch's live assignment == the batch projection of the
+      // same slice (shard from the seeded hash, pos ranked within the
+      // epoch only — ranks restart per epoch, epoch 0 unaffected)
+      def expected(texts: Seq[String]): Set[(String, Long, Long)] =
+        graft.queries.PipelineQueries.shardProjection(
+          texts.toDF("text"), col("h"))
+          .select(col("h"), col("shard"), col("pos"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .toSet
+      val got = epochs.synchronized(epochs.toMap)
+      assert(got.keySet == Set(0L, 1L), s"epochs seen: ${got.keySet}")
+      assert(got(0L).toSet == expected(e0))
+      assert(got(1L).toSet == expected(e1))
+      // repeated content keeps its shard across epochs (seeded content
+      // hash), while pos is epoch-relative
+      val shared = got(0L).map(_._1).toSet intersect got(1L).map(_._1).toSet
+      assert(shared.nonEmpty, "expected the repeated line in both epochs")
+      shared.foreach { h =>
+        assert(got(0L).find(_._1 == h).get._2 == got(1L).find(_._1 == h).get._2,
+          s"shard moved across epochs for $h")
+      }
+    } finally q.stop()
+  }
+
   test("Run pageview_count --ttl evicts a silent url through the real " +
       "TSV parse (ts survives PageViewOps.parse)") {
     implicit val sqlCtx = spark.sqlContext
