@@ -39,6 +39,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bpeish_token_count"),
       new ExpressionInfo(classOf[BpeishTokenCount].getName, "bpeish_token_count"),
       (args: Seq[Expression]) => BpeishTokenCount(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_token_count"),
+      new ExpressionInfo(classOf[graft.functions.BpeTokenCount].getName,
+        "bpe_token_count"),
+      (args: Seq[Expression]) => graft.functions.BpeTokenCount(args.head)))
     // coalesce to 'und' so SQL callers get the same null contract as the
     // Scala path (TextAnalyticsOps.langId: null text -> 'und')
     ext.injectFunction((

@@ -416,20 +416,35 @@ object PipelineQueries {
       PackShardWidth)
 
   /** The sub-sharded assignment of [[packSequencesSharded]] over any
-   *  (doc_id, source, n_tokens) frame. */
+   *  (doc_id, source, n_tokens) frame. Bucket totals are derived as
+   *  max(cum_in) FROM THE WINDOWED FRAME — not a separate agg over the
+   *  input — so both join branches share the identical
+   *  scan→exchange→window subtree and AQE materializes the
+   *  (source, bkt) exchange ONCE (the q_rank_funcs two-pass-rank
+   *  trick; PackShardingSpec asserts the reuse). A naive independent
+   *  totals agg would re-scan the corpus — including re-running the
+   *  token kernel over every document's text — for three tiny
+   *  columns. */
   def packSequencesShardedOf(tokens: DataFrame, width: Long): DataFrame = {
-    val bucketed = tokens.withColumn("bkt", floor(col("doc_id") / lit(width)))
-    val cumIn = sum(col("n_tokens")).over(
-      Window.partitionBy(col("source"), col("bkt")).orderBy(col("doc_id")))
-    val offsets = bucketed.groupBy(col("source"), col("bkt"))
-      .agg(sum(col("n_tokens")).as("tot"))
+    val winCum = tokens
+      .withColumn("bkt", floor(col("doc_id") / lit(width)))
+      // explicit not-null on the join key BELOW the windows: the inner
+      // join would drop null-bkt rows anyway (null keys never match),
+      // but left implicit the inference pushes to the scan only on the
+      // main branch — bkt is a partition key of THIS window, not of the
+      // offsets branch's per-source window — and the asymmetric filter
+      // makes the two exchange subtrees differ, defeating AQE reuse
+      .filter(col("bkt").isNotNull)
+      .withColumn("cum_in", sum(col("n_tokens")).over(
+        Window.partitionBy(col("source"), col("bkt")).orderBy(col("doc_id"))))
+    val offsets = winCum.groupBy(col("source"), col("bkt"))
+      .agg(max(col("cum_in")).as("tot")) // = the bucket's token total
       .withColumn("off",
         coalesce(sum(col("tot")).over(
           Window.partitionBy(col("source")).orderBy(col("bkt"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("source"), col("bkt"), col("off"))
-    bucketed
-      .withColumn("cum_in", cumIn)
+    winCum
       .join(broadcast(offsets), Seq("source", "bkt"))
       .withColumn("seq_id",
         floor((col("off") + col("cum_in") - col("n_tokens"))

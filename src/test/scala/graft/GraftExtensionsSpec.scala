@@ -54,6 +54,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val li = spark.sql("SELECT lang_id(CAST(NULL AS STRING)) AS l")
         .collect().head.getString(0)
       assert(li == "und")
+      // real BPE: 'customer' collapses to 1 merged token, unseen
+      // 'tokenizer' stays multi-token (callers lowercase — the SQL
+      // surface takes the text as-is, like the Column helper's input)
+      val bp = spark.sql(
+        "SELECT bpe_token_count('customer tokenizer') AS n")
+        .collect().head.getLong(0)
+      assert(bp > 2L && bp < 12L)
+      assert(spark.sql("SELECT bpe_token_count('customer') AS n")
+        .collect().head.getLong(0) == 1L)
     } finally {
       // do NOT stop: the SparkContext is shared with the other suites
       SparkSession.clearActiveSession()

@@ -52,4 +52,41 @@ class PackShardingSpec extends SparkSpec {
       .toDF("doc_id", "source", "n_tokens")
     assertSame(tokens, PipelineQueries.PackShardWidth)
   }
+
+  test("sharded packing materializes the corpus scan and its " +
+      "(source, bkt) exchange ONCE (offsets branch reuses, no re-scan)") {
+    // a second corpus pass here would re-run the token kernel over all
+    // document text just to total three tiny columns — the offsets
+    // branch must reuse the main branch's exchange instead
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    val df = PipelineQueries.packSequencesSharded(spark, "/root/testdata/sf0.001")
+    df.collect() // finalize THIS DataFrame's adaptive plan
+    val scans = scala.collection.mutable.Set[Int]()
+    val shuffles = scala.collection.mutable.Set[Int]()
+    var shuffleRefs = 0
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case r: ReusedExchangeExec => walk(r.child)
+      case s: ShuffleExchangeExec =>
+        shuffleRefs += 1
+        shuffles += System.identityHashCode(s)
+        s.children.foreach(walk)
+      case f: FileSourceScanExec =>
+        scans += System.identityHashCode(f)
+      case other => other.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    assert(scans.size == 1,
+      s"corpus scanned ${scans.size} times — offsets branch re-scans")
+    // identity-distinct shuffles: the (source, bkt) exchange + the tiny
+    // per-source offsets window exchange; the (source, bkt) one is
+    // referenced by both branches
+    assert(shuffles.size == 2,
+      s"expected 2 distinct shuffles, saw ${shuffles.size}")
+    assert(shuffleRefs >= 3,
+      s"expected the bucket exchange referenced by both branches ($shuffleRefs refs)")
+  }
 }
