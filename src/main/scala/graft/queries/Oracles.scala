@@ -564,6 +564,43 @@ object Oracles {
        |  CAST(len(regexp_extract_all(lower(text), '${graft.ops.TextAnalyticsOps.BpeishPattern}')) AS BIGINT) AS bpe_tokens
        |FROM documents""".stripMargin
 
+  /** Mirrors [[PipelineQueries.bpePairStats]]: same vocabulary agg,
+   *  same adjacent char-pair expansion (DuckDB `range(1, len)` is
+   *  exactly the 1..len-1 pair starts), same (count desc, pair asc)
+   *  total order at the top-K boundary. */
+  val bpePairStats: String = {
+    val k = graft.queries.PipelineQueries.BpePairTopK
+    s"""WITH tok AS (
+       |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)) AS w
+       |  FROM documents),
+       |v AS (SELECT w, count(*) AS freq FROM tok GROUP BY w),
+       |p AS (
+       |  SELECT string_split(w, '')[i] AS a, string_split(w, '')[i+1] AS b, freq
+       |  FROM v, unnest(range(1, len(string_split(w, '')))) t(i))
+       |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+       |FROM p GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT $k""".stripMargin
+  }
+
+  /** Mirrors [[PipelineQueries.textUnigramNll]]: same unigram model,
+   *  same micro-nat floor quantization (both engines evaluate
+   *  floor(-ln(freq/tot) * 1e6) in IEEE doubles on the same rational
+   *  inputs; the per-doc sum is then exact integers — aggregation
+   *  order can't move it). */
+  val textUnigramNll: String = {
+    val m = graft.queries.PipelineQueries.NllMicro
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)) AS w
+       |  FROM documents),
+       |f AS (SELECT w, count(*) AS freq FROM tok GROUP BY w),
+       |t AS (SELECT sum(freq) AS tot FROM f),
+       |m AS (
+       |  SELECT w, CAST(floor(-ln(CAST(freq AS DOUBLE) / CAST(tot AS DOUBLE)) * $m) AS BIGINT) AS nll_micro
+       |  FROM f, t)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(nll_micro) AS BIGINT) AS nll_micro_sum
+       |FROM tok JOIN m USING (w) GROUP BY doc_id""".stripMargin
+  }
+
   /** Mirrors [[PipelineQueries.textTokensBpe]]: REAL merge-table BPE,
    *  replayed step-for-step in SQL. The merge table (the same frozen
    *  [[graft.functions.VectorMath.BpeMerges]] the kernel uses — the

@@ -303,6 +303,85 @@ object PipelineQueries {
       TextAnalyticsOps.wsTokenCount(col("text")).as("ws_tokens"),
       TextAnalyticsOps.bpeTokenCount(col("text")).as("bpe_tokens"))
 
+  /** Output size of [[bpePairStats]]. */
+  val BpePairTopK = 20
+
+  /**
+   * BPE-learn pair statistics — the distributed core of merge-table
+   * LEARNING (the offline loop that produced the frozen
+   * [[graft.functions.VectorMath.BpeMerges]] applied by
+   * `text_tokens_bpe`): corpus-weighted adjacent character-pair
+   * counts, top-[[BpePairTopK]] by (count desc, pair asc — the
+   * learner's deterministic tie-break). Row 1 IS the pair the next
+   * merge rule would adopt; at sf0.01 the top five reproduce
+   * BpeMerges' first five rules exactly.
+   * Scale shape: vocabulary agg FIRST (two-phase hash agg on word —
+   * the learn loop's working set is the vocab, not the corpus, the
+   * same dedup the apply kernel's memo exploits), then a row-local
+   * char-pair explode of distinct words weighted by frequency, one
+   * two-phase agg on (a, b) (alphabet²-bounded keys), and a global
+   * top-K that plans as TakeOrderedAndProject (K rows to the driver,
+   * total order ⇒ the boundary row is deterministic).
+   */
+  def bpePairStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(TextAnalyticsOps.words(lower(col("text")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    // split(w, "") keeps a trailing "" under Java's limit=-1 semantics
+    // (DuckDB's string_split does not) — filter to the real chars
+    val chars = filter(split(col("w"), ""), c => length(c) > 0)
+    vocab
+      .withColumn("cs", chars)
+      .filter(size(col("cs")) >= 2) // sequence(0,-1) would emit [0,-1]
+      .select(col("freq"),
+        explode(transform(sequence(lit(0), size(col("cs")) - 2),
+          i => struct(element_at(col("cs"), i + 1).as("a"),
+            element_at(col("cs"), i + 2).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(BpePairTopK)
+  }
+
+  /** Quantization scale for [[textUnigramNll]]: per-word negative
+   *  log-likelihoods are floored to integer micro-nats so the per-doc
+   *  sum is an exact integer (order-independent ⇒ engine-stable — the
+   *  mix_weights device; a raw double sum would hash-diverge on
+   *  aggregation order). */
+  val NllMicro = 1000000L
+
+  /**
+   * Unigram LM quality scoring — the frequency-based LM filter shape
+   * (a stand-in for CCNet-style KenLM perplexity gates): model =
+   * corpus unigram distribution, score = per-doc total negative
+   * log-likelihood in micro-nats (divide by n_words/[[NllMicro]] for
+   * mean cross-entropy; rare-word-heavy docs score high). Train and
+   * apply in ONE plan, like sim_ivf_kmeans: pass 1 aggregates the
+   * vocabulary (two-phase, vocab-sized), a one-row total joins back
+   * by broadcast, and the scored model — vocab rows, tiny — is
+   * BROADCAST for the apply join, so the corpus-side explode never
+   * shuffles for the join; the only corpus exchange is the final
+   * per-doc integer sum. The two corpus passes (learn, score) are the
+   * training-in-query contract; a production pipeline freezes the
+   * model table offline and keeps only the apply pass (quality_cut's
+   * offline-statistic/online-filter split).
+   */
+  def textUnigramNll(spark: SparkSession, sfDir: String): DataFrame = {
+    def tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(TextAnalyticsOps.words(lower(col("text")))).as("w"))
+    val freq = tok.groupBy("w").agg(count(lit(1)).as("freq"))
+    val total = freq.agg(sum("freq").as("tot"))
+    val model = freq.crossJoin(broadcast(total))
+      .select(col("w"),
+        floor(-log(col("freq") / col("tot")) * lit(NllMicro.toDouble))
+          .cast("bigint").as("nll_micro"))
+    tok.join(broadcast(model), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("nll_micro").as("nll_micro_sum"))
+  }
+
   /** Tokens per training chunk ([[textChunks]]). */
   val ChunkTokens = 50
 

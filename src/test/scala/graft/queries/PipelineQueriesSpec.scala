@@ -210,6 +210,58 @@ class PipelineQueriesSpec extends SparkSpec {
       s"expected exactly one hash exchange on source:\n$plan")
   }
 
+  test("bpePairStats counts corpus-weighted adjacent char pairs " +
+      "exactly, and at sf0.01 reproduces the frozen merge table's " +
+      "first rules") {
+    // independent Scala recompute from the raw parquet
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val vocab = texts.flatMap(_.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val pc = scala.collection.mutable.Map[(String, String), Long]()
+    vocab.foreach { case (w, f) =>
+      w.sliding(2).filter(_.length == 2).foreach { p =>
+        val k = (p.substring(0, 1), p.substring(1))
+        pc(k) = pc.getOrElse(k, 0L) + f
+      }
+    }
+    val expected = pc.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }
+      .take(PipelineQueries.BpePairTopK)
+      .map { case ((a, b), c) => (a, b, c) }
+    val got = PipelineQueries.bpePairStats(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // provenance check: the learner that froze BpeMerges ran on
+    // sf0.01 — its first rules are this query's top pairs there
+    val top = PipelineQueries.bpePairStats(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(top.take(5) ==
+      graft.functions.VectorMath.BpeMerges.take(5).toSeq,
+      s"sf0.01 top pairs diverge from the frozen merge table: $top")
+  }
+
+  test("textUnigramNll scores docs with the exact quantized corpus " +
+      "unigram model") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val words = docs.map { case (id, t) =>
+      (id, t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+    }
+    val vocab = words.flatMap(_._2).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val tot = vocab.values.sum.toDouble
+    val model = vocab.map { case (w, f) =>
+      w -> math.floor(-math.log(f / tot) * PipelineQueries.NllMicro).toLong
+    }
+    val expected = words.filter(_._2.nonEmpty).map { case (id, ws) =>
+      (id, ws.size.toLong, ws.map(model).sum)
+    }.toSet
+    val got = PipelineQueries.textUnigramNll(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
   test("packSequences is the exact concatenate-then-cut packing: " +
       "recomputed per-source running cut matches seq_id for every doc") {
     val n = PipelineQueries.PackTokens
