@@ -371,10 +371,15 @@ object PipelineQueries {
       .select(col("doc_id"),
         explode(TextAnalyticsOps.words(lower(col("text")))).as("w"))
     val freq = tok.groupBy("w").agg(count(lit(1)).as("freq"))
-    val total = freq.agg(sum("freq").as("tot"))
-    val model = freq.crossJoin(broadcast(total))
+    // corpus total as a whole-frame window over the VOCAB-sized freq
+    // relation (single-partition over tiny data, like mix_weights'
+    // normalizer) — a separate agg branch would plan an independent
+    // subtree that re-scans the corpus a third time for one number
+    val model = freq
       .select(col("w"),
-        floor(-log(col("freq") / col("tot")) * lit(NllMicro.toDouble))
+        floor(-log(col("freq") /
+          sum(col("freq")).over(Window.partitionBy()))
+          * lit(NllMicro.toDouble))
           .cast("bigint").as("nll_micro"))
     tok.join(broadcast(model), "w")
       .groupBy("doc_id")
