@@ -41,8 +41,10 @@ import graft.streaming.StreamOps
  * rolling_sort_lastn rolling_flight_dist rolling_flight_dist_snapshot
  * hash_sample json_props quality_cut curate trident_wordcount
  * decontaminate text_chunks text_scrub split_assign mix_weights
+ * sessionize shuffle_shard lm_score
  * (curate also takes --threshold <minScore> and --min-words <n>;
- *  decontaminate takes --bench <parquet path> for the benchmark set)
+ *  decontaminate takes --bench <parquet path> for the benchmark set;
+ *  lm_score takes --corpus <parquet path> for the model corpus)
  */
 object Run {
   def main(args: Array[String]): Unit = {
@@ -193,6 +195,14 @@ object Run {
       case "decontaminate" =>
         (decontaminateTopology(spark, lines(), opts.getOrElse("bench",
           "/root/testdata/sf0.001/documents.parquet")), OutputMode.Append)
+      case "lm_score" =>
+        // unigram-LM quality scoring, live: the model is a corpus
+        // statistic learned by the BATCH pass's formulation
+        // (PipelineQueries.unigramModel over --corpus) and broadcast;
+        // scoring is a row-local fold — the same offline-statistic /
+        // online-filter split as quality_cut and decontaminate
+        (lmScoreTopology(spark, lines(), opts.getOrElse("corpus",
+          "/root/testdata/sf0.001/documents.parquet")), OutputMode.Append)
       case "hash_sample" =>
         // deterministic content-hash downsampling, live: the same
         // row-local predicate as the gated batch query — no RNG, no
@@ -317,6 +327,16 @@ object Run {
       lines.select(col("ts"), col("value").as("text")), bench,
       graft.queries.PipelineQueries.DecontN)
   }
+
+  /** The lm_score live topology — unigram-LM scoring at ingest: the
+   *  model is an offline artifact of the gated batch query's learn
+   *  pass (StreamOps.lmScoreStream has the scale + OOV reasoning).
+   *  Factored so RunTopologySpec drives the exact composition. */
+  private[graft] def lmScoreTopology(spark: SparkSession,
+      lines: DataFrame, corpusPath: String): DataFrame =
+    StreamOps.lmScoreStream(
+      lines.select(col("ts"), col("value").as("text")),
+      spark.read.parquet(corpusPath))
 
   /** The two per-trigger-sort topologies run through foreachBatch. */
   private def runForeachBatch(spark: SparkSession, name: String, lines: DataFrame,

@@ -370,22 +370,29 @@ object PipelineQueries {
     def tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         explode(TextAnalyticsOps.words(lower(col("text")))).as("w"))
-    val freq = tok.groupBy("w").agg(count(lit(1)).as("freq"))
-    // corpus total as a whole-frame window over the VOCAB-sized freq
-    // relation (single-partition over tiny data, like mix_weights'
-    // normalizer) — a separate agg branch would plan an independent
-    // subtree that re-scans the corpus a third time for one number
-    val model = freq
-      .select(col("w"),
-        floor(-log(col("freq") /
-          sum(col("freq")).over(Window.partitionBy()))
-          * lit(NllMicro.toDouble))
-          .cast("bigint").as("nll_micro"))
-    tok.join(broadcast(model), "w")
+    tok.join(broadcast(unigramModel(Tables.documents(spark, sfDir))
+        .select("w", "nll_micro")), "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum("nll_micro").as("nll_micro_sum"))
   }
+
+  /** The LEARN pass of [[textUnigramNll]], factored so the live
+   *  scoring topology (`StreamOps.lmScoreStream`) trains the identical
+   *  model from a static corpus: (w, freq, nll_micro) — vocab-sized.
+   *  The corpus total is a whole-frame window over the VOCAB-sized
+   *  freq relation (single-partition over tiny data, like
+   *  mix_weights' normalizer) — a separate agg branch would plan an
+   *  independent subtree that re-scans the corpus again for one
+   *  number. */
+  def unigramModel(docs: DataFrame): DataFrame =
+    docs.select(explode(TextAnalyticsOps.words(lower(col("text")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"),
+        floor(-log(col("freq") /
+          sum(col("freq")).over(Window.partitionBy()))
+          * lit(NllMicro.toDouble))
+          .cast("bigint").as("nll_micro"))
 
   /** Tokens per training chunk ([[textChunks]]). */
   val ChunkTokens = 50

@@ -238,6 +238,53 @@ object StreamOps {
   }
 
   /**
+   * Live unigram-LM quality scoring — the streaming form of
+   * `PipelineQueries.textUnigramNll`, split offline-statistic /
+   * online-filter like `quality_cut` and [[decontaminateStream]]: the
+   * unigram model is LEARNED from a static corpus in one batch pass
+   * (`PipelineQueries.unigramModel` — the identical formulation the
+   * gated batch query trains), collapsed into a single
+   * (word→nll map, oov cost) row, and broadcast into the stream;
+   * scoring is then a row-local fold over the line's words
+   * (`aggregate` HOF + map lookup) — no streaming aggregation, no
+   * state, Append-safe. Out-of-vocabulary words — impossible in the
+   * batch query, which scores the corpus it learned from — cost
+   * `floor(ln(total_tokens)·NllMicro)`: the NLL a singleton would
+   * have had, the add-one ceiling of the learned distribution,
+   * derived from the same model frame. For all-in-vocab docs the
+   * emitted (n_words, nll_micro_sum) equal the batch query's exactly
+   * (RunTopologySpec pins both). Empty lines emit (0, 0) rather than
+   * vanishing (the batch explode drops them): a live gate should
+   * never silently swallow rows — the caller decides.
+   * Scale: the model is VOCAB-sized (the natural-language vocabulary
+   * curve — megabytes at web scale), the classic broadcast artifact;
+   * throughput is bounded by the tokenize+fold kernel, not state I/O.
+   * Docs must carry a `text` column; all input columns pass through
+   * with (n_words, nll_micro_sum) appended.
+   */
+  def lmScoreStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    val micro = graft.queries.PipelineQueries.NllMicro
+    val modelRow = graft.queries.PipelineQueries.unigramModel(corpus)
+      .agg(
+        map_from_entries(collect_list(struct(col("w"), col("nll_micro"))))
+          .as("lm"),
+        floor(log(sum(col("freq")).cast("double")) * lit(micro.toDouble))
+          .cast("bigint").as("oov_nll"))
+      .withColumn("jk", lit(1))
+    val passthrough = docs.columns.map(col)
+    docs
+      .withColumn("ws",
+        graft.ops.TextAnalyticsOps.words(lower(col("text"))))
+      .withColumn("jk", lit(1))
+      .join(broadcast(modelRow), "jk")
+      .select(passthrough ++ Seq(
+        size(col("ws")).cast("long").as("n_words"),
+        aggregate(col("ws"), lit(0L),
+          (acc, w) => acc + coalesce(element_at(col("lm"), w),
+            col("oov_nll"))).as("nll_micro_sum")): _*)
+  }
+
+  /**
    * Live MIXTURE MONITOR — the streaming form of
    * `PipelineQueries.mixWeights`: running per-source doc/token totals
    * as a Complete-mode aggregate (group count = sources, bounded by

@@ -137,6 +137,47 @@ class RunTopologySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Run lm_score scores live lines with the batch query's exact " +
+      "model; OOV words cost the singleton ceiling; empty lines emit 0") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpusPath = "/root/testdata/sf0.001/documents.parquet"
+    val corpus = spark.read.parquet(corpusPath)
+    // batch expectation for one corpus doc, from the GATED query itself
+    val doc = corpus.select("doc_id", "text")
+      .head()
+    val batch = graft.queries.PipelineQueries
+      .textUnigramNll(spark, "/root/testdata/sf0.001")
+      .filter(org.apache.spark.sql.functions.col("doc_id") ===
+        doc.getLong(0))
+      .head()
+    // the OOV ceiling the stream must charge: floor(ln(total)*1e6)
+    val total = graft.queries.PipelineQueries.unigramModel(corpus)
+      .agg(org.apache.spark.sql.functions.sum("freq")).head().getLong(0)
+    val oov = math.floor(math.log(total.toDouble) *
+      graft.queries.PipelineQueries.NllMicro.toDouble).toLong
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.toMemory(
+      Run.lmScoreTopology(spark, in.toDF().toDF("ts", "value"), corpusPath),
+      "run_lm", OutputMode.Append, ckpt())
+    try {
+      in.addData(
+        (at("2024-01-01 10:00:00"), doc.getString(1)),
+        (at("2024-01-01 10:01:00"), "zzqqx zzqqy"),
+        (at("2024-01-01 10:02:00"), ""))
+      q.processAllAvailable()
+      val rows = spark.table("run_lm")
+        .select("text", "n_words", "nll_micro_sum").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(rows.contains((doc.getString(1),
+        batch.getAs[Long]("n_words"), batch.getAs[Long]("nll_micro_sum"))),
+        s"in-vocab doc must score exactly as the batch query: $rows")
+      assert(rows.contains(("zzqqx zzqqy", 2L, 2L * oov)),
+        s"OOV words must each cost the singleton ceiling $oov: $rows")
+      assert(rows.contains(("", 0L, 0L)),
+        s"empty line must emit (0,0), not vanish: $rows")
+    } finally q.stop()
+  }
+
   test("Run sessionize emits finalized sessions that equal the batch " +
       "sessionAgg on an in-order fixture (gap merge included)") {
     implicit val sqlCtx = spark.sqlContext
