@@ -564,6 +564,53 @@ object Oracles {
        |  CAST(len(regexp_extract_all(lower(text), '${graft.ops.TextAnalyticsOps.BpeishPattern}')) AS BIGINT) AS bpe_tokens
        |FROM documents""".stripMargin
 
+  /** Mirrors [[PipelineQueries.bpeLearn]] by learning INDEPENDENTLY —
+   *  not by echoing the frozen table (that would be circular for a
+   *  LEARN query): a generated K-level chained CTE runs the same
+   *  public algorithm natively in DuckDB. Level i computes pair
+   *  counts over segmentation s(i-1) (fenced '|c|h|a|r|s|' strings —
+   *  the textTokensBpe device), picks rule i by (count DESC, pair
+   *  ASC) LIMIT 1, and derives s(i) with a DOUBLE `replace` of
+   *  '|a|b|' → '|ab|': adjacent occurrences share a fence char, so
+   *  one left-to-right pass misses every second occurrence in a
+   *  chain and the second pass — whose replacements restored the
+   *  missing fences — catches exactly the rest; for a ≠ b two passes
+   *  are provably exact (a same-symbol rule over a ≥5-run could
+   *  diverge from the left-to-right fold, but no such rule is ever
+   *  frequency-maximal on whitespace-split natural text and the
+   *  cross-engine gate would catch it). `AS MATERIALIZED` on every
+   *  level: s(i-1) is referenced twice (pairs + apply), and DuckDB's
+   *  default CTE inlining would otherwise double the plan per level
+   *  — 2^K. */
+  val bpeLearn: String = {
+    val k = graft.queries.PipelineQueries.BpeLearnK
+    val parts = scala.collection.mutable.ArrayBuffer(
+      """v AS MATERIALIZED (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS w
+        |    FROM documents) GROUP BY w)""".stripMargin,
+      """s0 AS MATERIALIZED (
+        |  SELECT freq, '|' || array_to_string(string_split(w, ''), '|') || '|' AS s FROM v)""".stripMargin)
+    for (i <- 1 to k) {
+      parts += s"""p$i AS MATERIALIZED (
+        |  SELECT ss[i] AS a, ss[i+1] AS b, sum(freq) AS cnt FROM (
+        |    SELECT freq, list_filter(string_split(s, '|'), x -> len(x) > 0) AS ss,
+        |           unnest(range(1, len(list_filter(string_split(s, '|'), x -> len(x) > 0)))) AS i
+        |    FROM s${i - 1}) GROUP BY a, b)""".stripMargin
+      parts += s"""r$i AS MATERIALIZED (
+        |  SELECT a, b, '|'||a||'|'||b||'|' AS pat, '|'||a||b||'|' AS rep
+        |  FROM p$i ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin
+      if (i < k)
+        parts += s"""s$i AS MATERIALIZED (
+          |  SELECT freq, replace(replace(s, (SELECT pat FROM r$i), (SELECT rep FROM r$i)),
+          |                       (SELECT pat FROM r$i), (SELECT rep FROM r$i)) AS s FROM s${i - 1})""".stripMargin
+    }
+    val union = (1 to k)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS rank, a, b FROM r$i")
+      .mkString(" UNION ALL ")
+    "WITH " + parts.mkString(",\n") + "\n" + union
+  }
+
   /** Mirrors [[PipelineQueries.bpePairStats]]: same vocabulary agg,
    *  same adjacent char-pair expansion (DuckDB `range(1, len)` is
    *  exactly the 1..len-1 pair starts), same (count desc, pair asc)

@@ -343,6 +343,92 @@ object PipelineQueries {
       .limit(BpePairTopK)
   }
 
+  /** Rules [[bpeLearn]] learns — the frozen table's size, so the spec
+   *  can pin learned == frozen row-for-row. */
+  val BpeLearnK: Int = graft.functions.VectorMath.BpeMerges.length
+
+  /** Lineage-truncation stride of [[bpeLearn]]: apply this many merge
+   *  rules as chained fold projections before localCheckpoint cuts the
+   *  plan (4-deep nested HOFs codegen fine; 48-deep would not), so the
+   *  loop schedules K/4 truncation jobs instead of K. */
+  private val BpeLearnStride = 4
+
+  /**
+   * Full in-query BPE merge-table LEARNING — the loop that produced
+   * the frozen [[graft.functions.VectorMath.BpeMerges]] applied by
+   * `text_tokens_bpe`, run as a distributed query (Sennrich et al.
+   * 2016, the public algorithm): start from characters; K times, take
+   * the corpus-weighted most frequent adjacent symbol pair (ties:
+   * lexicographically smallest — [[bpePairStats]]' exact ordering) and
+   * merge its occurrences left-to-right in every vocab word. Emits
+   * (rank, a, b) — the merges file a production tokenizer ships.
+   * Training-in-query like sim_ivf_kmeans: the corpus is touched ONCE
+   * (the vocab agg); every iteration then works on the VOCAB-sized
+   * segmentation frame — pair explode, two-phase agg on
+   * alphabet²-bounded keys, and a 1-row TakeOrderedAndProject argmax
+   * whose collect is the model artifact (the Lloyd-centroid pattern;
+   * rule i parameterizes iteration i+1's fold, so the sequence is
+   * inherently iterative — that serial chain of K vocab-sized jobs is
+   * the contract, not a scale hazard: at 100 TB the vocab frame is
+   * millions of rows, not the corpus). The per-word apply is an exact
+   * left-to-right fold (`aggregate` HOF), bit-equal to the reference
+   * learner's regex pass including same-symbol runs ("aaa" + (a,a) →
+   * ["aa","a"]). The DuckDB oracle learns INDEPENDENTLY via a
+   * generated K-level chained CTE ([[Oracles.bpeLearn]]) — at sf0.01
+   * both reproduce the frozen table exactly (spec-pinned), closing
+   * the loop: learn (this), learn-stats (`bpe_pair_stats`), apply
+   * (`text_tokens_bpe`) all agree cross-engine.
+   */
+  def bpeLearn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val chars = filter(split(col("w"), ""), c => length(c) > 0)
+    var segs = Tables.documents(spark, sfDir)
+      .select(explode(TextAnalyticsOps.words(lower(col("text")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), chars.as("ss"))
+      .localCheckpoint()
+    var sinceTrunc = 0
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    var done = false
+    while (rules.size < BpeLearnK && !done) {
+      val top = segs
+        .filter(size(col("ss")) >= 2)
+        .select(col("freq"),
+          explode(transform(sequence(lit(0), size(col("ss")) - 2),
+            i => struct(element_at(col("ss"), i + 1).as("a"),
+              element_at(col("ss"), i + 2).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true // vocab fully merged before K rules
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        rules += ((rules.size + 1L, a, b))
+        if (rules.size < BpeLearnK) { // the last rule is never applied
+          // left-to-right non-overlapping merge of (a, b);
+          // try_element_at because ANSI element_at(-1) would throw on
+          // the empty seed
+          val applied = segs.select(col("freq"),
+            aggregate(col("ss"), array().cast("array<string>"),
+              (acc, t) => when(
+                try_element_at(acc, lit(-1)) === lit(a) && t === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+                .otherwise(concat(acc, array(t)))).as("ss"))
+          sinceTrunc += 1
+          if (sinceTrunc >= BpeLearnStride) {
+            val prev = segs
+            segs = applied.localCheckpoint()
+            prev.unpersist()
+            sinceTrunc = 0
+          } else segs = applied
+        }
+      }
+    }
+    segs.unpersist()
+    rules.toSeq.toDF("rank", "a", "b")
+  }
+
   /** Quantization scale for [[textUnigramNll]]: per-word negative
    *  log-likelihoods are floored to integer micro-nats so the per-doc
    *  sum is an exact integer (order-independent ⇒ engine-stable — the

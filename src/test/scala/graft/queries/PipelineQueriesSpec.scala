@@ -240,6 +240,53 @@ class PipelineQueriesSpec extends SparkSpec {
       s"sf0.01 top pairs diverge from the frozen merge table: $top")
   }
 
+  test("bpeLearn reproduces the frozen BpeMerges table at sf0.01 " +
+      "rule-for-rule (the corpus the table was learned from)") {
+    val learned = PipelineQueries.bpeLearn(spark, "/root/testdata/sf0.01")
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(learned == graft.functions.VectorMath.BpeMerges.toSeq,
+      s"learned merge table diverges from the frozen one: " +
+        s"${learned.zip(graft.functions.VectorMath.BpeMerges)
+          .find(p => p._1 != p._2)}")
+  }
+
+  test("bpeLearn matches an independent reference learner on a corpus " +
+      "the frozen table was NOT learned from (sf0.001)") {
+    // Sennrich reference learner, immutable-list form: most frequent
+    // corpus-weighted adjacent pair, ties lexicographically smallest,
+    // left-to-right non-overlapping merge of all occurrences
+    def pairCounts(vocab: Map[List[String], Long]): Map[(String, String), Long] =
+      vocab.toSeq.flatMap { case (ss, f) =>
+        ss.zip(ss.drop(1)).map(p => p -> f)
+      }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    def applyMerge(ss: List[String], a: String, b: String): List[String] =
+      ss.foldLeft(List.empty[String]) { (acc, t) =>
+        if (acc.nonEmpty && acc.last == a && t == b)
+          acc.init :+ (a + b)
+        else acc :+ t
+      }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    var vocab = docs.flatMap(_.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .groupBy(s => s).map { case (w, xs) =>
+        w.split("").filter(_.nonEmpty).toList -> xs.length.toLong
+      }
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (expect.size < PipelineQueries.BpeLearnK) {
+      val pc = pairCounts(vocab)
+      assert(pc.nonEmpty, "fixture corpus merged out before K rules")
+      val (a, b) = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+      expect += ((a, b))
+      vocab = vocab.map { case (ss, f) => applyMerge(ss, a, b) -> f }
+    }
+    val learned = PipelineQueries.bpeLearn(spark, sfDir)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(learned == expect.toSeq,
+      s"first divergence: ${learned.zip(expect).find(p => p._1 != p._2)}")
+  }
+
   test("textUnigramNll scores docs with the exact quantized corpus " +
       "unigram model") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
