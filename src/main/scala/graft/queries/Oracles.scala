@@ -564,6 +564,28 @@ object Oracles {
        |  CAST(len(regexp_extract_all(lower(text), '${graft.ops.TextAnalyticsOps.BpeishPattern}')) AS BIGINT) AS bpe_tokens
        |FROM documents""".stripMargin
 
+  /** Mirrors [[PipelineQueries.textBigramNll]]: same pair expansion,
+   *  same add-one conditional with V = |distinct contexts| (a scalar
+   *  subquery over the bigram relation), same micro-nat floor
+   *  quantization — IEEE doubles on identical rational inputs, the
+   *  textUnigramNll device. */
+  val textBigramNll: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, ws[i] AS a, ws[i+1] AS b
+       |  FROM w, unnest(range(1, len(ws))) t(i) WHERE len(ws) >= 2),
+       |bg AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM p GROUP BY a, b),
+       |m AS (
+       |  SELECT a, b,
+       |    CAST(floor(-ln(CAST(c_ab + 1 AS DOUBLE) /
+       |      CAST(sum(c_ab) OVER (PARTITION BY a) +
+       |           (SELECT count(DISTINCT a) FROM bg) AS DOUBLE)) * ${graft.queries.PipelineQueries.NllMicro}) AS BIGINT) AS nll_micro
+       |  FROM bg)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(sum(nll_micro) AS BIGINT) AS nll_micro_sum
+       |FROM p JOIN m USING (a, b) GROUP BY doc_id""".stripMargin
+
   /** Mirrors [[PipelineQueries.bpeLearn]] by learning INDEPENDENTLY —
    *  not by echoing the frozen table (that would be circular for a
    *  LEARN query): a generated K-level chained CTE runs the same

@@ -480,6 +480,49 @@ object PipelineQueries {
           * lit(NllMicro.toDouble))
           .cast("bigint").as("nll_micro"))
 
+  /**
+   * Bigram LM quality scoring with add-one smoothing — one rung up
+   * from [[textUnigramNll]] toward the n-gram KenLM gates CCNet-style
+   * pipelines use: model = smoothed conditional
+   * P(b|a) = (c(a,b)+1) / (c(a·)+V), score = per-doc total negative
+   * log-likelihood over its word bigrams, floor-quantized to integer
+   * micro-nats (the engine-stable sum device). The smoothing mass V is
+   * |distinct contexts| rather than |vocab| — a definitional choice
+   * (any fixed vocab-scale constant serves the filter) that keeps the
+   * ENTIRE model derivable from the bigram relation alone: c(a·) is a
+   * per-context window sum and V a whole-frame window over the same
+   * vocab²-bounded frame, so the corpus is scanned exactly twice
+   * (learn, score) — a |vocab| constant would have planned an
+   * independent token-agg subtree re-scanning the corpus a third time
+   * for one number (the trap the unigram query's window refactor
+   * removed). Apply is the same broadcast-model join: the corpus-side
+   * pair explode never shuffles for it; docs with <2 words have no
+   * bigrams and drop out (the unigram query's empty-doc contract).
+   */
+  def textBigramNll(spark: SparkSession, sfDir: String): DataFrame = {
+    def pairs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        TextAnalyticsOps.words(lower(col("text"))).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("ws")) - 2),
+          i => struct(element_at(col("ws"), i + 1).as("a"),
+            element_at(col("ws"), i + 2).as("b")))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val model = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .withColumn("c_a", sum("c_ab").over(Window.partitionBy("a")))
+      .withColumn("v",
+        size(collect_set(col("a")).over(Window.partitionBy())).cast("long"))
+      .select(col("a"), col("b"),
+        floor(-log((col("c_ab") + 1).cast("double") /
+          (col("c_a") + col("v")).cast("double"))
+          * lit(NllMicro.toDouble)).cast("bigint").as("nll_micro"))
+    pairs.join(broadcast(model), Seq("a", "b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("nll_micro").as("nll_micro_sum"))
+  }
+
   /** Tokens per training chunk ([[textChunks]]). */
   val ChunkTokens = 50
 

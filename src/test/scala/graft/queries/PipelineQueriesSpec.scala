@@ -309,6 +309,31 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("textBigramNll scores docs with the exact add-one-smoothed " +
+      "bigram model (V = distinct contexts); <2-word docs drop out") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val pairs = docs.map { case (id, t) =>
+      val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      (id, ws.zip(ws.drop(1)))
+    }
+    val bg = pairs.flatMap(_._2).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val ca = bg.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val v = ca.size.toLong
+    val model = bg.map { case (p, c) =>
+      p -> math.floor(-math.log((c + 1).toDouble / (ca(p._1) + v).toDouble) *
+        PipelineQueries.NllMicro).toLong
+    }
+    val expected = pairs.filter(_._2.nonEmpty).map { case (id, ps) =>
+      (id, ps.size.toLong, ps.map(model).sum)
+    }.toSet
+    val got = PipelineQueries.textBigramNll(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
   test("packSequences is the exact concatenate-then-cut packing: " +
       "recomputed per-source running cut matches seq_id for every doc") {
     val n = PipelineQueries.PackTokens
