@@ -88,6 +88,18 @@ class PlanShapeSpec extends SparkSpec {
       "IVF must never fall back to all-pairs:\n" + p)
   }
 
+  test("LM scorers scan the corpus exactly twice (learn, score) and " +
+      "broadcast the model for the apply join") {
+    for (q <- Seq("text_unigram_nll", "text_bigram_nll")) {
+      val p = plan(q)
+      assert("FileScan parquet".r.findAllIn(p).size == 2,
+        s"$q must be the two-pass train+apply shape, no extra scan " +
+          s"for the normalizer:\n" + p)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q model join must broadcast:\n" + p)
+    }
+  }
+
   test("scans prune columns (wordcount reads only text)") {
     val p = SparkEntry.queries("wordcount")(spark, sfDir)
       .queryExecution.executedPlan.toString
