@@ -44,7 +44,8 @@ import graft.streaming.StreamOps
  * sessionize shuffle_shard lm_score
  * (curate also takes --threshold <minScore> and --min-words <n>;
  *  decontaminate takes --bench <parquet path> for the benchmark set;
- *  lm_score takes --corpus <parquet path> for the model corpus)
+ *  lm_score takes --corpus <parquet path> for the model corpus and
+ *  --order 1|2 for unigram vs add-one bigram scoring)
  */
 object Run {
   def main(args: Array[String]): Unit = {
@@ -196,13 +197,15 @@ object Run {
         (decontaminateTopology(spark, lines(), opts.getOrElse("bench",
           "/root/testdata/sf0.001/documents.parquet")), OutputMode.Append)
       case "lm_score" =>
-        // unigram-LM quality scoring, live: the model is a corpus
-        // statistic learned by the BATCH pass's formulation
-        // (PipelineQueries.unigramModel over --corpus) and broadcast;
-        // scoring is a row-local fold — the same offline-statistic /
-        // online-filter split as quality_cut and decontaminate
+        // unigram (--order 1, default) or add-one bigram (--order 2)
+        // LM quality scoring, live: the model is a corpus statistic
+        // learned by the gated batch query's formulation over
+        // --corpus and broadcast; scoring is a row-local fold — the
+        // same offline-statistic / online-filter split as
+        // quality_cut and decontaminate
         (lmScoreTopology(spark, lines(), opts.getOrElse("corpus",
-          "/root/testdata/sf0.001/documents.parquet")), OutputMode.Append)
+          "/root/testdata/sf0.001/documents.parquet"),
+          opts.getOrElse("order", "1").toInt), OutputMode.Append)
       case "hash_sample" =>
         // deterministic content-hash downsampling, live: the same
         // row-local predicate as the gated batch query — no RNG, no
@@ -328,15 +331,22 @@ object Run {
       graft.queries.PipelineQueries.DecontN)
   }
 
-  /** The lm_score live topology — unigram-LM scoring at ingest: the
-   *  model is an offline artifact of the gated batch query's learn
-   *  pass (StreamOps.lmScoreStream has the scale + OOV reasoning).
+  /** The lm_score live topology — unigram (order 1) or add-one bigram
+   *  (order 2) LM scoring at ingest: the model is an offline artifact
+   *  of the gated batch query's learn pass (StreamOps.lmScoreStream /
+   *  bigramScoreStream have the scale + OOV/backoff reasoning).
    *  Factored so RunTopologySpec drives the exact composition. */
   private[graft] def lmScoreTopology(spark: SparkSession,
-      lines: DataFrame, corpusPath: String): DataFrame =
-    StreamOps.lmScoreStream(
-      lines.select(col("ts"), col("value").as("text")),
-      spark.read.parquet(corpusPath))
+      lines: DataFrame, corpusPath: String, order: Int = 1): DataFrame = {
+    val docs = lines.select(col("ts"), col("value").as("text"))
+    val corpus = spark.read.parquet(corpusPath)
+    order match {
+      case 1 => StreamOps.lmScoreStream(docs, corpus)
+      case 2 => StreamOps.bigramScoreStream(docs, corpus)
+      case n => throw new IllegalArgumentException(
+        s"--order $n: only unigram (1) and bigram (2) models ship")
+    }
+  }
 
   /** The two per-trigger-sort topologies run through foreachBatch. */
   private def runForeachBatch(spark: SparkSession, name: String, lines: DataFrame,

@@ -284,6 +284,50 @@ object VectorMath {
     total
   }
 
+  /** Per-word LM probe-and-sum over a broadcast unigram model; see
+   *  [[LmUnigramScore]]. Real O(1) hash probes — `element_at` on a
+   *  MapType column is a LINEAR scan of the map's key array per probe
+   *  (ArrayBasedMapData holds parallel arrays, no hash), which made
+   *  the map-column fold quadratic-ish in vocab size. */
+  def lmUnigramSum(ws: ArrayData,
+      m: java.util.HashMap[String, java.lang.Long], oov: Long): Long = {
+    var s = 0L
+    var i = 0
+    val n = ws.numElements()
+    while (i < n) {
+      val v = m.get(ws.getUTF8String(i).toString)
+      s += (if (v == null) oov else v.longValue())
+      i += 1
+    }
+    s
+  }
+
+  /** Adjacent-bigram LM probe-and-sum with the add-one model's own
+   *  backoff chain; see [[LmBigramScore]]. Bigram keys are space-
+   *  joined ("a b") — unambiguous for whitespace-split words (the
+   *  [[BpeRank]] device). */
+  def lmBigramSum(ws: ArrayData,
+      lm: java.util.HashMap[String, java.lang.Long],
+      ctx: java.util.HashMap[String, java.lang.Long], unk: Long): Long = {
+    val n = ws.numElements()
+    if (n < 2) return 0L
+    var s = 0L
+    var prev = ws.getUTF8String(0).toString
+    var i = 1
+    while (i < n) {
+      val w = ws.getUTF8String(i).toString
+      val v = lm.get(prev + " " + w)
+      if (v != null) s += v.longValue()
+      else {
+        val c = ctx.get(prev)
+        s += (if (c == null) unk else c.longValue())
+      }
+      prev = w
+      i += 1
+    }
+    s
+  }
+
   /** Sign-random-projection bucket; see [[LshBucket]]. Plane signs come
    *  from Spark's XXH64 over (plane << 32 | dim) with seed 42, so the
    *  "random" hyperplanes are deterministic and identical on every
@@ -1184,6 +1228,71 @@ case class BpeTokenCount(child: Expression)
     copy(child = newChild)
 }
 
+/**
+ * Per-word unigram-LM score sum over a words array: Σ model(w),
+ * out-of-vocabulary words costing `oov`. The learned model rides as a
+ * BROADCAST handle inside the expression (an expression reference
+ * object, the [[IvfProbeCells]] pattern) — tasks serialize the
+ * handle, executors probe a real java HashMap. This replaced a
+ * map-column fold over a stream-static join, which both re-ran the
+ * learn aggregation every micro-batch (static subtrees re-execute
+ * per trigger) and probed Spark's MapData by linear scan per token.
+ */
+case class LmUnigramScore(child: Expression,
+    model: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[String, java.lang.Long]], oov: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.lmUnigramSum(v.asInstanceOf[ArrayData], model.value, oov)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("lmModel", model,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VectorMath.lmUnigramSum($a, " +
+        s"(java.util.HashMap)$mRef.value(), ${oov}L)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Adjacent-bigram LM score sum over a words array with the add-one
+ *  model's own backoff chain: a seen bigram costs its table entry, an
+ *  unseen bigram under a known context costs that context's smoothed
+ *  floor -ln(1/(c_a+V)), an unknown context costs -ln(1/V). Broadcast
+ *  handles as reference objects, like [[LmUnigramScore]]. */
+case class LmBigramScore(child: Expression,
+    model: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[String, java.lang.Long]],
+    ctxModel: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[String, java.lang.Long]], unk: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.lmBigramSum(v.asInstanceOf[ArrayData], model.value,
+      ctxModel.value, unk)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("lmBigrams", model,
+      "org.apache.spark.broadcast.Broadcast")
+    val cRef = ctx.addReferenceObj("lmContexts", ctxModel,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VectorMath.lmBigramSum($a, " +
+        s"(java.util.HashMap)$mRef.value(), " +
+        s"(java.util.HashMap)$cRef.value(), ${unk}L)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column wrappers for the native expressions. */
 object native {
   import org.apache.spark.sql.GraftColumnBridge
@@ -1223,6 +1332,20 @@ object native {
 
   def bpe_token_count(text: Column): Column =
     GraftColumnBridge.column(BpeTokenCount(GraftColumnBridge.expression(text)))
+
+  def lm_unigram_score(ws: Column,
+      model: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[String, java.lang.Long]], oov: Long): Column =
+    GraftColumnBridge.column(
+      LmUnigramScore(GraftColumnBridge.expression(ws), model, oov))
+
+  def lm_bigram_score(ws: Column,
+      model: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[String, java.lang.Long]],
+      ctxModel: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[String, java.lang.Long]], unk: Long): Column =
+    GraftColumnBridge.column(
+      LmBigramScore(GraftColumnBridge.expression(ws), model, ctxModel, unk))
 
   def vec_dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(FloatVectorDot(GraftColumnBridge.expression(a),

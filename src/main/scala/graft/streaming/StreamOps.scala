@@ -241,47 +241,131 @@ object StreamOps {
    * Live unigram-LM quality scoring — the streaming form of
    * `PipelineQueries.textUnigramNll`, split offline-statistic /
    * online-filter like `quality_cut` and [[decontaminateStream]]: the
-   * unigram model is LEARNED from a static corpus in one batch pass
-   * (`PipelineQueries.unigramModel` — the identical formulation the
-   * gated batch query trains), collapsed into a single
-   * (word→nll map, oov cost) row, and broadcast into the stream;
-   * scoring is then a row-local fold over the line's words
-   * (`aggregate` HOF + map lookup) — no streaming aggregation, no
-   * state, Append-safe. Out-of-vocabulary words — impossible in the
-   * batch query, which scores the corpus it learned from — cost
+   * unigram model is LEARNED from a static corpus ONCE, at topology
+   * build (`PipelineQueries.unigramModel` — the identical formulation
+   * the gated batch query trains, collected vocab-sized and
+   * sc.broadcast as a real hash map), and scoring is a pure
+   * projection through the native [[graft.functions.LmUnigramScore]]
+   * kernel — no streaming aggregation, no state, no stream-static
+   * join, Append-safe. The first cut joined a 1-row model frame and
+   * folded with `element_at` on a map column; that shape re-ran the
+   * learn aggregation EVERY micro-batch (static subtrees re-execute
+   * per trigger) and probed Spark's MapData by LINEAR scan per token
+   * — the kernel's O(1) hash probes and build-once model replaced it
+   * (bisected 420 k → 3.08 M rows/s; the bigram form measured the
+   * same failure at 15.6 k → 3.08 M). Out-of-vocabulary words — impossible in the batch
+   * query, which scores the corpus it learned from — cost
    * `floor(ln(total_tokens)·NllMicro)`: the NLL a singleton would
-   * have had, the add-one ceiling of the learned distribution,
-   * derived from the same model frame. For all-in-vocab docs the
-   * emitted (n_words, nll_micro_sum) equal the batch query's exactly
-   * (RunTopologySpec pins both). Empty lines emit (0, 0) rather than
-   * vanishing (the batch explode drops them): a live gate should
-   * never silently swallow rows — the caller decides.
+   * have had, the add-one ceiling of the learned distribution. For
+   * all-in-vocab docs the emitted (n_words, nll_micro_sum) equal the
+   * batch query's exactly (RunTopologySpec pins both; the nll values
+   * are collected from the SAME Spark expressions the batch query
+   * computes, so engine-side float identity is by construction).
+   * Empty lines emit (0, 0) rather than vanishing (the batch explode
+   * drops them): a live gate should never silently swallow rows.
    * Scale: the model is VOCAB-sized (the natural-language vocabulary
-   * curve — megabytes at web scale), the classic broadcast artifact;
-   * throughput is bounded by the tokenize+fold kernel, not state I/O.
+   * curve — megabytes at web scale), resident per executor either
+   * way (a broadcast join would hold the same hash table);
+   * throughput is bounded by the tokenize kernel, not state I/O.
    * Docs must carry a `text` column; all input columns pass through
    * with (n_words, nll_micro_sum) appended.
    */
   def lmScoreStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
     val micro = graft.queries.PipelineQueries.NllMicro
-    val modelRow = graft.queries.PipelineQueries.unigramModel(corpus)
-      .agg(
-        map_from_entries(collect_list(struct(col("w"), col("nll_micro"))))
-          .as("lm"),
-        floor(log(sum(col("freq")).cast("double")) * lit(micro.toDouble))
-          .cast("bigint").as("oov_nll"))
-      .withColumn("jk", lit(1))
+    val entries = graft.queries.PipelineQueries.unigramModel(corpus)
+      .select(col("w"), col("nll_micro"), col("freq")).collect()
+    val m = new java.util.HashMap[String, java.lang.Long](entries.length * 2)
+    var tot = 0L
+    entries.foreach { r =>
+      m.put(r.getString(0), r.getLong(1))
+      tot += r.getLong(2)
+    }
+    // StrictMath = Spark's own Log implementation, so the ceiling is
+    // the number the engine itself would have computed
+    val oov = math.floor(StrictMath.log(tot.toDouble) * micro.toDouble).toLong
+    val bc = docs.sparkSession.sparkContext.broadcast(m)
     val passthrough = docs.columns.map(col)
     docs
       .withColumn("ws",
         graft.ops.TextAnalyticsOps.words(lower(col("text"))))
-      .withColumn("jk", lit(1))
-      .join(broadcast(modelRow), "jk")
       .select(passthrough ++ Seq(
         size(col("ws")).cast("long").as("n_words"),
-        aggregate(col("ws"), lit(0L),
-          (acc, w) => acc + coalesce(element_at(col("lm"), w),
-            col("oov_nll"))).as("nll_micro_sum")): _*)
+        graft.functions.native.lm_unigram_score(col("ws"), bc, oov)
+          .as("nll_micro_sum")): _*)
+  }
+
+  /**
+   * Live BIGRAM-LM scoring — the streaming form of
+   * `PipelineQueries.textBigramNll`, same offline-model/online-filter
+   * split as [[lmScoreStream]]. The broadcast maps carry the full
+   * add-one model, so every fallback is the probability the smoothed
+   * model itself assigns — not an ad-hoc penalty: a seen bigram costs
+   * its table entry -ln((c_ab+1)/(c_a+V)); an unseen bigram with a
+   * KNOWN context costs -ln(1/(c_a+V)) from the context map; an
+   * unknown context costs -ln(1/V). Keys are space-joined ("a b") —
+   * unambiguous because words are whitespace-split (the BpeRank
+   * device). The model is learned ONCE at topology build — the
+   * vocab²-bounded bigram relation is collected (nll values computed
+   * by the SAME Spark expression shape the batch query uses, so
+   * engine-side float identity is by construction) and sc.broadcast
+   * as real hash maps probed by the native
+   * [[graft.functions.LmBigramScore]] kernel. The first cut was a
+   * stream-static join + `element_at` fold: it re-ran the model
+   * aggregation every micro-batch AND probed MapData by linear scan
+   * per bigram over a vocab²-sized map — measured 15.6 k rows/s vs
+   * the kernel's 3.08 M (197×). Stateless row-local projection,
+   * Append-safe; for lines whose bigrams all appear in the corpus the
+   * emitted (n_bigrams, nll_micro_sum) equal the batch query's
+   * exactly (RunTopologySpec pins all four cases). Lines with <2
+   * words emit (0, 0) rather than vanishing (the batch contract drops
+   * them; a live gate should not silently swallow rows).
+   */
+  def bigramScoreStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    val micro = graft.queries.PipelineQueries.NllMicro
+    def nllOf(num: Column, den: Column): Column =
+      floor(-log(num.cast("double") / den.cast("double")) *
+        lit(micro.toDouble)).cast("bigint")
+    val bg = corpus
+      .select(graft.ops.TextAnalyticsOps.words(lower(col("text"))).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("ws")) - 2),
+        i => struct(element_at(col("ws"), i + 1).as("a"),
+          element_at(col("ws"), i + 2).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .withColumn("c_a", sum("c_ab").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("a")))
+      .withColumn("v", size(collect_set(col("a")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy())).cast("long"))
+    val entries = bg.select(
+      concat(col("a"), lit(" "), col("b")).as("k"),
+      nllOf(col("c_ab") + 1, col("c_a") + col("v")).as("nll"),
+      col("a"),
+      nllOf(lit(1), col("c_a") + col("v")).as("ctx_nll"),
+      col("v")).collect()
+    val lm = new java.util.HashMap[String, java.lang.Long](entries.length * 2)
+    val ctx = new java.util.HashMap[String, java.lang.Long]
+    var v = 1L
+    entries.foreach { r =>
+      lm.put(r.getString(0), r.getLong(1))
+      ctx.put(r.getString(2), r.getLong(3))
+      v = r.getLong(4)
+    }
+    // -ln(1/V), NOT ln(V): the 1/V rounding step can move the result
+    // an ulp, and the quantized ceiling must be the exact number the
+    // model's own nllOf(1, V) form would produce
+    val unk = math.floor(-StrictMath.log(1.0 / v.toDouble) * micro.toDouble).toLong
+    val spark0 = docs.sparkSession
+    val bcLm = spark0.sparkContext.broadcast(lm)
+    val bcCtx = spark0.sparkContext.broadcast(ctx)
+    val passthrough = docs.columns.map(col)
+    docs
+      .withColumn("ws",
+        graft.ops.TextAnalyticsOps.words(lower(col("text"))))
+      .select(passthrough ++ Seq(
+        greatest(size(col("ws")) - 1, lit(0)).cast("long").as("n_bigrams"),
+        graft.functions.native.lm_bigram_score(col("ws"), bcLm, bcCtx, unk)
+          .as("nll_micro_sum")): _*)
   }
 
   /**

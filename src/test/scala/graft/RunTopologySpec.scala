@@ -178,6 +178,59 @@ class RunTopologySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Run lm_score --order 2 scores live lines with the batch bigram " +
+      "model; unseen bigrams pay the model's own smoothed fallbacks") {
+    import org.apache.spark.sql.functions.{col, length}
+    implicit val sqlCtx = spark.sqlContext
+    val corpusPath = "/root/testdata/sf0.001/documents.parquet"
+    // the add-one model, recomputed independently (the batch spec's
+    // reference): bg counts, context counts, V = |contexts|
+    val texts = spark.read.parquet(corpusPath)
+      .select("text").collect().map(_.getString(0))
+    val allPairs = texts.flatMap { t =>
+      val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      ws.zip(ws.drop(1))
+    }
+    val bg = allPairs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ca = bg.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val v = ca.size.toLong
+    def q(num: Long, den: Long): Long =
+      math.floor(-math.log(num.toDouble / den.toDouble) *
+        graft.queries.PipelineQueries.NllMicro).toLong
+    // one corpus doc: every bigram in-model -> batch score exactly
+    val doc = spark.read.parquet(corpusPath)
+      .filter(length(col("text")) > 0).select("doc_id", "text").head()
+    val batch = graft.queries.PipelineQueries
+      .textBigramNll(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") === doc.getLong(0)).head()
+    val aKnown = ca.keys.min // a context word that exists in the model
+    val in = MemoryStream[(Timestamp, String)]
+    val q2 = StreamOps.toMemory(
+      Run.lmScoreTopology(spark, in.toDF().toDF("ts", "value"),
+        corpusPath, order = 2),
+      "run_lm2", OutputMode.Append, ckpt())
+    try {
+      in.addData(
+        (at("2024-01-01 10:00:00"), doc.getString(1)),
+        (at("2024-01-01 10:01:00"), s"$aKnown zzqqx"), // known ctx, new b
+        (at("2024-01-01 10:02:00"), "zzqqx zzqqy"),    // unknown ctx
+        (at("2024-01-01 10:03:00"), "zzqqx"))          // no bigram
+      q2.processAllAvailable()
+      val rows = spark.table("run_lm2")
+        .select("text", "n_bigrams", "nll_micro_sum").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(rows.contains((doc.getString(1),
+        batch.getAs[Long]("n_bigrams"), batch.getAs[Long]("nll_micro_sum"))),
+        s"in-corpus doc must score exactly as the batch query: $rows")
+      assert(rows.contains((s"$aKnown zzqqx", 1L, q(1, ca(aKnown) + v))),
+        s"unseen bigram under known context must cost -ln(1/(c_a+V)): $rows")
+      assert(rows.contains(("zzqqx zzqqy", 1L, q(1, v))),
+        s"unknown context must cost -ln(1/V): $rows")
+      assert(rows.contains(("zzqqx", 0L, 0L)),
+        s"a 1-word line has no bigram and must emit (0,0): $rows")
+    } finally q2.stop()
+  }
+
   test("Run sessionize emits finalized sessions that equal the batch " +
       "sessionAgg on an in-order fixture (gap merge included)") {
     implicit val sqlCtx = spark.sqlContext
