@@ -103,6 +103,36 @@ object VectorMath {
     acc
   }
 
+  /** Positional word n-gram hashes; see [[GramHashes]]. Same split and
+   *  hash family as [[shingleHashes]] but duplicates are KEPT in gram
+   *  order — element k is the hash of the gram starting at word k, so
+   *  downstream posexplode yields (position, hash) pairs for span-level
+   *  dedup ([[graft.ops.DedupOps.repeatedSpanStats]]). */
+  def gramHashes(text: String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val words = new java.util.ArrayList[String]()
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && isWs(text.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(text.charAt(i))) i += 1
+      if (i > start) words.add(text.substring(start, i))
+    }
+    val m = math.max(words.size - n + 1, 0)
+    val out = new Array[Long](m)
+    var g = 0
+    while (g < m) {
+      val sb = new java.lang.StringBuilder(words.get(g))
+      var j = 1
+      while (j < n) { sb.append(' ').append(words.get(g + j)); j += 1 }
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      out(g) = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        u, org.apache.spark.sql.types.StringType, 42L)
+      g += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   /** Word n-gram shingle hashes; see [[ShingleHashes]]. Split semantics
    *  match Java regex \s+ with empty tokens dropped (maximal runs of
    *  ASCII whitespace); hash matches Spark's xxhash64 (XXH64, seed 42)
@@ -898,6 +928,31 @@ case class ShingleHashes(child: Expression, n: Int)
 }
 
 /**
+ * Positional word n-gram hashes: element k = xxhash64 (seed 42, same
+ * family as [[ShingleHashes]]) of the space-joined gram starting at
+ * word k. Duplicates KEPT, gram order preserved — the positional input
+ * for repeated-span dedup, where [[ShingleHashes]]' set semantics
+ * would erase within-document repeats and all positions.
+ */
+case class GramHashes(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.gramHashes(v.toString, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.VectorMath.gramHashes($t.toString(), $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * Sign-random-projection LSH bucket id for a float vector: `bits`
  * pseudorandom +/-1 hyperplanes (plane p, dim d sign = parity of
  * XXH64(p << 32 | d)), bucket bit p = sign of the projection. One
@@ -1302,6 +1357,9 @@ object native {
 
   def shingle_hashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(text), n))
+
+  def gram_hashes(text: Column, n: Int): Column =
+    GraftColumnBridge.column(GramHashes(GraftColumnBridge.expression(text), n))
 
   def simhash64(featureHashes: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(featureHashes)))

@@ -171,6 +171,55 @@ object DedupOps {
   }
 
   /**
+   * Exact repeated n-gram SPAN statistics — the exact-substring pass of
+   * corpus dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+   * Language Models Better"): a gram position is *duplicated* when the
+   * identical word n-gram occurs anywhere else in the corpus (another
+   * document or elsewhere in the same one). Per document:
+   *   n_grams    — total gram positions (len(words) - n + 1, min 0);
+   *   n_dup      — duplicated positions;
+   *   dup_tokens — tokens covered by at least one duplicated gram (the
+   *                union of the per-position [p, p+n-1] intervals — what
+   *                the removal pass would cut).
+   * Documents with fewer than n words report all zeros.
+   *
+   * Scale shape: gram hashing is one row-local [[graft.functions.GramHashes]]
+   * kernel call; the corpus-wide occurrence count is a two-phase hash agg
+   * on the 64-bit gram hash, and positions rejoin counts by that same
+   * fixed-width key — raw text never shuffles (the exploded rows carry
+   * (doc_id, pos, hash) triples). The interval union is a per-document
+   * lead() window over only the DUPLICATED positions (sparse by
+   * construction at any realistic n), summed as
+   * Σ least(n, next_pos - pos) with the last interval contributing n —
+   * no per-token explode. Hash collisions (2^-64-scale) could flag one
+   * extra position, the same trade [[ngramJaccardPairs]] documents.
+   */
+  def repeatedSpanStats(df: DataFrame, id: Column, text: Column,
+      n: Int = 4): DataFrame = {
+    // fanOut: gram hashing is the heavy per-row stage (see ngramJaccardPairs)
+    val grams = FanOut.fanOut(df)
+      .select(id.as("doc_id"),
+        posexplode(graft.functions.native.gram_hashes(text, n)))
+      .toDF("doc_id", "pos", "gh")
+    val dupHashes = grams.groupBy("gh")
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select("gh")
+    val totals = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val covered = grams.join(dupHashes, "gh")
+      .withColumn("nxt", lead(col("pos"), 1).over(w))
+      .withColumn("cov", least(coalesce(col("nxt") - col("pos"), lit(n)), lit(n)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup"), sum(col("cov")).cast("bigint").as("dup_tokens"))
+    df.select(id.as("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
+  /**
    * Connected components over a near-dup pair graph by iterated
    * min-label propagation — the clustering step a real pipeline runs
    * after pairwise candidate generation (a pair list alone over-deletes:

@@ -198,6 +198,47 @@ object SimilarityOps {
   }
 
   /**
+   * SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+   * web-scale through semantic deduplication"): k-means-cluster the
+   * embedding corpus, then mark within-cluster semantic near-duplicates
+   * (cosine >= threshold) and keep one survivor per duplicate pair —
+   * the smaller vec_id, the same canonical-survivor convention as
+   * [[graft.ops.DedupOps.exactGroups]]. (The published policy keeps one
+   * representative per duplicate group chosen by centroid distance;
+   * the smaller-id rule is the deterministic, engine-reproducible
+   * variant: any vector with a smaller-id in-cell near-duplicate is
+   * dropped — pair-wise, not connected components, so a chain a~b, b~c
+   * drops both b and c even when a!~c.) Output: every corpus vector as
+   * (vec_id, cell, keep).
+   *
+   * Scale shape: training is [[kmeansCentroids]] (iters corpus passes,
+   * shuffles carry k x dim decimal partials); assignment is a row-local
+   * [[graft.functions.IvfProbeCells]] projection. The near-dup scan is
+   * a self equi-join on cell id — pair work is Σ|cell|², so k must
+   * grow with the corpus (the paper uses ~100k clusters at web scale)
+   * to keep cells bounded; the join shuffles each vector once,
+   * hash-partitioned by cell, never all-pairs.
+   */
+  def semDedup(emb: DataFrame, k: Int, iters: Int,
+      threshold: Double): DataFrame = {
+    val cents = kmeansCentroids(emb, k, iters)
+    val cNorms = cents.map(c =>
+      math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+        l2Norm(col("embedding")).as("nrm"))
+      .withColumn("cell", element_at(
+        graft.functions.native.ivf_probe_cells(col("embedding"), cents, cNorms, 1), 1))
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cosine(col("a.embedding"), col("b.embedding"),
+        col("a.nrm"), col("b.nrm")) >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("dropped", lit(true))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dropped").isNull.as("keep"))
+  }
+
+  /**
    * LSH-blocked near-duplicate pairs — the 100 TB path next to the
    * exact [[embeddingNearDups]]: `tables` independent bands of `bits`
    * sign bits each (OR-amplification — a pair is a candidate if ANY

@@ -189,6 +189,37 @@ object Oracles {
       |JOIN sizes s2 ON id2 = s2.doc_id
       |WHERE i / (s1.sz + s2.sz - i) >= 0.8""".stripMargin
 
+  /** Mirrors [[PipelineQueries.dedupSpans]]: same whitespace words, same
+   *  gram windows, the corpus count grouped on the gram STRING where
+   *  Spark groups on its xxhash64 (identical counts barring 2^-64-scale
+   *  collisions — the decontaminate oracle's established equivalence),
+   *  same lead()-window interval union. sum() is CAST to BIGINT
+   *  (DuckDB sums to HUGEINT; Spark's is bigint). */
+  val dedupSpans: String = {
+    val n = PipelineQueries.SpanN
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, i AS pos, array_to_string(ws[i+1:i+$n], ' ') AS gram
+       |  FROM w, unnest(range(0, greatest(len(ws) - $n + 1, 0))) t(i)),
+       |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+       |tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+       |d AS (
+       |  SELECT doc_id, pos, lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+       |  FROM g JOIN dup USING (gram)),
+       |cov AS (
+       |  SELECT doc_id, count(*) AS n_dup,
+       |         CAST(sum(least(coalesce(nxt - pos, $n), $n)) AS BIGINT) AS dup_tokens
+       |  FROM d GROUP BY 1)
+       |SELECT w.doc_id,
+       |       coalesce(n_grams, 0) AS n_grams,
+       |       coalesce(n_dup, 0) AS n_dup,
+       |       coalesce(dup_tokens, 0) AS dup_tokens
+       |FROM w LEFT JOIN tot USING (doc_id) LEFT JOIN cov USING (doc_id)""".stripMargin
+  }
+
   /** Unblocked exact-Jaccard pairs at the minhash threshold. Valid as the
    *  dedup_minhash oracle because the LSH stage (b=16, r=4 -> S-curve
    *  midpoint ~0.54) has empirically total recall on this corpus: every
@@ -462,11 +493,11 @@ object Oracles {
    * standard IVF probe/score tail. Empty cells keep the previous
    * centroid (LEFT JOIN + coalesce, matching the Scala fold).
    */
-  val simIvfKmeans: String = {
-    val k = PipelineQueries.KmCells
-    val iters = PipelineQueries.KmIters
-    val dim = PipelineQueries.EmbeddingDim
-    val ids = PipelineQueries.SimQueryIds.mkString(", ")
+  /** The k-means-training + cell-assignment CTE prefix shared by
+   *  [[simIvfKmeans]] and [[semDedup]]: unrolled DECIMAL-exact Lloyd
+   *  iterations ending in `a` (per-vector cell ranking) and `cells`
+   *  (the rnk=1 assignment: vec_id, embedding, nrm, cell). */
+  private def kmeansCellsPrefix(k: Int, iters: Int, dim: Int): String = {
     def cScore(ce: String) =
       s"coalesce((${dotSql.format("e.embedding", ce)}) / nullif(e.nrm * sqrt(${dotSql.format(ce, ce)}), 0), CAST('-infinity' AS DOUBLE))"
     val iterCtes = (1 to iters).map { i =>
@@ -486,7 +517,7 @@ object Oracles {
          |c$i AS (SELECT c.cid, coalesce(n.ce, c.ce) AS ce
          |        FROM c$p c LEFT JOIN n$i n USING (cid))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, embedding,
        |         sqrt(${dotSql.format("embedding", "embedding")}) AS nrm
        |  FROM embeddings),
@@ -497,7 +528,13 @@ object Oracles {
        |         row_number() OVER (PARTITION BY e.vec_id
        |           ORDER BY ${cScore("c.ce")} DESC, c.cid) AS rnk
        |  FROM e CROSS JOIN c$iters c),
-       |cells AS (SELECT vec_id, embedding, nrm, cid AS cell FROM a WHERE rnk = 1),
+       |cells AS (SELECT vec_id, embedding, nrm, cid AS cell FROM a WHERE rnk = 1)""".stripMargin
+  }
+
+  val simIvfKmeans: String = {
+    val ids = PipelineQueries.SimQueryIds.mkString(", ")
+    s"""WITH ${kmeansCellsPrefix(PipelineQueries.KmCells, PipelineQueries.KmIters,
+          PipelineQueries.EmbeddingDim)},
        |qp AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm, cid AS cell
        |       FROM a WHERE vec_id IN ($ids) AND rnk <= ${PipelineQueries.KmProbe}),
        |sc AS (
@@ -521,6 +558,22 @@ object Oracles {
        |       round(${dotSql.format("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) AS cos_r
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
        |WHERE ${dotSql.format("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= ${PipelineQueries.NearDupCos}""".stripMargin
+
+  /** Mirrors [[PipelineQueries.semDedup]] end-to-end including the
+   *  k-means training (shared [[kmeansCellsPrefix]] — bit-identical
+   *  centroids, same argmax assignment), then the within-cell pair scan
+   *  and smaller-id-survivor rule. `cell` is CAST to INT (Spark's
+   *  IvfProbeCells emits int cell ids; DuckDB's cid descends from the
+   *  BIGINT vec_id). */
+  val semDedup: String =
+    s"""WITH ${kmeansCellsPrefix(PipelineQueries.KmCells, PipelineQueries.KmIters,
+          PipelineQueries.EmbeddingDim)},
+       |dup AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${dotSql.format("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= ${PipelineQueries.NearDupCos})
+       |SELECT c.vec_id, CAST(c.cell AS INT) AS cell, d.vec_id IS NULL AS keep
+       |FROM cells c LEFT JOIN dup d ON c.vec_id = d.vec_id""".stripMargin
 
   private def stopListSql(stops: Seq[String]) = stops.map(s => s"'$s'").mkString(", ")
   private val langScores = graft.ops.TextAnalyticsOps.Stopwords.map { case (lang, stops) =>

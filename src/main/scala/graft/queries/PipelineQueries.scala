@@ -66,6 +66,16 @@ object PipelineQueries {
     DedupOps.ngramJaccardPairs(Tables.documents(spark, sfDir),
       col("doc_id"), col("text"), col("source"), n = 3, threshold = 0.8)
 
+  /** Word n-gram length for [[dedupSpans]] (4 ⇒ ~12% of gram positions
+   *  duplicated on the synthetic corpus — sparse but non-vacuous). */
+  val SpanN = 4
+
+  /** Exact repeated-span statistics (the Lee et al. 2022
+   *  exact-substring dedup pass) per document. */
+  def dedupSpans(spark: SparkSession, sfDir: String): DataFrame =
+    DedupOps.repeatedSpanStats(Tables.documents(spark, sfDir),
+      col("doc_id"), col("text"), n = SpanN)
+
   /** MinHash+LSH candidates verified by exact Jaccard. Oracle-checked:
    *  the exact-verify stage makes the output equal unblocked all-pairs
    *  Jaccard >= threshold whenever LSH recall is total, which it is on
@@ -268,6 +278,14 @@ object PipelineQueries {
   /** Embedding near-duplicate pairs (cosine >= threshold). */
   def embedNearDup(spark: SparkSession, sfDir: String): DataFrame =
     SimilarityOps.embeddingNearDups(Tables.embeddings(spark, sfDir), NearDupCos)
+
+  /** SemDeDup: k-means clusters (same trained quantizer as
+   *  [[simIvfKmeans]]) + within-cluster cosine near-dup marking,
+   *  smaller-id survivor. Oracle replays the full train+scan
+   *  relationally (Oracles.semDedup). */
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame =
+    SimilarityOps.semDedup(Tables.embeddings(spark, sfDir),
+      k = KmCells, iters = KmIters, threshold = NearDupCos)
 
   /** LSH-blocked near-dup pairs (the 100 TB path: banded same-bucket
    *  equi-join instead of all-pairs; oracle mirrors the banding). */

@@ -115,4 +115,35 @@ class DedupOpsSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
     }
   }
+
+  test("gram_hashes keeps duplicates in gram order; short text -> empty") {
+    val hs = Seq(("z z z z z", 1), ("p q r", 2)).toDF("text", "k")
+      .select($"k", graft.functions.native.gram_hashes($"text", 4))
+      .as[(Int, Seq[Long])].collect().toMap
+    assert(hs(2).isEmpty) // 3 words < n
+    assert(hs(1).size == 2 && hs(1)(0) == hs(1)(1)) // within-doc repeat kept
+  }
+
+  test("repeatedSpanStats: cross-doc + within-doc repeats, interval union") {
+    val d = Seq(
+      (1L, "a b c d e f"), // shares "a b c d" with 2 and 6, "b c d e" with 6
+      (2L, "a b c d x y"),
+      (3L, "z z z z z"), // within-doc repeat only
+      (4L, "p q r"), // < n words -> zeros
+      (5L, "m n o p q"), // no repeated grams
+      (6L, "a b c d e a b c d e") // overlapping + disjoint spans merge
+    ).toDF("doc_id", "text")
+    val got = DedupOps.repeatedSpanStats(d, col("doc_id"), col("text"), n = 4)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // dup positions {0, 1}: [0..3] u [1..4] = 5 tokens
+    assert(got(1L) == ((3L, 2L, 5L)))
+    assert(got(2L) == ((3L, 1L, 4L)))
+    // "z z z z" at pos 0 and 1: [0..3] u [1..4] = 5 tokens
+    assert(got(3L) == ((2L, 2L, 5L)))
+    assert(got(4L) == ((0L, 0L, 0L)))
+    assert(got(5L) == ((2L, 0L, 0L)))
+    // dup positions {0,1,5,6}: [0..4] u [5..9] = all 10 tokens
+    assert(got(6L) == ((7L, 4L, 10L)))
+  }
 }

@@ -109,4 +109,23 @@ class SimilarityOpsSpec extends SparkSpec {
     // near-identical vectors agree on every plane -> every band matches
     assert(lsh.contains((0L, 1L)))
   }
+
+  test("semDedup: every vector reported once; dropped have a smaller-id " +
+      "in-cell near-dup; survivors of a dup pair keep the smaller id") {
+    val out = SimilarityOps.semDedup(emb, k = 2, iters = 2, threshold = 0.9)
+      .as[(Long, Int, Boolean)].collect()
+    assert(out.map(_._1).sorted.toSeq == (0L to 4L)) // all vectors, once each
+    val keep = out.map(r => r._1 -> r._3).toMap
+    val cell = out.map(r => r._1 -> r._2).toMap
+    // exact near-dup pairs at 0.9: (0,1), (0,4), (1,4) — clustered
+    // together, so 1 and 4 fall to survivor 0
+    assert(keep(0L) && !keep(1L) && !keep(4L))
+    assert(keep(2L) && keep(3L)) // no near-dup at all
+    assert(cell(0L) == cell(1L) && cell(0L) == cell(4L))
+    // a dropped vector's smaller-id partner must share its cell
+    val exact = SimilarityOps.embeddingNearDups(emb, 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    out.filter(!_._3).foreach { case (id, c, _) =>
+      assert(exact.exists(p => p._2 == id && cell(p._1) == c)) }
+  }
 }
