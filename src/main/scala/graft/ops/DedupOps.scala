@@ -183,16 +183,22 @@ object DedupOps {
    *                the removal pass would cut).
    * Documents with fewer than n words report all zeros.
    *
-   * Scale shape: gram hashing is one row-local [[graft.functions.GramHashes]]
-   * kernel call; the corpus-wide occurrence count is a two-phase hash agg
-   * on the 64-bit gram hash, and positions rejoin counts by that same
-   * fixed-width key — raw text never shuffles (the exploded rows carry
-   * (doc_id, pos, hash) triples). The interval union is a per-document
-   * lead() window over only the DUPLICATED positions (sparse by
-   * construction at any realistic n), summed as
-   * Σ least(n, next_pos - pos) with the last interval contributing n —
-   * no per-token explode. Hash collisions (2^-64-scale) could flag one
-   * extra position, the same trade [[ngramJaccardPairs]] documents.
+   * Scale shape: ONE heavy pass. Gram hashing is one row-local
+   * [[graft.functions.GramHashes]] kernel call per document, exploded
+   * once; every downstream stage works on fixed-width (doc_id, pos,
+   * hash) triples — raw text never shuffles, and the kernel never
+   * re-runs (a join-based formulation re-evaluates the exploded
+   * subtree per consumer; PlanShapeSpec pins the single-evaluation
+   * shape). The corpus-wide occurrence count is a count() window
+   * partitioned by the 64-bit hash (first exchange); the interval
+   * union is a per-document lead() window over only the DUPLICATED
+   * positions — expressed as a running min of following dup positions
+   * partitioned by doc_id alone, so the doc-level aggregate reuses the
+   * same partitioning (second and last exchange) — summed as
+   * Σ least(n, next_pos - pos) with the last interval contributing n.
+   * No per-token explode, no self-join. Hash collisions
+   * (2^-64-scale) could flag one extra position, the same trade
+   * [[ngramJaccardPairs]] documents.
    */
   def repeatedSpanStats(df: DataFrame, id: Column, text: Column,
       n: Int = 4): DataFrame = {
@@ -201,18 +207,24 @@ object DedupOps {
       .select(id.as("doc_id"),
         posexplode(graft.functions.native.gram_hashes(text, n)))
       .toDF("doc_id", "pos", "gh")
-    val dupHashes = grams.groupBy("gh")
-      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select("gh")
-    val totals = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val covered = grams.join(dupHashes, "gh")
-      .withColumn("nxt", lead(col("pos"), 1).over(w))
-      .withColumn("cov", least(coalesce(col("nxt") - col("pos"), lit(n)), lit(n)))
+    val dup = count(lit(1)).over(Window.partitionBy("gh")) > 1
+    // nearest FOLLOWING duplicated position in the same doc (null when
+    // none): a running min over the frame after the current row — keeps
+    // the window keyed by doc_id only, so the per-doc agg below adds no
+    // third exchange (a lead() over a (doc_id, dup) partition would)
+    val nxt = min(when(col("dup"), col("pos"))).over(
+      Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(1, Window.unboundedFollowing))
+    val perDoc = grams
+      .withColumn("dup", dup)
+      .withColumn("cov",
+        when(col("dup"), least(coalesce(nxt - col("pos"), lit(n)), lit(n))))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_dup"), sum(col("cov")).cast("bigint").as("dup_tokens"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("dup"), lit(1))).as("n_dup"),
+        coalesce(sum(col("cov")), lit(0)).cast("bigint").as("dup_tokens"))
     df.select(id.as("doc_id"))
-      .join(totals, Seq("doc_id"), "left")
-      .join(covered, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup"),

@@ -100,6 +100,21 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("dedup_spans evaluates the gram kernel ONCE and shuffles only " +
+      "fixed-width triples (single-pass window shape, no self-join)") {
+    val p = plan("dedup_spans")
+    // one Generate = one kernel pass over the corpus; the join-based
+    // formulation re-evaluates the exploded subtree per consumer
+    assert("gramhashes".r.findAllIn(p).size == 1,
+      "gram kernel must run exactly once:\n" + p)
+    // the only hash exchanges are the two window keys (gh, then doc_id);
+    // everything after the Generate carries (doc_id, pos, gh) triples
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      "expected exactly gh + doc_id exchanges:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "span stats must not self-join the gram stream:\n" + p)
+  }
+
   test("scans prune columns (wordcount reads only text)") {
     val p = SparkEntry.queries("wordcount")(spark, sfDir)
       .queryExecution.executedPlan.toString
