@@ -41,11 +41,12 @@ import graft.streaming.StreamOps
  * rolling_sort_lastn rolling_flight_dist rolling_flight_dist_snapshot
  * hash_sample json_props quality_cut curate trident_wordcount
  * decontaminate text_chunks text_scrub split_assign mix_weights
- * sessionize shuffle_shard lm_score
+ * sessionize shuffle_shard lm_score span_flag
  * (curate also takes --threshold <minScore> and --min-words <n>;
  *  decontaminate takes --bench <parquet path> for the benchmark set;
  *  lm_score takes --corpus <parquet path> for the model corpus and
- *  --order 1|2 for unigram vs add-one bigram scoring)
+ *  --order 1|2 for unigram vs add-one bigram scoring;
+ *  span_flag takes --corpus <parquet path> for the dup-gram model)
  */
 object Run {
   def main(args: Array[String]): Unit = {
@@ -206,6 +207,13 @@ object Run {
         (lmScoreTopology(spark, lines(), opts.getOrElse("corpus",
           "/root/testdata/sf0.001/documents.parquet"),
           opts.getOrElse("order", "1").toInt), OutputMode.Append)
+      case "span_flag" =>
+        // repeated-span flagging, live: the dup-gram hash set is
+        // learned offline from --corpus (the batch dedup_spans rule),
+        // broadcast sorted, and probed row-locally by binary search —
+        // the lm_score offline-model/online-filter split
+        (spanFlagTopology(spark, lines(), opts.getOrElse("corpus",
+          "/root/testdata/sf0.001/documents.parquet")), OutputMode.Append)
       case "hash_sample" =>
         // deterministic content-hash downsampling, live: the same
         // row-local predicate as the gated batch query — no RNG, no
@@ -347,6 +355,16 @@ object Run {
         s"--order $n: only unigram (1) and bigram (2) models ship")
     }
   }
+
+  /** Repeated-span flagging at ingest: the dup-gram set is an offline
+   *  artifact of the gated batch query's corpus count
+   *  (StreamOps.spanFlagStream has the scale reasoning). Factored so
+   *  RunTopologySpec drives the exact composition. */
+  private[graft] def spanFlagTopology(spark: SparkSession,
+      lines: DataFrame, corpusPath: String): DataFrame =
+    StreamOps.spanFlagStream(
+      lines.select(col("ts"), col("value").as("text")),
+      spark.read.parquet(corpusPath))
 
   /** The two per-trigger-sort topologies run through foreachBatch. */
   private def runForeachBatch(spark: SparkSession, name: String, lines: DataFrame,

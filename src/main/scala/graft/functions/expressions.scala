@@ -133,6 +133,47 @@ object VectorMath {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
+  /** Row-local repeated-span statistics against a SORTED array of
+   *  duplicated gram hashes; see [[SpanFlagStats]]. Same word split,
+   *  gram windows, and hash family as [[gramHashes]]; membership is a
+   *  binary search (the sorted-long[] model is 8 bytes/entry with no
+   *  boxing — leaner than a HashSet at web-scale dup-set sizes).
+   *  Covered tokens accumulate forward: the first duplicated position
+   *  contributes n, each later one min(n, pos - prevDupPos) — the
+   *  same interval union the batch query's lead() window computes. */
+  def spanStats(text: String, n: Int, dup: Array[Long]): InternalRow = {
+    val words = new java.util.ArrayList[String]()
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && isWs(text.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(text.charAt(i))) i += 1
+      if (i > start) words.add(text.substring(start, i))
+    }
+    val m = math.max(words.size - n + 1, 0)
+    var nDup = 0L
+    var covered = 0L
+    var prevDup = -1
+    var g = 0
+    while (g < m) {
+      val sb = new java.lang.StringBuilder(words.get(g))
+      var j = 1
+      while (j < n) { sb.append(' ').append(words.get(g + j)); j += 1 }
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        u, org.apache.spark.sql.types.StringType, 42L)
+      if (java.util.Arrays.binarySearch(dup, h) >= 0) {
+        nDup += 1
+        covered += (if (prevDup < 0) n else math.min(n, g - prevDup))
+        prevDup = g
+      }
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](m.toLong, nDup, covered))
+  }
+
   /** Word n-gram shingle hashes; see [[ShingleHashes]]. Split semantics
    *  match Java regex \s+ with empty tokens dropped (maximal runs of
    *  ASCII whitespace); hash matches Spark's xxhash64 (XXH64, seed 42)
@@ -928,6 +969,41 @@ case class ShingleHashes(child: Expression, n: Int)
 }
 
 /**
+ * Live repeated-span gate: struct(n_grams, n_dup, dup_tokens) of a text
+ * against a broadcast SORTED long[] of duplicated gram hashes (learned
+ * offline by [[graft.ops.DedupOps.repeatedGramHashes]]). The model
+ * rides as a broadcast handle inside the expression (the
+ * [[LmUnigramScore]] pattern); executors binary-search a primitive
+ * array — no boxing, no per-row set construction, fully codegen'd.
+ * Output fields match [[graft.ops.DedupOps.repeatedSpanStats]], whose
+ * batch semantics this reproduces exactly when the model was learned
+ * from the same corpus the rows come from (RunTopologySpec pins it).
+ */
+case class SpanFlagStats(child: Expression, n: Int,
+    model: org.apache.spark.broadcast.Broadcast[Array[Long]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq("n_grams", "n_dup", "dup_tokens").map(f =>
+      org.apache.spark.sql.types.StructField(f,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.spanStats(v.toString, n, model.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("spanModel", model,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.VectorMath.spanStats($t.toString(), $n, " +
+        s"(long[])$mRef.value())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * Positional word n-gram hashes: element k = xxhash64 (seed 42, same
  * family as [[ShingleHashes]]) of the space-joined gram starting at
  * word k. Duplicates KEPT, gram order preserved — the positional input
@@ -1360,6 +1436,11 @@ object native {
 
   def gram_hashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(GramHashes(GraftColumnBridge.expression(text), n))
+
+  def span_flag_stats(text: Column, n: Int,
+      model: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
+    GraftColumnBridge.column(
+      SpanFlagStats(GraftColumnBridge.expression(text), n, model))
 
   def simhash64(featureHashes: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(featureHashes)))

@@ -231,6 +231,17 @@ object DedupOps {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
   }
 
+  /** The distinct 64-bit hashes of grams occurring MORE THAN ONCE in
+   *  `df` — the offline "dup model" the live span gate
+   *  (`StreamOps.spanFlagStream`) broadcasts. Same kernel, hash
+   *  family, and >1 rule as [[repeatedSpanStats]]; one explode + one
+   *  two-phase count agg on the fixed-width hash. */
+  def repeatedGramHashes(df: DataFrame, text: Column, n: Int = 4): DataFrame =
+    FanOut.fanOut(df)
+      .select(explode(graft.functions.native.gram_hashes(text, n)).as("gh"))
+      .groupBy("gh").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("gh")
+
   /**
    * Connected components over a near-dup pair graph by iterated
    * min-label propagation — the clustering step a real pipeline runs

@@ -369,6 +369,38 @@ object StreamOps {
   }
 
   /**
+   * Live REPEATED-SPAN gate — the streaming form of
+   * `PipelineQueries.dedupSpans`, same offline-model / online-filter
+   * split as [[lmScoreStream]]: the set of duplicated gram hashes is
+   * learned from a static corpus ONCE at topology build
+   * (`DedupOps.repeatedGramHashes` — the identical window rule the
+   * gated batch query applies), collected to a SORTED primitive
+   * long[] (8 bytes/hash, no boxing) and sc.broadcast; flagging is a
+   * pure projection through the native
+   * [[graft.functions.SpanFlagStats]] kernel — binary-search probes,
+   * no state, no stream-static join (which would re-run the learn agg
+   * every micro-batch — the measured lm_score failure mode),
+   * Append-safe. When the streamed rows ARE the model corpus the
+   * emitted (n_grams, n_dup, dup_tokens) equal the batch query's
+   * exactly (RunTopologySpec pins it). Scale: the model is the
+   * DUP-gram set of the reference corpus — bounded by the curated
+   * corpus's repetition, not the stream; at sizes past executor
+   * memory the batch join form is the right tool instead. Docs must
+   * carry a `text` column; all input columns pass through.
+   */
+  def spanFlagStream(docs: DataFrame, corpus: DataFrame,
+      n: Int = graft.queries.PipelineQueries.SpanN): DataFrame = {
+    val dup = graft.ops.DedupOps.repeatedGramHashes(corpus, col("text"), n)
+      .collect().map(_.getLong(0)).sorted
+    val bc = docs.sparkSession.sparkContext.broadcast(dup)
+    val passthrough = docs.columns.map(col)
+    docs
+      .withColumn("st", graft.functions.native.span_flag_stats(col("text"), n, bc))
+      .select(passthrough ++ Seq(col("st.n_grams").as("n_grams"),
+        col("st.n_dup").as("n_dup"), col("st.dup_tokens").as("dup_tokens")): _*)
+  }
+
+  /**
    * Live MIXTURE MONITOR — the streaming form of
    * `PipelineQueries.mixWeights`: running per-source doc/token totals
    * as a Complete-mode aggregate (group count = sources, bounded by

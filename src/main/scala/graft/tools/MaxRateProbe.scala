@@ -298,6 +298,11 @@ object MaxRateProbe {
         in.select(col("ts"), Generators.docLine(col("value")).as("text")),
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
     }
+    search("span_flag", seed = 500000, OutputMode.Append) { in =>
+      StreamOps.spanFlagStream(
+        in.select(col("ts"), Generators.docLine(col("value")).as("text")),
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    }
     search("pipeline_curate", seed = 500000, OutputMode.Append) { in =>
       StreamOps.curateStream(
         in.select(col("ts"), col("value").as("doc_id"),

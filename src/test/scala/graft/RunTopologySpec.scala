@@ -178,6 +178,45 @@ class RunTopologySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Run span_flag flags live lines with the batch dedup_spans " +
+      "semantics; novel and short lines emit zero-dup rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpusPath = "/root/testdata/sf0.001/documents.parquet"
+    // batch expectation from the GATED query itself: stream every
+    // corpus doc through the gate built from the same corpus — the
+    // per-doc stats must match exactly (the dup set is corpus-wide, so
+    // within-corpus docs see identical membership)
+    val batch = graft.queries.PipelineQueries
+      .dedupSpans(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val docs = spark.read.parquet(corpusPath)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.toMemory(
+      Run.spanFlagTopology(spark, in.toDF().toDF("ts", "value"), corpusPath),
+      "run_span", OutputMode.Append, ckpt())
+    try {
+      val t0 = at("2024-01-01 10:00:00")
+      in.addData(docs.map { case (_, t) => (t0, t) }.toIndexedSeq)
+      in.addData((t0, "zzq wwq vvq uuq rrq"), (t0, "one two"))
+      q.processAllAvailable()
+      val rows = spark.table("run_span")
+        .select("text", "n_grams", "n_dup", "dup_tokens").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      val byText = docs.map { case (id, t) => t -> batch(id) }.toMap
+      rows.filter(r => byText.contains(r._1)).foreach { case (t, got) =>
+        assert(got == byText(t), s"live != batch for '$t'") }
+      val m = rows.toMap
+      assert(m("zzq wwq vvq uuq rrq") == ((2L, 0L, 0L)),
+        "novel text must flag nothing")
+      assert(m("one two") == ((0L, 0L, 0L)),
+        "sub-n text must emit zeros, not vanish")
+      // the corpus genuinely exercises the gate (non-vacuous fixture)
+      assert(rows.exists(_._2._2 > 0), "no dup spans flagged at all")
+    } finally q.stop()
+  }
+
   test("Run lm_score --order 2 scores live lines with the batch bigram " +
       "model; unseen bigrams pay the model's own smoothed fallbacks") {
     import org.apache.spark.sql.functions.{col, length}
