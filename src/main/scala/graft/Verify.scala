@@ -15,12 +15,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Dev-only subset filter (SPARK_GRAFT_ONLY=q1,q2): dump + oracle for
+    // just the named queries so scripts/check.py gates them in isolation
+    // while iterating. The driver never sets it — full run unchanged.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String) = only.forall(_.contains(name))
     // Per-query watchdog (shared with Bench): one hung query must not
     // zero the whole round's correctness file (round-2 regression: {}).
     // On timeout/failure the partial output dir is deleted — a
     // half-written parquet dir would otherwise be globbed by the driver
     // and compared as if it were the full result.
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       val ok = Watchdog.run(spark, "verify", name, Watchdog.timeoutSec) {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -44,7 +50,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(o => selected(o._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -231,6 +231,75 @@ object DedupOps {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
   }
 
+  /**
+   * Unit-level exact dedup with document RECONSTRUCTION — the C4/
+   * RefinedWeb "paragraph dedup" pass: cut the corpus into content
+   * units, keep each distinct unit only at its globally FIRST
+   * occurrence (ordered by (doc_id, unit_id) — a total order, so
+   * survivorship is deterministic and engine-reproducible), and
+   * rebuild every document from its surviving units. This corpus
+   * carries no newline delimiters (TESTDATA.md), so units are
+   * `unitTokens`-word blocks — the same cut textChunks trains on; on
+   * newline-delimited text the unit boundary swaps for `split('\n')`
+   * and nothing else changes. Unlike [[repeatedSpanStats]] (which
+   * *measures* duplication), this op performs the removal: the output
+   * is the deduplicated corpus, hash-verifiable per document.
+   *
+   * Per document: n_units, n_kept (surviving units), kept_tokens, and
+   * kept_hash = md5 of the space-joined surviving text ('' empty-doc
+   * sentinel hashes like everything else, so zero-unit docs are still
+   * gated rows, not dropped ones).
+   *
+   * Scale shape: ONE heavy pass. Unit hashing is row-local (split +
+   * slice + md5 per unit); everything that shuffles afterwards is
+   * fixed-width (doc_id, unit_id, unit_hash) triples — raw text never
+   * shuffles. Survivorship is a row_number() window partitioned by the
+   * unit hash (first exchange, the same hash-partition device the
+   * other dedup ops use; md5 collisions could merge two distinct units
+   * — the 2^-128-scale trade [[ngramJaccardPairs]] documents); the
+   * per-doc rollup regroups the triples by doc_id (second exchange —
+   * surviving unit ids aggregate to a sorted array bounded by the
+   * doc's own length). Reconstruction then re-joins that fixed-width
+   * rollup to the corpus BY ID ONLY and re-slices each doc's words
+   * row-locally: the id-keyed join is the one place the text relation
+   * participates, co-partitioned (shuffle-free on the docs side) under
+   * the bucketed-by-doc_id layout sources.BucketedLayout documents.
+   */
+  def unitDedup(df: DataFrame, id: Column, text: Column,
+      unitTokens: Int): DataFrame = {
+    val k = unitTokens
+    val words = TextAnalyticsOps.words(text)
+    // fanOut: unit hashing is the heavy per-row stage (see ngramJaccardPairs)
+    val units = FanOut.fanOut(df)
+      .select(id.as("doc_id"), words.as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0),
+          ceil(size(col("w")) / lit(k.toDouble)).cast("int") - 1)).as("c"))
+      .select(col("doc_id"), col("c").cast("bigint").as("unit_id"),
+        md5(array_join(slice(col("w"), col("c") * k + 1, lit(k)), " ")).as("uh"))
+    val keep = row_number().over(
+      Window.partitionBy("uh").orderBy("doc_id", "unit_id")) === 1
+    val perDoc = units
+      .withColumn("keep", keep)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_units"),
+        count(when(col("keep"), lit(1))).as("n_kept"),
+        sort_array(collect_list(when(col("keep"), col("unit_id"))))
+          .as("kept_ids"))
+    df.select(id.as("doc_id"), words.as("w"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_units"), lit(0L)).as("n_units"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        flatten(transform(
+          coalesce(col("kept_ids"), array().cast("array<bigint>")),
+          c => slice(col("w"), (c * k + 1).cast("int"), lit(k)))).as("kw"))
+      .select(col("doc_id"), col("n_units"), col("n_kept"),
+        size(col("kw")).cast("bigint").as("kept_tokens"),
+        md5(array_join(col("kw"), " ")).as("kept_hash"))
+  }
+
   /** The distinct 64-bit hashes of grams occurring MORE THAN ONCE in
    *  `df` — the offline "dup model" the live span gate
    *  (`StreamOps.spanFlagStream`) broadcasts. Same kernel, hash

@@ -91,6 +91,42 @@ object SimilarityOps {
         round(col("cos"), 4).as("cos_r"))
   }
 
+  /** Sign table for [[randomProjection]]: deterministic ±1 vectors from
+   *  XXH64((plane << 32) | dim, seed 43) parity — the same derivation
+   *  family as [[lshBucket]]'s hyperplanes (seed 42), on an independent
+   *  seed so the projection basis and the ANN bucket basis are
+   *  uncorrelated. Identical on every executor with no broadcast, and
+   *  re-derivable into oracle SQL (Oracles.embedProject). */
+  def projectionSigns(planes: Int, dim: Int): Array[Array[Float]] =
+    Array.tabulate(planes)(p => Array.tabulate(dim) { d =>
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        (p.toLong << 32) | d.toLong, org.apache.spark.sql.types.LongType, 43L)
+      if ((h & 1L) == 0L) 1.0f else -1.0f
+    })
+
+  /**
+   * Random ±1 projection — Johnson–Lindenstrauss/Achlioptas
+   * dimensionality reduction, the standard preprocessing that shrinks
+   * a wide embedding column before ANN indexing or clustering at
+   * corpus scale. Output is long-form (vec_id, plane, proj_r): plane
+   * p's value is the signed sum Σ_d sign(p,d)·x_d in double precision,
+   * sequential accumulation order (the [[dot]] contract — bit-stable
+   * across engines; consumers wanting the isometry estimate scale by
+   * 1/√planes, a constant deliberately not baked in). Scale shape:
+   * pure row-local projection — one native [[dot]] kernel call per
+   * plane against a literal sign vector, one Generate for the
+   * long-form unpivot, ZERO shuffles; the scan reads only
+   * (vec_id, embedding).
+   */
+  def randomProjection(emb: DataFrame, planes: Int, dim: Int): DataFrame = {
+    val signs = projectionSigns(planes, dim)
+    val projs = array(signs.map(s => dot(col("embedding"), typedlit(s.toSeq))): _*)
+    emb.select(col("vec_id"), posexplode(projs))
+      .toDF("vec_id", "plane", "proj")
+      .select(col("vec_id"), col("plane").cast("bigint").as("plane"),
+        round(col("proj"), 4).as("proj_r"))
+  }
+
   /**
    * IVF (inverted-file) approximate top-k — the second scale path next
    * to [[annTopK]]'s LSH. Coarse quantizer: the first `nCells` vectors

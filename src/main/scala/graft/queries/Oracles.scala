@@ -220,6 +220,42 @@ object Oracles {
        |FROM w LEFT JOIN tot USING (doc_id) LEFT JOIN cov USING (doc_id)""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.dedupParagraphs]]: same whitespace words,
+   *  same fixed-width unit cut, survivorship grouped on the unit STRING
+   *  where Spark groups on its md5 (identical barring collisions — the
+   *  dedupSpans equivalence), same (doc_id, unit_id) first-occurrence
+   *  order. Reconstruction concatenates kept units in unit order
+   *  (string_agg ORDER BY unit_id), which equals Spark's sorted
+   *  kept-id word re-slice: units are space-joined words, so the
+   *  kept-unit join and the kept-word join are the same string. */
+  val dedupParagraphs: String = {
+    val k = PipelineQueries.ParaTokens
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |u AS (
+       |  SELECT doc_id, i AS unit_id,
+       |         array_to_string(ws[i*$k+1:i*$k+$k], ' ') AS unit
+       |  FROM w, unnest(range(0, CAST(ceil(CAST(len(ws) AS DOUBLE) / $k) AS INT))) t(i)),
+       |s AS (
+       |  SELECT doc_id, unit_id, unit,
+       |         row_number() OVER (PARTITION BY unit ORDER BY doc_id, unit_id) = 1 AS keep
+       |  FROM u),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_units,
+       |         count(*) FILTER (WHERE keep) AS n_kept,
+       |         CAST(coalesce(sum(len(string_split(unit, ' '))) FILTER (WHERE keep), 0) AS BIGINT) AS kept_tokens,
+       |         coalesce(string_agg(unit, ' ' ORDER BY unit_id) FILTER (WHERE keep), '') AS kept_text
+       |  FROM s GROUP BY doc_id)
+       |SELECT w.doc_id,
+       |       coalesce(n_units, 0) AS n_units,
+       |       coalesce(n_kept, 0) AS n_kept,
+       |       coalesce(kept_tokens, 0) AS kept_tokens,
+       |       md5(coalesce(kept_text, '')) AS kept_hash
+       |FROM w LEFT JOIN agg USING (doc_id)""".stripMargin
+  }
+
   /** Unblocked exact-Jaccard pairs at the minhash threshold. Valid as the
    *  dedup_minhash oracle because the LSH stage (b=16, r=4 -> S-curve
    *  midpoint ~0.54) has empirically total recall on this corpus: every
@@ -357,6 +393,25 @@ object Oracles {
        |         vec_id AS neighbor_id, round(cos, 4) AS cos_r
        |  FROM s)
        |SELECT query_id, rank, neighbor_id, cos_r FROM r WHERE rank <= ${PipelineQueries.SimK}""".stripMargin
+  }
+
+  /** Mirrors [[PipelineQueries.embedProject]]: the identical seed-43
+   *  sign table re-derived into a VALUES list (the simAnn device), the
+   *  same left-to-right double accumulation (list_sum over list_zip ==
+   *  the native dot kernel's sequential fold), same 4-dp round. */
+  val embedProject: String = {
+    val planes = (0 until PipelineQueries.ProjDim).map { p =>
+      val signs = (0 until PipelineQueries.EmbeddingDim).map { d =>
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          (p.toLong << 32) | d.toLong, org.apache.spark.sql.types.LongType, 43L)
+        if ((h & 1L) == 0L) "1.0" else "-1.0"
+      }.mkString(",")
+      s"($p, [$signs])"
+    }.mkString(",\n")
+    s"""WITH planes(p, s) AS (VALUES $planes)
+       |SELECT vec_id, CAST(pl.p AS BIGINT) AS plane,
+       |       round(${dotSql.format("embedding", "pl.s")}, 4) AS proj_r
+       |FROM embeddings, planes pl""".stripMargin
   }
 
   /** Mirrors [[SimilarityOps.annTopK]] end-to-end, including the LSH
@@ -848,6 +903,37 @@ object Oracles {
        |SELECT source, n_docs, n_tokens,
        |       round(scaled / (SELECT sum(scaled) FROM q), 6) AS weight
        |FROM q""".stripMargin
+  }
+
+  /** Mirrors [[PipelineQueries.mixSample]]: same token kernel, same
+   *  sqrt-quantized target weights (the mixWeights arithmetic), same
+   *  double op sequence for the rate → identical floor-quantized
+   *  thresholds (textUnigramNll's engine-stability argument), same
+   *  '0x'-CAST 24-bit md5 prefix (the splitAssign device). */
+  val mixSample: String = {
+    val space = PipelineQueries.MixHashSpace
+    val scale = PipelineQueries.MixScale
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+       |         CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) AS h24
+       |  FROM documents),
+       |s AS (SELECT source, sum(n_tokens) AS src_tokens FROM d GROUP BY source),
+       |x AS (SELECT source, src_tokens,
+       |             CAST(floor(sqrt(src_tokens) * $scale) AS BIGINT) AS scaled
+       |      FROM s),
+       |y AS (SELECT source, src_tokens, scaled,
+       |             sum(scaled) OVER () AS tot_scaled,
+       |             sum(src_tokens) OVER () AS tot_tokens
+       |      FROM x),
+       |t AS (SELECT source,
+       |             least($space, CAST(floor(
+       |               (CAST(scaled AS DOUBLE) / tot_scaled) /
+       |               (CAST(src_tokens AS DOUBLE) / tot_tokens) * $space.0)
+       |               AS BIGINT)) AS thresh
+       |      FROM y)
+       |SELECT doc_id, source, n_tokens
+       |FROM d JOIN t USING (source) WHERE h24 < thresh""".stripMargin
   }
 
   /** Mirrors [[PipelineQueries.splitAssign]]: DuckDB's '0x'-prefixed

@@ -76,6 +76,19 @@ object PipelineQueries {
     DedupOps.repeatedSpanStats(Tables.documents(spark, sfDir),
       col("doc_id"), col("text"), n = SpanN)
 
+  /** Words per dedup unit for [[dedupParagraphs]] (20 ⇒ ~3% of unit
+   *  positions duplicated on the synthetic corpus — sparse but
+   *  non-vacuous at every SF, like [[SpanN]]). */
+  val ParaTokens = 20
+
+  /** Paragraph-level exact dedup with document reconstruction (the
+   *  C4/RefinedWeb unit-dedup pass — [[DedupOps.unitDedup]]): keep
+   *  each distinct [[ParaTokens]]-word unit at its globally first
+   *  occurrence and rebuild every document from its survivors. */
+  def dedupParagraphs(spark: SparkSession, sfDir: String): DataFrame =
+    DedupOps.unitDedup(Tables.documents(spark, sfDir),
+      col("doc_id"), col("text"), unitTokens = ParaTokens)
+
   /** MinHash+LSH candidates verified by exact Jaccard. Oracle-checked:
    *  the exact-verify stage makes the output equal unblocked all-pairs
    *  Jaccard >= threshold whenever LSH recall is total, which it is on
@@ -249,6 +262,18 @@ object PipelineQueries {
   /** Brute-force exact cosine top-k for the first 10 vectors. */
   def simTopK(spark: SparkSession, sfDir: String): DataFrame =
     SimilarityOps.cosineTopK(Tables.embeddings(spark, sfDir), SimQueryIds, SimK)
+
+  /** Output dimensionality for [[embedProject]]. */
+  val ProjDim = 16
+
+  /** Random-projection dimensionality reduction ([[SimilarityOps
+   *  .randomProjection]]): 64-dim embeddings → [[ProjDim]] signed sums
+   *  against deterministic ±1 planes, long-form (vec_id, plane,
+   *  proj_r). Row-local, zero shuffle; the oracle re-derives the
+   *  identical sign table into SQL (the simAnn device, seed 43). */
+  def embedProject(spark: SparkSession, sfDir: String): DataFrame =
+    SimilarityOps.randomProjection(Tables.embeddings(spark, sfDir),
+      planes = ProjDim, dim = EmbeddingDim)
 
   /** LSH-bucketed approximate top-k (scale path; recall vs brute force
    *  is asserted in SimilarityOpsSpec). Oracle-checked end-to-end: the
@@ -765,6 +790,55 @@ object PipelineQueries {
     scaled.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         round(col("scaled") / col("tot"), 6).as("weight"))
+  }
+
+  /** Keep-threshold denominator for [[mixSample]]: thresholds live in
+   *  [0, 2^24], compared against the first 6 md5 hex digits. */
+  val MixHashSpace = 1L << 24
+
+  /**
+   * Temperature-mixture SAMPLING — the realization pass of
+   * [[mixWeights]]: where mix_weights *computes* the target mixture
+   * (w_s ∝ tokens_s^0.5), this op *applies* it, deterministically
+   * downsampling each source to its target share. Per-source keep rate
+   * = target share / natural share, capped at 1 (sources below their
+   * target keep everything — upsampling is epoch repetition,
+   * [[shuffleShard]]'s territory, not a filter's). Membership is the
+   * [[hashSample]] contract: keep iff the doc's 24-bit md5 prefix <
+   * floor(rate · 2^24) — content-keyed, no RNG, replay/engine-stable.
+   *
+   * Determinism device: rate is a double, but both engines derive it
+   * from IDENTICAL integer operands with the identical op sequence
+   * ((scaled/tot_scaled) / (src_tokens/tot_tokens), then one multiply
+   * and floor — the textUnigramNll precedent), so the integer
+   * threshold is engine-stable; integer-only arithmetic would overflow
+   * int64 at corpus scale (scaled·tot_tokens ~ 1e22 at 100 TB).
+   *
+   * Scale shape: one row-local projection (token kernel + md5), one
+   * two-phase agg to a source-sized totals frame, whole-frame windows
+   * over that TINY frame for the normalizers (the unigram-model
+   * device — no second corpus scan), and a BROADCAST join of the
+   * per-source thresholds back to the corpus: the corpus never
+   * shuffles; the filter is row-local. Identical at 100 TB.
+   */
+  def mixSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        TextAnalyticsOps.wsTokenCount(col("text")).as("n_tokens"),
+        conv(substring(md5(col("text")), 1, 6), 16, 10).cast("long").as("h24"))
+    val thresholds = docs.groupBy("source")
+      .agg(sum("n_tokens").as("src_tokens"))
+      .withColumn("scaled", floor(sqrt(col("src_tokens")) * MixScale))
+      .withColumn("tot_scaled", sum("scaled").over(Window.partitionBy()))
+      .withColumn("tot_tokens", sum("src_tokens").over(Window.partitionBy()))
+      .select(col("source"),
+        least(lit(MixHashSpace),
+          floor((col("scaled") / col("tot_scaled")) /
+            (col("src_tokens") / col("tot_tokens")) *
+            lit(MixHashSpace.toDouble)).cast("bigint")).as("thresh"))
+    docs.join(broadcast(thresholds), "source")
+      .filter(col("h24") < col("thresh"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
   }
 
   /** Hex digits of the md5 prefix consumed by [[splitAssign]]

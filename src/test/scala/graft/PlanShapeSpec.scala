@@ -115,6 +115,20 @@ class PlanShapeSpec extends SparkSpec {
       "span stats must not self-join the gram stream:\n" + p)
   }
 
+  test("dedup_paragraphs cuts units once and shuffles only fixed-width " +
+      "triples (window + rollup exchanges; text stays scan-side)") {
+    val p = plan("dedup_paragraphs")
+    // one Generate = one unit-cut pass; reconstruction re-slices the
+    // corpus row-locally instead of re-exploding it
+    assert("Generate explode".r.findAllIn(p).size == 1,
+      "unit cut must run exactly once:\n" + p)
+    // the only hash exchanges are the survivorship window key (uh) and
+    // the per-doc rollup (doc_id); the id-join of the rollup back to
+    // the corpus broadcasts locally (bucketed co-partition at scale)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      "expected exactly uh + doc_id exchanges:\n" + p)
+  }
+
   test("scans prune columns (wordcount reads only text)") {
     val p = SparkEntry.queries("wordcount")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -116,6 +116,44 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("unitDedup: global first-occurrence survivors + reconstruction") {
+    val d = Seq(
+      (1L, "a b c d e f g"),       // units [a b c][d e f][g] — all first
+      (2L, "a b c x y z"),         // [a b c] dups doc1; [x y z] first
+      (3L, ""),                    // zero units
+      (4L, "x y z x y z x y z"),   // every unit dups (2,1) or earlier
+      (5L, "g")).toDF("doc_id", "text") // single ragged unit, dups (1,2)
+    val got = DedupOps.unitDedup(d, col("doc_id"), col("text"), 3)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((3L, 3L, 7L, md5hex("a b c d e f g"))))
+    assert(got(2L) == ((2L, 1L, 3L, md5hex("x y z"))))
+    assert(got(3L) == ((0L, 0L, 0L, md5hex(""))))
+    assert(got(4L) == ((3L, 0L, 0L, md5hex(""))))
+    assert(got(5L) == ((1L, 0L, 0L, md5hex(""))))
+  }
+
+  test("unitDedup: within-doc repeat drops at its second position") {
+    // one doc: [p q r][p q r][s] -> unit 1 drops, units 0 and 2 survive
+    val d = Seq((7L, "p q r p q r s")).toDF("doc_id", "text")
+    val got = DedupOps.unitDedup(d, col("doc_id"), col("text"), 3)
+      .as[(Long, Long, Long, Long, String)].head()
+    assert(got == ((7L, 3L, 2L, 4L, md5hex("p q r s"))))
+  }
+
+  test("unitDedup: irregular whitespace normalizes before unit cut") {
+    val d = Seq((1L, "a  b\tc d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val got = DedupOps.unitDedup(d, col("doc_id"), col("text"), 4)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(got(1L) == md5hex("a b c d")) // doc1 survives (first)
+    assert(got(2L) == md5hex(""))        // doc2 is the duplicate
+  }
+
   test("gram_hashes keeps duplicates in gram order; short text -> empty") {
     val hs = Seq(("z z z z z", 1), ("p q r", 2)).toDF("text", "k")
       .select($"k", graft.functions.native.gram_hashes($"text", 4))

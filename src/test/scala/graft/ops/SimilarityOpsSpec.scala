@@ -30,6 +30,37 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out.head._4 > 0.99) // cos(v0, v1) ~ 0.9938
   }
 
+  test("randomProjection: signed sums match an independent fold; " +
+      "long form, zero shuffle") {
+    val planes = 3
+    val signs = SimilarityOps.projectionSigns(planes, 4)
+    // deterministic: re-derivation is bit-identical
+    assert(signs.map(_.toSeq).toSeq ==
+      SimilarityOps.projectionSigns(planes, 4).map(_.toSeq).toSeq)
+    assert(signs.flatten.forall(s => s == 1.0f || s == -1.0f))
+    val out = SimilarityOps.randomProjection(emb, planes, 4)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out.size == 5 * planes)
+    // independent sequential-fold computation per (vector, plane)
+    val vecs = emb.as[(Long, Seq[Float])].collect().toMap
+    for ((id, v) <- vecs; p <- 0 until planes) {
+      var acc = 0.0
+      for (d <- v.indices) acc += signs(p)(d).toDouble * v(d).toDouble
+      val want = BigDecimal(acc).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      assert(BigDecimal(out((id, p.toLong))).setScale(4) == want,
+        s"vec $id plane $p")
+    }
+    // the projection basis must differ from the ANN bucket basis (seed
+    // 43 vs 42) — otherwise the "uncorrelated" claim is false
+    val lshFirstPlane = (0 until 4).map { d =>
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        d.toLong, org.apache.spark.sql.types.LongType, 42L)
+      if ((h & 1L) == 0L) 1.0f else -1.0f
+    }
+    assert(signs(0).toSeq != lshFirstPlane)
+  }
+
   test("annTopK achieves full recall on tight clusters (same bucket)") {
     val brute = SimilarityOps.cosineTopK(emb, Seq(0L), 2)
       .select("neighbor_id").as[Long].collect().toSet

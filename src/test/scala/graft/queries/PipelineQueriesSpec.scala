@@ -113,6 +113,39 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("mixSample realizes the temperature mixture: deterministic " +
+      "md5-thresholded keep, over-represented sources downsampled") {
+    val kept = PipelineQueries.mixSample(spark, sfDir)
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        graft.ops.TextAnalyticsOps.wsTokenCount(col("text")).as("t"),
+        conv(substring(md5(col("text")), 1, 6), 16, 10).cast("long").as("h24"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(kept.nonEmpty && kept.size < docs.length,
+      s"sampling must drop something (${kept.size}/${docs.length}) — " +
+        "an identity output would make the query vacuous")
+    // independent threshold recompute: rate = target share / natural share
+    val byt = docs.groupBy(_._2).map { case (s, ds) => s -> ds.map(_._3).sum }
+    val scaled = byt.map { case (s, t) =>
+      s -> math.floor(math.sqrt(t.toDouble) * PipelineQueries.MixScale).toLong }
+    val (totS, totT) = (scaled.values.sum, byt.values.sum)
+    val thresh = byt.map { case (s, t) =>
+      s -> math.min(PipelineQueries.MixHashSpace,
+        math.floor((scaled(s).toDouble / totS) / (t.toDouble / totT) *
+          PipelineQueries.MixHashSpace.toDouble).toLong) }
+    docs.foreach { case (id, s, _, h24) =>
+      assert(kept.contains(id) == (h24 < thresh(s)),
+        s"doc $id (source $s, h24 $h24, thresh ${thresh(s)})")
+    }
+    // capped sources (at/below target) keep every document
+    val full = thresh.filter(_._2 == PipelineQueries.MixHashSpace).keySet
+    assert(full.nonEmpty, "some source should be at/below its target share")
+    docs.filter(d => full.contains(d._2))
+      .foreach(d => assert(kept.contains(d._1)))
+  }
+
   test("splitAssign is the pure md5-bucket split: assignment matches a " +
       "JVM MessageDigest recompute, covers every doc, and never shuffles") {
     val df = PipelineQueries.splitAssign(spark, sfDir)
