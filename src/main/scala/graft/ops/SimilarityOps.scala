@@ -275,6 +275,42 @@ object SimilarityOps {
   }
 
   /**
+   * Centroid-distance OUTLIER flagging — the prototype-based quality
+   * filter (SSL-prototypes style: vectors far from every learned
+   * prototype are likely noise/low-quality) over the same k-means
+   * quantizer [[semDedup]] and the IVF queries train. Every vector is
+   * assigned to its nearest centroid (the shared [[graft.functions
+   * .IvfProbeCells]] row-local kernel — identical cells to semDedup by
+   * construction) and scored by cosine TO THAT CENTROID; vectors below
+   * `threshold` are flagged. Output: (vec_id, cell, cos_r, is_outlier)
+   * for every corpus vector — the downstream cut is the consumer's
+   * (pipeline_quality_cut's offline-statistic/online-filter split).
+   *
+   * Scale shape: training is [[kmeansCentroids]] (the k×dim collected
+   * quantizer artifact); scoring is fully row-local — the per-cell
+   * cosines are k literal-vector [[dot]] kernels and the own-cell pick
+   * is one element_at, so the corpus never shuffles and the query adds
+   * ZERO exchanges beyond the training passes.
+   */
+  def centroidOutliers(emb: DataFrame, k: Int, iters: Int,
+      threshold: Double): DataFrame = {
+    val cents = kmeansCentroids(emb, k, iters)
+    val cNorms = cents.map(c =>
+      math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+        l2Norm(col("embedding")).as("nrm"))
+      .withColumn("cell", element_at(
+        graft.functions.native.ivf_probe_cells(col("embedding"), cents, cNorms, 1), 1))
+    val cosArr = array(cents.indices.map(i =>
+      cosine(col("embedding"), typedlit(cents(i).toSeq), col("nrm"),
+        lit(cNorms(i)))): _*)
+    assigned.withColumn("cs", element_at(cosArr, col("cell") + 1))
+      .select(col("vec_id"), col("cell"),
+        round(col("cs"), 4).as("cos_r"),
+        (col("cs") < threshold).as("is_outlier"))
+  }
+
+  /**
    * LSH-blocked near-duplicate pairs — the 100 TB path next to the
    * exact [[embeddingNearDups]]: `tables` independent bands of `bits`
    * sign bits each (OR-amplification — a pair is a candidate if ANY

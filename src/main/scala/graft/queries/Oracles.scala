@@ -630,6 +630,26 @@ object Oracles {
        |SELECT c.vec_id, CAST(c.cell AS INT) AS cell, d.vec_id IS NULL AS keep
        |FROM cells c LEFT JOIN dup d ON c.vec_id = d.vec_id""".stripMargin
 
+  /** Mirrors [[PipelineQueries.embedOutliers]]: the shared unrolled-
+   *  Lloyd prefix (bit-identical centroids and rnk=1 cells with the
+   *  semDedup/simIvfKmeans oracles), own-cell cosine recomputed with
+   *  the same guarded score expression, same 4-dp round and exact
+   *  threshold compare (identical double operands both engines). */
+  val embedOutliers: String = {
+    val iters = PipelineQueries.KmIters
+    s"""WITH ${kmeansCellsPrefix(PipelineQueries.KmCells, iters,
+          PipelineQueries.EmbeddingDim)},
+       |o AS (
+       |  SELECT a.vec_id, a.cid AS cell,
+       |         coalesce((${dotSql.format("a.embedding", "c.ce")}) /
+       |           nullif(a.nrm * sqrt(${dotSql.format("c.ce", "c.ce")}), 0),
+       |           CAST('-infinity' AS DOUBLE)) AS cs
+       |  FROM a JOIN c$iters c ON a.cid = c.cid WHERE a.rnk = 1)
+       |SELECT vec_id, CAST(cell AS INT) AS cell, round(cs, 4) AS cos_r,
+       |       cs < ${PipelineQueries.OutlierCos} AS is_outlier
+       |FROM o""".stripMargin
+  }
+
   private def stopListSql(stops: Seq[String]) = stops.map(s => s"'$s'").mkString(", ")
   private val langScores = graft.ops.TextAnalyticsOps.Stopwords.map { case (lang, stops) =>
     s"len(list_filter(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0), w -> w IN (${stopListSql(stops)}))) AS s_$lang"

@@ -266,6 +266,17 @@ object PipelineQueries {
   /** Output dimensionality for [[embedProject]]. */
   val ProjDim = 16
 
+  /** Own-centroid cosine floor for [[embedOutliers]] (0.15 ≈ the p10 of
+   *  the corpus distribution — flags a real tail, not nothing/all). */
+  val OutlierCos = 0.15
+
+  /** Prototype-distance outlier flags over the shared k-means quantizer
+   *  ([[SimilarityOps.centroidOutliers]]): bit-identical centroids and
+   *  cells with [[semDedup]]/[[simIvfKmeans]], row-local scoring. */
+  def embedOutliers(spark: SparkSession, sfDir: String): DataFrame =
+    SimilarityOps.centroidOutliers(Tables.embeddings(spark, sfDir),
+      k = KmCells, iters = KmIters, threshold = OutlierCos)
+
   /** Random-projection dimensionality reduction ([[SimilarityOps
    *  .randomProjection]]): 64-dim embeddings → [[ProjDim]] signed sums
    *  against deterministic ±1 planes, long-form (vec_id, plane,

@@ -61,6 +61,31 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(signs(0).toSeq != lshFirstPlane)
   }
 
+  test("centroidOutliers: every vector scored once against its own " +
+      "cell's centroid; flag matches an independent recompute") {
+    val k = 2; val iters = 1; val thr = 0.8
+    val out = SimilarityOps.centroidOutliers(emb, k, iters, thr)
+      .as[(Long, Int, Double, Boolean)].collect()
+    assert(out.length == 5 && out.map(_._1).distinct.length == 5)
+    val cents = SimilarityOps.kmeansCentroids(emb, k, iters)
+    val vecs = emb.as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      def d(x: Seq[Float], y: Seq[Float]) =
+        x.zip(y).foldLeft(0.0)((s, p) => s + p._1.toDouble * p._2.toDouble)
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    out.foreach { case (id, cell, cosR, flag) =>
+      // the reported cell really is the argmax centroid...
+      val scores = cents.map(c => cos(vecs(id), c.toSeq))
+      assert(scores(cell) >= scores.max - 1e-12, s"vec $id cell $cell")
+      // ...its score is the own-cell cosine, and the flag follows it
+      assert(math.abs(cosR - scores(cell)) < 1e-4, s"vec $id")
+      assert(flag == (scores(cell) < thr), s"vec $id")
+    }
+    // threshold realizes both classes on this fixture
+    assert(out.exists(_._4) && out.exists(!_._4))
+  }
+
   test("annTopK achieves full recall on tight clusters (same bucket)") {
     val brute = SimilarityOps.cosineTopK(emb, Seq(0L), 2)
       .select("neighbor_id").as[Long].collect().toSet
