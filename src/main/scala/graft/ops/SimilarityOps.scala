@@ -354,6 +354,53 @@ object SimilarityOps {
       .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos_r"))
   }
 
+  /**
+   * Approximate k-NN GRAPH — every vector's top-k neighbors among its
+   * LSH candidates: the standard preprocessing for graph-based corpus
+   * work (NN-descent seeding, similarity-graph clustering, graph-walk
+   * dedup). Candidate generation is [[embeddingNearDupsLsh]]'s
+   * OR-amplified banding verbatim, but kept in BOTH orientations
+   * (a graph row is per-node, so (a,b) and (b,a) both flow) and with
+   * no cosine floor — the cut is the per-node rank ≤ k. Nodes whose
+   * bands contain no other vector emit no rows (the LSH recall
+   * contract; raise `tables` to densify).
+   *
+   * Scale shape: identical to the near-dup path — one [[lshBucket]]
+   * kernel call, band equi-join on small keys, candidates as (src,
+   * nb) id pairs, vectors re-joined BY ID for scoring only; the rank
+   * window hash-partitions by src (fixed-width rows). The corpus
+   * never shuffles whole; Σ per-bucket² bounds pair work.
+   */
+  def knnGraph(emb: DataFrame, k: Int, bits: Int = 4,
+      tables: Int = 8): DataFrame = {
+    require(bits * tables <= 63, "bits * tables must fit in a long")
+    val mask = (1L << bits) - 1
+    val withB = emb.select(col("vec_id"),
+      lshBucket(col("embedding"), bits * tables).as("allbits"))
+    val banded = withB.select(col("vec_id"),
+      posexplode(array((0 until tables).map(t =>
+        shiftrightunsigned(col("allbits"), t * bits).bitwiseAND(lit(mask))): _*)))
+      .toDF("vec_id", "band", "bucket")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("nb"))
+      .distinct()
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    val scored = cand
+      .join(withNorm.select(col("vec_id").as("src"), col("embedding").as("e1"),
+        col("nrm").as("n1")), "src")
+      .join(withNorm.select(col("vec_id").as("nb"), col("embedding").as("e2"),
+        col("nrm").as("n2")), "nb")
+      .withColumn("cos", cosine(col("e1"), col("e2"), col("n1"), col("n2")))
+    val rank = row_number().over(
+      Window.partitionBy("src").orderBy(col("cos").desc, col("nb")))
+    scored.withColumn("rank", rank.cast("bigint")).filter(col("rank") <= k)
+      .select(col("src").as("vec_id"), col("rank"),
+        col("nb").as("neighbor_id"), round(col("cos"), 4).as("cos_r"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, id1 < id2.
    *  Exact within-corpus variant — the O(n^2) BASELINE, guarded so it
    *  cannot be pointed at a full corpus by accident: corpora larger

@@ -539,6 +539,44 @@ object Oracles {
        |WHERE ${dotSql.format("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) >= ${PipelineQueries.NearDupCos}""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.knnGraph]]: the embedNearDupLsh banding
+   *  CTEs with candidates kept in BOTH orientations (<> instead of <),
+   *  no cosine floor, and the per-node rank window as the cut. */
+  val knnGraph: String = {
+    val bits = PipelineQueries.NearDupBits
+    val tables = PipelineQueries.NearDupTables
+    val dim = PipelineQueries.EmbeddingDim
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${dotSql.format("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |planes(p, s) AS (VALUES ${lshPlanesSql(bits * tables, dim)}),
+       |proj AS (
+       |  SELECT vec_id, pl.p,
+       |         list_sum(list_transform(range(0, $dim),
+       |           d -> CAST(embedding[d+1] AS DOUBLE) * pl.s[d+1])) AS pr
+       |  FROM e CROSS JOIN planes pl),
+       |bkt AS (
+       |  SELECT vec_id, CAST(p // $bits AS INT) AS band,
+       |         sum(CASE WHEN pr >= 0 THEN (1::BIGINT << (p % $bits)) ELSE 0 END)::BIGINT AS bucket
+       |  FROM proj GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS nb
+       |  FROM bkt a JOIN bkt b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |sc AS (
+       |  SELECT src, nb,
+       |         ${dotSql.format("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cos
+       |  FROM cand JOIN e ea ON src = ea.vec_id JOIN e eb ON nb = eb.vec_id),
+       |r AS (
+       |  SELECT src AS vec_id,
+       |         CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, nb) AS BIGINT) AS rank,
+       |         nb AS neighbor_id, round(cos, 4) AS cos_r
+       |  FROM sc)
+       |SELECT vec_id, rank, neighbor_id, cos_r FROM r
+       |WHERE rank <= ${PipelineQueries.GraphK}""".stripMargin
+  }
+
   /**
    * Mirrors [[SimilarityOps.ivfTopKKmeans]] end-to-end, *including the
    * k-means training*: the Lloyd iterations are unrolled as CTE blocks

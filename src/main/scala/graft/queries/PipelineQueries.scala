@@ -266,6 +266,17 @@ object PipelineQueries {
   /** Output dimensionality for [[embedProject]]. */
   val ProjDim = 16
 
+  /** Neighbors per node in [[knnGraph]]'s output. */
+  val GraphK = 5
+
+  /** Approximate k-NN graph ([[SimilarityOps.knnGraph]]): per-node
+   *  top-[[GraphK]] among OR-amplified LSH band candidates — the
+   *  similarity-graph construction pass. Shares [[NearDupBits]]/
+   *  [[NearDupTables]] with the near-dup path. */
+  def knnGraph(spark: SparkSession, sfDir: String): DataFrame =
+    SimilarityOps.knnGraph(Tables.embeddings(spark, sfDir), k = GraphK,
+      bits = NearDupBits, tables = NearDupTables)
+
   /** Own-centroid cosine floor for [[embedOutliers]] (0.15 ≈ the p10 of
    *  the corpus distribution — flags a real tail, not nothing/all). */
   val OutlierCos = 0.15

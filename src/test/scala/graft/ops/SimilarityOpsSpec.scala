@@ -61,6 +61,36 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(signs(0).toSeq != lshFirstPlane)
   }
 
+  test("knnGraph: per-node ranks order by exact cosine; candidates are " +
+      "symmetric; top neighbor agrees with brute force when found") {
+    val g = SimilarityOps.knnGraph(emb, k = 3, bits = 2, tables = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(g.nonEmpty)
+    val vecs = emb.as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Long, b: Long): Double = {
+      def d(x: Seq[Float], y: Seq[Float]) =
+        x.zip(y).foldLeft(0.0)((s, p) => s + p._1.toDouble * p._2.toDouble)
+      d(vecs(a), vecs(b)) /
+        (math.sqrt(d(vecs(a), vecs(a))) * math.sqrt(d(vecs(b), vecs(b))))
+    }
+    // reported cosines are the exact scores, ranks strictly ordered
+    g.groupBy(_._1).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to rows.length).toSeq)
+      sorted.foreach { case (s, _, nb, cosR) =>
+        assert(math.abs(cosR - cos(s, nb)) < 1e-4, s"($s,$nb)") }
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-_).toSeq,
+        s"ranks must follow cosine desc for $src")
+    }
+    // band candidacy is symmetric: an edge's reverse node also has rows
+    val bySrc = g.groupBy(_._1).keySet
+    g.foreach { case (s, _, nb, _) => assert(bySrc.contains(nb),
+      s"$nb appears as neighbor of $s but has no rows of its own") }
+    // near-identical vectors 0 and 1 must find each other first
+    val n0 = g.filter(r => r._1 == 0L && r._2 == 1L).map(_._3)
+    if (n0.nonEmpty) assert(n0.head == 1L || cos(0L, n0.head) >= cos(0L, 1L))
+  }
+
   test("centroidOutliers: every vector scored once against its own " +
       "cell's centroid; flag matches an independent recompute") {
     val k = 2; val iters = 1; val thr = 0.8
