@@ -214,6 +214,25 @@ object Run {
         // the lm_score offline-model/online-filter split
         (spanFlagTopology(spark, lines(), opts.getOrElse("corpus",
           "/root/testdata/sf0.001/documents.parquet")), OutputMode.Append)
+      case "mix_sample" =>
+        // temperature-mixture sampling, live: per-source thresholds
+        // learned offline from --corpus (the gated batch query's
+        // arithmetic), keep = the same md5-prefix predicate. Real
+        // ingestion carries a source tag; the demo labels lines
+        // deterministically by content hash so every learned source
+        // receives traffic (replay-stable, like the rest of the gate)
+        val nSrc = graft.queries.PipelineQueries.mixThresholds(
+          spark.read.parquet(opts.getOrElse("corpus",
+            "/root/testdata/sf0.001/documents.parquet"))
+            .select(col("source"), graft.ops.TextAnalyticsOps
+              .wsTokenCount(col("text")).as("n_tokens"))).count().toInt
+        (StreamOps.mixSampleStream(
+          lines().select(col("ts"), col("value").as("text"),
+            concat(lit("src"), pmod(xxhash64(col("value")), lit(nSrc))
+              .cast("string")).as("source")),
+          spark.read.parquet(opts.getOrElse("corpus",
+            "/root/testdata/sf0.001/documents.parquet"))),
+          OutputMode.Append)
       case "hash_sample" =>
         // deterministic content-hash downsampling, live: the same
         // row-local predicate as the gated batch query — no RNG, no

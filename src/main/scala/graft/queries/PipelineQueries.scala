@@ -847,8 +847,23 @@ object PipelineQueries {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         TextAnalyticsOps.wsTokenCount(col("text")).as("n_tokens"),
-        conv(substring(md5(col("text")), 1, 6), 16, 10).cast("long").as("h24"))
-    val thresholds = docs.groupBy("source")
+        mixHash24(col("text")).as("h24"))
+    docs.join(broadcast(mixThresholds(docs)), "source")
+      .filter(col("h24") < col("thresh"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
+
+  /** The 24-bit content hash [[mixSample]] compares against its
+   *  thresholds (first 6 md5 hex digits — the splitAssign prefix). */
+  def mixHash24(text: Column): Column =
+    conv(substring(md5(text), 1, 6), 16, 10).cast("long")
+
+  /** The per-source keep thresholds of [[mixSample]] over any
+   *  (source, n_tokens) frame — shared by the batch query and the live
+   *  gate (`StreamOps.mixSampleStream`), which learns them at build
+   *  from a static corpus (the lm_score offline-model split). */
+  def mixThresholds(tokens: DataFrame): DataFrame =
+    tokens.groupBy("source")
       .agg(sum("n_tokens").as("src_tokens"))
       .withColumn("scaled", floor(sqrt(col("src_tokens")) * MixScale))
       .withColumn("tot_scaled", sum("scaled").over(Window.partitionBy()))
@@ -858,10 +873,6 @@ object PipelineQueries {
           floor((col("scaled") / col("tot_scaled")) /
             (col("src_tokens") / col("tot_tokens")) *
             lit(MixHashSpace.toDouble)).cast("bigint")).as("thresh"))
-    docs.join(broadcast(thresholds), "source")
-      .filter(col("h24") < col("thresh"))
-      .select(col("doc_id"), col("source"), col("n_tokens"))
-  }
 
   /** Hex digits of the md5 prefix consumed by [[splitAssign]]
    *  (6 hex digits = 24 bits, far above the 100-bucket modulus). */

@@ -401,6 +401,34 @@ object StreamOps {
   }
 
   /**
+   * Live temperature-mixture SAMPLING GATE — the streaming form of
+   * `PipelineQueries.mixSample`, offline-statistic / online-filter
+   * like [[lmScoreStream]] and [[spanFlagStream]]: the per-source keep
+   * thresholds are learned ONCE at topology build from a static corpus
+   * (the gated batch query's own `mixThresholds` arithmetic), embedded
+   * as a LITERAL map (source-count entries — codegen'd lookup, no
+   * broadcast join whose static subtree would re-run per micro-batch),
+   * and the keep decision is the identical row-local md5-prefix
+   * predicate — stateless, Append-safe, replay/retry-stable. A source
+   * unseen at learn time keeps EVERYTHING: absent from the learned
+   * mixture means zero natural share, so its rate capped at 1 — the
+   * same cap the batch query applies to under-target sources. Docs
+   * must carry (source, text); all input columns pass through.
+   */
+  def mixSampleStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    import graft.queries.PipelineQueries
+    val thresholds = PipelineQueries.mixThresholds(
+      corpus.select(col("source"),
+        graft.ops.TextAnalyticsOps.wsTokenCount(col("text")).as("n_tokens")))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val tmap = map(thresholds.flatMap {
+      case (s, t) => Seq(lit(s), lit(t)) }.toIndexedSeq: _*)
+    docs.filter(PipelineQueries.mixHash24(col("text")) <
+      coalesce(element_at(tmap, col("source")),
+        lit(PipelineQueries.MixHashSpace)))
+  }
+
+  /**
    * Live MIXTURE MONITOR — the streaming form of
    * `PipelineQueries.mixWeights`: running per-source doc/token totals
    * as a Complete-mode aggregate (group count = sources, bounded by

@@ -303,6 +303,14 @@ object MaxRateProbe {
         in.select(col("ts"), Generators.docLine(col("value")).as("text")),
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
     }
+    search("mix_sample", seed = 4000000, OutputMode.Append) { in =>
+      // same deterministic source labeling as the Run topology
+      StreamOps.mixSampleStream(
+        in.select(col("ts"), Generators.docLine(col("value")).as("text"),
+          concat(lit("src"), pmod(xxhash64(col("value")), lit(20))
+            .cast("string")).as("source")),
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    }
     search("pipeline_curate", seed = 500000, OutputMode.Append) { in =>
       StreamOps.curateStream(
         in.select(col("ts"), col("value").as("doc_id"),

@@ -129,6 +129,30 @@ class PlanShapeSpec extends SparkSpec {
       "expected exactly uh + doc_id exchanges:\n" + p)
   }
 
+  test("embed_project is a pure projection: zero exchanges, pruned scan") {
+    val p = plan("embed_project")
+    assert(!p.contains("Exchange"), "projection must not shuffle:\n" + p)
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding"),
+      "scan must read only (vec_id, embedding):\n" + p)
+  }
+
+  test("mix_sample broadcasts thresholds; the corpus side never shuffles") {
+    val p = plan("mix_sample")
+    // the only exchanges belong to the source-sized threshold frame:
+    // one two-phase agg on source + one SinglePartition window over it
+    assert(p.contains("BroadcastHashJoin"),
+      "thresholds must broadcast-join the corpus:\n" + p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "expected only the source-totals agg exchange:\n" + p)
+  }
+
+  test("knn_graph joins candidates as id pairs (hash equi-joins, " +
+      "no broadcast nested loop, no cartesian)") {
+    val p = plan("knn_graph")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "candidate generation must stay an equi-join:\n" + p)
+  }
+
   test("scans prune columns (wordcount reads only text)") {
     val p = SparkEntry.queries("wordcount")(spark, sfDir)
       .queryExecution.executedPlan.toString

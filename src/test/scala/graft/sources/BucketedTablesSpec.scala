@@ -19,21 +19,52 @@ class BucketedTablesSpec extends SparkSpec {
     try f finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  private def dropTable(t: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(loc)
+    }
+  }
+
+  test("unitDedup over a bucketed corpus: the reconstruction join is " +
+      "bucket-local — no exchange beyond the two fixed-width ones") {
+    dropTable("docs_b")
+    BucketedTables.writeBucketed(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text"),
+      "docs_b", "doc_id", buckets = 4)
+    withNoBroadcast {
+      val q = graft.ops.DedupOps.unitDedup(spark.table("docs_b"),
+        col("doc_id"), col("text"), 20)
+      val p = q.queryExecution.executedPlan.toString
+      // survivorship window (uh) + per-doc rollup (doc_id) only: the
+      // docs side of the reconstruction join reads its bucket layout,
+      // and the 4-bucket scan is already as wide as the 4 shuffle
+      // partitions, so the fanOut pass-through adds nothing either
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+        "bucketed reconstruction must add no exchange:\n" + p)
+      assert(!p.contains("Exchange RoundRobinPartitioning"),
+        "bucketed scan must pass fanOut untouched:\n" + p)
+      // and bucketing is layout-only: output equals the unbucketed form
+      val got = q.collect().map(_.toSeq).toSet
+      val want = graft.ops.DedupOps.unitDedup(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text"),
+        col("doc_id"), col("text"), 20).collect().map(_.toSeq).toSet
+      assert(got == want)
+    }
+  }
+
   test("bucketed equi-join and keyed agg plan with zero Exchange") {
     // the in-memory catalog forgets tables between JVM runs but the
     // warehouse directory survives — clear both or CREATE fails with
     // LOCATION_ALREADY_EXISTS
-    Seq("lineitem_b", "orders_b").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new java.io.File(
-        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(loc)
-      }
-    }
+    Seq("lineitem_b", "orders_b").foreach(dropTable)
     BucketedTables.writeBucketed(
       Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity"),
       "lineitem_b", "l_orderkey", buckets = 4)

@@ -189,6 +189,33 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mixSampleStream: kept set matches the batch mix_sample exactly; " +
+      "unknown sources pass the gate whole") {
+    import graft.queries.PipelineQueries
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val rows = corpus.select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val in = MemoryStream[(Long, String, String)]
+    val q = StreamOps.toMemory(
+      StreamOps.mixSampleStream(
+        in.toDF().toDF("doc_id", "source", "text"), corpus),
+      "mix_sample_test", OutputMode.Append, ckpt())
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      in.addData(a.toIndexedSeq); q.processAllAvailable()
+      // a source absent from the learned mixture keeps everything
+      in.addData(Seq((9999L, "brand_new_source", "anything at all")))
+      in.addData(b.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("mix_sample_test")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val expected = PipelineQueries.mixSample(spark, sfDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(expected.nonEmpty && got == expected + 9999L)
+    } finally q.stop()
+  }
+
   test("mixWeightsStream: each trigger's complete snapshot reproduces " +
       "the batch temperature weights over everything seen so far") {
     import graft.queries.PipelineQueries
