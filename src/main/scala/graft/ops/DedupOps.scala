@@ -136,6 +136,59 @@ object DedupOps {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /**
+   * Incremental NEAR-dup admission — the fingerprint ingest gate
+   * (`PipelineQueries.dedupIncremental`) extended to near-duplicates:
+   * a fresh document is ADMITTED only if no verified near-dup (exact
+   * shingle Jaccard >= threshold on LSH band candidates) exists in the
+   * HISTORY, nor among SMALLER-id fresh documents (the semDedup
+   * smaller-id-survivor rule; near-dup is not transitive, so the rule
+   * is deliberately pairwise — deterministic and engine-reproducible).
+   * Documents too short to shingle admit unconditionally (no signature
+   * ⇒ no candidates — both engines agree by construction).
+   *
+   * Scale shape: the [[minhashCandidates]] contract throughout — only
+   * (id, band, hash) triples and id-keyed shingle-hash arrays shuffle,
+   * never text; both candidate joins are hash equi-joins on (band,
+   * hash). At 100 TB the history side's band table is precomputed and
+   * bucketed by (band, hash) (the sources.BucketedTables story), so
+   * steady-state ingest shuffles only the BATCH's bands — history is
+   * never re-shingled per ingest; here both sides derive in-plan, the
+   * training-in-query convention the other dedup ops follow.
+   */
+  def incrementalNearDupAdmit(fresh: DataFrame, hist: DataFrame,
+      id: Column, text: Column, threshold: Double = 0.5,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    val rows = k / bands
+    def banded(df: DataFrame) = minhashSignatures(df, id, text, k, shingleN)
+      .select(col("id"), posexplode(lshBandHashes(col("sig"), bands, rows)))
+      .toDF("id", "band", "bh")
+    // shingle_hashes already emits DISTINCT hashes (sets — the same
+    // frames minhashNearDups verifies on)
+    def shingleSets(df: DataFrame) = FanOut.fanOut(df).select(id.as("sid"),
+      graft.functions.native.shingle_hashes(text, shingleN).as("shs"))
+    val fb = banded(fresh)
+    val histCand = fb.as("x").join(banded(hist).as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.id").as("fid"), col("y.id").as("oid")).distinct()
+    val freshCand = fb.as("x").join(fb.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") > col("y.id")) // smaller-id partner rejects x
+      .select(col("x.id").as("fid"), col("y.id").as("oid")).distinct()
+    val fshs = shingleSets(fresh)
+    val hshs = shingleSets(hist)
+    def verified(cand: DataFrame, partner: DataFrame) = cand
+      .join(fshs.as("a"), col("fid") === col("a.sid"))
+      .join(partner.as("b"), col("oid") === col("b.sid"))
+      .withColumn("inter", size(array_intersect(col("a.shs"), col("b.shs"))))
+      .filter(col("inter") /
+        (size(col("a.shs")) + size(col("b.shs")) - col("inter")) >= threshold)
+      .select(col("fid"))
+    val rejected = verified(histCand, hshs).union(verified(freshCand, fshs))
+      .distinct().withColumnRenamed("fid", "doc_id")
+    fresh.select(id.as("doc_id")).join(rejected, Seq("doc_id"), "left_anti")
+  }
+
   /** Adds a `simhash` column: 64-bit SimHash over word-feature hashes —
    *  per bit, the sign of the +1/-1 sum across words. Row-local: one
    *  WordHashes + one SimHash64 native kernel call per row (the HOF

@@ -287,6 +287,39 @@ object Oracles {
       |JOIN sizes s2 ON id2 = s2.doc_id
       |WHERE i / (s1.sz + s2.sz - i) >= 0.5""".stripMargin
 
+  /** Mirrors [[PipelineQueries.dedupIncrementalMinhash]] with EXACT
+   *  all-pairs Jaccard in place of LSH+verify (the dedupMinhash
+   *  equivalence: total recall on this corpus makes them equal; shingle
+   *  strings where Spark uses 64-bit hashes). A fresh doc is rejected
+   *  by any history partner or any SMALLER-id fresh partner at
+   *  J >= 0.5; shingle-less docs admit (no shared shingle possible). */
+  val dedupIncrementalMinhash: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS ws
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(ws) >= 3
+      |         THEN list_transform(range(0, len(ws) - 2),
+      |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+      |         ELSE [] END)) AS sh
+      |  FROM w),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT x.doc_id AS fid, y.doc_id AS oid, count(*) AS i
+      |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id <> y.doc_id
+      |  WHERE x.doc_id % 5 = 0
+      |    AND (y.doc_id % 5 <> 0 OR y.doc_id < x.doc_id)
+      |  GROUP BY 1, 2),
+      |rej AS (
+      |  SELECT DISTINCT fid FROM pairs
+      |  JOIN sizes s1 ON fid = s1.doc_id
+      |  JOIN sizes s2 ON oid = s2.doc_id
+      |  WHERE i / (s1.sz + s2.sz - i) >= 0.5)
+      |SELECT doc_id FROM documents
+      |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT fid FROM rej)""".stripMargin
+
   /** Recomputes the portable (md5-60) SimHash signature per document —
    *  word hash = first 15 hex chars of md5 as a 60-bit int, bit j of the
    *  signature = sign of the +1/-1 sum over words — then joins all pairs

@@ -220,6 +220,22 @@ object PipelineQueries {
       .select(col("doc_id"), col("fp"))
   }
 
+  /** Incremental ingest extended to NEAR-duplicates
+   *  ([[DedupOps.incrementalNearDupAdmit]]): the same deterministic
+   *  20% fresh slice as [[dedupIncremental]], admitted only when no
+   *  verified shingle-Jaccard >= 0.5 partner exists in history or
+   *  among smaller-id batch peers. Oracle-checked against exact
+   *  all-pairs Jaccard — valid because LSH recall is total on this
+   *  corpus (the dedup_minhash argument; DedupOpsSpec pins the
+   *  fixture-level contract). */
+  def dedupIncrementalMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    DedupOps.incrementalNearDupAdmit(
+      docs.filter(col("doc_id") % 5 === 0),
+      docs.filter(col("doc_id") % 5 =!= 0),
+      col("doc_id"), col("text"), threshold = 0.5)
+  }
+
   /** Corpus-RELATIVE quality gate: keep docs scoring at or above the
    *  corpus p25 quality score. The threshold is a one-row exact
    *  interpolated percentile (the same `percentile` == quantile_cont

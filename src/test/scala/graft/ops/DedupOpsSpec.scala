@@ -116,6 +116,26 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("incrementalNearDupAdmit: history near-dups and smaller-id batch " +
+      "peers reject; unique and shingle-less fresh docs admit") {
+    val hist = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "completely different words appear in this one here"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // = hist 1
+      (12L, "totally novel content nothing like the others at all"),
+      (14L, "totally novel content nothing like the others at all yes"), // near-dup of 12 (smaller id wins)
+      (16L, "so ws"), // < 3 words: no shingles -> admit
+      (18L, "unique snowflake sentence that matches nothing else ever"))
+      .toDF("doc_id", "text")
+    val admitted = DedupOps.incrementalNearDupAdmit(fresh, hist,
+      col("doc_id"), col("text"), threshold = 0.5)
+      .as[Long].collect().toSet
+    assert(admitted == Set(12L, 16L, 18L),
+      s"expected {12,16,18}, got $admitted")
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
