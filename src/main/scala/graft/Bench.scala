@@ -15,9 +15,16 @@ import org.apache.spark.sql.SparkSession
   *    per-query number is the MEDIAN of `SPARK_GRAFT_BENCH_ITERS`
   *    (default 3) warm passes, after one uncounted-per-query cold pass
   *    whose total is kept as a single scalar;
-  *  - the harness keeps only the last ~2000 chars of stdout, so the
-  *    line must stay well under that: seconds are rounded to 1 ms and
-  *    only the median map is emitted per query (~1.4 KB for 60 queries).
+  *  - the harness keeps only the last ~2000 chars of stdout (and the
+  *    sbt `[success]` footer eats ~75 of those), so the line must fit
+  *    a ~1900-char budget. At 92+ queries a 3-decimal map no longer
+  *    does (the r11 driver capture lost the line's head — parse
+  *    failed), so precision degrades adaptively (3 → 2 → 1 decimals,
+  *    trailing zeros stripped) until the line fits, it is printed as
+  *    the very last stdout write (after spark.stop()), and the full
+  *    3-decimal artifact — median map, PER-QUERY COLD map (the cold
+  *    anomaly decomposition the r11 verdict asked for), and every
+  *    individual warm pass — is written to BENCH_full.json alongside.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -53,16 +60,39 @@ object Bench {
       val good = xs.filter(_ >= 0).sorted
       if (good.isEmpty) -1.0 else good(good.size / 2)
     }
-    def r3(v: Double) = math.rint(v * 1000) / 1000
     val med = SparkEntry.queries.keys
       .map(n => n -> median(warm.map(_(n)))).toMap
-    def js(m: Map[String, Double]) =
-      m.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    // JSON number at `dec` decimals, trailing zeros stripped (1.50 ->
+    // 1.5, 3.00 -> 3) — valid JSON, minimal chars
+    def fmt(v: Double, dec: Int): String = {
+      if (v < 0) "-1"
+      else new java.math.BigDecimal(v)
+        .setScale(dec, java.math.RoundingMode.HALF_UP)
+        .stripTrailingZeros.toPlainString
+    }
+    def js(m: Map[String, Double], dec: Int) =
+      m.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
+        .mkString("{", ",", "}")
     // totals sum only successful queries: adding the -1 failure
     // sentinel would make the bench look FASTER because a query failed
-    val total = r3(med.values.filter(_ >= 0).sum)
-    val coldTotal = r3(cold.values.filter(_ >= 0).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(med)},"iters":$iters,"value_cold":$coldTotal,"sf":"$sfDir"}""")
+    val total = med.values.filter(_ >= 0).sum
+    val coldTotal = cold.values.filter(_ >= 0).sum
+    // full-precision artifact: adjudication needs per-query cold and
+    // the raw warm passes, which the stdout budget can't carry
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "/root/repo/BENCH_full.json")
+    val full =
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${js(med, 3)},"queries_cold":${js(cold, 3)},"warm_passes":[${warm.map(js(_, 3)).mkString(",")}],"iters":$iters,"value_cold":${fmt(coldTotal, 3)},"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+      full.getBytes("UTF-8"))
+    catch { case _: Throwable => }
+    def line(dec: Int) =
+      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":${js(med, dec)},"value_cold":${fmt(coldTotal, dec)},"sf":"${new java.io.File(sfDir).getName}"}"""
+    val out = (3 to 1 by -1).map(line).find(_.length <= 1900)
+      .getOrElse(line(1))
     spark.stop()
+    // last stdout write: nothing after this but sbt's own footer
+    println(out)
   }
 }
