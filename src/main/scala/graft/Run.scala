@@ -41,12 +41,13 @@ import graft.streaming.StreamOps
  * rolling_sort_lastn rolling_flight_dist rolling_flight_dist_snapshot
  * hash_sample json_props quality_cut curate trident_wordcount
  * decontaminate text_chunks text_scrub split_assign mix_weights
- * sessionize shuffle_shard lm_score span_flag
+ * sessionize shuffle_shard lm_score span_flag mix_sample neardup_gate
  * (curate also takes --threshold <minScore> and --min-words <n>;
  *  decontaminate takes --bench <parquet path> for the benchmark set;
  *  lm_score takes --corpus <parquet path> for the model corpus and
  *  --order 1|2 for unigram vs add-one bigram scoring;
- *  span_flag takes --corpus <parquet path> for the dup-gram model)
+ *  span_flag, mix_sample and neardup_gate take --corpus <parquet
+ *  path> for their offline models)
  */
 object Run {
   def main(args: Array[String]): Unit = {
@@ -217,22 +218,32 @@ object Run {
       case "mix_sample" =>
         // temperature-mixture sampling, live: per-source thresholds
         // learned offline from --corpus (the gated batch query's
-        // arithmetic), keep = the same md5-prefix predicate. Real
-        // ingestion carries a source tag; the demo labels lines
-        // deterministically by content hash so every learned source
-        // receives traffic (replay-stable, like the rest of the gate)
-        val nSrc = graft.queries.PipelineQueries.mixThresholds(
+        // arithmetic, collected ONCE and shared by the labeler and the
+        // gate), keep = the same md5-prefix predicate. Real ingestion
+        // carries a source tag; the demo labels lines deterministically
+        // by content hash INTO THE LEARNED SOURCES' OWN NAMES — an
+        // invented name pattern would fall into the unknown-source
+        // keep-everything branch on any corpus whose sources aren't
+        // named that way, silently disarming the gate
+        val entries = StreamOps.mixThresholdEntries(
           spark.read.parquet(opts.getOrElse("corpus",
-            "/root/testdata/sf0.001/documents.parquet"))
-            .select(col("source"), graft.ops.TextAnalyticsOps
-              .wsTokenCount(col("text")).as("n_tokens"))).count().toInt
-        (StreamOps.mixSampleStream(
+            "/root/testdata/sf0.001/documents.parquet")))
+        require(entries.nonEmpty, "mix_sample: empty model corpus")
+        val names = entries.map(_._1)
+        (StreamOps.mixSampleGate(
           lines().select(col("ts"), col("value").as("text"),
-            concat(lit("src"), pmod(xxhash64(col("value")), lit(nSrc))
-              .cast("string")).as("source")),
-          spark.read.parquet(opts.getOrElse("corpus",
-            "/root/testdata/sf0.001/documents.parquet"))),
-          OutputMode.Append)
+            element_at(array(names.map(lit).toIndexedSeq: _*),
+              (pmod(xxhash64(col("value")), lit(names.length)) + 1)
+                .cast("int")).as("source")),
+          entries), OutputMode.Append)
+      case "neardup_gate" =>
+        // near-dup admission, live: the corpus's LSH band keys learned
+        // offline from --corpus (the batch bandCollideAdmit candidate
+        // rule), broadcast as a sorted long[], probed row-locally by
+        // the LshBandCollide kernel — the span_flag
+        // offline-model/online-filter split applied to MinHash+LSH
+        (nearDupGateTopology(spark, lines(), opts.getOrElse("corpus",
+          "/root/testdata/sf0.001/documents.parquet")), OutputMode.Append)
       case "hash_sample" =>
         // deterministic content-hash downsampling, live: the same
         // row-local predicate as the gated batch query — no RNG, no
@@ -382,6 +393,16 @@ object Run {
   private[graft] def spanFlagTopology(spark: SparkSession,
       lines: DataFrame, corpusPath: String): DataFrame =
     StreamOps.spanFlagStream(
+      lines.select(col("ts"), col("value").as("text")),
+      spark.read.parquet(corpusPath))
+
+  /** Near-dup admission at ingest: the corpus band-key set is an
+   *  offline artifact of the batch bandCollideAdmit candidate rule
+   *  (StreamOps.nearDupGateStream has the scale reasoning). Factored so
+   *  RunTopologySpec drives the exact composition. */
+  private[graft] def nearDupGateTopology(spark: SparkSession,
+      lines: DataFrame, corpusPath: String): DataFrame =
+    StreamOps.nearDupGateStream(
       lines.select(col("ts"), col("value").as("text")),
       spark.read.parquet(corpusPath))
 

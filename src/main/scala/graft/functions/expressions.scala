@@ -174,6 +174,83 @@ object VectorMath {
       Array[Any](m.toLong, nDup, covered))
   }
 
+  /** Row-local MinHash+LSH band collision count against a SORTED array
+   *  of combined corpus band keys; see [[LshBandCollide]]. Reproduces
+   *  the batch pipeline bit-for-bit: distinct shingle hashes (same
+   *  split/hash family as [[shingleHashes]]), slot i = SIGNED-long min
+   *  over shingles of xxhash64(i:int, h:long) (the
+   *  `DedupOps.minhashSignatures` family — chained XXH64, seed 42),
+   *  band b = chained xxhash64 over its `rows` slots, combined key =
+   *  xxhash64(b:int, band hash) — the `DedupOps.corpusBandKeys`
+   *  encoding. Membership is a binary search per band. A doc with no
+   *  shingles has no bands (returns (0, 0)) — the batch explode drops
+   *  it before any signature exists, so both forms admit it. */
+  def lshCollide(text: String, n: Int, k: Int, bands: Int,
+      model: Array[Long]): InternalRow = {
+    import org.apache.spark.sql.catalyst.expressions.{XXH64 => xh}
+    val words = new java.util.ArrayList[String]()
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && isWs(text.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(text.charAt(i))) i += 1
+      if (i > start) words.add(text.substring(start, i))
+    }
+    val m = words.size - n + 1
+    if (m <= 0) {
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, 0L))
+    } else {
+      // distinct shingle hashes (set semantics; min is distinct-blind
+      // but the per-slot work is proportional to set size)
+      val seen = new java.util.HashSet[java.lang.Long]()
+      val shs = new Array[Long](m)
+      var nSh = 0
+      var g = 0
+      while (g < m) {
+        val sb = new java.lang.StringBuilder(words.get(g))
+        var j = 1
+        while (j < n) { sb.append(' ').append(words.get(g + j)); j += 1 }
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          u, org.apache.spark.sql.types.StringType, 42L)
+        if (seen.add(h)) { shs(nSh) = h; nSh += 1 }
+        g += 1
+      }
+      // slot seeds: xxhash64(i:int, h) chains hashInt(i, 42) then hashLong
+      val seeds = new Array[Long](k)
+      var s = 0
+      while (s < k) { seeds(s) = xh.hashInt(s, 42L); s += 1 }
+      val mins = new Array[Long](k)
+      java.util.Arrays.fill(mins, Long.MaxValue)
+      var p = 0
+      while (p < nSh) {
+        val h = shs(p)
+        var q = 0
+        while (q < k) {
+          val v = xh.hashLong(h, seeds(q))
+          if (v < mins(q)) mins(q) = v
+          q += 1
+        }
+        p += 1
+      }
+      val rows = k / bands
+      var nCollide = 0L
+      var b = 0
+      while (b < bands) {
+        var hb = 42L
+        var j = 0
+        while (j < rows) { hb = xh.hashLong(mins(b * rows + j), hb); j += 1 }
+        val bk = xh.hashLong(hb, xh.hashInt(b, 42L))
+        if (java.util.Arrays.binarySearch(model, bk) >= 0) nCollide += 1
+        b += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](bands.toLong, nCollide))
+    }
+  }
+
   /** Word n-gram shingle hashes; see [[ShingleHashes]]. Split semantics
    *  match Java regex \s+ with empty tokens dropped (maximal runs of
    *  ASCII whitespace); hash matches Spark's xxhash64 (XXH64, seed 42)
@@ -1004,6 +1081,44 @@ case class SpanFlagStats(child: Expression, n: Int,
 }
 
 /**
+ * Live near-dup ADMISSION probe: struct(n_bands, n_collide) of a text's
+ * MinHash+LSH bands against a broadcast SORTED long[] of combined
+ * corpus band keys (learned offline by
+ * [[graft.ops.DedupOps.corpusBandKeys]]). One kernel call runs the
+ * whole per-row pipeline — shingle → k minhash slots → band hashes →
+ * binary-search probes — where the composed column form would be 64
+ * interpreted higher-order-function transforms per row (the measured
+ * 50× minhash-as-expression failure mode
+ * [[graft.ops.DedupOps.minhashSignatures]] documents). Bit-compatible
+ * with the batch [[graft.ops.DedupOps.bandCollideAdmit]] candidate
+ * pipeline (RunTopologySpec pins admit-set equality; DedupOpsSpec pins
+ * per-band key equality against the column composition).
+ */
+case class LshBandCollide(child: Expression, n: Int, k: Int, bands: Int,
+    model: org.apache.spark.broadcast.Broadcast[Array[Long]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq("n_bands", "n_collide").map(f =>
+      org.apache.spark.sql.types.StructField(f,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.lshCollide(v.toString, n, k, bands, model.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("bandModel", model,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.VectorMath.lshCollide($t.toString(), $n, $k, $bands, " +
+        s"(long[])$mRef.value())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * Positional word n-gram hashes: element k = xxhash64 (seed 42, same
  * family as [[ShingleHashes]]) of the space-joined gram starting at
  * word k. Duplicates KEPT, gram order preserved — the positional input
@@ -1441,6 +1556,11 @@ object native {
       model: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
     GraftColumnBridge.column(
       SpanFlagStats(GraftColumnBridge.expression(text), n, model))
+
+  def lsh_band_collide(text: Column, n: Int, k: Int, bands: Int,
+      model: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
+    GraftColumnBridge.column(
+      LshBandCollide(GraftColumnBridge.expression(text), n, k, bands, model))
 
   def simhash64(featureHashes: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(featureHashes)))

@@ -189,6 +189,50 @@ object DedupOps {
     fresh.select(id.as("doc_id")).join(rejected, Seq("doc_id"), "left_anti")
   }
 
+  /** The DISTINCT combined LSH band keys of a corpus — the offline
+   *  "band model" the live near-dup admission gate
+   *  (`StreamOps.nearDupGateStream`) broadcasts. Each (band index,
+   *  band hash) pair folds to one 64-bit key `xxhash64(band, bh)` so
+   *  the model is a flat long column (8 bytes/key sorted-array
+   *  broadcast, the span_flag device); the native
+   *  [[graft.functions.LshBandCollide]] kernel reproduces the exact
+   *  same chain (seed 42, int band then long hash). Key count is
+   *  bounded by bands × corpus docs (minus sharing). */
+  def corpusBandKeys(df: DataFrame, id: Column, text: Column,
+      k: Int = 64, bands: Int = 16, shingleN: Int = 3): DataFrame =
+    minhashSignatures(df, id, text, k, shingleN)
+      .select(posexplode(lshBandHashes(col("sig"), bands, k / bands)))
+      .toDF("band", "bh")
+      .select(xxhash64(col("band"), col("bh")).as("bk"))
+      .distinct()
+
+  /**
+   * Batch LSH band-collision ADMISSION — the candidate stage of
+   * [[incrementalNearDupAdmit]] alone, as a gate: a fresh document is
+   * admitted iff NONE of its LSH bands collides with any history band
+   * (no exact-Jaccard verification — the gate trades the verify
+   * join's latency for candidate-level recall, the right side of the
+   * trade for a STREAMING admission filter where a false rejection
+   * costs one recoverable doc and a verify join would re-run the
+   * history agg per micro-batch). Docs too short to shingle admit
+   * unconditionally (no bands ⇒ no collision). Output: the admitted
+   * ids, one `doc_id` column — the live gate's semantics contract
+   * (RunTopologySpec pins stream == this).
+   */
+  def bandCollideAdmit(fresh: DataFrame, hist: DataFrame,
+      id: Column, text: Column, k: Int = 64, bands: Int = 16,
+      shingleN: Int = 3): DataFrame = {
+    val rows = k / bands
+    val fb = minhashSignatures(fresh, id, text, k, shingleN)
+      .select(col("id"), posexplode(lshBandHashes(col("sig"), bands, rows)))
+      .toDF("id", "band", "bh")
+      .select(col("id"), xxhash64(col("band"), col("bh")).as("bk"))
+    val rejected = fb.join(corpusBandKeys(hist, id, text, k, bands, shingleN),
+        Seq("bk"))
+      .select(col("id").as("doc_id")).distinct()
+    fresh.select(id.as("doc_id")).join(rejected, Seq("doc_id"), "left_anti")
+  }
+
   /** Adds a `simhash` column: 64-bit SimHash over word-feature hashes —
    *  per bit, the sign of the +1/-1 sum across words. Row-local: one
    *  WordHashes + one SimHash64 native kernel call per row (the HOF
@@ -351,6 +395,77 @@ object DedupOps {
       .select(col("doc_id"), col("n_units"), col("n_kept"),
         size(col("kw")).cast("bigint").as("kept_tokens"),
         md5(array_join(col("kw"), " ")).as("kept_hash"))
+  }
+
+  /**
+   * VARIABLE-LENGTH maximal repeated spans — the full exact-substring
+   * rung above [[repeatedSpanStats]] (which measures fixed-n gram
+   * duplication): find each document's MAXIMAL runs of consecutive
+   * duplicated gram positions and report the ones covering at least
+   * `minLen` tokens. This is the distributed gram-chain formulation of
+   * the Lee et al. 2022 suffix-array pass: a token span [p, q+n-1] is
+   * reported iff every n-gram inside it occurs elsewhere in the corpus
+   * (the suffix-array criterion for repeats ≥ n, applied at span
+   * granularity) and it is not extendable in either direction — run
+   * maximality IS span maximality because extending the span by one
+   * token adds exactly one gram position at an end of the run.
+   * Per document:
+   *   n_spans     — maximal duplicated runs covering >= minLen tokens;
+   *   max_span    — token length of the longest such run (0 if none);
+   *   span_tokens — Σ run token lengths over qualifying runs (maximal
+   *                 runs are disjoint as POSITION sets; their token
+   *                 intervals can overlap by < n tokens when separated
+   *                 by a short clean gap, and each run still reports
+   *                 its own full length — the per-span removal measure,
+   *                 not a union; [[repeatedSpanStats]].dup_tokens is
+   *                 the union form).
+   * Documents with fewer than n words report all zeros.
+   *
+   * Scale shape: ONE heavy pass, exactly [[repeatedSpanStats]]'s
+   * contract — gram hashing is one row-local [[graft.functions
+   * .GramHashes]] kernel call, and every downstream stage works on
+   * fixed-width (doc_id, pos) pairs. Exchange 1 is the corpus-wide
+   * occurrence count window partitioned by the 64-bit hash; exchange 2
+   * re-keys the surviving DUPLICATED positions by doc_id for the
+   * run-numbering window (pos - row_number, the standard
+   * gaps-and-islands device); the run rollup groups by (doc_id, grp)
+   * and the doc rollup by doc_id — both satisfied by the doc_id hash
+   * partitioning already in place, so neither adds an exchange
+   * (PlanShapeSpec pins 1 heavy kernel pass + these 2 shuffles + the
+   * join-back). No self-join, no per-token explode. Hash collisions
+   * (2^-64-scale) could extend one run, the [[ngramJaccardPairs]]
+   * trade.
+   */
+  def maximalRepeatedSpans(df: DataFrame, id: Column, text: Column,
+      n: Int = 4, minLen: Int = 8): DataFrame = {
+    require(minLen >= n, "a span shorter than one gram cannot qualify")
+    // fanOut: gram hashing is the heavy per-row stage (see ngramJaccardPairs)
+    val grams = FanOut.fanOut(df)
+      .select(id.as("doc_id"),
+        posexplode(graft.functions.native.gram_hashes(text, n)))
+      .toDF("doc_id", "pos", "gh")
+    val dupPos = grams
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("gh")))
+      .filter(col("c") > 1)
+      .select(col("doc_id"), col("pos"))
+    // gaps-and-islands: consecutive dup positions share (pos - row_number)
+    val runs = dupPos
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("p0"), max("pos").as("p1"))
+      .withColumn("len", (col("p1") - col("p0") + lit(n)).cast("bigint"))
+      .filter(col("len") >= minLen)
+    val perDoc = runs.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("len")).as("max_span"),
+        sum(col("len")).as("span_tokens"))
+    df.select(id.as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"),
+        coalesce(col("span_tokens"), lit(0L)).as("span_tokens"))
   }
 
   /** The distinct 64-bit hashes of grams occurring MORE THAN ONCE in

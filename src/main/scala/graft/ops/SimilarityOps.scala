@@ -304,7 +304,12 @@ object SimilarityOps {
     val cosArr = array(cents.indices.map(i =>
       cosine(col("embedding"), typedlit(cents(i).toSeq), col("nrm"),
         lit(cNorms(i)))): _*)
-    assigned.withColumn("cs", element_at(cosArr, col("cell") + 1))
+    // a zero-norm vector (or centroid) makes cosine's dot/(|a||b|)
+    // divide by zero -> NULL, which would leak NULL flags where the
+    // oracle's guarded expression coalesces to -infinity and flags the
+    // vector as an outlier — mirror the oracle's guard exactly
+    assigned.withColumn("cs", coalesce(
+        element_at(cosArr, col("cell") + 1), lit(Double.NegativeInfinity)))
       .select(col("vec_id"), col("cell"),
         round(col("cs"), 4).as("cos_r"),
         (col("cs") < threshold).as("is_outlier"))

@@ -220,6 +220,43 @@ object Oracles {
        |FROM w LEFT JOIN tot USING (doc_id) LEFT JOIN cov USING (doc_id)""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.dedupSpansMaximal]]: same whitespace
+   *  words, same gram windows, the dup flag grouped on the gram STRING
+   *  where Spark groups on its xxhash64 (the dedupSpans equivalence),
+   *  same gaps-and-islands run grouping (pos - row_number), same
+   *  ≥ MaxSpanL qualification. An INDEPENDENT relational computation
+   *  of the maximal-run semantics — not the Spark plan echoed back. */
+  val dedupSpansMaximal: String = {
+    val n = PipelineQueries.SpanN
+    val l = PipelineQueries.MaxSpanL
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, i AS pos, array_to_string(ws[i+1:i+$n], ' ') AS gram
+       |  FROM w, unnest(range(0, greatest(len(ws) - $n + 1, 0))) t(i)),
+       |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+       |d AS (
+       |  SELECT doc_id, pos,
+       |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM g JOIN dup USING (gram)),
+       |runs AS (
+       |  SELECT doc_id, max(pos) - min(pos) + $n AS len
+       |  FROM d GROUP BY doc_id, grp
+       |  HAVING max(pos) - min(pos) + $n >= $l),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_spans,
+       |         CAST(max(len) AS BIGINT) AS max_span,
+       |         CAST(sum(len) AS BIGINT) AS span_tokens
+       |  FROM runs GROUP BY 1)
+       |SELECT w.doc_id,
+       |       coalesce(n_spans, 0) AS n_spans,
+       |       coalesce(max_span, 0) AS max_span,
+       |       coalesce(span_tokens, 0) AS span_tokens
+       |FROM w LEFT JOIN agg USING (doc_id)""".stripMargin
+  }
+
   /** Mirrors [[PipelineQueries.dedupParagraphs]]: same whitespace words,
    *  same fixed-width unit cut, survivorship grouped on the unit STRING
    *  where Spark groups on its md5 (identical barring collisions — the

@@ -76,6 +76,22 @@ object PipelineQueries {
     DedupOps.repeatedSpanStats(Tables.documents(spark, sfDir),
       col("doc_id"), col("text"), n = SpanN)
 
+  /** Minimum token length for a [[dedupSpansMaximal]] span (2×[[SpanN]]
+   *  ⇒ a run of at least [[SpanN]]+1 consecutive duplicated grams —
+   *  strictly longer than any single-gram hit, so the query separates
+   *  genuine repeated PASSAGES from isolated duplicated grams at every
+   *  SF). */
+  val MaxSpanL = 2 * SpanN
+
+  /** VARIABLE-LENGTH maximal repeated spans ≥ [[MaxSpanL]] tokens (the
+   *  full Lee et al. exact-substring rung — [[DedupOps
+   *  .maximalRepeatedSpans]]'s gram-chain formulation): per doc, the
+   *  count/longest/total token length of maximal consecutive-duplicated
+   *  runs, where [[dedupSpans]] only measures per-position duplication. */
+  def dedupSpansMaximal(spark: SparkSession, sfDir: String): DataFrame =
+    DedupOps.maximalRepeatedSpans(Tables.documents(spark, sfDir),
+      col("doc_id"), col("text"), n = SpanN, minLen = MaxSpanL)
+
   /** Words per dedup unit for [[dedupParagraphs]] (20 ⇒ ~3% of unit
    *  positions duplicated on the synthetic corpus — sparse but
    *  non-vacuous at every SF, like [[SpanN]]). */

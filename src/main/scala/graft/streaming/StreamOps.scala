@@ -319,13 +319,26 @@ object StreamOps {
    * exactly (RunTopologySpec pins all four cases). Lines with <2
    * words emit (0, 0) rather than vanishing (the batch contract drops
    * them; a live gate should not silently swallow rows).
+   *
+   * The broadcast model is the FULL bigram relation — vocab²-BOUNDED,
+   * not vocab²-sized (natural text realizes a tiny, Zipf-thinned
+   * fraction of the square), but still the one collect in the gate
+   * family whose size is quadratic in a corpus statistic. Past
+   * `maxModelEntries` distinct bigrams the build REFUSES (one count of
+   * the already-aggregated bigram relation — model-sized, not
+   * corpus-sized) instead of collecting a map that would brown-out the
+   * driver and every executor: use the batch
+   * `PipelineQueries.textBigramNll` join form, which keeps the model
+   * distributed, for corpora past the cap (the `embed_neardup`
+   * maxCorpus device; StreamOpsSpec asserts the refusal).
    */
-  def bigramScoreStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+  def bigramScoreStream(docs: DataFrame, corpus: DataFrame,
+      maxModelEntries: Long = 4000000L): DataFrame = {
     val micro = graft.queries.PipelineQueries.NllMicro
     def nllOf(num: Column, den: Column): Column =
       floor(-log(num.cast("double") / den.cast("double")) *
         lit(micro.toDouble)).cast("bigint")
-    val bg = corpus
+    val bgCounts = corpus
       .select(graft.ops.TextAnalyticsOps.words(lower(col("text"))).as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(explode(transform(sequence(lit(0), size(col("ws")) - 2),
@@ -333,6 +346,14 @@ object StreamOps {
           element_at(col("ws"), i + 2).as("b")))).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("c_ab"))
+    val nEntries = bgCounts.count()
+    require(nEntries <= maxModelEntries,
+      s"bigram model has $nEntries entries > cap $maxModelEntries; a " +
+        "broadcast map this size risks driver/executor memory — score " +
+        "with the distributed batch join form " +
+        "(PipelineQueries.textBigramNll) instead, or raise " +
+        "maxModelEntries if the memory budget allows")
+    val bg = bgCounts
       .withColumn("c_a", sum("c_ab").over(
         org.apache.spark.sql.expressions.Window.partitionBy("a")))
       .withColumn("v", size(collect_set(col("a")).over(
@@ -401,6 +422,40 @@ object StreamOps {
   }
 
   /**
+   * Live NEAR-DUP ADMISSION GATE — the streaming form of
+   * `DedupOps.bandCollideAdmit`, the offline-model / online-filter
+   * split of [[spanFlagStream]] applied to MinHash+LSH: the corpus's
+   * combined band keys are learned ONCE at topology build
+   * (`DedupOps.corpusBandKeys` — the identical xxhash64 chain the
+   * batch candidate join matches on), collected to a SORTED primitive
+   * long[] and sc.broadcast; each arriving doc is admitted iff NONE of
+   * its bands collides (the candidate-stage gate — no exact-Jaccard
+   * verify, see bandCollideAdmit for why that is the right trade
+   * live). Flagging is one native [[graft.functions.LshBandCollide]]
+   * kernel call per row — shingle → 64 minhash slots → band probes in
+   * one JIT-friendly pass (the composed column form is 64 interpreted
+   * HOF transforms — the measured 50× minhash-expression failure
+   * mode). Stateless row-local filter, Append-safe, replay-stable.
+   * Docs too short to shingle admit unconditionally (no bands ⇒ no
+   * collision — bit-agreed with the batch explode, which drops them
+   * before any signature exists). RunTopologySpec pins stream == batch
+   * admit sets. Scale: the model is bands × |corpus| keys less
+   * sharing — 8 bytes each, ~1.3 GB per 10⁹ history docs; past
+   * executor memory the batch join form is the right tool (the
+   * [[spanFlagStream]] bound). Docs must carry a `text` column; all
+   * input columns pass through.
+   */
+  def nearDupGateStream(docs: DataFrame, corpus: DataFrame,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    val keys = graft.ops.DedupOps.corpusBandKeys(corpus, col("doc_id"),
+      col("text"), k, bands, shingleN).collect().map(_.getLong(0)).sorted
+    val bc = docs.sparkSession.sparkContext.broadcast(keys)
+    docs.filter(graft.functions.native
+      .lsh_band_collide(col("text"), shingleN, k, bands, bc)
+      .getField("n_collide") === 0L)
+  }
+
+  /**
    * Live temperature-mixture SAMPLING GATE — the streaming form of
    * `PipelineQueries.mixSample`, offline-statistic / online-filter
    * like [[lmScoreStream]] and [[spanFlagStream]]: the per-source keep
@@ -415,12 +470,25 @@ object StreamOps {
    * same cap the batch query applies to under-target sources. Docs
    * must carry (source, text); all input columns pass through.
    */
-  def mixSampleStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
-    import graft.queries.PipelineQueries
-    val thresholds = PipelineQueries.mixThresholds(
+  def mixSampleStream(docs: DataFrame, corpus: DataFrame): DataFrame =
+    mixSampleGate(docs, mixThresholdEntries(corpus))
+
+  /** The learned (source, keep-threshold) entries of [[mixSampleStream]],
+   *  collected ONCE — callers that also need the source names (Run's
+   *  demo labeler, MaxRateProbe) share this single collect instead of
+   *  re-deriving the threshold frame per consumer (and the entries are
+   *  sorted by source so downstream label indexing is deterministic). */
+  def mixThresholdEntries(corpus: DataFrame): Array[(String, Long)] =
+    graft.queries.PipelineQueries.mixThresholds(
       corpus.select(col("source"),
         graft.ops.TextAnalyticsOps.wsTokenCount(col("text")).as("n_tokens")))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+
+  /** The filter stage of [[mixSampleStream]] over pre-collected
+   *  threshold entries. */
+  def mixSampleGate(docs: DataFrame,
+      thresholds: Array[(String, Long)]): DataFrame = {
+    import graft.queries.PipelineQueries
     val tmap = map(thresholds.flatMap {
       case (s, t) => Seq(lit(s), lit(t)) }.toIndexedSeq: _*)
     docs.filter(PipelineQueries.mixHash24(col("text")) <

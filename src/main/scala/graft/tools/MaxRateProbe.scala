@@ -304,11 +304,23 @@ object MaxRateProbe {
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
     }
     search("mix_sample", seed = 4000000, OutputMode.Append) { in =>
-      // same deterministic source labeling as the Run topology
-      StreamOps.mixSampleStream(
+      // same deterministic source labeling as the Run topology: index
+      // into the LEARNED sources' actual names (a hardcoded source
+      // count would silently fall into the unknown-source
+      // keep-everything branch and inflate the measured gate rate)
+      val entries = StreamOps.mixThresholdEntries(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+      val names = entries.map(_._1)
+      StreamOps.mixSampleGate(
         in.select(col("ts"), Generators.docLine(col("value")).as("text"),
-          concat(lit("src"), pmod(xxhash64(col("value")), lit(20))
-            .cast("string")).as("source")),
+          element_at(array(names.map(lit).toIndexedSeq: _*),
+            (pmod(xxhash64(col("value")), lit(names.length)) + 1)
+              .cast("int")).as("source")),
+        entries)
+    }
+    search("neardup_gate", seed = 500000, OutputMode.Append) { in =>
+      StreamOps.nearDupGateStream(
+        in.select(col("ts"), Generators.docLine(col("value")).as("text")),
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
     }
     search("pipeline_curate", seed = 500000, OutputMode.Append) { in =>

@@ -115,6 +115,21 @@ class PlanShapeSpec extends SparkSpec {
       "span stats must not self-join the gram stream:\n" + p)
   }
 
+  test("dedup_spans_maximal keeps the dedup_spans contract: one gram " +
+      "kernel pass, two fixed-width exchanges, no self-join — the run " +
+      "and doc rollups reuse the doc_id window partitioning") {
+    val p = plan("dedup_spans_maximal")
+    assert("gramhashes".r.findAllIn(p).size == 1,
+      "gram kernel must run exactly once:\n" + p)
+    // gh count-window + doc_id run-window; the (doc_id, grp) run
+    // rollup and the doc_id span rollup are both satisfied by the
+    // doc_id hash partitioning already in place
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      "expected exactly gh + doc_id exchanges:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "maximal spans must not self-join the gram stream:\n" + p)
+  }
+
   test("dedup_paragraphs cuts units once and shuffles only fixed-width " +
       "triples (window + rollup exchanges; text stays scan-side)") {
     val p = plan("dedup_paragraphs")

@@ -391,4 +391,43 @@ class RunTopologySpec extends SparkSpec {
       assert(out.filter(_._1 == "/b").map(_._2).max == 2L)
     } finally q.stop()
   }
+
+  test("Run neardup_gate admits live lines exactly as the batch " +
+      "band-collide rule; verbatim corpus docs reject, sub-n admit") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val corpusPath = "/root/testdata/sf0.001/documents.parquet"
+    val corpusTexts = spark.read.parquet(corpusPath)
+      .select("text").collect().map(_.getString(0))
+    // fresh mix: verbatim corpus docs (their own bands are in the
+    // model -> reject), lightly perturbed docs (the batch rule
+    // decides), novel and sub-n lines (admit)
+    val fresh: Seq[String] = corpusTexts.take(5).toSeq ++
+      corpusTexts.slice(5, 8).map(t => "zq " + t) ++
+      Seq("zzq wwq vvq uuq rrq ttq qqt", "one two")
+    val freshDf = fresh.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val admittedIds = graft.ops.DedupOps.bandCollideAdmit(
+      freshDf, spark.read.parquet(corpusPath), col("doc_id"), col("text"))
+      .as[Long].collect().toSet
+    val batchTexts = fresh.zipWithIndex.collect {
+      case (t, i) if admittedIds(i.toLong) => t }.toSet
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.toMemory(
+      Run.nearDupGateTopology(spark, in.toDF().toDF("ts", "value"), corpusPath),
+      "run_neardup", OutputMode.Append, ckpt())
+    try {
+      val t0 = at("2024-01-01 10:00:00")
+      in.addData(fresh.map(t => (t0, t)).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("run_neardup")
+        .select("text").collect().map(_.getString(0)).toSet
+      assert(got == batchTexts, "live admit set must equal the batch rule")
+      assert(!got.contains(corpusTexts.head),
+        "a verbatim corpus doc must be rejected")
+      assert(got.contains("one two"), "a sub-n line must be admitted")
+      assert(got.nonEmpty && got.size < fresh.toSet.size,
+        "the fixture must exercise both branches")
+    } finally q.stop()
+  }
 }

@@ -204,4 +204,118 @@ class DedupOpsSpec extends SparkSpec {
     // dup positions {0,1,5,6}: [0..4] u [5..9] = all 10 tokens
     assert(got(6L) == ((7L, 4L, 10L)))
   }
+
+  /** Independent reference for [[DedupOps.maximalRepeatedSpans]]: brute
+   *  force over gram strings in plain Scala (no hashing, no Spark). */
+  private def refMaximalSpans(corpus: Seq[(Long, String)], n: Int,
+      minLen: Int): Map[Long, (Long, Long, Long)] = {
+    def words(t: String) = t.split("\\s+").filter(_.nonEmpty).toSeq
+    def grams(t: String) = {
+      val w = words(t)
+      if (w.size < n) Vector.empty
+      else w.sliding(n).map(_.mkString(" ")).toVector
+    }
+    val counts = corpus.flatMap { case (_, t) => grams(t) }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    corpus.map { case (id, t) =>
+      val dupPos = grams(t).zipWithIndex.collect {
+        case (g, p) if counts(g) > 1 => p }
+      // maximal consecutive runs
+      val runs = dupPos.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }.map { case (s, e) => e - s + n }.filter(_ >= minLen)
+      id -> ((runs.size.toLong,
+        if (runs.isEmpty) 0L else runs.max.toLong, runs.sum.toLong))
+    }.toMap
+  }
+
+  test("maximalRepeatedSpans: crafted runs qualify by token length; " +
+      "isolated dup grams and short docs report zeros") {
+    val n = 3
+    val d = Seq(
+      (1L, "a b c d e f g h"),      // shares the 6-token span "a b c d e f" with 2
+      (2L, "x y a b c d e f q"),
+      (3L, "p q r s t"),            // nothing repeated
+      (4L, "u v w z1 z2 u v w"),    // isolated dup gram "u v w" (3 < minLen 5)
+      (5L, "t u")                   // sub-n
+    ).toDF("doc_id", "text")
+    val texts = d.as[(Long, String)].collect().toSeq
+    val want = refMaximalSpans(texts, n, minLen = 5)
+    val got = DedupOps.maximalRepeatedSpans(d, col("doc_id"), col("text"),
+      n = n, minLen = 5).as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == want, s"got $got want $want")
+    // the fixture is non-vacuous both ways
+    assert(got(1L)._1 == 1L && got(1L)._2 == 6L)
+    assert(got(4L) == ((0L, 0L, 0L)), "isolated dup gram must not qualify")
+    assert(got(5L) == ((0L, 0L, 0L)))
+  }
+
+  test("maximalRepeatedSpans matches the independent reference on a " +
+      "seeded fuzz corpus (runs, overlaps, ragged whitespace)") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = Vector("aa", "bb", "cc", "dd", "ee")
+    val corpus = (0L until 60L).map { id =>
+      val len = rnd.nextInt(14)
+      val sep = if (rnd.nextBoolean()) " " else "  \t"
+      id -> Seq.fill(len)(alphabet(rnd.nextInt(alphabet.size))).mkString(sep)
+    }
+    val n = 3
+    val minLen = 2 * n
+    val want = refMaximalSpans(corpus, n, minLen)
+    val got = DedupOps.maximalRepeatedSpans(
+      corpus.toDF("doc_id", "text"), col("doc_id"), col("text"), n, minLen)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == want)
+    assert(want.values.exists(_._1 > 0), "fuzz corpus produced no spans")
+  }
+
+  test("LshBandCollide kernel == the batch band-key pipeline, per band " +
+      "(collide counts vs corpusBandKeys; shingle-less docs -> (0,0))") {
+    val hist = docs // the suite fixture is the history corpus
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // = hist 1: collides
+      (11L, "totally novel content nothing like the others at all"),
+      (12L, "so ws")).toDF("doc_id", "text") // no shingles
+    val keys = DedupOps.corpusBandKeys(hist, col("doc_id"), col("text"))
+      .as[Long].collect().sorted
+    val bc = spark.sparkContext.broadcast(keys)
+    val kernel = fresh.select($"doc_id",
+      graft.functions.native.lsh_band_collide($"text", 3, 64, 16, bc).as("st"))
+      .select($"doc_id", $"st.n_bands", $"st.n_collide")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // batch: the same combined keys via the column pipeline
+    val keysDf = keys.toSeq.toDF("bk")
+    val batch = DedupOps.minhashSignatures(fresh, col("doc_id"), col("text"))
+      .select(col("id"), posexplode(DedupOps.lshBandHashes(col("sig"))))
+      .toDF("id", "band", "bh")
+      .select(col("id"), xxhash64(col("band"), col("bh")).as("bk"))
+      .join(keysDf, Seq("bk"))
+      .groupBy("id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(kernel(10L) == ((16L, batch(10L))) && batch(10L) == 16L,
+      s"verbatim history doc must collide on every band: $kernel")
+    assert(kernel(11L) == ((16L, batch.getOrElse(11L, 0L))),
+      s"novel doc collide count must match batch: $kernel")
+    assert(kernel(12L) == ((0L, 0L)), "shingle-less doc has no bands")
+  }
+
+  test("bandCollideAdmit: history collisions reject, novel and " +
+      "shingle-less docs admit") {
+    val hist = docs
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // verbatim
+      (11L, "the quick brown fox jumps over the lazy emu"), // near-dup
+      (12L, "totally novel content nothing like the others at all"),
+      (13L, "so ws")).toDF("doc_id", "text")
+    val admitted = DedupOps.bandCollideAdmit(fresh, hist,
+      col("doc_id"), col("text")).as[Long].collect().toSet
+    assert(!admitted.contains(10L), "verbatim history doc must reject")
+    assert(!admitted.contains(11L), "near-dup (shared bands) must reject")
+    assert(admitted.contains(12L) && admitted.contains(13L),
+      s"novel + shingle-less must admit: $admitted")
+  }
 }

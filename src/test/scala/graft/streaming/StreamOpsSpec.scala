@@ -216,6 +216,24 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bigramScoreStream refuses a model past the entry cap, naming " +
+      "the distributed batch alternative; at the cap it builds") {
+    implicit val sqlCtx = spark.sqlContext
+    // 5 distinct bigrams: (a,b) (b,c) (c,d) (c,a) (a,d)
+    val corpus = Seq("a b c d", "b c a d").toDF("text")
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val docs = in.toDF().toDF("ts", "text")
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.bigramScoreStream(docs, corpus, maxModelEntries = 4)
+    }
+    assert(e.getMessage.contains("textBigramNll"),
+      s"refusal must point at the batch join form: ${e.getMessage}")
+    assert(e.getMessage.contains("5") && e.getMessage.contains("4"),
+      s"refusal must name the size and the cap: ${e.getMessage}")
+    // the cap is a guard, not a tax: at exactly the cap the model builds
+    StreamOps.bigramScoreStream(docs, corpus, maxModelEntries = 5)
+  }
+
   test("mixWeightsStream: each trigger's complete snapshot reproduces " +
       "the batch temperature weights over everything seen so far") {
     import graft.queries.PipelineQueries
