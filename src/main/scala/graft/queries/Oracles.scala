@@ -1512,6 +1512,26 @@ object Oracles {
       |FROM n CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),
       |                          (8),(9),(10),(11),(12),(13),(14),(15)) d(i)""".stripMargin
 
+  /** Mirrors [[PipelineQueries.mmDecodePng]]: the PNG fixture
+   *  generator's raw-PIXEL statistics (`tools.PngFixture.expectedRows`
+   *  — pure arithmetic over the deterministic pixel definition, no PNG
+   *  bytes, no ImageIO) embedded as a VALUES literal, the sign-table
+   *  device. The Spark side decodes the COMMITTED encoded bytes, so a
+   *  hash match proves the real decode round-trips the generator spec
+   *  — the two sides share only the pixel-function constants, never a
+   *  decoded value. */
+  val mmDecodePng: String = {
+    val rows = graft.tools.PngFixture.expectedRows
+      .map { case (id, w, h, csv) => s"($id, $w, $h, '$csv')" }
+      .mkString(",\n  ")
+    s"""SELECT CAST(img_id AS BIGINT) AS img_id,
+       |       CAST(width AS BIGINT) AS width,
+       |       CAST(height AS BIGINT) AS height,
+       |       hist_csv
+       |FROM (VALUES
+       |  $rows) AS t(img_id, width, height, hist_csv)""".stripMargin
+  }
+
   // ---- mergeable-sketch contracts (SketchQueries) --------------------------
   // Exact values recomputed relationally; the sketch estimates are
   // asserted Spark-side as within-tolerance booleans (literal TRUE

@@ -1156,4 +1156,24 @@ object PipelineQueries {
       .select(col("doc_id"),
         posexplode(MultimodalOps.decodeStub(col("bytes"))))
       .toDF("doc_id", "bin", "cnt")
+
+  /** REAL image decode, end-to-end gated: run
+   *  [[MultimodalOps.decodeImagePartitioned]] (genuine `javax.imageio`
+   *  PNG decode, partition-batched) over the committed deterministic
+   *  PNG corpus (`tools.PngFixture` — the driver's testdata carries no
+   *  real binaries, so the fixture rides in the repo) and emit each
+   *  image's dimensions + 16-bin luminance histogram. The oracle is
+   *  the generator's raw-PIXEL arithmetic embedded as literals (the
+   *  sign-table device): the gate passes iff the committed bytes
+   *  genuinely round-trip — decode correctness, not decoder echo.
+   *  Ignores sfDir by construction (the fixture is scale-free). */
+  def mmDecodePng(spark: SparkSession, sfDir: String): DataFrame =
+    MultimodalOps.decodeImagePartitioned(
+      spark.read.parquet(graft.tools.PngFixture.Path), "img_id", "png")
+      .toDF()
+      .select(col("id").as("img_id"),
+        col("width").cast("bigint").as("width"),
+        col("height").cast("bigint").as("height"),
+        array_join(transform(col("lum_hist"), _.cast("string")), ",")
+          .as("hist_csv"))
 }

@@ -1,0 +1,94 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Deterministic committed corpus of REAL encoded PNGs — the fixture
+ * that lets `MultimodalOps.decodeImagePartitioned` be gated end-to-end
+ * (the driver's testdata ships no genuine binary payloads; synthetic
+ * md5 blobs exercise the plumbing but can never prove a decode).
+ *
+ * Every image is a pure function of its id: [[dims]] picks the
+ * dimensions, [[rgb]] the pixel colors. The generator `main` encodes
+ * them as real PNGs (`javax.imageio` — JDK-public, lossless) into a
+ * parquet committed at [[Path]]; [[expectedRows]] computes the SAME
+ * statistics the decode query extracts (dimensions + 16-bin luminance
+ * histogram, `MultimodalOps.decodeImagePartitioned`'s exact
+ * `((r+g+b)/3) >> 4` binning) from the RAW PIXEL DEFINITION — no PNG,
+ * no ImageIO, no bytes. The DuckDB oracle embeds those rows as a
+ * VALUES literal (the sign-table device: a deterministic generator
+ * mirrored arithmetically on the oracle side), so the gated query
+ * passes iff the committed bytes genuinely round-trip the encoder —
+ * a real decode proof, not an echo of the decoder's own output.
+ *
+ * Sizes span 5–16 × 4–13 px so the corpus stays a few KB committed
+ * while the pixel functions sweep the full luminance range (all 16
+ * histogram bins are hit across the corpus).
+ */
+object PngFixture {
+  val N = 48
+  val Path: String = sys.env.getOrElse("GRAFT_PNG_FIXTURE",
+    "/root/repo/data/png_fixture.parquet")
+
+  def dims(i: Int): (Int, Int) = (5 + i % 12, 4 + (i * 7) % 10)
+
+  def rgb(i: Int, x: Int, y: Int): (Int, Int, Int) = (
+    (i * 37 + x * 11 + y * 23) % 256,
+    (i * 59 + x * 5 + y * 3) % 256,
+    (i * 17 + x * 29 + y * 7) % 256)
+
+  /** (img_id, width, height, hist_csv) from the raw pixel definition —
+   *  the oracle side; must never touch PNG bytes or ImageIO. */
+  def expectedRows: Seq[(Long, Int, Int, String)] = (0 until N).map { i =>
+    val (w, h) = dims(i)
+    val hist = new Array[Long](16)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = rgb(i, x, y)
+        hist(((r + g + b) / 3) >> 4) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    (i.toLong, w, h, hist.mkString(","))
+  }
+
+  /** A real PNG encoding of image i's pixels. */
+  def pngBytes(i: Int): Array[Byte] = {
+    val (w, h) = dims(i)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = rgb(i, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** One-shot generator: writes the fixture parquet (single file — the
+   *  corpus is KBs and commits as one object). Idempotent by
+   *  construction: every byte is a function of the constants above. */
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse(Path)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    (0 until N).map(i => (i.toLong, pngBytes(i)))
+      .toDF("img_id", "png")
+      .coalesce(1).write.mode("overwrite").parquet(out)
+    spark.stop()
+  }
+}

@@ -174,4 +174,30 @@ class TextMultimodalSpec extends SparkSpec {
     assert(zoo.take(nTrunc).map(t => out(t._1)).exists(_.width == -1),
       "at least one truncation must exercise the in-reader failure path")
   }
+
+  test("mm_decode_png: the COMMITTED PNG fixture decodes to the " +
+      "generator's raw-pixel statistics (real end-to-end decode gate)") {
+    import graft.tools.PngFixture
+    val got = graft.queries.PipelineQueries.mmDecodePng(spark, "unused")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    val want = PngFixture.expectedRows
+      .map { case (id, w, h, csv) => (id, w.toLong, h.toLong, csv) }.toSet
+    assert(got.size == PngFixture.N, s"fixture must carry ${PngFixture.N} images")
+    assert(got == want,
+      "decoded stats must equal the pre-encode pixel arithmetic")
+    // the fixture is non-degenerate: every luminance bin is hit somewhere
+    val allBins = PngFixture.expectedRows
+      .flatMap(_._4.split(",").zipWithIndex.collect {
+        case (c, b) if c.toLong > 0 => b }).toSet
+    assert(allBins == (0 until 16).toSet,
+      s"fixture must sweep all 16 luminance bins, hit: $allBins")
+    // ...and the committed bytes are REAL PNGs, not regenerated ones:
+    // magic must match on-disk
+    val firstBytes = spark.read.parquet(PngFixture.Path)
+      .orderBy("img_id").select("png").head().getAs[Array[Byte]](0)
+    assert(firstBytes.take(4).map(_ & 0xFF).sameElements(
+      Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt)), "not a PNG payload")
+  }
 }
