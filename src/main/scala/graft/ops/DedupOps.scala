@@ -468,6 +468,78 @@ object DedupOps {
         coalesce(col("span_tokens"), lit(0L)).as("span_tokens"))
   }
 
+  /**
+   * Maximal-span REMOVAL with document reconstruction — the transform
+   * the Lee et al. exact-substring pass actually performs, where
+   * [[maximalRepeatedSpans]] only measures: every maximal duplicated
+   * run covering >= minLen tokens is an OCCURRENCE of some repeated
+   * region; occurrences group by content (the run's ordered gram-hash
+   * sequence — two runs of the same text have identical sequences);
+   * each group keeps only its globally FIRST occurrence (min (doc_id,
+   * start) — a total order, so survivorship is deterministic and
+   * engine-reproducible, the [[unitDedup]] rule at span granularity)
+   * and every other occurrence's token interval is cut from its
+   * document. Per document: n_tokens, n_removed, kept_hash (md5 of
+   * the space-joined surviving words — the reconstruction gate).
+   *
+   * Scale shape: ONE heavy pass, the [[repeatedSpanStats]] contract.
+   * After the gram kernel + gh count window + doc_id islands window
+   * (the [[maximalRepeatedSpans]] prefix), everything shuffles at RUN
+   * granularity — fixed-width (doc_id, p0, p1, fingerprint) rows, two
+   * orders of magnitude sparser than gram positions: one exchange on
+   * the run fingerprint for first-occurrence survivorship, one doc_id
+   * rollup of removal intervals. Reconstruction re-joins the interval
+   * rollup to the corpus BY ID (the unitDedup device — co-partitioned
+   * and shuffle-free under a doc_id-bucketed layout) and filters each
+   * doc's words row-locally against its own removal intervals (an
+   * index-aware HOF filter — intervals per doc are bounded by the
+   * doc's own span count, no per-token explode, no text shuffle).
+   * Fingerprint collisions (2^-64-scale xxhash64 over the hash
+   * sequence) could merge two distinct span groups — the
+   * [[ngramJaccardPairs]] trade.
+   */
+  def removeRepeatedSpans(df: DataFrame, id: Column, text: Column,
+      n: Int = 4, minLen: Int = 8): DataFrame = {
+    require(minLen >= n, "a span shorter than one gram cannot qualify")
+    val words = TextAnalyticsOps.words(text)
+    val grams = FanOut.fanOut(df)
+      .select(id.as("doc_id"),
+        posexplode(graft.functions.native.gram_hashes(text, n)))
+      .toDF("doc_id", "pos", "gh")
+    val dupPos = grams
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("gh")))
+      .filter(col("c") > 1)
+      .select(col("doc_id"), col("pos"), col("gh"))
+    val runs = dupPos
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("p0"), max("pos").as("p1"),
+        // content fingerprint: the run's gram hashes in position order
+        xxhash64(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("pos"), col("gh")))),
+            s => s.getField("gh").cast("string")))).as("fp"))
+      .withColumn("len", (col("p1") - col("p0") + lit(n)).cast("bigint"))
+      .filter(col("len") >= minLen)
+    val removed = runs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("fp").orderBy("doc_id", "p0")))
+      .filter(col("rn") > 1)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("p0"),
+        (col("p1") + lit(n - 1)).as("pend"))).as("ivs"))
+    df.select(id.as("doc_id"), words.as("w"))
+      .join(removed, Seq("doc_id"), "left")
+      .withColumn("kept", filter(col("w"), (_, i) =>
+        !exists(coalesce(col("ivs"),
+          array().cast("array<struct<p0:int,pend:int>>")),
+          iv => i >= iv.getField("p0") && i <= iv.getField("pend"))))
+      .select(col("doc_id"),
+        size(col("w")).cast("bigint").as("n_tokens"),
+        (size(col("w")) - size(col("kept"))).cast("bigint").as("n_removed"),
+        md5(array_join(col("kept"), " ")).as("kept_hash"))
+  }
+
   /** The distinct 64-bit hashes of grams occurring MORE THAN ONCE in
    *  `df` — the offline "dup model" the live span gate
    *  (`StreamOps.spanFlagStream`) broadcasts. Same kernel, hash

@@ -257,6 +257,58 @@ object Oracles {
        |FROM w LEFT JOIN agg USING (doc_id)""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.dedupSpansRemoval]]: same run
+   *  construction as [[dedupSpansMaximal]], occurrence groups
+   *  fingerprinted by the run's gram STRINGS in position order where
+   *  Spark hashes the gram-hash sequence (the established
+   *  string-vs-hash equivalence), same (doc_id, p0) first-occurrence
+   *  survivorship, removal = NOT EXISTS a cut interval covering the
+   *  token, reconstruction = ordered string_agg of survivors. */
+  val dedupSpansRemoval: String = {
+    val n = PipelineQueries.SpanN
+    val l = PipelineQueries.MaxSpanL
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, i AS pos, array_to_string(ws[i+1:i+$n], ' ') AS gram
+       |  FROM w, unnest(range(0, greatest(len(ws) - $n + 1, 0))) t(i)),
+       |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+       |d AS (
+       |  SELECT doc_id, pos, gram,
+       |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM g JOIN dup USING (gram)),
+       |runs AS (
+       |  SELECT doc_id, min(pos) AS p0, max(pos) AS p1,
+       |         string_agg(gram, '|' ORDER BY pos) AS fp
+       |  FROM d GROUP BY doc_id, grp
+       |  HAVING max(pos) - min(pos) + $n >= $l),
+       |rem AS (
+       |  SELECT doc_id, p0, p1 + $n - 1 AS pend
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY fp
+       |                    ORDER BY doc_id, p0) AS rn FROM runs)
+       |  WHERE rn > 1),
+       |tok AS (
+       |  SELECT doc_id, i, ws[CAST(i + 1 AS INT)] AS word
+       |  FROM w, unnest(range(0, len(ws))) t(i)),
+       |kept AS (
+       |  SELECT t.doc_id, t.i, t.word
+       |  FROM tok t
+       |  WHERE NOT EXISTS (SELECT 1 FROM rem r
+       |                    WHERE r.doc_id = t.doc_id
+       |                      AND t.i BETWEEN r.p0 AND r.pend)),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |         string_agg(word, ' ' ORDER BY i) AS ktext
+       |  FROM kept GROUP BY 1)
+       |SELECT w.doc_id,
+       |       CAST(len(ws) AS BIGINT) AS n_tokens,
+       |       CAST(len(ws) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+       |       md5(coalesce(ktext, '')) AS kept_hash
+       |FROM w LEFT JOIN agg USING (doc_id)""".stripMargin
+  }
+
   /** Mirrors [[PipelineQueries.dedupParagraphs]]: same whitespace words,
    *  same fixed-width unit cut, survivorship grouped on the unit STRING
    *  where Spark groups on its md5 (identical barring collisions — the

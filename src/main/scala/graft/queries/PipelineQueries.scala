@@ -92,6 +92,14 @@ object PipelineQueries {
     DedupOps.maximalRepeatedSpans(Tables.documents(spark, sfDir),
       col("doc_id"), col("text"), n = SpanN, minLen = MaxSpanL)
 
+  /** Maximal-span REMOVAL + reconstruction (the transform the Lee et
+   *  al. pass performs — [[DedupOps.removeRepeatedSpans]]): every
+   *  qualifying span occurrence except its globally first is cut, and
+   *  each document is rebuilt from the surviving words, md5-gated. */
+  def dedupSpansRemoval(spark: SparkSession, sfDir: String): DataFrame =
+    DedupOps.removeRepeatedSpans(Tables.documents(spark, sfDir),
+      col("doc_id"), col("text"), n = SpanN, minLen = MaxSpanL)
+
   /** Words per dedup unit for [[dedupParagraphs]] (20 ⇒ ~3% of unit
    *  positions duplicated on the synthetic corpus — sparse but
    *  non-vacuous at every SF, like [[SpanN]]). */

@@ -130,6 +130,21 @@ class PlanShapeSpec extends SparkSpec {
       "maximal spans must not self-join the gram stream:\n" + p)
   }
 
+  test("dedup_spans_removal: one gram pass; past the islands window " +
+      "only RUN-level fixed-width frames shuffle (fp survivorship + " +
+      "interval rollup); reconstruction is a row-local filter, no " +
+      "self-join") {
+    val p = plan("dedup_spans_removal")
+    assert("gramhashes".r.findAllIn(p).size == 1,
+      "gram kernel must run exactly once:\n" + p)
+    // gh count window + doc_id islands window on gram positions, then
+    // fp survivorship window + doc_id interval rollup on RUN rows
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 4,
+      "expected gh + doc_id + fp + doc_id(rollup) exchanges only:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      "reconstruction must re-join by id (broadcast), never self-join:\n" + p)
+  }
+
   test("dedup_paragraphs cuts units once and shuffles only fixed-width " +
       "triples (window + rollup exchanges; text stays scan-side)") {
     val p = plan("dedup_paragraphs")

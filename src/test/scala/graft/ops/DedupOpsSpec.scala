@@ -272,6 +272,101 @@ class DedupOpsSpec extends SparkSpec {
     assert(want.values.exists(_._1 > 0), "fuzz corpus produced no spans")
   }
 
+  /** Independent reference for [[DedupOps.removeRepeatedSpans]]: brute
+   *  force with gram STRINGS as run fingerprints. */
+  private def refRemoveSpans(corpus: Seq[(Long, String)], n: Int,
+      minLen: Int): Map[Long, (Long, Long, String)] = {
+    def words(t: String) = t.split("\\s+").filter(_.nonEmpty).toSeq
+    def grams(t: String) = {
+      val w = words(t)
+      if (w.size < n) Vector.empty
+      else w.sliding(n).map(_.mkString(" ")).toVector
+    }
+    val counts = corpus.flatMap { case (_, t) => grams(t) }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    // all qualifying runs across the corpus, with content fingerprints
+    val runs = corpus.flatMap { case (id, t) =>
+      val gs = grams(t)
+      val dupPos = gs.zipWithIndex.collect { case (g, p) if counts(g) > 1 => p }
+      dupPos.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }.collect { case (p0, p1) if p1 - p0 + n >= minLen =>
+        (id, p0, p1, gs.slice(p0, p1 + 1).mkString("|"))
+      }
+    }
+    val removedIvs = runs.groupBy(_._4).values.flatMap { occ =>
+      occ.toSeq.sortBy(r => (r._1, r._2)).drop(1)
+        .map(r => (r._1, r._2, r._3 + n - 1))
+    }.toSeq.groupBy(_._1)
+    corpus.map { case (id, t) =>
+      val w = words(t)
+      val ivs = removedIvs.getOrElse(id, Nil).map(r => (r._2, r._3))
+      val kept = w.zipWithIndex.collect {
+        case (wd, i) if !ivs.exists(iv => i >= iv._1 && i <= iv._2) => wd }
+      id -> ((w.size.toLong, (w.size - kept.size).toLong,
+        md5hex(kept.mkString(" "))))
+    }.toMap
+  }
+
+  test("removeRepeatedSpans: the non-first occurrence of a qualifying " +
+      "span is cut and the doc reconstructs; untouched docs hash whole") {
+    val n = 3
+    val d = Seq(
+      (1L, "a b c d e f g h"),      // first occurrence of "a b c d e f"
+      (2L, "x y a b c d e f q"),    // second occurrence -> cut 6 tokens
+      (3L, "p q r s t"),            // untouched
+      (4L, "u v w z1 z2 u v w")     // isolated dup gram, below minLen
+    ).toDF("doc_id", "text")
+    val texts = d.as[(Long, String)].collect().toSeq
+    val want = refRemoveSpans(texts, n, minLen = 5)
+    val got = DedupOps.removeRepeatedSpans(d, col("doc_id"), col("text"),
+      n = n, minLen = 5).as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == want, s"got $got want $want")
+    assert(got(1L) == ((8L, 0L, md5hex("a b c d e f g h"))),
+      "the FIRST occurrence must survive whole")
+    assert(got(2L) == ((9L, 6L, md5hex("x y q"))),
+      "the second occurrence must lose exactly the span tokens")
+    assert(got(4L)._2 == 0L, "sub-minLen repeats must not be cut")
+  }
+
+  test("removeRepeatedSpans matches the independent reference on the " +
+      "seeded fuzz corpus (overlapping cuts, whole-doc removals)") {
+    val rnd = new scala.util.Random(42)
+    // wide alphabet: incidental gram repeats stay rare, so qualifying
+    // same-CONTENT spans come from the injected shared passages below
+    // (a tiny alphabet chains incidental dups onto passage boundaries,
+    // splitting fingerprints — real corpora look like this one)
+    val alphabet = (0 until 40).map(i => f"w$i%02d").toVector
+    val passages = Vector(
+      Seq.fill(8)(alphabet(rnd.nextInt(alphabet.size))),
+      Seq.fill(6)(alphabet(rnd.nextInt(alphabet.size))))
+    val corpus = (0L until 60L).map { id =>
+      val base = Seq.fill(rnd.nextInt(14))(alphabet(rnd.nextInt(alphabet.size)))
+      // ~half the docs get a shared passage spliced at a random offset
+      val withPassage =
+        if (rnd.nextBoolean()) {
+          val p = passages(rnd.nextInt(passages.size))
+          val cut = if (base.isEmpty) 0 else rnd.nextInt(base.size)
+          base.take(cut) ++ p ++ base.drop(cut)
+        } else base
+      val sep = if (rnd.nextBoolean()) " " else "  \t"
+      id -> withPassage.mkString(sep)
+    }
+    val n = 3
+    val minLen = 2 * n
+    val want = refRemoveSpans(corpus, n, minLen)
+    val got = DedupOps.removeRepeatedSpans(
+      corpus.toDF("doc_id", "text"), col("doc_id"), col("text"), n, minLen)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == want)
+    assert(want.values.exists(_._2 > 0), "fuzz corpus removed nothing")
+    assert(want.values.exists(v => v._2 == 0 && v._1 > 0),
+      "fuzz corpus must also leave some docs untouched")
+  }
+
   test("LshBandCollide kernel == the batch band-key pipeline, per band " +
       "(collide counts vs corpusBandKeys; shingle-less docs -> (0,0))") {
     val hist = docs // the suite fixture is the history corpus
