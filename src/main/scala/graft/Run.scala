@@ -42,12 +42,13 @@ import graft.streaming.StreamOps
  * hash_sample json_props quality_cut curate trident_wordcount
  * decontaminate text_chunks text_scrub split_assign mix_weights
  * sessionize shuffle_shard lm_score span_flag mix_sample neardup_gate
+ * outlier_gate
  * (curate also takes --threshold <minScore> and --min-words <n>;
  *  decontaminate takes --bench <parquet path> for the benchmark set;
  *  lm_score takes --corpus <parquet path> for the model corpus and
  *  --order 1|2 for unigram vs add-one bigram scoring;
- *  span_flag, mix_sample and neardup_gate take --corpus <parquet
- *  path> for their offline models)
+ *  span_flag, mix_sample, neardup_gate and outlier_gate take
+ *  --corpus <parquet path> for their offline models)
  */
 object Run {
   def main(args: Array[String]): Unit = {
@@ -236,6 +237,15 @@ object Run {
               (pmod(xxhash64(col("value")), lit(names.length)) + 1)
                 .cast("int")).as("source")),
           entries), OutputMode.Append)
+      case "outlier_gate" =>
+        // embedding-outlier admission, live: k-means prototypes trained
+        // offline from --corpus (the batch embed_outliers quantizer),
+        // embedded as literals; arriving vectors scored row-locally
+        // against their own centroid. Real ingestion carries an
+        // embedding column; the demo synthesizes a deterministic hash
+        // vector per line (the mix_sample demo-labeler pattern)
+        (outlierGateTopology(spark, lines(), opts.getOrElse("corpus",
+          "/root/testdata/sf0.001/embeddings.parquet")), OutputMode.Append)
       case "neardup_gate" =>
         // near-dup admission, live: the corpus's LSH band keys learned
         // offline from --corpus (the batch bandCollideAdmit candidate
@@ -405,6 +415,32 @@ object Run {
     StreamOps.nearDupGateStream(
       lines.select(col("ts"), col("value").as("text")),
       spark.read.parquet(corpusPath))
+
+  /** Deterministic demo embedding for a text line: 64 hash-derived
+   *  floats in [-1, 1) — real ingestion replaces this with the
+   *  upstream encoder's column (the mix_sample demo-labeler pattern).
+   *  A native kernel, not composed columns: the 64-term tree inlines
+   *  into every downstream scoring consumer and blows the 64 KB
+   *  codegen method limit (see functions.SynthEmbedding). */
+  private[graft] def synthEmbedding(
+      value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.native.synth_embedding(value,
+      graft.queries.PipelineQueries.EmbeddingDim)
+
+  /** Embedding-outlier admission at ingest: prototypes are an offline
+   *  artifact of the batch embed_outliers training
+   *  (StreamOps.outlierGateStream has the scale reasoning). Factored
+   *  so RunTopologySpec drives the exact composition. */
+  private[graft] def outlierGateTopology(spark: SparkSession,
+      lines: DataFrame, corpusPath: String): DataFrame = {
+    import graft.queries.PipelineQueries
+    StreamOps.outlierGateStream(
+      lines.select(col("ts"), col("value"),
+        synthEmbedding(col("value")).as("embedding")),
+      spark.read.parquet(corpusPath),
+      k = PipelineQueries.KmCells, iters = PipelineQueries.KmIters,
+      threshold = PipelineQueries.OutlierCos)
+  }
 
   /** The two per-trigger-sort topologies run through foreachBatch. */
   private def runForeachBatch(spark: SparkSession, name: String, lines: DataFrame,

@@ -251,6 +251,25 @@ object VectorMath {
     }
   }
 
+  /** Deterministic demo embedding of a text: `dim` floats in [-1, 1)
+   *  derived from one xxhash64 of the text re-hashed per dimension;
+   *  see [[SynthEmbedding]]. A stand-in for a real upstream encoder in
+   *  live demos/probes — NOT a semantic embedding. */
+  def synthEmbedding(text: String, dim: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.{XXH64 => xh}
+    val base = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text),
+      org.apache.spark.sql.types.StringType, 42L)
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      val h = xh.hashLong(i + 1L, base)
+      out(i) = ((((h % 1000L) + 1000L) % 1000L) / 500.0 - 1.0).toFloat
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Word n-gram shingle hashes; see [[ShingleHashes]]. Split semantics
    *  match Java regex \s+ with empty tokens dropped (maximal runs of
    *  ASCII whitespace); hash matches Spark's xxhash64 (XXH64, seed 42)
@@ -1119,6 +1138,33 @@ case class LshBandCollide(child: Expression, n: Int, k: Int, bands: Int,
 }
 
 /**
+ * Deterministic demo embedding kernel — the live gates' stand-in for
+ * an upstream encoder (`Run.synthEmbedding`). One static call per row:
+ * the composed-column form is `dim` hash expressions that get INLINED
+ * INTO EVERY scoring consumer downstream (8 centroid cosines + the
+ * probe-cells call each re-expand the tree), which blew Janino's 64 KB
+ * method limit in the outlier_gate probe — the exact failure mode this
+ * file's header documents.
+ */
+case class SynthEmbedding(child: Expression, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.synthEmbedding(v.toString, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.VectorMath.synthEmbedding($t.toString(), $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * Positional word n-gram hashes: element k = xxhash64 (seed 42, same
  * family as [[ShingleHashes]]) of the space-joined gram starting at
  * word k. Duplicates KEPT, gram order preserved — the positional input
@@ -1561,6 +1607,10 @@ object native {
       model: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
     GraftColumnBridge.column(
       LshBandCollide(GraftColumnBridge.expression(text), n, k, bands, model))
+
+  def synth_embedding(text: Column, dim: Int): Column =
+    GraftColumnBridge.column(
+      SynthEmbedding(GraftColumnBridge.expression(text), dim))
 
   def simhash64(featureHashes: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(featureHashes)))

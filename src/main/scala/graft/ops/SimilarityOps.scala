@@ -293,26 +293,40 @@ object SimilarityOps {
    * ZERO exchanges beyond the training passes.
    */
   def centroidOutliers(emb: DataFrame, k: Int, iters: Int,
+      threshold: Double): DataFrame =
+    centroidScore(emb.select(col("vec_id"), col("embedding")),
+      kmeansCentroids(emb, k, iters), threshold)
+      .select(col("vec_id"), col("cell"), col("cos_r"), col("is_outlier"))
+
+  /**
+   * Row-local own-centroid scoring against an ALREADY-TRAINED
+   * quantizer — the apply stage of [[centroidOutliers]], factored so
+   * the live admission gate (`StreamOps.outlierGateStream`) scores
+   * with the IDENTICAL expressions (centroids ride as codegen
+   * reference objects / literals — no stream-static join to re-run
+   * per micro-batch). Appends (cell, cos_r, is_outlier) to `df`,
+   * which must carry an `embedding` column; every input column passes
+   * through. Zero-norm vectors (or centroids) make cosine's
+   * dot/(|a||b|) divide by zero -> NULL, which would leak NULL flags
+   * where the oracle's guarded expression coalesces to -infinity and
+   * flags the vector — the coalesce mirrors that guard exactly.
+   */
+  def centroidScore(df: DataFrame, cents: Array[Array[Float]],
       threshold: Double): DataFrame = {
-    val cents = kmeansCentroids(emb, k, iters)
     val cNorms = cents.map(c =>
       math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
-    val assigned = emb.select(col("vec_id"), col("embedding"),
-        l2Norm(col("embedding")).as("nrm"))
+    val assigned = df
+      .withColumn("nrm__", l2Norm(col("embedding")))
       .withColumn("cell", element_at(
         graft.functions.native.ivf_probe_cells(col("embedding"), cents, cNorms, 1), 1))
     val cosArr = array(cents.indices.map(i =>
-      cosine(col("embedding"), typedlit(cents(i).toSeq), col("nrm"),
+      cosine(col("embedding"), typedlit(cents(i).toSeq), col("nrm__"),
         lit(cNorms(i)))): _*)
-    // a zero-norm vector (or centroid) makes cosine's dot/(|a||b|)
-    // divide by zero -> NULL, which would leak NULL flags where the
-    // oracle's guarded expression coalesces to -infinity and flags the
-    // vector as an outlier — mirror the oracle's guard exactly
-    assigned.withColumn("cs", coalesce(
+    assigned.withColumn("cs__", coalesce(
         element_at(cosArr, col("cell") + 1), lit(Double.NegativeInfinity)))
-      .select(col("vec_id"), col("cell"),
-        round(col("cs"), 4).as("cos_r"),
-        (col("cs") < threshold).as("is_outlier"))
+      .withColumn("cos_r", round(col("cs__"), 4))
+      .withColumn("is_outlier", col("cs__") < threshold)
+      .drop("nrm__", "cs__")
   }
 
   /**

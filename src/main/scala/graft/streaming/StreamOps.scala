@@ -456,6 +456,35 @@ object StreamOps {
   }
 
   /**
+   * Live EMBEDDING OUTLIER GATE — the streaming form of
+   * `PipelineQueries.embedOutliers`' cut, completing the admission-gate
+   * family on the embedding side: k-means prototypes are trained ONCE
+   * at topology build from a static corpus (`SimilarityOps
+   * .kmeansCentroids` — the same decimal-exact Lloyd the batch
+   * queries share), embedded as codegen reference objects/literals,
+   * and every arriving vector is scored against its OWN nearest
+   * centroid by the IDENTICAL row-local expressions the batch query
+   * applies (`SimilarityOps.centroidScore` — one `IvfProbeCells`
+   * kernel + k literal-vector dot kernels; no stream-static join to
+   * re-run the training per micro-batch, the measured lm_score
+   * failure mode). Vectors below the cosine floor are dropped;
+   * admitted rows pass through with (cell, cos_r) appended — the
+   * prototype-distance observability a curation monitor wants.
+   * Stateless, Append-safe, replay-stable. Scale: the model is k×dim
+   * floats — trivially broadcastable at any real k; training cost is
+   * the batch Lloyd, paid once at build. Docs must carry an
+   * `embedding` column (array<float>). RunTopologySpec pins admitted
+   * set + scores == the batch query.
+   */
+  def outlierGateStream(vecs: DataFrame, corpus: DataFrame, k: Int,
+      iters: Int, threshold: Double): DataFrame = {
+    val cents = graft.ops.SimilarityOps.kmeansCentroids(corpus, k, iters)
+    graft.ops.SimilarityOps.centroidScore(vecs, cents, threshold)
+      .filter(!col("is_outlier"))
+      .drop("is_outlier")
+  }
+
+  /**
    * Live temperature-mixture SAMPLING GATE — the streaming form of
    * `PipelineQueries.mixSample`, offline-statistic / online-filter
    * like [[lmScoreStream]] and [[spanFlagStream]]: the per-source keep

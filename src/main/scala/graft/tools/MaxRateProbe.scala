@@ -323,6 +323,19 @@ object MaxRateProbe {
         in.select(col("ts"), Generators.docLine(col("value")).as("text")),
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
     }
+    search("outlier_gate", seed = 1000000, OutputMode.Append) { in =>
+      // same deterministic demo embedding as the Run topology — the
+      // measured cost is the real scoring path (IvfProbeCells + k
+      // literal-vector dots) plus the synth itself
+      StreamOps.outlierGateStream(
+        in.select(col("ts"),
+          graft.Run.synthEmbedding(col("value").cast("string"))
+            .as("embedding")),
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+        k = graft.queries.PipelineQueries.KmCells,
+        iters = graft.queries.PipelineQueries.KmIters,
+        threshold = graft.queries.PipelineQueries.OutlierCos)
+    }
     search("pipeline_curate", seed = 500000, OutputMode.Append) { in =>
       StreamOps.curateStream(
         in.select(col("ts"), col("value").as("doc_id"),

@@ -216,6 +216,42 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("outlierGateStream: admitted vectors and own-centroid scores " +
+      "equal the batch embed_outliers cut exactly") {
+    import graft.queries.PipelineQueries
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val rows = corpus.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val batch = PipelineQueries.embedOutliers(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2),
+        r.getBoolean(3)))).toMap
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.toMemory(
+      StreamOps.outlierGateStream(
+        in.toDF().toDF("vec_id", "embedding"), corpus,
+        k = PipelineQueries.KmCells, iters = PipelineQueries.KmIters,
+        threshold = PipelineQueries.OutlierCos),
+      "outlier_gate_test", OutputMode.Append, ckpt())
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      in.addData(a.toIndexedSeq); q.processAllAvailable()
+      in.addData(b.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("outlier_gate_test")
+        .select("vec_id", "cell", "cos_r").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+      val admitted = batch.filter(!_._2._3)
+      assert(got.keySet == admitted.keySet,
+        "live admit set must equal the batch non-outliers")
+      got.foreach { case (id, (cell, cos)) =>
+        assert((cell, cos) == ((admitted(id)._1, admitted(id)._2)),
+          s"cell/score drift for vec $id") }
+      assert(batch.values.exists(_._3) && admitted.nonEmpty,
+        "fixture must exercise both branches")
+    } finally q.stop()
+  }
+
   test("bigramScoreStream refuses a model past the entry cap, naming " +
       "the distributed batch alternative; at the cap it builds") {
     implicit val sqlCtx = spark.sqlContext
