@@ -151,10 +151,13 @@ object DedupOps {
    * (id, band, hash) triples and id-keyed shingle-hash arrays shuffle,
    * never text; both candidate joins are hash equi-joins on (band,
    * hash). At 100 TB the history side's band table is precomputed and
-   * bucketed by (band, hash) (the sources.BucketedTables story), so
-   * steady-state ingest shuffles only the BATCH's bands — history is
-   * never re-shingled per ingest; here both sides derive in-plan, the
-   * training-in-query convention the other dedup ops follow.
+   * bucketed by its combined band key (the sources.BucketedTables
+   * story), so steady-state ingest shuffles only the BATCH's bands —
+   * history is never re-shingled per ingest; here both sides derive
+   * in-plan, the training-in-query convention the other dedup ops
+   * follow. The claim is plan-PROVEN, not prose: BucketedTablesSpec's
+   * band-bucketed ingest test shows the bucketed layout erasing
+   * exactly the history side's two exchanges from the candidate join.
    */
   def incrementalNearDupAdmit(fresh: DataFrame, hist: DataFrame,
       id: Column, text: Column, threshold: Double = 0.5,

@@ -130,6 +130,49 @@ class BucketedTablesSpec extends SparkSpec {
     }
   }
 
+  test("band-bucketed near-dup ingest: the precomputed history band " +
+      "table joins bucket-local — only the batch side shuffles") {
+    // the scale claim in DedupOps.incrementalNearDupAdmit made
+    // concrete: with the history's combined band keys precomputed and
+    // bucketed on bk, steady-state ingest never re-shingles or
+    // re-shuffles history — the candidate join reads its bucket layout
+    dropTable("bands_hist_b")
+    import graft.ops.DedupOps
+    val docs = Tables.documents(spark, sfDir)
+    val hist = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    def bandKeys(df: org.apache.spark.sql.DataFrame) =
+      DedupOps.minhashSignatures(df, col("doc_id"), col("text"))
+        .select(col("id"), posexplode(DedupOps.lshBandHashes(col("sig"))))
+        .toDF("id", "band", "bh")
+        .select(col("id"), xxhash64(col("band"), col("bh")).as("bk"))
+    BucketedTables.writeBucketed(bandKeys(hist), "bands_hist_b", "bk",
+      buckets = 4)
+    withNoBroadcast {
+      def candidates(histBands: org.apache.spark.sql.DataFrame) =
+        bandKeys(batch)
+          .join(histBands.select(col("id").as("hid"), col("bk")), Seq("bk"))
+          .select(col("id").as("fid"), col("hid")).distinct()
+      val bucketed = candidates(spark.table("bands_hist_b"))
+      val inPlan = candidates(bandKeys(hist))
+      val pB = bucketed.queryExecution.executedPlan.toString
+      val pI = inPlan.queryExecution.executedPlan.toString
+      def nEx(p: String) = "Exchange hashpartitioning".r.findAllIn(p).size
+      // the in-plan history side pays its minhash agg + its join-side
+      // shuffle; the bucketed layout erases BOTH — the only exchanges
+      // left belong to the batch side and the distinct
+      assert(nEx(pB) == nEx(pI) - 2,
+        s"bucketed history must erase exactly its 2 exchanges " +
+          s"(got ${nEx(pB)} vs in-plan ${nEx(pI)}):\n" + pB)
+      assert(pB.contains("Bucketed: true"),
+        "history scan must report its bucket layout:\n" + pB)
+      // layout is semantics-free: same candidate pairs
+      val got = bucketed.as[(Long, Long)].collect().toSet
+      val want = inPlan.as[(Long, Long)].collect().toSet
+      assert(got == want && got.nonEmpty)
+    }
+  }
+
   test("partitioned layout prunes non-matching partitions at the scan") {
     val path = "target/part-events"
     val byType = Tables.events(spark, sfDir)
