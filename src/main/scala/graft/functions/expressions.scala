@@ -435,6 +435,84 @@ object VectorMath {
     n
   }
 
+  /** Per-word segmentation-STRING memo for [[bpeEncode]] — separate
+   *  from [[bpeMemo]] (counts) so the count path's footprint is
+   *  unchanged; same bound, same compute-past-cap behavior. */
+  private val bpePieceMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** BPE segmentation of ONE word under [[BpeMerges]] as its pieces
+   *  joined by single spaces — the SAME leftmost-lowest-rank schedule
+   *  as [[bpeWordTokens]] (the oracle's recursive CTE replays it), but
+   *  keeping the symbols instead of just counting them. Pieces never
+   *  contain whitespace (words are whitespace-split), so the joined
+   *  form is unambiguous — the BpeRank key device. */
+  def bpeWordPieces(w: String): String = {
+    val cached = bpePieceMemo.get(w)
+    if (cached != null) return cached
+    val syms = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < w.length) {
+      val step = if (Character.isHighSurrogate(w.charAt(i)) && i + 1 < w.length &&
+        Character.isLowSurrogate(w.charAt(i + 1))) 2 else 1
+      syms.add(w.substring(i, i + step))
+      i += step
+    }
+    var merged = true
+    while (merged && syms.size > 1) {
+      var bestRank = Integer.MAX_VALUE
+      var bestAt = -1
+      var j = 0
+      while (j < syms.size - 1) {
+        val r = BpeRank.get(syms.get(j) + " " + syms.get(j + 1))
+        if (r != null && r.intValue() < bestRank) {
+          bestRank = r.intValue(); bestAt = j
+        }
+        j += 1
+      }
+      if (bestAt < 0) merged = false
+      else {
+        syms.set(bestAt, syms.get(bestAt) + syms.get(bestAt + 1))
+        syms.remove(bestAt + 1)
+      }
+    }
+    val sb = new java.lang.StringBuilder()
+    var k = 0
+    while (k < syms.size) {
+      if (k > 0) sb.append(' ')
+      sb.append(syms.get(k))
+      k += 1
+    }
+    val out = sb.toString
+    if (bpePieceMemo.size < BpeMemoMax) bpePieceMemo.put(w, out)
+    out
+  }
+
+  /** Whole-text BPE ENCODE; see [[BpeEncode]]: struct(n_tokens, enc)
+   *  where enc is every word's pieces in word order, space-joined —
+   *  the actual token stream a trainer consumes, where
+   *  [[bpeTokenCount]] only reports its length. */
+  def bpeEncode(s: String): InternalRow = {
+    val sb = new java.lang.StringBuilder()
+    var total = 0L
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(s.charAt(i))) i += 1
+      if (i > start) {
+        val pieces = bpeWordPieces(s.substring(start, i))
+        if (sb.length > 0) sb.append(' ')
+        sb.append(pieces)
+        total += bpeWordTokens(s.substring(start, i))
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total,
+        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)))
+  }
+
   /** Whole-text merge-table BPE token count; see [[BpeTokenCount]].
    *  Whitespace word split (same maximal-run scan as
    *  [[wsTokenCount]]), per-word segment counts summed. */
@@ -1521,6 +1599,38 @@ case class BpeTokenCount(child: Expression)
 }
 
 /**
+ * Whole-text merge-table BPE ENCODE: struct(n_tokens, enc) where `enc`
+ * is the document's actual token stream (each word's pieces in word
+ * order, space-joined) under the frozen [[VectorMath.BpeMerges]] table
+ * — the sequence a trainer consumes, where [[BpeTokenCount]] reports
+ * only its length. Same leftmost-lowest-rank schedule, same per-word
+ * memo discipline (a separate piece-string memo keeps the count
+ * path's footprint unchanged). The DuckDB oracle replays the schedule
+ * via the textTokensBpe recursive CTE and reconstructs the same
+ * stream relationally, so the SEGMENTATION ITSELF is cross-engine
+ * gated, not just its length.
+ */
+case class BpeEncode(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(org.apache.spark.sql.types.StructField("n_tokens",
+      org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("enc",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.bpeEncode(v.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.VectorMath.bpeEncode($t.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * Per-word unigram-LM score sum over a words array: Σ model(w),
  * out-of-vocabulary words costing `oov`. The learned model rides as a
  * BROADCAST handle inside the expression (an expression reference
@@ -1641,6 +1751,9 @@ object native {
 
   def bpe_token_count(text: Column): Column =
     GraftColumnBridge.column(BpeTokenCount(GraftColumnBridge.expression(text)))
+
+  def bpe_encode(text: Column): Column =
+    GraftColumnBridge.column(BpeEncode(GraftColumnBridge.expression(text)))
 
   def lm_unigram_score(ws: Column,
       model: org.apache.spark.broadcast.Broadcast[

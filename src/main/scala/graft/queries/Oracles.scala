@@ -1008,6 +1008,57 @@ object Oracles {
        |FROM lw LEFT JOIN bp USING (doc_id)""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.textEncodeBpe]]: the [[textTokensBpe]]
+   *  recursive-CTE segmentation machinery, extended to reconstruct the
+   *  actual token STREAM — each distinct word's terminal fenced state
+   *  becomes its space-joined pieces (trim(replace(s,'|',' '))), and
+   *  the document encodes as the ordered string_agg of its words'
+   *  pieces. md5 of that stream must equal the kernel's — the
+   *  segmentation itself is the gated value. Same '|'-fence caveat as
+   *  textTokensBpe (words containing a literal pipe would break the
+   *  fencing in BOTH the oracle and nothing else — corpus-free risk). */
+  val textEncodeBpe: String = {
+    val vals = graft.functions.VectorMath.BpeMerges.zipWithIndex.map {
+      case ((a, b), i) =>
+        s"(${i + 1},'${a.replace("'", "''")}','${b.replace("'", "''")}')"
+    }.mkString(",")
+    s"""WITH RECURSIVE
+       |m(rk, a, b) AS (SELECT * FROM (VALUES $vals) t(rk, a, b)),
+       |lw AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS lst
+       |  FROM documents),
+       |dw(w) AS (SELECT DISTINCT unnest(lst) FROM lw),
+       |it(w, s, i) AS (
+       |  SELECT w, '|' || array_to_string(string_split(w, ''), '|') || '|', 0 FROM dw
+       |  UNION ALL
+       |  SELECT x.w,
+       |         substr(x.s, 1, strpos(x.s, '|'||m.a||'|'||m.b||'|') - 1)
+       |           || '|' || m.a || m.b || '|'
+       |           || substr(x.s, strpos(x.s, '|'||m.a||'|'||m.b||'|') + len('|'||m.a||'|'||m.b||'|')),
+       |         x.i + 1
+       |  FROM (SELECT w, s, i,
+       |          (SELECT min(rk) FROM m WHERE contains(s, '|'||m.a||'|'||m.b||'|')) AS brk
+       |        FROM it) x
+       |  JOIN m ON m.rk = x.brk),
+       |seg AS (
+       |  SELECT w, trim(replace(arg_max(s, i), '|', ' ')) AS pieces,
+       |         arg_max(len(s) - len(replace(s, '|', '')) - 1, i) AS n
+       |  FROM it GROUP BY w),
+       |tok AS (
+       |  SELECT doc_id, i, lst[CAST(i + 1 AS INT)] AS w
+       |  FROM lw, unnest(range(0, len(lst))) t(i)),
+       |enc AS (
+       |  SELECT tok.doc_id,
+       |         string_agg(seg.pieces, ' ' ORDER BY tok.i) AS e,
+       |         sum(seg.n) AS n
+       |  FROM tok JOIN seg USING (w) GROUP BY tok.doc_id)
+       |SELECT lw.doc_id,
+       |  CAST(coalesce(enc.n, 0) AS BIGINT) AS bpe_tokens,
+       |  md5(coalesce(enc.e, '')) AS enc_hash
+       |FROM lw LEFT JOIN enc USING (doc_id)""".stripMargin
+  }
+
   /** Mirrors [[PipelineQueries.textChunks]]: same whitespace word
    *  array, ceil(len/k) chunks per non-empty doc, 1-based clipped
    *  slices (DuckDB `lst[a:b]` is 1-based inclusive with end clipping

@@ -408,6 +408,20 @@ object PipelineQueries {
       TextAnalyticsOps.wsTokenCount(col("text")).as("ws_tokens"),
       TextAnalyticsOps.bpeTokenCount(col("text")).as("bpe_tokens"))
 
+  /** Full BPE ENCODE (the native [[graft.functions.BpeEncode]]
+   *  kernel): each document's actual token stream under the frozen
+   *  merge table, md5-gated — the oracle reconstructs the SAME stream
+   *  from its independent recursive-CTE segmentations, so the
+   *  segmentation itself is cross-engine verified, not just its
+   *  length. Row-local projection, zero shuffles. */
+  def textEncodeBpe(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.native.bpe_encode(lower(col("text"))).as("e"))
+      .select(col("doc_id"),
+        col("e.n_tokens").as("bpe_tokens"),
+        md5(col("e.enc")).as("enc_hash"))
+
   /** Output size of [[bpePairStats]]. */
   val BpePairTopK = 20
 

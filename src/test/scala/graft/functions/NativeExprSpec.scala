@@ -288,6 +288,54 @@ class NativeExprSpec extends SparkSpec {
     assert(nulls.head.isNullAt(0))
   }
 
+  test("BpeEncode emits the actual token stream of the documented " +
+      "schedule; n_tokens agrees with BpeTokenCount on every input") {
+    // independent piece-level reference (immutable-list style, no
+    // sharing with the kernel loop or either memo)
+    val rank: Map[(String, String), Int] =
+      VectorMath.BpeMerges.zipWithIndex.toMap
+    def refPieces(w: String): List[String] = {
+      var syms: List[String] = w.map(_.toString).toList
+      var halt = false
+      while (!halt && syms.size > 1) {
+        val pairs = syms.zip(syms.tail).zipWithIndex
+          .flatMap { case (p, i) => rank.get(p).map(r => (r, i)) }
+        if (pairs.isEmpty) halt = true
+        else {
+          val (_, at) = pairs.min
+          syms = syms.take(at) ::: (syms(at) + syms(at + 1)) :: syms.drop(at + 2)
+        }
+      }
+      syms
+    }
+    def refEnc(s: String): String =
+      s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .map(refPieces(_).mkString(" ")).mkString(" ")
+    // hand-pinned streams (derivable from the table by eye):
+    // "join" merges (i,n) -> (j,o) -> (jo,in); "zzq" never merges
+    assert(refEnc("join zzq") == "join z z q")
+    val fixed = Seq(
+      "the customer hash join order merge",
+      "UPPER Case Vector CUSTOMER",
+      "unseen tokenizer wordshapes zzz qqq",
+      "  ragged\twhitespace  ", "")
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcdehjlmnorstuvw "
+    val fuzz = Seq.fill(150)(
+      Seq.fill(rnd.nextInt(30))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val rows = (fixed ++ fuzz).toDF("text")
+      .select(col("text"), native.bpe_encode(lower(col("text"))).as("e"),
+        graft.ops.TextAnalyticsOps.bpeTokenCount(col("text")).as("cnt"))
+      .select(col("text"), col("e.n_tokens"), col("e.enc"), col("cnt"))
+      .as[(String, Long, String, Long)].collect()
+    rows.foreach { case (t, n, enc, cnt) =>
+      assert(enc == refEnc(t), s"'$t': '$enc'")
+      assert(n == cnt, s"'$t': encode count $n != count kernel $cnt")
+      assert(n == (if (enc.isEmpty) 0 else enc.split(" ").length),
+        s"'$t': n_tokens inconsistent with the stream itself")
+    }
+  }
+
   test("ProjectedDist is bit-identical to the composed column math") {
     val df = Seq(
       (40.1, -73.9, 95.0, 12.5, 40.6, -73.2, 270.0, 3.75),
