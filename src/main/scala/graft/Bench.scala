@@ -87,10 +87,29 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       full.getBytes("UTF-8"))
     catch { case _: Throwable => }
-    def line(dec: Int) =
-      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":${js(med, dec)},"value_cold":${fmt(coldTotal, dec)},"sf":"${new java.io.File(sfDir).getName}"}"""
-    val out = (3 to 1 by -1).map(line).find(_.length <= 1900)
-      .getOrElse(line(1))
+    val Budget = 1880 // 2000-char tail - sbt footer (~75) - margin
+    def line(dec: Int, m: Map[String, Double], omitted: Int) = {
+      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":${js(m, dec)}$om,"value_cold":${fmt(coldTotal, dec)},"sf":"${new java.io.File(sfDir).getName}"}"""
+    }
+    // precision degrades 3 -> 2 -> 1 decimals; if the full map STILL
+    // overflows (the map is ~20 chars/query of names alone and grows
+    // every round), the smallest-median queries drop from the stdout
+    // map at 2 decimals — they carry the least total information, and
+    // the FULL map is always in the BENCH_full.json artifact
+    val out = (3 to 1 by -1).map(line(_, med, 0)).find(_.length <= Budget)
+      .getOrElse {
+        val asc = med.toSeq.sortBy(_._2)
+        var keep = med
+        var i = 0
+        var s = line(2, keep, 0)
+        while (s.length > Budget && keep.size > 1) {
+          keep -= asc(i)._1
+          i += 1
+          s = line(2, keep, i)
+        }
+        s
+      }
     spark.stop()
     // last stdout write: nothing after this but sbt's own footer
     println(out)
