@@ -828,6 +828,24 @@ object Oracles {
        |       ELSE 'und' END AS lang_pred
        |FROM s""".stripMargin
 
+  /** Mirrors [[PipelineQueries.textLangIdEval]]: the [[textLangId]]
+   *  per-doc prediction CTE grouped against the upstream label. */
+  val textLangIdEval: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, lang,
+       |         $langScores
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, lang,
+       |  CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |       WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+       |       WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
+       |       WHEN s_fr > 0 THEN 'fr'
+       |       ELSE 'und' END AS lang_pred
+       |FROM s)
+       |SELECT lang, lang_pred, count(*) AS n
+       |FROM p GROUP BY 1, 2""".stripMargin
+
   val textQuality: String = {
     val stops = stopListSql(graft.ops.TextAnalyticsOps.Stopwords.head._2)
     s"""WITH f AS (

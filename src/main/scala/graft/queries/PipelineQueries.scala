@@ -386,6 +386,19 @@ object PipelineQueries {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), TextAnalyticsOps.langId(col("text")).as("lang_pred"))
 
+  /** Language-ID EVALUATION — the monitoring half of a classifier a
+   *  pipeline actually operates: confusion counts of the [[textLangId]]
+   *  heuristic against the corpus's upstream `lang` labels (the one
+   *  documents column no query consumed). Output (lang, lang_pred, n);
+   *  precision/recall are one pivot away and the cell the monitor
+   *  alerts on is any off-diagonal mass. Scale shape: one row-local
+   *  kernel call + one two-phase hash agg whose group count is
+   *  |langs|² — the smallest shuffle in the suite. */
+  def textLangIdEval(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), TextAnalyticsOps.langId(col("text")).as("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+
   def textQuality(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .withColumn("q", TextAnalyticsOps.qualityFeatures(col("text")))
