@@ -524,4 +524,61 @@ object EngineProps extends Properties("graft") {
       groups.map(_._2).sum == texts.size &&
         groups.forall { case (keeper, _) => keeper >= 0 && keeper < texts.size }
     }
+
+  // ---- span-family joint invariants ---------------------------------------
+  // Generated corpora with shared passages spliced in, so qualifying
+  // same-content spans actually occur (the DedupOpsSpec fuzz lesson:
+  // random text alone almost never repeats a whole span).
+
+  private val spanTok = Gen.oneOf((0 until 30).map(i => f"t$i%02d"))
+  private val spanCorpusGen: Gen[List[List[String]]] = for {
+    passage <- Gen.listOfN(7, spanTok)
+    n <- Gen.choose(6, 12)
+    docs <- Gen.listOfN(n, for {
+      base <- Gen.choose(0, 10).flatMap(Gen.listOfN(_, spanTok))
+      inject <- Gen.prob(0.5)
+      cut <- Gen.choose(0, math.max(base.size, 1))
+    } yield if (inject) base.take(cut) ++ passage ++ base.drop(cut) else base)
+  } yield docs
+
+  property("span family: measure, maximal and removal agree on every " +
+      "joint invariant") =
+    forAll(spanCorpusGen) { corpus =>
+      import spark.implicits._
+      val n = 3
+      val minLen = 6
+      val df = corpus.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" ")) }.toDF("doc_id", "text")
+      val measure = DedupOps.repeatedSpanStats(df, col("doc_id"), col("text"), n)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val maximal = DedupOps.maximalRepeatedSpans(df, col("doc_id"),
+        col("text"), n, minLen).as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val removal = DedupOps.removeRepeatedSpans(df, col("doc_id"),
+        col("text"), n, minLen).as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      corpus.indices.forall { i =>
+        val id = i.toLong
+        val (nG, nDup, dupTok) = measure(id)
+        val (nSp, maxSp, spTok) = maximal(id)
+        val (nTok, nRem, keptHash) = removal(id)
+        val ws = corpus(i)
+        // measure sanity: gram count and union bounds
+        nG == math.max(ws.size - n + 1, 0) && nDup <= nG &&
+          dupTok <= ws.size &&
+          // maximal: zero-triples together; qualified runs obey bounds
+          ((nSp == 0) == (maxSp == 0)) && ((nSp == 0) == (spTok == 0)) &&
+          (nSp == 0 || (maxSp >= minLen && spTok >= maxSp && nDup > 0)) &&
+          // a qualifying run's positions are dup positions: its token
+          // span can't exceed the measure's covered-token union by more
+          // than the sub-minLen runs it ignores... the safe direction:
+          (nSp == 0 || dupTok >= maxSp) &&
+          // removal: bounded, implies a qualifying span, and an
+          // untouched doc reconstructs to its normalized words
+          nTok == ws.size && nRem <= nTok &&
+          (nRem == 0 || nSp > 0) &&
+          (nRem > 0 || keptHash == md5Hex(ws.mkString(" ")))
+      }
+    }
 }
