@@ -451,6 +451,15 @@ object Oracles {
        |  SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.node)
        |SELECT node AS doc_id, min(l) AS cluster FROM reach GROUP BY node""".stripMargin
 
+  /** Mirrors [[PipelineQueries.dedupClusterSizes]]: the cluster
+   *  fixpoint rolled to its size histogram. */
+  val dedupClusterSizes: String =
+    s"""WITH cl AS ($dedupClusters),
+       |s AS (SELECT cluster, count(*) AS sz FROM cl GROUP BY 1)
+       |SELECT sz AS cluster_size, count(*) AS n_clusters,
+       |       CAST(sum(sz) AS BIGINT) AS n_docs
+       |FROM s GROUP BY 1""".stripMargin
+
   /** Survivor per multi-doc cluster: nests the cluster fixpoint and the
    *  quality-score CTEs as subqueries (their hash-gated queries prove
    *  both sides bit-identical), then picks max (score, -doc_id).

@@ -199,6 +199,22 @@ object PipelineQueries {
     })
   }
 
+  /** Duplication DISTRIBUTION — the standard dedup diagnostic (how much
+   *  of the corpus sits in how-large duplicate clusters, the histogram
+   *  dedup papers report and a curation monitor tracks across crawls):
+   *  cluster sizes from the shared memoized [[clusterFrame]], rolled to
+   *  (cluster_size, n_clusters, n_docs). Singletons included — the
+   *  mass NOT in any dup cluster is the number that matters most.
+   *  Scale shape: two fixed-width aggs over the already-converged
+   *  frame (cluster-count then size-count groups); the CC fixpoint is
+   *  paid once per session like its siblings. */
+  def dedupClusterSizes(spark: SparkSession, sfDir: String): DataFrame =
+    clusterFrame(spark, sfDir)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"))
+
   /** Survivor SELECTION — the step that makes [[dedupClusters]]
    *  actionable: per duplicate cluster, keep the highest-quality member
    *  (quality score from the one-pass kernel; ties broken by min
