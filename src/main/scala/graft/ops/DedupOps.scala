@@ -497,6 +497,14 @@ object DedupOps {
    * doc's words row-locally against its own removal intervals (an
    * index-aware HOF filter — intervals per doc are bounded by the
    * doc's own span count, no per-token explode, no text shuffle).
+   * Skew note: a boilerplate span repeated across millions of docs
+   * lands all its run rows in one fp partition for the survivorship
+   * window; the rows are four fixed-width fields so the hot partition
+   * stays MBs per million occurrences — if a corpus's hottest
+   * boilerplate outgrows that, swap the row_number for a per-fp
+   * min(struct(doc_id, p0)) two-phase AGGREGATE joined back
+   * (map-side combine collapses the hot key before it shuffles), the
+   * salted-ops trade.
    * Fingerprint collisions (2^-64-scale xxhash64 over the hash
    * sequence) could merge two distinct span groups — the
    * [[ngramJaccardPairs]] trade.
