@@ -42,7 +42,7 @@ import graft.streaming.StreamOps
  * hash_sample json_props quality_cut curate trident_wordcount
  * decontaminate text_chunks text_scrub split_assign mix_weights
  * sessionize shuffle_shard lm_score span_flag mix_sample neardup_gate
- * outlier_gate
+ * outlier_gate langid_eval
  * (curate also takes --threshold <minScore> and --min-words <n>;
  *  decontaminate takes --bench <parquet path> for the benchmark set;
  *  lm_score takes --corpus <parquet path> for the model corpus and
@@ -237,6 +237,20 @@ object Run {
               (pmod(xxhash64(col("value")), lit(names.length)) + 1)
                 .cast("int")).as("source")),
           entries), OutputMode.Append)
+      case "langid_eval" =>
+        // langid confusion monitor, live: Complete-mode running
+        // (label, prediction) counts — bounded groups, the mix_weights
+        // output-mode reasoning. Real ingestion carries an upstream
+        // label; the demo assigns one deterministically by content
+        // hash (the mix_sample demo-labeler pattern) so off-diagonal
+        // mass actually accrues
+        val langs = (graft.functions.VectorMath.Stopwords.map(_._1) :+ "und")
+        (StreamOps.langIdEvalStream(
+          lines().select(col("value").as("text"),
+            element_at(array(langs.map(lit): _*),
+              (pmod(xxhash64(col("value")), lit(langs.size)) + 1)
+                .cast("int")).as("lang"))),
+          OutputMode.Complete)
       case "outlier_gate" =>
         // embedding-outlier admission, live: k-means prototypes trained
         // offline from --corpus (the batch embed_outliers quantizer),

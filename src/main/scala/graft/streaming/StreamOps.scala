@@ -526,6 +526,23 @@ object StreamOps {
   }
 
   /**
+   * Live LANGID CONFUSION MONITOR — the streaming form of
+   * `PipelineQueries.textLangIdEval`: running (label, prediction)
+   * confusion counts as a Complete-mode aggregate — the
+   * [[mixWeightsStream]] output-mode reasoning verbatim: the group
+   * count is |langs|² and BOUNDED BY THE KERNEL'S LABEL SET, so the
+   * full-snapshot re-emission is exactly the matrix a monitor wants,
+   * and state can never grow past it. The prediction is the same
+   * row-local `LangId` kernel the batch query applies. Docs must
+   * carry (lang, text). StreamOpsSpec pins each snapshot against the
+   * batch agg over everything seen.
+   */
+  def langIdEvalStream(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"),
+      graft.ops.TextAnalyticsOps.langId(col("text")).as("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+
+  /**
    * Live MIXTURE MONITOR — the streaming form of
    * `PipelineQueries.mixWeights`: running per-source doc/token totals
    * as a Complete-mode aggregate (group count = sources, bounded by

@@ -216,6 +216,41 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("langIdEvalStream: each Complete snapshot equals the batch " +
+      "confusion counts over everything seen") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val q = StreamOps.toMemory(
+      StreamOps.langIdEvalStream(in.toDF().toDF("lang", "text")),
+      "langid_eval_test", OutputMode.Complete, ckpt())
+    def expectedOver(rows: Seq[(String, String)]) = rows
+      .groupBy { case (lang, text) =>
+        // independent prediction: the suite's own stopword argmax
+        val ws = text.split("\\s+").filter(_.nonEmpty)
+        val scores = graft.functions.VectorMath.Stopwords.map {
+          case (l, stops) => l -> ws.count(stops.contains) }
+        val best = scores.filter(_._2 > 0)
+        (lang, if (best.isEmpty) "und"
+        else best.minBy { case (l, c) =>
+          (-c, scores.indexWhere(_._1 == l)) }._1)
+      }.view.mapValues(_.size.toLong).toMap
+    try {
+      val a = Seq(("en", "the cat and the dog"), ("es", "the cat runs"),
+        ("fr", "le chat est la"), ("de", "zzz qqq"))
+      in.addData(a.toIndexedSeq); q.processAllAvailable()
+      val got1 = spark.table("langid_eval_test")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got1 == expectedOver(a))
+      val b = Seq(("en", "el perro y la casa"), ("es", "el perro y la casa"))
+      in.addData(b.toIndexedSeq); q.processAllAvailable()
+      val got2 = spark.table("langid_eval_test")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got2 == expectedOver(a ++ b))
+      // off-diagonal mass exists (the monitor's alert cell is real)
+      assert(got2.keys.exists { case (l, p) => l != p })
+    } finally q.stop()
+  }
+
   test("outlierGateStream: admitted vectors and own-centroid scores " +
       "equal the batch embed_outliers cut exactly") {
     import graft.queries.PipelineQueries
