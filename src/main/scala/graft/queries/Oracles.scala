@@ -985,6 +985,58 @@ object Oracles {
        |FROM tok JOIN m USING (w) GROUP BY doc_id""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.textClassify]]: same lowercase
+   *  whitespace tokens, same md5-prefix bucket hash (the splitAssign
+   *  '0x'-CAST ≡ conv(hex,16,10) device), same pure-bigint weight
+   *  formula — the weight table is arithmetic, so neither engine
+   *  stores it. Empty token lists sum to 0 via coalesce (DuckDB's
+   *  list_sum([]) is NULL; Spark's aggregate over [] returns the 0L
+   *  init). */
+  val textClassify: String = {
+    val d = graft.queries.PipelineQueries.ClassifyHexDigits
+    val dim = graft.queries.PipelineQueries.ClassifyDim
+    val mult = graft.queries.PipelineQueries.ClassifyMult
+    val m = graft.queries.PipelineQueries.ClassifyMod
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+       |         CAST(coalesce(list_sum(list_transform(ws, x ->
+       |           ((CAST(('0x' || substring(md5(x), 1, $d)) AS BIGINT) % $dim)
+       |             * $mult) % $m - 510)), 0) AS BIGINT) AS score_sum
+       |  FROM w)
+       |SELECT doc_id, n_words, score_sum, score_sum > 0 AS keep FROM s""".stripMargin
+  }
+
+  /** Mirrors [[PipelineQueries.textPplBuckets]]: the [[textUnigramNll]]
+   *  model/score CTEs verbatim, then floor-of-double mean micro-nats
+   *  and quantile_cont thresholds (≡ Spark's interpolated percentile,
+   *  the value_quantiles equivalence) applied in the same CASE. */
+  val textPplBuckets: String = {
+    val m = graft.queries.PipelineQueries.NllMicro
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)) AS w
+       |  FROM documents),
+       |f AS (SELECT w, count(*) AS freq FROM tok GROUP BY w),
+       |t AS (SELECT sum(freq) AS tot FROM f),
+       |m AS (
+       |  SELECT w, CAST(floor(-ln(CAST(freq AS DOUBLE) / CAST(tot AS DOUBLE)) * $m) AS BIGINT) AS nll_micro
+       |  FROM f, t),
+       |sc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(floor(CAST(sum(nll_micro) AS DOUBLE) / count(*)) AS BIGINT) AS mean_nll_micro
+       |  FROM tok JOIN m USING (w) GROUP BY doc_id),
+       |th AS (SELECT quantile_cont(mean_nll_micro, 1.0/3) AS t1,
+       |              quantile_cont(mean_nll_micro, 2.0/3) AS t2 FROM sc)
+       |SELECT doc_id, n_words, mean_nll_micro,
+       |  CASE WHEN mean_nll_micro < t1 THEN 'head'
+       |       WHEN mean_nll_micro < t2 THEN 'middle'
+       |       ELSE 'tail' END AS ppl_bucket
+       |FROM sc, th""".stripMargin
+  }
+
   /** Mirrors [[PipelineQueries.textTokensBpe]]: REAL merge-table BPE,
    *  replayed step-for-step in SQL. The merge table (the same frozen
    *  [[graft.functions.VectorMath.BpeMerges]] the kernel uses — the
@@ -1140,6 +1192,34 @@ object Oracles {
        |bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % $h = 0)
        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
        |FROM g JOIN bench USING (ng)
+       |WHERE g.doc_id % $h != 0
+       |GROUP BY g.doc_id""".stripMargin
+  }
+
+  /** Mirrors [[PipelineQueries.decontaminateRatio]]: the
+   *  [[decontaminate]] gram CTEs with a LEFT join so clean docs keep
+   *  n_hits = 0; grouping on the gram STRING where Spark flows its
+   *  xxhash64 (the established fingerprint equivalence); the ratio is
+   *  one division of identical bigints; round half-away matches
+   *  Spark's HALF_UP for positives. */
+  val decontaminateRatio: String = {
+    val n = graft.queries.PipelineQueries.DecontN
+    val h = graft.queries.PipelineQueries.DecontHoldout
+    val thr = graft.queries.PipelineQueries.DecontRatioThreshold
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS lst
+       |  FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id, array_to_string(lst[i.i : i.i + ${n - 1}], ' ') AS ng
+       |  FROM w CROSS JOIN LATERAL unnest(range(1, len(lst) - $n + 2)) i(i)
+       |  WHERE len(lst) >= $n),
+       |bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % $h = 0)
+       |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |       CAST(count(b.ng) AS BIGINT) AS n_hits,
+       |       round(CAST(count(b.ng) AS DOUBLE) / count(*), 6) AS contam_ratio,
+       |       CAST(count(b.ng) AS DOUBLE) / count(*) >= $thr AS drop_doc
+       |FROM g LEFT JOIN bench b ON g.ng = b.ng
        |WHERE g.doc_id % $h != 0
        |GROUP BY g.doc_id""".stripMargin
   }

@@ -426,6 +426,47 @@ object PipelineQueries {
       TextAnalyticsOps.wsTokenCount(col("text")).as("ws_tokens"),
       TextAnalyticsOps.bpeishTokenCount(col("text")).as("bpe_tokens"))
 
+  /** Feature buckets for [[textClassify]]'s hashed bag-of-words. */
+  val ClassifyDim = 64L
+  /** md5-prefix hex digits hashed into a bucket (16^6 ≫ ClassifyDim). */
+  val ClassifyHexDigits = 6
+  /** Knuth multiplier / modulus deriving a pseudo-random weight per
+   *  bucket — pure bigint arithmetic, so both engines compute the
+   *  identical weight table without materializing it anywhere. */
+  val ClassifyMult = 2654435761L
+  val ClassifyMod = 1021L
+
+  /** The frozen model of [[textClassify]] as a pure column: weight of
+   *  one token = ((bucket(md5-prefix) mod [[ClassifyDim]]) ·
+   *  [[ClassifyMult]]) mod [[ClassifyMod]] − 510 ∈ [−510, 510]. */
+  def classifyWeight(w: Column): Column =
+    (conv(substring(md5(w), 1, ClassifyHexDigits), 16, 10).cast("long")
+      % ClassifyDim) * ClassifyMult % ClassifyMod - lit(510L)
+
+  /**
+   * Linear QUALITY-CLASSIFIER apply — the fastText-shaped keep/drop
+   * gate (RefinedWeb/FineWeb-style pipelines run one after the
+   * heuristic filters): score(doc) = Σ_tokens weight[hash(token) mod D]
+   * over a hashed bag-of-words, keep = score > 0. The weight table
+   * here is a deterministic integer formula (the JL sign-table
+   * frozen-literal-model device) standing in for offline-trained
+   * weights; a production pipeline broadcasts its trained vector and
+   * keeps the identical plan. Scale shape: the scoring is ONE
+   * `aggregate` higher-order fold over the row-local token array —
+   * zero shuffles, zero joins, no model materialization
+   * (plan-guarded); the integer score sum is engine-stable by
+   * construction (the NllMicro device needs no quantization here —
+   * weights are already integers).
+   */
+  def textClassify(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        TextAnalyticsOps.words(lower(col("text"))).as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("bigint").as("n_words"),
+        aggregate(col("ws"), lit(0L),
+          (acc, x) => acc + classifyWeight(x)).as("score_sum"))
+      .withColumn("keep", col("score_sum") > 0)
+
   /** [[textTokens]] with REAL merge-table BPE instead of the bpeish
    *  regex heuristic: per-doc whitespace and BPE-subword token counts
    *  under the frozen corpus-learned merge list. Same scale shape —
@@ -671,6 +712,36 @@ object PipelineQueries {
         sum("nll_micro").as("nll_micro_sum"))
   }
 
+  /**
+   * CCNet-style PERPLEXITY BUCKETING — assign every document to
+   * head/middle/tail by its LM score's position in the corpus score
+   * distribution (CCNet keeps the low-perplexity head, samples the
+   * middle, drops the tail; downstream mixtures weight the buckets).
+   * Score = per-doc mean unigram NLL in micro-nats
+   * (floor(nll_sum / n_words) — integer, engine-stable); thresholds =
+   * interpolated 1/3 and 2/3 quantiles of that score (the
+   * value_quantiles percentile≡quantile_cont equivalence), broadcast
+   * back as one row (the quality_cut device). Scale shape: the scored
+   * frame is doc-count-sized with tiny columns; the quantile agg is
+   * one extra pass over IT, never the corpus; a production pipeline
+   * freezes the two thresholds offline and keeps only the row-local
+   * CASE — this query is the training-in-query form of that split.
+   */
+  def textPplBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = textUnigramNll(spark, sfDir)
+      .select(col("doc_id"), col("n_words"),
+        floor(col("nll_micro_sum") / col("n_words"))
+          .cast("bigint").as("mean_nll_micro"))
+    val thr = scored.agg(
+      percentile(col("mean_nll_micro"), lit(1.0 / 3)).as("t1"),
+      percentile(col("mean_nll_micro"), lit(2.0 / 3)).as("t2"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_words"), col("mean_nll_micro"),
+        when(col("mean_nll_micro") < col("t1"), lit("head"))
+          .when(col("mean_nll_micro") < col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
   /** Tokens per training chunk ([[textChunks]]). */
   val ChunkTokens = 50
 
@@ -855,6 +926,47 @@ object PipelineQueries {
       .join(broadcast(bench), "sh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Overlap fraction above which [[decontaminateRatio]] votes drop
+   *  (PaLM drops at 70% 8-gram overlap; the synthetic corpus's
+   *  4-gram overlap distribution needs 0.5 for a mixed verdict). */
+  val DecontRatioThreshold = 0.5
+
+  /**
+   * Decontamination by OVERLAP RATIO — the GPT-3/PaLM refinement of
+   * [[decontaminate]]'s any-hit flag: a document is dropped only when
+   * the FRACTION of its distinct n-grams shared with the benchmark
+   * holdout crosses [[DecontRatioThreshold]] (any-hit scrubbing
+   * over-drops long documents that merely quote a benchmark line).
+   * Output per training doc with ≥1 n-gram: (doc_id, n_grams, n_hits,
+   * contam_ratio, drop_doc) — clean docs appear with n_hits = 0, so
+   * the output is the full audit table, not just the flagged slice.
+   * Scale shape: same as [[decontaminate]] — both sides flow as
+   * 64-bit shingle hashes, the benchmark's distinct set is BROADCAST
+   * (a LEFT join, so the corpus side still never shuffles for it),
+   * and numerator + denominator come from ONE per-doc two-phase agg
+   * over the same joined frame — the ratio costs no extra pass over
+   * the corpus. The ratio itself is a single division of two bigints
+   * from the same row — identical operands in any engine.
+   */
+  def decontaminateRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val bench = docs.filter(col("doc_id") % DecontHoldout === 0)
+      .select(explode(graft.functions.native.shingle_hashes(col("text"), DecontN))
+        .as("sh"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    docs.filter(col("doc_id") % DecontHoldout =!= 0)
+      .select(col("doc_id"),
+        explode(graft.functions.native.shingle_hashes(col("text"), DecontN))
+          .as("sh"))
+      .join(broadcast(bench), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hits"))
+      .select(col("doc_id"), col("n_grams"), col("n_hits"),
+        round(col("n_hits") / col("n_grams"), 6).as("contam_ratio"),
+        (col("n_hits") / col("n_grams") >= DecontRatioThreshold).as("drop_doc"))
   }
 
   /** Weight quantization for [[mixWeights]]: sqrt-scaled counts are

@@ -90,6 +90,91 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("decontaminateRatio audits every training doc with >=1 gram: " +
+      "denominators are distinct-gram counts, numerators agree with " +
+      "decontaminate, and the drop verdict is the threshold compare " +
+      "(recomputed in Scala from raw text)") {
+    val n = PipelineQueries.DecontN
+    val h = PipelineQueries.DecontHoldout
+    val thr = PipelineQueries.DecontRatioThreshold
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def grams(text: String): Set[String] = {
+      val w = text.split("\\s+").filter(_.nonEmpty)
+      if (w.length < n) Set.empty else w.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val bench = docs.filter(_._1 % h == 0).flatMap(d => grams(d._2)).toSet
+    val expected = docs.filter(_._1 % h != 0)
+      .map { case (id, t) => val g = grams(t); id -> (g.size.toLong, (g & bench).size.toLong) }
+      .filter(_._2._1 > 0).toMap
+    val got = PipelineQueries.decontaminateRatio(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_hits"),
+          r.getAs[Boolean]("drop_doc")))).toMap
+    assert(got.keySet == expected.keySet,
+      "audit table must cover exactly the training docs with >=1 gram")
+    got.foreach { case (id, (ng, nh, drop)) =>
+      val (eng, enh) = expected(id)
+      assert((ng, nh) == ((eng, enh)), s"doc $id")
+      assert(drop == (nh.toDouble / ng >= thr), s"verdict for doc $id")
+    }
+    // clean docs MUST appear (n_hits = 0) — the LEFT-join contract
+    assert(got.values.exists(_._2 == 0L), "no clean doc in the audit")
+  }
+
+  test("textClassify scores every doc with the exact hashed-linear " +
+      "model (recomputed in Scala) and plans ZERO exchanges") {
+    val dim = PipelineQueries.ClassifyDim
+    val mult = PipelineQueries.ClassifyMult
+    val mod = PipelineQueries.ClassifyMod
+    val hex = PipelineQueries.ClassifyHexDigits
+    def weight(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val j = java.lang.Long.parseLong(h.take(hex), 16) % dim
+      j * mult % mod - 510L
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, t) =>
+      val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      id -> ((ws.length.toLong, ws.map(weight).sum))
+    }.toMap
+    val q = PipelineQueries.textClassify(spark, sfDir)
+    val got = q.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("n_words"), r.getAs[Long]("score_sum"),
+        r.getAs[Boolean]("keep")))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, (nw, s, keep)) =>
+      assert((nw, s) == expected(id), s"doc $id")
+      assert(keep == (s > 0), s"keep verdict for doc $id")
+    }
+    // frozen-model apply is one row-local fold: any Exchange is a bug
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "textClassify must not shuffle")
+  }
+
+  test("textPplBuckets is a monotone partition of the scored corpus: " +
+      "head < middle < tail by score, every scored doc bucketed, " +
+      "buckets within one tie-run of n/3") {
+    val scored = PipelineQueries.textUnigramNll(spark, sfDir).count()
+    val rows = PipelineQueries.textPplBuckets(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("mean_nll_micro"), r.getAs[String]("ppl_bucket")))
+    assert(rows.length.toLong == scored, "every scored doc gets a bucket")
+    val byBucket = rows.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    assert(byBucket("head").max < byBucket("middle").min)
+    assert(byBucket("middle").max < byBucket("tail").min)
+    // interpolated tertiles: sizes are n/3 up to the width of a tie run
+    val n = rows.length
+    val maxTie = rows.groupBy(_._1).values.map(_.size).max
+    byBucket.values.foreach(v =>
+      assert(math.abs(v.size - n / 3.0) <= maxTie + 1,
+        s"bucket sizes ${byBucket.view.mapValues(_.size).toMap}"))
+  }
+
   test("mixWeights: weights are positive, sum to ~1, and order by " +
       "token count with the sqrt temperature compressing ratios") {
     val rows = PipelineQueries.mixWeights(spark, sfDir)
