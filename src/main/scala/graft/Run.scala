@@ -42,7 +42,7 @@ import graft.streaming.StreamOps
  * hash_sample json_props quality_cut curate trident_wordcount
  * decontaminate text_chunks text_scrub split_assign mix_weights
  * sessionize shuffle_shard lm_score span_flag mix_sample neardup_gate
- * outlier_gate langid_eval
+ * outlier_gate langid_eval classify_gate
  * (curate also takes --threshold <minScore> and --min-words <n>;
  *  decontaminate takes --bench <parquet path> for the benchmark set;
  *  lm_score takes --corpus <parquet path> for the model corpus and
@@ -196,6 +196,15 @@ object Run {
         (graft.queries.PipelineQueries.chunkProjection(
           lines().select(col("ts"), col("value").as("text"))),
           OutputMode.Append)
+      case "classify_gate" =>
+        // hashed-linear quality classifier, live: the frozen
+        // arithmetic weight table IS the model (nothing to broadcast),
+        // scoring is one stateless row-local fold, and the admission
+        // keeps only keep=true lines — the zero-model end of the
+        // lm_score offline-model/online-filter family
+        (graft.queries.PipelineQueries.classifyProjection(
+          lines().select(col("ts"), col("value").as("text")))
+          .filter(col("keep")), OutputMode.Append)
       case "decontaminate" =>
         (decontaminateTopology(spark, lines(), opts.getOrElse("bench",
           "/root/testdata/sf0.001/documents.parquet")), OutputMode.Append)

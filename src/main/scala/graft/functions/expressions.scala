@@ -635,6 +635,63 @@ object VectorMath {
       Array[Any](nWords, nNonWs, nStop, nAlpha, nChars))
   }
 
+  /** Canonical constants of the hashed-linear classifier (see
+   *  [[ClassifyScore]]); `PipelineQueries` aliases these — the
+   *  Stopwords single-definition convention. 6 hex digits = exactly
+   *  the md5's first 3 bytes, which is how [[classifyWordWeight]]
+   *  avoids string hex parsing. */
+  val ClassifyDim = 64L
+  val ClassifyHexDigits = 6
+  val ClassifyMult = 2654435761L
+  val ClassifyMod = 1021L
+
+  /** Per-word weight memo — the [[bpeMemo]] device: a natural-language
+   *  corpus repeats a small vocabulary, so md5 runs once per DISTINCT
+   *  word per executor. Bounded; all-unique streams compute past the
+   *  cap. */
+  private val classifyMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val ClassifyMemoMax = 1 << 16
+
+  /** Weight of ONE (already-lowercased) token: md5's first 3 bytes as
+   *  a 24-bit bucket index mod [[ClassifyDim]], then the pure-bigint
+   *  weight formula — bit-equal to the composed
+   *  conv(substring(md5(w),1,6),16,10) column and the oracle's
+   *  '0x'-CAST (6 hex digits ARE the first 3 bytes). */
+  def classifyWordWeight(w: String): Long = {
+    val cached = classifyMemo.get(w)
+    if (cached != null) return cached.longValue()
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val prefix = ((d(0) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) | (d(2) & 0xffL)
+    val wt = (prefix % ClassifyDim) * ClassifyMult % ClassifyMod - 510L
+    if (classifyMemo.size < ClassifyMemoMax)
+      classifyMemo.put(w, java.lang.Long.valueOf(wt))
+    wt
+  }
+
+  /** One-pass classifier scoring; see [[ClassifyScore]]. Word loop
+   *  mirrors \s+ tokenization (the [[qualityStats]] loop); expects
+   *  already-lowercased text so engine `lower` semantics stay in the
+   *  plan. */
+  def classifyScore(text: String): InternalRow = {
+    val len = text.length
+    var nWords = 0L
+    var sum = 0L
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(text.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(text.charAt(i))) i += 1
+      if (i > start) {
+        nWords += 1
+        sum += classifyWordWeight(text.substring(start, i))
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nWords, sum))
+  }
+
   /** One-pass page-view TSV parse; see [[PageViewFields]]. Raw tab
    *  split — the reference's own PageView.fromString semantics
    *  (PageView.java:48-61) — with per-field typed parse: empty token →
@@ -1489,6 +1546,36 @@ case class QualityStats(child: Expression)
 }
 
 /**
+ * One-pass hashed-linear classifier scoring: struct(n_words, score_sum)
+ * over \s+ tokens of the (already-lowercased) input — the
+ * [[QualityStats]] shape for `PipelineQueries.textClassify`'s frozen
+ * model. The composed form (an `aggregate` HOF folding
+ * conv(substring(md5(w),1,6),16,10) per token) is CodegenFallback with
+ * a per-row array materialization; this runs the identical arithmetic
+ * in one fused loop with a per-distinct-word md5 memo. Bit-equality
+ * with the composed fold is pinned in NativeExprSpec on arbitrary
+ * strings.
+ */
+case class ClassifyScore(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq("n_words", "score_sum").map(n =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.classifyScore(v.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.VectorMath.classifyScore($t.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * One-pass full ADS-B report parse: struct(Id, Icao, PosTime, Lat,
  * Long, Spd, Trak, Gnd) — field names match `Schemas.adsb` so
  * consumers swap in for `from_json` unchanged. from_json tokenizes the
@@ -1733,6 +1820,9 @@ object native {
 
   def quality_stats(text: Column): Column =
     GraftColumnBridge.column(QualityStats(GraftColumnBridge.expression(text)))
+
+  def classify_score(text: Column): Column =
+    GraftColumnBridge.column(ClassifyScore(GraftColumnBridge.expression(text)))
 
   def adsb_latlng(line: Column): Column =
     GraftColumnBridge.column(AdsbLatLng(GraftColumnBridge.expression(line)))

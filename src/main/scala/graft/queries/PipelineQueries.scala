@@ -426,19 +426,24 @@ object PipelineQueries {
       TextAnalyticsOps.wsTokenCount(col("text")).as("ws_tokens"),
       TextAnalyticsOps.bpeishTokenCount(col("text")).as("bpe_tokens"))
 
-  /** Feature buckets for [[textClassify]]'s hashed bag-of-words. */
-  val ClassifyDim = 64L
-  /** md5-prefix hex digits hashed into a bucket (16^6 ≫ ClassifyDim). */
-  val ClassifyHexDigits = 6
-  /** Knuth multiplier / modulus deriving a pseudo-random weight per
-   *  bucket — pure bigint arithmetic, so both engines compute the
-   *  identical weight table without materializing it anywhere. */
-  val ClassifyMult = 2654435761L
-  val ClassifyMod = 1021L
+  /** Classifier constants — canonical definition lives beside the
+   *  native kernel ([[graft.functions.VectorMath]], the Stopwords
+   *  convention): feature buckets, md5-prefix hex digits per bucket
+   *  hash, and the Knuth multiplier/modulus deriving a pseudo-random
+   *  integer weight per bucket from pure bigint arithmetic (both
+   *  engines compute the identical weight table without materializing
+   *  it anywhere). */
+  val ClassifyDim = graft.functions.VectorMath.ClassifyDim
+  val ClassifyHexDigits = graft.functions.VectorMath.ClassifyHexDigits
+  val ClassifyMult = graft.functions.VectorMath.ClassifyMult
+  val ClassifyMod = graft.functions.VectorMath.ClassifyMod
 
   /** The frozen model of [[textClassify]] as a pure column: weight of
    *  one token = ((bucket(md5-prefix) mod [[ClassifyDim]]) ·
-   *  [[ClassifyMult]]) mod [[ClassifyMod]] − 510 ∈ [−510, 510]. */
+   *  [[ClassifyMult]]) mod [[ClassifyMod]] − 510 ∈ [−510, 510].
+   *  Reference formulation from composed built-ins — the hot path is
+   *  the fused [[graft.functions.ClassifyScore]] kernel; bit-equality
+   *  is pinned in NativeExprSpec (the langIdHof convention). */
   def classifyWeight(w: Column): Column =
     (conv(substring(md5(w), 1, ClassifyHexDigits), 16, 10).cast("long")
       % ClassifyDim) * ClassifyMult % ClassifyMod - lit(510L)
@@ -459,13 +464,32 @@ object PipelineQueries {
    * weights are already integers).
    */
   def textClassify(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        TextAnalyticsOps.words(lower(col("text"))).as("ws"))
-      .select(col("doc_id"), size(col("ws")).cast("bigint").as("n_words"),
-        aggregate(col("ws"), lit(0L),
-          (acc, x) => acc + classifyWeight(x)).as("score_sum"))
+    classifyProjection(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+
+  /** The row-local scoring of [[textClassify]] over any
+   *  (passthrough..., text) frame — shared by the batch query and
+   *  Run's live `classify_gate` admission topology (stateless, so the
+   *  SAME projection serves both, like `chunkProjection`). */
+  def classifyProjection(df: DataFrame): DataFrame = {
+    val passthrough = df.columns.filter(_ != "text").map(col)
+    df.select(passthrough :+
+        graft.functions.native.classify_score(lower(col("text"))).as("cs"): _*)
+      .select(passthrough ++ Seq(
+        col("cs.n_words").as("n_words"),
+        col("cs.score_sum").as("score_sum")): _*)
       .withColumn("keep", col("score_sum") > 0)
+  }
+
+  /** Composed-builtins reference of [[classifyProjection]]'s scoring
+   *  (the `aggregate`-HOF fold of [[classifyWeight]]); kept for
+   *  kernel cross-validation, like `TextAnalyticsOps.langIdHof`. */
+  def classifyScoreHof(text: Column): Column = {
+    val ws = TextAnalyticsOps.words(lower(text))
+    struct(size(ws).cast("bigint").as("n_words"),
+      aggregate(ws, lit(0L), (acc, x) => acc + classifyWeight(x))
+        .as("score_sum"))
+  }
 
   /** [[textTokens]] with REAL merge-table BPE instead of the bpeish
    *  regex heuristic: per-doc whitespace and BPE-subword token counts

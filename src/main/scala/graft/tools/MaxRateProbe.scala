@@ -259,6 +259,13 @@ object MaxRateProbe {
       graft.queries.PipelineQueries.chunkProjection(
         in.select(col("ts"), Generators.docLine(col("value")).as("text")))
     }
+    // classify_gate: the frozen hashed-linear classifier admission —
+    // stateless fold + filter, the zero-model end of the gate family
+    search("classify_gate", seed = 1000000, OutputMode.Append) { in =>
+      graft.queries.PipelineQueries.classifyProjection(
+        in.select(col("ts"), Generators.docLine(col("value")).as("text")))
+        .filter(col("keep"))
+    }
     // sessionize: watermarked native session_window per content-hash
     // user — Append emits only finalized sessions, so sustained rate
     // measures the stateful merge path, not the sink

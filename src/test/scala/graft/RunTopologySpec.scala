@@ -111,6 +111,38 @@ class RunTopologySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Run classify_gate admits exactly the lines the batch classifier " +
+      "keeps, with the batch projection's exact scores") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val texts = Seq("alpha beta gamma delta", "omega psi chi phi upsilon",
+      "one two three", "lorem ipsum dolor sit amet")
+    // batch truth from the SAME shared projection over a local frame
+    import spark.implicits._
+    val batch = graft.queries.PipelineQueries.classifyProjection(
+      texts.toDF("text")).collect()
+      .map(r => (r.getAs[Long]("n_words"), r.getAs[Long]("score_sum"),
+        r.getAs[Boolean]("keep")))
+    assert(batch.exists(_._3) && batch.exists(!_._3),
+      "fixture must split both ways — re-pick texts")
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.toMemory(
+      graft.queries.PipelineQueries.classifyProjection(
+        in.toDF().toDF("ts", "value")
+          .select(col("ts"), col("value").as("text")))
+        .filter(col("keep")),
+      "run_classify", OutputMode.Append, ckpt())
+    try {
+      in.addData(texts.map(t => (at("2024-01-01 10:00:00"), t)): _*)
+      q.processAllAvailable()
+      val live = spark.table("run_classify")
+        .select("n_words", "score_sum", "keep").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      assert(live.sorted.toSeq == batch.filter(_._3).sorted.toSeq,
+        "live admission must equal the batch keep slice")
+    } finally q.stop()
+  }
+
   test("Run text_chunks cuts live lines into 50-token chunks with the " +
       "batch projection's exact hashes") {
     implicit val sqlCtx = spark.sqlContext

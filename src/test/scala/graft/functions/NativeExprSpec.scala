@@ -193,6 +193,24 @@ class NativeExprSpec extends SparkSpec {
     assert(composedMd5.toSeq == nativeMd5.toSeq)
   }
 
+  test("ClassifyScore kernel is bit-identical to the composed " +
+      "aggregate-HOF fold, including the md5 bucket arithmetic") {
+    val df = Seq(
+      "The Quick Brown Fox Jumps Over the Lazy Dog",
+      "  leading\tand   multiple\nwhitespace  runs ",
+      "único wörd ünïcode", // multi-byte UTF-8 md5 input
+      "repeat repeat repeat repeat", // memo hit path
+      "one",
+      "").toDF("text")
+    val composed = df.select(
+      graft.queries.PipelineQueries.classifyScoreHof(col("text")).as("cs"))
+      .select("cs.n_words", "cs.score_sum").as[(Long, Long)].collect()
+    val nativeCs = df.select(
+      native.classify_score(lower(col("text"))).as("cs"))
+      .select("cs.n_words", "cs.score_sum").as[(Long, Long)].collect()
+    assert(composed.toSeq == nativeCs.toSeq)
+  }
+
   test("LangId kernel equals the composed split/filter/isin argmax") {
     val df = Seq(
       "the cat sat on the mat and the dog is in a box", // en
