@@ -746,16 +746,26 @@ object PipelineQueries {
    * interpolated 1/3 and 2/3 quantiles of that score (the
    * value_quantiles percentile≡quantile_cont equivalence), broadcast
    * back as one row (the quality_cut device). Scale shape: the scored
-   * frame is doc-count-sized with tiny columns; the quantile agg is
-   * one extra pass over IT, never the corpus; a production pipeline
-   * freezes the two thresholds offline and keeps only the row-local
-   * CASE — this query is the training-in-query form of that split.
+   * frame is doc-count-sized with three fixed-width columns and is
+   * MATERIALIZED once (localCheckpoint — the bpe_learn device);
+   * without it the threshold branch's column pruning reorders the
+   * doc-agg partials ([sum,count] vs [count,sum]), the canonical
+   * plans diverge, ReuseExchange never fires, and the WHOLE unigram
+   * subtree — two corpus scans — runs twice (measured 2.6× slower).
+   * The quantile stays a two-phase agg over the checkpoint (partial
+   * buffers are distinct-integer-value-sized), NOT a whole-frame
+   * window, which would ship every row to one partition — fine for a
+   * vocab-sized frame, a straggler for a doc-count-sized one. A
+   * production pipeline freezes the two thresholds offline and keeps
+   * only the row-local CASE — this query is the training-in-query
+   * form of that split.
    */
   def textPplBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     val scored = textUnigramNll(spark, sfDir)
       .select(col("doc_id"), col("n_words"),
         floor(col("nll_micro_sum") / col("n_words"))
           .cast("bigint").as("mean_nll_micro"))
+      .localCheckpoint()
     val thr = scored.agg(
       percentile(col("mean_nll_micro"), lit(1.0 / 3)).as("t1"),
       percentile(col("mean_nll_micro"), lit(2.0 / 3)).as("t2"))
