@@ -1087,6 +1087,67 @@ object Oracles {
        |FROM lw LEFT JOIN bp USING (doc_id)""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.bpeFertility]]: the full [[textTokensBpe]]
+   *  recursive-CTE machinery as a subquery (its per-doc counts are the
+   *  shared contract), re-joined to the label column and rolled up per
+   *  language; the fertility ratio is one division of identical bigint
+   *  sums, round half-away ≡ HALF_UP for positives. */
+  val bpeFertility: String =
+    // the subquery is spliced AFTER stripMargin: the inner SQL's
+    // '||' concatenations at line starts would otherwise lose their
+    // first pipe to the margin strip
+    """SELECT d.lang,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(t.ws_tokens) AS BIGINT) AS ws_tokens,
+      |  CAST(sum(t.bpe_tokens) AS BIGINT) AS bpe_tokens,
+      |  round(CAST(sum(t.bpe_tokens) AS DOUBLE) / sum(t.ws_tokens), 6) AS fertility
+      |FROM (%SUB%) t JOIN documents d USING (doc_id)
+      |GROUP BY d.lang""".stripMargin.replace("%SUB%", textTokensBpe)
+
+  /** Mirrors [[PipelineQueries.corpusReport]]: the textQuality ratio
+   *  formula, the textLangId argmax CASE, and the textClassify weight
+   *  fold composed in one enrichment CTE, rolled up per source. The
+   *  per-doc quality score is floor-quantized to integer micro-units
+   *  BEFORE the sum (the NllMicro device) — identical doubles floor to
+   *  identical integers, and integer sums are order-independent where
+   *  a raw double sum would hash-diverge. */
+  val corpusReport: String = {
+    val stops = stopListSql(graft.ops.TextAnalyticsOps.Stopwords.head._2)
+    val d = graft.queries.PipelineQueries.ClassifyHexDigits
+    val dim = graft.queries.PipelineQueries.ClassifyDim
+    val mult = graft.queries.PipelineQueries.ClassifyMult
+    val m = graft.queries.PipelineQueries.ClassifyMod
+    s"""WITH f AS (
+       |  SELECT source, lang, text,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS ws,
+       |         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS lws,
+       |         $langScores
+       |  FROM documents),
+       |e AS (
+       |  SELECT source, lang,
+       |    CAST(len(ws) AS BIGINT) AS ws_tokens,
+       |    len(list_filter(ws, w -> w IN ($stops))) / nullif(len(ws), 0) * 0.4
+       |      + length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / nullif(length(text), 0) * 0.3
+       |      + least(length(regexp_replace(text, '\\s+', '', 'g')) / nullif(len(ws), 0) / 10.0, 1.0) * 0.3
+       |      AS score,
+       |    CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |         WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+       |         WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
+       |         WHEN s_fr > 0 THEN 'fr'
+       |         ELSE 'und' END AS lang_pred,
+       |    coalesce(list_sum(list_transform(lws, x ->
+       |      ((CAST(('0x' || substring(md5(x), 1, $d)) AS BIGINT) % $dim)
+       |        * $mult) % $m - 510)), 0) AS cls
+       |  FROM f)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(ws_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CAST(floor(score * 1000000) AS BIGINT)) AS BIGINT) AS q_micro_sum,
+       |  CAST(sum(CASE WHEN lang_pred != lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_mismatch,
+       |  CAST(sum(CASE WHEN cls > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+       |FROM e GROUP BY source""".stripMargin
+  }
+
   /** Mirrors [[PipelineQueries.textEncodeBpe]]: the [[textTokensBpe]]
    *  recursive-CTE segmentation machinery, extended to reconstruct the
    *  actual token STREAM — each distinct word's terminal fenced state

@@ -502,6 +502,58 @@ object PipelineQueries {
       TextAnalyticsOps.wsTokenCount(col("text")).as("ws_tokens"),
       TextAnalyticsOps.bpeTokenCount(col("text")).as("bpe_tokens"))
 
+  /**
+   * Tokenizer FERTILITY per language — subword tokens per whitespace
+   * word under the frozen merge table, the standard tokenizer-quality
+   * metric (a tokenizer trained on English shows elevated fertility on
+   * other languages; multilingual pipelines track exactly this table
+   * when sizing per-language budgets). Output per lang: doc/token
+   * totals and fertility = bpe_tokens / ws_tokens. Scale shape: the
+   * two token counts are the row-local kernels (per-distinct-word
+   * memo), then ONE two-phase agg with |langs| groups — the corpus
+   * never shuffles; the ratio is a single division of two bigint sums
+   * from the same row (engine-stable by the mix_weights reasoning).
+   */
+  def bpeFertility(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalyticsOps.wsTokenCount(col("text"))).as("ws_tokens"),
+        sum(TextAnalyticsOps.bpeTokenCount(col("text"))).as("bpe_tokens"))
+      .withColumn("fertility",
+        round(col("bpe_tokens") / col("ws_tokens"), 6))
+
+  /**
+   * Per-source CORPUS REPORT — the curation dashboard a pipeline
+   * operator actually watches: for every source, document/token
+   * totals, summed quality score (per-doc floor-quantized to integer
+   * micro-units so the sum is order-independent — the NllMicro
+   * device; divide by n_docs for the mean), language-ID/label
+   * disagreement count, and the classifier's keep count. Composes
+   * four row-local kernels ([[TextAnalyticsOps.wsTokenCount]],
+   * [[TextAnalyticsOps.qualityFeatures]], [[TextAnalyticsOps.langId]],
+   * [[graft.functions.ClassifyScore]]) in ONE projection over ONE
+   * corpus scan, then ONE two-phase agg with |sources| groups — no
+   * joins, no second pass; the 100 TB cost is the scan every
+   * monitoring rollup pays anyway.
+   */
+  def corpusReport(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("lang"),
+        TextAnalyticsOps.wsTokenCount(col("text")).as("ws_tokens"),
+        TextAnalyticsOps.qualityFeatures(col("text"))
+          .getField("score").as("score"),
+        TextAnalyticsOps.langId(col("text")).as("lang_pred"),
+        graft.functions.native.classify_score(lower(col("text")))
+          .getField("score_sum").as("cls"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws_tokens").as("n_tokens"),
+        sum(floor(col("score") * 1e6).cast("bigint")).as("q_micro_sum"),
+        sum(when(col("lang_pred") =!= col("lang"), 1L).otherwise(0L))
+          .as("n_lang_mismatch"),
+        sum(when(col("cls") > 0, 1L).otherwise(0L)).as("n_keep"))
+
   /** Full BPE ENCODE (the native [[graft.functions.BpeEncode]]
    *  kernel): each document's actual token stream under the frozen
    *  merge table, md5-gated — the oracle reconstructs the SAME stream

@@ -175,6 +175,60 @@ class PipelineQueriesSpec extends SparkSpec {
         s"bucket sizes ${byBucket.view.mapValues(_.size).toMap}"))
   }
 
+  test("bpeFertility rolls the per-doc token counts up by language " +
+      "exactly (recomputed from the gated textTokensBpe frame)") {
+    val perDoc = PipelineQueries.textTokensBpe(spark, sfDir)
+      .join(spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "lang"), "doc_id")
+      .collect()
+      .map(r => (r.getAs[String]("lang"),
+        r.getAs[Long]("ws_tokens"), r.getAs[Long]("bpe_tokens")))
+    val expected = perDoc.groupBy(_._1).view.mapValues { rs =>
+      (rs.length.toLong, rs.map(_._2).sum, rs.map(_._3).sum)
+    }.toMap
+    val got = PipelineQueries.bpeFertility(spark, sfDir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("ws_tokens"),
+          r.getAs[Long]("bpe_tokens"), r.getAs[Double]("fertility")))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (lang, (nd, ws, bpe, fert)) =>
+      assert((nd, ws, bpe) == expected(lang), s"lang $lang")
+      // subword splitting can only grow the token count
+      assert(fert >= 1.0, s"fertility < 1 for $lang")
+      assert(math.abs(fert - bpe.toDouble / ws) < 1e-6)
+    }
+  }
+
+  test("corpusReport agrees with the independently gated per-doc " +
+      "frames it composes (quality, langid, classifier, token counts)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "lang")
+    val joined = docs
+      .join(PipelineQueries.textTokens(spark, sfDir)
+        .select("doc_id", "ws_tokens"), "doc_id")
+      .join(PipelineQueries.textQuality(spark, sfDir)
+        .select("doc_id", "score"), "doc_id")
+      .join(PipelineQueries.textLangId(spark, sfDir), "doc_id")
+      .join(PipelineQueries.textClassify(spark, sfDir)
+        .select("doc_id", "keep"), "doc_id")
+      .collect()
+    val expected = joined.groupBy(_.getAs[String]("source")).view.mapValues { rs =>
+      (rs.length.toLong,
+        rs.map(_.getAs[Long]("ws_tokens")).sum,
+        rs.flatMap(r => Option(r.getAs[java.lang.Double]("score")))
+          .map(s => math.floor(s * 1e6).toLong).sum,
+        rs.count(r => r.getAs[String]("lang_pred") != r.getAs[String]("lang")).toLong,
+        rs.count(_.getAs[Boolean]("keep")).toLong)
+    }.toMap
+    val got = PipelineQueries.corpusReport(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("q_micro_sum"), r.getAs[Long]("n_lang_mismatch"),
+          r.getAs[Long]("n_keep")))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (src, v) => assert(v == expected(src), s"source $src") }
+  }
+
   test("mixWeights: weights are positive, sum to ~1, and order by " +
       "token count with the sqrt temperature compressing ratios") {
     val rows = PipelineQueries.mixWeights(spark, sfDir)
