@@ -70,6 +70,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordHashes].getName, "word_hashes"),
       (args: Seq[Expression]) =>
         WordHashes(args.head, boolArg(args, 1, "portable"))))
+    ext.injectFunction((
+      FunctionIdentifier("classify_score"),
+      new ExpressionInfo(classOf[graft.functions.ClassifyScore].getName,
+        "classify_score"),
+      (args: Seq[Expression]) => graft.functions.ClassifyScore(args.head)))
   }
 
   private def intArg(args: Seq[Expression], i: Int, name: String): Int =

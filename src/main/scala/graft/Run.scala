@@ -42,7 +42,7 @@ import graft.streaming.StreamOps
  * hash_sample json_props quality_cut curate trident_wordcount
  * decontaminate text_chunks text_scrub split_assign mix_weights
  * sessionize shuffle_shard lm_score span_flag mix_sample neardup_gate
- * outlier_gate langid_eval classify_gate
+ * outlier_gate langid_eval classify_gate corpus_report
  * (curate also takes --threshold <minScore> and --min-words <n>;
  *  decontaminate takes --bench <parquet path> for the benchmark set;
  *  lm_score takes --corpus <parquet path> for the model corpus and
@@ -246,6 +246,22 @@ object Run {
               (pmod(xxhash64(col("value")), lit(names.length)) + 1)
                 .cast("int")).as("source")),
           entries), OutputMode.Append)
+      case "corpus_report" =>
+        // per-source curation dashboard, live: Complete-mode running
+        // rollup of the four row-local kernels — bounded |sources|
+        // groups, the mix_weights output-mode reasoning. The demo
+        // labeler assigns source and lang deterministically by content
+        // hash (the mix_sample / langid_eval demo pattern); real
+        // ingestion carries both columns
+        val rptLangs = (graft.functions.VectorMath.Stopwords.map(_._1) :+ "und")
+        (StreamOps.corpusReportStream(
+          lines().select(Generators.docLine(col("value")).as("text"),
+            concat(lit("src"), pmod(xxhash64(col("value")), lit(5L)))
+              .as("source"),
+            element_at(array(rptLangs.map(lit): _*),
+              (pmod(xxhash64(col("value") + 1), lit(rptLangs.size)) + 1)
+                .cast("int")).as("lang"))),
+          OutputMode.Complete)
       case "langid_eval" =>
         // langid confusion monitor, live: Complete-mode running
         // (label, prediction) counts — bounded groups, the mix_weights

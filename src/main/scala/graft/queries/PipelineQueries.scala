@@ -538,7 +538,15 @@ object PipelineQueries {
    * monitoring rollup pays anyway.
    */
   def corpusReport(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    corpusReportAgg(Tables.documents(spark, sfDir))
+
+  /** The enrichment + rollup of [[corpusReport]] over any
+   *  (source, lang, text) frame — shared by the batch query and the
+   *  live `corpus_report` monitor (`StreamOps.corpusReportStream`):
+   *  every metric is a plain aggregate, so the IDENTICAL plan runs as
+   *  a Complete-mode streaming agg with O(sources) state. */
+  def corpusReportAgg(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"), col("lang"),
         TextAnalyticsOps.wsTokenCount(col("text")).as("ws_tokens"),
         TextAnalyticsOps.qualityFeatures(col("text"))

@@ -543,6 +543,22 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
 
   /**
+   * Live CORPUS-REPORT monitor — the streaming form of
+   * `PipelineQueries.corpusReport`: running per-source doc/token
+   * totals, micro-quantized quality-score sum, langid/label
+   * disagreements, and classifier keep counts, via the IDENTICAL
+   * shared `corpusReportAgg` plan (four row-local kernels + one
+   * grouped agg — nothing in it is batch-only). Complete mode by the
+   * [[mixWeightsStream]] reasoning: the group count is |sources|,
+   * bounded by construction, and the full snapshot IS the dashboard a
+   * monitor re-renders per trigger. Docs must carry
+   * (source, lang, text). StreamOpsSpec pins each snapshot against
+   * the batch agg over everything seen.
+   */
+  def corpusReportStream(docs: DataFrame): DataFrame =
+    graft.queries.PipelineQueries.corpusReportAgg(docs)
+
+  /**
    * Live MIXTURE MONITOR — the streaming form of
    * `PipelineQueries.mixWeights`: running per-source doc/token totals
    * as a Complete-mode aggregate (group count = sources, bounded by

@@ -247,6 +247,19 @@ object MaxRateProbe {
           sum(graft.ops.TextAnalyticsOps.wsTokenCount(col("text")))
             .as("n_tokens"))
     }
+    // corpus_report: the four-kernel dashboard rollup in Complete mode
+    // — bounded |sources| groups, snapshot re-emission is the dashboard
+    search("corpus_report", seed = 1000000, OutputMode.Complete) { in =>
+      graft.queries.PipelineQueries.corpusReportAgg(
+        in.select(Generators.docLine(col("value")).as("text"),
+          concat(lit("src"), pmod(xxhash64(col("value")), lit(5L)))
+            .as("source"),
+          element_at(array((graft.functions.VectorMath.Stopwords.map(_._1)
+              :+ "und").map(lit): _*),
+            (pmod(xxhash64(col("value") + 1),
+              lit(graft.functions.VectorMath.Stopwords.size + 1)) + 1)
+              .cast("int")).as("lang")))
+    }
     search("split_assign", seed = 2000000, OutputMode.Append) { in =>
       graft.queries.PipelineQueries.splitProjection(
         in.select(col("ts"), Generators.docLine(col("value")).as("text")))

@@ -38,6 +38,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT size(shingle_hashes('a b c d', 3)) AS n")
         .collect().head.getInt(0)
       assert(sh == 2) // "a b c", "b c d"
+      val cs = spark.sql(
+        "SELECT classify_score(lower('One Two three')).n_words AS n")
+        .collect().head.getLong(0)
+      assert(cs == 3L)
       val lb = spark.sql(
         "SELECT lsh_bucket(array(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT)), 4) AS b")
         .collect().head.getLong(0)

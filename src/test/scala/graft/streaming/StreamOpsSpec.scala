@@ -216,6 +216,34 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corpusReportStream: each Complete snapshot equals the shared " +
+      "batch rollup over everything seen") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, String, String)]
+    val q = StreamOps.toMemory(
+      StreamOps.corpusReportStream(in.toDF().toDF("source", "lang", "text")),
+      "corpus_report_test", OutputMode.Complete, ckpt())
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("q_micro_sum"),
+        r.getAs[Long]("n_lang_mismatch"), r.getAs[Long]("n_keep"))
+    val batch1 = Seq(("s1", "en", "the cat and the dog sat"),
+      ("s2", "es", "el gato y la perra"), ("s1", "de", "xyzzy qwfp words"))
+    val batch2 = Seq(("s2", "en", "quick brown fox jumps"),
+      ("s3", "fr", "le chien est dans le jardin"), ("s1", "en", ""))
+    def check(all: Seq[(String, String, String)]): Unit = {
+      val expected = graft.queries.PipelineQueries.corpusReportAgg(
+        all.toDF("source", "lang", "text")).collect().map(key).toSet
+      val got = spark.table("corpus_report_test").collect().map(key).toSet
+      assert(got == expected)
+    }
+    try {
+      in.addData(batch1: _*); q.processAllAvailable(); check(batch1)
+      in.addData(batch2: _*); q.processAllAvailable(); check(batch1 ++ batch2)
+    } finally q.stop()
+  }
+
   test("langIdEvalStream: each Complete snapshot equals the batch " +
       "confusion counts over everything seen") {
     implicit val sqlCtx = spark.sqlContext
