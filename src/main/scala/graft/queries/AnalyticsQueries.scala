@@ -315,6 +315,40 @@ object AnalyticsQueries {
       .union(prof("value", col("value").cast("decimal(14,2)")))
   }
 
+  /** Z-score floor for [[eventAnomalies]] (the classic 3σ gate). */
+  val AnomalySigma = 3.0
+
+  /**
+   * Per-type Z-SCORE ANOMALIES — flag events whose value sits more
+   * than [[AnomalySigma]] population standard deviations from their
+   * event_type's mean, the baseline outlier monitor over a metric
+   * stream. Determinism device: the moments are DECIMAL-exact sums
+   * (the eventProfile/kmeans device — decimal addition is
+   * order-independent where a double sum would hash-diverge), cast to
+   * double only once per type, so mean/σ are single double ops on
+   * identical operands in any engine; the flag and z compare the RAW
+   * double value against those. Scale shape: one two-phase agg with
+   * |event_types| groups, the tiny stats frame BROADCAST back — the
+   * events relation never shuffles; same 100 TB shape as
+   * pipeline_quality_cut.
+   */
+  def eventAnomalies(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val dec = col("value").cast("decimal(14,2)")
+    val stats = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(dec).as("s1"), sum(dec * dec).as("s2"))
+      .select(col("event_type"),
+        (col("s1").cast("double") / col("n")).as("m"),
+        (col("s2").cast("double") / col("n")).as("msq"))
+      .select(col("event_type"), col("m"),
+        sqrt(col("msq") - col("m") * col("m")).as("sd"))
+    ev.join(broadcast(stats), "event_type")
+      .filter(abs(col("value") - col("m")) > lit(AnomalySigma) * col("sd"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("value") - col("m")) / col("sd"), 4).as("z_r"))
+  }
+
   val HistBuckets = 10
 
   /** Equi-width histogram of `value` between its min and max: bucket

@@ -1689,6 +1689,55 @@ object Oracles {
       |FROM events e JOIN dim USING (event_type)
       |GROUP BY 1""".stripMargin
 
+  /** Mirrors [[AnalyticsQueries.eventAnomalies]]: the same
+   *  decimal-exact moment sums (double→DECIMAL(14,2) rounds identically
+   *  in both engines away from any representable .005 boundary — the
+   *  eventProfile equivalence), cast to double once, identical
+   *  mean/σ/flag arithmetic; round half-away ≡ HALF_UP on both signs
+   *  of z. */
+  val eventAnomalies: String = {
+    val k = graft.queries.AnalyticsQueries.AnomalySigma
+    s"""WITH s AS (
+       |  SELECT event_type, count(*) AS n,
+       |         sum(CAST(value AS DECIMAL(14,2))) AS s1,
+       |         sum(CAST(value AS DECIMAL(14,2)) * CAST(value AS DECIMAL(14,2))) AS s2
+       |  FROM events GROUP BY event_type),
+       |m AS (
+       |  SELECT event_type,
+       |         CAST(s1 AS DOUBLE) / n AS m,
+       |         CAST(s2 AS DOUBLE) / n AS msq
+       |  FROM s),
+       |t AS (SELECT event_type, m, sqrt(msq - m * m) AS sd FROM m)
+       |SELECT event_id, e.event_type, value,
+       |       round((value - m) / sd, 4) AS z_r
+       |FROM events e JOIN t USING (event_type)
+       |WHERE abs(value - m) > $k * sd""".stripMargin
+  }
+
+  /** Mirrors [[PipelineQueries.sourceOverlap]]: distinct per-source
+   *  gram STRINGS self-joined where Spark joins 64-bit hashes (the
+   *  decontaminate equivalence); Jaccard from three bigints of the
+   *  same row. */
+  val sourceOverlap: String = {
+    val n = graft.queries.PipelineQueries.DecontN
+    s"""WITH w AS (
+       |  SELECT source,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS lst
+       |  FROM documents),
+       |g AS (
+       |  SELECT DISTINCT source, array_to_string(lst[i.i : i.i + ${n - 1}], ' ') AS ng
+       |  FROM w CROSS JOIN LATERAL unnest(range(1, len(lst) - $n + 2)) i(i)
+       |  WHERE len(lst) >= $n),
+       |sz AS (SELECT source, count(*) AS sz FROM g GROUP BY source),
+       |p AS (
+       |  SELECT a.source AS src1, b.source AS src2, count(*) AS shared_grams
+       |  FROM g a JOIN g b ON a.ng = b.ng AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src1, src2, CAST(shared_grams AS BIGINT) AS shared_grams,
+       |       round(CAST(shared_grams AS DOUBLE) / (z1.sz + z2.sz - shared_grams), 6) AS jaccard_r
+       |FROM p JOIN sz z1 ON src1 = z1.source JOIN sz z2 ON src2 = z2.source""".stripMargin
+  }
+
   val eventProfile: String =
     """SELECT 'event_type' AS "column", count(*) AS n_rows,
       |       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,

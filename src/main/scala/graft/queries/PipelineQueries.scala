@@ -1063,6 +1063,40 @@ object PipelineQueries {
         (col("n_hits") / col("n_grams") >= DecontRatioThreshold).as("drop_doc"))
   }
 
+  /**
+   * Cross-source OVERLAP MATRIX — distinct shared n-grams (and their
+   * Jaccard) per source pair, the syndication/mirror diagnostic a
+   * curation pipeline runs before treating sources as independent
+   * (two crawls of the same newswire double-count into every mixture
+   * weight). Scale shape: the per-source distinct gram relation flows
+   * as (source, 64-bit hash) — fixed-width, the dedup-family
+   * contract; the self-join is an equi-join ON THE HASH, so it
+   * buckets like minhashCandidates, never all-pairs of documents;
+   * per-gram fan-out is bounded by |sources|² (sources sharing it),
+   * and the output is at most |sources|² rows. The per-source sizes
+   * frame is |sources| rows, broadcast back for the Jaccard.
+   */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        explode(graft.functions.native.shingle_hashes(col("text"), DecontN))
+          .as("sh"))
+      .distinct()
+    val sizes = grams.groupBy("source").agg(count(lit(1)).as("sz"))
+    val pairs = grams.as("a").join(grams.as("b"), Seq("sh"))
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src1"), col("b.source").as("src2"))
+      .agg(count(lit(1)).as("shared_grams"))
+    pairs
+      .join(broadcast(sizes.withColumnRenamed("source", "src1")
+        .withColumnRenamed("sz", "sz1")), Seq("src1"))
+      .join(broadcast(sizes.withColumnRenamed("source", "src2")
+        .withColumnRenamed("sz", "sz2")), Seq("src2"))
+      .select(col("src1"), col("src2"), col("shared_grams"),
+        round(col("shared_grams") /
+          (col("sz1") + col("sz2") - col("shared_grams")), 6).as("jaccard_r"))
+  }
+
   /** Weight quantization for [[mixWeights]]: sqrt-scaled counts are
    *  floored to 1/[[MixScale]] granularity so the normalizing total is
    *  an exact integer sum (order-independent ⇒ engine-stable), not a

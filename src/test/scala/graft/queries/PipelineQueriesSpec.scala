@@ -229,6 +229,64 @@ class PipelineQueriesSpec extends SparkSpec {
     got.foreach { case (src, v) => assert(v == expected(src), s"source $src") }
   }
 
+  test("sourceOverlap counts exactly the distinct shared n-grams per " +
+      "source pair with their Jaccard (recomputed in Scala from raw text)") {
+    val n = PipelineQueries.DecontN
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def grams(text: String): Set[String] = {
+      val w = text.split("\\s+").filter(_.nonEmpty)
+      if (w.length < n) Set.empty else w.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val bySource = docs.groupBy(_._1).view
+      .mapValues(_.flatMap(d => grams(d._2)).toSet).toMap
+    val expected = (for {
+      (s1, g1) <- bySource; (s2, g2) <- bySource if s1 < s2
+      shared = (g1 & g2).size if shared > 0
+    } yield (s1, s2) -> ((shared.toLong,
+      shared.toDouble / (g1.size + g2.size - shared)))).toMap
+    val got = PipelineQueries.sourceOverlap(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("src1"), r.getAs[String]("src2")) ->
+        ((r.getAs[Long]("shared_grams"), r.getAs[Double]("jaccard_r")))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, (sh, j)) =>
+      assert(sh == expected(k)._1, s"pair $k")
+      assert(math.abs(j - expected(k)._2) < 1e-5, s"jaccard $k")
+    }
+  }
+
+  test("eventAnomalies flags exactly the >3-sigma events per type " +
+      "(moments recomputed in Scala with exact decimal sums)") {
+    val k = AnalyticsQueries.AnomalySigma
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val stats = ev.groupBy(_._2).view.mapValues { rs =>
+      val dec = rs.map(r => BigDecimal(r._3).setScale(2, BigDecimal.RoundingMode.HALF_EVEN))
+      val n = rs.length
+      val m = (dec.sum.toDouble) / n
+      val msq = (dec.map(d => d * d).sum.toDouble) / n
+      (m, math.sqrt(msq - m * m))
+    }.toMap
+    val expected = ev.filter { case (_, t, v) =>
+      val (m, sd) = stats(t); math.abs(v - m) > k * sd
+    }.map { case (id, t, v) =>
+      val (m, sd) = stats(t); id -> ((t, v, (v - m) / sd))
+    }.toMap
+    val got = AnalyticsQueries.eventAnomalies(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[String]("event_type"), r.getAs[Double]("value"),
+          r.getAs[Double]("z_r")))).toMap
+    assert(got.nonEmpty, "no anomalies at 3 sigma — fixture degenerate?")
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, (t, v, z)) =>
+      assert(t == expected(id)._1 && v == expected(id)._2, s"event $id")
+      assert(math.abs(z - expected(id)._3) < 1e-3, s"z for event $id")
+      assert(math.abs(z) > k, s"under-threshold z escaped the filter: $id")
+    }
+  }
+
   test("mixWeights: weights are positive, sum to ~1, and order by " +
       "token count with the sqrt temperature compressing ratios") {
     val rows = PipelineQueries.mixWeights(spark, sfDir)
