@@ -42,7 +42,7 @@ import graft.streaming.StreamOps
  * hash_sample json_props quality_cut curate trident_wordcount
  * decontaminate text_chunks text_scrub split_assign mix_weights
  * sessionize shuffle_shard lm_score span_flag mix_sample neardup_gate
- * outlier_gate langid_eval classify_gate corpus_report
+ * outlier_gate langid_eval classify_gate corpus_report ppl_gate
  * (curate also takes --threshold <minScore> and --min-words <n>;
  *  decontaminate takes --bench <parquet path> for the benchmark set;
  *  lm_score takes --corpus <parquet path> for the model corpus and
@@ -218,6 +218,17 @@ object Run {
         (lmScoreTopology(spark, lines(), opts.getOrElse("corpus",
           "/root/testdata/sf0.001/documents.parquet"),
           opts.getOrElse("order", "1").toInt), OutputMode.Append)
+      case "ppl_gate" =>
+        // CCNet perplexity bucketing at ingest: thresholds + unigram
+        // model learned ONCE at build from --corpus by the batch
+        // formulation; arriving lines labeled head/middle/tail — the
+        // lm_score offline-model/online-filter split with the bucket
+        // CASE on top
+        (StreamOps.pplBucketStream(
+          lines().select(col("ts"), col("value").as("text")),
+          spark.read.parquet(opts.getOrElse("corpus",
+            "/root/testdata/sf0.001/documents.parquet"))),
+          OutputMode.Append)
       case "span_flag" =>
         // repeated-span flagging, live: the dup-gram hash set is
         // learned offline from --corpus (the batch dedup_spans rule),

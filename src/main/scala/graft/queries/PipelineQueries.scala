@@ -725,16 +725,20 @@ object PipelineQueries {
    * model table offline and keeps only the apply pass (quality_cut's
    * offline-statistic/online-filter split).
    */
-  def textUnigramNll(spark: SparkSession, sfDir: String): DataFrame = {
-    def tok = Tables.documents(spark, sfDir)
+  def textUnigramNll(spark: SparkSession, sfDir: String): DataFrame =
+    unigramNllOf(Tables.documents(spark, sfDir))
+
+  /** The train+apply plan of [[textUnigramNll]] over any
+   *  (doc_id, text) frame — shared by the sfDir query and the live
+   *  `ppl_gate` threshold learn (`StreamOps.pplBucketStream`). */
+  def unigramNllOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         explode(TextAnalyticsOps.words(lower(col("text")))).as("w"))
-    tok.join(broadcast(unigramModel(Tables.documents(spark, sfDir))
-        .select("w", "nll_micro")), "w")
+      .join(broadcast(unigramModel(docs).select("w", "nll_micro")), "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum("nll_micro").as("nll_micro_sum"))
-  }
 
   /** The LEARN pass of [[textUnigramNll]], factored so the live
    *  scoring topology (`StreamOps.lmScoreStream`) trains the identical

@@ -543,6 +543,40 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
 
   /**
+   * Live PERPLEXITY-BUCKET labeling — the streaming form of
+   * `PipelineQueries.textPplBuckets` (the CCNet gate applied at
+   * ingest): the two bucket thresholds are learned ONCE at topology
+   * build from the static corpus by the IDENTICAL batch formulation
+   * (`unigramNllOf` + interpolated tertiles — a 2-double model, the
+   * cheapest in the gate family), and arriving lines are scored by
+   * [[lmScoreStream]]'s broadcast unigram model + kernel, then
+   * labeled by the same CASE. Known-vocabulary lines bucket exactly
+   * as the batch query would (RunTopologySpec pins the corpus replay
+   * row-for-row); OOV words carry the model's singleton-ceiling cost
+   * (the lm_score contract), pushing them toward 'tail' — the
+   * drop-side answer a filter wants for unknown text. Empty lines
+   * (n_words = 0, no perplexity defined) also label 'tail' rather
+   * than vanishing: a live gate never silently swallows rows.
+   */
+  def pplBucketStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    val thr = graft.queries.PipelineQueries.unigramNllOf(corpus)
+      .select(floor(col("nll_micro_sum") / col("n_words"))
+        .cast("bigint").as("s"))
+      .agg(percentile(col("s"), lit(1.0 / 3)).as("t1"),
+        percentile(col("s"), lit(2.0 / 3)).as("t2"))
+      .collect().head
+    val (t1, t2) = (thr.getDouble(0), thr.getDouble(1))
+    lmScoreStream(docs, corpus)
+      .withColumn("mean_nll_micro", when(col("n_words") > 0,
+        floor(col("nll_micro_sum") / col("n_words")).cast("bigint")))
+      .withColumn("ppl_bucket",
+        when(col("mean_nll_micro").isNull, lit("tail"))
+          .when(col("mean_nll_micro") < t1, lit("head"))
+          .when(col("mean_nll_micro") < t2, lit("middle"))
+          .otherwise(lit("tail")))
+  }
+
+  /**
    * Live CORPUS-REPORT monitor — the streaming form of
    * `PipelineQueries.corpusReport`: running per-source doc/token
    * totals, micro-quantized quality-score sum, langid/label

@@ -313,6 +313,11 @@ object MaxRateProbe {
         in.select(col("ts"), Generators.docLine(col("value")).as("text")),
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
     }
+    search("ppl_gate", seed = 500000, OutputMode.Append) { in =>
+      StreamOps.pplBucketStream(
+        in.select(col("ts"), Generators.docLine(col("value")).as("text")),
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    }
     search("lm_score_bigram", seed = 500000, OutputMode.Append) { in =>
       StreamOps.bigramScoreStream(
         in.select(col("ts"), Generators.docLine(col("value")).as("text")),

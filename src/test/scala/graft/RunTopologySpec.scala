@@ -111,6 +111,43 @@ class RunTopologySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Run ppl_gate labels a corpus replay row-for-row as the batch " +
+      "perplexity buckets (known vocabulary: live == batch exactly)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val sfDir = "/root/testdata/sf0.001"
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val expected = graft.queries.PipelineQueries.textPplBuckets(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("mean_nll_micro"), r.getAs[String]("ppl_bucket")))).toMap
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.toMemory(
+      StreamOps.pplBucketStream(
+        in.toDF().toDF("doc_id", "text"), corpus),
+      "run_ppl", OutputMode.Append, ckpt())
+    try {
+      val docs = corpus.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      in.addData(docs.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val live = spark.table("run_ppl")
+        .select("doc_id", "mean_nll_micro", "ppl_bucket").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      assert(live.keySet == expected.keySet)
+      assert(live == expected, "live labels must equal the batch buckets")
+      // and an OOV-only + an empty line both take the tail path
+      in.addData((900001L, "zzzgibberish qqqqwords"), (900002L, ""))
+      q.processAllAvailable()
+      val extra = spark.table("run_ppl")
+        .filter(col("doc_id") >= 900000L)
+        .select("doc_id", "ppl_bucket").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(extra(900002L) == "tail", "empty line must label tail, not vanish")
+      assert(extra.contains(900001L), "OOV line must label, not vanish")
+    } finally q.stop()
+  }
+
   test("Run classify_gate admits exactly the lines the batch classifier " +
       "keeps, with the batch projection's exact scores") {
     implicit val sqlCtx = spark.sqlContext
