@@ -315,6 +315,84 @@ object AnalyticsQueries {
       .union(prof("value", col("value").cast("decimal(14,2)")))
   }
 
+  /**
+   * Weekly COHORT RETENTION — of the users active in week w, how many
+   * are active again in week w+1 (the product-analytics headline
+   * metric). Weeks are fixed 7-day buckets from the epoch
+   * (floor(unix_ts / 604800) — no calendar/locale dependence, so both
+   * engines bucket identically). Scale shape: one distinct over
+   * (user, week) — two-phase, the only corpus-sized exchange — then a
+   * self-join ON (user, week+1) of two identically-keyed tiny frames
+   * and a per-week rollup; retention is one division of two bigints.
+   */
+  def weeklyRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val active = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / lit(604800L))
+          .cast("bigint").as("week"))
+      .distinct()
+    val next = active
+      .select(col("user_id"), (col("week") - 1).as("week"))
+    active.join(next.withColumn("ret", lit(1)),
+        Seq("user_id", "week"), "left")
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_active"), count(col("ret")).as("n_retained"))
+      .select(col("week"), col("n_active"), col("n_retained"),
+        round(col("n_retained") / col("n_active"), 6).as("retention_r"))
+  }
+
+  /** Ordered funnel stages for [[eventFunnel]]. */
+  val FunnelStages = Seq("view", "click", "purchase")
+  /** Attribution window: a stage counts only within this many seconds
+   *  of the user's qualifying previous-stage time (the standard 1-day
+   *  window; without one, a month of dense synthetic activity funnels
+   *  every user through every stage and the metric is vacuous). */
+  val FunnelWindowSec = 86400L
+
+  /**
+   * Ordered FUNNEL — users progressing view → click → purchase, each
+   * stage STRICTLY AFTER the user's qualifying previous-stage time
+   * and within the [[FunnelWindowSec]] attribution window (first
+   * view, then first click in the day after that view, then first
+   * purchase in the day after that click — the standard
+   * windowed first-touch funnel, not a bag-of-events count). Output:
+   * one row per stage with the user count and conversion from the
+   * previous stage. Scale shape: one filtered pass over events per
+   * stage with the type filter pushed to the scan; the per-user
+   * qualifying-time frames are user-sized and BROADCAST for each next
+   * stage's join, so events never shuffle; the stage counts are 1-row
+   * aggs unioned at the end.
+   */
+  def eventFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    def stage(tpe: String, prev: Option[DataFrame]): DataFrame = {
+      val base = ev.filter(col("event_type") === tpe)
+        .select(col("user_id"), col("ts"))
+      val qualified = prev match {
+        case None => base
+        case Some(p) => base.join(broadcast(p), "user_id")
+          .filter(col("ts") > col("t0") &&
+            col("ts") <= col("t0") + expr(s"INTERVAL $FunnelWindowSec SECOND"))
+          .select(col("user_id"), col("ts"))
+      }
+      qualified.groupBy("user_id").agg(min(col("ts")).as("t0"))
+    }
+    val frames = FunnelStages.foldLeft(Seq.empty[(String, DataFrame)]) {
+      case (acc, tpe) => acc :+ (tpe -> stage(tpe, acc.lastOption.map(_._2)))
+    }
+    val counts = frames.zipWithIndex.map { case ((tpe, f), i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage"), lit(tpe).as("event_type"),
+          col("n_users"))
+    }
+    val all = counts.reduce(_.unionAll(_))
+    val withPrev = all.withColumn("prev",
+      lag(col("n_users"), 1).over(Window.orderBy(col("stage"))))
+    withPrev.select(col("stage"), col("event_type"), col("n_users"),
+      round(col("n_users") / coalesce(col("prev"), col("n_users")), 6)
+        .as("conv_r"))
+  }
+
   /** Z-score floor for [[eventAnomalies]] (the classic 3σ gate). */
   val AnomalySigma = 3.0
 

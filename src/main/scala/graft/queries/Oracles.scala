@@ -1689,6 +1689,53 @@ object Oracles {
       |FROM events e JOIN dim USING (event_type)
       |GROUP BY 1""".stripMargin
 
+  /** Mirrors [[AnalyticsQueries.weeklyRetention]]: same epoch-seconds
+   *  week bucket (truncation vs fractional epoch can never cross a
+   *  whole-second week boundary, so the floors agree on every
+   *  timestamp), same left self-join at week+1. */
+  val weeklyRetention: String =
+    """WITH a AS (
+      |  SELECT DISTINCT user_id,
+      |         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+      |  FROM events)
+      |SELECT a.week, CAST(count(*) AS BIGINT) AS n_active,
+      |       CAST(count(b.user_id) AS BIGINT) AS n_retained,
+      |       round(CAST(count(b.user_id) AS DOUBLE) / count(*), 6) AS retention_r
+      |FROM a LEFT JOIN a b
+      |  ON a.user_id = b.user_id AND b.week = a.week + 1
+      |GROUP BY a.week""".stripMargin
+
+  /** Mirrors [[AnalyticsQueries.eventFunnel]]: each stage's qualifying
+   *  first-touch CTE joins strictly after the previous stage's time —
+   *  identical timestamp comparisons, counts, and lag-based
+   *  conversion. */
+  val eventFunnel: String = {
+    val Seq(s1, s2, s3) = graft.queries.AnalyticsQueries.FunnelStages
+    val w = graft.queries.AnalyticsQueries.FunnelWindowSec
+    s"""WITH v AS (
+       |  SELECT user_id, min(ts) AS t0 FROM events
+       |  WHERE event_type = '$s1' GROUP BY 1),
+       |c AS (
+       |  SELECT e.user_id, min(e.ts) AS t0 FROM events e
+       |  JOIN v ON e.user_id = v.user_id AND e.ts > v.t0
+       |    AND e.ts <= v.t0 + INTERVAL $w SECOND
+       |  WHERE e.event_type = '$s2' GROUP BY 1),
+       |p AS (
+       |  SELECT e.user_id, min(e.ts) AS t0 FROM events e
+       |  JOIN c ON e.user_id = c.user_id AND e.ts > c.t0
+       |    AND e.ts <= c.t0 + INTERVAL $w SECOND
+       |  WHERE e.event_type = '$s3' GROUP BY 1),
+       |s AS (
+       |  SELECT 1 AS stage, '$s1' AS event_type,
+       |         (SELECT count(*) FROM v) AS n_users
+       |  UNION ALL SELECT 2, '$s2', (SELECT count(*) FROM c)
+       |  UNION ALL SELECT 3, '$s3', (SELECT count(*) FROM p))
+       |SELECT stage, event_type, CAST(n_users AS BIGINT) AS n_users,
+       |  round(CAST(n_users AS DOUBLE)
+       |    / coalesce(lag(n_users) OVER (ORDER BY stage), n_users), 6) AS conv_r
+       |FROM s""".stripMargin
+  }
+
   /** Mirrors [[AnalyticsQueries.eventAnomalies]]: the same
    *  decimal-exact moment sums (double→DECIMAL(14,2) rounds identically
    *  in both engines away from any representable .005 boundary — the

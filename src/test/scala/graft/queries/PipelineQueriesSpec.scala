@@ -287,6 +287,48 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("eventFunnel and weeklyRetention match independent Scala " +
+      "recomputations of the windowed funnel and week-bucket cohorts") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("user_id", "event_type", "ts").collect()
+      .map { r =>
+        val t = r.getAs[java.time.LocalDateTime]("ts")
+          .toInstant(java.time.ZoneOffset.UTC)
+        // full microseconds: ms truncation could flip a strict > at
+        // a window edge the engine decides at us precision
+        (r.getLong(0), r.getString(1),
+          t.getEpochSecond * 1000000L + t.getNano / 1000L)
+      }
+    val w = AnalyticsQueries.FunnelWindowSec * 1000000L
+    val byUser = ev.groupBy(_._1)
+    def firstAfter(u: Long, tpe: String, lo: Long, hi: Long): Option[Long] =
+      byUser(u).filter(e => e._2 == tpe && e._3 > lo && e._3 <= hi)
+        .map(_._3).minOption
+    val views = byUser.keys.flatMap { u =>
+      byUser(u).filter(_._2 == "view").map(_._3).minOption.map(u -> _)
+    }.toMap
+    val clicks = views.flatMap { case (u, v) =>
+      firstAfter(u, "click", v, v + w).map(u -> _) }
+    val buys = clicks.flatMap { case (u, c) =>
+      firstAfter(u, "purchase", c, c + w).map(u -> _) }
+    val gotF = AnalyticsQueries.eventFunnel(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_users")).toMap
+    assert(gotF == Map("view" -> views.size.toLong,
+      "click" -> clicks.size.toLong, "purchase" -> buys.size.toLong))
+    assert(clicks.size < views.size && buys.size < clicks.size,
+      "attribution window produced no drop-off — fixture degenerate?")
+    // retention: distinct (user, epoch-week), retained iff active in w+1
+    val weeks = ev.map(e => (e._1, e._3 / 1000000L / 604800)).distinct
+    val wSet = weeks.toSet
+    val expR = weeks.groupBy(_._2).view.mapValues { us =>
+      (us.length.toLong, us.count(u => wSet.contains((u._1, u._2 + 1))).toLong)
+    }.toMap
+    val gotR = AnalyticsQueries.weeklyRetention(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("week") ->
+        ((r.getAs[Long]("n_active"), r.getAs[Long]("n_retained")))).toMap
+    assert(gotR == expR)
+  }
+
   test("mixWeights: weights are positive, sum to ~1, and order by " +
       "token count with the sqrt temperature compressing ratios") {
     val rows = PipelineQueries.mixWeights(spark, sfDir)
