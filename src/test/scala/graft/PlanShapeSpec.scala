@@ -176,6 +176,38 @@ class PlanShapeSpec extends SparkSpec {
       "expected only the source-totals agg exchange:\n" + p)
   }
 
+  test("q_anomaly broadcasts the per-type stats; events never shuffle") {
+    val p = plan("q_anomaly")
+    assert(p.contains("BroadcastHashJoin"),
+      "stats frame must broadcast-join the events:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "events shuffled for the stats join:\n" + p)
+    // the only hash exchange is the |event_types|-group moment agg
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "expected only the stats-agg exchange:\n" + p)
+  }
+
+  test("q_funnel pushes each stage's type filter to the scan and " +
+      "broadcasts the qualifying-user frames") {
+    val p = plan("q_funnel")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-user frames must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "events shuffled for a stage join:\n" + p)
+    assert("PushedFilters: \\[.*EqualTo\\(event_type".r.findFirstIn(p).isDefined,
+      "stage type filter not pushed to the parquet scan:\n" + p)
+  }
+
+  test("corpus_report is one scan + one grouped agg (no joins, no " +
+      "second corpus pass)") {
+    val p = plan("corpus_report")
+    assert(!p.contains("Join"), "the dashboard must not join:\n" + p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "expected exactly the |sources|-group agg exchange:\n" + p)
+    assert("FileScan|Scan parquet".r.findAllIn(p).size <= 1,
+      "corpus scanned more than once:\n" + p)
+  }
+
   test("knn_graph joins candidates as id pairs (hash equi-joins, " +
       "no broadcast nested loop, no cartesian)") {
     val p = plan("knn_graph")
