@@ -42,7 +42,7 @@ import graft.streaming.StreamOps
  * hash_sample json_props quality_cut curate trident_wordcount
  * decontaminate text_chunks text_scrub split_assign mix_weights
  * sessionize shuffle_shard lm_score span_flag mix_sample neardup_gate
- * outlier_gate langid_eval classify_gate corpus_report ppl_gate
+ * outlier_gate langid_eval classify_gate corpus_report ppl_gate funnel
  * (curate also takes --threshold <minScore> and --min-words <n>;
  *  decontaminate takes --bench <parquet path> for the benchmark set;
  *  lm_score takes --corpus <parquet path> for the model corpus and
@@ -218,6 +218,19 @@ object Run {
         (lmScoreTopology(spark, lines(), opts.getOrElse("corpus",
           "/root/testdata/sf0.001/documents.parquet"),
           opts.getOrElse("order", "1").toInt), OutputMode.Append)
+      case "funnel" =>
+        // ordered-funnel state machine live: per-user (stage, t0)
+        // keyed state, advances emitted as they happen. The demo
+        // stream draws user and type by content hash (one non-funnel
+        // type so ignores are exercised); real ingestion carries both
+        (StreamOps.funnelStream(
+          lines().select(
+            pmod(xxhash64(col("value")), lit(50L)).as("user_id"),
+            element_at(array((graft.queries.AnalyticsQueries.FunnelStages
+                :+ "error").map(lit): _*),
+              (pmod(xxhash64(col("value") + 7), lit(4L)) + 1)
+                .cast("int")).as("event_type"),
+            col("ts"))), OutputMode.Append)
       case "ppl_gate" =>
         // CCNet perplexity bucketing at ingest: thresholds + unigram
         // model learned ONCE at build from --corpus by the batch

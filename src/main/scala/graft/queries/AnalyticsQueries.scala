@@ -364,7 +364,26 @@ object AnalyticsQueries {
    * aggs unioned at the end.
    */
   def eventFunnel(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
+    val frames = funnelStageFrames(Tables.events(spark, sfDir))
+    val counts = frames.zipWithIndex.map { case ((tpe, f), i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage"), lit(tpe).as("event_type"),
+          col("n_users"))
+    }
+    val all = counts.reduce(_.unionAll(_))
+    val withPrev = all.withColumn("prev",
+      lag(col("n_users"), 1).over(Window.orderBy(col("stage"))))
+    withPrev.select(col("stage"), col("event_type"), col("n_users"),
+      round(col("n_users") / coalesce(col("prev"), col("n_users")), 6)
+        .as("conv_r"))
+  }
+
+  /** The per-stage qualifying frames of [[eventFunnel]] — one
+   *  (user_id, t0) frame per stage, t0 = the user's first qualifying
+   *  time — factored so the live funnel state machine
+   *  (`StreamOps.funnelStream`) is pinned transition-for-transition
+   *  against the identical relational chain. */
+  def funnelStageFrames(ev: DataFrame): Seq[(String, DataFrame)] = {
     def stage(tpe: String, prev: Option[DataFrame]): DataFrame = {
       val base = ev.filter(col("event_type") === tpe)
         .select(col("user_id"), col("ts"))
@@ -377,20 +396,9 @@ object AnalyticsQueries {
       }
       qualified.groupBy("user_id").agg(min(col("ts")).as("t0"))
     }
-    val frames = FunnelStages.foldLeft(Seq.empty[(String, DataFrame)]) {
+    FunnelStages.foldLeft(Seq.empty[(String, DataFrame)]) {
       case (acc, tpe) => acc :+ (tpe -> stage(tpe, acc.lastOption.map(_._2)))
     }
-    val counts = frames.zipWithIndex.map { case ((tpe, f), i) =>
-      f.agg(count(lit(1)).as("n_users"))
-        .select(lit(i + 1).as("stage"), lit(tpe).as("event_type"),
-          col("n_users"))
-    }
-    val all = counts.reduce(_.unionAll(_))
-    val withPrev = all.withColumn("prev",
-      lag(col("n_users"), 1).over(Window.orderBy(col("stage"))))
-    withPrev.select(col("stage"), col("event_type"), col("n_users"),
-      round(col("n_users") / coalesce(col("prev"), col("n_users")), 6)
-        .as("conv_r"))
   }
 
   /** Z-score floor for [[eventAnomalies]] (the classic 3σ gate). */

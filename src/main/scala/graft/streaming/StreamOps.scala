@@ -667,6 +667,62 @@ object StreamOps {
   }
 
   /**
+   * Live FUNNEL state machine — the streaming form of
+   * `AnalyticsQueries.eventFunnel`: one (stage, qualifying-time) pair
+   * of keyed state per user; an arriving event ADVANCES its user
+   * exactly when it is the next stage's type, strictly after the
+   * qualifying time, and within the attribution window — the batch
+   * CTE chain restated as a transition rule. Emits one Append row per
+   * advance (user_id, stage, event_type, ts); counting rows per stage
+   * downstream reproduces the batch funnel. Ordering contract: events
+   * are processed in event-time order WITHIN each trigger (sorted
+   * here); across triggers, first-touch semantics make a late-arriving
+   * EARLIER event unable to retract an already-taken advance — the
+   * same running-state contract as the reference's per-bolt state
+   * (RunTopologySpec pins an in-order replay transition-for-transition
+   * against the batch stage frames). State is one (int, long) per user
+   * seen, NoTimeout — bounded by the user domain; an unbounded domain
+   * takes the [[runningCountTtl]] event-time-TTL device.
+   */
+  def funnelStream(events: DataFrame,
+      stages: Seq[String] = graft.queries.AnalyticsQueries.FunnelStages,
+      windowSec: Long = graft.queries.AnalyticsQueries.FunnelWindowSec)
+      : DataFrame = {
+    val spark0 = events.sparkSession
+    import spark0.implicits._
+    val winMicros = windowSec * 1000000L
+    events
+      .select(col("user_id").cast("long"), col("event_type"),
+        col("ts").cast("timestamp_ntz"))
+      .na.drop()
+      .as[(Long, String, java.time.LocalDateTime)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, Long),
+          (Long, Int, String, java.time.LocalDateTime)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, String, java.time.LocalDateTime)],
+            state: GroupState[(Int, Long)]) =>
+          def micros(t: java.time.LocalDateTime): Long = {
+            val i = t.toInstant(java.time.ZoneOffset.UTC)
+            i.getEpochSecond * 1000000L + i.getNano / 1000L
+          }
+          var (stage, t0) = state.getOption.getOrElse((0, 0L))
+          val out = rows.toSeq.sortBy(e => micros(e._3)).flatMap {
+            case (_, tpe, ts) =>
+              val t = micros(ts)
+              val advances = stage < stages.length && tpe == stages(stage) &&
+                (stage == 0 || (t > t0 && t <= t0 + winMicros))
+              if (advances) {
+                stage += 1; t0 = t
+                Some((uid, stage, tpe, ts))
+              } else None
+          }
+          state.update((stage, t0))
+          out.iterator
+      }.toDF("user_id", "stage", "event_type", "ts")
+  }
+
+  /**
    * Watermarked stream-stream interval join: right rows within
    * `[left.ts, left.ts + gap]` on an equality key — the streaming form
    * of JoinOps.bandedRangeJoin, using Spark's native stream-stream join.

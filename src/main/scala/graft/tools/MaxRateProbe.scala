@@ -313,6 +313,19 @@ object MaxRateProbe {
         in.select(col("ts"), Generators.docLine(col("value")).as("text")),
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
     }
+    // funnel: per-user (stage, t0) keyed state machine — the stateful
+    // multi-stage progression shape; 50 users keep state tiny, so the
+    // bound is the fMGWS shuffle + per-trigger group sort
+    search("funnel", seed = 1000000, OutputMode.Append) { in =>
+      StreamOps.funnelStream(
+        in.select(
+          pmod(xxhash64(col("value")), lit(50L)).as("user_id"),
+          element_at(array((graft.queries.AnalyticsQueries.FunnelStages
+              :+ "error").map(lit): _*),
+            (pmod(xxhash64(col("value") + 7), lit(4L)) + 1)
+              .cast("int")).as("event_type"),
+          col("ts")))
+    }
     search("ppl_gate", seed = 500000, OutputMode.Append) { in =>
       StreamOps.pplBucketStream(
         in.select(col("ts"), Generators.docLine(col("value")).as("text")),

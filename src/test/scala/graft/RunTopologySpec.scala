@@ -111,6 +111,52 @@ class RunTopologySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Run funnel state machine replays the events table " +
+      "transition-for-transition equal to the batch stage frames, " +
+      "with state surviving the trigger cut") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    def micros(t: java.time.LocalDateTime): Long = {
+      val i = t.toInstant(java.time.ZoneOffset.UTC)
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    val expected = graft.queries.AnalyticsQueries.funnelStageFrames(ev)
+      .zipWithIndex.map { case ((_, f), i) =>
+        (i + 1) -> f.collect().map(r => (r.getLong(0),
+          micros(r.getAs[java.time.LocalDateTime]("t0")))).toSet
+      }.toMap
+    assert(expected(2).nonEmpty && expected(2).size < expected(1).size,
+      "fixture funnel degenerate")
+    val in = MemoryStream[(Long, String, Long)]
+    val q = StreamOps.toMemory(
+      StreamOps.funnelStream(
+        in.toDF().toDF("user_id", "event_type", "us")
+          .select(col("user_id"), col("event_type"),
+            timestamp_micros(col("us")).as("ts"))),
+      "run_funnel", OutputMode.Append, ckpt())
+    try {
+      val rows = ev.select("user_id", "event_type", "ts").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          micros(r.getAs[java.time.LocalDateTime]("ts"))))
+        .sortBy(_._3)
+      // two triggers: advances must chain across the state cut
+      val (first, second) = rows.splitAt(rows.length / 2)
+      in.addData(first.toIndexedSeq: _*)
+      q.processAllAvailable()
+      in.addData(second.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val live = spark.table("run_funnel").collect()
+        .groupBy(_.getAs[Int]("stage")).view.mapValues(_.map { r =>
+          (r.getAs[Long]("user_id"),
+            micros(r.getAs[java.time.LocalDateTime]("ts")))
+        }.toSet).toMap
+      assert(live == expected,
+        "live advances must equal the batch qualifying frames")
+    } finally q.stop()
+  }
+
   test("Run ppl_gate labels a corpus replay row-for-row as the batch " +
       "perplexity buckets (known vocabulary: live == batch exactly)") {
     implicit val sqlCtx = spark.sqlContext
