@@ -1257,6 +1257,50 @@ object Oracles {
        |GROUP BY g.doc_id""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.textBm25]]: identical tf/df/avgdl
+   *  relations, the same left-associated double expression order
+   *  (constants interpolated from the SAME Scala vals, so both
+   *  engines parse identical doubles), and the same per-term NANO
+   *  floor-quantization before the per-(query, doc) integer sum. */
+  val textBm25: String = {
+    val qs = graft.queries.PipelineQueries.Bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => s"('$q','$t')") }.mkString(",")
+    val k1 = graft.queries.PipelineQueries.Bm25K1
+    val k1p1 = graft.queries.PipelineQueries.Bm25K1Plus1
+    val b = graft.queries.PipelineQueries.Bm25B
+    val omb = graft.queries.PipelineQueries.Bm25OneMinusB
+    val k = graft.queries.PipelineQueries.Bm25TopK
+    s"""WITH q(qid, term) AS (SELECT * FROM (VALUES $qs) t(qid, term)),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       |w AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf
+       |  FROM (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS term FROM w)
+       |  GROUP BY 1, 2, 3),
+       |df AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+       |a AS (
+       |  SELECT CAST(sum(CAST(len(ws) AS BIGINT)) AS DOUBLE) / (SELECT n FROM n) AS avgdl
+       |  FROM w),
+       |s AS (
+       |  SELECT q.qid, tf.doc_id,
+       |    CAST(floor(
+       |      ln(((SELECT n FROM n) - df.dfreq + 0.5) / (df.dfreq + 0.5) + 1.0)
+       |      * ((tf.tf * $k1p1) / (tf.tf + $k1 * ($omb + $b * tf.dl / (SELECT avgdl FROM a))))
+       |      * 1000000000.0) AS BIGINT) AS c
+       |  FROM tf JOIN q USING (term) JOIN df USING (term)),
+       |g AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score_nano
+       |      FROM s GROUP BY 1, 2),
+       |r AS (SELECT qid, doc_id, score_nano,
+       |        row_number() OVER (PARTITION BY qid
+       |          ORDER BY score_nano DESC, doc_id) AS rank
+       |      FROM g)
+       |SELECT qid, CAST(rank AS INT) AS rank, doc_id, score_nano
+       |FROM r WHERE rank <= $k""".stripMargin
+  }
+
   /** Mirrors [[PipelineQueries.decontaminateRatio]]: the
    *  [[decontaminate]] gram CTEs with a LEFT join so clean docs keep
    *  n_hits = 0; grouping on the gram STRING where Spark flows its

@@ -1355,6 +1355,85 @@ object PipelineQueries {
         round(col("score"), 4).as("tfidf_r"))
   }
 
+  /** BM25 parameters (the standard Robertson defaults) and the
+   *  embedded query workload — literal term lists, the sim_topk
+   *  embed-the-queries device. `Bm25K1Plus1` is its own literal so
+   *  both engines parse the identical double rather than computing
+   *  1.2 + 1 in different runtimes. */
+  val Bm25K1 = 1.2
+  val Bm25K1Plus1 = 2.2
+  val Bm25B = 0.75
+  val Bm25OneMinusB = 0.25
+  val Bm25TopK = 10
+  val Bm25Queries: Seq[(String, Seq[String])] = Seq(
+    "q1" -> Seq("spark", "join"),
+    "q2" -> Seq("window", "sort", "merge"),
+    "q3" -> Seq("data", "stream", "batch"))
+
+  /**
+   * BM25 TOP-K RETRIEVAL — the lexical ranking half of a retrieval
+   * stack (the hybrid complement to `sim_topk`'s dense half): for
+   * each embedded query, the top [[Bm25TopK]] documents under
+   * Okapi BM25 with the +1-smoothed idf. Determinism device:
+   * per-term contributions are floor-quantized to integer NANO units
+   * BEFORE the per-(query, doc) sum (the NllMicro device — a raw
+   * double sum over 3 terms is addition-order-dependent), and the
+   * rank order (score_nano DESC, doc_id) is total. Scale shape: the
+   * tf relation is restricted to QUERY terms below its agg (global
+   * df per term is unaffected by other terms' rows, so a retrieval
+   * pass never builds the full df table for 8 terms; the term filter
+   * prunes the explode before the (doc, term) shuffle); df then
+   * derives from that tiny postings frame and BROADCASTS with the
+   * query-term list and the 1-row avgdl; the final rank is
+   * WindowGroupLimit-pruned per query, so map tasks forward at most
+   * K rows per query to the rank exchange.
+   */
+  def textBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, sfDir)
+    // parquet rowcount — counting the fanned-out frame would shuffle
+    // full text for one number (the textTfidf rule)
+    val n = base.count()
+    val docs = FanOut.fanOut(base)
+    val queryTerms = Bm25Queries.flatMap(_._2).distinct
+    // postings for QUERY terms only, filtered BELOW the tf agg: global
+    // df per term is unaffected by other terms' rows, so restricting
+    // first is both correct and the scale shape — a retrieval engine
+    // never builds the full df table to answer 8 terms, and the term
+    // filter prunes the explode before the (doc, term) shuffle
+    val tf = docs
+      .select(col("doc_id"),
+        TextAnalyticsOps.wsTokenCount(col("text")).as("dl"),
+        explode(TextAnalyticsOps.words(lower(col("text")))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    val avgdl = base
+      .select(TextAnalyticsOps.wsTokenCount(col("text")).as("dl"))
+      .agg((sum(col("dl")).cast("double") / lit(n.toDouble)).as("avgdl"))
+    val qterms = Bm25Queries
+      .flatMap { case (q, ts) => ts.map((q, _)) }.toDF("qid", "term")
+    val idf = log(
+      (lit(n.toDouble) - col("dfreq") + lit(0.5)) / (col("dfreq") + lit(0.5))
+        + lit(1.0))
+    val tfNorm = (col("tf") * lit(Bm25K1Plus1)) /
+      (col("tf") + lit(Bm25K1) *
+        (lit(Bm25OneMinusB) + lit(Bm25B) * col("dl") / col("avgdl")))
+    val scores = tf
+      .join(broadcast(qterms), "term")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(avgdl))
+      .select(col("qid"), col("doc_id"),
+        floor(idf * tfNorm * lit(1e9)).cast("bigint").as("c"))
+      .groupBy("qid", "doc_id").agg(sum(col("c")).as("score_nano"))
+    scores
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("score_nano").desc, col("doc_id"))).cast("int"))
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("qid"), col("rank"), col("doc_id"), col("score_nano"))
+  }
+
   /**
    * Gopher-style repetition signals per document: `top_word_frac` (most
    * frequent word's share of all words) and `dup_2gram_frac` (share of

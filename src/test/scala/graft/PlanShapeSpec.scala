@@ -208,6 +208,22 @@ class PlanShapeSpec extends SparkSpec {
       "corpus scanned more than once:\n" + p)
   }
 
+  test("text_bm25 filters the postings to query terms below the tf " +
+      "agg, broadcasts df/avgdl/queries, and prunes the rank via " +
+      "WindowGroupLimit") {
+    val p = plan("text_bm25")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus postings shuffled for a broadcastable join:\n" + p)
+    assert(p.contains("WindowGroupLimit"),
+      "top-k rank must prune via WindowGroupLimit:\n" + p)
+    // the isin filter must sit under the tf aggregation, not above it
+    val aggIdx = p.indexOf("HashAggregate(keys=[doc_id")
+    val filtIdx = p.indexOf("term#")
+    assert(aggIdx >= 0 && filtIdx >= 0, "expected tf agg + term filter:\n" + p)
+    assert("Filter .*INSET|Filter .*term.* IN ".r.findFirstIn(p).isDefined,
+      "query-term restriction missing from the plan:\n" + p)
+  }
+
   test("knn_graph joins candidates as id pairs (hash equi-joins, " +
       "no broadcast nested loop, no cartesian)") {
     val p = plan("knn_graph")

@@ -329,6 +329,48 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(gotR == expR)
   }
 
+  test("textBm25 ranks the exact Okapi top-k per embedded query " +
+      "(recomputed in Scala from raw text)") {
+    val k1 = PipelineQueries.Bm25K1
+    val k1p1 = PipelineQueries.Bm25K1Plus1
+    val b = PipelineQueries.Bm25B
+    val omb = PipelineQueries.Bm25OneMinusB
+    val topK = PipelineQueries.Bm25TopK
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase
+        .split("\\s+").filter(_.nonEmpty)))
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / n
+    val df = docs.flatMap(_._2.distinct).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val expected = PipelineQueries.Bm25Queries.flatMap { case (qid, terms) =>
+      val scored = docs.flatMap { case (id, ws) =>
+        val dl = ws.length.toLong
+        val contribs = terms.flatMap { t =>
+          val tf = ws.count(_ == t).toLong
+          if (tf == 0) None else Some {
+            val idf = math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+            val tfn = (tf * k1p1) / (tf + k1 * (omb + b * dl / avgdl))
+            math.floor(idf * tfn * 1e9).toLong
+          }
+        }
+        if (contribs.isEmpty) None else Some(id -> contribs.sum)
+      }
+      scored.sortBy { case (id, s) => (-s, id) }.take(topK).zipWithIndex
+        .map { case ((id, s), i) => (qid, i + 1, id) -> s }
+    }.toMap
+    val got = PipelineQueries.textBm25(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id")) -> r.getAs[Long]("score_nano")).toMap
+    assert(got.keySet == expected.keySet,
+      "top-k membership/order must match the reference ranking")
+    got.foreach { case (key, s) => assert(s == expected(key), s"score at $key") }
+    // no query may come back empty on this corpus
+    assert(PipelineQueries.Bm25Queries.map(_._1).toSet ==
+      got.keySet.map(_._1))
+  }
+
   test("mixWeights: weights are positive, sum to ~1, and order by " +
       "token count with the sqrt temperature compressing ratios") {
     val rows = PipelineQueries.mixWeights(spark, sfDir)
