@@ -43,6 +43,7 @@ import graft.streaming.StreamOps
  * decontaminate text_chunks text_scrub split_assign mix_weights
  * sessionize shuffle_shard lm_score span_flag mix_sample neardup_gate
  * outlier_gate langid_eval classify_gate corpus_report ppl_gate funnel
+ * anomaly_gate
  * (curate also takes --threshold <minScore> and --min-words <n>;
  *  decontaminate takes --bench <parquet path> for the benchmark set;
  *  lm_score takes --corpus <parquet path> for the model corpus and
@@ -218,6 +219,21 @@ object Run {
         (lmScoreTopology(spark, lines(), opts.getOrElse("corpus",
           "/root/testdata/sf0.001/documents.parquet"),
           opts.getOrElse("order", "1").toInt), OutputMode.Append)
+      case "anomaly_gate" =>
+        // z-score outlier gate live: per-type (mean, sigma) baseline
+        // learned ONCE at build from --history by the gated batch
+        // formulation; flags emitted as they arrive. Demo stream
+        // synthesizes (event_type, value) by content hash
+        (StreamOps.anomalyGateStream(
+          lines().select(col("ts"),
+            element_at(array(Seq("view", "click", "purchase", "signup",
+                "error").map(lit): _*),
+              (pmod(xxhash64(col("value")), lit(5L)) + 1).cast("int"))
+              .as("event_type"),
+            (pmod(xxhash64(col("value") + 3), lit(100000L)).cast("double")
+              / lit(200.0)).as("value")),
+          spark.read.parquet(opts.getOrElse("history",
+            "/root/testdata/sf0.001/events.parquet"))), OutputMode.Append)
       case "funnel" =>
         // ordered-funnel state machine live: per-user (stage, t0)
         // keyed state, advances emitted as they happen. The demo

@@ -420,8 +420,19 @@ object AnalyticsQueries {
    */
   def eventAnomalies(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
+    ev.join(broadcast(anomalyStats(ev)), "event_type")
+      .filter(abs(col("value") - col("m")) > lit(AnomalySigma) * col("sd"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("value") - col("m")) / col("sd"), 4).as("z_r"))
+  }
+
+  /** The per-type decimal-exact moment frame of [[eventAnomalies]] —
+   *  (event_type, m, sd) — factored so the live `anomaly_gate`
+   *  topology (`StreamOps.anomalyGateStream`) trains the identical
+   *  model from a history table. */
+  def anomalyStats(ev: DataFrame): DataFrame = {
     val dec = col("value").cast("decimal(14,2)")
-    val stats = ev.groupBy("event_type")
+    ev.groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(dec).as("s1"), sum(dec * dec).as("s2"))
       .select(col("event_type"),
@@ -429,10 +440,6 @@ object AnalyticsQueries {
         (col("s2").cast("double") / col("n")).as("msq"))
       .select(col("event_type"), col("m"),
         sqrt(col("msq") - col("m") * col("m")).as("sd"))
-    ev.join(broadcast(stats), "event_type")
-      .filter(abs(col("value") - col("m")) > lit(AnomalySigma) * col("sd"))
-      .select(col("event_id"), col("event_type"), col("value"),
-        round((col("value") - col("m")) / col("sd"), 4).as("z_r"))
   }
 
   val HistBuckets = 10

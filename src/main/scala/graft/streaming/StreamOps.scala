@@ -667,6 +667,41 @@ object StreamOps {
   }
 
   /**
+   * Live ANOMALY gate — the streaming form of
+   * `AnalyticsQueries.eventAnomalies`: the per-type (mean, σ) model
+   * is learned ONCE at topology build from a history table by the
+   * IDENTICAL decimal-exact batch formulation (`anomalyStats`) and
+   * embedded as literal maps (|event_types| entries — tiny, the
+   * mix_sample threshold-map device); arriving events flag row-locally
+   * when |value − m| > kσ. The same offline-model/online-filter split
+   * as lm_score: a chained streaming agg could not both maintain the
+   * moments and filter against them in one query, and a monitor wants
+   * the FROZEN baseline anyway — yesterday's distribution judging
+   * today's stream, retrained on an operator's schedule. Events of a
+   * type absent from the history pass unflagged (no baseline — the
+   * conservative answer for an alerting gate; the batch join drops
+   * them identically).
+   */
+  def anomalyGateStream(events: DataFrame, history: DataFrame,
+      sigma: Double = graft.queries.AnalyticsQueries.AnomalySigma)
+      : DataFrame = {
+    val stats = graft.queries.AnalyticsQueries.anomalyStats(history)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    require(stats.nonEmpty, "anomaly_gate: empty history — no baseline")
+    val mMap = map(stats.flatMap { case (t, m, _) =>
+      Seq(lit(t), lit(m)) }.toIndexedSeq: _*)
+    val sdMap = map(stats.flatMap { case (t, _, sd) =>
+      Seq(lit(t), lit(sd)) }.toIndexedSeq: _*)
+    events
+      .withColumn("m", element_at(mMap, col("event_type")))
+      .withColumn("sd", element_at(sdMap, col("event_type")))
+      .filter(col("m").isNotNull &&
+        abs(col("value") - col("m")) > lit(sigma) * col("sd"))
+      .withColumn("z_r", round((col("value") - col("m")) / col("sd"), 4))
+      .drop("m", "sd")
+  }
+
+  /**
    * Live FUNNEL state machine — the streaming form of
    * `AnalyticsQueries.eventFunnel`: one (stage, qualifying-time) pair
    * of keyed state per user; an arriving event ADVANCES its user

@@ -313,6 +313,19 @@ object MaxRateProbe {
         in.select(col("ts"), Generators.docLine(col("value")).as("text")),
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
     }
+    // anomaly_gate: per-type (mean, sigma) literal-map probe + one
+    // row-local compare — the lightest model in the gate family
+    search("anomaly_gate", seed = 4000000, OutputMode.Append) { in =>
+      StreamOps.anomalyGateStream(
+        in.select(col("ts"),
+          element_at(array(Seq("view", "click", "purchase", "signup",
+              "error").map(lit): _*),
+            (pmod(xxhash64(col("value")), lit(5L)) + 1).cast("int"))
+            .as("event_type"),
+          (pmod(xxhash64(col("value") + 3), lit(100000L)).cast("double")
+            / lit(200.0)).as("value")),
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    }
     // funnel: per-user (stage, t0) keyed state machine — the stateful
     // multi-stage progression shape; 50 users keep state tiny, so the
     // bound is the fMGWS shuffle + per-trigger group sort

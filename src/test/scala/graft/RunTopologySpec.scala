@@ -111,6 +111,31 @@ class RunTopologySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Run anomaly_gate flags a replay of the events table exactly " +
+      "as the batch query, z for z") {
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val history = spark.read.parquet(s"$sfDir/events.parquet")
+    val expected = graft.queries.AnalyticsQueries.eventAnomalies(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("z_r")).toMap
+    assert(expected.nonEmpty, "no batch anomalies at sf0.001")
+    val in = MemoryStream[(Long, String, Double)]
+    val q = StreamOps.toMemory(
+      StreamOps.anomalyGateStream(
+        in.toDF().toDF("event_id", "event_type", "value"), history),
+      "run_anomaly", OutputMode.Append, ckpt())
+    try {
+      in.addData(history.select("event_id", "event_type", "value").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toIndexedSeq: _*)
+      q.processAllAvailable()
+      val live = spark.table("run_anomaly").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("z_r")).toMap
+      assert(live == expected, "live flags must equal the batch anomalies")
+    } finally q.stop()
+  }
+
   test("Run funnel state machine replays the events table " +
       "transition-for-transition equal to the batch stage frames, " +
       "with state surviving the trigger cut") {
