@@ -86,6 +86,46 @@ class StreamOpsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("checkpointed restart resumes the funnel state machine " +
+      "exactly-once: an advance taken before the kill cannot repeat, " +
+      "and the stage chain continues from the persisted (stage, t0)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val in = MemoryStream[(Long, String, Long)]
+    val funnel = StreamOps.funnelStream(
+      in.toDF().toDF("user_id", "event_type", "us")
+        .select(col("user_id"), col("event_type"),
+          timestamp_micros(col("us")).as("ts")))
+    val checkpoint = ckpt()
+    val seen = scala.collection.concurrent.TrieMap[(Long, Int), Long]()
+    def start() = funnel.writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("user_id", "stage").collect().foreach { r =>
+          val k = (r.getLong(0), r.getInt(1))
+          seen(k) = seen.getOrElse(k, 0L) + 1
+        }
+      }.start()
+    val h = 3600L * 1000000L
+    val q1 = start()
+    try {
+      in.addData((7L, "view", h), (7L, "click", 2 * h))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(seen((7L, 1)) == 1L && seen((7L, 2)) == 1L)
+    val q2 = start()
+    try {
+      // a second view/click must NOT re-advance (state resumed, not
+      // reset); the purchase within the click's window must advance
+      in.addData((7L, "view", 3 * h), (7L, "click", 4 * h),
+        (7L, "purchase", 5 * h))
+      q2.processAllAvailable()
+      assert(seen((7L, 1)) == 1L, "stage 1 re-advanced after restart")
+      assert(seen((7L, 2)) == 1L, "stage 2 re-advanced after restart")
+      assert(seen((7L, 3)) == 1L, "stage 3 must advance exactly once")
+    } finally q2.stop()
+  }
+
   test("session_window works under streaming with watermark (sessionize)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
