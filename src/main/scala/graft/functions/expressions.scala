@@ -107,8 +107,13 @@ object VectorMath {
    *  hash family as [[shingleHashes]] but duplicates are KEPT in gram
    *  order — element k is the hash of the gram starting at word k, so
    *  downstream posexplode yields (position, hash) pairs for span-level
-   *  dedup ([[graft.ops.DedupOps.repeatedSpanStats]]). */
-  def gramHashes(text: String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+   *  dedup ([[graft.ops.DedupOps.repeatedSpanStats]]). With
+   *  `portable=true` the hash family switches to the top 60 bits of
+   *  md5 (the [[wordHashes]] device) so the VALUES — not just counts
+   *  derived from them — are recomputable in any engine with md5
+   *  (winnowing fingerprint selection orders by the hash, so its
+   *  oracle needs the identical numbers, not a count-equivalence). */
+  def gramHashes(text: String, n: Int, portable: Boolean = false): org.apache.spark.sql.catalyst.util.ArrayData = {
     val words = new java.util.ArrayList[String]()
     var i = 0
     val len = text.length
@@ -118,6 +123,7 @@ object VectorMath {
       while (i < len && !isWs(text.charAt(i))) i += 1
       if (i > start) words.add(text.substring(start, i))
     }
+    val md = if (portable) java.security.MessageDigest.getInstance("MD5") else null
     val m = math.max(words.size - n + 1, 0)
     val out = new Array[Long](m)
     var g = 0
@@ -125,9 +131,19 @@ object VectorMath {
       val sb = new java.lang.StringBuilder(words.get(g))
       var j = 1
       while (j < n) { sb.append(' ').append(words.get(g + j)); j += 1 }
-      val u = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
-      out(g) = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-        u, org.apache.spark.sql.types.StringType, 42L)
+      out(g) =
+        if (portable) {
+          md.reset()
+          val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var v = 0L
+          var b = 0
+          while (b < 8) { v = (v << 8) | (d(b) & 0xFFL); b += 1 }
+          v >>> 4
+        } else {
+          val u = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+          org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+            u, org.apache.spark.sql.types.StringType, 42L)
+        }
       g += 1
     }
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
@@ -1306,7 +1322,7 @@ case class SynthEmbedding(child: Expression, dim: Int)
  * for repeated-span dedup, where [[ShingleHashes]]' set semantics
  * would erase within-document repeats and all positions.
  */
-case class GramHashes(child: Expression, n: Int)
+case class GramHashes(child: Expression, n: Int, portable: Boolean = false)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType =
@@ -1314,11 +1330,11 @@ case class GramHashes(child: Expression, n: Int)
       org.apache.spark.sql.types.LongType, containsNull = false)
 
   override def nullSafeEval(v: Any): Any =
-    VectorMath.gramHashes(v.toString, n)
+    VectorMath.gramHashes(v.toString, n, portable)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      t => s"graft.functions.VectorMath.gramHashes($t.toString(), $n)")
+      t => s"graft.functions.VectorMath.gramHashes($t.toString(), $n, $portable)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -1792,8 +1808,9 @@ object native {
   def shingle_hashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(text), n))
 
-  def gram_hashes(text: Column, n: Int): Column =
-    GraftColumnBridge.column(GramHashes(GraftColumnBridge.expression(text), n))
+  def gram_hashes(text: Column, n: Int, portable: Boolean = false): Column =
+    GraftColumnBridge.column(
+      GramHashes(GraftColumnBridge.expression(text), n, portable))
 
   def span_flag_stats(text: Column, n: Int,
       model: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =

@@ -588,4 +588,57 @@ object AnalyticsQueries {
       .select(col("event_id"), col("event_type"), col("value"),
         col("q4"), col("pr"), col("cd"))
   }
+
+  val PrIters = 8
+  val PrScale = 1000000L // rank fixed-point: 1.0 == 1e6 micro-units
+
+  /**
+   * PageRank over the supplier–part co-occurrence graph — the
+   * iterative-graph rung (Page et al. 1999; the Pregel-style
+   * join–aggregate formulation every distributed graph engine lowers
+   * to). Nodes are suppliers (2k) and parts (2k+1) from lineitem;
+   * edges are the distinct supplier→part incidences, symmetrized so
+   * the chain is irreducible with no dangling mass. Each of the
+   * [[PrIters]] rounds is contribs = ranks ⋈ edges (shuffle join on
+   * src — rank state is node-sized, too big to broadcast at graph
+   * scale) then one two-phase sum by dst and the damping update.
+   * All arithmetic is integer micro-units with explicit floors
+   * (rank/outdeg and the 0.85 damping are floored double quotients of
+   * exactly-representable ints — bit-stable across engines, the
+   * graph-scale analogue of the decimal-money device), so iteration K
+   * is a pure function of the edge set and the oracle's chained-CTE
+   * recomputation ([[Oracles.graphPagerank]], the bpe_learn device)
+   * lands on identical ranks. The edge relation is localCheckpoint-
+   * materialized once (scanned [[PrIters]] times), and rank lineage
+   * is truncated every 4 rounds — the bpeLearn stride.
+   */
+  def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val inc = Tables.lineitem(spark, sfDir)
+      .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = inc.unionAll(inc.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = edges.join(deg, "src").localCheckpoint()
+    var ranks = deg.select(col("src").as("node"), lit(PrScale).as("rank"))
+    var sinceTrunc = 0
+    for (_ <- 1 to PrIters) {
+      val contribs = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("node"))
+        .select(col("dst"), floor(col("rank") / col("outdeg")).as("c"))
+      val next = contribs.groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("node"),
+          (lit(PrScale * 15 / 100) + floor(col("s") * lit(85L) / lit(100.0))).as("rank"))
+      sinceTrunc += 1
+      if (sinceTrunc >= 4) {
+        val prev = ranks
+        ranks = next.localCheckpoint()
+        prev.unpersist()
+        sinceTrunc = 0
+      } else ranks = next
+    }
+    val out = ranks.select(col("node"), col("rank").as("rank_micro"))
+    edgesDeg.unpersist()
+    out
+  }
 }

@@ -1703,6 +1703,100 @@ object Oracles {
       |       CASE WHEN t2 > 0 THEN (t2 - d2) / t2 END AS dup_2gram_frac
       |FROM t JOIN g ON t.doc_id = g.doc_id""".stripMargin
 
+  /** Mirrors [[PipelineQueries.qualityGopher]]: same whitespace words,
+   *  the textQuality feature arithmetic (exact int/int double
+   *  divisions), the textRepetition dominance shape (max/sum word
+   *  frequency), and the same threshold constants spliced from the
+   *  Scala definitions — an independent relational recomputation of
+   *  every rule flag, not the Spark plan echoed back. */
+  val qualityGopher: String = {
+    val stops = stopListSql(graft.ops.TextAnalyticsOps.Stopwords.head._2)
+    import PipelineQueries.{GopherMinWords, GopherMaxWords, GopherMinWlen,
+      GopherMaxWlen, GopherMinStop, GopherMaxTopFrac}
+    s"""WITH f AS (
+       |  SELECT doc_id, text,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |         CAST(len(ws) AS BIGINT) AS n_words,
+       |         length(regexp_replace(text, '\\s+', '', 'g')) / nullif(len(ws), 0) AS mean_wlen,
+       |         len(list_filter(ws, w -> w IN ($stops))) / nullif(len(ws), 0) AS stop_ratio
+       |  FROM f),
+       |e AS (SELECT doc_id, unnest(ws) AS w FROM f),
+       |c AS (SELECT doc_id, w, count(*) AS c FROM e GROUP BY 1, 2),
+       |d AS (SELECT doc_id, max(c) / sum(c) AS top_frac FROM c GROUP BY 1),
+       |j AS (SELECT g.*, top_frac FROM g LEFT JOIN d USING (doc_id))
+       |SELECT doc_id, n_words, mean_wlen, stop_ratio, top_frac,
+       |       n_words BETWEEN $GopherMinWords AND $GopherMaxWords AS r_words,
+       |       coalesce(mean_wlen BETWEEN $GopherMinWlen AND $GopherMaxWlen, false) AS r_wlen,
+       |       coalesce(stop_ratio >= $GopherMinStop, false) AS r_stop,
+       |       coalesce(top_frac <= $GopherMaxTopFrac, false) AS r_rep,
+       |       (n_words BETWEEN $GopherMinWords AND $GopherMaxWords)
+       |         AND coalesce(mean_wlen BETWEEN $GopherMinWlen AND $GopherMaxWlen, false)
+       |         AND coalesce(stop_ratio >= $GopherMinStop, false)
+       |         AND coalesce(top_frac <= $GopherMaxTopFrac, false) AS keep
+       |FROM j""".stripMargin
+  }
+
+  /** Mirrors [[PipelineQueries.textWinnow]]: same whitespace words and
+   *  gram windows, the portable md5-60 gram hash recomputed from the
+   *  gram STRING (`CAST('0x' || substr(md5(g),1,15) AS BIGINT)` — the
+   *  dedupSimhash family), the identical packed rightmost-min key
+   *  ((h mod 2^40)·2^20 + (2^20−1−pos)), the same trailing window
+   *  min, and the same short-doc single-window rule. The VALUES match
+   *  bit-for-bit because the hash family is portable — a selection
+   *  that orders by hash admits no count-equivalence shortcut. */
+  val textWinnow: String = {
+    val k = PipelineQueries.WinnowK
+    val w = PipelineQueries.WinnowW
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, i AS pos,
+       |         CAST('0x' || substr(md5(array_to_string(ws[i+1:i+$k], ' ')), 1, 15) AS BIGINT) AS h
+       |  FROM w, unnest(range(0, greatest(len(ws) - $k + 1, 0))) t(i)),
+       |p AS (
+       |  SELECT doc_id, pos,
+       |         (h % 1099511627776) * 1048576 + (1048575 - pos) AS packed
+       |  FROM g),
+       |m AS (
+       |  SELECT doc_id, pos,
+       |         min(packed) OVER (PARTITION BY doc_id ORDER BY pos
+       |                           ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS mp,
+       |         max(pos) OVER (PARTITION BY doc_id) AS maxpos
+       |  FROM p),
+       |sel AS (
+       |  SELECT DISTINCT doc_id, 1048575 - (mp % 1048576) AS sel_pos, mp // 1048576 AS sel_h
+       |  FROM m WHERE pos >= ${w - 1} OR pos = maxpos),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_fp, CAST(sum(sel_h) AS BIGINT) AS fp_sum
+       |  FROM sel GROUP BY 1)
+       |SELECT w.doc_id,
+       |       CAST(greatest(len(ws) - $k + 1, 0) AS BIGINT) AS n_grams,
+       |       coalesce(n_fp, 0) AS n_fp,
+       |       coalesce(fp_sum, 0) AS fp_sum
+       |FROM w LEFT JOIN agg USING (doc_id)""".stripMargin
+  }
+
+  /** Mirrors [[PipelineQueries.sampleWeighted]]: same md5-60 content
+   *  uniform, same weight, the identical ln-quotient micro-floor key
+   *  (term-for-term expression shape — IEEE doubles on identical
+   *  rational inputs, the textUnigramNll device), same (key desc,
+   *  doc_id) order and cut. */
+  val sampleWeighted: String = {
+    val n = PipelineQueries.WeightedN
+    s"""SELECT doc_id, n_chars,
+       |       CAST(floor(ln((CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) + 1)
+       |                     / 1152921504606846976.0)
+       |                  / CAST(n_chars + 1 AS DOUBLE) * 1000000.0) AS BIGINT) AS key_micro
+       |FROM documents
+       |ORDER BY key_micro DESC, doc_id
+       |LIMIT $n""".stripMargin
+  }
+
   /** Mirrors [[AnalyticsQueries.eventResample]]: hourly decimal-exact
    *  mean, dense per-user hour grid, LOCF via IGNORE NULLS last_value
    *  over the same running ROWS frame. */
@@ -1993,4 +2087,32 @@ object Oracles {
     """SELECT CAST(row_number() OVER (ORDER BY n DESC) AS BIGINT) AS rank, n
       |FROM (SELECT user_id, count(*) AS n FROM events GROUP BY 1
       |      ORDER BY n DESC, user_id LIMIT 10) t""".stripMargin
+
+  /** Mirrors [[AnalyticsQueries.graphPagerank]]: same node encoding,
+   *  same symmetrized distinct edge set, and the damping update
+   *  restated as a generated [[AnalyticsQueries.PrIters]]-level
+   *  chained CTE (the bpe_learn device) — the oracle ITERATES
+   *  INDEPENDENTLY rather than echoing Spark's final ranks. Every
+   *  floor is a double quotient of exactly-representable ints
+   *  (< 2^53), so both engines land on identical micro-unit ranks. */
+  val graphPagerank: String = {
+    val iters = AnalyticsQueries.PrIters
+    val scale = AnalyticsQueries.PrScale
+    val base = scale * 15 / 100
+    val chain = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |         CAST($base + floor((sum(CAST(floor(r.rank / e.outdeg) AS BIGINT)) * 85) / 100.0) AS BIGINT) AS rank
+         |  FROM ed e JOIN r${i - 1} r ON r.node = e.src
+         |  GROUP BY e.dst)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem),
+       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |ed AS (SELECT e.src, e.dst, d.outdeg FROM e JOIN d USING (src)),
+       |r0 AS (SELECT src AS node, CAST($scale AS BIGINT) AS rank FROM d),
+       |$chain
+       |SELECT node, rank AS rank_micro FROM r$iters""".stripMargin
+  }
 }

@@ -1463,6 +1463,146 @@ object PipelineQueries {
         when(col("t2") > 0, (col("t2") - col("d2")) / col("t2")).as("dup_2gram_frac"))
   }
 
+  // Gopher-rule thresholds (Rae et al. 2021 §A1.1, re-parameterized to
+  // this corpus so every rule fires BOTH ways at sf0.01 — a threshold
+  // no document ever fails gates nothing; measured quantiles in
+  // SCALE.md). Word-count bounds, mean-word-length band, stopword
+  // presence, and repetition (top-word dominance, the Gopher
+  // "fraction of most common word" rule).
+  val GopherMinWords = 20L
+  val GopherMaxWords = 90L
+  val GopherMinWlen = 3.0
+  val GopherMaxWlen = 4.8
+  val GopherMinStop = 0.02
+  val GopherMaxTopFrac = 0.125
+
+  /**
+   * Full Gopher-style quality rule set — the named document-level
+   * filter battery a production curation pipeline runs (Rae et al.
+   * 2021; the per-rule FLAGS are the point: a pipeline tunes each rule
+   * against its own audit table, so the query emits every rule verdict
+   * plus the conjunction, not just the survivors). Features come from
+   * the one-pass [[graft.functions.QualityStats]] kernel; the one
+   * non-row-local signal — top-word dominance — is the textRepetition
+   * relational word-frequency shape: explode words, two-phase count,
+   * per-doc max. Scale: the explode branch shuffles (doc_id, word)
+   * pairs only (text never leaves the scan stage), the feature branch
+   * is row-local, and the final join is doc_id-keyed — the
+   * dedup_spans partitioning-reuse contract.
+   */
+  def qualityGopher(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = FanOut.fanOut(Tables.documents(spark, sfDir))
+    val dom = docs
+      .select(col("doc_id"), explode(TextAnalyticsOps.words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_c"), sum(col("c")).as("nw"))
+      .select(col("doc_id"), (col("top_c") / col("nw")).as("top_frac"))
+    val feats = docs
+      .withColumn("q", TextAnalyticsOps.qualityFeatures(col("text")))
+      .select(col("doc_id"), col("q.n_words").as("n_words"),
+        col("q.mean_wlen").as("mean_wlen"), col("q.stop_ratio").as("stop_ratio"))
+    val rWords = col("n_words").between(GopherMinWords, GopherMaxWords)
+    val rWlen = coalesce(col("mean_wlen").between(GopherMinWlen, GopherMaxWlen), lit(false))
+    val rStop = coalesce(col("stop_ratio") >= GopherMinStop, lit(false))
+    val rRep = coalesce(col("top_frac") <= GopherMaxTopFrac, lit(false))
+    feats.join(dom, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("mean_wlen"),
+        col("stop_ratio"), col("top_frac"),
+        rWords.as("r_words"), rWlen.as("r_wlen"), rStop.as("r_stop"),
+        rRep.as("r_rep"),
+        (rWords && rWlen && rStop && rRep).as("keep"))
+  }
+
+  // Winnowing parameters (Schleimer et al. 2003): gram size and window
+  // width. Guarantee: any shared substring of WinnowK + WinnowW - 1
+  // words produces at least one shared fingerprint.
+  val WinnowK = 3
+  val WinnowW = 4
+  private val WinnowPosM = 1L << 20 // position field width in the packed key
+  private val WinnowMask40 = (1L << 40) - 1 // hash bits kept above it
+
+  /**
+   * Winnowing fingerprint selection (the MOSS algorithm, Schleimer et
+   * al. 2003): hash every [[WinnowK]]-gram, slide a [[WinnowW]]-wide
+   * window over the positional hash sequence, and in each window
+   * select the minimum hash — rightmost occurrence on ties; the
+   * distinct selected (position, hash) pairs are the document's
+   * fingerprints (guaranteed-overlap sampling, unlike 0-mod-p). The
+   * rightmost-min rule is relational via one packed key:
+   * `(hash mod 2^40)·2^20 + (2^20−1−pos)` — a plain `min` over the
+   * trailing window frame then IS lexicographic (hash asc, pos desc),
+   * so argmin decodes by integer arithmetic, no struct ordering
+   * needed. Hash family is the portable md5-60
+   * ([[graft.functions.VectorMath.wordHashes]] device) because the
+   * SELECTION depends on hash ORDER — the oracle must reproduce the
+   * values, not a count-equivalence. Scale: one kernel pass, the
+   * explode carries (doc_id, pos, hash) longs only, and the window,
+   * distinct, and per-doc rollup all reuse the doc_id hash
+   * partitioning — one corpus-wide exchange of fixed-width rows (the
+   * dedup_spans contract); docs shorter than the window contribute
+   * their single truncated window (global min), so every document
+   * with ≥ [[WinnowK]] words fingerprints.
+   */
+  def textWinnow(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = FanOut.fanOut(Tables.documents(spark, sfDir))
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.native.gram_hashes(col("text"), WinnowK, portable = true)))
+      .toDF("doc_id", "pos", "h")
+      .select(col("doc_id"), col("pos"),
+        (col("h").bitwiseAND(lit(WinnowMask40)) * lit(WinnowPosM) +
+          (lit(WinnowPosM - 1) - col("pos"))).as("packed"))
+    val byDoc = Window.partitionBy("doc_id")
+    val trailing = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(WinnowW - 1), Window.currentRow)
+    val sel = grams
+      .withColumn("mp", min("packed").over(trailing))
+      .withColumn("maxpos", max("pos").over(byDoc))
+      .filter(col("pos") >= WinnowW - 1 || col("pos") === col("maxpos"))
+      .select(col("doc_id"),
+        (lit(WinnowPosM - 1) - col("mp") % lit(WinnowPosM)).as("sel_pos"),
+        shiftright(col("mp"), 20).as("sel_h"))
+      .distinct()
+    val agg = sel.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"), sum(col("sel_h")).as("fp_sum"))
+    docs.select(col("doc_id"),
+        greatest(TextAnalyticsOps.wsTokenCount(col("text")) - (WinnowK - 1), lit(0L))
+          .as("n_grams"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("fp_sum"), lit(0L)).as("fp_sum"))
+  }
+
+  val WeightedN = 100
+  private val Pow2_60 = 1.152921504606846976e18 // 2^60, exactly representable
+
+  /**
+   * Deterministic weighted sampling without replacement (Efraimidis &
+   * Spirakis 2006): each document draws key u^(1/w) with u uniform and
+   * w its weight (here n_chars + 1 — length-proportional inclusion),
+   * and the global top-[[WeightedN]] keys are the sample. The uniform
+   * is derived from CONTENT (md5-60 of the text mapped into (0,1]) —
+   * the hash_sample zero-RNG device — so the draw is reproducible
+   * across engines/retries, which is what lets an A-ES sample sit
+   * under a DuckDB oracle at all. Keys are compared as
+   * floor(ln(u)/w · 1e6) (monotone in u^(1/w); the NllMicro
+   * ln-quantization device) with doc_id tiebreak. Scale: row-local
+   * key computation pushed to the scan, then ONE TakeOrderedAndProject
+   * — per-partition top-N, N rows to the driver stage, no global
+   * sort (the globalTopK contract).
+   */
+  def sampleWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    val h60 = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+    val u = (h60 + lit(1L)).cast("double") / lit(Pow2_60)
+    val w = (col("n_chars") + lit(1L)).cast("double")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"),
+        floor(log(u) / w * lit(1000000.0)).as("key_micro"))
+      .orderBy(col("key_micro").desc, col("doc_id"))
+      .limit(WeightedN)
+  }
+
   val CurateMinScore = 0.40
   val CurateMinWords = 20L
 

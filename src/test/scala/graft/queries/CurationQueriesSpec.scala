@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * Independent-Scala-recompute gates for the round-12 curation additions:
+ * the Gopher rule battery, winnowing fingerprints, weighted sampling,
+ * and PageRank. Each test rebuilds the expected result from the raw
+ * parquet bytes with plain Scala collections — no Spark expressions
+ * shared with the query under test — so a bug in a kernel or column
+ * formula cannot cancel itself out.
+ */
+class CurationQueriesSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def rawDocs(dir: String): Seq[(Long, String, Long)] =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+
+  private def words(text: String): Array[String] =
+    text.split("\\s+").filter(_.nonEmpty)
+
+  /** Top 60 bits of md5 — the portable cross-engine hash family. */
+  private def md560(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var b = 0
+    while (b < 8) { v = (v << 8) | (d(b) & 0xFFL); b += 1 }
+    v >>> 4
+  }
+
+  test("qualityGopher emits the exact rule flags: every feature and " +
+      "every verdict matches a plain-Scala recompute, and each rule " +
+      "fires both ways at sf0.01 (no vacuous thresholds)") {
+    val stops = graft.ops.TextAnalyticsOps.Stopwords.head._2.toSet
+    val got = PipelineQueries.qualityGopher(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val docs = rawDocs(sfDir)
+    assert(got.size == docs.size)
+    docs.foreach { case (id, text, _) =>
+      val ws = words(text)
+      val r = got(id)
+      assert(r.getLong(1) == ws.length.toLong, s"n_words doc $id")
+      val meanWlen = ws.map(_.length).sum.toDouble / ws.length
+      val stopRatio = ws.count(stops).toDouble / ws.length
+      val topFrac = ws.groupBy(identity).values.map(_.length).max.toDouble / ws.length
+      assert(r.getDouble(2) == meanWlen, s"mean_wlen doc $id")
+      assert(r.getDouble(3) == stopRatio, s"stop_ratio doc $id")
+      assert(r.getDouble(4) == topFrac, s"top_frac doc $id")
+      import PipelineQueries._
+      val eWords = ws.length >= GopherMinWords && ws.length <= GopherMaxWords
+      val eWlen = meanWlen >= GopherMinWlen && meanWlen <= GopherMaxWlen
+      val eStop = stopRatio >= GopherMinStop
+      val eRep = topFrac <= GopherMaxTopFrac
+      assert(r.getBoolean(5) == eWords && r.getBoolean(6) == eWlen &&
+        r.getBoolean(7) == eStop && r.getBoolean(8) == eRep,
+        s"rule flags doc $id")
+      assert(r.getBoolean(9) == (eWords && eWlen && eStop && eRep), s"keep doc $id")
+    }
+    // non-vacuity at the corpus the driver gates: a threshold no doc
+    // ever fails (or always fails) filters nothing and tests nothing
+    val big = PipelineQueries.qualityGopher(spark, "/root/testdata/sf0.01")
+      .select("r_words", "r_wlen", "r_stop", "r_rep", "keep").collect()
+    Seq(0, 1, 2, 3, 4).foreach { i =>
+      val vals = big.map(_.getBoolean(i)).toSet
+      assert(vals == Set(true, false), s"rule column $i is vacuous at sf0.01")
+    }
+  }
+
+  /** Reference winnowing: the textbook per-window rightmost-min scan. */
+  private def winnowRef(text: String): (Long, Set[(Int, Long)]) = {
+    val k = PipelineQueries.WinnowK
+    val w = PipelineQueries.WinnowW
+    val ws = words(text)
+    val grams = ws.sliding(k).filter(_.length == k).map(_.mkString(" ")).toArray
+    val h40 = grams.map(g => md560(g) & ((1L << 40) - 1))
+    val sel = scala.collection.mutable.Set.empty[(Int, Long)]
+    if (h40.nonEmpty) {
+      // one truncated window for short docs, else every full window
+      val ends = if (h40.length < w) Seq(h40.length - 1) else (w - 1) until h40.length
+      ends.foreach { e =>
+        val lo = math.max(0, e - w + 1)
+        var best = lo
+        (lo to e).foreach { p => if (h40(p) <= h40(best)) best = p } // rightmost min
+        sel += ((best, h40(best)))
+      }
+    }
+    (grams.length.toLong, sel.toSet)
+  }
+
+  test("textWinnow selects exactly the rightmost-min fingerprint of " +
+      "every window (per-doc n_fp and fp_sum equal the textbook scan) " +
+      "and honors the coverage guarantee: every full window contains " +
+      "a selected position") {
+    val got = PipelineQueries.textWinnow(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val docs = rawDocs(sfDir)
+    assert(got.size == docs.size)
+    var fingerprinted = 0
+    docs.foreach { case (id, text, _) =>
+      val (nGrams, sel) = winnowRef(text)
+      val (gGrams, gFp, gSum) = got(id)
+      assert(gGrams == nGrams, s"n_grams doc $id")
+      assert(gFp == sel.size.toLong, s"n_fp doc $id: got $gFp want ${sel.size}")
+      assert(gSum == sel.toSeq.map(_._2).sum, s"fp_sum doc $id")
+      if (sel.nonEmpty) fingerprinted += 1
+      // guarantee: each full window has >= 1 selected position
+      val w = PipelineQueries.WinnowW
+      val positions = sel.map(_._1)
+      if (nGrams >= w) ((w - 1) until nGrams.toInt).foreach { e =>
+        assert(positions.exists(p => p >= e - w + 1 && p <= e),
+          s"window ending at $e of doc $id uncovered")
+      }
+    }
+    assert(fingerprinted > 0, "no document produced fingerprints")
+  }
+
+  test("sampleWeighted draws the exact Efraimidis-Spirakis top-N: the " +
+      "selected set equals the reference key ranking, keys reproduce, " +
+      "and exactly WeightedN rows return") {
+    val got = PipelineQueries.sampleWeighted(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == PipelineQueries.WeightedN)
+    val ref = rawDocs(sfDir).map { case (id, text, nChars) =>
+      val u = (md560(text) + 1).toDouble / 1.152921504606846976e18
+      val key = math.floor(math.log(u) / (nChars + 1).toDouble * 1000000.0).toLong
+      (id, nChars, key)
+    }.sortBy { case (id, _, key) => (-key, id) }.take(PipelineQueries.WeightedN)
+    assert(got.sortBy(t => (-t._3, t._1)).toSeq == ref.toSeq)
+    // length-proportional inclusion actually biases: the sampled docs
+    // are longer on average than the corpus
+    val corpusMean = rawDocs(sfDir).map(_._3).sum.toDouble / rawDocs(sfDir).size
+    val sampleMean = got.map(_._2).sum.toDouble / got.length
+    assert(sampleMean > corpusMean, s"sample mean $sampleMean <= corpus mean $corpusMean")
+  }
+
+  test("graphPagerank converges to the exact integer fixed point of " +
+      "the damping recurrence: every node's rank equals a plain-Scala " +
+      "edge-map iteration, and mass stays near the stationary total") {
+    val got = AnalyticsQueries.graphPagerank(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_suppkey", "l_partkey").collect()
+      .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1)).distinct
+    val edges = li ++ li.map { case (s, d) => (d, s) }
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    var ranks: Map[Long, Long] = outdeg.map { case (n, _) => n -> AnalyticsQueries.PrScale }
+    (1 to AnalyticsQueries.PrIters).foreach { _ =>
+      val contribs = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (s, d) =>
+        contribs(d) += math.floor(ranks(s).toDouble / outdeg(s)).toLong
+      }
+      ranks = contribs.map { case (n, c) =>
+        n -> (150000L + math.floor(c * 85L / 100.0).toLong)
+      }.toMap
+    }
+    assert(got.size == ranks.size, "node set mismatch")
+    ranks.foreach { case (n, r) =>
+      assert(got(n) == r, s"rank of node $n: got ${got(n)} want $r")
+    }
+    // every node keeps at least the damping floor; total mass is within
+    // the floor-leak band of nodes * scale
+    assert(got.values.forall(_ >= 150000L))
+    val total = got.values.sum.toDouble
+    val ideal = got.size.toDouble * AnalyticsQueries.PrScale
+    assert(total > ideal * 0.9 && total < ideal * 1.01, s"mass drifted: $total vs $ideal")
+  }
+}
