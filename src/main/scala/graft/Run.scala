@@ -197,6 +197,22 @@ object Run {
         (graft.queries.PipelineQueries.chunkProjection(
           lines().select(col("ts"), col("value").as("text"))),
           OutputMode.Append)
+      case "gopher_gate" =>
+        // Gopher rule battery, live: every rule (dominance included)
+        // is within-document, so admission is a stateless two-kernel
+        // row-local projection — the zero-model end of the
+        // offline-model/online-filter family, like classify_gate
+        (graft.queries.PipelineQueries.gopherProjection(
+          lines().select(col("ts"), col("value").as("text")))
+          .filter(col("keep")), OutputMode.Append)
+      case "winnow_fp" =>
+        // winnowing fingerprints, live: per-document monotone-deque
+        // selection (document windows never cross documents — no
+        // state, no shuffle); emits the fingerprint stats each doc
+        // would contribute to a fingerprint index
+        (graft.queries.PipelineQueries.winnowProjection(
+          lines().select(col("ts"), col("value").as("text"))),
+          OutputMode.Append)
       case "classify_gate" =>
         // hashed-linear quality classifier, live: the frozen
         // arithmetic weight table IS the model (nothing to broadcast),

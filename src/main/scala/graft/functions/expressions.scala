@@ -651,6 +651,70 @@ object VectorMath {
       Array[Any](nWords, nNonWs, nStop, nAlpha, nChars))
   }
 
+  /** Maximum multiplicity of any whitespace word in `text` (0 when
+   *  empty); see [[TopWordCount]]. The Gopher dominance rule is
+   *  within-document, so it needs no corpus shuffle — one per-row
+   *  HashMap bounded by the document's own vocabulary. */
+  def topWordCount(text: String): Long = {
+    val counts = new java.util.HashMap[String, Long]()
+    var top = 0L
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && isWs(text.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(text.charAt(i))) i += 1
+      if (i > start) {
+        val w = text.substring(start, i)
+        val c = counts.merge(w, 1L, java.lang.Long.sum(_, _))
+        if (c > top) top = c
+      }
+    }
+    top
+  }
+
+  /** Row-local winnowing fingerprint statistics; see [[WinnowStats]].
+   *  Same portable md5-60 gram hashes (reduced to 40 bits) and same
+   *  rightmost-min-per-window selection as the relational
+   *  `PipelineQueries.textWinnow`, computed per document with the
+   *  O(n) monotone-deque sliding-window minimum (ties popped on push,
+   *  so the surviving front IS the rightmost minimum). Selected
+   *  positions are non-decreasing as the window slides — the front
+   *  index of the deque only advances — so distinctness is one
+   *  last-position check, no set. Short documents (< w full windows)
+   *  contribute their single truncated window, matching the batch
+   *  query's maxpos rule. */
+  def winnowStats(text: String, k: Int, w: Int): InternalRow = {
+    val gh = gramHashes(text, k, portable = true)
+    val m = gh.numElements()
+    val mask = (1L << 40) - 1
+    var nFp = 0L
+    var fpSum = 0L
+    if (m > 0) {
+      val h40 = new Array[Long](m)
+      var i = 0
+      while (i < m) { h40(i) = gh.getLong(i) & mask; i += 1 }
+      val dq = new Array[Int](m)
+      var head = 0
+      var tail = 0
+      var lastPos = -1
+      var e = 0
+      while (e < m) {
+        val h = h40(e)
+        while (tail > head && h40(dq(tail - 1)) >= h) tail -= 1
+        dq(tail) = e; tail += 1
+        while (dq(head) <= e - w) head += 1
+        if (e >= w - 1 || e == m - 1) {
+          val p = dq(head)
+          if (p != lastPos) { nFp += 1; fpSum += h40(p); lastPos = p }
+        }
+        e += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](m.toLong, nFp, fpSum))
+  }
+
   /** Canonical constants of the hashed-linear classifier (see
    *  [[ClassifyScore]]); `PipelineQueries` aliases these — the
    *  Stopwords single-definition convention. 6 hex digits = exactly
@@ -1562,6 +1626,58 @@ case class QualityStats(child: Expression)
 }
 
 /**
+ * Maximum whitespace-word multiplicity in a document — the Gopher
+ * dominance signal as a row-local kernel (the repetition rule is
+ * WITHIN-document, so the relational explode→count→max shape pays a
+ * corpus-wide (doc_id, word) shuffle for a statistic each row can
+ * compute alone; bit-equality with that relational form is pinned in
+ * CurationQueriesSpec/NativeExprSpec).
+ */
+case class TopWordCount(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.topWordCount(v.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.VectorMath.topWordCount($t.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Row-local winnowing: struct(n_grams, n_fp, fp_sum) — the same
+ * fingerprint selection the relational `textWinnow` computes with a
+ * per-doc window min, fused into one monotone-deque pass (document
+ * windows never cross documents, so winnowing needs no shuffle at
+ * all). Bit-equality with the relational form across the corpus is
+ * pinned in CurationQueriesSpec — two independent formulations of the
+ * rightmost-min rule cross-validating each other.
+ */
+case class WinnowStats(child: Expression, k: Int, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq("n_grams", "n_fp", "fp_sum").map(n =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.winnowStats(v.toString, k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.VectorMath.winnowStats($t.toString(), $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * One-pass hashed-linear classifier scoring: struct(n_words, score_sum)
  * over \s+ tokens of the (already-lowercased) input — the
  * [[QualityStats]] shape for `PipelineQueries.textClassify`'s frozen
@@ -1837,6 +1953,13 @@ object native {
 
   def quality_stats(text: Column): Column =
     GraftColumnBridge.column(QualityStats(GraftColumnBridge.expression(text)))
+
+  def top_word_count(text: Column): Column =
+    GraftColumnBridge.column(TopWordCount(GraftColumnBridge.expression(text)))
+
+  def winnow_stats(text: Column, k: Int, w: Int): Column =
+    GraftColumnBridge.column(
+      WinnowStats(GraftColumnBridge.expression(text), k, w))
 
   def classify_score(text: Column): Column =
     GraftColumnBridge.column(ClassifyScore(GraftColumnBridge.expression(text)))

@@ -1481,36 +1481,44 @@ object PipelineQueries {
    * filter battery a production curation pipeline runs (Rae et al.
    * 2021; the per-rule FLAGS are the point: a pipeline tunes each rule
    * against its own audit table, so the query emits every rule verdict
-   * plus the conjunction, not just the survivors). Features come from
-   * the one-pass [[graft.functions.QualityStats]] kernel; the one
-   * non-row-local signal — top-word dominance — is the textRepetition
-   * relational word-frequency shape: explode words, two-phase count,
-   * per-doc max. Scale: the explode branch shuffles (doc_id, word)
-   * pairs only (text never leaves the scan stage), the feature branch
-   * is row-local, and the final join is doc_id-keyed — the
-   * dedup_spans partitioning-reuse contract.
+   * plus the conjunction, not just the survivors). EVERY rule — the
+   * dominance signal included — is within-document, so the whole
+   * battery is [[gopherProjection]]: two one-pass kernels
+   * ([[graft.functions.QualityStats]], [[graft.functions.TopWordCount]])
+   * and threshold columns, a pure row-local projection with ZERO
+   * exchanges at any corpus size (plan-guarded; the relational
+   * explode→count→max dominance shape would shuffle every (doc_id,
+   * word) pair for a statistic each row computes alone — the same
+   * argument, in the other direction, as textRepetition's corpus-wide
+   * frequency, which genuinely is cross-document). Stateless, so the
+   * identical projection serves Run's `gopher_gate` live topology.
    */
-  def qualityGopher(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = FanOut.fanOut(Tables.documents(spark, sfDir))
-    val dom = docs
-      .select(col("doc_id"), explode(TextAnalyticsOps.words(col("text"))).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max(col("c")).as("top_c"), sum(col("c")).as("nw"))
-      .select(col("doc_id"), (col("top_c") / col("nw")).as("top_frac"))
-    val feats = docs
-      .withColumn("q", TextAnalyticsOps.qualityFeatures(col("text")))
-      .select(col("doc_id"), col("q.n_words").as("n_words"),
-        col("q.mean_wlen").as("mean_wlen"), col("q.stop_ratio").as("stop_ratio"))
+  def qualityGopher(spark: SparkSession, sfDir: String): DataFrame =
+    gopherProjection(Tables.documents(spark, sfDir)).drop("text", "lang", "source", "n_chars")
+
+  /** The row-local rule battery of [[qualityGopher]] over any frame
+   *  with a `text` column (batch query and live gate share it — the
+   *  classifyProjection device). Emits features, per-rule flags, and
+   *  the `keep` conjunction; input columns other than text pass
+   *  through ahead of the emitted ones. */
+  def gopherProjection(df: DataFrame): DataFrame = {
     val rWords = col("n_words").between(GopherMinWords, GopherMaxWords)
     val rWlen = coalesce(col("mean_wlen").between(GopherMinWlen, GopherMaxWlen), lit(false))
     val rStop = coalesce(col("stop_ratio") >= GopherMinStop, lit(false))
     val rRep = coalesce(col("top_frac") <= GopherMaxTopFrac, lit(false))
-    feats.join(dom, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_words"), col("mean_wlen"),
+    val passthrough = df.columns.map(col)
+    df
+      .withColumn("q", TextAnalyticsOps.qualityFeatures(col("text")))
+      .withColumn("top_c", graft.functions.native.top_word_count(col("text")))
+      .select(passthrough ++ Seq(
+        col("q.n_words").as("n_words"), col("q.mean_wlen").as("mean_wlen"),
+        col("q.stop_ratio").as("stop_ratio"),
+        (col("top_c") / nullif(col("q.n_words"), lit(0L))).as("top_frac")): _*)
+      .select((passthrough ++ Seq(col("n_words"), col("mean_wlen"),
         col("stop_ratio"), col("top_frac"),
         rWords.as("r_words"), rWlen.as("r_wlen"), rStop.as("r_stop"),
         rRep.as("r_rep"),
-        (rWords && rWlen && rStop && rRep).as("keep"))
+        (rWords && rWlen && rStop && rRep).as("keep"))): _*)
   }
 
   // Winnowing parameters (Schleimer et al. 2003): gram size and window
@@ -1572,6 +1580,22 @@ object PipelineQueries {
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_fp"), lit(0L)).as("n_fp"),
         coalesce(col("fp_sum"), lit(0L)).as("fp_sum"))
+  }
+
+  /** Row-local winnowing over any frame with a `text` column: the
+   *  [[graft.functions.WinnowStats]] monotone-deque kernel computing
+   *  the SAME (n_grams, n_fp, fp_sum) as the relational [[textWinnow]]
+   *  (document windows never cross documents, so fingerprinting needs
+   *  no shuffle at all — this is the form a 100 TB pass or a live
+   *  ingest gate runs; the relational form stays as the oracle-gated
+   *  cross-validation of the selection rule). Input columns pass
+   *  through. */
+  def winnowProjection(df: DataFrame): DataFrame = {
+    val passthrough = df.columns.map(col)
+    df.withColumn("wn",
+        graft.functions.native.winnow_stats(col("text"), WinnowK, WinnowW))
+      .select(passthrough ++ Seq(col("wn.n_grams").as("n_grams"),
+        col("wn.n_fp").as("n_fp"), col("wn.fp_sum").as("fp_sum")): _*)
   }
 
   val WeightedN = 100

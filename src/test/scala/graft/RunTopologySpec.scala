@@ -251,6 +251,55 @@ class RunTopologySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Run gopher_gate admits exactly the docs the batch rule battery " +
+      "keeps, flag-for-flag, on a corpus replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val batch = graft.queries.PipelineQueries.qualityGopher(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(5), r.getBoolean(6),
+        r.getBoolean(7), r.getBoolean(8), r.getBoolean(9))).toMap
+    assert(batch.values.exists(_._5) && batch.values.exists(!_._5),
+      "corpus must split both ways")
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.toMemory(
+      graft.queries.PipelineQueries.gopherProjection(
+        in.toDF().toDF("doc_id", "text")).filter(col("keep")),
+      "run_gopher", OutputMode.Append, ckpt())
+    try {
+      in.addData(texts: _*)
+      q.processAllAvailable()
+      val live = spark.table("run_gopher").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(live == batch.filter(_._2._5).keySet,
+        "live admission must equal the batch keep slice")
+    } finally q.stop()
+  }
+
+  test("Run winnow_fp emits the batch winnowing stats row-for-row on a " +
+      "corpus replay (deque kernel live == relational batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch = graft.queries.PipelineQueries.textWinnow(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val texts = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.toMemory(
+      graft.queries.PipelineQueries.winnowProjection(
+        in.toDF().toDF("doc_id", "text")),
+      "run_winnow", OutputMode.Append, ckpt())
+    try {
+      in.addData(texts: _*)
+      q.processAllAvailable()
+      val live = spark.table("run_winnow")
+        .select("doc_id", "n_grams", "n_fp", "fp_sum").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(live == batch, "live fingerprint stats must equal batch")
+    } finally q.stop()
+  }
+
   test("Run text_chunks cuts live lines into 50-token chunks with the " +
       "batch projection's exact hashes") {
     implicit val sqlCtx = spark.sqlContext

@@ -120,6 +120,40 @@ class CurationQueriesSpec extends SparkSpec {
     assert(fingerprinted > 0, "no document produced fingerprints")
   }
 
+  test("winnowProjection (monotone-deque kernel) equals the relational " +
+      "textWinnow row-for-row at sf0.01 — two independent formulations " +
+      "of the rightmost-min rule cross-validate") {
+    val dir = "/root/testdata/sf0.01"
+    val rel = PipelineQueries.textWinnow(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val ker = PipelineQueries.winnowProjection(
+      spark.read.parquet(s"$dir/documents.parquet"))
+      .select("doc_id", "n_grams", "n_fp", "fp_sum").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(ker.size == rel.size)
+    rel.foreach { case (id, v) =>
+      assert(ker(id) == v, s"doc $id: kernel ${ker(id)} != relational $v")
+    }
+  }
+
+  test("plan shapes: qualityGopher is a pure row-local projection " +
+      "(ZERO exchanges) and winnowProjection adds none; the relational " +
+      "textWinnow reuses its doc_id partitioning end-to-end (one hash " +
+      "exchange past the fan-out)") {
+    val g = PipelineQueries.qualityGopher(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!g.contains("Exchange"), "qualityGopher must not shuffle:\n" + g)
+    val wp = PipelineQueries.winnowProjection(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+      .queryExecution.executedPlan.toString
+    assert(!wp.contains("Exchange"), "winnowProjection must not shuffle:\n" + wp)
+    val wr = PipelineQueries.textWinnow(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val hash = "Exchange hashpartitioning".r.findAllIn(wr).size
+    assert(hash <= 2,
+      s"textWinnow should reuse the doc_id partitioning ($hash hash exchanges):\n" + wr)
+  }
+
   test("sampleWeighted draws the exact Efraimidis-Spirakis top-N: the " +
       "selected set equals the reference key ranking, keys reproduce, " +
       "and exactly WeightedN rows return") {
