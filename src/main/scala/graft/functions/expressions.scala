@@ -61,7 +61,11 @@ object VectorMath {
    *  table order whose count is > 0 and >= every later language's
    *  count; no hits at all -> "und". Equal to the composed
    *  split/filter/isin argmax column formulation (NativeExprSpec). */
+  private val langIdMemo = new RowMemo
+
   def langId(text: String): org.apache.spark.unsafe.types.UTF8String = {
+    val hit = langIdMemo.lookup(text, null)
+    if (hit != null) return hit.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
     val nLang = stopSets.length
     val counts = new Array[Int](nLang)
     var i = 0
@@ -85,7 +89,8 @@ object VectorMath {
       if (counts(l) > 0 && (best == nLang || counts(l) >= counts(best))) best = l
       l -= 1
     }
-    langTags(best)
+    langIdMemo.store(text, null, langTags(best))
+      .asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
   }
 
   /** Sequential left-fold dot product in double precision (same
@@ -201,9 +206,15 @@ object VectorMath {
    *  encoding. Membership is a binary search per band. A doc with no
    *  shingles has no bands (returns (0, 0)) — the batch explode drops
    *  it before any signature exists, so both forms admit it. */
+  private val lshCollideMemo = new RowMemo
+
   def lshCollide(text: String, n: Int, k: Int, bands: Int,
       model: Array[Long]): InternalRow = {
     import org.apache.spark.sql.catalyst.expressions.{XXH64 => xh}
+    // keyed on the model ARRAY identity: same text under a different
+    // broadcast model on this thread must recompute, never cross-hit
+    val hit = lshCollideMemo.lookup(text, model)
+    if (hit != null) return hit.asInstanceOf[InternalRow]
     val words = new java.util.ArrayList[String]()
     var i = 0
     val len = text.length
@@ -214,7 +225,7 @@ object VectorMath {
       if (i > start) words.add(text.substring(start, i))
     }
     val m = words.size - n + 1
-    if (m <= 0) {
+    val row = if (m <= 0) {
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](0L, 0L))
     } else {
@@ -265,6 +276,7 @@ object VectorMath {
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](bands.toLong, nCollide))
     }
+    lshCollideMemo.store(text, model, row).asInstanceOf[InternalRow]
   }
 
   /** Deterministic demo embedding of a text: `dim` floats in [-1, 1)
@@ -291,7 +303,12 @@ object VectorMath {
    *  ASCII whitespace); hash matches Spark's xxhash64 (XXH64, seed 42)
    *  over the gram's UTF-8 bytes; first-occurrence dedup matches
    *  array_distinct. */
+  private val shingleMemo = new RowMemo
+
   def shingleHashes(text: String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val nKey = Integer.valueOf(n) // gram sizes are tiny -> valueOf cache, eq-stable
+    val hit = shingleMemo.lookup(text, nKey)
+    if (hit != null) return hit.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val words = new java.util.ArrayList[String]()
     var i = 0
     val len = text.length
@@ -317,7 +334,9 @@ object VectorMath {
     val it = seen.iterator()
     var k = 0
     while (it.hasNext) { out(k) = it.next(); k += 1 }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    shingleMemo.store(text, nKey,
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out))
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
   }
 
   /** Java regex \s (no UNICODE_CHARACTER_CLASS): [ \t\n\x0B\f\r]. */
@@ -619,7 +638,11 @@ object VectorMath {
    *  char counts are Unicode code points (surrogate pair = 1), matching
    *  Spark's `length` (UTF8String.numChars) and the regex-replace
    *  length deltas of the composed form. */
+  private val qualityMemo = new RowMemo
+
   def qualityStats(text: String): InternalRow = {
+    val hit = qualityMemo.lookup(text, null)
+    if (hit != null) return hit.asInstanceOf[InternalRow]
     val len = text.length
     var nWords = 0L
     var nStop = 0L
@@ -647,30 +670,112 @@ object VectorMath {
         Character.isLowSurrogate(text.charAt(i + 1))) i += 1
       i += 1
     }
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](nWords, nNonWs, nStop, nAlpha, nChars))
+    qualityMemo.store(text, null,
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](nWords, nNonWs, nStop, nAlpha, nChars)))
+      .asInstanceOf[InternalRow]
   }
 
-  /** Maximum multiplicity of any whitespace word in `text` (0 when
-   *  empty); see [[TopWordCount]]. The Gopher dominance rule is
-   *  within-document, so it needs no corpus shuffle — one per-row
-   *  HashMap bounded by the document's own vocabulary. */
-  def topWordCount(text: String): Long = {
-    val counts = new java.util.HashMap[String, Long]()
-    var top = 0L
-    var i = 0
-    val len = text.length
-    while (i < len) {
-      while (i < len && isWs(text.charAt(i))) i += 1
-      val start = i
-      while (i < len && !isWs(text.charAt(i))) i += 1
-      if (i > start) {
-        val w = text.substring(start, i)
-        val c = counts.merge(w, 1L, java.lang.Long.sum(_, _))
-        if (c > top) top = c
-      }
+  /** One-pass Gopher rule statistics; see [[GopherStats]]. The first
+   *  five fields are bit-identical to [[qualityStats]] (same word
+   *  split, same stop set, same surrogate-pair accounting); `top_c` is
+   *  the maximum multiplicity of any whitespace word (0 when empty) —
+   *  the dominance rule is WITHIN-document, so it needs no corpus
+   *  shuffle, just a per-row HashMap bounded by the document's own
+   *  vocabulary. Fused because the gate runs both: two kernels = two
+   *  tokenization passes = the measured 841 k rows/s; one pass holds
+   *  the word in hand for the stop probe and the count update. */
+  /**
+   * One-entry per-thread (input → result) memo for row-level kernels.
+   * Filter pushdown inlines a gate's admission predicate BELOW the
+   * projection, duplicating the kernel call once per predicate term —
+   * and codegen's subexpression elimination deliberately skips
+   * conditionally-evaluated AND/CASE branches, so every copy really
+   * runs (gopher_gate measured 841 k rows/s against the kernel's
+   * ~10 M ceiling; the memo took it to 5.2 M). The duplicates always
+   * evaluate on the SAME row back-to-back, so one remembered pair
+   * turns N plan-level copies into one compute plus N−1 string
+   * compares, whatever shape the optimizer picks. `key` guards
+   * parameterized kernels (model broadcast / gram size): a hit needs
+   * the same input AND the same `eq` key, so two models scoring the
+   * same text on one thread can never cross-contaminate.
+   */
+  final class RowMemo {
+    private val tl = new ThreadLocal[Array[AnyRef]] {
+      override def initialValue() = new Array[AnyRef](3)
     }
-    top
+    def lookup(text: String, key: AnyRef): AnyRef = {
+      val s = tl.get()
+      if ((key eq s(2)) && text.equals(s(0))) s(1) else null
+    }
+    def store(text: String, key: AnyRef, v: AnyRef): AnyRef = {
+      val s = tl.get()
+      s(0) = text; s(2) = key; s(1) = v
+      v
+    }
+  }
+
+  /** Per-thread scratch map for [[gopherStats]] — per-DOCUMENT counts
+   *  can't share a memo, but the map itself can be reused across rows
+   *  (clear() beats re-allocation + rehash growth on every row). */
+  private val gopherScratch =
+    new ThreadLocal[java.util.HashMap[String, java.lang.Long]] {
+      override def initialValue() = new java.util.HashMap[String, java.lang.Long](256)
+    }
+  private val sumLongs: java.util.function.BiFunction[
+      java.lang.Long, java.lang.Long, java.lang.Long] =
+    (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue)
+
+  private val gopherMemo = new RowMemo
+
+  def gopherStats(text: String): InternalRow = {
+    val hit = gopherMemo.lookup(text, null)
+    if (hit != null) return hit.asInstanceOf[InternalRow]
+    val len = text.length
+    var nWords = 0L
+    var nStop = 0L
+    var nNonWs = 0L
+    var nAlpha = 0L
+    var nChars = 0L
+    var top = 0L
+    val counts = gopherScratch.get()
+    counts.clear()
+    var i = 0
+    var start = -1
+    while (i < len) {
+      val c = text.charAt(i)
+      val ws = isWs(c)
+      if (ws) {
+        if (start >= 0) {
+          val w = text.substring(start, i)
+          nWords += 1
+          if (stopSets(0).contains(w)) nStop += 1
+          val n = counts.merge(w, 1L, sumLongs)
+          if (n > top) top = n
+          start = -1
+        }
+      } else {
+        if (start < 0) start = i
+        nNonWs += 1
+      }
+      nChars += 1
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) nAlpha += 1
+      // a surrogate pair is one code point; low half is never ws/alpha
+      if (Character.isHighSurrogate(c) && i + 1 < len &&
+        Character.isLowSurrogate(text.charAt(i + 1))) i += 1
+      i += 1
+    }
+    if (start >= 0) {
+      val w = text.substring(start, len)
+      nWords += 1
+      if (stopSets(0).contains(w)) nStop += 1
+      val n = counts.merge(w, 1L, sumLongs)
+      if (n > top) top = n
+    }
+    gopherMemo.store(text, null,
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](nWords, nNonWs, nStop, nAlpha, nChars, top)))
+      .asInstanceOf[InternalRow]
   }
 
   /** Row-local winnowing fingerprint statistics; see [[WinnowStats]].
@@ -750,11 +855,15 @@ object VectorMath {
     wt
   }
 
+  private val classifyRowMemo = new RowMemo
+
   /** One-pass classifier scoring; see [[ClassifyScore]]. Word loop
    *  mirrors \s+ tokenization (the [[qualityStats]] loop); expects
    *  already-lowercased text so engine `lower` semantics stay in the
    *  plan. */
   def classifyScore(text: String): InternalRow = {
+    val hit = classifyRowMemo.lookup(text, null)
+    if (hit != null) return hit.asInstanceOf[InternalRow]
     val len = text.length
     var nWords = 0L
     var sum = 0L
@@ -768,8 +877,10 @@ object VectorMath {
         sum += classifyWordWeight(text.substring(start, i))
       }
     }
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](nWords, sum))
+    classifyRowMemo.store(text, null,
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](nWords, sum)))
+      .asInstanceOf[InternalRow]
   }
 
   /** One-pass page-view TSV parse; see [[PageViewFields]]. Raw tab
@@ -1626,24 +1737,30 @@ case class QualityStats(child: Expression)
 }
 
 /**
- * Maximum whitespace-word multiplicity in a document — the Gopher
- * dominance signal as a row-local kernel (the repetition rule is
- * WITHIN-document, so the relational explode→count→max shape pays a
- * corpus-wide (doc_id, word) shuffle for a statistic each row can
- * compute alone; bit-equality with that relational form is pinned in
- * CurationQueriesSpec/NativeExprSpec).
+ * One-pass Gopher rule statistics: the [[QualityStats]] fields plus
+ * `top_c`, the maximum whitespace-word multiplicity (the Gopher
+ * dominance signal — WITHIN-document, so the relational
+ * explode→count→max shape would pay a corpus-wide (doc_id, word)
+ * shuffle for a statistic each row computes alone). Fused into one
+ * tokenization pass because the rule battery needs all six counts per
+ * row; bit-compatibility with QualityStats and a composed dominance
+ * argmax is pinned in NativeExprSpec, and the full battery against a
+ * plain-Scala recompute in CurationQueriesSpec.
  */
-case class TopWordCount(child: Expression)
+case class GopherStats(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
-  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq("n_words", "n_nonws", "n_stop", "n_alpha", "n_chars", "top_c").map(n =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.LongType, nullable = false)))
 
   override def nullSafeEval(v: Any): Any =
-    VectorMath.topWordCount(v.toString)
+    VectorMath.gopherStats(v.toString)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      t => s"graft.functions.VectorMath.topWordCount($t.toString())")
+      t => s"graft.functions.VectorMath.gopherStats($t.toString())")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -1954,8 +2071,8 @@ object native {
   def quality_stats(text: Column): Column =
     GraftColumnBridge.column(QualityStats(GraftColumnBridge.expression(text)))
 
-  def top_word_count(text: Column): Column =
-    GraftColumnBridge.column(TopWordCount(GraftColumnBridge.expression(text)))
+  def gopher_stats(text: Column): Column =
+    GraftColumnBridge.column(GopherStats(GraftColumnBridge.expression(text)))
 
   def winnow_stats(text: Column, k: Int, w: Int): Column =
     GraftColumnBridge.column(

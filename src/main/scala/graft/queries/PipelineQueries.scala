@@ -1498,9 +1498,14 @@ object PipelineQueries {
 
   /** The row-local rule battery of [[qualityGopher]] over any frame
    *  with a `text` column (batch query and live gate share it — the
-   *  classifyProjection device). Emits features, per-rule flags, and
-   *  the `keep` conjunction; input columns other than text pass
-   *  through ahead of the emitted ones. */
+   *  classifyProjection device). ONE fused
+   *  [[graft.functions.GopherStats]] kernel pass per row (feature and
+   *  dominance counts in hand together — two kernels measured 841 k
+   *  rows/s live, the fused pass holds one tokenization); ratio/flag
+   *  math stays composed columns, the qualityFeatures arithmetic
+   *  exactly. Emits features, per-rule flags, and the `keep`
+   *  conjunction; input columns other than text pass through ahead of
+   *  the emitted ones. */
   def gopherProjection(df: DataFrame): DataFrame = {
     val rWords = col("n_words").between(GopherMinWords, GopherMaxWords)
     val rWlen = coalesce(col("mean_wlen").between(GopherMinWlen, GopherMaxWlen), lit(false))
@@ -1508,12 +1513,12 @@ object PipelineQueries {
     val rRep = coalesce(col("top_frac") <= GopherMaxTopFrac, lit(false))
     val passthrough = df.columns.map(col)
     df
-      .withColumn("q", TextAnalyticsOps.qualityFeatures(col("text")))
-      .withColumn("top_c", graft.functions.native.top_word_count(col("text")))
+      .withColumn("g", graft.functions.native.gopher_stats(col("text")))
       .select(passthrough ++ Seq(
-        col("q.n_words").as("n_words"), col("q.mean_wlen").as("mean_wlen"),
-        col("q.stop_ratio").as("stop_ratio"),
-        (col("top_c") / nullif(col("q.n_words"), lit(0L))).as("top_frac")): _*)
+        col("g.n_words").as("n_words"),
+        (col("g.n_nonws") / nullif(col("g.n_words"), lit(0L))).as("mean_wlen"),
+        (col("g.n_stop") / nullif(col("g.n_words"), lit(0L))).as("stop_ratio"),
+        (col("g.top_c") / nullif(col("g.n_words"), lit(0L))).as("top_frac")): _*)
       .select((passthrough ++ Seq(col("n_words"), col("mean_wlen"),
         col("stop_ratio"), col("top_frac"),
         rWords.as("r_words"), rWlen.as("r_wlen"), rStop.as("r_stop"),

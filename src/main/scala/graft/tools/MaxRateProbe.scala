@@ -279,6 +279,18 @@ object MaxRateProbe {
         in.select(col("ts"), Generators.docLine(col("value")).as("text")))
         .filter(col("keep"))
     }
+    // gopher_gate: the full rule battery — two one-pass kernels + a
+    // threshold conjunction, stateless
+    search("gopher_gate", seed = 1000000, OutputMode.Append) { in =>
+      graft.queries.PipelineQueries.gopherProjection(
+        in.select(col("ts"), Generators.docLine(col("value")).as("text")))
+        .filter(col("keep"))
+    }
+    // winnow_fp: per-document monotone-deque fingerprint selection
+    search("winnow_fp", seed = 1000000, OutputMode.Append) { in =>
+      graft.queries.PipelineQueries.winnowProjection(
+        in.select(col("ts"), Generators.docLine(col("value")).as("text")))
+    }
     // sessionize: watermarked native session_window per content-hash
     // user — Append emits only finalized sessions, so sustained rate
     // measures the stateful merge path, not the sink

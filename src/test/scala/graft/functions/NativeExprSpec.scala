@@ -370,4 +370,92 @@ class NativeExprSpec extends SparkSpec {
       .as[(Double, Double)].collect()
     rows.foreach { case (f, c) => assert(f == c, s"fused=$f composed=$c") }
   }
+
+  test("GramHashes portable family equals the composed gram+md5-60 " +
+      "columns (values, not a count-equivalence)") {
+    import spark.implicits._
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b a b a b a", // repeated grams kept in order
+      "one two", // fewer than n -> empty
+      "  spaced\tout\ntokens  here ",
+      "").toDF("text")
+    val ws = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+    val composed = df.select(
+      when(size(ws) >= 3,
+        transform(sequence(lit(0), size(ws) - 3),
+          i => conv(substring(md5(concat_ws(" ",
+            element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3))),
+            1, 15), 16, 10).cast("long")))
+        .otherwise(array().cast("array<long>")).as("h"))
+      .as[Seq[Long]].collect()
+    val nativeH = df.select(native.gram_hashes(col("text"), 3, portable = true).as("h"))
+      .as[Seq[Long]].collect()
+    assert(composed.toSeq == nativeH.toSeq)
+  }
+
+  test("GopherStats fused kernel: quality fields bit-equal QualityStats, " +
+      "top_c equals the composed distinct/filter argmax") {
+    import spark.implicits._
+    val df = Seq(
+      "a b a c a b", // a:3
+      "the tie the breaker the", // stopwords + dominance together
+      "solo",
+      "único wörd ünïcode único",
+      "  ", "").toDF("text")
+    val qs = df.select(native.quality_stats(col("text")).as("q"))
+      .select("q.n_words", "q.n_nonws", "q.n_stop", "q.n_alpha", "q.n_chars")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val gs = df.select(native.gopher_stats(col("text")).as("g"))
+      .select("g.n_words", "g.n_nonws", "g.n_stop", "g.n_alpha", "g.n_chars", "g.top_c")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    qs.zip(gs).foreach { case (q, g) =>
+      assert((g._1, g._2, g._3, g._4, g._5) == q, s"quality fields: $g vs $q")
+    }
+    val ws = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+    val composedTop = df.select(coalesce(
+      array_max(transform(array_distinct(ws),
+        w => size(filter(ws, x => x === w)).cast("long"))), lit(0L)).as("t"))
+      .as[Long].collect()
+    assert(gs.map(_._6).toSeq == composedTop.toSeq)
+    assert(gs.map(_._6).toSeq == Seq(3L, 3L, 1L, 2L, 0L, 0L))
+  }
+
+  test("WinnowStats kernel handles the edge shapes: empty, sub-gram, " +
+      "single-window, tie runs — matching a direct per-window scan") {
+    import spark.implicits._
+    val k = graft.queries.PipelineQueries.WinnowK
+    val w = graft.queries.PipelineQueries.WinnowW
+    def ref(text: String): (Long, Long, Long) = {
+      val words = text.split("\\s+").filter(_.nonEmpty)
+      val grams = words.sliding(k).filter(_.length == k).map(_.mkString(" ")).toArray
+      val h = grams.map { g =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes("UTF-8"))
+        var v = 0L; (0 until 8).foreach(b => v = (v << 8) | (d(b) & 0xFFL))
+        (v >>> 4) & ((1L << 40) - 1)
+      }
+      val sel = scala.collection.mutable.LinkedHashSet.empty[(Int, Long)]
+      if (h.nonEmpty) {
+        val ends = if (h.length < w) Seq(h.length - 1) else (w - 1) until h.length
+        ends.foreach { e =>
+          var best = math.max(0, e - w + 1)
+          (math.max(0, e - w + 1) to e).foreach(p => if (h(p) <= h(best)) best = p)
+          sel += ((best, h(best)))
+        }
+      }
+      (grams.length.toLong, sel.size.toLong, sel.toSeq.map(_._2).sum)
+    }
+    val texts = Seq("", " ", "one two", "exactly three words",
+      "same same same same same same same same", // all-tie run
+      "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10",
+      (1 to 50).map(i => s"t${i % 7}").mkString(" ")) // periodic grams
+    val got = texts.toDF("text")
+      .select(native.winnow_stats(col("text"), k, w).as("s"))
+      .select("s.n_grams", "s.n_fp", "s.fp_sum")
+      .as[(Long, Long, Long)].collect()
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g == ref(t), s"'$t': kernel $g != reference ${ref(t)}")
+    }
+  }
 }
