@@ -263,6 +263,28 @@ object Run {
               (pmod(xxhash64(col("value") + 7), lit(4L)) + 1)
                 .cast("int")).as("event_type"),
             col("ts"))), OutputMode.Append)
+      case "attrib_join" =>
+        // stream-STREAM interval join, live: click attribution — every
+        // (view, click) pair on the same user with the click inside
+        // --win-len seconds of the view. Both sides are watermarked so
+        // Spark bounds the join state to the interval (the unbounded
+        // form would buffer both streams forever); inner matches emit
+        // as they form, Append-safe. The demo derives user and side
+        // from content hash (the funnel device); real ingestion
+        // carries both columns
+        val ev = lines().select(
+          pmod(xxhash64(col("value")), lit(50L)).as("user_id"),
+          pmod(xxhash64(col("value") + 7), lit(3L)).as("k"),
+          col("ts"))
+        (StreamOps.streamingRangeJoin(
+          ev.filter(col("k") === 0)
+            .select(col("user_id"), col("ts").as("view_ts")),
+          ev.filter(col("k") =!= 0)
+            .select(col("user_id").as("c_user"), col("ts").as("click_ts")),
+          col("user_id") === col("c_user"), "view_ts", "click_ts",
+          winS, wm)
+          .select(col("user_id"), col("view_ts"), col("click_ts")),
+          OutputMode.Append)
       case "ppl_gate" =>
         // CCNet perplexity bucketing at ingest: thresholds + unigram
         // model learned ONCE at build from --corpus by the batch

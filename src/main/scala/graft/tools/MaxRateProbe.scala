@@ -291,6 +291,24 @@ object MaxRateProbe {
       graft.queries.PipelineQueries.winnowProjection(
         in.select(col("ts"), Generators.docLine(col("value")).as("text")))
     }
+    // attrib_join: watermarked stream-stream interval self-join. The
+    // demo parameters bound the OUTPUT rate, which dominates an
+    // interval join's cost: 2^18 users x 2 s window keeps expected
+    // pairs-per-input near 1, so the probe measures join-state
+    // machinery, not an output explosion the operator can't control
+    search("attrib_join", seed = 250000, OutputMode.Append) { in =>
+      val ev = in.select(
+        pmod(xxhash64(col("value")), lit(262144L)).as("user_id"),
+        pmod(xxhash64(col("value") + 7), lit(3L)).as("k"),
+        col("ts"))
+      StreamOps.streamingRangeJoin(
+        ev.filter(col("k") === 0)
+          .select(col("user_id"), col("ts").as("view_ts")),
+        ev.filter(col("k") =!= 0)
+          .select(col("user_id").as("c_user"), col("ts").as("click_ts")),
+        col("user_id") === col("c_user"), "view_ts", "click_ts",
+        "2 seconds", "0 seconds")
+    }
     // sessionize: watermarked native session_window per content-hash
     // user — Append emits only finalized sessions, so sustained rate
     // measures the stateful merge path, not the sink

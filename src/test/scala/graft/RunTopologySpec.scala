@@ -300,6 +300,56 @@ class RunTopologySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Run attrib_join emits exactly the batch interval-join pairs on " +
+      "an events replay: stream-stream self-join == batch theta join") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, expr}
+    // deterministic two-sided fixture: views and clicks per user with
+    // in-window, out-of-window, and cross-user cases
+    val rows = Seq(
+      (1L, 0L, at("2024-01-01 10:00:00")), // view u1
+      (1L, 1L, at("2024-01-01 10:00:30")), // click u1 in window
+      (1L, 2L, at("2024-01-01 10:02:00")), // click u1 outside 60s
+      (2L, 0L, at("2024-01-01 10:00:00")), // view u2
+      (3L, 1L, at("2024-01-01 10:00:10")), // click u3: no view
+      (2L, 1L, at("2024-01-01 10:00:59"))) // click u2 in window
+    val batchEv = rows.toDF("user_id", "k", "ts")
+    val bViews = batchEv.filter(col("k") === 0)
+      .select(col("user_id"), col("ts").as("view_ts"))
+    val bClicks = batchEv.filter(col("k") =!= 0)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val expected = bViews.join(bClicks,
+      col("user_id") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 60 seconds"))
+      .select("user_id", "view_ts", "click_ts")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    assert(expected.size == 2, s"fixture must join selectively: $expected")
+    val in = MemoryStream[(Long, Long, Timestamp)]
+    val ev = in.toDF().toDF("user_id", "k", "ts")
+    val live = StreamOps.streamingRangeJoin(
+      ev.filter(col("k") === 0).select(col("user_id"), col("ts").as("view_ts")),
+      ev.filter(col("k") =!= 0)
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts")),
+      col("user_id") === col("c_user"), "view_ts", "click_ts",
+      // 10-minute watermark: the second trigger's rows sit behind the
+      // first trigger's max event time — a 0s watermark would rightly
+      // drop them as late, which is watermark semantics, not the
+      // batch-equality this pin is after
+      "60 seconds", "10 minutes")
+      .select(col("user_id"), col("view_ts"), col("click_ts"))
+    val q = StreamOps.toMemory(live, "run_attrib", OutputMode.Append, ckpt())
+    try {
+      in.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(3): _*) // later trigger joins buffered views
+      q.processAllAvailable()
+      val got = spark.table("run_attrib").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+      assert(got == expected, s"live $got != batch $expected")
+    } finally q.stop()
+  }
+
   test("Run text_chunks cuts live lines into 50-token chunks with the " +
       "batch projection's exact hashes") {
     implicit val sqlCtx = spark.sqlContext
