@@ -1781,6 +1781,47 @@ object Oracles {
        |FROM w LEFT JOIN agg USING (doc_id)""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.dedupWinnow]]: the textWinnow selection
+   *  CTEs verbatim, then an INDEPENDENT df-cap + self-join + pair
+   *  count — the near-dup semantics recomputed relationally, same
+   *  portable hash values. */
+  val dedupWinnow: String = {
+    val k = PipelineQueries.WinnowK
+    val w = PipelineQueries.WinnowW
+    val cap = PipelineQueries.WinnowMaxDf
+    val t = PipelineQueries.WinnowMinShared
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, i AS pos,
+       |         CAST('0x' || substr(md5(array_to_string(ws[i+1:i+$k], ' ')), 1, 15) AS BIGINT) AS h
+       |  FROM w, unnest(range(0, greatest(len(ws) - $k + 1, 0))) t(i)),
+       |p AS (
+       |  SELECT doc_id, pos,
+       |         (h % 1099511627776) * 1048576 + (1048575 - pos) AS packed
+       |  FROM g),
+       |m AS (
+       |  SELECT doc_id, pos,
+       |         min(packed) OVER (PARTITION BY doc_id ORDER BY pos
+       |                           ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS mp,
+       |         max(pos) OVER (PARTITION BY doc_id) AS maxpos
+       |  FROM p),
+       |sel AS (
+       |  SELECT DISTINCT doc_id, mp // 1048576 AS sel_h
+       |  FROM m WHERE pos >= ${w - 1} OR pos = maxpos),
+       |df AS (SELECT sel_h, count(*) AS df FROM sel GROUP BY 1),
+       |rare AS (
+       |  SELECT s.doc_id, s.sel_h FROM sel s JOIN df USING (sel_h)
+       |  WHERE df.df <= $cap)
+       |SELECT id1, id2, n_shared FROM (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+       |  FROM rare a JOIN rare b ON a.sel_h = b.sel_h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2) pairs
+       |WHERE n_shared >= $t""".stripMargin
+  }
+
   /** Mirrors [[PipelineQueries.sampleWeighted]]: same md5-60 content
    *  uniform, same weight, the identical ln-quotient micro-floor key
    *  (term-for-term expression shape — IEEE doubles on identical

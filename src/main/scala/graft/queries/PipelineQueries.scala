@@ -1558,6 +1558,23 @@ object PipelineQueries {
    */
   def textWinnow(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = FanOut.fanOut(Tables.documents(spark, sfDir))
+    val agg = winnowSelection(docs).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"), sum(col("sel_h")).as("fp_sum"))
+    docs.select(col("doc_id"),
+        greatest(TextAnalyticsOps.wsTokenCount(col("text")) - (WinnowK - 1), lit(0L))
+          .as("n_grams"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("fp_sum"), lit(0L)).as("fp_sum"))
+  }
+
+  /** The distinct selected fingerprints of [[textWinnow]] — (doc_id,
+   *  sel_pos, sel_h) — shared by the stats rollup and the near-dup
+   *  candidate join ([[dedupWinnow]]). One kernel pass; the explode
+   *  carries longs only; window, distinct, and downstream rollups all
+   *  reuse the doc_id hash partitioning. */
+  private def winnowSelection(docs: DataFrame): DataFrame = {
     val grams = docs
       .select(col("doc_id"),
         posexplode(graft.functions.native.gram_hashes(col("text"), WinnowK, portable = true)))
@@ -1568,7 +1585,7 @@ object PipelineQueries {
     val byDoc = Window.partitionBy("doc_id")
     val trailing = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(-(WinnowW - 1), Window.currentRow)
-    val sel = grams
+    grams
       .withColumn("mp", min("packed").over(trailing))
       .withColumn("maxpos", max("pos").over(byDoc))
       .filter(col("pos") >= WinnowW - 1 || col("pos") === col("maxpos"))
@@ -1576,15 +1593,41 @@ object PipelineQueries {
         (lit(WinnowPosM - 1) - col("mp") % lit(WinnowPosM)).as("sel_pos"),
         shiftright(col("mp"), 20).as("sel_h"))
       .distinct()
-    val agg = sel.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_fp"), sum(col("sel_h")).as("fp_sum"))
-    docs.select(col("doc_id"),
-        greatest(TextAnalyticsOps.wsTokenCount(col("text")) - (WinnowK - 1), lit(0L))
-          .as("n_grams"))
-      .join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
-        coalesce(col("fp_sum"), lit(0L)).as("fp_sum"))
+  }
+
+  // Near-dup thresholds for [[dedupWinnow]] (measured at sf0.01 so both
+  // fire: fingerprint df reaches 7 — the cap drops the common tail —
+  // and shared counts split 1-2 (noise) vs 3..40 (true near-dups)).
+  val WinnowMaxDf = 4
+  val WinnowMinShared = 3L
+
+  /**
+   * Winnowing-based near-dup candidates — what MOSS does with the
+   * fingerprints (Schleimer et al. 2003 §4): two documents sharing ≥
+   * [[WinnowMinShared]] selected fingerprints are a candidate pair,
+   * with fingerprints appearing in more than [[WinnowMaxDf]] documents
+   * dropped first (the "stopword fingerprint" device — ubiquitous
+   * grams carry no near-dup signal, and the cap also bounds the
+   * equi-join's hottest bucket at [[WinnowMaxDf]]², the minhash-band
+   * blow-up guard). Complements the minhash/simhash/ngram family:
+   * winnowing candidates are POSITION-guaranteed (any shared run of
+   * WinnowK+WinnowW−1 words yields a shared fingerprint), so long
+   * verbatim overlaps can't slip between sampled shingles. Scale
+   * shape: the [[winnowSelection]] pass, a fingerprint-sized df agg,
+   * then an id-only equi-join on sel_h — never all-pairs.
+   */
+  def dedupWinnow(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = winnowSelection(FanOut.fanOut(Tables.documents(spark, sfDir)))
+      .select("doc_id", "sel_h")
+    val rare = fp.join(
+      fp.groupBy("sel_h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= WinnowMaxDf),
+      "sel_h")
+    rare.select(col("sel_h"), col("doc_id").as("id1"))
+      .join(rare.select(col("sel_h"), col("doc_id").as("id2")), "sel_h")
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
   }
 
   /** Row-local winnowing over any frame with a `text` column: the

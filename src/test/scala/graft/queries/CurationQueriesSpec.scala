@@ -154,6 +154,46 @@ class CurationQueriesSpec extends SparkSpec {
       s"textWinnow should reuse the doc_id partitioning ($hash hash exchanges):\n" + wr)
   }
 
+  test("dedupWinnow finds exactly the pairs sharing rare fingerprints: " +
+      "a planted verbatim run is guaranteed-caught, unrelated docs are " +
+      "not, and strong pairs agree with the minhash family at sf0.01") {
+    import spark.implicits._
+    // planted-run fixture in a scratch corpus dir: A and B share a
+    // 24-word verbatim run inside different contexts; C is unrelated.
+    // Winnowing's guarantee (any shared run of >= K+W-1 words yields a
+    // shared fingerprint) makes (A, B) a certain candidate
+    val run = (1 to 24).map(i => s"run$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $run omega psi"),
+      (2L, s"uno dos tres cuatro $run fin"),
+      (3L, (1 to 40).map(i => s"other$i").mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("winnow-fixture").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val pairs = PipelineQueries.dedupWinnow(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.contains((1L, 2L)), s"planted run missed: $pairs")
+    assert(pairs.keySet == Set((1L, 2L)), s"phantom pairs: $pairs")
+    // corpus-level: every output row honors id1 < id2 and the
+    // threshold, and the STRONG winnow pairs (>= 8 shared rare
+    // fingerprints) are minhash near-dups too — independent families
+    // agreeing on the unambiguous duplicates
+    val sfd = "/root/testdata/sf0.01"
+    val wn = PipelineQueries.dedupWinnow(spark, sfd).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(wn.nonEmpty)
+    wn.foreach { case (a, b, n) =>
+      assert(a < b && n >= PipelineQueries.WinnowMinShared)
+    }
+    val mh = PipelineQueries.dedupMinhash(spark, sfd).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val strong = wn.filter(_._3 >= 8).map(t => (t._1, t._2))
+    assert(strong.nonEmpty, "corpus should contain strong winnow pairs")
+    strong.foreach { p =>
+      assert(mh.contains(p), s"strong winnow pair $p not a minhash near-dup")
+    }
+  }
+
   test("sampleWeighted draws the exact Efraimidis-Spirakis top-N: the " +
       "selected set equals the reference key ranking, keys reproduce, " +
       "and exactly WeightedN rows return") {
