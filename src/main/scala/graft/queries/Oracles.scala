@@ -708,6 +708,28 @@ object Oracles {
        |WHERE rank <= ${PipelineQueries.GraphK}""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.knnLabelEval]]: the knnGraph relation as
+   *  a derived table (the dedupClusters embedding device), then an
+   *  independent majority-vote rank (votes desc, label asc) and the
+   *  confusion rollup. */
+  val knnLabelEval: String =
+    s"""WITH g AS (SELECT * FROM ($knnGraph) kg),
+       |l AS (SELECT vec_id, label FROM embeddings),
+       |v AS (
+       |  SELECT g.vec_id, l2.label AS nb_label, count(*) AS votes
+       |  FROM g JOIN l l2 ON g.neighbor_id = l2.vec_id
+       |  GROUP BY 1, 2),
+       |p AS (
+       |  SELECT vec_id, nb_label AS label_pred FROM (
+       |    SELECT vec_id, nb_label,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY votes DESC, nb_label) AS rk
+       |    FROM v) rv
+       |  WHERE rk = 1)
+       |SELECT l.label, p.label_pred, count(*) AS n
+       |FROM l JOIN p USING (vec_id)
+       |GROUP BY 1, 2""".stripMargin
+
   /**
    * Mirrors [[SimilarityOps.ivfTopKKmeans]] end-to-end, *including the
    * k-means training*: the Lloyd iterations are unrolled as CTE blocks

@@ -333,6 +333,38 @@ object PipelineQueries {
     SimilarityOps.knnGraph(Tables.embeddings(spark, sfDir), k = GraphK,
       bits = NearDupBits, tables = NearDupTables)
 
+  /**
+   * k-NN label-consistency evaluation — the embedding-quality monitor a
+   * pipeline runs over a labeled probe set (and the first consumer of
+   * the embeddings table's `label` column, the textLangIdEval pattern):
+   * every vector's label is predicted by MAJORITY VOTE over its
+   * [[GraphK]] approximate nearest neighbors (ties to the smaller
+   * label — deterministic), and the output is the confusion table
+   * (label, label_pred, n); off-diagonal mass is what the monitor
+   * alerts on, and k-NN agreement is the standard proxy for "do
+   * embeddings cluster by class". Vectors whose LSH bands found no
+   * neighbor are not evaluated (the knn_graph recall contract). Scale
+   * shape: the [[knnGraph]] machinery verbatim, then one id→int label
+   * join (fixed-width rows) and two label-bounded aggs — nothing new
+   * touches the vectors.
+   */
+  def knnLabelEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val votes = SimilarityOps.knnGraph(emb, k = GraphK,
+        bits = NearDupBits, tables = NearDupTables)
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nb_label")), "neighbor_id")
+      .groupBy(col("vec_id"), col("nb_label")).agg(count(lit(1)).as("votes"))
+    val pred = votes
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("votes").desc, col("nb_label"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("nb_label").as("label_pred"))
+    labels.join(pred, "vec_id")
+      .groupBy("label", "label_pred").agg(count(lit(1)).as("n"))
+  }
+
   /** Own-centroid cosine floor for [[embedOutliers]] (0.15 ≈ the p10 of
    *  the corpus distribution — flags a real tail, not nothing/all). */
   val OutlierCos = 0.15
