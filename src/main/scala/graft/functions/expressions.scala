@@ -61,7 +61,7 @@ object VectorMath {
    *  table order whose count is > 0 and >= every later language's
    *  count; no hits at all -> "und". Equal to the composed
    *  split/filter/isin argmax column formulation (NativeExprSpec). */
-  private val langIdMemo = new RowMemo
+  private val langIdMemo = new RowMemo("langid")
 
   def langId(text: String): org.apache.spark.unsafe.types.UTF8String = {
     val hit = langIdMemo.lookup(text, null)
@@ -206,7 +206,7 @@ object VectorMath {
    *  encoding. Membership is a binary search per band. A doc with no
    *  shingles has no bands (returns (0, 0)) — the batch explode drops
    *  it before any signature exists, so both forms admit it. */
-  private val lshCollideMemo = new RowMemo
+  private val lshCollideMemo = new RowMemo("lsh_collide")
 
   def lshCollide(text: String, n: Int, k: Int, bands: Int,
       model: Array[Long]): InternalRow = {
@@ -303,10 +303,10 @@ object VectorMath {
    *  ASCII whitespace); hash matches Spark's xxhash64 (XXH64, seed 42)
    *  over the gram's UTF-8 bytes; first-occurrence dedup matches
    *  array_distinct. */
-  private val shingleMemo = new RowMemo
+  private val shingleMemo = new RowMemo("shingle")
 
   def shingleHashes(text: String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val nKey = Integer.valueOf(n) // gram sizes are tiny -> valueOf cache, eq-stable
+    val nKey = Integer.valueOf(n) // memo compares keys by equals, so n > 127 still hits
     val hit = shingleMemo.lookup(text, nKey)
     if (hit != null) return hit.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val words = new java.util.ArrayList[String]()
@@ -638,7 +638,7 @@ object VectorMath {
    *  char counts are Unicode code points (surrogate pair = 1), matching
    *  Spark's `length` (UTF8String.numChars) and the regex-replace
    *  length deltas of the composed form. */
-  private val qualityMemo = new RowMemo
+  private val qualityMemo = new RowMemo("quality")
 
   def qualityStats(text: String): InternalRow = {
     val hit = qualityMemo.lookup(text, null)
@@ -697,21 +697,53 @@ object VectorMath {
    * turns N plan-level copies into one compute plus N−1 string
    * compares, whatever shape the optimizer picks. `key` guards
    * parameterized kernels (model broadcast / gram size): a hit needs
-   * the same input AND the same `eq` key, so two models scoring the
-   * same text on one thread can never cross-contaminate.
+   * the same input AND the same key (reference OR value equality —
+   * model artifacts are `eq`-stable broadcast objects, but boxed
+   * parameter keys like `Integer.valueOf(n)` are only cached to 127,
+   * so `eq` alone silently disabled the memo for large gram sizes),
+   * so two models scoring the same text on one thread can never
+   * cross-contaminate.
+   *
+   * Each memo registers under `name` and counts hits/misses
+   * ([[RowMemo.stats]]): the memo's benefit assumes the optimizer
+   * keeps plan-level duplicates evaluating the same row back-to-back,
+   * which is true under every shape Spark picks today but is not a
+   * contract — the throughput specs assert a floor on the hit rate so
+   * a future plan change that breaks the assumption fails a test
+   * instead of silently costing the measured 6×.
    */
-  final class RowMemo {
+  final class RowMemo(val name: String) {
+    RowMemo.register(this)
+    val hits = new java.util.concurrent.atomic.LongAdder
+    val misses = new java.util.concurrent.atomic.LongAdder
     private val tl = new ThreadLocal[Array[AnyRef]] {
       override def initialValue() = new Array[AnyRef](3)
     }
     def lookup(text: String, key: AnyRef): AnyRef = {
       val s = tl.get()
-      if ((key eq s(2)) && text.equals(s(0))) s(1) else null
+      if (((key eq s(2)) || (key != null && key.equals(s(2)))) &&
+          text.equals(s(0))) { hits.increment(); s(1) }
+      else { misses.increment(); null }
     }
     def store(text: String, key: AnyRef, v: AnyRef): AnyRef = {
       val s = tl.get()
       s(0) = text; s(2) = key; s(1) = v
       v
+    }
+  }
+
+  object RowMemo {
+    private val all = new java.util.concurrent.CopyOnWriteArrayList[RowMemo]
+    private def register(m: RowMemo): Unit = all.add(m)
+    /** (hits, misses) per kernel memo since the last [[reset]]. */
+    def stats: Map[String, (Long, Long)] = {
+      val it = all.iterator(); val b = Map.newBuilder[String, (Long, Long)]
+      while (it.hasNext) { val m = it.next(); b += m.name -> (m.hits.sum, m.misses.sum) }
+      b.result()
+    }
+    def reset(): Unit = {
+      val it = all.iterator()
+      while (it.hasNext) { val m = it.next(); m.hits.reset(); m.misses.reset() }
     }
   }
 
@@ -726,7 +758,7 @@ object VectorMath {
       java.lang.Long, java.lang.Long, java.lang.Long] =
     (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue)
 
-  private val gopherMemo = new RowMemo
+  private val gopherMemo = new RowMemo("gopher")
 
   def gopherStats(text: String): InternalRow = {
     val hit = gopherMemo.lookup(text, null)
@@ -855,7 +887,7 @@ object VectorMath {
     wt
   }
 
-  private val classifyRowMemo = new RowMemo
+  private val classifyRowMemo = new RowMemo("classify")
 
   /** One-pass classifier scoring; see [[ClassifyScore]]. Word loop
    *  mirrors \s+ tokenization (the [[qualityStats]] loop); expects

@@ -1962,24 +1962,29 @@ object Oracles {
        |WHERE abs(value - m) > $k * sd""".stripMargin
   }
 
-  /** Mirrors [[PipelineQueries.sourceOverlap]]: distinct per-source
-   *  gram STRINGS self-joined where Spark joins 64-bit hashes (the
-   *  decontaminate equivalence); Jaccard from three bigints of the
-   *  same row. */
+  /** Mirrors [[PipelineQueries.sourceOverlap]]: per-doc distinct gram
+   *  STRINGS where Spark uses 64-bit hashes (the decontaminate
+   *  equivalence), the same document-frequency cap, then an
+   *  INDEPENDENT self-join formulation of the pair counts (Spark
+   *  generates pairs row-locally from each gram's source set);
+   *  Jaccard from three bigints of the same row. */
   val sourceOverlap: String = {
     val n = graft.queries.PipelineQueries.DecontN
+    val cap = graft.queries.PipelineQueries.SourceOverlapMaxDf
     s"""WITH w AS (
-       |  SELECT source,
+       |  SELECT doc_id, source,
        |         list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS lst
        |  FROM documents),
        |g AS (
-       |  SELECT DISTINCT source, array_to_string(lst[i.i : i.i + ${n - 1}], ' ') AS ng
+       |  SELECT DISTINCT doc_id, source, array_to_string(lst[i.i : i.i + ${n - 1}], ' ') AS ng
        |  FROM w CROSS JOIN LATERAL unnest(range(1, len(lst) - $n + 2)) i(i)
        |  WHERE len(lst) >= $n),
-       |sz AS (SELECT source, count(*) AS sz FROM g GROUP BY source),
+       |d AS (SELECT ng FROM g GROUP BY ng HAVING count(*) <= $cap),
+       |gs AS (SELECT DISTINCT source, ng FROM g JOIN d USING (ng)),
+       |sz AS (SELECT source, count(*) AS sz FROM gs GROUP BY source),
        |p AS (
        |  SELECT a.source AS src1, b.source AS src2, count(*) AS shared_grams
-       |  FROM g a JOIN g b ON a.ng = b.ng AND a.source < b.source
+       |  FROM gs a JOIN gs b ON a.ng = b.ng AND a.source < b.source
        |  GROUP BY 1, 2)
        |SELECT src1, src2, CAST(shared_grams AS BIGINT) AS shared_grams,
        |       round(CAST(shared_grams AS DOUBLE) / (z1.sz + z2.sz - shared_grams), 6) AS jaccard_r

@@ -1099,29 +1099,51 @@ object PipelineQueries {
         (col("n_hits") / col("n_grams") >= DecontRatioThreshold).as("drop_doc"))
   }
 
+  /** Document-frequency cap for [[sourceOverlap]]: grams appearing in
+   *  more than this many DOCUMENTS are dropped before the overlap
+   *  count — the [[WinnowMaxDf]] "stopword fingerprint" device. A
+   *  boilerplate gram shared by thousands of documents is exactly what
+   *  a syndication diagnostic does NOT need enumerated, and the cap is
+   *  what flattened the query's 2.20×-per-10×-data scaling curve: the
+   *  post-cap relation is bounded by cap·|grams with df ≤ cap| instead
+   *  of growing with the hottest gram's corpus count. Semantic
+   *  parameter, not an approximation — the oracle applies the same
+   *  cap. Measured at sf0.01 (max df 7) so the cap fires both ways. */
+  val SourceOverlapMaxDf = 4L
+
   /**
    * Cross-source OVERLAP MATRIX — distinct shared n-grams (and their
-   * Jaccard) per source pair, the syndication/mirror diagnostic a
-   * curation pipeline runs before treating sources as independent
-   * (two crawls of the same newswire double-count into every mixture
-   * weight). Scale shape: the per-source distinct gram relation flows
-   * as (source, 64-bit hash) — fixed-width, the dedup-family
-   * contract; the self-join is an equi-join ON THE HASH, so it
-   * buckets like minhashCandidates, never all-pairs of documents;
-   * per-gram fan-out is bounded by |sources|² (sources sharing it),
-   * and the output is at most |sources|² rows. The per-source sizes
-   * frame is |sources| rows, broadcast back for the Jaccard.
+   * Jaccard) per source pair over the rare-gram universe (df ≤
+   * [[SourceOverlapMaxDf]] documents), the syndication/mirror
+   * diagnostic a curation pipeline runs before treating sources as
+   * independent (two crawls of the same newswire double-count into
+   * every mixture weight). Scale shape: ONE gram-keyed exchange — the
+   * kernel's within-doc dedup means the exploded relation is per-doc
+   * distinct, so a single `groupBy(sh)` yields both the df (row
+   * count) and the source set (collect_set, ≤ |sources| entries) —
+   * then source pairs are generated ROW-LOCALLY from each gram's
+   * source array (≤ |sources|²/2 per gram) and aggregated into the ≤
+   * |sources|² matrix; no gram self-join at all (the previous form
+   * joined the (source, hash) relation with itself — a second
+   * corpus-sized shuffle this plan simply doesn't have). Per-source
+   * sizes reuse the same capped frame.
    */
   def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
-    val grams = Tables.documents(spark, sfDir)
+    val byGram = Tables.documents(spark, sfDir)
       .select(col("source"),
         explode(graft.functions.native.shingle_hashes(col("text"), DecontN))
           .as("sh"))
-      .distinct()
-    val sizes = grams.groupBy("source").agg(count(lit(1)).as("sz"))
-    val pairs = grams.as("a").join(grams.as("b"), Seq("sh"))
-      .filter(col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src1"), col("b.source").as("src2"))
+      .groupBy("sh")
+      .agg(count(lit(1)).as("df"), collect_set("source").as("srcs"))
+      .filter(col("df") <= SourceOverlapMaxDf)
+    val sizes = byGram
+      .select(explode(col("srcs")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("sz"))
+    val pairs = byGram
+      .select(explode(col("srcs")).as("src1"), col("srcs"))
+      .select(col("src1"), explode(col("srcs")).as("src2"))
+      .filter(col("src1") < col("src2"))
+      .groupBy("src1", "src2")
       .agg(count(lit(1)).as("shared_grams"))
     pairs
       .join(broadcast(sizes.withColumnRenamed("source", "src1")
@@ -1515,9 +1537,10 @@ object PipelineQueries {
    * against its own audit table, so the query emits every rule verdict
    * plus the conjunction, not just the survivors). EVERY rule — the
    * dominance signal included — is within-document, so the whole
-   * battery is [[gopherProjection]]: two one-pass kernels
-   * ([[graft.functions.QualityStats]], [[graft.functions.TopWordCount]])
-   * and threshold columns, a pure row-local projection with ZERO
+   * battery is [[gopherProjection]]: ONE fused one-pass kernel
+   * ([[graft.functions.GopherStats]] — feature and dominance counts in
+   * a single tokenization) and threshold columns, a pure row-local
+   * projection with ZERO
    * exchanges at any corpus size (plan-guarded; the relational
    * explode→count→max dominance shape would shuffle every (doc_id,
    * word) pair for a statistic each row computes alone — the same
@@ -1613,7 +1636,16 @@ object PipelineQueries {
       .toDF("doc_id", "pos", "h")
       .select(col("doc_id"), col("pos"),
         (col("h").bitwiseAND(lit(WinnowMask40)) * lit(WinnowPosM) +
-          (lit(WinnowPosM - 1) - col("pos"))).as("packed"))
+          // Domain guard: the packed key reserves 2^20 for position, so a
+          // document with >= 2^20 grams would make this term negative and
+          // corrupt the hash ordering (the WinnowStats kernel uses raw
+          // positions and would silently diverge). Fail loud instead.
+          when(col("pos") < lit(WinnowPosM), lit(WinnowPosM - 1) - col("pos"))
+            .otherwise(raise_error(concat(
+              lit(s"winnowSelection: document gram position >= $WinnowPosM " +
+                "overflows the packed position field; widen WinnowPosM or " +
+                "chunk the document (text_chunks) before fingerprinting"))))
+        ).as("packed"))
     val byDoc = Window.partitionBy("doc_id")
     val trailing = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(-(WinnowW - 1), Window.currentRow)
@@ -1651,6 +1683,12 @@ object PipelineQueries {
   def dedupWinnow(spark: SparkSession, sfDir: String): DataFrame = {
     val fp = winnowSelection(FanOut.fanOut(Tables.documents(spark, sfDir)))
       .select("doc_id", "sel_h")
+      // A document that selects the same hash at several positions (a
+      // within-doc repeated gram — "same same same …" selects every
+      // window's rightmost min with one hash) must still count ONCE
+      // per doc: df counts documents and n_shared counts distinct
+      // shared fingerprints, not position cross-products.
+      .distinct()
     val rare = fp.join(
       fp.groupBy("sel_h").agg(count(lit(1)).as("df"))
         .filter(col("df") <= WinnowMaxDf),

@@ -194,6 +194,47 @@ class CurationQueriesSpec extends SparkSpec {
     }
   }
 
+  test("dedupWinnow counts DISTINCT per-doc fingerprints: repetitive " +
+      "text selecting one hash at many positions contributes it ONCE " +
+      "to df and once per pair (no position cross-products)") {
+    import spark.implicits._
+    // Three sentinel runs of exactly K+W-1 words, each planted TWICE in
+    // doc 1 and TWICE in doc 2 — so each run's fingerprint hash is
+    // selected at >= 2 positions within each doc. Correct semantics:
+    // each hash counts once per doc (df = 2, n_shared counts distinct
+    // hashes); the per-position bug would inflate df toward 4 and
+    // n_shared toward 4x per hash.
+    val kw = PipelineQueries.WinnowK + PipelineQueries.WinnowW - 1
+    val runs = Seq("s", "t", "u").map(p => (1 to kw).map(i => s"$p$i").mkString(" "))
+    def filler(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    def doc(tag: String) =
+      (runs ++ runs).zipWithIndex.map { case (r, i) => s"${filler(tag + i, 7)} $r" }
+        .mkString(" ") + " " + filler(tag + "z", 7)
+    val docs = Seq((1L, doc("a")), (2L, doc("b")), (3L, filler("c", 40)))
+    val dir = java.nio.file.Files.createTempDirectory("winnow-repeat").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    // the fixture really exercises within-doc repetition
+    val perDoc = docs.map { case (id, t) => id -> winnowRef(t)._2 }.toMap
+    assert(perDoc(1L).groupBy(_._2).exists(_._2.size >= 2),
+      "fixture must select some hash at >= 2 positions within doc 1")
+    // reference: per-doc DISTINCT hashes -> doc-frequency cap -> pair
+    // intersection counts (plain Scala sets, nothing shared with Spark)
+    val sel = perDoc.view.mapValues(_.map(_._2)).toMap
+    val df = sel.values.toSeq.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val rare = sel.view.mapValues(_.filter(h =>
+      df(h) <= PipelineQueries.WinnowMaxDf)).toMap
+    val ids = docs.map(_._1)
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      n = (rare(a) & rare(b)).size if n >= PipelineQueries.WinnowMinShared
+    } yield (a, b) -> n.toLong).toMap
+    assert(expected.contains((1L, 2L)), s"fixture must produce the planted pair")
+    val got = PipelineQueries.dedupWinnow(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == expected, s"got $got want $expected")
+  }
+
   test("sampleWeighted draws the exact Efraimidis-Spirakis top-N: the " +
       "selected set equals the reference key ranking, keys reproduce, " +
       "and exactly WeightedN rows return") {
