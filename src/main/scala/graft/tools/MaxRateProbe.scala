@@ -138,6 +138,17 @@ object MaxRateProbe {
       val upper = if (bad > 0) bad.toString else s">=$good(unbracketed)"
       println(f"[maxrate] $name%-18s max sustained ~ ${good / 1000.0}%9.1f k rows/s " +
         s"(bracket $good..$upper)")
+      // kernel memo effectiveness across this topology's trials: a low
+      // hit rate on a memo'd gate means the plan no longer duplicates
+      // back-to-back (the RowMemo assumption) and the measured rate is
+      // the kernel-per-duplicate one — NativeExprSpec asserts the floor
+      val memo = graft.functions.VectorMath.RowMemo.stats
+        .filter { case (_, (h, m)) => h + m > 0 }
+      if (memo.nonEmpty)
+        println("[memo] " + name + " " + memo.toSeq.sortBy(_._1).map {
+          case (n, (h, m)) => f"$n=${h * 100.0 / math.max(h + m, 1)}%.0f%%($h/${h + m})"
+        }.mkString(" "))
+      graft.functions.VectorMath.RowMemo.reset()
     }
 
     // ---- topology table (mirrors ThroughputProbe's set, fed by the

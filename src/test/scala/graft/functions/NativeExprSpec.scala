@@ -458,4 +458,28 @@ class NativeExprSpec extends SparkSpec {
       assert(g == ref(t), s"'$t': kernel $g != reference ${ref(t)}")
     }
   }
+
+  test("RowMemo collapses plan-duplicated kernel calls: the gopher gate's " +
+      "pushed-down predicate copies hit the memo at >= 50%, so an " +
+      "optimizer change that stops evaluating duplicates back-to-back " +
+      "fails here instead of silently costing the measured 6x") {
+    // Filter pushdown inlines the admission predicate BELOW the
+    // projection, duplicating gopher_stats once per predicate term on
+    // the same row — the shape the gate family runs live. With N
+    // plan-level copies the memo hits (N-1)/N of calls; the gopher
+    // battery has 4 rule terms + the projection, so >= 50% is a
+    // conservative floor that still catches a total collapse to 0.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    VectorMath.RowMemo.reset()
+    val kept = graft.queries.PipelineQueries.gopherProjection(docs)
+      .filter(col("keep")).collect()
+    assert(kept.nonEmpty)
+    val (hits, misses) = VectorMath.RowMemo.stats("gopher")
+    assert(hits + misses > 0, "gopher kernel did not run")
+    val rate = hits.toDouble / (hits + misses)
+    assert(rate >= 0.5,
+      f"gopher memo hit rate $rate%.2f ($hits hits / $misses misses) — " +
+        "plan-duplicated kernel calls no longer evaluate the same row " +
+        "back-to-back; the gate family silently loses its speedup")
+  }
 }
