@@ -73,3 +73,11 @@ case class ProximityWarning(icao1: String, icao2: String, step: Int,
  *  or quarantines on it explicitly). */
 case class ImageFeatures(id: Long, width: Int, height: Int,
     lum_hist: Seq[Long])
+
+/** One decoded audio clip's projection
+ *  (MultimodalOps.decodeWavPartitioned): PCM format metadata + 16-bin
+ *  amplitude histogram over all channel samples; sample_rate = -1
+ *  marks an undecodable (or non-16-bit-PCM) payload — quarantined like
+ *  ImageFeatures' width = -1, never dropped. */
+case class AudioFeatures(id: Long, sample_rate: Int, channels: Int,
+    n_samples: Long, amp_hist: Seq[Long])

@@ -149,4 +149,65 @@ object MultimodalOps {
         }
       }
   }
+
+  /**
+   * REAL audio decode in the [[decodePartitioned]] shape — the WAV
+   * sibling of [[decodeImagePartitioned]]: `javax.sound.sampled` is
+   * JDK-public, so RIFF/WAVE PCM payloads become format metadata
+   * (sample rate, channels, frame count) + a 16-bin amplitude
+   * histogram with no external codec. Scope is deliberately 16-bit
+   * signed little-endian PCM — the dominant raw-audio interchange
+   * format; anything else (compressed encodings, 8/24-bit, big-endian)
+   * quarantines as `sample_rate = -1` like undecodable bytes, because
+   * a curation pipeline wants those ROUTED (to a transcode stage or a
+   * reject table), not silently misread. Undecodable payloads likewise
+   * yield -1 rather than dropping the row or killing the task.
+   */
+  def decodeWavPartitioned(df: DataFrame, idCol: String, bytesCol: String)
+      : org.apache.spark.sql.Dataset[graft.model.AudioFeatures] = {
+    import df.sparkSession.implicits._
+    val bad = graft.model.AudioFeatures(_: Long, -1, -1, -1L, Nil)
+    df.select(col(idCol), col(bytesCol)).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val ais =
+            try {
+              if (bytes == null || bytes.isEmpty) null
+              else javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+            } catch {
+              // UnsupportedAudioFileException is checked, but header
+              // parsers also throw unchecked on truncated payloads
+              // whose magic matches — quarantine both.
+              case scala.util.control.NonFatal(_) => null
+            }
+          if (ais == null) bad(id)
+          else
+            try {
+              val f = ais.getFormat
+              val pcm16le = f.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                f.getSampleSizeInBits == 16 && !f.isBigEndian
+              if (!pcm16le) bad(id)
+              else {
+                val data = ais.readAllBytes()
+                val ch = f.getChannels
+                val frames = data.length / (2 * ch)
+                val hist = new Array[Long](16)
+                var p = 0
+                val end = frames * ch * 2
+                while (p < end) {
+                  val s = ((data(p) & 0xFF) | (data(p + 1) << 8)).toShort.toInt
+                  hist((s + 32768) >> 12) += 1L
+                  p += 2
+                }
+                graft.model.AudioFeatures(id, f.getSampleRate.toInt, ch,
+                  frames.toLong, hist.toSeq)
+              }
+            } catch {
+              case scala.util.control.NonFatal(_) => bad(id)
+            } finally ais.close()
+        }
+      }
+  }
 }

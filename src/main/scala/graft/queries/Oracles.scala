@@ -2105,6 +2105,25 @@ object Oracles {
        |  $rows) AS t(img_id, width, height, hist_csv)""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.mmDecodeWav]]: the WAV fixture
+   *  generator's raw-SAMPLE statistics (`tools.WavFixture.expectedRows`
+   *  — pure arithmetic over the deterministic sample definition, no
+   *  WAV container, no AudioSystem) embedded as a VALUES literal. The
+   *  Spark side decodes the COMMITTED encoded bytes, so a hash match
+   *  proves the real decode round-trips the generator spec. */
+  val mmDecodeWav: String = {
+    val rows = graft.tools.WavFixture.expectedRows
+      .map { case (id, r, c, n, csv) => s"($id, $r, $c, $n, '$csv')" }
+      .mkString(",\n  ")
+    s"""SELECT CAST(clip_id AS BIGINT) AS clip_id,
+       |       CAST(sample_rate AS BIGINT) AS sample_rate,
+       |       CAST(channels AS BIGINT) AS channels,
+       |       CAST(n_samples AS BIGINT) AS n_samples,
+       |       hist_csv
+       |FROM (VALUES
+       |  $rows) AS t(clip_id, sample_rate, channels, n_samples, hist_csv)""".stripMargin
+  }
+
   // ---- mergeable-sketch contracts (SketchQueries) --------------------------
   // Exact values recomputed relationally; the sketch estimates are
   // asserted Spark-side as within-tolerance booleans (literal TRUE

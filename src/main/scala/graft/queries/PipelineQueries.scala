@@ -1832,4 +1832,24 @@ object PipelineQueries {
         col("height").cast("bigint").as("height"),
         array_join(transform(col("lum_hist"), _.cast("string")), ",")
           .as("hist_csv"))
+
+  /** REAL audio decode, end-to-end gated — the WAV sibling of
+   *  [[mmDecodePng]]: [[MultimodalOps.decodeWavPartitioned]] (genuine
+   *  `javax.sound.sampled` RIFF/WAVE PCM decode, partition-batched)
+   *  over the committed deterministic clip corpus
+   *  (`tools.WavFixture`), emitting each clip's format metadata +
+   *  16-bin amplitude histogram. Oracle = the generator's raw-SAMPLE
+   *  arithmetic as VALUES literals; passes iff the committed bytes
+   *  genuinely round-trip the encoder. Ignores sfDir by construction
+   *  (the fixture is scale-free). */
+  def mmDecodeWav(spark: SparkSession, sfDir: String): DataFrame =
+    MultimodalOps.decodeWavPartitioned(
+      spark.read.parquet(graft.tools.WavFixture.Path), "clip_id", "wav")
+      .toDF()
+      .select(col("id").as("clip_id"),
+        col("sample_rate").cast("bigint").as("sample_rate"),
+        col("channels").cast("bigint").as("channels"),
+        col("n_samples"),
+        array_join(transform(col("amp_hist"), _.cast("string")), ",")
+          .as("hist_csv"))
 }

@@ -200,4 +200,70 @@ class TextMultimodalSpec extends SparkSpec {
     assert(firstBytes.take(4).map(_ & 0xFF).sameElements(
       Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt)), "not a PNG payload")
   }
+
+  test("decodeWavPartitioned decodes a REAL encoded WAV " +
+      "(javax.sound.sampled) and quarantines undecodable, truncated, " +
+      "and non-16-bit-PCM payloads as sample_rate = -1") {
+    import graft.tools.WavFixture
+    val wav = WavFixture.wavBytes(0) // known-good 16-bit PCM clip
+    // an 8-bit unsigned PCM WAV: decodes as a container but is OUT of
+    // the 16-bit scope — must route to quarantine, not misread
+    val fmt8 = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      8000f, 8, 1, 1, 8000f, false)
+    val bos8 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(Array.tabulate[Byte](40)(_.toByte)),
+        fmt8, 40L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos8)
+    val zoo = Seq(
+      (0L, wav),
+      (1L, Array[Byte](1, 2, 3, 4)), // no RIFF magic
+      (2L, null: Array[Byte]),
+      (3L, wav.take(30)), // RIFF magic, truncated mid-header
+      (4L, bos8.toByteArray)) // real WAV, wrong sample format
+    val out = MultimodalOps.decodeWavPartitioned(
+      zoo.toDF("doc_id", "bytes"), "doc_id", "bytes")
+      .collect().map(f => f.id -> f).toMap
+    assert(out.size == zoo.length, "no row dropped, no task killed")
+    val (_, rate, ch, frames, csv) = WavFixture.expectedRows.head
+    val ok = out(0L)
+    assert(ok.sample_rate == rate && ok.channels == ch &&
+      ok.n_samples == frames && ok.amp_hist.mkString(",") == csv,
+      s"good clip decoded wrong: $ok")
+    Seq(1L, 2L, 3L, 4L).foreach { id =>
+      assert(out(id).sample_rate == -1, s"payload #$id not quarantined: ${out(id)}")
+    }
+  }
+
+  test("mm_decode_wav: the COMMITTED WAV fixture decodes to the " +
+      "generator's raw-sample statistics (real end-to-end decode gate)") {
+    import graft.tools.WavFixture
+    val got = graft.queries.PipelineQueries.mmDecodeWav(spark, "unused")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+      .toSet
+    val want = WavFixture.expectedRows
+      .map { case (id, r, c, n, csv) => (id, r.toLong, c.toLong, n, csv) }.toSet
+    assert(got.size == WavFixture.N, s"fixture must carry ${WavFixture.N} clips")
+    assert(got == want,
+      "decoded stats must equal the pre-encode sample arithmetic")
+    // non-degenerate: every amplitude bin hit, both channel counts and
+    // all three sample rates present
+    val allBins = WavFixture.expectedRows
+      .flatMap(_._5.split(",").zipWithIndex.collect {
+        case (c, b) if c.toLong > 0 => b }).toSet
+    assert(allBins == (0 until 16).toSet,
+      s"fixture must sweep all 16 amplitude bins, hit: $allBins")
+    assert(WavFixture.expectedRows.map(_._3).toSet == Set(1, 2))
+    assert(WavFixture.expectedRows.map(_._2).toSet.size == 3)
+    // ...and the committed bytes are REAL RIFF/WAVE containers
+    val firstBytes = spark.read.parquet(WavFixture.Path)
+      .orderBy("clip_id").select("wav").head().getAs[Array[Byte]](0)
+    assert(new String(firstBytes.take(4), "US-ASCII") == "RIFF" &&
+      new String(firstBytes.slice(8, 12), "US-ASCII") == "WAVE",
+      "not a RIFF/WAVE payload")
+  }
 }
