@@ -363,6 +363,15 @@ object Run {
         // vector per line (the mix_sample demo-labeler pattern)
         (outlierGateTopology(spark, lines(), opts.getOrElse("corpus",
           "/root/testdata/sf0.001/embeddings.parquet")), OutputMode.Append)
+      case "embed_gate" =>
+        // embedding near-dup admission, live: the corpus's combined
+        // LSH band keys learned offline from --corpus (the batch
+        // bandCollideAdmitEmbedding rule), broadcast as a sorted
+        // long[] bounded by tables·2^bits REGARDLESS of corpus size,
+        // probed row-locally by the EmbBandCollide kernel — the
+        // neardup_gate split on the embedding side
+        (embedGateTopology(spark, lines(), opts.getOrElse("corpus",
+          "/root/testdata/sf0.001/embeddings.parquet")), OutputMode.Append)
       case "neardup_gate" =>
         // near-dup admission, live: the corpus's LSH band keys learned
         // offline from --corpus (the batch bandCollideAdmit candidate
@@ -558,6 +567,17 @@ object Run {
       k = PipelineQueries.KmCells, iters = PipelineQueries.KmIters,
       threshold = PipelineQueries.OutlierCos)
   }
+
+  /** Embedding near-dup admission at ingest: the corpus band-key set
+   *  is an offline artifact of the batch banding
+   *  (StreamOps.embedNearDupGateStream has the scale reasoning).
+   *  Factored so RunTopologySpec drives the exact composition. */
+  private[graft] def embedGateTopology(spark: SparkSession,
+      lines: DataFrame, corpusPath: String): DataFrame =
+    StreamOps.embedNearDupGateStream(
+      lines.select(col("ts"), col("value"),
+        synthEmbedding(col("value")).as("embedding")),
+      spark.read.parquet(corpusPath))
 
   /** The two per-trigger-sort topologies run through foreachBatch. */
   private def runForeachBatch(spark: SparkSession, name: String, lines: DataFrame,

@@ -633,6 +633,29 @@ object VectorMath {
     bucket
   }
 
+  /** Row-local embedding LSH band collision count against a SORTED
+   *  array of combined corpus band keys; see [[EmbBandCollide]]. The
+   *  banding is [[lshBucket]]'s sign-projection bits sliced `bits` at
+   *  a time (the `SimilarityOps.embeddingNearDupsLsh` layout), each
+   *  band's combined key `(band << bits) | bucket` — identical to the
+   *  batch `embeddingBandKeys` column arithmetic, so the live gate and
+   *  the relational admit agree bit-for-bit. Membership is a binary
+   *  search per band (the sorted-long[] model device). */
+  def embBandCollide(emb: ArrayData, bits: Int, tables: Int,
+      model: Array[Long]): InternalRow = {
+    val allbits = lshBucket(emb, bits * tables)
+    val mask = (1L << bits) - 1
+    var nCollide = 0L
+    var t = 0
+    while (t < tables) {
+      val key = (t.toLong << bits) | ((allbits >>> (t * bits)) & mask)
+      if (java.util.Arrays.binarySearch(model, key) >= 0) nCollide += 1
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](tables.toLong, nCollide))
+  }
+
   /** One-pass text quality counts; see [[QualityStats]]. Word loop
    *  mirrors \s+ tokenization (maximal non-ws runs, empty dropped);
    *  char counts are Unicode code points (surrogate pair = 1), matching
@@ -1496,6 +1519,39 @@ case class LshBandCollide(child: Expression, n: Int, k: Int, bands: Int,
 }
 
 /**
+ * Embedding LSH band collision count against a broadcast SORTED array
+ * of corpus band keys — the [[LshBandCollide]] device on the embedding
+ * side: one kernel call computes all sign-projection planes and probes
+ * every band (the composed form is bits×tables hash expressions plus a
+ * per-row membership scan). Model rides as a broadcast reference
+ * object; returns (n_bands, n_collide).
+ */
+case class EmbBandCollide(child: Expression, bits: Int, tables: Int,
+    model: org.apache.spark.broadcast.Broadcast[Array[Long]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq("n_bands", "n_collide").map(f =>
+      org.apache.spark.sql.types.StructField(f,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.embBandCollide(v.asInstanceOf[ArrayData], bits, tables,
+      model.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("embBandModel", model,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VectorMath.embBandCollide($a, $bits, $tables, " +
+        s"(long[])$mRef.value())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * Deterministic demo embedding kernel — the live gates' stand-in for
  * an upstream encoder (`Run.synthEmbedding`). One static call per row:
  * the composed-column form is `dim` hash expressions that get INLINED
@@ -2086,6 +2142,11 @@ object native {
       model: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
     GraftColumnBridge.column(
       LshBandCollide(GraftColumnBridge.expression(text), n, k, bands, model))
+
+  def emb_band_collide(emb: Column, bits: Int, tables: Int,
+      model: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
+    GraftColumnBridge.column(
+      EmbBandCollide(GraftColumnBridge.expression(emb), bits, tables, model))
 
   def synth_embedding(text: Column, dim: Int): Column =
     GraftColumnBridge.column(

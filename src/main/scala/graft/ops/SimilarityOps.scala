@@ -420,6 +420,59 @@ object SimilarityOps {
         col("nb").as("neighbor_id"), round(col("cos"), 4).as("cos_r"))
   }
 
+  // Live-gate banding defaults: wider buckets than the candidate join
+  // (12 sign bits per band vs 4) because an ADMISSION gate wants band
+  // equality to mean "very likely near-dup" — at 4 bits a realistic
+  // corpus occupies all 16 buckets of every band and the gate would
+  // admit nothing. 4 bands of 12 bits = 48 plane bits, inside the
+  // kernel's 63-bit budget.
+  val GateBandBits = 12
+  val GateBandTables = 4
+
+  /** DISTINCT combined LSH band keys of a corpus — the learn stage of
+   *  the embedding near-dup admission gate: [[lshBucket]]'s
+   *  sign-projection bits sliced `bits` at a time, key = `(band <<
+   *  bits) | bucket` (disjoint fields, so `+` == `|`). At most
+   *  `tables · 2^bits` distinct keys regardless of corpus size —
+   *  the broadcast stays bounded even at 100 TB. */
+  def embeddingBandKeys(emb: DataFrame, bits: Int = GateBandBits,
+      tables: Int = GateBandTables): DataFrame = {
+    require(bits * tables <= 63, "bits * tables must fit in a long")
+    val mask = (1L << bits) - 1
+    emb.select(lshBucket(col("embedding"), bits * tables).as("allbits"))
+      .select(explode(array((0 until tables).map(t =>
+        shiftrightunsigned(col("allbits"), t * bits).bitwiseAND(lit(mask)) +
+          lit(t.toLong << bits)): _*)).as("band_key"))
+      .distinct()
+  }
+
+  /**
+   * Batch embedding near-dup ADMISSION: keep exactly the vectors
+   * sharing NO LSH band sub-bucket with any corpus vector — the
+   * relational twin of `StreamOps.embedNearDupGateStream`, pinned
+   * equal by the suite (same banding arithmetic: the gate's kernel
+   * computes the identical `(band << bits) | bucket` keys). Shape:
+   * vectors explode to (vec_id, band_key) — `tables` fixed-width rows
+   * each — semi-join the corpus key set (≤ tables·2^bits rows,
+   * broadcast) to find colliders, then one id-only anti join back;
+   * embeddings themselves never shuffle.
+   */
+  def bandCollideAdmitEmbedding(vecs: DataFrame, corpus: DataFrame,
+      bits: Int = GateBandBits, tables: Int = GateBandTables): DataFrame = {
+    val mask = (1L << bits) - 1
+    val colliding = vecs
+      .select(col("vec_id"),
+        lshBucket(col("embedding"), bits * tables).as("allbits"))
+      .select(col("vec_id"),
+        explode(array((0 until tables).map(t =>
+          shiftrightunsigned(col("allbits"), t * bits).bitwiseAND(lit(mask)) +
+            lit(t.toLong << bits)): _*)).as("band_key"))
+      .join(broadcast(embeddingBandKeys(corpus, bits, tables)),
+        Seq("band_key"), "left_semi")
+      .select("vec_id").distinct()
+    vecs.join(colliding, Seq("vec_id"), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, id1 < id2.
    *  Exact within-corpus variant — the O(n^2) BASELINE, guarded so it
    *  cannot be pointed at a full corpus by accident: corpora larger

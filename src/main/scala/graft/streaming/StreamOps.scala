@@ -485,6 +485,36 @@ object StreamOps {
   }
 
   /**
+   * Live EMBEDDING NEAR-DUP ADMISSION GATE — [[nearDupGateStream]]'s
+   * semantics on the embedding side, completing the gate family: the
+   * corpus's combined LSH band keys are learned ONCE at topology build
+   * (`SimilarityOps.embeddingBandKeys` — the identical sign-projection
+   * banding the batch admit joins on), collected to a SORTED primitive
+   * long[] and sc.broadcast — bounded by `tables · 2^bits` keys (≈ 16 k
+   * at the defaults) REGARDLESS of corpus size, the one gate whose
+   * model cannot outgrow an executor. Each arriving vector is admitted
+   * iff NONE of its bands collides; probing is one native
+   * [[graft.functions.EmbBandCollide]] kernel call per row (all planes
+   * + all band binary-searches in one JIT-friendly pass — the composed
+   * form is bits×tables hash expressions plus a membership scan).
+   * Stateless row-local filter, Append-safe, replay-stable.
+   * RunTopologySpec pins stream == batch
+   * (`SimilarityOps.bandCollideAdmitEmbedding`) admit sets. Vectors
+   * must carry an `embedding` column (array<float>); all input columns
+   * pass through.
+   */
+  def embedNearDupGateStream(vecs: DataFrame, corpus: DataFrame,
+      bits: Int = graft.ops.SimilarityOps.GateBandBits,
+      tables: Int = graft.ops.SimilarityOps.GateBandTables): DataFrame = {
+    val keys = graft.ops.SimilarityOps.embeddingBandKeys(corpus, bits, tables)
+      .collect().map(_.getLong(0)).sorted
+    val bc = vecs.sparkSession.sparkContext.broadcast(keys)
+    vecs.filter(graft.functions.native
+      .emb_band_collide(col("embedding"), bits, tables, bc)
+      .getField("n_collide") === 0L)
+  }
+
+  /**
    * Live temperature-mixture SAMPLING GATE — the streaming form of
    * `PipelineQueries.mixSample`, offline-statistic / online-filter
    * like [[lmScoreStream]] and [[spanFlagStream]]: the per-source keep

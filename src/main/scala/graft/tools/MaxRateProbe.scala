@@ -428,6 +428,16 @@ object MaxRateProbe {
         iters = graft.queries.PipelineQueries.KmIters,
         threshold = graft.queries.PipelineQueries.OutlierCos)
     }
+    search("embed_gate", seed = 1000000, OutputMode.Append) { in =>
+      // embedding near-dup admission: one EmbBandCollide kernel call
+      // per row (48 sign planes + 4 band binary-searches) over the
+      // same deterministic demo embedding as the Run topology
+      StreamOps.embedNearDupGateStream(
+        in.select(col("ts"),
+          graft.Run.synthEmbedding(col("value").cast("string"))
+            .as("embedding")),
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+    }
     search("pipeline_curate", seed = 500000, OutputMode.Append) { in =>
       StreamOps.curateStream(
         in.select(col("ts"), col("value").as("doc_id"),

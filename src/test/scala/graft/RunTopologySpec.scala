@@ -669,4 +669,35 @@ class RunTopologySpec extends SparkSpec {
         "the fixture must exercise both branches")
     } finally q.stop()
   }
+
+  test("embed_gate admits live vectors exactly as the batch " +
+      "band-collide rule; verbatim corpus vectors reject") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // corpus = even vec_ids; arrivals = ALL vectors, so the even half
+    // is verbatim-in-corpus (guaranteed reject: its own bands are the
+    // model's) and the odd half splits on the banding rule
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val corpus = all.filter(col("vec_id") % 2 === 0)
+    val batchAdmit = graft.ops.SimilarityOps
+      .bandCollideAdmitEmbedding(all, corpus)
+      .select("vec_id").as[Long].collect().toSet
+    val arrivals = all.as[(Long, Array[Float])].collect()
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = StreamOps.toMemory(
+      StreamOps.embedNearDupGateStream(
+        in.toDF().toDF("vec_id", "embedding"), corpus),
+      "run_embed_gate", OutputMode.Append, ckpt())
+    try {
+      in.addData(arrivals.toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("run_embed_gate")
+        .select("vec_id").as[Long].collect().toSet
+      assert(got == batchAdmit, "live admit set must equal the batch rule")
+      assert(got.forall(_ % 2 == 1), "verbatim corpus vectors must reject")
+      assert(got.nonEmpty && got.size < arrivals.length,
+        "the fixture must exercise both branches")
+    } finally q.stop()
+  }
 }
