@@ -102,14 +102,36 @@ object DedupOps {
    * MinHash+LSH candidate pairs: docs sharing any band bucket.
    * Shuffles only (id, band, hash) triples; the equi-join on
    * (band, hash) is a plain hash join — the 100 TB-safe path.
+   *
+   * `maxBandDf` is the mega-cluster guard: a template copied into
+   * millions of documents puts ALL of them in the same bucket of
+   * EVERY band, and that bucket's pair fan-out is inherently
+   * quadratic — no join strategy fixes output size. When set, buckets
+   * holding more than `maxBandDf` docs are dropped BEFORE the
+   * self-join (a two-phase (band, bh) count — map-side combine
+   * collapses the hot bucket — then a semi-join filter), bounding the
+   * hottest bucket's fan-out at maxBandDf². The right pairing for a
+   * dropped mega-bucket is the exact-dedup / cluster path (verbatim
+   * template copies collapse there at linear cost); enumerating its
+   * near-dup pairs was never useful output. Default None preserves
+   * the oracle-gated semantics; SkewSpec pins the capped behavior on
+   * a planted template corpus.
    */
   def minhashCandidates(df: DataFrame, id: Column, text: Column,
-      k: Int = 64, bands: Int = 16, shingleN: Int = 3): DataFrame = {
+      k: Int = 64, bands: Int = 16, shingleN: Int = 3,
+      maxBandDf: Option[Int] = None): DataFrame = {
     val rows = k / bands
     // docs with < shingleN words have no shingles and drop out naturally
-    val banded = minhashSignatures(df, id, text, k, shingleN)
+    val banded0 = minhashSignatures(df, id, text, k, shingleN)
       .select(col("id"), posexplode(lshBandHashes(col("sig"), bands, rows)))
       .toDF("id", "band", "bh")
+    val banded = maxBandDf match {
+      case Some(cap) => banded0.join(
+        banded0.groupBy("band", "bh").agg(count(lit(1)).as("bdf"))
+          .filter(col("bdf") <= cap),
+        Seq("band", "bh"), "left_semi")
+      case None => banded0
+    }
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.id") < col("y.id"))
@@ -120,8 +142,10 @@ object DedupOps {
   /** LSH candidates verified with exact shingle Jaccard. Output:
    *  (id1, id2, jaccard) for jaccard >= threshold. */
   def minhashNearDups(df: DataFrame, id: Column, text: Column,
-      threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
-    val cands = minhashCandidates(df, id, text, shingleN = shingleN)
+      threshold: Double = 0.5, shingleN: Int = 3,
+      maxBandDf: Option[Int] = None): DataFrame = {
+    val cands = minhashCandidates(df, id, text, shingleN = shingleN,
+      maxBandDf = maxBandDf)
     // verify on hashed shingle sets (same sets the candidates came from)
     val sh = FanOut.fanOut(df)
       .select(id.as("sid"),
@@ -498,19 +522,28 @@ object DedupOps {
    * index-aware HOF filter — intervals per doc are bounded by the
    * doc's own span count, no per-token explode, no text shuffle).
    * Skew note: a boilerplate span repeated across millions of docs
-   * lands all its run rows in one fp partition for the survivorship
-   * window; the rows are four fixed-width fields so the hot partition
-   * stays MBs per million occurrences — if a corpus's hottest
-   * boilerplate outgrows that, swap the row_number for a per-fp
-   * min(struct(doc_id, p0)) two-phase AGGREGATE joined back
-   * (map-side combine collapses the hot key before it shuffles), the
-   * salted-ops trade.
+   * makes its fingerprint the hottest key of the survivorship stage —
+   * so survivorship is NOT a row_number window (which would sort the
+   * whole hot fp inside one partition, un-splittable) but a per-fp
+   * min(struct(doc_id, p0)) two-phase AGGREGATE joined back: map-side
+   * combine collapses the hot key to one row per map task before it
+   * shuffles, and the join back is a hash join AQE can skew-split.
+   * Identical result — (doc_id, p0) is unique per run, so the min
+   * over the lexicographic total order IS the first occurrence.
+   * SkewSpec pins both the equality and the planted-boilerplate
+   * behavior. The run relation is materialized ONCE (localCheckpoint,
+   * the bpe_learn device) before the survivorship branch: the agg and
+   * the join-back both consume it, and without the cut the whole
+   * gram-kernel subtree re-runs on each side (the text_ppl
+   * double-subtree failure mode). `materialize` is the hook —
+   * PlanShapeSpec passes identity to inspect the full lineage.
    * Fingerprint collisions (2^-64-scale xxhash64 over the hash
    * sequence) could merge two distinct span groups — the
    * [[ngramJaccardPairs]] trade.
    */
   def removeRepeatedSpans(df: DataFrame, id: Column, text: Column,
-      n: Int = 4, minLen: Int = 8): DataFrame = {
+      n: Int = 4, minLen: Int = 8,
+      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     require(minLen >= n, "a span shorter than one gram cannot qualify")
     val words = TextAnalyticsOps.words(text)
     val grams = FanOut.fanOut(df)
@@ -532,10 +565,16 @@ object DedupOps {
             s => s.getField("gh").cast("string")))).as("fp"))
       .withColumn("len", (col("p1") - col("p0") + lit(n)).cast("bigint"))
       .filter(col("len") >= minLen)
-    val removed = runs
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("fp").orderBy("doc_id", "p0")))
-      .filter(col("rn") > 1)
+    // run-granularity rows, two orders sparser than gram positions —
+    // cut lineage HERE so survivorship's two consumers don't each
+    // re-run the gram kernel subtree
+    val runsM = materialize(runs)
+    val firsts = runsM.groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("p0"))).as("first"))
+    val removed = runsM
+      .join(firsts, Seq("fp"))
+      .filter(!(col("doc_id") === col("first.doc_id") &&
+        col("p0") === col("first.p0")))
       .groupBy("doc_id")
       .agg(collect_list(struct(col("p0"),
         (col("p1") + lit(n - 1)).as("pend"))).as("ivs"))

@@ -347,15 +347,31 @@ object SimilarityOps {
    * asserts pairs ⊆ the exact variant's pairs.
    */
   def embeddingNearDupsLsh(emb: DataFrame, threshold: Double,
-      bits: Int = 4, tables: Int = 8): DataFrame = {
+      bits: Int = 4, tables: Int = 8,
+      maxBucket: Option[Int] = None): DataFrame = {
     require(bits * tables <= 63, "bits * tables must fit in a long")
     val mask = (1L << bits) - 1
     val withB = emb.select(col("vec_id"),
       lshBucket(col("embedding"), bits * tables).as("allbits"))
-    val banded = withB.select(col("vec_id"),
+    val banded0 = withB.select(col("vec_id"),
       posexplode(array((0 until tables).map(t =>
         shiftrightunsigned(col("allbits"), t * bits).bitwiseAND(lit(mask))): _*)))
       .toDF("vec_id", "band", "bucket")
+    // mega-bucket guard (the minhashCandidates maxBandDf device): a
+    // vector copied into millions of rows — or any band bucket grown
+    // past `maxBucket` — has inherently quadratic pair fan-out; when
+    // set, such buckets are dropped before the self-join (two-phase
+    // count, map-side combine collapses the hot bucket, then a
+    // semi-join filter). The dropped cluster's right home is the
+    // exact-dedup path. Default None preserves the oracle-gated
+    // semantics; SkewSpec pins the capped behavior.
+    val banded = maxBucket match {
+      case Some(cap) => banded0.join(
+        banded0.groupBy("band", "bucket").agg(count(lit(1)).as("bdf"))
+          .filter(col("bdf") <= cap),
+        Seq("band", "bucket"), "left_semi")
+      case None => banded0
+    }
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
