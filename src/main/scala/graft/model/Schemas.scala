@@ -81,3 +81,11 @@ case class ImageFeatures(id: Long, width: Int, height: Int,
  *  ImageFeatures' width = -1, never dropped. */
 case class AudioFeatures(id: Long, sample_rate: Int, channels: Int,
     n_samples: Long, amp_hist: Seq[Long])
+
+/** One probed media container's metadata
+ *  (MultimodalOps.probeMp4Partitioned): ISO BMFF brand + movie-header
+ *  timing + track count + payload size; brand = "corrupt" (with -1
+ *  fields) marks a payload that is not a well-formed MP4 — quarantined
+ *  for routing, never dropped. */
+case class ContainerMeta(id: Long, brand: String, timescale: Long,
+    duration_ms: Long, n_tracks: Long, mdat_bytes: Long)

@@ -210,4 +210,100 @@ object MultimodalOps {
         }
       }
   }
+
+  /**
+   * ISO BMFF (MP4) container PROBE in the [[decodePartitioned]] shape —
+   * the video rung this environment can run honestly: no video codec
+   * ships with the JDK, but the container layout (ISO/IEC 14496-12,
+   * public spec) is plain big-endian byte structure, and container
+   * metadata is exactly what a curation pipeline needs BEFORE routing
+   * payloads to a transcode/decode farm: brand, movie timescale +
+   * duration, track count, media payload size. The walk is strict —
+   * box sizes must nest exactly (size ≥ header, never past the parent
+   * bound), ftyp + moov + mvhd must be present, timescale positive;
+   * anything else quarantines as brand = "corrupt" with -1 fields
+   * (the WAV/PNG convention: malformed media routes, never drops rows
+   * or kills tasks). mvhd versions 0 and 1 are both parsed (u32 vs
+   * u64 times). `duration_ms` floors to integer milliseconds —
+   * engine-stable arithmetic for the oracle gate.
+   */
+  def probeMp4Partitioned(df: DataFrame, idCol: String, bytesCol: String)
+      : org.apache.spark.sql.Dataset[graft.model.ContainerMeta] = {
+    import df.sparkSession.implicits._
+    val bad = graft.model.ContainerMeta(_: Long, "corrupt", -1L, -1L, -1L, -1L)
+    def u32(b: Array[Byte], p: Int): Long =
+      ((b(p) & 0xFFL) << 24) | ((b(p + 1) & 0xFFL) << 16) |
+        ((b(p + 2) & 0xFFL) << 8) | (b(p + 3) & 0xFFL)
+    def u64(b: Array[Byte], p: Int): Long = (u32(b, p) << 32) | u32(b, p + 4)
+    def tpe(b: Array[Byte], p: Int): String =
+      new String(b, p + 4, 4, "US-ASCII")
+    df.select(col(idCol), col(bytesCol)).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          try {
+            if (bytes == null || bytes.length < 8) bad(id)
+            else {
+              var brand: String = null
+              var timescale = -1L
+              var duration = -1L
+              var nTracks = 0L
+              var mdatBytes = 0L
+              var ok = true
+              /** Walk boxes in [from, to); `f` sees (type, payload
+               *  start, payload end). Returns false on malformed
+               *  sizes. */
+              def walk(from: Int, to: Int)(f: (String, Int, Int) => Unit): Boolean = {
+                var p = from
+                while (p < to) {
+                  if (p + 8 > to) return false
+                  val sz = u32(bytes, p)
+                  val (header, end) =
+                    if (sz == 1L) {
+                      if (p + 16 > to) return false
+                      (16, p + u64(bytes, p + 8))
+                    } else if (sz == 0L) (8, to.toLong) // box runs to parent end
+                    else (8, p + sz)
+                  if (end < p + header || end > to) return false
+                  f(tpe(bytes, p), p + header, end.toInt)
+                  p = end.toInt
+                }
+                true
+              }
+              ok = walk(0, bytes.length) { (t, s, e) =>
+                t match {
+                  case "ftyp" if e - s >= 4 =>
+                    brand = new String(bytes, s, 4, "US-ASCII")
+                  case "moov" =>
+                    ok = walk(s, e) { (ct, cs, ce) =>
+                      ct match {
+                        case "mvhd" if ce - cs >= 24 =>
+                          val v = bytes(cs) & 0xFF
+                          if (v == 1 && ce - cs >= 32) {
+                            timescale = u32(bytes, cs + 20)
+                            duration = u64(bytes, cs + 24)
+                          } else {
+                            timescale = u32(bytes, cs + 12)
+                            duration = u32(bytes, cs + 16)
+                          }
+                        case "trak" => nTracks += 1L
+                        case _ => ()
+                      }
+                    } && ok
+                  case "mdat" => mdatBytes += (e - s).toLong
+                  case _ => ()
+                }
+              } && ok
+              if (!ok || brand == null || timescale <= 0L || duration < 0L)
+                bad(id)
+              else graft.model.ContainerMeta(id, brand, timescale,
+                duration * 1000L / timescale, nTracks, mdatBytes)
+            }
+          } catch {
+            // defensive: an index miscalculation on adversarial bytes
+            // must quarantine, not kill the task
+            case scala.util.control.NonFatal(_) => bad(id)
+          }
+        }
+      }
+  }
 }

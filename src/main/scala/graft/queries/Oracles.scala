@@ -2124,6 +2124,25 @@ object Oracles {
        |  $rows) AS t(clip_id, sample_rate, channels, n_samples, hist_csv)""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.mmProbeMp4]]: the MP4 fixture
+   *  generator's raw-definition metadata (`tools.Mp4Fixture
+   *  .expectedRows` — pure arithmetic over the clip constants, no
+   *  bytes, no parser) embedded as a VALUES literal. The Spark side
+   *  walks the COMMITTED box bytes, so a hash match proves the strict
+   *  ISO BMFF parse round-trips the generator layout. */
+  val mmProbeMp4: String = {
+    val rows = graft.tools.Mp4Fixture.expectedRows
+      .map { case (id, b, ts, ms, tr, md) => s"($id, '$b', $ts, $ms, $tr, $md)" }
+      .mkString(",\n  ")
+    s"""SELECT CAST(clip_id AS BIGINT) AS clip_id, brand,
+       |       CAST(timescale AS BIGINT) AS timescale,
+       |       CAST(duration_ms AS BIGINT) AS duration_ms,
+       |       CAST(n_tracks AS BIGINT) AS n_tracks,
+       |       CAST(mdat_bytes AS BIGINT) AS mdat_bytes
+       |FROM (VALUES
+       |  $rows) AS t(clip_id, brand, timescale, duration_ms, n_tracks, mdat_bytes)""".stripMargin
+  }
+
   // ---- mergeable-sketch contracts (SketchQueries) --------------------------
   // Exact values recomputed relationally; the sketch estimates are
   // asserted Spark-side as within-tolerance booleans (literal TRUE

@@ -1852,4 +1852,23 @@ object PipelineQueries {
         col("n_samples"),
         array_join(transform(col("amp_hist"), _.cast("string")), ",")
           .as("hist_csv"))
+
+  /** REAL video-container probe, end-to-end gated — the MP4 rung of
+   *  the [[mmDecodePng]]/[[mmDecodeWav]] family:
+   *  [[MultimodalOps.probeMp4Partitioned]] (strict ISO BMFF box walk,
+   *  partition-batched) over the committed deterministic container
+   *  corpus (`tools.Mp4Fixture`), emitting brand / movie timescale /
+   *  integer-ms duration / track count / mdat payload size — the
+   *  routing metadata a curation pipeline extracts BEFORE shipping
+   *  payloads to a transcode farm (no video codec is JDK-public, so
+   *  container structure is the honest scope). Oracle = the
+   *  generator's raw-definition arithmetic as VALUES literals; passes
+   *  iff the committed boxes genuinely round-trip the layout. Ignores
+   *  sfDir by construction (the fixture is scale-free). */
+  def mmProbeMp4(spark: SparkSession, sfDir: String): DataFrame =
+    MultimodalOps.probeMp4Partitioned(
+      spark.read.parquet(graft.tools.Mp4Fixture.Path), "clip_id", "mp4")
+      .toDF()
+      .select(col("id").as("clip_id"), col("brand"), col("timescale"),
+        col("duration_ms"), col("n_tracks"), col("mdat_bytes"))
 }

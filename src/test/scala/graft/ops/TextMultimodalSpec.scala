@@ -237,6 +237,80 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("probeMp4Partitioned parses a REAL ISO BMFF layout (strict box " +
+      "walk, mvhd v0+v1) and quarantines truncated, size-corrupted, " +
+      "and non-MP4 payloads as brand = corrupt") {
+    import graft.tools.Mp4Fixture
+    val good = Mp4Fixture.mp4Bytes(0)
+    // size-field corruptions: box size past the buffer, size < header,
+    // and a child size escaping its parent moov bound
+    val sizeOver = { val b = good.clone(); b(0) = 0x7F.toByte; b }
+    val sizeTiny = { val b = good.clone(); b(3) = 4.toByte; b }
+    val ftypOff = good.indexOfSlice("ftyp".getBytes("US-ASCII")) - 4
+    val moovOff = good.indexOfSlice("moov".getBytes("US-ASCII")) - 4
+    val childOver = { val b = good.clone(); b(moovOff + 8) = 0x7F.toByte; b }
+    val zoo = Seq(
+      (0L, good),
+      (1L, good.take(20)), // truncated mid-ftyp
+      (2L, good.take(moovOff + 12)), // truncated mid-moov header
+      (3L, sizeOver), (4L, sizeTiny), (5L, childOver),
+      (6L, Array[Byte](1, 2, 3, 4)), // junk
+      (7L, null: Array[Byte]),
+      (8L, graft.tools.WavFixture.wavBytes(0))) // RIFF, not BMFF
+    val out = MultimodalOps.probeMp4Partitioned(
+      zoo.toDF("doc_id", "bytes"), "doc_id", "bytes")
+      .collect().map(f => f.id -> f).toMap
+    assert(out.size == zoo.length, "no row dropped, no task killed")
+    val (_, brand, ts, ms, tracks, mdat) = Mp4Fixture.expectedRows.head
+    val ok = out(0L)
+    assert(ok.brand == brand && ok.timescale == ts && ok.duration_ms == ms &&
+      ok.n_tracks == tracks && ok.mdat_bytes == mdat,
+      s"good container parsed wrong: $ok")
+    (1L to 8L).foreach { id =>
+      assert(out(id).brand == "corrupt" && out(id).timescale == -1L,
+        s"payload #$id not quarantined: ${out(id)}")
+    }
+    assert(ftypOff == 0, "fixture layout: ftyp must be the first box")
+    // mvhd version 1 (u64 times) parses too — hand-build one
+    def be32(v: Long) = Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xFFFFFFFFL)
+    def bx(t: String, p: Array[Byte]) =
+      be32(p.length + 8L) ++ t.getBytes("US-ASCII") ++ p
+    val mvhd1 = bx("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++ // v1, creation, modification
+        be32(1000) ++ be64(2500) ++ Array.fill(80)(0.toByte))
+    val v1clip = bx("ftyp", "mp42isom".getBytes("US-ASCII")) ++
+      bx("moov", mvhd1 ++ bx("trak", Array.fill(84)(0.toByte)))
+    val v1 = MultimodalOps.probeMp4Partitioned(
+      Seq((9L, v1clip)).toDF("doc_id", "bytes"), "doc_id", "bytes").collect().head
+    assert(v1.brand == "mp42" && v1.timescale == 1000L &&
+      v1.duration_ms == 2500L && v1.n_tracks == 1L, s"mvhd v1 parse: $v1")
+  }
+
+  test("mm_probe_mp4: the COMMITTED MP4 fixture parses to the " +
+      "generator's raw-definition metadata (real end-to-end parse gate)") {
+    import graft.tools.Mp4Fixture
+    val got = graft.queries.PipelineQueries.mmProbeMp4(spark, "unused")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSet
+    val want = Mp4Fixture.expectedRows.toSet
+    assert(got.size == Mp4Fixture.N, s"fixture must carry ${Mp4Fixture.N} clips")
+    assert(got == want, "probed metadata must equal the pre-layout arithmetic")
+    // non-degenerate: all three brands, track counts 1-3, and at least
+    // one non-integer-second duration (the floor arithmetic is real)
+    assert(Mp4Fixture.expectedRows.map(_._2).toSet.size == 3)
+    assert(Mp4Fixture.expectedRows.map(_._5).toSet == Set(1L, 2L, 3L))
+    assert(Mp4Fixture.expectedRows.exists(_._4 % 1000L != 0L))
+    // ...and the committed bytes really lead with an ftyp box
+    val firstBytes = spark.read.parquet(Mp4Fixture.Path)
+      .orderBy("clip_id").select("mp4").head().getAs[Array[Byte]](0)
+    assert(new String(firstBytes.slice(4, 8), "US-ASCII") == "ftyp",
+      "not an ISO BMFF payload")
+  }
+
   test("mm_decode_wav: the COMMITTED WAV fixture decodes to the " +
       "generator's raw-sample statistics (real end-to-end decode gate)") {
     import graft.tools.WavFixture
