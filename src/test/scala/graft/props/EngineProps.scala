@@ -581,4 +581,40 @@ object EngineProps extends Properties("graft") {
           (nRem > 0 || keptHash == md5Hex(ws.mkString(" ")))
       }
     }
+
+  // ---- byte-level media parsers: total on adversarial input ---------------
+
+  /** Arbitrary payloads + structured adversarial ones (valid media
+   *  truncated at any point or with one byte flipped — the corruption
+   *  shapes a real blob column actually carries). */
+  private val mediaBytesGen: Gen[Array[Byte]] = {
+    val raw = Gen.choose(0, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+    val seeds = Gen.oneOf(
+      Gen.choose(0, graft.tools.Mp4Fixture.N - 1).map(graft.tools.Mp4Fixture.mp4Bytes),
+      Gen.choose(0, graft.tools.WavFixture.N - 1).map(graft.tools.WavFixture.wavBytes))
+    val truncated = for {
+      b <- seeds; cut <- Gen.choose(0, b.length)
+    } yield b.take(cut)
+    val flipped = for {
+      b <- seeds; p <- Gen.choose(0, b.length - 1); v <- Gen.choose(Byte.MinValue, Byte.MaxValue)
+    } yield { val c = b.clone(); c(p) = v; c }
+    Gen.oneOf(raw, truncated, flipped)
+  }
+
+  property("probeMp4/decodeWav are total: any payload zoo yields one " +
+      "row per input — parsed or quarantined, never a task kill") =
+    forAll(Gen.listOfN(6, mediaBytesGen)) { payloads =>
+      import spark.implicits._
+      val df = payloads.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+        .toDF("doc_id", "bytes")
+      val mp4 = MultimodalOps.probeMp4Partitioned(df, "doc_id", "bytes").collect()
+      val wav = MultimodalOps.decodeWavPartitioned(df, "doc_id", "bytes").collect()
+      mp4.length == payloads.length && wav.length == payloads.length &&
+        mp4.forall(m => m.brand == "corrupt" ||
+          (m.timescale > 0 && m.duration_ms >= 0 && m.n_tracks >= 0)) &&
+        wav.forall(w => w.sample_rate == -1 ||
+          (w.sample_rate > 0 && w.n_samples >= 0 &&
+            w.amp_hist.sum == w.n_samples * w.channels))
+    }
 }
