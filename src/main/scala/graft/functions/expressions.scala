@@ -875,6 +875,49 @@ object VectorMath {
       Array[Any](m.toLong, nFp, fpSum))
   }
 
+  /** The distinct selected winnowing fingerprints themselves — the
+   *  [[winnowStats]] deque scan emitting each selected (pos, hash)
+   *  pair packed as `(h40 << 20) | pos`; see [[WinnowFingerprints]].
+   *  Selected positions are non-decreasing as the window slides, so
+   *  distinctness is the same one last-position check. Documents with
+   *  >= 2^20 grams would overflow the packed position field — fail
+   *  loud (the relational winnowSelection raises identically). */
+  def winnowFingerprints(text: String, k: Int, w: Int): ArrayData = {
+    val gh = gramHashes(text, k, portable = true)
+    val m = gh.numElements()
+    val mask = (1L << 40) - 1
+    if (m == 0) return ArrayData.toArrayData(Array.emptyLongArray)
+    if (m >= (1 << 20))
+      throw new IllegalArgumentException(
+        s"winnowFingerprints: document has $m grams >= 2^20 — the packed " +
+          "position field overflows; chunk the document (text_chunks) " +
+          "before fingerprinting")
+    val h40 = new Array[Long](m)
+    var i = 0
+    while (i < m) { h40(i) = gh.getLong(i) & mask; i += 1 }
+    val out = new Array[Long](m)
+    var nFp = 0
+    val dq = new Array[Int](m)
+    var head = 0
+    var tail = 0
+    var lastPos = -1
+    var e = 0
+    while (e < m) {
+      val h = h40(e)
+      while (tail > head && h40(dq(tail - 1)) >= h) tail -= 1
+      dq(tail) = e; tail += 1
+      while (dq(head) <= e - w) head += 1
+      if (e >= w - 1 || e == m - 1) {
+        val p = dq(head)
+        if (p != lastPos) {
+          out(nFp) = (h40(p) << 20) | p.toLong; nFp += 1; lastPos = p
+        }
+      }
+      e += 1
+    }
+    ArrayData.toArrayData(java.util.Arrays.copyOf(out, nFp))
+  }
+
   /** Canonical constants of the hashed-linear classifier (see
    *  [[ClassifyScore]]); `PipelineQueries` aliases these — the
    *  Stopwords single-definition convention. 6 hex digits = exactly
@@ -1883,6 +1926,34 @@ case class WinnowStats(child: Expression, k: Int, w: Int)
 }
 
 /**
+ * The selected winnowing fingerprints of a document as packed
+ * `(h40 << 20) | pos` longs — the [[WinnowStats]] deque scan emitting
+ * the pairs instead of their rollup, which makes fingerprint
+ * SELECTION fully row-local: the relational form (per-position
+ * explode + trailing-min window + distinct) spends two corpus-wide
+ * exchanges deriving what every document can compute alone. The
+ * relational formulation remains the spec-pinned cross-validation and
+ * the oracle's independent computation.
+ */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.winnowFingerprints(v.toString, k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.VectorMath.winnowFingerprints($t.toString(), $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * One-pass hashed-linear classifier scoring: struct(n_words, score_sum)
  * over \s+ tokens of the (already-lowercased) input — the
  * [[QualityStats]] shape for `PipelineQueries.textClassify`'s frozen
@@ -2170,6 +2241,10 @@ object native {
   def winnow_stats(text: Column, k: Int, w: Int): Column =
     GraftColumnBridge.column(
       WinnowStats(GraftColumnBridge.expression(text), k, w))
+
+  def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
+    GraftColumnBridge.column(
+      WinnowFingerprints(GraftColumnBridge.expression(text), k, w))
 
   def classify_score(text: Column): Column =
     GraftColumnBridge.column(ClassifyScore(GraftColumnBridge.expression(text)))

@@ -1611,7 +1611,19 @@ object PipelineQueries {
    * their single truncated window (global min), so every document
    * with ≥ [[WinnowK]] words fingerprints.
    */
-  def textWinnow(spark: SparkSession, sfDir: String): DataFrame = {
+  def textWinnow(spark: SparkSession, sfDir: String): DataFrame =
+    winnowProjection(FanOut.fanOut(
+      Tables.documents(spark, sfDir).select("doc_id", "text")))
+      .select("doc_id", "n_grams", "n_fp", "fp_sum")
+
+  /** The RELATIONAL formulation [[textWinnow]] served until r13 —
+   *  per-position explode + trailing-min window + distinct + rollup.
+   *  Two corpus-wide exchanges deriving what the kernel computes
+   *  row-locally, so the registered query now runs the kernel; this
+   *  form remains as the spec-pinned cross-validation of the selection
+   *  rule (CurationQueriesSpec compares them row-for-row) and is what
+   *  the DuckDB oracle independently computes. */
+  private[graft] def textWinnowRelational(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = FanOut.fanOut(Tables.documents(spark, sfDir))
     val agg = winnowSelection(docs).groupBy("doc_id")
       .agg(count(lit(1)).as("n_fp"), sum(col("sel_h")).as("fp_sum"))
@@ -1629,7 +1641,7 @@ object PipelineQueries {
    *  candidate join ([[dedupWinnow]]). One kernel pass; the explode
    *  carries longs only; window, distinct, and downstream rollups all
    *  reuse the doc_id hash partitioning. */
-  private def winnowSelection(docs: DataFrame): DataFrame = {
+  private[graft] def winnowSelection(docs: DataFrame): DataFrame = {
     val grams = docs
       .select(col("doc_id"),
         posexplode(graft.functions.native.gram_hashes(col("text"), WinnowK, portable = true)))
@@ -1677,18 +1689,27 @@ object PipelineQueries {
    * winnowing candidates are POSITION-guaranteed (any shared run of
    * WinnowK+WinnowW−1 words yields a shared fingerprint), so long
    * verbatim overlaps can't slip between sampled shingles. Scale
-   * shape: the [[winnowSelection]] pass, a fingerprint-sized df agg,
-   * then an id-only equi-join on sel_h — never all-pairs.
+   * shape: ONE row-local [[graft.functions.WinnowFingerprints]] kernel
+   * pass (selection + per-doc hash dedup, zero exchanges — the
+   * relational [[winnowSelection]] spends two corpus-wide exchanges on
+   * the same selection and remains as the spec-pinned twin), a
+   * fingerprint-sized df agg, then an id-only equi-join on sel_h —
+   * never all-pairs.
    */
   def dedupWinnow(spark: SparkSession, sfDir: String): DataFrame = {
-    val fp = winnowSelection(FanOut.fanOut(Tables.documents(spark, sfDir)))
-      .select("doc_id", "sel_h")
-      // A document that selects the same hash at several positions (a
-      // within-doc repeated gram — "same same same …" selects every
-      // window's rightmost min with one hash) must still count ONCE
-      // per doc: df counts documents and n_shared counts distinct
-      // shared fingerprints, not position cross-products.
-      .distinct()
+    // Row-local fingerprint selection (the WinnowFingerprints kernel;
+    // relational twin spec-pinned): decode sel_h from the packed pairs
+    // and dedup per doc IN-ROW (array_distinct) — a document selecting
+    // one hash at several positions ("same same same …") still counts
+    // ONCE toward df and once per pair, and no shuffle exists until
+    // the fingerprint-sized df agg.
+    val fp = FanOut.fanOut(
+      Tables.documents(spark, sfDir).select("doc_id", "text"))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          graft.functions.native.winnow_fingerprints(
+            col("text"), WinnowK, WinnowW),
+          x => shiftright(x, 20)))).as("sel_h"))
     val rare = fp.join(
       fp.groupBy("sel_h").agg(count(lit(1)).as("df"))
         .filter(col("df") <= WinnowMaxDf),

@@ -124,7 +124,7 @@ class CurationQueriesSpec extends SparkSpec {
       "textWinnow row-for-row at sf0.01 — two independent formulations " +
       "of the rightmost-min rule cross-validate") {
     val dir = "/root/testdata/sf0.01"
-    val rel = PipelineQueries.textWinnow(spark, dir).collect()
+    val rel = PipelineQueries.textWinnowRelational(spark, dir).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     val ker = PipelineQueries.winnowProjection(
       spark.read.parquet(s"$dir/documents.parquet"))
@@ -133,6 +133,31 @@ class CurationQueriesSpec extends SparkSpec {
     assert(ker.size == rel.size)
     rel.foreach { case (id, v) =>
       assert(ker(id) == v, s"doc $id: kernel ${ker(id)} != relational $v")
+    }
+  }
+
+  test("WinnowFingerprints kernel emits exactly the relational " +
+      "selection's (pos, hash) pairs at sf0.01 — the full fingerprint " +
+      "sets cross-validate, not just their rollup") {
+    val dir = "/root/testdata/sf0.01"
+    val rel = PipelineQueries.winnowSelection(
+      spark.read.parquet(s"$dir/documents.parquet"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    val ker = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        explode(graft.functions.native.winnow_fingerprints(col("text"),
+          PipelineQueries.WinnowK, PipelineQueries.WinnowW)).as("packed"))
+      .select(col("doc_id"),
+        (col("packed").bitwiseAND(lit((1L << 20) - 1))).as("sel_pos"),
+        shiftright(col("packed"), 20).as("sel_h"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    assert(ker.keySet == rel.keySet)
+    rel.foreach { case (id, pairs) =>
+      assert(ker(id) == pairs, s"doc $id fingerprint sets diverge")
     }
   }
 
@@ -147,11 +172,20 @@ class CurationQueriesSpec extends SparkSpec {
       spark.read.parquet(s"$sfDir/documents.parquet"))
       .queryExecution.executedPlan.toString
     assert(!wp.contains("Exchange"), "winnowProjection must not shuffle:\n" + wp)
-    val wr = PipelineQueries.textWinnow(spark, sfDir)
+    // the REGISTERED textWinnow is the kernel form since r13: a pure
+    // row-local projection — no hash exchange (the conditional FanOut
+    // round-robin is load balancing for the narrow local scan, not a
+    // data shuffle, and vanishes on wide scans)
+    val wk = PipelineQueries.textWinnow(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!wk.contains("Exchange hashpartitioning"),
+      "textWinnow (kernel) must not hash-shuffle:\n" + wk)
+    // the relational cross-validation form keeps its bounded shape
+    val wr = PipelineQueries.textWinnowRelational(spark, sfDir)
       .queryExecution.executedPlan.toString
     val hash = "Exchange hashpartitioning".r.findAllIn(wr).size
     assert(hash <= 2,
-      s"textWinnow should reuse the doc_id partitioning ($hash hash exchanges):\n" + wr)
+      s"textWinnowRelational should reuse the doc_id partitioning ($hash hash exchanges):\n" + wr)
   }
 
   test("dedupWinnow finds exactly the pairs sharing rare fingerprints: " +
