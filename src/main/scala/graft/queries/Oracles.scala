@@ -2124,6 +2124,55 @@ object Oracles {
        |  $rows) AS t(clip_id, sample_rate, channels, n_samples, hist_csv)""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.classifyTrain]] by training
+   *  INDEPENDENTLY: the same featurization (md5-prefix buckets mod
+   *  ClassifyDim over \s+ tokens of lower(text)), the same rational
+   *  sigmoid and integer-micro quantization, unrolled as a
+   *  [[PipelineQueries.TrainIters]]-deep CTE chain (the bpe_learn
+   *  device — DuckDB runs the whole gradient-descent learner itself,
+   *  so a hash match proves the LEARNER reproduces, not one scoring
+   *  pass). Every cross-row sum is a BIGINT sum of floored micro
+   *  terms; the only doubles are per-row expressions on identical
+   *  operands. */
+  val classifyTrain: String = {
+    val dim = graft.functions.VectorMath.ClassifyDim
+    val iters = graft.queries.PipelineQueries.TrainIters
+    val steps = (1 to iters).map { k =>
+      val prev = s"w${k - 1}"
+      s"""m$k AS (
+         |  SELECT f.doc_id, f.y, f.n_words,
+         |         CAST(SUM(CAST(floor(CAST(w.wm * f.c AS DOUBLE) / f.n_words) AS BIGINT)) AS BIGINT) AS mm
+         |  FROM f JOIN $prev w USING (bucket) GROUP BY 1, 2, 3),
+         |p$k AS (
+         |  SELECT doc_id,
+         |         ((0.5 + (mm / 1000000.0) / (2.0 * (1.0 + abs(mm / 1000000.0)))) - y) AS pd
+         |  FROM m$k),
+         |g$k AS (
+         |  SELECT f.bucket,
+         |         CAST(SUM(CAST(floor(p.pd * f.c * 1000000.0 / f.n_words) AS BIGINT)) AS BIGINT) AS grad
+         |  FROM f JOIN p$k p USING (doc_id) GROUP BY 1),
+         |w$k AS (
+         |  SELECT w.bucket,
+         |         CAST(w.wm - CAST(floor(CAST(coalesce(g.grad, 0) AS DOUBLE) / (SELECT nd FROM n)) AS BIGINT) AS BIGINT) AS wm
+         |  FROM $prev w LEFT JOIN g$k g USING (bucket))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id, CAST(lang = 'en' AS INT) AS y,
+       |         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, y, CAST(len(ws) AS BIGINT) AS n_words,
+       |         CAST('0x' || substr(md5(w.w), 1, 6) AS BIGINT) % $dim AS bucket,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM tok, unnest(ws) w(w)
+       |  GROUP BY 1, 2, 3, 4),
+       |n AS (SELECT count(DISTINCT doc_id) AS nd FROM f),
+       |w0 AS (SELECT CAST(i AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS wm
+       |       FROM range(0, $dim) t(i)),
+       |$steps
+       |SELECT bucket, wm AS w_micro FROM w$iters""".stripMargin
+  }
+
   /** Mirrors [[PipelineQueries.mmProbeMp4]]: the MP4 fixture
    *  generator's raw-definition metadata (`tools.Mp4Fixture
    *  .expectedRows` — pure arithmetic over the clip constants, no

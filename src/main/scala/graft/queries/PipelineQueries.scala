@@ -523,6 +523,83 @@ object PipelineQueries {
         .as("score_sum"))
   }
 
+  // classify_train hyperparameters: full-batch GD iterations and the
+  // label rule (is-English, from the corpus's upstream lang column —
+  // the one labeled signal testdata carries). Dim/bucket arithmetic is
+  // the frozen classifier's own ([[classifyWeight]]'s md5-prefix mod
+  // ClassifyDim), so trained weights are drop-in for the apply stage.
+  val TrainIters = 6
+
+  /**
+   * Quality-classifier TRAINING in-query — the learn stage
+   * [[textClassify]] applies: full-batch logistic-regression gradient
+   * descent over hashed bag-of-words features (md5-prefix buckets mod
+   * [[graft.functions.VectorMath.ClassifyDim]]), labels y = (lang =
+   * 'en'), [[TrainIters]] iterations, output the per-bucket weight
+   * table (bucket, w_micro). Joins the training-in-query family
+   * (bpe_learn, sim_ivf_kmeans's Lloyd, graph_pagerank): the model is
+   * learned by the engine itself and the DuckDB oracle trains
+   * INDEPENDENTLY via an unrolled CTE chain — agreement means the
+   * whole learner reproduces, not just one scoring pass.
+   *
+   * Engine-exactness devices: (1) the link is the RATIONAL sigmoid
+   * σ(m) = 0.5 + m/(2(1+|m|)) — only +,*,/,abs on identical operands,
+   * no transcendental whose last ulp could differ across libm
+   * implementations (the one risk ln-based NllMicro accepts; a
+   * learner iterates 6× so drift would compound); (2) every
+   * cross-row float SUM is pre-quantized to integer micro-units and
+   * summed as BIGINT (margins per doc, gradients per bucket — the
+   * mix_weights order-independence device); (3) the weight update
+   * floors G/N on identical doubles. Scale shape: the featurized
+   * (doc, y, n_words, bucket, c) relation is built once and
+   * localCheckpointed (the training-in-query contract); each
+   * iteration is one doc-keyed agg + one doc-keyed join + one
+   * 64-group agg, and the model collect is 64 rows — gradient state
+   * never exceeds |Dim|.
+   */
+  def classifyTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val micro = 1000000.0
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (col("lang") === "en").cast("int").as("y"),
+        col("text"))
+    val feats = FanOut.fanOut(docs)
+      .select(col("doc_id"), col("y"),
+        graft.ops.TextAnalyticsOps.wsTokenCount(lower(col("text"))).as("n_words"),
+        explode(graft.ops.TextAnalyticsOps.words(lower(col("text")))).as("w"))
+      .select(col("doc_id"), col("y"), col("n_words"),
+        (conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long")
+          % ClassifyDim).as("bucket"))
+      .groupBy("doc_id", "y", "n_words", "bucket")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val nDocs = feats.select("doc_id").distinct().count()
+    val w = Array.fill(ClassifyDim.toInt)(0L)
+    (1 to TrainIters).foreach { _ =>
+      val wmap = map((0 until ClassifyDim.toInt).flatMap(b =>
+        Seq(lit(b.toLong), lit(w(b)))): _*)
+      val margins = feats
+        .withColumn("term", floor(
+          (element_at(wmap, col("bucket")) * col("c")).cast("double")
+            / col("n_words")))
+        .groupBy("doc_id", "y", "n_words").agg(sum("term").as("mm"))
+      val m = col("mm") / lit(micro)
+      val pd = margins.select(col("doc_id"),
+        ((lit(0.5) + m / (lit(2.0) * (lit(1.0) + abs(m)))) - col("y"))
+          .as("pd"))
+      val grads = feats.join(pd, Seq("doc_id"))
+        .withColumn("g",
+          floor(col("pd") * col("c") * lit(micro) / col("n_words")))
+        .groupBy("bucket").agg(sum("g").as("grad"))
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      (0 until ClassifyDim.toInt).foreach { b =>
+        w(b) -= math.floor(grads.getOrElse(b, 0L).toDouble / nDocs).toLong
+      }
+    }
+    import spark.implicits._
+    w.zipWithIndex.map { case (wm, b) => (b.toLong, wm) }
+      .toSeq.toDF("bucket", "w_micro")
+  }
+
   /** [[textTokens]] with REAL merge-table BPE instead of the bpeish
    *  regex heuristic: per-doc whitespace and BPE-subword token counts
    *  under the frozen corpus-learned merge list. Same scale shape —

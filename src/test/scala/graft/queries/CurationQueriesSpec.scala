@@ -269,6 +269,97 @@ class CurationQueriesSpec extends SparkSpec {
     assert(got == expected, s"got $got want $expected")
   }
 
+  test("classifyTrain learns the exact quantized-GD fixed point: every " +
+      "weight equals a plain-Scala full-batch descent and the model is " +
+      "non-trivial (on this corpus the label is text-independent, so " +
+      "the fixed point is the class prior)") {
+    val dim = graft.functions.VectorMath.ClassifyDim.toInt
+    val iters = PipelineQueries.TrainIters
+    val got = PipelineQueries.classifyTrain(spark, sfDir).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    assert(got.size == dim)
+    // reference: the identical learner in plain Scala — same bucket
+    // arithmetic (md5 prefix), same rational sigmoid, same micro
+    // quantization, same update rule
+    def bucket(w: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val prefix = ((d(0) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) | (d(2) & 0xffL)
+      (prefix % dim).toInt
+    }
+    val docs = rawDocs(sfDir)
+    val langs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val feats = docs.flatMap { case (id, text, _) =>
+      val ws = words(text.toLowerCase)
+      if (ws.isEmpty) None
+      else Some((id, if (langs(id) == "en") 1 else 0, ws.length.toLong,
+        ws.groupBy(bucket).view.mapValues(_.length.toLong).toMap))
+    }
+    val n = feats.size
+    val w = Array.fill(dim)(0L)
+    (1 to iters).foreach { _ =>
+      val grads = Array.fill(dim)(0L)
+      feats.foreach { case (_, y, nw, cs) =>
+        val mm = cs.map { case (b, c) =>
+          math.floor((w(b) * c).toDouble / nw).toLong }.sum
+        val m = mm / 1000000.0
+        val pd = (0.5 + m / (2.0 * (1.0 + math.abs(m)))) - y
+        cs.foreach { case (b, c) =>
+          grads(b) += math.floor(pd * c * 1000000.0 / nw).toLong }
+      }
+      (0 until dim).foreach(b =>
+        w(b) -= math.floor(grads(b).toDouble / n).toLong)
+    }
+    (0 until dim).foreach { b =>
+      assert(got(b) == w(b), s"bucket $b: got ${got(b)} want ${w(b)}")
+    }
+    // the synthetic corpus's lang label is INDEPENDENT of its text
+    // (all langs share one vocabulary), so the correct fixed point is
+    // the class prior — non-trivially negative weights (non-en is the
+    // majority), not a separating model
+    assert(w.exists(_ != 0L), "trained model must be non-trivial")
+    assert(n > 0)
+  }
+
+  test("classifyTrain SEPARATES a corpus whose label truly depends on " +
+      "the text: disjoint vocabularies train to sign-split weights and " +
+      "100% margin accuracy") {
+    import spark.implicits._
+    // en docs draw words from one vocabulary, non-en from another —
+    // the signal the driver corpus lacks (its lang label is
+    // independent of text, see the fixed-point test above)
+    val enV = (1 to 12).map(i => s"envocab$i")
+    val xxV = (1 to 12).map(i => s"xxvocab$i")
+    val docs = (0 until 40).map { i =>
+      val v = if (i % 2 == 0) enV else xxV
+      val text = (0 until 15).map(j => v((i + j * 3) % v.length)).mkString(" ")
+      (i.toLong, text, if (i % 2 == 0) "en" else "xx")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("classify-train").toString
+    docs.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val w = PipelineQueries.classifyTrain(spark, dir).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    assert(w.values.exists(_ > 0L) && w.values.exists(_ < 0L),
+      s"separable corpus must train sign-split weights: $w")
+    // apply the learned model: every doc classifies correctly
+    def bucket(word: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(word.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val prefix = ((d(0) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) | (d(2) & 0xffL)
+      (prefix % graft.functions.VectorMath.ClassifyDim).toInt
+    }
+    docs.foreach { case (id, text, lang) =>
+      val ws = text.split("\\s+").filter(_.nonEmpty)
+      val mm = ws.groupBy(bucket).map { case (b, g) =>
+        math.floor((w(b) * g.length).toDouble / ws.length).toLong }.sum
+      assert((mm > 0L) == (lang == "en"),
+        s"doc $id ($lang) misclassified with margin $mm")
+    }
+  }
+
   test("sampleWeighted draws the exact Efraimidis-Spirakis top-N: the " +
       "selected set equals the reference key ranking, keys reproduce, " +
       "and exactly WeightedN rows return") {
