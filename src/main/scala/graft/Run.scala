@@ -363,6 +363,13 @@ object Run {
         // vector per line (the mix_sample demo-labeler pattern)
         (outlierGateTopology(spark, lines(), opts.getOrElse("corpus",
           "/root/testdata/sf0.001/embeddings.parquet")), OutputMode.Append)
+      case "trained_gate" =>
+        // trained-classifier admission, live: the logistic-regression
+        // weight table learned offline from --corpus (classify_train's
+        // own quantized-GD learner), broadcast; admit iff the model's
+        // quantized margin is positive — the train->deploy loop closed
+        (trainedGateTopology(spark, lines(), opts.getOrElse("corpus",
+          "/root/testdata/sf0.001/documents.parquet")), OutputMode.Append)
       case "embed_gate" =>
         // embedding near-dup admission, live: the corpus's combined
         // LSH band keys learned offline from --corpus (the batch
@@ -567,6 +574,16 @@ object Run {
       k = PipelineQueries.KmCells, iters = PipelineQueries.KmIters,
       threshold = PipelineQueries.OutlierCos)
   }
+
+  /** Trained-classifier admission at ingest: the weight table is an
+   *  offline artifact of the classify_train learner
+   *  (StreamOps.trainedClassifyGateStream has the deploy reasoning).
+   *  Factored so RunTopologySpec drives the exact composition. */
+  private[graft] def trainedGateTopology(spark: SparkSession,
+      lines: DataFrame, corpusPath: String): DataFrame =
+    StreamOps.trainedClassifyGateStream(
+      lines.select(col("ts"), col("value").as("text")),
+      spark.read.parquet(corpusPath))
 
   /** Embedding near-dup admission at ingest: the corpus band-key set
    *  is an offline artifact of the batch banding

@@ -918,6 +918,70 @@ object VectorMath {
     ArrayData.toArrayData(java.util.Arrays.copyOf(out, nFp))
   }
 
+  /** Per-word BUCKET memo for the trained classifier — the bucket is
+   *  model-independent (md5 prefix mod ClassifyDim), so it caches
+   *  across model updates where [[classifyMemo]]'s frozen WEIGHT
+   *  cannot serve a trained table. Bounded like its sibling. */
+  private val bucketMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
+  private val BucketMemoMax = 1 << 16
+
+  def classifyWordBucket(w: String): Int = {
+    val cached = bucketMemo.get(w)
+    if (cached != null) return cached.intValue()
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val prefix = ((d(0) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) | (d(2) & 0xffL)
+    val b = (prefix % ClassifyDim).toInt
+    if (bucketMemo.size < BucketMemoMax) bucketMemo.put(w, b)
+    b
+  }
+
+  /** Per-thread bucket-count scratch for [[classifyTrainedMargin]] —
+   *  ClassifyDim ints reused across rows (the gopherScratch device). */
+  private val trainedScratch = new ThreadLocal[Array[Int]] {
+    override def initialValue() = new Array[Int](ClassifyDim.toInt)
+  }
+
+  private val trainedMemo = new RowMemo("classify_trained")
+
+  /** Margin of a TRAINED weight table over one (already-lowercased)
+   *  text; see [[ClassifyTrainedMargin]]. Tokenize once, count per
+   *  bucket, then margin_micro = Σ_b floor(w(b)·c_b / n_words) — the
+   *  EXACT apply arithmetic `classifyTrain`'s spec pins (quantized
+   *  per-bucket terms, integer sum), so the live gate's admissions are
+   *  the trained model's own predictions, not an approximation. */
+  def classifyTrainedMargin(text: String, w: Array[Long]): InternalRow = {
+    val hit = trainedMemo.lookup(text, w)
+    if (hit != null) return hit.asInstanceOf[InternalRow]
+    val counts = trainedScratch.get()
+    java.util.Arrays.fill(counts, 0)
+    var nWords = 0L
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && isWs(text.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(text.charAt(i))) i += 1
+      if (i > start) {
+        counts(classifyWordBucket(text.substring(start, i))) += 1
+        nWords += 1
+      }
+    }
+    var margin = 0L
+    if (nWords > 0) {
+      var b = 0
+      while (b < counts.length) {
+        val c = counts(b)
+        if (c != 0) margin += math.floor((w(b) * c).toDouble / nWords).toLong
+        b += 1
+      }
+    }
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nWords, margin))
+    trainedMemo.store(text, w, row).asInstanceOf[InternalRow]
+  }
+
   /** Canonical constants of the hashed-linear classifier (see
    *  [[ClassifyScore]]); `PipelineQueries` aliases these — the
    *  Stopwords single-definition convention. 6 hex digits = exactly
@@ -1595,6 +1659,37 @@ case class EmbBandCollide(child: Expression, bits: Int, tables: Int,
 }
 
 /**
+ * Trained-classifier margin against a broadcast weight table — the
+ * apply stage of `classify_train` as one kernel call: tokenize,
+ * per-bucket counts, quantized margin (the exact arithmetic the
+ * training spec pins). Weights ride as a broadcast reference object;
+ * returns (n_words, margin_micro).
+ */
+case class ClassifyTrainedMargin(child: Expression,
+    weights: org.apache.spark.broadcast.Broadcast[Array[Long]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq("n_words", "margin_micro").map(f =>
+      org.apache.spark.sql.types.StructField(f,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.classifyTrainedMargin(v.toString, weights.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("trainedWeights", weights,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.VectorMath.classifyTrainedMargin($t.toString(), " +
+        s"(long[])$wRef.value())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * Deterministic demo embedding kernel — the live gates' stand-in for
  * an upstream encoder (`Run.synthEmbedding`). One static call per row:
  * the composed-column form is `dim` hash expressions that get INLINED
@@ -2213,6 +2308,11 @@ object native {
       model: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
     GraftColumnBridge.column(
       LshBandCollide(GraftColumnBridge.expression(text), n, k, bands, model))
+
+  def classify_trained_margin(text: Column,
+      weights: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
+    GraftColumnBridge.column(
+      ClassifyTrainedMargin(GraftColumnBridge.expression(text), weights))
 
   def emb_band_collide(emb: Column, bits: Int, tables: Int,
       model: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =

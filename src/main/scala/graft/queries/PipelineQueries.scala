@@ -558,8 +558,19 @@ object PipelineQueries {
    * never exceeds |Dim|.
    */
   def classifyTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = trainClassifierWeights(Tables.documents(spark, sfDir))
+    import spark.implicits._
+    w.zipWithIndex.map { case (wm, b) => (b.toLong, wm) }
+      .toSeq.toDF("bucket", "w_micro")
+  }
+
+  /** The learner of [[classifyTrain]], returning the weight array —
+   *  factored so the live admission gate
+   *  (`StreamOps.trainedClassifyGateStream`) trains the identical
+   *  model once at topology build. Input needs (doc_id, lang, text). */
+  private[graft] def trainClassifierWeights(corpus: DataFrame): Array[Long] = {
     val micro = 1000000.0
-    val docs = Tables.documents(spark, sfDir)
+    val docs = corpus
       .select(col("doc_id"), (col("lang") === "en").cast("int").as("y"),
         col("text"))
     val feats = FanOut.fanOut(docs)
@@ -595,9 +606,7 @@ object PipelineQueries {
         w(b) -= math.floor(grads.getOrElse(b, 0L).toDouble / nDocs).toLong
       }
     }
-    import spark.implicits._
-    w.zipWithIndex.map { case (wm, b) => (b.toLong, wm) }
-      .toSeq.toDF("bucket", "w_micro")
+    w
   }
 
   /** [[textTokens]] with REAL merge-table BPE instead of the bpeish

@@ -515,6 +515,36 @@ object StreamOps {
   }
 
   /**
+   * Live TRAINED-CLASSIFIER admission gate — `classify_train`'s learn
+   * stage deployed: the logistic-regression weight table is trained
+   * ONCE at topology build from a labeled static corpus
+   * (`PipelineQueries.trainClassifierWeights` — the identical
+   * quantized-GD learner the gated batch query runs and the DuckDB
+   * oracle reproduces), broadcast as a 64-long array, and each
+   * arriving doc is admitted iff its quantized margin is positive —
+   * the model's own prediction arithmetic (Σ_b floor(w_b·c_b /
+   * n_words)), computed by one native
+   * [[graft.functions.ClassifyTrainedMargin]] kernel call per row.
+   * Where `classify_gate` applies the FROZEN weight formula, this is
+   * the train→deploy loop closed: retrain on a fresh corpus, rebuild
+   * the topology, the gate serves the new model. Stateless,
+   * Append-safe, replay-stable; admitted rows carry (n_words,
+   * margin_micro) for observability. Docs must carry a `text` column;
+   * all input columns pass through.
+   */
+  def trainedClassifyGateStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    val w = graft.queries.PipelineQueries.trainClassifierWeights(corpus)
+    val bc = docs.sparkSession.sparkContext.broadcast(w)
+    val passthrough = docs.columns.map(col)
+    docs
+      .withColumn("tc",
+        graft.functions.native.classify_trained_margin(lower(col("text")), bc))
+      .select(passthrough ++ Seq(col("tc.n_words").as("n_words"),
+        col("tc.margin_micro").as("margin_micro")): _*)
+      .filter(col("margin_micro") > 0L)
+  }
+
+  /**
    * Live temperature-mixture SAMPLING GATE — the streaming form of
    * `PipelineQueries.mixSample`, offline-statistic / online-filter
    * like [[lmScoreStream]] and [[spanFlagStream]]: the per-source keep

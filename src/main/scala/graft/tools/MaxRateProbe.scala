@@ -428,6 +428,14 @@ object MaxRateProbe {
         iters = graft.queries.PipelineQueries.KmIters,
         threshold = graft.queries.PipelineQueries.OutlierCos)
     }
+    search("trained_gate", seed = 1000000, OutputMode.Append) { in =>
+      // trained-classifier admission: one ClassifyTrainedMargin kernel
+      // call per row against the broadcast 64-long weight table learned
+      // at build from the sf0.001 corpus
+      StreamOps.trainedClassifyGateStream(
+        in.select(col("ts"), Generators.docLine(col("value")).as("text")),
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    }
     search("embed_gate", seed = 1000000, OutputMode.Append) { in =>
       // embedding near-dup admission: one EmbBandCollide kernel call
       // per row (48 sign planes + 4 band binary-searches) over the

@@ -670,6 +670,43 @@ class RunTopologySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trained_gate admits live lines exactly as the trained model's " +
+      "own margin rule: on a separable corpus the gate passes the " +
+      "positive class and rejects the rest") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // separable fixture (the classifyTrain spec device): en docs use
+    // one vocabulary, non-en another
+    val enV = (1 to 12).map(i => s"envocab$i")
+    val xxV = (1 to 12).map(i => s"xxvocab$i")
+    val docs = (0 until 40).map { i =>
+      val v = if (i % 2 == 0) enV else xxV
+      ((0 until 15).map(j => v((i + j * 3) % v.length)).mkString(" "),
+        if (i % 2 == 0) "en" else "xx")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("trained-gate").toString
+    docs.zipWithIndex.map { case ((t, l), i) => (i.toLong, t, l) }
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.toMemory(
+      Run.trainedGateTopology(spark, in.toDF().toDF("ts", "value"),
+        s"$dir/documents.parquet"),
+      "run_trained_gate", OutputMode.Append, ckpt())
+    try {
+      val t0 = at("2024-01-01 10:00:00")
+      in.addData(docs.map { case (t, _) => (t0, t) }.toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("run_trained_gate")
+        .select("text", "margin_micro").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val enTexts = docs.collect { case (t, "en") => t }.toSet
+      assert(got.keySet == enTexts,
+        s"gate must admit exactly the positive class: got ${got.size}, want ${enTexts.size}")
+      assert(got.values.forall(_ > 0L), "admitted margins must be positive")
+    } finally q.stop()
+  }
+
   test("embed_gate admits live vectors exactly as the batch " +
       "band-collide rule; verbatim corpus vectors reject") {
     import org.apache.spark.sql.functions.col
