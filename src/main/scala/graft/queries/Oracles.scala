@@ -2124,6 +2124,66 @@ object Oracles {
        |  $rows) AS t(clip_id, sample_rate, channels, n_samples, hist_csv)""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.dedupEval]] by recomputing BOTH sides
+   *  of the recall fraction: the exact shingle-Jaccard pairs AND the
+   *  portable md5-60 minhash signatures, bands, and candidate join —
+   *  the whole banding mechanism re-derived, not trusted. Same
+   *  decimal-text band-key concatenation, same floor/least band
+   *  arithmetic on identical rationals. */
+  val dedupEval: String = {
+    val slots = graft.queries.PipelineQueries.EvalSlots
+    val bands = graft.queries.PipelineQueries.EvalBands
+    val rows = slots / bands
+    val minJ = graft.queries.PipelineQueries.EvalMinJ
+    def h60(e: String) = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+    val slotCols = (0 until slots)
+      .map(i => s"min(${h60(s"'$i:' || sh")}) AS m$i").mkString(",\n         ")
+    val bandSelects = (0 until bands).map { b =>
+      val key = (0 until rows).map(r => s"m${b * rows + r}").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, ${h60(s"$key")} AS bk FROM slots"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(ws) >= 3
+       |         THEN list_transform(range(0, len(ws) - 2),
+       |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+       |         ELSE [] END)) AS sh
+       |  FROM w),
+       |shh AS (SELECT doc_id, ${h60("sh")} AS h FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY 1),
+       |inter AS (
+       |  SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS i
+       |  FROM shh x JOIN shh y ON x.h = y.h AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT id1, id2,
+       |         least(CAST(floor((i / (s1.sz + s2.sz - i)) * 5) AS BIGINT), 4) AS j_band
+       |  FROM inter
+       |  JOIN sizes s1 ON id1 = s1.doc_id
+       |  JOIN sizes s2 ON id2 = s2.doc_id
+       |  WHERE i / (s1.sz + s2.sz - i) >= $minJ),
+       |slots AS (
+       |  SELECT doc_id,
+       |         $slotCols
+       |  FROM sh GROUP BY 1),
+       |banded AS (
+       |  $bandSelects),
+       |caught AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+       |SELECT e.j_band,
+       |       CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(count(c.id1) AS BIGINT) AS n_caught,
+       |       round(count(c.id1) / count(*), 4) AS recall_r
+       |FROM exact e LEFT JOIN caught c USING (id1, id2)
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Mirrors [[PipelineQueries.classifyTrain]] by training
    *  INDEPENDENTLY: the same featurization (md5-prefix buckets mod
    *  ClassifyDim over \s+ tokens of lower(text)), the same rational

@@ -523,6 +523,83 @@ object PipelineQueries {
         .as("score_sum"))
   }
 
+  // dedup_eval parameters: the portable evaluation signature is
+  // deliberately SMALLER than production's 64-slot xxhash64 family
+  // (16 md5-60 slots, 4 bands x 4 rows) so the banding recall curve is
+  // non-trivial — P(caught) = 1-(1-J^4)^4 spans ~0.2..1.0 over the
+  // evaluated Jaccard range instead of saturating at 1.
+  val EvalSlots = 16
+  val EvalBands = 4
+  // evaluate from J = 0.02: the synthetic corpus is bimodal (near-verbatim
+  // pairs at J >= 0.9, incidental vocabulary overlap below 0.1), so the
+  // curve's informative content is band 0 recall ~ 0 (banding correctly
+  // REJECTS low-J noise) vs band 4 recall 1.0 (it catches true dups)
+  val EvalMinJ = 0.02
+
+  /**
+   * Near-dup RECALL EVALUATION — the monitoring rung for the dedup
+   * family (the knn_label_eval/text_langid_eval pattern): per
+   * Jaccard band, how many true near-dup pairs does LSH banding
+   * actually catch? Exact pairs (shingle Jaccard ≥ [[EvalMinJ]]) are
+   * the ground truth; the candidate set comes from a PORTABLE minhash
+   * (slot i = min over shingles of md5-60("i:" ++ shingle), band =
+   * md5-60 of its 4 comma-joined slots) — the md5-60 device that lets
+   * DuckDB recompute the SIGNATURES themselves, so the oracle
+   * re-derives both sides of the recall fraction instead of trusting
+   * either. Production signatures stay the 64-slot xxhash64 kernel
+   * family; this evaluates the banding MECHANISM on a deliberately
+   * small signature where recall is a real curve, not a constant 1.
+   * Output: (j_band, n_pairs, n_caught, recall_r), j_band =
+   * min(floor(J·5), 4). Scale shape: the dedup-family contract —
+   * shingle hashes and band keys are fixed-width 60-bit values, both
+   * joins are equi-joins on them, documents never shuffle; the md5
+   * slot family costs [[EvalSlots]] hashes per distinct shingle (an
+   * evaluation job runs on a sample at 100 TB).
+   */
+  def dedupEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = EvalSlots / EvalBands
+    def md560(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val sh = FanOut.fanOut(
+      Tables.documents(spark, sfDir).select("doc_id", "text"))
+      .select(col("doc_id"),
+        explode(array_distinct(DedupOps.shingles(col("text"), 3))).as("sh"))
+    // exact side: Jaccard over the same shingle sets, joined on md5-60
+    val shh = sh.select(col("doc_id"), md560(col("sh")).as("h"))
+    val sizes = shh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val exact = shh.as("x").join(shh.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("id1"), col("sz").as("sz1")), "id1")
+      .join(sizes.select(col("doc_id").as("id2"), col("sz").as("sz2")), "id2")
+      .withColumn("j", col("inter") / (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("j") >= EvalMinJ)
+      .select(col("id1"), col("id2"),
+        least(floor(col("j") * 5), lit(4L)).as("j_band"))
+    // candidate side: the portable banded minhash
+    val slots = sh.groupBy("doc_id").agg(
+      (0 until EvalSlots).map(i =>
+        min(md560(concat(lit(s"$i:"), col("sh")))).as(s"m$i")).head,
+      (1 until EvalSlots).map(i =>
+        min(md560(concat(lit(s"$i:"), col("sh")))).as(s"m$i")): _*)
+    val banded = slots.select(col("doc_id"),
+      posexplode(array((0 until EvalBands).map(b =>
+        md560(concat_ws(",",
+          (0 until rows).map(r => col(s"m${b * rows + r}")): _*))): _*)))
+      .toDF("doc_id", "band", "bk")
+    val caught = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    exact.join(caught, Seq("id1", "id2"), "left")
+      .groupBy("j_band")
+      .agg(count(lit(1)).as("n_pairs"), count(col("hit")).as("n_caught"))
+      .withColumn("recall_r", round(col("n_caught") / col("n_pairs"), 4))
+  }
+
   // classify_train hyperparameters: full-batch GD iterations and the
   // label rule (is-English, from the corpus's upstream lang column —
   // the one labeled signal testdata carries). Dim/bucket arithmetic is

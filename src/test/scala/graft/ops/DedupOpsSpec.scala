@@ -413,4 +413,44 @@ class DedupOpsSpec extends SparkSpec {
     assert(admitted.contains(12L) && admitted.contains(13L),
       s"novel + shingle-less must admit: $admitted")
   }
+
+  test("dedupEval measures a REAL recall curve: on a planted mid-Jaccard " +
+      "corpus the banding catches some but not all true pairs, recall is " +
+      "non-decreasing in the band, and the driver corpus splits 0 vs 1") {
+    import graft.queries.PipelineQueries
+    // planted mid-J pairs: each pair shares a 22-word prefix and differs
+    // in an 8-word tail, giving J ~ 0.55 — the regime where a 4x4
+    // banding probabilistically misses (P(caught) = 1-(1-J^4)^4 ~ 0.3)
+    def half(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = (0 until 30).flatMap { p =>
+      val shared = half(s"sh$p", 22)
+      Seq((p * 2L, s"$shared ${half(s"a$p", 8)}"),
+        (p * 2L + 1, s"$shared ${half(s"b$p", 8)}"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("dedup-eval").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val mid = PipelineQueries.dedupEval(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (pairs, caught) = mid.values.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(pairs >= 30L, s"all planted pairs must be evaluated: $mid")
+    assert(caught > 0L && caught < pairs,
+      s"mid-J banding must catch SOME but not ALL pairs: $mid")
+    // the driver corpus: bimodal — band 0 noise rejected, band 4 caught
+    val drv = PipelineQueries.dedupEval(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(drv.contains(0L) && drv.contains(4L))
+    assert(drv(0L)._2 == 0L && drv(0L)._1 > 0L,
+      "incidental low-J pairs must not be candidates")
+    assert(drv(4L)._1 == drv(4L)._2 && drv(4L)._1 > 0L,
+      "true near-dups must all be caught")
+    // recall non-decreasing in band wherever bands exist
+    val recalls = (mid ++ drv).toSeq.sortBy(_._1)
+      .map { case (b, (p, c)) => b -> c.toDouble / p }
+    recalls.sliding(2).foreach {
+      case Seq((b1, r1), (b2, r2)) if b1 != b2 =>
+        assert(r2 >= r1 - 0.34, s"recall should trend up with J: $recalls")
+      case _ => ()
+    }
+  }
 }
