@@ -363,6 +363,14 @@ object Run {
         // vector per line (the mix_sample demo-labeler pattern)
         (outlierGateTopology(spark, lines(), opts.getOrElse("corpus",
           "/root/testdata/sf0.001/embeddings.parquet")), OutputMode.Append)
+      case "winnow_gate" =>
+        // winnowing admission, live: the corpus's rare fingerprint
+        // hashes learned offline from --corpus (dedup_winnow's df-cap
+        // universe), broadcast as a sorted long[]; admit iff fewer
+        // than WinnowMinShared distinct fingerprints collide — the
+        // position-guaranteed member of the admission family
+        (winnowGateTopology(spark, lines(), opts.getOrElse("corpus",
+          "/root/testdata/sf0.001/documents.parquet")), OutputMode.Append)
       case "trained_gate" =>
         // trained-classifier admission, live: the logistic-regression
         // weight table learned offline from --corpus (classify_train's
@@ -574,6 +582,16 @@ object Run {
       k = PipelineQueries.KmCells, iters = PipelineQueries.KmIters,
       threshold = PipelineQueries.OutlierCos)
   }
+
+  /** Winnowing admission at ingest: the rare-fingerprint set is an
+   *  offline artifact of the dedup_winnow universe
+   *  (StreamOps.winnowGateStream has the guarantee reasoning).
+   *  Factored so RunTopologySpec drives the exact composition. */
+  private[graft] def winnowGateTopology(spark: SparkSession,
+      lines: DataFrame, corpusPath: String): DataFrame =
+    StreamOps.winnowGateStream(
+      lines.select(col("ts"), col("value").as("text")),
+      spark.read.parquet(corpusPath))
 
   /** Trained-classifier admission at ingest: the weight table is an
    *  offline artifact of the classify_train learner

@@ -982,6 +982,36 @@ object VectorMath {
     trainedMemo.store(text, w, row).asInstanceOf[InternalRow]
   }
 
+  private val winnowCollideMemo = new RowMemo("winnow_collide")
+
+  /** Distinct winnowing-fingerprint hashes of a text probed against a
+   *  SORTED array of rare corpus fingerprint hashes; see
+   *  [[WinnowCollide]]. One [[winnowFingerprints]] deque scan, per-doc
+   *  hash dedup in a set, binary-search membership (the sorted-long[]
+   *  model device) — returns (n_fp distinct hashes, n_collide). */
+  def winnowCollide(text: String, k: Int, w: Int,
+      model: Array[Long]): InternalRow = {
+    val hit = winnowCollideMemo.lookup(text, model)
+    if (hit != null) return hit.asInstanceOf[InternalRow]
+    val fps = winnowFingerprints(text, k, w)
+    val n = fps.numElements()
+    val seen = new java.util.HashSet[java.lang.Long](math.max(n * 2, 4))
+    var nFp = 0L
+    var nCollide = 0L
+    var i = 0
+    while (i < n) {
+      val h = fps.getLong(i) >>> 20
+      if (seen.add(h)) {
+        nFp += 1
+        if (java.util.Arrays.binarySearch(model, h) >= 0) nCollide += 1
+      }
+      i += 1
+    }
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nFp, nCollide))
+    winnowCollideMemo.store(text, model, row).asInstanceOf[InternalRow]
+  }
+
   /** Canonical constants of the hashed-linear classifier (see
    *  [[ClassifyScore]]); `PipelineQueries` aliases these — the
    *  Stopwords single-definition convention. 6 hex digits = exactly
@@ -1659,6 +1689,37 @@ case class EmbBandCollide(child: Expression, bits: Int, tables: Int,
 }
 
 /**
+ * Winnowing-fingerprint collision count against a broadcast SORTED
+ * array of rare corpus fingerprint hashes — the [[LshBandCollide]]
+ * device at winnowing granularity: one kernel call runs the deque
+ * selection, per-doc hash dedup, and all membership probes. Model
+ * rides as a broadcast reference object; returns (n_fp, n_collide).
+ */
+case class WinnowCollide(child: Expression, k: Int, w: Int,
+    model: org.apache.spark.broadcast.Broadcast[Array[Long]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq("n_fp", "n_collide").map(f =>
+      org.apache.spark.sql.types.StructField(f,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.winnowCollide(v.toString, k, w, model.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("winnowModel", model,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.VectorMath.winnowCollide($t.toString(), $k, $w, " +
+        s"(long[])$mRef.value())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * Trained-classifier margin against a broadcast weight table — the
  * apply stage of `classify_train` as one kernel call: tokenize,
  * per-bucket counts, quantized margin (the exact arithmetic the
@@ -2308,6 +2369,11 @@ object native {
       model: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
     GraftColumnBridge.column(
       LshBandCollide(GraftColumnBridge.expression(text), n, k, bands, model))
+
+  def winnow_collide(text: Column, k: Int, w: Int,
+      model: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
+    GraftColumnBridge.column(
+      WinnowCollide(GraftColumnBridge.expression(text), k, w, model))
 
   def classify_trained_margin(text: Column,
       weights: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =

@@ -1859,20 +1859,31 @@ object PipelineQueries {
    * fingerprint-sized df agg, then an id-only equi-join on sel_h —
    * never all-pairs.
    */
-  def dedupWinnow(spark: SparkSession, sfDir: String): DataFrame = {
-    // Row-local fingerprint selection (the WinnowFingerprints kernel;
-    // relational twin spec-pinned): decode sel_h from the packed pairs
-    // and dedup per doc IN-ROW (array_distinct) — a document selecting
-    // one hash at several positions ("same same same …") still counts
-    // ONCE toward df and once per pair, and no shuffle exists until
-    // the fingerprint-sized df agg.
-    val fp = FanOut.fanOut(
-      Tables.documents(spark, sfDir).select("doc_id", "text"))
+  /** Per-doc DISTINCT winnowing fingerprint hashes — row-local (the
+   *  WinnowFingerprints kernel + in-row array_distinct decode; a
+   *  document selecting one hash at several positions — "same same
+   *  same …" — still counts ONCE toward df and once per pair); no
+   *  shuffle exists until a consumer aggregates. Shared by
+   *  [[dedupWinnow]] and the live gate's model build. */
+  private[graft] def winnowDocFingerprints(docs: DataFrame): DataFrame =
+    FanOut.fanOut(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         explode(array_distinct(transform(
           graft.functions.native.winnow_fingerprints(
             col("text"), WinnowK, WinnowW),
           x => shiftright(x, 20)))).as("sel_h"))
+
+  /** The RARE fingerprint hashes of a corpus (document frequency ≤
+   *  [[WinnowMaxDf]]) — [[dedupWinnow]]'s candidate universe, and the
+   *  sorted-long[] model `StreamOps.winnowGateStream` broadcasts. */
+  private[graft] def rareWinnowFingerprints(docs: DataFrame): DataFrame =
+    winnowDocFingerprints(docs)
+      .groupBy("sel_h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinnowMaxDf)
+      .select("sel_h")
+
+  def dedupWinnow(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = winnowDocFingerprints(Tables.documents(spark, sfDir))
     val rare = fp.join(
       fp.groupBy("sel_h").agg(count(lit(1)).as("df"))
         .filter(col("df") <= WinnowMaxDf),

@@ -515,6 +515,40 @@ object StreamOps {
   }
 
   /**
+   * Live WINNOWING admission gate — the [[nearDupGateStream]] split at
+   * winnowing granularity, completing the text-admission family with
+   * its POSITION-GUARANTEED member: the corpus's rare fingerprint
+   * hashes (document frequency ≤ WinnowMaxDf — the stopword-
+   * fingerprint device, so ubiquitous grams can't veto everything) are
+   * learned ONCE at topology build
+   * (`PipelineQueries.rareWinnowFingerprints`), collected to a SORTED
+   * primitive long[] and sc.broadcast; an arriving doc is admitted iff
+   * FEWER than WinnowMinShared of its distinct fingerprints collide —
+   * and because winnowing guarantees any shared verbatim run of
+   * K+W−1 words yields a shared fingerprint, a long verbatim overlap
+   * with the corpus CANNOT slip between sampled shingles the way a
+   * MinHash band can probabilistically miss (dedup_eval measures that
+   * gap). One native [[graft.functions.WinnowCollide]] kernel call
+   * per row (deque selection + per-doc dedup + binary-search probes);
+   * stateless, Append-safe, replay-stable. Aggregate-vs-corpus
+   * semantics (collisions counted against the whole model, not per
+   * partner doc) — the admission form of dedupWinnow's pairwise rule;
+   * RunTopologySpec pins stream == the batch relational rule. Scale:
+   * model = rare-fingerprint count × 8 B — bounded by the df cap ×
+   * vocabulary, the spanFlagStream bound. Docs must carry `text`.
+   */
+  def winnowGateStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    import graft.queries.PipelineQueries
+    val model = PipelineQueries.rareWinnowFingerprints(corpus)
+      .collect().map(_.getLong(0)).sorted
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    docs.filter(graft.functions.native
+      .winnow_collide(col("text"), PipelineQueries.WinnowK,
+        PipelineQueries.WinnowW, bc)
+      .getField("n_collide") < PipelineQueries.WinnowMinShared)
+  }
+
+  /**
    * Live TRAINED-CLASSIFIER admission gate — `classify_train`'s learn
    * stage deployed: the logistic-regression weight table is trained
    * ONCE at topology build from a labeled static corpus

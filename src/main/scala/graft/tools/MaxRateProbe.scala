@@ -428,6 +428,14 @@ object MaxRateProbe {
         iters = graft.queries.PipelineQueries.KmIters,
         threshold = graft.queries.PipelineQueries.OutlierCos)
     }
+    search("winnow_gate", seed = 1000000, OutputMode.Append) { in =>
+      // winnowing admission: one WinnowCollide kernel call per row
+      // (deque selection + per-doc dedup + binary-search probes)
+      // against the rare-fingerprint model learned at build
+      StreamOps.winnowGateStream(
+        in.select(col("ts"), Generators.docLine(col("value")).as("text")),
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    }
     search("trained_gate", seed = 1000000, OutputMode.Append) { in =>
       // trained-classifier admission: one ClassifyTrainedMargin kernel
       // call per row against the broadcast 64-long weight table learned

@@ -670,6 +670,56 @@ class RunTopologySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("winnow_gate admits live lines exactly as the batch rare-" +
+      "fingerprint collision rule; a verbatim corpus run rejects and " +
+      "the guarantee holds: a planted K+W-1 shared run is caught") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.PipelineQueries
+    val corpusPath = "/root/testdata/sf0.001/documents.parquet"
+    val corpus = spark.read.parquet(corpusPath)
+    val corpusTexts = corpus.select("text").collect().map(_.getString(0))
+    val kw = PipelineQueries.WinnowK + PipelineQueries.WinnowW - 1
+    // a corpus doc's own run of exactly K+W-1 words inside novel
+    // context: the winnowing guarantee makes >= 1 collision certain,
+    // though admission needs >= WinnowMinShared — so also plant a
+    // doc carrying a LONG verbatim run (many fingerprints)
+    val run = corpusTexts.head.split("\\s+").take(kw).mkString(" ")
+    val longRun = corpusTexts.head.split("\\s+").take(30).mkString(" ")
+    val fresh: Seq[String] = corpusTexts.take(4).toSeq ++ Seq(
+      s"zz1 zz2 zz3 $run zz4 zz5 zz6",
+      s"yy1 yy2 $longRun yy3",
+      (1 to 30).map(i => s"novel$i").mkString(" "),
+      "so sh")
+    // batch rule: < WinnowMinShared distinct fingerprint hashes in the
+    // rare corpus set
+    val rare = PipelineQueries.rareWinnowFingerprints(corpus)
+      .collect().map(_.getLong(0)).toSet
+    val expectAdmit = fresh.filter { t =>
+      val fp = PipelineQueries.winnowDocFingerprints(
+        Seq((0L, t)).toDF("doc_id", "text"))
+        .select("sel_h").collect().map(_.getLong(0)).toSet
+      fp.count(rare) < PipelineQueries.WinnowMinShared
+    }.toSet
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.toMemory(
+      Run.winnowGateTopology(spark, in.toDF().toDF("ts", "value"), corpusPath),
+      "run_winnow_gate", OutputMode.Append, ckpt())
+    try {
+      in.addData(fresh.map(t => (at("2024-01-01 10:00:00"), t)).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("run_winnow_gate")
+        .select("text").collect().map(_.getString(0)).toSet
+      assert(got == expectAdmit, "live admit set must equal the batch rule")
+      assert(!got.contains(fresh(5)),
+        "a long verbatim corpus run must be rejected")
+      assert(got.contains(fresh(6)) && got.contains(fresh(7)),
+        "novel and sub-K docs must admit")
+      assert(got.nonEmpty && got.size < fresh.size,
+        "the fixture must exercise both branches")
+    } finally q.stop()
+  }
+
   test("trained_gate admits live lines exactly as the trained model's " +
       "own margin rule: on a separable corpus the gate passes the " +
       "positive class and rejects the rest") {
