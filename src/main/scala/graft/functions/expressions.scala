@@ -993,7 +993,20 @@ object VectorMath {
       model: Array[Long]): InternalRow = {
     val hit = winnowCollideMemo.lookup(text, model)
     if (hit != null) return hit.asInstanceOf[InternalRow]
-    val fps = winnowFingerprints(text, k, w)
+    // A >= 2^20-gram document overflows the packed position field —
+    // the batch query fails loud, but a live ADMISSION gate must not
+    // let one poison-pill doc wedge the topology: quarantine as
+    // (-1, MaxValue), which every collision threshold rejects (an
+    // oversized doc routes out, the decodeWavPartitioned convention).
+    val fps =
+      try winnowFingerprints(text, k, w)
+      catch {
+        case _: IllegalArgumentException =>
+          val row = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](-1L, Long.MaxValue))
+          return winnowCollideMemo.store(text, model, row)
+            .asInstanceOf[InternalRow]
+      }
     val n = fps.numElements()
     val seen = new java.util.HashSet[java.lang.Long](math.max(n * 2, 4))
     var nFp = 0L

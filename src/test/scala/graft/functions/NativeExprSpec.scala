@@ -459,6 +459,18 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("winnowCollide quarantines a packed-position-overflow document " +
+      "(>= 2^20 grams) as a rejection instead of a task kill; " +
+      "winnowFingerprints fails loud on the same input") {
+    val giant = ("x " * ((1 << 20) + 4)).trim
+    intercept[IllegalArgumentException] {
+      graft.functions.VectorMath.winnowFingerprints(giant, 3, 4)
+    }
+    val r = graft.functions.VectorMath.winnowCollide(giant, 3, 4, Array(1L, 2L))
+    assert(r.getLong(0) == -1L && r.getLong(1) == Long.MaxValue,
+      s"poison-pill doc must quarantine: (${r.getLong(0)}, ${r.getLong(1)})")
+  }
+
   test("RowMemo collapses plan-duplicated kernel calls: the gopher gate's " +
       "pushed-down predicate copies hit the memo at >= 50%, so an " +
       "optimizer change that stops evaluating duplicates back-to-back " +
