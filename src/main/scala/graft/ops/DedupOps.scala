@@ -274,20 +274,42 @@ object DedupOps {
 
   /**
    * SimHash near-duplicate pairs with Hamming distance <= maxHamming,
-   * found by the pigeonhole band trick: split the 64-bit signature into
-   * 4 16-bit chunks; any pair within distance 3 shares at least one
-   * chunk exactly — equi-join per chunk, then verify with bit_count.
+   * found by the pigeonhole band trick refined Manku-style (Manku,
+   * Jain & Sarma 2007 §3): split the 64-bit signature into SIX blocks
+   * (4×11 + 2×10 bits); ≤ 3 bit errors touch at most 3 blocks, so any
+   * qualifying pair has 3 blocks intact — enumerate all C(6,3) = 20
+   * block triples as tables, key each on the ~32-bit packed triple
+   * value, equi-join per table, verify with bit_count. Candidates are
+   * EXACTLY re-verified, so the banding choice is pure performance —
+   * and it is the scale lever: the previous 4×16-bit-chunk scheme's
+   * bucket space was 2^16 per table, putting n/65536 docs in an
+   * average bucket (Σ bucket² work ∝ n²/2^16 — the measured
+   * 2.89×-per-10×-data curve); the packed-triple key space is ~2^32,
+   * 5× more exploded rows but ~2^17× fewer accidental candidates.
+   * Lossless for d ≤ 3 by the pigeonhole above (property-pinned:
+   * any ≤3-bit perturbation of a signature remains a candidate).
    */
   def simhashNearDups(df: DataFrame, id: Column, text: Column,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "the 6-block/3-subset banding is lossless only for Hamming <= 3; " +
+        "use more blocks (C(b, b - d) tables) for a larger radius")
     val sigs = simhashOf(df, id, text).select(id.as("id"), col("simhash"))
-    val chunked = sigs.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .toDF("id", "simhash", "chunk_idx", "chunk")
-    chunked.as("x").join(chunked.as("y"),
-        col("x.chunk_idx") === col("y.chunk_idx") &&
-          col("x.chunk") === col("y.chunk") && col("x.id") < col("y.id"))
+    // block b: width 11 for b < 4, else 10; offsets 0,11,22,33,44,54
+    def block(b: Int) = {
+      val (off, width) = if (b < 4) (b * 11, 11) else (44 + (b - 4) * 10, 10)
+      shiftrightunsigned(col("simhash"), off).bitwiseAND(lit((1L << width) - 1))
+    }
+    val combos = (0 until 6).combinations(3).toSeq
+    val keyed = sigs.select(col("id"), col("simhash"),
+      posexplode(array(combos.map { c =>
+        (block(c(0)) * lit(1L << 22)) + (block(c(1)) * lit(1L << 11)) +
+          block(c(2))
+      }: _*)))
+      .toDF("id", "simhash", "tbl", "key")
+    keyed.as("x").join(keyed.as("y"),
+        col("x.tbl") === col("y.tbl") &&
+          col("x.key") === col("y.key") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id1"), col("y.id").as("id2"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .distinct()
