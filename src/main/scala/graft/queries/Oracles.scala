@@ -1860,6 +1860,25 @@ object Oracles {
        |LIMIT $n""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.sampleGroupWeighted]]: the sampleWeighted
+   *  key arithmetic verbatim, cut by a per-source rank window instead
+   *  of the global LIMIT. */
+  val sampleGroupWeighted: String = {
+    val n = PipelineQueries.GroupWeightedN
+    s"""SELECT source, doc_id, n_chars, key_micro, rank FROM (
+       |  SELECT source, doc_id, n_chars,
+       |         CAST(floor(ln((CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) + 1)
+       |                       / 1152921504606846976.0)
+       |                    / CAST(n_chars + 1 AS DOUBLE) * 1000000.0) AS BIGINT) AS key_micro,
+       |         CAST(row_number() OVER (PARTITION BY source
+       |           ORDER BY floor(ln((CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) + 1)
+       |                             / 1152921504606846976.0)
+       |                          / CAST(n_chars + 1 AS DOUBLE) * 1000000.0) DESC,
+       |             doc_id) AS BIGINT) AS rank
+       |  FROM documents) t
+       |WHERE rank <= $n""".stripMargin
+  }
+
   /** Mirrors [[AnalyticsQueries.eventResample]]: hourly decimal-exact
    *  mean, dense per-user hour grid, LOCF via IGNORE NULLS last_value
    *  over the same running ROWS frame. */

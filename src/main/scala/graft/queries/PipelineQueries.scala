@@ -1940,6 +1940,33 @@ object PipelineQueries {
       .limit(WeightedN)
   }
 
+  val GroupWeightedN = 10
+
+  /**
+   * STRATIFIED weighted sampling without replacement — the
+   * [[sampleWeighted]] A-ES draw taken per SOURCE (top-
+   * [[GroupWeightedN]] keys within each stratum): what a mixture
+   * pipeline actually samples, since a global weighted draw would let
+   * one verbose source crowd out the tail — the stratified complement,
+   * exactly as [[sampleStratified]] is to [[hashSample]]. Identical
+   * content-derived key arithmetic (reproducible, oracle-gateable);
+   * the per-group cut is a rank window that plans as
+   * WindowGroupLimit — per-partition top-N pushdown, state bounded by
+   * N per source, no global sort (the sampleStratified contract).
+   */
+  def sampleGroupWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    val h60 = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+    val u = (h60 + lit(1L)).cast("double") / lit(Pow2_60)
+    val w = (col("n_chars") + lit(1L)).cast("double")
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        floor(log(u) / w * lit(1000000.0)).as("key_micro"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("key_micro").desc, col("doc_id"))).cast("bigint"))
+      .filter(col("rank") <= GroupWeightedN)
+  }
+
   val CurateMinScore = 0.40
   val CurateMinWords = 20L
 

@@ -289,6 +289,16 @@ class PlanShapeSpec extends SparkSpec {
       "rank filter did not plan a WindowGroupLimit:\n" + p)
   }
 
+  test("sample_group_weighted pushes a partial group limit below the " +
+      "source exchange (two-phase WindowGroupLimit)") {
+    val p = plan("sample_group_weighted")
+    // partial WindowGroupLimit before the exchange + final after: each
+    // map task forwards at most N rows per source, so the shuffle and
+    // the final sort carry N x sources rows, never the corpus
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      "per-source A-ES cut must plan a two-phase WindowGroupLimit:\n" + p)
+  }
+
   test("q_rank_funcs ranks via range partitions, never a per-type window sort") {
     val p = plan("q_rank_funcs")
     // the two-pass rank: a rangepartitioning exchange spreads the sort
