@@ -363,6 +363,17 @@ object Run {
         // vector per line (the mix_sample demo-labeler pattern)
         (outlierGateTopology(spark, lines(), opts.getOrElse("corpus",
           "/root/testdata/sf0.001/embeddings.parquet")), OutputMode.Append)
+      case "dedup_gate" =>
+        // streaming EXACT dedup at ingest: first occurrence of a
+        // content fingerprint passes, later duplicates within the
+        // watermark delay drop (dropDuplicatesWithinWatermark —
+        // bounded state; the batch dedup_exact pass is the exact
+        // sweep). The stateful member of the admission family; the
+        // near-dup members are neardup_gate/winnow_gate/embed_gate
+        (StreamOps.streamingDedup(
+          lines().select(col("ts"), col("value").as("text")),
+          "ts", md5(col("text")),
+          opts.getOrElse("delay", "60 seconds")), OutputMode.Append)
       case "winnow_gate" =>
         // winnowing admission, live: the corpus's rare fingerprint
         // hashes learned offline from --corpus (dedup_winnow's df-cap

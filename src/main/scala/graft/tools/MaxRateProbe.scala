@@ -428,6 +428,14 @@ object MaxRateProbe {
         iters = graft.queries.PipelineQueries.KmIters,
         threshold = graft.queries.PipelineQueries.OutlierCos)
     }
+    search("dedup_gate", seed = 1000000, OutputMode.Append) { in =>
+      // streaming exact dedup: md5 fingerprint + watermark-bounded
+      // dropDuplicates state; the generator repeats a bounded doc pool
+      // so the dedup state saturates at pool size, the 100 TB shape
+      StreamOps.streamingDedup(
+        in.select(col("ts"), Generators.docLine(col("value")).as("text")),
+        "ts", md5(col("text")), "10 seconds")
+    }
     search("winnow_gate", seed = 1000000, OutputMode.Append) { in =>
       // winnowing admission: one WinnowCollide kernel call per row
       // (deque selection + per-doc dedup + binary-search probes)
