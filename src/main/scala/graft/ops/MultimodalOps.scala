@@ -212,6 +212,56 @@ object MultimodalOps {
   }
 
   /**
+   * REAL decode → RESIZE stage — the post-decode transform a media
+   * pipeline actually runs ([[resizeNearest]] operates on raw bytes
+   * because the stub path has no pixels; this one resizes DECODED
+   * pixels): decode via `javax.imageio` exactly like
+   * [[decodeImagePartitioned]], then nearest-neighbor downsample by
+   * integer `factor` (top-left anchor — pixel (x, y) of the output is
+   * input (x·factor, y·factor)) and emit the RESIZED dimensions +
+   * 16-bin luminance histogram of the sampled pixels. Same quarantine
+   * contract (width = -1). One partition-batched pass; decode and
+   * transform fuse in the same iterator, so full-resolution pixels
+   * never materialize outside the decoder.
+   */
+  def decodeImageResized(df: DataFrame, idCol: String, bytesCol: String,
+      factor: Int): org.apache.spark.sql.Dataset[graft.model.ImageFeatures] = {
+    require(factor >= 1, "resize factor must be >= 1")
+    import df.sparkSession.implicits._
+    df.select(col(idCol), col(bytesCol)).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          val img =
+            try {
+              if (bytes == null || bytes.isEmpty) null
+              else javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+            } catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) graft.model.ImageFeatures(id, -1, -1, Nil)
+          else {
+            val w = (img.getWidth + factor - 1) / factor
+            val h = (img.getHeight + factor - 1) / factor
+            val hist = new Array[Long](16)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x * factor, y * factor)
+                val lum =
+                  (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+                hist(lum >> 4) += 1L
+                x += 1
+              }
+              y += 1
+            }
+            graft.model.ImageFeatures(id, w, h, hist.toSeq)
+          }
+        }
+      }
+  }
+
+  /**
    * ISO BMFF (MP4) container PROBE in the [[decodePartitioned]] shape —
    * the video rung this environment can run honestly: no video codec
    * ships with the JDK, but the container layout (ISO/IEC 14496-12,

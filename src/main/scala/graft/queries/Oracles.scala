@@ -2124,6 +2124,24 @@ object Oracles {
        |  $rows) AS t(img_id, width, height, hist_csv)""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.mmDecodeResize]]: the PNG fixture
+   *  generator's raw-pixel statistics AT THE SAMPLED COORDINATES
+   *  (`tools.PngFixture.expectedResizedRows` — nearest-neighbor
+   *  arithmetic over the pixel definition, no bytes, no ImageIO) as a
+   *  VALUES literal. */
+  val mmDecodeResize: String = {
+    val rows = graft.tools.PngFixture
+      .expectedResizedRows(graft.queries.PipelineQueries.ResizeFactor)
+      .map { case (id, w, h, csv) => s"($id, $w, $h, '$csv')" }
+      .mkString(",\n  ")
+    s"""SELECT CAST(img_id AS BIGINT) AS img_id,
+       |       CAST(width AS BIGINT) AS width,
+       |       CAST(height AS BIGINT) AS height,
+       |       hist_csv
+       |FROM (VALUES
+       |  $rows) AS t(img_id, width, height, hist_csv)""".stripMargin
+  }
+
   /** Mirrors [[PipelineQueries.mmDecodeWav]]: the WAV fixture
    *  generator's raw-SAMPLE statistics (`tools.WavFixture.expectedRows`
    *  — pure arithmetic over the deterministic sample definition, no

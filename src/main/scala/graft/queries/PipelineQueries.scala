@@ -2055,6 +2055,27 @@ object PipelineQueries {
         array_join(transform(col("lum_hist"), _.cast("string")), ",")
           .as("hist_csv"))
 
+  val ResizeFactor = 2
+
+  /** REAL decode → resize pipeline stage, end-to-end gated:
+   *  [[MultimodalOps.decodeImageResized]] (genuine `javax.imageio`
+   *  decode fused with a nearest-neighbor factor-[[ResizeFactor]]
+   *  downsample in one partition-batched pass — full-resolution pixels
+   *  never leave the decoder) over the committed PNG corpus. Oracle =
+   *  the generator's raw-pixel arithmetic AT THE SAMPLED COORDINATES
+   *  as VALUES literals, so the gate proves decode AND transform
+   *  round-trip together. Ignores sfDir (scale-free fixture). */
+  def mmDecodeResize(spark: SparkSession, sfDir: String): DataFrame =
+    MultimodalOps.decodeImageResized(
+      spark.read.parquet(graft.tools.PngFixture.Path), "img_id", "png",
+      ResizeFactor)
+      .toDF()
+      .select(col("id").as("img_id"),
+        col("width").cast("bigint").as("width"),
+        col("height").cast("bigint").as("height"),
+        array_join(transform(col("lum_hist"), _.cast("string")), ",")
+          .as("hist_csv"))
+
   /** REAL audio decode, end-to-end gated — the WAV sibling of
    *  [[mmDecodePng]]: [[MultimodalOps.decodeWavPartitioned]] (genuine
    *  `javax.sound.sampled` RIFF/WAVE PCM decode, partition-batched)

@@ -55,6 +55,28 @@ object PngFixture {
     (i.toLong, w, h, hist.mkString(","))
   }
 
+  /** (img_id, width, height, hist_csv) of the factor-downsampled
+   *  images (nearest-neighbor, top-left anchor) from the raw pixel
+   *  definition — the oracle side of `mm_decode_resize`; must never
+   *  touch PNG bytes or ImageIO. */
+  def expectedResizedRows(factor: Int): Seq[(Long, Int, Int, String)] =
+    (0 until N).map { i =>
+      val (w0, h0) = dims(i)
+      val (w, h) = ((w0 + factor - 1) / factor, (h0 + factor - 1) / factor)
+      val hist = new Array[Long](16)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = rgb(i, x * factor, y * factor)
+          hist(((r + g + b) / 3) >> 4) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      (i.toLong, w, h, hist.mkString(","))
+    }
+
   /** A real PNG encoding of image i's pixels. */
   def pngBytes(i: Int): Array[Byte] = {
     val (w, h) = dims(i)
