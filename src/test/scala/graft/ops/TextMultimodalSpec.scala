@@ -237,6 +237,27 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeImageResized at factor 1 equals the plain decode, and at " +
+      "factor 2 samples exactly the even-coordinate pixels (generator " +
+      "arithmetic); undecodable bytes quarantine") {
+    import graft.tools.PngFixture
+    val df = Seq((0L, PngFixture.pngBytes(0)), (1L, Array[Byte](9, 9)),
+      (2L, null: Array[Byte])).toDF("doc_id", "bytes")
+    val plain = MultimodalOps.decodeImagePartitioned(df, "doc_id", "bytes")
+      .collect().map(f => f.id -> f).toMap
+    val f1 = MultimodalOps.decodeImageResized(df, "doc_id", "bytes", 1)
+      .collect().map(f => f.id -> f).toMap
+    assert(f1 == plain, "factor 1 must be the identity transform")
+    val f2 = MultimodalOps.decodeImageResized(df, "doc_id", "bytes", 2)
+      .collect().map(f => f.id -> f).toMap
+    val (_, w, h, csv) = PngFixture.expectedResizedRows(2).head
+    assert(f2(0L).width == w && f2(0L).height == h &&
+      f2(0L).lum_hist.mkString(",") == csv,
+      s"factor-2 sample mismatch: ${f2(0L)}")
+    assert(f2(1L).width == -1 && f2(2L).width == -1,
+      "undecodable payloads must quarantine through the resize path")
+  }
+
   test("probeMp4Partitioned parses a REAL ISO BMFF layout (strict box " +
       "walk, mvhd v0+v1) and quarantines truncated, size-corrupted, " +
       "and non-MP4 payloads as brand = corrupt") {
