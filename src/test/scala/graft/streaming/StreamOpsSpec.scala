@@ -175,6 +175,41 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDedup survives a checkpointed restart: a fingerprint " +
+      "seen before the kill still drops its duplicate after — the seen " +
+      "set is state, not memory") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val deduped = StreamOps.streamingDedup(in.toDF().toDF("ts", "text"), "ts",
+      graft.ops.TextAnalyticsOps.fingerprint(col("text")), "1 hour")
+    val checkpoint = ckpt()
+    val seen = scala.collection.concurrent.TrieMap[String, Long]()
+    def start() = deduped.writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("text").as[String].collect().foreach { t =>
+          seen(t) = seen.getOrElse(t, 0L) + 1
+        }
+      }.start()
+    val q1 = start()
+    try {
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), "doc one"),
+        (Timestamp.valueOf("2024-01-01 10:01:00"), "doc two"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 10:02:00"), "DOC ONE"), // dup across restart
+        (Timestamp.valueOf("2024-01-01 10:03:00"), "doc three"))
+      q2.processAllAvailable()
+      assert(seen.toMap == Map("doc one" -> 1L, "doc two" -> 1L,
+        "doc three" -> 1L),
+        s"pre-restart fingerprints must still deduplicate: $seen")
+    } finally q2.stop()
+  }
+
   test("runningCountTtl counts while active, evicts after watermark + ttl") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
