@@ -489,6 +489,80 @@ object SimilarityOps {
     vecs.join(colliding, Seq("vec_id"), "left_anti")
   }
 
+  /**
+   * Product-quantization approximate top-k (Jégou, Douze & Schmid
+   * 2011, PQ with ADC scoring) — the memory-side ANN rung next to
+   * IVF's partition-side one: the `dim`-float corpus compresses to
+   * `m` one-byte codes per vector (here m sub-spaces of dim/m dims,
+   * each quantized by its own `ks`-codeword k-means), and queries
+   * score vectors WITHOUT touching the original floats — approx
+   * dot(q, x) = Σ_m dot(q_m, codeword(x, m)), the per-query
+   * asymmetric-distance table of m·ks scalars. At 100 TB this is the
+   * operator that fits a corpus in memory: 64 floats → 4 bytes per
+   * vector (64×), with scan cost m table lookups instead of dim
+   * multiplies.
+   *
+   * Determinism contract (what lets a PQ index sit under a DuckDB
+   * oracle): per-subspace codebooks come from the SAME decimal-exact
+   * Lloyd as [[kmeansCentroids]] (seed = first ks vectors' slices,
+   * cosine argmax assignment with the IvfProbeCells tie rule);
+   * encode is the same kernel; ADC entries and query norms are
+   * computed driver-side in the kernel's sequential accumulation
+   * order, so the oracle's `list_sum` reproduces them; the approx
+   * cosine divides by the RECONSTRUCTION norm sqrt(Σ_m ‖codeword‖²).
+   * Scale shape: training is m small Lloyd runs (model artifacts);
+   * encoding is m kernel calls per row, row-local; scoring joins the
+   * 4-code relation to a broadcast |queries|-row table of literal ADC
+   * arrays — the corpus floats are read ONCE (encode) and never
+   * shuffle; the rank cut is the WindowGroupLimit contract.
+   */
+  def pqTopK(emb: DataFrame, queryIds: Seq[Long], kTop: Int, dim: Int,
+      m: Int = 4, ks: Int = 8, iters: Int = 2): DataFrame = {
+    require(dim % m == 0, "dim must split evenly into m subspaces")
+    val sub = dim / m
+    val spark = emb.sparkSession
+    import spark.implicits._
+    def subEmb(i: Int) = emb.select(col("vec_id"),
+      slice(col("embedding"), i * sub + 1, sub).as("embedding"))
+    // sequential-order double accumulation — the FloatVectorDot kernel's
+    // (and DuckDB list_sum's) order, so driver-side scalars reproduce
+    def seqDot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var d = 0
+      while (d < a.length) { s += a(d).toDouble * b(d).toDouble; d += 1 }
+      s
+    }
+    val books = (0 until m).map(i => kmeansCentroids(subEmb(i), ks, iters))
+    val bookNorms = books.map(_.map(c => math.sqrt(seqDot(c, c))))
+    val norms2 = books.map(_.map(c => seqDot(c, c)).toSeq)
+    val qvecs = emb.filter(col("vec_id").isInCollection(queryIds))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val qdf = queryIds.sorted.map { qid =>
+      val q = qvecs(qid)
+      val adc = (0 until m).map(i => (0 until ks).map(c =>
+        seqDot(q.slice(i * sub, (i + 1) * sub), books(i)(c))).toSeq).toSeq
+      (qid, adc, math.sqrt(seqDot(q, q)))
+    }.toDF("query_id", "adc", "qn")
+    val codes = emb.select(col("vec_id") +:
+      (0 until m).map(i => element_at(graft.functions.native.ivf_probe_cells(
+        slice(col("embedding"), i * sub + 1, sub), books(i), bookNorms(i), 1),
+        1).as(s"c$i")): _*)
+    val dsum = (0 until m).map(i =>
+      element_at(element_at(col("adc"), i + 1), col(s"c$i") + 1))
+      .reduce(_ + _)
+    val xn2 = (0 until m).map(i =>
+      element_at(typedlit(norms2(i)), col(s"c$i") + 1)).reduce(_ + _)
+    val scored = codes.join(broadcast(qdf), col("vec_id") =!= col("query_id"))
+      .withColumn("score", coalesce(
+        dsum / nullif(col("qn") * sqrt(xn2), lit(0.0)),
+        lit(Double.NegativeInfinity)))
+    val rank = row_number().over(
+      Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id")))
+    scored.withColumn("rank", rank.cast("bigint")).filter(col("rank") <= kTop)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("score"), 4).as("score_r"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, id1 < id2.
    *  Exact within-corpus variant — the O(n^2) BASELINE, guarded so it
    *  cannot be pointed at a full corpus by accident: corpora larger

@@ -795,6 +795,85 @@ object Oracles {
        |SELECT query_id, rank, neighbor_id, cos_r FROM r WHERE rank <= ${PipelineQueries.SimK}""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.simPq]] by re-deriving the WHOLE PQ
+   *  index: per-subspace decimal-exact Lloyd codebooks (the
+   *  kmeansCellsPrefix device instantiated once per subspace over the
+   *  embedding slices), the per-vector code assignment, and the ADC
+   *  score — dot(q_m, codeword) per subspace, summed in subspace
+   *  order, normalized by the reconstruction norm — all relational;
+   *  Spark's driver-precomputed ADC scalars reproduce because both
+   *  sides accumulate in sequential element order. */
+  val simPq: String = {
+    val m = PipelineQueries.PqM
+    val ks = PipelineQueries.PqKs
+    val iters = PipelineQueries.KmIters
+    val dim = PipelineQueries.EmbeddingDim
+    val sub = dim / m
+    val ids = PipelineQueries.SimQueryIds.mkString(", ")
+    def cScore(se: String, nrm: String, ce: String) =
+      s"coalesce((${dotSql.format(se, ce)}) / nullif($nrm * sqrt(${dotSql.format(ce, ce)}), 0), CAST('-infinity' AS DOUBLE))"
+    val prefixes = (0 until m).map { s =>
+      val lo = s * sub
+      val iterCtes = (1 to iters).map { i =>
+        val p = i - 1
+        s"""p${s}a$i AS (
+           |  SELECT vec_id, se, cell FROM (
+           |    SELECT n.vec_id, n.se, c.cid AS cell,
+           |           row_number() OVER (PARTITION BY n.vec_id
+           |             ORDER BY ${cScore("n.se", "n.nrm", "c.ce")} DESC, c.cid) AS rnk
+           |    FROM p${s}n n CROSS JOIN p${s}c$p c) t WHERE rnk = 1),
+           |p${s}s$i AS (
+           |  SELECT cell, d.d AS d,
+           |         CAST(CAST(sum(CAST(se[d.d + 1] AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS FLOAT) AS v
+           |  FROM p${s}a$i CROSS JOIN (SELECT unnest(range(0, $sub)) AS d) d
+           |  GROUP BY 1, 2),
+           |p${s}m$i AS (SELECT cell AS cid, list(v ORDER BY d) AS ce FROM p${s}s$i GROUP BY 1),
+           |p${s}c$i AS (SELECT c.cid, coalesce(mm.ce, c.ce) AS ce
+           |             FROM p${s}c$p c LEFT JOIN p${s}m$i mm USING (cid))""".stripMargin
+      }.mkString(",\n")
+      s"""p${s}e AS (SELECT vec_id, embedding[${lo + 1}:${lo + sub}] AS se FROM e),
+         |p${s}n AS (SELECT vec_id, se, sqrt(${dotSql.format("se", "se")}) AS nrm FROM p${s}e),
+         |p${s}c0 AS (SELECT vec_id AS cid, se AS ce FROM p${s}e WHERE vec_id < $ks),
+         |$iterCtes,
+         |p${s}f AS (
+         |  SELECT vec_id, cell AS code FROM (
+         |    SELECT n.vec_id, c.cid AS cell,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY ${cScore("n.se", "n.nrm", "c.ce")} DESC, c.cid) AS rnk
+         |    FROM p${s}n n CROSS JOIN p${s}c$iters c) t WHERE rnk = 1)""".stripMargin
+    }.mkString(",\n")
+    val codeJoin = (1 until m).map(s => s"JOIN p${s}f USING (vec_id)").mkString(" ")
+    val codeCols = (0 until m).map(s => s"p${s}f.code AS c$s").mkString(", ")
+    val dsum = (0 until m).map(s =>
+      s"(${dotSql.format(s"qe[${s * sub + 1}:${s * sub + sub}]", s"b$s.ce")})")
+      .mkString(" + ")
+    val xn2 = (0 until m).map(s =>
+      s"(${dotSql.format(s"b$s.ce", s"b$s.ce")})").mkString(" + ")
+    val bookJoins = (0 until m).map(s =>
+      s"JOIN p${s}c$iters b$s ON codes.c$s = b$s.cid").mkString("\n  ")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |$prefixes,
+       |codes AS (SELECT p0f.vec_id, $codeCols FROM p0f $codeJoin),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe,
+       |             sqrt(${dotSql.format("embedding", "embedding")}) AS qn
+       |      FROM embeddings WHERE vec_id IN ($ids)),
+       |scored AS (
+       |  SELECT q.query_id, codes.vec_id,
+       |         coalesce(($dsum) / nullif(q.qn * sqrt($xn2), 0),
+       |                  CAST('-infinity' AS DOUBLE)) AS score
+       |  FROM codes CROSS JOIN q
+       |  $bookJoins
+       |  WHERE codes.vec_id <> q.query_id),
+       |r AS (
+       |  SELECT query_id,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY score DESC, vec_id) AS BIGINT) AS rank,
+       |         vec_id AS neighbor_id, round(score, 4) AS score_r
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, score_r FROM r
+       |WHERE rank <= ${PipelineQueries.SimK}""".stripMargin
+  }
+
   val embedNearDup: String =
     s"""WITH e AS (
        |  SELECT vec_id, embedding,

@@ -428,6 +428,20 @@ object PipelineQueries {
     SimilarityOps.embeddingNearDupsLsh(Tables.embeddings(spark, sfDir),
       NearDupCos, bits = NearDupBits, tables = NearDupTables)
 
+  // Product-quantization parameters: 4 subspaces of EmbeddingDim/4
+  // dims, 8 codewords each — 64 floats compress to 4 codes (64×), the
+  // memory-side ANN trade next to IVF's partition-side one.
+  val PqM = 4
+  val PqKs = 8
+
+  /** PQ + ADC approximate top-k ([[SimilarityOps.pqTopK]]): per-
+   *  subspace decimal-exact Lloyd codebooks, corpus encoded to
+   *  [[PqM]] codes, queries scored from per-query ADC tables without
+   *  touching the original floats. */
+  def simPq(spark: SparkSession, sfDir: String): DataFrame =
+    SimilarityOps.pqTopK(Tables.embeddings(spark, sfDir), SimQueryIds, SimK,
+      dim = EmbeddingDim, m = PqM, ks = PqKs, iters = KmIters)
+
   // ---- text analysis ------------------------------------------------------
 
   def textLangId(spark: SparkSession, sfDir: String): DataFrame =
