@@ -2251,6 +2251,7 @@ object Oracles {
     val bands = graft.queries.PipelineQueries.EvalBands
     val rows = slots / bands
     val minJ = graft.queries.PipelineQueries.EvalMinJ
+    val anchor = graft.queries.PipelineQueries.EvalAnchorMod
     def h60(e: String) = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
     val slotCols = (0 until slots)
       .map(i => s"min(${h60(s"'$i:' || sh")}) AS m$i").mkString(",\n         ")
@@ -2274,6 +2275,7 @@ object Oracles {
        |inter AS (
        |  SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS i
        |  FROM shh x JOIN shh y ON x.h = y.h AND x.doc_id < y.doc_id
+       |  WHERE x.doc_id % $anchor = 0
        |  GROUP BY 1, 2),
        |exact AS (
        |  SELECT id1, id2,

@@ -433,7 +433,9 @@ class DedupOpsSpec extends SparkSpec {
     val mid = PipelineQueries.dedupEval(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val (pairs, caught) = mid.values.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
-    assert(pairs >= 30L, s"all planted pairs must be evaluated: $mid")
+    // anchor sampling keeps pairs whose smaller id % EvalAnchorMod == 0:
+    // planted pair p has smaller id 2p, so every even p survives — 15
+    assert(pairs >= 15L, s"anchored planted pairs must be evaluated: $mid")
     assert(caught > 0L && caught < pairs,
       s"mid-J banding must catch SOME but not ALL pairs: $mid")
     // the driver corpus: bimodal — band 0 noise rejected, band 4 caught
