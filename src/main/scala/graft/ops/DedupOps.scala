@@ -126,10 +126,17 @@ object DedupOps {
       .select(col("id"), posexplode(lshBandHashes(col("sig"), bands, rows)))
       .toDF("id", "band", "bh")
     val banded = maxBandDf match {
-      case Some(cap) => banded0.join(
-        banded0.groupBy("band", "bh").agg(count(lit(1)).as("bdf"))
-          .filter(col("bdf") <= cap),
-        Seq("band", "bh"), "left_semi")
+      case Some(cap) =>
+        // cut lineage before the fan-out: the bucket count, the
+        // semi-join, and the x/y candidate aliases would otherwise
+        // each re-plan the minhash-signature subtree (the
+        // removeRepeatedSpans double-subtree failure mode); the
+        // materialized relation is fixed-width (id, band, hash) rows
+        val bandedM = banded0.localCheckpoint()
+        bandedM.join(
+          bandedM.groupBy("band", "bh").agg(count(lit(1)).as("bdf"))
+            .filter(col("bdf") <= cap),
+          Seq("band", "bh"), "left_semi")
       case None => banded0
     }
     banded.as("x").join(banded.as("y"),

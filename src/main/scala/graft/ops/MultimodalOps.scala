@@ -108,47 +108,11 @@ object MultimodalOps {
    * encoded PNG.
    */
   def decodeImagePartitioned(df: DataFrame, idCol: String, bytesCol: String)
-      : org.apache.spark.sql.Dataset[graft.model.ImageFeatures] = {
-    import df.sparkSession.implicits._
-    df.select(col(idCol), col(bytesCol)).as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        javax.imageio.ImageIO.setUseCache(false) // no executor temp files
-        rows.map { case (id, bytes) =>
-          val img =
-            try {
-              if (bytes == null || bytes.isEmpty) null
-              else javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(bytes))
-            } catch {
-              // ImageIO plugin readers throw unchecked exceptions
-              // (IllegalArgument, IndexOutOfBounds, CMMException, ...)
-              // on truncated payloads whose magic matches a known
-              // format — those must quarantine as width = -1 too, not
-              // kill the task.
-              case scala.util.control.NonFatal(_) => null
-            }
-          if (img == null) graft.model.ImageFeatures(id, -1, -1, Nil)
-          else {
-            val w = img.getWidth
-            val h = img.getHeight
-            val hist = new Array[Long](16)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                val lum =
-                  (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
-                hist(lum >> 4) += 1L
-                x += 1
-              }
-              y += 1
-            }
-            graft.model.ImageFeatures(id, w, h, hist.toSeq)
-          }
-        }
-      }
-  }
+      : org.apache.spark.sql.Dataset[graft.model.ImageFeatures] =
+    // one decode body for the plain and resized paths: factor 1 IS the
+    // identity transform (spec-pinned), so any fix to the decode or
+    // quarantine handling lands in both
+    decodeImageResized(df, idCol, bytesCol, factor = 1)
 
   /**
    * REAL audio decode in the [[decodePartitioned]] shape — the WAV
@@ -237,7 +201,14 @@ object MultimodalOps {
               if (bytes == null || bytes.isEmpty) null
               else javax.imageio.ImageIO.read(
                 new java.io.ByteArrayInputStream(bytes))
-            } catch { case scala.util.control.NonFatal(_) => null }
+            } catch {
+              // ImageIO plugin readers throw unchecked exceptions
+              // (IllegalArgument, IndexOutOfBounds, CMMException, ...)
+              // on truncated payloads whose magic matches a known
+              // format — those must quarantine as width = -1 too, not
+              // kill the task.
+              case scala.util.control.NonFatal(_) => null
+            }
           if (img == null) graft.model.ImageFeatures(id, -1, -1, Nil)
           else {
             val w = (img.getWidth + factor - 1) / factor
@@ -328,13 +299,21 @@ object MultimodalOps {
                       ct match {
                         case "mvhd" if ce - cs >= 24 =>
                           val v = bytes(cs) & 0xFF
-                          if (v == 1 && ce - cs >= 32) {
-                            timescale = u32(bytes, cs + 20)
-                            duration = u64(bytes, cs + 24)
-                          } else {
+                          // strict per version: a truncated v1 payload
+                          // must NOT fall back to reading its 64-bit
+                          // time fields with v0 offsets (that parses
+                          // the modification-time words as timescale/
+                          // duration — accepted garbage); reserved
+                          // versions quarantine too
+                          if (v == 1) {
+                            if (ce - cs >= 32) {
+                              timescale = u32(bytes, cs + 20)
+                              duration = u64(bytes, cs + 24)
+                            } else ok = false
+                          } else if (v == 0) {
                             timescale = u32(bytes, cs + 12)
                             duration = u32(bytes, cs + 16)
-                          }
+                          } else ok = false
                         case "trak" => nTracks += 1L
                         case _ => ()
                       }
@@ -343,7 +322,11 @@ object MultimodalOps {
                   case _ => ()
                 }
               } && ok
-              if (!ok || brand == null || timescale <= 0L || duration < 0L)
+              // duration * 1000 must not wrap: a u64 mvhd-v1 duration
+              // past Long.MaxValue/1000 ticks would emit a NEGATIVE
+              // duration_ms on an accepted row — quarantine instead
+              if (!ok || brand == null || timescale <= 0L || duration < 0L ||
+                  duration > Long.MaxValue / 1000L)
                 bad(id)
               else graft.model.ContainerMeta(id, brand, timescale,
                 duration * 1000L / timescale, nTracks, mdatBytes)

@@ -366,10 +366,14 @@ object SimilarityOps {
     // exact-dedup path. Default None preserves the oracle-gated
     // semantics; SkewSpec pins the capped behavior.
     val banded = maxBucket match {
-      case Some(cap) => banded0.join(
-        banded0.groupBy("band", "bucket").agg(count(lit(1)).as("bdf"))
-          .filter(col("bdf") <= cap),
-        Seq("band", "bucket"), "left_semi")
+      case Some(cap) =>
+        // lineage cut before the count/semi-join/self-join fan-out —
+        // the minhashCandidates maxBandDf reasoning; fixed-width rows
+        val bandedM = banded0.localCheckpoint()
+        bandedM.join(
+          bandedM.groupBy("band", "bucket").agg(count(lit(1)).as("bdf"))
+            .filter(col("bdf") <= cap),
+          Seq("band", "bucket"), "left_semi")
       case None => banded0
     }
     val cand = banded.as("a").join(banded.as("b"),
@@ -537,7 +541,9 @@ object SimilarityOps {
     val qvecs = emb.filter(col("vec_id").isInCollection(queryIds))
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    val qdf = queryIds.sorted.map { qid =>
+    // a queryId absent from the corpus yields no rows — the sibling
+    // top-k ops' relational-filter semantics, not a driver crash
+    val qdf = queryIds.sorted.filter(qvecs.contains).map { qid =>
       val q = qvecs(qid)
       val adc = (0 until m).map(i => (0 until ks).map(c =>
         seqDot(q.slice(i * sub, (i + 1) * sub), books(i)(c))).toSeq).toSeq

@@ -307,6 +307,28 @@ class TextMultimodalSpec extends SparkSpec {
       Seq((9L, v1clip)).toDF("doc_id", "bytes"), "doc_id", "bytes").collect().head
     assert(v1.brand == "mp42" && v1.timescale == 1000L &&
       v1.duration_ms == 2500L && v1.n_tracks == 1L, s"mvhd v1 parse: $v1")
+    // mvhd edge zoo (code-review findings): a TRUNCATED v1 payload must
+    // not fall back to v0 offsets (that reads the modification-time
+    // words as timescale/duration — accepted garbage); a u64 duration
+    // past Long.MaxValue/1000 must not wrap to a negative duration_ms
+    // on an accepted row; a reserved version must quarantine
+    val mvhdTruncV1 = bx("mvhd", Array[Byte](1, 0, 0, 0) ++ Array.fill(20)(1.toByte))
+    val mvhdHuge = bx("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+        be32(1000) ++ be64(Long.MaxValue / 500L) ++ Array.fill(80)(0.toByte))
+    val mvhdV2 = bx("mvhd", Array[Byte](2, 0, 0, 0) ++ Array.fill(96)(0.toByte))
+    val edge = Seq(mvhdTruncV1, mvhdHuge, mvhdV2).zipWithIndex.map {
+      case (mv, i) =>
+        (20L + i, bx("ftyp", "isomisom".getBytes("US-ASCII")) ++
+          bx("moov", mv ++ bx("trak", Array.fill(84)(0.toByte))))
+    }
+    val edgeOut = MultimodalOps.probeMp4Partitioned(
+      edge.toDF("doc_id", "bytes"), "doc_id", "bytes")
+      .collect().map(f => f.id -> f).toMap
+    edge.foreach { case (id, _) =>
+      assert(edgeOut(id).brand == "corrupt" && edgeOut(id).duration_ms == -1L,
+        s"mvhd edge #$id not quarantined: ${edgeOut(id)}")
+    }
   }
 
   test("mm_probe_mp4: the COMMITTED MP4 fixture parses to the " +
