@@ -2254,7 +2254,8 @@ object Oracles {
     val anchor = graft.queries.PipelineQueries.EvalAnchorMod
     def h60(e: String) = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
     val slotCols = (0 until slots)
-      .map(i => s"min(${h60(s"'$i:' || sh")}) AS m$i").mkString(",\n         ")
+      .map(i => s"min(${h60(s"CAST(h AS VARCHAR) || ':$i'")}) AS m$i")
+      .mkString(",\n         ")
     val bandSelects = (0 until bands).map { b =>
       val key = (0 until rows).map(r => s"m${b * rows + r}").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, ${h60(s"$key")} AS bk FROM slots"
@@ -2287,7 +2288,7 @@ object Oracles {
        |slots AS (
        |  SELECT doc_id,
        |         $slotCols
-       |  FROM sh GROUP BY 1),
+       |  FROM shh GROUP BY 1),
        |banded AS (
        |  $bandSelects),
        |caught AS (

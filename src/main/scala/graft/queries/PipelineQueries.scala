@@ -569,7 +569,9 @@ object PipelineQueries {
    * the exact side's Σ df² shingle join is the one genuinely
    * quadratic computation here) are the ground truth; the candidate
    * set comes from a PORTABLE minhash
-   * (slot i = min over shingles of md5-60("i:" ++ shingle), band =
+   * (slot i = min over shingles of md5-60(base-hash ++ ":i") where the
+   * base hash is the shingle's md5-60 — keying the slot family on the
+   * 60-bit hash keeps shingle STRINGS out of the whole query; band =
    * md5-60 of its 4 comma-joined slots) — the md5-60 device that lets
    * DuckDB recompute the SIGNATURES themselves, so the oracle
    * re-derives both sides of the recall fraction instead of trusting
@@ -587,13 +589,16 @@ object PipelineQueries {
     val rows = EvalSlots / EvalBands
     def md560(c: Column): Column =
       conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-    val sh = FanOut.fanOut(
+    // per-doc DISTINCT md5-60 shingle hashes in ONE kernel pass
+    // (portable GramHashes over the same space-joined 3-grams — the
+    // composed string-shingle column form was interpreted HOFs and
+    // cost 4.3 s per consumer at bench cores); the hash IS
+    // md560(shingle), so the exact side is unchanged
+    val shh = FanOut.fanOut(
       Tables.documents(spark, sfDir).select("doc_id", "text"))
       .select(col("doc_id"),
-        explode(array_distinct(DedupOps.shingles(col("text"), 3))).as("sh"))
-    // exact side: Jaccard over the same shingle sets, joined on md5-60;
-    // the x (smaller-id) side is anchor-sampled — see EvalAnchorMod
-    val shh = sh.select(col("doc_id"), md560(col("sh")).as("h"))
+        explode(array_distinct(graft.functions.native.gram_hashes(
+          col("text"), 3, portable = true))).as("h"))
     val sizes = shh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val exact = shh.filter(col("doc_id") % EvalAnchorMod === 0).as("x")
       .join(shh.as("y"),
@@ -606,12 +611,19 @@ object PipelineQueries {
       .filter(col("j") >= EvalMinJ)
       .select(col("id1"), col("id2"),
         least(floor(col("j") * 5), lit(4L)).as("j_band"))
-    // candidate side: the portable banded minhash
-    val slots = sh.groupBy("doc_id").agg(
-      (0 until EvalSlots).map(i =>
-        min(md560(concat(lit(s"$i:"), col("sh")))).as(s"m$i")).head,
-      (1 until EvalSlots).map(i =>
-        min(md560(concat(lit(s"$i:"), col("sh")))).as(s"m$i")): _*)
+    // candidate side: the portable banded minhash, with the slot
+    // family keyed on the 60-bit BASE HASH's decimal string (not the
+    // raw shingle — strings never materialize anywhere in this query)
+    // and the 16 slot hashes computed once per DISTINCT base hash
+    // (the corpus repeats each shingle df ≈ 10×), re-joined for the
+    // per-doc min rollup
+    val slotTable = shh.select("h").distinct()
+      .select(col("h") +: (0 until EvalSlots).map(i =>
+        md560(concat(col("h").cast("string"), lit(s":$i"))).as(s"h$i")): _*)
+    val slots = shh.join(slotTable, Seq("h"))
+      .groupBy("doc_id").agg(
+        min(col("h0")).as("m0"),
+        (1 until EvalSlots).map(i => min(col(s"h$i")).as(s"m$i")): _*)
     val banded = slots.select(col("doc_id"),
       posexplode(array((0 until EvalBands).map(b =>
         md560(concat_ws(",",
