@@ -991,7 +991,11 @@ object VectorMath {
    *  model device) — returns (n_fp distinct hashes, n_collide). */
   def winnowCollide(text: String, k: Int, w: Int,
       model: Array[Long]): InternalRow = {
-    val hit = winnowCollideMemo.lookup(text, model)
+    // key carries (k, w, model): same text under different gram/window
+    // parameters must recompute (tuple equals compares the model array
+    // by reference — broadcast values are eq-stable per executor)
+    val memoKey = (k, w, model)
+    val hit = winnowCollideMemo.lookup(text, memoKey)
     if (hit != null) return hit.asInstanceOf[InternalRow]
     // A >= 2^20-gram document overflows the packed position field —
     // the batch query fails loud, but a live ADMISSION gate must not
@@ -1004,7 +1008,7 @@ object VectorMath {
         case _: IllegalArgumentException =>
           val row = new org.apache.spark.sql.catalyst.expressions
             .GenericInternalRow(Array[Any](-1L, Long.MaxValue))
-          return winnowCollideMemo.store(text, model, row)
+          return winnowCollideMemo.store(text, memoKey, row)
             .asInstanceOf[InternalRow]
       }
     val n = fps.numElements()
@@ -1022,7 +1026,7 @@ object VectorMath {
     }
     val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](nFp, nCollide))
-    winnowCollideMemo.store(text, model, row).asInstanceOf[InternalRow]
+    winnowCollideMemo.store(text, memoKey, row).asInstanceOf[InternalRow]
   }
 
   /** Canonical constants of the hashed-linear classifier (see

@@ -98,6 +98,16 @@ object DedupOps {
       xxhash64((0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*)
     }: _*)
 
+  /** Lineage truncation with the fault-tolerance trade made once for
+   *  the whole dedup family (the [[connectedComponents]] rule):
+   *  reliable `checkpoint()` when the session has a checkpoint dir —
+   *  recomputable from storage after executor loss — and executor-
+   *  local `localCheckpoint()` otherwise (local/dev, where blocks and
+   *  executors die together). */
+  private[graft] def reliableTruncate(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   /**
    * MinHash+LSH candidate pairs: docs sharing any band bucket.
    * Shuffles only (id, band, hash) triples; the equi-join on
@@ -132,7 +142,7 @@ object DedupOps {
         // each re-plan the minhash-signature subtree (the
         // removeRepeatedSpans double-subtree failure mode); the
         // materialized relation is fixed-width (id, band, hash) rows
-        val bandedM = banded0.localCheckpoint()
+        val bandedM = reliableTruncate(banded0)
         bandedM.join(
           bandedM.groupBy("band", "bh").agg(count(lit(1)).as("bdf"))
             .filter(col("bdf") <= cap),
@@ -572,7 +582,7 @@ object DedupOps {
    */
   def removeRepeatedSpans(df: DataFrame, id: Column, text: Column,
       n: Int = 4, minLen: Int = 8,
-      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+      materialize: DataFrame => DataFrame = reliableTruncate): DataFrame = {
     require(minLen >= n, "a span shorter than one gram cannot qualify")
     val words = TextAnalyticsOps.words(text)
     val grams = FanOut.fanOut(df)
@@ -660,9 +670,7 @@ object DedupOps {
       maxIters: Int = 30): DataFrame = {
     // reliable checkpoint when a checkpoint dir is configured (cluster
     // mode); executor-memory localCheckpoint otherwise (local/dev)
-    def truncate(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint(true)
+    def truncate(df: DataFrame): DataFrame = reliableTruncate(df)
     // Reliable checkpoint file of a just-checkpointed DataFrame (None
     // for localCheckpoint / non-checkpoint plans). Spark only deletes
     // these files itself with referenceTracking.cleanCheckpoints=true,

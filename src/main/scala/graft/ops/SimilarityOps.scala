@@ -369,7 +369,7 @@ object SimilarityOps {
       case Some(cap) =>
         // lineage cut before the count/semi-join/self-join fan-out —
         // the minhashCandidates maxBandDf reasoning; fixed-width rows
-        val bandedM = banded0.localCheckpoint()
+        val bandedM = DedupOps.reliableTruncate(banded0)
         bandedM.join(
           bandedM.groupBy("band", "bucket").agg(count(lit(1)).as("bdf"))
             .filter(col("bdf") <= cap),

@@ -1914,21 +1914,19 @@ object PipelineQueries {
             col("text"), WinnowK, WinnowW),
           x => shiftright(x, 20)))).as("sel_h"))
 
-  /** The RARE fingerprint hashes of a corpus (document frequency ≤
-   *  [[WinnowMaxDf]]) — [[dedupWinnow]]'s candidate universe, and the
-   *  sorted-long[] model `StreamOps.winnowGateStream` broadcasts. */
-  private[graft] def rareWinnowFingerprints(docs: DataFrame): DataFrame =
-    winnowDocFingerprints(docs)
-      .groupBy("sel_h").agg(count(lit(1)).as("df"))
+  /** The RARE fingerprint hashes of a per-doc fingerprint relation
+   *  (document frequency ≤ [[WinnowMaxDf]]) — THE single definition of
+   *  [[dedupWinnow]]'s candidate universe and the sorted-long[] model
+   *  `StreamOps.winnowGateStream` broadcasts; a cap-rule change lands
+   *  in both or neither. */
+  private[graft] def rareWinnowFingerprints(fp: DataFrame): DataFrame =
+    fp.groupBy("sel_h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= WinnowMaxDf)
       .select("sel_h")
 
   def dedupWinnow(spark: SparkSession, sfDir: String): DataFrame = {
     val fp = winnowDocFingerprints(Tables.documents(spark, sfDir))
-    val rare = fp.join(
-      fp.groupBy("sel_h").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= WinnowMaxDf),
-      "sel_h")
+    val rare = fp.join(rareWinnowFingerprints(fp), Seq("sel_h"))
     rare.select(col("sel_h"), col("doc_id").as("id1"))
       .join(rare.select(col("sel_h"), col("doc_id").as("id2")), "sel_h")
       .filter(col("id1") < col("id2"))

@@ -539,7 +539,8 @@ object StreamOps {
    */
   def winnowGateStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
     import graft.queries.PipelineQueries
-    val model = PipelineQueries.rareWinnowFingerprints(corpus)
+    val model = PipelineQueries.rareWinnowFingerprints(
+        PipelineQueries.winnowDocFingerprints(corpus))
       .collect().map(_.getLong(0)).sorted
     val bc = docs.sparkSession.sparkContext.broadcast(model)
     docs.filter(graft.functions.native

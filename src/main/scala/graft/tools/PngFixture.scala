@@ -38,22 +38,10 @@ object PngFixture {
     (i * 17 + x * 29 + y * 7) % 256)
 
   /** (img_id, width, height, hist_csv) from the raw pixel definition —
-   *  the oracle side; must never touch PNG bytes or ImageIO. */
-  def expectedRows: Seq[(Long, Int, Int, String)] = (0 until N).map { i =>
-    val (w, h) = dims(i)
-    val hist = new Array[Long](16)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val (r, g, b) = rgb(i, x, y)
-        hist(((r + g + b) / 3) >> 4) += 1L
-        x += 1
-      }
-      y += 1
-    }
-    (i.toLong, w, h, hist.mkString(","))
-  }
+   *  the oracle side; must never touch PNG bytes or ImageIO. Factor 1
+   *  of the resized generator IS the identity (the decode paths share
+   *  one body the same way), so a binning fix lands in both oracles. */
+  def expectedRows: Seq[(Long, Int, Int, String)] = expectedResizedRows(1)
 
   /** (img_id, width, height, hist_csv) of the factor-downsampled
    *  images (nearest-neighbor, top-left anchor) from the raw pixel

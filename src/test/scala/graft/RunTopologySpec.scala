@@ -693,7 +693,8 @@ class RunTopologySpec extends SparkSpec {
       "so sh")
     // batch rule: < WinnowMinShared distinct fingerprint hashes in the
     // rare corpus set
-    val rare = PipelineQueries.rareWinnowFingerprints(corpus)
+    val rare = PipelineQueries.rareWinnowFingerprints(
+      PipelineQueries.winnowDocFingerprints(corpus))
       .collect().map(_.getLong(0)).toSet
     val expectAdmit = fresh.filter { t =>
       val fp = PipelineQueries.winnowDocFingerprints(
