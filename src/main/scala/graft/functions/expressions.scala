@@ -982,6 +982,59 @@ object VectorMath {
     trainedMemo.store(text, w, row).asInstanceOf[InternalRow]
   }
 
+  /** Per-thread code-point count scratch for [[charEntropy]] —
+   *  reused across rows (the gopherScratch device). */
+  private val entropyScratch =
+    new ThreadLocal[java.util.HashMap[Integer, Integer]] {
+      override def initialValue() = new java.util.HashMap[Integer, Integer](128)
+    }
+  private val entropyMemo = new RowMemo("entropy")
+
+  /**
+   * One-pass character-entropy statistics; see [[CharEntropy]]:
+   * (n_cp, n_distinct, entropy_micro) where entropy_micro =
+   * Σ_chars floor((c/n)·ln(n/c)·1e6) over the text's code-point
+   * distribution — Shannon entropy in integer micro-nats, the
+   * degenerate/garbled-text curation signal ("aaaa…" → 0, uniform
+   * text → ln(alphabet)). Per-class terms are floored BEFORE the sum
+   * (the NllMicro device) so the total is an order-independent
+   * integer any engine reproduces; a surrogate pair counts as ONE
+   * code point, matching a character-split on the SQL side.
+   */
+  def charEntropy(text: String): InternalRow = {
+    val hit = entropyMemo.lookup(text, null)
+    if (hit != null) return hit.asInstanceOf[InternalRow]
+    val counts = entropyScratch.get()
+    counts.clear()
+    var n = 0L
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      val cp = text.codePointAt(i)
+      counts.merge(cp, 1, sumInts)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var ent = 0L
+    val nd = counts.size.toLong
+    if (n > 0) {
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val c = it.next().intValue()
+        ent += math.floor(
+          (c.toDouble / n.toDouble) * StrictMath.log(n.toDouble / c.toDouble)
+            * 1000000.0).toLong
+      }
+    }
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, nd, ent))
+    entropyMemo.store(text, null, row).asInstanceOf[InternalRow]
+  }
+
+  private val sumInts: java.util.function.BiFunction[
+      Integer, Integer, Integer] =
+    (a, b) => Integer.valueOf(a.intValue + b.intValue)
+
   private val winnowCollideMemo = new RowMemo("winnow_collide")
 
   /** Distinct winnowing-fingerprint hashes of a text probed against a
@@ -1706,6 +1759,33 @@ case class EmbBandCollide(child: Expression, bits: Int, tables: Int,
 }
 
 /**
+ * One-pass character-entropy kernel: struct(n_cp, n_distinct,
+ * entropy_micro) over the input's code-point distribution — the
+ * garbled/degenerate-text curation signal. The relational form would
+ * explode one row PER CHARACTER (a corpus-size × doc-length shuffle);
+ * every statistic here is within-document, so it is a row-local
+ * projection like [[GopherStats]].
+ */
+case class CharEntropy(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq("n_cp", "n_distinct", "entropy_micro").map(f =>
+      org.apache.spark.sql.types.StructField(f,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.charEntropy(v.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.VectorMath.charEntropy($t.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * Winnowing-fingerprint collision count against a broadcast SORTED
  * array of rare corpus fingerprint hashes — the [[LshBandCollide]]
  * device at winnowing granularity: one kernel call runs the deque
@@ -2386,6 +2466,10 @@ object native {
       model: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
     GraftColumnBridge.column(
       LshBandCollide(GraftColumnBridge.expression(text), n, k, bands, model))
+
+  def char_entropy(text: Column): Column =
+    GraftColumnBridge.column(
+      CharEntropy(GraftColumnBridge.expression(text)))
 
   def winnow_collide(text: Column, k: Int, w: Int,
       model: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =

@@ -2303,6 +2303,30 @@ object Oracles {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.textEntropy]] relationally: one row per
+   *  CHARACTER (fine at oracle scale; the Spark side is a kernel for
+   *  exactly this reason), per-(doc, char) counts, the identical
+   *  floored micro-nat term — ((c/n)·ln(n/c))·1e6, left-associated —
+   *  summed as BIGINT. Empty docs keep a zero row via LEFT JOIN. */
+  val textEntropy: String =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS chr
+      |  FROM documents),
+      |c AS (SELECT doc_id, chr, count(*) AS c FROM ch GROUP BY 1, 2),
+      |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_cp FROM c GROUP BY 1),
+      |agg AS (
+      |  SELECT c.doc_id, n.n_cp,
+      |         CAST(count(*) AS BIGINT) AS n_distinct_chars,
+      |         CAST(sum(CAST(floor(c / CAST(n_cp AS DOUBLE)
+      |                             * ln(CAST(n_cp AS DOUBLE) / c)
+      |                             * 1000000.0) AS BIGINT)) AS BIGINT) AS entropy_micro
+      |  FROM c JOIN n USING (doc_id) GROUP BY 1, 2)
+      |SELECT d.doc_id,
+      |       coalesce(a.n_cp, 0) AS n_cp,
+      |       coalesce(a.n_distinct_chars, 0) AS n_distinct_chars,
+      |       coalesce(a.entropy_micro, 0) AS entropy_micro
+      |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   /** Mirrors [[PipelineQueries.classifyTrain]] by training
    *  INDEPENDENTLY: the same featurization (md5-prefix buckets mod
    *  ClassifyDim over \s+ tokens of lower(text)), the same rational

@@ -641,6 +641,28 @@ object PipelineQueries {
       .withColumn("recall_r", round(col("n_caught") / col("n_pairs"), 4))
   }
 
+  /**
+   * Character-entropy quality signal — the garbled/degenerate-content
+   * detector a curation pipeline runs next to the word-level Gopher
+   * battery ("aaaa…", base64 blobs, and mojibake all sit at entropy
+   * extremes where natural prose does not): per document, the
+   * code-point count, distinct-character count, and Shannon entropy in
+   * integer micro-nats (per-class terms floored BEFORE the sum — the
+   * NllMicro device, so the total is an engine-stable integer). ONE
+   * row-local [[graft.functions.CharEntropy]] kernel pass, zero
+   * exchanges at any corpus size — the relational form would explode
+   * one row per CHARACTER, a corpus×doc-length shuffle for a
+   * statistic every row computes alone (the gopherProjection
+   * argument at character granularity).
+   */
+  def textEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.native.char_entropy(col("text")).as("e"))
+      .select(col("doc_id"), col("e.n_cp").as("n_cp"),
+        col("e.n_distinct").as("n_distinct_chars"),
+        col("e.entropy_micro").as("entropy_micro"))
+
   // classify_train hyperparameters: full-batch GD iterations and the
   // label rule (is-English, from the corpus's upstream lang column —
   // the one labeled signal testdata carries). Dim/bucket arithmetic is

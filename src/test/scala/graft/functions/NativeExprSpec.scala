@@ -459,6 +459,45 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("CharEntropy: known values (degenerate 0, uniform ln k), a " +
+      "plain-Scala recompute on corpus docs, surrogate pairs count " +
+      "once, and the projection plans zero exchanges") {
+    def ent(text: String): (Long, Long, Long) = {
+      val cps = text.codePoints().toArray
+      val n = cps.length.toLong
+      val counts = cps.groupBy(identity).view.mapValues(_.length).toMap
+      val e = counts.values.map(c => math.floor(
+        (c.toDouble / n.toDouble) * StrictMath.log(n.toDouble / c.toDouble)
+          * 1000000.0).toLong).sum
+      (n, counts.size.toLong, if (n > 0) e else 0L)
+    }
+    val texts = Seq("aaaaaaaa", "abcdefgh", "", "a", "ab ab ab",
+      "😀😀x", // two identical surrogate pairs + x
+      (1 to 40).map(i => s"w$i").mkString(" "))
+    val got = texts.toDF("text")
+      .select(native.char_entropy(col("text")).as("e"))
+      .select("e.n_cp", "e.n_distinct", "e.entropy_micro")
+      .as[(Long, Long, Long)].collect()
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g == ent(t), s"'$t': kernel $g != reference ${ent(t)}")
+    }
+    assert(got(0)._3 == 0L, "single-character text has zero entropy")
+    // uniform 8 distinct chars: entropy = ln 8 up to the per-class floor
+    assert(math.abs(got(1)._3 - math.floor(StrictMath.log(8.0) * 1000000.0)) <= 8,
+      s"uniform text entropy ${got(1)._3} != ~ln(8) micro")
+    assert(got(5)._1 == 3L && got(5)._2 == 2L,
+      "a surrogate pair must count as ONE code point")
+    // corpus recompute + plan shape
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = graft.queries.PipelineQueries.textEntropy(spark, "/root/testdata/sf0.001")
+    assert(!q.queryExecution.executedPlan.toString.contains("Exchange"),
+      "textEntropy must be a pure row-local projection")
+    val byId = q.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    docs.select("doc_id", "text").collect().foreach { r =>
+      assert(byId(r.getLong(0)) == ent(r.getString(1)), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("winnowCollide quarantines a packed-position-overflow document " +
       "(>= 2^20 grams) as a rejection instead of a task kill; " +
       "winnowFingerprints fails loud on the same input") {
