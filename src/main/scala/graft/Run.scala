@@ -173,6 +173,15 @@ object Run {
         (lines().select(col("ts"), col("value"),
           TextAnalyticsOps.qualityFeatures(col("value")).getField("score").as("score"))
           .filter(col("score") >= thr), OutputMode.Append)
+      case "entropy_gate" =>
+        // character-entropy band gate, live: the [lo, hi] micro-nat
+        // bounds are corpus quantiles learned ONCE at build from
+        // --corpus (the quality_cut offline-statistic split —
+        // degenerate AND garbled text both sit at entropy extremes,
+        // so the keep region is a BAND, not a one-sided cut); scoring
+        // is the same row-local CharEntropy kernel as text_entropy
+        (entropyGateTopology(spark, lines(), opts.getOrElse("corpus",
+          "/root/testdata/sf0.001/documents.parquet")), OutputMode.Append)
       case "curate" =>
         val minScore = opts.getOrElse("threshold", "0.1").toDouble
         val minWords = opts.getOrElse("min-words", "5").toLong
@@ -593,6 +602,16 @@ object Run {
       k = PipelineQueries.KmCells, iters = PipelineQueries.KmIters,
       threshold = PipelineQueries.OutlierCos)
   }
+
+  /** Entropy-band admission at ingest: the [p5, p95] micro-nat bounds
+   *  are offline corpus statistics (StreamOps.entropyGateStream has
+   *  the band reasoning). Factored so RunTopologySpec drives the
+   *  exact composition. */
+  private[graft] def entropyGateTopology(spark: SparkSession,
+      lines: DataFrame, corpusPath: String): DataFrame =
+    StreamOps.entropyGateStream(
+      lines.select(col("ts"), col("value").as("text")),
+      spark.read.parquet(corpusPath))
 
   /** Winnowing admission at ingest: the rare-fingerprint set is an
    *  offline artifact of the dedup_winnow universe

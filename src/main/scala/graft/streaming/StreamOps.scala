@@ -515,6 +515,39 @@ object StreamOps {
   }
 
   /**
+   * Live CHARACTER-ENTROPY band gate — the corpus-relative
+   * offline-statistic / online-filter split (quality_cut's pattern)
+   * over `text_entropy`'s signal: the [p5, p95] entropy-micro
+   * quantiles are learned ONCE at topology build from a static corpus
+   * and applied as literal BAND bounds — degenerate text ("aaaa…")
+   * sits at the low extreme and garbled/encoded content at the high
+   * one, so the keep region is two-sided where quality_cut's is not.
+   * Scoring is one row-local [[graft.functions.CharEntropy]] kernel
+   * call per row; stateless, Append-safe, replay-stable. Admitted
+   * rows carry (n_cp, entropy_micro) observability. Scale: the model
+   * is TWO longs; training is one corpus kernel pass + a 2-value
+   * percentile_approx (exact percentile would sort the doc-count
+   * frame; the approx sketch is the uv_approx trade, fine for a gate
+   * threshold). Docs must carry a `text` column.
+   */
+  def entropyGateStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    val bounds = corpus
+      .select(graft.functions.native.char_entropy(col("text"))
+        .getField("entropy_micro").as("e"))
+      .agg(percentile_approx(col("e"), array(lit(0.05), lit(0.95)),
+        lit(10000)).as("q"))
+      .head().getSeq[Long](0)
+    val (lo, hi) = (bounds(0), bounds(1))
+    val passthrough = docs.columns.map(col)
+    docs
+      .withColumn("ce",
+        graft.functions.native.char_entropy(col("text")))
+      .select(passthrough ++ Seq(col("ce.n_cp").as("n_cp"),
+        col("ce.entropy_micro").as("entropy_micro")): _*)
+      .filter(col("entropy_micro").between(lo, hi))
+  }
+
+  /**
    * Live WINNOWING admission gate — the [[nearDupGateStream]] split at
    * winnowing granularity, completing the text-admission family with
    * its POSITION-GUARANTEED member: the corpus's rare fingerprint

@@ -428,6 +428,13 @@ object MaxRateProbe {
         iters = graft.queries.PipelineQueries.KmIters,
         threshold = graft.queries.PipelineQueries.OutlierCos)
     }
+    search("entropy_gate", seed = 1000000, OutputMode.Append) { in =>
+      // entropy-band admission: one CharEntropy kernel call per row
+      // against the two corpus-quantile literals learned at build
+      StreamOps.entropyGateStream(
+        in.select(col("ts"), Generators.docLine(col("value")).as("text")),
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    }
     search("dedup_gate", seed = 1000000, OutputMode.Append) { in =>
       // streaming exact dedup: md5 fingerprint + watermark-bounded
       // dropDuplicates state; the generator repeats a bounded doc pool

@@ -670,6 +670,54 @@ class RunTopologySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("entropy_gate admits live lines exactly inside the corpus-learned " +
+      "entropy band; a degenerate line rejects low, garbled rejects high") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val sfd = "/root/testdata/sf0.001"
+    val batch = graft.queries.PipelineQueries.textEntropy(spark, sfd)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val sorted = batch.values.toSeq.sorted
+    // replay the corpus + two planted extremes through the gate
+    val texts = spark.read.parquet(s"$sfd/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val degenerate = "aaaa aaaa aaaa aaaa aaaa aaaa"
+    val garbled = (0 until 200).map(i => (33 + (i * 37) % 94).toChar).mkString
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.toMemory(
+      Run.entropyGateTopology(spark, in.toDF().toDF("ts", "value"),
+        s"$sfd/documents.parquet"),
+      "run_entropy_gate", OutputMode.Append, ckpt())
+    try {
+      val t0 = at("2024-01-01 10:00:00")
+      in.addData(((texts.map(_._2) :+ degenerate :+ garbled))
+        .map(t => (t0, t)).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("run_entropy_gate")
+        .select("text").collect().map(_.getString(0)).toSet
+      assert(!got.contains(degenerate), "degenerate text must reject low")
+      assert(!got.contains(garbled), "garbled text must reject high")
+      // the admitted corpus slice is exactly the [lo, hi] band members
+      val admittedIds = texts.collect { case (id, t) if got(t) => id }.toSet
+      val lo = batch.values.min
+      val hi = batch.values.max
+      assert(admittedIds.nonEmpty && admittedIds.size < texts.length,
+        "the p5/p95 band must trim the corpus tails")
+      // band consistency: every admitted doc's entropy is within the
+      // span of admitted values, and every rejected corpus doc sits
+      // outside that span (the band is an interval)
+      val admitted = admittedIds.map(batch)
+      val (bandLo, bandHi) = (admitted.min, admitted.max)
+      texts.foreach { case (id, t) =>
+        val e = batch(id)
+        if (e > bandLo && e < bandHi)
+          assert(got(t), s"doc $id inside the band must admit")
+      }
+      assert(lo < bandLo || hi > bandHi, "tails exist outside the band")
+    } finally q.stop()
+  }
+
   test("winnow_gate admits live lines exactly as the batch rare-" +
       "fingerprint collision rule; a verbatim corpus run rejects and " +
       "the guarantee holds: a planted K+W-1 shared run is caught") {
