@@ -1035,21 +1035,17 @@ object VectorMath {
       Integer, Integer, Integer] =
     (a, b) => Integer.valueOf(a.intValue + b.intValue)
 
-  private val winnowCollideMemo = new RowMemo("winnow_collide")
-
   /** Distinct winnowing-fingerprint hashes of a text probed against a
    *  SORTED array of rare corpus fingerprint hashes; see
    *  [[WinnowCollide]]. One [[winnowFingerprints]] deque scan, per-doc
    *  hash dedup in a set, binary-search membership (the sorted-long[]
-   *  model device) — returns (n_fp distinct hashes, n_collide). */
+   *  model device) — returns (n_fp distinct hashes, n_collide). NO
+   *  row memo: the gate's plan evaluates the kernel once per row
+   *  (measured 0% hit rate), so a memo would add per-row key work for
+   *  nothing — and a memo ignoring (k, w) would serve stale counts
+   *  under a second parameterization. */
   def winnowCollide(text: String, k: Int, w: Int,
       model: Array[Long]): InternalRow = {
-    // key carries (k, w, model): same text under different gram/window
-    // parameters must recompute (tuple equals compares the model array
-    // by reference — broadcast values are eq-stable per executor)
-    val memoKey = (k, w, model)
-    val hit = winnowCollideMemo.lookup(text, memoKey)
-    if (hit != null) return hit.asInstanceOf[InternalRow]
     // A >= 2^20-gram document overflows the packed position field —
     // the batch query fails loud, but a live ADMISSION gate must not
     // let one poison-pill doc wedge the topology: quarantine as
@@ -1059,10 +1055,8 @@ object VectorMath {
       try winnowFingerprints(text, k, w)
       catch {
         case _: IllegalArgumentException =>
-          val row = new org.apache.spark.sql.catalyst.expressions
+          return new org.apache.spark.sql.catalyst.expressions
             .GenericInternalRow(Array[Any](-1L, Long.MaxValue))
-          return winnowCollideMemo.store(text, memoKey, row)
-            .asInstanceOf[InternalRow]
       }
     val n = fps.numElements()
     val seen = new java.util.HashSet[java.lang.Long](math.max(n * 2, 4))
@@ -1077,9 +1071,8 @@ object VectorMath {
       }
       i += 1
     }
-    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](nFp, nCollide))
-    winnowCollideMemo.store(text, memoKey, row).asInstanceOf[InternalRow]
   }
 
   /** Canonical constants of the hashed-linear classifier (see

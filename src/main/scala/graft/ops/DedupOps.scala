@@ -103,7 +103,14 @@ object DedupOps {
    *  reliable `checkpoint()` when the session has a checkpoint dir —
    *  recomputable from storage after executor loss — and executor-
    *  local `localCheckpoint()` otherwise (local/dev, where blocks and
-   *  executors die together). */
+   *  executors die together). RECLAMATION: a one-shot caller's
+   *  snapshot must outlive its consuming job, so unlike
+   *  connectedComponents (which eagerly deletes superseded ITERATION
+   *  snapshots) there is no in-op cleanup point here — reliable-dir
+   *  sessions should set
+   *  `spark.cleaner.referenceTracking.cleanCheckpoints=true` so Spark
+   *  reclaims the files when the DataFrame is collected, or sweep the
+   *  checkpoint dir between jobs. */
   private[graft] def reliableTruncate(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()

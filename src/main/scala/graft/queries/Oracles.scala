@@ -2312,7 +2312,12 @@ object Oracles {
     """WITH ch AS (
       |  SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS chr
       |  FROM documents),
-      |c AS (SELECT doc_id, chr, count(*) AS c FROM ch GROUP BY 1, 2),
+      |-- regexp_split_to_array('', '') yields [''] — one empty-string
+      |-- element — which would give an EMPTY doc n_cp = 1; drop it so
+      |-- the LEFT JOIN's zero row actually fires (non-empty docs never
+      |-- produce empty chars)
+      |chf AS (SELECT doc_id, chr FROM ch WHERE len(chr) > 0),
+      |c AS (SELECT doc_id, chr, count(*) AS c FROM chf GROUP BY 1, 2),
       |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_cp FROM c GROUP BY 1),
       |agg AS (
       |  SELECT c.doc_id, n.n_cp,

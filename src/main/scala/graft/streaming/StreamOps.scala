@@ -537,6 +537,10 @@ object StreamOps {
       .agg(percentile_approx(col("e"), array(lit(0.05), lit(0.95)),
         lit(10000)).as("q"))
       .head().getSeq[Long](0)
+    require(bounds != null && bounds.length == 2,
+      "entropyGateStream: corpus has no scorable text rows — the " +
+        "quantile bounds cannot be learned; point --corpus at a " +
+        "non-empty documents table")
     val (lo, hi) = (bounds(0), bounds(1))
     val passthrough = docs.columns.map(col)
     docs

@@ -677,7 +677,6 @@ class RunTopologySpec extends SparkSpec {
     val sfd = "/root/testdata/sf0.001"
     val batch = graft.queries.PipelineQueries.textEntropy(spark, sfd)
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
-    val sorted = batch.values.toSeq.sorted
     // replay the corpus + two planted extremes through the gate
     val texts = spark.read.parquet(s"$sfd/documents.parquet")
       .select("doc_id", "text").collect()
