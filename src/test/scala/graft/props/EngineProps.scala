@@ -602,6 +602,36 @@ object EngineProps extends Properties("graft") {
     Gen.oneOf(raw, truncated, flipped)
   }
 
+  property("charEntropy bounds: 0 <= entropy <= ln(n) micro-nats, zero " +
+      "iff <= 1 distinct code point, and concatenation-invariant under " +
+      "permutation") =
+    forAll(Gen.listOfN(6, Gen.oneOf("a", "b", "cd", " ", "xyz", "😀"))) { parts =>
+      val t = parts.mkString
+      val r = graft.functions.VectorMath.charEntropy(t)
+      val (n, nd, e) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val perm = new scala.util.Random(42).shuffle(t.codePoints().toArray.toSeq)
+      val shuffled = new String(perm.toArray, 0, perm.length)
+      val r2 = graft.functions.VectorMath.charEntropy(shuffled)
+      e >= 0L && e <= math.ceil(StrictMath.log(math.max(n, 1).toDouble) * 1e6).toLong &&
+        ((nd <= 1) == (e == 0L)) &&
+        (r2.getLong(0), r2.getLong(1), r2.getLong(2)) == ((n, nd, e))
+    }
+
+  property("minhashCandidates cap monotonicity: capped candidates are a " +
+      "subset of uncapped, and cap >= corpus size changes nothing") =
+    forAll(Gen.choose(2, 6), Gen.choose(1, 4)) { (nDocs, cap) =>
+      import spark.implicits._
+      val docs = (0 until nDocs).map { i =>
+        (i.toLong, if (i % 2 == 0) "the quick brown fox jumps over the lazy dog"
+        else s"unique words for document number $i only here today")
+      }.toDF("doc_id", "text")
+      def pairs(c: Option[Int]) = DedupOps.minhashCandidates(
+        docs, col("doc_id"), col("text"), maxBandDf = c)
+        .as[(Long, Long)].collect().toSet
+      val un = pairs(None)
+      pairs(Some(cap)).subsetOf(un) && pairs(Some(nDocs * 16)) == un
+    }
+
   property("probeMp4/decodeWav are total: any payload zoo yields one " +
       "row per input — parsed or quarantined, never a task kill") =
     forAll(Gen.listOfN(6, mediaBytesGen)) { payloads =>
