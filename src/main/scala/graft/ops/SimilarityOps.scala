@@ -409,17 +409,38 @@ object SimilarityOps {
    * nb) id pairs, vectors re-joined BY ID for scoring only; the rank
    * window hash-partitions by src (fixed-width rows). The corpus
    * never shuffles whole; Σ per-bucket² bounds pair work.
+   *
+   * `maxBucket` is the same mega-bucket guard as
+   * [[embeddingNearDupsLsh]]: a vector duplicated d× puts d copies in
+   * every band bucket it touches, making the candidate stage O(d²)
+   * and filling every duplicate's neighbor list with copies of
+   * itself. When set, buckets deeper than the cap are dropped before
+   * the self-join (two-phase count — map-side combine collapses the
+   * hot bucket — then a semi-join filter); duplicate clusters belong
+   * to the exact-dedup path, not a k-NN graph. Default None preserves
+   * the oracle-gated semantics; SkewSpec fixture B pins the capped
+   * behavior.
    */
   def knnGraph(emb: DataFrame, k: Int, bits: Int = 4,
-      tables: Int = 8): DataFrame = {
+      tables: Int = 8, maxBucket: Option[Int] = None): DataFrame = {
     require(bits * tables <= 63, "bits * tables must fit in a long")
     val mask = (1L << bits) - 1
     val withB = emb.select(col("vec_id"),
       lshBucket(col("embedding"), bits * tables).as("allbits"))
-    val banded = withB.select(col("vec_id"),
+    val banded0 = withB.select(col("vec_id"),
       posexplode(array((0 until tables).map(t =>
         shiftrightunsigned(col("allbits"), t * bits).bitwiseAND(lit(mask))): _*)))
       .toDF("vec_id", "band", "bucket")
+    val banded = maxBucket match {
+      case Some(cap) =>
+        // lineage cut before the count/semi-join/self-join fan-out
+        val bandedM = DedupOps.reliableTruncate(banded0)
+        bandedM.join(
+          bandedM.groupBy("band", "bucket").agg(count(lit(1)).as("bdf"))
+            .filter(col("bdf") <= cap),
+          Seq("band", "bucket"), "left_semi")
+      case None => banded0
+    }
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))

@@ -156,6 +156,70 @@ class SkewSpec extends SparkSpec {
       "cap must remove exactly the mega-bucket's pairs")
   }
 
+  test("knnGraph maxBucket drops the 40x-duplicated vector's buckets: " +
+      "duplicates emit no self-copy neighbor lists, distinct-vector " +
+      "neighborhoods are unchanged") {
+    val dim = 16
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(d => math.sin(seed * 31 + d * 7).toFloat)
+    val rows = (0L until 40L).map(i => (i, vec(1))) ++
+      Seq((100L, vec(2)), (101L, vec(2).zipWithIndex.map {
+        case (x, d) => if (d == 0) x + 1e-4f else x })) ++
+      (102L until 142L).map(i => (i, vec(i.toInt * 7 + 3)))
+    val df = rows.toDF("vec_id", "embedding")
+    def edges(g: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      g.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val uncapped = edges(SimilarityOps.knnGraph(df, k = 3))
+    // the blow-up is real: every duplicate's neighbor list fills with
+    // copies of itself (40 nodes x k self-copy edges)
+    val dupSelfEdges = uncapped.filter(e => e._1 < 40L && e._2 < 40L)
+    assert(dupSelfEdges.size == 40 * 3,
+      s"uncapped duplicates must saturate their k lists with copies: ${dupSelfEdges.size}")
+    val capped = edges(SimilarityOps.knnGraph(df, k = 3, maxBucket = Some(10)))
+    assert(capped.forall(e => e._1 >= 40L && e._2 >= 40L),
+      "every bucket holding a mega-cluster member is > cap deep, so no " +
+        s"edge may touch the cluster: ${capped.filter(e => e._1 < 40L || e._2 < 40L)}")
+    assert(capped.contains((100L, 101L)) && capped.contains((101L, 100L)),
+      "the planted near-identical pair must remain mutual neighbors")
+    // set-equality against a plain-Scala reference of the CAPPED
+    // semantics: banding via the same deterministic sign kernel, then
+    // buckets deeper than the cap dropped wholesale (a distinct
+    // vector co-bucketed ONLY with the cluster loses that candidacy —
+    // the documented cost of dropping the bucket, not its members),
+    // then per-node top-k by exact cosine
+    val bits = 4; val tables = 8; val cap = 10; val mask = (1L << bits) - 1
+    val bucketRows: Seq[(Long, Long)] = df.select(col("vec_id"),
+        SimilarityOps.lshBucket(col("embedding"), bits * tables).as("allbits"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    val banded: Seq[(Long, (Int, Long))] = bucketRows.flatMap { case (id, allbits) =>
+      (0 until tables).map(t => (id, (t, (allbits >>> (t * bits)) & mask))) }
+    val bucketDepth: Map[(Int, Long), Int] =
+      banded.groupBy(_._2).view.mapValues(_.size).toMap
+    val surviving = banded.filter(r => bucketDepth(r._2) <= cap)
+    val candidates: Set[(Long, Long)] =
+      surviving.groupBy(_._2).values.toSeq.flatMap { members =>
+        val ids = members.map(_._1)
+        for { a <- ids; b <- ids if a != b } yield (a, b)
+      }.toSet
+    val vecs: Map[Long, Array[Float]] = rows.toMap
+    def cosRef(a: Long, b: Long): Double = {
+      val x = vecs(a); val y = vecs(b)
+      val dot = x.toSeq.zip(y.toSeq)
+        .map { case (p, q) => p.toDouble * q.toDouble }.sum
+      dot / (math.sqrt(x.toSeq.map(p => p.toDouble * p).sum) *
+        math.sqrt(y.toSeq.map(p => p.toDouble * p).sum))
+    }
+    val want: Set[(Long, Long)] =
+      candidates.toSeq.groupBy(_._1).toSeq.flatMap { case (src, ps) =>
+        ps.map { case (_, nb) => (nb, cosRef(src, nb)) }
+          .sortBy { case (nb, c) => (-c, nb) }.take(3)
+          .map { case (nb, _) => (src, nb) }
+      }.toSet
+    assert(capped == want,
+      s"capped graph must equal the plain-Scala capped reference: " +
+        s"extra=${capped diff want} missing=${want diff capped}")
+  }
+
   // ---- fixture C: a boilerplate gram hot across every source
 
   test("sourceOverlap's df cap excludes a boilerplate gram planted into " +
