@@ -643,6 +643,11 @@ object VectorMath {
    *  search per band (the sorted-long[] model device). */
   def embBandCollide(emb: ArrayData, bits: Int, tables: Int,
       model: Array[Long]): InternalRow = {
+    // same budget the batch embeddingBandKeys enforces; without it a
+    // direct call with bits*tables > 63 would silently wrap the JVM
+    // shift (count mod 64) and return wrong collision counts
+    require(bits * tables <= 63,
+      s"embBandCollide: bits ($bits) * tables ($tables) must fit in a long")
     val allbits = lshBucket(emb, bits * tables)
     val mask = (1L << bits) - 1
     var nCollide = 0L
@@ -879,17 +884,19 @@ object VectorMath {
    *  [[winnowStats]] deque scan emitting each selected (pos, hash)
    *  pair packed as `(h40 << 20) | pos`; see [[WinnowFingerprints]].
    *  Selected positions are non-decreasing as the window slides, so
-   *  distinctness is the same one last-position check. Documents with
-   *  >= 2^20 grams would overflow the packed position field — fail
-   *  loud (the relational winnowSelection raises identically). */
+   *  distinctness is the same one last-position check. Documents whose
+   *  max position (m-1) would overflow the 20-bit packed field — i.e.
+   *  m > 2^20 — fail loud, on exactly the domain where the relational
+   *  winnowSelection raises (its guard fires when a position >= 2^20
+   *  appears; positions run 0..m-1, so both trip iff m > 2^20). */
   def winnowFingerprints(text: String, k: Int, w: Int): ArrayData = {
     val gh = gramHashes(text, k, portable = true)
     val m = gh.numElements()
     val mask = (1L << 40) - 1
     if (m == 0) return ArrayData.toArrayData(Array.emptyLongArray)
-    if (m >= (1 << 20))
+    if (m > (1 << 20))
       throw new IllegalArgumentException(
-        s"winnowFingerprints: document has $m grams >= 2^20 — the packed " +
+        s"winnowFingerprints: document has $m grams > 2^20 — the packed " +
           "position field overflows; chunk the document (text_chunks) " +
           "before fingerprinting")
     val h40 = new Array[Long](m)
@@ -933,7 +940,11 @@ object VectorMath {
       .digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val prefix = ((d(0) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) | (d(2) & 0xffL)
     val b = (prefix % ClassifyDim).toInt
-    if (bucketMemo.size < BucketMemoMax) bucketMemo.put(w, b)
+    // check-then-act across threads: concurrent executors may overshoot
+    // the cap by at most the thread count (putIfAbsent keeps each such
+    // insert single); the bound is approximate by design, and a few
+    // dozen extra 3-byte entries are irrelevant next to 2^16
+    if (bucketMemo.size < BucketMemoMax) bucketMemo.putIfAbsent(w, b)
     b
   }
 
@@ -1046,7 +1057,7 @@ object VectorMath {
    *  under a second parameterization. */
   def winnowCollide(text: String, k: Int, w: Int,
       model: Array[Long]): InternalRow = {
-    // A >= 2^20-gram document overflows the packed position field —
+    // A > 2^20-gram document overflows the packed position field —
     // the batch query fails loud, but a live ADMISSION gate must not
     // let one poison-pill doc wedge the topology: quarantine as
     // (-1, MaxValue), which every collision threshold rejects (an

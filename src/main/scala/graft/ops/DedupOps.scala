@@ -110,10 +110,25 @@ object DedupOps {
    *  sessions should set
    *  `spark.cleaner.referenceTracking.cleanCheckpoints=true` so Spark
    *  reclaims the files when the DataFrame is collected, or sweep the
-   *  checkpoint dir between jobs. */
-  private[graft] def reliableTruncate(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+   *  checkpoint dir between jobs. A session configured with a reliable
+   *  dir but WITHOUT cleanCheckpoints gets a one-time warning naming
+   *  the leak instead of silently accumulating snapshot dirs. */
+  private val warnedUnreclaimed = new java.util.concurrent.atomic.AtomicBoolean
+  private[graft] def reliableTruncate(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isDefined) {
+      if (!sc.getConf.getBoolean(
+            "spark.cleaner.referenceTracking.cleanCheckpoints", false) &&
+          warnedUnreclaimed.compareAndSet(false, true))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "reliableTruncate: checkpoint dir {} is set but " +
+            "spark.cleaner.referenceTracking.cleanCheckpoints is not — " +
+            "each capped-dedup/span call leaves a snapshot dir behind; " +
+            "enable the cleaner or sweep the dir between jobs",
+          sc.getCheckpointDir.get)
+      df.checkpoint()
+    } else df.localCheckpoint()
+  }
 
   /**
    * MinHash+LSH candidate pairs: docs sharing any band bucket.

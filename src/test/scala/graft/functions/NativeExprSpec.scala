@@ -499,8 +499,9 @@ class NativeExprSpec extends SparkSpec {
   }
 
   test("winnowCollide quarantines a packed-position-overflow document " +
-      "(>= 2^20 grams) as a rejection instead of a task kill; " +
-      "winnowFingerprints fails loud on the same input") {
+      "(> 2^20 grams) as a rejection instead of a task kill; " +
+      "winnowFingerprints fails loud on the same input but accepts " +
+      "exactly 2^20 grams (the relational twin's domain boundary)") {
     val giant = ("x " * ((1 << 20) + 4)).trim
     intercept[IllegalArgumentException] {
       graft.functions.VectorMath.winnowFingerprints(giant, 3, 4)
@@ -508,6 +509,13 @@ class NativeExprSpec extends SparkSpec {
     val r = graft.functions.VectorMath.winnowCollide(giant, 3, 4, Array(1L, 2L))
     assert(r.getLong(0) == -1L && r.getLong(1) == Long.MaxValue,
       s"poison-pill doc must quarantine: (${r.getLong(0)}, ${r.getLong(1)})")
+    // boundary: m == 2^20 grams means max position 2^20 - 1, which
+    // still fits the 20-bit field — the kernel must compute, exactly
+    // where the relational winnowSelection guard stays silent (it
+    // raises only when a position >= 2^20 APPEARS, i.e. m > 2^20)
+    val atBoundary = ("x " * ((1 << 20) + 2)).trim // m = 2^20 at k=3
+    val fps = graft.functions.VectorMath.winnowFingerprints(atBoundary, 3, 4)
+    assert(fps.numElements() > 0, "m == 2^20 must be inside the domain")
   }
 
   test("RowMemo collapses plan-duplicated kernel calls: the gopher gate's " +
@@ -520,12 +528,17 @@ class NativeExprSpec extends SparkSpec {
     // plan-level copies the memo hits (N-1)/N of calls; the gopher
     // battery has 4 rule terms + the projection, so >= 50% is a
     // conservative floor that still catches a total collapse to 0.
+    // delta-scoped (not reset-then-read): the counters are JVM-global,
+    // so a concurrently-running suite evaluating gopher_stats would
+    // pollute an absolute read; the before/after difference isolates
+    // this query's own calls under sequential suite execution
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    VectorMath.RowMemo.reset()
+    val (h0, m0) = VectorMath.RowMemo.stats("gopher")
     val kept = graft.queries.PipelineQueries.gopherProjection(docs)
       .filter(col("keep")).collect()
     assert(kept.nonEmpty)
-    val (hits, misses) = VectorMath.RowMemo.stats("gopher")
+    val (h1, m1) = VectorMath.RowMemo.stats("gopher")
+    val (hits, misses) = (h1 - h0, m1 - m0)
     assert(hits + misses > 0, "gopher kernel did not run")
     val rate = hits.toDouble / (hits + misses)
     assert(rate >= 0.5,
