@@ -590,6 +590,128 @@ object SimilarityOps {
         round(col("score"), 4).as("score_r"))
   }
 
+  /**
+   * IVF-PQ (IVFADC, Jégou, Douze & Schmid 2011 §IV) — the composition
+   * of the partition-side and memory-side ANN rungs, and the
+   * production 100 TB shape: a coarse [[kmeansCentroids]] quantizer
+   * partitions the corpus into cells, each vector stores only its
+   * cell id plus `m` residual codes (residual = vector − its cell
+   * centroid, quantized by per-subspace codebooks shared across
+   * cells), and a query probes `nProbe` cells scoring candidates from
+   * lookup tables without touching the original floats:
+   *
+   *   approx dot(q, x) = dot(q, c_cell) + Σ_m dot(q_m, codeword_m)
+   *
+   * Residual quantization is what recovers plain PQ's recall at the
+   * SAME bytes per vector: the codebooks see the residual
+   * distribution, whose spread around zero is what remains after the
+   * coarse quantizer explains the cell structure — each codeword
+   * covers far less space than one trained on raw vectors.
+   *
+   * Determinism contract (how a trained two-level index sits under a
+   * DuckDB oracle): the coarse quantizer is the decimal-exact Lloyd;
+   * residuals are float32 subtraction (IEEE-exact on both engines);
+   * residual codebooks are the same Lloyd over residual slices
+   * (seeded by the first `ks` residuals); all score terms — the
+   * query–centroid dot, ADC entries, the reconstruction norm's
+   * centroid/cross/codeword pieces — are sequential-order double
+   * accumulations, summed in subspace order with fixed grouping, so
+   * DuckDB's `list_sum` reproduces every scalar.
+   *
+   * Scale shape: training is model-artifact-sized collects (the
+   * coarse k×dim centroids + m ks×(dim/m) codebooks); encoding is
+   * row-local kernel calls; scoring joins the (cell, codes) relation
+   * to a BROADCAST probe table of |queries|·nProbe rows carrying
+   * literal ADC arrays, so only probed cells are read and the corpus
+   * floats never shuffle; the rank cut is the WindowGroupLimit
+   * contract. (Training passes here re-derive the residual relation
+   * per Lloyd job; a production run materializes residuals once —
+   * checkpoint or table — before training.) The score denominator's
+   * cell/code tables (‖c‖², cross terms, ‖codeword‖²) are
+   * nCells·m·ks driver scalars riding as plan literals.
+   */
+  def ivfPqTopK(emb: DataFrame, queryIds: Seq[Long], kTop: Int, dim: Int,
+      nCells: Int = 8, nProbe: Int = 4, m: Int = 4, ks: Int = 8,
+      iters: Int = 2): DataFrame = {
+    require(dim % m == 0, "dim must split evenly into m subspaces")
+    val sub = dim / m
+    val spark = emb.sparkSession
+    import spark.implicits._
+    def seqDot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var d = 0
+      while (d < a.length) { s += a(d).toDouble * b(d).toDouble; d += 1 }
+      s
+    }
+    // coarse quantizer + per-vector cell + float32 residual
+    val cents = kmeansCentroids(emb, nCells, iters)
+    val cNorms = cents.map(c => math.sqrt(seqDot(c, c)))
+    val centLit = typedlit(cents.map(_.toSeq).toSeq)
+    def withResid(df: DataFrame) = df
+      .withColumn("cell", element_at(
+        graft.functions.native.ivf_probe_cells(col("embedding"), cents, cNorms, 1), 1))
+      .withColumn("resid", zip_with(col("embedding"),
+        element_at(centLit, col("cell") + 1), (x, c) => x - c))
+    val res = withResid(emb)
+    // residual codebooks: the same decimal-exact Lloyd per subspace,
+    // seeded by the first ks residual slices
+    def resSub(i: Int) = res.select(col("vec_id"),
+      slice(col("resid"), i * sub + 1, sub).as("embedding"))
+    val books = (0 until m).map(i => kmeansCentroids(resSub(i), ks, iters))
+    val bookNorms = books.map(_.map(c => math.sqrt(seqDot(c, c))))
+    // reconstruction-norm pieces, all driver doubles:
+    // ‖x̂‖² = ‖c‖² + 2·Σ_m dot(c_m, bw_m) + Σ_m ‖bw_m‖²
+    val cn2 = cents.map(c => seqDot(c, c)).toSeq
+    val cross = (0 until m).map(i => cents.map(c =>
+      books(i).map(bw => seqDot(c.slice(i * sub, (i + 1) * sub), bw)).toSeq).toSeq)
+    val bw2 = (0 until m).map(i => books(i).map(bw => seqDot(bw, bw)).toSeq)
+    // encode: cell + m codes per vector, all row-local kernels
+    val codes = res.select(col("vec_id") +: col("cell") +:
+      (0 until m).map(i => element_at(graft.functions.native.ivf_probe_cells(
+        slice(col("resid"), i * sub + 1, sub), books(i), bookNorms(i), 1),
+        1).as(s"c$i")): _*)
+    // probe side: nProbe cells per query (the ivfTopKWith ranking
+    // kernel — identical tie rules to the oracle's rnk window), the
+    // query–centroid dot in-plan via the sequential-order dot kernel,
+    // ADC tables as driver literals
+    val qvecs = emb.filter(col("vec_id").isInCollection(queryIds))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val qAdc = queryIds.sorted.filter(qvecs.contains).map { qid =>
+      val q = qvecs(qid)
+      val adc = (0 until m).map(i => (0 until ks).map(c =>
+        seqDot(q.slice(i * sub, (i + 1) * sub), books(i)(c))).toSeq).toSeq
+      (qid, adc)
+    }.toDF("query_id", "adc")
+    val probes = emb.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        l2Norm(col("embedding")).as("qn"),
+        explode(graft.functions.native.ivf_probe_cells(col("embedding"),
+          cents, cNorms, nProbe)).as("cell"))
+      .withColumn("qc", dot(col("q_emb"), element_at(centLit, col("cell") + 1)))
+      .join(qAdc, "query_id")
+    // score: (qc + Σ adc) / (qn · sqrt((‖c‖² + 2·Σ cross) + Σ ‖bw‖²)),
+    // every Σ in subspace order, grouping mirrored by the oracle
+    val adcSum = (Seq(col("qc")) ++ (0 until m).map(i =>
+      element_at(element_at(col("adc"), i + 1), col(s"c$i") + 1))).reduce(_ + _)
+    val crossSum = (0 until m).map(i =>
+      element_at(element_at(typedlit(cross(i)), col("cell") + 1), col(s"c$i") + 1))
+      .reduce(_ + _)
+    val bw2Sum = (0 until m).map(i =>
+      element_at(typedlit(bw2(i)), col(s"c$i") + 1)).reduce(_ + _)
+    val xn2 = element_at(typedlit(cn2), col("cell") + 1) +
+      lit(2.0) * crossSum + bw2Sum
+    val scored = codes.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", coalesce(
+        adcSum / nullif(col("qn") * sqrt(xn2), lit(0.0)),
+        lit(Double.NegativeInfinity)))
+    val rank = row_number().over(
+      Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id")))
+    scored.withColumn("rank", rank.cast("bigint")).filter(col("rank") <= kTop)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("score"), 4).as("score_r"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, id1 < id2.
    *  Exact within-corpus variant — the O(n^2) BASELINE, guarded so it
    *  cannot be pointed at a full corpus by accident: corpora larger

@@ -874,6 +874,99 @@ object Oracles {
        |WHERE rank <= ${PipelineQueries.SimK}""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.simIvfPq]] by re-deriving the WHOLE
+   *  two-level IVFADC index: the shared coarse unrolled-Lloyd prefix
+   *  (bit-identical centroids and cell assignment with the
+   *  simIvfKmeans oracle), float32 residuals (IEEE-exact subtraction
+   *  on both engines), per-subspace residual codebooks via the same
+   *  unrolled-Lloyd device as [[simPq]] but sourced from residual
+   *  slices, then the IVFADC score — (dot(q,c) + Σ_m ADC_m) over the
+   *  reconstruction norm sqrt((‖c‖² + 2·Σ_m cross_m) + Σ_m ‖bw_m‖²) —
+   *  with every Σ in subspace order and the same grouping, so Spark's
+   *  driver-precomputed scalars reproduce exactly. */
+  val simIvfPq: String = {
+    val m = PipelineQueries.PqM
+    val ks = PipelineQueries.PqKs
+    val iters = PipelineQueries.KmIters
+    val dim = PipelineQueries.EmbeddingDim
+    val sub = dim / m
+    val ids = PipelineQueries.SimQueryIds.mkString(", ")
+    def cScore(se: String, nrm: String, ce: String) =
+      s"coalesce((${dotSql.format(se, ce)}) / nullif($nrm * sqrt(${dotSql.format(ce, ce)}), 0), CAST('-infinity' AS DOUBLE))"
+    val prefixes = (0 until m).map { s =>
+      val lo = s * sub
+      val iterCtes = (1 to iters).map { i =>
+        val p = i - 1
+        s"""r${s}a$i AS (
+           |  SELECT vec_id, se, cell FROM (
+           |    SELECT n.vec_id, n.se, c.cid AS cell,
+           |           row_number() OVER (PARTITION BY n.vec_id
+           |             ORDER BY ${cScore("n.se", "n.nrm", "c.ce")} DESC, c.cid) AS rnk
+           |    FROM r${s}n n CROSS JOIN r${s}c$p c) t WHERE rnk = 1),
+           |r${s}s$i AS (
+           |  SELECT cell, d.d AS d,
+           |         CAST(CAST(sum(CAST(se[d.d + 1] AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS FLOAT) AS v
+           |  FROM r${s}a$i CROSS JOIN (SELECT unnest(range(0, $sub)) AS d) d
+           |  GROUP BY 1, 2),
+           |r${s}m$i AS (SELECT cell AS cid, list(v ORDER BY d) AS ce FROM r${s}s$i GROUP BY 1),
+           |r${s}c$i AS (SELECT c.cid, coalesce(mm.ce, c.ce) AS ce
+           |             FROM r${s}c$p c LEFT JOIN r${s}m$i mm USING (cid))""".stripMargin
+      }.mkString(",\n")
+      s"""r${s}e AS (SELECT vec_id, re[${lo + 1}:${lo + sub}] AS se FROM res),
+         |r${s}n AS (SELECT vec_id, se, sqrt(${dotSql.format("se", "se")}) AS nrm FROM r${s}e),
+         |r${s}c0 AS (SELECT vec_id AS cid, se AS ce FROM r${s}e WHERE vec_id < $ks),
+         |$iterCtes,
+         |r${s}f AS (
+         |  SELECT vec_id, cell AS code FROM (
+         |    SELECT n.vec_id, c.cid AS cell,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY ${cScore("n.se", "n.nrm", "c.ce")} DESC, c.cid) AS rnk
+         |    FROM r${s}n n CROSS JOIN r${s}c$iters c) t WHERE rnk = 1)""".stripMargin
+    }.mkString(",\n")
+    val codeJoin = (1 until m).map(s => s"JOIN r${s}f USING (vec_id)").mkString(" ")
+    val codeCols = (0 until m).map(s => s"r${s}f.code AS c$s").mkString(", ")
+    val adcSum = (0 until m).map(s =>
+      s"(${dotSql.format(s"qp.qe[${s * sub + 1}:${s * sub + sub}]", s"b$s.ce")})")
+      .mkString(" + ")
+    val crossSum = (0 until m).map(s =>
+      s"(${dotSql.format(s"ct.ce[${s * sub + 1}:${s * sub + sub}]", s"b$s.ce")})")
+      .mkString(" + ")
+    val bw2Sum = (0 until m).map(s =>
+      s"(${dotSql.format(s"b$s.ce", s"b$s.ce")})").mkString(" + ")
+    val bookJoins = (0 until m).map(s =>
+      s"JOIN r${s}c$iters b$s ON codes.c$s = b$s.cid").mkString("\n  ")
+    s"""WITH ${kmeansCellsPrefix(PipelineQueries.KmCells, iters, dim)},
+       |res AS (
+       |  SELECT cl.vec_id, cl.cell,
+       |         list_transform(range(0, $dim),
+       |           d -> cl.embedding[d + 1] - ct.ce[d + 1]) AS re
+       |  FROM cells cl JOIN c$iters ct ON cl.cell = ct.cid),
+       |$prefixes,
+       |codes AS (SELECT r0f.vec_id, res.cell, $codeCols
+       |          FROM r0f $codeJoin JOIN res ON r0f.vec_id = res.vec_id),
+       |qp AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cid AS cell
+       |       FROM a WHERE vec_id IN ($ids) AND rnk <= ${PipelineQueries.KmProbe}),
+       |scored AS (
+       |  SELECT qp.query_id, codes.vec_id,
+       |         coalesce(
+       |           ((${dotSql.format("qp.qe", "ct.ce")}) + $adcSum) /
+       |           nullif(qp.qn * sqrt(((${dotSql.format("ct.ce", "ct.ce")}) +
+       |             2 * ($crossSum)) + ($bw2Sum)), 0),
+       |           CAST('-infinity' AS DOUBLE)) AS score
+       |  FROM codes JOIN qp USING (cell)
+       |    JOIN c$iters ct ON codes.cell = ct.cid
+       |    $bookJoins
+       |  WHERE codes.vec_id <> qp.query_id),
+       |r AS (
+       |  SELECT query_id,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY score DESC, vec_id) AS BIGINT) AS rank,
+       |         vec_id AS neighbor_id, round(score, 4) AS score_r
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, score_r FROM r
+       |WHERE rank <= ${PipelineQueries.SimK}""".stripMargin
+  }
+
   val embedNearDup: String =
     s"""WITH e AS (
        |  SELECT vec_id, embedding,

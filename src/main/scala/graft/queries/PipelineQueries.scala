@@ -442,6 +442,19 @@ object PipelineQueries {
     SimilarityOps.pqTopK(Tables.embeddings(spark, sfDir), SimQueryIds, SimK,
       dim = EmbeddingDim, m = PqM, ks = PqKs, iters = KmIters)
 
+  /** IVF-PQ composition ([[SimilarityOps.ivfPqTopK]], IVFADC): coarse
+   *  [[KmCells]]-cell k-means + per-cell float32 residuals quantized
+   *  by [[PqM]] shared sub-codebooks of [[PqKs]] codewords — the SAME
+   *  bytes per vector as [[simPq]] (plus the cell id inherent to IVF
+   *  partitioning), with residual coding recovering the recall plain
+   *  PQ loses; queries probe [[KmProbe]] cells and score via ADC
+   *  tables. SimilarityOpsSpec pins recall@10 strictly above simPq's
+   *  on the same corpus. */
+  def simIvfPq(spark: SparkSession, sfDir: String): DataFrame =
+    SimilarityOps.ivfPqTopK(Tables.embeddings(spark, sfDir), SimQueryIds,
+      SimK, dim = EmbeddingDim, nCells = KmCells, nProbe = KmProbe,
+      m = PqM, ks = PqKs, iters = KmIters)
+
   // ---- text analysis ------------------------------------------------------
 
   def textLangId(spark: SparkSession, sfDir: String): DataFrame =

@@ -248,4 +248,37 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(mean > 5.0 * PipelineQueries.SimK / n,
       f"mean recall $mean%.3f not above chance (n=$n)")
   }
+
+  test("ivfPqTopK: residual coding beats plain PQ — recall@10 vs exact " +
+      "top-k strictly above pqTopK's at the same bytes per vector " +
+      "(same m, ks), probing all cells so only quantization differs") {
+    import graft.queries.PipelineQueries
+    val sfd = "/root/testdata/sf0.01"
+    val corpus = spark.read.parquet(s"$sfd/embeddings.parquet")
+    val qids = PipelineQueries.SimQueryIds
+    val k = PipelineQueries.SimK
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = SimilarityOps.cosineTopK(corpus, qids, k)
+      .select(col("query_id"), col("neighbor_id")) // same cols
+    val exactSets = topSets(exact)
+    def meanRecall(approx: Map[Long, Set[Long]]): Double =
+      qids.map(q => approx.getOrElse(q, Set.empty[Long])
+        .intersect(exactSets(q)).size.toDouble / k).sum / qids.size
+    val pq = meanRecall(topSets(SimilarityOps.pqTopK(corpus, qids, k,
+      dim = PipelineQueries.EmbeddingDim, m = PipelineQueries.PqM,
+      ks = PipelineQueries.PqKs, iters = PipelineQueries.KmIters)))
+    // probe ALL cells: the comparison isolates the quantizer (residual
+    // vs raw codebooks at equal code bytes); the registered sim_ivfpq
+    // query additionally takes the nProbe=KmProbe partition cut
+    val ivfpq = meanRecall(topSets(SimilarityOps.ivfPqTopK(corpus, qids, k,
+      dim = PipelineQueries.EmbeddingDim, nCells = PipelineQueries.KmCells,
+      nProbe = PipelineQueries.KmCells, m = PipelineQueries.PqM,
+      ks = PipelineQueries.PqKs, iters = PipelineQueries.KmIters)))
+    info(f"recall@$k: ivfpq=$ivfpq%.3f pq=$pq%.3f")
+    assert(ivfpq > pq,
+      f"IVF-PQ residual coding must beat plain PQ: ivfpq=$ivfpq%.3f pq=$pq%.3f")
+  }
 }
