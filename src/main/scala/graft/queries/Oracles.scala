@@ -2296,6 +2296,25 @@ object Oracles {
        |  $rows) AS t(img_id, width, height, hist_csv)""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.mmDecodeJpeg]]: the JPEG fixture
+   *  generator's raw BLOCK statistics (`tools.JpegFixture.expectedRows`
+   *  — pure arithmetic over the deterministic 16×16 gray-block
+   *  definition, no JPEG bytes, no ImageIO) embedded as a VALUES
+   *  literal. Lossiness is absorbed by the fixture design (flat
+   *  neutral-chroma blocks, mid-bin levels), so the compare stays an
+   *  exact hash like every other oracle. */
+  val mmDecodeJpeg: String = {
+    val rows = graft.tools.JpegFixture.expectedRows
+      .map { case (id, w, h, csv) => s"($id, $w, $h, '$csv')" }
+      .mkString(",\n  ")
+    s"""SELECT CAST(img_id AS BIGINT) AS img_id,
+       |       CAST(width AS BIGINT) AS width,
+       |       CAST(height AS BIGINT) AS height,
+       |       hist_csv
+       |FROM (VALUES
+       |  $rows) AS t(img_id, width, height, hist_csv)""".stripMargin
+  }
+
   /** Mirrors [[PipelineQueries.mmDecodeResize]]: the PNG fixture
    *  generator's raw-pixel statistics AT THE SAMPLED COORDINATES
    *  (`tools.PngFixture.expectedResizedRows` — nearest-neighbor

@@ -2129,6 +2129,26 @@ object PipelineQueries {
         array_join(transform(col("lum_hist"), _.cast("string")), ",")
           .as("hist_csv"))
 
+  /** REAL JPEG decode, end-to-end gated — the second image codec next
+   *  to [[mmDecodePng]]: same [[MultimodalOps.decodeImagePartitioned]]
+   *  body, routed through `javax.imageio`'s JPEG plugin (DCT blocks,
+   *  quantization, chroma handling, and — for the fixture's
+   *  progressive-encoded ids — the multi-scan path) over the committed
+   *  deterministic corpus (`tools.JpegFixture`). JPEG is lossy, so the
+   *  tolerance is engineered into the FIXTURE (16×16-aligned flat gray
+   *  blocks, mid-bin levels — measured decode error 0 at quality 0.95)
+   *  and the oracle stays raw block-definition arithmetic with an
+   *  exact hash compare. Ignores sfDir (scale-free fixture). */
+  def mmDecodeJpeg(spark: SparkSession, sfDir: String): DataFrame =
+    MultimodalOps.decodeImagePartitioned(
+      spark.read.parquet(graft.tools.JpegFixture.Path), "img_id", "jpeg")
+      .toDF()
+      .select(col("id").as("img_id"),
+        col("width").cast("bigint").as("width"),
+        col("height").cast("bigint").as("height"),
+        array_join(transform(col("lum_hist"), _.cast("string")), ",")
+          .as("hist_csv"))
+
   val ResizeFactor = 2
 
   /** REAL decode → resize pipeline stage, end-to-end gated:

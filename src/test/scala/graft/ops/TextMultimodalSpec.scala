@@ -201,6 +201,71 @@ class TextMultimodalSpec extends SparkSpec {
       Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt)), "not a PNG payload")
   }
 
+  test("mm_decode_jpeg: the COMMITTED JPEG fixture decodes to the " +
+      "generator's raw block statistics (second codec path, lossiness " +
+      "absorbed by the flat-gray mid-bin fixture design)") {
+    import graft.tools.JpegFixture
+    val got = graft.queries.PipelineQueries.mmDecodeJpeg(spark, "unused")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    val want = JpegFixture.expectedRows
+      .map { case (id, w, h, csv) => (id, w.toLong, h.toLong, csv) }.toSet
+    assert(got.size == JpegFixture.N, s"fixture must carry ${JpegFixture.N} images")
+    assert(got == want,
+      "decoded stats must equal the pre-encode block arithmetic")
+    // the fixture is non-degenerate: every luminance bin is hit somewhere
+    val allBins = JpegFixture.expectedRows
+      .flatMap(_._4.split(",").zipWithIndex.collect {
+        case (c, b) if c.toLong > 0 => b }).toSet
+    assert(allBins == (0 until 16).toSet,
+      s"fixture must sweep all 16 luminance bins, hit: $allBins")
+    // the committed bytes are REAL JPEGs (SOI marker), and the
+    // progressive ids genuinely carry a progressive scan header
+    // (SOF2, 0xFFC2) so the multi-scan decode path is exercised
+    val byId = spark.read.parquet(JpegFixture.Path)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    byId.values.foreach(b =>
+      assert((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8, "not a JPEG payload"))
+    def hasSof2(b: Array[Byte]): Boolean =
+      b.sliding(2).exists(p => (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xC2)
+    (0 until JpegFixture.N).foreach { i =>
+      assert(hasSof2(byId(i.toLong)) == (i % 4 == 3),
+        s"image $i progressive-scan marker mismatch")
+    }
+  }
+
+  test("decodeImagePartitioned quarantines malformed JPEG payloads whose " +
+      "SOI magic matches (truncated scans, garbage entropy data, bare " +
+      "markers) — rows, never task kills") {
+    import graft.tools.JpegFixture
+    val jpeg = JpegFixture.jpegBytes(0)
+    val truncations = // valid SOI, cut mid-structure (headers AND scan)
+      (3 until jpeg.length by 97).map(n => jpeg.take(n))
+    val corrupted = Seq(
+      Array[Byte](0xFF.toByte, 0xD8.toByte), // bare SOI, nothing else
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte), // dangling marker
+      jpeg.take(2) ++ Array.tabulate[Byte](64)(i => (i * 41).toByte), // garbage after SOI
+      { val b = jpeg.clone() // zero the entropy-coded tail: decodable headers, broken scan
+        java.util.Arrays.fill(b, b.length - b.length / 3, b.length, 0.toByte); b })
+    val zoo = (truncations ++ corrupted).zipWithIndex
+      .map { case (b, i) => (i.toLong, b) }
+    val df = zoo.toDF("doc_id", "bytes")
+    val out = MultimodalOps.decodeImagePartitioned(df, "doc_id", "bytes")
+      .collect().map(f => f.id -> f).toMap
+    assert(out.size == zoo.length, "no row dropped, no task killed")
+    val (w0, h0) = JpegFixture.dims(0)
+    zoo.foreach { case (id, _) =>
+      val f = out(id)
+      // quarantined, or (for cuts/corruption past the frame header)
+      // salvaged at the true dimensions — never other dims, never a kill
+      assert(f.width == -1 || (f.width == w0 && f.height == h0),
+        s"payload #$id neither quarantined nor salvaged at true dims: $f")
+    }
+    assert(out.values.exists(_.width == -1),
+      "at least one payload must exercise the in-reader failure path")
+  }
+
   test("decodeWavPartitioned decodes a REAL encoded WAV " +
       "(javax.sound.sampled) and quarantines undecodable, truncated, " +
       "and non-16-bit-PCM payloads as sample_rate = -1") {
