@@ -255,6 +255,102 @@ object DedupOps {
     fresh.select(id.as("doc_id")).join(rejected, Seq("doc_id"), "left_anti")
   }
 
+  /**
+   * Incremental CLUSTER-ID maintenance — the assignment half the
+   * admission gates don't answer: a fresh batch's documents ADOPT the
+   * converged historical cluster ids (and trigger the merges they
+   * cause) WITHOUT re-running the connected-components fixpoint over
+   * the whole union. The device is graph contraction: history docs
+   * never gain edges among themselves (their texts are unchanged), so
+   * every historical cluster can be collapsed to one node — its
+   * cluster id, which IS its min member id — and the union's new
+   * components are exactly the components of the small contracted
+   * graph {fresh docs} ∪ {touched clusters}. Because min-label CC
+   * labels a component with its minimum node id, and a cluster node's
+   * id is already the minimum of its members, the contracted fixpoint
+   * reproduces the full-recompute labels EXACTLY: fresh docs get the
+   * id a from-scratch run on the union would give them, merged
+   * historical clusters relabel to the new component minimum, and
+   * untouched history keeps its frame verbatim. (The gated
+   * `dedup_clusters_incremental` query is hash-compared against the
+   * very same recursive-CTE fixpoint the full `dedup_clusters` uses —
+   * the equality is oracle-proven, not asserted.)
+   *
+   * Pair generation is the [[minhashNearDups]] contract restricted to
+   * pairs touching the batch: minhash signatures are per-doc, so the
+   * union's banding restricted to fresh docs is reproduced by a
+   * fresh×fresh and a fresh×history band join (exact-Jaccard verified
+   * like the full path — candidates only block, never decide).
+   *
+   * Scale shape: steady-state ingest cost is the BATCH's bands and
+   * shingle sets plus one bounded fixpoint whose node set is
+   * |batch| + |touched clusters| — the whole point; the history side
+   * re-derives its bands in-plan here (training-in-query convention),
+   * and at 100 TB rides the bucketed-band layout
+   * ([[incrementalNearDupAdmit]]'s BucketedTablesSpec story) so
+   * history is never re-shingled per ingest. Only ids, band triples,
+   * and shingle-hash arrays shuffle; text never does.
+   *
+   * @param fresh        the new batch
+   * @param hist         the historical corpus
+   * @param histClusters the CONVERGED historical frame (doc_id,
+   *                     cluster) — cluster = min member id, the
+   *                     [[connectedComponents]] output contract
+   * @return (doc_id, cluster) for the ENTIRE union, equal to a full
+   *         recompute on it
+   */
+  def incrementalClusterAssign(fresh: DataFrame, hist: DataFrame,
+      histClusters: DataFrame, id: Column, text: Column,
+      threshold: Double = 0.5, shingleN: Int = 3, k: Int = 64,
+      bands: Int = 16, maxIters: Int = 30): DataFrame = {
+    val rows = k / bands
+    def banded(df: DataFrame) = minhashSignatures(df, id, text, k, shingleN)
+      .select(col("id"), posexplode(lshBandHashes(col("sig"), bands, rows)))
+      .toDF("id", "band", "bh")
+    def shingleSets(df: DataFrame) = FanOut.fanOut(df).select(id.as("sid"),
+      graft.functions.native.shingle_hashes(text, shingleN).as("shs"))
+    val fb = banded(fresh)
+    val histCand = fb.as("x").join(banded(hist).as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.id").as("fid"), col("y.id").as("oid")).distinct()
+    val freshCand = fb.as("x").join(fb.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("fid"), col("y.id").as("oid")).distinct()
+    val fshs = shingleSets(fresh)
+    val hshs = shingleSets(hist)
+    def verified(cand: DataFrame, partner: DataFrame) = cand
+      .join(fshs.as("a"), col("fid") === col("a.sid"))
+      .join(partner.as("b"), col("oid") === col("b.sid"))
+      .withColumn("inter", size(array_intersect(col("a.shs"), col("b.shs"))))
+      .filter(col("inter") /
+        (size(col("a.shs")) + size(col("b.shs")) - col("inter")) >= threshold)
+      .select(col("fid"), col("oid"))
+    // contraction: a fresh–history pair becomes an edge to the
+    // history doc's CLUSTER node
+    val histEdges = verified(histCand, hshs)
+      .join(histClusters.select(id.as("oid"), col("cluster")), "oid")
+      .select(col("fid").as("id1"), col("cluster").as("id2"))
+    val freshEdges = verified(freshCand, fshs)
+      .select(col("fid").as("id1"), col("oid").as("id2"))
+    val touched = histEdges.select(col("id2").as("id")).distinct()
+    // the bounded local fixpoint: |batch| + |touched clusters| nodes
+    val local = connectedComponents(
+      histEdges.union(freshEdges),
+      fresh.select(id.as("id")).union(touched), maxIters)
+    val freshOut = local
+      .join(fresh.select(id.as("doc_id")), col("id") === col("doc_id"), "left_semi")
+      .select(col("id").as("doc_id"), col("cluster"))
+    // history: relabel clusters the local fixpoint merged (history and
+    // fresh ids are disjoint corpora, so a cluster id can only match a
+    // contracted cluster node, never a fresh doc node)
+    val histOut = histClusters
+      .join(local.select(col("id").as("cluster"), col("cluster").as("newc")),
+        Seq("cluster"), "left")
+      .select(col("doc_id"), coalesce(col("newc"), col("cluster")).as("cluster"))
+    freshOut.unionByName(histOut)
+  }
+
   /** The DISTINCT combined LSH band keys of a corpus — the offline
    *  "band model" the live near-dup admission gate
    *  (`StreamOps.nearDupGateStream`) broadcasts. Each (band index,

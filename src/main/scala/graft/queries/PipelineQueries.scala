@@ -260,6 +260,32 @@ object PipelineQueries {
       .select(col("doc_id"), col("fp"))
   }
 
+  /** Incremental CLUSTER-ID maintenance
+   *  ([[DedupOps.incrementalClusterAssign]]): the same deterministic
+   *  20% fresh slice as [[dedupIncremental]], ASSIGNED to the
+   *  history's converged cluster ids by graph contraction — history
+   *  clusters collapse to their min-id label nodes, the bounded local
+   *  fixpoint runs over |batch| + |touched clusters| nodes only, and
+   *  genuinely novel merges relabel to the new component minimum. The
+   *  oracle is the SAME recursive-CTE fixpoint as `dedup_clusters`
+   *  run on the union — the incremental path must reproduce the full
+   *  recompute hash-exactly (the contraction argument in the
+   *  operator's scaladoc). The history frame derives in-query here
+   *  (training-in-query convention); a production pipeline feeds the
+   *  stored converged frame. */
+  def dedupClustersIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val fresh = docs.filter(col("doc_id") % 5 === 0)
+    val hist = docs.filter(col("doc_id") % 5 =!= 0)
+    val histPairs = DedupOps.minhashNearDups(hist, col("doc_id"), col("text"),
+      threshold = 0.5).select("id1", "id2")
+    val histClusters = DedupOps.connectedComponents(histPairs,
+      hist.select(col("doc_id").as("id")))
+      .select(col("id").as("doc_id"), col("cluster"))
+    DedupOps.incrementalClusterAssign(fresh, hist, histClusters,
+      col("doc_id"), col("text"), threshold = 0.5)
+  }
+
   /** Incremental ingest extended to NEAR-duplicates
    *  ([[DedupOps.incrementalNearDupAdmit]]): the same deterministic
    *  20% fresh slice as [[dedupIncremental]], admitted only when no

@@ -455,4 +455,111 @@ class DedupOpsSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("incrementalClusterAssign equals the full union recompute on " +
+      "the planted shapes: batch docs adopting a cluster, a batch-only " +
+      "chain, singletons, untouched history") {
+    def filler(tag: String, n: Int): String =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    def near(base: String, tail: String): String = s"$base $tail"
+    val c1 = filler("alpha", 24) // history cluster {10, 11}
+    val c2 = filler("beta", 24) // history cluster {20, 21}
+    val c3 = filler("gamma", 24) // history cluster {30, 31}, untouched
+    val hist = Seq(
+      (10L, near(c1, "ha hb")), (11L, near(c1, "hc hd")),
+      (20L, near(c2, "he hf")), (21L, near(c2, "hg hh")),
+      (30L, near(c3, "hi hj")), (31L, near(c3, "hk hl")),
+      (40L, filler("histsolo", 20)))
+    val bridge = filler("bridge", 24)
+    val freshAll = Seq(
+      (100L, near(c1, "fa fb")), // adopts cluster 10
+      (105L, near(c1, "fm fn")), // adopts cluster 10
+      (106L, near(c1, "fo fp")), // adopts cluster 10 (also ~105)
+      (110L, near(bridge, "fg fh")), (111L, near(bridge, "fi fj")), // batch-only cluster
+      (120L, filler("freshsolo", 20))) // singleton
+    val union = hist ++ freshAll
+    val histDf = hist.toDF("doc_id", "text")
+    val freshDf = freshAll.toDF("doc_id", "text")
+    val unionDf = union.toDF("doc_id", "text")
+    val histPairs = DedupOps.minhashNearDups(histDf, col("doc_id"), col("text"),
+      threshold = 0.5).select("id1", "id2")
+    val histClusters = DedupOps.connectedComponents(histPairs,
+      histDf.select(col("doc_id").as("id")))
+      .select(col("id").as("doc_id"), col("cluster"))
+    // precondition: c1/c2/c3 are separate history clusters
+    val hc = histClusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hc(10L) == 10L && hc(11L) == 10L)
+    assert(hc(20L) == 20L && hc(21L) == 20L)
+    assert(hc(30L) == 30L && hc(31L) == 30L && hc(40L) == 40L)
+    val got = DedupOps.incrementalClusterAssign(freshDf, histDf, histClusters,
+      col("doc_id"), col("text"), threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = DedupOps.connectedComponents(
+      DedupOps.minhashNearDups(unionDf, col("doc_id"), col("text"),
+        threshold = 0.5).select("id1", "id2"),
+      unionDf.select(col("doc_id").as("id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"incremental must equal full recompute:\n" +
+      s"  only-incremental: ${got.toSet diff want.toSet}\n" +
+      s"  only-full:        ${want.toSet diff got.toSet}")
+    // the shapes genuinely occurred: adoption...
+    assert(got(100L) == 10L && got(105L) == 10L && got(106L) == 10L)
+    // ...batch-only cluster with a batch min label...
+    assert(got(110L) == 110L && got(111L) == 110L)
+    // ...singletons and untouched history
+    assert(got(120L) == 120L && got(40L) == 40L)
+    assert(got(30L) == 30L && got(31L) == 30L)
+  }
+
+  test("incrementalClusterAssign merges two separate history clusters " +
+      "through a batch doc and relabels BOTH to the union minimum") {
+    def filler(tag: String, n: Int): String =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    // overlap-segment topology: X = A++C and Y = C++B share only the
+    // middle segment (J(X,Y) = 22/70 ≈ 0.31 < 0.5 — separate history
+    // clusters), while the merger Z = A++C++B CONTAINS each as a
+    // prefix/suffix (J(Z,X) = J(Z,Y) = 46/70 ≈ 0.66 >= 0.5 — verified
+    // near-dup of both, comfortably inside the b=16/r=4 banding
+    // S-curve, unlike a disjoint-halves merger whose J ceiling of 0.5
+    // sits exactly at the collision coin-flip midpoint)
+    val a = filler("alpha", 24) // 24 words -> 22 internal 3-shingles
+    val cMid = filler("mid", 24)
+    val b = filler("beta", 24)
+    val x = s"$a $cMid"
+    val y = s"$cMid $b"
+    val hist = Seq(
+      (10L, x), (11L, s"$x hc hd"),
+      (20L, y), (21L, s"$y hg hh"))
+    // control doc 102 shares only sub-threshold slices with everything
+    // (J <= 0.31 to Z, less to the rest) and must stay a singleton
+    val mixBody = (a.split(" ").take(13) ++ b.split(" ").take(13))
+      .mkString(" ")
+    val fresh = Seq((100L, s"$a $cMid $b"), (102L, mixBody))
+    val thr = 0.5
+    val histDf = hist.toDF("doc_id", "text")
+    val freshDf = fresh.toDF("doc_id", "text")
+    val unionDf = (hist ++ fresh).toDF("doc_id", "text")
+    val histClusters = DedupOps.connectedComponents(
+      DedupOps.minhashNearDups(histDf, col("doc_id"), col("text"), thr)
+        .select("id1", "id2"),
+      histDf.select(col("doc_id").as("id")))
+      .select(col("id").as("doc_id"), col("cluster"))
+    val hc = histClusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hc == Map(10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L),
+      s"precondition: two separate history clusters, got $hc")
+    val got = DedupOps.incrementalClusterAssign(freshDf, histDf, histClusters,
+      col("doc_id"), col("text"), threshold = thr)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = DedupOps.connectedComponents(
+      DedupOps.minhashNearDups(unionDf, col("doc_id"), col("text"), thr)
+        .select("id1", "id2"),
+      unionDf.select(col("doc_id").as("id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"incremental must equal full recompute: got $got want $want")
+    // the merge genuinely happened and relabeled the c2 cluster...
+    assert(got(100L) == 10L && got(20L) == 10L && got(21L) == 10L,
+      s"history clusters must merge to the union minimum: $got")
+    // ...and the half-mix control stayed out
+    assert(got(102L) == 102L, s"no false merge from sub-threshold overlap: $got")
+  }
 }
