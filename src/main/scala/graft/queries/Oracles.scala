@@ -967,6 +967,50 @@ object Oracles {
        |WHERE rank <= ${PipelineQueries.SimK}""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.embedEval]] by re-deriving BOTH sides
+   *  of the recall fraction: the anchored exact cosine pairs AND the
+   *  deterministic sign-table banding (the embedNearDupLsh CTEs) — the
+   *  whole candidate mechanism recomputed, not trusted. */
+  val embedEval: String = {
+    val bits = PipelineQueries.NearDupBits
+    val tables = PipelineQueries.NearDupTables
+    val dim = PipelineQueries.EmbeddingDim
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${dotSql.format("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |ex AS (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |         CAST(least(floor((${dotSql.format("a.embedding", "b.embedding")})
+       |           / (a.nrm * b.nrm) * 10), 5) AS BIGINT) AS cos_band
+       |  FROM e a JOIN e b
+       |    ON a.vec_id % ${PipelineQueries.EmbEvalAnchorMod} = 0
+       |   AND a.vec_id < b.vec_id
+       |  WHERE (${dotSql.format("a.embedding", "b.embedding")}) / (a.nrm * b.nrm)
+       |        >= ${PipelineQueries.EmbEvalMinCos}),
+       |planes(p, s) AS (VALUES ${lshPlanesSql(bits * tables, dim)}),
+       |proj AS (
+       |  SELECT vec_id, pl.p,
+       |         list_sum(list_transform(range(0, $dim),
+       |           d -> CAST(embedding[d+1] AS DOUBLE) * pl.s[d+1])) AS pr
+       |  FROM e CROSS JOIN planes pl),
+       |bkt AS (
+       |  SELECT vec_id, CAST(p // $bits AS INT) AS band,
+       |         sum(CASE WHEN pr >= 0 THEN (1::BIGINT << (p % $bits)) ELSE 0 END)::BIGINT AS bucket
+       |  FROM proj GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM bkt a JOIN bkt b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT ex.cos_band,
+       |       count(*) AS n_pairs,
+       |       CAST(sum(CASE WHEN cand.id1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+       |       round(CAST(sum(CASE WHEN cand.id1 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / count(*), 4) AS recall_r
+       |FROM ex LEFT JOIN cand ON ex.id1 = cand.id1 AND ex.id2 = cand.id2
+       |GROUP BY ex.cos_band""".stripMargin
+  }
+
   val embedNearDup: String =
     s"""WITH e AS (
        |  SELECT vec_id, embedding,

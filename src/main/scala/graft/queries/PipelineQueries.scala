@@ -448,6 +448,68 @@ object PipelineQueries {
     SimilarityOps.semDedup(Tables.embeddings(spark, sfDir),
       k = KmCells, iters = KmIters, threshold = NearDupCos)
 
+  // embed_eval: exact ground truth anchored to a deterministic 1/4
+  // pair sample (the dedup_eval device — the exact side is the eval's
+  // honest quadratic), recall bucketed by cosine decile
+  val EmbEvalAnchorMod = 4
+  val EmbEvalMinCos = 0.2
+
+  /**
+   * Embedding-banding recall EVALUATION — the [[dedupEval]] monitor
+   * for the EMBEDDING near-dup path: exact anchored all-pairs cosine
+   * (ground truth) vs the [[SimilarityOps.embeddingNearDupsLsh]]
+   * sign-LSH candidate set, recall per cosine decile band. This is
+   * the number an operator watches before trusting `embed_neardup_lsh`
+   * / `knn_graph` at a new corpus or banding config: OR-amplified
+   * 4-bit × 8-table banding has a THEORETICAL recall curve
+   * (1 − (1 − (1 − θ/π)^bits)^tables ≈ 0.62 at cos 0.25 rising to
+   * ~0.8 at 0.45) and this query measures the realized one. The
+   * oracle re-derives BOTH sides — exact cosines and the full
+   * deterministic sign-table banding — so neither is trusted.
+   * Output: (cos_band, n_pairs, n_caught, recall_r), cos_band =
+   * min(floor(cos·10), 5).
+   *
+   * Scale shape: the exact side is Σ-anchored-pairs quadratic BY
+   * DEFINITION of the eval (the dedup_eval argument — an eval job a
+   * production pipeline runs sampled and infrequent; [[EmbEvalAnchorMod]]
+   * is the sampling knob); the candidate side is the standard banded
+   * equi-join, id-only shuffles.
+   */
+  def embedEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val bits = NearDupBits
+    val tables = NearDupTables
+    val emb = Tables.embeddings(spark, sfDir)
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      SimilarityOps.l2Norm(col("embedding")).as("nrm"))
+    val exact = withNorm.filter(col("vec_id") % EmbEvalAnchorMod === 0).as("a")
+      .join(withNorm.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", SimilarityOps.cosine(col("a.embedding"),
+        col("b.embedding"), col("a.nrm"), col("b.nrm")))
+      .filter(col("cos") >= EmbEvalMinCos)
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        least(floor(col("cos") * 10), lit(5L)).as("cos_band"))
+    val mask = (1L << bits) - 1
+    // one kernel call for all sign planes (the embeddingNearDupsLsh
+    // layout), bands bit-sliced from it
+    val banded = emb.select(col("vec_id"),
+        SimilarityOps.lshBucket(col("embedding"), bits * tables).as("allbits"))
+      .select(col("vec_id"),
+        posexplode(array((0 until tables).map(t =>
+          shiftrightunsigned(col("allbits"), t * bits).bitwiseAND(lit(mask))): _*)))
+      .toDF("vec_id", "band", "bucket")
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
+      .distinct()
+    exact
+      .join(cand.withColumn("hit", lit(1L)), Seq("id1", "id2"), "left")
+      .groupBy("cos_band")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_caught"))
+      .withColumn("recall_r", round(col("n_caught") / col("n_pairs"), 4))
+  }
+
   /** LSH-blocked near-dup pairs (the 100 TB path: banded same-bucket
    *  equi-join instead of all-pairs; oracle mirrors the banding). */
   def embedNearDupLsh(spark: SparkSession, sfDir: String): DataFrame =

@@ -946,6 +946,72 @@ object StreamOps {
       .start()
   }
 
+  /**
+   * Streaming incremental cluster-id maintenance — the live form of
+   * [[graft.ops.DedupOps.incrementalClusterAssign]]: each micro-batch
+   * of documents adopts the converged cluster frame accumulated so
+   * far (and triggers the merges it causes) through the contracted
+   * local fixpoint, then becomes history for the next trigger.
+   * foreachBatch is the honest idiom — a per-trigger CC fixpoint is
+   * relational algebra no streaming-native operator expresses.
+   *
+   * State rides at `statePath` as VERSIONED parquet keyed by batch id:
+   * `v<id>/docs` holds ONLY that batch's documents (append-only — text
+   * is written once and never rewritten, the 100 TB requirement) and
+   * `v<id>/clusters` a full snapshot of the converged frame
+   * (fixed-width (doc_id, cluster) rows — the small, rewritable half).
+   * A trigger reads history as every version STRICTLY BELOW its own
+   * batch id, so a retried batch never sees its own partial writes
+   * (overwrite mode makes the rewrite idempotent). A production
+   * deployment would put a transactional table format under the same
+   * layout; the versioning contract is what matters.
+   *
+   * `sink` receives each batch's assignment AT INGEST TIME (a later
+   * merge may relabel a cluster retroactively — the STATE snapshot is
+   * the current truth, exactly like the batch operator's history
+   * frame; StreamOpsSpec pins state == full recompute after every
+   * trigger).
+   */
+  def clusterAssignStream(docs: DataFrame, statePath: String,
+      checkpoint: String, threshold: Double = 0.5)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val versions = {
+          val root = new org.apache.hadoop.fs.Path(statePath)
+          if (!fs.exists(root)) Array.empty[Long]
+          else fs.listStatus(root).map(_.getPath.getName)
+            .filter(_.startsWith("v"))
+            .flatMap(n => scala.util.Try(n.drop(1).toLong).toOption)
+            .filter(_ < id).sorted
+        }
+        val batchDocs = batch.select(col("doc_id"), col("text"))
+        import spark.implicits._
+        val hist = versions.map(v =>
+            spark.read.parquet(s"$statePath/v$v/docs"))
+          .reduceOption(_ unionByName _)
+          .getOrElse(Seq.empty[(Long, String)].toDF("doc_id", "text"))
+        val histClusters = versions.lastOption.map(v =>
+            spark.read.parquet(s"$statePath/v$v/clusters"))
+          .getOrElse(Seq.empty[(Long, Long)].toDF("doc_id", "cluster"))
+        val assigned = graft.ops.DedupOps.incrementalClusterAssign(
+          batchDocs, hist, histClusters, col("doc_id"), col("text"), threshold)
+        // materialize the new frame BEFORE it becomes readable state
+        assigned.write.mode("overwrite")
+          .parquet(s"$statePath/v$id/clusters")
+        batchDocs.write.mode("overwrite")
+          .parquet(s"$statePath/v$id/docs")
+        sink(spark.read.parquet(s"$statePath/v$id/clusters")
+          .join(batchDocs.select("doc_id"), "doc_id"), id)
+      }
+      .start()
+  }
+
   /** Envelope for [[temporalAsOf]]: both sides union into one tagged
    *  relation (probe rows have isBuild = false). */
   case class Timed(key: Long, ts: Long, id: Long, isBuild: Boolean)

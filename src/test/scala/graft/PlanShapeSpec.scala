@@ -88,6 +88,14 @@ class PlanShapeSpec extends SparkSpec {
       "IVF must never fall back to all-pairs:\n" + p)
   }
 
+  test("IVF-PQ scoring joins the broadcast probe table on cell; codes " +
+      "and ADC lookups never fall back to all-pairs") {
+    val p = plan("sim_ivfpq")
+    assert(p.contains("BroadcastHashJoin"), "probe join must broadcast:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "IVF-PQ must never fall back to all-pairs:\n" + p)
+  }
+
   test("LM scorers scan the corpus exactly twice (learn, score) and " +
       "broadcast the model for the apply join") {
     for (q <- Seq("text_unigram_nll", "text_bigram_nll")) {

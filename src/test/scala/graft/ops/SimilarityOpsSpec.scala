@@ -281,4 +281,28 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(ivfpq > pq,
       f"IVF-PQ residual coding must beat plain PQ: ivfpq=$ivfpq%.3f pq=$pq%.3f")
   }
+
+  test("embedEval: realized banding recall rises with cosine and tracks " +
+      "the theoretical OR-amplified sign-LSH curve on well-populated bands") {
+    import graft.queries.PipelineQueries
+    val rows = PipelineQueries.embedEval(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.length >= 2, s"need a curve, got ${rows.toSeq}")
+    // monotone trend (small-n slack: the top band can hold few pairs)
+    rows.sliding(2).foreach { case Array((b1, _, r1), (b2, _, r2)) =>
+      assert(r2 >= r1 - 0.1, s"recall must trend up with cosine: ${rows.toSeq}")
+    }
+    // theory: P(caught) = 1 - (1 - (1 - theta/pi)^bits)^tables at the
+    // band-midpoint cosine; binomial noise bounds the check to n >= 100
+    val bits = PipelineQueries.NearDupBits
+    val tables = PipelineQueries.NearDupTables
+    rows.filter(_._2 >= 100).foreach { case (band, n, recall) =>
+      val cosMid = band / 10.0 + 0.05
+      val theta = math.acos(cosMid)
+      val theory = 1 - math.pow(1 - math.pow(1 - theta / math.Pi, bits), tables)
+      assert(math.abs(recall - theory) < 0.1,
+        f"band $band (n=$n): recall $recall%.3f vs theory $theory%.3f")
+    }
+  }
 }

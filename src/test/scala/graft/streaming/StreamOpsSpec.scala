@@ -698,4 +698,64 @@ class StreamOpsSpec extends SparkSpec {
       assert(lastEmit == Set((1L, 2.0), (2L, 5.0), (3L, 8.0)), s"got ${rows.toSeq}")
     } finally q.stop()
   }
+
+  test("clusterAssignStream: the per-trigger state frame equals a full " +
+      "CC recompute over everything ingested — adoption in trigger 2, " +
+      "a cross-history merge in trigger 3") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.DedupOps
+    def filler(tag: String, n: Int): String =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    // the DedupOpsSpec overlap-segment topology: X = A++C, Y = C++B
+    // are separate clusters (J ≈ 0.31); Z = A++C++B merges them
+    // (J(Z, ·) ≈ 0.66)
+    val a = filler("alpha", 24); val c = filler("mid", 24)
+    val b = filler("beta", 24)
+    val x = s"$a $c"; val y = s"$c $b"
+    val batch1 = Seq((10L, x), (20L, y), (40L, filler("solo", 20)))
+    val batch2 = Seq((11L, s"$x hc hd"), (21L, s"$y hg hh")) // adoption
+    val batch3 = Seq((100L, s"$a $c $b")) // merges 10 and 20
+    val statePath = Files.createTempDirectory("graft-castate").toString
+    val in = MemoryStream[(Long, String)]
+    val emitted = scala.collection.mutable.Map[Long, Map[Long, Long]]()
+    val q = StreamOps.clusterAssignStream(
+      in.toDF().toDF("doc_id", "text"), statePath, ckpt()) { (df, id) =>
+      emitted(id) = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    def stateFrame(): Map[Long, Long] = {
+      val vs = new java.io.File(statePath).listFiles.map(_.getName)
+        .filter(_.startsWith("v")).map(_.drop(1).toLong).sorted
+      spark.read.parquet(s"$statePath/v${vs.last}/clusters")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    def fullRecompute(docs: Seq[(Long, String)]): Map[Long, Long] = {
+      val df = docs.toDF("doc_id", "text")
+      DedupOps.connectedComponents(
+        DedupOps.minhashNearDups(df, col("doc_id"), col("text"), 0.5)
+          .select("id1", "id2"),
+        df.select(col("doc_id").as("id")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    try {
+      in.addData(batch1.toIndexedSeq); q.processAllAvailable()
+      assert(stateFrame() == fullRecompute(batch1))
+      in.addData(batch2.toIndexedSeq); q.processAllAvailable()
+      val s2 = stateFrame()
+      assert(s2 == fullRecompute(batch1 ++ batch2))
+      assert(s2(11L) == 10L && s2(21L) == 20L, s"adoption: $s2")
+      in.addData(batch3.toIndexedSeq); q.processAllAvailable()
+      val s3 = stateFrame()
+      assert(s3 == fullRecompute(batch1 ++ batch2 ++ batch3))
+      // the merge relabeled BOTH history clusters to the union minimum
+      assert(s3(100L) == 10L && s3(20L) == 10L && s3(21L) == 10L,
+        s"merge: $s3")
+      assert(s3(40L) == 40L, "the singleton stayed untouched")
+      // emitted rows are each batch's ingest-time assignment
+      assert(emitted.values.map(_.keySet).reduce(_ ++ _) ==
+        (batch1 ++ batch2 ++ batch3).map(_._1).toSet,
+        s"every doc assigned exactly once across triggers: $emitted")
+      assert(emitted.maxBy(_._1)._2 == Map(100L -> 10L),
+        s"the merger's ingest-time assignment: $emitted")
+    } finally q.stop()
+  }
 }
