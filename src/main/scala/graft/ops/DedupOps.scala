@@ -800,7 +800,22 @@ object DedupOps {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.getCheckpointFile
         case _ => None
       }
-    def deleteCheckpoint(df: DataFrame, file: Option[String]): Unit =
+    // The localCheckpoint counterpart of checkpoint-file deletion:
+    // superseded iteration snapshots hold executor-memory blocks that
+    // the ContextCleaner only releases on a driver GC — a bench or
+    // service running many fixpoints between GCs accumulates every
+    // iteration's label set in the block manager, squeezing execution
+    // memory for UNRELATED queries (measured as a uniform ~20%
+    // slow-down across the suite once dedup_clusters_incremental's
+    // two fixpoints ran per pass). Unpersist eagerly, same timing as
+    // the reliable-file delete: only after the successor materializes.
+    def rddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+        case _ => None
+      }
+    def release(df: DataFrame, file: Option[String],
+        rdd: Option[org.apache.spark.rdd.RDD[_]]): Unit = {
       file.foreach { p =>
         val path = new org.apache.hadoop.fs.Path(p)
         val fs = path.getFileSystem(
@@ -808,6 +823,8 @@ object DedupOps {
         fs.delete(path, true)
         ()
       }
+      rdd.foreach(_.unpersist(blocking = false))
+    }
     val sym = truncate(
       edges.select(col("id1").as("src"), col("id2").as("dst"))
         .union(edges.select(col("id2").as("src"), col("id1").as("dst"))))
@@ -821,6 +838,7 @@ object DedupOps {
     var converged = false
     var i = 0
     var prevLabelFile = checkpointFileOf(labels)
+    var prevLabelRdd = rddOf(labels)
     while (!converged && i < maxIters) {
       val neighborMin = sym
         .join(labels.select(col("id").as("dst"), col("cluster")), "dst")
@@ -833,10 +851,12 @@ object DedupOps {
           (col("nbr_min") < col("cluster")).as("changed")))
       converged = updated.filter(col("changed")).limit(1).isEmpty
       // `updated`'s checkpoint is materialized (checkpoint() is eager),
-      // so the previous label snapshot is unreachable — reclaim it now
-      // rather than waiting for a driver GC that may never run
-      deleteCheckpoint(updated, prevLabelFile)
+      // so the previous label snapshot is unreachable — reclaim its
+      // file AND its cached blocks now rather than waiting for a
+      // driver GC that may never run
+      release(updated, prevLabelFile, prevLabelRdd)
       prevLabelFile = checkpointFileOf(updated)
+      prevLabelRdd = rddOf(updated)
       labels = updated.select(col("id"), col("cluster"))
       i += 1
     }
@@ -847,7 +867,7 @@ object DedupOps {
         "(component diameter exceeds maxIters); raise maxIters")
     // the edge list is only read inside the loop; the returned plan
     // references just the final label snapshot (which must stay live)
-    deleteCheckpoint(sym, checkpointFileOf(sym))
+    release(sym, checkpointFileOf(sym), rddOf(sym))
     nodes.select(col("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
