@@ -1223,6 +1223,46 @@ object Oracles {
        |FROM tok JOIN m USING (w) GROUP BY doc_id""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.sampleDsir]] end-to-end including the
+   *  MODEL: the same lowercase whitespace tokens, the same md5-60
+   *  bucket hash ('0x'-CAST ≡ conv(hex,16,10)), the same add-one
+   *  smoothed log-ratio floor-quantized to integer micro-nats once in
+   *  the B-row model (ln of a ratio of exactly-representable integer
+   *  products — both engines see the identical double), the same
+   *  integer per-doc sums and (logw desc, doc_id) top-N cut. */
+  val sampleDsir: String = {
+    val b = graft.queries.PipelineQueries.DsirBuckets
+    val tgt = graft.queries.PipelineQueries.DsirTargetLang
+    val n = graft.queries.PipelineQueries.DsirN
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang,
+       |         CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) % $b AS b
+       |  FROM (SELECT doc_id, lang,
+       |          unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |            x -> len(x) > 0)) AS w
+       |        FROM documents) t),
+       |raw AS (SELECT b, count(*) AS rcnt FROM tok GROUP BY b),
+       |tg AS (SELECT b, count(*) AS tcnt FROM tok WHERE lang = '$tgt' GROUP BY b),
+       |tot AS (SELECT (SELECT sum(rcnt) FROM raw) AS rtot,
+       |               (SELECT coalesce(sum(tcnt), 0) FROM tg) AS ttot),
+       |m AS (
+       |  SELECT raw.b,
+       |         CAST(floor(ln(
+       |           (CAST(coalesce(tg.tcnt, 0) + 1 AS DOUBLE) * CAST(tot.rtot + $b AS DOUBLE)) /
+       |           (CAST(raw.rcnt + 1 AS DOUBLE) * CAST(tot.ttot + $b AS DOUBLE)))
+       |           * 1000000.0) AS BIGINT) AS lr_micro
+       |  FROM raw LEFT JOIN tg ON raw.b = tg.b CROSS JOIN tot),
+       |sc AS (
+       |  SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(sum(m.lr_micro) AS BIGINT) AS logw_micro
+       |  FROM tok JOIN m USING (b) GROUP BY tok.doc_id),
+       |r AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY logw_micro DESC, doc_id)
+       |           AS BIGINT) AS rank, doc_id, n_words, logw_micro
+       |  FROM sc)
+       |SELECT rank, doc_id, n_words, logw_micro FROM r WHERE rank <= $n""".stripMargin
+  }
+
   /** Mirrors [[PipelineQueries.textClassify]]: same lowercase
    *  whitespace tokens, same md5-prefix bucket hash (the splitAssign
    *  '0x'-CAST ≡ conv(hex,16,10) device), same pure-bigint weight
@@ -2498,7 +2538,10 @@ object Oracles {
    *  pass). Every cross-row sum is a BIGINT sum of floored micro
    *  terms; the only doubles are per-row expressions on identical
    *  operands. */
-  val classifyTrain: String = {
+  /** The classifier-training CTE prefix (features + unrolled GD
+   *  steps ending in `w<TrainIters>`) shared by [[classifyTrain]] and
+   *  [[classifyEval]]. */
+  private def classifyTrainPrefix: String = {
     val dim = graft.functions.VectorMath.ClassifyDim
     val iters = graft.queries.PipelineQueries.TrainIters
     val steps = (1 to iters).map { k =>
@@ -2520,7 +2563,7 @@ object Oracles {
          |         CAST(w.wm - CAST(floor(CAST(coalesce(g.grad, 0) AS DOUBLE) / (SELECT nd FROM n)) AS BIGINT) AS BIGINT) AS wm
          |  FROM $prev w LEFT JOIN g$k g USING (bucket))""".stripMargin
     }.mkString(",\n")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, CAST(lang = 'en' AS INT) AS y,
        |         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS ws
        |  FROM documents),
@@ -2533,8 +2576,29 @@ object Oracles {
        |n AS (SELECT count(DISTINCT doc_id) AS nd FROM f),
        |w0 AS (SELECT CAST(i AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS wm
        |       FROM range(0, $dim) t(i)),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  val classifyTrain: String = {
+    val iters = graft.queries.PipelineQueries.TrainIters
+    s"""WITH $classifyTrainPrefix
        |SELECT bucket, wm AS w_micro FROM w$iters""".stripMargin
+  }
+
+  /** Mirrors [[PipelineQueries.classifyEval]]: the FULL independent
+   *  training chain (shared [[classifyTrainPrefix]] — the oracle
+   *  learns its own weights), then one scoring pass with the final
+   *  weight table and the (label, margin-sign) confusion rollup. */
+  val classifyEval: String = {
+    val iters = graft.queries.PipelineQueries.TrainIters
+    s"""WITH $classifyTrainPrefix,
+       |sc AS (
+       |  SELECT f.doc_id, f.y,
+       |         CAST(SUM(CAST(floor(CAST(w.wm * f.c AS DOUBLE) / f.n_words) AS BIGINT)) AS BIGINT) AS mm
+       |  FROM f JOIN w$iters w USING (bucket) GROUP BY 1, 2)
+       |SELECT CAST(y AS BIGINT) AS label_en, (mm > 0) AS pred_en,
+       |       count(*) AS n
+       |FROM sc GROUP BY 1, 2""".stripMargin
   }
 
   /** Mirrors [[PipelineQueries.mmProbeMp4]]: the MP4 fixture

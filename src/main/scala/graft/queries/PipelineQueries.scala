@@ -809,12 +809,15 @@ object PipelineQueries {
    *  factored so the live admission gate
    *  (`StreamOps.trainedClassifyGateStream`) trains the identical
    *  model once at topology build. Input needs (doc_id, lang, text). */
-  private[graft] def trainClassifierWeights(corpus: DataFrame): Array[Long] = {
-    val micro = 1000000.0
+  /** The trainer's featurized relation (doc_id, y, n_words, bucket, c)
+   *  — factored so [[classifyEval]] scores the SAME features the
+   *  weights were trained on. Wordless docs drop here (no feature
+   *  rows), identically on both engines. */
+  private def classifierFeatures(corpus: DataFrame): DataFrame = {
     val docs = corpus
       .select(col("doc_id"), (col("lang") === "en").cast("int").as("y"),
         col("text"))
-    val feats = FanOut.fanOut(docs)
+    FanOut.fanOut(docs)
       .select(col("doc_id"), col("y"),
         graft.ops.TextAnalyticsOps.wsTokenCount(lower(col("text"))).as("n_words"),
         explode(graft.ops.TextAnalyticsOps.words(lower(col("text")))).as("w"))
@@ -823,7 +826,11 @@ object PipelineQueries {
           % ClassifyDim).as("bucket"))
       .groupBy("doc_id", "y", "n_words", "bucket")
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+  }
+
+  private[graft] def trainClassifierWeights(corpus: DataFrame): Array[Long] = {
+    val micro = 1000000.0
+    val feats = classifierFeatures(corpus).localCheckpoint()
     val nDocs = feats.select("doc_id").distinct().count()
     val w = Array.fill(ClassifyDim.toInt)(0L)
     (1 to TrainIters).foreach { _ =>
@@ -848,6 +855,37 @@ object PipelineQueries {
       }
     }
     w
+  }
+
+  /**
+   * Trained-classifier EVALUATION — the monitoring half of
+   * [[classifyTrain]], the number an operator reads before deploying
+   * the trained gate: apply the learned weights to every document's
+   * own training features and roll the (label, prediction) confusion
+   * counts. Prediction is the margin sign (mm > 0 — the integer
+   * micro-unit sum, so the cut is exact on both engines); wordless
+   * docs have no features and drop from the eval, identically on both
+   * sides. The DuckDB oracle TRAINS INDEPENDENTLY (the classifyTrain
+   * unrolled 6-step CTE chain) and scores relationally — the whole
+   * train→predict→confusion pipeline is re-derived, not trusted.
+   * Scale shape: training is the classifyTrain contract (6 serial
+   * gradient jobs, ≤ ClassifyDim groups); scoring is one pass over
+   * the checkpoint-free feature relation with the weight map as a
+   * plan literal + one two-phase per-doc sum + a 4-group rollup.
+   */
+  def classifyEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = Tables.documents(spark, sfDir)
+    val w = trainClassifierWeights(corpus)
+    val wmap = map((0 until ClassifyDim.toInt).flatMap(b =>
+      Seq(lit(b.toLong), lit(w(b)))): _*)
+    classifierFeatures(corpus)
+      .withColumn("term", floor(
+        (element_at(wmap, col("bucket")) * col("c")).cast("double")
+          / col("n_words")))
+      .groupBy("doc_id", "y").agg(sum("term").as("mm"))
+      .groupBy(col("y").cast("bigint").as("label_en"),
+        (col("mm") > 0).as("pred_en"))
+      .agg(count(lit(1)).as("n"))
   }
 
   /** [[textTokens]] with REAL merge-table BPE instead of the bpeish
@@ -2127,6 +2165,71 @@ object PipelineQueries {
         Window.partitionBy("source")
           .orderBy(col("key_micro").desc, col("doc_id"))).cast("bigint"))
       .filter(col("rank") <= GroupWeightedN)
+  }
+
+  // sample_dsir: hashed-feature buckets, target domain, selection size
+  val DsirBuckets = 64
+  val DsirTargetLang = "en"
+  val DsirN = 100L
+
+  /**
+   * Importance resampling for domain matching (Xie et al. 2023, DSIR
+   * — "Data Selection for Language Models via Importance Resampling"):
+   * score every raw document by how target-like its hashed n-gram
+   * feature counts are, then keep the top [[DsirN]]. The model is two
+   * bucket distributions over [[DsirBuckets]] hashed word features —
+   * p from the TARGET slice (here `lang = 'en'`, the domain a
+   * pretraining mix would upweight), q from the full raw corpus —
+   * and a document's log importance weight is Σ_b c_b·(log p_b −
+   * log q_b) with add-one smoothing. Per-bucket log-ratios are
+   * floor-quantized to integer micro-nats ONCE in the B-row model
+   * (the NllMicro engine-stable device: the only transcendental is
+   * ln of a ratio of exactly-representable integer products, < 2^53
+   * so both engines see the identical double), making every document
+   * score an exact integer sum.
+   *
+   * Scale shape: the model is ONE corpus feature pass ending in a
+   * B-row conditional agg (raw and target counts together — the
+   * target slice piggybacks as a `when`-counted column instead of a
+   * second scan); totals are whole-frame windows over the B-row
+   * relation (the unigramModel device — no extra corpus scan);
+   * scoring is one explode + a BROADCAST join against the B-row model
+   * + one two-phase per-doc sum; the top-N cut is the
+   * WindowGroupLimit contract. Documents never shuffle; the hashed
+   * bucketing (md5-60 mod B, the portable cross-engine device) keeps
+   * the model FIXED-WIDTH regardless of vocabulary — the paper's
+   * reason hashing works at web scale.
+   */
+  def sampleDsir(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    def bucket(w: Column): Column =
+      conv(substring(md5(w), 1, 15), 16, 10).cast("long") % DsirBuckets
+    val model = docs
+      .select(col("lang"),
+        explode(TextAnalyticsOps.words(lower(col("text")))).as("w"))
+      .groupBy(bucket(col("w")).as("b"))
+      .agg(count(lit(1)).as("rcnt"),
+        sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("tcnt"))
+      .select(col("b"),
+        floor(log(
+          ((col("tcnt") + 1).cast("double") *
+            (sum(col("rcnt")).over(Window.partitionBy()) + lit(DsirBuckets))
+              .cast("double")) /
+          ((col("rcnt") + 1).cast("double") *
+            (sum(col("tcnt")).over(Window.partitionBy()) + lit(DsirBuckets))
+              .cast("double")))
+          * lit(1000000.0)).cast("bigint").as("lr_micro"))
+    docs
+      .select(col("doc_id"),
+        explode(TextAnalyticsOps.words(lower(col("text")))).as("w"))
+      .select(col("doc_id"), bucket(col("w")).as("b"))
+      .join(broadcast(model), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("lr_micro").as("logw_micro"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("logw_micro").desc, col("doc_id"))).cast("bigint"))
+      .filter(col("rank") <= DsirN)
+      .select(col("rank"), col("doc_id"), col("n_words"), col("logw_micro"))
   }
 
   val CurateMinScore = 0.40

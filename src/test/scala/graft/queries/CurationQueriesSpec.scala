@@ -358,6 +358,25 @@ class CurationQueriesSpec extends SparkSpec {
       assert((mm > 0L) == (lang == "en"),
         s"doc $id ($lang) misclassified with margin $mm")
     }
+    // classifyEval reports the same separation as a DIAGONAL confusion
+    val conf = PipelineQueries.classifyEval(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    assert(conf == Map((1L, true) -> 20L, (0L, false) -> 20L),
+      s"separable corpus must eval to a diagonal confusion: $conf")
+  }
+
+  test("classifyEval on the driver corpus reports the majority-class " +
+      "fixed point honestly: every doc predicted non-en (the prior), " +
+      "counts equal to the label split") {
+    val conf = PipelineQueries.classifyEval(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    // the monitor's whole value: it EXPOSES that this trained model is
+    // majority-class on a corpus whose label is text-independent
+    assert(conf.keySet.forall(!_._2),
+      s"text-independent labels must converge to the prior: $conf")
+    val total = conf.values.sum
+    val en = conf.getOrElse((1L, false), 0L)
+    assert(total > 0 && en > 0 && en < total, s"both labels present: $conf")
   }
 
   test("sampleWeighted draws the exact Efraimidis-Spirakis top-N: the " +

@@ -664,4 +664,40 @@ class PipelineQueriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("sampleDsir shifts the selection toward the target domain on the " +
+      "driver corpus, and a planted two-vocabulary fixture ranks every " +
+      "target-vocabulary doc above every off-domain doc") {
+    import spark.implicits._
+    // driver corpus: the selected slice must be measurably more
+    // target-lang than the corpus base rate (the whole point of
+    // importance resampling; languages differ in vocabulary, so the
+    // hashed features carry the signal)
+    val sfd = "/root/testdata/sf0.01"
+    val sel = PipelineQueries.sampleDsir(spark, sfd)
+      .select("doc_id").as[Long].collect().toSet
+    val langs = spark.read.parquet(s"$sfd/documents.parquet")
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val base = langs.count(_._2 == PipelineQueries.DsirTargetLang).toDouble /
+      langs.length
+    val selFrac = langs.filter(l => sel(l._1))
+      .count(_._2 == PipelineQueries.DsirTargetLang).toDouble / sel.size
+    assert(selFrac > base + 0.1,
+      f"selection must skew to target: selected $selFrac%.3f vs base $base%.3f")
+    // planted fixture: vocab-A docs labeled target-lang, vocab-B docs
+    // labeled other; every A doc must outrank every B doc
+    def filler(tag: String, n: Int, salt: Int): String =
+      (1 to n).map(i => s"$tag${(i * salt) % 17}").mkString(" ")
+    val planted =
+      (0L until 8L).map(i => (i, s"src0", "en", filler("tvoc", 30, i.toInt + 2))) ++
+        (8L until 16L).map(i => (i, s"src0", "xx", filler("ovoc", 30, i.toInt + 2)))
+    val dir = java.nio.file.Files.createTempDirectory("dsir-fix").toString
+    planted.toDF("doc_id", "source", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ranked = PipelineQueries.sampleDsir(spark, dir)
+      .select("rank", "doc_id").as[(Long, Long)].collect().sortBy(_._1)
+    val topA = ranked.take(8).map(_._2).toSet
+    assert(topA == (0L until 8L).toSet,
+      s"target-vocabulary docs must occupy the top ranks: ${ranked.toSeq}")
+  }
 }
