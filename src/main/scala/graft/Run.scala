@@ -398,6 +398,14 @@ object Run {
         // quantized margin is positive — the train->deploy loop closed
         (trainedGateTopology(spark, lines(), opts.getOrElse("corpus",
           "/root/testdata/sf0.001/documents.parquet")), OutputMode.Append)
+      case "dsir_gate" =>
+        // DSIR domain-matching admission, live: the B-row micro-nat
+        // log-ratio model and the batch top-N's minimum score learned
+        // offline from --corpus (sample_dsir's own arithmetic),
+        // broadcast as a long[]; admit iff the one-kernel-call integer
+        // importance weight clears the threshold
+        (dsirGateTopology(spark, lines(), opts.getOrElse("corpus",
+          "/root/testdata/sf0.001/documents.parquet")), OutputMode.Append)
       case "embed_gate" =>
         // embedding near-dup admission, live: the corpus's combined
         // LSH band keys learned offline from --corpus (the batch
@@ -630,6 +638,16 @@ object Run {
   private[graft] def trainedGateTopology(spark: SparkSession,
       lines: DataFrame, corpusPath: String): DataFrame =
     StreamOps.trainedClassifyGateStream(
+      lines.select(col("ts"), col("value").as("text")),
+      spark.read.parquet(corpusPath))
+
+  /** DSIR domain-matching admission at ingest: model + threshold are
+   *  offline artifacts of the sample_dsir learner
+   *  (StreamOps.dsirGateStream has the deploy reasoning). Factored so
+   *  RunTopologySpec drives the exact composition. */
+  private[graft] def dsirGateTopology(spark: SparkSession,
+      lines: DataFrame, corpusPath: String): DataFrame =
+    StreamOps.dsirGateStream(
       lines.select(col("ts"), col("value").as("text")),
       spark.read.parquet(corpusPath))
 

@@ -993,6 +993,61 @@ object VectorMath {
     trainedMemo.store(text, w, row).asInstanceOf[InternalRow]
   }
 
+  /** Word → 60-bit md5 prefix memo for [[dsirScore]] — the value is
+   *  PARAMETER-INDEPENDENT (the bucket is prefix mod B at use), so one
+   *  memo serves any bucket count; bounded like its md5 siblings, with
+   *  the same tolerated putIfAbsent overshoot. */
+  private val dsirPrefixMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val DsirPrefixMemoMax = 1 << 16
+
+  /** The first 15 hex digits of md5(word) as a long — bit-identical to
+   *  the relational `conv(substring(md5(w), 1, 15), 16, 10)` device
+   *  (7 full bytes then the high nibble of byte 7). */
+  def dsirPrefix60(w: String): Long = {
+    val hit = dsirPrefixMemo.get(w)
+    if (hit != null) return hit.longValue()
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v = (v << 4) | ((d(7) & 0xf0L) >>> 4)
+    if (dsirPrefixMemo.size < DsirPrefixMemoMax) dsirPrefixMemo.putIfAbsent(w, v)
+    v
+  }
+
+  private val dsirMemo = new RowMemo("dsir")
+
+  /** One-pass DSIR importance scoring; see [[DsirScore]]: tokenize the
+   *  (already lowercased) text by whitespace and sum the broadcast
+   *  B-row micro-nat log-ratio model over each word's md5-60 bucket —
+   *  (n_words, logw_micro), the row-local form of
+   *  `PipelineQueries.sampleDsir`'s scoring join. The sum is exact
+   *  integer arithmetic; the model rides as a long[] indexed by
+   *  bucket. */
+  def dsirScore(text: String, model: Array[Long]): InternalRow = {
+    val hit = dsirMemo.lookup(text, model)
+    if (hit != null) return hit.asInstanceOf[InternalRow]
+    var nWords = 0L
+    var logw = 0L
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && isWs(text.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(text.charAt(i))) i += 1
+      if (i > start) {
+        logw += model((dsirPrefix60(text.substring(start, i)) %
+          model.length).toInt)
+        nWords += 1
+      }
+    }
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nWords, logw))
+    dsirMemo.store(text, model, row).asInstanceOf[InternalRow]
+  }
+
   /** Per-thread code-point count scratch for [[charEntropy]] —
    *  reused across rows (the gopherScratch device). */
   private val entropyScratch =
@@ -1852,6 +1907,35 @@ case class ClassifyTrainedMargin(child: Expression,
 }
 
 /**
+ * DSIR importance score over a broadcast B-row micro-nat model; see
+ * [[VectorMath.dsirScore]]. Same shape as [[ClassifyTrainedMargin]]:
+ * one static call per row, model as a broadcast reference object.
+ */
+case class DsirScore(child: Expression,
+    model: org.apache.spark.broadcast.Broadcast[Array[Long]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq("n_words", "logw_micro").map(f =>
+      org.apache.spark.sql.types.StructField(f,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.dsirScore(v.toString, model.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("dsirModel", model,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.VectorMath.dsirScore($t.toString(), " +
+        s"(long[])$mRef.value())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * Deterministic demo embedding kernel — the live gates' stand-in for
  * an upstream encoder (`Run.synthEmbedding`). One static call per row:
  * the composed-column form is `dim` hash expressions that get INLINED
@@ -2484,6 +2568,11 @@ object native {
       weights: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
     GraftColumnBridge.column(
       ClassifyTrainedMargin(GraftColumnBridge.expression(text), weights))
+
+  def dsir_score(text: Column,
+      model: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
+    GraftColumnBridge.column(
+      DsirScore(GraftColumnBridge.expression(text), model))
 
   def emb_band_collide(emb: Column, bits: Int, tables: Int,
       model: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =

@@ -2200,37 +2200,45 @@ object PipelineQueries {
    * the model FIXED-WIDTH regardless of vocabulary — the paper's
    * reason hashing works at web scale.
    */
-  def sampleDsir(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    def bucket(w: Column): Column =
-      conv(substring(md5(w), 1, 15), 16, 10).cast("long") % DsirBuckets
-    val model = docs
-      .select(col("lang"),
-        explode(TextAnalyticsOps.words(lower(col("text")))).as("w"))
-      .groupBy(bucket(col("w")).as("b"))
-      .agg(count(lit(1)).as("rcnt"),
-        sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("tcnt"))
-      .select(col("b"),
-        floor(log(
-          ((col("tcnt") + 1).cast("double") *
-            (sum(col("rcnt")).over(Window.partitionBy()) + lit(DsirBuckets))
-              .cast("double")) /
-          ((col("rcnt") + 1).cast("double") *
-            (sum(col("tcnt")).over(Window.partitionBy()) + lit(DsirBuckets))
-              .cast("double")))
-          * lit(1000000.0)).cast("bigint").as("lr_micro"))
-    docs
-      .select(col("doc_id"),
-        explode(TextAnalyticsOps.words(lower(col("text")))).as("w"))
-      .select(col("doc_id"), bucket(col("w")).as("b"))
-      .join(broadcast(model), "b")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"), sum("lr_micro").as("logw_micro"))
+  private def dsirBucket(w: Column): Column =
+    conv(substring(md5(w), 1, 15), 16, 10).cast("long") % DsirBuckets
+
+  /** The B-row DSIR model (b, lr_micro) — factored so the live gate
+   *  (`StreamOps.dsirGateStream`) learns the identical table once at
+   *  topology build. Input needs (lang, text). */
+  private[graft] def dsirModel(docs: DataFrame): DataFrame = docs
+    .select(col("lang"),
+      explode(TextAnalyticsOps.words(lower(col("text")))).as("w"))
+    .groupBy(dsirBucket(col("w")).as("b"))
+    .agg(count(lit(1)).as("rcnt"),
+      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("tcnt"))
+    .select(col("b"), col("rcnt"), col("tcnt"),
+      floor(log(
+        ((col("tcnt") + 1).cast("double") *
+          (sum(col("rcnt")).over(Window.partitionBy()) + lit(DsirBuckets))
+            .cast("double")) /
+        ((col("rcnt") + 1).cast("double") *
+          (sum(col("tcnt")).over(Window.partitionBy()) + lit(DsirBuckets))
+            .cast("double")))
+        * lit(1000000.0)).cast("bigint").as("lr_micro"))
+
+  /** Per-doc DSIR scores over the whole corpus (doc_id, n_words,
+   *  logw_micro) — the scoring half of [[sampleDsir]], shared with
+   *  the gate's threshold learner. */
+  private[graft] def dsirScores(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      explode(TextAnalyticsOps.words(lower(col("text")))).as("w"))
+    .select(col("doc_id"), dsirBucket(col("w")).as("b"))
+    .join(broadcast(dsirModel(docs)), "b")
+    .groupBy("doc_id")
+    .agg(count(lit(1)).as("n_words"), sum("lr_micro").as("logw_micro"))
+
+  def sampleDsir(spark: SparkSession, sfDir: String): DataFrame =
+    dsirScores(Tables.documents(spark, sfDir))
       .withColumn("rank", row_number().over(
         Window.orderBy(col("logw_micro").desc, col("doc_id"))).cast("bigint"))
       .filter(col("rank") <= DsirN)
       .select(col("rank"), col("doc_id"), col("n_words"), col("logw_micro"))
-  }
 
   val CurateMinScore = 0.40
   val CurateMinWords = 20L

@@ -617,6 +617,51 @@ object StreamOps {
   }
 
   /**
+   * Live DSIR admission gate — the streaming form of
+   * `PipelineQueries.sampleDsir`'s selection, offline-model /
+   * online-filter like [[trainedClassifyGateStream]]: the B-row
+   * micro-nat log-ratio model and the batch top-N's minimum score are
+   * learned ONCE at topology build from a static (lang, text) corpus;
+   * each live document then scores in ONE native [[graft.functions
+   * .DsirScore]] kernel call (md5-60 bucket per word, exact integer
+   * sum over the broadcast long[]) and is admitted iff its log
+   * importance weight clears the threshold. A rank cut is not
+   * streamable, so the gate's contract is the SCORE-threshold form:
+   * ties AT the batch cutoff admit (the batch rank breaks them by
+   * doc_id; a gate has no corpus to rank against). Buckets unseen in
+   * the corpus take the natural add-one-smoothing value for zero
+   * counts — a novel live word neither crashes nor silently drops.
+   * Wordless documents reject (no evidence of target fit — the batch
+   * ranking likewise never selects them). Stateless, Append-safe,
+   * replay/retry-stable; docs must carry `text`, all input columns
+   * pass through.
+   */
+  def dsirGateStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    import graft.queries.PipelineQueries
+    val spark = docs.sparkSession
+    val b = PipelineQueries.DsirBuckets
+    val rows = PipelineQueries.dsirModel(corpus).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2), r.getLong(3)))
+    val rtot = rows.map(_._2).sum
+    val ttot = rows.map(_._3).sum
+    val unseen = math.floor(math.log(
+      (1.0 * (rtot + b)) / (1.0 * (ttot + b))) * 1000000.0).toLong
+    val model = Array.fill(b)(unseen)
+    rows.foreach { case (bk, _, _, lr) => model(bk) = lr }
+    val bc = spark.sparkContext.broadcast(model)
+    val thr = PipelineQueries.dsirScores(corpus)
+      .orderBy(col("logw_micro").desc, col("doc_id"))
+      .limit(PipelineQueries.DsirN.toInt)
+      .agg(min(col("logw_micro"))).head().getLong(0)
+    val passthrough = docs.columns.map(col)
+    docs
+      .withColumn("ds", graft.functions.native.dsir_score(lower(col("text")), bc))
+      .select(passthrough ++ Seq(col("ds.n_words").as("n_words"),
+        col("ds.logw_micro").as("logw_micro")): _*)
+      .filter(col("n_words") > 0L && col("logw_micro") >= thr)
+  }
+
+  /**
    * Live temperature-mixture SAMPLING GATE — the streaming form of
    * `PipelineQueries.mixSample`, offline-statistic / online-filter
    * like [[lmScoreStream]] and [[spanFlagStream]]: the per-source keep

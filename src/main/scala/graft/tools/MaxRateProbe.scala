@@ -459,6 +459,15 @@ object MaxRateProbe {
         in.select(col("ts"), Generators.docLine(col("value")).as("text")),
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
     }
+    search("dsir_gate", seed = 1000000, OutputMode.Append) { in =>
+      // DSIR domain-matching admission: one DsirScore kernel call per
+      // row (md5-60 bucket per word via the prefix memo, exact
+      // integer sum over the broadcast 64-long model) against the
+      // model + threshold learned at build from the sf0.001 corpus
+      StreamOps.dsirGateStream(
+        in.select(col("ts"), Generators.docLine(col("value")).as("text")),
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    }
     search("embed_gate", seed = 1000000, OutputMode.Append) { in =>
       // embedding near-dup admission: one EmbBandCollide kernel call
       // per row (48 sign planes + 4 band binary-searches) over the

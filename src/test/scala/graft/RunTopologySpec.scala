@@ -805,6 +805,71 @@ class RunTopologySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dsir_gate admits live lines exactly at the batch top-N score " +
+      "threshold: corpus replay admits the batch-selected set (plus " +
+      "cutoff ties), a target-vocab line admits, off-domain and " +
+      "wordless lines reject") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val sfd = "/root/testdata/sf0.01"
+    val corpusPath = s"$sfd/documents.parquet"
+    // batch rule: the top-N cut's minimum score is the gate threshold;
+    // ties AT the cutoff admit (documented gate contract)
+    val scores = graft.queries.PipelineQueries.dsirScores(
+      spark.read.parquet(corpusPath))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val thr = scores.toSeq.sortBy { case (id, s) => (-s, id) }
+      .take(graft.queries.PipelineQueries.DsirN.toInt).map(_._2).min
+    val texts = spark.read.parquet(corpusPath)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val wantTexts = texts.collect {
+      case (id, t) if scores.contains(id) && scores(id) >= thr => t }.toSet
+    // planted extremes CONSTRUCTED from the model (an arbitrary
+    // nonsense word lands in an arbitrary bucket whose log-ratio may
+    // well be positive — the first fixture draft learned this the
+    // hard way): a word from the most-negative bucket repeated floods
+    // the score below any threshold; one from the most-positive
+    // bucket repeated enough clears it
+    val model = graft.queries.PipelineQueries.dsirModel(
+      spark.read.parquet(corpusPath)).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    def bucketOf(w: String): Long =
+      graft.functions.VectorMath.dsirPrefix60(w) %
+        graft.queries.PipelineQueries.DsirBuckets
+    val probeWords = (0 until 2000).map(i => s"probe$i")
+    val negWord = probeWords.minBy(w => model.getOrElse(bucketOf(w), 0L))
+    val posWord = probeWords.maxBy(w => model.getOrElse(bucketOf(w), 0L))
+    val (negLr, posLr) = (model(bucketOf(negWord)), model(bucketOf(posWord)))
+    assert(negLr < 0 && posLr > 0, s"model must span signs: $negLr $posLr")
+    val offDomain = Seq.fill(40)(negWord).mkString(" ")
+    val targetish = Seq.fill(
+      math.max(1, (thr / posLr).toInt + 2))(posWord).mkString(" ")
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.toMemory(
+      Run.dsirGateTopology(spark, in.toDF().toDF("ts", "value"), corpusPath),
+      "run_dsir_gate", OutputMode.Append, ckpt())
+    try {
+      val t0 = at("2024-01-01 10:00:00")
+      in.addData((texts.map(_._2) :+ offDomain :+ "   " :+ targetish)
+        .map(t => (t0, t)).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("run_dsir_gate")
+        .select("text").collect().map(_.getString(0)).toSet
+      assert(got.intersect(texts.map(_._2).toSet) == wantTexts,
+        s"gate must admit exactly the batch threshold set: " +
+          s"extra=${got.intersect(texts.map(_._2).toSet) diff wantTexts} " +
+          s"missing=${wantTexts diff got}")
+      assert(!got.contains(offDomain),
+        s"the negative-bucket flood (${40L * negLr} vs thr $thr) must reject")
+      assert(got.contains(targetish),
+        "the positive-bucket line must clear the threshold")
+      assert(!got.contains("   "), "a wordless line must reject")
+      assert(wantTexts.nonEmpty && wantTexts.size < texts.length,
+        "the fixture must exercise both branches")
+    } finally q.stop()
+  }
+
   test("embed_gate admits live vectors exactly as the batch " +
       "band-collide rule; verbatim corpus vectors reject") {
     import org.apache.spark.sql.functions.col
