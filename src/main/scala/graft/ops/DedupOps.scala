@@ -114,6 +114,9 @@ object DedupOps {
    *  dir but WITHOUT cleanCheckpoints gets a one-time warning naming
    *  the leak instead of silently accumulating snapshot dirs. */
   private val warnedUnreclaimed = new java.util.concurrent.atomic.AtomicBoolean
+  /** RDD classes whose logger release() already dropped to ERROR. */
+  private val silencedUnpersistLoggers =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private[graft] def reliableTruncate(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     if (sc.getCheckpointDir.isDefined) {
@@ -823,7 +826,20 @@ object DedupOps {
         fs.delete(path, true)
         ()
       }
-      rdd.foreach(_.unpersist(blocking = false))
+      rdd.foreach { r =>
+        // RDD.unpersist WARNs that a locally-checkpointed RDD cannot
+        // be recomputed — here that is the POINT (the successor
+        // snapshot is already materialized; this lineage is never
+        // needed again), and the per-iteration repetition would bury
+        // genuine warnings in bench/service logs. Silence exactly the
+        // concrete RDD class's logger, once per class; the trade
+        // (other warnings from that class also drop to ERROR) is
+        // confined to RDD implementation classes.
+        if (DedupOps.silencedUnpersistLoggers.add(r.getClass.getName))
+          org.apache.logging.log4j.core.config.Configurator.setLevel(
+            r.getClass.getName, org.apache.logging.log4j.Level.ERROR)
+        r.unpersist(blocking = false)
+      }
     }
     val sym = truncate(
       edges.select(col("id1").as("src"), col("id2").as("dst"))

@@ -65,6 +65,49 @@ object SimilarityOps {
    * (graft.functions.LshBucket) — the composed column form is bits x dim
    * expression nodes and trips the JIT method-size limit.
    */
+  /** Sequential-order double dot product — the FloatVectorDot kernel's
+   *  (and DuckDB `list_sum`'s) accumulation order, so driver-side
+   *  scalars reproduce on both engines. Shared by the PQ family. */
+  private[graft] def seqDot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var d = 0
+    while (d < a.length) { s += a(d).toDouble * b(d).toDouble; d += 1 }
+    s
+  }
+
+  /**
+   * The OR-amplified sign-LSH band relation (vec_id, band, bucket):
+   * ONE [[lshBucket]] kernel call computes all bits×tables planes,
+   * band sub-buckets are bit-sliced from it. THE single definition of
+   * the banding used by [[embeddingNearDupsLsh]], [[knnGraph]], and
+   * the embed_eval query — a change to the cap semantics or the
+   * bit-slicing lands everywhere at once. `maxBucket` is the
+   * mega-bucket guard (two-phase count collapses the hot bucket
+   * map-side, then a left-semi filter drops buckets past the cap —
+   * output-size bounding no join strategy provides; SkewSpec pins it
+   * for both consumers).
+   */
+  private[graft] def bandedKeys(emb: DataFrame, bits: Int, tables: Int,
+      maxBucket: Option[Int] = None): DataFrame = {
+    require(bits * tables <= 63, "bits * tables must fit in a long")
+    val mask = (1L << bits) - 1
+    val banded0 = emb.select(col("vec_id"),
+        lshBucket(col("embedding"), bits * tables).as("allbits"))
+      .select(col("vec_id"),
+        posexplode(array((0 until tables).map(t =>
+          shiftrightunsigned(col("allbits"), t * bits).bitwiseAND(lit(mask))): _*)))
+      .toDF("vec_id", "band", "bucket")
+    maxBucket match {
+      case Some(cap) =>
+        // lineage cut before the count/semi-join/self-join fan-out
+        val bandedM = DedupOps.reliableTruncate(banded0)
+        bandedM.join(
+          bandedM.groupBy("band", "bucket").agg(count(lit(1)).as("bdf"))
+            .filter(col("bdf") <= cap),
+          Seq("band", "bucket"), "left_semi")
+      case None => banded0
+    }
+  }
+
   def lshBucket(emb: Column, bits: Int = 12): Column =
     graft.functions.native.lsh_bucket(emb, bits)
 
@@ -349,33 +392,14 @@ object SimilarityOps {
   def embeddingNearDupsLsh(emb: DataFrame, threshold: Double,
       bits: Int = 4, tables: Int = 8,
       maxBucket: Option[Int] = None): DataFrame = {
-    require(bits * tables <= 63, "bits * tables must fit in a long")
-    val mask = (1L << bits) - 1
-    val withB = emb.select(col("vec_id"),
-      lshBucket(col("embedding"), bits * tables).as("allbits"))
-    val banded0 = withB.select(col("vec_id"),
-      posexplode(array((0 until tables).map(t =>
-        shiftrightunsigned(col("allbits"), t * bits).bitwiseAND(lit(mask))): _*)))
-      .toDF("vec_id", "band", "bucket")
     // mega-bucket guard (the minhashCandidates maxBandDf device): a
     // vector copied into millions of rows — or any band bucket grown
     // past `maxBucket` — has inherently quadratic pair fan-out; when
-    // set, such buckets are dropped before the self-join (two-phase
-    // count, map-side combine collapses the hot bucket, then a
-    // semi-join filter). The dropped cluster's right home is the
-    // exact-dedup path. Default None preserves the oracle-gated
-    // semantics; SkewSpec pins the capped behavior.
-    val banded = maxBucket match {
-      case Some(cap) =>
-        // lineage cut before the count/semi-join/self-join fan-out —
-        // the minhashCandidates maxBandDf reasoning; fixed-width rows
-        val bandedM = DedupOps.reliableTruncate(banded0)
-        bandedM.join(
-          bandedM.groupBy("band", "bucket").agg(count(lit(1)).as("bdf"))
-            .filter(col("bdf") <= cap),
-          Seq("band", "bucket"), "left_semi")
-      case None => banded0
-    }
+    // set, such buckets are dropped before the self-join. The dropped
+    // cluster's right home is the exact-dedup path. Default None
+    // preserves the oracle-gated semantics; SkewSpec pins the capped
+    // behavior. Banding + cap live in [[bandedKeys]].
+    val banded = bandedKeys(emb, bits, tables, maxBucket)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -423,24 +447,7 @@ object SimilarityOps {
    */
   def knnGraph(emb: DataFrame, k: Int, bits: Int = 4,
       tables: Int = 8, maxBucket: Option[Int] = None): DataFrame = {
-    require(bits * tables <= 63, "bits * tables must fit in a long")
-    val mask = (1L << bits) - 1
-    val withB = emb.select(col("vec_id"),
-      lshBucket(col("embedding"), bits * tables).as("allbits"))
-    val banded0 = withB.select(col("vec_id"),
-      posexplode(array((0 until tables).map(t =>
-        shiftrightunsigned(col("allbits"), t * bits).bitwiseAND(lit(mask))): _*)))
-      .toDF("vec_id", "band", "bucket")
-    val banded = maxBucket match {
-      case Some(cap) =>
-        // lineage cut before the count/semi-join/self-join fan-out
-        val bandedM = DedupOps.reliableTruncate(banded0)
-        bandedM.join(
-          bandedM.groupBy("band", "bucket").agg(count(lit(1)).as("bdf"))
-            .filter(col("bdf") <= cap),
-          Seq("band", "bucket"), "left_semi")
-      case None => banded0
-    }
+    val banded = bandedKeys(emb, bits, tables, maxBucket)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
@@ -549,13 +556,6 @@ object SimilarityOps {
     import spark.implicits._
     def subEmb(i: Int) = emb.select(col("vec_id"),
       slice(col("embedding"), i * sub + 1, sub).as("embedding"))
-    // sequential-order double accumulation — the FloatVectorDot kernel's
-    // (and DuckDB list_sum's) order, so driver-side scalars reproduce
-    def seqDot(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0; var d = 0
-      while (d < a.length) { s += a(d).toDouble * b(d).toDouble; d += 1 }
-      s
-    }
     val books = (0 until m).map(i => kmeansCentroids(subEmb(i), ks, iters))
     val bookNorms = books.map(_.map(c => math.sqrt(seqDot(c, c))))
     val norms2 = books.map(_.map(c => seqDot(c, c)).toSeq)
@@ -637,11 +637,6 @@ object SimilarityOps {
     val sub = dim / m
     val spark = emb.sparkSession
     import spark.implicits._
-    def seqDot(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0; var d = 0
-      while (d < a.length) { s += a(d).toDouble * b(d).toDouble; d += 1 }
-      s
-    }
     // coarse quantizer + per-vector cell + float32 residual
     val cents = kmeansCentroids(emb, nCells, iters)
     val cNorms = cents.map(c => math.sqrt(seqDot(c, c)))

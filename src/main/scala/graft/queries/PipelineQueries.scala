@@ -488,15 +488,10 @@ object PipelineQueries {
       .filter(col("cos") >= EmbEvalMinCos)
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
         least(floor(col("cos") * 10), lit(5L)).as("cos_band"))
-    val mask = (1L << bits) - 1
-    // one kernel call for all sign planes (the embeddingNearDupsLsh
-    // layout), bands bit-sliced from it
-    val banded = emb.select(col("vec_id"),
-        SimilarityOps.lshBucket(col("embedding"), bits * tables).as("allbits"))
-      .select(col("vec_id"),
-        posexplode(array((0 until tables).map(t =>
-          shiftrightunsigned(col("allbits"), t * bits).bitwiseAND(lit(mask))): _*)))
-      .toDF("vec_id", "band", "bucket")
+    // the single banding definition (SimilarityOps.bandedKeys), so the
+    // eval measures EXACTLY the candidate mechanism the production
+    // paths run
+    val banded = SimilarityOps.bandedKeys(emb, bits, tables)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -828,7 +823,15 @@ object PipelineQueries {
       .agg(count(lit(1)).as("c"))
   }
 
-  private[graft] def trainClassifierWeights(corpus: DataFrame): Array[Long] = {
+  private[graft] def trainClassifierWeights(corpus: DataFrame): Array[Long] =
+    trainClassifierWeightsWithFeatures(corpus)._1
+
+  /** [[trainClassifierWeights]] also returning the CHECKPOINTED feature
+   *  relation the weights were trained on, so [[classifyEval]] scores
+   *  the materialized snapshot instead of re-deriving the identical
+   *  relation with a second corpus pass. */
+  private def trainClassifierWeightsWithFeatures(
+      corpus: DataFrame): (Array[Long], DataFrame) = {
     val micro = 1000000.0
     val feats = classifierFeatures(corpus).localCheckpoint()
     val nDocs = feats.select("doc_id").distinct().count()
@@ -854,7 +857,7 @@ object PipelineQueries {
         w(b) -= math.floor(grads.getOrElse(b, 0L).toDouble / nDocs).toLong
       }
     }
-    w
+    (w, feats)
   }
 
   /**
@@ -870,15 +873,15 @@ object PipelineQueries {
    * train→predict→confusion pipeline is re-derived, not trusted.
    * Scale shape: training is the classifyTrain contract (6 serial
    * gradient jobs, ≤ ClassifyDim groups); scoring is one pass over
-   * the checkpoint-free feature relation with the weight map as a
+   * the trainer's checkpointed feature snapshot with the weight map as a
    * plan literal + one two-phase per-doc sum + a 4-group rollup.
    */
   def classifyEval(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = Tables.documents(spark, sfDir)
-    val w = trainClassifierWeights(corpus)
+    val (w, feats) = trainClassifierWeightsWithFeatures(corpus)
     val wmap = map((0 until ClassifyDim.toInt).flatMap(b =>
       Seq(lit(b.toLong), lit(w(b)))): _*)
-    classifierFeatures(corpus)
+    feats
       .withColumn("term", floor(
         (element_at(wmap, col("bucket")) * col("c")).cast("double")
           / col("n_words")))

@@ -646,10 +646,22 @@ object StreamOps {
     val ttot = rows.map(_._3).sum
     val unseen = math.floor(math.log(
       (1.0 * (rtot + b)) / (1.0 * (ttot + b))) * 1000000.0).toLong
+    require(rows.nonEmpty,
+      "dsirGateStream: the corpus yielded no scorable words — the gate " +
+        "cannot learn a model or threshold from an empty/wordless corpus")
     val model = Array.fill(b)(unseen)
     rows.foreach { case (bk, _, _, lr) => model(bk) = lr }
     val bc = spark.sparkContext.broadcast(model)
-    val thr = PipelineQueries.dsirScores(corpus)
+    // threshold from the SAME kernel the gate scores with (pinned
+    // equal to the relational dsirScores by RunTopologySpec), so the
+    // learn phase is one corpus pass instead of re-deriving the model
+    // in-plan a second time
+    val thr = corpus
+      .select(col("doc_id"),
+        graft.functions.native.dsir_score(lower(col("text")), bc).as("ds"))
+      .select(col("doc_id"), col("ds.n_words").as("n_words"),
+        col("ds.logw_micro").as("logw_micro"))
+      .filter(col("n_words") > 0L)
       .orderBy(col("logw_micro").desc, col("doc_id"))
       .limit(PipelineQueries.DsirN.toInt)
       .agg(min(col("logw_micro"))).head().getLong(0)
