@@ -1016,7 +1016,11 @@ object StreamOps {
    * `v<id>/docs` holds ONLY that batch's documents (append-only — text
    * is written once and never rewritten, the 100 TB requirement) and
    * `v<id>/clusters` a full snapshot of the converged frame
-   * (fixed-width (doc_id, cluster) rows — the small, rewritable half).
+   * (fixed-width (doc_id, cluster) rows — the small, rewritable half;
+   * superseded snapshots are PRUNED each trigger down to the current
+   * and one prior version — the prior is what a retry of the next
+   * batch reads — so cluster state is bounded at two frames while
+   * docs grow append-only).
    * A trigger reads history as every version STRICTLY BELOW its own
    * batch id, so a retried batch never sees its own partial writes
    * (overwrite mode makes the rewrite idempotent). A production
@@ -1063,6 +1067,15 @@ object StreamOps {
           .parquet(s"$statePath/v$id/clusters")
         batchDocs.write.mode("overwrite")
           .parquet(s"$statePath/v$id/docs")
+        // prune superseded cluster snapshots: only the LATEST frame is
+        // ever read forward, but a RETRY of batch id+1 reads the
+        // latest below id+1 — so keep this version's and the one
+        // prior, delete older (docs are history and never pruned)
+        versions.dropRight(1).foreach { v =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$statePath/v$v/clusters"), true)
+          ()
+        }
         sink(spark.read.parquet(s"$statePath/v$id/clusters")
           .join(batchDocs.select("doc_id"), "doc_id"), id)
       }

@@ -647,4 +647,32 @@ object EngineProps extends Properties("graft") {
           (w.sample_rate > 0 && w.n_samples >= 0 &&
             w.amp_hist.sum == w.n_samples * w.channels))
     }
+
+  property("dsirPrefix60 == the relational conv(substring(md5, 1, 15), " +
+      "16, 10) device, bit-for-bit, on arbitrary words") =
+    forAll(Gen.alphaNumStr.suchThat(_.nonEmpty), Gen.oneOf("", "é", "😀", "ß")) {
+      (base, salt) =>
+        val w = base + salt
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString
+        val want = java.lang.Long.parseLong(hex.take(15), 16)
+        graft.functions.VectorMath.dsirPrefix60(w) == want
+    }
+
+  property("dsirScore totality + additivity: any text yields " +
+      "(n_words >= 0, finite sum); score of a concatenation with a " +
+      "space equals the sum of the parts' scores") =
+    forAll(Gen.listOfN(4, Gen.oneOf("word", "a", "zz9", " ", "\t", "é é")),
+        Gen.listOfN(3, Gen.choose(-500000L, 500000L))) { (parts, m3) =>
+      val model = (m3 ++ m3 ++ m3).padTo(64, 7L).toArray
+      def sc(t: String) = {
+        val r = graft.functions.VectorMath.dsirScore(t, model)
+        (r.getLong(0), r.getLong(1))
+      }
+      val (a, b) = (parts.take(2).mkString(" "), parts.drop(2).mkString(" "))
+      val ((na, sa), (nb, sb)) = (sc(a), sc(b))
+      val (nc, scc) = sc(s"$a $b")
+      na >= 0 && nb >= 0 && nc == na + nb && scc == sa + sb
+    }
 }

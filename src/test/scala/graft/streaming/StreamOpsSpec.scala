@@ -756,6 +756,18 @@ class StreamOpsSpec extends SparkSpec {
         s"every doc assigned exactly once across triggers: $emitted")
       assert(emitted.maxBy(_._1)._2 == Map(100L -> 10L),
         s"the merger's ingest-time assignment: $emitted")
+      // superseded cluster snapshots are pruned to the current + one
+      // prior (retry safety); docs stay append-only for every version
+      val dirs = new java.io.File(statePath).listFiles
+        .filter(_.getName.startsWith("v")).sortBy(_.getName.drop(1).toLong)
+      assert(dirs.length == 3, s"three versions: ${dirs.toSeq}")
+      val withClusters = dirs.filter(d =>
+        new java.io.File(d, "clusters").exists).map(_.getName)
+      assert(withClusters.sameElements(dirs.takeRight(2).map(_.getName)),
+        s"cluster state must be bounded at the last two frames: " +
+          s"${withClusters.toSeq}")
+      assert(dirs.forall(d => new java.io.File(d, "docs").exists),
+        "docs are append-only history, never pruned")
     } finally q.stop()
   }
 }
