@@ -1512,6 +1512,37 @@ object Oracles {
        |FROM t""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.packEval]]: the packing query's own
+   *  cumulative-sum frame, the same first/last-token window test for
+   *  splits, ceil/nullif for the fill rate. */
+  val packEval: String = {
+    val n = graft.queries.PipelineQueries.PackTokens
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, n_tokens,
+       |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+       |  FROM t),
+       |s AS (
+       |  SELECT source, n_tokens,
+       |         (n_tokens > 0 AND
+       |          floor((cum - n_tokens) / $n.0) <> floor((cum - 1) / $n.0)) AS split
+       |  FROM c),
+       |g AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |         CAST(sum(CASE WHEN split THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+       |  FROM s GROUP BY source)
+       |SELECT source, n_docs, total_tokens,
+       |       CAST(ceil(total_tokens / $n.0) AS BIGINT) AS n_seqs,
+       |       n_split_docs,
+       |       round(CAST(total_tokens AS DOUBLE) /
+       |             nullif(CAST(ceil(total_tokens / $n.0) AS BIGINT) * $n, 0), 4) AS fill_r
+       |FROM g""".stripMargin
+  }
+
   /** Mirrors [[PipelineQueries.decontaminate]]: same whitespace words,
    *  same distinct n-grams per doc (DISTINCT doc_id, ng ≡ the kernel's
    *  first-occurrence dedup), same holdout slice — joined on the gram

@@ -1324,6 +1324,45 @@ object PipelineQueries {
         .cast("bigint"))
   }
 
+  /**
+   * Packing EVALUATION — the monitor for [[packSequences]], the two
+   * numbers a pretraining-loader ops team actually watches: per
+   * source, the FILL RATE (total tokens over sequence capacity — the
+   * waste the last partial sequence and short corpora cause) and the
+   * SPLIT-DOC count (documents crossing a sequence boundary — the
+   * attention-contamination the concatenate-then-cut policy accepts;
+   * a doc splits iff its first and last token land in different
+   * budget windows). Both derive from the same per-source cumulative
+   * sum the packing itself uses, so the eval measures EXACTLY the
+   * deployed policy. Output: (source, n_docs, total_tokens, n_seqs,
+   * n_split_docs, fill_r); n_seqs = ceil(total/budget), fill_r
+   * null for a tokenless source (nullif device, both engines).
+   * Scale shape: one row-local token count + the per-source window +
+   * one |sources|-group agg; same contract as the packing query.
+   */
+  def packEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = PackTokens.toDouble
+    val tokens = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        TextAnalyticsOps.wsTokenCount(col("text")).as("n_tokens"))
+    val cum = sum(col("n_tokens")).over(
+      Window.partitionBy(col("source")).orderBy(col("doc_id")))
+    tokens.withColumn("cum", cum)
+      .withColumn("split", col("n_tokens") > 0 &&
+        floor((col("cum") - col("n_tokens")) / lit(p)) =!=
+          floor((col("cum") - 1) / lit(p)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        sum(when(col("split"), 1L).otherwise(0L)).as("n_split_docs"))
+      .withColumn("n_seqs",
+        ceil(col("total_tokens") / lit(p)).cast("bigint"))
+      .withColumn("fill_r", round(col("total_tokens") /
+        nullif(col("n_seqs") * lit(PackTokens.toLong), lit(0L)), 4))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("n_seqs"), col("n_split_docs"), col("fill_r"))
+  }
+
   /** Sub-shard width (in doc_id units) for [[packSequencesSharded]]:
    *  contiguous doc_id ranges of this width form the inner prefix-sum
    *  buckets. Any positive value is correct (PackShardingSpec fuzzes

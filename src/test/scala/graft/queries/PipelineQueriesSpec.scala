@@ -700,4 +700,34 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(topA == (0L until 8L).toSet,
       s"target-vocabulary docs must occupy the top ranks: ${ranked.toSeq}")
   }
+
+  test("packEval is consistent with the packing it monitors: every " +
+      "seq_id < its source's n_seqs, split counts equal a plain-Scala " +
+      "boundary walk, and fill_r is total/(n_seqs*budget)") {
+    import spark.implicits._
+    val eval = PipelineQueries.packEval(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    val packed = PipelineQueries.packSequences(spark, sfDir)
+      .select("source", "doc_id", "n_tokens", "seq_id")
+      .as[(String, Long, Long, Long)].collect()
+    packed.groupBy(_._1).foreach { case (src, rows) =>
+      val (nDocs, tot, nSeqs, nSplit, fill) = eval(src)
+      assert(rows.length == nDocs && rows.map(_._3).sum == tot)
+      assert(rows.forall(_._4 < nSeqs),
+        s"$src: a doc was packed past the monitor's sequence count")
+      // plain-Scala boundary walk over the same (doc_id) order
+      val p = PipelineQueries.PackTokens
+      var cum = 0L; var splits = 0L
+      rows.sortBy(_._2).foreach { case (_, _, n, _) =>
+        if (n > 0 && (cum / p) != ((cum + n - 1) / p)) splits += 1
+        cum += n
+      }
+      assert(splits == nSplit, s"$src: split count $nSplit, walked $splits")
+      val wantFill = BigDecimal(tot.toDouble / (nSeqs * p))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(fill - wantFill) < 1e-9, s"$src: fill $fill vs $wantFill")
+    }
+  }
 }
