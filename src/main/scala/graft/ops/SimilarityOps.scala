@@ -633,20 +633,41 @@ object SimilarityOps {
   def ivfPqTopK(emb: DataFrame, queryIds: Seq[Long], kTop: Int, dim: Int,
       nCells: Int = 8, nProbe: Int = 4, m: Int = 4, ks: Int = 8,
       iters: Int = 2): DataFrame = {
+    val idx = buildIvfPqIndex(emb, dim, nCells, nProbe, m, ks, iters)
+    val qvecs = emb.filter(col("vec_id").isInCollection(queryIds))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // a queryId absent from the corpus yields no rows — the sibling
+    // top-k ops' relational-filter semantics, not a driver crash
+    ivfPqScore(idx, queryIds.sorted.filter(qvecs.contains)
+      .map(q => q -> qvecs(q)), kTop)
+  }
+
+  /** The trained two-level IVFADC index: model artifacts (coarse
+   *  centroids, shared residual codebooks, the reconstruction-norm
+   *  tables) plus the ENCODED corpus relation — everything a serving
+   *  path needs; the original floats are never consulted again. */
+  private[graft] case class IvfPqIndex(dim: Int, m: Int, ks: Int,
+      nProbe: Int, cents: Array[Array[Float]], cNorms: Array[Double],
+      books: Seq[Array[Array[Float]]], cn2: Seq[Double],
+      cross: Seq[Seq[Seq[Double]]], bw2: Seq[Seq[Double]],
+      codes: DataFrame)
+
+  /** Train + encode ([[ivfPqTopK]]'s build half, factored so the
+   *  streaming service builds ONCE and serves per trigger). */
+  private[graft] def buildIvfPqIndex(emb: DataFrame, dim: Int, nCells: Int,
+      nProbe: Int, m: Int, ks: Int, iters: Int): IvfPqIndex = {
     require(dim % m == 0, "dim must split evenly into m subspaces")
     val sub = dim / m
-    val spark = emb.sparkSession
-    import spark.implicits._
     // coarse quantizer + per-vector cell + float32 residual
     val cents = kmeansCentroids(emb, nCells, iters)
     val cNorms = cents.map(c => math.sqrt(seqDot(c, c)))
     val centLit = typedlit(cents.map(_.toSeq).toSeq)
-    def withResid(df: DataFrame) = df
+    val res = emb
       .withColumn("cell", element_at(
         graft.functions.native.ivf_probe_cells(col("embedding"), cents, cNorms, 1), 1))
       .withColumn("resid", zip_with(col("embedding"),
         element_at(centLit, col("cell") + 1), (x, c) => x - c))
-    val res = withResid(emb)
     // residual codebooks: the same decimal-exact Lloyd per subspace,
     // seeded by the first ks residual slices
     def resSub(i: Int) = res.select(col("vec_id"),
@@ -664,38 +685,46 @@ object SimilarityOps {
       (0 until m).map(i => element_at(graft.functions.native.ivf_probe_cells(
         slice(col("resid"), i * sub + 1, sub), books(i), bookNorms(i), 1),
         1).as(s"c$i")): _*)
-    // probe side: nProbe cells per query (the ivfTopKWith ranking
-    // kernel — identical tie rules to the oracle's rnk window), the
-    // query–centroid dot in-plan via the sequential-order dot kernel,
-    // ADC tables as driver literals
-    val qvecs = emb.filter(col("vec_id").isInCollection(queryIds))
-      .select("vec_id", "embedding").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    val qAdc = queryIds.sorted.filter(qvecs.contains).map { qid =>
-      val q = qvecs(qid)
-      val adc = (0 until m).map(i => (0 until ks).map(c =>
-        seqDot(q.slice(i * sub, (i + 1) * sub), books(i)(c))).toSeq).toSeq
-      (qid, adc)
-    }.toDF("query_id", "adc")
-    val probes = emb.filter(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        l2Norm(col("embedding")).as("qn"),
-        explode(graft.functions.native.ivf_probe_cells(col("embedding"),
-          cents, cNorms, nProbe)).as("cell"))
-      .withColumn("qc", dot(col("q_emb"), element_at(centLit, col("cell") + 1)))
-      .join(qAdc, "query_id")
+    IvfPqIndex(dim, m, ks, nProbe, cents, cNorms, books, cn2, cross, bw2, codes)
+  }
+
+  /** Score a (small) set of query VECTORS against the encoded corpus:
+   *  the probe list per query is the same (cosine DESC, cid ASC,
+   *  zero-norm → −∞) ranking as the IvfProbeCells kernel, computed
+   *  driver-side in identical sequential-double arithmetic so the
+   *  relational oracle reproduces it; the scoring join reads ONLY the
+   *  broadcast probe/ADC table and the code relation. */
+  private[graft] def ivfPqScore(idx: IvfPqIndex,
+      queries: Seq[(Long, Array[Float])], kTop: Int): DataFrame = {
+    val spark = idx.codes.sparkSession
+    import spark.implicits._
+    val m = idx.m
+    val sub = idx.dim / m
+    val probeRows = queries.flatMap { case (qid, q) =>
+      val qn = math.sqrt(seqDot(q, q))
+      val adc = (0 until m).map(i => (0 until idx.ks).map(c =>
+        seqDot(q.slice(i * sub, (i + 1) * sub), idx.books(i)(c))).toSeq).toSeq
+      val ranked = idx.cents.indices.map { cid =>
+        val qc = seqDot(q, idx.cents(cid))
+        val denom = qn * idx.cNorms(cid)
+        val cos = if (denom == 0.0) Double.NegativeInfinity else qc / denom
+        (cid, cos, qc)
+      }.sortBy { case (cid, cos, _) => (-cos, cid) }.take(idx.nProbe)
+      ranked.map { case (cid, _, qc) => (qid, cid, qn, qc, adc) }
+    }
+    val probes = probeRows.toDF("query_id", "cell", "qn", "qc", "adc")
     // score: (qc + Σ adc) / (qn · sqrt((‖c‖² + 2·Σ cross) + Σ ‖bw‖²)),
     // every Σ in subspace order, grouping mirrored by the oracle
     val adcSum = (Seq(col("qc")) ++ (0 until m).map(i =>
       element_at(element_at(col("adc"), i + 1), col(s"c$i") + 1))).reduce(_ + _)
     val crossSum = (0 until m).map(i =>
-      element_at(element_at(typedlit(cross(i)), col("cell") + 1), col(s"c$i") + 1))
-      .reduce(_ + _)
+      element_at(element_at(typedlit(idx.cross(i)), col("cell") + 1),
+        col(s"c$i") + 1)).reduce(_ + _)
     val bw2Sum = (0 until m).map(i =>
-      element_at(typedlit(bw2(i)), col(s"c$i") + 1)).reduce(_ + _)
-    val xn2 = element_at(typedlit(cn2), col("cell") + 1) +
+      element_at(typedlit(idx.bw2(i)), col(s"c$i") + 1)).reduce(_ + _)
+    val xn2 = element_at(typedlit(idx.cn2), col("cell") + 1) +
       lit(2.0) * crossSum + bw2Sum
-    val scored = codes.join(broadcast(probes), "cell")
+    val scored = idx.codes.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("score", coalesce(
         adcSum / nullif(col("qn") * sqrt(xn2), lit(0.0)),

@@ -1082,6 +1082,38 @@ object StreamOps {
       .start()
   }
 
+  /**
+   * IVF-PQ similarity serving — [[streamingTopK]]'s 100 TB sibling:
+   * the two-level IVFADC index (coarse centroids + shared residual
+   * codebooks + the ENCODED corpus) is built ONCE at topology start
+   * and the code relation localCheckpointed, so per trigger the
+   * corpus floats are never read again — each micro-batch's query
+   * vectors probe nProbe cells and score against the compact codes
+   * via broadcast ADC tables (`SimilarityOps.ivfPqScore`, the exact
+   * scoring tail the gated batch query runs; StreamOpsSpec pins
+   * stream == batch per trigger). This is the serving shape at scale:
+   * bytes scanned per query are codes (4 B/vector at the default
+   * config) in the probed cells only, not embeddings.
+   */
+  def streamingTopKIvfPq(queries: DataFrame, corpus: DataFrame, k: Int,
+      dim: Int, nCells: Int = 8, nProbe: Int = 4, m: Int = 4, ks: Int = 8,
+      iters: Int = 2, checkpoint: String)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ops.SimilarityOps
+    val built = SimilarityOps.buildIvfPqIndex(corpus, dim, nCells, nProbe,
+      m, ks, iters)
+    val idx = built.copy(codes = built.codes.localCheckpoint())
+    queries.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val qs = batch.select(col("query_id"), col("embedding")).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+        sink(SimilarityOps.ivfPqScore(idx, qs, k), id)
+      }
+      .start()
+  }
+
   /** Envelope for [[temporalAsOf]]: both sides union into one tagged
    *  relation (probe rows have isBuild = false). */
   case class Timed(key: Long, ts: Long, id: Long, isBuild: Boolean)

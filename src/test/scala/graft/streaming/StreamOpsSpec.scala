@@ -519,6 +519,42 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingTopKIvfPq: per-trigger neighbors equal the gated batch " +
+      "operator on replayed corpus vectors — the index built once, " +
+      "floats never re-read at serve time") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.PipelineQueries._
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val qids = SimQueryIds
+    val want = graft.ops.SimilarityOps.ivfPqTopK(corpus, qids, SimK,
+      dim = EmbeddingDim, nCells = KmCells, nProbe = KmProbe,
+      m = PqM, ks = PqKs, iters = KmIters)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val qvecs = corpus.filter(col("vec_id").isInCollection(qids))
+      .as[(Long, Array[Float])].collect()
+    val in = MemoryStream[(Long, Array[Float])]
+    val results = scala.collection.mutable.Set[(Long, Long, Long)]()
+    val q = StreamOps.streamingTopKIvfPq(
+      in.toDF().toDF("query_id", "embedding"), corpus, SimK,
+      dim = EmbeddingDim, nCells = KmCells, nProbe = KmProbe,
+      m = PqM, ks = PqKs, iters = KmIters, checkpoint = ckpt()) {
+      (batch, _) =>
+        results ++= batch.select("query_id", "rank", "neighbor_id")
+          .as[(Long, Long, Long)].collect()
+    }
+    try {
+      // two triggers: the index must serve both without rebuilding
+      val (a, b) = qvecs.splitAt(qvecs.length / 2)
+      in.addData(a.toIndexedSeq); q.processAllAvailable()
+      in.addData(b.toIndexedSeq); q.processAllAvailable()
+      assert(results.toSet == want,
+        s"stream must equal the gated batch IVFADC results: " +
+          s"extra=${results.toSet diff want} missing=${want diff results.toSet}")
+    } finally q.stop()
+  }
+
   test("stateless text-analysis ops run unchanged under streaming") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
