@@ -696,6 +696,14 @@ object SimilarityOps {
    *  broadcast probe/ADC table and the code relation. */
   private[graft] def ivfPqScore(idx: IvfPqIndex,
       queries: Seq[(Long, Array[Float])], kTop: Int): DataFrame = {
+    // fail loud at the API boundary: a query of the wrong width would
+    // otherwise throw a bare ArrayIndexOutOfBounds inside seqDot (the
+    // in-plan kernel this path replaced truncated silently — worse)
+    queries.foreach { case (qid, q) =>
+      require(q != null && q.length == idx.dim,
+        s"ivfPqScore: query $qid has ${if (q == null) "null" else q.length} " +
+          s"dims, index expects ${idx.dim}")
+    }
     val spark = idx.codes.sparkSession
     import spark.implicits._
     val m = idx.m

@@ -1513,8 +1513,9 @@ object Oracles {
   }
 
   /** Mirrors [[PipelineQueries.packEval]]: the packing query's own
-   *  cumulative-sum frame, the same first/last-token window test for
-   *  splits, ceil/nullif for the fill rate. */
+   *  cumulative-sum frame and seq_id assignment, the same
+   *  first/last-token window test for splits, n_seqs = the packer's
+   *  max assigned seq_id + 1. */
   val packEval: String = {
     val n = graft.queries.PipelineQueries.PackTokens
     s"""WITH t AS (
@@ -1527,19 +1528,18 @@ object Oracles {
        |  FROM t),
        |s AS (
        |  SELECT source, n_tokens,
+       |         CAST(floor((cum - n_tokens) / $n.0) AS BIGINT) AS seq_id,
        |         (n_tokens > 0 AND
        |          floor((cum - n_tokens) / $n.0) <> floor((cum - 1) / $n.0)) AS split
        |  FROM c),
        |g AS (
        |  SELECT source, count(*) AS n_docs,
        |         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |         CAST(max(seq_id) + 1 AS BIGINT) AS n_seqs,
        |         CAST(sum(CASE WHEN split THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
        |  FROM s GROUP BY source)
-       |SELECT source, n_docs, total_tokens,
-       |       CAST(ceil(total_tokens / $n.0) AS BIGINT) AS n_seqs,
-       |       n_split_docs,
-       |       round(CAST(total_tokens AS DOUBLE) /
-       |             nullif(CAST(ceil(total_tokens / $n.0) AS BIGINT) * $n, 0), 4) AS fill_r
+       |SELECT source, n_docs, total_tokens, n_seqs, n_split_docs,
+       |       round(CAST(total_tokens AS DOUBLE) / (n_seqs * $n), 4) AS fill_r
        |FROM g""".stripMargin
   }
 

@@ -1308,21 +1308,31 @@ object PipelineQueries {
    * bit-for-bit).
    */
   def packSequences(spark: SparkSession, sfDir: String): DataFrame =
-    packSequencesOf(
-      Tables.documents(spark, sfDir)
-        .select(col("doc_id"), col("source"),
-          TextAnalyticsOps.wsTokenCount(col("text")).as("n_tokens")))
+    packSequencesOf(packTokenFrame(spark, sfDir))
+
+  /** The (doc_id, source, n_tokens) frame both the packing and its
+   *  monitor consume — ONE definition, so the monitor cannot silently
+   *  diverge from the deployed tokenizer. */
+  private def packTokenFrame(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        TextAnalyticsOps.wsTokenCount(col("text")).as("n_tokens"))
+
+  /** The packing's per-source cumulative token sum — the ONE ordering
+   *  and window definition [[packSequencesOf]] and [[packEval]] share. */
+  private def packCum(tokens: DataFrame): DataFrame =
+    tokens.withColumn("cum", sum(col("n_tokens")).over(
+      Window.partitionBy(col("source")).orderBy(col("doc_id"))))
 
   /** The windowed assignment of [[packSequences]] over any
    *  (doc_id, source, n_tokens) frame — shared by the sfDir query and
    *  the sharded-equivalence property test. */
-  def packSequencesOf(tokens: DataFrame): DataFrame = {
-    val cum = sum(col("n_tokens")).over(
-      Window.partitionBy(col("source")).orderBy(col("doc_id")))
-    tokens.withColumn("seq_id",
-      floor((cum - col("n_tokens")) / lit(PackTokens.toDouble))
-        .cast("bigint"))
-  }
+  def packSequencesOf(tokens: DataFrame): DataFrame =
+    packCum(tokens)
+      .withColumn("seq_id",
+        floor((col("cum") - col("n_tokens")) / lit(PackTokens.toDouble))
+          .cast("bigint"))
+      .drop("cum")
 
   /**
    * Packing EVALUATION — the monitor for [[packSequences]], the two
@@ -1335,30 +1345,28 @@ object PipelineQueries {
    * budget windows). Both derive from the same per-source cumulative
    * sum the packing itself uses, so the eval measures EXACTLY the
    * deployed policy. Output: (source, n_docs, total_tokens, n_seqs,
-   * n_split_docs, fill_r); n_seqs = ceil(total/budget), fill_r
-   * null for a tokenless source (nullif device, both engines).
+   * n_split_docs, fill_r); n_seqs = the packer's OWN sequence count
+   * (max assigned seq_id + 1, so a trailing zero-token doc — which
+   * the assignment formula places at the boundary of the next
+   * sequence — is counted exactly as the packer emits it, and a
+   * nonempty source always has n_seqs >= 1, making fill_r total).
    * Scale shape: one row-local token count + the per-source window +
    * one |sources|-group agg; same contract as the packing query.
    */
   def packEval(spark: SparkSession, sfDir: String): DataFrame = {
     val p = PackTokens.toDouble
-    val tokens = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"),
-        TextAnalyticsOps.wsTokenCount(col("text")).as("n_tokens"))
-    val cum = sum(col("n_tokens")).over(
-      Window.partitionBy(col("source")).orderBy(col("doc_id")))
-    tokens.withColumn("cum", cum)
+    packCum(packTokenFrame(spark, sfDir))
+      .withColumn("seq_id",
+        floor((col("cum") - col("n_tokens")) / lit(p)).cast("bigint"))
       .withColumn("split", col("n_tokens") > 0 &&
-        floor((col("cum") - col("n_tokens")) / lit(p)) =!=
-          floor((col("cum") - 1) / lit(p)))
+        col("seq_id") =!= floor((col("cum") - 1) / lit(p)))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("total_tokens"),
+        (max(col("seq_id")) + 1L).as("n_seqs"),
         sum(when(col("split"), 1L).otherwise(0L)).as("n_split_docs"))
-      .withColumn("n_seqs",
-        ceil(col("total_tokens") / lit(p)).cast("bigint"))
       .withColumn("fill_r", round(col("total_tokens") /
-        nullif(col("n_seqs") * lit(PackTokens.toLong), lit(0L)), 4))
+        (col("n_seqs") * lit(PackTokens.toLong)), 4))
       .select(col("source"), col("n_docs"), col("total_tokens"),
         col("n_seqs"), col("n_split_docs"), col("fill_r"))
   }

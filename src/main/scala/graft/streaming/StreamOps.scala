@@ -1070,8 +1070,13 @@ object StreamOps {
         // prune superseded cluster snapshots: only the LATEST frame is
         // ever read forward, but a RETRY of batch id+1 reads the
         // latest below id+1 — so keep this version's and the one
-        // prior, delete older (docs are history and never pruned)
-        versions.dropRight(1).foreach { v =>
+        // prior, delete older (docs are history and never pruned).
+        // Only the most recent TWO superseded versions are targeted —
+        // constant filesystem RPCs per trigger (everything older was
+        // deleted by earlier triggers; the second covers the
+        // crash-between-write-and-prune window, whose straggler the
+        // next trigger reclaims)
+        versions.dropRight(1).takeRight(2).foreach { v =>
           fs.delete(new org.apache.hadoop.fs.Path(
             s"$statePath/v$v/clusters"), true)
           ()
@@ -1107,8 +1112,28 @@ object StreamOps {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val qs = batch.select(col("query_id"), col("embedding")).collect()
-          .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+        import scala.math.Ordering.Implicits.seqOrdering
+        val raw = batch.select(col("query_id"), col("embedding")).collect()
+          .map(r => r.getLong(0) ->
+            Option(r.getSeq[Float](1)).map(_.toArray).orNull)
+        // the serving-boundary hygiene a real service needs: malformed
+        // vectors (null / wrong width) QUARANTINE — yield no rows, not
+        // a killed topology (the decode convention); duplicate
+        // query_ids in one trigger collapse to ONE deterministic
+        // representative (lexicographically smallest vector — an
+        // at-least-once upstream must not double every neighbor row
+        // and halve the served k)
+        val (valid, malformed) = raw.partition { case (_, v) =>
+          v != null && v.length == dim }
+        if (malformed.nonEmpty)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            "streamingTopKIvfPq: trigger {} quarantined {} malformed " +
+              "query vectors (null or wrong dim): ids {}",
+            id.toString, malformed.length.toString,
+            malformed.map(_._1).take(10).mkString(","))
+        val qs = valid.groupBy(_._1).map { case (qid, rs) =>
+          qid -> rs.map(_._2).minBy(_.toSeq)
+        }.toSeq.sortBy(_._1)
         sink(SimilarityOps.ivfPqScore(idx, qs, k), id)
       }
       .start()

@@ -730,4 +730,35 @@ class PipelineQueriesSpec extends SparkSpec {
       assert(math.abs(fill - wantFill) < 1e-9, s"$src: fill $fill vs $wantFill")
     }
   }
+
+  test("packEval edge shapes: a trailing zero-token doc at an exact " +
+      "budget boundary and an all-empty source stay consistent with the " +
+      "packer (no NPE, no seq_id past the monitor's count)") {
+    import spark.implicits._
+    val p = PipelineQueries.PackTokens
+    // srcA: exactly one full sequence (p tokens) then an EMPTY doc —
+    // the assignment formula places the empty doc at the next
+    // sequence's boundary, so the packer emits 2 sequence ids;
+    // srcB: only empty docs — one (empty) sequence, fill 0
+    val docs = Seq(
+      (0L, "srcA", ("w " * p).trim), (1L, "srcA", ""),
+      (2L, "srcB", ""), (3L, "srcB", "   "))
+    val dir = java.nio.file.Files.createTempDirectory("pack-edge").toString
+    docs.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val eval = PipelineQueries.packEval(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    val packed = PipelineQueries.packSequences(spark, dir)
+      .select("source", "seq_id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(eval("srcA") == (2L, p.toLong, 2L, 0L, 0.5),
+      s"srcA: ${eval("srcA")}")
+    assert(eval("srcB") == (2L, 0L, 1L, 0L, 0.0), s"srcB: ${eval("srcB")}")
+    eval.foreach { case (src, (_, _, nSeqs, _, _)) =>
+      assert(packed(src) < nSeqs,
+        s"$src: packer seq_id ${packed(src)} must stay below n_seqs $nSeqs")
+    }
+  }
 }

@@ -552,6 +552,21 @@ class StreamOpsSpec extends SparkSpec {
       assert(results.toSet == want,
         s"stream must equal the gated batch IVFADC results: " +
           s"extra=${results.toSet diff want} missing=${want diff results.toSet}")
+      // serving-boundary hygiene: a duplicated query id collapses to
+      // ONE ranked list (k rows, k distinct neighbors, not doubles)
+      // and a wrong-width vector quarantines instead of killing the
+      // topology
+      results.clear()
+      val dupQ = qvecs.head
+      in.addData(dupQ, dupQ, (999L, Array.fill(3)(0.5f)))
+      q.processAllAvailable()
+      val perQ = results.toSeq.filter(_._1 == dupQ._1)
+      assert(perQ.map(_._2).sorted == (1L to SimK.toLong),
+        s"duplicate ids must serve one clean rank list: $perQ")
+      assert(perQ.map(_._3).distinct.size == SimK,
+        s"neighbors must be distinct, not doubled: $perQ")
+      assert(!results.exists(_._1 == 999L),
+        "a wrong-width vector must quarantine, yielding no rows")
     } finally q.stop()
   }
 
