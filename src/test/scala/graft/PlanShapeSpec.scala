@@ -88,6 +88,25 @@ class PlanShapeSpec extends SparkSpec {
       "IVF must never fall back to all-pairs:\n" + p)
   }
 
+  test("sample_dsir joins the broadcast B-row model and prunes its " +
+      "global top-N rank via TakeOrderedAndProject (the global-window " +
+      "form of the WindowGroupLimit contract: per-partition top-N, one " +
+      "ordered take — never a full global sort)") {
+    val p = plan("sample_dsir")
+    assert(p.contains("BroadcastHashJoin"), "model join must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "corpus features shuffled for the 64-row model join:\n" + p)
+    assert(p.contains("TakeOrderedAndProject(limit=100"),
+      "top-N rank must prune via TakeOrderedAndProject:\n" + p)
+  }
+
+  test("pack_eval reads the corpus exactly once (the shared token+cum " +
+      "frame, no second scan for the rollup)") {
+    val p = plan("pack_eval")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      "the monitor must not re-scan the corpus:\n" + p)
+  }
+
   test("IVF-PQ scoring joins the broadcast probe table on cell; codes " +
       "and ADC lookups never fall back to all-pairs") {
     val p = plan("sim_ivfpq")
