@@ -40,7 +40,7 @@ import graft.streaming.StreamOps
  * rolling_count rolling_hashtag_count rolling_geo_count rolling_sort
  * rolling_sort_lastn rolling_flight_dist rolling_flight_dist_snapshot
  * hash_sample json_props quality_cut curate trident_wordcount
- * decontaminate text_chunks text_scrub split_assign mix_weights
+ * decontaminate text_chunks text_scrub pii_scrub split_assign mix_weights
  * sessionize shuffle_shard lm_score span_flag mix_sample neardup_gate
  * outlier_gate langid_eval classify_gate corpus_report ppl_gate funnel
  * anomaly_gate
@@ -198,6 +198,15 @@ object Run {
         // blocklist redaction, live: the same row-local substitution
         // as the gated batch query — stateless, Append-safe
         (graft.queries.PipelineQueries.scrubProjection(
+          lines().select(col("ts"), col("value").as("text"))),
+          OutputMode.Append)
+      case "pii_scrub" =>
+        // pattern-class PII redaction, live: the same progressive
+        // regexp chain as the gated batch query — stateless,
+        // Append-safe (a live stream may genuinely carry PII, so no
+        // fixture augmentation here — the chain's cost is per-row
+        // regardless of matches)
+        (graft.queries.PipelineQueries.piiProjection(
           lines().select(col("ts"), col("value").as("text"))),
           OutputMode.Append)
       case "text_chunks" =>

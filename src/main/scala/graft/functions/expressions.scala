@@ -548,6 +548,82 @@ object VectorMath {
         org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)))
   }
 
+  // ---- Unigram-LM (Kudo/SentencePiece-style) tokenizer ------------------
+
+  /** Cost in micro-nats charged for a single character absent from a
+   *  unigram model — larger than any real piece cost, so UNK edges are
+   *  taken only when the DP has no alternative. Shared verbatim by the
+   *  DuckDB oracles (a coalesce default on the len-1 edges). */
+  val UnigramUnkMicro = 20000000L
+
+  /**
+   * Viterbi segmentation of ONE word under a (sorted pieces, costs)
+   * unigram model: the segmentation minimizing total micro-nat cost,
+   * with COST TIES at every position resolved by the LONGEST final
+   * piece (applied recursively this makes the argmin unique, so both
+   * engines reconstruct the identical piece sequence — the DuckDB
+   * oracle's backtrack takes max(l) over cost-achieving edges).
+   * Integer costs make the DP exact: no float-sum order hazards.
+   * `pieces` must be sorted ascending (String natural order) —
+   * lookups are binary searches, the broadcast-sorted-array device of
+   * the gate family. A single character missing from the model takes
+   * an [[UnigramUnkMicro]] edge, so every word segments.
+   */
+  def unigramSegment(w: String, pieces: Array[String], costs: Array[Long],
+      maxPiece: Int): String = {
+    val n = w.length
+    if (n == 0) return ""
+    val INF = Long.MaxValue / 4
+    val dp = new Array[Long](n + 1)
+    val bl = new Array[Int](n + 1)
+    dp(0) = 0
+    var i = 1
+    while (i <= n) {
+      dp(i) = INF
+      bl(i) = 0
+      val lim = math.min(i, maxPiece)
+      var l = 1
+      while (l <= lim) {
+        val piece = w.substring(i - l, i)
+        val idx = java.util.Arrays.binarySearch(
+          pieces.asInstanceOf[Array[AnyRef]], piece)
+        val c: Long =
+          if (idx >= 0) costs(idx)
+          else if (l == 1) UnigramUnkMicro
+          else -1L
+        if (c >= 0 && dp(i - l) < INF) {
+          val cand = dp(i - l) + c
+          if (cand < dp(i) || (cand == dp(i) && l > bl(i))) {
+            dp(i) = cand; bl(i) = l
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    val parts = new java.util.ArrayList[String]()
+    var p = n
+    while (p > 0) {
+      parts.add(w.substring(p - bl(p), p))
+      p -= bl(p)
+    }
+    val sb = new java.lang.StringBuilder()
+    var k = parts.size - 1
+    while (k >= 0) {
+      sb.append(parts.get(k))
+      if (k > 0) sb.append(' ')
+      k -= 1
+    }
+    sb.toString
+  }
+
+  /** [[unigramSegment]] returning a UTF8String for the codegen'd
+   *  expression path. */
+  def unigramSegmentU(w: String, pieces: Array[String], costs: Array[Long],
+      maxPiece: Int): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      unigramSegment(w, pieces, costs, maxPiece))
+
   /** Whole-text merge-table BPE token count; see [[BpeTokenCount]].
    *  Whitespace word split (same maximal-run scan as
    *  [[wsTokenCount]]), per-word segment counts summed. */
@@ -1936,6 +2012,43 @@ case class DsirScore(child: Expression,
 }
 
 /**
+ * Viterbi unigram-LM segmentation of ONE word under a BROADCAST
+ * (sorted pieces, micro-nat costs) model — the in-query learning arm
+ * of the Kudo/SentencePiece tokenizer family
+ * (`PipelineQueries.unigramLearn`): each EM round broadcasts the
+ * current model and segments the VOCAB frame (distinct words — a
+ * memo would be pointless, every word appears once) in one codegen'd
+ * call per word. Returns the pieces space-joined ([[VectorMath
+ * .unigramSegment]]'s deterministic longest-final-piece tie-break);
+ * callers split+explode for counts. The frozen-table apply arm is
+ * [[UnigramEncode]].
+ */
+case class UnigramSegmentModel(child: Expression,
+    pieces: org.apache.spark.broadcast.Broadcast[Array[String]],
+    costs: org.apache.spark.broadcast.Broadcast[Array[Long]],
+    maxPiece: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.unigramSegmentU(v.toString, pieces.value, costs.value, maxPiece)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("unigramPieces", pieces,
+      "org.apache.spark.broadcast.Broadcast")
+    val cRef = ctx.addReferenceObj("unigramCosts", costs,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.VectorMath.unigramSegmentU($t.toString(), " +
+        s"(String[])$pRef.value(), (long[])$cRef.value(), $maxPiece)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * Deterministic demo embedding kernel — the live gates' stand-in for
  * an upstream encoder (`Run.synthEmbedding`). One static call per row:
  * the composed-column form is `dim` hash expressions that get INLINED
@@ -2578,6 +2691,14 @@ object native {
       model: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
     GraftColumnBridge.column(
       EmbBandCollide(GraftColumnBridge.expression(emb), bits, tables, model))
+
+  def unigram_segment(word: Column,
+      pieces: org.apache.spark.broadcast.Broadcast[Array[String]],
+      costs: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      maxPiece: Int): Column =
+    GraftColumnBridge.column(
+      UnigramSegmentModel(GraftColumnBridge.expression(word), pieces, costs,
+        maxPiece))
 
   def synth_embedding(text: Column, dim: Int): Column =
     GraftColumnBridge.column(

@@ -114,9 +114,40 @@ object DedupOps {
    *  dir but WITHOUT cleanCheckpoints gets a one-time warning naming
    *  the leak instead of silently accumulating snapshot dirs. */
   private val warnedUnreclaimed = new java.util.concurrent.atomic.AtomicBoolean
-  /** RDD classes whose logger release() already dropped to ERROR. */
+  /** RDD classes whose logger already carries the unpersist filter. */
   private val silencedUnpersistLoggers =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Attach a DENY filter for Spark's "cannot be recomputed after
+   *  unpersisting" warning to `loggerName`, leaving every other message
+   *  from that class at its configured level. No-op on a non-log4j2
+   *  backend (the context type is checked, never assumed). The filter
+   *  is per-logger, not global, and matches only the one message class
+   *  release() intentionally triggers. */
+  private def denyUnpersistWarning(loggerName: String): Unit =
+    org.apache.logging.log4j.LogManager.getContext(false) match {
+      case ctx: org.apache.logging.log4j.core.LoggerContext =>
+        val config = ctx.getConfiguration
+        val filter = org.apache.logging.log4j.core.filter.RegexFilter
+          .createFilter(
+            ".*cannot be recomputed after unpersisting.*", null,
+            java.lang.Boolean.FALSE,
+            org.apache.logging.log4j.core.Filter.Result.DENY,
+            org.apache.logging.log4j.core.Filter.Result.NEUTRAL)
+        val existing = config.getLoggerConfig(loggerName)
+        if (existing.getName == loggerName) existing.addFilter(filter)
+        else {
+          // No config exists for this exact logger: create an additive
+          // one (no appenders of its own — events still flow to the
+          // parent's) whose only job is to host the DENY filter.
+          val lc = new org.apache.logging.log4j.core.config.LoggerConfig(
+            loggerName, existing.getLevel, true)
+          lc.addFilter(filter)
+          config.addLogger(loggerName, lc)
+        }
+        ctx.updateLoggers()
+      case _ => () // not log4j2-core: leave logging configuration alone
+    }
   private[graft] def reliableTruncate(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     if (sc.getCheckpointDir.isDefined) {
@@ -287,12 +318,13 @@ object DedupOps {
    *
    * Scale shape: steady-state ingest cost is the BATCH's bands and
    * shingle sets plus one bounded fixpoint whose node set is
-   * |batch| + |touched clusters| — the whole point; the history side
-   * re-derives its bands in-plan here (training-in-query convention),
-   * and at 100 TB rides the bucketed-band layout
-   * ([[incrementalNearDupAdmit]]'s BucketedTablesSpec story) so
-   * history is never re-shingled per ingest. Only ids, band triples,
-   * and shingle-hash arrays shuffle; text never does.
+   * |batch| + |touched clusters| — the whole point. THIS overload
+   * re-derives the history bands in-plan (the one-shot batch-query
+   * convention); a steady-state ingest path persists them instead and
+   * calls [[incrementalClusterAssignPre]], which is what
+   * `StreamOps.clusterAssignStream` does — history is then never
+   * re-shingled per trigger. Only ids, band triples, and shingle-hash
+   * arrays shuffle; text never does.
    *
    * @param fresh        the new batch
    * @param hist         the historical corpus
@@ -305,15 +337,54 @@ object DedupOps {
   def incrementalClusterAssign(fresh: DataFrame, hist: DataFrame,
       histClusters: DataFrame, id: Column, text: Column,
       threshold: Double = 0.5, shingleN: Int = 3, k: Int = 64,
-      bands: Int = 16, maxIters: Int = 30): DataFrame = {
-    val rows = k / bands
-    def banded(df: DataFrame) = minhashSignatures(df, id, text, k, shingleN)
-      .select(col("id"), posexplode(lshBandHashes(col("sig"), bands, rows)))
+      bands: Int = 16, maxIters: Int = 30): DataFrame =
+    incrementalClusterAssignPre(fresh,
+      clusterBandKeys(hist, id, text, k, bands, shingleN),
+      clusterShingleSets(hist, id, text, shingleN),
+      histClusters, id, text, threshold, shingleN, k, bands, maxIters)
+
+  /** The per-doc LSH band triples (id, band, bh) of a corpus — the
+   *  deterministic, text-derived half of incremental cluster
+   *  assignment that a versioned state store persists ONCE per batch
+   *  so steady-state ingest never re-shingles history
+   *  ([[incrementalClusterAssignPre]]). */
+  def clusterBandKeys(df: DataFrame, id: Column, text: Column,
+      k: Int = 64, bands: Int = 16, shingleN: Int = 3): DataFrame =
+    minhashSignatures(df, id, text, k, shingleN)
+      .select(col("id"), posexplode(lshBandHashes(col("sig"), bands, k / bands)))
       .toDF("id", "band", "bh")
-    def shingleSets(df: DataFrame) = FanOut.fanOut(df).select(id.as("sid"),
+
+  /** The per-doc shingle-hash sets (sid, shs) — the exact-Jaccard
+   *  verification side of the same persistable state. */
+  def clusterShingleSets(df: DataFrame, id: Column, text: Column,
+      shingleN: Int = 3): DataFrame =
+    FanOut.fanOut(df).select(id.as("sid"),
       graft.functions.native.shingle_hashes(text, shingleN).as("shs"))
+
+  /**
+   * [[incrementalClusterAssign]] with the history side PRECOMPUTED —
+   * the steady-state ingest form: `histBands` is the accumulated
+   * [[clusterBandKeys]] of every prior batch and `histShingles` the
+   * accumulated [[clusterShingleSets]], both persisted at ingest time
+   * (band keys and shingle hashes are pure functions of text, so the
+   * stored triples ARE what an in-plan recompute would produce). Per
+   * trigger only the BATCH is shingled and minhashed; history
+   * contributes fixed-width stored rows — ids, band triples,
+   * shingle-hash arrays — never text. This is the difference between
+   * incremental SEMANTICS (the contracted fixpoint) and incremental
+   * COST: per-ingest compute is O(|batch|) + the band-key equi-join,
+   * not O(|history|) re-shingling. At warehouse scale the stored band
+   * table rides the bucketed layout BucketedTablesSpec proves
+   * shuffle-free on the history side.
+   */
+  def incrementalClusterAssignPre(fresh: DataFrame, histBands: DataFrame,
+      histShingles: DataFrame, histClusters: DataFrame, id: Column,
+      text: Column, threshold: Double = 0.5, shingleN: Int = 3,
+      k: Int = 64, bands: Int = 16, maxIters: Int = 30): DataFrame = {
+    def banded(df: DataFrame) = clusterBandKeys(df, id, text, k, bands, shingleN)
+    def shingleSets(df: DataFrame) = clusterShingleSets(df, id, text, shingleN)
     val fb = banded(fresh)
-    val histCand = fb.as("x").join(banded(hist).as("y"),
+    val histCand = fb.as("x").join(histBands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .select(col("x.id").as("fid"), col("y.id").as("oid")).distinct()
     val freshCand = fb.as("x").join(fb.as("y"),
@@ -321,7 +392,7 @@ object DedupOps {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("fid"), col("y.id").as("oid")).distinct()
     val fshs = shingleSets(fresh)
-    val hshs = shingleSets(hist)
+    val hshs = histShingles
     def verified(cand: DataFrame, partner: DataFrame) = cand
       .join(fshs.as("a"), col("fid") === col("a.sid"))
       .join(partner.as("b"), col("oid") === col("b.sid"))
@@ -831,13 +902,11 @@ object DedupOps {
         // be recomputed — here that is the POINT (the successor
         // snapshot is already materialized; this lineage is never
         // needed again), and the per-iteration repetition would bury
-        // genuine warnings in bench/service logs. Silence exactly the
-        // concrete RDD class's logger, once per class; the trade
-        // (other warnings from that class also drop to ERROR) is
-        // confined to RDD implementation classes.
+        // genuine warnings in bench/service logs. Deny exactly that
+        // one message on the concrete RDD class's logger (once per
+        // class); every other warning from the class still flows.
         if (DedupOps.silencedUnpersistLoggers.add(r.getClass.getName))
-          org.apache.logging.log4j.core.config.Configurator.setLevel(
-            r.getClass.getName, org.apache.logging.log4j.Level.ERROR)
+          DedupOps.denyUnpersistWarning(r.getClass.getName)
         r.unpersist(blocking = false)
       }
     }

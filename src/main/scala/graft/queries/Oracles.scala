@@ -1726,6 +1726,43 @@ object Oracles {
        |FROM w""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.piiScrub]]: the IDENTICAL augmentation
+   *  arithmetic and the CHARACTER-IDENTICAL class regexes (both
+   *  engines run the RE2 ∩ java.util.regex dialect, both are
+   *  leftmost-first), applied progressively in the same order —
+   *  per-class counts are taken on the text the earlier classes left
+   *  behind, exactly like the Spark chain. DuckDB's regexp_replace
+   *  needs the 'g' flag for replace-all; counts via
+   *  len(regexp_extract_all). */
+  val piiScrub: String = {
+    val aug =
+      """SELECT doc_id, text ||
+        |  CASE
+        |    WHEN doc_id % 4 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.com today'
+        |    WHEN doc_id % 4 = 1 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+        |    WHEN doc_id % 4 = 2 THEN ' server 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || ' up'
+        |    ELSE ' ref AB' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0') || ' ok'
+        |  END AS t0
+        |FROM documents""".stripMargin
+    val classes = graft.queries.PipelineQueries.PiiClasses
+    val stages = classes.zipWithIndex.map { case ((cls, pat), i) =>
+      val tok = graft.queries.PipelineQueries.piiToken(cls)
+      val carried = classes.take(i)
+        .map { case (c, _) => s"n_$c, " }.mkString
+      s"""s${i + 1} AS (
+         |  SELECT doc_id, $carried
+         |         CAST(len(regexp_extract_all(t$i, '$pat')) AS BIGINT) AS n_$cls,
+         |         regexp_replace(t$i, '$pat', '$tok', 'g') AS t${i + 1}
+         |  FROM ${if (i == 0) "aug" else s"s$i"})""".stripMargin
+    }
+    val n = classes.length
+    val countCols = classes.map { case (cls, _) => s"n_$cls" }.mkString(", ")
+    s"""WITH aug AS (
+       |$aug
+       |), ${stages.mkString(",\n")}
+       |SELECT doc_id, $countCols, md5(t$n) AS clean_hash FROM s$n""".stripMargin
+  }
+
   /** Mirrors [[PipelineQueries.shuffleShard]]: same seeded content
    *  hash, same '0x' cast for the shard bits, same (hash, doc_id)
    *  total order per shard. */

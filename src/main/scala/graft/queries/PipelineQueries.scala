@@ -1112,6 +1112,150 @@ object PipelineQueries {
     rules.toSeq.toDF("rank", "a", "b")
   }
 
+  // ---- Unigram-LM tokenizer learning (Kudo 2018 / SentencePiece) --------
+
+  /** Longest candidate piece for [[unigramLearn]]'s seed, DP, and the
+   *  frozen apply kernel. */
+  val UnigramMaxPiece = 4
+  /** Multi-char seed pieces: top substrings by corpus-weighted
+   *  occurrence count (ties lexicographically smallest — the
+   *  bpePairStats total-order convention). Single characters are
+   *  always in the vocabulary and never pruned (coverage guarantee —
+   *  Kudo's required-character rule). */
+  val UnigramSeedK = 48
+  /** Hard-EM (segment → re-estimate) rounds; a prune follows every
+   *  round but the last. */
+  val UnigramRounds = 3
+  /** Longest word the generated ORACLE DP unrolls to (the kernel has
+   *  no limit); sf0.01's longest word is 8 chars, so 16 is a 2×
+   *  margin. */
+  val UnigramMaxWordLen = 16
+
+  /** Add-one-smoothed micro-nat cost: floor(-ln((cnt+1)/(tot+k))·1e6)
+   *  — integer in, one double ln, floored once; the NllMicro device,
+   *  so DP sums are exact integers on both engines. */
+  private def unigramMicro(cnt: Long, tot: Long, k: Int): Long =
+    math.floor(-math.log((cnt + 1.0) / (tot + k).toDouble) * 1000000.0).toLong
+
+  /** Viterbi cost of segmenting piece string `p` WITHOUT using `p`
+   *  itself (the full-string edge is excluded; proper substrings are
+   *  fair game) — SentencePiece's likelihood-loss approximation: how
+   *  much the model pays per occurrence if the piece is dropped.
+   *  Driver-side plain Scala over ≤[[UnigramMaxPiece]]-char strings —
+   *  a model-sized computation, like a Lloyd centroid update. */
+  private def unigramAltCost(p: String, cost: Map[String, Long]): Long = {
+    val n = p.length
+    val INF = Long.MaxValue / 4
+    val dp = Array.fill(n + 1)(INF)
+    dp(0) = 0L
+    for (i <- 1 to n; l <- 1 to math.min(i, UnigramMaxPiece)
+         if !(l == n && i == n)) {
+      cost.get(p.substring(i - l, i))
+        .orElse(if (l == 1) Some(graft.functions.VectorMath.UnigramUnkMicro)
+          else None)
+        .foreach { c =>
+          if (dp(i - l) < INF && dp(i - l) + c < dp(i)) dp(i) = dp(i - l) + c
+        }
+    }
+    dp(n)
+  }
+
+  /**
+   * Unigram-LM tokenizer LEARNING in-query (Kudo 2018, the
+   * SentencePiece algorithm family; the other dominant production
+   * tokenizer next to BPE) — deterministic hard-EM variant, chosen so
+   * every step is integer-exact and cross-engine reproducible (the
+   * bpe_learn contract): full EM's forward–backward expected counts
+   * are float sums whose aggregation order no oracle could pin;
+   * Viterbi (hard) counts are integers. The loop:
+   *
+   *  1. SEED: vocabulary = all single characters (never pruned —
+   *     coverage) + the top [[UnigramSeedK]] multi-char substrings
+   *     (≤ [[UnigramMaxPiece]] chars) by corpus-weighted occurrence
+   *     count; initial costs from those counts, add-one smoothed,
+   *     floor-quantized to integer micro-nats ([[NllMicro]] device).
+   *  2. For each of [[UnigramRounds]] rounds: Viterbi-segment the
+   *     VOCAB frame under the current model (one broadcast + one
+   *     [[graft.functions.UnigramSegmentModel]] kernel call per
+   *     distinct word; ties → longest final piece, recursively
+   *     unique), count pieces corpus-weighted (integers), M-step
+   *     re-estimate costs.
+   *  3. PRUNE (after every round but the last): likelihood-loss =
+   *     cnt(p) × (altCost(p) − cost(p)) where altCost segments p's own
+   *     string without the full-piece edge (SentencePiece's loss
+   *     approximation); keep singles + the top ⌈3/4·|multis|⌉ by
+   *     (loss desc, piece asc).
+   *
+   * Emits the final (piece, cnt, cost_micro) — the model file a
+   * production tokenizer ships. Training-in-query like [[bpeLearn]]:
+   * ONE corpus pass (the vocab agg), then every round works on the
+   * vocab-sized frame; model artifacts collected are |vocab pieces|
+   * rows. The DuckDB oracle learns INDEPENDENTLY — seed, per-round
+   * unrolled Viterbi DP + longest-edge backtrack CTEs, M-step, and
+   * loss-ranked prune all re-derived in SQL ([[Oracles.unigramLearn]];
+   * non-circularity: only hyperparameters are shared).
+   */
+  def unigramLearn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(TextAnalyticsOps.words(lower(col("text")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    // seed: substrings with multiplicity, corpus-weighted (vocab-sized
+    // frame; the two explodes stay inside one task per vocab slice)
+    val subs = vocab
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(1), length(col("w")))).as("i"))
+      .select(col("w"), col("freq"), col("i"),
+        explode(sequence(lit(1),
+          least(lit(UnigramMaxPiece), length(col("w")) - col("i") + 1)))
+          .as("l"))
+      .select(col("freq"), col("w").substr(col("i"), col("l")).as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+    val singles = subs.filter(length(col("piece")) === 1)
+    val multis = subs.filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece")).limit(UnigramSeedK)
+    def costsOf(cnts: Array[(String, Long)]): Array[(String, Long, Long)] = {
+      val tot = cnts.map(_._2).sum
+      val k = cnts.length
+      cnts.map { case (p, c) => (p, c, unigramMicro(c, tot, k)) }
+    }
+    var cur: Array[(String, Long, Long)] = costsOf(
+      singles.unionByName(multis).collect()
+        .map(r => (r.getString(0), r.getLong(1))))
+    for (r <- 1 to UnigramRounds) {
+      val sorted = cur.sortBy(_._1)
+      val bcP = sc.broadcast(sorted.map(_._1))
+      val bcC = sc.broadcast(sorted.map(_._3))
+      val counts = vocab
+        .select(col("freq"), explode(split(
+          graft.functions.native.unigram_segment(col("w"), bcP, bcC,
+            UnigramMaxPiece), " ")).as("piece"))
+        .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+        .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+      bcP.unpersist(); bcC.unpersist()
+      val withCnt = cur.map { case (p, _, _) => (p, counts.getOrElse(p, 0L)) }
+      val kept: Array[(String, Long)] =
+        if (r == UnigramRounds) withCnt
+        else {
+          val interim = costsOf(withCnt)
+          val costMap = interim.map(t => t._1 -> t._3).toMap
+          val multisCur = interim.filter(_._1.length >= 2)
+          val nKeep = math.ceil(multisCur.length * 3.0 / 4).toInt
+          val keptMultis = multisCur
+            .map { case (p, c, cost) =>
+              (p, c, c * (unigramAltCost(p, costMap) - cost)) }
+            .sortBy { case (p, _, loss) => (-loss, p) }
+            .take(nKeep).map(t => (t._1, t._2))
+          interim.filter(_._1.length == 1).map(t => (t._1, t._2)) ++ keptMultis
+        }
+      cur = costsOf(kept)
+    }
+    vocab.unpersist()
+    cur.toSeq.toDF("piece", "cnt", "cost_micro")
+  }
+
   /** Quantization scale for [[textUnigramNll]]: per-word negative
    *  log-likelihoods are floored to integer micro-nats so the per-doc
    *  sum is an exact integer (order-independent ⇒ engine-stable — the
@@ -1752,6 +1896,90 @@ object PipelineQueries {
       md5(array_join(
         transform(w, t => when(blocked(t), lit(ScrubToken)).otherwise(t)),
         " ")).as("clean_hash")): _*)
+  }
+
+  /** PII pattern CLASSES for [[piiScrub]] — (class, regex), applied in
+   *  this order (order matters where classes overlap: an ip-shaped
+   *  run inside a non-email "user@1.2.3.4" is claimed by ipv4 AFTER
+   *  email declines it; both engines apply the same order so results
+   *  are identical). The regex dialect is the RE2 ∩ java.util.regex
+   *  subset — no lookaround, no backreferences, ASCII `\b`/`\d`/`\w` —
+   *  so the DuckDB oracle runs the CHARACTER-IDENTICAL definitions
+   *  (both engines are leftmost-first here). Class definitions are
+   *  deliberately recall-leaning (ipv4 admits 999.999.999.999) — a
+   *  scrubber's false positive costs a sentinel, a false negative
+   *  leaks PII into training data. */
+  val PiiClasses: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4" -> "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b",
+    "phone" -> "(\\(\\d{3}\\)\\s?|\\d{3}[-.])\\d{3}[-.]\\d{4}",
+    "id" -> "\\b[A-Z]{2}\\d{6,10}\\b")
+
+  /** Sentinel substituted for a class match — position-preserving (the
+   *  surrounding text is untouched) and inert under every LATER class
+   *  regex (letters, colon, angle brackets only). */
+  def piiToken(cls: String): String = s"<pii:$cls>"
+
+  /**
+   * Structured-class PII SCRUB — the pattern-class half of redaction
+   * next to [[textScrub]]'s blocklist half (CCNet/RefinedWeb-style
+   * curation scrubs both): emails, phone numbers, IPv4 addresses, and
+   * ID-shaped tokens each redact to a class-named position-preserving
+   * sentinel, with per-class counts and a hash over the fully-redacted
+   * text so the oracle checks every substitution, not just totals.
+   * Classes apply PROGRESSIVELY in [[PiiClasses]] order — each
+   * class's count is what IT actually redacted from the text the
+   * earlier classes left behind (count = substitutions made, the only
+   * definition that composes).
+   *
+   * The synthetic corpus carries no PII-shaped tokens by construction
+   * (the [[ScrubBlocklist]] scaladoc's point), so the gated query
+   * first AUGMENTS each doc with deterministic doc_id-derived PII
+   * ([[piiAugment]] — one class per doc_id mod 4, every class
+   * exercised corpus-wide; the engineered-fixture convention of the
+   * multimodal family) and the oracle re-derives the identical
+   * augmentation in SQL. Row-local codegen'd regexp chain — zero
+   * shuffle, zero state; [[piiProjection]] serves Run's live
+   * `pii_scrub` topology unchanged.
+   */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    piiProjection(piiAugment(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))))
+
+  /** Deterministic PII fixture: append one doc_id-derived PII string
+   *  per doc (class by doc_id mod 4). Pure SQL-expressible arithmetic
+   *  (mod, lpad, concat) so the DuckDB oracle reproduces it byte-for-
+   *  byte. */
+  def piiAugment(df: DataFrame): DataFrame =
+    df.withColumn("text", concat(col("text"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" reach user"), col("doc_id").cast("string"),
+          lit("@mail.example.com today")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit(" call 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit(" server 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), ((col("doc_id") * 7) % 256).cast("string"), lit(" up")))
+      .otherwise(
+        concat(lit(" ref AB"),
+          lpad((col("doc_id") % 100000000).cast("string"), 8, "0"),
+          lit(" ok")))))
+
+  /** The progressive class-redaction of [[piiScrub]] over any
+   *  (passthrough..., text) frame — shared batch/live like
+   *  [[scrubProjection]]. Output: passthrough..., n_<class> per class,
+   *  clean_hash. */
+  def piiProjection(df: DataFrame): DataFrame = {
+    val passthrough = df.columns.filter(_ != "text").map(col)
+    val (finalText, counts) =
+      PiiClasses.foldLeft((col("text"), Seq.empty[Column])) {
+        case ((t, cs), (cls, pat)) =>
+          (regexp_replace(t, lit(pat), lit(piiToken(cls))),
+            cs :+ regexp_count(t, lit(pat)).cast("bigint").as(s"n_$cls"))
+      }
+    df.select(passthrough ++ counts :+ md5(finalText).as("clean_hash"): _*)
   }
 
   /** Shard count for [[shuffleShard]] — at 100 TB this is O(thousands),

@@ -642,13 +642,13 @@ object StreamOps {
     val b = PipelineQueries.DsirBuckets
     val rows = PipelineQueries.dsirModel(corpus).collect()
       .map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2), r.getLong(3)))
+    require(rows.nonEmpty,
+      "dsirGateStream: the corpus yielded no scorable words — the gate " +
+        "cannot learn a model or threshold from an empty/wordless corpus")
     val rtot = rows.map(_._2).sum
     val ttot = rows.map(_._3).sum
     val unseen = math.floor(math.log(
       (1.0 * (rtot + b)) / (1.0 * (ttot + b))) * 1000000.0).toLong
-    require(rows.nonEmpty,
-      "dsirGateStream: the corpus yielded no scorable words — the gate " +
-        "cannot learn a model or threshold from an empty/wordless corpus")
     val model = Array.fill(b)(unseen)
     rows.foreach { case (bk, _, _, lr) => model(bk) = lr }
     val bc = spark.sparkContext.broadcast(model)
@@ -1014,13 +1014,38 @@ object StreamOps {
    *
    * State rides at `statePath` as VERSIONED parquet keyed by batch id:
    * `v<id>/docs` holds ONLY that batch's documents (append-only — text
-   * is written once and never rewritten, the 100 TB requirement) and
+   * is written once and never rewritten, the 100 TB requirement),
+   * `bands/version=<id>` and `shingles/version=<id>` that batch's
+   * [[graft.ops.DedupOps.clusterBandKeys]] / `clusterShingleSets`
+   * (append-only, fixed-width — the PRECOMPUTED derived state that
+   * makes steady-state ingest O(|batch|): band keys and shingle
+   * hashes are pure functions of text, so computing them once at
+   * ingest and reading the stored triples thereafter is exact), and
    * `v<id>/clusters` a full snapshot of the converged frame
    * (fixed-width (doc_id, cluster) rows — the small, rewritable half;
    * superseded snapshots are PRUNED each trigger down to the current
    * and one prior version — the prior is what a retry of the next
    * batch reads — so cluster state is bounded at two frames while
-   * docs grow append-only).
+   * docs/bands/shingles grow append-only).
+   *
+   * Incremental in COST, not just semantics: a trigger shingles and
+   * minhashes ONLY its own batch; history enters as ONE partitioned
+   * read each of the stored band and shingle tables (`version` is a
+   * hive partition column, so the plan is a single scan relation with
+   * a `version < id` partition filter — never an O(#versions) union —
+   * and history TEXT is never scanned; StreamOpsSpec pins both at the
+   * plan level). At warehouse scale the stored band table additionally
+   * rides the bucketed layout BucketedTablesSpec proves erases the
+   * history-side join exchanges.
+   *
+   * doc_ids are IMMUTABLE IDENTITIES: a doc_id already in state
+   * re-arriving (at-least-once upstream, replay) is dropped by an
+   * anti-join against the accumulated cluster frame — its stored text
+   * stays authoritative, state gains no duplicate (doc_id, cluster)
+   * rows, and the sink still reports its CURRENT cluster (content
+   * updates need a new doc_id). Duplicates WITHIN a trigger collapse
+   * to one deterministic representative (min text).
+   *
    * A trigger reads history as every version STRICTLY BELOW its own
    * batch id, so a retried batch never sees its own partial writes
    * (overwrite mode makes the rewrite idempotent). A production
@@ -1043,25 +1068,26 @@ object StreamOps {
         val spark = batch.sparkSession
         val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
-        val versions = {
-          val root = new org.apache.hadoop.fs.Path(statePath)
-          if (!fs.exists(root)) Array.empty[Long]
-          else fs.listStatus(root).map(_.getPath.getName)
-            .filter(_.startsWith("v"))
-            .flatMap(n => scala.util.Try(n.drop(1).toLong).toOption)
-            .filter(_ < id).sorted
-        }
+        val versions = clusterAssignVersions(spark, statePath, id)
+        val histClusters = clusterAssignHistClusters(spark, statePath, versions)
+        // admission: collapse within-trigger duplicates to one
+        // deterministic representative, then drop doc_ids already in
+        // state (immutable-identity contract — see scaladoc)
         val batchDocs = batch.select(col("doc_id"), col("text"))
-        import spark.implicits._
-        val hist = versions.map(v =>
-            spark.read.parquet(s"$statePath/v$v/docs"))
-          .reduceOption(_ unionByName _)
-          .getOrElse(Seq.empty[(Long, String)].toDF("doc_id", "text"))
-        val histClusters = versions.lastOption.map(v =>
-            spark.read.parquet(s"$statePath/v$v/clusters"))
-          .getOrElse(Seq.empty[(Long, Long)].toDF("doc_id", "cluster"))
-        val assigned = graft.ops.DedupOps.incrementalClusterAssign(
-          batchDocs, hist, histClusters, col("doc_id"), col("text"), threshold)
+          .groupBy(col("doc_id")).agg(min(col("text")).as("text"))
+          .join(histClusters.select("doc_id"), Seq("doc_id"), "left_anti")
+        // persist this batch's derived state FIRST (overwrite = retry-
+        // idempotent; readers filter version < their own id, so a
+        // partial write is invisible until the writer's trigger reads
+        // it back), then assign against the STORED history triples
+        graft.ops.DedupOps
+          .clusterBandKeys(batchDocs, col("doc_id"), col("text"))
+          .write.mode("overwrite").parquet(s"$statePath/bands/version=$id")
+        graft.ops.DedupOps
+          .clusterShingleSets(batchDocs, col("doc_id"), col("text"))
+          .write.mode("overwrite").parquet(s"$statePath/shingles/version=$id")
+        val assigned = clusterAssignTrigger(
+          spark, statePath, id, batchDocs, histClusters, threshold)
         // materialize the new frame BEFORE it becomes readable state
         assigned.write.mode("overwrite")
           .parquet(s"$statePath/v$id/clusters")
@@ -1081,10 +1107,59 @@ object StreamOps {
             s"$statePath/v$v/clusters"), true)
           ()
         }
+        // the batch's ORIGINAL doc_ids (pre-admission): re-ingested
+        // ids report their current cluster from the new snapshot
         sink(spark.read.parquet(s"$statePath/v$id/clusters")
-          .join(batchDocs.select("doc_id"), "doc_id"), id)
+          .join(batch.select("doc_id").distinct(), "doc_id"), id)
       }
       .start()
+  }
+
+  /** The versions strictly below `id` present at `statePath`. */
+  private[graft] def clusterAssignVersions(spark: SparkSession,
+      statePath: String, id: Long): Array[Long] = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Array.empty[Long]
+    else fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("v"))
+      .flatMap(n => scala.util.Try(n.drop(1).toLong).toOption)
+      .filter(_ < id).sorted
+  }
+
+  private[graft] def clusterAssignHistClusters(spark: SparkSession,
+      statePath: String, versions: Array[Long]): DataFrame = {
+    import spark.implicits._
+    versions.lastOption.map(v =>
+        spark.read.parquet(s"$statePath/v$v/clusters"))
+      .getOrElse(Seq.empty[(Long, Long)].toDF("doc_id", "cluster"))
+  }
+
+  /** One trigger's assignment PLAN against the stored derived state —
+   *  factored out so StreamOpsSpec can pin its shape: the only file
+   *  scans are the batch-invisible ones (stored bands, stored
+   *  shingles, the cluster snapshot); history DOCS never appear, so
+   *  history text is provably never re-shingled. */
+  private[graft] def clusterAssignTrigger(spark: SparkSession,
+      statePath: String, id: Long, batchDocs: DataFrame,
+      histClusters: DataFrame, threshold: Double): DataFrame = {
+    import spark.implicits._
+    def stored(table: String, cols: Seq[String], empty: => DataFrame)
+        : DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(s"$statePath/$table")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        spark.read.parquet(s"$statePath/$table")
+          .filter(col("version") < id).select(cols.map(col): _*)
+      else empty
+    }
+    val histBands = stored("bands", Seq("id", "band", "bh"),
+      Seq.empty[(Long, Int, Long)].toDF("id", "band", "bh"))
+    val histShingles = stored("shingles", Seq("sid", "shs"),
+      Seq.empty[(Long, Array[Long])].toDF("sid", "shs"))
+    graft.ops.DedupOps.incrementalClusterAssignPre(
+      batchDocs, histBands, histShingles, histClusters,
+      col("doc_id"), col("text"), threshold)
   }
 
   /**
@@ -1107,7 +1182,13 @@ object StreamOps {
     import graft.ops.SimilarityOps
     val built = SimilarityOps.buildIvfPqIndex(corpus, dim, nCells, nProbe,
       m, ks, iters)
-    val idx = built.copy(codes = built.codes.localCheckpoint())
+    // reliableTruncate, not bare localCheckpoint: a long-running serving
+    // topology on a cluster must survive executor loss — when a reliable
+    // checkpoint dir is configured the code snapshot goes there; local
+    // blocks are the single-JVM fallback only (the same trade the
+    // dedup/CC family makes).
+    val idx = built.copy(
+      codes = graft.ops.DedupOps.reliableTruncate(built.codes))
     queries.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)

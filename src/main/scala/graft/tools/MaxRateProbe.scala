@@ -279,6 +279,19 @@ object MaxRateProbe {
       graft.queries.PipelineQueries.scrubProjection(
         in.select(col("ts"), Generators.docLine(col("value")).as("text")))
     }
+    search("pii_scrub", seed = 1000000, OutputMode.Append) { in =>
+      // pattern-class PII redaction: four regexp_count + four
+      // regexp_replace per row; every third row carries an injected
+      // hit per class so the measured rate includes real
+      // substitutions, not just scan-and-miss
+      graft.queries.PipelineQueries.piiProjection(
+        in.select(col("ts"),
+          concat(Generators.docLine(col("value")),
+            when(col("value") % 3 === 0,
+              concat(lit(" u"), col("value").cast("string"),
+                lit("@ex.com 10.0.0.1 555-123-4567 AB123456")))
+              .otherwise(lit(""))).as("text")))
+    }
     search("text_chunks", seed = 1000000, OutputMode.Append) { in =>
       graft.queries.PipelineQueries.chunkProjection(
         in.select(col("ts"), Generators.docLine(col("value")).as("text")))
@@ -442,6 +455,56 @@ object MaxRateProbe {
       StreamOps.streamingDedup(
         in.select(col("ts"), Generators.docLine(col("value")).as("text")),
         "ts", md5(col("text")), "10 seconds")
+    }
+    // cluster_assign: per-trigger incremental cluster-id maintenance
+    // against a FIXED precomputed history (the sf0.001 corpus's stored
+    // band/shingle/cluster state) — state is NOT mutated across
+    // triggers, so every trigger measures the same steady-state ingest
+    // cost: batch banding + the stored-band join + the bounded local
+    // fixpoint. foreachBatch IS the trigger, like shuffle_shard.
+    if (wanted("cluster_assign")) {
+      import graft.ops.DedupOps
+      val caState = Files.createTempDirectory("maxrate-castate").toString
+      val caHist = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      DedupOps.clusterBandKeys(caHist, col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$caState/bands/version=0")
+      DedupOps.clusterShingleSets(caHist, col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$caState/shingles/version=0")
+      DedupOps.connectedComponents(
+          DedupOps.minhashNearDups(caHist, col("doc_id"), col("text"), 0.5)
+            .select("id1", "id2"),
+          caHist.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("cluster"))
+        .write.mode("overwrite").parquet(s"$caState/v0/clusters")
+      val caClusters = spark.read.parquet(s"$caState/v0/clusters")
+      // ingest-shaped corpus: 90% unique docs (md5-derived tokens, no
+      // cross-doc shingle sharing), 10% near-dup FAMILY members (16
+      // shared tokens + a per-doc suffix, 200 distinct families) — a
+      // bounded dup rate with bounded family fan-in. docLine is wrong
+      // here: its rows differ only in the last token, so EVERY pair is
+      // a near-dup and any batch is one quadratic mega-cluster — a
+      // generator artifact, not an ingest shape.
+      def caText(v: org.apache.spark.sql.Column) = {
+        def toks(c: org.apache.spark.sql.Column) =
+          regexp_replace(md5(c), "(....)", "$1 ")
+        when(v % 10 === 0,
+          concat_ws(" ", toks(concat(lit("famA"), (v % 200).cast("string"))),
+            toks(concat(lit("famB"), (v % 200).cast("string"))),
+            v.cast("string")))
+        .otherwise(
+          concat_ws(" ", toks(v.cast("string")),
+            toks(concat(v.cast("string"), lit("x")))))
+      }
+      search("cluster_assign", seed = 16000, OutputMode.Append, floor = 100,
+        fb = Some { (batch: DataFrame, _: Long) =>
+          StreamOps.clusterAssignTrigger(spark, caState, 1,
+            batch.select((col("value") + 10000000L).as("doc_id"),
+              caText(col("value")).as("text")),
+            caClusters, 0.5)
+            .write.format("noop").mode("overwrite").save()
+        }) { in => in }
     }
     search("winnow_gate", seed = 1000000, OutputMode.Append) { in =>
       // winnowing admission: one WinnowCollide kernel call per row

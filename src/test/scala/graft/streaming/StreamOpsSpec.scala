@@ -807,11 +807,30 @@ class StreamOpsSpec extends SparkSpec {
         s"every doc assigned exactly once across triggers: $emitted")
       assert(emitted.maxBy(_._1)._2 == Map(100L -> 10L),
         s"the merger's ingest-time assignment: $emitted")
+      // trigger 4: a RE-INGESTED doc_id (at-least-once upstream) plus
+      // a genuinely new doc — the duplicate is dropped by the
+      // admission anti-join (no duplicate (doc_id, cluster) state
+      // rows), state equals the recompute over DISTINCT docs, and the
+      // sink still reports the re-ingested id's current cluster
+      in.addData(Seq((10L, x), (200L, filler("zeta", 20))))
+      q.processAllAvailable()
+      val s4 = stateFrame()
+      assert(s4 == fullRecompute(
+        batch1 ++ batch2 ++ batch3 ++ Seq((200L, filler("zeta", 20)))))
+      val lastVersion = new java.io.File(statePath).listFiles
+        .map(_.getName).filter(_.startsWith("v"))
+        .map(_.drop(1).toLong).max
+      val stateRows = spark.read
+        .parquet(s"$statePath/v$lastVersion/clusters")
+        .groupBy("doc_id").count().filter(col("count") > 1).count()
+      assert(stateRows == 0, "re-ingest must not duplicate state rows")
+      assert(emitted(lastVersion) == Map(10L -> 10L, 200L -> 200L),
+        s"sink reports the re-ingested id's CURRENT cluster: $emitted")
       // superseded cluster snapshots are pruned to the current + one
       // prior (retry safety); docs stay append-only for every version
       val dirs = new java.io.File(statePath).listFiles
         .filter(_.getName.startsWith("v")).sortBy(_.getName.drop(1).toLong)
-      assert(dirs.length == 3, s"three versions: ${dirs.toSeq}")
+      assert(dirs.length == 4, s"four versions: ${dirs.toSeq}")
       val withClusters = dirs.filter(d =>
         new java.io.File(d, "clusters").exists).map(_.getName)
       assert(withClusters.sameElements(dirs.takeRight(2).map(_.getName)),
@@ -819,6 +838,24 @@ class StreamOpsSpec extends SparkSpec {
           s"${withClusters.toSeq}")
       assert(dirs.forall(d => new java.io.File(d, "docs").exists),
         "docs are append-only history, never pruned")
+      // INCREMENTAL COST, pinned at the plan: a trigger's assignment
+      // reads history as the STORED band/shingle tables (one
+      // partitioned scan each, version-filtered) and the cluster
+      // snapshot — history DOCS never appear in the plan, so history
+      // text is provably never re-shingled or re-minhashed
+      val versions = StreamOps.clusterAssignVersions(
+        spark, statePath, lastVersion + 1)
+      val trig = StreamOps.clusterAssignTrigger(
+        spark, statePath, lastVersion + 1,
+        Seq((300L, "probe text only")).toDF("doc_id", "text"),
+        StreamOps.clusterAssignHistClusters(spark, statePath, versions), 0.5)
+      val plan = trig.queryExecution.executedPlan.toString
+      assert(!plan.contains("/docs"),
+        "per-trigger plan must never scan history docs:\n" + plan)
+      assert(plan.contains("/bands") && plan.contains("/shingles"),
+        "per-trigger plan must read the stored derived state:\n" + plan)
+      assert(plan.contains("PartitionFilters") && plan.contains("version"),
+        "stored-state reads must partition-filter on version:\n" + plan)
     } finally q.stop()
   }
 }
