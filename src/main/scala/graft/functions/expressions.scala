@@ -624,6 +624,109 @@ object VectorMath {
     org.apache.spark.unsafe.types.UTF8String.fromString(
       unigramSegment(w, pieces, costs, maxPiece))
 
+  /** Longest piece in [[UnigramVocab]] and the frozen apply kernels'
+   *  DP horizon — the canonical constant
+   *  (`PipelineQueries.UnigramMaxPiece` aliases it). */
+  val UnigramMaxPieceLen = 4
+
+  /** Frozen unigram-LM vocabulary (piece, micro-nat cost), sorted by
+   *  piece — learned OFFLINE at sf0.01 by `PipelineQueries
+   *  .unigramLearn`'s deterministic hard-EM loop (Kudo 2018 family)
+   *  and frozen here as data, exactly how a production SentencePiece
+   *  model ships; re-learning is an offline concern (the
+   *  [[BpeMerges]] convention — and the spec pins learned == frozen
+   *  row-for-row, closing the loop). */
+  val UnigramVocab: IndexedSeq[(String, Long)] = Vector(
+    ("a", 2908827L), ("al", 3795550L), ("an", 11305433L),
+    ("ar", 11305433L), ("as", 11305433L), ("ash", 11305433L),
+    ("at", 11305433L), ("atc", 11305433L), ("atch", 11305433L),
+    ("b", 3818260L), ("ba", 11305433L), ("bat", 11305433L),
+    ("batc", 4461683L), ("c", 4488697L), ("colu", 4464887L),
+    ("cu", 4464887L), ("d", 3392278L), ("e", 2561423L), ("er", 3784657L),
+    ("f", 3816580L), ("g", 2899172L), ("h", 3822189L), ("hash", 4451079L),
+    ("i", 3804351L), ("in", 3811559L), ("j", 11305433L),
+    ("join", 4433305L), ("k", 3822751L), ("l", 2872057L), ("m", 3385714L),
+    ("mer", 3780872L), ("n", 4464887L), ("o", 4464887L), ("or", 3405538L),
+    ("ow", 3807117L), ("p", 4497498L), ("par", 3832933L), ("q", 4534644L),
+    ("r", 3832364L), ("ro", 4526648L), ("row", 4455307L), ("s", 3117022L),
+    ("scan", 4462750L), ("st", 3412981L), ("t", 2907925L),
+    ("ta", 3800491L), ("u", 4497498L), ("ue", 3827264L), ("v", 3804351L),
+    ("w", 4517588L), ("y", 3827829L))
+
+  private val UnigramPieces: Array[String] = UnigramVocab.map(_._1).toArray
+  private val UnigramCosts: Array[Long] = UnigramVocab.map(_._2).toArray
+
+  /** Per-word frozen-vocab segmentation memo — the [[bpePieceMemo]]
+   *  discipline: bounded, compute-past-cap. */
+  private val uniPieceMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Frozen-vocab Viterbi segmentation of ONE word, pieces
+   *  space-joined (see [[unigramSegment]] for the DP contract). */
+  def unigramWordPieces(w: String): String = {
+    val cached = uniPieceMemo.get(w)
+    if (cached != null) return cached
+    val s = unigramSegment(w, UnigramPieces, UnigramCosts, UnigramMaxPieceLen)
+    if (uniPieceMemo.size < BpeMemoMax) uniPieceMemo.put(w, s)
+    s
+  }
+
+  /** Token count of ONE word under the frozen unigram vocab: spaces in
+   *  the memoized segmentation + 1. */
+  def unigramWordTokens(w: String): Long = {
+    val pieces = unigramWordPieces(w)
+    if (pieces.isEmpty) 0L
+    else {
+      var n = 1L
+      var i = 0
+      while (i < pieces.length) {
+        if (pieces.charAt(i) == ' ') n += 1
+        i += 1
+      }
+      n
+    }
+  }
+
+  /** Whole-text frozen-vocab unigram ENCODE; the [[bpeEncode]] shape:
+   *  struct(n_tokens, enc) with enc = every word's pieces in word
+   *  order, space-joined. */
+  def unigramEncode(s: String): InternalRow = {
+    val sb = new java.lang.StringBuilder()
+    var total = 0L
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(s.charAt(i))) i += 1
+      if (i > start) {
+        val w = s.substring(start, i)
+        val pieces = unigramWordPieces(w)
+        if (sb.length > 0) sb.append(' ')
+        sb.append(pieces)
+        total += unigramWordTokens(w)
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total,
+        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)))
+  }
+
+  /** Whole-text frozen-vocab unigram token count (the
+   *  [[bpeTokenCount]] sibling for fertility comparisons). */
+  def unigramTokenCount(s: String): Long = {
+    var i = 0
+    var total = 0L
+    val len = s.length
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(s.charAt(i))) i += 1
+      if (i > start) total += unigramWordTokens(s.substring(start, i))
+    }
+    total
+  }
+
   /** Whole-text merge-table BPE token count; see [[BpeTokenCount]].
    *  Whitespace word split (same maximal-run scan as
    *  [[wsTokenCount]]), per-word segment counts summed. */
@@ -2580,6 +2683,54 @@ case class BpeEncode(child: Expression)
 }
 
 /**
+ * Whole-text FROZEN-VOCAB unigram-LM encode: struct(n_tokens, enc)
+ * under [[VectorMath.UnigramVocab]] — the apply arm of the Kudo
+ * tokenizer family (learning arm: [[UnigramSegmentModel]]), the
+ * [[BpeEncode]] shape verbatim: per-word Viterbi pieces in word order,
+ * space-joined, per-distinct-word memo. The DuckDB oracle re-derives
+ * the segmentation from the frozen table with an unrolled DP +
+ * longest-edge backtrack, so the piece stream itself is cross-engine
+ * gated.
+ */
+case class UnigramEncode(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(org.apache.spark.sql.types.StructField("n_tokens",
+      org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("enc",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.unigramEncode(v.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.VectorMath.unigramEncode($t.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Whole-text frozen-vocab unigram token count — [[BpeTokenCount]]'s
+ *  sibling for fertility comparisons; same memo discipline. */
+case class UnigramTokenCount(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.unigramTokenCount(v.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.VectorMath.unigramTokenCount($t.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * Per-word unigram-LM score sum over a words array: Σ model(w),
  * out-of-vocabulary words costing `oov`. The learned model rides as a
  * BROADCAST handle inside the expression (an expression reference
@@ -2699,6 +2850,14 @@ object native {
     GraftColumnBridge.column(
       UnigramSegmentModel(GraftColumnBridge.expression(word), pieces, costs,
         maxPiece))
+
+  def unigram_encode(text: Column): Column =
+    GraftColumnBridge.column(
+      UnigramEncode(GraftColumnBridge.expression(text)))
+
+  def unigram_token_count(text: Column): Column =
+    GraftColumnBridge.column(
+      UnigramTokenCount(GraftColumnBridge.expression(text)))
 
   def synth_embedding(text: Column, dim: Int): Column =
     GraftColumnBridge.column(

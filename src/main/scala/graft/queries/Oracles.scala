@@ -1186,6 +1186,128 @@ object Oracles {
     "WITH " + parts.mkString(",\n") + "\n" + union
   }
 
+  /** Mirrors [[PipelineQueries.unigramLearn]] by learning
+   *  INDEPENDENTLY (the bpeLearn non-circularity contract — only the
+   *  hyperparameters are shared): the seed substring counts and
+   *  top-K selection, then for each hard-EM round an UNROLLED Viterbi
+   *  DP over word positions (chained CTEs to
+   *  [[PipelineQueries.UnigramMaxWordLen]] — min-cost relaxation per
+   *  position, exactly the kernel's integer micro-nat DP), a
+   *  longest-cost-achieving-edge backtrack reconstructing the SAME
+   *  tie-broken segmentation, integer corpus-weighted counts, the
+   *  add-one M-step, and the likelihood-loss prune (alt-cost DP over
+   *  each piece's own string with the full-piece edge excluded).
+   *  Single characters are never pruned, so every DP is feasible
+   *  without UNK edges. ln parity: floor(-ln((cnt+1)/(tot+k))·1e6) on
+   *  identical integer inputs — the textUnigramNll device. */
+  val unigramLearn: String = {
+    import graft.queries.PipelineQueries.{UnigramMaxPiece => MP,
+      UnigramSeedK => SK, UnigramRounds => R, UnigramMaxWordLen => MW}
+    val parts = scala.collection.mutable.ArrayBuffer(
+      """v AS MATERIALIZED (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS w
+        |    FROM documents) GROUP BY w)""".stripMargin,
+      s"""subs AS MATERIALIZED (
+        |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT freq, substring(w, i, l) AS piece
+        |    FROM v, unnest(range(1, len(w) + 1)) t(i),
+        |         unnest(range(1, $MP + 1)) u(l)
+        |    WHERE i + l - 1 <= len(w)) GROUP BY piece)""".stripMargin,
+      s"""sel0 AS MATERIALIZED (
+        |  SELECT piece, cnt FROM subs WHERE len(piece) = 1
+        |  UNION ALL
+        |  SELECT piece, cnt FROM (
+        |    SELECT piece, cnt FROM subs WHERE len(piece) >= 2
+        |    ORDER BY cnt DESC, piece LIMIT $SK))""".stripMargin,
+      s"""m0 AS MATERIALIZED (
+        |  SELECT piece, CAST(floor(-ln((cnt + 1.0) / (tot + k)) * 1000000) AS BIGINT) AS cost
+        |  FROM sel0, (SELECT CAST(sum(cnt) AS BIGINT) AS tot, count(*) AS k FROM sel0))""".stripMargin)
+    for (r <- 1 to R) {
+      val mPrev = s"m${r - 1}"
+      // Viterbi DP: d{r}_p holds best cost for every position <= p
+      parts += s"""d${r}_0 AS (
+        |  SELECT w, freq, 0 AS pos, CAST(0 AS BIGINT) AS cost FROM v)""".stripMargin
+      for (p <- 1 to MW) {
+        parts += s"""d${r}_$p AS MATERIALIZED (
+          |  SELECT w, freq, pos, cost FROM d${r}_${p - 1}
+          |  UNION ALL
+          |  SELECT d.w, d.freq, $p AS pos, min(d.cost + c.cost) AS cost
+          |  FROM d${r}_${p - 1} d JOIN $mPrev c
+          |    ON c.piece = substring(d.w, d.pos + 1, $p - d.pos)
+          |  WHERE len(d.w) >= $p AND $p - d.pos BETWEEN 1 AND $MP
+          |  GROUP BY d.w, d.freq)""".stripMargin
+      }
+      // per (word, end position): the LONGEST edge achieving the DP
+      // optimum — the kernel's tie-break, recursively unique
+      parts += s"""e$r AS MATERIALIZED (
+        |  SELECT d2.w, d2.pos AS endpos, max(d2.pos - d1.pos) AS l
+        |  FROM d${r}_$MW d2
+        |  JOIN d${r}_$MW d1 ON d1.w = d2.w
+        |    AND d2.pos - d1.pos BETWEEN 1 AND $MP
+        |  JOIN $mPrev c ON c.piece = substring(d2.w, d1.pos + 1, d2.pos - d1.pos)
+        |  WHERE d2.pos >= 1 AND d1.cost + c.cost = d2.cost
+        |  GROUP BY d2.w, d2.pos)""".stripMargin
+      parts += s"""bt${r}_0 AS (SELECT w, freq, len(w) AS pos, CAST(NULL AS VARCHAR) AS piece FROM v)"""
+      for (k <- 1 to MW) {
+        parts += s"""bt${r}_$k AS (
+          |  SELECT b.w, b.freq, b.pos - e.l AS pos,
+          |         substring(b.w, b.pos - e.l + 1, e.l) AS piece
+          |  FROM bt${r}_${k - 1} b JOIN e$r e
+          |    ON e.w = b.w AND e.endpos = b.pos
+          |  WHERE b.pos > 0)""".stripMargin
+      }
+      val pieceUnion = (1 to MW)
+        .map(k => s"SELECT freq, piece FROM bt${r}_$k").mkString(" UNION ALL ")
+      parts += s"""c$r AS MATERIALIZED (
+        |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM ($pieceUnion) GROUP BY piece)""".stripMargin
+      parts += s"""w$r AS MATERIALIZED (
+        |  SELECT s.piece, coalesce(c.cnt, 0) AS cnt
+        |  FROM sel${r - 1} s LEFT JOIN c$r c ON c.piece = s.piece)""".stripMargin
+      if (r < R) {
+        parts += s"""im$r AS MATERIALIZED (
+          |  SELECT piece, cnt, CAST(floor(-ln((cnt + 1.0) / (tot + k)) * 1000000) AS BIGINT) AS cost
+          |  FROM w$r, (SELECT CAST(sum(cnt) AS BIGINT) AS tot, count(*) AS k FROM w$r))""".stripMargin
+        // alt-cost DP over each multi piece's own string, full edge out
+        parts += s"""a${r}_0 AS (
+          |  SELECT piece AS p, 0 AS pos, CAST(0 AS BIGINT) AS cost
+          |  FROM im$r WHERE len(piece) >= 2)""".stripMargin
+        for (j <- 1 to MP) {
+          parts += s"""a${r}_$j AS (
+            |  SELECT p, pos, cost FROM a${r}_${j - 1}
+            |  UNION ALL
+            |  SELECT a.p, $j AS pos, min(a.cost + c.cost) AS cost
+            |  FROM a${r}_${j - 1} a JOIN im$r c
+            |    ON c.piece = substring(a.p, a.pos + 1, $j - a.pos)
+            |  WHERE len(a.p) >= $j AND $j - a.pos BETWEEN 1 AND $MP
+            |    AND NOT (a.pos = 0 AND $j = len(a.p))
+            |  GROUP BY a.p)""".stripMargin
+        }
+        parts += s"""loss$r AS MATERIALIZED (
+          |  SELECT im.piece, im.cnt, im.cnt * (alt.cost - im.cost) AS loss
+          |  FROM im$r im JOIN (SELECT p, cost, pos FROM a${r}_$MP) alt
+          |    ON alt.p = im.piece AND alt.pos = len(im.piece))""".stripMargin
+        parts += s"""sel$r AS MATERIALIZED (
+          |  SELECT piece, cnt FROM im$r WHERE len(piece) = 1
+          |  UNION ALL
+          |  SELECT piece, cnt FROM (
+          |    SELECT piece, cnt, row_number() OVER (ORDER BY loss DESC, piece) AS rn,
+          |           count(*) OVER () AS nm
+          |    FROM loss$r)
+          |  WHERE rn <= CAST(ceil(nm * 3.0 / 4) AS BIGINT))""".stripMargin
+      } else {
+        parts += s"""sel$r AS MATERIALIZED (SELECT piece, cnt FROM w$r)"""
+      }
+      parts += s"""m$r AS MATERIALIZED (
+        |  SELECT piece, CAST(floor(-ln((cnt + 1.0) / (tot + k)) * 1000000) AS BIGINT) AS cost
+        |  FROM sel$r, (SELECT CAST(sum(cnt) AS BIGINT) AS tot, count(*) AS k FROM sel$r))""".stripMargin
+    }
+    "WITH " + parts.mkString(",\n") + "\n" +
+      s"""SELECT s.piece, s.cnt, m.cost AS cost_micro
+         |FROM sel$R s JOIN m$R m ON m.piece = s.piece""".stripMargin
+  }
+
   /** Mirrors [[PipelineQueries.bpePairStats]]: same vocabulary agg,
    *  same adjacent char-pair expansion (DuckDB `range(1, len)` is
    *  exactly the 1..len-1 pair starts), same (count desc, pair asc)
@@ -1365,22 +1487,104 @@ object Oracles {
        |FROM lw LEFT JOIN bp USING (doc_id)""".stripMargin
   }
 
+  /** Shared frozen-vocab unigram segmentation machinery: CTE text
+   *  (m/lw/dw/DP/backtrack/useg) that re-derives every distinct
+   *  word's Viterbi segmentation from the frozen
+   *  [[graft.functions.VectorMath.UnigramVocab]] table with an
+   *  unrolled min-cost DP and the longest-cost-achieving-edge
+   *  backtrack — the unigramLearn oracle's device pointed at the
+   *  frozen model. `useg` ends as (w, pieces, n). */
+  private def unigramFrozenSegCtes: String = {
+    import graft.queries.PipelineQueries.{UnigramMaxPiece => MP,
+      UnigramMaxWordLen => MW}
+    val vals = graft.functions.VectorMath.UnigramVocab.map {
+      case (p, c) => s"('${p.replace("'", "''")}',$c)"
+    }.mkString(",")
+    val parts = scala.collection.mutable.ArrayBuffer(
+      s"""um(piece, cost) AS (SELECT * FROM (VALUES $vals) t(piece, cost))""",
+      """ulw AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS lst
+        |  FROM documents)""".stripMargin,
+      """udw(w) AS (SELECT DISTINCT unnest(lst) FROM ulw)""",
+      """ud_0 AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS cost FROM udw)""")
+    for (p <- 1 to MW) {
+      parts += s"""ud_$p AS MATERIALIZED (
+        |  SELECT w, pos, cost FROM ud_${p - 1}
+        |  UNION ALL
+        |  SELECT d.w, $p AS pos, min(d.cost + c.cost) AS cost
+        |  FROM ud_${p - 1} d JOIN um c
+        |    ON c.piece = substring(d.w, d.pos + 1, $p - d.pos)
+        |  WHERE len(d.w) >= $p AND $p - d.pos BETWEEN 1 AND $MP
+        |  GROUP BY d.w)""".stripMargin
+    }
+    parts += s"""ue AS MATERIALIZED (
+      |  SELECT d2.w, d2.pos AS endpos, max(d2.pos - d1.pos) AS l
+      |  FROM ud_$MW d2
+      |  JOIN ud_$MW d1 ON d1.w = d2.w AND d2.pos - d1.pos BETWEEN 1 AND $MP
+      |  JOIN um c ON c.piece = substring(d2.w, d1.pos + 1, d2.pos - d1.pos)
+      |  WHERE d2.pos >= 1 AND d1.cost + c.cost = d2.cost
+      |  GROUP BY d2.w, d2.pos)""".stripMargin
+    parts += s"""ubt_0 AS (SELECT w, len(w) AS pos, CAST(NULL AS VARCHAR) AS piece FROM udw)"""
+    for (k <- 1 to MW) {
+      parts += s"""ubt_$k AS (
+        |  SELECT b.w, b.pos - e.l AS pos,
+        |         substring(b.w, b.pos - e.l + 1, e.l) AS piece
+        |  FROM ubt_${k - 1} b JOIN ue e ON e.w = b.w AND e.endpos = b.pos
+        |  WHERE b.pos > 0)""".stripMargin
+    }
+    val stepUnion = (1 to MW)
+      .map(k => s"SELECT w, $k AS k, piece FROM ubt_$k").mkString(" UNION ALL ")
+    parts += s"""useg AS MATERIALIZED (
+      |  SELECT w, string_agg(piece, ' ' ORDER BY k DESC) AS pieces,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM ($stepUnion) GROUP BY w)""".stripMargin
+    parts.mkString(",\n")
+  }
+
+  /** Mirrors [[PipelineQueries.textTokensUnigram]]: the frozen-table
+   *  DP segmentation per distinct word ([[unigramFrozenSegCtes]]),
+   *  re-assembled into each document's piece stream in word order
+   *  (the textEncodeBpe reconstruction device) and md5-hashed. */
+  val textTokensUnigram: String =
+    s"""WITH $unigramFrozenSegCtes,
+       |utok AS (
+       |  SELECT doc_id, i, lst[CAST(i + 1 AS INT)] AS w
+       |  FROM ulw, unnest(range(0, len(lst))) t(i)),
+       |uenc AS (
+       |  SELECT utok.doc_id,
+       |         string_agg(useg.pieces, ' ' ORDER BY utok.i) AS e,
+       |         sum(useg.n) AS n
+       |  FROM utok JOIN useg USING (w) GROUP BY utok.doc_id)
+       |SELECT ulw.doc_id,
+       |  CAST(coalesce(uenc.n, 0) AS BIGINT) AS unigram_tokens,
+       |  md5(coalesce(uenc.e, '')) AS enc_hash
+       |FROM ulw LEFT JOIN uenc USING (doc_id)""".stripMargin
+
   /** Mirrors [[PipelineQueries.bpeFertility]]: the full [[textTokensBpe]]
    *  recursive-CTE machinery as a subquery (its per-doc counts are the
    *  shared contract), re-joined to the label column and rolled up per
    *  language; the fertility ratio is one division of identical bigint
    *  sums, round half-away ≡ HALF_UP for positives. */
   val bpeFertility: String =
-    // the subquery is spliced AFTER stripMargin: the inner SQL's
+    // the subqueries are spliced AFTER stripMargin: the inner SQL's
     // '||' concatenations at line starts would otherwise lose their
-    // first pipe to the margin strip
+    // first pipe to the margin strip. The unigram side is its own
+    // scoped WITH (the frozen-vocab DP), joined per doc_id next to
+    // the BPE recursive CTE — the comparison row the two tokenizer
+    // families share.
     """SELECT d.lang,
       |  CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(sum(t.ws_tokens) AS BIGINT) AS ws_tokens,
       |  CAST(sum(t.bpe_tokens) AS BIGINT) AS bpe_tokens,
-      |  round(CAST(sum(t.bpe_tokens) AS DOUBLE) / sum(t.ws_tokens), 6) AS fertility
-      |FROM (%SUB%) t JOIN documents d USING (doc_id)
-      |GROUP BY d.lang""".stripMargin.replace("%SUB%", textTokensBpe)
+      |  CAST(sum(u.unigram_tokens) AS BIGINT) AS unigram_tokens,
+      |  round(CAST(sum(t.bpe_tokens) AS DOUBLE) / sum(t.ws_tokens), 6) AS fertility,
+      |  round(CAST(sum(u.unigram_tokens) AS DOUBLE) / sum(t.ws_tokens), 6) AS unigram_fertility
+      |FROM (%SUB%) t JOIN (%USUB%) u USING (doc_id)
+      |  JOIN documents d USING (doc_id)
+      |GROUP BY d.lang""".stripMargin
+      .replace("%SUB%", textTokensBpe)
+      .replace("%USUB%", textTokensUnigram)
 
   /** Mirrors [[PipelineQueries.corpusReport]]: the textQuality ratio
    *  formula, the textLangId argmax CASE, and the textClassify weight

@@ -929,9 +929,13 @@ object PipelineQueries {
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(TextAnalyticsOps.wsTokenCount(col("text"))).as("ws_tokens"),
-        sum(TextAnalyticsOps.bpeTokenCount(col("text"))).as("bpe_tokens"))
+        sum(TextAnalyticsOps.bpeTokenCount(col("text"))).as("bpe_tokens"),
+        sum(graft.functions.native
+          .unigram_token_count(lower(col("text")))).as("unigram_tokens"))
       .withColumn("fertility",
         round(col("bpe_tokens") / col("ws_tokens"), 6))
+      .withColumn("unigram_fertility",
+        round(col("unigram_tokens") / col("ws_tokens"), 6))
 
   /**
    * Per-source CORPUS REPORT — the curation dashboard a pipeline
@@ -1115,8 +1119,9 @@ object PipelineQueries {
   // ---- Unigram-LM tokenizer learning (Kudo 2018 / SentencePiece) --------
 
   /** Longest candidate piece for [[unigramLearn]]'s seed, DP, and the
-   *  frozen apply kernel. */
-  val UnigramMaxPiece = 4
+   *  frozen apply kernel (canonical constant lives beside the frozen
+   *  vocab). */
+  val UnigramMaxPiece: Int = graft.functions.VectorMath.UnigramMaxPieceLen
   /** Multi-char seed pieces: top substrings by corpus-weighted
    *  occurrence count (ties lexicographically smallest — the
    *  bpePairStats total-order convention). Single characters are
@@ -1255,6 +1260,21 @@ object PipelineQueries {
     vocab.unpersist()
     cur.toSeq.toDF("piece", "cnt", "cost_micro")
   }
+
+  /** Full unigram-LM ENCODE under the frozen
+   *  [[graft.functions.VectorMath.UnigramVocab]] (the native
+   *  [[graft.functions.UnigramEncode]] kernel) — [[textEncodeBpe]]'s
+   *  sibling for the other production tokenizer family: each
+   *  document's actual piece stream, md5-gated so the SEGMENTATION is
+   *  cross-engine verified, not just its length. Row-local
+   *  projection, zero shuffles. */
+  def textTokensUnigram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.native.unigram_encode(lower(col("text"))).as("e"))
+      .select(col("doc_id"),
+        col("e.n_tokens").as("unigram_tokens"),
+        md5(col("e.enc")).as("enc_hash"))
 
   /** Quantization scale for [[textUnigramNll]]: per-word negative
    *  log-likelihoods are floored to integer micro-nats so the per-doc
