@@ -1163,6 +1163,68 @@ object StreamOps {
   }
 
   /**
+   * MAINTENANCE compaction for [[clusterAssignStream]]'s derived
+   * state: fold every `bands`/`shingles` partition with
+   * `version <= upTo` into the single partition `version=upTo` and
+   * delete the lower ones. A long-running stream otherwise accumulates
+   * one partition directory per trigger, and although the per-trigger
+   * READ is one scan relation regardless, partition DISCOVERY lists
+   * O(#versions) directories per trigger — compaction bounds that at
+   * O(triggers since last compaction). Row content is unchanged, so
+   * trigger results are identical before/after (spec-pinned).
+   *
+   * Safety contract: `upTo` must be strictly below the latest version
+   * (enforced) — the latest and its predecessor stay untouched, so an
+   * in-flight retry never reads a moving partition. The job is
+   * duplicate-tolerant and idempotent: a crash after the combined
+   * write but before the deletes leaves lower partitions duplicated
+   * into `version=upTo`, which the consumers absorb (candidate pairs
+   * are `distinct`ed, CC edges and Jaccard verifies are
+   * duplicate-insensitive) and a re-run converges. A crash DURING the
+   * combined overwrite can lose that one partition's rows — the same
+   * window every bare-parquet overwrite has; as the stream's scaladoc
+   * says, production puts a transactional table format under this
+   * layout (the versioning contract is what matters, not the commit
+   * protocol).
+   */
+  def compactClusterState(spark: SparkSession, statePath: String,
+      upTo: Long): Unit = {
+    val maxV = clusterAssignVersions(spark, statePath, Long.MaxValue)
+      .lastOption.getOrElse(
+        sys.error(s"compactClusterState: no versions at $statePath"))
+    require(upTo < maxV,
+      s"compactClusterState: upTo=$upTo must stay below the latest " +
+        s"version $maxV (retry window)")
+    val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    Seq("bands", "shingles").foreach { table =>
+      val root = new org.apache.hadoop.fs.Path(s"$statePath/$table")
+      if (fs.exists(root)) {
+        val parts = fs.listStatus(root).map(_.getPath.getName)
+          .filter(_.startsWith("version="))
+          .flatMap(n => scala.util.Try(n.stripPrefix("version=").toLong)
+            .toOption)
+          .filter(_ <= upTo).sorted
+        if (parts.length > 1) {
+          // materialize BEFORE overwriting a directory we are reading
+          val combined = spark.read.parquet(s"$statePath/$table")
+            .filter(col("version") <= upTo).drop("version")
+            .localCheckpoint()
+          combined.write.mode("overwrite")
+            .parquet(s"$statePath/$table/version=$upTo")
+          parts.filter(_ < upTo).foreach { v =>
+            fs.delete(new org.apache.hadoop.fs.Path(
+              s"$statePath/$table/version=$v"), true)
+            ()
+          }
+          combined.unpersist()
+          ()
+        }
+      }
+    }
+  }
+
+  /**
    * IVF-PQ similarity serving — [[streamingTopK]]'s 100 TB sibling:
    * the two-level IVFADC index (coarse centroids + shared residual
    * codebooks + the ENCODED corpus) is built ONCE at topology start

@@ -292,6 +292,16 @@ object MaxRateProbe {
                 lit("@ex.com 10.0.0.1 555-123-4567 AB123456")))
               .otherwise(lit(""))).as("text")))
     }
+    search("unigram_tokens", seed = 1000000, OutputMode.Append) { in =>
+      // frozen-vocab unigram-LM encode: one UnigramEncode kernel call
+      // per row (per-distinct-word memo saturates on the generator's
+      // bounded pool — the bpe apply discipline)
+      in.select(col("ts"),
+        graft.functions.native.unigram_encode(
+          lower(Generators.docLine(col("value")))).as("e"))
+        .select(col("ts"), col("e.n_tokens").as("n_tokens"),
+          md5(col("e.enc")).as("enc_hash"))
+    }
     search("text_chunks", seed = 1000000, OutputMode.Append) { in =>
       graft.queries.PipelineQueries.chunkProjection(
         in.select(col("ts"), Generators.docLine(col("value")).as("text")))

@@ -67,6 +67,48 @@ object EngineProps extends Properties("graft") {
   private val eventsGen = Gen.listOfN(30,
     Gen.zip(Gen.choose(0, 6 * 3600), keyGen, Gen.choose(0, 99)))
 
+  // ---- unigram Viterbi segmentation (pure kernel, no Spark) --------------
+
+  private val uniAlphabet = Seq("a", "b", "c")
+  private val uniWordGen = Gen.choose(0, 10).flatMap(n =>
+    Gen.listOfN(n, Gen.oneOf(uniAlphabet)).map(_.mkString))
+  private val uniModelGen: Gen[Map[String, Long]] = for {
+    // every single char costed (coverage), a random bag of multis
+    s <- Gen.listOfN(3, Gen.choose(1000000L, 9000000L))
+    multis <- Gen.listOf(for {
+      len <- Gen.choose(2, 4)
+      p <- Gen.listOfN(len, Gen.oneOf(uniAlphabet)).map(_.mkString)
+      c <- Gen.choose(500000L, 9000000L)
+    } yield p -> c)
+  } yield (uniAlphabet.zip(s) ++ multis).toMap
+
+  property("unigramSegment: concatenation round-trips, and no " +
+      "segmentation under the model costs less (longest-final-piece " +
+      "tie-break)") =
+    forAll(uniWordGen, uniModelGen) { (w, model) =>
+      import graft.functions.VectorMath
+      val sorted = model.toSeq.sortBy(_._1)
+      val got = VectorMath.unigramSegment(w,
+        sorted.map(_._1).toArray, sorted.map(_._2).toArray, 4)
+      val pieces = if (got.isEmpty) Nil else got.split(" ").toList
+      def cost(ss: List[String]): Long = ss.map(p =>
+        model.getOrElse(p, VectorMath.UnigramUnkMicro)).sum
+      def enumerate(s: String): Seq[List[String]] =
+        if (s.isEmpty) Seq(Nil)
+        else (1 to math.min(4, s.length)).flatMap { l =>
+          val p = s.substring(0, l)
+          if (model.contains(p) || l == 1)
+            enumerate(s.substring(l)).map(p :: _)
+          else Nil
+        }
+      import scala.math.Ordering.Implicits.seqOrdering
+      val all = enumerate(w)
+      val best =
+        if (w.isEmpty) Nil
+        else all.minBy(ss => (cost(ss), ss.reverse.map(-_.length)))
+      pieces.mkString == w && pieces == best
+    }
+
   property("slidingCount: sum of per-hop counts == slots * total") =
     forAll(eventsGen) { evs =>
       import spark.implicits._

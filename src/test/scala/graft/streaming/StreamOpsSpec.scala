@@ -856,6 +856,38 @@ class StreamOpsSpec extends SparkSpec {
         "per-trigger plan must read the stored derived state:\n" + plan)
       assert(plan.contains("PartitionFilters") && plan.contains("version"),
         "stored-state reads must partition-filter on version:\n" + plan)
+      // MAINTENANCE COMPACTION: folding all derived-state partitions
+      // <= upTo into one changes NOTHING a trigger computes — same
+      // probe batch, identical assignment — while the partition-dir
+      // count (the per-trigger discovery cost) drops to the retained
+      // window
+      def probeAssign(): Map[Long, Long] = StreamOps.clusterAssignTrigger(
+        spark, statePath, lastVersion + 1,
+        Seq((300L, x)).toDF("doc_id", "text"),
+        StreamOps.clusterAssignHistClusters(spark, statePath,
+          StreamOps.clusterAssignVersions(spark, statePath, lastVersion + 1)),
+        0.5).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val before = probeAssign()
+      assert(before(300L) == 10L, s"the probe doc adopts doc 10's cluster: $before")
+      StreamOps.compactClusterState(spark, statePath, lastVersion - 1)
+      assert(probeAssign() == before,
+        "compaction must not change any trigger result")
+      Seq("bands", "shingles").foreach { t =>
+        val parts = new java.io.File(s"$statePath/$t").listFiles
+          .map(_.getName).filter(_.startsWith("version=")).sorted
+        assert(parts.sameElements(
+          Seq(s"version=${lastVersion - 1}", s"version=$lastVersion")),
+          s"$t partitions after compaction: ${parts.toSeq}")
+      }
+      // idempotent: a re-run (the crash-recovery path) converges to
+      // the same state and the same results
+      StreamOps.compactClusterState(spark, statePath, lastVersion - 1)
+      assert(probeAssign() == before)
+      // the retry window is enforced
+      intercept[IllegalArgumentException] {
+        StreamOps.compactClusterState(spark, statePath, lastVersion)
+      }
+      ()
     } finally q.stop()
   }
 }
