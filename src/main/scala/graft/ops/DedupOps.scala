@@ -148,6 +148,34 @@ object DedupOps {
         ctx.updateLoggers()
       case _ => () // not log4j2-core: leave logging configuration alone
     }
+  /** Release a frame produced by [[reliableTruncate]] /
+   *  `localCheckpoint()`: delete its reliable snapshot file (if any)
+   *  and unpersist its checkpoint RDD blocks EAGERLY.
+   *  `Dataset.unpersist` is a NO-OP for checkpointed frames — it
+   *  uncaches the query plan via the CacheManager, which never
+   *  registered the checkpoint RDD, so the blocks sit in the block
+   *  manager until a driver GC (the r14 cross-query leak class).
+   *  Every superseded truncated artifact must come back through here
+   *  — the connectedComponents release discipline, factored for the
+   *  other iterative loops (bpeLearn, graphPagerank, unigramLearn,
+   *  compactClusterState). */
+  private[graft] def releaseTruncated(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getCheckpointFile.foreach { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(
+            df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(path, true)
+          ()
+        }
+        if (silencedUnpersistLoggers.add(lr.rdd.getClass.getName))
+          denyUnpersistWarning(lr.rdd.getClass.getName)
+        lr.rdd.unpersist(blocking = false)
+        ()
+      case _ => ()
+    }
+
   private[graft] def reliableTruncate(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     if (sc.getCheckpointDir.isDefined) {

@@ -633,12 +633,14 @@ object AnalyticsQueries {
       if (sinceTrunc >= 4) {
         val prev = ranks
         ranks = next.localCheckpoint()
-        prev.unpersist()
+        // Dataset.unpersist is a no-op on checkpointed frames —
+        // release the superseded snapshot's RDD blocks eagerly
+        graft.ops.DedupOps.releaseTruncated(prev)
         sinceTrunc = 0
       } else ranks = next
     }
     val out = ranks.select(col("node"), col("rank").as("rank_micro"))
-    edgesDeg.unpersist()
+    graft.ops.DedupOps.releaseTruncated(edgesDeg)
     out
   }
 }

@@ -1106,13 +1106,15 @@ object PipelineQueries {
           if (sinceTrunc >= BpeLearnStride) {
             val prev = segs
             segs = applied.localCheckpoint()
-            prev.unpersist()
+            // Dataset.unpersist is a no-op on checkpointed frames —
+            // release the superseded snapshot's RDD blocks eagerly
+            graft.ops.DedupOps.releaseTruncated(prev)
             sinceTrunc = 0
           } else segs = applied
         }
       }
     }
-    segs.unpersist()
+    graft.ops.DedupOps.releaseTruncated(segs)
     rules.toSeq.toDF("rank", "a", "b")
   }
 
@@ -1257,7 +1259,7 @@ object PipelineQueries {
         }
       cur = costsOf(kept)
     }
-    vocab.unpersist()
+    graft.ops.DedupOps.releaseTruncated(vocab)
     cur.toSeq.toDF("piece", "cnt", "cost_micro")
   }
 

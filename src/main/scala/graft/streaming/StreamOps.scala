@@ -1069,13 +1069,21 @@ object StreamOps {
         val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
         val versions = clusterAssignVersions(spark, statePath, id)
+        // migrate / guard: a statePath written before the derived-state
+        // layout (docs only, no bands/shingles) would otherwise read as
+        // EMPTY history and silently mis-cluster — backfill instead
+        ensureDerivedClusterState(spark, statePath, versions)
         val histClusters = clusterAssignHistClusters(spark, statePath, versions)
         // admission: collapse within-trigger duplicates to one
         // deterministic representative, then drop doc_ids already in
-        // state (immutable-identity contract — see scaladoc)
+        // state (immutable-identity contract — see scaladoc).
+        // localCheckpoint: four actions consume this frame per trigger
+        // (bands write, shingles write, the assignment, the docs
+        // write) — materialize the admission ONCE; released below.
         val batchDocs = batch.select(col("doc_id"), col("text"))
           .groupBy(col("doc_id")).agg(min(col("text")).as("text"))
           .join(histClusters.select("doc_id"), Seq("doc_id"), "left_anti")
+          .localCheckpoint()
         // persist this batch's derived state FIRST (overwrite = retry-
         // idempotent; readers filter version < their own id, so a
         // partial write is invisible until the writer's trigger reads
@@ -1111,9 +1119,43 @@ object StreamOps {
         // ids report their current cluster from the new snapshot
         sink(spark.read.parquet(s"$statePath/v$id/clusters")
           .join(batch.select("doc_id").distinct(), "doc_id"), id)
+        graft.ops.DedupOps.releaseTruncated(batchDocs)
       }
       .start()
   }
+
+  /** Backfill derived band/shingle partitions for versions written by
+   *  a pre-derived-state layout (docs only). Only versions NEWER than
+   *  the newest stored partition are candidates — older gaps are the
+   *  expected product of [[compactClusterState]] folding, not missing
+   *  state. One-time migration cost per legacy version; a warning
+   *  names each backfill. */
+  private[graft] def ensureDerivedClusterState(spark: SparkSession,
+      statePath: String, versions: Array[Long]): Unit =
+    Seq("bands", "shingles").foreach { table =>
+      val root = new org.apache.hadoop.fs.Path(s"$statePath/$table")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val present: Set[Long] =
+        if (!fs.exists(root)) Set.empty
+        else fs.listStatus(root).map(_.getPath.getName)
+          .filter(_.startsWith("version="))
+          .flatMap(n => scala.util.Try(n.stripPrefix("version=").toLong)
+            .toOption).toSet
+      val newestPresent = if (present.isEmpty) -1L else present.max
+      versions.filter(v => v > newestPresent).foreach { v =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "clusterAssignStream: backfilling {} for legacy state " +
+            "version {} at {}", table, v.toString, statePath)
+        val docs = spark.read.parquet(s"$statePath/v$v/docs")
+        val derived =
+          if (table == "bands")
+            graft.ops.DedupOps.clusterBandKeys(docs, col("doc_id"), col("text"))
+          else
+            graft.ops.DedupOps.clusterShingleSets(docs, col("doc_id"), col("text"))
+        derived.write.mode("overwrite")
+          .parquet(s"$statePath/$table/version=$v")
+      }
+    }
 
   /** The versions strictly below `id` present at `statePath`. */
   private[graft] def clusterAssignVersions(spark: SparkSession,
@@ -1173,19 +1215,27 @@ object StreamOps {
    * O(triggers since last compaction). Row content is unchanged, so
    * trigger results are identical before/after (spec-pinned).
    *
-   * Safety contract: `upTo` must be strictly below the latest version
-   * (enforced) — the latest and its predecessor stay untouched, so an
-   * in-flight retry never reads a moving partition. The job is
-   * duplicate-tolerant and idempotent: a crash after the combined
-   * write but before the deletes leaves lower partitions duplicated
-   * into `version=upTo`, which the consumers absorb (candidate pairs
-   * are `distinct`ed, CC edges and Jaccard verifies are
-   * duplicate-insensitive) and a re-run converges. A crash DURING the
-   * combined overwrite can lose that one partition's rows — the same
-   * window every bare-parquet overwrite has; as the stream's scaladoc
-   * says, production puts a transactional table format under this
-   * layout (the versioning contract is what matters, not the commit
-   * protocol).
+   * Safety contract — run QUIESCED: call only while no trigger is in
+   * flight (the stream stopped, or between `processAllAvailable`
+   * rounds). A trigger reads the ENTIRE band/shingle history below its
+   * id, so every partition `<= upTo` is a "moving partition" for a
+   * concurrent trigger — one that lists files before the rewrite and
+   * reads after gets a FileNotFound, or worse reads the half-written
+   * fold and assigns clusters from missing history. Bare parquet has
+   * no commit protocol to hide this; production puts a transactional
+   * table format under the same layout (as the stream's scaladoc
+   * says) and gets concurrent compaction from it. The enforced
+   * `upTo < latest` bound covers the OTHER hazard — a post-restart
+   * retry of the latest batch must not find its own rows folded into
+   * history (it would pair documents with themselves).
+   *
+   * The job is duplicate-tolerant and idempotent: a crash after the
+   * combined write but before the deletes leaves lower partitions
+   * duplicated into `version=upTo`, which the consumers absorb
+   * (candidate pairs are `distinct`ed, CC edges and Jaccard verifies
+   * are duplicate-insensitive) and a re-run converges. A crash DURING
+   * the combined overwrite can lose that one partition's rows — the
+   * same window every bare-parquet overwrite has.
    */
   def compactClusterState(spark: SparkSession, statePath: String,
       upTo: Long): Unit = {
@@ -1194,7 +1244,8 @@ object StreamOps {
         sys.error(s"compactClusterState: no versions at $statePath"))
     require(upTo < maxV,
       s"compactClusterState: upTo=$upTo must stay below the latest " +
-        s"version $maxV (retry window)")
+        s"version $maxV — a post-restart retry of batch $maxV reads " +
+        "versions below itself and must not find its own rows there")
     val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     Seq("bands", "shingles").foreach { table =>
@@ -1217,8 +1268,7 @@ object StreamOps {
               s"$statePath/$table/version=$v"), true)
             ()
           }
-          combined.unpersist()
-          ()
+          graft.ops.DedupOps.releaseTruncated(combined)
         }
       }
     }

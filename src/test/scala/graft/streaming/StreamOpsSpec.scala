@@ -890,4 +890,44 @@ class StreamOpsSpec extends SparkSpec {
       ()
     } finally q.stop()
   }
+
+  test("clusterAssignStream: a legacy statePath (docs-only, no derived " +
+      "band/shingle state) is backfilled on the first trigger instead " +
+      "of silently reading empty history") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.DedupOps
+    def filler(tag: String, n: Int): String =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    val a = filler("alpha", 24); val c = filler("mid", 24)
+    val x = s"$a $c"
+    // hand-write the PRE-derived-state layout: v0/docs + v0/clusters,
+    // no bands/ or shingles/ directories
+    val statePath = Files.createTempDirectory("graft-calegacy").toString
+    val legacy = Seq((10L, x), (40L, filler("solo", 20)))
+    legacy.toDF("doc_id", "text").write.parquet(s"$statePath/v0/docs")
+    Seq((10L, 10L), (40L, 40L)).toDF("doc_id", "cluster")
+      .write.parquet(s"$statePath/v0/clusters")
+    // migration happens under the stream's ORIGINAL checkpoint (batch
+    // ids continue past the existing versions), so exercise the
+    // trigger units at id=1 directly — a fresh MemoryStream checkpoint
+    // would restart ids at 0 and never see v0 by the version contract
+    val versions = StreamOps.clusterAssignVersions(spark, statePath, 1L)
+    assert(versions.sameElements(Array(0L)))
+    StreamOps.ensureDerivedClusterState(spark, statePath, versions)
+    Seq("bands", "shingles").foreach { t =>
+      assert(new java.io.File(s"$statePath/$t/version=0").exists,
+        s"legacy version 0 must be backfilled into $t")
+    }
+    // doc 11 is a near-dup of legacy doc 10 — with EMPTY history it
+    // would become its own cluster; with backfilled history it adopts
+    val assigned = StreamOps.clusterAssignTrigger(spark, statePath, 1L,
+      Seq((11L, s"$x hc hd")).toDF("doc_id", "text"),
+      StreamOps.clusterAssignHistClusters(spark, statePath, versions), 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned == Map(11L -> 10L, 10L -> 10L, 40L -> 40L),
+      s"legacy history must be adopted, not ignored: $assigned")
+    // idempotent: a second pass backfills nothing (no version above
+    // the newest stored partition)
+    StreamOps.ensureDerivedClusterState(spark, statePath, versions)
+  }
 }
