@@ -32,6 +32,19 @@ object BucketedTables {
       .format("parquet")
       .saveAsTable(table)
 
+  /** [[writeBucketed]] with a COMPOSITE bucket key — the layout for
+    * equi-joins on multiple columns (the cluster-assign stored band
+    * table joins on (band, bh)). Spark elides the history-side shuffle
+    * only when the join keys equal the bucket columns exactly. */
+  def writeBucketedKeys(df: DataFrame, table: String, keys: Seq[String],
+      buckets: Int): Unit =
+    df.write
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Write `df` hive-style partitioned by `partCol` (low-cardinality
     * columns only — day, source shard, event type). Scans filtered on
     * the partition column read ONLY the matching directories
