@@ -671,21 +671,23 @@ object VectorMath {
     s
   }
 
-  /** Token count of ONE word under the frozen unigram vocab: spaces in
-   *  the memoized segmentation + 1. */
-  def unigramWordTokens(w: String): Long = {
-    val pieces = unigramWordPieces(w)
-    if (pieces.isEmpty) 0L
-    else {
-      var n = 1L
-      var i = 0
-      while (i < pieces.length) {
-        if (pieces.charAt(i) == ' ') n += 1
-        i += 1
-      }
-      n
+  /** Piece count of an ALREADY-SEGMENTED word (spaces + 1) — callers
+   *  hold the [[unigramWordPieces]] string and must not re-run the DP
+   *  (past the memo cap a second lookup recomputes it). */
+  private def unigramPieceCount(pieces: String): Long = {
+    if (pieces.isEmpty) return 0L
+    var n = 1L
+    var i = 0
+    while (i < pieces.length) {
+      if (pieces.charAt(i) == ' ') n += 1
+      i += 1
     }
+    n
   }
+
+  /** Token count of ONE word under the frozen unigram vocab. */
+  def unigramWordTokens(w: String): Long =
+    unigramPieceCount(unigramWordPieces(w))
 
   /** Whole-text frozen-vocab unigram ENCODE; the [[bpeEncode]] shape:
    *  struct(n_tokens, enc) with enc = every word's pieces in word
@@ -700,11 +702,10 @@ object VectorMath {
       val start = i
       while (i < len && !isWs(s.charAt(i))) i += 1
       if (i > start) {
-        val w = s.substring(start, i)
-        val pieces = unigramWordPieces(w)
+        val pieces = unigramWordPieces(s.substring(start, i))
         if (sb.length > 0) sb.append(' ')
         sb.append(pieces)
-        total += unigramWordTokens(w)
+        total += unigramPieceCount(pieces)
       }
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(

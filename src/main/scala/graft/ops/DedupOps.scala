@@ -159,6 +159,15 @@ object DedupOps {
    *  — the connectedComponents release discipline, factored for the
    *  other iterative loops (bpeLearn, graphPagerank, unigramLearn,
    *  compactClusterState). */
+  /** CONTRACT: pass the exact checkpointed HANDLE (the frame
+   *  `localCheckpoint()`/[[reliableTruncate]] returned), not a frame
+   *  derived from it — the match is on the plan ROOT by design.
+   *  Collecting every LogicalRDD leaf of a derived frame would also
+   *  release checkpoints the caller still needs (graphPagerank's
+   *  superseded rank frame carries the LIVE edgesDeg checkpoint as a
+   *  leaf — leaf-collection broke iteration 5 with
+   *  CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND); loops therefore track their
+   *  last checkpoint handle in its own var and release THAT. */
   private[graft] def releaseTruncated(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
@@ -169,10 +178,13 @@ object DedupOps {
             .delete(path, true)
           ()
         }
-        if (silencedUnpersistLoggers.add(lr.rdd.getClass.getName))
-          denyUnpersistWarning(lr.rdd.getClass.getName)
-        lr.rdd.unpersist(blocking = false)
-        ()
+        if (lr.rdd.getStorageLevel !=
+            org.apache.spark.storage.StorageLevel.NONE) {
+          if (silencedUnpersistLoggers.add(lr.rdd.getClass.getName))
+            denyUnpersistWarning(lr.rdd.getClass.getName)
+          lr.rdd.unpersist(blocking = false)
+          ()
+        }
       case _ => ()
     }
 
@@ -408,10 +420,17 @@ object DedupOps {
   def incrementalClusterAssignPre(fresh: DataFrame, histBands: DataFrame,
       histShingles: DataFrame, histClusters: DataFrame, id: Column,
       text: Column, threshold: Double = 0.5, shingleN: Int = 3,
-      k: Int = 64, bands: Int = 16, maxIters: Int = 30): DataFrame = {
+      k: Int = 64, bands: Int = 16, maxIters: Int = 30,
+      freshBands: Option[DataFrame] = None,
+      freshShingles: Option[DataFrame] = None): DataFrame = {
     def banded(df: DataFrame) = clusterBandKeys(df, id, text, k, bands, shingleN)
     def shingleSets(df: DataFrame) = clusterShingleSets(df, id, text, shingleN)
-    val fb = banded(fresh)
+    // freshBands/freshShingles: a caller that already PERSISTED the
+    // batch's derived triples (clusterAssignStream writes them as
+    // state before assigning) passes the stored frames back instead
+    // of paying up to three more shingle+minhash passes in-plan —
+    // fb feeds two joins, fshs two verifies
+    val fb = freshBands.getOrElse(banded(fresh))
     val histCand = fb.as("x").join(histBands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .select(col("x.id").as("fid"), col("y.id").as("oid")).distinct()
@@ -419,7 +438,7 @@ object DedupOps {
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("fid"), col("y.id").as("oid")).distinct()
-    val fshs = shingleSets(fresh)
+    val fshs = freshShingles.getOrElse(shingleSets(fresh))
     val hshs = histShingles
     def verified(cand: DataFrame, partner: DataFrame) = cand
       .join(fshs.as("a"), col("fid") === col("a.sid"))

@@ -621,6 +621,11 @@ object AnalyticsQueries {
     val edgesDeg = edges.join(deg, "src").localCheckpoint()
     var ranks = deg.select(col("src").as("node"), lit(PrScale).as("rank"))
     var sinceTrunc = 0
+    // the last CHECKPOINT HANDLE — releaseTruncated matches the plan
+    // root, so superseded snapshots must be released via the handle,
+    // never via the chained `ranks` frame built on top of it (whose
+    // leaves also include the LIVE edgesDeg checkpoint)
+    var lastCkpt: Option[org.apache.spark.sql.DataFrame] = None
     for (_ <- 1 to PrIters) {
       val contribs = edgesDeg
         .join(ranks, edgesDeg("src") === ranks("node"))
@@ -631,16 +636,21 @@ object AnalyticsQueries {
           (lit(PrScale * 15 / 100) + floor(col("s") * lit(85L) / lit(100.0))).as("rank"))
       sinceTrunc += 1
       if (sinceTrunc >= 4) {
-        val prev = ranks
         ranks = next.localCheckpoint()
-        // Dataset.unpersist is a no-op on checkpointed frames —
-        // release the superseded snapshot's RDD blocks eagerly
-        graft.ops.DedupOps.releaseTruncated(prev)
+        // the PREVIOUS snapshot is now unreachable — release its
+        // blocks eagerly (Dataset.unpersist is a no-op on
+        // checkpointed frames)
+        lastCkpt.foreach(graft.ops.DedupOps.releaseTruncated)
+        lastCkpt = Some(ranks)
         sinceTrunc = 0
       } else ranks = next
     }
     val out = ranks.select(col("node"), col("rank").as("rank_micro"))
-    graft.ops.DedupOps.releaseTruncated(edgesDeg)
+    // edgesDeg may be released before `out` materializes ONLY when the
+    // final ranks frame is checkpoint-rooted (lineage cut) — true iff
+    // the last iteration hit the stride boundary; otherwise leave it
+    // to the ContextCleaner rather than break the pending lineage
+    if (sinceTrunc == 0) graft.ops.DedupOps.releaseTruncated(edgesDeg)
     out
   }
 }

@@ -1303,9 +1303,15 @@ object Oracles {
         |  SELECT piece, CAST(floor(-ln((cnt + 1.0) / (tot + k)) * 1000000) AS BIGINT) AS cost
         |  FROM sel$r, (SELECT CAST(sum(cnt) AS BIGINT) AS tot, count(*) AS k FROM sel$r))""".stripMargin
     }
+    // long words must fail LOUD, not silently drop from every DP round
+    parts += s"""vlen AS (
+      |  SELECT CASE WHEN max(len(w)) > $MW
+      |              THEN error('unigram oracle: word exceeds the DP unroll depth $MW')
+      |              ELSE 1 END AS ok FROM v)""".stripMargin
     "WITH " + parts.mkString(",\n") + "\n" +
       s"""SELECT s.piece, s.cnt, m.cost AS cost_micro
-         |FROM sel$R s JOIN m$R m ON m.piece = s.piece""".stripMargin
+         |FROM sel$R s JOIN m$R m ON m.piece = s.piece, vlen
+         |WHERE vlen.ok = 1""".stripMargin
   }
 
   /** Mirrors [[PipelineQueries.bpePairStats]]: same vocabulary agg,
@@ -1508,23 +1514,38 @@ object Oracles {
         |  FROM documents)""".stripMargin,
       """udw(w) AS (SELECT DISTINCT unnest(lst) FROM ulw)""",
       """ud_0 AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS cost FROM udw)""")
+    val unk = graft.functions.VectorMath.UnigramUnkMicro
     for (p <- 1 to MW) {
+      // LEFT join + CASE: a single character absent from the frozen
+      // vocab takes the kernel's UNK edge instead of silently making
+      // the word unsegmentable (which would DROP it from the piece
+      // stream while the kernel emits it — a latent gate breaker on
+      // any corpus whose alphabet outgrows the training one)
       parts += s"""ud_$p AS MATERIALIZED (
         |  SELECT w, pos, cost FROM ud_${p - 1}
         |  UNION ALL
-        |  SELECT d.w, $p AS pos, min(d.cost + c.cost) AS cost
-        |  FROM ud_${p - 1} d JOIN um c
+        |  SELECT d.w, $p AS pos,
+        |         min(d.cost + CASE WHEN c.piece IS NOT NULL THEN c.cost ELSE $unk END) AS cost
+        |  FROM ud_${p - 1} d LEFT JOIN um c
         |    ON c.piece = substring(d.w, d.pos + 1, $p - d.pos)
         |  WHERE len(d.w) >= $p AND $p - d.pos BETWEEN 1 AND $MP
+        |    AND (c.piece IS NOT NULL OR $p - d.pos = 1)
         |  GROUP BY d.w)""".stripMargin
     }
     parts += s"""ue AS MATERIALIZED (
       |  SELECT d2.w, d2.pos AS endpos, max(d2.pos - d1.pos) AS l
       |  FROM ud_$MW d2
       |  JOIN ud_$MW d1 ON d1.w = d2.w AND d2.pos - d1.pos BETWEEN 1 AND $MP
-      |  JOIN um c ON c.piece = substring(d2.w, d1.pos + 1, d2.pos - d1.pos)
-      |  WHERE d2.pos >= 1 AND d1.cost + c.cost = d2.cost
+      |  LEFT JOIN um c ON c.piece = substring(d2.w, d1.pos + 1, d2.pos - d1.pos)
+      |  WHERE d2.pos >= 1 AND (c.piece IS NOT NULL OR d2.pos - d1.pos = 1)
+      |    AND d1.cost + CASE WHEN c.piece IS NOT NULL THEN c.cost ELSE $unk END = d2.cost
       |  GROUP BY d2.w, d2.pos)""".stripMargin
+    // words longer than the DP unroll must fail LOUD (oracle error →
+    // a visible err in the correctness gate), never silently drop
+    parts += s"""ulen AS (
+      |  SELECT CASE WHEN max(len(w)) > $MW
+      |              THEN error('unigram oracle: word exceeds the DP unroll depth $MW')
+      |              ELSE 1 END AS ok FROM udw)""".stripMargin
     parts += s"""ubt_0 AS (SELECT w, len(w) AS pos, CAST(NULL AS VARCHAR) AS piece FROM udw)"""
     for (k <- 1 to MW) {
       parts += s"""ubt_$k AS (
@@ -1559,7 +1580,8 @@ object Oracles {
        |SELECT ulw.doc_id,
        |  CAST(coalesce(uenc.n, 0) AS BIGINT) AS unigram_tokens,
        |  md5(coalesce(uenc.e, '')) AS enc_hash
-       |FROM ulw LEFT JOIN uenc USING (doc_id)""".stripMargin
+       |FROM ulw LEFT JOIN uenc USING (doc_id), ulen
+       |WHERE ulen.ok = 1""".stripMargin
 
   /** Mirrors [[PipelineQueries.bpeFertility]]: the full [[textTokensBpe]]
    *  recursive-CTE machinery as a subquery (its per-doc counts are the

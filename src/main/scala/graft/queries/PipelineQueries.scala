@@ -1074,6 +1074,7 @@ object PipelineQueries {
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("freq"), chars.as("ss"))
       .localCheckpoint()
+    var lastCkpt = segs // the checkpoint HANDLE (releaseTruncated contract)
     var sinceTrunc = 0
     val rules = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
     var done = false
@@ -1104,17 +1105,19 @@ object PipelineQueries {
                 .otherwise(concat(acc, array(t)))).as("ss"))
           sinceTrunc += 1
           if (sinceTrunc >= BpeLearnStride) {
-            val prev = segs
             segs = applied.localCheckpoint()
-            // Dataset.unpersist is a no-op on checkpointed frames —
-            // release the superseded snapshot's RDD blocks eagerly
-            graft.ops.DedupOps.releaseTruncated(prev)
+            // the previous CHECKPOINT HANDLE is now unreachable —
+            // release its blocks eagerly (Dataset.unpersist is a
+            // no-op on checkpointed frames, and a chained `segs`
+            // would root-match nothing — releaseTruncated's contract)
+            graft.ops.DedupOps.releaseTruncated(lastCkpt)
+            lastCkpt = segs
             sinceTrunc = 0
           } else segs = applied
         }
       }
     }
-    graft.ops.DedupOps.releaseTruncated(segs)
+    graft.ops.DedupOps.releaseTruncated(lastCkpt)
     rules.toSeq.toDF("rank", "a", "b")
   }
 

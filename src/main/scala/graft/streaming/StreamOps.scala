@@ -1048,9 +1048,15 @@ object StreamOps {
    *
    * A trigger reads history as every version STRICTLY BELOW its own
    * batch id, so a retried batch never sees its own partial writes
-   * (overwrite mode makes the rewrite idempotent). A production
-   * deployment would put a transactional table format under the same
-   * layout; the versioning contract is what matters.
+   * (overwrite mode makes the rewrite idempotent). Because versions
+   * are keyed by batch id, the statePath is BOUND to its checkpoint:
+   * a `_graft_checkpoint` marker records it on the first trigger and
+   * every later trigger verifies the match — pointing a fresh or
+   * rewound checkpoint at existing state fails loud instead of
+   * restarting ids at 0 (which would silently ignore all history and
+   * overwrite v0). A production deployment would put a transactional
+   * table format under the same layout; the versioning contract is
+   * what matters.
    *
    * `sink` receives each batch's assignment AT INGEST TIME (a later
    * merge may relabel a cluster retroactively — the STATE snapshot is
@@ -1068,6 +1074,39 @@ object StreamOps {
         val spark = batch.sparkSession
         val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
+        // state ↔ checkpoint binding: versions are keyed by BATCH ID,
+        // so a fresh/rewound checkpoint over an existing statePath
+        // restarts ids at 0, silently ignores all history (version <
+        // id sees nothing) AND overwrites legacy v0 — fail loud
+        // instead. The marker is written FIRST on the first-ever
+        // trigger (before any state write, so a crash can't strand
+        // state without it); thereafter the recorded checkpoint must
+        // match.
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$statePath/_graft_checkpoint")
+        if (fs.exists(marker)) {
+          val recorded = {
+            val in = fs.open(marker)
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          }
+          require(recorded == checkpoint,
+            s"clusterAssignStream: statePath $statePath belongs to " +
+              s"checkpoint '$recorded' but this query runs under " +
+              s"'$checkpoint' — batch ids would restart and silently " +
+              "ignore/overwrite existing state; resume the original " +
+              "checkpoint or use a fresh statePath")
+        } else {
+          val all = clusterAssignVersions(spark, statePath, Long.MaxValue)
+          require(all.forall(_ < id),
+            s"clusterAssignStream: statePath $statePath already holds " +
+              s"versions >= batch id $id and carries no checkpoint " +
+              "marker — a fresh/rewound checkpoint over existing state " +
+              "would overwrite it; resume the original checkpoint or " +
+              "use a fresh statePath")
+          val out = fs.create(marker, true)
+          try out.write(checkpoint.getBytes("UTF-8")) finally out.close()
+        }
         val versions = clusterAssignVersions(spark, statePath, id)
         // migrate / guard: a statePath written before the derived-state
         // layout (docs only, no bands/shingles) would otherwise read as
@@ -1087,7 +1126,9 @@ object StreamOps {
         // persist this batch's derived state FIRST (overwrite = retry-
         // idempotent; readers filter version < their own id, so a
         // partial write is invisible until the writer's trigger reads
-        // it back), then assign against the STORED history triples
+        // it back), then assign against the STORED history triples —
+        // and pass the just-written batch triples back in, so the
+        // assignment never re-shingles even its own batch
         graft.ops.DedupOps
           .clusterBandKeys(batchDocs, col("doc_id"), col("text"))
           .write.mode("overwrite").parquet(s"$statePath/bands/version=$id")
@@ -1095,7 +1136,11 @@ object StreamOps {
           .clusterShingleSets(batchDocs, col("doc_id"), col("text"))
           .write.mode("overwrite").parquet(s"$statePath/shingles/version=$id")
         val assigned = clusterAssignTrigger(
-          spark, statePath, id, batchDocs, histClusters, threshold)
+          spark, statePath, id, batchDocs, histClusters, threshold,
+          freshBands =
+            Some(spark.read.parquet(s"$statePath/bands/version=$id")),
+          freshShingles =
+            Some(spark.read.parquet(s"$statePath/shingles/version=$id")))
         // materialize the new frame BEFORE it becomes readable state
         assigned.write.mode("overwrite")
           .parquet(s"$statePath/v$id/clusters")
@@ -1133,15 +1178,8 @@ object StreamOps {
   private[graft] def ensureDerivedClusterState(spark: SparkSession,
       statePath: String, versions: Array[Long]): Unit =
     Seq("bands", "shingles").foreach { table =>
-      val root = new org.apache.hadoop.fs.Path(s"$statePath/$table")
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val present: Set[Long] =
-        if (!fs.exists(root)) Set.empty
-        else fs.listStatus(root).map(_.getPath.getName)
-          .filter(_.startsWith("version="))
-          .flatMap(n => scala.util.Try(n.stripPrefix("version=").toLong)
-            .toOption).toSet
-      val newestPresent = if (present.isEmpty) -1L else present.max
+      val present = storedStateVersions(spark, statePath, table)
+      val newestPresent = present.lastOption.getOrElse(-1L)
       versions.filter(v => v > newestPresent).foreach { v =>
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           "clusterAssignStream: backfilling {} for legacy state " +
@@ -1184,7 +1222,9 @@ object StreamOps {
    *  history text is provably never re-shingled. */
   private[graft] def clusterAssignTrigger(spark: SparkSession,
       statePath: String, id: Long, batchDocs: DataFrame,
-      histClusters: DataFrame, threshold: Double): DataFrame = {
+      histClusters: DataFrame, threshold: Double,
+      freshBands: Option[DataFrame] = None,
+      freshShingles: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     def stored(table: String, cols: Seq[String], empty: => DataFrame)
         : DataFrame = {
@@ -1201,7 +1241,23 @@ object StreamOps {
       Seq.empty[(Long, Array[Long])].toDF("sid", "shs"))
     graft.ops.DedupOps.incrementalClusterAssignPre(
       batchDocs, histBands, histShingles, histClusters,
-      col("doc_id"), col("text"), threshold)
+      col("doc_id"), col("text"), threshold,
+      freshBands = freshBands, freshShingles = freshShingles)
+  }
+
+  /** The `version=<v>` partition ids present under
+   *  `statePath/<table>` — the one reader of the derived-state
+   *  directory layout (compaction and the migration backfill both go
+   *  through here, so a layout change lands once). */
+  private[graft] def storedStateVersions(spark: SparkSession,
+      statePath: String, table: String): Array[Long] = {
+    val root = new org.apache.hadoop.fs.Path(s"$statePath/$table")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Array.empty[Long]
+    else fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("version="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("version=").toLong)
+        .toOption).sorted
   }
 
   /**
@@ -1251,11 +1307,8 @@ object StreamOps {
     Seq("bands", "shingles").foreach { table =>
       val root = new org.apache.hadoop.fs.Path(s"$statePath/$table")
       if (fs.exists(root)) {
-        val parts = fs.listStatus(root).map(_.getPath.getName)
-          .filter(_.startsWith("version="))
-          .flatMap(n => scala.util.Try(n.stripPrefix("version=").toLong)
-            .toOption)
-          .filter(_ <= upTo).sorted
+        val parts = storedStateVersions(spark, statePath, table)
+          .filter(_ <= upTo)
         if (parts.length > 1) {
           // materialize BEFORE overwriting a directory we are reading
           val combined = spark.read.parquet(s"$statePath/$table")

@@ -929,5 +929,22 @@ class StreamOpsSpec extends SparkSpec {
     // idempotent: a second pass backfills nothing (no version above
     // the newest stored partition)
     StreamOps.ensureDerivedClusterState(spark, statePath, versions)
+    // and the STREAM path refuses this layout under a FRESH checkpoint
+    // (batch ids would restart at 0 and clobber legacy v0) — the
+    // checkpoint-marker guard fails the query loud
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.clusterAssignStream(
+      in.toDF().toDF("doc_id", "text"), statePath, ckpt()) { (_, _) => }
+    try {
+      in.addData(Seq((500L, "fresh doc text")))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert(chain(ex).exists(_.contains("resume the original checkpoint")),
+        s"expected the marker guard, got: ${chain(ex)}")
+    } finally q.stop()
   }
 }
