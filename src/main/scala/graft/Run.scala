@@ -243,6 +243,14 @@ object Run {
       case "decontaminate" =>
         (decontaminateTopology(spark, lines(), opts.getOrElse("bench",
           "/root/testdata/sf0.001/documents.parquet")), OutputMode.Append)
+      case "bloom_gate" =>
+        // Bloom decontamination admission, live: the benchmark folds
+        // into a fixed 128 KiB bitmap at topology build (the
+        // decontaminate offline-model/online-filter split at its
+        // 100 TB shape — artifact size independent of benchmark
+        // growth); admission is one native kernel call per row
+        (bloomGateTopology(spark, lines(), opts.getOrElse("bench",
+          "/root/testdata/sf0.001/documents.parquet")), OutputMode.Append)
       case "lm_score" =>
         // unigram (--order 1, default) or add-one bigram (--order 2)
         // LM quality scoring, live: the model is a corpus statistic
@@ -555,6 +563,20 @@ object Run {
     StreamOps.decontaminateStream(
       lines.select(col("ts"), col("value").as("text")), bench,
       graft.queries.PipelineQueries.DecontN)
+  }
+
+  /** The bloom_gate live topology — [[decontaminateTopology]]'s
+   *  benchmark slice folded to the fixed-size Bloom bitmap instead of
+   *  the exact gram set; factored so RunTopologySpec drives the exact
+   *  composition. */
+  private[graft] def bloomGateTopology(spark: SparkSession,
+      lines: DataFrame, benchPath: String): DataFrame = {
+    val bench = spark.read.parquet(benchPath)
+      .filter(col("doc_id") %
+        graft.queries.PipelineQueries.DecontHoldout === 0)
+      .select(col("text"))
+    StreamOps.bloomGateStream(
+      lines.select(col("ts"), col("value").as("text")), bench)
   }
 
   /** The lm_score live topology — unigram (order 1) or add-one bigram

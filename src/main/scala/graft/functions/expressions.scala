@@ -195,6 +195,68 @@ object VectorMath {
       Array[Any](m.toLong, nDup, covered))
   }
 
+  /** Row-local Bloom-filter probe of a text's DISTINCT portable
+   *  (md5-60) word n-gram hashes against a broadcast bitmap; see
+   *  [[BloomProbe]]. Same word split, gram windows, and md5-60 hash as
+   *  [[gramHashes]]'s `portable=true` family (so the DuckDB oracle
+   *  re-derives the identical 60-bit values from
+   *  `'0x' || substr(md5(ng), 1, 15)`), with first-occurrence dedup BY
+   *  HASH VALUE (a 2^-60 gram collision dedups — the oracle's
+   *  `DISTINCT (doc_id, h)` matches that, not distinct strings). The k
+   *  bit positions come from enhanced double hashing
+   *  (Dillinger–Manolios 2004) over the hash's three fixed 20-bit
+   *  fields: p_i = (a + i*b + C(i,2)*c) & (m-1) with a = h & 0xFFFFF,
+   *  b = (h >>> 20) & 0xFFFFF, c = (h >>> 40) & 0xFFFFF — integer
+   *  arithmetic every engine reproduces exactly, no second hash pass.
+   *  Returns (n_grams = distinct gram hashes, n_hits = distinct gram
+   *  hashes whose k bits are ALL set). Bloom guarantee: a gram that IS
+   *  in the filter's build set always hits (no false negatives); a hit
+   *  is only probabilistic evidence (FPR set by m/n and k). */
+  def bloomHits(text: String, n: Int, k: Int, bits: Array[Long]): InternalRow = {
+    val words = new java.util.ArrayList[String]()
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && isWs(text.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(text.charAt(i))) i += 1
+      if (i > start) words.add(text.substring(start, i))
+    }
+    val m = math.max(words.size - n + 1, 0)
+    val mask = (bits.length.toLong << 6) - 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var nHits = 0L
+    var g = 0
+    while (g < m) {
+      val sb = new java.lang.StringBuilder(words.get(g))
+      var j = 1
+      while (j < n) { sb.append(' ').append(words.get(g + j)); j += 1 }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xFFL); b += 1 }
+      val h = v >>> 4
+      if (seen.add(h)) {
+        val f1 = h & 0xFFFFFL
+        val f2 = (h >>> 20) & 0xFFFFFL
+        val f3 = (h >>> 40) & 0xFFFFFL
+        var hit = true
+        var p = 0
+        while (hit && p < k) {
+          val pos = (f1 + p * f2 + ((p.toLong * (p - 1)) / 2) * f3) & mask
+          hit = (bits((pos >>> 6).toInt) & (1L << (pos & 63))) != 0
+          p += 1
+        }
+        if (hit) nHits += 1
+      }
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](seen.size.toLong, nHits))
+  }
+
   /** Row-local MinHash+LSH band collision count against a SORTED array
    *  of combined corpus band keys; see [[LshBandCollide]]. Reproduces
    *  the batch pipeline bit-for-bit: distinct shingle hashes (same
@@ -1927,6 +1989,48 @@ case class SpanFlagStats(child: Expression, n: Int,
 }
 
 /**
+ * Bloom-filter decontamination probe: struct(n_grams, n_hits) of a
+ * text's distinct portable (md5-60) word n-grams against a broadcast
+ * bitmap (built offline by
+ * [[graft.queries.PipelineQueries.bloomBitsOf]]). The 100 TB shape of
+ * the [[graft.queries.PipelineQueries.decontaminate]] family: the
+ * benchmark artifact is O(m) BITS — fixed at build time, independent
+ * of how many grams went in — instead of the exact distinct-gram set,
+ * and the corpus side needs NO join and NO aggregation at all (one
+ * kernel call per row emits the per-doc counts directly), so the
+ * probing plan is scan → project → filter with zero exchanges. The
+ * trade is Bloom's one-sided error: every truly-contaminated doc is
+ * flagged (no false negatives), a small FPR-bounded set of clean docs
+ * is flagged too — the standard pre-filter contract (route flagged
+ * docs to the exact checker, or accept the over-drop). Model rides as
+ * a broadcast handle inside the expression (the [[SpanFlagStats]]
+ * pattern); fully codegen'd.
+ */
+case class BloomProbe(child: Expression, n: Int, k: Int,
+    model: org.apache.spark.broadcast.Broadcast[Array[Long]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq("n_grams", "n_hits").map(f =>
+      org.apache.spark.sql.types.StructField(f,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.bloomHits(v.toString, n, k, model.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("bloomModel", model,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.VectorMath.bloomHits($t.toString(), $n, $k, " +
+        s"(long[])$mRef.value())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * Live near-dup ADMISSION probe: struct(n_bands, n_collide) of a text's
  * MinHash+LSH bands against a broadcast SORTED long[] of combined
  * corpus band keys (learned offline by
@@ -2814,6 +2918,11 @@ object native {
       model: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
     GraftColumnBridge.column(
       SpanFlagStats(GraftColumnBridge.expression(text), n, model))
+
+  def bloom_probe(text: Column, n: Int, k: Int,
+      model: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
+    GraftColumnBridge.column(
+      BloomProbe(GraftColumnBridge.expression(text), n, k, model))
 
   def lsh_band_collide(text: Column, n: Int, k: Int, bands: Int,
       model: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =

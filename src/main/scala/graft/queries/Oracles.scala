@@ -1864,6 +1864,101 @@ object Oracles {
        |GROUP BY g.doc_id""".stripMargin
   }
 
+  /** The [[decontaminate]] gram CTEs reduced to the portable md5-60
+   *  hash (`'0x' || substr(md5(ng), 1, 15)` — bit-identical to the
+   *  kernel's top-60-of-md5), shared by [[decontaminateBloom]] and
+   *  [[decontaminateBloomEval]]: w → distinct grams → DISTINCT
+   *  (doc_id, hash) — matching the kernel's dedup BY HASH VALUE — and
+   *  the benchmark's distinct hash set. */
+  private def bloomGramCtes(n: Int, h: Int): String =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS lst
+       |  FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id, array_to_string(lst[i.i : i.i + ${n - 1}], ' ') AS ng
+       |  FROM w CROSS JOIN LATERAL unnest(range(1, len(lst) - $n + 2)) i(i)
+       |  WHERE len(lst) >= $n),
+       |gh AS (SELECT DISTINCT doc_id,
+       |              CAST('0x' || substr(md5(ng), 1, 15) AS BIGINT) AS hh
+       |       FROM g),
+       |bench AS (SELECT DISTINCT hh FROM gh WHERE doc_id % $h = 0),
+       |corp AS (SELECT doc_id, hh FROM gh WHERE doc_id % $h != 0)""".stripMargin
+
+  /** The k enhanced-double-hashing bit positions of a 60-bit hash
+   *  column `hh` under lateral index `i.i` — the
+   *  [[graft.functions.VectorMath.bloomHits]] arithmetic verbatim:
+   *  (a + i*b + C(i,2)*c) & mask over the hash's three 20-bit
+   *  fields. */
+  private def bloomPosExpr(mask: Long): String =
+    s"((hh & $mask) + i.i * ((hh >> 20) & $mask)" +
+      s" + ((i.i * (i.i - 1)) // 2) * ((hh >> 40) & $mask)) & $mask"
+
+  /** Mirrors [[PipelineQueries.decontaminateBloom]]: RE-DERIVES the
+   *  whole Bloom filter — benchmark md5-60 grams → k enhanced-double-
+   *  hashing positions each → the distinct set-bit SET — then probes
+   *  every training gram's k positions against it (all-k-present ≡
+   *  the kernel's all-bits-set), per-doc distinct-hash counts, flagged
+   *  docs only. Set-membership semantics make the bitmap word packing
+   *  irrelevant to the oracle — DISTINCT positions ARE the bitmap. */
+  val decontaminateBloom: String = {
+    val n = graft.queries.PipelineQueries.DecontN
+    val h = graft.queries.PipelineQueries.DecontHoldout
+    val k = graft.queries.PipelineQueries.DecontBloomK
+    val mask = (graft.queries.PipelineQueries.DecontBloomBits - 1).toLong
+    s"""${bloomGramCtes(n, h)},
+       |bits AS (
+       |  SELECT DISTINCT ${bloomPosExpr(mask)} AS p
+       |  FROM bench CROSS JOIN LATERAL unnest(range(0, $k)) i(i)),
+       |probe AS (
+       |  SELECT doc_id, hh, ${bloomPosExpr(mask)} AS p
+       |  FROM corp CROSS JOIN LATERAL unnest(range(0, $k)) i(i)),
+       |hits AS (
+       |  SELECT doc_id, hh FROM probe JOIN bits USING (p)
+       |  GROUP BY doc_id, hh HAVING count(*) = $k),
+       |nh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+       |       FROM hits GROUP BY doc_id),
+       |ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+       |       FROM corp GROUP BY doc_id)
+       |SELECT nh.doc_id, ng.n_grams, nh.n_hits
+       |FROM nh JOIN ng USING (doc_id)""".stripMargin
+  }
+
+  /** Mirrors [[PipelineQueries.decontaminateBloomEval]]: the
+   *  [[decontaminateBloom]] pipeline plus the exact per-doc hit
+   *  counts (corp ⋈ bench on the hash — the decontaminate
+   *  equivalence), left-joined and rolled up to the same one-row
+   *  audit. */
+  val decontaminateBloomEval: String = {
+    val n = graft.queries.PipelineQueries.DecontN
+    val h = graft.queries.PipelineQueries.DecontHoldout
+    val k = graft.queries.PipelineQueries.DecontBloomK
+    val mask = (graft.queries.PipelineQueries.DecontBloomBits - 1).toLong
+    s"""${bloomGramCtes(n, h)},
+       |bits AS (
+       |  SELECT DISTINCT ${bloomPosExpr(mask)} AS p
+       |  FROM bench CROSS JOIN LATERAL unnest(range(0, $k)) i(i)),
+       |probe AS (
+       |  SELECT doc_id, hh, ${bloomPosExpr(mask)} AS p
+       |  FROM corp CROSS JOIN LATERAL unnest(range(0, $k)) i(i)),
+       |bl AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM (SELECT doc_id, hh FROM probe JOIN bits USING (p)
+       |        GROUP BY doc_id, hh HAVING count(*) = $k)
+       |  GROUP BY doc_id),
+       |ex AS (
+       |  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits_exact
+       |  FROM corp c JOIN bench b ON c.hh = b.hh GROUP BY c.doc_id)
+       |SELECT CAST(count(*) AS BIGINT) AS docs_flagged_bloom,
+       |       CAST(count(ex.n_hits_exact) AS BIGINT) AS docs_flagged_exact,
+       |       CAST(sum(CASE WHEN ex.n_hits_exact IS NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS docs_false_pos,
+       |       CAST(sum(bl.n_hits) AS BIGINT) AS grams_flagged_bloom,
+       |       CAST(sum(coalesce(ex.n_hits_exact, 0)) AS BIGINT)
+       |         AS grams_flagged_exact
+       |FROM bl LEFT JOIN ex USING (doc_id)""".stripMargin
+  }
+
   /** Mirrors [[PipelineQueries.mixWeights]]: same token count as
    *  textTokens' ws_tokens, same integer quantization (floor of an
    *  IEEE-exact sqrt of identical bigints), exact integer normalizer,

@@ -1693,6 +1693,110 @@ object PipelineQueries {
         (col("n_hits") / col("n_grams") >= DecontRatioThreshold).as("drop_doc"))
   }
 
+  /** Bloom bitmap size in BITS for [[decontaminateBloom]] — 2^20 bits
+   *  = 128 KiB broadcast, a constant regardless of benchmark size. At
+   *  ~10 bits/gram with k = [[DecontBloomK]] probes the classic FPR is
+   *  under 1%; the position arithmetic reads three fixed 20-bit fields
+   *  of the md5-60 gram hash, so m must stay ≤ 2^20 (enforced). */
+  val DecontBloomBits: Int = 1 << 20
+
+  /** Probes per gram for [[decontaminateBloom]] (k in the classic
+   *  Bloom parameterization; 5 ≈ optimal for ~7–10 bits/entry). */
+  val DecontBloomK = 5
+
+  /**
+   * Builds the Bloom bitmap over a benchmark frame's DISTINCT portable
+   * (md5-60) word `n`-grams — the offline artifact
+   * [[graft.functions.BloomProbe]] probes. Fully relational until the
+   * final collect: explode portable gram hashes → distinct → k
+   * positions each (enhanced double hashing over the hash's three
+   * 20-bit fields — the kernel's exact arithmetic) → distinct position
+   * → bit_or-pack into ≤ m/64 (bitmap-word, word-bits) rows. The
+   * collect is bounded by the CONSTANT m/64 = 16,384 rows (128 KiB) —
+   * the whole point vs [[decontaminate]]'s exact distinct-gram
+   * broadcast, whose size grows with the benchmark: this artifact is
+   * fixed-size at any corpus scale, and building it is a map-side
+   * combinable two-phase aggregation.
+   */
+  def bloomBitsOf(bench: DataFrame, n: Int = DecontN,
+      k: Int = DecontBloomK, m: Int = DecontBloomBits): Array[Long] = {
+    require(m > 0 && (m & (m - 1)) == 0 && m <= (1 << 20),
+      s"bloom bitmap bits must be a power of two <= 2^20, got $m")
+    val mask = (m - 1).toLong
+    val pos = (i: Int) => ((col("h").bitwiseAND(lit(mask)))
+      + lit(i.toLong) * shiftright(col("h"), 20).bitwiseAND(lit(mask))
+      + lit((i.toLong * (i - 1)) / 2) *
+        shiftright(col("h"), 40).bitwiseAND(lit(mask)))
+      .bitwiseAND(lit(mask))
+    val words = bench
+      .select(explode(graft.functions.native.gram_hashes(
+        col("text"), n, portable = true)).as("h"))
+      .distinct()
+      .select(explode(array((0 until k).map(pos): _*)).as("p"))
+      .distinct()
+      .select(shiftright(col("p"), 6).as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("b"))
+      .groupBy("w").agg(expr("bit_or(b)").as("bits"))
+      .collect() // bounded: <= m/64 = 16,384 rows by construction
+    val bits = new Array[Long](m / 64)
+    words.foreach(r => bits(r.getLong(0).toInt) = r.getLong(1))
+    bits
+  }
+
+  /**
+   * Benchmark decontamination at the 100 TB SHAPE — the Bloom-filter
+   * form of [[decontaminate]]: the benchmark holdout's distinct
+   * n-grams are folded into a fixed 128 KiB bitmap
+   * ([[bloomBitsOf]]) and every training doc probes it with ONE
+   * row-local kernel call ([[graft.functions.BloomProbe]]). Output:
+   * (doc_id, n_grams, n_hits) for flagged docs — a SUPERSET of
+   * [[decontaminate]]'s flagged set (Bloom has no false negatives;
+   * per-doc n_hits >= the exact count), with the FPR-bounded
+   * over-flagging [[decontaminateBloomEval]] measures. Scale shape:
+   * the returned plan is scan → project → filter with ZERO exchanges
+   * and ZERO joins (PlanShapeSpec pins it) — the exact form's
+   * broadcast join + per-doc re-aggregation is gone, the corpus is
+   * read once and never shuffled, and the broadcast artifact no
+   * longer grows with the benchmark. This is the pre-filter a real
+   * pipeline runs at full scale; the exact checker then touches only
+   * the flagged sliver.
+   */
+  def decontaminateBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val bits = bloomBitsOf(docs.filter(col("doc_id") % DecontHoldout === 0))
+    val bc = spark.sparkContext.broadcast(bits)
+    docs.filter(col("doc_id") % DecontHoldout =!= 0)
+      .select(col("doc_id"), graft.functions.native.bloom_probe(
+        col("text"), DecontN, DecontBloomK, bc).as("st"))
+      .select(col("doc_id"), col("st.n_grams").as("n_grams"),
+        col("st.n_hits").as("n_hits"))
+      .filter(col("n_hits") > 0)
+  }
+
+  /**
+   * Bloom-decontamination MONITOR — the one-row audit a pipeline runs
+   * beside [[decontaminateBloom]] (the dedup_eval/embed_eval
+   * convention): joins the Bloom-flagged docs LEFT against the exact
+   * [[decontaminate]] flags and reports docs_flagged_bloom /
+   * docs_flagged_exact / docs_false_pos (Bloom-flagged, exactly
+   * clean) plus the gram-level hit totals. The join direction encodes
+   * the Bloom guarantee — every exactly-flagged doc IS Bloom-flagged,
+   * so the left join loses nothing (spec-pinned). Runs at eval scale
+   * (both sides are the flagged slivers, not the corpus); the
+   * measured docs_false_pos over clean docs is the empirical FPR the
+   * m/n/k choice promises.
+   */
+  def decontaminateBloomEval(spark: SparkSession, sfDir: String): DataFrame =
+    decontaminateBloom(spark, sfDir)
+      .join(decontaminate(spark, sfDir)
+        .withColumnRenamed("n_hits", "n_hits_exact"), Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("docs_flagged_bloom"),
+        count(col("n_hits_exact")).as("docs_flagged_exact"),
+        sum(when(col("n_hits_exact").isNull, 1L).otherwise(0L))
+          .as("docs_false_pos"),
+        sum(col("n_hits")).as("grams_flagged_bloom"),
+        sum(coalesce(col("n_hits_exact"), lit(0L))).as("grams_flagged_exact"))
+
   /** Document-frequency cap for [[sourceOverlap]]: grams appearing in
    *  more than this many DOCUMENTS are dropped before the overlap
    *  count — the [[WinnowMaxDf]] "stopword fingerprint" device. A

@@ -238,6 +238,38 @@ object StreamOps {
   }
 
   /**
+   * Live Bloom DECONTAMINATION GATE — the scale form of
+   * [[decontaminateStream]]: instead of broadcasting the benchmark's
+   * exact distinct-gram set and intersecting ARRAYS per row (O(|bench|)
+   * state, O(grams x log) work — the 200 k rows/s shape), the benchmark
+   * folds ONCE at topology build into a fixed 128 KiB Bloom bitmap
+   * (`PipelineQueries.bloomBitsOf` — size independent of benchmark
+   * growth) and each arriving doc runs ONE native
+   * [[graft.functions.BloomProbe]] kernel call: k bit probes per
+   * distinct gram, no join, no array materialization, Append-safe,
+   * replay-stable. Admission keeps docs with ZERO probe hits; the Bloom
+   * one-sided error means every truly-contaminated doc is REJECTED for
+   * certain (no false negatives), and an FPR-bounded sliver of clean
+   * docs is over-rejected — the right polarity for decontamination,
+   * where a missed benchmark leak costs more than a lost clean doc
+   * (batch `decontaminate_bloom_eval` measures the over-drop). Docs too
+   * short to gram admit unconditionally (no grams ⇒ no hits — agreed
+   * with the batch form's filter). BloomDecontSpec pins gate == batch
+   * complement on the same frame.
+   */
+  def bloomGateStream(docs: DataFrame, bench: DataFrame,
+      n: Int = graft.queries.PipelineQueries.DecontN,
+      k: Int = graft.queries.PipelineQueries.DecontBloomK): DataFrame = {
+    val bits = graft.queries.PipelineQueries.bloomBitsOf(bench, n, k)
+    val bc = docs.sparkSession.sparkContext.broadcast(bits)
+    val passthrough = docs.columns.map(col)
+    docs
+      .withColumn("st", graft.functions.native.bloom_probe(col("text"), n, k, bc))
+      .filter(col("st.n_hits") === 0)
+      .select(passthrough :+ col("st.n_grams").as("n_grams"): _*)
+  }
+
+  /**
    * Live unigram-LM quality scoring — the streaming form of
    * `PipelineQueries.textUnigramNll`, split offline-statistic /
    * online-filter like `quality_cut` and [[decontaminateStream]]: the

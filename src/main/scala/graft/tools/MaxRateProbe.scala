@@ -372,6 +372,16 @@ object MaxRateProbe {
         in.select(col("ts"), Generators.docLine(col("value")).as("text")),
         bench, graft.queries.PipelineQueries.DecontN)
     }
+    search("bloom_gate", seed = 1000000, OutputMode.Append) { in =>
+      val bench = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(col("doc_id") %
+          graft.queries.PipelineQueries.DecontHoldout === 0)
+        .select(col("text"))
+      StreamOps.bloomGateStream(
+        in.select(col("ts"), Generators.docLine(col("value")).as("text")),
+        bench)
+    }
     search("lm_score", seed = 500000, OutputMode.Append) { in =>
       StreamOps.lmScoreStream(
         in.select(col("ts"), Generators.docLine(col("value")).as("text")),

@@ -55,6 +55,16 @@ class PlanShapeSpec extends SparkSpec {
       "corpus shingles shuffled for the benchmark join:\n" + p)
   }
 
+  test("decontaminate_bloom probes with ZERO exchanges and ZERO joins " +
+      "(the corpus is scanned once and never shuffled)") {
+    // the filter build runs its own bounded jobs before this plan
+    // exists; the RETURNED probing plan must be scan -> project ->
+    // filter, fully pipelined - the whole point of the Bloom form
+    val p = plan("decontaminate_bloom")
+    assert(!p.contains("Exchange"), "bloom probe plan shuffles:\n" + p)
+    assert(!p.contains("Join"), "bloom probe plan joins:\n" + p)
+  }
+
   test("aggregation queries keep two-phase partial aggregation") {
     // partial_count markers show map-side combine before the shuffle
     Seq("wordcount", "rolling_count", "pageview_count").foreach { name =>

@@ -111,6 +111,35 @@ class RunTopologySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Run bloom_gate rejects the overlapping line and admits clean " +
+      "lines (decontaminate's polarity inverted: admission, not audit)") {
+    implicit val sqlCtx = spark.sqlContext
+    val benchPath = "/root/testdata/sf0.001/documents.parquet"
+    val benchDoc = spark.read.parquet(benchPath)
+      .filter(org.apache.spark.sql.functions.col("doc_id")
+        % graft.queries.PipelineQueries.DecontHoldout === 0)
+      .select("text").head().getString(0)
+    val gram = benchDoc.split("\\s+").filter(_.nonEmpty)
+      .take(graft.queries.PipelineQueries.DecontN).mkString(" ")
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.toMemory(
+      Run.bloomGateTopology(spark, in.toDF().toDF("ts", "value"), benchPath),
+      "run_bloom_gate", OutputMode.Append, ckpt())
+    try {
+      in.addData(
+        (at("2024-01-01 10:00:00"), s"zz1 zz2 $gram zz3 zz4"),
+        (at("2024-01-01 10:01:00"), "zz1 zz2 zz3 zz4 zz5 zz6 zz7"),
+        (at("2024-01-01 10:02:00"), "zz")) // too short to gram: admit
+      q.processAllAvailable()
+      val rows = spark.table("run_bloom_gate").collect()
+      assert(rows.length == 2,
+        s"expected the clean + too-short lines only: ${rows.toSeq}")
+      assert(rows.map(_.getAs[String]("text")).toSet ==
+        Set("zz1 zz2 zz3 zz4 zz5 zz6 zz7", "zz"))
+      assert(rows.map(_.getAs[Long]("n_grams")).toSet == Set(4L, 0L))
+    } finally q.stop()
+  }
+
   test("Run anomaly_gate flags a replay of the events table exactly " +
       "as the batch query, z for z") {
     implicit val sqlCtx = spark.sqlContext
