@@ -243,6 +243,12 @@ object Run {
       case "decontaminate" =>
         (decontaminateTopology(spark, lines(), opts.getOrElse("bench",
           "/root/testdata/sf0.001/documents.parquet")), OutputMode.Append)
+      case "line_filter" =>
+        // line-level cleaning at ingest: the same fused row-local
+        // kernel as the batch query (no model, no state, no shuffle)
+        (StreamOps.lineFilterStream(
+          lines().select(col("ts"), col("value").as("text"))),
+          OutputMode.Append)
       case "bloom_gate" =>
         // Bloom decontamination admission, live: the benchmark folds
         // into a fixed 128 KiB bitmap at topology build (the

@@ -195,6 +195,63 @@ object VectorMath {
       Array[Any](m.toLong, nDup, covered))
   }
 
+  /** Row-local line-level cleaning pass; see [[LineFilterStats]]. One
+   *  scan over the doc's '\n'-separated lines (manual split KEEPING
+   *  empty segments — java's split drops trailing empties; the oracle's
+   *  string_split keeps them) classifying each line by first-match
+   *  precedence dup > bullet > numeric > short, plus the
+   *  terminal-punctuation count over ALL original lines and the kept
+   *  lines rejoined with '\n'. Line length is CODEPOINTS (DuckDB's
+   *  len), not UTF-16 units. Duplicate = exact string equality with
+   *  ANY earlier line of the same doc, whatever that line's class. */
+  def lineStats(text: String): InternalRow = {
+    val seen = new java.util.HashSet[String]()
+    val kept = new java.lang.StringBuilder()
+    var nLines = 0L
+    var nKept = 0L
+    var nDup = 0L
+    var nBullet = 0L
+    var nNumeric = 0L
+    var nShort = 0L
+    var nEndPunct = 0L
+    var start = 0
+    val len = text.length
+    while (start <= len) {
+      var end = text.indexOf('\n', start)
+      if (end < 0) end = len
+      val line = text.substring(start, end)
+      nLines += 1
+      if (line.nonEmpty) {
+        val last = line.charAt(line.length - 1)
+        if (last == '.' || last == '!' || last == '?') nEndPunct += 1
+      }
+      var digits = false
+      var numeric = line.nonEmpty
+      var ci = 0
+      while (numeric && ci < line.length) {
+        val c = line.charAt(ci)
+        if (c >= '0' && c <= '9') digits = true
+        else if (c != ' ' && c != '.' && c != ',' && c != ':' &&
+          c != '%' && c != '/' && c != '-') numeric = false
+        ci += 1
+      }
+      if (!seen.add(line)) nDup += 1
+      else if (line.startsWith("- ") || line.startsWith("* ") ||
+        line.startsWith("• ")) nBullet += 1
+      else if (numeric && digits) nNumeric += 1
+      else if (line.codePointCount(0, line.length) < 10) nShort += 1
+      else {
+        if (nKept > 0) kept.append('\n')
+        kept.append(line)
+        nKept += 1
+      }
+      start = end + 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nLines, nKept, nDup, nBullet, nNumeric, nShort, nEndPunct,
+        org.apache.spark.unsafe.types.UTF8String.fromString(kept.toString)))
+  }
+
   /** Row-local Bloom-filter probe of a text's DISTINCT portable
    *  (md5-60) word n-gram hashes against a broadcast bitmap; see
    *  [[BloomProbe]]. Same word split, gram windows, and md5-60 hash as
@@ -1989,6 +2046,43 @@ case class SpanFlagStats(child: Expression, n: Int,
 }
 
 /**
+ * Line-level cleaning statistics: one fused pass over a doc's
+ * '\n'-separated lines (the CCNet/RefinedWeb line-wise rules a web
+ * curation pipeline runs before doc-level filters) classifying each
+ * line by first-match precedence — exact within-doc duplicate >
+ * bullet prefix > numeric-only > too-short — plus the
+ * terminal-punctuation count over all original lines and the KEPT
+ * lines rejoined with '\n' (hash-gated downstream). Entirely
+ * row-local — a doc's lines live in its own row — so the batch query
+ * and the live topology are the same zero-exchange projection (the
+ * gopher/quality fused-kernel convention; the composed-column form
+ * would need posexplode + a (doc, line) window + a re-agg: two
+ * exchanges to compute a per-row fact). Returns (n_lines, n_kept,
+ * n_dup_line, n_bullet, n_numeric, n_short, n_end_punct, kept_text).
+ */
+case class LineFilterStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq("n_lines", "n_kept", "n_dup_line", "n_bullet", "n_numeric",
+      "n_short", "n_end_punct").map(f =>
+      org.apache.spark.sql.types.StructField(f,
+        org.apache.spark.sql.types.LongType, nullable = false)) :+
+      org.apache.spark.sql.types.StructField("kept_text",
+        org.apache.spark.sql.types.StringType, nullable = false))
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.lineStats(v.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.VectorMath.lineStats($t.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * Bloom-filter decontamination probe: struct(n_grams, n_hits) of a
  * text's distinct portable (md5-60) word n-grams against a broadcast
  * bitmap (built offline by
@@ -2923,6 +3017,10 @@ object native {
       model: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
     GraftColumnBridge.column(
       BloomProbe(GraftColumnBridge.expression(text), n, k, model))
+
+  def line_stats(text: Column): Column =
+    GraftColumnBridge.column(
+      LineFilterStats(GraftColumnBridge.expression(text)))
 
   def lsh_band_collide(text: Column, n: Int, k: Int, bands: Int,
       model: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =

@@ -1864,6 +1864,58 @@ object Oracles {
        |GROUP BY g.doc_id""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.textLineFilter]]: re-derives the
+   *  deterministic line augmentation byte-for-byte (the piiScrub
+   *  fixture convention), splits on chr(10) via the LATERAL range
+   *  device (keeping empty segments, like the kernel's manual split),
+   *  classifies with the same first-match precedence dup > bullet >
+   *  numeric > short (dup = row_number over (doc, line) by index), and
+   *  re-joins kept lines in index order for the md5 gate. len() is
+   *  codepoints in both engines (the kernel counts codePoints, not
+   *  UTF-16 units). */
+  val textLineFilter: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id, text || chr(10) ||
+       |    'This line is long enough to keep and ends well.' ||
+       |    CASE CAST(doc_id % 4 AS INT)
+       |      WHEN 0 THEN chr(10) || '- bullet item ' || CAST(doc_id AS VARCHAR)
+       |      WHEN 1 THEN chr(10) || CAST(doc_id % 100 AS VARCHAR) || ' 42 / 7.5'
+       |      WHEN 2 THEN chr(10) || 'ok then'
+       |      ELSE chr(10) || 'This line is long enough to keep and ends well.'
+       |    END AS text
+       |  FROM documents),
+       |s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug),
+       |l AS (
+       |  SELECT doc_id, i.i AS idx, ls[i.i] AS line
+       |  FROM s CROSS JOIN LATERAL unnest(range(1, len(ls) + 1)) i(i)),
+       |o AS (
+       |  SELECT doc_id, idx, line,
+       |         row_number() OVER (PARTITION BY doc_id, line ORDER BY idx) AS occ
+       |  FROM l),
+       |r AS (
+       |  SELECT doc_id, idx, line,
+       |    CASE
+       |      WHEN occ > 1 THEN 'dup'
+       |      WHEN line LIKE '- %' OR line LIKE '* %' OR line LIKE '• %'
+       |        THEN 'bullet'
+       |      WHEN regexp_full_match(line, '[0-9 .,:%/-]+')
+       |           AND regexp_matches(line, '[0-9]') THEN 'numeric'
+       |      WHEN len(line) < 10 THEN 'short'
+       |      ELSE 'keep' END AS cls,
+       |    CASE WHEN regexp_matches(line, '[.!?]$$') THEN 1 ELSE 0 END AS endp
+       |  FROM o)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_lines,
+       |  CAST(count(*) FILTER (WHERE cls = 'keep') AS BIGINT) AS n_kept,
+       |  CAST(count(*) FILTER (WHERE cls = 'dup') AS BIGINT) AS n_dup_line,
+       |  CAST(count(*) FILTER (WHERE cls = 'bullet') AS BIGINT) AS n_bullet,
+       |  CAST(count(*) FILTER (WHERE cls = 'numeric') AS BIGINT) AS n_numeric,
+       |  CAST(count(*) FILTER (WHERE cls = 'short') AS BIGINT) AS n_short,
+       |  round(CAST(sum(endp) AS DOUBLE) / count(*), 6) AS frac_end_punct,
+       |  md5(coalesce(string_agg(line, chr(10) ORDER BY idx)
+       |        FILTER (WHERE cls = 'keep'), '')) AS clean_hash
+       |FROM r GROUP BY doc_id""".stripMargin
+
   /** The [[decontaminate]] gram CTEs reduced to the portable md5-60
    *  hash (`'0x' || substr(md5(ng), 1, 15)` — bit-identical to the
    *  kernel's top-60-of-md5), shared by [[decontaminateBloom]] and

@@ -2111,6 +2111,63 @@ object PipelineQueries {
     df.select(passthrough ++ counts :+ md5(finalText).as("clean_hash"): _*)
   }
 
+  /**
+   * LINE-LEVEL cleaning (CCNet/RefinedWeb line-wise rules) — strip
+   * within-doc duplicate lines, bullet-prefixed lines, numeric-only
+   * lines, and too-short lines; keep the rest, re-joined and
+   * hash-gated; report per-rule counts and the terminal-punctuation
+   * fraction over the ORIGINAL lines (a doc-level quality signal, not
+   * a removal rule). The synthetic corpus is single-line by
+   * construction, so [[lineAugment]] appends deterministic rule-
+   * tripping lines derived from doc_id (the [[piiAugment]]
+   * engineered-fixture convention — the oracle re-derives the
+   * augmentation byte-for-byte). Scale shape: a doc's lines live in
+   * its own row, so the whole pass is ONE fused kernel projection
+   * ([[graft.functions.LineFilterStats]]) — zero exchanges, zero
+   * state, batch and live forms identical; the relational spelling
+   * would posexplode to a (doc, line) window and re-aggregate — two
+   * shuffles of the full corpus text to compute a row-local fact.
+   */
+  def textLineFilter(spark: SparkSession, sfDir: String): DataFrame =
+    lineFilterProjection(lineAugment(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))))
+
+  /** Deterministic multi-line fixture: every doc gains one long
+   *  terminal-punctuated KEPT line, then one rule-tripping line by
+   *  doc_id mod 4 — bullet / numeric-only / too-short / an exact
+   *  duplicate of the appended kept line. Pure SQL-expressible
+   *  concat/mod arithmetic (the [[piiAugment]] convention). */
+  def lineAugment(df: DataFrame): DataFrame =
+    df.withColumn("text", concat(col("text"),
+      lit("\nThis line is long enough to keep and ends well."),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("\n- bullet item "), col("doc_id").cast("string")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("\n"), (col("doc_id") % 100).cast("string"),
+          lit(" 42 / 7.5")))
+      .when(col("doc_id") % 4 === 2, lit("\nok then"))
+      .otherwise(lit("\nThis line is long enough to keep and ends well."))))
+
+  /** The fused line-rule projection of [[textLineFilter]] over any
+   *  (passthrough..., text) frame — shared batch/live like
+   *  [[piiProjection]]. Output: passthrough..., per-rule counts,
+   *  frac_end_punct, clean_hash of the kept lines. */
+  def lineFilterProjection(df: DataFrame): DataFrame = {
+    val passthrough = df.columns.filter(_ != "text").map(col)
+    df.select(passthrough :+
+      graft.functions.native.line_stats(col("text")).as("st"): _*)
+      .select(passthrough ++ Seq(
+        col("st.n_lines").as("n_lines"),
+        col("st.n_kept").as("n_kept"),
+        col("st.n_dup_line").as("n_dup_line"),
+        col("st.n_bullet").as("n_bullet"),
+        col("st.n_numeric").as("n_numeric"),
+        col("st.n_short").as("n_short"),
+        round(col("st.n_end_punct") / col("st.n_lines"), 6)
+          .as("frac_end_punct"),
+        md5(col("st.kept_text")).as("clean_hash")): _*)
+  }
+
   /** Shard count for [[shuffleShard]] — at 100 TB this is O(thousands),
    *  chosen so each shard's slice fits one task's sort. */
   val ShuffleShards = 8

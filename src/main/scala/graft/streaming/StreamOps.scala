@@ -238,6 +238,18 @@ object StreamOps {
   }
 
   /**
+   * Live LINE-LEVEL cleaning — the streaming form of
+   * `PipelineQueries.textLineFilter` with no model at all: the rules
+   * are row-local constants, so the topology IS the batch projection
+   * (`lineFilterProjection`) applied to the stream — one fused kernel
+   * call per doc, zero state, Append-safe, replay-stable. The
+   * batch/live split that needs an offline artifact (quality_cut,
+   * span_flag, bloom_gate) degenerates here to sharing one function.
+   */
+  def lineFilterStream(docs: DataFrame): DataFrame =
+    graft.queries.PipelineQueries.lineFilterProjection(docs)
+
+  /**
    * Live Bloom DECONTAMINATION GATE — the scale form of
    * [[decontaminateStream]]: instead of broadcasting the benchmark's
    * exact distinct-gram set and intersecting ARRAYS per row (O(|bench|)

@@ -372,6 +372,10 @@ object MaxRateProbe {
         in.select(col("ts"), Generators.docLine(col("value")).as("text")),
         bench, graft.queries.PipelineQueries.DecontN)
     }
+    search("line_filter", seed = 1000000, OutputMode.Append) { in =>
+      StreamOps.lineFilterStream(
+        in.select(col("ts"), Generators.docLine(col("value")).as("text")))
+    }
     search("bloom_gate", seed = 1000000, OutputMode.Append) { in =>
       val bench = spark.read
         .parquet("/root/testdata/sf0.001/documents.parquet")
