@@ -3112,6 +3112,44 @@ object Oracles {
       |FROM (SELECT user_id, count(*) AS n FROM events GROUP BY 1
       |      ORDER BY n DESC, user_id LIMIT 10) t""".stripMargin
 
+  /** Mirrors [[SketchQueries.countMin]]: RE-DERIVES the full d x w
+   *  counter matrix — same whitespace words, same md5-60 word hash
+   *  ('0x'-CAST of 15 hex chars ≡ Spark's conv(...,16,10)), same
+   *  enhanced-double-hashing positions (the decontaminateBloom
+   *  arithmetic), counters as sums — then probes the same exact-top-K
+   *  word set and takes the same row-wise min. Deterministic end to
+   *  end; no tolerance contract needed. */
+  val skCountMin: String = {
+    val d = graft.queries.SketchQueries.CmDepth
+    val k = graft.queries.SketchQueries.CmTopK
+    val mask = (graft.queries.SketchQueries.CmWidth - 1).toLong
+    val pos = s"((hh & 1048575) + i.i * ((hh >> 20) & 1048575)" +
+      s" + ((i.i * (i.i - 1)) // 2) * ((hh >> 40) & 1048575)) & $mask"
+    s"""WITH w AS (
+       |  SELECT list_filter(regexp_split_to_array(text, '\\s+'),
+       |                     x -> len(x) > 0) AS lst
+       |  FROM documents),
+       |t AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(lst) AS word FROM w) GROUP BY 1),
+       |h AS (SELECT word, c,
+       |             CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS hh
+       |      FROM t),
+       |cells AS (
+       |  SELECT i.i AS r, $pos AS p, CAST(sum(c) AS BIGINT) AS cnt
+       |  FROM h CROSS JOIN LATERAL unnest(range(0, $d)) i(i)
+       |  GROUP BY 1, 2),
+       |top AS (SELECT word, c, hh FROM h ORDER BY c DESC, word LIMIT $k),
+       |pq AS (
+       |  SELECT word, c, i.i AS r, $pos AS p
+       |  FROM top CROSS JOIN LATERAL unnest(range(0, $d)) i(i))
+       |SELECT pq.word, pq.c AS n_exact,
+       |       CAST(min(cells.cnt) AS BIGINT) AS n_est,
+       |       CAST(min(cells.cnt) - pq.c AS BIGINT) AS overcount
+       |FROM pq JOIN cells USING (r, p)
+       |GROUP BY pq.word, pq.c""".stripMargin
+  }
+
   /** Mirrors [[AnalyticsQueries.graphPagerank]]: same node encoding,
    *  same symmetrized distinct edge set, and the damping update
    *  restated as a generated [[AnalyticsQueries.PrIters]]-level

@@ -168,4 +168,91 @@ object SketchQueries {
           |  CASE WHEN l.count > r.count THEN -1 WHEN l.count < r.count THEN 1
           |       ELSE 0 END)""".stripMargin)))
       .select((col("pos") + 1).cast("bigint").as("rank"), col("col.count").as("n"))
+
+  /** Count-Min depth (hash rows). */
+  val CmDepth = 4
+
+  /** Count-Min width (counters per row; power of two so the position
+   *  arithmetic is a mask). d=4 x w=16384 = 64 K counters = 512 KiB of
+   *  longs — fixed whatever the corpus size. */
+  val CmWidth: Int = 1 << 14
+
+  /** Point queries emitted by [[countMin]]: the exact top-K words. */
+  val CmTopK = 10
+
+  /** Counter position of 60-bit hash column `h` in Count-Min row `i` —
+   *  the enhanced-double-hashing arithmetic shared with
+   *  [[graft.functions.VectorMath.bloomHits]] (three fixed 20-bit
+   *  fields of the md5-60 hash; Dillinger–Manolios 2004), masked to
+   *  [[CmWidth]]. */
+  private def cmPos(h: org.apache.spark.sql.Column, i: Int)
+      : org.apache.spark.sql.Column = {
+    val f = lit(0xFFFFFL)
+    (h.bitwiseAND(f)
+      + lit(i.toLong) * shiftright(h, 20).bitwiseAND(f)
+      + lit((i.toLong * (i - 1)) / 2) * shiftright(h, 40).bitwiseAND(f))
+      .bitwiseAND(lit((CmWidth - 1).toLong))
+  }
+
+  /** Word → md5-60 hash, relationally (the portable-hash device in
+   *  column form: both engines parse the same 15 hex chars). */
+  private def cmHash(w: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    conv(substring(md5(w), 1, 15), 16, 10).cast("bigint")
+
+  /** The Count-Min cell table of a (word, c) frame: d cells per
+   *  distinct word, re-agged to <= d x w rows. Counters are SUMS, so
+   *  two corpora's cell tables merge by adding matching cells — the
+   *  mergeable-sketch contract (CountMinSpec pins per-source merge ==
+   *  global build). Public so monitors and the spec build sketches
+   *  over arbitrary slices. */
+  def countMinCells(words: DataFrame): DataFrame =
+    words.withColumn("hh", cmHash(col("word")))
+      .select(explode(array((0 until CmDepth).map(i =>
+        struct(lit(i).as("r"), cmPos(col("hh"), i).as("p"),
+          col("c"))): _*)).as("cell"))
+      .groupBy(col("cell.r").as("r"), col("cell.p").as("p"))
+      .agg(sum(col("cell.c")).as("cnt"))
+
+  /**
+   * COUNT-MIN sketch over document word frequencies — the mergeable
+   * point-frequency sketch the family was missing (HLL answers
+   * distinct, theta answers set algebra, KLL answers quantiles,
+   * approx_top_k answers heavy hitters; Count-Min answers "how often
+   * did THIS item occur" for items chosen AFTER the scan). Fully
+   * deterministic here — positions are integer arithmetic on md5-60
+   * word hashes (the [[graft.queries.PipelineQueries.bloomBitsOf]]
+   * enhanced-double-hashing device) and counters are sums — so the
+   * DuckDB oracle re-derives the ENTIRE d x w counter matrix and the
+   * exact same estimates, a stronger gate than the family's
+   * within-tolerance contracts. Output: the exact top-[[CmTopK]] words
+   * with (n_exact, n_est, overcount); Count-Min guarantees
+   * n_est >= n_exact always (spec-pinned for every word, not just the
+   * top), with overcount bounded by collisions in the min row.
+   * Scale shape: one standard wordcount two-phase agg over the corpus
+   * is the ONLY pass that sees data; the sketch is built from the
+   * distinct-word table (d cells per distinct word, re-agged to
+   * <= d x w = 64 K fixed rows — per-partition partials merge by +,
+   * the mergeable-sketch contract, spec-pinned per source), and the
+   * point lookups broadcast a K x d probe table against it. At 100 TB
+   * the cell table is still 64 K rows.
+   */
+  def countMin(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    val h = t.withColumn("hh", cmHash(col("word")))
+    val cells = countMinCells(t)
+    val probes = h.orderBy(col("c").desc, col("word")).limit(CmTopK)
+      .select(col("word"), col("c").as("n_exact"),
+        explode(array((0 until CmDepth).map(i =>
+          struct(lit(i).as("r"), cmPos(col("hh"), i).as("p"))): _*)).as("q"))
+      .select(col("word"), col("n_exact"),
+        col("q.r").as("r"), col("q.p").as("p"))
+    broadcast(probes).join(cells, Seq("r", "p"))
+      .groupBy("word", "n_exact").agg(min(col("cnt")).as("n_est"))
+      .select(col("word"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overcount"))
+  }
 }
