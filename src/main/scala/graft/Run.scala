@@ -243,6 +243,12 @@ object Run {
       case "decontaminate" =>
         (decontaminateTopology(spark, lines(), opts.getOrElse("bench",
           "/root/testdata/sf0.001/documents.parquet")), OutputMode.Append)
+      case "text_normalize" =>
+        // dedup-key normalization at ingest: the same fused row-local
+        // kernel as the batch query (no model, no state, no shuffle)
+        (graft.queries.PipelineQueries.normalizeProjection(
+          lines().select(col("ts"), col("value").as("text"))),
+          OutputMode.Append)
       case "line_filter" =>
         // line-level cleaning at ingest: the same fused row-local
         // kernel as the batch query (no model, no state, no shuffle)

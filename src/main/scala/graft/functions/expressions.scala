@@ -195,6 +195,52 @@ object VectorMath {
       Array[Any](m.toLong, nDup, covered))
   }
 
+  /** Row-local dedup-key text normalization; see [[NormalizeText]].
+   *  Pipeline: NFD-decompose and strip ALL combining marks (\\p{M} —
+   *  the utf8proc STRIPMARK scope, so DuckDB's `strip_accents`
+   *  reproduces it; no NFC recompose afterwards, matching utf8proc) →
+   *  per-codepoint lowercase → collapse whitespace runs to one space →
+   *  trim. Returns (n_chars_raw, n_chars_norm — both CODEPOINTS, the
+   *  engines' shared len() — changed, norm). Scope note: equivalence
+   *  with DuckDB holds on the repertoire the fixtures exercise (ASCII
+   *  + Latin combining-mark accents); locale-special casings (Turkish
+   *  İ) and NFC-recomposable mark-free scripts (Hangul jamo) are
+   *  outside the contract and outside the corpus. */
+  def normalizeText(text: String): InternalRow = {
+    val nfd = java.text.Normalizer.normalize(text,
+      java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var i = 0
+    var lastWs = false
+    while (i < nfd.length) {
+      val cp = nfd.codePointAt(i)
+      i += Character.charCount(cp)
+      val t = Character.getType(cp)
+      if (t != Character.NON_SPACING_MARK &&
+        t != Character.COMBINING_SPACING_MARK &&
+        t != Character.ENCLOSING_MARK) {
+        if (cp < 0x80 && isWs(cp.toChar)) { // the engines' shared \s
+          if (!lastWs) sb.append(' ')
+          lastWs = true
+        } else {
+          sb.appendCodePoint(Character.toLowerCase(cp))
+          lastWs = false
+        }
+      }
+    }
+    // trim the single leading/trailing space the collapse may leave
+    var s = 0
+    var e = sb.length
+    if (e > s && sb.charAt(s) == ' ') s += 1
+    if (e > s && sb.charAt(e - 1) == ' ') e -= 1
+    val norm = sb.substring(s, e)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](text.codePointCount(0, text.length).toLong,
+        norm.codePointCount(0, norm.length).toLong,
+        norm != text,
+        org.apache.spark.unsafe.types.UTF8String.fromString(norm)))
+  }
+
   /** Row-local line-level cleaning pass; see [[LineFilterStats]]. One
    *  scan over the doc's '\n'-separated lines (manual split KEEPING
    *  empty segments — java's split drops trailing empties; the oracle's
@@ -2046,6 +2092,41 @@ case class SpanFlagStats(child: Expression, n: Int,
 }
 
 /**
+ * Dedup-key text NORMALIZATION: accent folding (NFD + strip all
+ * combining marks — the utf8proc/strip_accents scope), per-codepoint
+ * lowercase, ASCII-whitespace-run collapse, trim — the key
+ * preparation step a dedup pipeline runs so that "Café" and "cafe "
+ * fingerprint together (CCNet's normalization stage before hashing).
+ * One fused row-local pass returning (n_chars_raw, n_chars_norm,
+ * changed, norm); zero exchanges at any corpus size. The normalized
+ * TEXT is returned (not just its hash) so downstream fingerprints,
+ * shingles, and minhashes consume it directly.
+ */
+case class NormalizeText(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_chars_raw",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_chars_norm",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("changed",
+      org.apache.spark.sql.types.BooleanType, nullable = false),
+    org.apache.spark.sql.types.StructField("norm",
+      org.apache.spark.sql.types.StringType, nullable = false)))
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.normalizeText(v.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.VectorMath.normalizeText($t.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * Line-level cleaning statistics: one fused pass over a doc's
  * '\n'-separated lines (the CCNet/RefinedWeb line-wise rules a web
  * curation pipeline runs before doc-level filters) classifying each
@@ -3021,6 +3102,10 @@ object native {
   def line_stats(text: Column): Column =
     GraftColumnBridge.column(
       LineFilterStats(GraftColumnBridge.expression(text)))
+
+  def normalize_text(text: Column): Column =
+    GraftColumnBridge.column(
+      NormalizeText(GraftColumnBridge.expression(text)))
 
   def lsh_band_collide(text: Column, n: Int, k: Int, bands: Int,
       model: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =

@@ -1916,6 +1916,36 @@ object Oracles {
        |        FILTER (WHERE cls = 'keep'), '')) AS clean_hash
        |FROM r GROUP BY doc_id""".stripMargin
 
+  /** Mirrors [[PipelineQueries.textNormalize]]: identical augmentation
+   *  literals (class 0 carries RAW combining marks U+0301/U+0300 in
+   *  this SQL string — codepoint-verified — where the Spark side
+   *  spells them \\u escapes), then lower(strip_accents(...)) — utf8proc
+   *  decomposes and strips all marks, empirically verified equal to
+   *  the kernel's NFD + \\p{M}-strip on both composed and decomposed
+   *  input — with the same ASCII \\s collapse and trim; len() is
+   *  codepoints in both engines (a combining mark counts). */
+  val textNormalize: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id, text ||
+       |    CASE CAST(doc_id % 4 AS INT)
+       |      WHEN 0 THEN ' Café  CRÈME du jour'
+       |      WHEN 1 THEN ' Café  CRÈME du jour'
+       |      WHEN 2 THEN ' tabs' || chr(9) || chr(9) || 'and  runs' || chr(9)
+       |      ELSE ' MIXED Case ASCII Tail'
+       |    END AS text
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, text,
+       |         trim(regexp_replace(lower(strip_accents(text)),
+       |                             '\\s+', ' ', 'g')) AS norm
+       |  FROM aug)
+       |SELECT doc_id,
+       |       CAST(len(text) AS BIGINT) AS n_chars_raw,
+       |       CAST(len(norm) AS BIGINT) AS n_chars_norm,
+       |       norm != text AS changed,
+       |       md5(norm) AS norm_hash
+       |FROM n""".stripMargin
+
   /** The [[decontaminate]] gram CTEs reduced to the portable md5-60
    *  hash (`'0x' || substr(md5(ng), 1, 15)` — bit-identical to the
    *  kernel's top-60-of-md5), shared by [[decontaminateBloom]] and

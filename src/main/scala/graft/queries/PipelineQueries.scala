@@ -2148,6 +2148,58 @@ object PipelineQueries {
       .when(col("doc_id") % 4 === 2, lit("\nok then"))
       .otherwise(lit("\nThis line is long enough to keep and ends well."))))
 
+  /**
+   * Dedup-key TEXT NORMALIZATION — accent folding + lowercase +
+   * whitespace collapse + trim ([[graft.functions.NormalizeText]]),
+   * the key-preparation stage before fingerprint/minhash so surface
+   * variants of one document hash together (CCNet's normalization
+   * before dedup). Output: (doc_id, n_chars_raw, n_chars_norm,
+   * changed, norm_hash) — the normalized text itself flows to
+   * downstream dedup in-plan, the gate hashes it. The ASCII corpus
+   * can't exercise folding, so [[normalizeAugment]] appends
+   * deterministic unicode-mess suffixes (decomposed accents,
+   * precomposed accents, tab/space runs, mixed case — the engineered-
+   * fixture convention; every class CHANGES under normalization and
+   * the changed flag is pinned true corpus-wide). Scale shape: one
+   * fused row-local kernel projection — zero exchanges; this is a
+   * prefix stage of every dedup plan, so it must not add a pass.
+   * Scope: the cross-engine equivalence contract covers ASCII + Latin
+   * combining-mark accents (what web text and these fixtures hold);
+   * locale-special casings are outside it (kernel scaladoc).
+   */
+  def textNormalize(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeProjection(normalizeAugment(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))))
+
+  /** Deterministic unicode fixture: one folding-exercising suffix per
+   *  doc_id mod 4 — NFD-decomposed accents (e + U+0301), precomposed
+   *  accents, a tab + space run, mixed case. Pure concat/mod (the
+   *  [[piiAugment]] convention); the decomposed/precomposed pair in
+   *  classes 0/1 normalizes to the SAME bytes, pinning the fold. */
+  def normalizeAugment(df: DataFrame): DataFrame =
+    df.withColumn("text", concat(col("text"),
+      when(col("doc_id") % 4 === 0, // DECOMPOSED: e/E + combining marks
+        lit(" Cafe\u0301  CRE\u0300ME du jour"))
+      .when(col("doc_id") % 4 === 1, // PRECOMPOSED accents
+        lit(" Caf\u00e9  CR\u00c8ME du jour"))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit(" tabs\t\tand  runs"), lit("\t")))
+      .otherwise(lit(" MIXED Case ASCII Tail"))))
+
+  /** The fused normalization projection of [[textNormalize]] over any
+   *  (passthrough..., text) frame — shared batch/live like
+   *  [[lineFilterProjection]]. */
+  def normalizeProjection(df: DataFrame): DataFrame = {
+    val passthrough = df.columns.filter(_ != "text").map(col)
+    df.select(passthrough :+
+      graft.functions.native.normalize_text(col("text")).as("st"): _*)
+      .select(passthrough ++ Seq(
+        col("st.n_chars_raw").as("n_chars_raw"),
+        col("st.n_chars_norm").as("n_chars_norm"),
+        col("st.changed").as("changed"),
+        md5(col("st.norm")).as("norm_hash")): _*)
+  }
+
   /** The fused line-rule projection of [[textLineFilter]] over any
    *  (passthrough..., text) frame — shared batch/live like
    *  [[piiProjection]]. Output: passthrough..., per-rule counts,
