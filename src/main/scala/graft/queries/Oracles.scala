@@ -1916,16 +1916,13 @@ object Oracles {
        |        FILTER (WHERE cls = 'keep'), '')) AS clean_hash
        |FROM r GROUP BY doc_id""".stripMargin
 
-  /** Mirrors [[PipelineQueries.textNormalize]]: identical augmentation
-   *  literals (class 0 carries RAW combining marks U+0301/U+0300 in
-   *  this SQL string — codepoint-verified — where the Spark side
-   *  spells them \\u escapes), then lower(strip_accents(...)) — utf8proc
-   *  decomposes and strips all marks, empirically verified equal to
-   *  the kernel's NFD + \\p{M}-strip on both composed and decomposed
-   *  input — with the same ASCII \\s collapse and trim; len() is
-   *  codepoints in both engines (a combining mark counts). */
-  val textNormalize: String =
-    s"""WITH aug AS (
+  /** The shared [[PipelineQueries.normalizeAugment]] re-derivation
+   *  CTE ([[textNormalize]] + [[dedupNormalized]]) — the class-0 line
+   *  carries RAW combining marks U+0301/U+0300 in this SQL string,
+   *  codepoint-verified, where the Spark side spells them \\u
+   *  escapes. */
+  private val normalizeAugCte: String =
+    s"""aug AS (
        |  SELECT doc_id, text ||
        |    CASE CAST(doc_id % 4 AS INT)
        |      WHEN 0 THEN ' Café  CRÈME du jour'
@@ -1933,7 +1930,16 @@ object Oracles {
        |      WHEN 2 THEN ' tabs' || chr(9) || chr(9) || 'and  runs' || chr(9)
        |      ELSE ' MIXED Case ASCII Tail'
        |    END AS text
-       |  FROM documents),
+       |  FROM documents)""".stripMargin
+
+  /** Mirrors [[PipelineQueries.textNormalize]]: identical augmentation
+   *  literals, then lower(strip_accents(...)) — utf8proc decomposes
+   *  and strips all marks, empirically verified equal to the kernel's
+   *  NFD + \\p{M}-strip on both composed and decomposed input — with
+   *  the same ASCII \\s collapse and trim; len() is codepoints in both
+   *  engines (a combining mark counts). */
+  val textNormalize: String =
+    s"""WITH $normalizeAugCte,
        |n AS (
        |  SELECT doc_id, text,
        |         trim(regexp_replace(lower(strip_accents(text)),
@@ -1945,6 +1951,16 @@ object Oracles {
        |       norm != text AS changed,
        |       md5(norm) AS norm_hash
        |FROM n""".stripMargin
+
+  /** Mirrors [[PipelineQueries.dedupNormalized]]: the [[textNormalize]]
+   *  normalization as the [[dedupFingerprint]] group key over the same
+   *  augmented corpus. */
+  val dedupNormalized: String =
+    s"""WITH $normalizeAugCte
+       |SELECT md5(trim(regexp_replace(lower(strip_accents(text)),
+       |                               '\\s+', ' ', 'g'))) AS norm_fingerprint,
+       |       min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n
+       |FROM aug GROUP BY 1""".stripMargin
 
   /** The [[decontaminate]] gram CTEs reduced to the portable md5-60
    *  hash (`'0x' || substr(md5(ng), 1, 15)` — bit-identical to the

@@ -2186,6 +2186,25 @@ object PipelineQueries {
         concat(lit(" tabs\t\tand  runs"), lit("\t")))
       .otherwise(lit(" MIXED Case ASCII Tail"))))
 
+  /**
+   * Exact dedup keyed on the NORMALIZED text — [[textNormalize]]
+   * chained into the [[dedupFingerprint]] group-by, the composition
+   * the normalizer exists for: surface variants (decomposed vs
+   * precomposed accents, case, whitespace runs) fingerprint together
+   * where the whitespace-only fingerprint keeps them apart
+   * (NormalizeSpec pins a planted pair that merges HERE and not
+   * there). Same two-phase hash agg as every exact-dedup query — the
+   * normalization kernel fuses into the scan projection, so the
+   * upgrade costs no extra pass and no extra exchange; only the
+   * md5(norm) group key ever shuffles.
+   */
+  def dedupNormalized(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeAugment(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+      .groupBy(md5(graft.functions.native.normalize_text(col("text"))
+        .getField("norm")).as("norm_fingerprint"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+
   /** The fused normalization projection of [[textNormalize]] over any
    *  (passthrough..., text) frame — shared batch/live like
    *  [[lineFilterProjection]]. */

@@ -92,6 +92,27 @@ class NormalizeSpec extends SparkSpec {
     }
   }
 
+  test("dedup_normalized merges decomposed/precomposed surface " +
+      "variants the whitespace-only fingerprint keeps apart") {
+    val aug = PipelineQueries.normalizeAugment(spark.createDataFrame(Seq(
+      (0L, "same base words"), (1L, "same base words"),
+      (2L, "same base words"))).toDF("doc_id", "text"))
+    def groups(key: org.apache.spark.sql.Column): Map[String, Set[Long]] =
+      aug.groupBy(key.as("k"))
+        .agg(collect_list(col("doc_id")).as("ids")).collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    val norm = groups(md5(graft.functions.native
+      .normalize_text(col("text")).getField("norm")))
+    val plain = groups(graft.ops.TextAnalyticsOps.fingerprint(col("text")))
+    assert(norm.values.toSet.contains(Set(0L, 1L)),
+      s"accent variants did not merge under normalization: $norm")
+    assert(plain.values.forall(_.size == 1),
+      s"whitespace-only fingerprint should keep all three apart: $plain")
+    val sf = PipelineQueries.dedupNormalized(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(sf.map(_.getAs[Long]("n")).sum == 500, "groups must partition")
+  }
+
   test("every doc in the engineered fixture changes under " +
       "normalization (each class trips a fold)") {
     val rows = PipelineQueries.textNormalize(spark, "/root/testdata/sf0.001")
