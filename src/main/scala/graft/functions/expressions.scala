@@ -219,7 +219,13 @@ object VectorMath {
       if (t != Character.NON_SPACING_MARK &&
         t != Character.COMBINING_SPACING_MARK &&
         t != Character.ENCLOSING_MARK) {
-        if (cp < 0x80 && isWs(cp.toChar)) { // the engines' shared \s
+        // RE2's \s is exactly [\t\n\f\r ] — NOT U+000B, which java's
+        // \s (and this file's isWs) includes; the oracle collapses
+        // with DuckDB/RE2 regexp_replace, so the kernel must match
+        // RE2, empirically verified (a vertical tab flows through as a
+        // regular character in BOTH engines)
+        if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\f' ||
+          cp == '\r') {
           if (!lastWs) sb.append(' ')
           lastWs = true
         } else {
@@ -315,7 +321,14 @@ object VectorMath {
    *  hashes whose k bits are ALL set). Bloom guarantee: a gram that IS
    *  in the filter's build set always hits (no false negatives); a hit
    *  is only probabilistic evidence (FPR set by m/n and k). */
+  private val bloomHitsMemo = new RowMemo("bloom_hits")
+
   def bloomHits(text: String, n: Int, k: Int, bits: Array[Long]): InternalRow = {
+    // keyed on the bitmap ARRAY identity (the lshCollide device):
+    // filter pushdown duplicates gate kernels — project(kernel) →
+    // filter(keep) evaluates the probe twice per row without this
+    val hit = bloomHitsMemo.lookup(text, bits)
+    if (hit != null) return hit.asInstanceOf[InternalRow]
     val words = new java.util.ArrayList[String]()
     var i = 0
     val len = text.length
@@ -356,8 +369,9 @@ object VectorMath {
       }
       g += 1
     }
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](seen.size.toLong, nHits))
+    bloomHitsMemo.store(text, bits,
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](seen.size.toLong, nHits))).asInstanceOf[InternalRow]
   }
 
   /** Row-local MinHash+LSH band collision count against a SORTED array

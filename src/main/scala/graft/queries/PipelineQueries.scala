@@ -1720,8 +1720,8 @@ object PipelineQueries {
    */
   def bloomBitsOf(bench: DataFrame, n: Int = DecontN,
       k: Int = DecontBloomK, m: Int = DecontBloomBits): Array[Long] = {
-    require(m > 0 && (m & (m - 1)) == 0 && m <= (1 << 20),
-      s"bloom bitmap bits must be a power of two <= 2^20, got $m")
+    require(m >= 64 && (m & (m - 1)) == 0 && m <= (1 << 20),
+      s"bloom bitmap bits must be a power of two in [64, 2^20], got $m")
     val mask = (m - 1).toLong
     val pos = (i: Int) => ((col("h").bitwiseAND(lit(mask)))
       + lit(i.toLong) * shiftright(col("h"), 20).bitwiseAND(lit(mask))

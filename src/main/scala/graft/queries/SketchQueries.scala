@@ -242,9 +242,11 @@ object SketchQueries {
       .select(explode(split(col("text"), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("c"))
-    val h = t.withColumn("hh", cmHash(col("word")))
     val cells = countMinCells(t)
-    val probes = h.orderBy(col("c").desc, col("word")).limit(CmTopK)
+    // hash AFTER the top-K cut: K hashes, not |vocab| (the cells
+    // branch already pays one hash per distinct word by necessity)
+    val probes = t.orderBy(col("c").desc, col("word")).limit(CmTopK)
+      .withColumn("hh", cmHash(col("word")))
       .select(col("word"), col("c").as("n_exact"),
         explode(array((0 until CmDepth).map(i =>
           struct(lit(i).as("r"), cmPos(col("hh"), i).as("p"))): _*)).as("q"))
