@@ -324,10 +324,14 @@ object VectorMath {
   private val bloomHitsMemo = new RowMemo("bloom_hits")
 
   def bloomHits(text: String, n: Int, k: Int, bits: Array[Long]): InternalRow = {
-    // keyed on the bitmap ARRAY identity (the lshCollide device):
-    // filter pushdown duplicates gate kernels — project(kernel) →
-    // filter(keep) evaluates the probe twice per row without this
-    val hit = bloomHitsMemo.lookup(text, bits)
+    // keyed on (bitmap ARRAY identity, n, k) — the lshCollide device
+    // plus shingleHashes' parameter keying: the same broadcast bitmap
+    // probed at a different gram width or probe count must recompute,
+    // never cross-hit (Tuple equality compares the array by eq).
+    // Purpose: filter pushdown duplicates gate kernels — project(
+    // kernel) → filter(keep) evaluates the probe twice per row
+    val memoKey = (bits, n, k)
+    val hit = bloomHitsMemo.lookup(text, memoKey)
     if (hit != null) return hit.asInstanceOf[InternalRow]
     val words = new java.util.ArrayList[String]()
     var i = 0
@@ -369,7 +373,7 @@ object VectorMath {
       }
       g += 1
     }
-    bloomHitsMemo.store(text, bits,
+    bloomHitsMemo.store(text, memoKey,
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](seen.size.toLong, nHits))).asInstanceOf[InternalRow]
   }
@@ -519,6 +523,16 @@ object VectorMath {
   }
 
   /** Java regex \s (no UNICODE_CHARACTER_CLASS): [ \t\n\x0B\f\r]. */
+  /** Word-separator set for the kernel family whose oracles split with
+   *  `regexp_split_to_array(text, '\s+')`. Scope note: this includes
+   *  U+000B where RE2's \s is exactly [\t\n\f\r ] -- a LATENT
+   *  divergence on vertical-tab input shared by every kernel/oracle
+   *  pair built on this split (none of the corpora or fixtures carry
+   *  U+000B; [[normalizeText]], which preserves the whitespace-visible
+   *  TEXT rather than word tokens, matches RE2 exactly instead).
+   *  Kept as-is deliberately: narrowing it now would silently change
+   *  every established hash family (shingle/gram/minhash/winnow)
+   *  under round-over-round hash-equality pins. */
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 

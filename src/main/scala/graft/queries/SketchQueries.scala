@@ -229,6 +229,10 @@ object SketchQueries {
    * with (n_exact, n_est, overcount); Count-Min guarantees
    * n_est >= n_exact always (spec-pinned for every word, not just the
    * top), with overcount bounded by collisions in the min row.
+   * Word split: Spark `split(text, "\\s+")` vs the oracle's RE2
+   * split — carries the family's standing U+000B scope note
+   * ([[graft.functions.VectorMath]] isWs): no corpus or fixture holds
+   * a vertical tab, and narrowing would break established pins.
    * Scale shape: one standard wordcount two-phase agg over the corpus
    * is the ONLY pass that sees data; the sketch is built from the
    * distinct-word table (d cells per distinct word, re-agged to

@@ -113,6 +113,19 @@ class BloomDecontSpec extends SparkSpec {
       "corpus vocabulary leaked into the bench set - test is vacuous")
   }
 
+  test("the kernel memo never cross-hits between different gram widths " +
+      "or probe counts on one bitmap (same thread, same text)") {
+    val bits = Array.fill(16)(-1L) // all bits set: every probe hits
+    val text = "w1 w2 w3 w4 w5 w6"
+    def probe(n: Int, k: Int): (Long, Long) = {
+      val r = graft.functions.VectorMath.bloomHits(text, n, k, bits)
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(probe(4, 5) == ((3L, 3L))) // 3 distinct 4-grams, all hit
+    assert(probe(3, 5) == ((4L, 4L)), "n=3 after n=4 must recompute")
+    assert(probe(4, 5) == ((3L, 3L)), "and back")
+  }
+
   test("decontaminate_bloom_eval audit equals the frames it audits") {
     val r = PipelineQueries.decontaminateBloomEval(spark, sfDir).head()
     val bloom = PipelineQueries.decontaminateBloom(spark, sfDir).collect()
