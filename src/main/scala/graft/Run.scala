@@ -243,6 +243,13 @@ object Run {
       case "decontaminate" =>
         (decontaminateTopology(spark, lines(), opts.getOrElse("bench",
           "/root/testdata/sf0.001/documents.parquet")), OutputMode.Append)
+      case "countmin" =>
+        // live Count-Min maintenance: the state store is the sketch -
+        // one Complete-mode agg on (row, position), 64 K cells bounded
+        // whatever the stream length; snapshot == batch build
+        (StreamOps.countMinStream(
+          lines().select(col("ts"), col("value").as("text"))),
+          OutputMode.Complete)
       case "text_normalize" =>
         // dedup-key normalization at ingest: the same fused row-local
         // kernel as the batch query (no model, no state, no shuffle)

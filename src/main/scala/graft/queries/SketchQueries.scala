@@ -185,7 +185,7 @@ object SketchQueries {
    *  [[graft.functions.VectorMath.bloomHits]] (three fixed 20-bit
    *  fields of the md5-60 hash; Dillinger–Manolios 2004), masked to
    *  [[CmWidth]]. */
-  private def cmPos(h: org.apache.spark.sql.Column, i: Int)
+  private[graft] def cmPos(h: org.apache.spark.sql.Column, i: Int)
       : org.apache.spark.sql.Column = {
     val f = lit(0xFFFFFL)
     (h.bitwiseAND(f)
@@ -196,7 +196,7 @@ object SketchQueries {
 
   /** Word → md5-60 hash, relationally (the portable-hash device in
    *  column form: both engines parse the same 15 hex chars). */
-  private def cmHash(w: org.apache.spark.sql.Column)
+  private[graft] def cmHash(w: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
     conv(substring(md5(w), 1, 15), 16, 10).cast("bigint")
 

@@ -238,6 +238,36 @@ object StreamOps {
   }
 
   /**
+   * Live COUNT-MIN maintenance — the streaming form of
+   * `SketchQueries.countMin`'s cell table: Spark's state store IS the
+   * sketch. Counters are sums, so ONE Complete-mode streaming
+   * aggregation on (row, position) maintains the d x w matrix
+   * incrementally — each arriving word contributes +1 to its d cells
+   * and the engine's two-phase agg does the merge the sketch contract
+   * promises (per-partition partials combine by +). State is bounded
+   * by d x w = 64 K cells REGARDLESS of stream length or vocabulary
+   * growth — the entire point of sketching an unbounded stream; the
+   * exact wordcount twin's state grows with distinct words. The
+   * snapshot equals the batch `countMinCells` build over everything
+   * seen (sum-mergeability, RunTopologySpec-pinned cell-for-cell),
+   * so batch point lookups serve from the live state unchanged.
+   * The per-word weight is 1 here where the batch build weights by
+   * the pre-agged count c — same sums, one streaming agg (chained
+   * aggs are not allowed in streaming, and the pre-agg would be one).
+   */
+  def countMinStream(docs: DataFrame): DataFrame = {
+    import graft.queries.SketchQueries
+    docs.select(explode(split(col("text"), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .withColumn("hh", SketchQueries.cmHash(col("word")))
+      .select(explode(array((0 until SketchQueries.CmDepth).map(i =>
+        struct(lit(i).as("r"), SketchQueries.cmPos(col("hh"), i).as("p"))): _*))
+        .as("cell"))
+      .groupBy(col("cell.r").as("r"), col("cell.p").as("p"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /**
    * Live LINE-LEVEL cleaning — the streaming form of
    * `PipelineQueries.textLineFilter` with no model at all: the rules
    * are row-local constants, so the topology IS the batch projection

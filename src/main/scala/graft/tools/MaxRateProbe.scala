@@ -372,6 +372,10 @@ object MaxRateProbe {
         in.select(col("ts"), Generators.docLine(col("value")).as("text")),
         bench, graft.queries.PipelineQueries.DecontN)
     }
+    search("countmin", seed = 500000, OutputMode.Complete) { in =>
+      StreamOps.countMinStream(
+        in.select(col("ts"), Generators.docLine(col("value")).as("text")))
+    }
     search("text_normalize", seed = 1000000, OutputMode.Append) { in =>
       graft.queries.PipelineQueries.normalizeProjection(
         in.select(col("ts"), Generators.docLine(col("value")).as("text")))

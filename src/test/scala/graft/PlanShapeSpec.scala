@@ -65,6 +65,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), "bloom probe plan joins:\n" + p)
   }
 
+  test("fused row-local projections plan zero exchanges " +
+      "(text_linefilter, text_normalize)") {
+    Seq("text_linefilter", "text_normalize").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name shuffles a row-local pass:\n" + p)
+      assert(!p.contains("Join"), s"$name joins:\n" + p)
+    }
+  }
+
+  test("dedup_normalized shuffles only the md5 group key (one exchange, " +
+      "no join - the kernel fuses into the scan)") {
+    val p = plan("dedup_normalized")
+    assert(p.split("Exchange").length - 1 == 1,
+      "expected exactly one exchange (the group-by):\n" + p)
+    assert(!p.contains("Join"), "dedup_normalized joins:\n" + p)
+  }
+
   test("aggregation queries keep two-phase partial aggregation") {
     // partial_count markers show map-side combine before the shuffle
     Seq("wordcount", "rolling_count", "pageview_count").foreach { name =>

@@ -58,6 +58,37 @@ class CountMinSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("the live Complete-mode sketch snapshot equals the batch cell " +
+      "build over everything seen (the state store IS the sketch)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = graft.model.Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0)).toSeq
+    val in = MemoryStream[String]
+    val q = graft.streaming.StreamOps.countMinStream(
+      in.toDF().toDF("text")).writeStream
+      .format("memory").queryName("cm_live")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .start()
+    try {
+      // two batches: the second trigger must UPDATE cells, not append
+      val (a, b) = docs.splitAt(docs.length / 2)
+      in.addData(a: _*); q.processAllAvailable()
+      in.addData(b: _*); q.processAllAvailable()
+      val live = spark.table("cm_live").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      def words(df: org.apache.spark.sql.DataFrame) =
+        df.select(explode(split(col("text"), "\\s+")).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy("word").agg(count(lit(1)).as("c"))
+      val batch = SketchQueries.countMinCells(
+        words(graft.model.Tables.documents(spark, sfDir))).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(live == batch)
+    } finally q.stop()
+  }
+
   test("per-source sketches merged by cell-wise + equal the global " +
       "build (mergeable state)") {
     val docs = graft.model.Tables.documents(spark, sfDir)
