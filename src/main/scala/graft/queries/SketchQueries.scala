@@ -241,6 +241,48 @@ object SketchQueries {
    * point lookups broadcast a K x d probe table against it. At 100 TB
    * the cell table is still 64 K rows.
    */
+  /**
+   * Count-Min ROLLUP — the hllDistinct `__all__`-row device for CM:
+   * per-source cell tables (the sketch a pipeline PERSISTS per
+   * source/day) are merged by cell-wise sum into the global sketch
+   * WITHOUT rescanning the corpus, and the top-K point queries are
+   * answered from the MERGED state. Emits exactly [[countMin]]'s
+   * rows (sum-mergeability makes merge-then-probe ≡ build-then-probe
+   * — the oracle is literally the same SQL), but the PLAN is the
+   * rollup: one (source, r, p) agg producing the stored partials,
+   * one tiny (r, p) re-agg over ≤ sources x d x w rows. At 100 TB
+   * the first agg ran yesterday; today's rollup touches only the
+   * stored cells. CountMinSpec pins >1 source contributing.
+   */
+  def countMinRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        explode(split(col("text"), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+    // the stored artifact: one cell table per source
+    val perSource = t.withColumn("hh", cmHash(col("word")))
+      .select(col("source"), explode(array((0 until CmDepth).map(i =>
+        struct(lit(i).as("r"), cmPos(col("hh"), i).as("p"),
+          col("c"))): _*)).as("cell"))
+      .groupBy(col("source"), col("cell.r").as("r"), col("cell.p").as("p"))
+      .agg(sum(col("cell.c")).as("cnt"))
+    // the rollup: cell-wise + over the stored partials only
+    val merged = perSource.groupBy("r", "p").agg(sum(col("cnt")).as("cnt"))
+    val probes = t.groupBy("word").agg(sum(col("c")).as("c"))
+      .orderBy(col("c").desc, col("word")).limit(CmTopK)
+      .withColumn("hh", cmHash(col("word")))
+      .select(col("word"), col("c").as("n_exact"),
+        explode(array((0 until CmDepth).map(i =>
+          struct(lit(i).as("r"), cmPos(col("hh"), i).as("p"))): _*)).as("q"))
+      .select(col("word"), col("n_exact"),
+        col("q.r").as("r"), col("q.p").as("p"))
+    broadcast(probes).join(merged, Seq("r", "p"))
+      .groupBy("word", "n_exact").agg(min(col("cnt")).as("n_est"))
+      .select(col("word"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overcount"))
+  }
+
   def countMin(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tables.documents(spark, sfDir)
       .select(explode(split(col("text"), "\\s+")).as("word"))

@@ -58,6 +58,21 @@ class CountMinSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("the rollup of stored per-source sketches answers point queries " +
+      "identically to the direct build (merge-then-probe == " +
+      "build-then-probe), with more than one source contributing") {
+    val direct = SketchQueries.countMin(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val rolled = SketchQueries.countMinRollup(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(rolled == direct)
+    val nSources = graft.model.Tables.documents(spark, sfDir)
+      .select("source").distinct().count()
+    assert(nSources > 1, "rollup is vacuous with one source")
+  }
+
   test("the live Complete-mode sketch snapshot equals the batch cell " +
       "build over everything seen (the state store IS the sketch)") {
     implicit val sqlCtx = spark.sqlContext
