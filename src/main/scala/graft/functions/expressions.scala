@@ -321,6 +321,24 @@ object VectorMath {
    *  hashes whose k bits are ALL set). Bloom guarantee: a gram that IS
    *  in the filter's build set always hits (no false negatives); a hit
    *  is only probabilistic evidence (FPR set by m/n and k). */
+  /** All-k-bits-set test of one 60-bit hash against a Bloom bitmap;
+   *  see [[BloomHashProbe]]. Same 20-bit-field enhanced double
+   *  hashing as [[bloomHits]]. */
+  def bloomHashHit(h: Long, k: Int, bits: Array[Long]): Boolean = {
+    val mask = (bits.length.toLong << 6) - 1
+    val f1 = h & 0xFFFFFL
+    val f2 = (h >>> 20) & 0xFFFFFL
+    val f3 = (h >>> 40) & 0xFFFFFL
+    var hit = true
+    var p = 0
+    while (hit && p < k) {
+      val pos = (f1 + p * f2 + ((p.toLong * (p - 1)) / 2) * f3) & mask
+      hit = (bits((pos >>> 6).toInt) & (1L << (pos & 63))) != 0
+      p += 1
+    }
+    hit
+  }
+
   private val bloomHitsMemo = new RowMemo("bloom_hits")
 
   def bloomHits(text: String, n: Int, k: Int, bits: Array[Long]): InternalRow = {
@@ -2192,6 +2210,38 @@ case class LineFilterStats(child: Expression)
 }
 
 /**
+ * Single-hash Bloom membership probe: TRUE iff all k bits of a 60-bit
+ * hash are set in the broadcast bitmap — the SEMI-JOIN-REDUCTION side
+ * of the Bloom family ([[BloomProbe]] is the per-document gram
+ * counter; this is the per-row key test a bloom-accelerated anti-join
+ * uses to shrink its probe-side input to the possibly-present
+ * sliver). Same enhanced-double-hashing position arithmetic as the
+ * whole family; false = DEFINITELY absent (the one-sided guarantee
+ * the pre-filter's correctness rests on). No memo: one masked-add
+ * loop per row, cheaper than a lookup.
+ */
+case class BloomHashProbe(child: Expression, k: Int,
+    model: org.apache.spark.broadcast.Broadcast[Array[Long]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.bloomHashHit(v.asInstanceOf[Long], k, model.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("bloomHashModel", model,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.VectorMath.bloomHashHit($t, $k, " +
+        s"(long[])$mRef.value())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * Bloom-filter decontamination probe: struct(n_grams, n_hits) of a
  * text's distinct portable (md5-60) word n-grams against a broadcast
  * bitmap (built offline by
@@ -3134,6 +3184,11 @@ object native {
   def normalize_text(text: Column): Column =
     GraftColumnBridge.column(
       NormalizeText(GraftColumnBridge.expression(text)))
+
+  def bloom_hash_probe(h: Column, k: Int,
+      model: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
+    GraftColumnBridge.column(
+      BloomHashProbe(GraftColumnBridge.expression(h), k, model))
 
   def lsh_band_collide(text: Column, n: Int, k: Int, bands: Int,
       model: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =

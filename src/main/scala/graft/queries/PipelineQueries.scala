@@ -260,6 +260,43 @@ object PipelineQueries {
       .select(col("doc_id"), col("fp"))
   }
 
+  /**
+   * Incremental dedup with a BLOOM-ACCELERATED anti-join — the 100 TB
+   * form of [[dedupIncremental]]'s admission check: history
+   * fingerprints fold ONCE into a fixed bitmap (the stored artifact a
+   * pipeline maintains beside the fingerprint table), every fresh doc
+   * probes it row-locally ([[graft.functions.BloomHashProbe]]), and
+   * only the bloom-POSITIVE sliver reaches the exact anti-join — a
+   * bloom-negative doc is DEFINITELY new (the one-sided guarantee),
+   * so it admits with no join at all. Output is IDENTICAL to
+   * [[dedupIncremental]] (false positives just take the exact path
+   * and resolve there — spec-pinned equal, including under a
+   * deliberately saturated filter), so the oracle is literally the
+   * base query's SQL. At scale this turns the anti-join's probe side
+   * from |batch| into |batch| x FPR + |true dups| rows — the
+   * semi-join-reduction device engines apply internally, here as an
+   * explicit operator over a STORED filter that survives across
+   * batches (the engine-internal runtime filter is rebuilt per
+   * query and capped by the build side it can scan).
+   */
+  def dedupIncrementalBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val h60 = conv(substring(col("fp"), 1, 15), 16, 10).cast("bigint")
+    val hist = docs.filter(col("doc_id") % 5 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 5 === 0)
+    val bits = bloomBitsOfHashes(hist.select(h60.as("h")).distinct())
+    val bc = spark.sparkContext.broadcast(bits)
+    val probed = fresh.withColumn("maybe",
+      graft.functions.native.bloom_hash_probe(h60, DecontBloomK, bc))
+    val definitelyNew = probed.filter(!col("maybe")).drop("maybe")
+    val checked = probed.filter(col("maybe")).drop("maybe")
+      .join(hist.select(col("fp")), Seq("fp"), "left_anti")
+    definitelyNew.unionByName(checked)
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("fp"))
+  }
+
   /** Incremental CLUSTER-ID maintenance
    *  ([[DedupOps.incrementalClusterAssign]]): the same deterministic
    *  20% fresh slice as [[dedupIncremental]], ASSIGNED to the
@@ -1719,6 +1756,17 @@ object PipelineQueries {
    * combinable two-phase aggregation.
    */
   def bloomBitsOf(bench: DataFrame, n: Int = DecontN,
+      k: Int = DecontBloomK, m: Int = DecontBloomBits): Array[Long] =
+    bloomBitsOfHashes(bench
+      .select(explode(graft.functions.native.gram_hashes(
+        col("text"), n, portable = true)).as("h"))
+      .distinct(), k, m)
+
+  /** The [[bloomBitsOf]] core over a frame of 60-bit hashes in column
+   *  `h` — factored so non-gram keys (e.g. [[dedupIncrementalBloom]]'s
+   *  document fingerprints) fold into the same bitmap layout with the
+   *  same position arithmetic. */
+  def bloomBitsOfHashes(hashes: DataFrame,
       k: Int = DecontBloomK, m: Int = DecontBloomBits): Array[Long] = {
     require(m >= 64 && (m & (m - 1)) == 0 && m <= (1 << 20),
       s"bloom bitmap bits must be a power of two in [64, 2^20], got $m")
@@ -1728,10 +1776,7 @@ object PipelineQueries {
       + lit((i.toLong * (i - 1)) / 2) *
         shiftright(col("h"), 40).bitwiseAND(lit(mask)))
       .bitwiseAND(lit(mask))
-    val words = bench
-      .select(explode(graft.functions.native.gram_hashes(
-        col("text"), n, portable = true)).as("h"))
-      .distinct()
+    val words = hashes
       .select(explode(array((0 until k).map(pos): _*)).as("p"))
       .distinct()
       .select(shiftright(col("p"), 6).as("w"),

@@ -139,6 +139,41 @@ class BloomDecontSpec extends SparkSpec {
       exact.map(_.getAs[Long]("n_hits")).sum)
   }
 
+  test("dedup_incremental_bloom equals dedup_incremental row-for-row " +
+      "(the pre-filter is output-invariant)") {
+    val base = PipelineQueries.dedupIncremental(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val bloom = PipelineQueries.dedupIncrementalBloom(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(bloom == base)
+    assert(base.nonEmpty)
+  }
+
+  test("a saturated 64-bit fingerprint filter routes EVERY fresh doc " +
+      "through the exact path and still resolves identically") {
+    val docs = graft.model.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val h60 = conv(substring(col("fp"), 1, 15), 16, 10).cast("bigint")
+    val hist = docs.filter(col("doc_id") % 5 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 5 === 0)
+    val bits = PipelineQueries.bloomBitsOfHashes(
+      hist.select(h60.as("h")).distinct(), k, 64)
+    assert(bits.forall(_ == -1L) || bits.exists(_ != 0L),
+      "64-bit filter over hundreds of fingerprints should saturate")
+    val bc = spark.sparkContext.broadcast(bits)
+    val probed = fresh.withColumn("maybe",
+      graft.functions.native.bloom_hash_probe(h60, k, bc))
+    assert(probed.filter(!col("maybe")).count() == 0,
+      "saturated filter must flag everything as possibly-present")
+    val viaExact = probed.filter(col("maybe")).drop("maybe")
+      .join(hist.select(col("fp")), Seq("fp"), "left_anti")
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .collect().map(r => (r.getLong(1), r.getString(0))).toSet
+    val base = PipelineQueries.dedupIncremental(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaExact == base)
+  }
+
   test("bloomGateStream admits exactly the complement of the batch " +
       "bloom flags on the same frame") {
     val docs = graft.model.Tables.documents(spark, sfDir)
