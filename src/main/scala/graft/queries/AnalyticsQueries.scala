@@ -146,6 +146,31 @@ object AnalyticsQueries {
       .select(col("event_type"), col("day"), col("n"), col("sum_v"))
 
   /**
+   * Arbitrary GROUPING SETS — the explicit-sets member beside ROLLUP's
+   * prefix lattice and CUBE's full lattice: exactly the (type, day),
+   * (type), (day) marginals with the uninteresting (type, day)-less
+   * grand total OMITTED — the shape a dashboard wants when the full
+   * cube wastes rows. One Expand + one hash agg, same as rollup/cube;
+   * grouping_id disambiguates the all-NULL margins from genuine NULL
+   * keys. Declared via spark.sql (the DataFrame API spells it
+   * groupingSets since 3.4; SQL keeps both engines' text aligned).
+   */
+  def eventGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir).createOrReplaceTempView("events_gs")
+    spark.sql(
+      """SELECT event_type, CAST(CAST(ts AS DATE) AS STRING) AS day,
+        |       CAST(grouping_id(event_type, CAST(CAST(ts AS DATE) AS STRING))
+        |            AS BIGINT) AS gid,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_v
+        |FROM events_gs
+        |GROUP BY GROUPING SETS (
+        |  (event_type, CAST(CAST(ts AS DATE) AS STRING)),
+        |  (event_type),
+        |  (CAST(CAST(ts AS DATE) AS STRING)))""".stripMargin)
+  }
+
+  /**
    * Row-frame window analytics: per-user moving average of `value` over
    * the current and 3 preceding events (ROWS frame, the streaming-ledger
    * idiom). Sum is decimal-exact inside the frame; the final divide is

@@ -2326,6 +2326,19 @@ object Oracles {
       |      FROM events) t
       |GROUP BY ROLLUP (event_type, day)""".stripMargin
 
+  /** Mirrors [[AnalyticsQueries.eventGroupingSets]]: the same three
+   *  explicit sets, same grouping_id bit order (both engines number
+   *  the mask over the listed group-by expressions left-to-right),
+   *  same decimal-exact sum. */
+  val eventGroupingSets: String =
+    """SELECT event_type, day,
+      |       CAST(grouping_id(event_type, day) AS BIGINT) AS gid,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_v
+      |FROM (SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, value
+      |      FROM events) t
+      |GROUP BY GROUPING SETS ((event_type, day), (event_type), (day))""".stripMargin
+
   /** ROWS-frame moving average: decimal-exact frame sum, one double
    *  divide, rounded — mirrors the Spark window expression exactly. */
   val movingAvg: String =
