@@ -152,23 +152,23 @@ object AnalyticsQueries {
    * grand total OMITTED — the shape a dashboard wants when the full
    * cube wastes rows. One Expand + one hash agg, same as rollup/cube;
    * grouping_id disambiguates the all-NULL margins from genuine NULL
-   * keys. Declared via spark.sql (the DataFrame API spells it
-   * groupingSets since 3.4; SQL keeps both engines' text aligned).
+   * keys. The Spark 4 Dataset `groupingSets` API — no temp view, no
+   * session-catalog side effect (the first cut registered one, the
+   * registry's only catalog mutation; reviewed away).
    */
-  def eventGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.events(spark, sfDir).createOrReplaceTempView("events_gs")
-    spark.sql(
-      """SELECT event_type, CAST(CAST(ts AS DATE) AS STRING) AS day,
-        |       CAST(grouping_id(event_type, CAST(CAST(ts AS DATE) AS STRING))
-        |            AS BIGINT) AS gid,
-        |       count(*) AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_v
-        |FROM events_gs
-        |GROUP BY GROUPING SETS (
-        |  (event_type, CAST(CAST(ts AS DATE) AS STRING)),
-        |  (event_type),
-        |  (CAST(CAST(ts AS DATE) AS STRING)))""".stripMargin)
-  }
+  def eventGroupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("day", to_date(col("ts")).cast("string"))
+      .groupingSets(
+        Seq(Seq(col("event_type"), col("day")), Seq(col("event_type")),
+          Seq(col("day"))),
+        col("event_type"), col("day"))
+      .agg(grouping_id(col("event_type"), col("day")).cast("bigint")
+          .as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_v"))
+      .select(col("event_type"), col("day"), col("gid"), col("n"),
+        col("sum_v"))
 
   /**
    * Row-frame window analytics: per-user moving average of `value` over

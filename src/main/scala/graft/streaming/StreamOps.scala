@@ -249,7 +249,7 @@ object StreamOps {
    * growth — the entire point of sketching an unbounded stream; the
    * exact wordcount twin's state grows with distinct words. The
    * snapshot equals the batch `countMinCells` build over everything
-   * seen (sum-mergeability, RunTopologySpec-pinned cell-for-cell),
+   * seen (sum-mergeability, CountMinSpec-pinned cell-for-cell),
    * so batch point lookups serve from the live state unchanged.
    * The per-word weight is 1 here where the batch build weights by
    * the pre-agged count c — same sums, one streaming agg (chained

@@ -19,6 +19,23 @@ class CorpusExportSpec extends SparkSpec {
     finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("the export frame moves document bytes exactly once: one " +
+      "Exchange, no Join, and its manifest equals the shuffle_shard " +
+      "query row-for-row") {
+    val frame = CorpusExport.exportFrame(spark, sfDir)
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1,
+      "expected exactly one exchange (the rank window's):\n" + plan)
+    assert(!plan.contains("Join"), "export frame joins:\n" + plan)
+    val manifest = frame
+      .select(col("doc_id"), col("shard"), col("pos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val query = graft.queries.PipelineQueries.shuffleShard(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(manifest == query,
+      "export assignment diverged from the shuffle_shard query")
+  }
+
   test("every shard file reads back in training order without a sort") {
     withExport { out =>
       CorpusExport.exportShards(spark, sfDir, out)
