@@ -702,6 +702,51 @@ object EngineProps extends Properties("graft") {
         graft.functions.VectorMath.dsirPrefix60(w) == want
     }
 
+  private val bloomTextGen: Gen[String] =
+    Gen.listOfN(12, Gen.oneOf("a", "b", "cc", "d9", "é", "zz", "a"))
+      .map(_.mkString(" "))
+
+  property("bloom one-sidedness: every inserted hash probes true, and " +
+      "any probe agrees with the plain all-k-positions definition") =
+    forAll(Gen.listOfN(25, Gen.identifier), Gen.listOfN(10, Gen.identifier),
+        Gen.choose(1, 7), Gen.oneOf(64, 512, 4096)) { (ins, extra, k, m) =>
+      // independent position arithmetic (not the kernel's)
+      def positions(h: Long): Seq[Long] = {
+        val mask = (m - 1).toLong
+        val (a, b, c) =
+          (h & 0xFFFFFL, (h >>> 20) & 0xFFFFFL, (h >>> 40) & 0xFFFFFL)
+        (0 until k).map(i => (a + i * b + (i.toLong * (i - 1) / 2) * c) & mask)
+      }
+      val bits = new Array[Long](m / 64)
+      val hs = ins.map(graft.functions.VectorMath.dsirPrefix60)
+      hs.foreach(h => positions(h).foreach(p =>
+        bits((p >>> 6).toInt) |= (1L << (p & 63))))
+      val noFalseNeg = hs.forall(h =>
+        graft.functions.VectorMath.bloomHashHit(h, k, bits))
+      val agrees = extra.map(graft.functions.VectorMath.dsirPrefix60)
+        .forall { h =>
+          graft.functions.VectorMath.bloomHashHit(h, k, bits) ==
+            positions(h).forall(p => (bits((p >>> 6).toInt) &
+              (1L << (p & 63))) != 0)
+        }
+      noFalseNeg && agrees
+    }
+
+  property("bloomHits decomposes: n_grams = distinct portable gram " +
+      "hashes, n_hits = those whose hash probes true (scalar and " +
+      "document kernels agree on arbitrary bit patterns)") =
+    forAll(bloomTextGen, Gen.choose(1, 6), Gen.choose(2, 4),
+        Gen.listOfN(8, Gen.choose(Long.MinValue, Long.MaxValue))) {
+      (text, k, n, words) =>
+        val bits = words.toArray // arbitrary pattern, fresh per case
+        val gh = graft.functions.VectorMath
+          .gramHashes(text, n, portable = true).toLongArray().distinct
+        val r = graft.functions.VectorMath.bloomHits(text, n, k, bits)
+        r.getLong(0) == gh.length &&
+          r.getLong(1) == gh.count(h =>
+            graft.functions.VectorMath.bloomHashHit(h, k, bits))
+    }
+
   property("dsirScore totality + additivity: any text yields " +
       "(n_words >= 0, finite sum); score of a concatenation with a " +
       "space equals the sum of the parts' scores") =
