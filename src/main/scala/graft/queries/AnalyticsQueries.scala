@@ -171,6 +171,31 @@ object AnalyticsQueries {
         col("sum_v"))
 
   /**
+   * RANGE-frame window analytics — the event-TIME frame member beside
+   * [[movingAvg]]'s ROWS frame: per event, how many events (and how
+   * much value) the same user produced in the trailing hour,
+   * INCLUDING time-peers — a RANGE frame admits every row whose key
+   * falls in [t-1h, t], however many, where a ROWS frame counts
+   * physical rows (the difference is exactly ties and gaps; the
+   * trailing-window rate metric ops teams alert on). Frame key is
+   * exact integer MICROSECONDS (unix_micros ≡ DuckDB epoch_us —
+   * sub-second timestamps make truncated seconds vs rounded doubles
+   * an engine hazard; exact integers make ties identical in both).
+   * Decimal-exact sum; one shuffle on user_id, per-partition sort —
+   * the standard window shape at any scale.
+   */
+  def eventRangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    Tables.events(spark, sfDir).select(
+      col("event_id"), col("user_id"),
+      count(lit(1)).over(w).as("n_1h"),
+      sum(col("value").cast("decimal(14,2)")).over(w)
+        .cast("double").as("sum_1h"))
+  }
+
+  /**
    * Row-frame window analytics: per-user moving average of `value` over
    * the current and 3 preceding events (ROWS frame, the streaming-ledger
    * idiom). Sum is decimal-exact inside the frame; the final divide is

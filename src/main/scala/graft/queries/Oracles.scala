@@ -2339,6 +2339,18 @@ object Oracles {
       |      FROM events) t
       |GROUP BY GROUPING SETS ((event_type, day), (event_type), (day))""".stripMargin
 
+  /** Mirrors [[AnalyticsQueries.eventRangeFrame]]: same exact
+   *  integer-microsecond frame key (epoch_us ≡ unix_micros), same
+   *  bounds, same decimal-exact sum. */
+  val eventRangeFrame: String =
+    """SELECT event_id, user_id,
+      |       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+      |       CAST(sum(CAST(value AS DECIMAL(14,2))) OVER w AS DOUBLE)
+      |         AS sum_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
   /** ROWS-frame moving average: decimal-exact frame sum, one double
    *  divide, rounded — mirrors the Spark window expression exactly. */
   val movingAvg: String =
