@@ -171,6 +171,43 @@ object AnalyticsQueries {
         col("sum_v"))
 
   /**
+   * Join-key SKEW REPORT — the diagnostic an ops team runs BEFORE
+   * choosing a skew mitigation ([[graft.ops.JoinOps.saltedJoin]] /
+   * AQE skew-join / broadcast): per candidate key column, the key
+   * count, row total, heaviest key and its frequency, the exact
+   * median key frequency, and the max/median skew factor (the number
+   * that says whether the heaviest shuffle partition is 2x or 2000x
+   * the typical one). Hot-key tie-break is deterministic (highest
+   * count, then smallest key — a struct min, no window). One
+   * two-phase agg per profiled column over its own scan; the count
+   * frames are key-sized. Complements [[eventProfile]], which
+   * reports null/distinct/range per column but nothing about the
+   * frequency DISTRIBUTION.
+   */
+  def skewReport(spark: SparkSession, sfDir: String): DataFrame = {
+    def one(label: String, df: DataFrame,
+        key: org.apache.spark.sql.Column): DataFrame = {
+      val c = df.groupBy(key.cast("string").as("k"))
+        .agg(count(lit(1)).as("n"))
+      c.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_n"),
+        min(struct((-col("n")).as("neg"), col("k"))).getField("k")
+          .as("hot_key"),
+        round(expr("percentile(n, 0.5)"), 4).as("p50_n"),
+        round(max(col("n")) / expr("percentile(n, 0.5)"), 2).as("skew_r"))
+        .select(lit(label).as("key_col"), col("n_keys"), col("n_rows"),
+          col("max_n"), col("hot_key"), col("p50_n"), col("skew_r"))
+    }
+    val ev = Tables.events(spark, sfDir)
+    one("user_id", ev, col("user_id"))
+      .unionByName(one("event_type", ev, col("event_type")))
+      .unionByName(one("source",
+        Tables.documents(spark, sfDir), col("source")))
+  }
+
+  /**
    * RANGE-frame window analytics — the event-TIME frame member beside
    * [[movingAvg]]'s ROWS frame: per event, how many events (and how
    * much value) the same user produced in the trailing hour,

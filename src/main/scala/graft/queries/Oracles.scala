@@ -2339,6 +2339,33 @@ object Oracles {
       |      FROM events) t
       |GROUP BY GROUPING SETS ((event_type, day), (event_type), (day))""".stripMargin
 
+  /** Mirrors [[AnalyticsQueries.skewReport]]: same per-column count
+   *  frames, same hot-key tie-break (count desc, key asc), percentile
+   *  ≡ quantile_cont (the valueQuantiles device), identical double
+   *  operands for the skew ratio. */
+  val skewReport: String = {
+    def one(label: String, cte: String): String =
+      s"""SELECT '$label' AS key_col,
+         |  CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(sum(n) AS BIGINT) AS n_rows,
+         |  CAST(max(n) AS BIGINT) AS max_n,
+         |  (SELECT k FROM $cte ORDER BY n DESC, k LIMIT 1) AS hot_key,
+         |  round(quantile_cont(n, 0.5), 4) AS p50_n,
+         |  round(max(n) / quantile_cont(n, 0.5), 2) AS skew_r
+         |FROM $cte""".stripMargin
+    s"""WITH cu AS (SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS n
+       |            FROM events GROUP BY 1),
+       |ce AS (SELECT CAST(event_type AS VARCHAR) AS k, count(*) AS n
+       |       FROM events GROUP BY 1),
+       |cs AS (SELECT CAST(source AS VARCHAR) AS k, count(*) AS n
+       |       FROM documents GROUP BY 1)
+       |${one("user_id", "cu")}
+       |UNION ALL
+       |${one("event_type", "ce")}
+       |UNION ALL
+       |${one("source", "cs")}""".stripMargin
+  }
+
   /** Mirrors [[AnalyticsQueries.eventRangeFrame]]: same exact
    *  integer-microsecond frame key (epoch_us ≡ unix_micros), same
    *  bounds, same decimal-exact sum. */
