@@ -1,0 +1,126 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Z-order layout: kernel correctness against an independent
+  * bit-string reference + per-dimension monotonicity, and the layout
+  * claim MEASURED from the written parquet footers — row groups a 2-d
+  * box predicate cannot skip, z-layout vs single-key layout — plus
+  * read-back correctness. */
+class ZOrderSpec extends SparkSpec {
+
+  test("zInterleave matches an independent binary-string reference " +
+      "and is monotone per dimension") {
+    def ref(a: Long, b: Long, bits: Int): Long = {
+      val as = a.toBinaryString.reverse.padTo(bits, '0').take(bits)
+      val bs = b.toBinaryString.reverse.padTo(bits, '0').take(bits)
+      val inter = as.zip(bs).flatMap { case (x, y) => Seq(x, y) }.mkString
+      java.lang.Long.parseLong(inter.reverse, 2)
+    }
+    val rnd = new scala.util.Random(7L)
+    (0 until 300).foreach { _ =>
+      val bits = 1 + rnd.nextInt(20)
+      val a = rnd.nextLong().abs % (1L << bits)
+      val b = rnd.nextLong().abs % (1L << bits)
+      assert(graft.functions.VectorMath.zInterleave(a, b, bits) ==
+        ref(a, b, bits), s"a=$a b=$b bits=$bits")
+      if (a + 1 < (1L << bits))
+        assert(graft.functions.VectorMath.zInterleave(a + 1, b, bits) >
+          graft.functions.VectorMath.zInterleave(a, b, bits))
+      if (b + 1 < (1L << bits))
+        assert(graft.functions.VectorMath.zInterleave(a, b + 1, bits) >
+          graft.functions.VectorMath.zInterleave(a, b, bits))
+    }
+  }
+
+  /** Row groups the box predicate CANNOT skip, straight from the
+    * parquet footers: min/max envelope of both columns intersects the
+    * box. */
+  private def unskippable(path: String, userLo: Long, userHi: Long,
+      valLo: Double, valHi: Double): (Int, Int) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    var total = 0
+    var hit = 0
+    files.foreach { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        reader.getFooter.getBlocks.asScala.foreach { block =>
+          total += 1
+          def stats(name: String) = block.getColumns.asScala
+            .find(_.getPath.toDotString == name).get.getStatistics
+          val u = stats("user_id")
+          val v = stats("value")
+          val uMin = u.genericGetMin.asInstanceOf[java.lang.Long].longValue
+          val uMax = u.genericGetMax.asInstanceOf[java.lang.Long].longValue
+          val vMin = v.genericGetMin.asInstanceOf[java.lang.Double].doubleValue
+          val vMax = v.genericGetMax.asInstanceOf[java.lang.Double].doubleValue
+          if (uMax >= userLo && uMin <= userHi &&
+            vMax >= valLo && vMin <= valHi) hit += 1
+        }
+      } finally reader.close()
+    }
+    (hit, total)
+  }
+
+  test("z-layout skips on BOTH dimensions where the single-key layout " +
+      "collapses on the non-sort dimension (measured from footers), " +
+      "and reads back identically") {
+    val ev = graft.model.Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val zDir = Files.createTempDirectory("zorder").toFile
+    val sDir = Files.createTempDirectory("singlekey").toFile
+    try {
+      ZOrderLayout.writeZOrdered(ev, zDir.getAbsolutePath,
+        col("user_id"), floor(col("value")).cast("long"))
+      ZOrderLayout.writeSorted(ev, sDir.getAbsolutePath, col("user_id"))
+      val fullUser = (Long.MinValue, Long.MaxValue)
+      val fullVal = (Double.MinValue, Double.MaxValue)
+      // value-only predicate: the dimension the single-key sort does
+      // NOT cover — every one of its row groups spans the full value
+      // range, so NOTHING skips; the z layout must skip a majority
+      val (zv, zTotal) = unskippable(zDir.getAbsolutePath,
+        fullUser._1, fullUser._2, 200.0, 300.0)
+      val (sv, sTotal) = unskippable(sDir.getAbsolutePath,
+        fullUser._1, fullUser._2, 200.0, 300.0)
+      assert(zTotal >= 8 && sTotal >= 8,
+        s"need many row groups to measure pruning: z=$zTotal s=$sTotal")
+      assert(sv >= sTotal - 2,
+        s"single-key layout should skip (almost) nothing on its " +
+          s"non-sort dim: $sv/$sTotal")
+      assert(zv * 2 <= zTotal,
+        s"z-layout should skip a majority on value: $zv/$zTotal")
+      // user-only predicate: the single-key sort's home turf — z is
+      // allowed to be worse here, but must still skip SOMETHING (the
+      // documented trade: per-dim perfection exchanged for all-dims
+      // adequacy)
+      val (zu, _) = unskippable(zDir.getAbsolutePath,
+        2L, 20L, fullVal._1, fullVal._2)
+      assert(zu < zTotal, s"z-layout skipped nothing on user: $zu/$zTotal")
+      // 2-d box: z must beat the value-blind single-key TOTAL scan
+      // shape on the combined predicate too
+      val (zb, _) = unskippable(zDir.getAbsolutePath, 2L, 20L, 200.0, 300.0)
+      assert(zb <= zv && zb <= zu,
+        s"box pruning should compose both dims: box=$zb value=$zv user=$zu")
+      val pred = col("user_id").between(2L, 20L) &&
+        col("value").between(200.0, 300.0)
+      val want = ev.filter(pred).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val got = spark.read.parquet(zDir.getAbsolutePath).filter(pred)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got == want, "z-layout read-back diverged")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(zDir)
+      org.apache.commons.io.FileUtils.deleteQuietly(sDir)
+    }
+  }
+}
