@@ -2234,12 +2234,19 @@ case class LineFilterStats(child: Expression)
  * prune 2-d box predicates that a single-key sort order cannot; the
  * same idea Delta/Iceberg expose as OPTIMIZE ZORDER, here as a plain
  * write-path column over OSS parquet —
- * [[graft.sources.ZOrderLayout]]). Codegen'd; truncation to `bits`
- * is the standard z-order coarsening (keys above 2^bits share the
- * top cell).
+ * [[graft.sources.ZOrderLayout]]). Codegen'd. Keys MUST be
+ * pre-scaled into [0, 2^bits): low-bit truncation means an
+ * out-of-range key ALIASES mod 2^bits (the maximum key lands in the
+ * same cell as key 0 — not a coarsening), which is why
+ * [[graft.sources.ZOrderLayout.writeZOrdered]] min/max-scales first.
+ * `bits` is capped at 31 so both dimensions' top bits stay clear of
+ * the long sign bit (bit 63 set would make z negative and invert the
+ * sort; shifts past 63 would wrap) — checked at plan build.
  */
 case class ZInterleave(left: Expression, right: Expression, bits: Int)
     extends BinaryExpression {
+  require(bits >= 1 && bits <= 31,
+    s"z-interleave bits must be in [1, 31], got $bits")
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
 

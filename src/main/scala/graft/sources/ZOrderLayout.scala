@@ -38,19 +38,28 @@ object ZOrderLayout {
    *  bucketing; linear min/max scaling is its skew-free core. */
   def writeZOrdered(df: DataFrame, path: String, a: Column, b: Column,
       bits: Int = 16, files: Int = 4, rowGroupBytes: Long = 16384L): Unit = {
+    val zCol = "__graft_z_order_key"
+    require(!df.columns.contains(zCol),
+      s"input already has a $zCol column") // never silently drop data
     val top = (1L << bits) - 1
     val r = df.agg(min(a).cast("double"), max(a).cast("double"),
       min(b).cast("double"), max(b).cast("double")).head()
+    if (r.isNullAt(0) || r.isNullAt(2)) {
+      // empty input (or all-null keys): nothing to cluster — write as-is
+      df.write.option("parquet.block.size", rowGroupBytes.toString)
+        .mode("overwrite").parquet(path)
+      return
+    }
     def scaled(c: Column, lo: Double, hi: Double): Column =
       if (hi > lo) round((c.cast("double") - lit(lo))
         / lit(hi - lo) * lit(top.toDouble)).cast("long")
       else lit(0L)
-    df.withColumn("_z", graft.functions.native.z_interleave(
+    df.withColumn(zCol, graft.functions.native.z_interleave(
         scaled(a, r.getDouble(0), r.getDouble(1)),
         scaled(b, r.getDouble(2), r.getDouble(3)), bits))
-      .repartitionByRange(files, col("_z"))
-      .sortWithinPartitions(col("_z"))
-      .drop("_z")
+      .repartitionByRange(files, col(zCol))
+      .sortWithinPartitions(col(zCol))
+      .drop(zCol)
       .write.option("parquet.block.size", rowGroupBytes.toString)
       .mode("overwrite").parquet(path)
   }

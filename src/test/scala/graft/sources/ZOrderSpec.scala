@@ -38,6 +38,33 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("bits outside [1, 31] are rejected at plan build (32 would put " +
+      "a dimension bit in the long sign bit and invert the sort)") {
+    intercept[IllegalArgumentException] {
+      graft.functions.ZInterleave(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L),
+        org.apache.spark.sql.catalyst.expressions.Literal(1L), 32)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.ZInterleave(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L),
+        org.apache.spark.sql.catalyst.expressions.Literal(1L), 0)
+    }
+  }
+
+  test("empty input writes an empty dataset instead of crashing on " +
+      "the null min/max row") {
+    val dir = Files.createTempDirectory("zorder_empty").toFile
+    try {
+      val ev = graft.model.Tables.events(spark, "/root/testdata/sf0.001")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .filter(lit(false))
+      ZOrderLayout.writeZOrdered(ev, dir.getAbsolutePath,
+        col("user_id"), floor(col("value")).cast("long"))
+      assert(spark.read.parquet(dir.getAbsolutePath).count() == 0)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   /** Row groups the box predicate CANNOT skip, straight from the
     * parquet footers: min/max envelope of both columns intersects the
     * box. */
@@ -83,7 +110,10 @@ class ZOrderSpec extends SparkSpec {
         col("user_id"), floor(col("value")).cast("long"))
       ZOrderLayout.writeSorted(ev, sDir.getAbsolutePath, col("user_id"))
       val fullUser = (Long.MinValue, Long.MaxValue)
-      val fullVal = (Double.MinValue, Double.MaxValue)
+      // NegativeInfinity, NOT Double.MinValue (the smallest POSITIVE
+      // double) - with MinValue an all-non-positive row group would
+      // wrongly count as skippable
+      val fullVal = (Double.NegativeInfinity, Double.MaxValue)
       // value-only predicate: the dimension the single-key sort does
       // NOT cover — every one of its row groups spans the full value
       // range, so NOTHING skips; the z layout must skip a majority
@@ -105,11 +135,18 @@ class ZOrderSpec extends SparkSpec {
       val (zu, _) = unskippable(zDir.getAbsolutePath,
         2L, 20L, fullVal._1, fullVal._2)
       assert(zu < zTotal, s"z-layout skipped nothing on user: $zu/$zTotal")
-      // 2-d box: z must beat the value-blind single-key TOTAL scan
-      // shape on the combined predicate too
+      // 2-d box, BOTH layouts measured (the first cut asserted
+      // zb <= zv && zb <= zu, which holds for ANY layout by set
+      // inclusion - the vacuous-assert class the round's reviews
+      // keep catching): the honest pin is that the box prunes a
+      // majority of z row groups; the single-key count rides in the
+      // message (on ultra-selective solo dimensions a single-key
+      // sort can legitimately tie or win the box)
       val (zb, _) = unskippable(zDir.getAbsolutePath, 2L, 20L, 200.0, 300.0)
-      assert(zb <= zv && zb <= zu,
-        s"box pruning should compose both dims: box=$zb value=$zv user=$zu")
+      val (sb, _) = unskippable(sDir.getAbsolutePath, 2L, 20L, 200.0, 300.0)
+      assert(zb * 2 <= zTotal,
+        s"2-d box should prune a majority of z row groups: " +
+          s"z $zb/$zTotal vs single-key $sb/$sTotal")
       val pred = col("user_id").between(2L, 20L) &&
         col("value").between(200.0, 300.0)
       val want = ev.filter(pred).collect()
