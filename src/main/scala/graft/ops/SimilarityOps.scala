@@ -591,6 +591,76 @@ object SimilarityOps {
   }
 
   /**
+   * SQ8 scalar quantization (the faiss `SQ8` workhorse next to PQ):
+   * each dimension is min/max-scaled to one unsigned byte, so a
+   * `dim`-float vector stores as `dim` bytes (4× compression) and is
+   * decoded row-locally to the bucket MIDPOINT
+   * `mn + (code + 0.5)·(mx − mn)/255` — the reconstruction whose
+   * worst-case per-dim error is half a quantization step. Scoring is
+   * asymmetric (full-precision query against decoded corpus), the
+   * ADC convention.
+   *
+   * Determinism contract (how a trained quantizer sits under a DuckDB
+   * oracle): the model artifact is the per-dim min/max — EXACT
+   * aggregates of float32 values, no summation — and the code is
+   * `clamp(floor((x − mn)·255/(mx − mn)))` with every operand an
+   * IEEE double in the same association order on both engines; the
+   * decoded value is rounded once to float32 (round-to-nearest-even
+   * on both), and the cosine is the shared sequential-order double
+   * dot. A constant dimension (mx = mn) decodes to mn by definition.
+   *
+   * Scale shape: ONE corpus pass computes the 2·dim min/max scalars
+   * (a two-phase agg with no grouping — the model artifact is 512
+   * bytes at any corpus size); encode/decode are row-local
+   * expressions fused into the scan (production stores the code
+   * array — dim bytes/vector — and decodes at scoring time exactly as
+   * here); scoring joins the decoded corpus to a BROADCAST query
+   * table and never shuffles corpus floats; the rank cut is the
+   * WindowGroupLimit contract. Memory-side trade vs [[pqTopK]]: 16×
+   * more bytes per vector than m=4 codes, near-exact recall —
+   * SimilarityOpsSpec pins recall@10 strictly above PQ's and ≥ 0.9.
+   */
+  def sq8TopK(emb: DataFrame, queryIds: Seq[Long], kTop: Int, dim: Int)
+      : DataFrame = {
+    // the model artifact: per-dim min/max (exact, order-independent)
+    val statsAggs = (0 until dim).flatMap(i => Seq(
+      min(element_at(col("embedding"), i + 1)).as(s"mn$i"),
+      max(element_at(col("embedding"), i + 1)).as(s"mx$i")))
+    val st = emb.agg(statsAggs.head, statsAggs.tail: _*).collect()(0)
+    val mins = (0 until dim).map(i => st.getFloat(2 * i).toDouble)
+    val maxs = (0 until dim).map(i => st.getFloat(2 * i + 1).toDouble)
+    val mnC = typedlit(mins)
+    val mxC = typedlit(maxs)
+    // encode + decode fused, row-local: code = clamp(floor((x-mn)*255/(mx-mn)))
+    val recon = emb.select(col("vec_id"),
+      transform(col("embedding"), (x, i) => {
+        val mn = element_at(mnC, i + 1)
+        val mx = element_at(mxC, i + 1)
+        val code = least(lit(255L), greatest(lit(0L),
+          floor((x.cast("double") - mn) * lit(255.0) / (mx - mn))))
+        when(mx === mn, mn.cast("float"))
+          .otherwise((mn + ((code + lit(0.5)) * (mx - mn)) / lit(255.0))
+            .cast("float"))
+      }).as("embedding"))
+    // asymmetric scoring: full-precision queries vs decoded corpus
+    val q = emb.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        l2Norm(col("embedding")).as("q_nrm"))
+    val scored = recon.withColumn("nrm", l2Norm(col("embedding")))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", coalesce(
+        dot(col("embedding"), col("q_emb")) /
+          nullif(col("nrm") * col("q_nrm"), lit(0.0)),
+        lit(Double.NegativeInfinity)))
+    val rank = row_number().over(
+      Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id")))
+    scored.withColumn("rank", rank.cast("bigint")).filter(col("rank") <= kTop)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("score"), 4).as("score_r"))
+  }
+
+  /**
    * IVF-PQ (IVFADC, Jégou, Douze & Schmid 2011 §IV) — the composition
    * of the partition-side and memory-side ANN rungs, and the
    * production 100 TB shape: a coarse [[kmeansCentroids]] quantizer

@@ -874,6 +874,51 @@ object Oracles {
        |WHERE rank <= ${PipelineQueries.SimK}""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.simSq8]] by re-deriving the WHOLE SQ8
+   *  quantizer: per-dim min/max (EXACT float aggregates — no
+   *  summation, so the model reproduces without a tolerance),
+   *  clamp(floor((x−mn)·255/(mx−mn))) codes with every operand an
+   *  IEEE double in the same association order, midpoint decode
+   *  rounded once to FLOAT (round-to-nearest-even on both engines; a
+   *  constant dim decodes to mn), then the shared sequential-order
+   *  asymmetric cosine. */
+  val simSq8: String = {
+    val ids = PipelineQueries.SimQueryIds.mkString(", ")
+    val dim = PipelineQueries.EmbeddingDim
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |st AS (
+       |  SELECT d.d AS d, CAST(min(embedding[d.d + 1]) AS DOUBLE) AS mn,
+       |         CAST(max(embedding[d.d + 1]) AS DOUBLE) AS mx
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, $dim)) AS d) d
+       |  GROUP BY 1),
+       |rc AS (
+       |  SELECT e.vec_id,
+       |         list(CASE WHEN st.mx = st.mn THEN CAST(st.mn AS FLOAT)
+       |              ELSE CAST(st.mn + ((LEAST(255, GREATEST(0,
+       |                     floor((CAST(e.embedding[st.d + 1] AS DOUBLE) - st.mn)
+       |                           * 255.0 / (st.mx - st.mn)))) + 0.5)
+       |                   * (st.mx - st.mn)) / 255.0 AS FLOAT) END
+       |              ORDER BY st.d) AS re
+       |  FROM e CROSS JOIN st
+       |  GROUP BY e.vec_id),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe,
+       |             sqrt(${dotSql.format("embedding", "embedding")}) AS qn
+       |      FROM embeddings WHERE vec_id IN ($ids)),
+       |sc AS (
+       |  SELECT q.query_id, rc.vec_id,
+       |         coalesce((${dotSql.format("rc.re", "q.qe")})
+       |             / nullif(sqrt(${dotSql.format("rc.re", "rc.re")}) * q.qn, 0),
+       |           CAST('-infinity' AS DOUBLE)) AS score
+       |  FROM rc CROSS JOIN q WHERE rc.vec_id <> q.query_id),
+       |r AS (SELECT query_id,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY score DESC, vec_id) AS BIGINT) AS rank,
+       |        vec_id AS neighbor_id, round(score, 4) AS score_r
+       |      FROM sc)
+       |SELECT query_id, rank, neighbor_id, score_r FROM r
+       |WHERE rank <= ${PipelineQueries.SimK}""".stripMargin
+  }
+
   /** Mirrors [[PipelineQueries.simIvfPq]] by re-deriving the WHOLE
    *  two-level IVFADC index: the shared coarse unrolled-Lloyd prefix
    *  (bit-identical centroids and cell assignment with the

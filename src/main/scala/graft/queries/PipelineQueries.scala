@@ -585,6 +585,16 @@ object PipelineQueries {
       SimK, dim = EmbeddingDim, nCells = KmCells, nProbe = KmProbe,
       m = PqM, ks = PqKs, iters = KmIters)
 
+  /** SQ8 scalar-quantized top-k ([[SimilarityOps.sq8TopK]]): per-dim
+   *  min/max scaling to one byte per dimension (4× compression,
+   *  near-exact recall — the faiss SQ8 point on the memory/recall
+   *  curve, next to [[simPq]]'s 64× / coarse point), asymmetric
+   *  scoring of full-precision queries against midpoint-decoded
+   *  corpus vectors. */
+  def simSq8(spark: SparkSession, sfDir: String): DataFrame =
+    SimilarityOps.sq8TopK(Tables.embeddings(spark, sfDir), SimQueryIds, SimK,
+      dim = EmbeddingDim)
+
   // ---- text analysis ------------------------------------------------------
 
   def textLangId(spark: SparkSession, sfDir: String): DataFrame =

@@ -134,6 +134,25 @@ class PlanShapeSpec extends SparkSpec {
       "the monitor must not re-scan the corpus:\n" + p)
   }
 
+  test("SQ8 decodes row-locally against the BROADCAST query table " +
+      "(corpus floats never shuffle before scoring) and prunes the " +
+      "rank via WindowGroupLimit") {
+    val p = plan("sim_sq8")
+    // brute-force-over-decoded is the intended scoring: a broadcast
+    // nested-loop against the |queries|-row side, never a shuffled join
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "query side must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "corpus must not shuffle for the tiny query join:\n" + p)
+    assert(p.contains("WindowGroupLimit"),
+      "top-k rank must prune via WindowGroupLimit:\n" + p)
+    // decode is fused into the scan projection: exactly two corpus scans
+    // (one for the recon side, one for the filtered query side) — the
+    // min/max model pass happens eagerly at build time, outside this plan
+    assert("Scan parquet".r.findAllIn(p).size <= 2,
+      "decode must fuse into the corpus scan, not re-scan:\n" + p)
+  }
+
   test("IVF-PQ scoring joins the broadcast probe table on cell; codes " +
       "and ADC lookups never fall back to all-pairs") {
     val p = plan("sim_ivfpq")

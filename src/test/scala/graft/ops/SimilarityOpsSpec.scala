@@ -320,6 +320,85 @@ class SimilarityOpsSpec extends SparkSpec {
       f"production-size codebooks under floor: $r64%.3f / $r256%.3f")
   }
 
+  test("sq8TopK: full pipeline (min/max model, clamp-floor codes, " +
+      "midpoint float32 decode, asymmetric cosine) matches a " +
+      "plain-Scala reference exactly, constant dims included") {
+    // dims: varying / CONSTANT / varying-with-negatives / constant
+    val data = Seq(
+      (0L, Seq(0.0f, 5.0f, -1.0f, 2.0f)),
+      (1L, Seq(1.0f, 5.0f, 0.5f, 2.0f)),
+      (2L, Seq(0.25f, 5.0f, -0.5f, 2.0f)),
+      (3L, Seq(0.75f, 5.0f, 1.0f, 2.0f)))
+    val df = data.toDF("vec_id", "embedding")
+    val got = SimilarityOps.sq8TopK(df, Seq(0L), kTop = 3, dim = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // plain-Scala reference of the same definition
+    val dims = 0 until 4
+    val mn = dims.map(d => data.map(_._2(d)).min.toDouble)
+    val mx = dims.map(d => data.map(_._2(d)).max.toDouble)
+    def recon(v: Seq[Float]): Seq[Float] = dims.map { d =>
+      if (mx(d) == mn(d)) mn(d).toFloat
+      else {
+        val code = math.min(255L, math.max(0L,
+          math.floor((v(d).toDouble - mn(d)) * 255.0 / (mx(d) - mn(d))).toLong))
+        (mn(d) + ((code + 0.5) * (mx(d) - mn(d))) / 255.0).toFloat
+      }
+    }
+    def dotd(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + x.toDouble * y.toDouble }
+    val q = data.head._2
+    val qn = math.sqrt(dotd(q, q))
+    val want = data.tail.map { case (id, v) =>
+      val r = recon(v)
+      id -> dotd(r, q) / (math.sqrt(dotd(r, r)) * qn)
+    }.sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, s), i) =>
+        (0L, (i + 1).toLong, id,
+          BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    assert(got.toSeq == want.take(3),
+      s"sq8 pipeline diverged from reference:\n got ${got.toSeq}\nwant $want")
+    // the constant dims really went through the mx==mn branch: decode
+    // of a constant dim is the constant itself, so every recon keeps
+    // dims 1 and 3 exactly — visible as all scores well above chance
+    assert(got.forall(_._4 > 0.5))
+  }
+
+  test("sq8TopK: recall@10 vs exact is near-perfect (>= 0.9) and " +
+      "strictly above plain PQ's on the same corpus — the 4x-bytes vs " +
+      "64x-compression end of the memory/recall curve") {
+    import graft.queries.PipelineQueries
+    val sfd = "/root/testdata/sf0.01"
+    val corpus = spark.read.parquet(s"$sfd/embeddings.parquet")
+    val qids = PipelineQueries.SimQueryIds
+    val k = PipelineQueries.SimK
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exactSets = topSets(SimilarityOps.cosineTopK(corpus, qids, k))
+    def meanRecall(approx: Map[Long, Set[Long]]): Double =
+      qids.map(q => approx.getOrElse(q, Set.empty[Long])
+        .intersect(exactSets(q)).size.toDouble / k).sum / qids.size
+    val sq8 = SimilarityOps.sq8TopK(corpus, qids, k,
+      dim = PipelineQueries.EmbeddingDim)
+    val byQ = sq8.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to k), s"query $q ranks 1..k")
+      assert(!rows.exists(_._3 == q), s"query $q must not rank itself")
+    }
+    val rSq8 = meanRecall(byQ.view.mapValues(_.map(_._3).toSet).toMap)
+    val rPq = meanRecall(topSets(SimilarityOps.pqTopK(corpus, qids, k,
+      dim = PipelineQueries.EmbeddingDim, m = PipelineQueries.PqM,
+      ks = PipelineQueries.PqKs, iters = PipelineQueries.KmIters)))
+    info(f"recall@$k: sq8=$rSq8%.3f pq=$rPq%.3f")
+    assert(rSq8 >= 0.9, f"SQ8 at 8 bits/dim must be near-exact: $rSq8%.3f")
+    assert(rSq8 > rPq, f"SQ8 must beat 64x PQ: sq8=$rSq8%.3f pq=$rPq%.3f")
+  }
+
   test("embedEval: realized banding recall rises with cosine and tracks " +
       "the theoretical OR-amplified sign-LSH curve on well-populated bands") {
     import graft.queries.PipelineQueries
