@@ -591,6 +591,57 @@ object SimilarityOps {
   }
 
   /**
+   * Two-stage retrieval: compressed candidate generation + exact
+   * re-rank (Jégou, Douze & Schmid 2011 §V.D's re-ranking stage —
+   * the shape every production retrieval stack serves from). Stage 1
+   * proposes `cand` candidates per query from [[pqTopK]]'s codes
+   * alone; stage 2 fetches the full-precision vectors of ONLY those
+   * candidates and scores them exactly. By construction recall@k of
+   * the composition equals stage 1's recall@cand — re-ranking turns
+   * a cheap low-precision index into a high-recall retriever at the
+   * cost of |queries|·cand exact scores, the trade that makes 64×
+   * compression usable.
+   *
+   * Scale shape: stage 1 is [[pqTopK]] verbatim (corpus floats read
+   * once at encode, never shuffled; its rank cut at `cand` is the
+   * same WindowGroupLimit contract). The candidate list is
+   * |queries|·cand (query_id, neighbor_id) rows — BROADCAST into an
+   * equi-join on vec_id, so the full-precision fetch streams the
+   * corpus once map-side and keeps only candidate rows; the exact
+   * cosines touch |queries|·cand vectors however large the corpus
+   * (at 100 TB: the only full-precision reads after indexing are
+   * candidate fetches). Stage-2 scores are EXACT — any (query,
+   * neighbor) pair this shares with [[cosineTopK]] carries the
+   * identical score, and the neighbor set is always a subset of the
+   * stage-1 candidate set (both spec-pinned).
+   */
+  def rerankTopK(emb: DataFrame, queryIds: Seq[Long], kTop: Int,
+      cand: Int, dim: Int, m: Int = 4, ks: Int = 8, iters: Int = 2)
+      : DataFrame = {
+    require(cand >= kTop, "candidate pool must cover the final top-k")
+    val candidates = pqTopK(emb, queryIds, cand, dim, m, ks, iters)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = emb.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        l2Norm(col("embedding")).as("q_nrm"))
+    // full-precision fetch: corpus streams once through the broadcast
+    // candidate join; only |queries|*cand rows survive to scoring
+    val fetched = emb.join(broadcast(candidates),
+      col("vec_id") === col("neighbor_id"))
+    val scored = fetched.join(broadcast(q), Seq("query_id"))
+      .withColumn("nrm", l2Norm(col("embedding")))
+      .withColumn("score", coalesce(
+        dot(col("embedding"), col("q_emb")) /
+          nullif(col("nrm") * col("q_nrm"), lit(0.0)),
+        lit(Double.NegativeInfinity)))
+    val rank = row_number().over(Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id")))
+    scored.withColumn("rank", rank.cast("bigint")).filter(col("rank") <= kTop)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 4).as("score_r"))
+  }
+
+  /**
    * SQ8 scalar quantization (the faiss `SQ8` workhorse next to PQ):
    * each dimension is min/max-scaled to one unsigned byte, so a
    * `dim`-float vector stores as `dim` bytes (4× compression) and is

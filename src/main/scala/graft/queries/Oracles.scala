@@ -803,7 +803,11 @@ object Oracles {
    *  order, normalized by the reconstruction norm — all relational;
    *  Spark's driver-precomputed ADC scalars reproduce because both
    *  sides accumulate in sequential element order. */
-  val simPq: String = {
+  /** The PQ index + ADC ranking as a reusable CTE prefix: everything
+   *  through `r` (query_id, rank, neighbor_id-as-vec_id, score) so
+   *  [[simPq]] cuts it at SimK and [[simRerank]] treats it as the
+   *  candidate generator. Also binds `e` and `q` for downstream CTEs. */
+  private val pqRankedCtes: String = {
     val m = PipelineQueries.PqM
     val ks = PipelineQueries.PqKs
     val iters = PipelineQueries.KmIters
@@ -869,10 +873,39 @@ object Oracles {
        |         CAST(row_number() OVER (PARTITION BY query_id
        |           ORDER BY score DESC, vec_id) AS BIGINT) AS rank,
        |         vec_id AS neighbor_id, round(score, 4) AS score_r
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+  }
+
+  val simPq: String =
+    s"""$pqRankedCtes
        |SELECT query_id, rank, neighbor_id, score_r FROM r
        |WHERE rank <= ${PipelineQueries.SimK}""".stripMargin
-  }
+
+  /** Mirrors [[PipelineQueries.simRerank]]: the shared [[pqRankedCtes]]
+   *  prefix generates the candidate pool (rank <= RerankCand), then the
+   *  exact stage re-scores ONLY those candidates from the full-precision
+   *  `e` rows with the shared sequential-order cosine — identical
+   *  arithmetic to the sim_topk oracle, restricted to the candidate
+   *  join. */
+  val simRerank: String =
+    s"""$pqRankedCtes,
+       |cand AS (SELECT query_id, neighbor_id FROM r
+       |         WHERE rank <= ${PipelineQueries.RerankCand}),
+       |fx AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         coalesce((${dotSql.format("e.embedding", "q.qe")})
+       |             / nullif(sqrt(${dotSql.format("e.embedding", "e.embedding")}) * q.qn, 0),
+       |           CAST('-infinity' AS DOUBLE)) AS score
+       |  FROM cand c JOIN e ON e.vec_id = c.neighbor_id
+       |  JOIN q ON q.query_id = c.query_id),
+       |rr AS (
+       |  SELECT query_id,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank,
+       |         neighbor_id, round(score, 4) AS score_r
+       |  FROM fx)
+       |SELECT query_id, rank, neighbor_id, score_r FROM rr
+       |WHERE rank <= ${PipelineQueries.SimK}""".stripMargin
 
   /** Mirrors [[PipelineQueries.simSq8]] by re-deriving the WHOLE SQ8
    *  quantizer: per-dim min/max (EXACT float aggregates — no

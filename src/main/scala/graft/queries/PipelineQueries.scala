@@ -585,6 +585,22 @@ object PipelineQueries {
       SimK, dim = EmbeddingDim, nCells = KmCells, nProbe = KmProbe,
       m = PqM, ks = PqKs, iters = KmIters)
 
+  /** Stage-1 candidate pool size for [[simRerank]]: recall@[[SimK]]
+   *  of the two-stage query equals PQ's recall@RerankCand, at the
+   *  cost of |queries|·RerankCand exact scores. */
+  val RerankCand = 50
+
+  /** Two-stage retrieval ([[SimilarityOps.rerankTopK]]): [[simPq]]'s
+   *  compressed index proposes [[RerankCand]] candidates per query
+   *  from codes alone, then ONLY those candidates' full-precision
+   *  vectors are fetched (broadcast candidate join) and re-scored
+   *  exactly — the production serving shape that turns 64×
+   *  compression into a high-recall retriever. */
+  def simRerank(spark: SparkSession, sfDir: String): DataFrame =
+    SimilarityOps.rerankTopK(Tables.embeddings(spark, sfDir), SimQueryIds,
+      SimK, cand = RerankCand, dim = EmbeddingDim, m = PqM, ks = PqKs,
+      iters = KmIters)
+
   /** SQ8 scalar-quantized top-k ([[SimilarityOps.sq8TopK]]): per-dim
    *  min/max scaling to one byte per dimension (4× compression,
    *  near-exact recall — the faiss SQ8 point on the memory/recall

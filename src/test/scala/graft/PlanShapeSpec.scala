@@ -153,6 +153,18 @@ class PlanShapeSpec extends SparkSpec {
       "decode must fuse into the corpus scan, not re-scan:\n" + p)
   }
 
+  test("re-rank fetches full-precision vectors via the BROADCAST " +
+      "candidate equi-join (corpus never shuffles for stage 2) and " +
+      "prunes both stages' ranks via WindowGroupLimit") {
+    val p = plan("sim_rerank")
+    assert(p.contains("BroadcastHashJoin"),
+      "candidate fetch must be a broadcast equi-join:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "corpus must not shuffle for the tiny candidate/query joins:\n" + p)
+    assert(p.contains("WindowGroupLimit"),
+      "rank cuts must prune via WindowGroupLimit:\n" + p)
+  }
+
   test("IVF-PQ scoring joins the broadcast probe table on cell; codes " +
       "and ADC lookups never fall back to all-pairs") {
     val p = plan("sim_ivfpq")

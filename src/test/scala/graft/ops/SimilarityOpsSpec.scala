@@ -399,6 +399,62 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(rSq8 > rPq, f"SQ8 must beat 64x PQ: sq8=$rSq8%.3f pq=$rPq%.3f")
   }
 
+  test("rerankTopK: recall@10 equals PQ's recall@cand (strictly above " +
+      "plain PQ's recall@10), neighbors are a subset of the stage-1 " +
+      "candidate pool, and every score shared with the exact ranking " +
+      "is IDENTICAL (stage 2 really is exact)") {
+    import graft.queries.PipelineQueries
+    val sfd = "/root/testdata/sf0.01"
+    val corpus = spark.read.parquet(s"$sfd/embeddings.parquet")
+    val qids = PipelineQueries.SimQueryIds
+    val k = PipelineQueries.SimK
+    val cand = PipelineQueries.RerankCand
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    def sets(rs: Array[(Long, Long, Long, Double)]): Map[Long, Set[Long]] =
+      rs.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val exact = rows(SimilarityOps.cosineTopK(corpus, qids, k))
+    val exactSets = sets(exact)
+    def meanRecall(approx: Map[Long, Set[Long]]): Double =
+      qids.map(q => approx.getOrElse(q, Set.empty[Long])
+        .intersect(exactSets(q)).size.toDouble / k).sum / qids.size
+    val dim = PipelineQueries.EmbeddingDim
+    val m = PipelineQueries.PqM
+    val ks = PipelineQueries.PqKs
+    val it = PipelineQueries.KmIters
+    val rr = rows(SimilarityOps.rerankTopK(corpus, qids, k, cand, dim,
+      m, ks, it))
+    val pqK = rows(SimilarityOps.pqTopK(corpus, qids, k, dim, m, ks, it))
+    val pqCand = rows(SimilarityOps.pqTopK(corpus, qids, cand, dim, m, ks, it))
+    rr.groupBy(_._1).foreach { case (q, rws) =>
+      assert(rws.map(_._2).sorted.toSeq == (1L to k), s"query $q ranks 1..k")
+      assert(!rws.exists(_._3 == q), s"query $q must not rank itself")
+    }
+    // neighbors never leave the stage-1 pool
+    val candSets = sets(pqCand)
+    sets(rr).foreach { case (q, ns) =>
+      assert(ns.subsetOf(candSets(q)), s"query $q re-ranked a non-candidate")
+    }
+    // composition recall law: recall@k(rerank) == PQ's recall@cand
+    val rRr = meanRecall(sets(rr))
+    val rPqCand = qids.map(q => candSets(q).intersect(exactSets(q)).size
+      .toDouble / k).sum / qids.size
+    val rPq = meanRecall(sets(pqK))
+    info(f"recall@$k: rerank=$rRr%.3f == pq@$cand=$rPqCand%.3f, pq@$k=$rPq%.3f")
+    assert(math.abs(rRr - rPqCand) < 1e-12,
+      f"re-rank must realize exactly the candidate recall: $rRr%.3f vs $rPqCand%.3f")
+    assert(rRr > rPq, f"re-ranking must lift recall: $rRr%.3f vs $rPq%.3f")
+    // stage-2 exactness: shared (query, neighbor) pairs score identically
+    val exactScores = exact.map(r => (r._1, r._3) -> r._4).toMap
+    val shared = rr.filter(r => exactScores.contains((r._1, r._3)))
+    assert(shared.nonEmpty, "no overlap with the exact top-k to compare")
+    shared.foreach { r =>
+      assert(r._4 == exactScores((r._1, r._3)),
+        s"(${r._1}, ${r._3}) re-ranked score ${r._4} != exact")
+    }
+  }
+
   test("embedEval: realized banding recall rises with cosine and tracks " +
       "the theoretical OR-amplified sign-LSH curve on well-populated bands") {
     import graft.queries.PipelineQueries
