@@ -740,4 +740,70 @@ object AnalyticsQueries {
     if (sinceTrunc == 0) graft.ops.DedupOps.releaseTruncated(edgesDeg)
     out
   }
+
+  /**
+   * Triangle census of the co-purchase graph (parts sharing an
+   * order): exact triangle count + global clustering coefficient via
+   * the degree-orientation device (Schank & Wagner 2005; the
+   * MapReduce formulation of Suri & Vassilvitskii 2011). Each
+   * undirected edge is directed from its lower-(degree, id) endpoint
+   * to the higher — a total order, so every triangle is counted
+   * exactly ONCE at its minimum vertex — and the wedge join fans out
+   * by ORIENTED out-degree, which the orientation bounds at O(√|E|)
+   * for every node REGARDLESS of raw degree: the hub that explodes a
+   * naive wedge join contributes no wedges at all because its edges
+   * all point into it. Σ C(outdeg, 2) ≤ |E|^(3/2) is the classic
+   * wedge-volume bound.
+   *
+   * Scale shape: the edge build self-joins per-order part lists
+   * (order sizes are bounded — ≤ 7 lineitems in TPC-H-shaped data —
+   * so per-key fan-out is C(n,2) with tiny n); the edge list is
+   * localCheckpoint-materialized once (it feeds the census, the
+   * degree table, and the orientation — without the cut Catalyst
+   * re-derives it per consumer); everything downstream is
+   * distinct/agg/equi-join on fixed-width integer pairs — never a
+   * cross product — and the output is ONE summary row. gcc =
+   * 3·triangles / wedges, both exact integers, divided once.
+   */
+  def graphTriangles(spark: SparkSession, sfDir: String): DataFrame =
+    triangleCensus(Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+
+  /** The census over any (o, p) membership frame: nodes are p values,
+   *  edges join parts sharing an o. Factored for fixture tests. */
+  def triangleCensus(pairs: DataFrame): DataFrame = {
+    val mem = pairs.distinct()
+    val edges = mem.as("a").join(mem.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      .localCheckpoint()
+    val deg = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // total orientation order: okey = deg·2^32 + node (ids < 2^32)
+    val dk = deg.select(col("node"),
+      (col("deg") * lit(4294967296L) + col("node")).as("okey"))
+    val ek = edges
+      .join(dk.select(col("node").as("u"), col("okey").as("uk")), "u")
+      .join(dk.select(col("node").as("v"), col("okey").as("vk")), "v")
+    val ori = ek.select(
+      when(col("uk") < col("vk"), col("u")).otherwise(col("v")).as("s"),
+      when(col("uk") < col("vk"), col("v")).otherwise(col("u")).as("d"),
+      greatest(col("uk"), col("vk")).as("dkey"))
+    // wedge at s → (x, y) in orientation order; the closing edge is
+    // oriented x → y by construction, so one equi-join finishes it
+    val tri = ori.as("e1").join(ori.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.dkey") < col("e2.dkey"))
+      .select(col("e1.d").as("x"), col("e2.d").as("y"))
+      .join(ori.as("e3"), col("x") === col("e3.s") && col("y") === col("e3.d"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val edgeStats = edges.agg(count(lit(1)).as("n_edges"))
+    nodeStats.crossJoin(broadcast(edgeStats)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") /
+          nullif(col("n_wedges").cast("double"), lit(0.0)), 6).as("gcc_r"))
+  }
 }

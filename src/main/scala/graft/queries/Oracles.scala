@@ -3333,6 +3333,38 @@ object Oracles {
    *  INDEPENDENTLY rather than echoing Spark's final ranks. Every
    *  floor is a double quotient of exactly-representable ints
    *  (< 2^53), so both engines land on identical micro-unit ranks. */
+  /** Mirrors [[AnalyticsQueries.graphTriangles]] with the same
+   *  degree-orientation construction: co-order part pairs → distinct
+   *  undirected edges → okey = deg·2^32 + node total order → oriented
+   *  wedge join closed by one equi-join. Counts are exact integers;
+   *  gcc divides the two once (HUGEINT sums cast back to BIGINT). */
+  val graphTriangles: String =
+    """WITH mem AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |edges AS (
+      |  SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM mem a JOIN mem b ON a.o = b.o AND a.p < b.p),
+      |deg AS (
+      |  SELECT node, count(*) AS deg FROM (
+      |    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) t
+      |  GROUP BY 1),
+      |dk AS (SELECT node, deg * 4294967296 + node AS okey FROM deg),
+      |ori AS (
+      |  SELECT CASE WHEN du.okey < dv.okey THEN e.u ELSE e.v END AS s,
+      |         CASE WHEN du.okey < dv.okey THEN e.v ELSE e.u END AS d,
+      |         greatest(du.okey, dv.okey) AS dkey
+      |  FROM edges e JOIN dk du ON du.node = e.u JOIN dk dv ON dv.node = e.v),
+      |tri AS (
+      |  SELECT count(*) AS n_triangles
+      |  FROM ori e1 JOIN ori e2 ON e1.s = e2.s AND e1.dkey < e2.dkey
+      |  JOIN ori e3 ON e3.s = e1.d AND e3.d = e2.d),
+      |ns AS (SELECT count(*) AS n_nodes,
+      |              CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+      |       FROM deg),
+      |es AS (SELECT count(*) AS n_edges FROM edges)
+      |SELECT ns.n_nodes, es.n_edges, ns.n_wedges, tri.n_triangles,
+      |       round(3.0 * tri.n_triangles / nullif(CAST(ns.n_wedges AS DOUBLE), 0), 6) AS gcc_r
+      |FROM ns, es, tri""".stripMargin
+
   val graphPagerank: String = {
     val iters = AnalyticsQueries.PrIters
     val scale = AnalyticsQueries.PrScale
