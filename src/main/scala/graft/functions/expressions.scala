@@ -955,6 +955,143 @@ object VectorMath {
     total
   }
 
+  /** Frozen WordPiece merge table — learned OFFLINE at sf0.01 by
+   *  `PipelineQueries.wordpieceLearn` (Schuster & Nakajima 2012's
+   *  likelihood-ratio criterion) and frozen here as data, the
+   *  [[BpeMerges]]/[[UnigramVocab]] convention; the spec pins
+   *  learned == frozen row-for-row. */
+  val WordpieceMerges: IndexedSeq[(String, String)] = Vector(
+    ("q", "##u"), ("l", "##i"), ("w", "##i"), ("li", "##n"), ("wi", "##n"),
+    ("win", "##d"), ("f", "##i"), ("b", "##i"), ("##i", "##n"),
+    ("bi", "##g"), ("a", "##g"), ("ag", "##g"), ("t", "##h"),
+    ("##s", "##h"), ("##c", "##h"), ("##b", "##l"), ("fi", "##l"),
+    ("##u", "##s"), ("c", "##us"), ("##u", "##p"), ("##l", "##u"),
+    ("s", "##p"), ("##lu", "##m"), ("##lum", "##n"), ("##s", "##t"),
+    ("##t", "##ch"), ("cus", "##t"), ("fil", "##t"), ("##o", "##in"),
+    ("j", "##oin"), ("##o", "##lumn"), ("c", "##olumn"))
+
+  /** The sf0.01 training alphabet: every word-initial character plain
+   *  plus every non-initial character `##`-prefixed (the WordPiece
+   *  position classes). Characters the corpus never shows in a
+   *  position class are ABSENT — a word using one encodes to
+   *  [[WordpieceUnk]], the BERT convention. */
+  private val WordpieceAlphabet: IndexedSeq[String] = Vector(
+    "##a", "##b", "##c", "##d", "##e", "##g", "##h", "##i", "##k", "##l",
+    "##m", "##n", "##o", "##p", "##r", "##s", "##t", "##u", "##w", "##y",
+    "a", "b", "c", "d", "f", "g", "h", "j", "k", "l", "m", "o", "p", "q",
+    "r", "s", "t", "v", "w")
+
+  /** Frozen WordPiece vocabulary: alphabet + every merge result (a
+   *  merge result keeps its LEFT symbol's position class — a || b
+   *  minus b's `##`). Sorted for the binary-search lookups. */
+  val WordpieceVocab: IndexedSeq[String] =
+    (WordpieceAlphabet ++ WordpieceMerges.map { case (a, b) =>
+      a + b.substring(2) }).distinct.sorted
+
+  private val WordpiecePieces: Array[String] = WordpieceVocab.toArray
+
+  /** Longest piece CONTENT (chars consumed, `##` excluded) in the
+   *  frozen vocab — the greedy matcher's horizon. */
+  val WordpieceMaxContent: Int = WordpieceVocab
+    .map(p => if (p.startsWith("##")) p.length - 2 else p.length).max
+
+  /** The whole-word token emitted when greedy matching dead-ends —
+   *  the BERT convention: an unmatchable word is [UNK] IN FULL, never
+   *  a partial piece stream. */
+  val WordpieceUnk = "[UNK]"
+
+  /**
+   * Greedy longest-match-first (max-munch) WordPiece segmentation of
+   * ONE word — the canonical WordPiece ENCODER (Wu et al. 2016 §3.1;
+   * BERT's tokenizer): at each position take the LONGEST vocab piece
+   * matching the remainder, `##`-prefixed when not word-initial; if
+   * no piece matches, the ENTIRE word becomes [[WordpieceUnk]].
+   * Deterministic single pass — unlike BPE's merge-order replay or
+   * unigram's Viterbi DP, the encoder never looks at costs, only at
+   * vocabulary membership; `pieces` must be sorted ascending (binary
+   * search, the broadcast-sorted-array device).
+   */
+  def wordpieceSegment(w: String, pieces: Array[String],
+      maxContent: Int): String = {
+    val n = w.length
+    if (n == 0) return ""
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < n) {
+      var l = math.min(maxContent, n - i)
+      var found = -1
+      while (l >= 1 && found < 0) {
+        val cand =
+          if (i == 0) w.substring(0, l) else "##" + w.substring(i, i + l)
+        if (java.util.Arrays.binarySearch(
+            pieces.asInstanceOf[Array[AnyRef]], cand) >= 0) found = l
+        else l -= 1
+      }
+      if (found < 0) return WordpieceUnk
+      if (sb.length > 0) sb.append(' ')
+      if (i > 0) sb.append("##")
+      sb.append(w, i, i + found)
+      i += found
+    }
+    sb.toString
+  }
+
+  /** Per-word frozen-vocab greedy-match memo — the [[bpePieceMemo]]
+   *  discipline: bounded, compute-past-cap. */
+  private val wpPieceMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Frozen-vocab greedy segmentation of ONE word, pieces
+   *  space-joined. */
+  def wordpieceWordPieces(w: String): String = {
+    val cached = wpPieceMemo.get(w)
+    if (cached != null) return cached
+    val s = wordpieceSegment(w, WordpiecePieces, WordpieceMaxContent)
+    if (wpPieceMemo.size < BpeMemoMax) wpPieceMemo.put(w, s)
+    s
+  }
+
+  /** Whole-text frozen-vocab WordPiece ENCODE; the [[bpeEncode]]
+   *  shape: struct(n_tokens, enc) with enc = every word's pieces in
+   *  word order, space-joined. */
+  def wordpieceEncode(s: String): InternalRow = {
+    val sb = new java.lang.StringBuilder()
+    var total = 0L
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(s.charAt(i))) i += 1
+      if (i > start) {
+        val pieces = wordpieceWordPieces(s.substring(start, i))
+        if (sb.length > 0) sb.append(' ')
+        sb.append(pieces)
+        total += unigramPieceCount(pieces)
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total,
+        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)))
+  }
+
+  /** Whole-text frozen-vocab WordPiece token count (the
+   *  [[bpeTokenCount]]/[[unigramTokenCount]] sibling for fertility
+   *  comparisons — an [[WordpieceUnk]] word counts 1). */
+  def wordpieceTokenCount(s: String): Long = {
+    var i = 0
+    var total = 0L
+    val len = s.length
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(s.charAt(i))) i += 1
+      if (i > start)
+        total += unigramPieceCount(wordpieceWordPieces(s.substring(start, i)))
+    }
+    total
+  }
+
   /** Whole-text merge-table BPE token count; see [[BpeTokenCount]].
    *  Whitespace word split (same maximal-run scan as
    *  [[wsTokenCount]]), per-word segment counts summed. */
@@ -3123,6 +3260,54 @@ case class UnigramEncode(child: Expression)
     copy(child = newChild)
 }
 
+/**
+ * Whole-text FROZEN-VOCAB WordPiece encode: struct(n_tokens, enc)
+ * under [[VectorMath.WordpieceVocab]] — the apply arm of the BERT
+ * tokenizer family (learning arm: `PipelineQueries.wordpieceLearn`),
+ * the [[BpeEncode]] shape verbatim: per-word greedy longest-match
+ * pieces in word order, space-joined, per-distinct-word memo, an
+ * unmatchable word encoding to `[UNK]` in full. The DuckDB oracle
+ * re-derives the greedy scan from the frozen table with unrolled
+ * max-munch CTEs, so the piece stream itself is cross-engine gated.
+ */
+case class WordpieceEncode(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(org.apache.spark.sql.types.StructField("n_tokens",
+      org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("enc",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.wordpieceEncode(v.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.VectorMath.wordpieceEncode($t.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Whole-text frozen-vocab WordPiece token count — [[BpeTokenCount]]'s
+ *  sibling for fertility comparisons; same memo discipline. */
+case class WordpieceTokenCount(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.wordpieceTokenCount(v.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.VectorMath.wordpieceTokenCount($t.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Whole-text frozen-vocab unigram token count — [[BpeTokenCount]]'s
  *  sibling for fertility comparisons; same memo discipline. */
 case class UnigramTokenCount(child: Expression)
@@ -3291,6 +3476,14 @@ object native {
   def unigram_token_count(text: Column): Column =
     GraftColumnBridge.column(
       UnigramTokenCount(GraftColumnBridge.expression(text)))
+
+  def wordpiece_encode(text: Column): Column =
+    GraftColumnBridge.column(
+      WordpieceEncode(GraftColumnBridge.expression(text)))
+
+  def wordpiece_token_count(text: Column): Column =
+    GraftColumnBridge.column(
+      WordpieceTokenCount(GraftColumnBridge.expression(text)))
 
   def synth_embedding(text: Column, dim: Int): Column =
     GraftColumnBridge.column(

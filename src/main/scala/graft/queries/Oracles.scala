@@ -1264,6 +1264,52 @@ object Oracles {
     "WITH " + parts.mkString(",\n") + "\n" + union
   }
 
+  /** Mirrors [[PipelineQueries.wordpieceLearn]] by learning
+   *  INDEPENDENTLY (the bpeLearn non-circularity contract): same
+   *  K-level chained-CTE loop as [[bpeLearn]] but with `##`
+   *  continuation prefixes baked into the seed segmentation
+   *  ('|w|##o|##r|##d|') and the WordPiece likelihood-ratio argmax —
+   *  per level, pair counts AND symbol counts, score = ONE double
+   *  division cnt / (cnt(a)·cnt(b)) on exact integers (products
+   *  ≤ 10¹² « 2⁵³ ⇒ the identical IEEE double on both engines), ties
+   *  (a, b). The right symbol of any adjacent pair is non-initial, so
+   *  the merge replacement is a || b-minus-its-`##` — substring(b, 3). */
+  val wordpieceLearn: String = {
+    val k = graft.queries.PipelineQueries.WordpieceLearnK
+    val parts = scala.collection.mutable.ArrayBuffer(
+      """v AS MATERIALIZED (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS w
+        |    FROM documents) GROUP BY w)""".stripMargin,
+      """s0 AS MATERIALIZED (
+        |  SELECT freq, '|' || array_to_string(string_split(w, ''), '|##') || '|' AS s FROM v)""".stripMargin)
+    for (i <- 1 to k) {
+      parts += s"""p$i AS MATERIALIZED (
+        |  SELECT ss[i] AS a, ss[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT freq, list_filter(string_split(s, '|'), x -> len(x) > 0) AS ss,
+        |           unnest(range(1, len(list_filter(string_split(s, '|'), x -> len(x) > 0)))) AS i
+        |    FROM s${i - 1}) GROUP BY a, b)""".stripMargin
+      parts += s"""y$i AS MATERIALIZED (
+        |  SELECT sym, CAST(sum(freq) AS BIGINT) AS c FROM (
+        |    SELECT freq, unnest(list_filter(string_split(s, '|'), x -> len(x) > 0)) AS sym
+        |    FROM s${i - 1}) GROUP BY sym)""".stripMargin
+      parts += s"""r$i AS MATERIALIZED (
+        |  SELECT a, b, CAST(cnt AS DOUBLE) / CAST(ya.c * yb.c AS DOUBLE) AS score,
+        |         '|'||a||'|'||b||'|' AS pat, '|'||a||substring(b, 3)||'|' AS rep
+        |  FROM p$i JOIN y$i ya ON ya.sym = p$i.a JOIN y$i yb ON yb.sym = p$i.b
+        |  ORDER BY score DESC, a, b LIMIT 1)""".stripMargin
+      if (i < k)
+        parts += s"""s$i AS MATERIALIZED (
+          |  SELECT freq, replace(replace(s, (SELECT pat FROM r$i), (SELECT rep FROM r$i)),
+          |                       (SELECT pat FROM r$i), (SELECT rep FROM r$i)) AS s FROM s${i - 1})""".stripMargin
+    }
+    val union = (1 to k)
+      .map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, a, b, round(score, 6) AS score_r FROM r$i")
+      .mkString(" UNION ALL ")
+    "WITH " + parts.mkString(",\n") + "\n" + union
+  }
+
   /** Mirrors [[PipelineQueries.unigramLearn]] by learning
    *  INDEPENDENTLY (the bpeLearn non-circularity contract — only the
    *  hyperparameters are shared): the seed substring counts and
@@ -1661,6 +1707,73 @@ object Oracles {
        |FROM ulw LEFT JOIN uenc USING (doc_id), ulen
        |WHERE ulen.ok = 1""".stripMargin
 
+  /** Mirrors [[PipelineQueries.textTokensWordpiece]] by re-deriving
+   *  the greedy longest-match scan from the frozen vocab with
+   *  UNROLLED max-munch CTEs: one state row per distinct word per
+   *  step (pos, acc, n, dead); each step takes max(l) over vocab
+   *  matches of the remainder (`##`-prefixed when pos > 0), advances
+   *  by it, or kills the word to the whole-word '[UNK]' when nothing
+   *  matches — exactly the kernel's contract. Words longer than the
+   *  unroll fail LOUD (the unigram-oracle guard device); per-doc
+   *  piece streams reassemble in word order and md5-gate. */
+  val textTokensWordpiece: String = {
+    val mw = graft.queries.PipelineQueries.UnigramMaxWordLen
+    val mc = graft.functions.VectorMath.WordpieceMaxContent
+    val vals = graft.functions.VectorMath.WordpieceVocab
+      .map(p => s"('${p.replace("'", "''")}')").mkString(",")
+    val parts = scala.collection.mutable.ArrayBuffer(
+      s"""wv(piece) AS (SELECT * FROM (VALUES $vals) t(piece))""",
+      """wlw AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS lst
+        |  FROM documents)""".stripMargin,
+      """wdw(w) AS (SELECT DISTINCT unnest(lst) FROM wlw)""",
+      s"""wlen AS (
+        |  SELECT CASE WHEN max(len(w)) > $mw
+        |              THEN error('wordpiece oracle: word exceeds the greedy unroll depth $mw')
+        |              ELSE 1 END AS ok FROM wdw)""".stripMargin,
+      """wg_0 AS (SELECT w, CAST(0 AS BIGINT) AS pos, CAST('' AS VARCHAR) AS acc,
+        |                CAST(0 AS BIGINT) AS n, 0 AS dead FROM wdw)""".stripMargin)
+    for (k <- 1 to mw) {
+      parts += s"""wa_$k AS (
+        |  SELECT w, pos, acc, n FROM wg_${k - 1} WHERE pos < len(w) AND dead = 0)""".stripMargin
+      parts += s"""wm_$k AS MATERIALIZED (
+        |  SELECT a.w, a.pos, a.acc, a.n, max(t.l) AS l
+        |  FROM wa_$k a
+        |  JOIN (SELECT unnest(range(1, $mc + 1)) AS l) t ON t.l <= len(a.w) - a.pos
+        |  JOIN wv v ON v.piece = CASE WHEN a.pos = 0 THEN substring(a.w, 1, t.l)
+        |                              ELSE '##' || substring(a.w, a.pos + 1, t.l) END
+        |  GROUP BY a.w, a.pos, a.acc, a.n)""".stripMargin
+      parts += s"""wg_$k AS MATERIALIZED (
+        |  SELECT w, pos, acc, n, dead FROM wg_${k - 1} WHERE pos >= len(w) OR dead = 1
+        |  UNION ALL
+        |  SELECT m.w, m.pos + m.l AS pos,
+        |         CASE WHEN m.acc = '' THEN '' ELSE m.acc || ' ' END ||
+        |         CASE WHEN m.pos = 0 THEN substring(m.w, 1, m.l)
+        |              ELSE '##' || substring(m.w, m.pos + 1, m.l) END AS acc,
+        |         m.n + 1 AS n, 0 AS dead
+        |  FROM wm_$k m
+        |  UNION ALL
+        |  SELECT a.w, len(a.w) AS pos, '[UNK]' AS acc, CAST(1 AS BIGINT) AS n, 1 AS dead
+        |  FROM wa_$k a WHERE NOT EXISTS (SELECT 1 FROM wm_$k m WHERE m.w = a.w))""".stripMargin
+    }
+    parts += s"""wseg AS MATERIALIZED (SELECT w, acc AS pieces, n FROM wg_$mw)"""
+    parts += """wtok AS (
+      |  SELECT doc_id, i, lst[CAST(i + 1 AS INT)] AS w
+      |  FROM wlw, unnest(range(0, len(lst))) t(i))""".stripMargin
+    parts += """wenc AS (
+      |  SELECT wtok.doc_id,
+      |         string_agg(wseg.pieces, ' ' ORDER BY wtok.i) AS e,
+      |         sum(wseg.n) AS n
+      |  FROM wtok JOIN wseg USING (w) GROUP BY wtok.doc_id)""".stripMargin
+    "WITH " + parts.mkString(",\n") + "\n" +
+      """SELECT wlw.doc_id,
+        |  CAST(coalesce(wenc.n, 0) AS BIGINT) AS wordpiece_tokens,
+        |  md5(coalesce(wenc.e, '')) AS enc_hash
+        |FROM wlw LEFT JOIN wenc USING (doc_id), wlen
+        |WHERE wlen.ok = 1""".stripMargin
+  }
+
   /** Mirrors [[PipelineQueries.bpeFertility]]: the full [[textTokensBpe]]
    *  recursive-CTE machinery as a subquery (its per-doc counts are the
    *  shared contract), re-joined to the label column and rolled up per
@@ -1678,13 +1791,17 @@ object Oracles {
       |  CAST(sum(t.ws_tokens) AS BIGINT) AS ws_tokens,
       |  CAST(sum(t.bpe_tokens) AS BIGINT) AS bpe_tokens,
       |  CAST(sum(u.unigram_tokens) AS BIGINT) AS unigram_tokens,
+      |  CAST(sum(wp.wordpiece_tokens) AS BIGINT) AS wordpiece_tokens,
       |  round(CAST(sum(t.bpe_tokens) AS DOUBLE) / sum(t.ws_tokens), 6) AS fertility,
-      |  round(CAST(sum(u.unigram_tokens) AS DOUBLE) / sum(t.ws_tokens), 6) AS unigram_fertility
+      |  round(CAST(sum(u.unigram_tokens) AS DOUBLE) / sum(t.ws_tokens), 6) AS unigram_fertility,
+      |  round(CAST(sum(wp.wordpiece_tokens) AS DOUBLE) / sum(t.ws_tokens), 6) AS wordpiece_fertility
       |FROM (%SUB%) t JOIN (%USUB%) u USING (doc_id)
+      |  JOIN (%WSUB%) wp USING (doc_id)
       |  JOIN documents d USING (doc_id)
       |GROUP BY d.lang""".stripMargin
       .replace("%SUB%", textTokensBpe)
       .replace("%USUB%", textTokensUnigram)
+      .replace("%WSUB%", textTokensWordpiece)
 
   /** Mirrors [[PipelineQueries.corpusReport]]: the textQuality ratio
    *  formula, the textLangId argmax CASE, and the textClassify weight

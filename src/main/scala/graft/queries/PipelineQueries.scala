@@ -994,11 +994,15 @@ object PipelineQueries {
         sum(TextAnalyticsOps.wsTokenCount(col("text"))).as("ws_tokens"),
         sum(TextAnalyticsOps.bpeTokenCount(col("text"))).as("bpe_tokens"),
         sum(graft.functions.native
-          .unigram_token_count(lower(col("text")))).as("unigram_tokens"))
+          .unigram_token_count(lower(col("text")))).as("unigram_tokens"),
+        sum(graft.functions.native
+          .wordpiece_token_count(lower(col("text")))).as("wordpiece_tokens"))
       .withColumn("fertility",
         round(col("bpe_tokens") / col("ws_tokens"), 6))
       .withColumn("unigram_fertility",
         round(col("unigram_tokens") / col("ws_tokens"), 6))
+      .withColumn("wordpiece_fertility",
+        round(col("wordpiece_tokens") / col("ws_tokens"), 6))
 
   /**
    * Per-source CORPUS REPORT — the curation dashboard a pipeline
@@ -1184,6 +1188,112 @@ object PipelineQueries {
     rules.toSeq.toDF("rank", "a", "b")
   }
 
+  // ---- WordPiece tokenizer learning (Schuster & Nakajima 2012) ----------
+
+  /** Merge rules [[wordpieceLearn]] learns (the frozen
+   *  [[graft.functions.VectorMath.WordpieceVocab]] carries the
+   *  alphabet + these merges' results). */
+  val WordpieceLearnK = 32
+
+  /**
+   * Full in-query WordPiece merge-table LEARNING (Schuster & Nakajima
+   * 2012; Wu et al. 2016 §3.1 — the BERT-family tokenizer, the third
+   * dominant production family next to BPE and unigram-LM): BPE's
+   * loop with a LIKELIHOOD-RATIO merge criterion — at each step merge
+   * the adjacent symbol pair maximizing score = cnt(a,b) / (cnt(a) ·
+   * cnt(b)), the pair whose merge most increases corpus likelihood
+   * under a unigram model, instead of raw pair frequency. Non-initial
+   * symbols carry the `##` continuation prefix from the start
+   * ("word" → [w, ##o, ##r, ##d]), so a merge result inherits its
+   * left symbol's word-position class and the learned vocabulary is
+   * position-aware, exactly what the greedy longest-match encoder
+   * needs. Emits (rank, a, b, score_r).
+   *
+   * Determinism contract: pair and symbol counts are exact integers;
+   * the score is ONE IEEE double division cnt / (cnt(a)·cnt(b)) with
+   * the denominator an exact long product cast once (products here
+   * ≤ 10¹² « 2⁵³, so both engines compute the identical double;
+   * [[Oracles.wordpieceLearn]] re-learns with the same arithmetic);
+   * ties break (a, b) lexicographically — the bpePairStats total
+   * order. The per-word merge apply is [[bpeLearn]]'s exact
+   * left-to-right fold with the replacement a + b-minus-its-`##`.
+   *
+   * Scale shape: the corpus is touched ONCE (the vocab agg); each
+   * iteration is two vocab-sized aggs (pairs, symbols — both
+   * alphabet²-bounded keys), a tiny join, and a 1-row argmax collect
+   * (the Lloyd-centroid pattern); lineage truncates on the bpeLearn
+   * stride. The serial chain of K vocab-sized jobs is the contract —
+   * at 100 TB the vocab frame is millions of rows, not the corpus.
+   */
+  def wordpieceLearn(spark: SparkSession, sfDir: String): DataFrame =
+    wordpieceLearnOf(Tables.documents(spark, sfDir))
+
+  /** The learning loop of [[wordpieceLearn]] over any (text) frame —
+   *  factored for fixture-corpus specs. */
+  def wordpieceLearnOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chars = filter(split(col("w"), ""), c => length(c) > 0)
+    val syms = transform(chars,
+      (c, i) => when(i === 0, c).otherwise(concat(lit("##"), c)))
+    var segs = docs
+      .select(explode(TextAnalyticsOps.words(lower(col("text")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), syms.as("ss"))
+      .localCheckpoint()
+    var lastCkpt = segs // the checkpoint HANDLE (releaseTruncated contract)
+    var sinceTrunc = 0
+    val rules =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Double)]
+    var done = false
+    while (rules.size < WordpieceLearnK && !done) {
+      val pairs = segs
+        .filter(size(col("ss")) >= 2)
+        .select(col("freq"),
+          explode(transform(sequence(lit(0), size(col("ss")) - 2),
+            i => struct(element_at(col("ss"), i + 1).as("a"),
+              element_at(col("ss"), i + 2).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+      val symCnt = segs.select(col("freq"), explode(col("ss")).as("sym"))
+        .groupBy("sym").agg(sum(col("freq")).as("c"))
+      val top = pairs
+        .join(symCnt.select(col("sym").as("a"), col("c").as("ca")), "a")
+        .join(symCnt.select(col("sym").as("b"), col("c").as("cb")), "b")
+        .withColumn("score",
+          col("cnt").cast("double") / (col("ca") * col("cb")).cast("double"))
+        .orderBy(col("score").desc, col("a"), col("b"))
+        .select("a", "b", "score")
+        .limit(1).collect()
+      if (top.isEmpty) done = true // vocab fully merged before K rules
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        val score = top(0).getDouble(2)
+        rules += ((rules.size + 1L, a, b, score))
+        if (rules.size < WordpieceLearnK) { // the last rule is never applied
+          val merged = a + b.stripPrefix("##")
+          val applied = segs.select(col("freq"),
+            aggregate(col("ss"), array().cast("array<string>"),
+              (acc, t) => when(
+                try_element_at(acc, lit(-1)) === lit(a) && t === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+                .otherwise(concat(acc, array(t)))).as("ss"))
+          sinceTrunc += 1
+          if (sinceTrunc >= BpeLearnStride) {
+            segs = applied.localCheckpoint()
+            graft.ops.DedupOps.releaseTruncated(lastCkpt)
+            lastCkpt = segs
+            sinceTrunc = 0
+          } else segs = applied
+        }
+      }
+    }
+    graft.ops.DedupOps.releaseTruncated(lastCkpt)
+    rules.toSeq.toDF("rank", "a", "b", "score")
+      .select(col("rank"), col("a"), col("b"),
+        round(col("score"), 6).as("score_r"))
+  }
+
   // ---- Unigram-LM tokenizer learning (Kudo 2018 / SentencePiece) --------
 
   /** Longest candidate piece for [[unigramLearn]]'s seed, DP, and the
@@ -1342,6 +1452,23 @@ object PipelineQueries {
         graft.functions.native.unigram_encode(lower(col("text"))).as("e"))
       .select(col("doc_id"),
         col("e.n_tokens").as("unigram_tokens"),
+        md5(col("e.enc")).as("enc_hash"))
+
+  /** Full WordPiece ENCODE under the frozen
+   *  [[graft.functions.VectorMath.WordpieceVocab]] (the native
+   *  [[graft.functions.WordpieceEncode]] kernel) — greedy
+   *  longest-match-first with `##` continuations and whole-word
+   *  `[UNK]` on dead ends, the BERT-family apply arm next to
+   *  [[textTokensBpe]] and [[textTokensUnigram]]: each document's
+   *  actual piece stream, md5-gated so the SEGMENTATION is
+   *  cross-engine verified, not just its length. Row-local
+   *  projection, zero shuffles. */
+  def textTokensWordpiece(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.native.wordpiece_encode(lower(col("text"))).as("e"))
+      .select(col("doc_id"),
+        col("e.n_tokens").as("wordpiece_tokens"),
         md5(col("e.enc")).as("enc_hash"))
 
   /** Quantization scale for [[textUnigramNll]]: per-word negative
