@@ -591,6 +591,47 @@ object SimilarityOps {
   }
 
   /**
+   * Matryoshka / truncated-dimension retrieval EVAL (Kusupati et al.
+   * 2022's MRL deployment question): recall@k of brute-force
+   * retrieval that scores only the FIRST d′ dimensions, against the
+   * full-dimension exact top-k, for a ladder of prefix widths — the
+   * monitoring query that tells an index operator how many dimensions
+   * the corpus actually needs (store/scan cost is linear in d′).
+   * Output: one row per rung (dims, n_hits, recall_r); the full-width
+   * rung is the built-in sanity anchor (recall exactly 1).
+   *
+   * Determinism: each rung is [[cosineTopK]]'s scoring (sequential-
+   * order double dots over the prefix slices, vec_id tie-break); hit
+   * counts are exact integers joined on (query_id, neighbor_id);
+   * recall is ONE division rounded once. Scale shape: an EVAL — runs
+   * on sampled queries at monitoring cadence; the rung union is
+   * |dims| broadcast-query scans (slices fused into the scan), hits
+   * join on id pairs only, output |dims| rows.
+   */
+  def matryoshkaEval(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      dims: Seq[Int]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val full = cosineTopK(emb, queryIds, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val truncs = dims.map { d =>
+      val sliced = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, d).as("embedding"))
+      cosineTopK(sliced, queryIds, k)
+        .select(lit(d.toLong).as("dims"), col("query_id"), col("neighbor_id"))
+    }.reduce(_.unionByName(_))
+    val hits = truncs.join(full, Seq("query_id", "neighbor_id"))
+      .groupBy("dims").agg(count(lit(1)).as("h"))
+    val tot = full.agg(count(lit(1)).as("n_pairs"))
+    dims.map(_.toLong).toDF("dims")
+      .join(hits, Seq("dims"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("dims"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        round(coalesce(col("h"), lit(0L)) / col("n_pairs"), 6).as("recall_r"))
+  }
+
+  /**
    * Two-stage retrieval: compressed candidate generation + exact
    * re-rank (Jégou, Douze & Schmid 2011 §V.D's re-ranking stage —
    * the shape every production retrieval stack serves from). Stage 1

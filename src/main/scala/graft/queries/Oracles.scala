@@ -907,6 +907,54 @@ object Oracles {
        |SELECT query_id, rank, neighbor_id, score_r FROM rr
        |WHERE rank <= ${PipelineQueries.SimK}""".stripMargin
 
+  /** Mirrors [[PipelineQueries.simMatryoshka]]: per rung, the
+   *  sim_topk cross-join scoring over prefix SLICES (identical
+   *  sequential-order dots, vec_id tie-break), hit counts joined on
+   *  id pairs against the full-width ranking, one division rounded
+   *  once. The left join keeps a zero-hit rung visible. */
+  val simMatryoshka: String = {
+    val ids = PipelineQueries.SimQueryIds.mkString(", ")
+    val k = PipelineQueries.SimK
+    def cosOf(d: Int) = {
+      val ee = s"e.embedding[1:$d]"
+      val qe = s"q.qe[1:$d]"
+      s"(${dotSql.format(ee, qe)}) / (sqrt(${dotSql.format(ee, ee)}) * sqrt(${dotSql.format(qe, qe)}))"
+    }
+    val rungs = PipelineQueries.MatryoshkaDims.map { d =>
+      s"""t$d AS (
+         |  SELECT CAST($d AS BIGINT) AS dims, query_id, vec_id FROM (
+         |    SELECT q.query_id, e.vec_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${cosOf(d)} DESC, e.vec_id) AS rnk
+         |    FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id) z
+         |  WHERE rnk <= $k)""".stripMargin
+    }.mkString(",\n")
+    val union = PipelineQueries.MatryoshkaDims
+      .map(d => s"SELECT * FROM t$d").mkString(" UNION ALL ")
+    val dimsVals = PipelineQueries.MatryoshkaDims
+      .map(d => s"($d)").mkString(",")
+    val dFull = PipelineQueries.EmbeddingDim
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe
+       |      FROM embeddings WHERE vec_id IN ($ids)),
+       |f AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, e.vec_id,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |             ORDER BY ${cosOf(dFull)} DESC, e.vec_id) AS rnk
+       |    FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id) z
+       |  WHERE rnk <= $k),
+       |$rungs,
+       |u AS ($union),
+       |h AS (SELECT dims, CAST(count(*) AS BIGINT) AS n_hits
+       |      FROM u JOIN f USING (query_id, vec_id) GROUP BY dims),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS np FROM f),
+       |dv(dims) AS (SELECT CAST(d AS BIGINT) FROM (VALUES $dimsVals) t(d))
+       |SELECT dv.dims, coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+       |       round(coalesce(h.n_hits, 0) / np, 6) AS recall_r
+       |FROM dv LEFT JOIN h USING (dims), tot""".stripMargin
+  }
+
   /** Mirrors [[PipelineQueries.simSq8]] by re-deriving the WHOLE SQ8
    *  quantizer: per-dim min/max (EXACT float aggregates — no
    *  summation, so the model reproduces without a tolerance),

@@ -601,6 +601,19 @@ object PipelineQueries {
       SimK, cand = RerankCand, dim = EmbeddingDim, m = PqM, ks = PqKs,
       iters = KmIters)
 
+  /** Prefix widths for [[simMatryoshka]]: the full-width rung (64) is
+   *  the built-in recall-exactly-1 sanity anchor. */
+  val MatryoshkaDims: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** Matryoshka truncated-dimension retrieval eval
+   *  ([[SimilarityOps.matryoshkaEval]]): recall@[[SimK]] of
+   *  prefix-d′ brute-force retrieval vs the full-dim exact top-k,
+   *  one row per rung — how many dimensions does the index actually
+   *  need. */
+  def simMatryoshka(spark: SparkSession, sfDir: String): DataFrame =
+    SimilarityOps.matryoshkaEval(Tables.embeddings(spark, sfDir),
+      SimQueryIds, SimK, MatryoshkaDims)
+
   /** SQ8 scalar-quantized top-k ([[SimilarityOps.sq8TopK]]): per-dim
    *  min/max scaling to one byte per dimension (4× compression,
    *  near-exact recall — the faiss SQ8 point on the memory/recall

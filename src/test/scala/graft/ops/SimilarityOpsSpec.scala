@@ -455,6 +455,29 @@ class SimilarityOpsSpec extends SparkSpec {
     }
   }
 
+  test("matryoshkaEval: recall is monotone non-decreasing in prefix " +
+      "width, the full-width rung is EXACTLY 1, and every rung row is " +
+      "present even at zero hits") {
+    import graft.queries.PipelineQueries
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val dims = PipelineQueries.MatryoshkaDims
+    val rows = SimilarityOps.matryoshkaEval(corpus,
+      PipelineQueries.SimQueryIds, PipelineQueries.SimK, dims)
+      .orderBy("dims").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == dims.map(_.toLong),
+      s"every rung must be present: ${rows.toSeq}")
+    val recalls = rows.map(_._3)
+    info(s"recall ladder: ${dims.zip(recalls).mkString(", ")}")
+    recalls.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo <= hi, s"recall must not decrease with width: ${rows.toSeq}")
+    }
+    assert(recalls.last == 1.0,
+      s"the full-width rung is the sanity anchor: ${rows.toSeq}")
+    val nPairs = PipelineQueries.SimQueryIds.size * PipelineQueries.SimK
+    rows.foreach { r => assert(r._2 >= 0 && r._2 <= nPairs) }
+  }
+
   test("embedEval: realized banding recall rises with cosine and tracks " +
       "the theoretical OR-amplified sign-LSH curve on well-populated bands") {
     import graft.queries.PipelineQueries
