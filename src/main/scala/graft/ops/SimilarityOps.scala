@@ -604,21 +604,35 @@ object SimilarityOps {
    * order double dots over the prefix slices, vec_id tie-break); hit
    * counts are exact integers joined on (query_id, neighbor_id);
    * recall is ONE division rounded once. Scale shape: an EVAL — runs
-   * on sampled queries at monitoring cadence; the rung union is
-   * |dims| broadcast-query scans (slices fused into the scan), hits
+   * on sampled queries at monitoring cadence; the full ranking is
+   * localCheckpoint-materialized once (it feeds the hits join, the
+   * pair total, and the rung at `fullDim`, which would otherwise
+   * re-run the identical brute pass), the remaining rungs are
+   * broadcast-query scans with the slices fused into the scan, hits
    * join on id pairs only, output |dims| rows.
    */
   def matryoshkaEval(emb: DataFrame, queryIds: Seq[Long], k: Int,
-      dims: Seq[Int]): DataFrame = {
+      dims: Seq[Int], fullDim: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // the most expensive subtree (a full brute scoring pass) feeds
+    // the hits join, the pair total, AND the full-width rung —
+    // materialize it once (left to the ContextCleaner afterwards,
+    // the triangleCensus edge-list convention)
     val full = cosineTopK(emb, queryIds, k)
       .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
     val truncs = dims.map { d =>
-      val sliced = emb.select(col("vec_id"),
-        slice(col("embedding"), 1, d).as("embedding"))
-      cosineTopK(sliced, queryIds, k)
-        .select(lit(d.toLong).as("dims"), col("query_id"), col("neighbor_id"))
+      if (d >= fullDim) // the prefix IS the whole vector: reuse `full`
+        full.select(lit(d.toLong).as("dims"), col("query_id"),
+          col("neighbor_id"))
+      else {
+        val sliced = emb.select(col("vec_id"),
+          slice(col("embedding"), 1, d).as("embedding"))
+        cosineTopK(sliced, queryIds, k)
+          .select(lit(d.toLong).as("dims"), col("query_id"),
+            col("neighbor_id"))
+      }
     }.reduce(_.unionByName(_))
     val hits = truncs.join(full, Seq("query_id", "neighbor_id"))
       .groupBy("dims").agg(count(lit(1)).as("h"))

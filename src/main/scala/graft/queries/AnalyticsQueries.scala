@@ -747,8 +747,10 @@ object AnalyticsQueries {
    * the degree-orientation device (Schank & Wagner 2005; the
    * MapReduce formulation of Suri & Vassilvitskii 2011). Each
    * undirected edge is directed from its lower-(degree, id) endpoint
-   * to the higher — a total order, so every triangle is counted
-   * exactly ONCE at its minimum vertex — and the wedge join fans out
+   * to the higher — a lexicographic total order compared as two
+   * fields (never packed into one integer, which would corrupt past
+   * 2³² ids), so every triangle is counted exactly ONCE at its
+   * minimum vertex — and the wedge join fans out
    * by ORIENTED out-degree, which the orientation bounds at O(√|E|)
    * for every node REGARDLESS of raw degree: the hub that explodes a
    * naive wedge join contributes no wedges at all because its edges
@@ -780,20 +782,23 @@ object AnalyticsQueries {
     val deg = edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    // total orientation order: okey = deg·2^32 + node (ids < 2^32)
-    val dk = deg.select(col("node"),
-      (col("deg") * lit(4294967296L) + col("node")).as("okey"))
+    // total orientation order: lexicographic (deg, node) — compared
+    // as two fields, never packed into one integer (a deg·2³²+node
+    // key would silently corrupt the order once ids reach 2³²)
     val ek = edges
-      .join(dk.select(col("node").as("u"), col("okey").as("uk")), "u")
-      .join(dk.select(col("node").as("v"), col("okey").as("vk")), "v")
+      .join(deg.select(col("node").as("u"), col("deg").as("ud")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("vd")), "v")
+    val uLtV = col("ud") < col("vd") ||
+      (col("ud") === col("vd") && col("u") < col("v"))
     val ori = ek.select(
-      when(col("uk") < col("vk"), col("u")).otherwise(col("v")).as("s"),
-      when(col("uk") < col("vk"), col("v")).otherwise(col("u")).as("d"),
-      greatest(col("uk"), col("vk")).as("dkey"))
+      when(uLtV, col("u")).otherwise(col("v")).as("s"),
+      when(uLtV, col("v")).otherwise(col("u")).as("d"),
+      when(uLtV, col("vd")).otherwise(col("ud")).as("dd"))
     // wedge at s → (x, y) in orientation order; the closing edge is
     // oriented x → y by construction, so one equi-join finishes it
     val tri = ori.as("e1").join(ori.as("e2"),
-        col("e1.s") === col("e2.s") && col("e1.dkey") < col("e2.dkey"))
+        col("e1.s") === col("e2.s") && (col("e1.dd") < col("e2.dd") ||
+          (col("e1.dd") === col("e2.dd") && col("e1.d") < col("e2.d"))))
       .select(col("e1.d").as("x"), col("e2.d").as("y"))
       .join(ori.as("e3"), col("x") === col("e3.s") && col("y") === col("e3.d"))
       .agg(count(lit(1)).as("n_triangles"))

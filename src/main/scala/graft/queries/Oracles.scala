@@ -795,14 +795,6 @@ object Oracles {
        |SELECT query_id, rank, neighbor_id, cos_r FROM r WHERE rank <= ${PipelineQueries.SimK}""".stripMargin
   }
 
-  /** Mirrors [[PipelineQueries.simPq]] by re-deriving the WHOLE PQ
-   *  index: per-subspace decimal-exact Lloyd codebooks (the
-   *  kmeansCellsPrefix device instantiated once per subspace over the
-   *  embedding slices), the per-vector code assignment, and the ADC
-   *  score — dot(q_m, codeword) per subspace, summed in subspace
-   *  order, normalized by the reconstruction norm — all relational;
-   *  Spark's driver-precomputed ADC scalars reproduce because both
-   *  sides accumulate in sequential element order. */
   /** The PQ index + ADC ranking as a reusable CTE prefix: everything
    *  through `r` (query_id, rank, neighbor_id-as-vec_id, score) so
    *  [[simPq]] cuts it at SimK and [[simRerank]] treats it as the
@@ -876,6 +868,15 @@ object Oracles {
        |  FROM scored)""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.simPq]] by re-deriving the WHOLE PQ
+   *  index: per-subspace decimal-exact Lloyd codebooks (the
+   *  kmeansCellsPrefix device instantiated once per subspace over the
+   *  embedding slices), the per-vector code assignment, and the ADC
+   *  score — dot(q_m, codeword) per subspace, summed in subspace
+   *  order, normalized by the reconstruction norm — all relational
+   *  ([[pqRankedCtes]]); Spark's driver-precomputed ADC scalars
+   *  reproduce because both sides accumulate in sequential element
+   *  order. */
   val simPq: String =
     s"""$pqRankedCtes
        |SELECT query_id, rank, neighbor_id, score_r FROM r
@@ -1315,41 +1316,51 @@ object Oracles {
   /** Mirrors [[PipelineQueries.wordpieceLearn]] by learning
    *  INDEPENDENTLY (the bpeLearn non-circularity contract): same
    *  K-level chained-CTE loop as [[bpeLearn]] but with `##`
-   *  continuation prefixes baked into the seed segmentation
-   *  ('|w|##o|##r|##d|') and the WordPiece likelihood-ratio argmax —
-   *  per level, pair counts AND symbol counts, score = ONE double
-   *  division cnt / (cnt(a)·cnt(b)) on exact integers (products
-   *  ≤ 10¹² « 2⁵³ ⇒ the identical IEEE double on both engines), ties
-   *  (a, b). The right symbol of any adjacent pair is non-initial, so
-   *  the merge replacement is a || b-minus-its-`##` — substring(b, 3). */
+   *  continuation prefixes baked into the seed segmentation and the
+   *  WordPiece likelihood-ratio argmax — per level, pair counts AND
+   *  symbol counts, score = ONE double division cnt /
+   *  (cnt(a)·cnt(b)) with each count cast to DOUBLE BEFORE the
+   *  multiply (exact below 2⁵³ — identical to the Spark side — and
+   *  graceful past it, where a BIGINT product would error here and
+   *  silently wrap there); ties (a, b). Unlike [[bpeLearn]]'s fenced
+   *  '\|a\|b\|' strings (whose shared fence chars need the
+   *  double-replace and carry a documented same-symbol-run bound),
+   *  segmentations here are BRACKETED tokens '\|sym;' — patterns
+   *  never share a character, so ONE non-overlapping left-to-right
+   *  `replace` IS the Spark fold exactly, for every rule including
+   *  same-symbol runs, which WordPiece's cohesion criterion (unlike
+   *  raw frequency) genuinely can select. The right symbol of any
+   *  adjacent pair is non-initial, so the merge replacement is
+   *  a || b-minus-its-`##` — substring(b, 3). */
   val wordpieceLearn: String = {
     val k = graft.queries.PipelineQueries.WordpieceLearnK
+    val toks =
+      "list_transform(list_filter(string_split(s, ';'), x -> len(x) > 0), x -> x[2:])"
     val parts = scala.collection.mutable.ArrayBuffer(
       """v AS MATERIALIZED (
         |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
         |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS w
         |    FROM documents) GROUP BY w)""".stripMargin,
       """s0 AS MATERIALIZED (
-        |  SELECT freq, '|' || array_to_string(string_split(w, ''), '|##') || '|' AS s FROM v)""".stripMargin)
+        |  SELECT freq, '|' || array_to_string(string_split(w, ''), ';|##') || ';' AS s FROM v)""".stripMargin)
     for (i <- 1 to k) {
       parts += s"""p$i AS MATERIALIZED (
         |  SELECT ss[i] AS a, ss[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-        |    SELECT freq, list_filter(string_split(s, '|'), x -> len(x) > 0) AS ss,
-        |           unnest(range(1, len(list_filter(string_split(s, '|'), x -> len(x) > 0)))) AS i
+        |    SELECT freq, $toks AS ss,
+        |           unnest(range(1, len($toks))) AS i
         |    FROM s${i - 1}) GROUP BY a, b)""".stripMargin
       parts += s"""y$i AS MATERIALIZED (
         |  SELECT sym, CAST(sum(freq) AS BIGINT) AS c FROM (
-        |    SELECT freq, unnest(list_filter(string_split(s, '|'), x -> len(x) > 0)) AS sym
+        |    SELECT freq, unnest($toks) AS sym
         |    FROM s${i - 1}) GROUP BY sym)""".stripMargin
       parts += s"""r$i AS MATERIALIZED (
-        |  SELECT a, b, CAST(cnt AS DOUBLE) / CAST(ya.c * yb.c AS DOUBLE) AS score,
-        |         '|'||a||'|'||b||'|' AS pat, '|'||a||substring(b, 3)||'|' AS rep
+        |  SELECT a, b, CAST(cnt AS DOUBLE) / (CAST(ya.c AS DOUBLE) * CAST(yb.c AS DOUBLE)) AS score,
+        |         '|'||a||';|'||b||';' AS pat, '|'||a||substring(b, 3)||';' AS rep
         |  FROM p$i JOIN y$i ya ON ya.sym = p$i.a JOIN y$i yb ON yb.sym = p$i.b
         |  ORDER BY score DESC, a, b LIMIT 1)""".stripMargin
       if (i < k)
         parts += s"""s$i AS MATERIALIZED (
-          |  SELECT freq, replace(replace(s, (SELECT pat FROM r$i), (SELECT rep FROM r$i)),
-          |                       (SELECT pat FROM r$i), (SELECT rep FROM r$i)) AS s FROM s${i - 1})""".stripMargin
+          |  SELECT freq, replace(s, (SELECT pat FROM r$i), (SELECT rep FROM r$i)) AS s FROM s${i - 1})""".stripMargin
     }
     val union = (1 to k)
       .map(i =>
@@ -3491,18 +3502,13 @@ object Oracles {
        |GROUP BY pq.word, pq.c""".stripMargin
   }
 
-  /** Mirrors [[AnalyticsQueries.graphPagerank]]: same node encoding,
-   *  same symmetrized distinct edge set, and the damping update
-   *  restated as a generated [[AnalyticsQueries.PrIters]]-level
-   *  chained CTE (the bpe_learn device) — the oracle ITERATES
-   *  INDEPENDENTLY rather than echoing Spark's final ranks. Every
-   *  floor is a double quotient of exactly-representable ints
-   *  (< 2^53), so both engines land on identical micro-unit ranks. */
   /** Mirrors [[AnalyticsQueries.graphTriangles]] with the same
    *  degree-orientation construction: co-order part pairs → distinct
-   *  undirected edges → okey = deg·2^32 + node total order → oriented
-   *  wedge join closed by one equi-join. Counts are exact integers;
-   *  gcc divides the two once (HUGEINT sums cast back to BIGINT). */
+   *  undirected edges → lexicographic (deg, node) total order
+   *  (row-value comparisons, never a packed deg·2³²+node integer —
+   *  exact at any id width) → oriented wedge join closed by one
+   *  equi-join. Counts are exact integers; gcc divides the two once
+   *  (HUGEINT sums cast back to BIGINT). */
   val graphTriangles: String =
     """WITH mem AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       |edges AS (
@@ -3512,15 +3518,14 @@ object Oracles {
       |  SELECT node, count(*) AS deg FROM (
       |    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) t
       |  GROUP BY 1),
-      |dk AS (SELECT node, deg * 4294967296 + node AS okey FROM deg),
       |ori AS (
-      |  SELECT CASE WHEN du.okey < dv.okey THEN e.u ELSE e.v END AS s,
-      |         CASE WHEN du.okey < dv.okey THEN e.v ELSE e.u END AS d,
-      |         greatest(du.okey, dv.okey) AS dkey
-      |  FROM edges e JOIN dk du ON du.node = e.u JOIN dk dv ON dv.node = e.v),
+      |  SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS s,
+      |         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS d,
+      |         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN dv.deg ELSE du.deg END AS dd
+      |  FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
       |tri AS (
       |  SELECT count(*) AS n_triangles
-      |  FROM ori e1 JOIN ori e2 ON e1.s = e2.s AND e1.dkey < e2.dkey
+      |  FROM ori e1 JOIN ori e2 ON e1.s = e2.s AND (e1.dd, e1.d) < (e2.dd, e2.d)
       |  JOIN ori e3 ON e3.s = e1.d AND e3.d = e2.d),
       |ns AS (SELECT count(*) AS n_nodes,
       |              CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
@@ -3530,6 +3535,13 @@ object Oracles {
       |       round(3.0 * tri.n_triangles / nullif(CAST(ns.n_wedges AS DOUBLE), 0), 6) AS gcc_r
       |FROM ns, es, tri""".stripMargin
 
+  /** Mirrors [[AnalyticsQueries.graphPagerank]]: same node encoding,
+   *  same symmetrized distinct edge set, and the damping update
+   *  restated as a generated [[AnalyticsQueries.PrIters]]-level
+   *  chained CTE (the bpe_learn device) — the oracle ITERATES
+   *  INDEPENDENTLY rather than echoing Spark's final ranks. Every
+   *  floor is a double quotient of exactly-representable ints
+   *  (< 2^53), so both engines land on identical micro-unit ranks. */
   val graphPagerank: String = {
     val iters = AnalyticsQueries.PrIters
     val scale = AnalyticsQueries.PrScale

@@ -612,7 +612,7 @@ object PipelineQueries {
    *  need. */
   def simMatryoshka(spark: SparkSession, sfDir: String): DataFrame =
     SimilarityOps.matryoshkaEval(Tables.embeddings(spark, sfDir),
-      SimQueryIds, SimK, MatryoshkaDims)
+      SimQueryIds, SimK, MatryoshkaDims, fullDim = EmbeddingDim)
 
   /** SQ8 scalar-quantized top-k ([[SimilarityOps.sq8TopK]]): per-dim
    *  min/max scaling to one byte per dimension (4× compression,
@@ -1224,9 +1224,10 @@ object PipelineQueries {
    *
    * Determinism contract: pair and symbol counts are exact integers;
    * the score is ONE IEEE double division cnt / (cnt(a)·cnt(b)) with
-   * the denominator an exact long product cast once (products here
-   * ≤ 10¹² « 2⁵³, so both engines compute the identical double;
-   * [[Oracles.wordpieceLearn]] re-learns with the same arithmetic);
+   * each count cast to double BEFORE the multiply — exact below 2⁵³
+   * (so both engines compute the identical double;
+   * [[Oracles.wordpieceLearn]] re-learns with the same arithmetic)
+   * and graceful past it, where a long product would silently wrap;
    * ties break (a, b) lexicographically — the bpePairStats total
    * order. The per-word merge apply is [[bpeLearn]]'s exact
    * left-to-right fold with the replacement a + b-minus-its-`##`.
@@ -1273,8 +1274,8 @@ object PipelineQueries {
       val top = pairs
         .join(symCnt.select(col("sym").as("a"), col("c").as("ca")), "a")
         .join(symCnt.select(col("sym").as("b"), col("c").as("cb")), "b")
-        .withColumn("score",
-          col("cnt").cast("double") / (col("ca") * col("cb")).cast("double"))
+        .withColumn("score", col("cnt").cast("double") /
+          (col("ca").cast("double") * col("cb").cast("double")))
         .orderBy(col("score").desc, col("a"), col("b"))
         .select("a", "b", "score")
         .limit(1).collect()

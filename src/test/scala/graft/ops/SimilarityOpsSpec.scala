@@ -462,7 +462,8 @@ class SimilarityOpsSpec extends SparkSpec {
     val corpus = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val dims = PipelineQueries.MatryoshkaDims
     val rows = SimilarityOps.matryoshkaEval(corpus,
-      PipelineQueries.SimQueryIds, PipelineQueries.SimK, dims)
+      PipelineQueries.SimQueryIds, PipelineQueries.SimK, dims,
+      fullDim = PipelineQueries.EmbeddingDim)
       .orderBy("dims").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(rows.map(_._1).toSeq == dims.map(_.toLong),

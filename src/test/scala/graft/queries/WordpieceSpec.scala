@@ -119,6 +119,26 @@ class WordpieceSpec extends SparkSpec {
       s"first merge ${got.head} must not be the raw-frequency pick")
   }
 
+  test("same-symbol rule over a FIVE-long run: the learner's left-to-" +
+      "right fold leaves the odd symbol at the END ([x,##xx,##xx,##x]) " +
+      "— the exact order a fenced double-replace apply (the bpeLearn " +
+      "oracle device) would get wrong, which is why the wordpiece " +
+      "oracle uses bracketed '|sym;' tokens") {
+    // every head pair is diluted below 4/25 = 0.16 (x heads 3 words,
+    // the others 2, ##a/##b each end 4), so rule 1 IS (##x, ##x),
+    // applied while the ##x run is still 5 long
+    val corpus = "xxxxxx xa xb ya yb za zb wa wb"
+    val docs = Seq((0L, corpus)).toDF("doc_id", "text")
+    val got = PipelineQueries.wordpieceLearnOf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDouble(3)))
+    val want = refLearn(corpus.split(" ").toSeq.map((_, 1L)),
+      PipelineQueries.WordpieceLearnK)
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+    assert(got.head._2 == "##x" && got.head._3 == "##x",
+      s"rule 1 must be the same-symbol run merge: ${got.toSeq}")
+  }
+
   test("frozen WordpieceVocab provenance: re-learning at sf0.01 " +
       "reproduces VectorMath.WordpieceMerges row-for-row") {
     val learned = PipelineQueries
