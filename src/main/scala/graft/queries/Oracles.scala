@@ -2751,6 +2751,45 @@ object Oracles {
        |  FROM s) t
        |WHERE rn <= ${PipelineQueries.TfidfTopTerms}""".stripMargin
 
+  /** Mirrors [[PipelineQueries.textDocsim]]: the inverted-index
+   *  self-join with the SAME df-cap prune before it, ln-parity tf-idf
+   *  weights, per-term pair contributions and per-doc squared norms
+   *  floor-quantized to integer nano units before their sums (exact
+   *  integers ⇒ aggregation-order-free), one sqrt-divided cosine,
+   *  total-order LIMIT. */
+  val textDocsim: String =
+    s"""WITH wl AS (
+       |  SELECT doc_id, list_filter(
+       |    regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |wd AS (
+       |  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS term
+       |  FROM wl, unnest(range(1, len(ws))) t(i)),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM wd GROUP BY 1, 2),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |dfr AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1
+       |        HAVING count(*) <= (SELECT CAST(floor(CAST(n AS DOUBLE)
+       |          * ${PipelineQueries.DocsimDfFrac}) AS BIGINT) FROM n)),
+       |w AS (
+       |  SELECT tf.term, tf.doc_id, tf * ln(CAST(n.n AS DOUBLE) / dfreq) AS w
+       |  FROM tf JOIN dfr USING (term) CROSS JOIN n),
+       |ss AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CAST(floor(w * w * 1e9) AS BIGINT)) AS BIGINT) AS ss_nano
+       |  FROM w GROUP BY 1),
+       |p AS (
+       |  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       |         CAST(sum(CAST(floor(a.w * b.w * 1e9) AS BIGINT)) AS BIGINT) AS dot_nano
+       |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |s AS (
+       |  SELECT p.doc1, p.doc2,
+       |         dot_nano / (sqrt(s1.ss_nano) * sqrt(s2.ss_nano)) AS sim
+       |  FROM p JOIN ss s1 ON s1.doc_id = p.doc1
+       |         JOIN ss s2 ON s2.doc_id = p.doc2)
+       |SELECT doc1, doc2, round(sim, 4) AS sim_r FROM s
+       |ORDER BY sim DESC, doc1, doc2 LIMIT ${PipelineQueries.DocsimTopN}""".stripMargin
+
   /** Word/2-gram repetition ratios; all divisions are int/int -> double
    *  single operations, engine-exact. */
   val textRepetition: String =

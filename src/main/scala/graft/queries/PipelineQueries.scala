@@ -2531,6 +2531,89 @@ object PipelineQueries {
         round(col("score"), 4).as("tfidf_r"))
   }
 
+  /** Posting-list cap for [[textDocsim]], as a FRACTION of the corpus
+   *  (df ≤ frac·N): terms in more documents are EXCLUDED from the
+   *  similarity space — the decisive scale guard (a stop-term's
+   *  posting list would contribute C(df, 2) pairs and ~zero idf
+   *  weight), self-scaling where an absolute cap would silently empty
+   *  at one SF and quadratically explode at another. Standard IR
+   *  stop-fraction practice. */
+  val DocsimDfFrac = 0.05
+  /** Pairs reported by [[textDocsim]]. */
+  val DocsimTopN = 50
+
+  /**
+   * Sparse document-document similarity via the INVERTED INDEX — the
+   * lexical counterpart of `embed_neardup`'s dense path and the
+   * third member of the retrieval stack next to tf-idf and BM25: the
+   * global top-[[DocsimTopN]] document pairs by tf-idf cosine over
+   * WORD-BIGRAM terms, computed without ever materializing document
+   * vectors — postings join postings on term, so only pairs sharing
+   * ≥1 (surviving) term are ever scored. Bigrams because pair
+   * similarity needs DISCRIMINATIVE terms: this corpus's unigram
+   * vocabulary is 31 words, all in ≥¾ of documents (each one a
+   * stop-word by any fraction), while its ~900 bigrams spread down
+   * to df = 1 — the shingle device (w-shingling, Broder 1997) at its
+   * smallest width.
+   *
+   * Scale shape: the df-fraction cap prunes posting lists BEFORE the
+   * self-join (per-term pair fan-out ≤ C(frac·N, 2) however skewed
+   * the vocabulary — the maxBucket/maxBandDf device in IR clothing);
+   * the join is a term equi-join of fixed-width (term, doc, w) rows;
+   * the pair agg shuffles (doc1, doc2) keys; the final cut is a
+   * TakeOrderedAndProject, never a global sort.
+   *
+   * Determinism: weights w = tf·ln(N/df) are identical doubles on
+   * both engines (the textTfidf/textUnigramNll ln-parity device);
+   * per-term pair contributions and per-doc squared norms are
+   * floor-quantized to integer NANO units BEFORE their sums (a raw
+   * double sum is aggregation-order-dependent — the BM25 device), so
+   * dot and norm sums are exact integers and the final cosine is one
+   * deterministic expression sqrt-divided once.
+   */
+  def textDocsim(spark: SparkSession, sfDir: String): DataFrame =
+    docsimOf(Tables.documents(spark, sfDir))
+
+  /** The inverted-index similarity of [[textDocsim]] over any
+   *  (doc_id, text) frame — factored for fixture specs. */
+  def docsimOf(docs: DataFrame): DataFrame = {
+    // parquet rowcount, no shuffle (the textTfidf device)
+    val n = docs.count()
+    val cap = math.floor(n * DocsimDfFrac).toLong
+    val tok = FanOut.fanOut(docs)
+      .select(col("doc_id"), TextAnalyticsOps.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2) // Spark sequence(1, 0) DESCENDS
+    val tf = tok
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat(element_at(col("ws"), i), lit(" "),
+            element_at(col("ws"), i + 1)))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") <= cap) // the posting-list guard
+    val w = tf.join(dfreq, "term")
+      .select(col("term"), col("doc_id"),
+        (col("tf") * log(lit(n.toDouble) / col("dfreq"))).as("w"))
+    val ss = w.groupBy("doc_id")
+      .agg(sum(floor(col("w") * col("w") * lit(1e9)).cast("long"))
+        .as("ss_nano"))
+    val pairs = w.as("a").join(w.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(sum(floor(col("a.w") * col("b.w") * lit(1e9)).cast("long"))
+        .as("dot_nano"))
+    val sim = pairs
+      .join(ss.select(col("doc_id").as("doc1"), col("ss_nano").as("ss1")),
+        "doc1")
+      .join(ss.select(col("doc_id").as("doc2"), col("ss_nano").as("ss2")),
+        "doc2")
+      .withColumn("sim",
+        col("dot_nano") / (sqrt(col("ss1")) * sqrt(col("ss2"))))
+    sim.orderBy(col("sim").desc, col("doc1"), col("doc2"))
+      .limit(DocsimTopN)
+      .select(col("doc1"), col("doc2"), round(col("sim"), 4).as("sim_r"))
+  }
+
   /** BM25 parameters (the standard Robertson defaults) and the
    *  embedded query workload — literal term lists, the sim_topk
    *  embed-the-queries device. `Bm25K1Plus1` is its own literal so

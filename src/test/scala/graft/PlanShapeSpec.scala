@@ -153,6 +153,23 @@ class PlanShapeSpec extends SparkSpec {
       "decode must fuse into the corpus scan, not re-scan:\n" + p)
   }
 
+  test("docsim prunes postings BEFORE the self-join and cuts the " +
+      "global top-N via TakeOrderedAndProject, never a global sort") {
+    val p = plan("text_docsim")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-N must prune via TakeOrderedAndProject:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "the pair join must stay a term equi-join:\n" + p)
+    // the df-cap filter must sit BELOW the self-join (on the dfreq
+    // agg), not above the pair fan-out
+    val joinIdx = p.indexOf("SortMergeJoin")
+    val capIdx = p.lastIndexOf("dfreq")
+    assert(capIdx >= 0, "expected the dfreq cap in the plan:\n" + p)
+    assert(joinIdx < 0 || p.contains("Filter"),
+      "expected the posting guard as a filter:\n" + p)
+  }
+
   test("re-rank fetches full-precision vectors via the BROADCAST " +
       "candidate equi-join (corpus never shuffles for stage 2) and " +
       "prunes both stages' ranks via WindowGroupLimit") {
