@@ -256,6 +256,13 @@ object Run {
         (graft.queries.PipelineQueries.normalizeProjection(
           lines().select(col("ts"), col("value").as("text"))),
           OutputMode.Append)
+      case "tokenize" =>
+        // tokenizer telemetry at ingest: the fertility dashboard's
+        // live form — four row-local count kernels (ws/BPE/unigram/
+        // WordPiece), no model, no state, no shuffle
+        (graft.queries.PipelineQueries.tokenizeProjection(
+          lines().select(col("ts"), col("value").as("text"))),
+          OutputMode.Append)
       case "line_filter" =>
         // line-level cleaning at ingest: the same fused row-local
         // kernel as the batch query (no model, no state, no shuffle)

@@ -2431,6 +2431,23 @@ object PipelineQueries {
         md5(col("st.norm")).as("norm_hash")): _*)
   }
 
+  /** Ingest-side tokenizer telemetry: all four token counts per doc
+   *  (whitespace, BPE, unigram-LM, WordPiece) in ONE row-local
+   *  projection — the [[bpeFertility]] dashboard's live form. No
+   *  model, no state, no shuffle; each kernel carries its own
+   *  per-distinct-word memo, so a near-duplicate-heavy stream pays
+   *  one segmentation per distinct word, not per row. */
+  def tokenizeProjection(df: DataFrame): DataFrame = {
+    val passthrough = df.columns.filter(_ != "text").map(col)
+    df.select(passthrough ++ Seq(
+      TextAnalyticsOps.wsTokenCount(col("text")).as("ws_tokens"),
+      TextAnalyticsOps.bpeTokenCount(col("text")).as("bpe_tokens"),
+      graft.functions.native.unigram_token_count(lower(col("text")))
+        .as("unigram_tokens"),
+      graft.functions.native.wordpiece_token_count(lower(col("text")))
+        .as("wordpiece_tokens")): _*)
+  }
+
   /** The fused line-rule projection of [[textLineFilter]] over any
    *  (passthrough..., text) frame — shared batch/live like
    *  [[piiProjection]]. Output: passthrough..., per-rule counts,

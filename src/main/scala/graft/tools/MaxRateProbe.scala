@@ -380,6 +380,10 @@ object MaxRateProbe {
       graft.queries.PipelineQueries.normalizeProjection(
         in.select(col("ts"), Generators.docLine(col("value")).as("text")))
     }
+    search("tokenize", seed = 1000000, OutputMode.Append) { in =>
+      graft.queries.PipelineQueries.tokenizeProjection(
+        in.select(col("ts"), Generators.docLine(col("value")).as("text")))
+    }
     search("line_filter", seed = 1000000, OutputMode.Append) { in =>
       StreamOps.lineFilterStream(
         in.select(col("ts"), Generators.docLine(col("value")).as("text")))

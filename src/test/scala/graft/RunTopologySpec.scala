@@ -84,6 +84,44 @@ class RunTopologySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Run tokenize streams the four-family token telemetry: stream " +
+      "rows equal the batch tokenizeProjection on the same text, and " +
+      "an [UNK]-only word still counts 1 under WordPiece") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.PipelineQueries
+    val texts = Seq(
+      "the quick batch join window",
+      "zebra aft column", // zebra/aft are WordPiece [UNK] words
+      "agg aggi batch batch batch")
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.toMemory(
+      PipelineQueries.tokenizeProjection(
+        in.toDF().toDF("ts", "value")
+          .select(org.apache.spark.sql.functions.col("ts"),
+            org.apache.spark.sql.functions.col("value").as("text"))),
+      "run_tokenize", OutputMode.Append, ckpt())
+    try {
+      in.addData(texts.map(t => (at("2024-01-01 10:00:00"), t)): _*)
+      q.processAllAvailable()
+      val got = spark.table("run_tokenize")
+        .select("ws_tokens", "bpe_tokens", "unigram_tokens",
+          "wordpiece_tokens")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sorted.toSeq
+      val want = PipelineQueries.tokenizeProjection(
+        texts.toDF("text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sorted.toSeq
+      assert(got == want, s"stream != batch: $got vs $want")
+      // the [UNK] doc: 3 ws words, each an [UNK] or real segmentation
+      val unkRow = PipelineQueries.tokenizeProjection(
+        Seq("zebra aft column").toDF("text")).collect()(0)
+      assert(unkRow.getAs[Long]("ws_tokens") == 3L)
+      // zebra -> [UNK] (1), aft -> [UNK] (1), column -> column (1)
+      assert(unkRow.getAs[Long]("wordpiece_tokens") == 3L)
+    } finally q.stop()
+  }
+
   test("Run decontaminate gates lines against the benchmark parquet: " +
       "an overlapping line is flagged with its hit count, clean lines pass") {
     implicit val sqlCtx = spark.sqlContext
