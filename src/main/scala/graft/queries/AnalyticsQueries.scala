@@ -771,17 +771,26 @@ object AnalyticsQueries {
     triangleCensus(Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
 
+  /** Distinct undirected co-membership edges (u < v) of any (o, p)
+   *  frame — the graph both [[triangleCensus]] and [[kCore]] analyze.
+   *  Per-key fan-out is C(n, 2) over bounded order sizes. */
+  private def coEdges(pairs: DataFrame): DataFrame = {
+    val mem = pairs.distinct()
+    mem.as("a").join(mem.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+  }
+
+  /** Both endpoint occurrences of every edge — degree = count. */
+  private def endpoints(edges: DataFrame): DataFrame =
+    edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+
   /** The census over any (o, p) membership frame: nodes are p values,
    *  edges join parts sharing an o. Factored for fixture tests. */
   def triangleCensus(pairs: DataFrame): DataFrame = {
-    val mem = pairs.distinct()
-    val edges = mem.as("a").join(mem.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
-      .localCheckpoint()
-    val deg = edges.select(col("u").as("node"))
-      .unionAll(edges.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val edges = coEdges(pairs).localCheckpoint()
+    val deg = endpoints(edges).groupBy("node").agg(count(lit(1)).as("deg"))
     // total orientation order: lexicographic (deg, node) — compared
     // as two fields, never packed into one integer (a deg·2³²+node
     // key would silently corrupt the order once ids reach 2³²)
@@ -810,5 +819,67 @@ object AnalyticsQueries {
         col("n_triangles"),
         round(lit(3.0) * col("n_triangles") /
           nullif(col("n_wedges").cast("double"), lit(0.0)), 6).as("gcc_r"))
+  }
+
+  /** Core order for [[graphKcore]]: with co-purchase degrees ~42–222
+   *  at both bench SFs, k = 80 peels for ~5 rounds to a genuinely
+   *  PROPER subgraph (1857/2000 nodes at sf0.01) — neither the
+   *  everything-core of small k nor the empty core past the
+   *  degeneracy. */
+  val KCoreK = 80
+
+  /**
+   * k-core decomposition member query (Matula & Beck 1983's peeling;
+   * Batagelj & Zaveršnik 2003): the maximal subgraph in which every
+   * node has degree ≥ k — the standard graph-mining density filter
+   * (community seeds, spam/bot cores, influence backbones). Peeling
+   * iterates: drop every node with CURRENT degree < k, which lowers
+   * neighbors' degrees, until a fixpoint — the classic cascading
+   * deletion that one degree filter cannot express. Emits every core
+   * member with its within-core degree.
+   *
+   * Scale shape (the Pregel-in-SQL contract, like graphPagerank):
+   * each round is one two-phase degree agg + a driver-side 1-scalar
+   * convergence count + two anti-joins keyed on node ids — edge text
+   * never shuffles (there is none), every shuffle is fixed-width
+   * integer keys. Round count is data-dependent but small on dense
+   * graphs (≤ 9 observed at both bench SFs); lineage truncates every
+   * round via localCheckpoint with the releaseTruncated handle
+   * discipline (superseded snapshots are released EAGERLY — the r14
+   * block-manager-leak class). The DuckDB oracle unrolls peeling to
+   * a fixed depth and FAILS LOUD if un-converged (the unigram-DP
+   * guard device), so a corpus needing deeper peeling surfaces as an
+   * oracle error, never a silent mismatch.
+   */
+  def graphKcore(spark: SparkSession, sfDir: String): DataFrame =
+    kCore(coEdges(Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))), KCoreK)
+
+  /** The peeling fixpoint over any (u, v) edge frame. */
+  def kCore(edges0: DataFrame, k: Int): DataFrame = {
+    var edges = edges0.localCheckpoint()
+    var lastCkpt = edges // the checkpoint HANDLE (releaseTruncated)
+    var done = false
+    while (!done) {
+      val drop = endpoints(edges).groupBy("node")
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") < k).select("node")
+        .localCheckpoint() // reused by the count + two anti-joins
+      if (drop.count() == 0) {
+        graft.ops.DedupOps.releaseTruncated(drop)
+        done = true
+      } else {
+        val pruned = edges
+          .join(drop.select(col("node").as("u")), Seq("u"), "left_anti")
+          .join(drop.select(col("node").as("v")), Seq("v"), "left_anti")
+        edges = pruned.localCheckpoint() // eager: safe to release below
+        graft.ops.DedupOps.releaseTruncated(drop)
+        graft.ops.DedupOps.releaseTruncated(lastCkpt)
+        lastCkpt = edges
+      }
+    }
+    // the final checkpoint stays live under the returned frame — left
+    // to the ContextCleaner (the pagerank non-boundary convention)
+    endpoints(edges).groupBy("node").agg(count(lit(1)).as("core_deg"))
   }
 }

@@ -3574,6 +3574,41 @@ object Oracles {
       |       round(3.0 * tri.n_triangles / nullif(CAST(ns.n_wedges AS DOUBLE), 0), 6) AS gcc_r
       |FROM ns, es, tri""".stripMargin
 
+  /** Mirrors [[AnalyticsQueries.graphKcore]] by UNROLLING the peeling
+   *  to a fixed depth (chained MATERIALIZED CTEs: per level, degree
+   *  agg → below-k drop set → anti-filtered edge set) and FAILING
+   *  LOUD via error() if the last level still drops nodes (the
+   *  unigram-DP unroll-guard device) — a corpus needing deeper
+   *  peeling surfaces as an oracle error, never a silent mismatch. */
+  val graphKcore: String = {
+    val k = AnalyticsQueries.KCoreK
+    val depth = 16
+    val parts = scala.collection.mutable.ArrayBuffer(
+      """mem AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)""",
+      """e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM mem a JOIN mem b ON a.o = b.o AND a.p < b.p)""".stripMargin)
+    for (i <- 1 to depth) {
+      parts += s"""d$i AS MATERIALIZED (
+        |  SELECT node FROM (
+        |    SELECT u AS node FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1}) t
+        |  GROUP BY 1 HAVING count(*) < $k)""".stripMargin
+      parts += s"""e$i AS MATERIALIZED (
+        |  SELECT * FROM e${i - 1}
+        |  WHERE u NOT IN (SELECT node FROM d$i)
+        |    AND v NOT IN (SELECT node FROM d$i))""".stripMargin
+    }
+    parts += s"""g AS (
+      |  SELECT CASE WHEN (SELECT count(*) FROM d$depth) > 0
+      |              THEN error('kcore oracle: peeling exceeds the unroll depth $depth')
+      |              ELSE 1 END AS ok)""".stripMargin
+    "WITH " + parts.mkString(",\n") + "\n" +
+      s"""SELECT node, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM (SELECT u AS node FROM e$depth
+         |      UNION ALL SELECT v FROM e$depth) t, g
+         |WHERE g.ok = 1 GROUP BY node""".stripMargin
+  }
+
   /** Mirrors [[AnalyticsQueries.graphPagerank]]: same node encoding,
    *  same symmetrized distinct edge set, and the damping update
    *  restated as a generated [[AnalyticsQueries.PrIters]]-level
