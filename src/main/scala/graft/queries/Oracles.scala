@@ -1775,16 +1775,50 @@ object Oracles {
    *  matches — exactly the kernel's contract. Words longer than the
    *  unroll fail LOUD (the unigram-oracle guard device); per-doc
    *  piece streams reassemble in word order and md5-gate. */
-  val textTokensWordpiece: String = {
+  val textTokensWordpiece: String =
+    s"""WITH ${wordpieceSegCtes("text")}
+       |SELECT wlw.doc_id,
+       |  CAST(coalesce(wenc.n, 0) AS BIGINT) AS wordpiece_tokens,
+       |  md5(coalesce(wenc.e, '')) AS enc_hash
+       |FROM wlw LEFT JOIN wenc USING (doc_id), wlen
+       |WHERE wlen.ok = 1""".stripMargin
+
+  /** Mirrors [[PipelineQueries.textUnkRate]]: the deterministic
+   *  domain-shift augmentation re-derived from doc_id (the
+   *  engineered-fixture convention), per-doc `[UNK]` counts by the
+   *  same exact substring arithmetic over the
+   *  [[wordpieceSegCtes]]-reconstructed piece streams, rolled up per
+   *  source with one int/int division rounded once. */
+  val textUnkRate: String =
+    s"""WITH ${wordpieceSegCtes(
+        "CASE WHEN doc_id % 5 = 0 THEN text || ' emoji sort' ELSE text END")},
+       |nd AS (
+       |  SELECT wlw.doc_id, CAST(len(wlw.lst) AS BIGINT) AS nw,
+       |         (length(coalesce(wenc.e, ''))
+       |           - length(replace(coalesce(wenc.e, ''), '[UNK]', ''))) // 5 AS nu
+       |  FROM wlw LEFT JOIN wenc USING (doc_id))
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(nd.nw) AS BIGINT) AS n_words,
+       |  CAST(sum(nd.nu) AS BIGINT) AS n_unk,
+       |  round(CAST(sum(nd.nu) AS BIGINT)
+       |    / nullif(CAST(sum(nd.nw) AS DOUBLE), 0), 6) AS unk_rate_r
+       |FROM nd JOIN documents d USING (doc_id), wlen
+       |WHERE wlen.ok = 1 GROUP BY d.source""".stripMargin
+
+  /** The frozen-vocab greedy segmentation + per-doc reassembly CTE
+   *  parts shared by [[textTokensWordpiece]] and [[textUnkRate]]
+   *  (binds wlw, wlen, wseg, wtok, wenc), over `textExpr` — the raw
+   *  column or an augmented CASE expression. */
+  private def wordpieceSegCtes(textExpr: String): String = {
     val mw = graft.queries.PipelineQueries.UnigramMaxWordLen
     val mc = graft.functions.VectorMath.WordpieceMaxContent
     val vals = graft.functions.VectorMath.WordpieceVocab
       .map(p => s"('${p.replace("'", "''")}')").mkString(",")
     val parts = scala.collection.mutable.ArrayBuffer(
       s"""wv(piece) AS (SELECT * FROM (VALUES $vals) t(piece))""",
-      """wlw AS (
+      s"""wlw AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS lst
+        |         list_filter(regexp_split_to_array(lower($textExpr), '\\s+'), x -> len(x) > 0) AS lst
         |  FROM documents)""".stripMargin,
       """wdw(w) AS (SELECT DISTINCT unnest(lst) FROM wlw)""",
       s"""wlen AS (
@@ -1825,12 +1859,7 @@ object Oracles {
       |         string_agg(wseg.pieces, ' ' ORDER BY wtok.i) AS e,
       |         sum(wseg.n) AS n
       |  FROM wtok JOIN wseg USING (w) GROUP BY wtok.doc_id)""".stripMargin
-    "WITH " + parts.mkString(",\n") + "\n" +
-      """SELECT wlw.doc_id,
-        |  CAST(coalesce(wenc.n, 0) AS BIGINT) AS wordpiece_tokens,
-        |  md5(coalesce(wenc.e, '')) AS enc_hash
-        |FROM wlw LEFT JOIN wenc USING (doc_id), wlen
-        |WHERE wlen.ok = 1""".stripMargin
+    parts.mkString(",\n")
   }
 
   /** Mirrors [[PipelineQueries.bpeFertility]]: the full [[textTokensBpe]]

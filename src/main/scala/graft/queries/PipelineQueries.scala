@@ -1485,6 +1485,42 @@ object PipelineQueries {
         col("e.n_tokens").as("wordpiece_tokens"),
         md5(col("e.enc")).as("enc_hash"))
 
+  /** Tokenizer COVERAGE telemetry per source: whitespace word count,
+   *  WordPiece whole-word `[UNK]` count under the frozen vocab, and
+   *  the OOV rate — the report that tells an operator whether the
+   *  tokenizer's training alphabet still covers incoming data (a
+   *  rising unk_rate is the canonical domain-shift alarm). The UNK
+   *  count is derived from the encode stream itself by substring
+   *  arithmetic — `[UNK]` contains uppercase and brackets, neither of
+   *  which any real (lowercased) piece can carry, so the 5-char
+   *  occurrence count is exact. One row-local kernel pass, one
+   *  |sources|-group agg — no joins, no second scan.
+   *
+   *  The vocab was trained on this very corpus, so unaugmented data
+   *  reads 0 everywhere (true, but it gates nothing): every fifth
+   *  doc_id gains a deterministic two-word domain-shift suffix —
+   *  one word the alphabet cannot segment ("emoji": ##j is absent)
+   *  and one it can ("sort") — the engineered-fixture convention
+   *  (piiAugment); the oracle re-derives the augmentation. */
+  def textUnkRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val aug = when(col("doc_id") % 5 === 0,
+      concat(col("text"), lit(" emoji sort"))).otherwise(col("text"))
+    val enc = graft.functions.native.wordpiece_encode(lower(aug))
+      .getField("enc")
+    Tables.documents(spark, sfDir)
+      .select(col("source"),
+        TextAnalyticsOps.wsTokenCount(aug).as("nw"),
+        ((length(enc) - length(replace(enc, lit("[UNK]"), lit("")))) / 5)
+          .cast("long").as("nu"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_words"),
+        sum(col("nu")).as("n_unk"))
+      .withColumn("unk_rate_r",
+        round(col("n_unk") / nullif(col("n_words").cast("double"),
+          lit(0.0)), 6))
+  }
+
   /** Quantization scale for [[textUnigramNll]]: per-word negative
    *  log-likelihoods are floored to integer micro-nats so the per-doc
    *  sum is an exact integer (order-independent ⇒ engine-stable — the
