@@ -786,6 +786,13 @@ object AnalyticsQueries {
     edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
 
+  /** Oriented edge sets at or under this size broadcast into the
+   *  wedge-closing join (the wedge stream — the plan's BIGGEST
+   *  relation, Σ C(outdeg, 2) rows — then never shuffles); larger
+   *  sets fall back to the shuffled equi-join, the only honest form
+   *  at graph scale. ~100 MB of (s, d, dd) longs at the cap. */
+  val TriBroadcastEdges = 4000000L
+
   /** The census over any (o, p) membership frame: nodes are p values,
    *  edges join parts sharing an o. Factored for fixture tests. */
   def triangleCensus(pairs: DataFrame): DataFrame = {
@@ -799,17 +806,26 @@ object AnalyticsQueries {
       .join(deg.select(col("node").as("v"), col("deg").as("vd")), "v")
     val uLtV = col("ud") < col("vd") ||
       (col("ud") === col("vd") && col("u") < col("v"))
+    // THREE consumers (both wedge sides + the closing join, whose
+    // different join keys defeat exchange reuse) — materialize once
     val ori = ek.select(
       when(uLtV, col("u")).otherwise(col("v")).as("s"),
       when(uLtV, col("v")).otherwise(col("u")).as("d"),
       when(uLtV, col("vd")).otherwise(col("ud")).as("dd"))
+      .localCheckpoint()
+    // the checkpointed frame's size is KNOWN — adaptively broadcast
+    // the closing side so the wedge stream (the biggest relation in
+    // the plan) never shuffles when edges fit an executor
+    val nEdges = ori.count()
+    val close = if (nEdges <= TriBroadcastEdges) broadcast(ori) else ori
     // wedge at s → (x, y) in orientation order; the closing edge is
     // oriented x → y by construction, so one equi-join finishes it
     val tri = ori.as("e1").join(ori.as("e2"),
         col("e1.s") === col("e2.s") && (col("e1.dd") < col("e2.dd") ||
           (col("e1.dd") === col("e2.dd") && col("e1.d") < col("e2.d"))))
       .select(col("e1.d").as("x"), col("e2.d").as("y"))
-      .join(ori.as("e3"), col("x") === col("e3.s") && col("y") === col("e3.d"))
+      .join(close.as("e3"),
+        col("x") === col("e3.s") && col("y") === col("e3.d"))
       .agg(count(lit(1)).as("n_triangles"))
     val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
@@ -819,6 +835,79 @@ object AnalyticsQueries {
         col("n_triangles"),
         round(lit(3.0) * col("n_triangles") /
           nullif(col("n_wedges").cast("double"), lit(0.0)), 6).as("gcc_r"))
+  }
+
+  /**
+   * Type-2 slowly-changing-dimension BUILD from an event log (the
+   * Kimball SCD2 shape every warehouse maintains): per user, collapse
+   * consecutive equal states into validity intervals
+   * [valid_from, valid_to) with the open interval marked current —
+   * lag() detects change points, lead() closes each interval at the
+   * next change. Keys are EXACT integer microseconds (unix_micros ≡
+   * DuckDB epoch_us — truncated-seconds vs rounded-double frame keys
+   * silently diverge on sub-second data), the order is totalized by
+   * (ts_us, event_id), and the open end is the explicit Long.MaxValue
+   * high-date sentinel rather than a NULL (Kimball's convention, and
+   * null-free hash compares). Scale shape: ONE shuffle on user_id
+   * feeds both window passes (same partitioning), everything else is
+   * row-local; output is change-points only.
+   */
+  def scd2Build(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val ev = Tables.events(spark, sfDir).select(col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_id"),
+      col("event_type"))
+    val changes = ev
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    changes
+      .withColumn("valid_to_us",
+        coalesce(lead(col("ts_us"), 1).over(w), lit(Long.MaxValue)))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"),
+        (col("valid_to_us") === Long.MaxValue).as("is_current"))
+  }
+
+  /**
+   * CDC apply — the MERGE INTO / upsert-and-delete shape of every
+   * ingestion pipeline (apply a change batch to a snapshot,
+   * latest-wins, deletes tombstone): here the change batch is derived
+   * DETERMINISTICALLY from the snapshot keys (the engineered-fixture
+   * convention — no CDC feed exists in the testdata): keys ≡ 0 mod 13
+   * delete, keys ≡ 0 mod 7 (and not 13) update status to 'X' with a
+   * decimal-exact +10.00 reprice, keys ≡ 0 mod 97 insert a fresh
+   * key + 10⁹ row with status 'N'. Applied as ONE union + one
+   * per-key latest-wins rank (seq 1 beats the snapshot's 0) + a
+   * tombstone drop — the window form of MERGE that needs no join at
+   * all; the rank cut is the WindowGroupLimit contract. Emits the
+   * per-status reconciliation row a CDC operator actually monitors
+   * (counts, exact key sums, decimal-exact price sums).
+   */
+  def cdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val snap = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        col("o_totalprice").cast("decimal(14,2)").as("price"),
+        lit(0L).as("seq"), lit("U").as("op"))
+    val del = snap.filter(col("k") % 13 === 0)
+      .select(col("k"), col("status"), col("price"), lit(1L).as("seq"),
+        lit("D").as("op"))
+    val upd = snap.filter(col("k") % 13 =!= 0 && col("k") % 7 === 0)
+      .select(col("k"), lit("X").as("status"),
+        (col("price") + lit(BigDecimal("10.00"))).cast("decimal(14,2)")
+          .as("price"),
+        lit(1L).as("seq"), lit("U").as("op"))
+    val ins = snap.filter(col("k") % 97 === 0)
+      .select((col("k") + lit(1000000000L)).as("k"), lit("N").as("status"),
+        col("price"), lit(1L).as("seq"), lit("I").as("op"))
+    val all = snap.unionByName(del).unionByName(upd).unionByName(ins)
+    val rk = row_number().over(
+      Window.partitionBy("k").orderBy(col("seq").desc))
+    val merged = all.withColumn("rk", rk).filter(col("rk") === 1)
+      .filter(col("op") =!= "D")
+    merged.groupBy("status")
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("key_sum"),
+        sum(col("price")).cast("double").as("price_sum"))
   }
 
   /** Core order for [[graphKcore]]: with co-purchase degrees ~42–222

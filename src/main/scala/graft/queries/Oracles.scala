@@ -2649,6 +2649,58 @@ object Oracles {
        |${one("source", "cs")}""".stripMargin
   }
 
+  /** Mirrors [[AnalyticsQueries.scd2Build]]: same exact
+   *  integer-microsecond keys (epoch_us ≡ unix_micros), same
+   *  (ts_us, event_id) total order for lag/lead, same Long.MaxValue
+   *  open-interval sentinel. */
+  val scd2Build: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+      |  FROM events),
+      |c AS (
+      |  SELECT *, lag(event_type) OVER
+      |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+      |  FROM ev),
+      |ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type),
+      |iv AS (
+      |  SELECT user_id, event_type AS state, ts_us AS valid_from_us,
+      |         coalesce(lead(ts_us) OVER
+      |           (PARTITION BY user_id ORDER BY ts_us, event_id),
+      |           9223372036854775807) AS valid_to_us
+      |  FROM ch)
+      |SELECT user_id, state, valid_from_us, valid_to_us,
+      |       valid_to_us = 9223372036854775807 AS is_current FROM iv""".stripMargin
+
+  /** Mirrors [[AnalyticsQueries.cdcApply]]: the same deterministic
+   *  change-batch derivation (mod-13 deletes, mod-7 repriced updates,
+   *  mod-97 offset-key inserts), one union + per-key latest-wins rank
+   *  + tombstone drop, decimal-exact price sums cast once. */
+  val cdcApply: String =
+    """WITH snap AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS status,
+      |         CAST(o_totalprice AS DECIMAL(14,2)) AS price,
+      |         0 AS seq, 'U' AS op FROM orders),
+      |del AS (SELECT k, status, price, 1 AS seq, 'D' AS op
+      |        FROM snap WHERE k % 13 = 0),
+      |upd AS (SELECT k, 'X' AS status,
+      |               CAST(price + 10.00 AS DECIMAL(14,2)) AS price,
+      |               1 AS seq, 'U' AS op
+      |        FROM snap WHERE k % 13 <> 0 AND k % 7 = 0),
+      |ins AS (SELECT k + 1000000000 AS k, 'N' AS status, price,
+      |               1 AS seq, 'I' AS op
+      |        FROM snap WHERE k % 97 = 0),
+      |a AS (SELECT * FROM snap UNION ALL SELECT * FROM del
+      |      UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins),
+      |m AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rk
+      |    FROM a) t
+      |  WHERE rk = 1 AND op <> 'D')
+      |SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(k) AS BIGINT) AS key_sum,
+      |       CAST(sum(price) AS DOUBLE) AS price_sum
+      |FROM m GROUP BY status""".stripMargin
+
   /** Mirrors [[AnalyticsQueries.eventRangeFrame]]: same exact
    *  integer-microsecond frame key (epoch_us ≡ unix_micros), same
    *  bounds, same decimal-exact sum. */
