@@ -43,7 +43,9 @@ import graft.streaming.StreamOps
  * decontaminate text_chunks text_scrub pii_scrub split_assign mix_weights
  * sessionize shuffle_shard lm_score span_flag mix_sample neardup_gate
  * outlier_gate langid_eval classify_gate corpus_report ppl_gate funnel
- * anomaly_gate
+ * anomaly_gate attrib_join entropy_gate gopher_gate winnow_fp winnow_gate
+ * dedup_gate trained_gate dsir_gate embed_gate countmin text_normalize
+ * line_filter bloom_gate tokenize
  * (curate also takes --threshold <minScore> and --min-words <n>;
  *  decontaminate takes --bench <parquet path> for the benchmark set;
  *  lm_score takes --corpus <parquet path> for the model corpus and

@@ -877,7 +877,11 @@ object AnalyticsQueries {
    * convention — no CDC feed exists in the testdata): keys ≡ 0 mod 13
    * delete, keys ≡ 0 mod 7 (and not 13) update status to 'X' with a
    * decimal-exact +10.00 reprice, keys ≡ 0 mod 97 insert a fresh
-   * key + 10⁹ row with status 'N'. Applied as ONE union + one
+   * −(key+1) row with status 'N' — orderkeys are ≥ 0 at every SF, so
+   * the strictly-negative insert keyspace is DISJOINT by construction
+   * (an additive offset would collide with real keys past SF ≈ 167 —
+   * and plain negation would collide at key 0, which this corpus
+   * has — making the latest-wins tie nondeterministic). Applied as ONE union + one
    * per-key latest-wins rank (seq 1 beats the snapshot's 0) + a
    * tombstone drop — the window form of MERGE that needs no join at
    * all; the rank cut is the WindowGroupLimit contract. Emits the
@@ -898,7 +902,7 @@ object AnalyticsQueries {
           .as("price"),
         lit(1L).as("seq"), lit("U").as("op"))
     val ins = snap.filter(col("k") % 97 === 0)
-      .select((col("k") + lit(1000000000L)).as("k"), lit("N").as("status"),
+      .select((-(col("k") + 1)).as("k"), lit("N").as("status"),
         col("price"), lit(1L).as("seq"), lit("I").as("op"))
     val all = snap.unionByName(del).unionByName(upd).unionByName(ins)
     val rk = row_number().over(

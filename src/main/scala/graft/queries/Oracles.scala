@@ -2673,7 +2673,8 @@ object Oracles {
 
   /** Mirrors [[AnalyticsQueries.cdcApply]]: the same deterministic
    *  change-batch derivation (mod-13 deletes, mod-7 repriced updates,
-   *  mod-97 offset-key inserts), one union + per-key latest-wins rank
+   *  mod-97 −(k+1) inserts — strictly negative, disjoint from the
+   *  ≥ 0 order keyspace at every SF), one union + per-key latest-wins rank
    *  + tombstone drop, decimal-exact price sums cast once. */
   val cdcApply: String =
     """WITH snap AS (
@@ -2686,7 +2687,7 @@ object Oracles {
       |               CAST(price + 10.00 AS DECIMAL(14,2)) AS price,
       |               1 AS seq, 'U' AS op
       |        FROM snap WHERE k % 13 <> 0 AND k % 7 = 0),
-      |ins AS (SELECT k + 1000000000 AS k, 'N' AS status, price,
+      |ins AS (SELECT -(k + 1) AS k, 'N' AS status, price,
       |               1 AS seq, 'I' AS op
       |        FROM snap WHERE k % 97 = 0),
       |a AS (SELECT * FROM snap UNION ALL SELECT * FROM del

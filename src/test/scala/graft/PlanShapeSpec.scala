@@ -161,13 +161,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"),
       "the pair join must stay a term equi-join:\n" + p)
-    // the df-cap filter must sit BELOW the self-join (on the dfreq
-    // agg), not above the pair fan-out
-    val joinIdx = p.indexOf("SortMergeJoin")
-    val capIdx = p.lastIndexOf("dfreq")
-    assert(capIdx >= 0, "expected the dfreq cap in the plan:\n" + p)
-    assert(joinIdx < 0 || p.contains("Filter"),
-      "expected the posting guard as a filter:\n" + p)
+    // the df-cap filter must sit BELOW the pair self-join (pruning
+    // the posting lists BEFORE the C(df, 2) fan-out). The pair join
+    // is the one whose condition carries the doc_id < doc_id
+    // inequality; the plan prints root-first, so "below" = a LATER
+    // index in the string
+    val pairJoin = "Join [^\\n]*doc_id#\\d+L? < doc_id".r
+      .findFirstMatchIn(p)
+    assert(pairJoin.isDefined, "expected the doc_id< pair join:\n" + p)
+    // the cap literal depends on corpus size — recompute it from the
+    // actual smoke corpus rather than hardcoding
+    val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val cap = math.floor(n * graft.queries.PipelineQueries.DocsimDfFrac)
+      .toLong
+    val capF = s"Filter [^\\n]*dfreq#\\d+L? <= $cap".r.findFirstMatchIn(p)
+    assert(capF.isDefined, s"expected the dfreq <= $cap cap filter:\n" + p)
+    assert(capF.get.start > pairJoin.get.start,
+      "the posting guard must prune BELOW the pair join, " +
+        "not above its fan-out:\n" + p)
   }
 
   test("re-rank fetches full-precision vectors via the BROADCAST " +

@@ -49,6 +49,8 @@ class WarehouseOpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
         r.getDouble(3))).toMap
     assert(out("N")._1 == nIns, s"insert count: ${out.get("N")} vs $nIns")
+    assert(out("N")._2 < 0,
+      s"insert keys must live in the disjoint negated keyspace: $out")
     assert(out("X")._1 == nUpd, s"update count: ${out.get("X")} vs $nUpd")
     assert(out.values.map(_._1).sum == nSnap - nDel + nIns,
       s"row conservation failed: $out")
