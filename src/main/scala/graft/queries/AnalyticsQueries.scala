@@ -914,6 +914,62 @@ object AnalyticsQueries {
         sum(col("price")).cast("double").as("price_sum"))
   }
 
+  /**
+   * Declarative data-quality EXPECTATIONS over the warehouse tables —
+   * the Deequ/Great-Expectations shape every production pipeline runs
+   * before publishing a partition: completeness (null fraction),
+   * uniqueness (key duplicate count), range and domain conformance,
+   * and cross-table referential integrity, each emitted as one
+   * (constraint, violations, checked, pass) row.
+   *
+   * Scale shape: ALL single-table constraints evaluate in ONE
+   * aggregation pass per table (conditional sums side by side — a
+   * constraint battery must never scan per constraint); the exact
+   * uniqueness check rides the same pass as count(distinct)'s Expand;
+   * referential integrity is ONE left-anti join from the fact to the
+   * broadcast-or-shuffled dimension keys. Output is |constraints|
+   * rows however large the tables.
+   */
+  def dqCheck(spark: SparkSession, sfDir: String): DataFrame =
+    dqCheckOf(Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir))
+
+  /** The constraint battery of [[dqCheck]] over any (orders-shaped,
+   *  lineitem-shaped) frames — factored so the spec can plant
+   *  violations (the shipped tables are clean, so the gated query
+   *  honestly reads all-pass; every violation path is exercised by
+   *  DqCheckSpec's planted nulls/dups/negatives/orphans). */
+  def dqCheckOf(o: DataFrame, li: DataFrame): DataFrame = {
+    // sums over an EMPTY table are NULL — coalesce so a zero-row
+    // input reports (0 violations, nonempty trips) instead of a
+    // null-pass row (DqCheckSpec pins the empty-table path)
+    val oAgg = o.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(when(col("o_custkey").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("null_cust"),
+      (count(lit(1)) - count_distinct(col("o_orderkey"))).as("dup_keys"),
+      coalesce(sum(when(col("o_totalprice") < 0, 1L).otherwise(0L)), lit(0L))
+        .as("neg_price"),
+      coalesce(sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+        .otherwise(0L)), lit(0L)).as("bad_status"))
+    val liAgg = li.agg(count(lit(1)).as("n_li"))
+    val orphans = li.select(col("l_orderkey"))
+      .join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+    val m = oAgg.crossJoin(broadcast(liAgg)).crossJoin(broadcast(orphans))
+    def row(name: String, viol: org.apache.spark.sql.Column,
+        checked: org.apache.spark.sql.Column) =
+      m.select(lit(name).as("check_name"), viol.cast("long").as("violations"),
+        checked.cast("long").as("checked"),
+        (viol === 0).as("pass"))
+    row("orders_nonempty", when(col("n") === 0, 1L).otherwise(0L), col("n"))
+      .unionByName(row("o_custkey_not_null", col("null_cust"), col("n")))
+      .unionByName(row("o_orderkey_unique", col("dup_keys"), col("n")))
+      .unionByName(row("o_totalprice_nonneg", col("neg_price"), col("n")))
+      .unionByName(row("o_orderstatus_domain", col("bad_status"), col("n")))
+      .unionByName(row("lineitem_order_ri", col("orphans"), col("n_li")))
+  }
+
   /** Core order for [[graphKcore]]: with co-purchase degrees ~42–222
    *  at both bench SFs, k = 80 peels for ~5 rounds to a genuinely
    *  PROPER subgraph (1857/2000 nodes at sf0.01) — neither the

@@ -2649,6 +2649,33 @@ object Oracles {
        |${one("source", "cs")}""".stripMargin
   }
 
+  /** Mirrors [[AnalyticsQueries.dqCheck]]: the same constraint
+   *  battery as conditional sums in one pass per table + the same
+   *  anti-join RI count, one output row per constraint. */
+  val dqCheck: String =
+    """WITH oa AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cust,
+      |         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_keys,
+      |         CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_price,
+      |         CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status
+      |  FROM orders),
+      |la AS (SELECT CAST(count(*) AS BIGINT) AS n_li FROM lineitem),
+      |orph AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS orphans
+      |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+      |m AS (SELECT * FROM oa, la, orph),
+      |r AS (
+      |  SELECT 'orders_nonempty' AS check_name,
+      |         CAST(CASE WHEN n = 0 THEN 1 ELSE 0 END AS BIGINT) AS violations,
+      |         n AS checked FROM m
+      |  UNION ALL SELECT 'o_custkey_not_null', null_cust, n FROM m
+      |  UNION ALL SELECT 'o_orderkey_unique', dup_keys, n FROM m
+      |  UNION ALL SELECT 'o_totalprice_nonneg', neg_price, n FROM m
+      |  UNION ALL SELECT 'o_orderstatus_domain', bad_status, n FROM m
+      |  UNION ALL SELECT 'lineitem_order_ri', orphans, n_li FROM m)
+      |SELECT check_name, violations, checked, violations = 0 AS pass FROM r""".stripMargin
+
   /** Mirrors [[AnalyticsQueries.scd2Build]]: same exact
    *  integer-microsecond keys (epoch_us ≡ unix_micros), same
    *  (ts_us, event_id) total order for lag/lead, same Long.MaxValue
