@@ -957,17 +957,18 @@ object AnalyticsQueries {
         col("l_orderkey") === col("o_orderkey"), "left_anti")
       .agg(count(lit(1)).as("orphans"))
     val m = oAgg.crossJoin(broadcast(liAgg)).crossJoin(broadcast(orphans))
-    def row(name: String, viol: org.apache.spark.sql.Column,
-        checked: org.apache.spark.sql.Column) =
-      m.select(lit(name).as("check_name"), viol.cast("long").as("violations"),
-        checked.cast("long").as("checked"),
-        (viol === 0).as("pass"))
-    row("orders_nonempty", when(col("n") === 0, 1L).otherwise(0L), col("n"))
-      .unionByName(row("o_custkey_not_null", col("null_cust"), col("n")))
-      .unionByName(row("o_orderkey_unique", col("dup_keys"), col("n")))
-      .unionByName(row("o_totalprice_nonneg", col("neg_price"), col("n")))
-      .unionByName(row("o_orderstatus_domain", col("bad_status"), col("n")))
-      .unionByName(row("lineitem_order_ri", col("orphans"), col("n_li")))
+    // ONE select over the single aggregated row generates all the
+    // constraint rows (the eventUnpivot stack device) — a per-row
+    // union would re-derive the agg/join subtree once per constraint
+    // and lean on ReuseExchange to undo it (plan-pinned scan count)
+    m.select(expr("""stack(6,
+        'orders_nonempty', CAST(CASE WHEN n = 0 THEN 1 ELSE 0 END AS BIGINT), n,
+        'o_custkey_not_null', null_cust, n,
+        'o_orderkey_unique', dup_keys, n,
+        'o_totalprice_nonneg', neg_price, n,
+        'o_orderstatus_domain', bad_status, n,
+        'lineitem_order_ri', orphans, n_li) AS (check_name, violations, checked)"""))
+      .withColumn("pass", col("violations") === 0)
   }
 
   /** Core order for [[graphKcore]]: with co-purchase degrees ~42–222

@@ -2650,20 +2650,24 @@ object Oracles {
   }
 
   /** Mirrors [[AnalyticsQueries.dqCheck]]: the same constraint
-   *  battery as conditional sums in one pass per table + the same
-   *  anti-join RI count, one output row per constraint. */
+   *  battery as conditional sums in one pass per table (COALESCEd —
+   *  a zero-row table must report 0 violations, not NULL, the
+   *  engine-side empty-table fix mirrored) + the RI count as
+   *  NOT EXISTS, which matches Spark's left_anti under NULL keys
+   *  where NOT IN would collapse to zero orphans. */
   val dqCheck: String =
     """WITH oa AS (
       |  SELECT CAST(count(*) AS BIGINT) AS n,
-      |         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cust,
+      |         CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS null_cust,
       |         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_keys,
-      |         CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_price,
-      |         CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status
+      |         CAST(coalesce(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS neg_price,
+      |         CAST(coalesce(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END), 0) AS BIGINT) AS bad_status
       |  FROM orders),
       |la AS (SELECT CAST(count(*) AS BIGINT) AS n_li FROM lineitem),
       |orph AS (
       |  SELECT CAST(count(*) AS BIGINT) AS orphans
-      |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+      |  FROM lineitem l WHERE NOT EXISTS (
+      |    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
       |m AS (SELECT * FROM oa, la, orph),
       |r AS (
       |  SELECT 'orders_nonempty' AS check_name,

@@ -153,6 +153,15 @@ class PlanShapeSpec extends SparkSpec {
       "decode must fuse into the corpus scan, not re-scan:\n" + p)
   }
 
+  test("dq_check's constraint battery scans each table once per role " +
+      "(agg + RI side), never once per constraint") {
+    val p = plan("dq_check")
+    // orders: the conditional-sum agg + the RI build side; lineitem:
+    // the rowcount agg + the RI probe — four scans total, NOT 6x
+    assert("Scan parquet".r.findAllIn(p).size <= 4,
+      "constraint battery re-scans per constraint:\n" + p)
+  }
+
   test("docsim prunes postings BEFORE the self-join and cuts the " +
       "global top-N via TakeOrderedAndProject, never a global sort") {
     val p = plan("text_docsim")

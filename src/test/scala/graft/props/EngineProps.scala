@@ -777,14 +777,24 @@ object EngineProps extends Properties("graft") {
       val maxC = graft.functions.VectorMath.WordpieceMaxContent
       val got = graft.functions.VectorMath.wordpieceSegment(
         w, vocab.toArray, maxC)
-      if (w.isEmpty) got == ""
-      else if (got == graft.functions.VectorMath.WordpieceUnk) {
-        // the kernel dead-ended: verify SOME position really has no
-        // match (greedy can dead-end even on coverable words — that
-        // is the documented BERT contract, so only soundness of the
-        // claim is checkable, not minimality)
-        true
-      } else {
+      // reference greedy scan — deterministic, so the [UNK] claim is
+      // fully checkable (a kernel that UNKs everything must fail)
+      def refDeadEnds: Boolean = {
+        var pos = 0
+        while (pos < w.length) {
+          val hit = (math.min(maxC, w.length - pos) to 1 by -1).find { l =>
+            vset(if (pos == 0) w.substring(0, l)
+              else "##" + w.substring(pos, pos + l))
+          }
+          hit match {
+            case None => return true
+            case Some(l) => pos += l
+          }
+        }
+        false
+      }
+      if (got == graft.functions.VectorMath.WordpieceUnk) refDeadEnds
+      else {
         val pieces = got.split(" ").toSeq
         val contents = pieces.zipWithIndex.map { case (p, i) =>
           if (i == 0) p else { assert(p.startsWith("##")); p.substring(2) }
