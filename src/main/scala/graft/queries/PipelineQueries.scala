@@ -2280,8 +2280,10 @@ object PipelineQueries {
    *  run inside a non-email "user@1.2.3.4" is claimed by ipv4 AFTER
    *  email declines it; both engines apply the same order so results
    *  are identical). The regex dialect is the RE2 ∩ java.util.regex
-   *  subset — no lookaround, no backreferences, ASCII `\b`/`\d`/`\w` —
-   *  so the DuckDB oracle runs the CHARACTER-IDENTICAL definitions
+   *  subset — no lookaround, no backreferences, ASCII `\b`/`\d`/`\w`,
+   *  and NO `\s` (Java's includes U+000B vertical tab, RE2's does
+   *  not — the isWs divergence; phone uses `[ \t]?` instead) — so the
+   *  DuckDB oracle runs the CHARACTER-IDENTICAL definitions
    *  (both engines are leftmost-first here). Class definitions are
    *  deliberately recall-leaning (ipv4 admits 999.999.999.999) — a
    *  scrubber's false positive costs a sentinel, a false negative
@@ -2289,7 +2291,7 @@ object PipelineQueries {
   val PiiClasses: Seq[(String, String)] = Seq(
     "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
     "ipv4" -> "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b",
-    "phone" -> "(\\(\\d{3}\\)\\s?|\\d{3}[-.])\\d{3}[-.]\\d{4}",
+    "phone" -> "(\\(\\d{3}\\)[ \\t]?|\\d{3}[-.])\\d{3}[-.]\\d{4}",
     "id" -> "\\b[A-Z]{2}\\d{6,10}\\b")
 
   /** Sentinel substituted for a class match — position-preserving (the
