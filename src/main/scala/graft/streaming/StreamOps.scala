@@ -1089,7 +1089,8 @@ object StreamOps {
    * State rides at `statePath` as VERSIONED parquet keyed by batch id:
    * `v<id>/docs` holds ONLY that batch's documents (append-only — text
    * is written once and never rewritten, the 100 TB requirement),
-   * `bands/version=<id>` and `shingles/version=<id>` that batch's
+   * `bands/version=<id>/gen=<g>` and `shingles/version=<id>/gen=<g>`
+   * (manifest-committed — see [[ClusterStateManifest]]) that batch's
    * [[graft.ops.DedupOps.clusterBandKeys]] / `clusterShingleSets`
    * (append-only, fixed-width — the PRECOMPUTED derived state that
    * makes steady-state ingest O(|batch|): band keys and shingle
@@ -1128,9 +1129,11 @@ object StreamOps {
    * every later trigger verifies the match — pointing a fresh or
    * rewound checkpoint at existing state fails loud instead of
    * restarting ids at 0 (which would silently ignore all history and
-   * overwrite v0). A production deployment would put a transactional
-   * table format under the same layout; the versioning contract is
-   * what matters.
+   * overwrite v0). The derived band/shingle tables carry their own
+   * transactional layer: every partition set is resolved through the
+   * [[ClusterStateManifest]] commit log, so torn writes are invisible,
+   * gap detection is exact, and [[compactClusterState]] runs safely
+   * CONCURRENT with the stream.
    *
    * `sink` receives each batch's assignment AT INGEST TIME (a later
    * merge may relabel a cluster retroactively — the STATE snapshot is
@@ -1198,23 +1201,40 @@ object StreamOps {
           .join(histClusters.select("doc_id"), Seq("doc_id"), "left_anti")
           .localCheckpoint()
         // persist this batch's derived state FIRST (overwrite = retry-
-        // idempotent; readers filter version < their own id, so a
-        // partial write is invisible until the writer's trigger reads
-        // it back), then assign against the STORED history triples —
-        // and pass the just-written batch triples back in, so the
-        // assignment never re-shingles even its own batch
+        // idempotent; readers resolve partitions through the COMMITTED
+        // manifest, so the write is invisible until the commit below),
+        // then assign against the STORED history triples — and pass
+        // the just-written batch triples back in, so the assignment
+        // never re-shingles even its own batch. gen is 0 unless a
+        // crashed prior attempt already committed this version (then
+        // rewrite the same directory — nothing reads version=id until
+        // this trigger's own read-back).
+        val g = readClusterManifest(spark, statePath)
+          .flatMap(_.liveOf("bands").find(_._1 == id)).map(_._2)
+          .getOrElse(0L)
+        val bandsDir = clusterPartDir(statePath, "bands", id, g)
+        val shinglesDir = clusterPartDir(statePath, "shingles", id, g)
         graft.ops.DedupOps
           .clusterBandKeys(batchDocs, col("doc_id"), col("text"))
-          .write.mode("overwrite").parquet(s"$statePath/bands/version=$id")
+          .write.mode("overwrite").parquet(bandsDir)
         graft.ops.DedupOps
           .clusterShingleSets(batchDocs, col("doc_id"), col("text"))
-          .write.mode("overwrite").parquet(s"$statePath/shingles/version=$id")
+          .write.mode("overwrite").parquet(shinglesDir)
+        // COMMIT: both tables' new partition enter the manifest in ONE
+        // atomic publish — a crash before this line leaves orphan
+        // directories no reader ever lists (the retry rewrites them)
+        commitClusterManifest(spark, statePath) { prev =>
+          val m = prev.getOrElse(ClusterStateManifest.empty)
+          m.copy(live = m.live
+            .updated("bands",
+              ClusterStateManifest.upsert(m.liveOf("bands"), id, g))
+            .updated("shingles",
+              ClusterStateManifest.upsert(m.liveOf("shingles"), id, g)))
+        }
         val assigned = clusterAssignTrigger(
           spark, statePath, id, batchDocs, histClusters, threshold,
-          freshBands =
-            Some(spark.read.parquet(s"$statePath/bands/version=$id")),
-          freshShingles =
-            Some(spark.read.parquet(s"$statePath/shingles/version=$id")))
+          freshBands = Some(spark.read.parquet(bandsDir)),
+          freshShingles = Some(spark.read.parquet(shinglesDir)))
         // materialize the new frame BEFORE it becomes readable state
         assigned.write.mode("overwrite")
           .parquet(s"$statePath/v$id/clusters")
@@ -1243,20 +1263,27 @@ object StreamOps {
       .start()
   }
 
-  /** Backfill derived band/shingle partitions for versions written by
-   *  a pre-derived-state layout (docs only). Only versions NEWER than
-   *  the newest stored partition are candidates — older gaps are the
-   *  expected product of [[compactClusterState]] folding, not missing
-   *  state. One-time migration cost per legacy version; a warning
-   *  names each backfill. */
+  /** Backfill missing derived band/shingle partitions — EXACT gap
+   *  detection against the committed manifest: a version is missing
+   *  iff it is above the table's compaction floor AND absent from the
+   *  live set. An on-disk partition directory the manifest does not
+   *  list (a torn write from a crash mid-ingest or mid-backfill) is
+   *  never trusted — it is rewritten with overwrite and only then
+   *  committed. Pre-manifest layouts adopt first (the one place
+   *  directory listings are trusted, see
+   *  [[adoptClusterStateLayout]]). A warning names each backfill. */
   private[graft] def ensureDerivedClusterState(spark: SparkSession,
-      statePath: String, versions: Array[Long]): Unit =
-    Seq("bands", "shingles").foreach { table =>
-      val present = storedStateVersions(spark, statePath, table)
-      val newestPresent = present.lastOption.getOrElse(-1L)
-      versions.filter(v => v > newestPresent).foreach { v =>
+      statePath: String, versions: Array[Long]): Unit = {
+    val m0 = adoptClusterStateLayout(spark, statePath)
+      .getOrElse(ClusterStateManifest.empty)
+    val missing = ClusterStateManifest.Tables.map { table =>
+      table -> versions.filter(v =>
+        v > m0.floor(table) && !m0.liveOf(table).exists(_._1 == v))
+    }.toMap
+    if (missing.values.exists(_.nonEmpty)) {
+      missing.foreach { case (table, vs) => vs.foreach { v =>
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          "clusterAssignStream: backfilling {} for legacy state " +
+          "clusterAssignStream: backfilling {} for uncommitted state " +
             "version {} at {}", table, v.toString, statePath)
         val docs = spark.read.parquet(s"$statePath/v$v/docs")
         val derived =
@@ -1265,9 +1292,18 @@ object StreamOps {
           else
             graft.ops.DedupOps.clusterShingleSets(docs, col("doc_id"), col("text"))
         derived.write.mode("overwrite")
-          .parquet(s"$statePath/$table/version=$v")
+          .parquet(clusterPartDir(statePath, table, v, 0L))
+      }}
+      commitClusterManifest(spark, statePath) { prev =>
+        val m = prev.getOrElse(ClusterStateManifest.empty)
+        m.copy(live = ClusterStateManifest.Tables.map { table =>
+          table -> missing(table).foldLeft(m.liveOf(table))(
+            (es, v) => ClusterStateManifest.upsert(es, v, 0L))
+        }.toMap)
       }
+      ()
     }
+  }
 
   /** The versions strictly below `id` present at `statePath`. */
   private[graft] def clusterAssignVersions(spark: SparkSession,
@@ -1300,15 +1336,20 @@ object StreamOps {
       freshBands: Option[DataFrame] = None,
       freshShingles: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
+    // partitions resolve through the COMMITTED manifest — an
+    // uncommitted (torn) directory is invisible, and the explicit
+    // path list still reads as one scan relation with the version
+    // partition filter
+    val manifest = readClusterManifest(spark, statePath)
     def stored(table: String, cols: Seq[String], empty: => DataFrame)
-        : DataFrame = {
-      val p = new org.apache.hadoop.fs.Path(s"$statePath/$table")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p))
-        spark.read.parquet(s"$statePath/$table")
-          .filter(col("version") < id).select(cols.map(col): _*)
-      else empty
-    }
+        : DataFrame =
+      manifest.map(_.liveOf(table)).filter(_.nonEmpty)
+        .map(entries => spark.read
+          .option("basePath", s"$statePath/$table")
+          .parquet(entries.map(e =>
+            clusterPartDir(statePath, table, e._1, e._2)): _*)
+          .filter(col("version") < id).select(cols.map(col): _*))
+        .getOrElse(empty)
     val histBands = stored("bands", Seq("id", "band", "bh"),
       Seq.empty[(Long, Int, Long)].toDF("id", "band", "bh"))
     val histShingles = stored("shingles", Seq("sid", "shs"),
@@ -1319,53 +1360,179 @@ object StreamOps {
       freshBands = freshBands, freshShingles = freshShingles)
   }
 
-  /** The `version=<v>` partition ids present under
-   *  `statePath/<table>` — the one reader of the derived-state
-   *  directory layout (compaction and the migration backfill both go
-   *  through here, so a layout change lands once). */
-  private[graft] def storedStateVersions(spark: SparkSession,
-      statePath: String, table: String): Array[Long] = {
-    val root = new org.apache.hadoop.fs.Path(s"$statePath/$table")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Array.empty[Long]
-    else fs.listStatus(root).map(_.getPath.getName)
-      .filter(_.startsWith("version="))
-      .flatMap(n => scala.util.Try(n.stripPrefix("version=").toLong)
-        .toOption).sorted
+  /** A committed derived-state partition directory:
+   *  `<statePath>/<table>/version=<v>/gen=<g>`. The `gen` sublevel is
+   *  what makes compaction concurrent-safe — a fold writes a FRESH
+   *  directory (never overwrites a live one) and becomes visible only
+   *  through the manifest commit. */
+  private[graft] def clusterPartDir(statePath: String, table: String,
+      v: Long, g: Long): String = s"$statePath/$table/version=$v/gen=$g"
+
+  /** Serializes manifest commits within this JVM; cross-JVM the
+   *  create-no-overwrite sequence file is the arbiter. */
+  private object ClusterManifestLock
+
+  private def clusterManifestDir(statePath: String) =
+    new org.apache.hadoop.fs.Path(s"$statePath/_manifests")
+
+  /** The newest COMPLETE manifest (with its sequence number). A torn
+   *  file from a writer crash — missing the `eof=true` terminator or
+   *  unparseable — was never committed; the reader steps down to the
+   *  previous sequence. */
+  private[graft] def readClusterManifestSeq(spark: SparkSession,
+      statePath: String): Option[(Long, ClusterStateManifest)] = {
+    val dir = clusterManifestDir(statePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".manifest"))
+      .flatMap(n => scala.util.Try(
+        n.stripSuffix(".manifest").toLong).toOption)
+      .sorted.reverseIterator
+      .map { seq =>
+        val in = fs.open(new org.apache.hadoop.fs.Path(
+          dir, f"$seq%020d.manifest"))
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        ClusterStateManifest.parse(text).map(seq -> _)
+      }
+      .collectFirst { case Some(x) => x }
   }
+
+  private[graft] def readClusterManifest(spark: SparkSession,
+      statePath: String): Option[ClusterStateManifest] =
+    readClusterManifestSeq(spark, statePath).map(_._2)
+
+  /** Commit a manifest transformation with optimistic concurrency:
+   *  read the newest complete manifest, apply `update`, publish as
+   *  sequence `max-present + 1` via create-no-overwrite (the atomic
+   *  claim — if another writer took the number first, re-read and
+   *  retry, so concurrent trigger and compaction commits merge
+   *  instead of clobbering). `update` must therefore be a pure
+   *  transformation of the CURRENT manifest, re-runnable on retry. */
+  private[graft] def commitClusterManifest(spark: SparkSession,
+      statePath: String)(
+      update: Option[ClusterStateManifest] => ClusterStateManifest)
+      : ClusterStateManifest = ClusterManifestLock.synchronized {
+    val dir = clusterManifestDir(statePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    var committed: Option[ClusterStateManifest] = None
+    while (committed.isEmpty) {
+      // next sequence counts every file PRESENT (torn ones included —
+      // their number is burned, not reusable), content comes from the
+      // newest COMPLETE one
+      val next = fs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.endsWith(".manifest"))
+        .flatMap(n => scala.util.Try(
+          n.stripSuffix(".manifest").toLong).toOption)
+        .maxOption.getOrElse(-1L) + 1
+      val out = update(readClusterManifest(spark, statePath))
+      try {
+        val os = fs.create(new org.apache.hadoop.fs.Path(
+          dir, f"$next%020d.manifest"), false)
+        try os.write(ClusterStateManifest.render(out).getBytes("UTF-8"))
+        finally os.close()
+        committed = Some(out)
+      } catch { case _: java.io.IOException => () /* lost the race */ }
+    }
+    committed.get
+  }
+
+  /** One-time adoption of a pre-manifest `<table>/version=<v>` layout:
+   *  restructure each partition directory to `version=<v>/gen=0` (so
+   *  partition depth is uniform) and seed the manifest from the
+   *  directory listing — the single point where on-disk directories
+   *  are trusted; thereafter only manifest-committed partitions are
+   *  ever read. Legacy gaps below a table's lowest stored version are
+   *  prior folds, recorded as that table's floor. NOT concurrent-safe
+   *  (the move is multi-step): runs inside the single-writer trigger
+   *  or a quiesced maintenance call, and is a no-op once the manifest
+   *  exists. Crash-resumable — an interrupted move leaves a
+   *  `.mig-version=<v>` staging directory the next call completes. */
+  private[graft] def adoptClusterStateLayout(spark: SparkSession,
+      statePath: String): Option[ClusterStateManifest] =
+    readClusterManifest(spark, statePath).orElse {
+      val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      def finishMove(root: org.apache.hadoop.fs.Path, v: Long): Unit = {
+        fs.mkdirs(new org.apache.hadoop.fs.Path(root, s"version=$v"))
+        fs.rename(new org.apache.hadoop.fs.Path(root, s".mig-version=$v"),
+          new org.apache.hadoop.fs.Path(root, s"version=$v/gen=0"))
+        ()
+      }
+      val present = ClusterStateManifest.Tables.map { table =>
+        val root = new org.apache.hadoop.fs.Path(s"$statePath/$table")
+        if (!fs.exists(root)) table -> Array.empty[Long]
+        else {
+          fs.listStatus(root).map(_.getPath.getName)
+            .filter(_.startsWith(".mig-version=")).foreach(n =>
+              finishMove(root, n.stripPrefix(".mig-version=").toLong))
+          val vs = fs.listStatus(root).map(_.getPath.getName)
+            .filter(_.startsWith("version="))
+            .flatMap(n => scala.util.Try(
+              n.stripPrefix("version=").toLong).toOption).sorted
+          vs.foreach { v =>
+            val d = new org.apache.hadoop.fs.Path(root, s"version=$v")
+            if (!fs.exists(new org.apache.hadoop.fs.Path(d, "gen=0"))) {
+              fs.rename(d, new org.apache.hadoop.fs.Path(
+                root, s".mig-version=$v"))
+              finishMove(root, v)
+            }
+          }
+          table -> vs
+        }
+      }.toMap
+      if (present.values.forall(_.isEmpty)) None
+      else Some(commitClusterManifest(spark, statePath) { prev =>
+        prev.getOrElse(ClusterStateManifest(
+          floors = present.map { case (t, vs) =>
+            t -> (if (vs.isEmpty) -1L else vs.min - 1) },
+          genHw = ClusterStateManifest.Tables.map(_ -> 0L).toMap,
+          live = present.map { case (t, vs) =>
+            t -> vs.map(v => (v, 0L)).toSeq },
+          retired = Nil))
+      })
+    }
 
   /**
    * MAINTENANCE compaction for [[clusterAssignStream]]'s derived
    * state: fold every `bands`/`shingles` partition with
-   * `version <= upTo` into the single partition `version=upTo` and
-   * delete the lower ones. A long-running stream otherwise accumulates
-   * one partition directory per trigger, and although the per-trigger
-   * READ is one scan relation regardless, partition DISCOVERY lists
-   * O(#versions) directories per trigger — compaction bounds that at
-   * O(triggers since last compaction). Row content is unchanged, so
-   * trigger results are identical before/after (spec-pinned).
+   * `version <= upTo` into one partition and retire the lower ones. A
+   * long-running stream otherwise accumulates one partition directory
+   * (of possibly many small files) per trigger; compaction bounds the
+   * per-trigger file-listing and scan-open cost at O(triggers since
+   * last compaction) and reclaims the superseded storage. Row content
+   * is unchanged, so trigger results are identical before/after
+   * (spec-pinned).
    *
-   * Safety contract — run QUIESCED: call only while no trigger is in
-   * flight (the stream stopped, or between `processAllAvailable`
-   * rounds). A trigger reads the ENTIRE band/shingle history below its
-   * id, so every partition `<= upTo` is a "moving partition" for a
-   * concurrent trigger — one that lists files before the rewrite and
-   * reads after gets a FileNotFound, or worse reads the half-written
-   * fold and assigns clusters from missing history. Bare parquet has
-   * no commit protocol to hide this; production puts a transactional
-   * table format under the same layout (as the stream's scaladoc
-   * says) and gets concurrent compaction from it. The enforced
-   * `upTo < latest` bound covers the OTHER hazard — a post-restart
-   * retry of the latest batch must not find its own rows folded into
-   * history (it would pair documents with themselves).
+   * CONCURRENT-SAFE under running triggers via the manifest-commit
+   * protocol: the fold is written to a FRESH `version=upTo/gen=<g+1>`
+   * directory (no live directory is ever overwritten), published by
+   * ONE manifest commit (atomic create of the next sequence file), and
+   * every reader resolves its partition set from the manifest — a
+   * trigger concurrent with compaction reads either the pre-fold set
+   * or the post-fold set, never a half-fold, and since row content is
+   * identical both give the same assignment. Superseded directories
+   * are not deleted at commit (an in-flight reader may still hold
+   * them): they are RETIRED in the manifest and swept at the START of
+   * the NEXT compaction — the retention contract is that no single
+   * trigger spans two whole compaction runs, trivially true when
+   * maintenance is spaced beyond the trigger interval. Run ONE
+   * compactor at a time (it is a maintenance job); triggers may keep
+   * flowing.
    *
-   * The job is duplicate-tolerant and idempotent: a crash after the
-   * combined write but before the deletes leaves lower partitions
-   * duplicated into `version=upTo`, which the consumers absorb
-   * (candidate pairs are `distinct`ed, CC edges and Jaccard verifies
-   * are duplicate-insensitive) and a re-run converges. A crash DURING
-   * the combined overwrite can lose that one partition's rows — the
-   * same window every bare-parquet overwrite has.
+   * The enforced `upTo < latest` bound covers the other hazard — a
+   * post-restart retry of the latest batch must not find its own rows
+   * folded into history (it would pair documents with themselves).
+   *
+   * Crash-recovery: before the commit, the only effect is an orphan
+   * fold directory no manifest references (a re-run recomputes the
+   * same generation number and overwrites it); after the commit the
+   * fold is fully live and the old directories await the next sweep.
+   * A re-run is idempotent throughout (sweeping already-deleted paths
+   * is a no-op, folding a single live partition is skipped).
    */
   def compactClusterState(spark: SparkSession, statePath: String,
       upTo: Long): Unit = {
@@ -1376,27 +1543,60 @@ object StreamOps {
       s"compactClusterState: upTo=$upTo must stay below the latest " +
         s"version $maxV — a post-restart retry of batch $maxV reads " +
         "versions below itself and must not find its own rows there")
-    val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    Seq("bands", "shingles").foreach { table =>
-      val root = new org.apache.hadoop.fs.Path(s"$statePath/$table")
-      if (fs.exists(root)) {
-        val parts = storedStateVersions(spark, statePath, table)
-          .filter(_ <= upTo)
-        if (parts.length > 1) {
-          // materialize BEFORE overwriting a directory we are reading
-          val combined = spark.read.parquet(s"$statePath/$table")
-            .filter(col("version") <= upTo).drop("version")
-            .localCheckpoint()
-          combined.write.mode("overwrite")
-            .parquet(s"$statePath/$table/version=$upTo")
-          parts.filter(_ < upTo).foreach { v =>
-            fs.delete(new org.apache.hadoop.fs.Path(
-              s"$statePath/$table/version=$v"), true)
-            ()
-          }
-          graft.ops.DedupOps.releaseTruncated(combined)
+    adoptClusterStateLayout(spark, statePath).foreach { m0 =>
+      val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      // SWEEP: directories retired by the PREVIOUS compaction have had
+      // a full compaction interval of reader grace — delete them now
+      // (and the version= parent when its last gen leaves)
+      m0.retired.foreach { p =>
+        val gone = new org.apache.hadoop.fs.Path(p)
+        fs.delete(gone, true)
+        val parent = gone.getParent
+        if (fs.exists(parent) && fs.listStatus(parent).isEmpty) {
+          fs.delete(parent, false)
+          ()
         }
+      }
+      val folds: Map[String, Long] =
+        ClusterStateManifest.Tables.flatMap { table =>
+          val entries = m0.liveOf(table).filter(_._1 <= upTo)
+          if (entries.length <= 1) None
+          else {
+            val g = m0.genHw.getOrElse(table, 0L) + 1
+            // materialize before writing — same statePath filesystem
+            val combined = spark.read
+              .option("basePath", s"$statePath/$table")
+              .parquet(entries.map(e =>
+                clusterPartDir(statePath, table, e._1, e._2)): _*)
+              .drop("version", "gen")
+              .localCheckpoint()
+            combined.write.mode("overwrite")
+              .parquet(clusterPartDir(statePath, table, upTo, g))
+            graft.ops.DedupOps.releaseTruncated(combined)
+            Some(table -> g)
+          }
+        }.toMap
+      if (folds.nonEmpty || m0.retired.nonEmpty) {
+        commitClusterManifest(spark, statePath) { prev =>
+          val m = prev.getOrElse(ClusterStateManifest.empty)
+          val newRetired = folds.keys.toSeq.sorted.flatMap { table =>
+            m0.liveOf(table).filter(_._1 <= upTo).map(e =>
+              clusterPartDir(statePath, table, e._1, e._2))
+          }
+          m.copy(
+            floors = m.floors ++ folds.keys.map(t =>
+              t -> math.max(m.floor(t), upTo)),
+            genHw = m.genHw ++ folds.map { case (t, g) =>
+              t -> math.max(m.genHw.getOrElse(t, 0L), g) },
+            live = m.live ++ folds.map { case (t, g) =>
+              t -> ClusterStateManifest.upsert(
+                m.liveOf(t).filterNot(_._1 <= upTo), upTo, g) },
+            // entries we just swept leave; this fold's victims enter
+            retired = m.retired.filterNot(m0.retired.contains)
+              ++ newRetired)
+        }
+        ()
       }
     }
   }
@@ -1782,4 +1982,86 @@ object StreamOps {
       checkpointDir: String): StreamingQuery =
     df.writeStream.format("memory").queryName(name)
       .outputMode(mode).option("checkpointLocation", checkpointDir).start()
+}
+
+/**
+ * A committed snapshot of [[StreamOps.clusterAssignStream]]'s derived
+ * band/shingle state — the manifest-commit protocol that gives the
+ * bare-parquet layout transactional reads (the Delta/Iceberg shape,
+ * hand-rolled at the two-table scale this operator needs):
+ *
+ *  - `live`: per table, the exact committed partition set as
+ *    (version, gen) pairs — readers list ONLY these directories, so a
+ *    torn write (crash mid-ingest, mid-backfill, or mid-fold) is
+ *    never visible.
+ *  - `floors`: per table, the highest compaction fold bound — a
+ *    version `<= floor` absent from `live` was folded, one `> floor`
+ *    absent is MISSING and gets backfilled (exact gap detection).
+ *  - `genHw`: highest fold generation ever allocated per table, so a
+ *    fold never reuses a directory name still awaiting sweep.
+ *  - `retired`: directories superseded by the last compaction, swept
+ *    at the start of the next one (reader grace window).
+ *
+ * Manifests live as `_manifests/<seq>.manifest` line files; commit =
+ * create-no-overwrite of the next sequence (atomic claim), complete =
+ * trailing `eof=true` (a torn manifest parses as absent and readers
+ * step down one sequence).
+ */
+private[graft] case class ClusterStateManifest(
+    floors: Map[String, Long],
+    genHw: Map[String, Long],
+    live: Map[String, Seq[(Long, Long)]],
+    retired: Seq[String]) {
+  def floor(table: String): Long = floors.getOrElse(table, -1L)
+  def liveOf(table: String): Seq[(Long, Long)] =
+    live.getOrElse(table, Nil)
+}
+
+private[graft] object ClusterStateManifest {
+  val Tables: Seq[String] = Seq("bands", "shingles")
+  val empty: ClusterStateManifest =
+    ClusterStateManifest(Map.empty, Map.empty, Map.empty, Nil)
+
+  def upsert(es: Seq[(Long, Long)], v: Long, g: Long)
+      : Seq[(Long, Long)] = (es.filterNot(_._1 == v) :+ (v, g)).sortBy(_._1)
+
+  def render(m: ClusterStateManifest): String = {
+    def longMap(p: Map[String, Long]): String =
+      p.toSeq.sorted.map { case (k, v) => s"$k:$v" }.mkString(",")
+    (Seq(s"floors=${longMap(m.floors)}", s"gens=${longMap(m.genHw)}") ++
+      Tables.map(t => s"live.$t=" + m.liveOf(t).sortBy(_._1)
+        .map { case (v, g) => s"$v:$g" }.mkString(",")) ++
+      Seq(s"retired=${m.retired.mkString("|")}", "eof=true"))
+      .mkString("\n") + "\n"
+  }
+
+  /** None for a torn or unparseable manifest — it was never committed. */
+  def parse(text: String): Option[ClusterStateManifest] = {
+    val lines = text.split("\n", -1).map(_.trim).filter(_.nonEmpty)
+    if (lines.isEmpty || lines.last != "eof=true") None
+    else scala.util.Try {
+      val kv = lines.dropRight(1).map { l =>
+        val i = l.indexOf('=')
+        (l.substring(0, i), l.substring(i + 1))
+      }.toMap
+      def longMap(s: String): Map[String, Long] =
+        if (s.isEmpty) Map.empty
+        else s.split(",").map { p =>
+          val Array(a, b) = p.split(":"); a -> b.toLong
+        }.toMap
+      def entries(s: String): Seq[(Long, Long)] =
+        if (s.isEmpty) Nil
+        else s.split(",").toSeq.map { p =>
+          val Array(a, b) = p.split(":"); (a.toLong, b.toLong)
+        }
+      ClusterStateManifest(
+        floors = longMap(kv("floors")),
+        genHw = longMap(kv("gens")),
+        live = Tables.map(t => t -> entries(kv(s"live.$t"))).toMap,
+        retired = kv("retired") match {
+          case "" => Nil
+          case s => s.split("\\|").toSeq
+        })
+    }.toOption
+  }
 }

@@ -872,17 +872,34 @@ class StreamOpsSpec extends SparkSpec {
       StreamOps.compactClusterState(spark, statePath, lastVersion - 1)
       assert(probeAssign() == before,
         "compaction must not change any trigger result")
+      // the fold is PUBLISHED in the manifest (live = the fold + the
+      // retained tail) while the superseded directories are only
+      // RETIRED — still on disk for the in-flight-reader grace window
+      val m1 = StreamOps.readClusterManifest(spark, statePath).get
+      Seq("bands", "shingles").foreach { t =>
+        assert(m1.liveOf(t).map(_._1) ==
+          Seq(lastVersion - 1, lastVersion),
+          s"$t live versions after compaction: ${m1.liveOf(t)}")
+      }
+      assert(m1.retired.nonEmpty &&
+        m1.retired.forall(p => new java.io.File(p).exists),
+        s"retired dirs linger until the next compaction: ${m1.retired}")
+      // a re-run (the crash-recovery path) folds nothing new, SWEEPS
+      // the retired directories, and converges to the same results
+      StreamOps.compactClusterState(spark, statePath, lastVersion - 1)
+      assert(probeAssign() == before)
+      val m2 = StreamOps.readClusterManifest(spark, statePath).get
+      assert(m2.retired.isEmpty && m2.live == m1.live,
+        s"the sweep clears retired and folds nothing new: $m2")
+      assert(m1.retired.forall(p => !new java.io.File(p).exists),
+        "the next compaction sweeps the retired dirs")
       Seq("bands", "shingles").foreach { t =>
         val parts = new java.io.File(s"$statePath/$t").listFiles
           .map(_.getName).filter(_.startsWith("version=")).sorted
         assert(parts.sameElements(
           Seq(s"version=${lastVersion - 1}", s"version=$lastVersion")),
-          s"$t partitions after compaction: ${parts.toSeq}")
+          s"$t partitions after the sweep: ${parts.toSeq}")
       }
-      // idempotent: a re-run (the crash-recovery path) converges to
-      // the same state and the same results
-      StreamOps.compactClusterState(spark, statePath, lastVersion - 1)
-      assert(probeAssign() == before)
       // the retry window is enforced
       intercept[IllegalArgumentException] {
         StreamOps.compactClusterState(spark, statePath, lastVersion)
@@ -915,9 +932,13 @@ class StreamOpsSpec extends SparkSpec {
     assert(versions.sameElements(Array(0L)))
     StreamOps.ensureDerivedClusterState(spark, statePath, versions)
     Seq("bands", "shingles").foreach { t =>
-      assert(new java.io.File(s"$statePath/$t/version=0").exists,
+      assert(new java.io.File(s"$statePath/$t/version=0/gen=0").exists,
         s"legacy version 0 must be backfilled into $t")
     }
+    // the backfill is COMMITTED — the manifest lists it live
+    val m0 = StreamOps.readClusterManifest(spark, statePath).get
+    Seq("bands", "shingles").foreach(t =>
+      assert(m0.liveOf(t) == Seq((0L, 0L)), s"$t: ${m0.liveOf(t)}"))
     // doc 11 is a near-dup of legacy doc 10 — with EMPTY history it
     // would become its own cluster; with backfilled history it adopts
     val assigned = StreamOps.clusterAssignTrigger(spark, statePath, 1L,
@@ -946,5 +967,200 @@ class StreamOpsSpec extends SparkSpec {
       assert(chain(ex).exists(_.contains("resume the original checkpoint")),
         s"expected the marker guard, got: ${chain(ex)}")
     } finally q.stop()
+  }
+
+  test("cluster-state manifest ADOPTION: a flat pre-manifest layout is " +
+      "restructured to version=/gen= once, gaps below the lowest stored " +
+      "version are recorded as prior folds, and nothing phantom-backfills") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.DedupOps
+    def filler(tag: String, n: Int): String =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    val statePath = Files.createTempDirectory("graft-caadopt").toString
+    // docs for v0..v2; FLAT derived dirs for v1 and v2 only — v0 was
+    // folded into v1 by a legacy (pre-manifest) compaction
+    val docsByV = Map(
+      0L -> Seq((10L, filler("alpha", 24))),
+      1L -> Seq((20L, filler("beta", 24))),
+      2L -> Seq((30L, filler("gamma", 24))))
+    docsByV.foreach { case (v, docs) =>
+      docs.toDF("doc_id", "text").write.parquet(s"$statePath/v$v/docs")
+    }
+    Seq((10L, 10L), (20L, 20L), (30L, 30L)).toDF("doc_id", "cluster")
+      .write.parquet(s"$statePath/v2/clusters")
+    Seq(1L, 2L).foreach { v =>
+      val docs = (if (v == 1L) docsByV(0L) ++ docsByV(1L) else docsByV(2L))
+        .toDF("doc_id", "text")
+      DedupOps.clusterBandKeys(docs, col("doc_id"), col("text"))
+        .write.parquet(s"$statePath/bands/version=$v")
+      DedupOps.clusterShingleSets(docs, col("doc_id"), col("text"))
+        .write.parquet(s"$statePath/shingles/version=$v")
+    }
+    val m = StreamOps.adoptClusterStateLayout(spark, statePath).get
+    Seq("bands", "shingles").foreach { t =>
+      assert(m.liveOf(t) == Seq((1L, 0L), (2L, 0L)), s"$t: ${m.liveOf(t)}")
+      assert(m.floor(t) == 0L, s"v0's legacy fold sits below the floor")
+      assert(new java.io.File(s"$statePath/$t/version=1/gen=0").exists,
+        s"$t/version=1 restructured under gen=0")
+      assert(!new java.io.File(s"$statePath/$t/version=1").listFiles
+        .exists(_.getName.endsWith(".parquet")),
+        s"$t/version=1's files all moved under gen=0")
+    }
+    // adoption is once: a second call returns the committed manifest
+    assert(StreamOps.adoptClusterStateLayout(spark, statePath).contains(m))
+    // exact gap detection: v0 is folded (below floor), v1 v2 live — a
+    // backfill pass must touch NOTHING
+    StreamOps.ensureDerivedClusterState(spark, statePath,
+      Array(0L, 1L, 2L))
+    val m2 = StreamOps.readClusterManifest(spark, statePath).get
+    assert(m2.live == m.live, s"no phantom backfill of the folded v0: $m2")
+    // and the restructured store still reads correctly through a trigger
+    val assigned = StreamOps.clusterAssignTrigger(spark, statePath, 3L,
+      Seq((40L, filler("alpha", 24) + " x1 x2")).toDF("doc_id", "text"),
+      Seq((10L, 10L), (20L, 20L), (30L, 30L)).toDF("doc_id", "cluster"),
+      0.5).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned(40L) == 10L,
+      s"history reads through the manifest paths: $assigned")
+  }
+
+  test("cluster-state manifest: a torn (uncommitted) partition write is " +
+      "never trusted — exact gap detection rewrites it from the docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.DedupOps
+    def filler(tag: String, n: Int): String =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    val statePath = Files.createTempDirectory("graft-catorn").toString
+    val docs0 = Seq((10L, filler("alpha", 24)))
+    docs0.toDF("doc_id", "text").write.parquet(s"$statePath/v0/docs")
+    StreamOps.ensureDerivedClusterState(spark, statePath, Array(0L))
+    // crash mid-ingest of v1: the docs landed, the bands write was
+    // TORN (any uncommitted content — here rows derived from docs
+    // that were never ingested), the shingles directory is missing
+    // entirely, and no manifest commit ran
+    val docs1 = Seq((20L, filler("beta", 24)))
+    docs1.toDF("doc_id", "text").write.parquet(s"$statePath/v1/docs")
+    DedupOps.clusterBandKeys(
+        Seq((999L, "garbage from a crashed writer")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .write.mode("overwrite")
+      .parquet(StreamOps.clusterPartDir(statePath, "bands", 1L, 0L))
+    // the pre-manifest gap detection trusted ANY existing directory —
+    // the garbage would have survived forever; the manifest makes the
+    // check exact (v1 is above the floor and not live => rewrite)
+    StreamOps.ensureDerivedClusterState(spark, statePath, Array(0L, 1L))
+    val want = DedupOps.clusterBandKeys(docs1.toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .collect().map(_.toSeq).toSet
+    val got = spark.read.parquet(
+        StreamOps.clusterPartDir(statePath, "bands", 1L, 0L))
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "the torn partition must be rewritten from v1's docs")
+    val m = StreamOps.readClusterManifest(spark, statePath).get
+    Seq("bands", "shingles").foreach(t =>
+      assert(m.liveOf(t).map(_._1) == Seq(0L, 1L), s"$t: ${m.liveOf(t)}"))
+  }
+
+  test("cluster-state manifest: a torn manifest (no eof terminator) is " +
+      "invisible — readers step down a sequence and the next commit " +
+      "burns past it") {
+    val statePath = Files.createTempDirectory("graft-camani").toString
+    val m0 = StreamOps.commitClusterManifest(spark, statePath)(_ =>
+      ClusterStateManifest.empty.copy(
+        live = Map("bands" -> Seq((0L, 0L)), "shingles" -> Seq((0L, 0L)))))
+    // a writer crash mid-manifest leaves the next sequence file
+    // incomplete (no eof=true)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        s"$statePath/_manifests/${"%020d".format(1)}.manifest"),
+      "floors=\ngens=\nlive.bands=0:0,5:0\nlive.shingles=".getBytes("UTF-8"))
+    assert(StreamOps.readClusterManifest(spark, statePath).contains(m0),
+      "a torn manifest was never committed — readers use the previous")
+    val m2 = StreamOps.commitClusterManifest(spark, statePath)(prev =>
+      prev.get.copy(retired = Seq("swept-me")))
+    assert(StreamOps.readClusterManifest(spark, statePath).contains(m2))
+    assert(new java.io.File(
+      s"$statePath/_manifests/${"%020d".format(2)}.manifest").exists,
+      "the torn sequence number is burned, not reused")
+  }
+
+  test("compactClusterState runs CONCURRENT with live triggers: state " +
+      "equals a full recompute after every trigger while a background " +
+      "compactor folds (one fold per round — the retention contract)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.DedupOps
+    def filler(tag: String, n: Int): String =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    val a = filler("alpha", 24); val b = filler("beta", 24)
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq((10L, a), (11L, s"$a x1 x2"), (30L, filler("solo", 20))),
+      Seq((20L, b), (40L, filler("uniq", 20))),
+      Seq((21L, s"$b y1 y2"), (50L, filler("mono", 20))),
+      Seq((12L, s"$a z1 z2 z3"), (60L, filler("hapax", 20))),
+      Seq((22L, s"$b w1"), (70L, filler("dis", 20))))
+    val statePath = Files.createTempDirectory("graft-caconc").toString
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.clusterAssignStream(
+      in.toDF().toDF("doc_id", "text"), statePath, ckpt()) { (_, _) => }
+    def stateFrame(): Map[Long, Long] = {
+      val vs = new java.io.File(statePath).listFiles.map(_.getName)
+        .filter(_.startsWith("v")).map(_.drop(1).toLong).sorted
+      spark.read.parquet(s"$statePath/v${vs.last}/clusters")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    def fullRecompute(docs: Seq[(Long, String)]): Map[Long, Long] = {
+      val df = docs.toDF("doc_id", "text")
+      DedupOps.connectedComponents(
+        DedupOps.minhashNearDups(df, col("doc_id"), col("text"), 0.5)
+          .select("id1", "id2"),
+        df.select(col("doc_id").as("id")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // one compaction per round, OVERLAPPING the trigger: `go` releases
+    // a fold as each round starts, `done` gates the next round so no
+    // trigger ever spans two compactions (the documented retention
+    // contract — a reader outlives at most one concurrent fold)
+    val go = new java.util.concurrent.Semaphore(0)
+    val done = new java.util.concurrent.Semaphore(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    @volatile var stopCompactor = false
+    val compactor = new Thread(() => {
+      while (!stopCompactor) {
+        if (go.tryAcquire(50, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+          try {
+            val vs = StreamOps.clusterAssignVersions(
+              spark, statePath, Long.MaxValue)
+            if (vs.length >= 2)
+              StreamOps.compactClusterState(spark, statePath, vs.last - 1)
+          } catch {
+            case t: Throwable => errs.add(t); ()
+          } finally done.release()
+        }
+      }
+    }, "graft-test-compactor")
+    compactor.start()
+    try {
+      var seen = Seq.empty[(Long, String)]
+      batches.foreach { batch =>
+        go.release()
+        in.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+        seen ++= batch
+        assert(stateFrame() == fullRecompute(seen),
+          s"state == recompute after batch ${batch.map(_._1)}")
+        done.acquire()
+      }
+    } finally {
+      stopCompactor = true
+      compactor.join()
+      q.stop()
+    }
+    assert(errs.isEmpty, s"compactor must never error: " +
+      s"${errs.toArray.toSeq.map(_.toString)}")
+    // the compactor really folded: the live set is bounded below the
+    // trigger count
+    val m = StreamOps.readClusterManifest(spark, statePath).get
+    Seq("bands", "shingles").foreach(t =>
+      assert(m.liveOf(t).length < batches.length,
+        s"$t live set after concurrent folds: ${m.liveOf(t)}"))
   }
 }
