@@ -89,3 +89,13 @@ case class AudioFeatures(id: Long, sample_rate: Int, channels: Int,
  *  for routing, never dropped. */
 case class ContainerMeta(id: Long, brand: String, timescale: Long,
     duration_ms: Long, n_tracks: Long, mdat_bytes: Long)
+
+/** One decoded MJPEG-in-AVI clip's projection
+ *  (MultimodalOps.decodeMjpegAviPartitioned): frame count, constant
+ *  frame dimensions, the container's microseconds-per-frame, and a
+ *  16-bin luminance histogram accumulated over EVERY decoded frame's
+ *  pixels; n_frames = -1 (with -1 fields) marks a malformed container,
+ *  a desynced/truncated chunk, or an undecodable frame — quarantined
+ *  for routing, never dropped. */
+case class VideoFeatures(id: Long, n_frames: Long, width: Int,
+    height: Int, us_per_frame: Long, lum_hist: Seq[Long])

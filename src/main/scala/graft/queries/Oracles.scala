@@ -3565,6 +3565,30 @@ object Oracles {
        |  $rows) AS t(clip_id, brand, timescale, duration_ms, n_tracks, mdat_bytes)""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.mmFramesMjpeg]]: the AVI fixture
+   *  generator's raw BLOCK statistics (`tools.AviFixture.expectedRows`
+   *  — pure arithmetic over the per-frame gray-block definition, no
+   *  AVI bytes, no ImageIO) embedded as a VALUES literal. The Spark
+   *  side walks the COMMITTED RIFF container and decodes every frame,
+   *  so a hash match proves genuine multi-frame video decode —
+   *  lossiness absorbed by the flat mid-bin fixture design, compare
+   *  exact like every other oracle. */
+  val mmFramesMjpeg: String = {
+    val rows = graft.tools.AviFixture.expectedRows
+      .map { case (id, n, w, h, us, csv) =>
+        s"($id, $n, $w, $h, $us, '$csv')"
+      }
+      .mkString(",\n  ")
+    s"""SELECT CAST(clip_id AS BIGINT) AS clip_id,
+       |       CAST(n_frames AS BIGINT) AS n_frames,
+       |       CAST(width AS BIGINT) AS width,
+       |       CAST(height AS BIGINT) AS height,
+       |       CAST(us_per_frame AS BIGINT) AS us_per_frame,
+       |       hist_csv
+       |FROM (VALUES
+       |  $rows) AS t(clip_id, n_frames, width, height, us_per_frame, hist_csv)""".stripMargin
+  }
+
   // ---- mergeable-sketch contracts (SketchQueries) --------------------------
   // Exact values recomputed relationally; the sketch estimates are
   // asserted Spark-side as within-tolerance booleans (literal TRUE

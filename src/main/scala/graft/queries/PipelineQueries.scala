@@ -3302,4 +3302,27 @@ object PipelineQueries {
       .toDF()
       .select(col("id").as("clip_id"), col("brand"), col("timescale"),
         col("duration_ms"), col("n_tracks"), col("mdat_bytes"))
+
+  /** REAL video FRAME decode, end-to-end gated — the decoded-pixels
+   *  rung above [[mmProbeMp4]]'s container probe:
+   *  [[MultimodalOps.decodeMjpegAviPartitioned]] (strict RIFF walk +
+   *  per-frame `javax.imageio` JPEG decode, partition-batched) over
+   *  the committed deterministic MJPEG-in-AVI corpus
+   *  (`tools.AviFixture`), emitting frame count, frame dimensions,
+   *  the container frame clock, and a 16-bin luminance histogram over
+   *  EVERY frame's pixels. Lossiness is engineered out by the fixture
+   *  (flat mid-bin gray blocks, the [[mmDecodeJpeg]] device), frames
+   *  differ within a clip (first-frame-times-n fails), and the oracle
+   *  stays raw block-definition arithmetic with an exact hash
+   *  compare. Ignores sfDir (scale-free fixture). */
+  def mmFramesMjpeg(spark: SparkSession, sfDir: String): DataFrame =
+    MultimodalOps.decodeMjpegAviPartitioned(
+      spark.read.parquet(graft.tools.AviFixture.Path), "clip_id", "avi")
+      .toDF()
+      .select(col("id").as("clip_id"), col("n_frames"),
+        col("width").cast("bigint").as("width"),
+        col("height").cast("bigint").as("height"),
+        col("us_per_frame"),
+        array_join(transform(col("lum_hist"), _.cast("string")), ",")
+          .as("hist_csv"))
 }

@@ -448,4 +448,82 @@ class TextMultimodalSpec extends SparkSpec {
       new String(firstBytes.slice(8, 12), "US-ASCII") == "WAVE",
       "not a RIFF/WAVE payload")
   }
+
+  test("decodeMjpegAviPartitioned decodes a REAL MJPEG AVI (RIFF walk + " +
+      "per-frame javax.imageio) and quarantines the corruption zoo") {
+    import graft.tools.AviFixture
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val good = AviFixture.aviBytes(1)
+    // the zoo: every malformed shape must quarantine (n_frames = -1),
+    // never decode partially and never kill the task
+    def truncated(n: Int) = good.take(good.length - n)
+    val notRiff = good.clone(); "JUNK".getBytes("US-ASCII")
+      .copyToArray(notRiff, 0)
+    // a movi chunk whose size escapes the list: find the first 00dc
+    // and inflate its size field
+    val desynced = good.clone()
+    val dcAt = (0 until good.length - 4).find(p =>
+      new String(good, p, 4, "US-ASCII") == "00dc").get
+    desynced(dcAt + 4) = 0xFF.toByte; desynced(dcAt + 5) = 0xFF.toByte
+    // a frame whose JPEG payload is garbage (container intact)
+    val badFrame = good.clone()
+    java.util.Arrays.fill(badFrame, dcAt + 8, dcAt + 48, 0x55.toByte)
+    // a RIFF size past the buffer (outer truncation lie)
+    val lyingSize = good.clone()
+    lyingSize(4) = 0xFF.toByte; lyingSize(5) = 0xFF.toByte
+    val rows = Seq(
+      (0L, good), (1L, truncated(64)), (2L, notRiff), (3L, desynced),
+      (4L, badFrame), (5L, lyingSize), (6L, Array.empty[Byte]),
+      (7L, null.asInstanceOf[Array[Byte]]))
+    val out = MultimodalOps.decodeMjpegAviPartitioned(
+      rows.toDF("clip_id", "avi"), "clip_id", "avi")
+      .collect().map(v => v.id -> v).toMap
+    val want = AviFixture.expectedRows(1)
+    val g = out(0L)
+    assert((g.n_frames, g.width, g.height, g.us_per_frame,
+      g.lum_hist.mkString(",")) ==
+      (want._2, want._3, want._4, want._5, want._6),
+      s"good clip must decode to the block arithmetic: $g")
+    (1L to 7L).foreach(i => assert(out(i).n_frames == -1L &&
+      out(i).width == -1 && out(i).lum_hist.isEmpty,
+      s"zoo clip $i must quarantine whole: ${out(i)}"))
+  }
+
+  test("mm_frames_mjpeg: the COMMITTED AVI fixture decodes to the " +
+      "generator's raw block statistics (real multi-frame decode gate)") {
+    import graft.tools.AviFixture
+    val got = graft.queries.PipelineQueries.mmFramesMjpeg(spark, "unused")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+      .toSet
+    val want = AviFixture.expectedRows
+      .map { case (id, n, w, h, us, csv) =>
+        (id, n, w.toLong, h.toLong, us, csv) }.toSet
+    assert(got.size == AviFixture.N, s"fixture must carry ${AviFixture.N} clips")
+    assert(got == want,
+      "decoded stats must equal the pre-encode block arithmetic")
+    // non-degenerate: frame counts 2-5, every luminance bin hit
+    // somewhere, and frames DIFFER within a clip (the per-frame sweep
+    // means a first-frame-times-n decoder cannot pass)
+    assert(AviFixture.expectedRows.map(_._2).toSet == Set(2L, 3L, 4L, 5L))
+    val allBins = AviFixture.expectedRows
+      .flatMap(_._6.split(",").zipWithIndex.collect {
+        case (c, b) if c.toLong > 0 => b }).toSet
+    assert(allBins == (0 until 16).toSet,
+      s"fixture must sweep all 16 luminance bins, hit: $allBins")
+    assert((0 until AviFixture.N).exists { i =>
+      val f0 = (0 until AviFixture.dims(i)._1 / AviFixture.Block).map(bx =>
+        AviFixture.grayLevel(i, 0, bx, 0))
+      val f1 = f0.indices.map(bx => AviFixture.grayLevel(i, 1, bx, 0))
+      f0 != f1
+    }, "frames must differ within a clip")
+    // ...and the committed bytes are REAL RIFF AVI containers
+    val firstBytes = spark.read.parquet(AviFixture.Path)
+      .orderBy("clip_id").select("avi").head().getAs[Array[Byte]](0)
+    assert(new String(firstBytes.take(4), "US-ASCII") == "RIFF" &&
+      new String(firstBytes.slice(8, 12), "US-ASCII") == "AVI ",
+      "not a RIFF/AVI payload")
+  }
 }
