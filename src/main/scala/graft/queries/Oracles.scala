@@ -1202,8 +1202,66 @@ object Oracles {
        |       ELSE 'und' END AS lang_pred
        |FROM s""".stripMargin
 
+  /** The char-bigram Naive Bayes of [[PipelineQueries.textLangIdNb]]
+   *  re-derived END TO END: lowercased bigram explode (lateral unnest
+   *  over generate_series — empty below 2 chars, matching the Spark
+   *  guard), the (lang, bigram) counts, the Laplace grid with
+   *  per-lang total and V as windows, doc-count log-priors, every ln
+   *  floor-quantized once to integer micro-nats (the textUnigramNll
+   *  device — identical rational doubles), integer per-(doc, lang)
+   *  sums, and the (score desc, lang asc) argmax. Ends with a `pred`
+   *  relation (doc_id, lang_pred, score_micro). */
+  private val langIdNbCtes: String = {
+    val m = graft.queries.PipelineQueries.NllMicro
+    s"""bgx AS (
+       |  SELECT doc_id, lang, substr(lower(text), CAST(i AS INT), 2) AS bg
+       |  FROM documents,
+       |       unnest(generate_series(1, length(lower(text)) - 1)) AS u(i)),
+       |nbc AS (SELECT lang, bg, count(*) AS cnt FROM bgx GROUP BY 1, 2),
+       |nbgrid AS (
+       |  SELECT v.bg, l.lang, coalesce(c.cnt, 0) AS cnt0
+       |  FROM (SELECT DISTINCT bg FROM nbc) v
+       |  CROSS JOIN (SELECT DISTINCT lang FROM nbc) l
+       |  LEFT JOIN nbc c ON c.bg = v.bg AND c.lang = l.lang),
+       |nbmodel AS (
+       |  SELECT bg, lang,
+       |         CAST(floor(ln(CAST(cnt0 + 1 AS DOUBLE) /
+       |           CAST(sum(cnt0) OVER (PARTITION BY lang) +
+       |                count(*) OVER (PARTITION BY lang) AS DOUBLE))
+       |           * $m) AS BIGINT) AS lp_micro
+       |  FROM nbgrid),
+       |nbprior AS (
+       |  SELECT lang,
+       |         CAST(floor(ln(CAST(docs_l AS DOUBLE) /
+       |           CAST(sum(docs_l) OVER () AS DOUBLE)) * $m) AS BIGINT)
+       |           AS prior_micro
+       |  FROM (SELECT lang, count(*) AS docs_l FROM documents GROUP BY 1)),
+       |nbsc AS (
+       |  SELECT b.doc_id, mo.lang,
+       |         CAST(sum(mo.lp_micro) AS BIGINT) AS ll_micro
+       |  FROM bgx b JOIN nbmodel mo USING (bg) GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT doc_id, lang AS lang_pred, score_micro
+       |  FROM (SELECT s.doc_id, s.lang,
+       |          s.ll_micro + p.prior_micro AS score_micro,
+       |          row_number() OVER (PARTITION BY s.doc_id
+       |            ORDER BY s.ll_micro + p.prior_micro DESC, s.lang ASC)
+       |            AS rn
+       |        FROM nbsc s JOIN nbprior p USING (lang))
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** Mirrors [[PipelineQueries.textLangIdNb]]: the whole Naive Bayes
+   *  re-learned independently ([[langIdNbCtes]]). */
+  val textLangIdNb: String =
+    s"""WITH $langIdNbCtes
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang_pred,
+       |       CAST(score_micro AS BIGINT) AS score_micro
+       |FROM pred""".stripMargin
+
   /** Mirrors [[PipelineQueries.textLangIdEval]]: the [[textLangId]]
-   *  per-doc prediction CTE grouped against the upstream label. */
+   *  per-doc prediction CTE grouped against the upstream label, UNION
+   *  the independently re-learned NB confusion ([[langIdNbCtes]]). */
   val textLangIdEval: String =
     s"""WITH s AS (
        |  SELECT doc_id, lang,
@@ -1216,9 +1274,14 @@ object Oracles {
        |       WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
        |       WHEN s_fr > 0 THEN 'fr'
        |       ELSE 'und' END AS lang_pred
-       |FROM s)
-       |SELECT lang, lang_pred, count(*) AS n
-       |FROM p GROUP BY 1, 2""".stripMargin
+       |FROM s),
+       |$langIdNbCtes
+       |SELECT 'heuristic' AS model, lang, lang_pred, count(*) AS n
+       |FROM p GROUP BY 2, 3
+       |UNION ALL
+       |SELECT 'nb' AS model, d.lang, pr.lang_pred, count(*) AS n
+       |FROM pred pr JOIN documents d USING (doc_id)
+       |GROUP BY 2, 3""".stripMargin
 
   val textQuality: String = {
     val stops = stopListSql(graft.ops.TextAnalyticsOps.Stopwords.head._2)

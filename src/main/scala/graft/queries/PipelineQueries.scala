@@ -630,18 +630,121 @@ object PipelineQueries {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), TextAnalyticsOps.langId(col("text")).as("lang_pred"))
 
-  /** Language-ID EVALUATION — the monitoring half of a classifier a
-   *  pipeline actually operates: confusion counts of the [[textLangId]]
-   *  heuristic against the corpus's upstream `lang` labels (the one
-   *  documents column no query consumed). Output (lang, lang_pred, n);
-   *  precision/recall are one pivot away and the cell the monitor
-   *  alerts on is any off-diagonal mass. Scale shape: one row-local
-   *  kernel call + one two-phase hash agg whose group count is
-   *  |langs|² — the smallest shuffle in the suite. */
-  def textLangIdEval(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+  /** Language-ID EVALUATION — the monitoring half of the classifiers
+   *  a pipeline actually operates: confusion counts against the
+   *  corpus's upstream `lang` labels for BOTH identifiers side by
+   *  side — the [[textLangId]] stopword heuristic and the trained
+   *  [[textLangIdNb]] Naive Bayes — tagged by a `model` column.
+   *  Output (model, lang, lang_pred, n); precision/recall are one
+   *  pivot away, the cell a monitor alerts on is off-diagonal mass,
+   *  and the heuristic-vs-model DELTA is one self-join away. Scale
+   *  shape: the heuristic half is one row-local kernel call + one
+   *  two-phase hash agg with |langs|² groups (the live
+   *  `StreamOps.langIdEvalStream` form unchanged); the NB half costs
+   *  the [[textLangIdNb]] train+apply plan plus the same tiny agg. */
+  def textLangIdEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val heur = docs
       .groupBy(col("lang"), TextAnalyticsOps.langId(col("text")).as("lang_pred"))
       .agg(count(lit(1)).as("n"))
+      .select(lit("heuristic").as("model"), col("lang"), col("lang_pred"),
+        col("n"))
+    val nb = textLangIdNb(spark, sfDir)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("nb").as("model"), col("lang"), col("lang_pred"), col("n"))
+    heur.unionByName(nb)
+  }
+
+  /** Laplace-smoothed log-probabilities in integer micro-nats — the
+   *  [[NllMicro]] ln-parity device. */
+  private def lnMicro(num: Column, den: Column): Column =
+    floor(log(num.cast("double") / den.cast("double"))
+      * lit(NllMicro.toDouble)).cast("bigint")
+
+  /** Lowercased character bigrams of `text` (spaces included — word
+   *  boundaries carry language signal), empty below 2 chars. The
+   *  `sequence` guard matters: Spark's sequence(1, 0) DESCENDS. */
+  def charBigrams(text: Column): Column = {
+    val lowered = lower(text)
+    when(length(lowered) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(lowered) - 1),
+        i => lowered.substr(i, lit(2))))
+  }
+
+  /**
+   * Model-based language ID — character-bigram Naive Bayes trained
+   * IN-QUERY on the corpus's upstream `lang` labels (the CCNet-style
+   * production shape: a trained char-n-gram classifier instead of a
+   * stopword list; fastText's langid and langid.py are the public
+   * reference points). Model: per (lang, bigram) Laplace-smoothed
+   * log-likelihoods ln((c+1)/(total_l+V)) plus per-lang doc-count
+   * log-priors, every log floor-quantized ONCE to integer micro-nats
+   * (the [[NllMicro]] device — both engines evaluate ln on identical
+   * rational doubles and all downstream sums are exact integers).
+   * Prediction: argmax over langs of prior + Σ per-occurrence bigram
+   * log-likelihoods; ties break to the lexicographically SMALLEST
+   * lang. Docs with < 2 characters have no bigrams and drop out (the
+   * [[textBigramNll]] empty-doc contract).
+   *
+   * Scale shape: train = one lang-only corpus scan (column-pruned,
+   * the priors) + one explode→two-phase (lang, bigram) agg; the
+   * (vocab × langs) Laplace grid is built from the COUNTS relation
+   * alone (localCheckpointed once — three consumers would otherwise
+   * re-derive the corpus agg three times) with per-lang totals and V
+   * as windows over the grid, so nothing corpus-sized crosses the
+   * model boundary. Apply = one explode, a BROADCAST model join
+   * (corpus never shuffles for it), one fixed-width (doc_id, lang)
+   * sum, and the argmax window's doc_id exchange. On this driver
+   * corpus the label is text-independent (every lang shares one
+   * vocabulary), so the trained model has nothing real to learn: it
+   * fits per-lang sampling noise and predicts mostly the majority
+   * lang at chance-level accuracy — the honest result, the
+   * [[classifyTrain]] convention; LangIdNbSpec proves real learning
+   * (plain-Scala reference equality + 100% diagonal confusion) on a
+   * planted multilingual corpus with genuinely distinct character
+   * statistics.
+   */
+  def textLangIdNb(spark: SparkSession, sfDir: String): DataFrame =
+    langIdNbOf(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text")))
+
+  /** The train+apply plan of [[textLangIdNb]] over any
+   *  (doc_id, lang, text) frame — factored so the spec trains on
+   *  planted corpora. */
+  def langIdNbOf(docs: DataFrame): DataFrame = {
+    val priorsBase = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs_l"))
+    val priors = priorsBase.select(col("lang"),
+      lnMicro(col("docs_l"),
+        sum(col("docs_l")).over(Window.partitionBy())).as("prior_micro"))
+    val counts = docs
+      .select(col("lang"), explode(charBigrams(col("text"))).as("bg"))
+      .groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val grid = counts.select("bg").distinct()
+      .crossJoin(broadcast(counts.select("lang").distinct()))
+      .join(counts, Seq("lang", "bg"), "left")
+      .withColumn("cnt0", coalesce(col("cnt"), lit(0L)))
+    val byLang = Window.partitionBy("lang")
+    val model = grid.select(col("bg"), col("lang"),
+      lnMicro(col("cnt0") + 1L,
+        sum(col("cnt0")).over(byLang) + count(lit(1)).over(byLang))
+        .as("lp_micro"))
+    val scored = docs
+      .select(col("doc_id"), explode(charBigrams(col("text"))).as("bg"))
+      .join(broadcast(model), "bg")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("lp_micro")).as("ll_micro"))
+      .join(broadcast(priors), "lang")
+      .withColumn("score_micro", col("ll_micro") + col("prior_micro"))
+    val argmax = Window.partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("lang").asc)
+    scored.withColumn("rn", row_number().over(argmax))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("lang_pred"), col("score_micro"))
+  }
 
   def textQuality(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
