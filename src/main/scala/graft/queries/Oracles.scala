@@ -1702,16 +1702,31 @@ object Oracles {
    *  fence count - 1; per-doc counts re-join through the exploded
    *  word list (LEFT, so wordless docs keep bpe_tokens = 0 like the
    *  kernel). */
-  val textTokensBpe: String = {
+  // concatenated AFTER stripMargin — the BPE CTEs carry '||' string
+  // concatenations at line starts whose first pipe an outer
+  // stripMargin would strip (the splice trap the pre-refactor comment
+  // documented)
+  val textTokensBpe: String =
+    "WITH RECURSIVE\n" + bpeSegCtes("text") + "\n" +
+      """SELECT lw.doc_id,
+        |  CAST(len(lw.lst) AS BIGINT) AS ws_tokens,
+        |  CAST(coalesce(bp.bpe, 0) AS BIGINT) AS bpe_tokens
+        |FROM lw LEFT JOIN bp USING (doc_id)""".stripMargin
+
+  /** Shared frozen-merge-table BPE machinery, parameterized by the
+   *  per-doc text expression (the wordpieceSegCtes convention): CTE
+   *  text (m/lw/dw/it/wc/bp) re-deriving every distinct word's merge
+   *  sequence; requires WITH RECURSIVE at the splice site. Ends with
+   *  `lw` (doc_id, lst) and `bp` (doc_id, bpe). */
+  private def bpeSegCtes(textExpr: String): String = {
     val vals = graft.functions.VectorMath.BpeMerges.zipWithIndex.map {
       case ((a, b), i) =>
         s"(${i + 1},'${a.replace("'", "''")}','${b.replace("'", "''")}')"
     }.mkString(",")
-    s"""WITH RECURSIVE
-       |m(rk, a, b) AS (SELECT * FROM (VALUES $vals) t(rk, a, b)),
+    s"""m(rk, a, b) AS (SELECT * FROM (VALUES $vals) t(rk, a, b)),
        |lw AS (
        |  SELECT doc_id,
-       |         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS lst
+       |         list_filter(regexp_split_to_array(lower($textExpr), '\\s+'), x -> len(x) > 0) AS lst
        |  FROM documents),
        |dw(w) AS (SELECT DISTINCT unnest(lst) FROM lw),
        |it(w, s, i) AS (
@@ -1732,21 +1747,18 @@ object Oracles {
        |bp AS (
        |  SELECT doc_id, sum(wc.n) AS bpe
        |  FROM (SELECT doc_id, unnest(lst) AS w FROM lw) tok
-       |  JOIN wc USING (w) GROUP BY doc_id)
-       |SELECT lw.doc_id,
-       |  CAST(len(lw.lst) AS BIGINT) AS ws_tokens,
-       |  CAST(coalesce(bp.bpe, 0) AS BIGINT) AS bpe_tokens
-       |FROM lw LEFT JOIN bp USING (doc_id)""".stripMargin
+       |  JOIN wc USING (w) GROUP BY doc_id)""".stripMargin
   }
 
-  /** Shared frozen-vocab unigram segmentation machinery: CTE text
-   *  (m/lw/dw/DP/backtrack/useg) that re-derives every distinct
+  /** Shared frozen-vocab unigram segmentation machinery,
+   *  parameterized by the per-doc text expression: CTE text
+   *  (um/ulw/udw/DP/backtrack/useg) that re-derives every distinct
    *  word's Viterbi segmentation from the frozen
    *  [[graft.functions.VectorMath.UnigramVocab]] table with an
    *  unrolled min-cost DP and the longest-cost-achieving-edge
    *  backtrack — the unigramLearn oracle's device pointed at the
    *  frozen model. `useg` ends as (w, pieces, n). */
-  private def unigramFrozenSegCtes: String = {
+  private def unigramFrozenSegCtes(textExpr: String): String = {
     import graft.queries.PipelineQueries.{UnigramMaxPiece => MP,
       UnigramMaxWordLen => MW}
     val vals = graft.functions.VectorMath.UnigramVocab.map {
@@ -1754,9 +1766,9 @@ object Oracles {
     }.mkString(",")
     val parts = scala.collection.mutable.ArrayBuffer(
       s"""um(piece, cost) AS (SELECT * FROM (VALUES $vals) t(piece, cost))""",
-      """ulw AS (
+      s"""ulw AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS lst
+        |         list_filter(regexp_split_to_array(lower($textExpr), '\\s+'), x -> len(x) > 0) AS lst
         |  FROM documents)""".stripMargin,
       """udw(w) AS (SELECT DISTINCT unnest(lst) FROM ulw)""",
       """ud_0 AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS cost FROM udw)""")
@@ -1814,7 +1826,7 @@ object Oracles {
    *  re-assembled into each document's piece stream in word order
    *  (the textEncodeBpe reconstruction device) and md5-hashed. */
   val textTokensUnigram: String =
-    s"""WITH $unigramFrozenSegCtes,
+    s"""WITH ${unigramFrozenSegCtes("text")},
        |utok AS (
        |  SELECT doc_id, i, lst[CAST(i + 1 AS INT)] AS w
        |  FROM ulw, unnest(range(0, len(lst))) t(i)),
@@ -1953,6 +1965,62 @@ object Oracles {
       .replace("%SUB%", textTokensBpe)
       .replace("%USUB%", textTokensUnigram)
       .replace("%WSUB%", textTokensWordpiece)
+
+  /** Mirrors [[PipelineQueries.tokenizerCompare]]: all three frozen
+   *  tokenizer machineries ([[bpeSegCtes]], [[unigramFrozenSegCtes]],
+   *  [[wordpieceSegCtes]]) re-derived over the SAME textUnkRate
+   *  augmentation, per-doc counts joined once, rolled to one-row
+   *  totals, and unpivoted to the four family rows. Concatenated
+   *  AFTER stripMargin (the BPE splice trap). */
+  val tokenizerCompare: String = {
+    val aug =
+      "CASE WHEN doc_id % 5 = 0 THEN text || ' emoji sort' ELSE text END"
+    "WITH RECURSIVE\n" + bpeSegCtes(aug) + ",\n" +
+      unigramFrozenSegCtes(aug) + ",\n" +
+      """utok AS (
+        |  SELECT doc_id, i, lst[CAST(i + 1 AS INT)] AS w
+        |  FROM ulw, unnest(range(0, len(lst))) t(i)),
+        |uenc AS (
+        |  SELECT utok.doc_id, sum(useg.n) AS n
+        |  FROM utok JOIN useg USING (w) GROUP BY utok.doc_id),""".stripMargin +
+      "\n" + wordpieceSegCtes(aug) + ",\n" +
+      s"""byt AS (
+        |  SELECT doc_id, CAST(strlen($aug) AS BIGINT) AS bytes
+        |  FROM documents),
+        |per AS (
+        |  SELECT lw.doc_id,
+        |         CAST(len(lw.lst) AS BIGINT) AS ws,
+        |         CAST(coalesce(bp.bpe, 0) AS BIGINT) AS bpe,
+        |         CAST(coalesce(uenc.n, 0) AS BIGINT) AS uni,
+        |         CAST(coalesce(wenc.n, 0) AS BIGINT) AS wp,
+        |         (length(coalesce(wenc.e, ''))
+        |           - length(replace(coalesce(wenc.e, ''), '[UNK]', ''))) // 5 AS wp_unk,
+        |         byt.bytes
+        |  FROM lw LEFT JOIN bp USING (doc_id)
+        |       LEFT JOIN uenc USING (doc_id)
+        |       LEFT JOIN wenc USING (doc_id)
+        |       JOIN byt USING (doc_id), ulen, wlen
+        |  WHERE ulen.ok = 1 AND wlen.ok = 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(ws) AS BIGINT) AS ws,
+        |         CAST(sum(bpe) AS BIGINT) AS bpe,
+        |         CAST(sum(uni) AS BIGINT) AS uni,
+        |         CAST(sum(wp) AS BIGINT) AS wp,
+        |         CAST(sum(wp_unk) AS BIGINT) AS wp_unk,
+        |         CAST(sum(bytes) AS BIGINT) AS bytes
+        |  FROM per)
+        |SELECT family, n_docs, ws AS n_words, n_tokens, n_unk,
+        |       round(CAST(n_tokens AS DOUBLE) / ws, 6) AS fertility_r,
+        |       round(CAST(n_unk AS DOUBLE) / ws, 6) AS unk_rate_r,
+        |       round(CAST(bytes AS DOUBLE) / n_tokens, 6) AS bytes_per_token_r
+        |FROM (
+        |  SELECT 'whitespace' AS family, n_docs, ws, ws AS n_tokens,
+        |         CAST(0 AS BIGINT) AS n_unk, bytes FROM tot
+        |  UNION ALL SELECT 'bpe', n_docs, ws, bpe, 0, bytes FROM tot
+        |  UNION ALL SELECT 'wordpiece', n_docs, ws, wp, wp_unk, bytes FROM tot
+        |  UNION ALL SELECT 'unigram', n_docs, ws, uni, 0, bytes FROM tot)""".stripMargin
+  }
 
   /** Mirrors [[PipelineQueries.corpusReport]]: the textQuality ratio
    *  formula, the textLangId argmax CASE, and the textClassify weight

@@ -1624,6 +1624,53 @@ object PipelineQueries {
           lit(0.0)), 6))
   }
 
+  /**
+   * Unified tokenizer SCORECARD — one queryable artifact for the
+   * trade-off the per-family queries each show one column of: for
+   * every tokenizer family (whitespace, BPE, WordPiece, unigram-LM)
+   * over the SAME corpus, total tokens, fertility (tokens per
+   * whitespace word), UNK rate, and bytes per token. The corpus is
+   * the [[textUnkRate]] domain-shift augmentation (every fifth doc
+   * gains " emoji sort") so the UNK column is non-vacuous on the
+   * self-trained vocabularies; whitespace/BPE/unigram carry UNK 0 by
+   * construction (whitespace and byte-level BPE always segment; the
+   * unigram DP charges unknown chars [[graft.functions.VectorMath]]'s
+   * UNK edge but still emits them as pieces). Scale shape: ONE corpus
+   * scan composing the four row-local token-count kernels + the
+   * `[UNK]` substring arithmetic, ONE single-group agg, then a
+   * row-local 4-way `stack` unpivot of the one-row totals — no joins,
+   * no second pass; every ratio divides two bigint sums once.
+   */
+  def tokenizerCompare(spark: SparkSession, sfDir: String): DataFrame = {
+    val augText = when(col("doc_id") % 5 === 0,
+      concat(col("text"), lit(" emoji sort"))).otherwise(col("text"))
+    val low = lower(augText)
+    val wpEnc = graft.functions.native.wordpiece_encode(low).getField("enc")
+    Tables.documents(spark, sfDir)
+      .select(
+        TextAnalyticsOps.wsTokenCount(augText).as("ws"),
+        TextAnalyticsOps.bpeTokenCount(augText).as("bpe"),
+        graft.functions.native.unigram_token_count(low).as("uni"),
+        graft.functions.native.wordpiece_token_count(low).as("wp"),
+        ((length(wpEnc) - length(replace(wpEnc, lit("[UNK]"), lit("")))) / 5)
+          .cast("long").as("wp_unk"),
+        octet_length(augText).cast("bigint").as("bytes"))
+      .agg(count(lit(1)).as("n_docs"), sum("ws").as("ws"),
+        sum("bpe").as("bpe"), sum("uni").as("uni"), sum("wp").as("wp"),
+        sum("wp_unk").as("wp_unk"), sum("bytes").as("bytes"))
+      .selectExpr("n_docs", "ws", "bytes",
+        "stack(4, 'whitespace', ws, 0L, 'bpe', bpe, 0L, " +
+          "'wordpiece', wp, wp_unk, 'unigram', uni, 0L) " +
+          "AS (family, n_tokens, n_unk)")
+      .select(col("family"), col("n_docs"), col("ws").as("n_words"),
+        col("n_tokens"), col("n_unk"),
+        round(col("n_tokens") / col("ws").cast("double"), 6)
+          .as("fertility_r"),
+        round(col("n_unk") / col("ws").cast("double"), 6).as("unk_rate_r"),
+        round(col("bytes") / col("n_tokens").cast("double"), 6)
+          .as("bytes_per_token_r"))
+  }
+
   /** Quantization scale for [[textUnigramNll]]: per-word negative
    *  log-likelihoods are floored to integer micro-nats so the per-doc
    *  sum is an exact integer (order-independent ⇒ engine-stable — the

@@ -429,4 +429,32 @@ class CurationQueriesSpec extends SparkSpec {
     val ideal = got.size.toDouble * AnalyticsQueries.PrScale
     assert(total > ideal * 0.9 && total < ideal * 1.01, s"mass drifted: $total vs $ideal")
   }
+
+  test("tokenizer_compare: one scorecard row per family with the " +
+      "structural invariants no single-family query can state") {
+    val rows = PipelineQueries.tokenizerCompare(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7))).toMap
+    assert(rows.keySet == Set("whitespace", "bpe", "wordpiece", "unigram"))
+    // one shared corpus: identical word totals on every row
+    assert(rows.values.map(_._1).toSet.size == 1, s"n_words differ: $rows")
+    // whitespace is the fertility-1 anchor with zero UNKs
+    val (_, wsTok, wsUnk, wsFert, wsUnkRate, _) = rows("whitespace")
+    assert(rows("whitespace")._1 == wsTok && wsUnk == 0L &&
+      wsFert == 1.0 && wsUnkRate == 0.0)
+    // subword families segment FINER than words (fertility > 1) and so
+    // cost fewer bytes per token than whitespace
+    Seq("bpe", "wordpiece", "unigram").foreach { f =>
+      assert(rows(f)._4 > 1.0, s"$f fertility must exceed 1: ${rows(f)}")
+      assert(rows(f)._6 < rows("whitespace")._6,
+        s"$f bytes/token must undercut whitespace: ${rows(f)}")
+    }
+    // the domain-shift augmentation keeps the UNK column non-vacuous:
+    // wordpiece (the one family with an UNK symbol) must report hits
+    assert(rows("wordpiece")._3 > 0L,
+      s"wordpiece must surface [UNK] hits: ${rows("wordpiece")}")
+    assert(rows("bpe")._3 == 0L && rows("unigram")._3 == 0L,
+      "byte-level BPE and the unigram DP always segment")
+  }
 }
