@@ -160,4 +160,64 @@ class ZOrderSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(sDir)
     }
   }
+
+  /** Execute `pred` against the parquet at `path` and return (rows the
+    * SCAN emitted — i.e. rows in row groups the reader could not skip,
+    * before Spark's post-scan Filter — and the result set). The
+    * engine-level twin of [[unskippable]]'s footer arithmetic. */
+  private def scanAndCount(path: String,
+      pred: org.apache.spark.sql.Column)
+      : (Long, Set[(Long, Long, Double)]) = {
+    val df = spark.read.parquet(path).filter(pred)
+    val res = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case other => other.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+    }
+    val scan = scans(df.queryExecution.executedPlan)
+    assert(scan.nonEmpty, "no FileSourceScan in the executed plan")
+    (scan.map(_.metrics("numOutputRows").value).sum, res)
+  }
+
+  test("the layout benefit holds in the ENGINE, not only in footer " +
+      "geometry: the same value-range query scans a fraction of the " +
+      "rows on the z layout that it scans on the single-key layout, " +
+      "with identical results") {
+    val ev = graft.model.Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val total = ev.count()
+    val zDir = Files.createTempDirectory("zorder_q").toFile
+    val sDir = Files.createTempDirectory("singlekey_q").toFile
+    try {
+      ZOrderLayout.writeZOrdered(ev, zDir.getAbsolutePath,
+        col("user_id"), floor(col("value")).cast("long"))
+      ZOrderLayout.writeSorted(ev, sDir.getAbsolutePath, col("user_id"))
+      // the value-only predicate — the dimension the single-key sort
+      // does not cover, where the footer test proved the geometry
+      val pred = col("value").between(200.0, 300.0)
+      val (zScanned, zRes) = scanAndCount(zDir.getAbsolutePath, pred)
+      val (sScanned, sRes) = scanAndCount(sDir.getAbsolutePath, pred)
+      val want = ev.filter(pred).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(zRes == want && sRes == want,
+        "both layouts must return identical query results")
+      // single-key: every row group spans the full value range, so the
+      // reader materializes (nearly) the whole table for this query
+      assert(sScanned >= (total * 0.9).toLong,
+        s"single-key layout should scan ~everything: $sScanned/$total")
+      // z layout: the reader must actually SKIP the majority the
+      // footers promised — the engine-level claim
+      assert(zScanned * 2 <= sScanned,
+        s"z layout must scan at most half of single-key's rows: " +
+          s"z=$zScanned vs s=$sScanned of $total")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(zDir)
+      org.apache.commons.io.FileUtils.deleteQuietly(sDir)
+    }
+  }
 }
