@@ -357,8 +357,12 @@ object MultimodalOps {
    * or a desynced `movi` chunk quarantines the CLIP — a mid-stream
    * desync means every later "frame boundary" is untrusted),
    * `LIST hdrl` must open with `avih` (the frame clock), frame chunks
-   * are `##dc`/`##db`, frames must decode and agree on dimensions,
-   * and a clip with zero frames is malformed. Quarantine emits
+   * are `##dc`/`##db` — at `movi` top level or one `LIST 'rec '`
+   * interleave grouping down (the standard CD-ROM layout); any OTHER
+   * grouping inside `movi` quarantines rather than being silently
+   * skipped with its frames — frames must decode and agree on
+   * dimensions, and a clip with zero frames is malformed. Quarantine
+   * emits
    * n_frames = -1 with -1 fields (the PNG/WAV/MP4 convention: routed,
    * never dropped, never a task kill). One partition-batched pass;
    * ImageIO's disk cache is disabled once per partition.
@@ -415,45 +419,56 @@ object MultimodalOps {
                 else {
                   // frame chunks: ##dc (compressed video) / ##db
                   // (uncompressed DIB — same JPEG payload contract
-                  // under MJPG handlers that mislabel)
+                  // under MJPG handlers that mislabel); LIST 'rec '
+                  // groupings (the standard CD-ROM interleave layout)
+                  // walk one level down — any OTHER grouping inside
+                  // movi is untrusted structure and quarantines
                   var n = 0L
                   var w = -1
                   var h = -1
                   val hist = new Array[Long](16)
-                  var q = moviFrom
-                  while (ok && q + 8 <= moviTo) {
-                    val ck = fourcc(q.toInt)
-                    val sz = u32(q.toInt + 4)
-                    val body = q + 8
-                    if (body + sz > moviTo) ok = false // desynced
-                    else {
-                      if (ck.length == 4 &&
-                          (ck.endsWith("dc") || ck.endsWith("db"))) {
-                        val img = javax.imageio.ImageIO.read(
-                          new java.io.ByteArrayInputStream(
-                            b, body.toInt, sz.toInt))
-                        if (img == null) ok = false
-                        else if (w == -1 || (w == img.getWidth &&
-                            h == img.getHeight)) {
-                          w = img.getWidth; h = img.getHeight
-                          var y = 0
-                          while (y < h) {
-                            var x = 0
-                            while (x < w) {
-                              val rgb = img.getRGB(x, y)
-                              val lum = (((rgb >> 16) & 0xFF) +
-                                ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
-                              hist(lum >> 4) += 1L
-                              x += 1
+                  def walkFrames(from: Long, to: Long,
+                      allowRec: Boolean): Unit = {
+                    var q = from
+                    while (ok && q + 8 <= to) {
+                      val ck = fourcc(q.toInt)
+                      val sz = u32(q.toInt + 4)
+                      val body = q + 8
+                      if (body + sz > to) ok = false // desynced
+                      else {
+                        if (ck == "LIST") {
+                          if (allowRec && sz >= 4 &&
+                              fourcc(body.toInt) == "rec ")
+                            walkFrames(body + 4, body + sz, false)
+                          else ok = false
+                        } else if (ck.endsWith("dc") || ck.endsWith("db")) {
+                          val img = javax.imageio.ImageIO.read(
+                            new java.io.ByteArrayInputStream(
+                              b, body.toInt, sz.toInt))
+                          if (img == null) ok = false
+                          else if (w == -1 || (w == img.getWidth &&
+                              h == img.getHeight)) {
+                            w = img.getWidth; h = img.getHeight
+                            var y = 0
+                            while (y < h) {
+                              var x = 0
+                              while (x < w) {
+                                val rgb = img.getRGB(x, y)
+                                val lum = (((rgb >> 16) & 0xFF) +
+                                  ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+                                hist(lum >> 4) += 1L
+                                x += 1
+                              }
+                              y += 1
                             }
-                            y += 1
-                          }
-                          n += 1L
-                        } else ok = false // dimension change mid-clip
+                            n += 1L
+                          } else ok = false // dimension change mid-clip
+                        }
+                        q = body + sz + (sz & 1L)
                       }
-                      q = body + sz + (sz & 1L)
                     }
                   }
+                  walkFrames(moviFrom, moviTo, allowRec = true)
                   if (!ok || n == 0L) bad(id)
                   else graft.model.VideoFeatures(id, n, w, h, usPerFrame,
                     hist.toSeq)

@@ -1864,9 +1864,13 @@ object Oracles {
    *  same exact substring arithmetic over the
    *  [[wordpieceSegCtes]]-reconstructed piece streams, rolled up per
    *  source with one int/int division rounded once. */
+  /** SQL twin of [[PipelineQueries.unkAug]] — the one augmentation
+   *  definition [[textUnkRate]] and [[tokenizerCompare]] share. */
+  private val UnkAugSql: String =
+    "CASE WHEN doc_id % 5 = 0 THEN text || ' emoji sort' ELSE text END"
+
   val textUnkRate: String =
-    s"""WITH ${wordpieceSegCtes(
-        "CASE WHEN doc_id % 5 = 0 THEN text || ' emoji sort' ELSE text END")},
+    s"""WITH ${wordpieceSegCtes(UnkAugSql)},
        |nd AS (
        |  SELECT wlw.doc_id, CAST(len(wlw.lst) AS BIGINT) AS nw,
        |         (length(coalesce(wenc.e, ''))
@@ -1973,8 +1977,7 @@ object Oracles {
    *  totals, and unpivoted to the four family rows. Concatenated
    *  AFTER stripMargin (the BPE splice trap). */
   val tokenizerCompare: String = {
-    val aug =
-      "CASE WHEN doc_id % 5 = 0 THEN text || ' emoji sort' ELSE text END"
+    val aug = UnkAugSql
     "WITH RECURSIVE\n" + bpeSegCtes(aug) + ",\n" +
       unigramFrozenSegCtes(aug) + ",\n" +
       """utok AS (

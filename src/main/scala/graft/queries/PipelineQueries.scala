@@ -1605,16 +1605,29 @@ object PipelineQueries {
    *  one word the alphabet cannot segment ("emoji": ##j is absent)
    *  and one it can ("sort") — the engineered-fixture convention
    *  (piiAugment); the oracle re-derives the augmentation. */
-  def textUnkRate(spark: SparkSession, sfDir: String): DataFrame = {
-    val aug = when(col("doc_id") % 5 === 0,
+  /** The deterministic doc_id-derived domain-shift suffix shared by
+   *  [[textUnkRate]] and [[tokenizerCompare]] — ONE definition so the
+   *  two unk_rate columns cannot silently diverge; the oracle twin is
+   *  [[Oracles.UnkAugSql]]. */
+  private[graft] def unkAug: Column =
+    when(col("doc_id") % 5 === 0,
       concat(col("text"), lit(" emoji sort"))).otherwise(col("text"))
+
+  /** Exact `[UNK]` occurrence count over a WordPiece encode stream —
+   *  uppercase + brackets can never arise from real (lowercased)
+   *  pieces, so the 5-char substring arithmetic is exact. */
+  private def unkCount(enc: Column): Column =
+    ((length(enc) - length(replace(enc, lit("[UNK]"), lit("")))) / 5)
+      .cast("long")
+
+  def textUnkRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val aug = unkAug
     val enc = graft.functions.native.wordpiece_encode(lower(aug))
       .getField("enc")
     Tables.documents(spark, sfDir)
       .select(col("source"),
         TextAnalyticsOps.wsTokenCount(aug).as("nw"),
-        ((length(enc) - length(replace(enc, lit("[UNK]"), lit("")))) / 5)
-          .cast("long").as("nu"))
+        unkCount(enc).as("nu"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("nw")).as("n_words"),
@@ -1642,8 +1655,7 @@ object PipelineQueries {
    * no second pass; every ratio divides two bigint sums once.
    */
   def tokenizerCompare(spark: SparkSession, sfDir: String): DataFrame = {
-    val augText = when(col("doc_id") % 5 === 0,
-      concat(col("text"), lit(" emoji sort"))).otherwise(col("text"))
+    val augText = unkAug
     val low = lower(augText)
     val wpEnc = graft.functions.native.wordpiece_encode(low).getField("enc")
     Tables.documents(spark, sfDir)
@@ -1652,8 +1664,7 @@ object PipelineQueries {
         TextAnalyticsOps.bpeTokenCount(augText).as("bpe"),
         graft.functions.native.unigram_token_count(low).as("uni"),
         graft.functions.native.wordpiece_token_count(low).as("wp"),
-        ((length(wpEnc) - length(replace(wpEnc, lit("[UNK]"), lit("")))) / 5)
-          .cast("long").as("wp_unk"),
+        unkCount(wpEnc).as("wp_unk"),
         octet_length(augText).cast("bigint").as("bytes"))
       .agg(count(lit(1)).as("n_docs"), sum("ws").as("ws"),
         sum("bpe").as("bpe"), sum("uni").as("uni"), sum("wp").as("wp"),
@@ -2431,8 +2442,9 @@ object PipelineQueries {
    *  email declines it; both engines apply the same order so results
    *  are identical). The regex dialect is the RE2 ∩ java.util.regex
    *  subset — no lookaround, no backreferences, ASCII `\b`/`\d`/`\w`,
-   *  and NO `\s` (Java's includes U+000B vertical tab, RE2's does
-   *  not — the isWs divergence; phone uses `[ \t]?` instead) — so the
+   *  and NO `\s` (Java's includes U+000B vertical tab, RE2's is
+   *  exactly `[ \t\n\f\r]` — the isWs divergence; phone spells that
+   *  shared class out) — so the
    *  DuckDB oracle runs the CHARACTER-IDENTICAL definitions
    *  (both engines are leftmost-first here). Class definitions are
    *  deliberately recall-leaning (ipv4 admits 999.999.999.999) — a
@@ -2441,7 +2453,7 @@ object PipelineQueries {
   val PiiClasses: Seq[(String, String)] = Seq(
     "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
     "ipv4" -> "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b",
-    "phone" -> "(\\(\\d{3}\\)[ \\t]?|\\d{3}[-.])\\d{3}[-.]\\d{4}",
+    "phone" -> "(\\(\\d{3}\\)[ \\t\\n\\f\\r]?|\\d{3}[-.])\\d{3}[-.]\\d{4}",
     "id" -> "\\b[A-Z]{2}\\d{6,10}\\b")
 
   /** Sentinel substituted for a class match — position-preserving (the

@@ -1404,13 +1404,30 @@ object StreamOps {
       statePath: String): Option[ClusterStateManifest] =
     readClusterManifestSeq(spark, statePath).map(_._2)
 
+  /** Manifest files older than the newest minus this many sequences
+   *  are pruned at commit time — enough step-down depth for torn
+   *  manifests and in-flight readers, while bounding the directory a
+   *  long-running stream's per-trigger reads must list. */
+  private val ManifestKeep = 16L
+
   /** Commit a manifest transformation with optimistic concurrency:
    *  read the newest complete manifest, apply `update`, publish as
-   *  sequence `max-present + 1` via create-no-overwrite (the atomic
-   *  claim — if another writer took the number first, re-read and
-   *  retry, so concurrent trigger and compaction commits merge
-   *  instead of clobbering). `update` must therefore be a pure
-   *  transformation of the CURRENT manifest, re-runnable on retry. */
+   *  sequence `max-present + 1` via create-no-overwrite. A
+   *  [[org.apache.hadoop.fs.FileAlreadyExistsException]] means
+   *  another writer claimed the number first — re-read and retry, so
+   *  concurrent trigger and compaction commits MERGE instead of
+   *  clobbering; any other I/O failure (disk full, permissions)
+   *  propagates loud rather than spinning. `update` must therefore be
+   *  a pure transformation of the CURRENT manifest, re-runnable on
+   *  retry. Concurrency envelope: within one JVM the lock serializes
+   *  writers outright; across JVMs the claim is atomic wherever
+   *  create-no-overwrite is (HDFS and object stores with conditional
+   *  create — local filesystems check-then-create, so multi-PROCESS
+   *  writers on a local statePath are outside the contract; the
+   *  stream + its in-process maintenance job is the supported local
+   *  shape). After publishing, sequences older than the newest
+   *  [[ManifestKeep]] are pruned so per-trigger manifest reads list a
+   *  bounded directory. */
   private[graft] def commitClusterManifest(spark: SparkSession,
       statePath: String)(
       update: Option[ClusterStateManifest] => ClusterStateManifest)
@@ -1418,26 +1435,35 @@ object StreamOps {
     val dir = clusterManifestDir(statePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
-    var committed: Option[ClusterStateManifest] = None
+    def seqs(): Array[Long] = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".manifest"))
+      .flatMap(n => scala.util.Try(
+        n.stripSuffix(".manifest").toLong).toOption)
+    var committed: Option[(Long, ClusterStateManifest)] = None
     while (committed.isEmpty) {
       // next sequence counts every file PRESENT (torn ones included —
       // their number is burned, not reusable), content comes from the
       // newest COMPLETE one
-      val next = fs.listStatus(dir).map(_.getPath.getName)
-        .filter(_.endsWith(".manifest"))
-        .flatMap(n => scala.util.Try(
-          n.stripSuffix(".manifest").toLong).toOption)
-        .maxOption.getOrElse(-1L) + 1
+      val next = seqs().maxOption.getOrElse(-1L) + 1
       val out = update(readClusterManifest(spark, statePath))
       try {
         val os = fs.create(new org.apache.hadoop.fs.Path(
           dir, f"$next%020d.manifest"), false)
         try os.write(ClusterStateManifest.render(out).getBytes("UTF-8"))
         finally os.close()
-        committed = Some(out)
-      } catch { case _: java.io.IOException => () /* lost the race */ }
+        committed = Some((next, out))
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          () // lost the sequence race — merge onto the winner and retry
+      }
     }
-    committed.get
+    val (seq, out) = committed.get
+    seqs().filter(_ < seq - ManifestKeep).foreach { s =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        dir, f"$s%020d.manifest"), false)
+      ()
+    }
+    out
   }
 
   /** One-time adoption of a pre-manifest `<table>/version=<v>` layout:
@@ -1580,8 +1606,16 @@ object StreamOps {
       if (folds.nonEmpty || m0.retired.nonEmpty) {
         commitClusterManifest(spark, statePath) { prev =>
           val m = prev.getOrElse(ClusterStateManifest.empty)
+          // remove EXACTLY the entries this fold consumed (the m0
+          // snapshot) — an entry <= upTo committed concurrently (a
+          // restarted stream's backfill) is NOT in the fold and must
+          // stay live, or its rows would vanish with the floor raised
+          // past re-detection
+          val consumed: Map[String, Set[(Long, Long)]] =
+            folds.keys.map(t =>
+              t -> m0.liveOf(t).filter(_._1 <= upTo).toSet).toMap
           val newRetired = folds.keys.toSeq.sorted.flatMap { table =>
-            m0.liveOf(table).filter(_._1 <= upTo).map(e =>
+            consumed(table).toSeq.sortBy(_._1).map(e =>
               clusterPartDir(statePath, table, e._1, e._2))
           }
           m.copy(
@@ -1591,7 +1625,7 @@ object StreamOps {
               t -> math.max(m.genHw.getOrElse(t, 0L), g) },
             live = m.live ++ folds.map { case (t, g) =>
               t -> ClusterStateManifest.upsert(
-                m.liveOf(t).filterNot(_._1 <= upTo), upTo, g) },
+                m.liveOf(t).filterNot(consumed(t)), upTo, g) },
             // entries we just swept leave; this fold's victims enter
             retired = m.retired.filterNot(m0.retired.contains)
               ++ newRetired)
@@ -2003,9 +2037,13 @@ object StreamOps {
  *    at the start of the next one (reader grace window).
  *
  * Manifests live as `_manifests/<seq>.manifest` line files; commit =
- * create-no-overwrite of the next sequence (atomic claim), complete =
- * trailing `eof=true` (a torn manifest parses as absent and readers
- * step down one sequence).
+ * create-no-overwrite of the next sequence (serialized in-JVM by a
+ * lock; atomic across JVMs wherever create-no-overwrite is — see
+ * [[StreamOps.commitClusterManifest]] for the exact envelope),
+ * complete = trailing `eof=true` (a torn manifest parses as absent
+ * and readers step down one sequence); sequences older than the
+ * newest [[StreamOps.ManifestKeep]] prune at commit so reads list a
+ * bounded directory.
  */
 private[graft] case class ClusterStateManifest(
     floors: Map[String, Long],

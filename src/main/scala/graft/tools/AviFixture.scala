@@ -149,9 +149,14 @@ object AviFixture {
         le16(24) ++ fcc("MJPG") ++ le32(w.toLong * h * 3) ++
         le32(0L) ++ le32(0L) ++ le32(0L) ++ le32(0L))
     val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val frames00 = (0 until n).map(f => chunk("00dc", jpegFrame(i, f)))
+      .reduce(_ ++ _)
+    // every third clip wraps its frames in the standard LIST('rec ')
+    // CD-ROM interleave grouping, so the committed corpus gates the
+    // walker's one-level rec descent (stats are grouping-invariant —
+    // expectedRows needs no case split)
     val movi = list("movi",
-      (0 until n).map(f => chunk("00dc", jpegFrame(i, f)))
-        .reduce(_ ++ _))
+      if (i % 3 == 2) list("rec ", frames00) else frames00)
     val payload = fcc("AVI ") ++ hdrl ++ movi
     fcc("RIFF") ++ le32(payload.length.toLong) ++ payload
   }

@@ -504,10 +504,18 @@ object MaxRateProbe {
       val caHist = spark.read
         .parquet("/root/testdata/sf0.001/documents.parquet")
         .select(col("doc_id"), col("text"))
+      // write the flat pre-manifest layout, then ADOPT it — the r16
+      // manifest protocol makes clusterAssignTrigger read ONLY
+      // manifest-committed partitions, so an unadopted layout would
+      // silently measure against EMPTY history
       DedupOps.clusterBandKeys(caHist, col("doc_id"), col("text"))
         .write.mode("overwrite").parquet(s"$caState/bands/version=0")
       DedupOps.clusterShingleSets(caHist, col("doc_id"), col("text"))
         .write.mode("overwrite").parquet(s"$caState/shingles/version=0")
+      require(StreamOps.adoptClusterStateLayout(spark, caState).exists(m =>
+        m.liveOf("bands").nonEmpty && m.liveOf("shingles").nonEmpty),
+        "cluster_assign probe: state adoption failed — the probe would " +
+          "measure against empty history")
       DedupOps.connectedComponents(
           DedupOps.minhashNearDups(caHist, col("doc_id"), col("text"), 0.5)
             .select("id1", "id2"),

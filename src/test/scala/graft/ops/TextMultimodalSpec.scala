@@ -472,10 +472,18 @@ class TextMultimodalSpec extends SparkSpec {
     // a RIFF size past the buffer (outer truncation lie)
     val lyingSize = good.clone()
     lyingSize(4) = 0xFF.toByte; lyingSize(5) = 0xFF.toByte
+    // an UNKNOWN grouping inside movi must quarantine, not silently
+    // skip its frames: clip 2 of the fixture is rec-wrapped — rewrite
+    // the grouping fourcc to something else
+    val recClip = AviFixture.aviBytes(2)
+    val recAt = (0 until recClip.length - 4).find(p =>
+      new String(recClip, p, 4, "US-ASCII") == "rec ").get
+    val badGroup = recClip.clone()
+    "seg ".getBytes("US-ASCII").copyToArray(badGroup, recAt)
     val rows = Seq(
       (0L, good), (1L, truncated(64)), (2L, notRiff), (3L, desynced),
       (4L, badFrame), (5L, lyingSize), (6L, Array.empty[Byte]),
-      (7L, null.asInstanceOf[Array[Byte]]))
+      (7L, null.asInstanceOf[Array[Byte]]), (8L, badGroup))
     val out = MultimodalOps.decodeMjpegAviPartitioned(
       rows.toDF("clip_id", "avi"), "clip_id", "avi")
       .collect().map(v => v.id -> v).toMap
@@ -485,9 +493,17 @@ class TextMultimodalSpec extends SparkSpec {
       g.lum_hist.mkString(",")) ==
       (want._2, want._3, want._4, want._5, want._6),
       s"good clip must decode to the block arithmetic: $g")
-    (1L to 7L).foreach(i => assert(out(i).n_frames == -1L &&
+    (1L to 8L).foreach(i => assert(out(i).n_frames == -1L &&
       out(i).width == -1 && out(i).lum_hist.isEmpty,
       s"zoo clip $i must quarantine whole: ${out(i)}"))
+    // ...and the rec-wrapped ORIGINAL decodes (positive control for
+    // the badGroup case; the committed-fixture gate covers it too)
+    import spark.implicits._
+    val recOk = MultimodalOps.decodeMjpegAviPartitioned(
+      Seq((2L, recClip)).toDF("clip_id", "avi"), "clip_id", "avi")
+      .collect().head
+    assert(recOk.n_frames == AviFixture.expectedRows(2)._2,
+      s"rec-grouped frames must decode: $recOk")
   }
 
   test("mm_frames_mjpeg: the COMMITTED AVI fixture decodes to the " +

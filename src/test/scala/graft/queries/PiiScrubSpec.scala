@@ -69,10 +69,11 @@ class PiiScrubSpec extends SparkSpec {
       // phone forms: paren + space, dots, hyphens; and a NON-match
       // (2-digit block) that must survive
       "(555) 123-4567", "555.123.4567", "55-123-4567 stays",
-      // paren + TAB matches; paren + U+000B must NOT (the class uses
-      // [ \t], not \s — Java's \s includes VT, RE2's excludes it, so
-      // \s here would diverge engine vs oracle)
-      "(555)\t123-4567", "(555)123-4567", "(555)\u000B123-4567 stays",
+      // paren + TAB/NEWLINE match; paren + U+000B must NOT (the class
+      // spells out RE2's \s = [ \t\n\f\r]; Java's \s ALSO includes
+      // VT, so writing \s would diverge engine vs oracle)
+      "(555)\t123-4567", "(555)\n123-4567", "(555)123-4567",
+      "(555)\u000B123-4567 stays",
       // id-shaped: boundaries and a too-short non-match
       "AB123456 ok", "xAB123456 glued stays", "AB12345 short stays",
       // unicode neighbors (ASCII \\b semantics must agree)
