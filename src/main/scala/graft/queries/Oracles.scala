@@ -2253,6 +2253,83 @@ object Oracles {
        |FROM r WHERE rank <= $k""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.simHybrid]]: BOTH rankers re-derived —
+   *  the [[textBm25]] CTE chain with query terms drawn from the query
+   *  documents instead of literals, and the [[simTopK]] exact-cosine
+   *  chain — then the reciprocal-rank fusion arithmetic
+   *  floor(1e12/(K+rank)) on exact integer ranks and the fused rank
+   *  cut. NULL source ranks survive where one ranker missed a doc. */
+  val simHybrid: String = {
+    val ids = PipelineQueries.SimQueryIds.mkString(", ")
+    val k1 = graft.queries.PipelineQueries.Bm25K1
+    val k1p1 = graft.queries.PipelineQueries.Bm25K1Plus1
+    val b = graft.queries.PipelineQueries.Bm25B
+    val omb = graft.queries.PipelineQueries.Bm25OneMinusB
+    val cand = graft.queries.PipelineQueries.HybridCand
+    val topk = graft.queries.PipelineQueries.HybridTopK
+    val rrfK = graft.queries.PipelineQueries.RrfK
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${dotSql.format("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |eq AS (SELECT vec_id AS qid, embedding AS q_emb, nrm AS q_nrm
+       |       FROM e WHERE vec_id IN ($ids)),
+       |dsc AS (
+       |  SELECT qid, vec_id AS doc_id,
+       |         ${dotSql.format("embedding", "q_emb")} / (nrm * q_nrm) AS cos
+       |  FROM e CROSS JOIN eq WHERE vec_id <> qid),
+       |dr AS (
+       |  SELECT qid, doc_id,
+       |         CAST(row_number() OVER (PARTITION BY qid
+       |           ORDER BY cos DESC, doc_id) AS BIGINT) AS dense_rank
+       |  FROM dsc QUALIFY dense_rank <= $cand),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       |w AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |q AS (
+       |  SELECT DISTINCT doc_id AS qid, unnest(ws) AS term
+       |  FROM w WHERE doc_id IN ($ids)),
+       |tf AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf
+       |  FROM (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS term FROM w)
+       |  WHERE term IN (SELECT DISTINCT term FROM q)
+       |  GROUP BY 1, 2, 3),
+       |df AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+       |a AS (
+       |  SELECT CAST(sum(CAST(len(ws) AS BIGINT)) AS DOUBLE) / (SELECT n FROM n) AS avgdl
+       |  FROM w),
+       |s AS (
+       |  SELECT q.qid, tf.doc_id,
+       |    CAST(floor(
+       |      ln(((SELECT n FROM n) - df.dfreq + 0.5) / (df.dfreq + 0.5) + 1.0)
+       |      * ((tf.tf * $k1p1) / (tf.tf + $k1 * ($omb + $b * tf.dl / (SELECT avgdl FROM a))))
+       |      * 1000000000.0) AS BIGINT) AS c
+       |  FROM tf JOIN q USING (term) JOIN df USING (term)
+       |  WHERE tf.doc_id <> q.qid),
+       |g AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score_nano
+       |      FROM s GROUP BY 1, 2),
+       |lr AS (
+       |  SELECT qid, doc_id,
+       |         CAST(row_number() OVER (PARTITION BY qid
+       |           ORDER BY score_nano DESC, doc_id) AS BIGINT) AS lex_rank
+       |  FROM g QUALIFY lex_rank <= $cand),
+       |fused AS (
+       |  SELECT coalesce(dr.qid, lr.qid) AS qid,
+       |         coalesce(dr.doc_id, lr.doc_id) AS doc_id,
+       |         dr.dense_rank, lr.lex_rank,
+       |         coalesce(CAST(floor(1e12 / ($rrfK + dr.dense_rank)) AS BIGINT), 0)
+       |           + coalesce(CAST(floor(1e12 / ($rrfK + lr.lex_rank)) AS BIGINT), 0)
+       |           AS rrf_pico
+       |  FROM dr FULL JOIN lr ON dr.qid = lr.qid AND dr.doc_id = lr.doc_id)
+       |SELECT qid,
+       |       CAST(row_number() OVER (PARTITION BY qid
+       |         ORDER BY rrf_pico DESC, doc_id) AS BIGINT) AS rank,
+       |       doc_id, rrf_pico, dense_rank, lex_rank
+       |FROM fused QUALIFY rank <= $topk""".stripMargin
+  }
+
   /** Mirrors [[PipelineQueries.decontaminateRatio]]: the
    *  [[decontaminate]] gram CTEs with a LEFT join so clean docs keep
    *  n_hits = 0; grouping on the gram STRING where Spark flows its

@@ -2910,6 +2910,95 @@ object PipelineQueries {
       .select(col("qid"), col("rank"), col("doc_id"), col("score_nano"))
   }
 
+  /** Reciprocal-rank-fusion constants (Cormack, Clarke & Buettcher
+   *  2009): the standard K=60 damping, 20 candidates per ranker, 10
+   *  fused results. The per-rank contribution floor(1e12/(K+rank)) is
+   *  an exact integer on both engines (quotients ~1.6e10 sit 6
+   *  decimal orders below the double ulp boundary), so fused scores
+   *  sum and order deterministically. */
+  val RrfK = 60L
+  val HybridCand = 20
+  val HybridTopK = 10
+
+  /**
+   * HYBRID RETRIEVAL — reciprocal-rank fusion of the stack's lexical
+   * and dense halves, the production serving shape between them
+   * (every hybrid search engine ships exactly this composition):
+   * query-by-example over the embedded [[SimQueryIds]] workload,
+   * where each query document retrieves with BOTH its words (Okapi
+   * BM25, the [[textBm25]] formulation with query terms drawn from
+   * the query doc instead of literals) and its embedding (exact
+   * cosine, [[graft.ops.SimilarityOps.cosineTopK]]); each ranker's
+   * top [[HybridCand]] fuse by RRF — score(d) = Σ_rankers
+   * floor(1e12/([[RrfK]]+rank)) — and the top [[HybridTopK]] emit
+   * with both source ranks (NULL where one ranker missed the doc, the
+   * signal hybrid exists to exploit). Self-matches are excluded on
+   * both sides.
+   *
+   * Scale shape: the dense half broadcasts the queries (corpus floats
+   * never shuffle); the lexical half restricts postings to the query
+   * docs' terms BELOW the tf agg (the textBm25 rule) and broadcasts
+   * the term/df/avgdl relations; the fusion outer-join touches two
+   * ≤ |queries|·[[HybridCand]]-row frames — nothing corpus-sized
+   * survives past the two rank cuts, both WindowGroupLimit-pruned.
+   */
+  def simHybrid(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // dense ranks
+    val dense = graft.ops.SimilarityOps
+      .cosineTopK(Tables.embeddings(spark, sfDir), SimQueryIds, HybridCand)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+    // lexical ranks: BM25, query terms = each query DOC's distinct words
+    val base = Tables.documents(spark, sfDir)
+    val n = base.count()
+    val qterms = base.filter(col("doc_id").isInCollection(SimQueryIds))
+      .select(col("doc_id").as("qid"),
+        explode(TextAnalyticsOps.words(lower(col("text")))).as("term"))
+      .distinct()
+    val tf = base
+      .select(col("doc_id"),
+        TextAnalyticsOps.wsTokenCount(col("text")).as("dl"),
+        explode(TextAnalyticsOps.words(lower(col("text")))).as("term"))
+      .join(broadcast(qterms.select("term").distinct()), "term")
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    val avgdl = base
+      .select(TextAnalyticsOps.wsTokenCount(col("text")).as("dl"))
+      .agg((sum(col("dl")).cast("double") / lit(n.toDouble)).as("avgdl"))
+    val idf = log(
+      (lit(n.toDouble) - col("dfreq") + lit(0.5)) / (col("dfreq") + lit(0.5))
+        + lit(1.0))
+    val tfNorm = (col("tf") * lit(Bm25K1Plus1)) /
+      (col("tf") + lit(Bm25K1) *
+        (lit(Bm25OneMinusB) + lit(Bm25B) * col("dl") / col("avgdl")))
+    val lex = tf
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(avgdl))
+      .filter(col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id"),
+        floor(idf * tfNorm * lit(1e9)).cast("bigint").as("c"))
+      .groupBy("qid", "doc_id").agg(sum(col("c")).as("score_nano"))
+      .withColumn("lex_rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("score_nano").desc, col("doc_id"))).cast("bigint"))
+      .filter(col("lex_rank") <= HybridCand)
+      .select(col("qid"), col("doc_id"), col("lex_rank"))
+    def contrib(rank: Column): Column =
+      coalesce(floor(lit(1e12) / (lit(RrfK.toDouble) + rank))
+        .cast("bigint"), lit(0L))
+    dense.join(lex, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf_pico",
+        contrib(col("dense_rank")) + contrib(col("lex_rank")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("rrf_pico").desc, col("doc_id"))).cast("bigint"))
+      .filter(col("rank") <= HybridTopK)
+      .select(col("qid"), col("rank"), col("doc_id"), col("rrf_pico"),
+        col("dense_rank"), col("lex_rank"))
+  }
+
   /**
    * Gopher-style repetition signals per document: `top_word_frac` (most
    * frequent word's share of all words) and `dup_2gram_frac` (share of

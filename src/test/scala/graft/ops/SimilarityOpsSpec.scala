@@ -502,4 +502,38 @@ class SimilarityOpsSpec extends SparkSpec {
         f"band $band (n=$n): recall $recall%.3f vs theory $theory%.3f")
     }
   }
+
+  test("sim_hybrid: the fusion is a real HYBRID (docs each ranker " +
+      "missed surface), RRF scores obey the floor law, and both-list " +
+      "docs carry both contributions") {
+    import graft.queries.PipelineQueries
+    val rows = PipelineQueries.simHybrid(spark, "/root/testdata/sf0.001")
+      .collect().map { r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)))
+      }
+    assert(rows.length ==
+      PipelineQueries.SimQueryIds.length * PipelineQueries.HybridTopK)
+    // the RRF floor law holds row for row (plain-Scala recompute)
+    def contrib(r: Option[Long]): Long =
+      r.map(x => math.floor(1e12 / (PipelineQueries.RrfK + x)).toLong)
+        .getOrElse(0L)
+    rows.foreach { case (q, _, d, rrf, dr, lr) =>
+      assert(rrf == contrib(dr) + contrib(lr), s"RRF law broke at ($q,$d)")
+      assert(dr.nonEmpty || lr.nonEmpty, "a fused doc must come from somewhere")
+    }
+    // non-vacuity: the corpus's lexical and dense views disagree, so
+    // the fused top-k contains docs each single ranker missed — the
+    // reason hybrid retrieval exists; if either set were empty the
+    // fusion would collapse to one ranker and gate nothing
+    assert(rows.exists(_._5.isEmpty), "some doc must be lexical-only")
+    assert(rows.exists(_._6.isEmpty), "some doc must be dense-only")
+    // within a query, fused rank is exactly the (rrf desc, doc_id)
+    // total order
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.sortBy(r => (-r._4, r._3)).map(_._2).toSeq ==
+        (1L to g.length), s"order: ${g.toSeq}")
+    }
+  }
 }
