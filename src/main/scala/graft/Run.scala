@@ -41,7 +41,7 @@ import graft.streaming.StreamOps
  * rolling_sort_lastn rolling_flight_dist rolling_flight_dist_snapshot
  * hash_sample json_props quality_cut curate trident_wordcount
  * decontaminate text_chunks text_scrub pii_scrub split_assign mix_weights
- * sessionize shuffle_shard lm_score span_flag mix_sample neardup_gate
+ * sessionize shuffle_shard lm_score nb_langid span_flag mix_sample neardup_gate
  * outlier_gate langid_eval classify_gate corpus_report ppl_gate funnel
  * anomaly_gate attrib_join entropy_gate gopher_gate winnow_fp winnow_gate
  * dedup_gate trained_gate dsir_gate embed_gate countmin text_normalize
@@ -50,8 +50,8 @@ import graft.streaming.StreamOps
  *  decontaminate takes --bench <parquet path> for the benchmark set;
  *  lm_score takes --corpus <parquet path> for the model corpus and
  *  --order 1|2 for unigram vs add-one bigram scoring;
- *  span_flag, mix_sample, neardup_gate and outlier_gate take
- *  --corpus <parquet path> for their offline models)
+ *  span_flag, mix_sample, neardup_gate, outlier_gate and nb_langid
+ *  take --corpus <parquet path> for their offline models)
  */
 object Run {
   def main(args: Array[String]): Unit = {
@@ -279,6 +279,15 @@ object Run {
         // growth); admission is one native kernel call per row
         (bloomGateTopology(spark, lines(), opts.getOrElse("bench",
           "/root/testdata/sf0.001/documents.parquet")), OutputMode.Append)
+      case "nb_langid" =>
+        // trained language-ID at ingest: the char-bigram Naive Bayes
+        // is learned from --corpus by the gated batch query's
+        // formulation and broadcast; labeling is one native kernel
+        // call per line — the same offline-model/online-score split
+        // as lm_score (StreamOps.nbLangIdStream has the contracts)
+        (nbLangIdTopology(spark, lines(), opts.getOrElse("corpus",
+          "/root/testdata/sf0.001/documents.parquet")),
+          OutputMode.Append)
       case "lm_score" =>
         // unigram (--order 1, default) or add-one bigram (--order 2)
         // LM quality scoring, live: the model is a corpus statistic
@@ -606,6 +615,16 @@ object Run {
     StreamOps.bloomGateStream(
       lines.select(col("ts"), col("value").as("text")), bench)
   }
+
+  /** Trained language-ID at ingest: the Naive Bayes model is an
+   *  offline artifact of the gated batch query's learn pass
+   *  (StreamOps.nbLangIdStream has the contracts). Factored so
+   *  RunTopologySpec drives the exact composition. */
+  private[graft] def nbLangIdTopology(spark: SparkSession,
+      lines: DataFrame, corpusPath: String): DataFrame =
+    StreamOps.nbLangIdStream(
+      lines.select(col("ts"), col("value").as("text")),
+      spark.read.parquet(corpusPath))
 
   /** The lm_score live topology — unigram (order 1) or add-one bigram
    *  (order 2) LM scoring at ingest: the model is an offline artifact

@@ -1152,6 +1152,53 @@ object VectorMath {
     s
   }
 
+  /** Char-bigram Naive Bayes argmax over ALREADY-LOWERCASED text; see
+   *  [[NbLangId]]. Bigrams iterate by CODE POINT via
+   *  `UTF8String.substringSQL` — the same unit the batch query's
+   *  `substr` column uses, so a supplementary-plane character cannot
+   *  diverge the kernel from the relational form. A bigram absent
+   *  from the model contributes nothing — matching the batch form's
+   *  inner model join, where a post-training novel bigram simply has
+   *  no row. Ties break to the FIRST (lexicographically smallest)
+   *  lang, the batch argmax's (score desc, lang asc) order; a text
+   *  with no bigrams returns the prior argmax (the batch form DROPS
+   *  such docs — a live gate must label every line). */
+  def nbLangIdArgmax(text: org.apache.spark.unsafe.types.UTF8String,
+      model: java.util.HashMap[String, Array[Long]],
+      priors: Array[Long], langs: Array[String])
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val n = langs.length
+    val scores = new Array[Long](n)
+    System.arraycopy(priors, 0, scores, 0, n)
+    // decode ONCE, then walk code-point windows on char indices —
+    // p0/p1/p2 are the char offsets of three consecutive CODE POINTS,
+    // so supplementary-plane chars pair exactly like the batch
+    // query's substr column (which counts code points)
+    val s = text.toString
+    val len = s.length
+    if (len >= 2) {
+      var p0 = 0
+      var p1 = Character.charCount(s.codePointAt(0))
+      while (p1 < len) {
+        val p2 = p1 + Character.charCount(s.codePointAt(p1))
+        val v = model.get(s.substring(p0, p2))
+        if (v != null) {
+          var l = 0
+          while (l < n) { scores(l) += v(l); l += 1 }
+        }
+        p0 = p1
+        p1 = p2
+      }
+    }
+    var best = 0
+    var l = 1
+    while (l < n) {
+      if (scores(l) > scores(best)) best = l
+      l += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(langs(best))
+  }
+
   /** Sign-random-projection bucket; see [[LshBucket]]. Plane signs come
    *  from Spark's XXH64 over (plane << 32 | dim) with seed 42, so the
    *  "random" hyperplanes are deterministic and identical on every
@@ -3391,6 +3438,44 @@ case class LmBigramScore(child: Expression,
     copy(child = newChild)
 }
 
+/** Char-bigram Naive Bayes language argmax over lowercased text —
+ *  the live scoring kernel of the trained `text_langid_nb` model
+ *  ([[VectorMath.nbLangIdArgmax]] has the tie/OOV/empty contracts).
+ *  The model rides as broadcast reference objects: bigram →
+ *  lang-indexed log-likelihood micro-nat array, plus the prior array
+ *  and the sorted lang table. */
+case class NbLangId(child: Expression,
+    model: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[String, Array[Long]]],
+    priors: org.apache.spark.broadcast.Broadcast[Array[Long]],
+    langs: org.apache.spark.broadcast.Broadcast[Array[String]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.nbLangIdArgmax(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      model.value, priors.value, langs.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("nbModel", model,
+      "org.apache.spark.broadcast.Broadcast")
+    val pRef = ctx.addReferenceObj("nbPriors", priors,
+      "org.apache.spark.broadcast.Broadcast")
+    val lRef = ctx.addReferenceObj("nbLangs", langs,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VectorMath.nbLangIdArgmax($a, " +
+        s"(java.util.HashMap)$mRef.value(), " +
+        s"(long[])$pRef.value(), " +
+        s"(java.lang.String[])$lRef.value())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column wrappers for the native expressions. */
 object native {
   import org.apache.spark.sql.GraftColumnBridge
@@ -3541,6 +3626,14 @@ object native {
         java.util.HashMap[String, java.lang.Long]], oov: Long): Column =
     GraftColumnBridge.column(
       LmUnigramScore(GraftColumnBridge.expression(ws), model, oov))
+
+  def nb_langid(text: Column,
+      model: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[String, Array[Long]]],
+      priors: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      langs: org.apache.spark.broadcast.Broadcast[Array[String]]): Column =
+    GraftColumnBridge.column(
+      NbLangId(GraftColumnBridge.expression(text), model, priors, langs))
 
   def lm_bigram_score(ws: Column,
       model: org.apache.spark.broadcast.Broadcast[

@@ -710,10 +710,13 @@ object PipelineQueries {
     langIdNbOf(Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("text")))
 
-  /** The train+apply plan of [[textLangIdNb]] over any
-   *  (doc_id, lang, text) frame — factored so the spec trains on
-   *  planted corpora. */
-  def langIdNbOf(docs: DataFrame): DataFrame = {
+  /** The LEARN pass of [[langIdNbOf]], factored so the live scoring
+   *  topology (`StreamOps.nbLangIdStream`) trains the identical model
+   *  from a static corpus: (model (bg, lang, lp_micro) — the complete
+   *  Laplace grid — and priors (lang, prior_micro)). Both vocab- /
+   *  lang-sized. */
+  private[graft] def langIdNbModelFrames(docs: DataFrame)
+      : (DataFrame, DataFrame) = {
     val priorsBase = docs.groupBy(col("lang"))
       .agg(count(lit(1)).as("docs_l"))
     val priors = priorsBase.select(col("lang"),
@@ -732,6 +735,14 @@ object PipelineQueries {
       lnMicro(col("cnt0") + 1L,
         sum(col("cnt0")).over(byLang) + count(lit(1)).over(byLang))
         .as("lp_micro"))
+    (model, priors)
+  }
+
+  /** The train+apply plan of [[textLangIdNb]] over any
+   *  (doc_id, lang, text) frame — factored so the spec trains on
+   *  planted corpora. */
+  def langIdNbOf(docs: DataFrame): DataFrame = {
+    val (model, priors) = langIdNbModelFrames(docs)
     val scored = docs
       .select(col("doc_id"), explode(charBigrams(col("text"))).as("bg"))
       .join(broadcast(model), "bg")

@@ -806,6 +806,57 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
 
   /**
+   * Live TRAINED language-ID — the streaming form of
+   * `PipelineQueries.textLangIdNb` (the char-bigram Naive Bayes),
+   * same offline-model/online-score split as [[lmScoreStream]]: the
+   * Laplace grid and log-priors are learned ONCE at topology build by
+   * the IDENTICAL batch formulation over the static corpus (so the
+   * integer micro-nat values match by construction), collected
+   * (vocab × langs rows — bounded by the character alphabet squared,
+   * guarded by `maxModelEntries` with the distributed batch join
+   * named as the alternative), and broadcast as a bigram →
+   * lang-indexed score array probed by the native
+   * [[graft.functions.NbLangId]] codegen kernel — one row-local call
+   * per line, zero joins, zero state. Contract deltas vs batch: a
+   * post-training NOVEL bigram contributes nothing (the batch inner
+   * join's semantics), and a line with < 2 characters labels as the
+   * prior argmax instead of dropping (a live gate must label every
+   * line); stream == batch is spec-pinned on the corpus itself.
+   */
+  def nbLangIdStream(docs: DataFrame, corpus: DataFrame,
+      maxModelEntries: Long = 4000000L): DataFrame = {
+    val (modelF, priorsF) = graft.queries.PipelineQueries
+      .langIdNbModelFrames(corpus.select(col("lang"), col("text")))
+    val priorRows = priorsF.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val langs = priorRows.map(_._1)
+    val idx = langs.zipWithIndex.toMap
+    val priors = priorRows.map(_._2)
+    val entries = modelF.collect()
+    require(entries.length <= maxModelEntries,
+      s"NB langid model has ${entries.length} entries > cap " +
+        s"$maxModelEntries; a broadcast map this size risks driver/" +
+        "executor memory — score with the distributed batch join form " +
+        "(PipelineQueries.textLangIdNb) instead, or raise " +
+        "maxModelEntries if the memory budget allows")
+    val m = new java.util.HashMap[String, Array[Long]](
+      entries.length / math.max(langs.length, 1) * 2 + 16)
+    entries.foreach { r =>
+      val arr = m.computeIfAbsent(r.getString(0),
+        _ => new Array[Long](langs.length))
+      arr(idx(r.getString(1))) = r.getLong(2)
+    }
+    val sc = docs.sparkSession.sparkContext
+    val bcM = sc.broadcast(m)
+    val bcP = sc.broadcast(priors)
+    val bcL = sc.broadcast(langs)
+    val passthrough = docs.columns.map(col)
+    docs.select(passthrough :+
+      graft.functions.native.nb_langid(lower(col("text")), bcM, bcP, bcL)
+        .as("lang_pred"): _*)
+  }
+
+  /**
    * Live PERPLEXITY-BUCKET labeling — the streaming form of
    * `PipelineQueries.textPplBuckets` (the CCNet gate applied at
    * ingest): the two bucket thresholds are learned ONCE at topology

@@ -403,6 +403,14 @@ object MaxRateProbe {
         in.select(col("ts"), Generators.docLine(col("value")).as("text")),
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
     }
+    search("nb_langid", seed = 500000, OutputMode.Append) { in =>
+      // trained langid labeling: one NbLangId kernel call per row
+      // (code-point bigram scan + per-lang integer adds) against the
+      // model learned once at build
+      StreamOps.nbLangIdStream(
+        in.select(col("ts"), Generators.docLine(col("value")).as("text")),
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    }
     // anomaly_gate: per-type (mean, sigma) literal-map probe + one
     // row-local compare — the lightest model in the gate family
     search("anomaly_gate", seed = 4000000, OutputMode.Append) { in =>

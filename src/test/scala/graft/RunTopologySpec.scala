@@ -484,6 +484,55 @@ class RunTopologySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Run nb_langid labels live lines with the batch text_langid_nb " +
+      "model exactly; novel bigrams are transparent and a sub-2-char " +
+      "line labels as the prior argmax instead of vanishing") {
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val corpusPath = s"$sfDir/documents.parquet"
+    // batch expectation from the GATED query itself over the SAME
+    // corpus the stream trains on
+    val batch = graft.queries.PipelineQueries.textLangIdNb(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = spark.read.parquet(corpusPath)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.toMemory(
+      Run.nbLangIdTopology(spark, in.toDF().toDF("ts", "value"), corpusPath),
+      "run_nblid", OutputMode.Append, ckpt())
+    try {
+      in.addData(docs.toIndexedSeq.map(d =>
+        (at("2024-01-01 10:00:00"), d._2)))
+      // a line of PURELY novel bigrams scores prior-only on every
+      // lang, and a 1-char line has no bigrams — both must label as
+      // the prior argmax, not vanish or die
+      in.addData(
+        (at("2024-01-01 10:01:00"), "ßQßQßQ"),
+        (at("2024-01-01 10:02:00"), "x"))
+      q.processAllAvailable()
+      val got = spark.table("run_nblid")
+        .select("text", "lang_pred").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val textPred = docs.map { case (id, t) => t -> batch(id) }.toMap
+      docs.foreach { case (id, t) =>
+        assert(got(t) == batch(id),
+          s"stream label for doc $id must equal the batch query: " +
+            s"${got(t)} vs ${batch(id)} (text-keyed ${textPred(t)})")
+      }
+      // the prior argmax, independently: most frequent lang wins, ties
+      // to the smallest — recomputed from the raw corpus
+      val priorArgmax = spark.read.parquet(corpusPath)
+        .groupBy("lang").count().collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .minBy { case (l, n) => (-n, l) }._1
+      assert(got("ßQßQßQ") == priorArgmax,
+        s"novel-bigram line must label as the prior argmax: $got")
+      assert(got("x") == priorArgmax,
+        s"bigram-less line must label as the prior argmax, not vanish")
+    } finally q.stop()
+  }
+
   test("Run span_flag flags live lines with the batch dedup_spans " +
       "semantics; novel and short lines emit zero-dup rows") {
     implicit val sqlCtx = spark.sqlContext
