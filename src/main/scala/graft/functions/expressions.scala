@@ -1153,10 +1153,13 @@ object VectorMath {
   }
 
   /** Char-bigram Naive Bayes argmax over ALREADY-LOWERCASED text; see
-   *  [[NbLangId]]. Bigrams iterate by CODE POINT via
-   *  `UTF8String.substringSQL` — the same unit the batch query's
-   *  `substr` column uses, so a supplementary-plane character cannot
-   *  diverge the kernel from the relational form. A bigram absent
+   *  [[NbLangId]]. The text decodes to a String ONCE and bigrams walk
+   *  CODE-POINT windows over char indices (`Character.charCount`
+   *  stepping) — the same code-point unit the batch query's `substr`
+   *  column uses, so a supplementary-plane character cannot diverge
+   *  the kernel from the relational form, while the row pays one
+   *  decode instead of two UTF8String allocations per bigram (the
+   *  first cut's shape — 9.5× slower, SCALE.md). A bigram absent
    *  from the model contributes nothing — matching the batch form's
    *  inner model join, where a post-training novel bigram simply has
    *  no row. Ties break to the FIRST (lexicographically smallest)

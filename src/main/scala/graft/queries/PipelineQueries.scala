@@ -2877,48 +2877,58 @@ object PipelineQueries {
    */
   def textBm25(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val base = Tables.documents(spark, sfDir)
-    // parquet rowcount — counting the fanned-out frame would shuffle
-    // full text for one number (the textTfidf rule)
+    val qterms = Bm25Queries
+      .flatMap { case (q, ts) => ts.map((q, _)) }.toDF("qid", "term")
+    bm25Scores(Tables.documents(spark, sfDir), qterms,
+      excludeSelf = false)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("score_nano").desc, col("doc_id"))).cast("int"))
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("qid"), col("rank"), col("doc_id"), col("score_nano"))
+  }
+
+  /** The Okapi BM25 scoring chain [[textBm25]] and [[simHybrid]]
+   *  share — (qid, doc_id, score_nano) of every document against a
+   *  (qid, term) query relation: postings restricted to QUERY terms
+   *  BELOW the tf agg (global df per term is unaffected by other
+   *  terms' rows, so a retrieval pass never builds the full df table;
+   *  the restriction prunes the explode before the (doc, term)
+   *  shuffle), df/avgdl/query relations broadcast, per-term
+   *  contributions floor-quantized to integer nano units BEFORE the
+   *  per-(qid, doc) sum (the NllMicro device). `n` is the parquet
+   *  rowcount — counting the fanned-out frame would shuffle full text
+   *  for one number (the textTfidf rule); `excludeSelf` drops
+   *  doc_id == qid rows for query-by-example callers. */
+  private def bm25Scores(base: DataFrame, qterms: DataFrame,
+      excludeSelf: Boolean): DataFrame = {
     val n = base.count()
     val docs = FanOut.fanOut(base)
-    val queryTerms = Bm25Queries.flatMap(_._2).distinct
-    // postings for QUERY terms only, filtered BELOW the tf agg: global
-    // df per term is unaffected by other terms' rows, so restricting
-    // first is both correct and the scale shape — a retrieval engine
-    // never builds the full df table to answer 8 terms, and the term
-    // filter prunes the explode before the (doc, term) shuffle
     val tf = docs
       .select(col("doc_id"),
         TextAnalyticsOps.wsTokenCount(col("text")).as("dl"),
         explode(TextAnalyticsOps.words(lower(col("text")))).as("term"))
-      .filter(col("term").isin(queryTerms: _*))
+      .join(broadcast(qterms.select("term").distinct()), "term")
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
     val avgdl = base
       .select(TextAnalyticsOps.wsTokenCount(col("text")).as("dl"))
       .agg((sum(col("dl")).cast("double") / lit(n.toDouble)).as("avgdl"))
-    val qterms = Bm25Queries
-      .flatMap { case (q, ts) => ts.map((q, _)) }.toDF("qid", "term")
     val idf = log(
       (lit(n.toDouble) - col("dfreq") + lit(0.5)) / (col("dfreq") + lit(0.5))
         + lit(1.0))
     val tfNorm = (col("tf") * lit(Bm25K1Plus1)) /
       (col("tf") + lit(Bm25K1) *
         (lit(Bm25OneMinusB) + lit(Bm25B) * col("dl") / col("avgdl")))
-    val scores = tf
-      .join(broadcast(qterms), "term")
+    val joined = tf
+      .join(broadcast(qterms), Seq("term"))
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(avgdl))
+    (if (excludeSelf) joined.filter(col("doc_id") =!= col("qid"))
+     else joined)
       .select(col("qid"), col("doc_id"),
         floor(idf * tfNorm * lit(1e9)).cast("bigint").as("c"))
       .groupBy("qid", "doc_id").agg(sum(col("c")).as("score_nano"))
-    scores
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid"))
-          .orderBy(col("score_nano").desc, col("doc_id"))).cast("int"))
-      .filter(col("rank") <= Bm25TopK)
-      .select(col("qid"), col("rank"), col("doc_id"), col("score_nano"))
   }
 
   /** Reciprocal-rank-fusion constants (Cormack, Clarke & Buettcher
@@ -2960,37 +2970,14 @@ object PipelineQueries {
       .cosineTopK(Tables.embeddings(spark, sfDir), SimQueryIds, HybridCand)
       .select(col("query_id").as("qid"), col("neighbor_id").as("doc_id"),
         col("rank").as("dense_rank"))
-    // lexical ranks: BM25, query terms = each query DOC's distinct words
+    // lexical ranks: BM25 ([[bm25Scores]], the textBm25 chain), query
+    // terms = each query DOC's distinct words
     val base = Tables.documents(spark, sfDir)
-    val n = base.count()
     val qterms = base.filter(col("doc_id").isInCollection(SimQueryIds))
       .select(col("doc_id").as("qid"),
         explode(TextAnalyticsOps.words(lower(col("text")))).as("term"))
       .distinct()
-    val tf = base
-      .select(col("doc_id"),
-        TextAnalyticsOps.wsTokenCount(col("text")).as("dl"),
-        explode(TextAnalyticsOps.words(lower(col("text")))).as("term"))
-      .join(broadcast(qterms.select("term").distinct()), "term")
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
-    val avgdl = base
-      .select(TextAnalyticsOps.wsTokenCount(col("text")).as("dl"))
-      .agg((sum(col("dl")).cast("double") / lit(n.toDouble)).as("avgdl"))
-    val idf = log(
-      (lit(n.toDouble) - col("dfreq") + lit(0.5)) / (col("dfreq") + lit(0.5))
-        + lit(1.0))
-    val tfNorm = (col("tf") * lit(Bm25K1Plus1)) /
-      (col("tf") + lit(Bm25K1) *
-        (lit(Bm25OneMinusB) + lit(Bm25B) * col("dl") / col("avgdl")))
-    val lex = tf
-      .join(broadcast(qterms), Seq("term"))
-      .join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(avgdl))
-      .filter(col("doc_id") =!= col("qid"))
-      .select(col("qid"), col("doc_id"),
-        floor(idf * tfNorm * lit(1e9)).cast("bigint").as("c"))
-      .groupBy("qid", "doc_id").agg(sum(col("c")).as("score_nano"))
+    val lex = bm25Scores(base, qterms, excludeSelf = true)
       .withColumn("lex_rank", row_number().over(
         Window.partitionBy(col("qid"))
           .orderBy(col("score_nano").desc, col("doc_id"))).cast("bigint"))

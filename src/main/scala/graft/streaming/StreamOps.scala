@@ -827,20 +827,34 @@ object StreamOps {
       maxModelEntries: Long = 4000000L): DataFrame = {
     val (modelF, priorsF) = graft.queries.PipelineQueries
       .langIdNbModelFrames(corpus.select(col("lang"), col("text")))
-    val priorRows = priorsF.collect()
-      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
-    val langs = priorRows.map(_._1)
-    val idx = langs.zipWithIndex.toMap
-    val priors = priorRows.map(_._2)
-    val entries = modelF.collect()
-    require(entries.length <= maxModelEntries,
-      s"NB langid model has ${entries.length} entries > cap " +
+    // size-guard BEFORE materializing on the driver — a count is one
+    // scalar; collecting first would OOM exactly where the cap is
+    // meant to protect
+    val nEntries = modelF.count()
+    require(nEntries <= maxModelEntries,
+      s"NB langid model has $nEntries entries > cap " +
         s"$maxModelEntries; a broadcast map this size risks driver/" +
         "executor memory — score with the distributed batch join form " +
         "(PipelineQueries.textLangIdNb) instead, or raise " +
         "maxModelEntries if the memory budget allows")
+    // the lang table comes from the GRID, not the priors: a label
+    // whose docs carry no bigrams (all < 2 chars) exists in priors
+    // but not in the model — the batch query can never predict it
+    // (its inner model join yields no rows), so scoring it
+    // prior-only here would break stream == batch (a zero-filled
+    // slot beats every real lang's negative bigram sums)
+    val entries = modelF.collect()
+    val priorByLang = priorsF.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val langs = entries.map(_.getString(1)).distinct.sorted
+    require(langs.nonEmpty,
+      "NB langid model is empty (no labeled docs with >= 2 chars in " +
+        "the corpus) — nothing to score against; fix the corpus or " +
+        "use the stopword heuristic topology (langid_eval)")
+    val idx = langs.zipWithIndex.toMap
+    val priors = langs.map(priorByLang)
     val m = new java.util.HashMap[String, Array[Long]](
-      entries.length / math.max(langs.length, 1) * 2 + 16)
+      (nEntries / math.max(langs.length, 1) * 2 + 16).toInt)
     entries.foreach { r =>
       val arr = m.computeIfAbsent(r.getString(0),
         _ => new Array[Long](langs.length))
@@ -851,8 +865,12 @@ object StreamOps {
     val bcP = sc.broadcast(priors)
     val bcL = sc.broadcast(langs)
     val passthrough = docs.columns.map(col)
+    // coalesce: a NULL text labels like an empty one (prior argmax) —
+    // the kernel's null-propagation would emit lang_pred = NULL, the
+    // exact vanishing a live labeler must not do
     docs.select(passthrough :+
-      graft.functions.native.nb_langid(lower(col("text")), bcM, bcP, bcL)
+      graft.functions.native.nb_langid(
+        lower(coalesce(col("text"), lit(""))), bcM, bcP, bcL)
         .as("lang_pred"): _*)
   }
 
