@@ -358,12 +358,17 @@ class PlanShapeSpec extends SparkSpec {
       "corpus postings shuffled for a broadcastable join:\n" + p)
     assert(p.contains("WindowGroupLimit"),
       "top-k rank must prune via WindowGroupLimit:\n" + p)
-    // the isin filter must sit under the tf aggregation, not above it
+    // the query-term restriction must sit UNDER the tf aggregation,
+    // not above it — since r16's bm25Scores factoring it is a
+    // broadcast semi-join on term (shared with sim_hybrid's
+    // corpus-derived query terms) rather than an isin literal; the
+    // explode must meet it before the (doc, term) shuffle
     val aggIdx = p.indexOf("HashAggregate(keys=[doc_id")
-    val filtIdx = p.indexOf("term#")
-    assert(aggIdx >= 0 && filtIdx >= 0, "expected tf agg + term filter:\n" + p)
-    assert("Filter .*INSET|Filter .*term.* IN ".r.findFirstIn(p).isDefined,
-      "query-term restriction missing from the plan:\n" + p)
+    assert(aggIdx >= 0, "expected the tf agg:\n" + p)
+    assert("BroadcastHashJoin \\[term#\\d+\\]".r.findAllMatchIn(p)
+      .exists(_.start > aggIdx),
+      "query-term broadcast restriction must appear BELOW the tf agg " +
+        "(printed after it, as the agg's subtree):\n" + p)
   }
 
   test("knn_graph joins candidates as id pairs (hash equi-joins, " +
