@@ -1164,12 +1164,15 @@ object VectorMath {
    *  inner model join, where a post-training novel bigram simply has
    *  no row. Ties break to the FIRST (lexicographically smallest)
    *  lang, the batch argmax's (score desc, lang asc) order; a text
-   *  with no bigrams returns the prior argmax (the batch form DROPS
-   *  such docs — a live gate must label every line). */
+   *  with no bigrams returns the prior argmax (the batch form FILTERS
+   *  such docs out before the kernel — a live gate labels every
+   *  line). Returns struct(lang_pred, score_micro) — the winning lang
+   *  and its integer score, so the batch query and the live gate
+   *  share one kernel. */
   def nbLangIdArgmax(text: org.apache.spark.unsafe.types.UTF8String,
       model: java.util.HashMap[String, Array[Long]],
       priors: Array[Long], langs: Array[String])
-      : org.apache.spark.unsafe.types.UTF8String = {
+      : org.apache.spark.sql.catalyst.InternalRow = {
     val n = langs.length
     val scores = new Array[Long](n)
     System.arraycopy(priors, 0, scores, 0, n)
@@ -1199,7 +1202,10 @@ object VectorMath {
       if (scores(l) > scores(best)) best = l
       l += 1
     }
-    org.apache.spark.unsafe.types.UTF8String.fromString(langs(best))
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString(langs(best)),
+        scores(best)))
   }
 
   /** Sign-random-projection bucket; see [[LshBucket]]. Plane signs come
@@ -3442,7 +3448,8 @@ case class LmBigramScore(child: Expression,
 }
 
 /** Char-bigram Naive Bayes language argmax over lowercased text —
- *  the live scoring kernel of the trained `text_langid_nb` model
+ *  struct(lang_pred, score_micro), the scoring kernel BOTH the gated
+ *  `text_langid_nb` apply pass and the live `nb_langid` topology run
  *  ([[VectorMath.nbLangIdArgmax]] has the tie/OOV/empty contracts).
  *  The model rides as broadcast reference objects: bigram →
  *  lang-indexed log-likelihood micro-nat array, plus the prior array
@@ -3454,7 +3461,12 @@ case class NbLangId(child: Expression,
     langs: org.apache.spark.broadcast.Broadcast[Array[String]])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
-  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField("lang_pred",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("score_micro",
+        org.apache.spark.sql.types.LongType, nullable = false)))
 
   override def nullSafeEval(v: Any): Any =
     VectorMath.nbLangIdArgmax(

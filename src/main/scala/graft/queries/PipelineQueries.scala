@@ -694,9 +694,11 @@ object PipelineQueries {
    * alone (localCheckpointed once — three consumers would otherwise
    * re-derive the corpus agg three times) with per-lang totals and V
    * as windows over the grid, so nothing corpus-sized crosses the
-   * model boundary. Apply = one explode, a BROADCAST model join
-   * (corpus never shuffles for it), one fixed-width (doc_id, lang)
-   * sum, and the argmax window's doc_id exchange. On this driver
+   * model boundary. Apply = ONE row-local [[graft.functions.NbLangId]]
+   * kernel pass against the collected broadcast model (vocab × langs
+   * rows, capped at [[NbMaxModelEntries]] — the lm_score
+   * offline-model/online-score device; zero apply-side exchanges,
+   * [[langIdNbOf]] has the relational-fallback note). On this driver
    * corpus the label is text-independent (every lang shares one
    * vocabulary), so the trained model has nothing real to learn: it
    * fits per-lang sampling noise and predicts mostly the majority
@@ -738,23 +740,80 @@ object PipelineQueries {
     (model, priors)
   }
 
+  /** Broadcast-artifact cap for the NB langid model (vocab × langs
+   *  rows): past it, score with a distributed relational join (the
+   *  pre-r16 form — explode + broadcast model join + per-(doc, lang)
+   *  sum + argmax window) instead of collecting. */
+  val NbMaxModelEntries = 4000000L
+
+  /** Collect the [[langIdNbModelFrames]] artifacts into the broadcast
+   *  form both the gated apply pass and the live topology score with:
+   *  bigram → lang-indexed micro-nat arrays, the prior array, and the
+   *  sorted lang table. The lang table comes from the GRID, not the
+   *  priors — a label whose docs carry no bigrams cannot be predicted
+   *  (its model join would yield no rows), so a prior-only slot must
+   *  not enter the argmax. None when the model is empty. Size-guarded
+   *  by a count BEFORE the collect it protects. */
+  private[graft] def nbLangIdBroadcast(modelF: DataFrame,
+      priorsF: DataFrame, maxModelEntries: Long = NbMaxModelEntries)
+      : Option[(
+        org.apache.spark.broadcast.Broadcast[
+          java.util.HashMap[String, Array[Long]]],
+        org.apache.spark.broadcast.Broadcast[Array[Long]],
+        org.apache.spark.broadcast.Broadcast[Array[String]])] = {
+    val nEntries = modelF.count()
+    require(nEntries <= maxModelEntries,
+      s"NB langid model has $nEntries entries > cap " +
+        s"$maxModelEntries; a broadcast map this size risks driver/" +
+        "executor memory — score with the distributed relational join " +
+        "instead (see NbMaxModelEntries), or raise the cap if the " +
+        "memory budget allows")
+    val entries = modelF.collect()
+    val priorByLang = priorsF.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val langs = entries.map(_.getString(1)).distinct.sorted
+    if (langs.isEmpty) None
+    else {
+      val idx = langs.zipWithIndex.toMap
+      val m = new java.util.HashMap[String, Array[Long]](
+        (nEntries / langs.length * 2 + 16).toInt)
+      entries.foreach { r =>
+        val arr = m.computeIfAbsent(r.getString(0),
+          _ => new Array[Long](langs.length))
+        arr(idx(r.getString(1))) = r.getLong(2)
+      }
+      val sc = modelF.sparkSession.sparkContext
+      Some((sc.broadcast(m), sc.broadcast(langs.map(priorByLang)),
+        sc.broadcast(langs)))
+    }
+  }
+
   /** The train+apply plan of [[textLangIdNb]] over any
    *  (doc_id, lang, text) frame — factored so the spec trains on
-   *  planted corpora. */
+   *  planted corpora. Train is relational (the corpus is never
+   *  collected); the model — vocab × langs rows, a bounded artifact —
+   *  collects and broadcasts, and apply is ONE row-local
+   *  [[graft.functions.NbLangId]] kernel pass: the r16 first cut
+   *  applied relationally (explode × |langs| join blowup + two aggs +
+   *  the argmax window) and measured 10.4 s at sf0.1 in-suite; the
+   *  kernel form is the lm_score offline-model/online-score device
+   *  and removes every apply-side exchange. The `length >= 2` filter
+   *  IS the bigram-less-doc drop contract (empty bigrams ⇔ under two
+   *  code points). */
   def langIdNbOf(docs: DataFrame): DataFrame = {
-    val (model, priors) = langIdNbModelFrames(docs)
-    val scored = docs
-      .select(col("doc_id"), explode(charBigrams(col("text"))).as("bg"))
-      .join(broadcast(model), "bg")
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(col("lp_micro")).as("ll_micro"))
-      .join(broadcast(priors), "lang")
-      .withColumn("score_micro", col("ll_micro") + col("prior_micro"))
-    val argmax = Window.partitionBy("doc_id")
-      .orderBy(col("score_micro").desc, col("lang").asc)
-    scored.withColumn("rn", row_number().over(argmax))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang").as("lang_pred"), col("score_micro"))
+    val (modelF, priorsF) = langIdNbModelFrames(docs)
+    nbLangIdBroadcast(modelF, priorsF) match {
+      case None =>
+        docs.select(col("doc_id"), lit("").as("lang_pred"),
+          lit(0L).as("score_micro")).filter(lit(false))
+      case Some((bcM, bcP, bcL)) =>
+        docs.filter(length(col("text")) >= 2)
+          .select(col("doc_id"),
+            graft.functions.native.nb_langid(
+              lower(col("text")), bcM, bcP, bcL).as("s"))
+          .select(col("doc_id"), col("s.lang_pred").as("lang_pred"),
+            col("s.score_micro").as("score_micro"))
+    }
   }
 
   def textQuality(spark: SparkSession, sfDir: String): DataFrame =

@@ -827,43 +827,16 @@ object StreamOps {
       maxModelEntries: Long = 4000000L): DataFrame = {
     val (modelF, priorsF) = graft.queries.PipelineQueries
       .langIdNbModelFrames(corpus.select(col("lang"), col("text")))
-    // size-guard BEFORE materializing on the driver — a count is one
-    // scalar; collecting first would OOM exactly where the cap is
-    // meant to protect
-    val nEntries = modelF.count()
-    require(nEntries <= maxModelEntries,
-      s"NB langid model has $nEntries entries > cap " +
-        s"$maxModelEntries; a broadcast map this size risks driver/" +
-        "executor memory — score with the distributed batch join form " +
-        "(PipelineQueries.textLangIdNb) instead, or raise " +
-        "maxModelEntries if the memory budget allows")
-    // the lang table comes from the GRID, not the priors: a label
-    // whose docs carry no bigrams (all < 2 chars) exists in priors
-    // but not in the model — the batch query can never predict it
-    // (its inner model join yields no rows), so scoring it
-    // prior-only here would break stream == batch (a zero-filled
-    // slot beats every real lang's negative bigram sums)
-    val entries = modelF.collect()
-    val priorByLang = priorsF.collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val langs = entries.map(_.getString(1)).distinct.sorted
-    require(langs.nonEmpty,
-      "NB langid model is empty (no labeled docs with >= 2 chars in " +
-        "the corpus) — nothing to score against; fix the corpus or " +
-        "use the stopword heuristic topology (langid_eval)")
-    val idx = langs.zipWithIndex.toMap
-    val priors = langs.map(priorByLang)
-    val m = new java.util.HashMap[String, Array[Long]](
-      (nEntries / math.max(langs.length, 1) * 2 + 16).toInt)
-    entries.foreach { r =>
-      val arr = m.computeIfAbsent(r.getString(0),
-        _ => new Array[Long](langs.length))
-      arr(idx(r.getString(1))) = r.getLong(2)
-    }
-    val sc = docs.sparkSession.sparkContext
-    val bcM = sc.broadcast(m)
-    val bcP = sc.broadcast(priors)
-    val bcL = sc.broadcast(langs)
+    // shared collect+broadcast builder (count-guarded BEFORE the
+    // collect; lang table from the GRID — see nbLangIdBroadcast);
+    // a live topology with nothing to score against fails fast here
+    // instead of AIOOBE-ing per row in generated code
+    val (bcM, bcP, bcL) = graft.queries.PipelineQueries
+      .nbLangIdBroadcast(modelF, priorsF, maxModelEntries)
+      .getOrElse(throw new IllegalArgumentException(
+        "NB langid model is empty (no labeled docs with >= 2 chars " +
+          "in the corpus) — nothing to score against; fix the corpus " +
+          "or use the stopword heuristic topology (langid_eval)"))
     val passthrough = docs.columns.map(col)
     // coalesce: a NULL text labels like an empty one (prior argmax) —
     // the kernel's null-propagation would emit lang_pred = NULL, the
@@ -871,7 +844,7 @@ object StreamOps {
     docs.select(passthrough :+
       graft.functions.native.nb_langid(
         lower(coalesce(col("text"), lit(""))), bcM, bcP, bcL)
-        .as("lang_pred"): _*)
+        .getField("lang_pred").as("lang_pred"): _*)
   }
 
   /**
