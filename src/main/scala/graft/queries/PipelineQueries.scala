@@ -741,9 +741,9 @@ object PipelineQueries {
   }
 
   /** Broadcast-artifact cap for the NB langid model (vocab × langs
-   *  rows): past it, score with a distributed relational join (the
-   *  pre-r16 form — explode + broadcast model join + per-(doc, lang)
-   *  sum + argmax window) instead of collecting. */
+   *  rows): past it, [[langIdNbOf]] ROUTES to the distributed
+   *  relational apply instead of collecting — the cap switches plans,
+   *  it never strands an over-cap corpus. */
   val NbMaxModelEntries = 4000000L
 
   /** Collect the [[langIdNbModelFrames]] artifacts into the broadcast
@@ -752,22 +752,16 @@ object PipelineQueries {
    *  sorted lang table. The lang table comes from the GRID, not the
    *  priors — a label whose docs carry no bigrams cannot be predicted
    *  (its model join would yield no rows), so a prior-only slot must
-   *  not enter the argmax. None when the model is empty. Size-guarded
-   *  by a count BEFORE the collect it protects. */
+   *  not enter the argmax. None when the model is empty. CALLERS
+   *  size-guard (count against [[NbMaxModelEntries]]) before invoking
+   *  — this collects unconditionally. */
   private[graft] def nbLangIdBroadcast(modelF: DataFrame,
-      priorsF: DataFrame, maxModelEntries: Long = NbMaxModelEntries)
+      priorsF: DataFrame)
       : Option[(
         org.apache.spark.broadcast.Broadcast[
           java.util.HashMap[String, Array[Long]]],
         org.apache.spark.broadcast.Broadcast[Array[Long]],
         org.apache.spark.broadcast.Broadcast[Array[String]])] = {
-    val nEntries = modelF.count()
-    require(nEntries <= maxModelEntries,
-      s"NB langid model has $nEntries entries > cap " +
-        s"$maxModelEntries; a broadcast map this size risks driver/" +
-        "executor memory — score with the distributed relational join " +
-        "instead (see NbMaxModelEntries), or raise the cap if the " +
-        "memory budget allows")
     val entries = modelF.collect()
     val priorByLang = priorsF.collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -776,7 +770,7 @@ object PipelineQueries {
     else {
       val idx = langs.zipWithIndex.toMap
       val m = new java.util.HashMap[String, Array[Long]](
-        (nEntries / langs.length * 2 + 16).toInt)
+        entries.length / langs.length * 2 + 16)
       entries.foreach { r =>
         val arr = m.computeIfAbsent(r.getString(0),
           _ => new Array[Long](langs.length))
@@ -788,26 +782,59 @@ object PipelineQueries {
     }
   }
 
+  /** The distributed relational apply — the over-cap route of
+   *  [[langIdNbOf]] for corpora whose bigram alphabet × langs exceeds
+   *  what a driver should collect (CJK-scale alphabets): explode +
+   *  model join (no broadcast hint — the model being too big to
+   *  collect is the premise; the planner may still broadcast small
+   *  ones) + per-(doc, lang) integer sum + the (score desc, lang asc)
+   *  argmax window. Identical integers to the kernel path,
+   *  spec-pinned. */
+  private def langIdNbRelationalApply(docs: DataFrame, model: DataFrame,
+      priors: DataFrame): DataFrame = {
+    val scored = docs
+      .select(col("doc_id"), explode(charBigrams(col("text"))).as("bg"))
+      .join(model, "bg")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("lp_micro")).as("ll_micro"))
+      .join(broadcast(priors), "lang")
+      .withColumn("score_micro", col("ll_micro") + col("prior_micro"))
+    val argmax = Window.partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("lang").asc)
+    scored.withColumn("rn", row_number().over(argmax))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("lang_pred"),
+        col("score_micro"))
+  }
+
   /** The train+apply plan of [[textLangIdNb]] over any
    *  (doc_id, lang, text) frame — factored so the spec trains on
    *  planted corpora. Train is relational (the corpus is never
-   *  collected); the model — vocab × langs rows, a bounded artifact —
-   *  collects and broadcasts, and apply is ONE row-local
-   *  [[graft.functions.NbLangId]] kernel pass: the r16 first cut
-   *  applied relationally (explode × |langs| join blowup + two aggs +
-   *  the argmax window) and measured 10.4 s at sf0.1 in-suite; the
-   *  kernel form is the lm_score offline-model/online-score device
-   *  and removes every apply-side exchange. The `length >= 2` filter
-   *  IS the bigram-less-doc drop contract (empty bigrams ⇔ under two
-   *  code points). */
-  def langIdNbOf(docs: DataFrame): DataFrame = {
-    val (modelF, priorsF) = langIdNbModelFrames(docs)
-    nbLangIdBroadcast(modelF, priorsF) match {
+   *  collected); the model — vocab × langs rows — localCheckpoints
+   *  ONCE (the size-guard count and the collect would otherwise each
+   *  re-derive the grid), then the apply ROUTES on
+   *  [[NbMaxModelEntries]]: under the cap it is ONE row-local
+   *  [[graft.functions.NbLangId]] kernel pass against the collected
+   *  broadcast model (the lm_score offline-model/online-score device
+   *  — zero apply-side exchanges; the r16 relational first cut
+   *  measured 10.4 s at sf0.1 in-suite vs 4.7 with the kernel), over
+   *  it the [[langIdNbRelationalApply]] join form runs distributed.
+   *  The `length(lower(text)) >= 2` filter IS the bigram-less-doc
+   *  drop contract — on the LOWERCASED text, because lowercasing can
+   *  lengthen a string (U+0130 'İ' lowers to two code points) and
+   *  bigrams are defined over the lowered form. */
+  def langIdNbOf(docs: DataFrame,
+      maxModelEntries: Long = NbMaxModelEntries): DataFrame = {
+    val (modelF0, priorsF) = langIdNbModelFrames(docs)
+    val modelF = modelF0.localCheckpoint()
+    if (modelF.count() > maxModelEntries)
+      langIdNbRelationalApply(docs, modelF, priorsF)
+    else nbLangIdBroadcast(modelF, priorsF) match {
       case None =>
         docs.select(col("doc_id"), lit("").as("lang_pred"),
           lit(0L).as("score_micro")).filter(lit(false))
       case Some((bcM, bcP, bcL)) =>
-        docs.filter(length(col("text")) >= 2)
+        docs.filter(length(lower(col("text"))) >= 2)
           .select(col("doc_id"),
             graft.functions.native.nb_langid(
               lower(col("text")), bcM, bcP, bcL).as("s"))

@@ -824,15 +824,25 @@ object StreamOps {
    * line); stream == batch is spec-pinned on the corpus itself.
    */
   def nbLangIdStream(docs: DataFrame, corpus: DataFrame,
-      maxModelEntries: Long = 4000000L): DataFrame = {
-    val (modelF, priorsF) = graft.queries.PipelineQueries
+      maxModelEntries: Long =
+        graft.queries.PipelineQueries.NbMaxModelEntries): DataFrame = {
+    val (modelF0, priorsF) = graft.queries.PipelineQueries
       .langIdNbModelFrames(corpus.select(col("lang"), col("text")))
-    // shared collect+broadcast builder (count-guarded BEFORE the
-    // collect; lang table from the GRID — see nbLangIdBroadcast);
-    // a live topology with nothing to score against fails fast here
-    // instead of AIOOBE-ing per row in generated code
+    // one grid materialization serves the size-guard count AND the
+    // collect; the count runs BEFORE the collect it protects — a live
+    // topology has no distributed fallback, so over-cap fails fast
+    // pointing at the batch query
+    val modelF = modelF0.localCheckpoint()
+    val nEntries = modelF.count()
+    require(nEntries <= maxModelEntries,
+      s"NB langid model has $nEntries entries > cap " +
+        s"$maxModelEntries; a broadcast map this size risks driver/" +
+        "executor memory — score in batch with " +
+        "PipelineQueries.textLangIdNb (which routes to a distributed " +
+        "relational apply), or raise maxModelEntries if the memory " +
+        "budget allows")
     val (bcM, bcP, bcL) = graft.queries.PipelineQueries
-      .nbLangIdBroadcast(modelF, priorsF, maxModelEntries)
+      .nbLangIdBroadcast(modelF, priorsF)
       .getOrElse(throw new IllegalArgumentException(
         "NB langid model is empty (no labeled docs with >= 2 chars " +
           "in the corpus) — nothing to score against; fix the corpus " +

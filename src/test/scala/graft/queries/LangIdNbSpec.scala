@@ -74,6 +74,16 @@ class LangIdNbSpec extends SparkSpec {
     val want = ref(docs)
     assert(got == want, s"got $got\nwant $want")
     assert(!got.contains(5L), "a 1-char doc has no bigrams and drops out")
+    // the over-cap DISTRIBUTED route (maxModelEntries = 0 forces the
+    // relational apply) must produce the identical integers — the cap
+    // switches plans, never results
+    import spark.implicits._
+    val relational = PipelineQueries
+      .langIdNbOf(docs.toDF("doc_id", "lang", "text"), maxModelEntries = 0L)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(relational == want,
+      s"relational route diverged: $relational\nwant $want")
   }
 
   test("REAL LEARNING on a planted multilingual corpus: distinct " +
