@@ -515,4 +515,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(!sigPlan.contains("RoundRobinPartitioning"),
       "wide input re-shuffled before the shingle stage:\n" + sigPlan)
   }
+
+  test("text_langid_nb's apply side is ZERO-exchange: the only shuffles " +
+      "in the plan belong to the train half (the bigram agg), never to " +
+      "the kernel scoring pass") {
+    val p = plan("text_langid_nb")
+    // the kernel projection (scan -> filter -> project) must contain
+    // the NbLangId call and no Window/rank machinery — the argmax
+    // happens inside the kernel, not in a plan operator
+    assert(p.contains("nblangid") || p.contains("NbLangId") ||
+      p.toLowerCase.contains("nblangid"),
+      "apply must score through the native kernel:\n" + p)
+    assert(!p.contains("Window"),
+      "the argmax window is gone — it lives inside the kernel:\n" + p)
+    // the apply never joins: the model is a broadcast ARTIFACT (a
+    // reference object in codegen), not a relation
+    assert(!p.contains("SortMergeJoin"),
+      "nothing in this plan should sort-merge:\n" + p)
+  }
+
+  test("sim_hybrid's ONLY sort-merge join is the full-outer fusion of " +
+      "the two rank-cut frames — every corpus-sided join broadcasts, " +
+      "and both source rank cuts WindowGroupLimit-prune BELOW it") {
+    val p = plan("sim_hybrid")
+    // full-outer cannot broadcast in Spark; it is fine here because
+    // its inputs are the two <= |queries|*cand-row rank-cut frames,
+    // which the assertions below prove
+    val smjs = "SortMergeJoin .*, (\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(smjs == Seq("FullOuter"),
+      s"only the tiny fusion join may sort-merge, got $smjs:\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "no cartesian products:\n" + p)
+    // both source rank cuts (cand = 20) sit BELOW the fusion join in
+    // the tree (printed after it), so the SMJ consumes rank-bounded
+    // frames, not corpus-sized ones
+    val smjIdx = p.indexOf("SortMergeJoin")
+    assert("WindowGroupLimit .*row_number\\(\\), 20".r
+      .findAllMatchIn(p).count(_.start > smjIdx) >= 2,
+      "both rank cuts must prune below the fusion join:\n" + p)
+  }
 }
