@@ -45,6 +45,7 @@ import graft.streaming.StreamOps
  * outlier_gate langid_eval classify_gate corpus_report ppl_gate funnel
  * anomaly_gate attrib_join entropy_gate gopher_gate winnow_fp winnow_gate
  * dedup_gate trained_gate dsir_gate embed_gate countmin text_normalize
+ * hybrid_serve
  * line_filter bloom_gate tokenize
  * (curate also takes --threshold <minScore> and --min-words <n>;
  *  decontaminate takes --bench <parquet path> for the benchmark set;
@@ -137,7 +138,7 @@ object Run {
         (StreamOps.slidingCount(zones, "ts", col("zone"), "zone",
           winS, slideS, wm), OutputMode.Update)
       case "rolling_sort" | "rolling_flight_dist_snapshot" | "mix_weights" |
-          "shuffle_shard" =>
+          "shuffle_shard" | "hybrid_serve" =>
         runForeachBatch(spark, name, lines(), emitFreq, checkpoint)
         return
       case "rolling_flight_dist" =>
@@ -782,6 +783,26 @@ object Run {
         StreamOps.mixWeightsStream(docs, checkpoint, emitFreq) { (weights, id) =>
           println(s"=== batch $id mixture weights ===")
           weights.orderBy(col("source")).show(25, truncate = false)
+        }
+      case "hybrid_serve" =>
+        // hybrid retrieval serving, live: arriving queries fuse BM25
+        // and cosine ranks against corpus artifacts built once
+        // (StreamOps.streamingHybrid has the contracts). Line sources
+        // carry no embedding; the demo derives one deterministically
+        // from content (the embed_gate device) — real ingestion runs
+        // an embedder upstream
+        val docsPath = "/root/testdata/sf0.001/documents.parquet"
+        val embPath = "/root/testdata/sf0.001/embeddings.parquet"
+        val queries = lines.select(
+          xxhash64(col("value")).as("query_id"),
+          col("value").as("text"),
+          synthEmbedding(col("value")).as("embedding"))
+        StreamOps.streamingHybrid(queries,
+          spark.read.parquet(docsPath).select("doc_id", "text"),
+          spark.read.parquet(embPath).select("vec_id", "embedding"),
+          checkpoint) { (fused, id) =>
+          println(s"=== batch $id hybrid top-k ===")
+          fused.orderBy(col("qid"), col("rank")).show(20, truncate = false)
         }
       case "rolling_flight_dist_snapshot" =>
         val positions = AdsbOps.parsePositionsTyped(lines, col("value"))

@@ -3000,12 +3000,6 @@ object PipelineQueries {
     val avgdl = base
       .select(TextAnalyticsOps.wsTokenCount(col("text")).as("dl"))
       .agg((sum(col("dl")).cast("double") / lit(n.toDouble)).as("avgdl"))
-    val idf = log(
-      (lit(n.toDouble) - col("dfreq") + lit(0.5)) / (col("dfreq") + lit(0.5))
-        + lit(1.0))
-    val tfNorm = (col("tf") * lit(Bm25K1Plus1)) /
-      (col("tf") + lit(Bm25K1) *
-        (lit(Bm25OneMinusB) + lit(Bm25B) * col("dl") / col("avgdl")))
     val joined = tf
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(dfreq), "term")
@@ -3013,8 +3007,23 @@ object PipelineQueries {
     (if (excludeSelf) joined.filter(col("doc_id") =!= col("qid"))
      else joined)
       .select(col("qid"), col("doc_id"),
-        floor(idf * tfNorm * lit(1e9)).cast("bigint").as("c"))
+        bm25Contribution(n.toDouble).as("c"))
       .groupBy("qid", "doc_id").agg(sum(col("c")).as("score_nano"))
+  }
+
+  /** The per-(query-term, doc) Okapi BM25 contribution in integer
+   *  nano units over columns (tf, dl, dfreq, avgdl) — the one
+   *  definition [[bm25Scores]] and the live serving topology's
+   *  precomputed-postings scorer share, so the quantized integers
+   *  cannot drift between them. */
+  private[graft] def bm25Contribution(n: Double): Column = {
+    val idf = log(
+      (lit(n) - col("dfreq") + lit(0.5)) / (col("dfreq") + lit(0.5))
+        + lit(1.0))
+    val tfNorm = (col("tf") * lit(Bm25K1Plus1)) /
+      (col("tf") + lit(Bm25K1) *
+        (lit(Bm25OneMinusB) + lit(Bm25B) * col("dl") / col("avgdl")))
+    floor(idf * tfNorm * lit(1e9)).cast("bigint")
   }
 
   /** Reciprocal-rank-fusion constants (Cormack, Clarke & Buettcher
@@ -3063,12 +3072,25 @@ object PipelineQueries {
       .select(col("doc_id").as("qid"),
         explode(TextAnalyticsOps.words(lower(col("text")))).as("term"))
       .distinct()
-    val lex = bm25Scores(base, qterms, excludeSelf = true)
-      .withColumn("lex_rank", row_number().over(
+    val lex = lexRankCut(bm25Scores(base, qterms, excludeSelf = true))
+    rrfFuse(dense, lex)
+  }
+
+  /** The lexical rank cut of [[simHybrid]] — (qid, doc_id, lex_rank ≤
+   *  [[HybridCand]]) from a (qid, doc_id, score_nano) frame; shared
+   *  with the live serving topology. */
+  private[graft] def lexRankCut(scores: DataFrame): DataFrame =
+    scores.withColumn("lex_rank", row_number().over(
         Window.partitionBy(col("qid"))
           .orderBy(col("score_nano").desc, col("doc_id"))).cast("bigint"))
       .filter(col("lex_rank") <= HybridCand)
       .select(col("qid"), col("doc_id"), col("lex_rank"))
+
+  /** Reciprocal-rank fusion of a dense (qid, doc_id, dense_rank) and a
+   *  lexical (qid, doc_id, lex_rank) frame — the [[simHybrid]] tail,
+   *  shared with the live serving topology so the fusion arithmetic
+   *  exists once. */
+  private[graft] def rrfFuse(dense: DataFrame, lex: DataFrame): DataFrame = {
     def contrib(rank: Column): Column =
       coalesce(floor(lit(1e12) / (lit(RrfK.toDouble) + rank))
         .cast("bigint"), lit(0L))

@@ -1700,6 +1700,101 @@ object StreamOps {
    * bytes scanned per query are codes (4 B/vector at the default
    * config) in the probed cells only, not embeddings.
    */
+  /**
+   * HYBRID retrieval SERVING — the live form of
+   * `PipelineQueries.simHybrid` and the composition a production
+   * search stack actually deploys: arriving queries carry BOTH
+   * representations (`query_id`, `text`, `embedding` — an upstream
+   * embedder enriches before retrieval, the embed-gate pattern), and
+   * each trigger ranks them lexically AND densely, fusing by RRF.
+   *
+   * Serving artifacts build ONCE at topology start and the corpus is
+   * never re-derived per trigger: the INVERTED INDEX — the per-(doc,
+   * term) tf relation with doc lengths, exactly what a lexical engine
+   * materializes — plus the vocab-sized df table, the 1-double avgdl,
+   * and the norm-carrying embedding relation, all reliable-truncated
+   * ([[streamingTopKIvfPq]]'s executor-loss trade). Per trigger the
+   * postings relation is read through a BROADCAST restriction to the
+   * batch's query terms (map-side, no index shuffle), scored by the
+   * SHARED `bm25Contribution` expression (the quantized integers
+   * cannot drift from batch), rank-cut, fused by the SHARED `rrfFuse`
+   * tail against the dense crossJoin-broadcast ranks — stream == the
+   * gated batch query on replayed corpus queries, spec-pinned across
+   * multiple triggers.
+   */
+  def streamingHybrid(queries: DataFrame, docs: DataFrame, emb: DataFrame,
+      checkpoint: String)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val idx = buildHybridIndex(docs, emb)
+    queries.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(hybridTrigger(idx, batch), id)
+      }
+      .start()
+  }
+
+  /** The build-once serving artifacts of [[streamingHybrid]]. */
+  private[graft] case class HybridServeIndex(withNorm: DataFrame,
+      tfC: DataFrame, dfC: DataFrame, n: Long, avgdl: Double)
+
+  private[graft] def buildHybridIndex(docs: DataFrame,
+      emb: DataFrame): HybridServeIndex = {
+    import graft.ops.{SimilarityOps, TextAnalyticsOps}
+    val withNorm = graft.ops.DedupOps.reliableTruncate(
+      emb.select(col("vec_id"), col("embedding"),
+        SimilarityOps.l2Norm(col("embedding")).as("nrm")))
+    val n = docs.count()
+    val tfC = graft.ops.DedupOps.reliableTruncate(
+      docs.select(col("doc_id"),
+          TextAnalyticsOps.wsTokenCount(col("text")).as("dl"),
+          explode(TextAnalyticsOps.words(lower(col("text")))).as("term"))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf")))
+    val dfC = graft.ops.DedupOps.reliableTruncate(
+      tfC.groupBy("term").agg(count(lit(1)).as("dfreq")))
+    val avgdl = docs
+      .select(TextAnalyticsOps.wsTokenCount(col("text")).as("dl"))
+      .agg((sum(col("dl")).cast("double") / lit(n.toDouble)).as("a"))
+      .head().getDouble(0)
+    HybridServeIndex(withNorm, tfC, dfC, n, avgdl)
+  }
+
+  /** One trigger's fused retrieval over the built index — factored so
+   *  the max-rate probe drives the exact per-trigger plan. */
+  private[graft] def hybridTrigger(idx: HybridServeIndex,
+      batch: DataFrame): DataFrame = {
+    import graft.ops.{SimilarityOps, TextAnalyticsOps}
+    import graft.queries.PipelineQueries
+    val q = batch.select(col("query_id"), col("embedding").as("q_emb"),
+      SimilarityOps.l2Norm(col("embedding")).as("q_nrm"))
+    val denseRank = org.apache.spark.sql.functions.row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id")))
+    val dense = idx.withNorm.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", SimilarityOps.cosine(col("embedding"),
+        col("q_emb"), col("nrm"), col("q_nrm")))
+      .withColumn("dense_rank", denseRank.cast("bigint"))
+      .filter(col("dense_rank") <= PipelineQueries.HybridCand)
+      .select(col("query_id").as("qid"), col("vec_id").as("doc_id"),
+        col("dense_rank"))
+    val qterms = batch.select(col("query_id").as("qid"),
+        explode(TextAnalyticsOps.words(lower(col("text")))).as("term"))
+      .distinct()
+    val scores = idx.tfC
+      .join(broadcast(qterms.select("term").distinct()), "term")
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(idx.dfC), "term")
+      .withColumn("avgdl", lit(idx.avgdl))
+      .filter(col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id"),
+        PipelineQueries.bm25Contribution(idx.n.toDouble).as("c"))
+      .groupBy("qid", "doc_id").agg(sum(col("c")).as("score_nano"))
+    PipelineQueries.rrfFuse(dense, PipelineQueries.lexRankCut(scores))
+  }
+
   def streamingTopKIvfPq(queries: DataFrame, corpus: DataFrame, k: Int,
       dim: Int, nCells: Int = 8, nProbe: Int = 4, m: Int = 4, ks: Int = 8,
       iters: Int = 2, checkpoint: String)(sink: (DataFrame, Long) => Unit)

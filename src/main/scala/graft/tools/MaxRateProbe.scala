@@ -411,6 +411,28 @@ object MaxRateProbe {
         in.select(col("ts"), Generators.docLine(col("value")).as("text")),
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
     }
+    // hybrid_serve: per-trigger two-ranker retrieval + fusion against
+    // the build-once inverted index / embedding norms at fixed
+    // sf0.001 corpus scale — foreachBatch IS the trigger, like
+    // cluster_assign; each arriving query pays the corpus crossJoin
+    // dense scoring + a broadcast postings restriction
+    if (wanted("hybrid_serve")) {
+      val hsIdx = StreamOps.buildHybridIndex(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .select(col("doc_id"), col("text")),
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+          .select(col("vec_id"), col("embedding")))
+      search("hybrid_serve", seed = 100, OutputMode.Append, floor = 5,
+        fb = Some { (batch: DataFrame, _: Long) =>
+          StreamOps.hybridTrigger(hsIdx,
+            batch.select((col("value") + 10000000L).as("query_id"),
+              Generators.docLine(col("value")).as("text"),
+              graft.functions.native.synth_embedding(col("value"),
+                graft.queries.PipelineQueries.EmbeddingDim)
+                .as("embedding")))
+            .write.format("noop").mode("overwrite").save()
+        }) { in => in }
+    }
     // anomaly_gate: per-type (mean, sigma) literal-map probe + one
     // row-local compare — the lightest model in the gate family
     search("anomaly_gate", seed = 4000000, OutputMode.Append) { in =>

@@ -519,6 +519,47 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingHybrid: per-trigger fused results equal the gated " +
+      "batch sim_hybrid on replayed corpus queries — the inverted " +
+      "index and embedding norms built once, shared scoring and " +
+      "fusion definitions, split across two triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.PipelineQueries
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val want = PipelineQueries.simHybrid(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // replay the batch query workload: each query doc's text +
+    // embedding, split across two triggers
+    val qdocs = docs
+      .filter(col("doc_id").isInCollection(PipelineQueries.SimQueryIds))
+      .join(emb, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getSeq[Float](2)))
+    val (first, second) = qdocs.sortBy(_._1).splitAt(qdocs.length / 2)
+    val in = MemoryStream[(Long, String, Seq[Float])]
+    val results =
+      scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    val q = StreamOps.streamingHybrid(
+      in.toDF().toDF("query_id", "text", "embedding"), docs, emb,
+      ckpt()) { (batch, _) =>
+      results ++= batch.select("qid", "rank", "doc_id", "rrf_pico")
+        .as[(Long, Long, Long, Long)].collect()
+    }
+    try {
+      in.addData(first.toIndexedSeq); q.processAllAvailable()
+      in.addData(second.toIndexedSeq); q.processAllAvailable()
+      assert(results.toSet == want,
+        s"stream fusion != batch sim_hybrid:\n got ${results.toSet}\n " +
+          s"want $want")
+    } finally q.stop()
+  }
+
   test("streamingTopKIvfPq: per-trigger neighbors equal the gated batch " +
       "operator on replayed corpus vectors — the index built once, " +
       "floats never re-read at serve time") {
