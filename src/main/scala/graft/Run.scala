@@ -793,14 +793,18 @@ object Run {
         // an embedder upstream
         val docsPath = "/root/testdata/sf0.001/documents.parquet"
         val embPath = "/root/testdata/sf0.001/embeddings.parquet"
+        // ids strictly NEGATIVE: query ids must be disjoint from
+        // corpus doc/vec ids or the query-by-example self-exclusion
+        // silently drops the colliding doc (the -(k+1) convention)
         val queries = lines.select(
-          xxhash64(col("value")).as("query_id"),
+          (-(pmod(xxhash64(col("value")), lit(1L << 62)) + 1L))
+            .as("query_id"),
           col("value").as("text"),
           synthEmbedding(col("value")).as("embedding"))
         StreamOps.streamingHybrid(queries,
           spark.read.parquet(docsPath).select("doc_id", "text"),
           spark.read.parquet(embPath).select("vec_id", "embedding"),
-          checkpoint) { (fused, id) =>
+          checkpoint, emitFreq) { (fused, id) =>
           println(s"=== batch $id hybrid top-k ===")
           fused.orderBy(col("qid"), col("rank")).show(20, truncate = false)
         }

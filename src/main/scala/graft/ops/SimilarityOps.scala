@@ -40,12 +40,34 @@ object SimilarityOps {
    */
   def cosineTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val scored = scoreAgainstQueries(emb, queryIds)
-    val rank = row_number().over(
-      Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id")))
-    scored.withColumn("rank", rank.cast("bigint")).filter(col("rank") <= k)
+    cosineRankCut(scored, k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         round(col("cos"), 4).as("cos_r"))
   }
+
+  /** The exact-cosine rank cut over a scored (query_id, vec_id, cos)
+   *  frame — (cos desc, vec_id) tie-break, self-matches already
+   *  excluded upstream. ONE definition shared by [[cosineTopK]] and
+   *  the hybrid serving trigger, so a tie-break change cannot
+   *  silently diverge stream from batch. */
+  private[graft] def cosineRankCut(scored: DataFrame, k: Int): DataFrame =
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))).cast("bigint"))
+      .filter(col("rank") <= k)
+
+  /** Score an EXTERNAL (query_id, q_emb, q_nrm) frame against a
+   *  norm-carrying corpus relation — the [[scoreAgainstQueries]] body
+   *  with the queries supplied rather than selected by id; shared
+   *  with the hybrid serving trigger. query_ids must be DISJOINT from
+   *  corpus vec_ids unless query-by-example self-exclusion is
+   *  intended (the =!= filter removes equal-id pairs). */
+  private[graft] def scoreExternalQueries(withNorm: DataFrame,
+      q: DataFrame): DataFrame =
+    withNorm.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("embedding"), col("q_emb"),
+        col("nrm"), col("q_nrm")))
 
   private def scoreAgainstQueries(emb: DataFrame, queryIds: Seq[Long]): DataFrame = {
     val withNorm = emb.select(col("vec_id"), col("embedding"),
@@ -53,9 +75,7 @@ object SimilarityOps {
     val q = withNorm.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
-    withNorm.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")))
+    scoreExternalQueries(withNorm, q)
   }
 
   /**

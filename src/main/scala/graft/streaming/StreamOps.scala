@@ -1723,15 +1723,19 @@ object StreamOps {
    * multiple triggers.
    */
   def streamingHybrid(queries: DataFrame, docs: DataFrame, emb: DataFrame,
-      checkpoint: String)(sink: (DataFrame, Long) => Unit)
+      checkpoint: String, emitFreqSec: Int = 0)(
+      sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val idx = buildHybridIndex(docs, emb)
-    queries.writeStream
+    val writer = queries.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         sink(hybridTrigger(idx, batch), id)
       }
+    (if (emitFreqSec > 0)
+       writer.trigger(Trigger.ProcessingTime(s"$emitFreqSec seconds"))
+     else writer)
       .start()
   }
 
@@ -1761,30 +1765,38 @@ object StreamOps {
   }
 
   /** One trigger's fused retrieval over the built index — factored so
-   *  the max-rate probe drives the exact per-trigger plan. */
+   *  the max-rate probe drives the exact per-trigger plan. Arriving
+   *  rows dedupe on query_id first: a repeated query in one
+   *  micro-batch (two users typing the same search) would otherwise
+   *  double every corpus vector under that qid and corrupt the dense
+   *  ranks (safe for content-derived ids — equal id ⇒ equal text;
+   *  ingestion with unstable id↔text mappings must dedupe upstream).
+   *  Query ids must be DISJOINT from corpus doc/vec ids — the
+   *  query-by-example self-exclusion filters equal-id pairs out of
+   *  BOTH rankers, so a colliding live id silently loses that corpus
+   *  doc (Run's demo derives strictly negative ids; the -(k+1)
+   *  disjoint-keyspace convention). */
   private[graft] def hybridTrigger(idx: HybridServeIndex,
-      batch: DataFrame): DataFrame = {
+      batchRaw: DataFrame): DataFrame = {
     import graft.ops.{SimilarityOps, TextAnalyticsOps}
     import graft.queries.PipelineQueries
+    val batch = batchRaw.dropDuplicates("query_id")
     val q = batch.select(col("query_id"), col("embedding").as("q_emb"),
       SimilarityOps.l2Norm(col("embedding")).as("q_nrm"))
-    val denseRank = org.apache.spark.sql.functions.row_number().over(
-      org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("vec_id")))
-    val dense = idx.withNorm.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", SimilarityOps.cosine(col("embedding"),
-        col("q_emb"), col("nrm"), col("q_nrm")))
-      .withColumn("dense_rank", denseRank.cast("bigint"))
-      .filter(col("dense_rank") <= PipelineQueries.HybridCand)
+    // the SHARED dense scoring + rank-cut definitions (cosineTopK's
+    // core), so a tie-break change cannot diverge stream from batch
+    val dense = SimilarityOps.cosineRankCut(
+        SimilarityOps.scoreExternalQueries(idx.withNorm, q),
+        PipelineQueries.HybridCand)
       .select(col("query_id").as("qid"), col("vec_id").as("doc_id"),
-        col("dense_rank"))
+        col("rank").as("dense_rank"))
     val qterms = batch.select(col("query_id").as("qid"),
         explode(TextAnalyticsOps.words(lower(col("text")))).as("term"))
       .distinct()
+    // no separate distinct-terms restriction join here: tfC is already
+    // aggregated (the batch form's restriction prunes BELOW its tf
+    // agg), so the qterms join IS the restriction
     val scores = idx.tfC
-      .join(broadcast(qterms.select("term").distinct()), "term")
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(idx.dfC), "term")
       .withColumn("avgdl", lit(idx.avgdl))

@@ -425,7 +425,7 @@ object MaxRateProbe {
       search("hybrid_serve", seed = 100, OutputMode.Append, floor = 5,
         fb = Some { (batch: DataFrame, _: Long) =>
           StreamOps.hybridTrigger(hsIdx,
-            batch.select((col("value") + 10000000L).as("query_id"),
+            batch.select((-(col("value") + 1L)).as("query_id"),
               Generators.docLine(col("value")).as("text"),
               graft.functions.native.synth_embedding(col("value"),
                 graft.queries.PipelineQueries.EmbeddingDim)

@@ -523,8 +523,7 @@ class PlanShapeSpec extends SparkSpec {
     // the kernel projection (scan -> filter -> project) must contain
     // the NbLangId call and no Window/rank machinery — the argmax
     // happens inside the kernel, not in a plan operator
-    assert(p.contains("nblangid") || p.contains("NbLangId") ||
-      p.toLowerCase.contains("nblangid"),
+    assert(p.toLowerCase.contains("nblangid"),
       "apply must score through the native kernel:\n" + p)
     assert(!p.contains("Window"),
       "the argmax window is gone — it lives inside the kernel:\n" + p)
@@ -551,8 +550,11 @@ class PlanShapeSpec extends SparkSpec {
     // the tree (printed after it), so the SMJ consumes rank-bounded
     // frames, not corpus-sized ones
     val smjIdx = p.indexOf("SortMergeJoin")
-    assert("WindowGroupLimit .*row_number\\(\\), 20".r
+    // count FINAL-mode nodes only: ONE cut plans a Partial+Final PAIR
+    // (the sample_group_weighted precedent), so a raw >= 2 would stay
+    // green with a single cut — the vacuous-assert class
+    assert("WindowGroupLimit .*row_number\\(\\), 20, Final".r
       .findAllMatchIn(p).count(_.start > smjIdx) >= 2,
-      "both rank cuts must prune below the fusion join:\n" + p)
+      "BOTH rank cuts must prune below the fusion join:\n" + p)
   }
 }
