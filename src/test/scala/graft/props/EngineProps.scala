@@ -815,4 +815,91 @@ object EngineProps extends Properties("graft") {
         contents.mkString == w && maximal
       }
     }
+
+  // ---- cluster-state manifest codec (the r16 commit-log) -------------------
+
+  private val tableGen = Gen.oneOf(
+    graft.streaming.ClusterStateManifest.Tables)
+  private val entryGen = for {
+    v <- Gen.choose(0L, 1000000L)
+    g <- Gen.choose(0L, 64L)
+  } yield (v, g)
+  private val manifestGen = for {
+    floors <- Gen.mapOf(tableGen.flatMap(t =>
+      Gen.choose(-1L, 1000L).map(t -> _)))
+    gens <- Gen.mapOf(tableGen.flatMap(t =>
+      Gen.choose(0L, 64L).map(t -> _)))
+    bands <- Gen.listOf(entryGen)
+    shingles <- Gen.listOf(entryGen)
+    retired <- Gen.listOf(Gen.nonEmptyListOf(
+      Gen.alphaNumChar).map("/state/" + _.mkString))
+  } yield graft.streaming.ClusterStateManifest(
+    floors, gens,
+    Map("bands" -> bands.distinctBy(_._1).sortBy(_._1),
+      "shingles" -> shingles.distinctBy(_._1).sortBy(_._1)),
+    retired.distinct)
+
+  property("cluster-state manifest render/parse round-trips EXACTLY, " +
+      "and any truncation that loses the eof terminator parses as " +
+      "absent (torn = never committed)") =
+    forAll(manifestGen) { m =>
+      import graft.streaming.ClusterStateManifest
+      val text = ClusterStateManifest.render(m)
+      val roundTrip = ClusterStateManifest.parse(text).contains(m)
+      // cut anywhere inside the terminator line (or earlier): either
+      // the parse rejects it outright, or — when the cut lands on a
+      // whole earlier prefix — it must NOT produce a manifest, because
+      // eof=true is gone
+      // NOTE: render ends "eof=true\n" — a len-1 cut only drops the
+      // trailing newline and the terminator LINE survives, so every
+      // cut here must bite into (or drop) the terminator itself
+      val cuts = Seq(text.length - 2, text.length - 6,
+        math.max(text.indexOf('\n'), 1), text.length / 2)
+      val tornRejected = cuts.forall(c =>
+        ClusterStateManifest.parse(text.take(c)).isEmpty)
+      roundTrip && tornRejected
+    }
+
+  // ---- NB langid kernel: code-point bigram walk ----------------------------
+
+  private val uniCharGen: Gen[String] = Gen.frequency(
+    (6, Gen.alphaNumChar.map(_.toString)),
+    (2, Gen.oneOf(" ", "\t", "é", "ß", "雪", "Ω")),
+    (1, Gen.const(new String(Character.toChars(0x1F600)))), // emoji (surrogate pair)
+    (1, Gen.const(new String(Character.toChars(0x10348))))) // Gothic hwair
+
+  property("NbLangId's decode-once code-point walk scores identically " +
+      "to a plain codePoints-based reference on arbitrary unicode " +
+      "(incl. supplementary-plane chars)") = {
+    val langs = Array("aa", "bb", "cc")
+    val priors = Array(-100L, -200L, -50L)
+    val model = new java.util.HashMap[String, Array[Long]]()
+    // a tiny deterministic model over a few bigrams incl. an
+    // emoji-containing one
+    def put(bg: String, a: Long, b: Long, c: Long): Unit = {
+      model.put(bg, Array(a, b, c)); ()
+    }
+    put("ab", -10L, -1L, -5L)
+    put("b ", -2L, -20L, -7L)
+    put("éß", -1L, -2L, -30L)
+    put(new String(Character.toChars(0x1F600)) + "a", -40L, -3L, -9L)
+    forAll(Gen.listOf(uniCharGen).map(_.mkString)) { s =>
+      val got = graft.functions.VectorMath.nbLangIdArgmax(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        model, priors, langs)
+      // reference: code-point array pairing, independent of the
+      // kernel's charCount window arithmetic
+      val cps = s.codePoints().toArray
+      val scores = priors.clone()
+      cps.sliding(2).filter(_.length == 2).foreach { w =>
+        val bg = new String(w, 0, 2)
+        val v = model.get(bg)
+        if (v != null) (0 until 3).foreach(l => scores(l) += v(l))
+      }
+      val best = (1 until 3).foldLeft(0)((b, l) =>
+        if (scores(l) > scores(b)) l else b)
+      got.getUTF8String(0).toString == langs(best) &&
+        got.getLong(1) == scores(best)
+    }
+  }
 }
