@@ -384,8 +384,16 @@ object MultimodalOps {
                 ((b(p + 3) & 0xFFL) << 24)
               def fourcc(p: Int): String = new String(b, p, 4, "US-ASCII")
               val riffEnd = 8L + u32(4)
+              // STRICT bound both ways: riffEnd past the buffer is a
+              // truncation lie, and bytes PAST riffEnd (beyond one
+              // RIFF pad byte) are an OpenDML 'RIFF AVIX' extension
+              // segment or junk — walking only the first segment
+              // would emit silently partial frame stats, so the >1GB
+              // multi-segment layout quarantines for ROUTING like
+              // inter-frame codecs do
               if (fourcc(0) != "RIFF" || fourcc(8) != "AVI " ||
-                  riffEnd > b.length) bad(id)
+                  riffEnd > b.length ||
+                  b.length - riffEnd > (u32(4) & 1L)) bad(id)
               else {
                 // top-level chunk walk: find the frame clock and the
                 // movi payload bounds
@@ -409,7 +417,12 @@ object MultimodalOps {
                           usPerFrame = u32(body.toInt + 12)
                         else ok = false
                       } else if (lt == "movi") {
-                        moviFrom = body + 4; moviTo = body + sz
+                        // a SECOND movi would overwrite the first's
+                        // bounds and silently drop its frames —
+                        // quarantine instead (single-movi scope; the
+                        // multi-movi form rides OpenDML, handled above)
+                        if (moviFrom >= 0) ok = false
+                        else { moviFrom = body + 4; moviTo = body + sz }
                       }
                     }
                     p = body + sz + (sz & 1L) // even-byte padding

@@ -78,54 +78,33 @@ object AviFixture {
     }
 
   /** A real baseline JPEG encoding of clip i's frame f (MJPEG frames
-   *  are baseline in practice), quality 0.95 — the [[JpegFixture]]
-   *  encoder on the per-frame block definition. */
-  def jpegFrame(i: Int, f: Int): Array[Byte] = {
-    val (w, h) = dims(i)
-    val img = new java.awt.image.BufferedImage(w, h,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val g = grayLevel(i, f, x / Block, y / Block)
-        img.setRGB(x, y, (g << 16) | (g << 8) | g)
-        x += 1
-      }
-      y += 1
-    }
-    val writer =
-      javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
-    val param = writer.getDefaultWriteParam
-    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-    param.setCompressionQuality(0.95f)
-    val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    writer.setOutput(ios)
-    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
-    writer.dispose()
-    ios.close()
-    bos.toByteArray
-  }
+   *  are baseline in practice) — [[JpegFixture.encodeJpeg]], the ONE
+   *  encoder definition the flat-mid-bin exactness margin rests on,
+   *  over the per-frame block mosaic. */
+  def jpegFrame(i: Int, f: Int): Array[Byte] =
+    JpegFixture.encodeJpeg(
+      JpegFixture.grayMosaic(dims(i)._1, dims(i)._2,
+        (bx, by) => grayLevel(i, f, bx, by)),
+      progressive = false)
 
-  private def le32(v: Long): Array[Byte] = Array(
+  private[graft] def le32(v: Long): Array[Byte] = Array(
     (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
     ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
 
   private def le16(v: Int): Array[Byte] =
     Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
 
-  private def fcc(s: String): Array[Byte] = {
+  private[graft] def fcc(s: String): Array[Byte] = {
     require(s.length == 4); s.getBytes("US-ASCII")
   }
 
   /** A RIFF chunk: fourcc + LE size + body + even-byte pad. */
-  private def chunk(cc: String, body: Array[Byte]): Array[Byte] =
+  private[graft] def chunk(cc: String, body: Array[Byte]): Array[Byte] =
     fcc(cc) ++ le32(body.length.toLong) ++ body ++
       (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
 
   /** A RIFF LIST: a 'LIST' chunk whose body is listType + children. */
-  private def list(listType: String, children: Array[Byte]): Array[Byte] =
+  private[graft] def list(listType: String, children: Array[Byte]): Array[Byte] =
     chunk("LIST", fcc(listType) ++ children)
 
   /** A genuine RIFF AVI container for clip i. */

@@ -69,25 +69,41 @@ object JpegFixture {
 
   /** A real JPEG encoding of image i's blocks: quality 0.95, baseline
    *  for most ids, PROGRESSIVE for i % 4 == 3. */
-  def jpegBytes(i: Int): Array[Byte] = {
-    val (w, h) = dims(i)
+  def jpegBytes(i: Int): Array[Byte] =
+    encodeJpeg(grayMosaic(dims(i)._1, dims(i)._2,
+      (bx, by) => grayLevel(i, bx, by)), progressive = i % 4 == 3)
+
+  /** Flat gray [[Block]]-mosaic image from a block-level function —
+   *  the pixel fill the exactness argument rests on, shared with
+   *  [[AviFixture]]'s per-frame variant. */
+  private[tools] def grayMosaic(w: Int, h: Int,
+      level: (Int, Int) => Int): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val g = grayLevel(i, x / Block, y / Block)
+        val g = level(x / Block, y / Block)
         img.setRGB(x, y, (g << 16) | (g << 8) | g)
         x += 1
       }
       y += 1
     }
+    img
+  }
+
+  /** ONE encoder definition (quality 0.95, explicit compression mode)
+   *  for every fixture that leans on the flat-mid-bin exactness
+   *  margin — a quality tweak applied to one fixture can no longer
+   *  silently invalidate another's oracle. */
+  private[tools] def encodeJpeg(img: java.awt.image.BufferedImage,
+      progressive: Boolean): Array[Byte] = {
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
     val param = writer.getDefaultWriteParam
     param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     param.setCompressionQuality(0.95f)
-    if (i % 4 == 3)
+    if (progressive)
       param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
     val bos = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)

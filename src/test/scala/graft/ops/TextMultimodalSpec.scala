@@ -480,10 +480,26 @@ class TextMultimodalSpec extends SparkSpec {
       new String(recClip, p, 4, "US-ASCII") == "rec ").get
     val badGroup = recClip.clone()
     "seg ".getBytes("US-ASCII").copyToArray(badGroup, recAt)
+    // an OpenDML multi-segment file: a second 'RIFF AVIX' segment
+    // trails the first RIFF — walking only segment one would emit
+    // silently PARTIAL stats, so the layout must quarantine whole
+    val avix = good ++ AviFixture.fcc("RIFF") ++
+      AviFixture.le32(12L) ++ AviFixture.fcc("AVIX") ++
+      AviFixture.list("movi", Array.empty[Byte])
+    // two movi lists inside ONE RIFF: the second would overwrite the
+    // first's bounds and silently drop its frames — quarantine
+    val secondMovi = AviFixture.list("movi",
+      AviFixture.chunk("00dc", AviFixture.jpegFrame(1, 0)))
+    val doubleMovi = {
+      val payload = good.slice(8, good.length) ++ secondMovi
+      AviFixture.fcc("RIFF") ++
+        AviFixture.le32(payload.length.toLong) ++ payload
+    }
     val rows = Seq(
       (0L, good), (1L, truncated(64)), (2L, notRiff), (3L, desynced),
       (4L, badFrame), (5L, lyingSize), (6L, Array.empty[Byte]),
-      (7L, null.asInstanceOf[Array[Byte]]), (8L, badGroup))
+      (7L, null.asInstanceOf[Array[Byte]]), (8L, badGroup),
+      (9L, avix), (10L, doubleMovi))
     val out = MultimodalOps.decodeMjpegAviPartitioned(
       rows.toDF("clip_id", "avi"), "clip_id", "avi")
       .collect().map(v => v.id -> v).toMap
@@ -493,7 +509,7 @@ class TextMultimodalSpec extends SparkSpec {
       g.lum_hist.mkString(",")) ==
       (want._2, want._3, want._4, want._5, want._6),
       s"good clip must decode to the block arithmetic: $g")
-    (1L to 8L).foreach(i => assert(out(i).n_frames == -1L &&
+    (1L to 10L).foreach(i => assert(out(i).n_frames == -1L &&
       out(i).width == -1 && out(i).lum_hist.isEmpty,
       s"zoo clip $i must quarantine whole: ${out(i)}"))
     // ...and the rec-wrapped ORIGINAL decodes (positive control for
