@@ -357,12 +357,18 @@ object MultimodalOps {
    * or a desynced `movi` chunk quarantines the CLIP — a mid-stream
    * desync means every later "frame boundary" is untrusted),
    * `LIST hdrl` must open with `avih` (the frame clock), frame chunks
-   * are `##dc`/`##db` — at `movi` top level or one `LIST 'rec '`
-   * interleave grouping down (the standard CD-ROM layout); any OTHER
-   * grouping inside `movi` quarantines rather than being silently
-   * skipped with its frames — frames must decode and agree on
-   * dimensions, and a clip with zero frames is malformed. Quarantine
-   * emits
+   * are `00dc`/`00db` (STREAM-SCOPED: this decoder is
+   * single-video-stream — a `##dc`/`##db` chunk from any other stream
+   * number is a second video stream whose frames must not merge into
+   * one histogram, so the clip quarantines; non-video stream data —
+   * `##wb` audio, `##pc` palette — and OpenDML `ix##` indexes / `JUNK`
+   * padding interleave legally and are skipped; any OTHER chunk id
+   * inside `movi` is untrusted structure and quarantines) — at `movi`
+   * top level or one `LIST 'rec '` interleave grouping down (the
+   * standard CD-ROM layout); any OTHER grouping inside `movi`
+   * quarantines rather than being silently skipped with its frames —
+   * frames must decode and agree on dimensions, and a clip with zero
+   * frames is malformed. Quarantine emits
    * n_frames = -1 with -1 fields (the PNG/WAV/MP4 convention: routed,
    * never dropped, never a task kill). One partition-batched pass;
    * ImageIO's disk cache is disabled once per partition.
@@ -449,12 +455,29 @@ object MultimodalOps {
                       val body = q + 8
                       if (body + sz > to) ok = false // desynced
                       else {
+                        def isStream = ck.length == 4 &&
+                          ck(0) >= '0' && ck(0) <= '9' &&
+                          ck(1) >= '0' && ck(1) <= '9'
                         if (ck == "LIST") {
                           if (allowRec && sz >= 4 &&
                               fourcc(body.toInt) == "rec ")
                             walkFrames(body + 4, body + sz, false)
                           else ok = false
-                        } else if (ck.endsWith("dc") || ck.endsWith("db")) {
+                        } else if (isStream && !ck.startsWith("00") &&
+                            (ck.endsWith("dc") || ck.endsWith("db"))) {
+                          // a SECOND video stream's frames — merging
+                          // them into one histogram would be silently
+                          // wrong; this decoder is single-video-stream
+                          // scoped, so the clip quarantines whole
+                          ok = false
+                        } else if (isStream &&
+                            (ck.endsWith("wb") || ck.endsWith("pc"))) {
+                          () // audio samples / palette change: non-video
+                             // stream data interleaves legally — skip
+                        } else if (ck.startsWith("ix") || ck == "JUNK") {
+                          () // OpenDML in-movi index / alignment padding
+                        } else if (isStream &&
+                            (ck.endsWith("dc") || ck.endsWith("db"))) {
                           val img = javax.imageio.ImageIO.read(
                             new java.io.ByteArrayInputStream(
                               b, body.toInt, sz.toInt))
@@ -476,6 +499,12 @@ object MultimodalOps {
                             }
                             n += 1L
                           } else ok = false // dimension change mid-clip
+                        } else {
+                          // any OTHER chunk id inside movi is untrusted
+                          // structure — quarantine, matching the
+                          // strict-and-total contract (never silently
+                          // skip bytes whose meaning is unknown)
+                          ok = false
                         }
                         q = body + sz + (sz & 1L)
                       }

@@ -1442,12 +1442,18 @@ object StreamOps {
         n.stripSuffix(".manifest").toLong).toOption)
       .sorted.reverseIterator
       .map { seq =>
-        val in = fs.open(new org.apache.hadoop.fs.Path(
-          dir, f"$seq%020d.manifest"))
-        val text =
+        // the open/read can race commitClusterManifest's pruning (file
+        // listed, then deleted before fs.open) — a vanished or
+        // unreadable candidate is treated exactly like a torn one:
+        // step down a sequence (the newest COMPLETE manifest is
+        // always within the ManifestKeep window)
+        scala.util.Try {
+          val in = fs.open(new org.apache.hadoop.fs.Path(
+            dir, f"$seq%020d.manifest"))
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
-        ClusterStateManifest.parse(text).map(seq -> _)
+        }.toOption
+          .flatMap(ClusterStateManifest.parse).map(seq -> _)
       }
       .collectFirst { case Some(x) => x }
   }
@@ -1627,8 +1633,9 @@ object StreamOps {
       // SWEEP: directories retired by the PREVIOUS compaction have had
       // a full compaction interval of reader grace — delete them now
       // (and the version= parent when its last gen leaves)
-      m0.retired.foreach { p =>
-        val gone = new org.apache.hadoop.fs.Path(p)
+      m0.retired.foreach { case (t, v, g) =>
+        val gone = new org.apache.hadoop.fs.Path(
+          clusterPartDir(statePath, t, v, g))
         fs.delete(gone, true)
         val parent = gone.getParent
         if (fs.exists(parent) && fs.listStatus(parent).isEmpty) {
@@ -1668,7 +1675,7 @@ object StreamOps {
               t -> m0.liveOf(t).filter(_._1 <= upTo).toSet).toMap
           val newRetired = folds.keys.toSeq.sorted.flatMap { table =>
             consumed(table).toSeq.sortBy(_._1).map(e =>
-              clusterPartDir(statePath, table, e._1, e._2))
+              (table, e._1, e._2))
           }
           m.copy(
             floors = m.floors ++ folds.keys.map(t =>
@@ -1750,6 +1757,8 @@ object StreamOps {
       emb.select(col("vec_id"), col("embedding"),
         SimilarityOps.l2Norm(col("embedding")).as("nrm")))
     val n = docs.count()
+    require(n > 0, "hybrid_serve: empty docs corpus — avgdl and df " +
+      "are undefined with nothing to index")
     val tfC = graft.ops.DedupOps.reliableTruncate(
       docs.select(col("doc_id"),
           TextAnalyticsOps.wsTokenCount(col("text")).as("dl"),
@@ -2192,8 +2201,12 @@ object StreamOps {
  *    absent is MISSING and gets backfilled (exact gap detection).
  *  - `genHw`: highest fold generation ever allocated per table, so a
  *    fold never reuses a directory name still awaiting sweep.
- *  - `retired`: directories superseded by the last compaction, swept
- *    at the start of the next one (reader grace window).
+ *  - `retired`: partitions superseded by the last compaction as
+ *    (table, version, gen) tuples RELATIVE to the state path (paths
+ *    are reconstructed through [[StreamOps.clusterPartDir]] at sweep
+ *    time, so the state directory is relocatable and no path byte —
+ *    '|', newline — can tear the manifest), swept at the start of the
+ *    next compaction (reader grace window).
  *
  * Manifests live as `_manifests/<seq>.manifest` line files; commit =
  * create-no-overwrite of the next sequence (serialized in-JVM by a
@@ -2208,7 +2221,7 @@ private[graft] case class ClusterStateManifest(
     floors: Map[String, Long],
     genHw: Map[String, Long],
     live: Map[String, Seq[(Long, Long)]],
-    retired: Seq[String]) {
+    retired: Seq[(String, Long, Long)]) {
   def floor(table: String): Long = floors.getOrElse(table, -1L)
   def liveOf(table: String): Seq[(Long, Long)] =
     live.getOrElse(table, Nil)
@@ -2228,9 +2241,18 @@ private[graft] object ClusterStateManifest {
     (Seq(s"floors=${longMap(m.floors)}", s"gens=${longMap(m.genHw)}") ++
       Tables.map(t => s"live.$t=" + m.liveOf(t).sortBy(_._1)
         .map { case (v, g) => s"$v:$g" }.mkString(",")) ++
-      Seq(s"retired=${m.retired.mkString("|")}", "eof=true"))
+      Seq("retired=" + m.retired
+        .map { case (t, v, g) => s"$t:$v:$g" }.mkString(","),
+        "eof=true"))
       .mkString("\n") + "\n"
   }
+
+  /** Pre-tuple manifests stored retired entries as ABSOLUTE partition
+   *  paths joined on '|' — recover the (table, version, gen) triple
+   *  from the path tail (every legacy entry came from
+   *  [[StreamOps.clusterPartDir]], so the tail shape is fixed). */
+  private val LegacyRetired =
+    """([^/|]+)/version=(\d+)/gen=(\d+)/?$""".r.unanchored
 
   /** None for a torn or unparseable manifest — it was never committed. */
   def parse(text: String): Option[ClusterStateManifest] = {
@@ -2257,7 +2279,15 @@ private[graft] object ClusterStateManifest {
         live = Tables.map(t => t -> entries(kv(s"live.$t"))).toMap,
         retired = kv("retired") match {
           case "" => Nil
-          case s => s.split("\\|").toSeq
+          case s if s.contains('/') => // legacy absolute-path form
+            s.split("\\|").toSeq.map {
+              case LegacyRetired(t, v, g) => (t, v.toLong, g.toLong)
+              case p => sys.error(s"unparseable legacy retired: $p")
+            }
+          case s => s.split(",").toSeq.map { p =>
+            val Array(t, v, g) = p.split(":")
+            (t, v.toLong, g.toLong)
+          }
         })
     }.toOption
   }

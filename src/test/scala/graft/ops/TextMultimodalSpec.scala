@@ -495,11 +495,32 @@ class TextMultimodalSpec extends SparkSpec {
       AviFixture.fcc("RIFF") ++
         AviFixture.le32(payload.length.toLong) ++ payload
     }
+    // a SECOND video stream's frames (01dc) must quarantine — merging
+    // two streams into one histogram is silently wrong
+    val secondStream = good.clone()
+    "01dc".getBytes("US-ASCII").copyToArray(secondStream, dcAt)
+    // an unknown chunk id inside movi is untrusted structure
+    def spliceIntoMovi(src: Array[Byte], ins: Array[Byte]): Array[Byte] = {
+      val moviAt = (0 until src.length - 4).find(p =>
+        new String(src, p, 4, "US-ASCII") == "movi").get
+      def bump(b: Array[Byte], off: Int): Unit = {
+        val v = (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+          ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+        AviFixture.le32(v + ins.length).copyToArray(b, off)
+      }
+      val out = src.take(moviAt + 4) ++ ins ++ src.drop(moviAt + 4)
+      bump(out, 4)          // outer RIFF size
+      bump(out, moviAt - 4) // the movi LIST size
+      out
+    }
+    val unknownChunk = spliceIntoMovi(good,
+      AviFixture.chunk("abcd", Array[Byte](1, 2)))
     val rows = Seq(
       (0L, good), (1L, truncated(64)), (2L, notRiff), (3L, desynced),
       (4L, badFrame), (5L, lyingSize), (6L, Array.empty[Byte]),
       (7L, null.asInstanceOf[Array[Byte]]), (8L, badGroup),
-      (9L, avix), (10L, doubleMovi))
+      (9L, avix), (10L, doubleMovi), (11L, secondStream),
+      (12L, unknownChunk))
     val out = MultimodalOps.decodeMjpegAviPartitioned(
       rows.toDF("clip_id", "avi"), "clip_id", "avi")
       .collect().map(v => v.id -> v).toMap
@@ -509,7 +530,7 @@ class TextMultimodalSpec extends SparkSpec {
       g.lum_hist.mkString(",")) ==
       (want._2, want._3, want._4, want._5, want._6),
       s"good clip must decode to the block arithmetic: $g")
-    (1L to 10L).foreach(i => assert(out(i).n_frames == -1L &&
+    (1L to 12L).foreach(i => assert(out(i).n_frames == -1L &&
       out(i).width == -1 && out(i).lum_hist.isEmpty,
       s"zoo clip $i must quarantine whole: ${out(i)}"))
     // ...and the rec-wrapped ORIGINAL decodes (positive control for
@@ -520,6 +541,21 @@ class TextMultimodalSpec extends SparkSpec {
       .collect().head
     assert(recOk.n_frames == AviFixture.expectedRows(2)._2,
       s"rec-grouped frames must decode: $recOk")
+    // positive controls for the LEGAL interleave set: audio samples
+    // (01wb), a palette change (00pc), an OpenDML in-movi index (ix00)
+    // and JUNK padding all skip — the video stats are unchanged
+    val interleaved = spliceIntoMovi(good,
+      AviFixture.chunk("01wb", Array[Byte](9, 9, 9, 9)) ++
+        AviFixture.chunk("00pc", Array[Byte](0, 1, 2, 3)) ++
+        AviFixture.chunk("ix00", Array[Byte](7, 7)) ++
+        AviFixture.chunk("JUNK", Array[Byte](0, 0)))
+    val mixedOk = MultimodalOps.decodeMjpegAviPartitioned(
+      Seq((1L, interleaved)).toDF("clip_id", "avi"), "clip_id", "avi")
+      .collect().head
+    assert((mixedOk.n_frames, mixedOk.width, mixedOk.height,
+      mixedOk.lum_hist.mkString(",")) ==
+      (want._2, want._3, want._4, want._6),
+      s"legal non-video interleave must not change stats: $mixedOk")
   }
 
   test("mm_frames_mjpeg: the COMMITTED AVI fixture decodes to the " +

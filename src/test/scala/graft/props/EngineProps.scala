@@ -831,8 +831,11 @@ object EngineProps extends Properties("graft") {
       Gen.choose(0L, 64L).map(t -> _)))
     bands <- Gen.listOf(entryGen)
     shingles <- Gen.listOf(entryGen)
-    retired <- Gen.listOf(Gen.nonEmptyListOf(
-      Gen.alphaNumChar).map("/state/" + _.mkString))
+    retired <- Gen.listOf(for {
+      t <- tableGen
+      v <- Gen.choose(0L, 1000000L)
+      g <- Gen.choose(0L, 64L)
+    } yield (t, v, g))
   } yield graft.streaming.ClusterStateManifest(
     floors, gens,
     Map("bands" -> bands.distinctBy(_._1).sortBy(_._1),

@@ -560,6 +560,18 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("buildHybridIndex fails LOUD on an empty docs corpus (the " +
+      "build-once topology convention) instead of a raw NPE from a " +
+      "NULL avgdl") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emb = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.buildHybridIndex(docs, emb)
+    }
+    assert(e.getMessage.contains("empty docs corpus"), e.getMessage)
+  }
+
   test("streamingTopKIvfPq: per-trigger neighbors equal the gated batch " +
       "operator on replayed corpus vectors — the index built once, " +
       "floats never re-read at serve time") {
@@ -922,8 +934,10 @@ class StreamOpsSpec extends SparkSpec {
           Seq(lastVersion - 1, lastVersion),
           s"$t live versions after compaction: ${m1.liveOf(t)}")
       }
-      assert(m1.retired.nonEmpty &&
-        m1.retired.forall(p => new java.io.File(p).exists),
+      def retiredDir(e: (String, Long, Long)): java.io.File =
+        new java.io.File(
+          StreamOps.clusterPartDir(statePath, e._1, e._2, e._3))
+      assert(m1.retired.nonEmpty && m1.retired.forall(retiredDir(_).exists),
         s"retired dirs linger until the next compaction: ${m1.retired}")
       // a re-run (the crash-recovery path) folds nothing new, SWEEPS
       // the retired directories, and converges to the same results
@@ -932,7 +946,7 @@ class StreamOpsSpec extends SparkSpec {
       val m2 = StreamOps.readClusterManifest(spark, statePath).get
       assert(m2.retired.isEmpty && m2.live == m1.live,
         s"the sweep clears retired and folds nothing new: $m2")
-      assert(m1.retired.forall(p => !new java.io.File(p).exists),
+      assert(m1.retired.forall(e => !retiredDir(e).exists),
         "the next compaction sweeps the retired dirs")
       Seq("bands", "shingles").foreach { t =>
         val parts = new java.io.File(s"$statePath/$t").listFiles
@@ -1117,11 +1131,39 @@ class StreamOpsSpec extends SparkSpec {
     assert(StreamOps.readClusterManifest(spark, statePath).contains(m0),
       "a torn manifest was never committed — readers use the previous")
     val m2 = StreamOps.commitClusterManifest(spark, statePath)(prev =>
-      prev.get.copy(retired = Seq("swept-me")))
+      prev.get.copy(retired = Seq(("bands", 99L, 0L))))
     assert(StreamOps.readClusterManifest(spark, statePath).contains(m2))
     assert(new java.io.File(
       s"$statePath/_manifests/${"%020d".format(2)}.manifest").exists,
       "the torn sequence number is burned, not reused")
+  }
+
+  test("cluster-state manifest: legacy absolute-path retired entries " +
+      "parse into relative tuples, and an unreadable newest candidate " +
+      "(pruning racing the open) steps down like a torn one") {
+    val statePath = Files.createTempDirectory("graft-camlegacy").toString
+    // the pre-tuple on-disk form: absolute partition paths joined on '|'
+    val legacy =
+      "floors=bands:0,shingles:0\ngens=bands:1,shingles:1\n" +
+        "live.bands=1:0\nlive.shingles=1:0\n" +
+        s"retired=$statePath/bands/version=0/gen=0|" +
+        s"$statePath/shingles/version=0/gen=0\neof=true\n"
+    new java.io.File(s"$statePath/_manifests").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        s"$statePath/_manifests/${"%020d".format(0)}.manifest"),
+      legacy.getBytes("UTF-8"))
+    val m = StreamOps.readClusterManifest(spark, statePath).get
+    assert(m.retired ==
+      Seq(("bands", 0L, 0L), ("shingles", 0L, 0L)),
+      s"legacy paths must migrate to relative tuples: ${m.retired}")
+    // a newer candidate that cannot be read (here: a directory wearing
+    // a manifest name — the same observable as a file deleted between
+    // listStatus and open) must NOT throw: the reader steps down
+    new java.io.File(
+      s"$statePath/_manifests/${"%020d".format(1)}.manifest").mkdirs()
+    assert(StreamOps.readClusterManifest(spark, statePath).contains(m),
+      "an unreadable candidate steps down to the previous sequence")
   }
 
   test("compactClusterState runs CONCURRENT with live triggers: state " +
