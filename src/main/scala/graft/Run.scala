@@ -253,6 +253,31 @@ object Run {
         (StreamOps.countMinStream(
           lines().select(col("ts"), col("value").as("text"))),
           OutputMode.Complete)
+      case "linreg_monitor" =>
+        // live OLS fit of the q_linreg signal (tokens vs chars per
+        // source): Complete-mode running sufficient statistics -
+        // bounded |sources| groups of six decimal sums, snapshot ==
+        // batch fit over rows-so-far. The demo labeler assigns source
+        // by content hash (the corpus_report demo pattern); real
+        // ingestion carries the column
+        // the demo doc index is hash-derived so the topology runs under
+        // ANY --source (the rand pool's 100-digit values overflow
+        // docLine's direct numeric cast), and the doc is cut to a
+        // hash-derived length so tokens genuinely covary with chars —
+        // the full docLine is ALWAYS 26 tokens, which fits as slope 0
+        // with r² NULL (a vacuous monitor demo)
+        val lrHash = xxhash64(col("value"))
+        val lrDoc = Generators.docLine(lrHash)
+          .substr(lit(1), (lit(40) + pmod(lrHash, lit(80L))).cast("int"))
+        (StreamOps.linregStream(
+          lines().select(
+            concat(lit("src"), pmod(xxhash64(col("value")), lit(5L)))
+              .as("source"),
+            length(lrDoc).cast("decimal(18,0)").as("x"),
+            graft.ops.TextAnalyticsOps.wsTokenCount(lrDoc)
+              .cast("decimal(18,0)").as("y")),
+          "source"),
+          OutputMode.Complete)
       case "text_normalize" =>
         // dedup-key normalization at ingest: the same fused row-local
         // kernel as the batch query (no model, no state, no shuffle)

@@ -82,6 +82,13 @@ case class ImageFeatures(id: Long, width: Int, height: Int,
 case class AudioFeatures(id: Long, sample_rate: Int, channels: Int,
     n_samples: Long, amp_hist: Seq[Long])
 
+/** One clip's channel-0 windowed frame statistics (the VAD-ish
+ *  feature set a speech-curation pass extracts after decode):
+ *  quarantine convention = all counters -1. */
+case class AudioFrameFeatures(id: Long, n_windows: Long,
+    zero_crossings: Long, energy: Long, peak_abs: Long,
+    silent_windows: Long)
+
 /** One probed media container's metadata
  *  (MultimodalOps.probeMp4Partitioned): ISO BMFF brand + movie-header
  *  timing + track count + payload size; brand = "corrupt" (with -1

@@ -66,6 +66,42 @@ object DedupOps {
   }
 
   /**
+   * Exact n-gram CONTAINMENT near-duplicate pairs within a blocking
+   * column — the ASYMMETRIC sibling of [[ngramJaccardPairs]] (Broder
+   * 1997's containment coefficient): c(A⊆B) = |S(A)∩S(B)| / |S(A)|
+   * reads 1.0 when document A's shingles all appear in B, however
+   * much longer B is — the quote-and-extend / boilerplate-wrapping
+   * shape that symmetric Jaccard under-scores by exactly the size
+   * imbalance (a doc fully embedded in one 4× its length scores
+   * J ≈ 0.25 but containment 1.0). Output: (id1, id2, cont1, cont2)
+   * with id1 < id2 — cont1 = how much of doc1 lies inside doc2 and
+   * vice versa — kept when either direction reaches `threshold`.
+   *
+   * Scale shape identical to [[ngramJaccardPairs]]: both join sides
+   * shuffle the same fixed-width (hash, block) keys from the same
+   * shingle subtree (ReuseExchange computes it once), sizes reduce
+   * two-phase, and the block key bounds the pair space.
+   */
+  def ngramContainmentPairs(df: DataFrame, id: Column, text: Column,
+      block: Column, n: Int = 3, threshold: Double = 0.9): DataFrame = {
+    val sh = FanOut.fanOut(df).select(id.as("id"), block.as("blk"),
+      explode(graft.functions.native.shingle_hashes(text, n)).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.blk") === col("y.blk") &&
+          col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id1"), col("y.id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("s1"), col("id1") === col("s1.id"))
+      .join(sizes.as("s2"), col("id2") === col("s2.id"))
+      .withColumn("cont1", col("inter") / col("s1.sz"))
+      .withColumn("cont2", col("inter") / col("s2.sz"))
+      .filter(greatest(col("cont1"), col("cont2")) >= threshold)
+      .select(col("id1"), col("id2"), col("cont1"), col("cont2"))
+  }
+
+  /**
    * MinHash signatures: k seeded-hash minima over each doc's shingle
    * set. Hash family: h_i(s) = xxhash64(i, s) — k independent keyed
    * hashes (an affine family over one base hash would need mod-2^64

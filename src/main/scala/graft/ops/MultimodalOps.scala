@@ -176,6 +176,90 @@ object MultimodalOps {
   }
 
   /**
+   * REAL decode → windowed FRAME FEATURES — the audio analysis stage
+   * above [[decodeWavPartitioned]]'s whole-clip histogram (the
+   * VAD-ish statistics a speech-curation pass gates on): decode via
+   * `javax.sound.sampled` exactly like the histogram op, then over
+   * CHANNEL 0 compute zero-crossing count / total energy / peak
+   * amplitude (whole clip, exact integer arithmetic — no floats, so
+   * the oracle is pure sample-definition arithmetic) plus
+   * fixed-`win`-sample window stats: full-window count and how many
+   * windows stay entirely below `silenceThr` in |amplitude| (digital
+   * silence / leading dead air). The ragged tail past the last full
+   * window contributes to the whole-clip stats only. Same quarantine
+   * contract as the sibling decoders (all counters -1: routed, never
+   * dropped, never a task kill). One partition-batched pass; decode
+   * and feature fold fuse in one iterator, so raw PCM never
+   * materializes outside the decoder.
+   */
+  def audioFrameFeaturesPartitioned(df: DataFrame, idCol: String,
+      bytesCol: String, win: Int, silenceThr: Int)
+      : org.apache.spark.sql.Dataset[graft.model.AudioFrameFeatures] = {
+    import df.sparkSession.implicits._
+    require(win > 0 && silenceThr > 0)
+    val bad =
+      graft.model.AudioFrameFeatures(_: Long, -1L, -1L, -1L, -1L, -1L)
+    df.select(col(idCol), col(bytesCol)).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val ais =
+            try {
+              if (bytes == null || bytes.isEmpty) null
+              else javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+            } catch {
+              case scala.util.control.NonFatal(_) => null
+            }
+          if (ais == null) bad(id)
+          else
+            try {
+              val f = ais.getFormat
+              val pcm16le = f.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                f.getSampleSizeInBits == 16 && !f.isBigEndian
+              if (!pcm16le) bad(id)
+              else {
+                val data = ais.readAllBytes()
+                val ch = f.getChannels
+                val frames = data.length / (2 * ch)
+                val stride = 2 * ch // channel 0 = first sample per frame
+                var t = 0
+                var prevNeg = false
+                var zc = 0L
+                var energy = 0L
+                var peak = 0L
+                var winMax = 0L
+                var nWin = 0L
+                var silent = 0L
+                while (t < frames) {
+                  val p = t * stride
+                  val s =
+                    ((data(p) & 0xFF) | (data(p + 1) << 8)).toShort.toInt
+                  val neg = s < 0
+                  if (t > 0 && neg != prevNeg) zc += 1L
+                  prevNeg = neg
+                  energy += s.toLong * s
+                  val a = math.abs(s.toLong)
+                  if (a > peak) peak = a
+                  if (a > winMax) winMax = a
+                  if (t % win == win - 1) { // a full window closed
+                    nWin += 1L
+                    if (winMax < silenceThr) silent += 1L
+                    winMax = 0L
+                  }
+                  t += 1
+                }
+                graft.model.AudioFrameFeatures(id, nWin, zc, energy,
+                  peak, silent)
+              }
+            } catch {
+              case scala.util.control.NonFatal(_) => bad(id)
+            } finally ais.close()
+        }
+      }
+  }
+
+  /**
    * REAL decode → RESIZE stage — the post-decode transform a media
    * pipeline actually runs ([[resizeNearest]] operates on raw bytes
    * because the stub path has no pixels; this one resizes DECODED

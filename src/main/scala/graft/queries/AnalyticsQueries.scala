@@ -1032,4 +1032,155 @@ object AnalyticsQueries {
     // to the ContextCleaner (the pagerank non-boundary convention)
     endpoints(edges).groupBy("node").agg(count(lit(1)).as("core_deg"))
   }
+
+  val LpaIters = 5
+
+  /** Minimum co-purchase count for a [[graphLpa]] edge: the raw
+   *  co-occurrence graph is so dense (degrees 42–222 at bench SFs)
+   *  that label propagation collapses to ONE community in two rounds
+   *  — the weight-≥2 backbone keeps only repeated co-purchases, on
+   *  which the propagation finds real structure (356 communities at
+   *  sf0.01, 2487 at sf0.1; at the 200-part smoke SF the backbone is
+   *  still dense enough to merge — density-, not size-, driven). */
+  val LpaMinWeight = 2
+
+  /**
+   * Community detection by synchronous LABEL PROPAGATION over the
+   * repeated-co-purchase backbone (Raghavan et al. 2007) — the third
+   * member of the iterative-graph family beside [[graphPagerank]]
+   * and [[graphKcore]]: every node starts as its own community and
+   * each of the [[LpaIters]] rounds reassigns it to the most frequent
+   * label among its neighbors AND itself (the self-vote damps the
+   * two-cycle oscillation synchronous LPA exhibits on near-bipartite
+   * structure), ties to the SMALLEST label — a total deterministic
+   * rule, so round K is a pure function of the edge set and the
+   * oracle re-propagates INDEPENDENTLY ([[Oracles.graphLpa]], the
+   * graphPagerank chained-CTE device).
+   *
+   * Scale shape: adjacency = symmetrized backbone edges + one
+   * self-loop per node, localCheckpoint-materialized ONCE (scanned
+   * every round); each round is one shuffle join of node-sized labels
+   * onto the adjacency plus ONE two-phase aggregate — the per-node
+   * argmax is max(struct(cnt, -label)), so votes combine map-side
+   * and the shuffle carries one struct per (node, label), never a
+   * window over the raw neighbor fan-out. Label lineage truncates on
+   * the pagerank stride with the checkpoint-handle release
+   * discipline.
+   */
+  def graphLpa(spark: SparkSession, sfDir: String): DataFrame = {
+    val mem = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e = mem.as("a").join(mem.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= LpaMinWeight)
+      .select("u", "v")
+    lpa(e, LpaIters)
+  }
+
+  /** Synchronous self-vote label propagation over any (u, v) edge
+   *  frame — the [[graphLpa]] engine, factored for fixture tests. */
+  def lpa(e: DataFrame, iters: Int): DataFrame = {
+    val nodes = endpoints(e).distinct()
+    val adj = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+      .unionAll(nodes.select(col("node").as("src"),
+        col("node").as("dst")))
+      .localCheckpoint()
+    var lbl = nodes.select(col("node"), col("node").as("lbl"))
+    var sinceTrunc = 0
+    var lastCkpt: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      val votes = adj.join(lbl, adj("src") === lbl("node"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      val next = votes.groupBy(col("dst").as("node"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("lbl"))
+      sinceTrunc += 1
+      if (sinceTrunc >= 4) {
+        lbl = next.localCheckpoint()
+        lastCkpt.foreach(graft.ops.DedupOps.releaseTruncated)
+        lastCkpt = Some(lbl)
+        sinceTrunc = 0
+      } else lbl = next
+    }
+    lbl.select(col("node"), col("lbl").as("community"))
+  }
+
+  /**
+   * Closed-form ordinary least squares per corpus source — the
+   * regression-as-aggregation staple every warehouse ships
+   * (REGR_SLOPE / REGR_INTERCEPT / REGR_R2), fit here to the
+   * tokens-vs-characters scaling of each document source (slope ≈
+   * tokens per character ≈ 1/avg-word-length; r² ≈ 0.99 on the
+   * corpus — a real signal, not noise): all six sufficient
+   * statistics (n, Σx, Σy, Σxx, Σxy, Σyy) reduce in ONE two-phase
+   * hash aggregate over exact integer inputs (x = n_chars,
+   * y = whitespace token count; the cross products accumulate in
+   * DECIMAL so the sums are exact and order-independent at any
+   * scale — Σy² overflows int64 past ~10⁵ rows/group), so the pass
+   * is a single corpus scan and the shuffle carries six numbers per
+   * group. The normal-equation quotients are then floored double
+   * ratios of those exactly-summed statistics (the graphPagerank
+   * micro-unit device: IEEE ops on identical inputs in identical
+   * order — the oracle spells the same parenthesization).
+   */
+  def qLinreg(spark: SparkSession, sfDir: String): DataFrame =
+    linregOf(Tables.documents(spark, sfDir).select(
+      col("source"),
+      col("n_chars").cast("decimal(18,0)").as("x"),
+      graft.ops.TextAnalyticsOps.wsTokenCount(col("text"))
+        .cast("decimal(18,0)").as("y")), "source")
+
+  /** The six OLS sufficient-statistic aggregates over
+   *  (x: decimal, y: decimal) — DECIMAL state (exact,
+   *  order-independent, streaming-mergeable), cast to double only at
+   *  output. Shared by [[linregOf]] and the live
+   *  `StreamOps.linregStream` so batch and stream cannot drift. */
+  private[graft] def linregSumExprs: Seq[org.apache.spark.sql.Column] =
+    Seq(
+      count(lit(1)).as("n"),
+      count(lit(1)).cast("double").as("nd"),
+      sum(col("x")).cast("double").as("sxd"),
+      sum(col("y")).cast("double").as("syd"),
+      sum(col("x") * col("x")).cast("double").as("sxxd"),
+      sum(col("x") * col("y")).cast("double").as("sxyd"),
+      sum(col("y") * col("y")).cast("double").as("syyd"))
+
+  /** The normal-equation quotient tail over a sums frame — the ONE
+   *  definition of the floored double ratios (shared batch/stream). */
+  private[graft] def linregQuotients(s: DataFrame, key: String)
+      : DataFrame = {
+    val d = s
+      .withColumn("numx", (col("nd") * col("sxyd")) - (col("sxd") * col("syd")))
+      .withColumn("denx", (col("nd") * col("sxxd")) - (col("sxd") * col("sxd")))
+      .withColumn("deny", (col("nd") * col("syyd")) - (col("syd") * col("syd")))
+    // TOTAL over degenerate groups (one row, or constant x/y): the
+    // fit is undefined there — emit NULL, never an ANSI
+    // divide-by-zero crash (a live monitor's first tiny trigger hits
+    // this immediately; the identical CASE guards the oracle)
+    val xVaries = col("denx") =!= lit(0.0)
+    d.select(col(key), col("n"),
+      when(xVaries,
+        floor((col("numx") / col("denx")) * lit(1000000.0)))
+        .cast("bigint").as("slope_micro"),
+      when(xVaries,
+        floor(((col("syd") - ((col("numx") / col("denx")) * col("sxd"))) /
+          col("nd")) * lit(1000000.0)))
+        .cast("bigint").as("intercept_micro"),
+      when(xVaries && col("deny") =!= lit(0.0),
+        floor(((col("numx") * col("numx")) / (col("denx") * col("deny"))) *
+          lit(1000000.0)))
+        .cast("bigint").as("r2_micro"))
+  }
+
+  /** The OLS reduction + normal-equation quotients over any
+   *  (key, x: decimal, y: decimal) frame — the [[qLinreg]] engine,
+   *  factored for fixture tests and the live monitor. */
+  def linregOf(b: DataFrame, key: String): DataFrame =
+    linregQuotients(
+      b.groupBy(key).agg(linregSumExprs.head, linregSumExprs.tail: _*),
+      key)
 }

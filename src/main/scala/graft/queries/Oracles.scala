@@ -3984,4 +3984,197 @@ object Oracles {
        |$chain
        |SELECT node, rank AS rank_micro FROM r$iters""".stripMargin
   }
+
+  /** Mirrors [[AnalyticsQueries.graphLpa]] by PROPAGATING
+   *  INDEPENDENTLY: same weight-thresholded backbone, same
+   *  self-loop adjacency, the per-round most-frequent-label argmax
+   *  restated as a row_number window (count DESC, label ASC —
+   *  exactly the max(struct(cnt, −label)) rule), unrolled
+   *  [[AnalyticsQueries.LpaIters]] levels (the graphPagerank chained
+   *  CTE device; MATERIALIZED — each level is referenced by the
+   *  next's join). */
+  val graphLpa: String = {
+    val iters = AnalyticsQueries.LpaIters
+    val minW = AnalyticsQueries.LpaMinWeight
+    val parts = scala.collection.mutable.ArrayBuffer(
+      """mem AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)""",
+      s"""e AS MATERIALIZED (
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM mem a JOIN mem b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= $minW)""".stripMargin,
+      """nd AS (SELECT DISTINCT u AS node FROM e UNION SELECT v FROM e)""",
+      """adj AS MATERIALIZED (
+        |  SELECT u AS src, v AS dst FROM e
+        |  UNION ALL SELECT v, u FROM e
+        |  UNION ALL SELECT node, node FROM nd)""".stripMargin,
+      """l0 AS (SELECT node, node AS lbl FROM nd)""")
+    for (i <- 1 to iters) {
+      parts += s"""c$i AS MATERIALIZED (
+        |  SELECT a.dst AS node, l.lbl, count(*) AS cnt
+        |  FROM adj a JOIN l${i - 1} l ON l.node = a.src
+        |  GROUP BY 1, 2)""".stripMargin
+      parts += s"""l$i AS MATERIALIZED (
+        |  SELECT node, lbl FROM (
+        |    SELECT node, lbl, row_number() OVER (
+        |      PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn
+        |    FROM c$i) WHERE rn = 1)""".stripMargin
+    }
+    "WITH " + parts.mkString(",\n") +
+      s"\nSELECT node, lbl AS community FROM l$iters"
+  }
+
+  /** Mirrors [[AnalyticsQueries.qLinreg]]: same integer inputs
+   *  (n_chars, whitespace token count), same DECIMAL-exact
+   *  sufficient statistics, and the IDENTICAL parenthesization of
+   *  every double quotient (the graphPagerank micro-unit device —
+   *  IEEE ops on identical inputs in identical order). */
+  val qLinreg: String =
+    """WITH b AS (
+      |  SELECT source,
+      |         CAST(n_chars AS DECIMAL(18,0)) AS x,
+      |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+      |                w -> len(w) > 0)) AS DECIMAL(18,0)) AS y
+      |  FROM documents),
+      |s AS (
+      |  SELECT source,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(count(*) AS DOUBLE) AS nd,
+      |         CAST(sum(x) AS DOUBLE) AS sxd,
+      |         CAST(sum(y) AS DOUBLE) AS syd,
+      |         CAST(sum(x * x) AS DOUBLE) AS sxxd,
+      |         CAST(sum(x * y) AS DOUBLE) AS sxyd,
+      |         CAST(sum(y * y) AS DOUBLE) AS syyd
+      |  FROM b GROUP BY 1),
+      |d AS (
+      |  SELECT *, ((nd * sxyd) - (sxd * syd)) AS numx,
+      |         ((nd * sxxd) - (sxd * sxd)) AS denx,
+      |         ((nd * syyd) - (syd * syd)) AS deny
+      |  FROM s)
+      |SELECT source, n,
+      |  CAST(CASE WHEN denx <> 0.0
+      |       THEN floor((numx / denx) * 1000000.0) END AS BIGINT) AS slope_micro,
+      |  CAST(CASE WHEN denx <> 0.0
+      |       THEN floor(((syd - ((numx / denx) * sxd)) / nd) * 1000000.0) END AS BIGINT) AS intercept_micro,
+      |  CAST(CASE WHEN denx <> 0.0 AND deny <> 0.0
+      |       THEN floor(((numx * numx) / (denx * deny)) * 1000000.0) END AS BIGINT) AS r2_micro
+      |FROM d""".stripMargin
+
+  /** Mirrors [[PipelineQueries.textBigramKn]] by RE-DERIVING the whole
+   *  Kneser-Ney model: same pair expansion, the four count statistics
+   *  as windows over the bigram relation, and the smoothed
+   *  probability spelled with the IDENTICAL parenthesization before
+   *  the shared −ln micro-nat floor (the textBigramNll device). */
+  val textBigramKn: String = {
+    val d = graft.queries.PipelineQueries.KnDiscount
+    val micro = graft.queries.PipelineQueries.NllMicro
+    s"""WITH w AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, ws[i] AS a, ws[i+1] AS b
+       |  FROM w, unnest(range(1, len(ws))) t(i) WHERE len(ws) >= 2),
+       |bg AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM p GROUP BY a, b),
+       |m0 AS (
+       |  SELECT a, b, c_ab,
+       |    CAST(sum(c_ab) OVER (PARTITION BY a) AS BIGINT) AS c_a,
+       |    CAST(count(*) OVER (PARTITION BY a) AS BIGINT) AS n1p_a,
+       |    CAST(count(*) OVER (PARTITION BY b) AS BIGINT) AS cont_b,
+       |    CAST(count(*) OVER () AS BIGINT) AS tt
+       |  FROM bg),
+       |m AS (
+       |  SELECT a, b,
+       |    CAST(floor(-ln((greatest(CAST(c_ab AS DOUBLE) - $d, 0.0) +
+       |      (($d * n1p_a) * (CAST(cont_b AS DOUBLE) / CAST(tt AS DOUBLE)))) /
+       |      CAST(c_a AS DOUBLE)) * $micro) AS BIGINT) AS nll_micro
+       |  FROM m0)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |       CAST(sum(nll_micro) AS BIGINT) AS kn_nll_micro_sum
+       |FROM p JOIN m USING (a, b) GROUP BY doc_id""".stripMargin
+  }
+
+  /** Mirrors [[PipelineQueries.textCollocations]]: same lowercased
+   *  whitespace words, same pair expansion and min-count cut, the
+   *  lift as ONE double quotient of integer counts in the identical
+   *  order, same total-order top-K cut. */
+  val textCollocations: String = {
+    val minC = graft.queries.PipelineQueries.CollocMinCount
+    val topK = graft.queries.PipelineQueries.CollocTopK
+    s"""WITH w AS (
+       |  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |uni AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(ws) AS w FROM w) GROUP BY w),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS ntok FROM uni),
+       |bg AS (
+       |  SELECT a, b, CAST(count(*) AS BIGINT) AS c12 FROM (
+       |    SELECT ws[i] AS a, ws[i+1] AS b
+       |    FROM w, unnest(range(1, len(ws))) t(i) WHERE len(ws) >= 2)
+       |  GROUP BY a, b HAVING count(*) >= $minC)
+       |SELECT a AS w1, b AS w2, c12,
+       |  CAST(floor(CAST(ntok * 1000000 AS DOUBLE) /
+       |    CAST(u1.c * u2.c AS DOUBLE) * c12) AS BIGINT) AS lift_micro
+       |FROM bg JOIN uni u1 ON bg.a = u1.w JOIN uni u2 ON bg.b = u2.w, tot
+       |ORDER BY lift_micro DESC, w1, w2 LIMIT $topK""".stripMargin
+  }
+
+  /** Mirrors [[PipelineQueries.dedupContainment]]: the dedupNgram
+   *  string-shingle recomputation with both asymmetric containment
+   *  quotients (i/|S(A)|, i/|S(B)|) in place of the symmetric
+   *  Jaccard, over the same re-derived wrapper augmentation. */
+  val dedupContainment: String = {
+    val thr = graft.queries.PipelineQueries.ContainmentThreshold
+    val mod = graft.queries.PipelineQueries.ContainmentAugMod
+    s"""WITH docs AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL
+       |  SELECT -(doc_id + 1) AS doc_id, source,
+       |         text || ' ' || array_to_string(list_reverse(
+       |           list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)), ' ') AS text
+       |  FROM documents
+       |  WHERE doc_id % $mod = 0
+       |    AND len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)) >= 3),
+       |w AS (
+       |  SELECT doc_id, source,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS ws
+       |  FROM docs),
+       |sh AS (
+       |  SELECT doc_id, source, unnest(list_distinct(
+       |    CASE WHEN len(ws) >= 3
+       |         THEN list_transform(range(0, len(ws) - 2),
+       |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+       |         ELSE [] END)) AS sh
+       |  FROM w),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS i
+       |  FROM sh x JOIN sh y
+       |    ON x.sh = y.sh AND x.source = y.source AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id1, id2, i / s1.sz AS cont1, i / s2.sz AS cont2
+       |FROM inter
+       |JOIN sizes s1 ON id1 = s1.doc_id
+       |JOIN sizes s2 ON id2 = s2.doc_id
+       |WHERE greatest(i / s1.sz, i / s2.sz) >= $thr""".stripMargin
+  }
+
+  /** Mirrors [[PipelineQueries.mmAudioFeatures]]: the WAV fixture
+   *  generator's raw-sample channel-0 statistics
+   *  (`tools.WavFixture.expectedFeatureRows` — pure integer
+   *  arithmetic over the deterministic sample definition, no WAV
+   *  container, no AudioSystem) embedded as a VALUES literal. */
+  val mmAudioFeatures: String = {
+    val rows = graft.tools.WavFixture.expectedFeatureRows
+      .map { case (id, nw, zc, en, pk, sil) =>
+        s"($id, $nw, $zc, $en, $pk, $sil)" }
+      .mkString(",\n  ")
+    s"""SELECT CAST(clip_id AS BIGINT) AS clip_id,
+       |       CAST(n_windows AS BIGINT) AS n_windows,
+       |       CAST(zero_crossings AS BIGINT) AS zero_crossings,
+       |       CAST(energy AS BIGINT) AS energy,
+       |       CAST(peak_abs AS BIGINT) AS peak_abs,
+       |       CAST(silent_windows AS BIGINT) AS silent_windows
+       |FROM (VALUES
+       |  $rows) AS t(clip_id, n_windows, zero_crossings, energy, peak_abs, silent_windows)""".stripMargin
+  }
 }

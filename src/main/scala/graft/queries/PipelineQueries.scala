@@ -66,6 +66,41 @@ object PipelineQueries {
     DedupOps.ngramJaccardPairs(Tables.documents(spark, sfDir),
       col("doc_id"), col("text"), col("source"), n = 3, threshold = 0.8)
 
+  /** Containment threshold for [[dedupContainment]] (0.9 ⇒ only
+   *  near-total embeddings qualify). */
+  val ContainmentThreshold = 0.9
+
+  /** Every [[ContainmentAugMod]]-th doc gains a derived WRAPPER
+   *  document (the quote-and-extend shape): the original text plus
+   *  its own words REVERSED — the reversed half shares no shingles
+   *  with anything, so the base doc is FULLY CONTAINED in a wrapper
+   *  ~2× its shingle size (containment 1.0, Jaccard ≈ 0.5). */
+  val ContainmentAugMod = 13
+
+  /** Asymmetric n-gram CONTAINMENT near-dup pairs
+   *  ([[DedupOps.ngramContainmentPairs]]) — catches a document
+   *  embedded in a longer one, which [[dedupNgram]]'s symmetric
+   *  Jaccard under-scores by the size imbalance. The synthetic corpus
+   *  carries no embedded-doc shape by construction (every containment
+   *  ≥ 0.9 pair also clears Jaccard 0.8 — measured, all three SFs),
+   *  so the gated query first augments with deterministic
+   *  doc_id-derived wrapper docs in the disjoint −(id+1) keyspace
+   *  (the piiAugment convention; the oracle re-derives them) — 39
+   *  asymmetric-only pairs at sf0.01 that Jaccard provably misses. */
+  def dedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val ws = TextAnalyticsOps.words(col("text"))
+    val wrappers = docs
+      .filter(col("doc_id") % ContainmentAugMod === 0 && size(ws) >= 3)
+      .select((-(col("doc_id") + 1)).as("doc_id"), col("source"),
+        concat_ws(" ", col("text"), array_join(reverse(ws), " "))
+          .as("text"))
+    DedupOps.ngramContainmentPairs(docs.unionAll(wrappers),
+      col("doc_id"), col("text"), col("source"), n = 3,
+      threshold = ContainmentThreshold)
+  }
+
   /** Word n-gram length for [[dedupSpans]] (4 ⇒ ~12% of gram positions
    *  duplicated on the synthetic corpus — sparse but non-vacuous). */
   val SpanN = 4
@@ -1877,6 +1912,123 @@ object PipelineQueries {
         sum("nll_micro").as("nll_micro_sum"))
   }
 
+  /** Discount for [[textBigramKn]] — the standard fixed
+   *  Kneser-Ney D (exactly representable in binary, so the smoothed
+   *  probability is a fixed IEEE expression over integer counts). */
+  val KnDiscount = 0.75
+
+  /**
+   * Interpolated KNESER-NEY bigram LM scoring — the smoothing that
+   * actually ships in KenLM-style CCNet filters, one rung above
+   * [[textBigramNll]]'s add-one: P(b|a) = (max(c(ab)−D, 0) +
+   * D·N₁₊(a·)·P_cont(b)) / c(a·), with the continuation prior
+   * P_cont(b) = N₁₊(·b) / |bigram types| — the "how many contexts
+   * has b followed" mass that makes KN robust where raw frequency
+   * misleads (Kneser & Ney 1995; Chen & Goodman 1998). Every model
+   * statistic (c(ab), c(a·), N₁₊(a·), N₁₊(·b), T) is an integer
+   * window over the SAME vocab²-bounded bigram relation — the
+   * textBigramNll single-frame contract, so the corpus is scanned
+   * exactly twice (learn, score) — and the smoothed probability is
+   * one fixed-shape IEEE double expression over those integers,
+   * floor-quantized to micro-nats (the engine-stable device; the
+   * oracle spells the identical parenthesization and re-derives the
+   * whole model). Apply is the broadcast-model join; docs with <2
+   * words drop out (the empty-doc contract). Trained on the corpus
+   * it scores, c(ab) ≥ 1, so every pair joins and p > 0.
+   */
+  def textBigramKn(spark: SparkSession, sfDir: String): DataFrame =
+    textBigramKnOf(Tables.documents(spark, sfDir))
+
+  /** The [[textBigramKn]] engine over any (doc_id, text) frame —
+   *  factored for fixture tests. */
+  def textBigramKnOf(docs: DataFrame): DataFrame = {
+    def pairs = docs
+      .select(col("doc_id"),
+        TextAnalyticsOps.words(lower(col("text"))).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("ws")) - 2),
+          i => struct(element_at(col("ws"), i + 1).as("a"),
+            element_at(col("ws"), i + 2).as("b")))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val bg = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val model = bg
+      .withColumn("c_a", sum("c_ab").over(Window.partitionBy("a")))
+      .withColumn("n1p_a", count(lit(1)).over(Window.partitionBy("a")))
+      .withColumn("cont_b", count(lit(1)).over(Window.partitionBy("b")))
+      .withColumn("tt", count(lit(1)).over(Window.partitionBy()))
+      .select(col("a"), col("b"),
+        floor(-log(
+          (greatest(col("c_ab").cast("double") - lit(KnDiscount), lit(0.0)) +
+            ((lit(KnDiscount) * col("n1p_a")) *
+              (col("cont_b").cast("double") / col("tt").cast("double")))) /
+            col("c_a").cast("double"))
+          * lit(NllMicro.toDouble)).cast("bigint").as("nll_micro"))
+    pairs.join(broadcast(model), Seq("a", "b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("nll_micro").as("kn_nll_micro_sum"))
+  }
+
+  /** Minimum pair count and output size for [[textCollocations]]. */
+  val CollocMinCount = 5L
+  val CollocTopK = 50
+
+  /**
+   * PMI-ranked COLLOCATION mining — the classic association measure
+   * for multi-word expressions (Church & Hanks 1990): for every
+   * adjacent word pair seen ≥ [[CollocMinCount]] times, the lift
+   * N·c(ab) / (c(a)·c(b)) whose log is the pointwise mutual
+   * information; ranking by the lift IS ranking by PMI (log is
+   * monotone), so the score stays EXACT — floor-quantized micro-lift
+   * from one double quotient of exactly-represented integer counts
+   * (no ln in the gate at all). Emits the top [[CollocTopK]] by
+   * (lift, w1, w2) — a total order, so the cut is deterministic.
+   *
+   * Scale shape: two corpus scans (unigram counts, pair counts) —
+   * both two-phase aggregates over fixed-width keys; the corpus
+   * total is a whole-frame window over the VOCAB-sized unigram
+   * relation (the unigramModel device, never a third scan); the
+   * min-count cut prunes the pair relation BEFORE the two broadcast
+   * model joins; the final cut is TakeOrderedAndProject, never a
+   * global sort. At 100 TB the vocab/pair frames are
+   * millions-of-rows model artifacts, not corpus-sized.
+   */
+  def textCollocations(spark: SparkSession, sfDir: String): DataFrame =
+    collocationsOf(Tables.documents(spark, sfDir))
+
+  /** The [[textCollocations]] engine over any (text) frame — factored
+   *  for fixture tests. */
+  def collocationsOf(docs: DataFrame): DataFrame = {
+    val w = docs
+      .select(TextAnalyticsOps.words(lower(col("text"))).as("ws"))
+    // vocab-sized model artifact, MATERIALIZED once: it feeds BOTH
+    // broadcast joins below, and the differing projections defeat
+    // ReuseExchange — without the cut the corpus is scanned a third
+    // time for the c2 side (plan-pinned)
+    val uni = w.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .withColumn("ntok", sum("c").over(Window.partitionBy()))
+      .localCheckpoint()
+    val bg = w.filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("ws")) - 2),
+        i => struct(element_at(col("ws"), i + 1).as("a"),
+          element_at(col("ws"), i + 2).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= CollocMinCount)
+    bg.join(broadcast(uni.select(col("w").as("a"), col("c").as("c1"),
+        col("ntok"))), Seq("a"))
+      .join(broadcast(uni.select(col("w").as("b"), col("c").as("c2"))),
+        Seq("b"))
+      .select(col("a").as("w1"), col("b").as("w2"), col("c12"),
+        floor((col("ntok") * lit(1000000L)).cast("double") /
+          (col("c1") * col("c2")).cast("double") * col("c12"))
+          .cast("bigint").as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("w1"), col("w2"))
+      .limit(CollocTopK)
+  }
+
   /**
    * CCNet-style PERPLEXITY BUCKETING — assign every document to
    * head/middle/tail by its LM score's position in the corpus score
@@ -3640,6 +3792,25 @@ object PipelineQueries {
         col("n_samples"),
         array_join(transform(col("amp_hist"), _.cast("string")), ",")
           .as("hist_csv"))
+
+  /** REAL decode → windowed audio FRAME FEATURES, end-to-end gated —
+   *  the analysis rung above [[mmDecodeWav]]'s whole-clip histogram:
+   *  [[MultimodalOps.audioFrameFeaturesPartitioned]] (genuine
+   *  `javax.sound.sampled` decode fused with an integer-exact
+   *  channel-0 feature fold) over the committed clip corpus —
+   *  zero-crossing count, total energy, peak amplitude, and
+   *  [[graft.tools.WavFixture.FrameWin]]-sample window / silence
+   *  stats (non-vacuous: the fixture's silent-lead clips carry real
+   *  digital silence). Oracle = the generator's raw-sample arithmetic
+   *  as VALUES literals. Ignores sfDir (scale-free fixture). */
+  def mmAudioFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    MultimodalOps.audioFrameFeaturesPartitioned(
+      spark.read.parquet(graft.tools.WavFixture.Path), "clip_id", "wav",
+      graft.tools.WavFixture.FrameWin, graft.tools.WavFixture.SilenceThr)
+      .toDF()
+      .select(col("id").as("clip_id"), col("n_windows"),
+        col("zero_crossings"), col("energy"), col("peak_abs"),
+        col("silent_windows"))
 
   /** REAL video-container probe, end-to-end gated — the MP4 rung of
    *  the [[mmDecodePng]]/[[mmDecodeWav]] family:

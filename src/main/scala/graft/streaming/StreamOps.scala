@@ -268,6 +268,26 @@ object StreamOps {
   }
 
   /**
+   * Live OLS REGRESSION monitor — the streaming form of
+   * `AnalyticsQueries.linregOf` (the countMinStream device: the state
+   * store IS the model): one Complete-mode aggregate maintains the
+   * six sufficient statistics per key as DECIMAL sums — exact,
+   * order-independent, mergeable, so state is six numbers per key
+   * whatever the stream length — and the normal-equation quotient
+   * tail is the SHARED `linregQuotients` definition applied above the
+   * agg, so every trigger's snapshot equals the batch fit over the
+   * rows ingested so far (spec-pinned across triggers). Input:
+   * (key, x: decimal, y: decimal) rows.
+   */
+  def linregStream(rows: DataFrame, key: String): DataFrame = {
+    import graft.queries.AnalyticsQueries
+    AnalyticsQueries.linregQuotients(
+      rows.groupBy(col(key)).agg(AnalyticsQueries.linregSumExprs.head,
+        AnalyticsQueries.linregSumExprs.tail: _*),
+      key)
+  }
+
+  /**
    * Live LINE-LEVEL cleaning — the streaming form of
    * `PipelineQueries.textLineFilter` with no model at all: the rules
    * are row-local constants, so the topology IS the batch projection

@@ -271,6 +271,22 @@ object MaxRateProbe {
               lit(graft.functions.VectorMath.Stopwords.size + 1)) + 1)
               .cast("int")).as("lang")))
     }
+    // linreg_monitor: six decimal sums per source in Complete mode —
+    // the countmin state shape with model quotients on re-emission;
+    // the hash-length cut makes the fitted signal non-degenerate
+    // (the Run demo's exact composition)
+    search("linreg_monitor", seed = 1000000, OutputMode.Complete) { in =>
+      val h = xxhash64(col("value"))
+      val doc = Generators.docLine(h)
+        .substr(lit(1), (lit(40) + pmod(h, lit(80L))).cast("int"))
+      graft.streaming.StreamOps.linregStream(
+        in.select(
+          concat(lit("src"), pmod(h, lit(5L))).as("source"),
+          length(doc).cast("decimal(18,0)").as("x"),
+          graft.ops.TextAnalyticsOps.wsTokenCount(doc)
+            .cast("decimal(18,0)").as("y")),
+        "source")
+    }
     search("split_assign", seed = 2000000, OutputMode.Append) { in =>
       graft.queries.PipelineQueries.splitProjection(
         in.select(col("ts"), Generators.docLine(col("value")).as("text")))

@@ -23,18 +23,56 @@ import org.apache.spark.sql.SparkSession
  * amplitude bins.
  */
 object WavFixture {
-  val N = 32
+  val N = 40
   val Path: String = sys.env.getOrElse("GRAFT_WAV_FIXTURE",
     "/root/repo/data/wav_fixture.parquet")
+
+  /** Clips at or past this id open with [[SilentLead]] frames of exact
+   *  digital silence — the non-vacuous ground truth for the silence
+   *  detector in `mm_audio_features` (every sweep-only clip maxes all
+   *  amplitude bins, so WITHOUT these the silent-window count would
+   *  read zero corpus-wide — the vacuous-telemetry class). */
+  val SilentFrom = 32
+  val SilentLead = 50
 
   /** (sampleRate, channels, frames) for clip i. */
   def fmt(i: Int): (Int, Int, Int) =
     (8000 + (i % 3) * 4000, 1 + i % 2, 50 + (i * 13) % 200)
 
   /** 16-bit signed PCM sample for clip i, frame t, channel ch —
-   *  arithmetic sweep covering the full [-32768, 32767] range. */
+   *  arithmetic sweep covering the full [-32768, 32767] range; clips
+   *  ≥ [[SilentFrom]] lead with [[SilentLead]] frames of exact
+   *  silence on every channel. */
   def sample(i: Int, t: Int, ch: Int): Int =
-    ((i * 2731 + t * 389 + ch * 7919) * 131) % 65536 - 32768
+    if (i >= SilentFrom && t < SilentLead) 0
+    else ((i * 2731 + t * 389 + ch * 7919) * 131) % 65536 - 32768
+
+  /** Frame window length (samples) and absolute-amplitude silence
+   *  threshold for the `mm_audio_features` windowed statistics. */
+  val FrameWin = 25
+  val SilenceThr = 4096
+
+  /** (clip_id, n_windows, zero_crossings, energy, peak_abs,
+   *  silent_windows) over CHANNEL 0 from the raw sample definition —
+   *  the `mm_audio_features` oracle side; must never touch WAV bytes
+   *  or AudioSystem. Zero crossings count sign flips with zero
+   *  treated as non-negative; a window is silent when every |s| in it
+   *  stays below [[SilenceThr]]; the ragged tail past the last full
+   *  window is excluded from window stats but included in the
+   *  whole-clip crossings/energy/peak. */
+  def expectedFeatureRows: Seq[(Long, Long, Long, Long, Long, Long)] =
+    (0 until N).map { i =>
+      val (_, _, frames) = fmt(i)
+      val s = (0 until frames).map(t => sample(i, t, 0))
+      val nWin = frames / FrameWin
+      val zc = (1 until frames).count(t => (s(t - 1) < 0) != (s(t) < 0))
+      val energy = s.map(x => x.toLong * x).sum
+      val peak = s.map(x => math.abs(x.toLong)).max
+      val silent = (0 until nWin).count(w =>
+        (0 until FrameWin).forall(j =>
+          math.abs(s(w * FrameWin + j)) < SilenceThr))
+      (i.toLong, nWin.toLong, zc.toLong, energy, peak, silent.toLong)
+    }
 
   /** (clip_id, sample_rate, channels, n_samples, hist_csv) from the
    *  raw sample definition — the oracle side; must never touch WAV

@@ -557,4 +557,47 @@ class PlanShapeSpec extends SparkSpec {
       .findAllMatchIn(p).count(_.start > smjIdx) >= 2,
       "BOTH rank cuts must prune below the fusion join:\n" + p)
   }
+
+  test("q_linreg reduces all six OLS statistics in ONE scan + one " +
+      "two-phase aggregate (no window, no join, no second pass)") {
+    val p = plan("q_linreg")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "documents must be scanned once:\n" + p)
+    assert(!p.contains("Window") && !p.contains("Join"),
+      "sufficient statistics need no window or join:\n" + p)
+    assert("HashAggregate".r.findAllIn(p).size == 2,
+      "partial+final hash aggregate pair expected:\n" + p)
+  }
+
+  test("text_collocations cuts with TakeOrderedAndProject (never a " +
+      "global sort) and scans the corpus ONCE in-plan (the unigram " +
+      "model is checkpoint-materialized, feeding both joins)") {
+    val p = plan("text_collocations")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-K must be a streaming cut:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "the pair relation must never shuffle for the model joins:\n" + p)
+    // the unigram build scanned the corpus once at checkpoint time;
+    // the final plan scans it once more for pairs — a second in-plan
+    // scan means the model subtree is being re-derived per consumer
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "one in-plan corpus scan (pairs):\n" + p)
+  }
+
+  test("text_bigram_kn derives the whole KN model from the bigram " +
+      "relation alone: two corpus scans (learn, score), model joins " +
+      "broadcast") {
+    val p = plan("text_bigram_kn")
+    assert("Scan parquet".r.findAllIn(p).size == 2,
+      "two corpus scans, the textBigramNll contract:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the vocab^2-bounded model must broadcast:\n" + p)
+  }
+
+  test("dedup_containment joins fixed-width shingle hashes, never " +
+      "documents (the dedup_ngram equi-join contract)") {
+    val p = plan("dedup_containment")
+    assert(p.contains("Join") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
 }

@@ -39,6 +39,32 @@ class DedupOpsSpec extends SparkSpec {
     assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("ngramContainmentPairs catches a doc EMBEDDED in a longer one " +
+      "that symmetric Jaccard misses (the asymmetric contract)") {
+    // doc 20 = doc 10 plus an unrelated tail of equal shingle mass:
+    // containment(10 ⊆ 20) = 1.0 but Jaccard ≈ 0.5
+    val emb = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta", "s0"),
+      (20L, "alpha beta gamma delta epsilon zeta eta theta " +
+        "iota kappa lambda mu nu xi omicron pi", "s0"),
+      (30L, "rho sigma tau upsilon phi chi psi omega", "s0"))
+      .toDF("doc_id", "text", "source")
+    val cont = DedupOps.ngramContainmentPairs(emb, col("doc_id"),
+      col("text"), col("source"), 3, 0.9)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(cont.map(p => (p._1, p._2)).toSeq == Seq((10L, 20L)),
+      s"exactly the embedded pair: ${cont.toSeq}")
+    assert(cont.head._3 == 1.0, // cont1: ALL of doc 10 lies inside 20
+      s"full containment expected: ${cont.head}")
+    assert(cont.head._4 < 0.5, s"the wrapper is 2x+ bigger: ${cont.head}")
+    // ...and the symmetric query at its own production threshold
+    // does NOT surface it — the reason this operator exists
+    val jac = DedupOps.ngramJaccardPairs(emb, col("doc_id"), col("text"),
+      col("source"), 3, 0.8).as[(Long, Long, Double)].collect()
+    assert(!jac.exists(p => p._1 == 10L && p._2 == 20L),
+      s"Jaccard 0.8 must miss the embedding: ${jac.toSeq}")
+  }
+
   test("minhashNearDups recovers the pairs exact jaccard finds (recall)") {
     val exact = DedupOps.ngramJaccardPairs(docs, col("doc_id"), col("text"),
       col("source"), 3, 0.5).select("id1", "id2").as[(Long, Long)].collect().toSet

@@ -449,6 +449,44 @@ class TextMultimodalSpec extends SparkSpec {
       "not a RIFF/WAVE payload")
   }
 
+  test("mm_audio_features: channel-0 windowed frame features over the " +
+      "COMMITTED fixture equal the raw-sample arithmetic, the silence " +
+      "detector is NON-VACUOUS both ways, and corrupt payloads " +
+      "quarantine") {
+    import graft.tools.WavFixture
+    val got = graft.queries.PipelineQueries.mmAudioFeatures(spark, "unused")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got == WavFixture.expectedFeatureRows.toSet,
+      "decoded features must equal the pre-encode sample arithmetic")
+    // non-vacuous BOTH ways: the silent-lead clips detect real digital
+    // silence, the sweep clips detect none — and both classes appear
+    val silent = got.filter(_._6 > 0).map(_._1)
+    assert(silent.nonEmpty && silent.forall(_ >= WavFixture.SilentFrom),
+      s"silence only in the silent-lead clips: $silent")
+    assert(got.exists(r => r._1 >= WavFixture.SilentFrom && r._6 >= 2L),
+      "a 50-frame silent lead spans two full 25-sample windows")
+    assert(got.filter(_._1 < WavFixture.SilentFrom).forall(_._6 == 0L),
+      "full-range sweep clips must detect zero silent windows")
+    // the stereo clips prove channel-0 EXTRACTION (stride 4), not a
+    // flattened interleave: a wrong stride would shift every feature
+    assert(WavFixture.expectedFeatureRows.exists { case (id, _, _, _, _, _) =>
+      WavFixture.fmt(id.toInt)._2 == 2 }, "fixture must carry stereo clips")
+    // quarantine contract
+    val zoo = Seq((100L, Array[Byte](9, 9, 9)),
+      (101L, null: Array[Byte]))
+    import spark.implicits._
+    val bad = MultimodalOps.audioFrameFeaturesPartitioned(
+      zoo.toDF("clip_id", "wav"), "clip_id", "wav",
+      WavFixture.FrameWin, WavFixture.SilenceThr)
+      .collect().map(f => f.id -> f).toMap
+    Seq(100L, 101L).foreach(id => assert(
+      bad(id).n_windows == -1L && bad(id).energy == -1L,
+      s"corrupt payload must quarantine whole: ${bad(id)}"))
+  }
+
   test("decodeMjpegAviPartitioned decodes a REAL MJPEG AVI (RIFF walk + " +
       "per-frame javax.imageio) and quarantines the corruption zoo") {
     import graft.tools.AviFixture

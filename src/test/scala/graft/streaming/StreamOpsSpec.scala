@@ -560,6 +560,45 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("linregStream: every trigger's Complete snapshot equals the " +
+      "batch OLS fit over the rows ingested so far (decimal sums " +
+      "merge exactly across triggers; shared quotient definitions)") {
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = graft.model.Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars"),
+        graft.ops.TextAnalyticsOps.wsTokenCount(col("text")).as("yt"))
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    val (first, second) = rows.splitAt(rows.length / 2)
+    def fit(sub: Seq[(String, Long, Long)]) =
+      graft.queries.AnalyticsQueries.linregOf(
+        sub.toDF("source", "xi", "yi").selectExpr("source",
+          "CAST(xi AS DECIMAL(18,0)) AS x",
+          "CAST(yi AS DECIMAL(18,0)) AS y"), "source")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    val in = MemoryStream[(String, Long, Long)]
+    val live = StreamOps.linregStream(
+      in.toDF().toDF("source", "xi", "yi").selectExpr("source",
+        "CAST(xi AS DECIMAL(18,0)) AS x",
+        "CAST(yi AS DECIMAL(18,0)) AS y"), "source")
+    val q = StreamOps.toMemory(live, "linreg_test", OutputMode.Complete,
+      ckpt())
+    try {
+      def snapshot() = spark.table("linreg_test")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      in.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      assert(snapshot() == fit(first.toSeq),
+        "mid-stream snapshot != batch fit over the first half")
+      in.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+      assert(snapshot() == fit(rows.toSeq),
+        "final snapshot != the gated q_linreg fit over the full corpus")
+    } finally q.stop()
+  }
+
   test("buildHybridIndex fails LOUD on an empty docs corpus (the " +
       "build-once topology convention) instead of a raw NPE from a " +
       "NULL avgdl") {
