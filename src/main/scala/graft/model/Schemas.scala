@@ -104,5 +104,11 @@ case class ContainerMeta(id: Long, brand: String, timescale: Long,
  *  pixels; n_frames = -1 (with -1 fields) marks a malformed container,
  *  a desynced/truncated chunk, or an undecodable frame — quarantined
  *  for routing, never dropped. */
+/** One decoded animated GIF's frame statistics (delay in the GIF
+ *  wire unit, centiseconds, summed over frames): quarantine
+ *  convention = all counters -1, empty hist. */
+case class GifFeatures(id: Long, n_frames: Long, width: Int,
+    height: Int, total_delay_cs: Long, lum_hist: Seq[Long])
+
 case class VideoFeatures(id: Long, n_frames: Long, width: Int,
     height: Int, us_per_frame: Long, lum_hist: Seq[Long])

@@ -426,6 +426,146 @@ object MultimodalOps {
   }
 
   /**
+   * REAL animated-GIF frame decode — the LOSSLESS multi-frame rung
+   * beside [[decodeMjpegAviPartitioned]]: GIF's indexed color
+   * round-trips grayscale pixels exactly through the JDK
+   * writer/reader pair, so this is the one decode gate in the family
+   * that is exact by construction, not by engineered margin. Emits
+   * frame count + constant frame dimensions + the summed
+   * GraphicControlExtension delay (centiseconds, the GIF wire unit —
+   * variable per-frame delays sum honestly) + a 16-bin luminance
+   * histogram over EVERY frame's pixels. Strict and total via the
+   * [[gifStructure]] walk cross-checked against the decoded count:
+   * non-GIF magic, truncated payloads (which the ImageIO reader would
+   * otherwise decode as a silently-partial prefix — measured), bytes
+   * past the trailer, zero frames, or a mid-clip dimension change
+   * quarantine the CLIP (all counters -1 — routed, never dropped,
+   * never a task kill). One partition-batched pass; ImageIO's disk
+   * cache is disabled once per partition.
+   */
+  /** Strict GIF structural walk: Some(imageDescriptorCount) iff the
+   *  block stream runs header → blocks → trailer with the trailer's
+   *  0x3B landing EXACTLY at end-of-buffer. The ImageIO reader
+   *  happily decodes the complete PREFIX of a truncated payload
+   *  (measured: a half-cut 2-frame clip reads as 1 frame) — the
+   *  silently-partial class the AVI walker quarantines — so the
+   *  decode gate cross-checks this walk against the decoded frame
+   *  count. Sub-blocks are length-prefixed, so the walk skips pixel
+   *  data without LZW decoding. */
+  private[graft] def gifStructure(b: Array[Byte]): Option[Int] = {
+    def u8(p: Int): Int = b(p) & 0xFF
+    var p = 6 + 7 // header + logical screen descriptor
+    if (b.length < p) return None
+    if ((u8(10) & 0x80) != 0) p += 3 * (1 << ((u8(10) & 7) + 1))
+    var frames = 0
+    def subBlocks(q0: Int): Int = { // returns pos after the 0 terminator
+      var q = q0
+      while (q < b.length && u8(q) != 0) q += 1 + u8(q)
+      if (q >= b.length) -1 else q + 1
+    }
+    while (p < b.length) {
+      u8(p) match {
+        case 0x2C => // image descriptor
+          if (p + 10 > b.length) return None
+          val flags = u8(p + 9)
+          p += 10
+          if ((flags & 0x80) != 0) p += 3 * (1 << ((flags & 7) + 1))
+          if (p + 1 > b.length) return None
+          p = subBlocks(p + 1) // LZW min-code byte, then data sub-blocks
+          if (p < 0) return None
+          frames += 1
+        case 0x21 => // extension: label byte + sub-blocks
+          if (p + 2 > b.length) return None
+          p = subBlocks(p + 2)
+          if (p < 0) return None
+        case 0x3B =>
+          // trailer must close the buffer exactly — trailing bytes are
+          // untrusted structure
+          return if (p == b.length - 1 && frames > 0) Some(frames)
+                 else None
+        case _ => return None
+      }
+    }
+    None // ran off the end without a trailer (truncation)
+  }
+
+  def decodeGifFramesPartitioned(df: DataFrame, idCol: String,
+      bytesCol: String)
+      : org.apache.spark.sql.Dataset[graft.model.GifFeatures] = {
+    import df.sparkSession.implicits._
+    val bad = graft.model.GifFeatures(_: Long, -1L, -1, -1, -1L, Nil)
+    df.select(col(idCol), col(bytesCol)).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, b) =>
+          try {
+            val magicOk = b != null && b.length > 6 && {
+              val m = new String(b, 0, 6, "US-ASCII")
+              m == "GIF87a" || m == "GIF89a"
+            }
+            val structure = if (magicOk) gifStructure(b) else None
+            if (structure.isEmpty) bad(id)
+            else {
+              val reader = javax.imageio.ImageIO
+                .getImageReadersByFormatName("gif").next()
+              try {
+                reader.setInput(javax.imageio.ImageIO
+                  .createImageInputStream(
+                    new java.io.ByteArrayInputStream(b)))
+                val n = reader.getNumImages(true)
+                // the reader decodes the complete PREFIX of a truncated
+                // stream — the structural walk's count is the whole-file
+                // truth, and a mismatch is a silently-partial decode
+                var ok = n > 0 && structure.contains(n)
+                var w = -1
+                var h = -1
+                var delay = 0L
+                val hist = new Array[Long](16)
+                var f = 0
+                while (ok && f < n) {
+                  val img = reader.read(f)
+                  if (w == -1 || (w == img.getWidth &&
+                      h == img.getHeight)) {
+                    w = img.getWidth; h = img.getHeight
+                    var y = 0
+                    while (y < h) {
+                      var x = 0
+                      while (x < w) {
+                        val rgb = img.getRGB(x, y)
+                        val lum = (((rgb >> 16) & 0xFF) +
+                          ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+                        hist(lum >> 4) += 1L
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    val md = reader.getImageMetadata(f)
+                    val root = md.getAsTree(md.getNativeMetadataFormatName)
+                      .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+                    val gces = root
+                      .getElementsByTagName("GraphicControlExtension")
+                    if (gces.getLength > 0)
+                      delay += gces.item(0)
+                        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+                        .getAttribute("delayTime").toLong
+                    f += 1
+                  } else ok = false // dimension change mid-clip
+                }
+                if (!ok) bad(id)
+                else graft.model.GifFeatures(id, n.toLong, w, h, delay,
+                  hist.toSeq)
+              } finally reader.dispose()
+            }
+          } catch {
+            // the GIF plugin throws unchecked on truncated/adversarial
+            // bytes — quarantine, don't kill
+            case scala.util.control.NonFatal(_) => bad(id)
+          }
+        }
+      }
+  }
+
+  /**
    * REAL video frame decode — MJPEG-in-AVI, the decoded-pixels rung
    * [[probeMp4Partitioned]]'s scaladoc points at: MJPEG frames are
    * independent baseline JPEGs, so a strict RIFF walk (little-endian

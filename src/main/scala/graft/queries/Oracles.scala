@@ -4158,6 +4158,27 @@ object Oracles {
        |WHERE greatest(i / s1.sz, i / s2.sz) >= $thr""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.mmFramesGif]]: the GIF fixture
+   *  generator's raw PIXEL statistics (`tools.GifFixture.expectedRows`
+   *  — pure arithmetic over the deterministic pixel definition, no
+   *  GIF bytes, no ImageIO) embedded as a VALUES literal. The Spark
+   *  side decodes the COMMITTED encoded bytes, so a hash match proves
+   *  the real decode round-trips the generator spec EXACTLY (the
+   *  codec is lossless — no tolerance device anywhere). */
+  val mmFramesGif: String = {
+    val rows = graft.tools.GifFixture.expectedRows
+      .map { case (id, n, w, h, d, csv) => s"($id, $n, $w, $h, $d, '$csv')" }
+      .mkString(",\n  ")
+    s"""SELECT CAST(clip_id AS BIGINT) AS clip_id,
+       |       CAST(n_frames AS BIGINT) AS n_frames,
+       |       CAST(width AS BIGINT) AS width,
+       |       CAST(height AS BIGINT) AS height,
+       |       CAST(total_delay_cs AS BIGINT) AS total_delay_cs,
+       |       hist_csv
+       |FROM (VALUES
+       |  $rows) AS t(clip_id, n_frames, width, height, total_delay_cs, hist_csv)""".stripMargin
+  }
+
   /** Mirrors [[PipelineQueries.mmAudioFeatures]]: the WAV fixture
    *  generator's raw-sample channel-0 statistics
    *  (`tools.WavFixture.expectedFeatureRows` — pure integer

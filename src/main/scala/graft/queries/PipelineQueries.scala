@@ -3812,6 +3812,27 @@ object PipelineQueries {
         col("zero_crossings"), col("energy"), col("peak_abs"),
         col("silent_windows"))
 
+  /** REAL animated-GIF frame decode, end-to-end gated — the LOSSLESS
+   *  multi-frame rung beside `mm_frames_mjpeg`
+   *  ([[MultimodalOps.decodeGifFramesPartitioned]] over the committed
+   *  `tools.GifFixture` corpus): frame count / constant dims / summed
+   *  GraphicControlExtension delay / 16-bin luminance histogram over
+   *  every frame — EXACT by construction (indexed color round-trips
+   *  grayscale losslessly; probe-verified), the one decode gate in
+   *  the family needing no engineered tolerance. Oracle = the
+   *  generator's raw pixel arithmetic as VALUES literals. Ignores
+   *  sfDir (scale-free fixture). */
+  def mmFramesGif(spark: SparkSession, sfDir: String): DataFrame =
+    MultimodalOps.decodeGifFramesPartitioned(
+      spark.read.parquet(graft.tools.GifFixture.Path), "clip_id", "gif")
+      .toDF()
+      .select(col("id").as("clip_id"), col("n_frames"),
+        col("width").cast("bigint").as("width"),
+        col("height").cast("bigint").as("height"),
+        col("total_delay_cs"),
+        array_join(transform(col("lum_hist"), _.cast("string")), ",")
+          .as("hist_csv"))
+
   /** REAL video-container probe, end-to-end gated — the MP4 rung of
    *  the [[mmDecodePng]]/[[mmDecodeWav]] family:
    *  [[MultimodalOps.probeMp4Partitioned]] (strict ISO BMFF box walk,

@@ -449,6 +449,54 @@ class TextMultimodalSpec extends SparkSpec {
       "not a RIFF/WAVE payload")
   }
 
+  test("mm_frames_gif: the COMMITTED animated GIFs decode EXACTLY to " +
+      "the raw pixel arithmetic (lossless codec — no tolerance " +
+      "device) and the corruption zoo quarantines") {
+    import graft.tools.GifFixture
+    val got = graft.queries.PipelineQueries.mmFramesGif(spark, "unused")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+      .toSet
+    val want = GifFixture.expectedRows
+      .map { case (id, n, w, h, d, csv) =>
+        (id, n, w.toLong, h.toLong, d, csv) }.toSet
+    assert(got == want, "decoded stats must equal the pixel definition")
+    assert(got.size == GifFixture.N)
+    // multi-frame is real: every clip has >= 2 frames and frames
+    // DIFFER (a first-frame-times-n decoder shifts the histogram)
+    assert(GifFixture.expectedRows.forall(_._2 >= 2L))
+    assert((0 until GifFixture.N).exists { i =>
+      GifFixture.grayLevel(i, 0, 0, 0) != GifFixture.grayLevel(i, 1, 0, 0)
+    })
+    // ...and the committed bytes are REAL GIF89a containers
+    val firstBytes = spark.read.parquet(GifFixture.Path)
+      .orderBy("clip_id").select("gif").head().getAs[Array[Byte]](0)
+    assert(new String(firstBytes.take(6), "US-ASCII") == "GIF89a",
+      "not a GIF payload")
+    // zoo: truncation, wrong magic, empty, null all quarantine whole
+    import spark.implicits._
+    val good = GifFixture.gifBytes(1)
+    val notGif = good.clone(); "JUNK89".getBytes("US-ASCII")
+      .copyToArray(notGif, 0)
+    // the half-cut clip is the SILENTLY-PARTIAL shape: the ImageIO
+    // reader alone decodes its complete prefix as 1 frame (measured) —
+    // the structural walk must quarantine it whole. Trailing bytes
+    // after the trailer are untrusted structure likewise.
+    val zoo = Seq((0L, good), (1L, good.take(good.length / 2)),
+      (2L, notGif), (3L, Array.empty[Byte]),
+      (4L, null.asInstanceOf[Array[Byte]]),
+      (5L, good ++ Array[Byte](7, 7, 7)))
+    val out = MultimodalOps.decodeGifFramesPartitioned(
+      zoo.toDF("clip_id", "gif"), "clip_id", "gif")
+      .collect().map(v => v.id -> v).toMap
+    assert(out(0L).n_frames == GifFixture.frames(1).toLong,
+      s"good clip must decode: ${out(0L)}")
+    (1L to 5L).foreach(i => assert(out(i).n_frames == -1L &&
+      out(i).lum_hist.isEmpty,
+      s"zoo clip $i must quarantine whole: ${out(i)}"))
+  }
+
   test("mm_audio_features: channel-0 windowed frame features over the " +
       "COMMITTED fixture equal the raw-sample arithmetic, the silence " +
       "detector is NON-VACUOUS both ways, and corrupt payloads " +
