@@ -97,6 +97,12 @@ case class AudioFrameFeatures(id: Long, n_windows: Long,
 case class ContainerMeta(id: Long, brand: String, timescale: Long,
     duration_ms: Long, n_tracks: Long, mdat_bytes: Long)
 
+/** One decoded animated GIF's frame statistics (delay in the GIF
+ *  wire unit, centiseconds, summed over frames): quarantine
+ *  convention = all counters -1, empty hist. */
+case class GifFeatures(id: Long, n_frames: Long, width: Int,
+    height: Int, total_delay_cs: Long, lum_hist: Seq[Long])
+
 /** One decoded MJPEG-in-AVI clip's projection
  *  (MultimodalOps.decodeMjpegAviPartitioned): frame count, constant
  *  frame dimensions, the container's microseconds-per-frame, and a
@@ -104,11 +110,5 @@ case class ContainerMeta(id: Long, brand: String, timescale: Long,
  *  pixels; n_frames = -1 (with -1 fields) marks a malformed container,
  *  a desynced/truncated chunk, or an undecodable frame — quarantined
  *  for routing, never dropped. */
-/** One decoded animated GIF's frame statistics (delay in the GIF
- *  wire unit, centiseconds, summed over frames): quarantine
- *  convention = all counters -1, empty hist. */
-case class GifFeatures(id: Long, n_frames: Long, width: Int,
-    height: Int, total_delay_cs: Long, lum_hist: Seq[Long])
-
 case class VideoFeatures(id: Long, n_frames: Long, width: Int,
     height: Int, us_per_frame: Long, lum_hist: Seq[Long])

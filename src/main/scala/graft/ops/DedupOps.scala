@@ -40,15 +40,30 @@ object DedupOps {
    * for unblocked discovery at scale use [[minhashCandidates]] first.
    */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, block: Column,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // join on the 64-bit shingle hash, not the string: the shuffle carries
-    // fixed-width longs and the sort-merge compares ints (collisions are
-    // 2^-64-scale and would only perturb one inter count by 1).
-    // fanOut: shingle building is the heavy per-row stage and must not
-    // inherit a narrow scan layout (e.g. one small file) — but a wide
-    // scan passes through with no exchange (FanOut contract).
-    // x/y join sides shuffle on the same keys from the same child, so
-    // ReuseExchange computes the shingle subtree once for both.
+      n: Int = 3, threshold: Double = 0.8): DataFrame =
+    shinglePairStats(df, id, text, block, n)
+      .withColumn("jaccard",
+        col("inter") / (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+
+  /** Shared candidate-pair statistics for the exact n-gram pair family
+   *  — (id1, id2, inter, sz1, sz2) within a blocking column; ONE
+   *  definition of the shingle subtree, size aggregate, and blocked
+   *  self-join so [[ngramJaccardPairs]] and [[ngramContainmentPairs]]
+   *  cannot silently diverge.
+   *
+   *  Join on the 64-bit shingle hash, not the string: the shuffle
+   *  carries fixed-width longs and the sort-merge compares ints
+   *  (collisions are 2^-64-scale and would only perturb one inter
+   *  count by 1). fanOut: shingle building is the heavy per-row stage
+   *  and must not inherit a narrow scan layout (e.g. one small file)
+   *  — but a wide scan passes through with no exchange (FanOut
+   *  contract). x/y join sides shuffle on the same keys from the same
+   *  child, so ReuseExchange computes the shingle subtree once for
+   *  both. */
+  private def shinglePairStats(df: DataFrame, id: Column, text: Column,
+      block: Column, n: Int): DataFrame = {
     val sh = FanOut.fanOut(df).select(id.as("id"), block.as("blk"),
       explode(graft.functions.native.shingle_hashes(text, n)).as("sh"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
@@ -60,9 +75,8 @@ object DedupOps {
     inter
       .join(sizes.as("s1"), col("id1") === col("s1.id"))
       .join(sizes.as("s2"), col("id2") === col("s2.id"))
-      .withColumn("jaccard", col("inter") / (col("s1.sz") + col("s2.sz") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
+      .select(col("id1"), col("id2"), col("inter"),
+        col("s1.sz").as("sz1"), col("s2.sz").as("sz2"))
   }
 
   /**
@@ -83,23 +97,12 @@ object DedupOps {
    * two-phase, and the block key bounds the pair space.
    */
   def ngramContainmentPairs(df: DataFrame, id: Column, text: Column,
-      block: Column, n: Int = 3, threshold: Double = 0.9): DataFrame = {
-    val sh = FanOut.fanOut(df).select(id.as("id"), block.as("blk"),
-      explode(graft.functions.native.shingle_hashes(text, n)).as("sh"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("x").join(sh.as("y"),
-        col("x.sh") === col("y.sh") && col("x.blk") === col("y.blk") &&
-          col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id1"), col("y.id").as("id2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("s1"), col("id1") === col("s1.id"))
-      .join(sizes.as("s2"), col("id2") === col("s2.id"))
-      .withColumn("cont1", col("inter") / col("s1.sz"))
-      .withColumn("cont2", col("inter") / col("s2.sz"))
+      block: Column, n: Int = 3, threshold: Double = 0.9): DataFrame =
+    shinglePairStats(df, id, text, block, n)
+      .withColumn("cont1", col("inter") / col("sz1"))
+      .withColumn("cont2", col("inter") / col("sz2"))
       .filter(greatest(col("cont1"), col("cont2")) >= threshold)
       .select(col("id1"), col("id2"), col("cont1"), col("cont2"))
-  }
 
   /**
    * MinHash signatures: k seeded-hash minima over each doc's shingle

@@ -508,10 +508,12 @@ object MultimodalOps {
             else {
               val reader = javax.imageio.ImageIO
                 .getImageReadersByFormatName("gif").next()
+              // reader.dispose() does NOT close its input stream —
+              // close it explicitly or its cache buffers live to GC
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(b))
               try {
-                reader.setInput(javax.imageio.ImageIO
-                  .createImageInputStream(
-                    new java.io.ByteArrayInputStream(b)))
+                reader.setInput(iis)
                 val n = reader.getNumImages(true)
                 // the reader decodes the complete PREFIX of a truncated
                 // stream — the structural walk's count is the whole-file
@@ -554,7 +556,10 @@ object MultimodalOps {
                 if (!ok) bad(id)
                 else graft.model.GifFeatures(id, n.toLong, w, h, delay,
                   hist.toSeq)
-              } finally reader.dispose()
+              } finally {
+                reader.dispose()
+                iis.close()
+              }
             }
           } catch {
             // the GIF plugin throws unchecked on truncated/adversarial
@@ -581,13 +586,15 @@ object MultimodalOps {
    * or a desynced `movi` chunk quarantines the CLIP — a mid-stream
    * desync means every later "frame boundary" is untrusted),
    * `LIST hdrl` must open with `avih` (the frame clock), frame chunks
-   * are `00dc`/`00db` (STREAM-SCOPED: this decoder is
-   * single-video-stream — a `##dc`/`##db` chunk from any other stream
-   * number is a second video stream whose frames must not merge into
-   * one histogram, so the clip quarantines; non-video stream data —
-   * `##wb` audio, `##pc` palette — and OpenDML `ix##` indexes / `JUNK`
-   * padding interleave legally and are skipped; any OTHER chunk id
-   * inside `movi` is untrusted structure and quarantines) — at `movi`
+   * are `##dc`/`##db` of ONE video stream (STREAM-SCOPED: the first
+   * video stream encountered is the clip's video — audio-first muxes
+   * legally number it 01 — and a `##dc`/`##db` chunk from any OTHER
+   * stream number is a second video stream whose frames must not
+   * merge into one histogram, so the clip quarantines; non-video
+   * stream data — `##wb` audio, `##pc` palette — and OpenDML `ix##`
+   * indexes / `JUNK` padding interleave legally and are skipped; any
+   * OTHER chunk id inside `movi` is untrusted structure and
+   * quarantines) — at `movi`
    * top level or one `LIST 'rec '` interleave grouping down (the
    * standard CD-ROM layout); any OTHER grouping inside `movi`
    * quarantines rather than being silently skipped with its frames —
@@ -669,6 +676,7 @@ object MultimodalOps {
                   var n = 0L
                   var w = -1
                   var h = -1
+                  var vidStream = -1 // the ONE video stream we decode
                   val hist = new Array[Long](16)
                   def walkFrames(from: Long, to: Long,
                       allowRec: Boolean): Unit = {
@@ -682,26 +690,35 @@ object MultimodalOps {
                         def isStream = ck.length == 4 &&
                           ck(0) >= '0' && ck(0) <= '9' &&
                           ck(1) >= '0' && ck(1) <= '9'
+                        def streamNo = (ck(0) - '0') * 10 + (ck(1) - '0')
                         if (ck == "LIST") {
                           if (allowRec && sz >= 4 &&
                               fourcc(body.toInt) == "rec ")
                             walkFrames(body + 4, body + sz, false)
                           else ok = false
-                        } else if (isStream && !ck.startsWith("00") &&
+                        } else if (isStream && vidStream >= 0 &&
+                            streamNo != vidStream &&
                             (ck.endsWith("dc") || ck.endsWith("db"))) {
                           // a SECOND video stream's frames — merging
                           // them into one histogram would be silently
                           // wrong; this decoder is single-video-stream
-                          // scoped, so the clip quarantines whole
+                          // scoped (whatever its number — audio-first
+                          // muxes legally put video at 01), so the
+                          // clip quarantines whole
                           ok = false
                         } else if (isStream &&
                             (ck.endsWith("wb") || ck.endsWith("pc"))) {
                           () // audio samples / palette change: non-video
                              // stream data interleaves legally — skip
-                        } else if (ck.startsWith("ix") || ck == "JUNK") {
-                          () // OpenDML in-movi index / alignment padding
+                        } else if ((ck.startsWith("ix") &&
+                            ck(2) >= '0' && ck(2) <= '9' &&
+                            ck(3) >= '0' && ck(3) <= '9') || ck == "JUNK") {
+                          () // OpenDML in-movi ix## index / padding —
+                             // 'ix' + two NON-digits is unknown
+                             // structure and falls to quarantine below
                         } else if (isStream &&
                             (ck.endsWith("dc") || ck.endsWith("db"))) {
+                          vidStream = streamNo
                           val img = javax.imageio.ImageIO.read(
                             new java.io.ByteArrayInputStream(
                               b, body.toInt, sz.toInt))

@@ -4112,8 +4112,8 @@ object Oracles {
        |    FROM w, unnest(range(1, len(ws))) t(i) WHERE len(ws) >= 2)
        |  GROUP BY a, b HAVING count(*) >= $minC)
        |SELECT a AS w1, b AS w2, c12,
-       |  CAST(floor(CAST(ntok * 1000000 AS DOUBLE) /
-       |    CAST(u1.c * u2.c AS DOUBLE) * c12) AS BIGINT) AS lift_micro
+       |  CAST(floor((CAST(ntok AS DOUBLE) * 1000000.0) /
+       |    (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) * c12) AS BIGINT) AS lift_micro
        |FROM bg JOIN uni u1 ON bg.a = u1.w JOIN uni u2 ON bg.b = u2.w, tot
        |ORDER BY lift_micro DESC, w1, w2 LIMIT $topK""".stripMargin
   }

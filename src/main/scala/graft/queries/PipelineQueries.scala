@@ -2022,8 +2022,12 @@ object PipelineQueries {
       .join(broadcast(uni.select(col("w").as("b"), col("c").as("c2"))),
         Seq("b"))
       .select(col("a").as("w1"), col("b").as("w2"), col("c12"),
-        floor((col("ntok") * lit(1000000L)).cast("double") /
-          (col("c1") * col("c2")).cast("double") * col("c12"))
+        // every factor casts to double BEFORE multiplying: bigint
+        // products (ntok·10⁶, c1·c2) overflow int64 at corpus scale
+        // (~2.5e13 tokens at 100 TB), doubles only round
+        floor((col("ntok").cast("double") * lit(1000000.0)) /
+          (col("c1").cast("double") * col("c2").cast("double")) *
+          col("c12"))
           .cast("bigint").as("lift_micro"))
       .orderBy(col("lift_micro").desc, col("w1"), col("w2"))
       .limit(CollocTopK)

@@ -581,8 +581,9 @@ class TextMultimodalSpec extends SparkSpec {
       AviFixture.fcc("RIFF") ++
         AviFixture.le32(payload.length.toLong) ++ payload
     }
-    // a SECOND video stream's frames (01dc) must quarantine — merging
-    // two streams into one histogram is silently wrong
+    // a SECOND video stream's frames must quarantine — merging two
+    // streams into one histogram is silently wrong. Rewriting only the
+    // FIRST frame to 01dc makes the clip carry streams 01 AND 00
     val secondStream = good.clone()
     "01dc".getBytes("US-ASCII").copyToArray(secondStream, dcAt)
     // an unknown chunk id inside movi is untrusted structure
@@ -627,6 +628,31 @@ class TextMultimodalSpec extends SparkSpec {
       .collect().head
     assert(recOk.n_frames == AviFixture.expectedRows(2)._2,
       s"rec-grouped frames must decode: $recOk")
+    // positive control for the audio-first mux layout: a clip whose
+    // ONLY video stream is numbered 01 decodes identically (the
+    // stream scope binds to the first video stream, not to "00")
+    val vidAt01 = {
+      val c = good.clone()
+      var p = 0
+      while (p < c.length - 4) {
+        if (new String(c, p, 4, "US-ASCII") == "00dc") c(p + 1) = '1'
+        p += 1
+      }
+      c
+    }
+    val ok01 = MultimodalOps.decodeMjpegAviPartitioned(
+      Seq((1L, vidAt01)).toDF("clip_id", "avi"), "clip_id", "avi")
+      .collect().head
+    assert((ok01.n_frames, ok01.lum_hist.mkString(",")) ==
+      (want._2, want._6),
+      s"single video stream at 01 must decode: $ok01")
+    // ...and 'ix' + non-digits is unknown structure, not an index
+    val ixBad = spliceIntoMovi(good,
+      AviFixture.chunk("ixzz", Array[Byte](1, 2)))
+    assert(MultimodalOps.decodeMjpegAviPartitioned(
+      Seq((9L, ixBad)).toDF("clip_id", "avi"), "clip_id", "avi")
+      .collect().head.n_frames == -1L,
+      "ix + non-digit stream chars must quarantine")
     // positive controls for the LEGAL interleave set: audio samples
     // (01wb), a palette change (00pc), an OpenDML in-movi index (ix00)
     // and JUNK padding all skip — the video stats are unchanged

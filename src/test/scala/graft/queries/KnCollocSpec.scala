@@ -63,7 +63,8 @@ class KnCollocSpec extends SparkSpec {
     // token total: 2 * (6 + 5 + 15 + 15) = 82
     val n = 82L
     def lift(c12: Long, c1: Long, c2: Long): Long =
-      math.floor((n * 1000000L).toDouble / (c1 * c2).toDouble * c12).toLong
+      math.floor((n.toDouble * 1000000.0) /
+        (c1.toDouble * c2.toDouble) * c12).toLong
     assert(got.head == (("zig", "zag", 6L, lift(6, 6, 6))),
       s"exclusive pair must top: ${got.toSeq}")
     val fooBar = got.find(t => t._1 == "foo" && t._2 == "bar").get
