@@ -97,6 +97,11 @@ case class AudioFrameFeatures(id: Long, n_windows: Long,
 case class ContainerMeta(id: Long, brand: String, timescale: Long,
     duration_ms: Long, n_tracks: Long, mdat_bytes: Long)
 
+/** One decoded image's perceptual-hash fingerprints (base + the
+ *  brightness-shifted control): quarantine convention = width -1. */
+case class PhashFeatures(id: Long, width: Int, height: Int,
+    phash: Long, phash_shifted: Long)
+
 /** One decoded animated GIF's frame statistics (delay in the GIF
  *  wire unit, centiseconds, summed over frames): quarantine
  *  convention = all counters -1, empty hist. */

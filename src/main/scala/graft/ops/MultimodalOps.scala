@@ -425,6 +425,97 @@ object MultimodalOps {
       }
   }
 
+  /** 64-bit PERCEPTUAL hash (the DCT pHash — Zauner 2010's canonical
+   *  construction): nearest-neighbor resample of the luminance plane
+   *  to 32×32 (integer index map — deterministic), unnormalized 2-D
+   *  DCT-II via `StrictMath` cosines (fdlibm-exact, so the doubles
+   *  are platform-independent, not merely JVM-reproducible), then the
+   *  top-left 8×8 coefficient block thresholded against its own
+   *  median (middle pair averaged). A pure function of the pixels —
+   *  SHARED by the decode operator and the fixture's expected rows by
+   *  design: the oracle gate proves the DECODE (pixels from committed
+   *  bytes vs pixels from the generator definition); the hash
+   *  arithmetic is one definition, like the histogram binning. */
+  private[graft] def phash64(lum: (Int, Int) => Int, w: Int, h: Int)
+      : Long = {
+    val S = 32
+    val K = 8
+    val g = Array.tabulate(S, S)((y, x) =>
+      lum(x * w / S, y * h / S).toDouble)
+    val co = Array.tabulate(K, S)((u, x) =>
+      StrictMath.cos(StrictMath.PI * (2 * x + 1) * u / (2.0 * S)))
+    val f = new Array[Double](K * K)
+    var u = 0
+    while (u < K) {
+      var v = 0
+      while (v < K) {
+        var s = 0.0
+        var y = 0
+        while (y < S) {
+          var x = 0
+          while (x < S) { s += g(y)(x) * co(u)(x) * co(v)(y); x += 1 }
+          y += 1
+        }
+        f(u * K + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val sorted = f.sorted
+    val med = (sorted(K * K / 2 - 1) + sorted(K * K / 2)) / 2.0
+    var bits = 0L
+    var k = 0
+    while (k < K * K) { if (f(k) > med) bits |= (1L << k); k += 1 }
+    bits
+  }
+
+  /**
+   * REAL decode → PERCEPTUAL HASH — the fingerprint an image-dedup
+   * pass stores (the multimodal sibling of the text simhash): decode
+   * via `javax.imageio` like the histogram ops, take integer
+   * luminance (r+g+b)/3, and emit [[phash64]] of the image PLUS the
+   * hash of a `brightShift`-brightened copy (each luminance +shift,
+   * clamped at 255 — the classic perturbation a robust perceptual
+   * hash must survive, and the built-in near-duplicate ground truth
+   * that makes the operator's robustness a queryable, non-vacuous
+   * artifact). Quarantine convention: width = -1. One
+   * partition-batched pass; decode and both hashes fuse per row.
+   */
+  def phashPartitioned(df: DataFrame, idCol: String, bytesCol: String,
+      brightShift: Int)
+      : org.apache.spark.sql.Dataset[graft.model.PhashFeatures] = {
+    import df.sparkSession.implicits._
+    val bad = graft.model.PhashFeatures(_: Long, -1, -1, 0L, 0L)
+    df.select(col(idCol), col(bytesCol)).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          try {
+            val img =
+              if (bytes == null || bytes.isEmpty) null
+              else javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+            if (img == null) bad(id)
+            else {
+              val w = img.getWidth
+              val h = img.getHeight
+              val lum = Array.tabulate(h, w) { (y, x) =>
+                val rgb = img.getRGB(x, y)
+                (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
+                  (rgb & 0xFF)) / 3
+              }
+              val base = phash64((x, y) => lum(y)(x), w, h)
+              val shifted = phash64(
+                (x, y) => math.min(255, lum(y)(x) + brightShift), w, h)
+              graft.model.PhashFeatures(id, w, h, base, shifted)
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) => bad(id)
+          }
+        }
+      }
+  }
+
   /**
    * REAL animated-GIF frame decode — the LOSSLESS multi-frame rung
    * beside [[decodeMjpegAviPartitioned]]: GIF's indexed color

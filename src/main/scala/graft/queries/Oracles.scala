@@ -4158,6 +4158,24 @@ object Oracles {
        |WHERE greatest(i / s1.sz, i / s2.sz) >= $thr""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.mmPhash]]: the PNG fixture generator's
+   *  raw-pixel luminance through the shared pHash definition
+   *  (`tools.PngFixture.expectedPhashRows` — no PNG bytes, no
+   *  ImageIO) as VALUES literals; a hash match proves the committed
+   *  bytes decode to the generator's pixels. */
+  val mmPhash: String = {
+    val rows = graft.tools.PngFixture
+      .expectedPhashRows(graft.queries.PipelineQueries.PhashShift)
+      .map { case (id, p, hv, hn) => s"($id, $p, $hv, $hn)" }
+      .mkString(",\n  ")
+    s"""SELECT CAST(img_id AS BIGINT) AS img_id,
+       |       CAST(phash AS BIGINT) AS phash,
+       |       CAST(ham_variant AS BIGINT) AS ham_variant,
+       |       CAST(ham_next AS BIGINT) AS ham_next
+       |FROM (VALUES
+       |  $rows) AS t(img_id, phash, ham_variant, ham_next)""".stripMargin
+  }
+
   /** Mirrors [[PipelineQueries.mmFramesGif]]: the GIF fixture
    *  generator's raw PIXEL statistics (`tools.GifFixture.expectedRows`
    *  — pure arithmetic over the deterministic pixel definition, no

@@ -3816,6 +3816,37 @@ object PipelineQueries {
         col("zero_crossings"), col("energy"), col("peak_abs"),
         col("silent_windows"))
 
+  /** Brightness shift for [[mmPhash]]'s built-in near-dup control. */
+  val PhashShift = 8
+
+  /** REAL decode → PERCEPTUAL HASH, end-to-end gated — the image-dedup
+   *  fingerprint (the multimodal simhash;
+   *  [[MultimodalOps.phashPartitioned]] over the committed PNG
+   *  corpus): per image the 64-bit DCT pHash, the hamming distance to
+   *  its own brightness-shifted variant (the near-dup ROBUSTNESS
+   *  ground truth — small by construction), and to the cyclic-next
+   *  unrelated image (large — the separation that makes a hash-bucket
+   *  image dedup work). Oracle = the generator's raw-pixel luminance
+   *  through the shared hash definition as VALUES literals; the gate
+   *  proves the decode. Ignores sfDir (scale-free fixture). */
+  def mmPhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.tools.PngFixture
+    val base = MultimodalOps.phashPartitioned(
+      spark.read.parquet(PngFixture.Path), "img_id", "png", PhashShift)
+      .toDF()
+      .select(col("id").as("img_id"), col("phash"),
+        bit_count(col("phash").bitwiseXOR(col("phash_shifted")))
+          .cast("bigint").as("ham_variant"))
+    base.as("a")
+      .join(broadcast(base.as("b").select(col("img_id").as("nid"),
+        col("phash").as("nph"))),
+        col("nid") === pmod(col("a.img_id") + 1, lit(PngFixture.N.toLong)))
+      .select(col("a.img_id").as("img_id"), col("a.phash").as("phash"),
+        col("ham_variant"),
+        bit_count(col("a.phash").bitwiseXOR(col("nph")))
+          .cast("bigint").as("ham_next"))
+  }
+
   /** REAL animated-GIF frame decode, end-to-end gated — the LOSSLESS
    *  multi-frame rung beside `mm_frames_mjpeg`
    *  ([[MultimodalOps.decodeGifFramesPartitioned]] over the committed

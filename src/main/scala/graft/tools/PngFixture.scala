@@ -65,6 +65,31 @@ object PngFixture {
       (i.toLong, w, h, hist.mkString(","))
     }
 
+  /** (img_id, phash, ham_variant, ham_next) from the raw pixel
+   *  definition — luminance through the SHARED
+   *  `MultimodalOps.phash64` (the gate proves the DECODE: oracle
+   *  pixels come from [[rgb]], Spark pixels from the committed
+   *  bytes; see phash64's scaladoc), with the brightness-shifted
+   *  near-dup control and the cyclic-next (unrelated image) hamming
+   *  distance. */
+  def expectedPhashRows(shift: Int): Seq[(Long, Long, Long, Long)] = {
+    val hashes = (0 until N).map { i =>
+      val (w, h) = dims(i)
+      def lum(x: Int, y: Int): Int = {
+        val (r, g, b) = rgb(i, x, y); (r + g + b) / 3
+      }
+      (graft.ops.MultimodalOps.phash64(lum, w, h),
+        graft.ops.MultimodalOps.phash64(
+          (x, y) => math.min(255, lum(x, y) + shift), w, h))
+    }
+    (0 until N).map { i =>
+      val (p, ps) = hashes(i)
+      val (pn, _) = hashes((i + 1) % N)
+      (i.toLong, p, java.lang.Long.bitCount(p ^ ps).toLong,
+        java.lang.Long.bitCount(p ^ pn).toLong)
+    }
+  }
+
   /** A real PNG encoding of image i's pixels. */
   def pngBytes(i: Int): Array[Byte] = {
     val (w, h) = dims(i)

@@ -449,6 +449,38 @@ class TextMultimodalSpec extends SparkSpec {
       "not a RIFF/WAVE payload")
   }
 
+  test("mm_phash: perceptual hashes over the COMMITTED PNGs equal the " +
+      "raw-pixel definition, the brightness-shifted near-dup stays " +
+      "STRICTLY closer than every unrelated image, and corrupt " +
+      "payloads quarantine") {
+    import graft.tools.PngFixture
+    val got = graft.queries.PipelineQueries.mmPhash(spark, "unused")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = PngFixture
+      .expectedPhashRows(graft.queries.PipelineQueries.PhashShift).toSet
+    assert(got == want, "decoded hashes must equal the pixel definition")
+    // the operator's reason to exist: the perturbed copy is closer
+    // than ANY unrelated image, corpus-wide (measured 0–19 vs 20–42
+    // on the committed fixture — a deterministic separation)
+    val maxVariant = got.map(_._3).max
+    val minNext = got.map(_._4).min
+    assert(maxVariant < minNext,
+      s"near-dup separation collapsed: max ham_variant $maxVariant " +
+        s">= min ham_next $minNext")
+    // quarantine contract
+    import spark.implicits._
+    val zoo = Seq((100L, Array[Byte](1, 2, 3)),
+      (101L, null.asInstanceOf[Array[Byte]]))
+    val bad = MultimodalOps.phashPartitioned(
+      zoo.toDF("img_id", "png"), "img_id", "png",
+      graft.queries.PipelineQueries.PhashShift)
+      .collect().map(f => f.id -> f).toMap
+    Seq(100L, 101L).foreach(id => assert(bad(id).width == -1,
+      s"corrupt payload must quarantine: ${bad(id)}"))
+  }
+
   test("mm_frames_gif: the COMMITTED animated GIFs decode EXACTLY to " +
       "the raw pixel arithmetic (lossless codec — no tolerance " +
       "device) and the corruption zoo quarantines") {
