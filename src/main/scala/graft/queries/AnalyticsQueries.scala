@@ -1067,17 +1067,91 @@ object AnalyticsQueries {
    * the pagerank stride with the checkpoint-handle release
    * discipline.
    */
-  def graphLpa(spark: SparkSession, sfDir: String): DataFrame = {
+  def graphLpa(spark: SparkSession, sfDir: String): DataFrame =
+    lpa(coBackbone(spark, sfDir), LpaIters)
+
+  /** The weight-≥[[LpaMinWeight]] repeated-co-purchase backbone
+   *  (u, v) — shared by [[graphLpa]] and [[graphBfs]]. */
+  private def coBackbone(spark: SparkSession, sfDir: String): DataFrame = {
     val mem = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
-    val e = mem.as("a").join(mem.as("b"),
+    mem.as("a").join(mem.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .groupBy(col("a.p").as("u"), col("b.p").as("v"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= LpaMinWeight)
       .select("u", "v")
-    lpa(e, LpaIters)
+  }
+
+  /** Seed rule for [[graphBfs]]: every part id ≡ 0 (mod 100). */
+  val BfsSeedMod = 100
+
+  /**
+   * Multi-source BFS hop distances over the co-purchase backbone —
+   * the fourth iterative-graph member (beside PageRank, k-core, LPA)
+   * and the classic "distance to a seed set" primitive (spam-seed
+   * proximity, influence radius): every node ≡ 0 mod [[BfsSeedMod]]
+   * starts at distance 0, and each round advances the FRONTIER one
+   * hop — frontier ⋈ adjacency, distinct, anti-joined against every
+   * already-reached node — until the frontier empties (exact
+   * fixpoint, the kCore convention: a driver-side emptiness scalar
+   * per round, never a fixed iteration guess). Unreached nodes are
+   * simply absent (the honest encoding — a NULL distance invites
+   * accidental aggregation).
+   *
+   * Scale shape: adjacency localCheckpoint-materialized once; per
+   * round ONE shuffle join of the frontier (shrinking) + one distinct
+   * + one anti-join against the known set; frontier and known
+   * checkpoints released with the handle discipline the round they
+   * are superseded. The oracle UNROLLS to depth 16 and fails loud if
+   * the last frontier is non-empty (the kcore unroll-guard device);
+   * measured eccentricity from the seed set ≤ 7 at all three SFs.
+   */
+  def graphBfs(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = coBackbone(spark, sfDir)
+    val adj = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
+    val seeds = adj.select(col("src").as("node")).distinct()
+      .filter(col("node") % BfsSeedMod === 0)
+    bfs(adj, seeds)
+  }
+
+  /** The BFS fixpoint over any symmetrized (src, dst) adjacency —
+   *  factored for fixture tests. `adj` should be materialized by the
+   *  caller (it is scanned every round). */
+  def bfs(adj: DataFrame, seeds: DataFrame): DataFrame = {
+    var known = seeds.select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = known
+    var d = 0L
+    var done = false
+    while (!done) {
+      val next = adj
+        .join(frontier.select(col("node").as("src")), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(known.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(d + 1))
+        .localCheckpoint()
+      if (next.isEmpty) {
+        graft.ops.DedupOps.releaseTruncated(next)
+        done = true
+      } else {
+        val nk = known.unionAll(next).localCheckpoint()
+        // nk is materialized eagerly — the superseded handles release
+        // now (frontier == known only on the first round)
+        if (frontier ne known) graft.ops.DedupOps.releaseTruncated(frontier)
+        graft.ops.DedupOps.releaseTruncated(known)
+        known = nk
+        frontier = next
+        d += 1
+      }
+    }
+    // the final frontier's rows live inside `known`'s checkpoint —
+    // its own handle is superseded (the returned frame is known)
+    if (frontier ne known) graft.ops.DedupOps.releaseTruncated(frontier)
+    known
   }
 
   /** Synchronous self-vote label propagation over any (u, v) edge

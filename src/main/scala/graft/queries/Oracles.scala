@@ -4023,6 +4023,44 @@ object Oracles {
       s"\nSELECT node, lbl AS community FROM l$iters"
   }
 
+  /** Mirrors [[AnalyticsQueries.graphBfs]] by SEARCHING INDEPENDENTLY:
+   *  same backbone and seed rule, frontier expansion unrolled to a
+   *  fixed depth as chained MATERIALIZED CTEs, FAILING LOUD via
+   *  error() if the last frontier is non-empty (the kcore
+   *  unroll-guard device) — measured eccentricity ≤ 7 at all SFs. */
+  val graphBfs: String = {
+    val depth = 16
+    val mod = AnalyticsQueries.BfsSeedMod
+    val minW = AnalyticsQueries.LpaMinWeight
+    val parts = scala.collection.mutable.ArrayBuffer(
+      """mem AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)""",
+      s"""e AS MATERIALIZED (
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM mem a JOIN mem b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= $minW)""".stripMargin,
+      """adj AS MATERIALIZED (
+        |  SELECT u AS src, v AS dst FROM e
+        |  UNION ALL SELECT v, u FROM e)""".stripMargin,
+      s"""k0 AS MATERIALIZED (
+        |  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+        |  FROM adj WHERE src % $mod = 0)""".stripMargin)
+    for (i <- 1 to depth) {
+      parts += s"""f$i AS MATERIALIZED (
+        |  SELECT DISTINCT a.dst AS node
+        |  FROM adj a JOIN k${i - 1} k ON k.node = a.src AND k.dist = ${i - 1}
+        |  WHERE a.dst NOT IN (SELECT node FROM k${i - 1}))""".stripMargin
+      parts += s"""k$i AS MATERIALIZED (
+        |  SELECT * FROM k${i - 1}
+        |  UNION ALL SELECT node, CAST($i AS BIGINT) FROM f$i)""".stripMargin
+    }
+    parts += s"""g AS (
+      |  SELECT CASE WHEN (SELECT count(*) FROM f$depth) > 0
+      |              THEN error('bfs oracle: frontier exceeds the unroll depth $depth')
+      |              ELSE 1 END AS ok)""".stripMargin
+    "WITH " + parts.mkString(",\n") +
+      s"\nSELECT node, dist FROM k$depth, g WHERE g.ok = 1"
+  }
+
   /** Mirrors [[AnalyticsQueries.qLinreg]]: same integer inputs
    *  (n_chars, whitespace token count), same DECIMAL-exact
    *  sufficient statistics, and the IDENTICAL parenthesization of

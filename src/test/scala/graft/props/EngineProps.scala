@@ -644,6 +644,29 @@ object EngineProps extends Properties("graft") {
     Gen.oneOf(raw, truncated, flipped)
   }
 
+  property("gifStructure is never silently partial: every STRICT " +
+      "prefix of a valid GIF walks to None (the trailer must land " +
+      "exactly at EOF), the whole file to its frame count, and a " +
+      "flipped byte never crashes the walk") =
+    forAll(
+      Gen.choose(0, graft.tools.GifFixture.N - 1),
+      Gen.choose(0.0, 1.0),
+      Gen.choose(Byte.MinValue, Byte.MaxValue)) { (i, fcut, v) =>
+      val b = graft.tools.GifFixture.gifBytes(i)
+      val full = graft.ops.MultimodalOps.gifStructure(b)
+      val cut = 1 + ((b.length - 2) * fcut).toInt // strict, non-empty
+      val prefix = graft.ops.MultimodalOps.gifStructure(b.take(cut))
+      val flipped = {
+        // totality only: a flipped byte may legally restructure the
+        // block stream (the DECODE cross-check catches those), but the
+        // walk itself must never throw
+        val c = b.clone(); c(cut) = v
+        scala.util.Try(graft.ops.MultimodalOps.gifStructure(c)).isSuccess
+      }
+      full.contains(graft.tools.GifFixture.frames(i)) &&
+        prefix.isEmpty && flipped
+    }
+
   property("charEntropy bounds: 0 <= entropy <= ln(n) micro-nats, zero " +
       "iff <= 1 distinct code point, and concatenation-invariant under " +
       "permutation") =
