@@ -315,15 +315,18 @@ object Run {
           "/root/testdata/sf0.001/documents.parquet")),
           OutputMode.Append)
       case "lm_score" =>
-        // unigram (--order 1, default) or add-one bigram (--order 2)
-        // LM quality scoring, live: the model is a corpus statistic
+        // unigram (--order 1, default) or bigram (--order 2) LM
+        // quality scoring, live: the model is a corpus statistic
         // learned by the gated batch query's formulation over
         // --corpus and broadcast; scoring is a row-local fold — the
         // same offline-statistic / online-filter split as
-        // quality_cut and decontaminate
+        // quality_cut and decontaminate. --smoothing kn swaps the
+        // bigram model's add-one smoothing for interpolated
+        // Kneser-Ney (the production KenLM shape)
         (lmScoreTopology(spark, lines(), opts.getOrElse("corpus",
           "/root/testdata/sf0.001/documents.parquet"),
-          opts.getOrElse("order", "1").toInt), OutputMode.Append)
+          opts.getOrElse("order", "1").toInt,
+          opts.getOrElse("smoothing", "addone")), OutputMode.Append)
       case "anomaly_gate" =>
         // z-score outlier gate live: per-type (mean, sigma) baseline
         // learned ONCE at build from --history by the gated batch
@@ -658,14 +661,17 @@ object Run {
    *  bigramScoreStream have the scale + OOV/backoff reasoning).
    *  Factored so RunTopologySpec drives the exact composition. */
   private[graft] def lmScoreTopology(spark: SparkSession,
-      lines: DataFrame, corpusPath: String, order: Int = 1): DataFrame = {
+      lines: DataFrame, corpusPath: String, order: Int = 1,
+      smoothing: String = "addone"): DataFrame = {
     val docs = lines.select(col("ts"), col("value").as("text"))
     val corpus = spark.read.parquet(corpusPath)
-    order match {
-      case 1 => StreamOps.lmScoreStream(docs, corpus)
-      case 2 => StreamOps.bigramScoreStream(docs, corpus)
-      case n => throw new IllegalArgumentException(
-        s"--order $n: only unigram (1) and bigram (2) models ship")
+    (order, smoothing) match {
+      case (1, "addone") => StreamOps.lmScoreStream(docs, corpus)
+      case (2, "addone") => StreamOps.bigramScoreStream(docs, corpus)
+      case (2, "kn") => StreamOps.bigramKnScoreStream(docs, corpus)
+      case (n, s) => throw new IllegalArgumentException(
+        s"--order $n --smoothing $s: unigram (1) and bigram (2) " +
+          "models ship, with add-one or (bigram-only) kn smoothing")
     }
   }
 

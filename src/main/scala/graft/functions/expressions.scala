@@ -1152,6 +1152,41 @@ object VectorMath {
     s
   }
 
+  /** Kneser-Ney bigram NLL fold; see [[LmBigramScoreKn]]. Seen pairs
+   *  carry the batch query's exact quantized score; the backoff chain
+   *  is the model's OWN definition in quantized components: seen
+   *  context a + unseen pair → ctxBase(a) + cont(b); unknown context →
+   *  cont(b) alone (pure continuation); unknown continuation word →
+   *  `contDefault` (the 1/|types| floor). Components are summed in
+   *  micro-nats, so a backoff score may differ from a single-ln form
+   *  by ≤ 1 micro-nat per component — a definitional choice, pinned
+   *  by spec, exactly like the add-one kernel's own fallbacks. */
+  def lmBigramKnSum(ws: ArrayData,
+      lm: java.util.HashMap[String, java.lang.Long],
+      ctxBase: java.util.HashMap[String, java.lang.Long],
+      cont: java.util.HashMap[String, java.lang.Long],
+      contDefault: Long): Long = {
+    val n = ws.numElements()
+    if (n < 2) return 0L
+    var s = 0L
+    var prev = ws.getUTF8String(0).toString
+    var i = 1
+    while (i < n) {
+      val w = ws.getUTF8String(i).toString
+      val v = lm.get(prev + " " + w)
+      if (v != null) s += v.longValue()
+      else {
+        val c = cont.get(w)
+        val cNll = if (c == null) contDefault else c.longValue()
+        val b = ctxBase.get(prev)
+        s += (if (b == null) cNll else b.longValue() + cNll)
+      }
+      prev = w
+      i += 1
+    }
+    s
+  }
+
   /** Char-bigram Naive Bayes argmax over ALREADY-LOWERCASED text; see
    *  [[NbLangId]]. The text decodes to a String ONCE and bigrams walk
    *  CODE-POINT windows over char indices (`Character.charCount`
@@ -3447,6 +3482,46 @@ case class LmBigramScore(child: Expression,
     copy(child = newChild)
 }
 
+/** Kneser-Ney bigram NLL sum over a word array — the KN sibling of
+ *  [[LmBigramScore]] (the smoothing KenLM-style filters actually
+ *  ship): seen pairs score the gated batch query's exact quantized
+ *  value; backoff = quantized-component sums over three broadcast
+ *  maps (pair → nll, context → discount-mass base, word →
+ *  continuation nll) with the 1/|types| default —
+ *  [[VectorMath.lmBigramKnSum]] has the case contract. */
+case class LmBigramScoreKn(child: Expression,
+    model: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[String, java.lang.Long]],
+    ctxBase: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[String, java.lang.Long]],
+    cont: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[String, java.lang.Long]], contDefault: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.lmBigramKnSum(v.asInstanceOf[ArrayData], model.value,
+      ctxBase.value, cont.value, contDefault)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("knBigrams", model,
+      "org.apache.spark.broadcast.Broadcast")
+    val bRef = ctx.addReferenceObj("knCtxBase", ctxBase,
+      "org.apache.spark.broadcast.Broadcast")
+    val cRef = ctx.addReferenceObj("knCont", cont,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VectorMath.lmBigramKnSum($a, " +
+        s"(java.util.HashMap)$mRef.value(), " +
+        s"(java.util.HashMap)$bRef.value(), " +
+        s"(java.util.HashMap)$cRef.value(), ${contDefault}L)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Char-bigram Naive Bayes language argmax over lowercased text —
  *  struct(lang_pred, score_micro), the scoring kernel BOTH the gated
  *  `text_langid_nb` apply pass and the live `nb_langid` topology run
@@ -3657,6 +3732,18 @@ object native {
         java.util.HashMap[String, java.lang.Long]], unk: Long): Column =
     GraftColumnBridge.column(
       LmBigramScore(GraftColumnBridge.expression(ws), model, ctxModel, unk))
+
+  def lm_bigram_score_kn(ws: Column,
+      model: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[String, java.lang.Long]],
+      ctxBase: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[String, java.lang.Long]],
+      cont: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[String, java.lang.Long]],
+      contDefault: Long): Column =
+    GraftColumnBridge.column(
+      LmBigramScoreKn(GraftColumnBridge.expression(ws), model, ctxBase,
+        cont, contDefault))
 
   def vec_dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(FloatVectorDot(GraftColumnBridge.expression(a),

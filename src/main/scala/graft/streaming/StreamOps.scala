@@ -484,6 +484,96 @@ object StreamOps {
   }
 
   /**
+   * Live KNESER-NEY bigram scoring — [[bigramScoreStream]]'s sibling
+   * with the smoothing KenLM-style filters actually ship (the gated
+   * batch form is `PipelineQueries.textBigramKn`): the full KN model
+   * trains relationally over `corpus` by the batch query's EXACT
+   * expressions, so a seen bigram scores the identical quantized
+   * micro-nats live and in batch (spec-pinned corpus-wide). Backoff —
+   * which the batch twin never exercises, since it scores its own
+   * training corpus — is the model's own definition in quantized
+   * components: seen context + unseen pair → ctxBase(a) + cont(b)
+   * (the discount mass times the continuation prior); unknown
+   * context → cont(b) alone; unknown continuation word → the
+   * 1/|types| floor. Each component is floored to micro-nats before
+   * summing (≤ 1 micro-nat from a single-ln form — a definitional
+   * choice, spec-pinned per case, the add-one kernel's convention).
+   * Same bounded-broadcast contract as the add-one form: the build
+   * REFUSES past `maxModelEntries` distinct bigrams, counted BEFORE
+   * the collect, naming the distributed batch form as the tool.
+   */
+  def bigramKnScoreStream(docs: DataFrame, corpus: DataFrame,
+      maxModelEntries: Long = 4000000L): DataFrame = {
+    import graft.queries.PipelineQueries.{KnDiscount, NllMicro}
+    val bgCounts = corpus
+      .select(graft.ops.TextAnalyticsOps.words(lower(col("text"))).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("ws")) - 2),
+        i => struct(element_at(col("ws"), i + 1).as("a"),
+          element_at(col("ws"), i + 2).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val nEntries = bgCounts.count()
+    require(nEntries <= maxModelEntries,
+      s"KN bigram model has $nEntries entries > cap $maxModelEntries; " +
+        "a broadcast map this size risks driver/executor memory — " +
+        "score with the distributed batch join form " +
+        "(PipelineQueries.textBigramKn) instead, or raise " +
+        "maxModelEntries if the memory budget allows")
+    import org.apache.spark.sql.expressions.Window
+    def micro(e: Column): Column =
+      floor(e * lit(NllMicro.toDouble)).cast("bigint")
+    val bg = bgCounts
+      .withColumn("c_a", sum("c_ab").over(Window.partitionBy("a")))
+      .withColumn("n1p_a", count(lit(1)).over(Window.partitionBy("a")))
+      .withColumn("cont_b", count(lit(1)).over(Window.partitionBy("b")))
+      .withColumn("tt", count(lit(1)).over(Window.partitionBy()))
+    val entries = bg.select(
+      concat(col("a"), lit(" "), col("b")).as("k"),
+      // the batch query's EXACT seen-pair expression (one ln of the
+      // full interpolated probability)
+      micro(-log(
+        (greatest(col("c_ab").cast("double") - lit(KnDiscount), lit(0.0)) +
+          ((lit(KnDiscount) * col("n1p_a")) *
+            (col("cont_b").cast("double") / col("tt").cast("double")))) /
+          col("c_a").cast("double"))).as("nll"),
+      col("a"),
+      micro(-log((lit(KnDiscount) * col("n1p_a")) /
+        col("c_a").cast("double"))).as("ctx_base"),
+      col("b"),
+      micro(-log(col("cont_b").cast("double") /
+        col("tt").cast("double"))).as("cont_nll"),
+      col("tt")).collect()
+    val lm = new java.util.HashMap[String, java.lang.Long](entries.length * 2)
+    val base = new java.util.HashMap[String, java.lang.Long]
+    val cont = new java.util.HashMap[String, java.lang.Long]
+    var tt = 1L
+    entries.foreach { r =>
+      lm.put(r.getString(0), r.getLong(1))
+      base.put(r.getString(2), r.getLong(3))
+      cont.put(r.getString(4), r.getLong(5))
+      tt = r.getLong(6)
+    }
+    // -ln(1/T), not ln(T): quantize the exact form the model's own
+    // cont_nll expression would produce for a count-1 word
+    val contDefault =
+      math.floor(-StrictMath.log(1.0 / tt.toDouble) *
+        NllMicro.toDouble).toLong
+    val spark0 = docs.sparkSession
+    val bcLm = spark0.sparkContext.broadcast(lm)
+    val bcBase = spark0.sparkContext.broadcast(base)
+    val bcCont = spark0.sparkContext.broadcast(cont)
+    val passthrough = docs.columns.map(col)
+    docs
+      .withColumn("ws",
+        graft.ops.TextAnalyticsOps.words(lower(col("text"))))
+      .select(passthrough ++ Seq(
+        greatest(size(col("ws")) - 1, lit(0)).cast("long").as("n_bigrams"),
+        graft.functions.native.lm_bigram_score_kn(col("ws"), bcLm,
+          bcBase, bcCont, contDefault).as("kn_nll_micro_sum")): _*)
+  }
+
+  /**
    * Live REPEATED-SPAN gate — the streaming form of
    * `PipelineQueries.dedupSpans`, same offline-model / online-filter
    * split as [[lmScoreStream]]: the set of duplicated gram hashes is

@@ -485,6 +485,13 @@ object MaxRateProbe {
         in.select(col("ts"), Generators.docLine(col("value")).as("text")),
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
     }
+    search("lm_score_kn", seed = 500000, OutputMode.Append) { in =>
+      // the KN-smoothed sibling: same one-kernel-call-per-row shape,
+      // two extra map probes only on the backoff path
+      StreamOps.bigramKnScoreStream(
+        in.select(col("ts"), Generators.docLine(col("value")).as("text")),
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    }
     search("span_flag", seed = 500000, OutputMode.Append) { in =>
       StreamOps.spanFlagStream(
         in.select(col("ts"), Generators.docLine(col("value")).as("text")),

@@ -408,6 +408,84 @@ class StreamOpsSpec extends SparkSpec {
     StreamOps.bigramScoreStream(docs, corpus, maxModelEntries = 5)
   }
 
+  test("bigramKnScoreStream: replayed corpus docs score IDENTICAL " +
+      "micro-nats to the gated batch textBigramKn; every backoff case " +
+      "(unseen pair / unknown context / unknown continuation / both) " +
+      "follows the model's own quantized-component definition; the " +
+      "entry cap refuses loudly") {
+    import graft.queries.PipelineQueries
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val want = PipelineQueries.textBigramKnOf(corpus)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val docsArr = corpus.collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // plain-Scala model reference for the backoff probes
+    val pairs = docsArr.flatMap { case (_, t) =>
+      val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      ws.sliding(2).filter(_.length == 2).map(a => (a(0), a(1)))
+    }
+    val cAb = pairs.groupBy(identity).map { case (k, g) => k -> g.size }
+    val n1pA = cAb.groupBy(_._1._1).map { case (a, g) => a -> g.size }
+    val cA = cAb.groupBy(_._1._1)
+      .map { case (a, g) => a -> g.values.sum }
+    val contB = cAb.groupBy(_._1._2).map { case (b, g) => b -> g.size }
+    val tt = cAb.size
+    val d = PipelineQueries.KnDiscount
+    def micro(x: Double): Long =
+      math.floor(-math.log(x) * PipelineQueries.NllMicro).toLong
+    def base(a: String): Long = micro((d * n1pA(a)) / cA(a).toDouble)
+    def cont(b: String): Long = micro(contB(b).toDouble / tt.toDouble)
+    val contDefault = micro(1.0 / tt.toDouble)
+    // an unseen (a, b) over known words — the vocabulary is tiny, so
+    // unseen pairs must exist; fail loud if the corpus ever saturates
+    val vocab = (n1pA.keySet ++ contB.keySet).toSeq.sorted
+    val unseen = (for {
+      a <- vocab.iterator if n1pA.contains(a)
+      b <- vocab.iterator if contB.contains(b)
+      if !cAb.contains((a, b))
+    } yield (a, b)).nextOption()
+    assert(unseen.nonEmpty, "corpus saturates all pairs — pick another probe")
+    val (ua, ub) = unseen.get
+    val probes = Seq(
+      (9001L, s"$ua $ub", base(ua) + cont(ub)), // unseen pair
+      (9002L, s"zzzzunknown $ub", cont(ub)), // unknown context
+      (9003L, s"$ua zzzzunknown", base(ua) + contDefault), // unknown cont
+      (9004L, "zzzzunknown qqqqunknown", contDefault)) // both unknown
+    val in = MemoryStream[(Long, String)]
+    val scored = StreamOps.bigramKnScoreStream(
+      in.toDF().toDF("doc_id", "text"), corpus)
+    val q = StreamOps.toMemory(
+      scored.select("doc_id", "n_bigrams", "kn_nll_micro_sum"),
+      "kn_test", OutputMode.Append, ckpt())
+    try {
+      in.addData((docsArr ++ probes.map(p => (p._1, p._2))).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("kn_test")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      // corpus docs: stream == batch, micro-nat for micro-nat (docs
+      // with < 2 words score (0, 0) live; batch drops them)
+      want.foreach { case (id, w) =>
+        assert(got(id) == w, s"doc $id: stream ${got(id)} != batch $w")
+      }
+      probes.foreach { case (id, txt, exp) =>
+        assert(got(id) == ((1L, exp)),
+          s"backoff '$txt': got ${got(id)}, want (1, $exp)")
+      }
+    } finally q.stop()
+    // the bounded-broadcast contract, same as the add-one form
+    val tiny = Seq("a b c d", "b c a d").toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.bigramKnScoreStream(
+        in.toDF().toDF("doc_id", "text"), tiny, maxModelEntries = 4)
+    }
+    assert(e.getMessage.contains("textBigramKn"), e.getMessage)
+  }
+
   test("mixWeightsStream: each trigger's complete snapshot reproduces " +
       "the batch temperature weights over everything seen so far") {
     import graft.queries.PipelineQueries
