@@ -529,6 +529,46 @@ object AnalyticsQueries {
         sqrt(col("msq") - col("m") * col("m")).as("sd"))
   }
 
+  /** MAD multiplier for [[qMadOutliers]] (the conventional 3×). */
+  val MadK = 3.0
+
+  /**
+   * ROBUST outlier flags by median absolute deviation — the
+   * 50%-breakdown complement of [[eventAnomalies]]' z-score (whose
+   * mean and sigma the outliers themselves drag: one 10⁶-valued spike
+   * inflates sd until everything else looks normal; the median/MAD
+   * pair is immune until half the data is corrupt — Hampel's
+   * identifier): flag every event with |value − median(type)| >
+   * [[MadK]]·MAD(type), reporting the deviation in exact floored
+   * micro-units of one MAD. A zero-MAD type (over half its values
+   * identical) has no robust scale — its rows are unflagged by the
+   * guard rather than divided by zero.
+   *
+   * Scale shape: pass 1 = one two-phase interpolated-percentile agg
+   * (the value_quantiles ≡ quantile_cont equivalence); pass 2 = scan
+   * + BROADCAST median join + one more percentile agg (MAD needs the
+   * median first — inherently two-pass); pass 3 = scan + broadcast
+   * stats join + row-local flag. The events relation never shuffles;
+   * the stats frame is |types| rows. Three scans beat checkpointing a
+   * corpus-sized scored frame (the textPplBuckets trade inverted:
+   * here the re-derived subtree is just the scan).
+   */
+  def qMadOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val st = ev.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"), col("med"))
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+    ev.join(broadcast(st), Seq("event_type"))
+      .filter(col("mad") > lit(0.0) &&
+        abs(col("value") - col("med")) > lit(MadK) * col("mad"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        floor(((col("value") - col("med")) / col("mad")) * lit(1000000.0))
+          .cast("bigint").as("dev_micro"))
+  }
+
   val HistBuckets = 10
 
   /** Equi-width histogram of `value` between its min and max: bucket

@@ -4023,6 +4023,24 @@ object Oracles {
       s"\nSELECT node, lbl AS community FROM l$iters"
   }
 
+  /** Mirrors [[AnalyticsQueries.qMadOutliers]]: percentile ≡
+   *  quantile_cont (the value_quantiles equivalence), identical
+   *  filter and quotient expressions on identical doubles. */
+  val qMadOutliers: String = {
+    val k = AnalyticsQueries.MadK
+    s"""WITH med AS (
+       |  SELECT event_type, quantile_cont(value, 0.5) AS med
+       |  FROM events GROUP BY 1),
+       |st AS (
+       |  SELECT e.event_type, med,
+       |         quantile_cont(abs(e.value - med), 0.5) AS mad
+       |  FROM events e JOIN med USING (event_type) GROUP BY 1, 2)
+       |SELECT event_id, e.event_type, value,
+       |  CAST(floor(((value - med) / mad) * 1000000.0) AS BIGINT) AS dev_micro
+       |FROM events e JOIN st USING (event_type)
+       |WHERE mad > 0.0 AND abs(value - med) > $k * mad""".stripMargin
+  }
+
   /** Mirrors [[AnalyticsQueries.graphBfs]] by SEARCHING INDEPENDENTLY:
    *  same backbone and seed rule, frontier expansion unrolled to a
    *  fixed depth as chained MATERIALIZED CTEs, FAILING LOUD via
