@@ -436,14 +436,22 @@ object MultimodalOps {
    *  design: the oracle gate proves the DECODE (pixels from committed
    *  bytes vs pixels from the generator definition); the hash
    *  arithmetic is one definition, like the histogram binning. */
+  private val PhashS = 32
+  private val PhashK = 8
+
+  /** The constant 8×32 DCT basis — hoisted so the 256 transcendental
+   *  evaluations run once per JVM, not twice per image. */
+  private lazy val PhashCos: Array[Array[Double]] =
+    Array.tabulate(PhashK, PhashS)((u, x) =>
+      StrictMath.cos(StrictMath.PI * (2 * x + 1) * u / (2.0 * PhashS)))
+
   private[graft] def phash64(lum: (Int, Int) => Int, w: Int, h: Int)
       : Long = {
-    val S = 32
-    val K = 8
+    val S = PhashS
+    val K = PhashK
     val g = Array.tabulate(S, S)((y, x) =>
       lum(x * w / S, y * h / S).toDouble)
-    val co = Array.tabulate(K, S)((u, x) =>
-      StrictMath.cos(StrictMath.PI * (2 * x + 1) * u / (2.0 * S)))
+    val co = PhashCos
     val f = new Array[Double](K * K)
     var u = 0
     while (u < K) {
@@ -499,14 +507,22 @@ object MultimodalOps {
             else {
               val w = img.getWidth
               val h = img.getHeight
-              val lum = Array.tabulate(h, w) { (y, x) =>
-                val rgb = img.getRGB(x, y)
+              // read ONLY the ≤ 32×32 sampled coordinates both hashes
+              // consume — a full luminance plane would cost w·h getRGB
+              // calls and a frame-sized allocation per row for the
+              // same 1024 samples (identical values: a pre-sampled
+              // 32×32 grid makes phash64's index map the identity,
+              // and the pointwise brightness shift commutes with
+              // sampling)
+              val grid = Array.tabulate(PhashS, PhashS) { (y, x) =>
+                val rgb = img.getRGB(x * w / PhashS, y * h / PhashS)
                 (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
                   (rgb & 0xFF)) / 3
               }
-              val base = phash64((x, y) => lum(y)(x), w, h)
+              val base = phash64((x, y) => grid(y)(x), PhashS, PhashS)
               val shifted = phash64(
-                (x, y) => math.min(255, lum(y)(x) + brightShift), w, h)
+                (x, y) => math.min(255, grid(y)(x) + brightShift),
+                PhashS, PhashS)
               graft.model.PhashFeatures(id, w, h, base, shifted)
             }
           } catch {

@@ -1951,24 +1951,35 @@ object PipelineQueries {
           i => struct(element_at(col("ws"), i + 1).as("a"),
             element_at(col("ws"), i + 2).as("b")))).as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
-    val bg = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-    val model = bg
-      .withColumn("c_a", sum("c_ab").over(Window.partitionBy("a")))
-      .withColumn("n1p_a", count(lit(1)).over(Window.partitionBy("a")))
-      .withColumn("cont_b", count(lit(1)).over(Window.partitionBy("b")))
-      .withColumn("tt", count(lit(1)).over(Window.partitionBy()))
-      .select(col("a"), col("b"),
-        floor(-log(
-          (greatest(col("c_ab").cast("double") - lit(KnDiscount), lit(0.0)) +
-            ((lit(KnDiscount) * col("n1p_a")) *
-              (col("cont_b").cast("double") / col("tt").cast("double")))) /
-            col("c_a").cast("double"))
-          * lit(NllMicro.toDouble)).cast("bigint").as("nll_micro"))
+    val model = knStats(pairs.groupBy("a", "b")
+        .agg(count(lit(1)).as("c_ab")))
+      .select(col("a"), col("b"), knSeenNllMicro.as("nll_micro"))
     pairs.join(broadcast(model), Seq("a", "b"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum("nll_micro").as("kn_nll_micro_sum"))
   }
+
+  /** The four KN model statistics as windows over an (a, b, c_ab)
+   *  frame — ONE definition shared by [[textBigramKnOf]] and the live
+   *  `StreamOps.bigramKnScoreStream` (the linregQuotients convention:
+   *  batch and stream cannot drift). */
+  private[graft] def knStats(bg: DataFrame): DataFrame = bg
+    .withColumn("c_a", sum("c_ab").over(Window.partitionBy("a")))
+    .withColumn("n1p_a", count(lit(1)).over(Window.partitionBy("a")))
+    .withColumn("cont_b", count(lit(1)).over(Window.partitionBy("b")))
+    .withColumn("tt", count(lit(1)).over(Window.partitionBy()))
+
+  /** The quantized interpolated-KN seen-pair NLL over [[knStats]]
+   *  columns — the ONE expression whose parenthesization the oracle
+   *  mirrors and the stream's micro-nat-identity rests on. */
+  private[graft] def knSeenNllMicro: org.apache.spark.sql.Column =
+    floor(-log(
+      (greatest(col("c_ab").cast("double") - lit(KnDiscount), lit(0.0)) +
+        ((lit(KnDiscount) * col("n1p_a")) *
+          (col("cont_b").cast("double") / col("tt").cast("double")))) /
+        col("c_a").cast("double"))
+      * lit(NllMicro.toDouble)).cast("bigint")
 
   /** Minimum pair count and output size for [[textCollocations]]. */
   val CollocMinCount = 5L
@@ -3831,12 +3842,16 @@ object PipelineQueries {
    *  proves the decode. Ignores sfDir (scale-free fixture). */
   def mmPhash(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.tools.PngFixture
+    // MATERIALIZED once: both self-join sides consume it with
+    // different projections (the collocationsOf reuse lesson) —
+    // without the cut every image decodes and DCT-folds twice
     val base = MultimodalOps.phashPartitioned(
       spark.read.parquet(PngFixture.Path), "img_id", "png", PhashShift)
       .toDF()
       .select(col("id").as("img_id"), col("phash"),
         bit_count(col("phash").bitwiseXOR(col("phash_shifted")))
           .cast("bigint").as("ham_variant"))
+      .localCheckpoint()
     base.as("a")
       .join(broadcast(base.as("b").select(col("img_id").as("nid"),
         col("phash").as("nph"))),

@@ -441,6 +441,11 @@ object StreamOps {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("c_ab"))
     val nEntries = bgCounts.count()
+    require(nEntries > 0,
+      "bigram model is EMPTY (no corpus doc has two words) — every " +
+        "score would read 0 micro-nats (probability 1) and a " +
+        "downstream quality gate would admit everything; point " +
+        "--corpus at a real text corpus")
     require(nEntries <= maxModelEntries,
       s"bigram model has $nEntries entries > cap $maxModelEntries; a " +
         "broadcast map this size risks driver/executor memory — score " +
@@ -514,29 +519,25 @@ object StreamOps {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("c_ab"))
     val nEntries = bgCounts.count()
+    require(nEntries > 0,
+      "KN bigram model is EMPTY (no corpus doc has two words) — every " +
+        "score would read 0 micro-nats (probability 1) and a " +
+        "downstream quality gate would admit everything; point " +
+        "--corpus at a real text corpus")
     require(nEntries <= maxModelEntries,
       s"KN bigram model has $nEntries entries > cap $maxModelEntries; " +
         "a broadcast map this size risks driver/executor memory — " +
         "score with the distributed batch join form " +
         "(PipelineQueries.textBigramKn) instead, or raise " +
         "maxModelEntries if the memory budget allows")
-    import org.apache.spark.sql.expressions.Window
     def micro(e: Column): Column =
       floor(e * lit(NllMicro.toDouble)).cast("bigint")
-    val bg = bgCounts
-      .withColumn("c_a", sum("c_ab").over(Window.partitionBy("a")))
-      .withColumn("n1p_a", count(lit(1)).over(Window.partitionBy("a")))
-      .withColumn("cont_b", count(lit(1)).over(Window.partitionBy("b")))
-      .withColumn("tt", count(lit(1)).over(Window.partitionBy()))
+    // the SHARED batch definitions (knStats + knSeenNllMicro), so a
+    // seen pair scores micro-nat-identical live and gated
+    val bg = graft.queries.PipelineQueries.knStats(bgCounts)
     val entries = bg.select(
       concat(col("a"), lit(" "), col("b")).as("k"),
-      // the batch query's EXACT seen-pair expression (one ln of the
-      // full interpolated probability)
-      micro(-log(
-        (greatest(col("c_ab").cast("double") - lit(KnDiscount), lit(0.0)) +
-          ((lit(KnDiscount) * col("n1p_a")) *
-            (col("cont_b").cast("double") / col("tt").cast("double")))) /
-          col("c_a").cast("double"))).as("nll"),
+      graft.queries.PipelineQueries.knSeenNllMicro.as("nll"),
       col("a"),
       micro(-log((lit(KnDiscount) * col("n1p_a")) /
         col("c_a").cast("double"))).as("ctx_base"),

@@ -484,6 +484,18 @@ class StreamOpsSpec extends SparkSpec {
         in.toDF().toDF("doc_id", "text"), tiny, maxModelEntries = 4)
     }
     assert(e.getMessage.contains("textBigramKn"), e.getMessage)
+    // ...and an EMPTY model refuses loud (every score would read 0
+    // micro-nats — probability 1 — and a gate would admit everything)
+    val oneWorders = Seq("single", "words", "only").toDF("text")
+    import org.apache.spark.sql.DataFrame
+    Seq[(DataFrame, DataFrame) => DataFrame](
+      (d, c) => StreamOps.bigramKnScoreStream(d, c),
+      (d, c) => StreamOps.bigramScoreStream(d, c)).foreach { build =>
+      val emptyE = intercept[IllegalArgumentException] {
+        build(in.toDF().toDF("doc_id", "text"), oneWorders)
+      }
+      assert(emptyE.getMessage.contains("EMPTY"), emptyE.getMessage)
+    }
   }
 
   test("mixWeightsStream: each trigger's complete snapshot reproduces " +
