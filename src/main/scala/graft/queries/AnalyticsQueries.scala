@@ -1198,6 +1198,10 @@ object AnalyticsQueries {
    *  frame — the [[graphLpa]] engine, factored for fixture tests. */
   def lpa(e: DataFrame, iters: Int): DataFrame = {
     val nodes = endpoints(e).distinct()
+    // adj (and the final label checkpoint below) stays live under the
+    // returned frame for all `iters` rounds — left to the
+    // ContextCleaner (the pagerank/kcore non-boundary convention);
+    // only SUPERSEDED mid-loop snapshots are released eagerly
     val adj = e.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
       .unionAll(nodes.select(col("node").as("src"),

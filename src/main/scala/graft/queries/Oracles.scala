@@ -4215,10 +4215,11 @@ object Oracles {
   }
 
   /** Mirrors [[PipelineQueries.mmPhash]]: the PNG fixture generator's
-   *  raw-pixel luminance through the shared pHash definition
-   *  (`tools.PngFixture.expectedPhashRows` — no PNG bytes, no
-   *  ImageIO) as VALUES literals; a hash match proves the committed
-   *  bytes decode to the generator's pixels. */
+   *  raw-pixel luminance through an INDEPENDENT plain-Scala
+   *  re-derivation of the pHash (`tools.PngFixture.refPhash64` via
+   *  `expectedPhashRows` — no PNG bytes, no ImageIO, no shared code
+   *  with MultimodalOps) as VALUES literals; a hash match proves both
+   *  the decode and the DCT/median/threshold hash definition. */
   val mmPhash: String = {
     val rows = graft.tools.PngFixture
       .expectedPhashRows(graft.queries.PipelineQueries.PhashShift)

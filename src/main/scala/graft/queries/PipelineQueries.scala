@@ -2016,7 +2016,9 @@ object PipelineQueries {
     // vocab-sized model artifact, MATERIALIZED once: it feeds BOTH
     // broadcast joins below, and the differing projections defeat
     // ReuseExchange — without the cut the corpus is scanned a third
-    // time for the c2 side (plan-pinned)
+    // time for the c2 side (plan-pinned). The handle stays live under
+    // the returned frame — left to the ContextCleaner (the pagerank
+    // non-boundary convention)
     val uni = w.select(explode(col("ws")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .withColumn("ntok", sum("c").over(Window.partitionBy()))
@@ -3838,13 +3840,17 @@ object PipelineQueries {
    *  ground truth — small by construction), and to the cyclic-next
    *  unrelated image (large — the separation that makes a hash-bucket
    *  image dedup work). Oracle = the generator's raw-pixel luminance
-   *  through the shared hash definition as VALUES literals; the gate
-   *  proves the decode. Ignores sfDir (scale-free fixture). */
+   *  through an INDEPENDENT plain-Scala re-derivation of the DCT hash
+   *  (`PngFixture.refPhash64` — own cosines, loops, median sort) as
+   *  VALUES literals; the gate proves the decode AND the hash
+   *  definition. Ignores sfDir (scale-free fixture). */
   def mmPhash(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.tools.PngFixture
     // MATERIALIZED once: both self-join sides consume it with
     // different projections (the collocationsOf reuse lesson) —
-    // without the cut every image decodes and DCT-folds twice
+    // without the cut every image decodes and DCT-folds twice.
+    // The handle stays live under the returned frame — left to the
+    // ContextCleaner (the pagerank non-boundary convention)
     val base = MultimodalOps.phashPartitioned(
       spark.read.parquet(PngFixture.Path), "img_id", "png", PhashShift)
       .toDF()

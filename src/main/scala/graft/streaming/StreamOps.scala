@@ -533,28 +533,40 @@ object StreamOps {
     def micro(e: Column): Column =
       floor(e * lit(NllMicro.toDouble)).cast("bigint")
     // the SHARED batch definitions (knStats + knSeenNllMicro), so a
-    // seen pair scores micro-nat-identical live and gated
+    // seen pair scores micro-nat-identical live and gated.
+    // Checkpointed once: three MINIMAL driver round-trips read it
+    // below (per-pair nll, per-context ctx_base, per-word cont_nll)
+    // instead of one denormalized 7-column collect — the old form
+    // duplicated every word string across the concatenated key and
+    // the a/b columns and carried per-pair copies of the per-context
+    // and per-word components, ~2-3× the driver footprint of the
+    // add-one model under the same maxModelEntries cap.
     val bg = graft.queries.PipelineQueries.knStats(bgCounts)
-    val entries = bg.select(
-      concat(col("a"), lit(" "), col("b")).as("k"),
-      graft.queries.PipelineQueries.knSeenNllMicro.as("nll"),
-      col("a"),
-      micro(-log((lit(KnDiscount) * col("n1p_a")) /
-        col("c_a").cast("double"))).as("ctx_base"),
-      col("b"),
-      micro(-log(col("cont_b").cast("double") /
-        col("tt").cast("double"))).as("cont_nll"),
-      col("tt")).collect()
-    val lm = new java.util.HashMap[String, java.lang.Long](entries.length * 2)
+      .localCheckpoint()
+    val lm = new java.util.HashMap[String, java.lang.Long](
+      (nEntries * 2).toInt)
+    bg.select(concat(col("a"), lit(" "), col("b")).as("k"),
+        graft.queries.PipelineQueries.knSeenNllMicro.as("nll"))
+      .collect().foreach(r => lm.put(r.getString(0), r.getLong(1)))
     val base = new java.util.HashMap[String, java.lang.Long]
+    bg.select(col("a"),
+        micro(-log((lit(KnDiscount) * col("n1p_a")) /
+          col("c_a").cast("double"))).as("ctx_base"))
+      .distinct()
+      .collect().foreach(r => base.put(r.getString(0), r.getLong(1)))
     val cont = new java.util.HashMap[String, java.lang.Long]
     var tt = 1L
-    entries.foreach { r =>
-      lm.put(r.getString(0), r.getLong(1))
-      base.put(r.getString(2), r.getLong(3))
-      cont.put(r.getString(4), r.getLong(5))
-      tt = r.getLong(6)
-    }
+    bg.select(col("b"),
+        micro(-log(col("cont_b").cast("double") /
+          col("tt").cast("double"))).as("cont_nll"),
+        col("tt"))
+      .distinct()
+      .collect().foreach { r =>
+        cont.put(r.getString(0), r.getLong(1)); tt = r.getLong(2)
+      }
+    // the stats frame fed only the three model collects — release the
+    // checkpoint blocks before the long-lived stream starts
+    graft.ops.DedupOps.releaseTruncated(bg)
     // -ln(1/T), not ln(T): quantize the exact form the model's own
     // cont_nll expression would produce for a count-1 word
     val contDefault =
@@ -2365,7 +2377,22 @@ private[graft] object ClusterStateManifest {
   private val LegacyRetired =
     """([^/|]+)/version=(\d+)/gen=(\d+)/?$""".r.unanchored
 
-  /** None for a torn or unparseable manifest — it was never committed. */
+  /** A manifest that WAS committed (the `eof=true` terminator is the
+   *  last rendered line, so no torn prefix can carry it) but holds a
+   *  legacy retired entry outside the fixed [[StreamOps.clusterPartDir]]
+   *  shape. This must FAIL LOUD: treating it as torn would make
+   *  readers silently step down to an older sequence — a quiet state
+   *  regression (resurrected floors and live sets) on real committed
+   *  state. */
+  final class UnmigratableManifestException(msg: String)
+    extends RuntimeException(msg)
+
+  /** None for a torn manifest — it was never committed (a torn write
+   *  is a strict prefix of [[render]]'s output, which ends with the
+   *  `eof=true` terminator, so completeness is decidable from the last
+   *  line). A COMMITTED manifest whose legacy retired entries cannot
+   *  be migrated throws [[UnmigratableManifestException]] instead of
+   *  reading as absent — see its scaladoc. */
   def parse(text: String): Option[ClusterStateManifest] = {
     val lines = text.split("\n", -1).map(_.trim).filter(_.nonEmpty)
     if (lines.isEmpty || lines.last != "eof=true") None
@@ -2393,13 +2420,21 @@ private[graft] object ClusterStateManifest {
           case s if s.contains('/') => // legacy absolute-path form
             s.split("\\|").toSeq.map {
               case LegacyRetired(t, v, g) => (t, v.toLong, g.toLong)
-              case p => sys.error(s"unparseable legacy retired: $p")
+              case p => throw new UnmigratableManifestException(
+                s"committed manifest has a legacy retired entry outside " +
+                  s"the clusterPartDir shape (cannot migrate): $p")
             }
           case s => s.split(",").toSeq.map { p =>
             val Array(t, v, g) = p.split(":")
             (t, v.toLong, g.toLong)
           }
         })
-    }.toOption
+    } match {
+      case scala.util.Success(m) => Some(m)
+      // committed-but-unmigratable ≠ torn: rethrow so readers fail
+      // loud instead of stepping down past real committed state
+      case scala.util.Failure(e: UnmigratableManifestException) => throw e
+      case scala.util.Failure(_) => None
+    }
   }
 }

@@ -65,22 +65,53 @@ object PngFixture {
       (i.toLong, w, h, hist.mkString(","))
     }
 
+  /** Independent re-derivation of the 64-bit DCT perceptual hash —
+   *  plain Scala sharing NO code with `MultimodalOps.phash64` (own
+   *  cosine evaluation, own loops, own median sort), so the oracle
+   *  gates the hash DEFINITION as well as the decode: 32×32
+   *  nearest-neighbor resample `lum(x*w/32, y*h/32)`, 8×8 2-D DCT-II
+   *  `f(u,v) = Σ_y Σ_x g(y,x)·cos(π(2x+1)u/64)·cos(π(2y+1)v/64)`,
+   *  median of all 64 coefficients (mean of the two middle sorted
+   *  values), bit k = uK+v set iff f > median.
+   *
+   *  NORMATIVE ARITHMETIC: the median thresholds exact doubles, so
+   *  the summation order (x innermost, y outer, products
+   *  left-associated) and StrictMath cosines are part of the hash
+   *  definition — a conforming implementation must sum in this order
+   *  or risk a last-ulp flip at a coefficient tied with the median. */
+  private def refPhash64(lum: (Int, Int) => Int, w: Int, h: Int): Long = {
+    val coef = new Array[Double](64)
+    for (u <- 0 until 8; v <- 0 until 8) {
+      var s = 0.0
+      for (y <- 0 until 32; x <- 0 until 32) {
+        s += lum(x * w / 32, y * h / 32).toDouble *
+          StrictMath.cos(StrictMath.PI * (2 * x + 1) * u / 64.0) *
+          StrictMath.cos(StrictMath.PI * (2 * y + 1) * v / 64.0)
+      }
+      coef(u * 8 + v) = s
+    }
+    val ordered = coef.clone()
+    java.util.Arrays.sort(ordered)
+    val median = (ordered(31) + ordered(32)) / 2.0
+    (0 until 64).foldLeft(0L)((acc, k) =>
+      if (coef(k) > median) acc | (1L << k) else acc)
+  }
+
   /** (img_id, phash, ham_variant, ham_next) from the raw pixel
-   *  definition — luminance through the SHARED
-   *  `MultimodalOps.phash64` (the gate proves the DECODE: oracle
-   *  pixels come from [[rgb]], Spark pixels from the committed
-   *  bytes; see phash64's scaladoc), with the brightness-shifted
-   *  near-dup control and the cyclic-next (unrelated image) hamming
-   *  distance. */
+   *  definition — luminance through [[refPhash64]], an INDEPENDENT
+   *  plain-Scala re-derivation of the DCT hash (the gate proves both
+   *  the decode — oracle pixels come from [[rgb]], Spark pixels from
+   *  the committed bytes — and the hash definition itself), with the
+   *  brightness-shifted near-dup control and the cyclic-next
+   *  (unrelated image) hamming distance. */
   def expectedPhashRows(shift: Int): Seq[(Long, Long, Long, Long)] = {
     val hashes = (0 until N).map { i =>
       val (w, h) = dims(i)
       def lum(x: Int, y: Int): Int = {
         val (r, g, b) = rgb(i, x, y); (r + g + b) / 3
       }
-      (graft.ops.MultimodalOps.phash64(lum, w, h),
-        graft.ops.MultimodalOps.phash64(
-          (x, y) => math.min(255, lum(x, y) + shift), w, h))
+      (refPhash64(lum, w, h),
+        refPhash64((x, y) => math.min(255, lum(x, y) + shift), w, h))
     }
     (0 until N).map { i =>
       val (p, ps) = hashes(i)

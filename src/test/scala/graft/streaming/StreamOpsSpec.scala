@@ -1295,6 +1295,29 @@ class StreamOpsSpec extends SparkSpec {
       "an unreadable candidate steps down to the previous sequence")
   }
 
+  test("cluster-state manifest: a COMMITTED manifest (eof=true) with an " +
+      "unmigratable legacy retired entry FAILS LOUD instead of reading " +
+      "as torn — stepping down past real committed state would be a " +
+      "silent regression") {
+    val statePath = Files.createTempDirectory("graft-cambad").toString
+    // committed (eof terminator present) but the retired path lacks
+    // the fixed version=/gen= tail every real legacy entry carries
+    val bad =
+      "floors=bands:0,shingles:0\ngens=bands:1,shingles:1\n" +
+        "live.bands=1:0\nlive.shingles=1:0\n" +
+        s"retired=$statePath/bands/oops-not-a-partition\neof=true\n"
+    new java.io.File(s"$statePath/_manifests").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        s"$statePath/_manifests/${"%020d".format(0)}.manifest"),
+      bad.getBytes("UTF-8"))
+    val e = intercept[
+      graft.streaming.ClusterStateManifest.UnmigratableManifestException] {
+      StreamOps.readClusterManifest(spark, statePath)
+    }
+    assert(e.getMessage.contains("oops-not-a-partition"))
+  }
+
   test("compactClusterState runs CONCURRENT with live triggers: state " +
       "equals a full recompute after every trigger while a background " +
       "compactor folds (one fold per round — the retention contract)") {
