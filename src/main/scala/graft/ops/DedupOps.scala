@@ -612,6 +612,53 @@ object DedupOps {
   }
 
   /**
+   * Near-duplicate pairs over ANY precomputed 64-bit hash column
+   * (perceptual image hashes, audio fingerprints — the
+   * [[simhashNearDups]] device decoupled from text signatures) with
+   * Hamming distance <= maxHamming, by the same Manku block-combo
+   * pigeonhole (Manku, Jain & Sarma 2007 §3) at a wider radius: split
+   * the hash into EIGHT 8-bit blocks; <= 6 bit errors dirty at most 6
+   * blocks, so any qualifying pair has some pair of blocks intact —
+   * enumerate all C(8,2) = 28 block pairs as tables, key each on the
+   * packed 16-bit value, equi-join per table, verify with bit_count.
+   * Candidates are EXACTLY re-verified, so banding is pure
+   * performance: the 2^16 key space per table prunes accidental
+   * candidates ~256x harder than plain 8x8-bit single-block banding
+   * (whose 2^8 buckets put n/256 hashes together), at 28/8 = 3.5x the
+   * exploded rows. Lossless for d <= 6 by the pigeonhole
+   * (property-pinned: any <=6-bit perturbation remains a candidate).
+   *
+   * Scale shape: the input never carries payloads — one (id, hash)
+   * row per object in, 28 fixed-width (id, hash, tbl, key) rows
+   * exploded, one shuffled equi-join on (tbl, key), exact popcount
+   * verification inside the join projection. At 100 TB of images the
+   * hash frame is ~16 bytes/object — a model-sized relation, the
+   * decode/DCT cost stays in the upstream partition-batched pass.
+   */
+  def hammingNearDups64(df: DataFrame, id: Column, hash: Column,
+      maxHamming: Int = 6): DataFrame = {
+    require(maxHamming <= 6,
+      "the 8-block/2-intact banding is lossless only for Hamming <= 6; " +
+        "use C(b, b - d) block combos for a larger radius")
+    val sigs = df.select(id.as("id"), hash.as("h"))
+    def block(b: Int) =
+      shiftrightunsigned(col("h"), b * 8).bitwiseAND(lit(255L))
+    val combos = (0 until 8).combinations(2).toSeq
+    val keyed = sigs.select(col("id"), col("h"),
+      posexplode(array(combos.map { c =>
+        (block(c(0)) * lit(256L)) + block(c(1))
+      }: _*)))
+      .toDF("id", "h", "tbl", "key")
+    keyed.as("x").join(keyed.as("y"),
+        col("x.tbl") === col("y.tbl") &&
+          col("x.key") === col("y.key") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"),
+        bit_count(col("x.h").bitwiseXOR(col("y.h"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /**
    * Exact repeated n-gram SPAN statistics — the exact-substring pass of
    * corpus dedup (Lee et al. 2022, "Deduplicating Training Data Makes
    * Language Models Better"): a gram position is *duplicated* when the

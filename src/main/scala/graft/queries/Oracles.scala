@@ -4233,6 +4233,43 @@ object Oracles {
        |  $rows) AS t(img_id, phash, ham_variant, ham_next)""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.mmPhashNeardup]]: the independent
+   *  raw-pixel hashes (`tools.PngFixture.expectedNeardupHashes` via
+   *  `refPhash64` — no PNG bytes, no shared hash code) as VALUES,
+   *  then the banding RE-DERIVED in SQL — the same 28 C(8,2)
+   *  block-pair tables as an offsets relation, packed 16-bit keys,
+   *  candidate equi-join, exact `bit_count(xor(...))` verification —
+   *  so the gate proves decode, hash definition, AND the
+   *  banded-candidate + popcount-verify pipeline end to end.
+   *  `(ph >> o) & 255` extracts bits o..o+7 identically under
+   *  DuckDB's arithmetic and Spark's unsigned shift (the fill bits
+   *  never reach the masked byte). */
+  val mmPhashNeardup: String = {
+    val rows = graft.tools.PngFixture
+      .expectedNeardupHashes(graft.queries.PipelineQueries.PhashShift)
+      .map { case (id, h) => s"($id, CAST($h AS BIGINT))" }
+      .mkString(",\n  ")
+    val combos = (0 until 8).combinations(2).toSeq.zipWithIndex
+      .map { case (c, i) => s"($i, ${c(0) * 8}, ${c(1) * 8})" }
+      .mkString(", ")
+    val t = graft.queries.PipelineQueries.PhashNeardupMaxHamming
+    s"""WITH h(id, ph) AS (VALUES
+       |  $rows),
+       |combos(tbl, o1, o2) AS (VALUES $combos),
+       |keyed AS (
+       |  SELECT id, ph, tbl,
+       |         ((ph >> o1) & 255) * 256 + ((ph >> o2) & 255) AS key
+       |  FROM h CROSS JOIN combos),
+       |cand AS (
+       |  SELECT DISTINCT x.id AS id1, y.id AS id2, x.ph AS h1, y.ph AS h2
+       |  FROM keyed x JOIN keyed y
+       |    ON x.tbl = y.tbl AND x.key = y.key AND x.id < y.id)
+       |SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
+       |       CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(h1, h2)) <= $t""".stripMargin
+  }
+
   /** Mirrors [[PipelineQueries.mmFramesGif]]: the GIF fixture
    *  generator's raw PIXEL statistics (`tools.GifFixture.expectedRows`
    *  — pure arithmetic over the deterministic pixel definition, no

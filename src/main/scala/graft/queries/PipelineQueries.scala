@@ -3868,6 +3868,40 @@ object PipelineQueries {
           .cast("bigint").as("ham_next"))
   }
 
+  /** Hamming radius for [[mmPhashNeardup]] — the lossless bound of
+   *  the 8-block/2-intact banding ([[DedupOps.hammingNearDups64]]). */
+  val PhashNeardupMaxHamming = 6
+
+  /** IMAGE NEAR-DUP at scale — the operator [[mmPhash]]'s fingerprint
+   *  exists for (dedup_simhash's multimodal sibling): decode the
+   *  committed PNGs, hash base AND brightness-shifted variant
+   *  ([[MultimodalOps.phashPartitioned]]), pool both into one hash
+   *  corpus (variant ids on the disjoint -(id+1) keyspace), and find
+   *  every pair within Hamming [[PhashNeardupMaxHamming]] via
+   *  [[DedupOps.hammingNearDups64]]'s banded equi-join — 28 block-pair
+   *  tables, exact popcount verification, NEVER all-pairs
+   *  (plan-pinned). On the committed corpus the (base, variant)
+   *  self-pairs within radius are the built-in ground truth (46 of 48
+   *  at shift 8 — two variants land beyond radius 6, real misses a
+   *  production radius choice trades; the spec pins both counts), and
+   *  base-base distances start at 10 so no accidental pair qualifies.
+   *  Oracle = the raw-pixel hashes through the INDEPENDENT
+   *  `PngFixture.refPhash64`, banded and popcount-verified in SQL.
+   *  Ignores sfDir (scale-free fixture). */
+  def mmPhashNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.tools.PngFixture
+    val hashed = MultimodalOps.phashPartitioned(
+      spark.read.parquet(PngFixture.Path), "img_id", "png", PhashShift)
+      .toDF()
+    val corpus = hashed.select(col("id"), col("phash"))
+      .unionAll(hashed.select((-(col("id") + 1)).as("id"),
+        col("phash_shifted").as("phash")))
+    graft.ops.DedupOps.hammingNearDups64(
+        corpus, col("id"), col("phash"), PhashNeardupMaxHamming)
+      .select(col("id1"), col("id2"),
+        col("hamming").cast("bigint").as("hamming"))
+  }
+
   /** REAL animated-GIF frame decode, end-to-end gated — the LOSSLESS
    *  multi-frame rung beside `mm_frames_mjpeg`
    *  ([[MultimodalOps.decodeGifFramesPartitioned]] over the committed

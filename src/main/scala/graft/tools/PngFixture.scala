@@ -121,6 +121,22 @@ object PngFixture {
     }
   }
 
+  /** The mm_phash_neardup hash corpus from the raw pixel definition
+   *  via [[refPhash64]]: base images on id = i, brightness-shifted
+   *  variants on the disjoint id = -(i+1) keyspace (the query's
+   *  convention) — the oracle's VALUES rows and the spec's
+   *  brute-force ground-truth input. */
+  def expectedNeardupHashes(shift: Int): Seq[(Long, Long)] =
+    (0 until N).flatMap { i =>
+      val (w, h) = dims(i)
+      def lum(x: Int, y: Int): Int = {
+        val (r, g, b) = rgb(i, x, y); (r + g + b) / 3
+      }
+      Seq((i.toLong, refPhash64(lum, w, h)),
+        (-(i.toLong + 1),
+          refPhash64((x, y) => math.min(255, lum(x, y) + shift), w, h)))
+    }
+
   /** A real PNG encoding of image i's pixels. */
   def pngBytes(i: Int): Array[Byte] = {
     val (w, h) = dims(i)

@@ -102,6 +102,17 @@ class PlanShapeSpec extends SparkSpec {
       "band join must be a hash/sort-merge equi-join:\n" + p)
   }
 
+  test("mm_phash_neardup verifies candidates over a BANDED equi-join " +
+      "(block-pair keys), never an all-pairs join") {
+    val p = plan("mm_phash_neardup")
+    assert(p.contains("Join") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "hamming candidates must come from the (tbl, key) equi-join:\n" + p)
+    // the 28-way band explode is present (posexplode -> Generate)
+    assert(p.contains("Generate"),
+      "expected the block-pair key explode:\n" + p)
+  }
+
   test("pivot with explicit values plans ONE aggregate pass, no re-scans") {
     val p = plan("q_pivot")
     // one scan of events; pivot must not expand to per-type scans

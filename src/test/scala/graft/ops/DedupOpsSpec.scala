@@ -88,6 +88,44 @@ class DedupOpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)))
   }
 
+  test("hammingNearDups64: exactly the brute-force pair set on a mixed " +
+      "corpus, and EVERY <=6-bit perturbation is recovered (the C(8,2) " +
+      "block-pair pigeonhole is lossless at the documented radius)") {
+    // deterministic 64-bit hashes: a golden-ratio mix spreads bits
+    def mix(i: Long): Long = {
+      var z = i * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    // 24 base hashes + for each a perturbation flipping d(i) bits at
+    // deterministic positions (d sweeps 0..6, positions stride the
+    // word so every block boundary is exercised)
+    val base = (0L until 24L).map(i => i -> mix(i))
+    val pert = base.map { case (i, h) =>
+      val d = (i % 7).toInt // 0..6, all radii including the boundary
+      val flips = (0 until d).map(k => (i * 11 + k * 13) % 64)
+      (100L + i, flips.foldLeft(h)((acc, b) => acc ^ (1L << b)))
+    }
+    val corpus = base ++ pert
+    val want = (for {
+      (a, ha) <- corpus; (b, hb) <- corpus if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 6
+    } yield (a, b, d.toLong)).toSet
+    assert(want.size >= 21, s"fixture degenerate: ${want.size} pairs")
+    val got = DedupOps.hammingNearDups64(
+        corpus.toDF("id", "h"), col("id"), col("h"), 6)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want,
+      s"missing=${want -- got} extra=${got -- want}")
+    // the lossless claim specifically: every planted (i, 100+i)
+    // self-pair with d <= 6 is present (d(i) <= 6 always, so ALL)
+    base.foreach { case (i, _) =>
+      assert(got.exists(p => p._1 == i && p._2 == 100L + i),
+        s"perturbed self-pair for base $i lost by banding")
+    }
+  }
+
   test("connectedComponents: multi-hop chains collapse, singletons survive") {
     // chain 0-1-2-3-4 (diameter 4 -> needs several propagation rounds),
     // separate pair 10-11, isolated 20

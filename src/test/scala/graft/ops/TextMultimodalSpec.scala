@@ -481,6 +481,32 @@ class TextMultimodalSpec extends SparkSpec {
       s"corrupt payload must quarantine: ${bad(id)}"))
   }
 
+  test("mm_phash_neardup: the banded hamming join over the decoded " +
+      "corpus equals the brute-force pair set from the independent " +
+      "raw-pixel hashes — 46 of 48 (base, variant) self-pairs within " +
+      "radius 6, ZERO accidental cross pairs (measured fixture " +
+      "separation: base-base distances start at 10)") {
+    import graft.queries.PipelineQueries
+    val got = PipelineQueries.mmPhashNeardup(spark, "unused")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val corpus = graft.tools.PngFixture
+      .expectedNeardupHashes(PipelineQueries.PhashShift)
+    val want = (for {
+      (a, ha) <- corpus; (b, hb) <- corpus if a < b
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= PipelineQueries.PhashNeardupMaxHamming
+    } yield (a, b, d.toLong)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    // non-vacuity + purity: every emitted pair is a (base, variant)
+    // self-pair (id2 = -(id1+1) under the id1 < id2 canonical order,
+    // since variants sit on the negative keyspace), and most of the
+    // ground-truth variants fall within the production radius
+    assert(got.size == 46, s"expected 46 self-pairs, got ${got.size}")
+    assert(got.forall { case (id1, id2, _) => id1 == -(id2 + 1) },
+      "an accidental non-self pair crossed the radius")
+  }
+
   test("mm_frames_gif: the COMMITTED animated GIFs decode EXACTLY to " +
       "the raw pixel arithmetic (lossless codec — no tolerance " +
       "device) and the corruption zoo quarantines") {
