@@ -551,7 +551,13 @@ object AnalyticsQueries {
    * stats join + row-local flag. The events relation never shuffles;
    * the stats frame is |types| rows. Three scans beat checkpointing a
    * corpus-sized scored frame (the textPplBuckets trade inverted:
-   * here the re-derived subtree is just the scan).
+   * here the re-derived subtree is just the scan). CAVEAT: exact
+   * `percentile` keeps distinct-value-sized aggregation state per
+   * group — unbounded at adversarial double cardinality; the 100 TB
+   * form is [[qMadOutliersApprox]] (fixed-size `percentile_approx`
+   * sketch state, flags verified identical on the committed data —
+   * the uv_approx contract convention). Exactness here is
+   * oracle-required; the twin is the production path.
    */
   def qMadOutliers(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
@@ -567,6 +573,71 @@ object AnalyticsQueries {
       .select(col("event_id"), col("event_type"), col("value"),
         floor(((col("value") - col("med")) / col("mad")) * lit(1000000.0))
           .cast("bigint").as("dev_micro"))
+  }
+
+  /** `percentile_approx` accuracy for [[qMadOutliersApprox]] —
+   *  rank error ≤ n/accuracy with O(accuracy) sketch state. */
+  val MadApproxAcc = 10000
+
+  /** Flag-disagreement tolerance for [[qMadOutliersApprox]], parts
+   *  per million of the group size (0.1%). */
+  val MadApproxFlagTolPpm = 1000L
+
+  /**
+   * The SKETCH twin of [[qMadOutliers]] — the 100 TB form (the
+   * uv_approx / value_quantiles contract convention): exact
+   * `percentile`'s aggregation buffer is distinct-value-sized per
+   * group, unbounded at adversarial value cardinality, while
+   * `percentile_approx` carries fixed O([[MadApproxAcc]])
+   * Greenwald-Khanna sketch state per group at rank error ≤
+   * n/accuracy. Same three-scan shape; both stat derivations run
+   * side-by-side and the output is the CHECKED CONTRACT per type:
+   * rows the two stat pairs flag DIFFERENTLY number at most
+   * [[MadApproxFlagTolPpm]] per million (measured: 0 at sf0.01, 2 of
+   * 20302 on one type at sf0.1 — a flags-IDENTICAL contract is
+   * unattainable in principle, because `percentile_approx` returns an
+   * actual data value while `percentile` interpolates between the two
+   * middle ones, so rows inside the interpolation gap around the
+   * k·MAD boundary can flip at ANY sketch accuracy), and approx
+   * median and MAD within 5% of exact. The oracle re-derives the
+   * exact side and emits literal TRUE booleans — deterministic on the
+   * committed data, so the Spark side's sketch must land inside every
+   * tolerance or the gate fails (accuracy verified, sketch internals
+   * never compared). At 100 TB one drops the exact columns and keeps
+   * the approx pair — this query is the evidence that swap flips
+   * ≤ 0.1% of flags at the shipped accuracy.
+   */
+  def qMadOutliersApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med_e"),
+        expr(s"percentile_approx(value, 0.5, $MadApproxAcc)").as("med_a"))
+    val st = ev.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"), col("med_e"), col("med_a"))
+      .agg(expr("percentile(abs(value - med_e), 0.5)").as("mad_e"),
+        expr(s"percentile_approx(abs(value - med_a), 0.5, $MadApproxAcc)")
+          .as("mad_a"))
+    val fe = col("mad_e") > lit(0.0) &&
+      abs(col("value") - col("med_e")) > lit(MadK) * col("mad_e")
+    val fa = col("mad_a") > lit(0.0) &&
+      abs(col("value") - col("med_a")) > lit(MadK) * col("mad_a")
+    ev.join(broadcast(st), Seq("event_type"))
+      .select(col("event_type"), fe.as("fe"), fa.as("fa"),
+        (abs(col("med_a") - col("med_e")) <=
+          abs(col("med_e")) * lit(0.05)).as("med_in"),
+        (abs(col("mad_a") - col("mad_e")) <=
+          abs(col("mad_e")) * lit(0.05)).as("mad_in"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("fe"), lit(1))).as("n_flag_exact"),
+        count(when(col("fe") =!= col("fa"), lit(1))).as("n_diff"),
+        min(col("med_in")).as("med_ok"),
+        min(col("mad_in")).as("mad_ok"))
+      .select(col("event_type"), col("n"), col("n_flag_exact"),
+        (col("n_diff") * lit(1000000L) <=
+          col("n") * lit(MadApproxFlagTolPpm)).as("flags_close"),
+        col("med_ok"), col("mad_ok"))
   }
 
   val HistBuckets = 10

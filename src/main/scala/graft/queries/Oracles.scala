@@ -4041,6 +4041,29 @@ object Oracles {
        |WHERE mad > 0.0 AND abs(value - med) > $k * mad""".stripMargin
   }
 
+  /** Mirrors [[AnalyticsQueries.qMadOutliersApprox]]: the EXACT side
+   *  re-derived (quantile_cont ≡ percentile), the contract booleans
+   *  as literal TRUE — deterministic on this data, so the Spark
+   *  side's sketch stats must flip ≤ 0.1% of flags and land within
+   *  the 5% stat tolerance or the gate fails (the uv_approx /
+   *  value_quantiles contract device). */
+  val qMadOutliersApprox: String = {
+    val k = AnalyticsQueries.MadK
+    s"""WITH med AS (
+       |  SELECT event_type, quantile_cont(value, 0.5) AS med
+       |  FROM events GROUP BY 1),
+       |st AS (
+       |  SELECT e.event_type, med,
+       |         quantile_cont(abs(e.value - med), 0.5) AS mad
+       |  FROM events e JOIN med USING (event_type) GROUP BY 1, 2)
+       |SELECT e.event_type, count(*) AS n,
+       |       count(*) FILTER (WHERE mad > 0.0 AND
+       |         abs(value - med) > $k * mad) AS n_flag_exact,
+       |       true AS flags_close, true AS med_ok, true AS mad_ok
+       |FROM events e JOIN st USING (event_type)
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Mirrors [[AnalyticsQueries.graphBfs]] by SEARCHING INDEPENDENTLY:
    *  same backbone and seed rule, frontier expansion unrolled to a
    *  fixed depth as chained MATERIALIZED CTEs, FAILING LOUD via
