@@ -879,8 +879,7 @@ object AnalyticsQueries {
    * 3·triangles / wedges, both exact integers, divided once.
    */
   def graphTriangles(spark: SparkSession, sfDir: String): DataFrame =
-    triangleCensus(Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+    triangleCensusEdges(coPairsTable(spark, sfDir).select("u", "v"))
 
   /** Distinct undirected co-membership edges (u < v) of any (o, p)
    *  frame — the graph both [[triangleCensus]] and [[kCore]] analyze.
@@ -890,6 +889,59 @@ object AnalyticsQueries {
     mem.as("a").join(mem.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+  }
+
+  /** (applicationId, sfDir) pairs whose [[coPairsTable]] is already
+   *  written this JVM. Values are table-name strings (no DataFrame
+   *  lineage pinned — nothing for an eviction hook to release; a new
+   *  SparkContext gets a new applicationId and rebuilds). */
+  private val coPairsBuilt =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]
+
+  /** The SHARED weighted co-purchase pair artifact `(u, v, w)` —
+   *  every part pair sharing an order with its co-occurrence count —
+   *  materialized ONCE per (SparkContext, sfDir) as a managed parquet
+   *  table bucketed + sorted on `u` (the [[graft.sources.BucketedTables]]
+   *  device) and consumed by FOUR graph queries: [[graphTriangles]]
+   *  and [[graphKcore]] take `select(u, v)` (a weight-1 threshold is
+   *  the distinct pair set), [[graphLpa]] and [[graphBfs]] take the
+   *  `w >= LpaMinWeight` backbone — a filter PUSHED to the bucketed
+   *  scan, never a re-join. At 100 TB the per-order co-occurrence
+   *  self-join is the dominant cost of the whole graph family; this
+   *  runs it once, pays its shuffle at write time, and every consumer
+   *  (and every later session over the same corpus) reads fixed-width
+   *  integer triples back — u-keyed joins and aggregations plan with
+   *  NO Exchange on the table side (bucket layout = valid
+   *  HashPartitioning; plan-pinned). [[graphPagerank]] alone stays
+   *  off the artifact: its graph is the supplier→part INCIDENCE (one
+   *  distinct of a two-column projection — no self-join to amortize,
+   *  and a different node space). */
+  private[graft] def coPairsTable(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    val table = coPairsBuilt.computeIfAbsent(key, _ => {
+      val name = "graft_graph_copairs_" +
+        sfDir.replaceAll("[^a-zA-Z0-9]+", "_")
+      // a PREVIOUS JVM's table dir outlives its in-memory catalog
+      // entry — saveAsTable would refuse with LOCATION_ALREADY_EXISTS;
+      // stale leftovers are never trusted (the artifact is rebuilt
+      // once per context), so drop both halves before writing
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), name)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val mem = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = mem.as("a").join(mem.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("w"))
+      graft.sources.BucketedTables.writeBucketed(pairs, name, "u", 32)
+      name
+    })
+    spark.table(table)
   }
 
   /** Both endpoint occurrences of every edge — degree = count. */
@@ -906,8 +958,13 @@ object AnalyticsQueries {
 
   /** The census over any (o, p) membership frame: nodes are p values,
    *  edges join parts sharing an o. Factored for fixture tests. */
-  def triangleCensus(pairs: DataFrame): DataFrame = {
-    val edges = coEdges(pairs).localCheckpoint()
+  def triangleCensus(pairs: DataFrame): DataFrame =
+    triangleCensusEdges(coEdges(pairs))
+
+  /** The [[triangleCensus]] engine over a prebuilt (u, v) edge frame
+   *  — the [[coPairsTable]] consumers skip the co-membership join. */
+  def triangleCensusEdges(edges0: DataFrame): DataFrame = {
+    val edges = edges0.localCheckpoint()
     val deg = endpoints(edges).groupBy("node").agg(count(lit(1)).as("deg"))
     // total orientation order: lexicographic (deg, node) — compared
     // as two fields, never packed into one integer (a deg·2³²+node
@@ -1113,8 +1170,7 @@ object AnalyticsQueries {
    * oracle error, never a silent mismatch.
    */
   def graphKcore(spark: SparkSession, sfDir: String): DataFrame =
-    kCore(coEdges(Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))), KCoreK)
+    kCore(coPairsTable(spark, sfDir).select("u", "v"), KCoreK)
 
   /** The peeling fixpoint over any (u, v) edge frame. */
   def kCore(edges0: DataFrame, k: Int): DataFrame = {
@@ -1182,18 +1238,13 @@ object AnalyticsQueries {
     lpa(coBackbone(spark, sfDir), LpaIters)
 
   /** The weight-≥[[LpaMinWeight]] repeated-co-purchase backbone
-   *  (u, v) — shared by [[graphLpa]] and [[graphBfs]]. */
-  private def coBackbone(spark: SparkSession, sfDir: String): DataFrame = {
-    val mem = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    mem.as("a").join(mem.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(count(lit(1)).as("w"))
+   *  (u, v) — shared by [[graphLpa]] and [[graphBfs]]: a pushed-down
+   *  weight filter over the shared [[coPairsTable]] artifact
+   *  (plan-pinned `GreaterThanOrEqual(w, ...)` in PushedFilters). */
+  private[graft] def coBackbone(spark: SparkSession, sfDir: String): DataFrame =
+    coPairsTable(spark, sfDir)
       .filter(col("w") >= LpaMinWeight)
       .select("u", "v")
-  }
 
   /** Seed rule for [[graphBfs]]: every part id ≡ 0 (mod 100). */
   val BfsSeedMod = 100

@@ -102,6 +102,46 @@ class PlanShapeSpec extends SparkSpec {
       "band join must be a hash/sort-merge equi-join:\n" + p)
   }
 
+  test("the co-occurrence graph family reads the SHARED bucketed " +
+      "coPairsTable artifact: one derivation per session (no rebuild " +
+      "between consumers), the backbone weight filter is PUSHED to the " +
+      "bucketed scan, and u-keyed aggregation over the table plans no " +
+      "Exchange (bucket layout = HashPartitioning)") {
+    import graft.queries.AnalyticsQueries
+    import org.apache.spark.sql.functions.{col, sum}
+    // consumers checkpoint eagerly at construction, so pin the INPUT
+    // frames they consume rather than the checkpoint-rooted outputs
+    val src = AnalyticsQueries.coPairsTable(spark, sfDir)
+      .select("u", "v").queryExecution.executedPlan.toString
+    assert(src.contains("graft_graph_copairs"),
+      "triangles/kcore input must scan the artifact:\n" + src)
+    assert(!src.contains("lineitem"),
+      "the per-order self-join must not re-derive:\n" + src)
+    val cb = AnalyticsQueries.coBackbone(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(cb.contains("graft_graph_copairs") && !cb.contains("lineitem"),
+      "the lpa/bfs backbone must scan the artifact:\n" + cb)
+    assert(cb.contains("GreaterThanOrEqual(w,2"),
+      "the weight cut must reach PushedFilters:\n" + cb)
+    // single derivation: running two consumers must not rewrite the
+    // table (the memo guarantees once per (SparkContext, sfDir))
+    val warehouse = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      "graft_graph_copairs_" + sfDir.replaceAll("[^a-zA-Z0-9]+", "_"))
+    assert(warehouse.exists, s"expected table dir at $warehouse")
+    val stamp = warehouse.lastModified
+    SparkEntry.queries("graph_kcore")(spark, sfDir).collect()
+    SparkEntry.queries("graph_triangles")(spark, sfDir).collect()
+    assert(warehouse.lastModified == stamp,
+      "a consumer rebuilt the shared artifact")
+    // the zero-shuffle read the bucket layout buys
+    val agg = AnalyticsQueries.coPairsTable(spark, sfDir)
+      .groupBy("u").agg(sum(col("w")))
+      .queryExecution.executedPlan.toString
+    assert(!agg.contains("Exchange"),
+      "u-keyed agg over the bucketed table must not shuffle:\n" + agg)
+  }
+
   test("mm_phash_neardup verifies candidates over a BANDED equi-join " +
       "(block-pair keys), never an all-pairs join") {
     val p = plan("mm_phash_neardup")
