@@ -1280,6 +1280,72 @@ object AnalyticsQueries {
     bfs(adj, seeds)
   }
 
+  /**
+   * PERSONALIZED PageRank from the [[graphBfs]] seed set — the
+   * seed-proximity ranking that composes the two existing fixpoints
+   * (the data-curation "influence of trusted seeds" primitive:
+   * rank-by-closeness-to-curated-sources, Haveliwala 2002 /
+   * Jeh & Widom 2003): the [[graphPagerank]] iteration over the
+   * repeated-co-purchase backbone, but teleport mass lands ONLY on
+   * the seed nodes (part id ≡ 0 mod [[BfsSeedMod]]) — rank_micro is
+   * per-seed unit mass in the pagerank micro-unit fixed point, so a
+   * node's score decays with its distance from the seed set and
+   * seed-free components read exactly 0.
+   *
+   * Scale shape: identical to [[graphPagerank]] — backbone from the
+   * shared [[coPairsTable]] artifact, edge relation checkpointed
+   * once, [[PrIters]] rounds of ONE shuffle join (node-sized rank
+   * state onto edges) + ONE two-phase sum, rank lineage truncated on
+   * the stride with the handle-release discipline. The teleport term
+   * is a row-local predicate on the aggregated node id — no extra
+   * join, no seed-set broadcast. All arithmetic is floored integer
+   * micro-units (bit-stable across engines), so round K is a pure
+   * function of the edge set and the oracle's unrolled chained-CTE
+   * recomputation lands on identical ranks.
+   */
+  def graphPpr(spark: SparkSession, sfDir: String): DataFrame =
+    ppr(coBackbone(spark, sfDir),
+      col("node") % BfsSeedMod === 0, PrIters)
+
+  /** The personalized-pagerank iteration over any (u, v) edge frame —
+   *  the [[graphPpr]] engine, factored for fixture tests. `seedPred`
+   *  is evaluated against the aggregated `node` column (row-local —
+   *  never a membership join). */
+  def ppr(e: DataFrame, seedPred: org.apache.spark.sql.Column,
+      iters: Int): DataFrame = {
+    val edges = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = edges.join(deg, "src").localCheckpoint()
+    val teleBase = when(seedPred, lit(PrScale * 15 / 100)).otherwise(lit(0L))
+    var ranks = deg.select(col("src").as("node"))
+      .select(col("node"),
+        when(seedPred, lit(PrScale)).otherwise(lit(0L)).as("rank"))
+    var sinceTrunc = 0
+    var lastCkpt: Option[DataFrame] = None // the pagerank handle rule
+    for (_ <- 1 to iters) {
+      val contribs = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("node"))
+        .select(col("dst"), floor(col("rank") / col("outdeg")).as("c"))
+      val next = contribs.groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("node"),
+          (teleBase + floor(col("s") * lit(85L) / lit(100.0))).as("rank"))
+      sinceTrunc += 1
+      if (sinceTrunc >= 4) {
+        ranks = next.localCheckpoint()
+        lastCkpt.foreach(graft.ops.DedupOps.releaseTruncated)
+        lastCkpt = Some(ranks)
+        sinceTrunc = 0
+      } else ranks = next
+    }
+    val out = ranks.select(col("node"), col("rank").as("rank_micro"))
+    // same boundary rule as graphPagerank: release the edge
+    // checkpoint early only when the final ranks are checkpoint-rooted
+    if (sinceTrunc == 0) graft.ops.DedupOps.releaseTruncated(edgesDeg)
+    out
+  }
+
   /** The BFS fixpoint over any symmetrized (src, dst) adjacency —
    *  factored for fixture tests. `adj` should be materialized by the
    *  caller (it is scanned every round). */

@@ -3985,6 +3985,42 @@ object Oracles {
        |SELECT node, rank AS rank_micro FROM r$iters""".stripMargin
   }
 
+  /** Mirrors [[AnalyticsQueries.graphPpr]] by RECOMPUTING
+   *  INDEPENDENTLY: same backbone (re-derived from lineitem — the
+   *  oracle never sees the shared artifact), same seed rule, the
+   *  teleport-at-seeds pagerank iteration unrolled as chained
+   *  MATERIALIZED CTEs with the identical floored integer micro-unit
+   *  arithmetic (the graphPagerank device). */
+  val graphPpr: String = {
+    val iters = AnalyticsQueries.PrIters
+    val scale = AnalyticsQueries.PrScale
+    val base = scale * 15 / 100
+    val mod = AnalyticsQueries.BfsSeedMod
+    val minW = AnalyticsQueries.LpaMinWeight
+    val chain = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT e.dst AS node,
+         |         CAST(CASE WHEN e.dst % $mod = 0 THEN $base ELSE 0 END +
+         |              floor((sum(CAST(floor(r.rank / e.outdeg) AS BIGINT)) * 85) / 100.0) AS BIGINT) AS rank
+         |  FROM ed e JOIN r${i - 1} r ON r.node = e.src
+         |  GROUP BY e.dst)"""
+    }.mkString(",\n")
+    s"""WITH mem AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |be AS MATERIALIZED (
+       |  SELECT a.p AS u, b.p AS v
+       |  FROM mem a JOIN mem b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY 1, 2 HAVING count(*) >= $minW),
+       |e AS (SELECT u AS src, v AS dst FROM be UNION ALL SELECT v, u FROM be),
+       |d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |ed AS MATERIALIZED (SELECT e.src, e.dst, d.outdeg FROM e JOIN d USING (src)),
+       |r0 AS (
+       |  SELECT src AS node,
+       |         CAST(CASE WHEN src % $mod = 0 THEN $scale ELSE 0 END AS BIGINT) AS rank
+       |  FROM d),
+       |$chain
+       |SELECT node, rank AS rank_micro FROM r$iters""".stripMargin
+  }
+
   /** Mirrors [[AnalyticsQueries.graphLpa]] by PROPAGATING
    *  INDEPENDENTLY: same weight-thresholded backbone, same
    *  self-loop adjacency, the per-round most-frequent-label argmax

@@ -46,6 +46,74 @@ class LpaLinregSpec extends SparkSpec {
     assert(got == refLpa(edges, 5), s"diverged from reference: $got")
   }
 
+  /** Reference personalized pagerank: identical floored integer
+    * micro-unit arithmetic (rank/outdeg and s·85/100.0 as double
+    * divisions floored to long) with teleport mass only at seeds. */
+  private def refPpr(edges: Set[(Long, Long)], isSeed: Long => Boolean,
+      iters: Int): Map[Long, Long] = {
+    val scale = AnalyticsQueries.PrScale
+    val base = scale * 15 / 100
+    val adj: Map[Long, Seq[Long]] = edges.toSeq
+      .flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (n, g) => n -> g.map(_._2) }
+    val outdeg = adj.map { case (n, nbrs) => n -> nbrs.size.toLong }
+    var rank: Map[Long, Long] =
+      adj.keys.map(n => n -> (if (isSeed(n)) scale else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val in = adj.toSeq.flatMap { case (src, nbrs) =>
+        val c = math.floor(rank(src).toDouble / outdeg(src)).toLong
+        nbrs.map(dst => dst -> c)
+      }.groupBy(_._1).map { case (n, g) => n -> g.map(_._2).sum }
+      rank = in.map { case (n, s) =>
+        n -> ((if (isSeed(n)) base else 0L) +
+          math.floor((s * 85L).toDouble / 100.0).toLong)
+      }
+    }
+    rank
+  }
+
+  test("personalized pagerank == reference on a seeded path plus a " +
+      "seed-free component (mass decays from the seed, the cut-off " +
+      "component reads exactly zero)") {
+    import org.apache.spark.sql.functions.col
+    // path 100-1-2-3 (100 is the seed under the %100 rule) and a
+    // disconnected seed-free pair {5,6}
+    val edges = Set((100L, 1L), (1L, 2L), (2L, 3L), (5L, 6L))
+    val got = AnalyticsQueries.ppr(edges.toSeq.toDF("u", "v"),
+        col("node") % AnalyticsQueries.BfsSeedMod === 0, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refPpr(edges, _ % 100 == 0, 8),
+      s"diverged from reference: $got")
+    // the seed holds the max rank, every REACHABLE node holds positive
+    // mass (node-wise hop-distance monotonicity does NOT hold in
+    // general — node 2 collects from both sides of the path and
+    // outranks degree-2 node 1, measured — so only the seed/reachable/
+    // unreachable partition is a sound invariant)
+    assert(Seq(1L, 2L, 3L).forall(n => got(n) > 0L && got(100L) > got(n)),
+      s"seed must dominate and reachable nodes hold mass: $got")
+    assert(got(5L) == 0L && got(6L) == 0L,
+      s"a seed-free component must read exactly zero: $got")
+  }
+
+  test("personalized pagerank: randomized graphs == reference (three " +
+      "seeds — pins the floored micro-unit arithmetic and the " +
+      "teleport-at-seeds rule)") {
+    import org.apache.spark.sql.functions.col
+    for (seed <- Seq(7, 42, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      // node ids stride 50 so some are %100 seeds and some are not
+      val edges = (1 to 40).map { _ =>
+        val a = rnd.nextInt(12).toLong * 50
+        val b = rnd.nextInt(12).toLong * 50
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).toSet
+      val got = AnalyticsQueries.ppr(edges.toSeq.toDF("u", "v"),
+          col("node") % AnalyticsQueries.BfsSeedMod === 0, 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == refPpr(edges, _ % 100 == 0, 8), s"seed $seed diverged")
+    }
+  }
+
   test("randomized graphs == reference propagation (three seeds, " +
       "5 rounds — pins the self-vote and the count/label tie-break)") {
     for (seed <- Seq(7, 42, 1234)) {
