@@ -50,7 +50,7 @@ import graft.streaming.StreamOps
  * (curate also takes --threshold <minScore> and --min-words <n>;
  *  decontaminate takes --bench <parquet path> for the benchmark set;
  *  lm_score takes --corpus <parquet path> for the model corpus and
- *  --order 1|2 for unigram vs add-one bigram scoring;
+ *  --order 1|2|3 for unigram / bigram / trigram scoring;
  *  span_flag, mix_sample, neardup_gate, outlier_gate and nb_langid
  *  take --corpus <parquet path> for their offline models)
  */
@@ -320,9 +320,9 @@ object Run {
         // learned by the gated batch query's formulation over
         // --corpus and broadcast; scoring is a row-local fold — the
         // same offline-statistic / online-filter split as
-        // quality_cut and decontaminate. --smoothing kn swaps the
-        // bigram model's add-one smoothing for interpolated
-        // Kneser-Ney (the production KenLM shape)
+        // quality_cut and decontaminate. --smoothing kn swaps
+        // add-one for interpolated Kneser-Ney (the production KenLM
+        // shape; bigram and --order 3 trigram)
         (lmScoreTopology(spark, lines(), opts.getOrElse("corpus",
           "/root/testdata/sf0.001/documents.parquet"),
           opts.getOrElse("order", "1").toInt,
@@ -669,9 +669,11 @@ object Run {
       case (1, "addone") => StreamOps.lmScoreStream(docs, corpus)
       case (2, "addone") => StreamOps.bigramScoreStream(docs, corpus)
       case (2, "kn") => StreamOps.bigramKnScoreStream(docs, corpus)
+      case (3, "kn") => StreamOps.trigramKnScoreStream(docs, corpus)
       case (n, s) => throw new IllegalArgumentException(
-        s"--order $n --smoothing $s: unigram (1) and bigram (2) " +
-          "models ship, with add-one or (bigram-only) kn smoothing")
+        s"--order $n --smoothing $s: unigram (1), bigram (2) and " +
+          "trigram (3) models ship — add-one for orders 1-2, kn for " +
+          "orders 2-3")
     }
   }
 

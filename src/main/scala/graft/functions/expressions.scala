@@ -1187,6 +1187,54 @@ object VectorMath {
     s
   }
 
+  /** Kneser-Ney TRIGRAM NLL fold; see [[LmTrigramScoreKn]]. Seen
+   *  triples carry the batch query's exact quantized score; the
+   *  backoff cascade is the model's OWN definition in quantized
+   *  components, one level deeper than [[lmBigramKnSum]]:
+   *  seen context (a,b) + unseen triple → ctxBase(ab) + midScore(b,c);
+   *  unknown context → midScore(b,c) alone; where midScore(b,c) =
+   *  the seen (b,c)-type NLL, else midBase(b) + contScore(c), else
+   *  contScore(c); contScore(c) = cont(c) or the 1/T₂ floor.
+   *  Components sum in micro-nats (≤ 1 micro-nat per component from
+   *  a single-ln form — the bigram kernel's definitional choice,
+   *  spec-pinned per case). */
+  def lmTrigramKnSum(ws: ArrayData,
+      lm: java.util.HashMap[String, java.lang.Long],
+      ctxBase: java.util.HashMap[String, java.lang.Long],
+      mid: java.util.HashMap[String, java.lang.Long],
+      midBase: java.util.HashMap[String, java.lang.Long],
+      cont: java.util.HashMap[String, java.lang.Long],
+      contDefault: Long): Long = {
+    val n = ws.numElements()
+    if (n < 3) return 0L
+    var s = 0L
+    var p2 = ws.getUTF8String(0).toString
+    var p1 = ws.getUTF8String(1).toString
+    var i = 2
+    while (i < n) {
+      val w = ws.getUTF8String(i).toString
+      val v = lm.get(p2 + " " + p1 + " " + w)
+      if (v != null) s += v.longValue()
+      else {
+        val m = mid.get(p1 + " " + w)
+        val midNll =
+          if (m != null) m.longValue()
+          else {
+            val c = cont.get(w)
+            val cNll = if (c == null) contDefault else c.longValue()
+            val mb = midBase.get(p1)
+            if (mb == null) cNll else mb.longValue() + cNll
+          }
+        val cb = ctxBase.get(p2 + " " + p1)
+        s += (if (cb == null) midNll else cb.longValue() + midNll)
+      }
+      p2 = p1
+      p1 = w
+      i += 1
+    }
+    s
+  }
+
   /** Char-bigram Naive Bayes argmax over ALREADY-LOWERCASED text; see
    *  [[NbLangId]]. The text decodes to a String ONCE and bigrams walk
    *  CODE-POINT windows over char indices (`Character.charCount`
@@ -3522,6 +3570,56 @@ case class LmBigramScoreKn(child: Expression,
     copy(child = newChild)
 }
 
+/** Kneser-Ney TRIGRAM NLL sum over a word array — [[LmBigramScoreKn]]
+ *  one order up: seen triples score the gated batch query's exact
+ *  quantized value; backoff = quantized-component sums over five
+ *  broadcast maps (triple → nll, context "a b" → discount-mass base,
+ *  (b,c)-type → mid-level nll, middle word → mid discount base,
+ *  word → continuation nll) with the 1/T₂ default —
+ *  [[VectorMath.lmTrigramKnSum]] has the case contract. */
+case class LmTrigramScoreKn(child: Expression,
+    model: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[String, java.lang.Long]],
+    ctxBase: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[String, java.lang.Long]],
+    mid: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[String, java.lang.Long]],
+    midBase: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[String, java.lang.Long]],
+    cont: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[String, java.lang.Long]], contDefault: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.lmTrigramKnSum(v.asInstanceOf[ArrayData], model.value,
+      ctxBase.value, mid.value, midBase.value, cont.value, contDefault)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("kn3Trigrams", model,
+      "org.apache.spark.broadcast.Broadcast")
+    val bRef = ctx.addReferenceObj("kn3CtxBase", ctxBase,
+      "org.apache.spark.broadcast.Broadcast")
+    val dRef = ctx.addReferenceObj("kn3Mid", mid,
+      "org.apache.spark.broadcast.Broadcast")
+    val eRef = ctx.addReferenceObj("kn3MidBase", midBase,
+      "org.apache.spark.broadcast.Broadcast")
+    val cRef = ctx.addReferenceObj("kn3Cont", cont,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VectorMath.lmTrigramKnSum($a, " +
+        s"(java.util.HashMap)$mRef.value(), " +
+        s"(java.util.HashMap)$bRef.value(), " +
+        s"(java.util.HashMap)$dRef.value(), " +
+        s"(java.util.HashMap)$eRef.value(), " +
+        s"(java.util.HashMap)$cRef.value(), ${contDefault}L)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Char-bigram Naive Bayes language argmax over lowercased text —
  *  struct(lang_pred, score_micro), the scoring kernel BOTH the gated
  *  `text_langid_nb` apply pass and the live `nb_langid` topology run
@@ -3744,6 +3842,22 @@ object native {
     GraftColumnBridge.column(
       LmBigramScoreKn(GraftColumnBridge.expression(ws), model, ctxBase,
         cont, contDefault))
+
+  def lm_trigram_score_kn(ws: Column,
+      model: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[String, java.lang.Long]],
+      ctxBase: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[String, java.lang.Long]],
+      mid: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[String, java.lang.Long]],
+      midBase: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[String, java.lang.Long]],
+      cont: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[String, java.lang.Long]],
+      contDefault: Long): Column =
+    GraftColumnBridge.column(
+      LmTrigramScoreKn(GraftColumnBridge.expression(ws), model, ctxBase,
+        mid, midBase, cont, contDefault))
 
   def vec_dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(FloatVectorDot(GraftColumnBridge.expression(a),

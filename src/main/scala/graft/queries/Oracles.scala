@@ -4207,6 +4207,53 @@ object Oracles {
        |FROM p JOIN m USING (a, b) GROUP BY doc_id""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.textTrigramKn]] by RE-DERIVING the
+   *  whole interpolated-KN trigram model: same lowercased whitespace
+   *  words, trigram types + an INDEPENDENT (b,c)-type relation for
+   *  the continuation counts (the Spark side tags first-rows inside
+   *  one windowed frame — different derivation, same integers), and
+   *  the identical fixed-shape IEEE expression floor-quantized to
+   *  micro-nats. */
+  val textTrigramKn: String = {
+    val d = graft.queries.PipelineQueries.KnDiscount
+    val micro = graft.queries.PipelineQueries.NllMicro
+    s"""WITH w AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id, ws[i] AS a, ws[i+1] AS b, ws[i+2] AS c
+       |  FROM w, unnest(range(1, len(ws) - 1)) t(i) WHERE len(ws) >= 3),
+       |tg AS (SELECT a, b, c, CAST(count(*) AS BIGINT) AS c_abc FROM t GROUP BY 1, 2, 3),
+       |bc AS (SELECT b, c FROM tg GROUP BY b, c),
+       |bcs AS (
+       |  SELECT b, c,
+       |    CAST(count(*) OVER (PARTITION BY b) AS BIGINT) AS n1p_b_dot,
+       |    CAST(count(*) OVER (PARTITION BY c) AS BIGINT) AS n1p_dot_c,
+       |    CAST(count(*) OVER () AS BIGINT) AS tt2
+       |  FROM bc),
+       |m0 AS (
+       |  SELECT a, b, c, c_abc,
+       |    CAST(sum(c_abc) OVER (PARTITION BY a, b) AS BIGINT) AS c_ab,
+       |    CAST(count(*) OVER (PARTITION BY a, b) AS BIGINT) AS n1p_ab,
+       |    CAST(count(*) OVER (PARTITION BY b, c) AS BIGINT) AS n1p_dot_bc,
+       |    CAST(count(*) OVER (PARTITION BY b) AS BIGINT) AS n1p_mid_b
+       |  FROM tg),
+       |m AS (
+       |  SELECT a, b, c,
+       |    CAST(floor(-ln(
+       |      (greatest(CAST(c_abc AS DOUBLE) - $d, 0.0) +
+       |        (($d * n1p_ab) *
+       |          ((greatest(CAST(n1p_dot_bc AS DOUBLE) - $d, 0.0) +
+       |            (($d * n1p_b_dot) *
+       |              (CAST(n1p_dot_c AS DOUBLE) / CAST(tt2 AS DOUBLE)))) /
+       |            CAST(n1p_mid_b AS DOUBLE)))) /
+       |      CAST(c_ab AS DOUBLE)) * $micro) AS BIGINT) AS nll_micro
+       |  FROM m0 JOIN bcs USING (b, c))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       |       CAST(sum(nll_micro) AS BIGINT) AS kn3_nll_micro_sum
+       |FROM t JOIN m USING (a, b, c) GROUP BY doc_id""".stripMargin
+  }
+
   /** Mirrors [[PipelineQueries.textCollocations]]: same lowercased
    *  whitespace words, same pair expansion and min-count cut, the
    *  lift as ONE double quotient of integer counts in the identical

@@ -1981,6 +1981,92 @@ object PipelineQueries {
         col("c_a").cast("double"))
       * lit(NllMicro.toDouble)).cast("bigint")
 
+  /**
+   * Interpolated KNESER-NEY TRIGRAM LM scoring — [[textBigramKn]]'s
+   * n=3 rung (production ppl-bucketing filters run n ≥ 3 with
+   * interpolation; Chen & Goodman 1998's interpolated modified-KN
+   * with one fixed discount): P(c|ab) = (max(c(abc)−D, 0) +
+   * D·N₁₊(ab·)·P_mid(c|b)) / c(ab·), the middle level over
+   * continuation counts P_mid(c|b) = (max(N₁₊(·bc)−D, 0) +
+   * D·N₁₊(b·)·P_cont(c)) / N₁₊(·b·), and P_cont(c) = N₁₊(·c)/T₂
+   * over the trigram-derived (b,c) type relation — every statistic
+   * is an integer window over ONE vocab³-bounded trigram type
+   * relation (plus its (b,c) projection), all three levels sum to 1
+   * exactly (the discount mass D·N₁₊ re-enters as the lower level's
+   * weight), and the smoothed probability is one fixed-shape IEEE
+   * double expression over eight integers, floor-quantized to
+   * micro-nats (the oracle spells the identical parenthesization and
+   * re-derives the whole model with independent COUNT-over-types
+   * windows). Trained on the corpus it scores, c(abc) ≥ 1 — every
+   * triple joins, p > 0; docs with <3 words drop out.
+   *
+   * Scale shape: two corpus scans (learn, score) exactly like
+   * [[textBigramKn]]; the model windows run over the vocab³-bounded
+   * trigram relation, the apply is a broadcast-model join.
+   */
+  def textTrigramKn(spark: SparkSession, sfDir: String): DataFrame =
+    textTrigramKnOf(Tables.documents(spark, sfDir))
+
+  /** The [[textTrigramKn]] engine over any (doc_id, text) frame —
+   *  factored for fixture tests. */
+  def textTrigramKnOf(docs: DataFrame): DataFrame = {
+    def triples = docs
+      .select(col("doc_id"),
+        TextAnalyticsOps.words(lower(col("text"))).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("ws")) - 3),
+          i => struct(element_at(col("ws"), i + 1).as("a"),
+            element_at(col("ws"), i + 2).as("b"),
+            element_at(col("ws"), i + 3).as("c")))).as("t"))
+      .select(col("doc_id"), col("t.a").as("a"), col("t.b").as("b"),
+        col("t.c").as("c"))
+    val model = kn3Stats(triples.groupBy("a", "b", "c")
+        .agg(count(lit(1)).as("c_abc")))
+      .select(col("a"), col("b"), col("c"),
+        kn3SeenNllMicro.as("nll_micro"))
+    triples.join(broadcast(model), Seq("a", "b", "c"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum("nll_micro").as("kn3_nll_micro_sum"))
+  }
+
+  /** The eight KN-trigram model statistics as windows over an
+   *  (a, b, c, c_abc) trigram TYPE frame — ONE definition shared by
+   *  [[textTrigramKnOf]] and the live `StreamOps.trigramKnScoreStream`
+   *  (the knStats convention). The (b,c)-type-level counts
+   *  (N₁₊(b·), N₁₊(·c), T₂) use the first-row-per-(b,c) tag summed
+   *  per partition — a windowed count-distinct without a second
+   *  relation. */
+  private[graft] def kn3Stats(tg: DataFrame): DataFrame = tg
+    .withColumn("c_ab", sum("c_abc").over(Window.partitionBy("a", "b")))
+    .withColumn("n1p_ab", count(lit(1)).over(Window.partitionBy("a", "b")))
+    .withColumn("n1p_dot_bc", count(lit(1)).over(Window.partitionBy("b", "c")))
+    .withColumn("n1p_mid_b", count(lit(1)).over(Window.partitionBy("b")))
+    .withColumn("fst",
+      when(row_number().over(
+        Window.partitionBy("b", "c").orderBy("a")) === 1, 1L)
+        .otherwise(0L))
+    .withColumn("n1p_b_dot", sum("fst").over(Window.partitionBy("b")))
+    .withColumn("n1p_dot_c", sum("fst").over(Window.partitionBy("c")))
+    .withColumn("tt2", sum("fst").over(Window.partitionBy()))
+
+  /** The quantized interpolated-KN seen-trigram NLL over [[kn3Stats]]
+   *  columns — the ONE expression whose parenthesization the oracle
+   *  mirrors and the stream's micro-nat-identity rests on. */
+  private[graft] def kn3SeenNllMicro: org.apache.spark.sql.Column =
+    floor(-log(
+      (greatest(col("c_abc").cast("double") - lit(KnDiscount), lit(0.0)) +
+        ((lit(KnDiscount) * col("n1p_ab")) *
+          ((greatest(col("n1p_dot_bc").cast("double") - lit(KnDiscount),
+            lit(0.0)) +
+            ((lit(KnDiscount) * col("n1p_b_dot")) *
+              (col("n1p_dot_c").cast("double") /
+                col("tt2").cast("double")))) /
+            col("n1p_mid_b").cast("double")))) /
+        col("c_ab").cast("double"))
+      * lit(NllMicro.toDouble)).cast("bigint")
+
   /** Minimum pair count and output size for [[textCollocations]]. */
   val CollocMinCount = 5L
   val CollocTopK = 50

@@ -587,6 +587,117 @@ object StreamOps {
   }
 
   /**
+   * Live KNESER-NEY TRIGRAM scoring — [[bigramKnScoreStream]] one
+   * order up (`lm_score --order 3 --smoothing kn`; production
+   * ppl-bucketing runs n ≥ 3 with interpolation): the full
+   * interpolated-KN trigram model trains relationally by the batch
+   * query's EXACT expressions (`PipelineQueries.kn3Stats` +
+   * `kn3SeenNllMicro` — one shared definition, micro-nat identity by
+   * construction for every seen triple), and backoff is the model's
+   * own definition in quantized components one level deeper than the
+   * bigram stream: seen context (a,b) + unseen triple → ctxBase(ab) +
+   * midScore(b,c); unknown context → midScore(b,c); midScore = the
+   * seen (b,c)-type NLL, else midBase(b) + cont(c), else cont(c);
+   * unknown continuation word → the 1/T₂ floor. Each component is
+   * floored to micro-nats before summing (spec-pinned per case).
+   * Same bounded-broadcast contract: the build REFUSES past
+   * `maxModelEntries` distinct trigrams, counted BEFORE any collect,
+   * naming the distributed batch form as the tool; five MINIMAL
+   * driver round-trips (per-triple nll, per-context ctx_base,
+   * per-(b,c) mid nll, per-middle-word mid base, per-word cont) read
+   * a once-checkpointed stats frame — never one denormalized collect.
+   */
+  def trigramKnScoreStream(docs: DataFrame, corpus: DataFrame,
+      maxModelEntries: Long = 4000000L): DataFrame = {
+    import graft.queries.PipelineQueries.{KnDiscount, NllMicro}
+    val tgCounts = corpus
+      .select(graft.ops.TextAnalyticsOps.words(lower(col("text"))).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(explode(transform(sequence(lit(0), size(col("ws")) - 3),
+        i => struct(element_at(col("ws"), i + 1).as("a"),
+          element_at(col("ws"), i + 2).as("b"),
+          element_at(col("ws"), i + 3).as("c")))).as("t"))
+      .groupBy(col("t.a").as("a"), col("t.b").as("b"), col("t.c").as("c"))
+      .agg(count(lit(1)).as("c_abc"))
+    val nEntries = tgCounts.count()
+    require(nEntries > 0,
+      "KN trigram model is EMPTY (no corpus doc has three words) — " +
+        "every score would read 0 micro-nats (probability 1) and a " +
+        "downstream quality gate would admit everything; point " +
+        "--corpus at a real text corpus")
+    require(nEntries <= maxModelEntries,
+      s"KN trigram model has $nEntries entries > cap $maxModelEntries; " +
+        "a broadcast map this size risks driver/executor memory — " +
+        "score with the distributed batch join form " +
+        "(PipelineQueries.textTrigramKn) instead, or raise " +
+        "maxModelEntries if the memory budget allows")
+    def micro(e: Column): Column =
+      floor(e * lit(NllMicro.toDouble)).cast("bigint")
+    val tg = graft.queries.PipelineQueries.kn3Stats(tgCounts)
+      .localCheckpoint()
+    val lm = new java.util.HashMap[String, java.lang.Long](
+      (nEntries * 2).toInt)
+    tg.select(concat(col("a"), lit(" "), col("b"), lit(" "), col("c"))
+          .as("k"),
+        graft.queries.PipelineQueries.kn3SeenNllMicro.as("nll"))
+      .collect().foreach(r => lm.put(r.getString(0), r.getLong(1)))
+    val base = new java.util.HashMap[String, java.lang.Long]
+    tg.select(concat(col("a"), lit(" "), col("b")).as("k"),
+        micro(-log((lit(KnDiscount) * col("n1p_ab")) /
+          col("c_ab").cast("double"))).as("ctx_base"))
+      .distinct()
+      .collect().foreach(r => base.put(r.getString(0), r.getLong(1)))
+    val mid = new java.util.HashMap[String, java.lang.Long]
+    tg.select(concat(col("b"), lit(" "), col("c")).as("k"),
+        micro(-log(
+          (greatest(col("n1p_dot_bc").cast("double") - lit(KnDiscount),
+            lit(0.0)) +
+            ((lit(KnDiscount) * col("n1p_b_dot")) *
+              (col("n1p_dot_c").cast("double") /
+                col("tt2").cast("double")))) /
+          col("n1p_mid_b").cast("double"))).as("mid_nll"))
+      .distinct()
+      .collect().foreach(r => mid.put(r.getString(0), r.getLong(1)))
+    val midBase = new java.util.HashMap[String, java.lang.Long]
+    tg.select(col("b"),
+        micro(-log((lit(KnDiscount) * col("n1p_b_dot")) /
+          col("n1p_mid_b").cast("double"))).as("mid_base"))
+      .distinct()
+      .collect().foreach(r => midBase.put(r.getString(0), r.getLong(1)))
+    val cont = new java.util.HashMap[String, java.lang.Long]
+    var tt2 = 1L
+    tg.select(col("c"),
+        micro(-log(col("n1p_dot_c").cast("double") /
+          col("tt2").cast("double"))).as("cont_nll"),
+        col("tt2"))
+      .distinct()
+      .collect().foreach { r =>
+        cont.put(r.getString(0), r.getLong(1)); tt2 = r.getLong(2)
+      }
+    graft.ops.DedupOps.releaseTruncated(tg)
+    // -ln(1/T₂), not ln(T₂): quantize the exact form the model's own
+    // cont_nll expression would produce for a count-1 word
+    val contDefault =
+      math.floor(-StrictMath.log(1.0 / tt2.toDouble) *
+        NllMicro.toDouble).toLong
+    val spark0 = docs.sparkSession
+    val bcLm = spark0.sparkContext.broadcast(lm)
+    val bcBase = spark0.sparkContext.broadcast(base)
+    val bcMid = spark0.sparkContext.broadcast(mid)
+    val bcMidBase = spark0.sparkContext.broadcast(midBase)
+    val bcCont = spark0.sparkContext.broadcast(cont)
+    val passthrough = docs.columns.map(col)
+    docs
+      .withColumn("ws",
+        graft.ops.TextAnalyticsOps.words(lower(col("text"))))
+      .select(passthrough ++ Seq(
+        greatest(size(col("ws")) - 2, lit(0)).cast("long").as("n_trigrams"),
+        graft.functions.native.lm_trigram_score_kn(col("ws"), bcLm,
+          bcBase, bcMid, bcMidBase, bcCont, contDefault)
+          .as("kn3_nll_micro_sum")): _*)
+  }
+
+  /**
    * Live REPEATED-SPAN gate — the streaming form of
    * `PipelineQueries.dedupSpans`, same offline-model / online-filter
    * split as [[lmScoreStream]]: the set of duplicated gram hashes is

@@ -625,6 +625,40 @@ class RunTopologySpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("Run lm_score --order 3 --smoothing kn scores an in-corpus line " +
+      "exactly as the batch textTrigramKn; unsupported combos refuse " +
+      "loudly (backoff cases live in StreamOpsSpec)") {
+    import org.apache.spark.sql.functions.{col, length}
+    implicit val sqlCtx = spark.sqlContext
+    val corpusPath = "/root/testdata/sf0.001/documents.parquet"
+    val doc = spark.read.parquet(corpusPath)
+      .filter(length(col("text")) > 0).select("doc_id", "text").head()
+    val batch = graft.queries.PipelineQueries
+      .textTrigramKn(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") === doc.getLong(0)).head()
+    val in = MemoryStream[(Timestamp, String)]
+    val q3 = StreamOps.toMemory(
+      Run.lmScoreTopology(spark, in.toDF().toDF("ts", "value"),
+        corpusPath, order = 3, smoothing = "kn"),
+      "run_lm3", OutputMode.Append, ckpt())
+    try {
+      in.addData((at("2024-01-01 10:00:00"), doc.getString(1)))
+      q3.processAllAvailable()
+      val rows = spark.table("run_lm3")
+        .select("text", "n_trigrams", "kn3_nll_micro_sum").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(rows.contains((doc.getString(1),
+        batch.getAs[Long]("n_trigrams"),
+        batch.getAs[Long]("kn3_nll_micro_sum"))),
+        s"in-corpus doc must score exactly as the batch query: $rows")
+    } finally q3.stop()
+    val e = intercept[IllegalArgumentException] {
+      Run.lmScoreTopology(spark, in.toDF().toDF("ts", "value"),
+        corpusPath, order = 3, smoothing = "addone")
+    }
+    assert(e.getMessage.contains("--order 3"), e.getMessage)
+  }
+
   test("Run sessionize emits finalized sessions that equal the batch " +
       "sessionAgg on an in-order fixture (gap merge included)") {
     implicit val sqlCtx = spark.sqlContext

@@ -498,6 +498,122 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("trigramKnScoreStream: replayed corpus docs score IDENTICAL " +
+      "micro-nats to the gated batch textTrigramKn; all five backoff " +
+      "cases (unseen triple with seen mid / seen context with unseen " +
+      "mid / unknown context / unknown context and mid / everything " +
+      "unknown) follow the quantized-component cascade; the entry cap " +
+      "and the empty model refuse loudly") {
+    import graft.queries.PipelineQueries
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val want = PipelineQueries.textTrigramKnOf(corpus)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val docsArr = corpus.collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // plain-Scala model reference for the backoff probes
+    val tris = docsArr.toSeq.flatMap { case (_, t) =>
+      val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      ws.sliding(3).filter(_.length == 3).map(a => (a(0), a(1), a(2)))
+    }
+    val types = tris.toSet
+    val cAb = tris.groupBy(t => (t._1, t._2)).map { case (k, g) => k -> g.size }
+    val n1pAb = types.groupBy(t => (t._1, t._2)).map { case (k, g) => k -> g.size }
+    val n1pMidB = types.groupBy(_._2).map { case (k, g) => k -> g.size }
+    val bcTypes = types.map(t => (t._2, t._3))
+    val n1pBDot = bcTypes.groupBy(_._1).map { case (k, g) => k -> g.size }
+    val n1pDotC = bcTypes.groupBy(_._2).map { case (k, g) => k -> g.size }
+    val n1pDotBc = types.groupBy(t => (t._2, t._3)).map { case (k, g) => k -> g.size }
+    val tt2 = bcTypes.size
+    val d = PipelineQueries.KnDiscount
+    def micro(x: Double): Long =
+      math.floor(-math.log(x) * PipelineQueries.NllMicro).toLong
+    def base(a: String, b: String): Long =
+      micro((d * n1pAb((a, b))) / cAb((a, b)).toDouble)
+    def midNll(b: String, c: String): Long =
+      micro((math.max(n1pDotBc((b, c)) - d, 0.0) +
+        ((d * n1pBDot(b)) * (n1pDotC(c).toDouble / tt2.toDouble))) /
+        n1pMidB(b).toDouble)
+    def midBase(b: String): Long =
+      micro((d * n1pBDot(b)) / n1pMidB(b).toDouble)
+    def cont(c: String): Long = micro(n1pDotC(c).toDouble / tt2.toDouble)
+    val contDefault = micro(1.0 / tt2.toDouble)
+    // find one instance of each backoff case in the tiny-vocab corpus;
+    // fail loud if the corpus ever saturates a case away
+    val p1 = (for {
+      (a, b) <- n1pAb.keysIterator
+      c <- n1pDotC.keysIterator
+      if bcTypes.contains((b, c)) && !types.contains((a, b, c))
+    } yield (a, b, c)).nextOption()
+    assert(p1.nonEmpty, "no unseen triple with a seen (b,c) type")
+    val p2 = (for {
+      (a, b) <- n1pAb.keysIterator
+      c <- n1pDotC.keysIterator if !bcTypes.contains((b, c))
+    } yield (a, b, c)).nextOption()
+    assert(p2.nonEmpty, "no seen context with an unseen (b,c) type")
+    val (b3, c3) = bcTypes.minBy(identity)
+    val p4 = (for {
+      b <- n1pMidB.keysIterator
+      c <- n1pDotC.keysIterator if !bcTypes.contains((b, c))
+    } yield (b, c)).nextOption()
+    assert(p4.nonEmpty, "no known middle word with an unseen (b,c)")
+    val probes = Seq(
+      // unseen triple, seen context, seen (b,c): ctxBase + midNll
+      (9001L, s"${p1.get._1} ${p1.get._2} ${p1.get._3}",
+        base(p1.get._1, p1.get._2) + midNll(p1.get._2, p1.get._3)),
+      // seen context, unseen (b,c), known cont word:
+      // ctxBase + midBase + cont
+      (9002L, s"${p2.get._1} ${p2.get._2} ${p2.get._3}",
+        base(p2.get._1, p2.get._2) + midBase(p2.get._2) + cont(p2.get._3)),
+      // unknown context, seen (b,c): midNll alone
+      (9003L, s"zzzzunknown $b3 $c3", midNll(b3, c3)),
+      // unknown context, unseen (b,c), known middle + cont word:
+      // midBase + cont
+      (9004L, s"zzzzunknown ${p4.get._1} ${p4.get._2}",
+        midBase(p4.get._1) + cont(p4.get._2)),
+      // everything unknown: the 1/T2 floor
+      (9005L, "zzzzunknown qqqqunknown xxxxunknown", contDefault))
+    val in = MemoryStream[(Long, String)]
+    val scored = StreamOps.trigramKnScoreStream(
+      in.toDF().toDF("doc_id", "text"), corpus)
+    val q = StreamOps.toMemory(
+      scored.select("doc_id", "n_trigrams", "kn3_nll_micro_sum"),
+      "kn3_test", OutputMode.Append, ckpt())
+    try {
+      in.addData((docsArr ++ probes.map(p => (p._1, p._2))).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("kn3_test")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      // corpus docs: stream == batch, micro-nat for micro-nat (docs
+      // with < 3 words score (0, 0) live; batch drops them)
+      want.foreach { case (id, w) =>
+        assert(got(id) == w, s"doc $id: stream ${got(id)} != batch $w")
+      }
+      probes.foreach { case (id, txt, exp) =>
+        assert(got(id) == ((1L, exp)),
+          s"backoff '$txt': got ${got(id)}, want (1, $exp)")
+      }
+    } finally q.stop()
+    // the bounded-broadcast contract
+    val tiny = Seq("a b c d", "b c a d").toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.trigramKnScoreStream(
+        in.toDF().toDF("doc_id", "text"), tiny, maxModelEntries = 2)
+    }
+    assert(e.getMessage.contains("textTrigramKn"), e.getMessage)
+    // ...and an EMPTY model refuses loud
+    val twoWorders = Seq("just two", "words here").toDF("text")
+    val emptyE = intercept[IllegalArgumentException] {
+      StreamOps.trigramKnScoreStream(
+        in.toDF().toDF("doc_id", "text"), twoWorders)
+    }
+    assert(emptyE.getMessage.contains("EMPTY"), emptyE.getMessage)
+  }
+
   test("mixWeightsStream: each trigger's complete snapshot reproduces " +
       "the batch temperature weights over everything seen so far") {
     import graft.queries.PipelineQueries
