@@ -601,15 +601,23 @@ object DedupOps {
         (block(c(0)) * lit(1L << 22)) + (block(c(1)) * lit(1L << 11)) +
           block(c(2))
       }: _*)))
-      .toDF("id", "simhash", "tbl", "key")
+      .toDF("id", "h", "tbl", "key")
+    bandedHammingPairs(keyed, maxHamming)
+  }
+
+  /** The shared candidate-join-and-verify tail of [[simhashNearDups]]
+   *  and [[hammingNearDups64]] — per banding table an equi-join on
+   *  the packed key, canonical id order, exact popcount verification,
+   *  multi-table dedup. `keyed` must carry (id, h, tbl, key). */
+  private def bandedHammingPairs(keyed: DataFrame,
+      maxHamming: Int): DataFrame =
     keyed.as("x").join(keyed.as("y"),
         col("x.tbl") === col("y.tbl") &&
           col("x.key") === col("y.key") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id1"), col("y.id").as("id2"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        bit_count(col("x.h").bitwiseXOR(col("y.h"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-  }
 
   /**
    * Near-duplicate pairs over ANY precomputed 64-bit hash column
@@ -649,13 +657,7 @@ object DedupOps {
         (block(c(0)) * lit(256L)) + block(c(1))
       }: _*)))
       .toDF("id", "h", "tbl", "key")
-    keyed.as("x").join(keyed.as("y"),
-        col("x.tbl") === col("y.tbl") &&
-          col("x.key") === col("y.key") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id1"), col("y.id").as("id2"),
-        bit_count(col("x.h").bitwiseXOR(col("y.h"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    bandedHammingPairs(keyed, maxHamming)
   }
 
   /**

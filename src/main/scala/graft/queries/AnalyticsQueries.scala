@@ -810,47 +810,17 @@ object AnalyticsQueries {
    * materialized once (scanned [[PrIters]] times), and rank lineage
    * is truncated every 4 rounds — the bpeLearn stride.
    */
-  def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
-    val inc = Tables.lineitem(spark, sfDir)
-      .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
-      .distinct()
-    val edges = inc.unionAll(inc.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val edgesDeg = edges.join(deg, "src").localCheckpoint()
-    var ranks = deg.select(col("src").as("node"), lit(PrScale).as("rank"))
-    var sinceTrunc = 0
-    // the last CHECKPOINT HANDLE — releaseTruncated matches the plan
-    // root, so superseded snapshots must be released via the handle,
-    // never via the chained `ranks` frame built on top of it (whose
-    // leaves also include the LIVE edgesDeg checkpoint)
-    var lastCkpt: Option[org.apache.spark.sql.DataFrame] = None
-    for (_ <- 1 to PrIters) {
-      val contribs = edgesDeg
-        .join(ranks, edgesDeg("src") === ranks("node"))
-        .select(col("dst"), floor(col("rank") / col("outdeg")).as("c"))
-      val next = contribs.groupBy(col("dst").as("node"))
-        .agg(sum(col("c")).as("s"))
-        .select(col("node"),
-          (lit(PrScale * 15 / 100) + floor(col("s") * lit(85L) / lit(100.0))).as("rank"))
-      sinceTrunc += 1
-      if (sinceTrunc >= 4) {
-        ranks = next.localCheckpoint()
-        // the PREVIOUS snapshot is now unreachable — release its
-        // blocks eagerly (Dataset.unpersist is a no-op on
-        // checkpointed frames)
-        lastCkpt.foreach(graft.ops.DedupOps.releaseTruncated)
-        lastCkpt = Some(ranks)
-        sinceTrunc = 0
-      } else ranks = next
-    }
-    val out = ranks.select(col("node"), col("rank").as("rank_micro"))
-    // edgesDeg may be released before `out` materializes ONLY when the
-    // final ranks frame is checkpoint-rooted (lineage cut) — true iff
-    // the last iteration hit the stride boundary; otherwise leave it
-    // to the ContextCleaner rather than break the pending lineage
-    if (sinceTrunc == 0) graft.ops.DedupOps.releaseTruncated(edgesDeg)
-    out
-  }
+  def graphPagerank(spark: SparkSession, sfDir: String): DataFrame =
+    // global pagerank IS personalized pagerank with every node a seed
+    // (teleport predicate literal-true — constant-folded, so the
+    // arithmetic is the identical micro-unit chain it always was):
+    // one copy of the trickiest loop in the file — the checkpoint
+    // stride + releaseTruncated handle choreography — lives in [[ppr]]
+    ppr(Tables.lineitem(spark, sfDir)
+        .select((col("l_suppkey") * 2).as("u"),
+          (col("l_partkey") * 2 + 1).as("v"))
+        .distinct(),
+      lit(true), PrIters)
 
   /**
    * Triangle census of the co-purchase graph (parts sharing an
@@ -908,11 +878,13 @@ object AnalyticsQueries {
    *  `w >= LpaMinWeight` backbone — a filter PUSHED to the bucketed
    *  scan, never a re-join. At 100 TB the per-order co-occurrence
    *  self-join is the dominant cost of the whole graph family; this
-   *  runs it once, pays its shuffle at write time, and every consumer
-   *  (and every later session over the same corpus) reads fixed-width
-   *  integer triples back — u-keyed joins and aggregations plan with
-   *  NO Exchange on the table side (bucket layout = valid
-   *  HashPartitioning; plan-pinned). [[graphPagerank]] alone stays
+   *  runs it once per session, pays its shuffle at write time, and
+   *  every consumer reads fixed-width integer triples back — u-keyed
+   *  joins and aggregations plan with NO Exchange on the table side
+   *  (bucket layout = valid HashPartitioning; plan-pinned). The table
+   *  name is application-scoped (no cross-process shared state); a
+   *  managed deployment promotes it to a governed derived table
+   *  shared across jobs. [[graphPagerank]] alone stays
    *  off the artifact: its graph is the supplier→part INCIDENCE (one
    *  distinct of a two-column projection — no self-join to amortize,
    *  and a different node space). */
@@ -920,12 +892,18 @@ object AnalyticsQueries {
       sfDir: String): DataFrame = {
     val key = (spark.sparkContext.applicationId, sfDir)
     val table = coPairsBuilt.computeIfAbsent(key, _ => {
-      val name = "graft_graph_copairs_" +
-        sfDir.replaceAll("[^a-zA-Z0-9]+", "_")
-      // a PREVIOUS JVM's table dir outlives its in-memory catalog
-      // entry — saveAsTable would refuse with LOCATION_ALREADY_EXISTS;
-      // stale leftovers are never trusted (the artifact is rebuilt
-      // once per context), so drop both halves before writing
+      // the name is scoped by applicationId: a shared fixed name
+      // would make the drop-and-rebuild race across PROCESSES (JVM B
+      // deleting parquet files JVM A's memoized reads still serve —
+      // review-pass fix); app-unique names share nothing, so the only
+      // possible leftover at this location is our own crashed staging
+      // — swept defensively below. Dead applications leave small
+      // orphan dirs in the scratch warehouse; a managed deployment
+      // promotes this artifact to a governed derived table instead.
+      val name = ("graft_graph_copairs_" +
+        sfDir.replaceAll("[^a-zA-Z0-9]+", "_") + "_" +
+        spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]+", "_"))
+        .toLowerCase
       spark.sql(s"DROP TABLE IF EXISTS `$name`")
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), name)
@@ -1322,7 +1300,11 @@ object AnalyticsQueries {
       .select(col("node"),
         when(seedPred, lit(PrScale)).otherwise(lit(0L)).as("rank"))
     var sinceTrunc = 0
-    var lastCkpt: Option[DataFrame] = None // the pagerank handle rule
+    // the last CHECKPOINT HANDLE — releaseTruncated matches the plan
+    // root, so superseded snapshots must be released via the handle,
+    // never via the chained `ranks` frame built on top of it (whose
+    // leaves also include the LIVE edgesDeg checkpoint)
+    var lastCkpt: Option[DataFrame] = None
     for (_ <- 1 to iters) {
       val contribs = edgesDeg
         .join(ranks, edgesDeg("src") === ranks("node"))

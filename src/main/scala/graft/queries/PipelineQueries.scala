@@ -3974,11 +3974,25 @@ object PipelineQueries {
    *  Oracle = the raw-pixel hashes through the INDEPENDENT
    *  `PngFixture.refPhash64`, banded and popcount-verified in SQL.
    *  Ignores sfDir (scale-free fixture). */
-  def mmPhashNeardup(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.tools.PngFixture
+  def mmPhashNeardup(spark: SparkSession, sfDir: String): DataFrame =
+    mmPhashNeardupOf(
+      spark.read.parquet(graft.tools.PngFixture.Path))
+
+  /** The [[mmPhashNeardup]] engine over any (img_id, png) frame —
+   *  factored so the spec can inject corrupt payloads. */
+  def mmPhashNeardupOf(images: DataFrame): DataFrame = {
+    // MATERIALIZED once (the mmPhash lesson): BOTH union branches
+    // consume it — without the cut every image decodes and DCT-folds
+    // twice. QUARANTINED images (width == -1, sentinel phash 0) must
+    // never enter the hash corpus: two undecodable images would pair
+    // at hamming 0 and a dedup consumer would drop one broken file
+    // for another — review-pass fix, spec-pinned. Handle left to the
+    // ContextCleaner (non-boundary convention).
     val hashed = MultimodalOps.phashPartitioned(
-      spark.read.parquet(PngFixture.Path), "img_id", "png", PhashShift)
+      images, "img_id", "png", PhashShift)
       .toDF()
+      .filter(col("width") =!= -1)
+      .localCheckpoint()
     val corpus = hashed.select(col("id"), col("phash"))
       .unionAll(hashed.select((-(col("id") + 1)).as("id"),
         col("phash_shifted").as("phash")))

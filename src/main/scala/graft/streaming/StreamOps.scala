@@ -518,31 +518,41 @@ object StreamOps {
           element_at(col("ws"), i + 2).as("b")))).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("c_ab"))
-    val nEntries = bgCounts.count()
-    require(nEntries > 0,
+    def micro(e: Column): Column =
+      floor(e * lit(NllMicro.toDouble)).cast("bigint")
+    // the SHARED batch definitions (knStats + knSeenNllMicro), so a
+    // seen pair scores micro-nat-identical live and gated.
+    // Checkpointed once, BEFORE the cap count: counting the raw agg
+    // first would run the whole corpus aggregation twice (once for
+    // the count, once for the checkpoint — review-pass fix); the
+    // count still happens BEFORE any driver collect, which is what
+    // the cap protects (localCheckpoint is distributed
+    // MEMORY_AND_DISK state, never driver memory). Three MINIMAL
+    // driver round-trips read it below (per-pair nll, per-context
+    // ctx_base, per-word cont_nll) instead of one denormalized
+    // 7-column collect — the old form duplicated every word string
+    // across the concatenated key and the a/b columns and carried
+    // per-pair copies of the per-context and per-word components,
+    // ~2-3× the driver footprint of the add-one model under the same
+    // maxModelEntries cap.
+    val bg = graft.queries.PipelineQueries.knStats(bgCounts)
+      .localCheckpoint()
+    val nEntries = bg.count()
+    def refuse(msg: String): Nothing = {
+      graft.ops.DedupOps.releaseTruncated(bg)
+      throw new IllegalArgumentException(msg)
+    }
+    if (nEntries == 0) refuse(
       "KN bigram model is EMPTY (no corpus doc has two words) — every " +
         "score would read 0 micro-nats (probability 1) and a " +
         "downstream quality gate would admit everything; point " +
         "--corpus at a real text corpus")
-    require(nEntries <= maxModelEntries,
+    if (nEntries > maxModelEntries) refuse(
       s"KN bigram model has $nEntries entries > cap $maxModelEntries; " +
         "a broadcast map this size risks driver/executor memory — " +
         "score with the distributed batch join form " +
         "(PipelineQueries.textBigramKn) instead, or raise " +
         "maxModelEntries if the memory budget allows")
-    def micro(e: Column): Column =
-      floor(e * lit(NllMicro.toDouble)).cast("bigint")
-    // the SHARED batch definitions (knStats + knSeenNllMicro), so a
-    // seen pair scores micro-nat-identical live and gated.
-    // Checkpointed once: three MINIMAL driver round-trips read it
-    // below (per-pair nll, per-context ctx_base, per-word cont_nll)
-    // instead of one denormalized 7-column collect — the old form
-    // duplicated every word string across the concatenated key and
-    // the a/b columns and carried per-pair copies of the per-context
-    // and per-word components, ~2-3× the driver footprint of the
-    // add-one model under the same maxModelEntries cap.
-    val bg = graft.queries.PipelineQueries.knStats(bgCounts)
-      .localCheckpoint()
     val lm = new java.util.HashMap[String, java.lang.Long](
       (nEntries * 2).toInt)
     bg.select(concat(col("a"), lit(" "), col("b")).as("k"),
@@ -619,22 +629,30 @@ object StreamOps {
           element_at(col("ws"), i + 3).as("c")))).as("t"))
       .groupBy(col("t.a").as("a"), col("t.b").as("b"), col("t.c").as("c"))
       .agg(count(lit(1)).as("c_abc"))
-    val nEntries = tgCounts.count()
-    require(nEntries > 0,
+    def micro(e: Column): Column =
+      floor(e * lit(NllMicro.toDouble)).cast("bigint")
+    // checkpoint BEFORE the cap count (the bigram stream's
+    // review-pass rule: counting the raw agg first runs the corpus
+    // aggregation twice; the cap protects driver collects, which a
+    // distributed checkpoint never touches)
+    val tg = graft.queries.PipelineQueries.kn3Stats(tgCounts)
+      .localCheckpoint()
+    val nEntries = tg.count()
+    def refuse(msg: String): Nothing = {
+      graft.ops.DedupOps.releaseTruncated(tg)
+      throw new IllegalArgumentException(msg)
+    }
+    if (nEntries == 0) refuse(
       "KN trigram model is EMPTY (no corpus doc has three words) — " +
         "every score would read 0 micro-nats (probability 1) and a " +
         "downstream quality gate would admit everything; point " +
         "--corpus at a real text corpus")
-    require(nEntries <= maxModelEntries,
+    if (nEntries > maxModelEntries) refuse(
       s"KN trigram model has $nEntries entries > cap $maxModelEntries; " +
         "a broadcast map this size risks driver/executor memory — " +
         "score with the distributed batch join form " +
         "(PipelineQueries.textTrigramKn) instead, or raise " +
         "maxModelEntries if the memory budget allows")
-    def micro(e: Column): Column =
-      floor(e * lit(NllMicro.toDouble)).cast("bigint")
-    val tg = graft.queries.PipelineQueries.kn3Stats(tgCounts)
-      .localCheckpoint()
     val lm = new java.util.HashMap[String, java.lang.Long](
       (nEntries * 2).toInt)
     tg.select(concat(col("a"), lit(" "), col("b"), lit(" "), col("c"))
@@ -2489,21 +2507,24 @@ private[graft] object ClusterStateManifest {
     """([^/|]+)/version=(\d+)/gen=(\d+)/?$""".r.unanchored
 
   /** A manifest that WAS committed (the `eof=true` terminator is the
-   *  last rendered line, so no torn prefix can carry it) but holds a
-   *  legacy retired entry outside the fixed [[StreamOps.clusterPartDir]]
-   *  shape. This must FAIL LOUD: treating it as torn would make
-   *  readers silently step down to an older sequence — a quiet state
-   *  regression (resurrected floors and live sets) on real committed
-   *  state. */
-  final class UnmigratableManifestException(msg: String)
-    extends RuntimeException(msg)
+   *  last rendered line, so no torn prefix can carry it) but does not
+   *  parse — a legacy retired entry outside the fixed
+   *  [[StreamOps.clusterPartDir]] shape, a corrupt line, or a newer
+   *  format this reader does not know. This must FAIL LOUD: treating
+   *  it as torn would make readers silently step down to an older
+   *  sequence — a quiet state regression (resurrected floors and live
+   *  sets) on real committed state. */
+  final class UnmigratableManifestException(msg: String,
+      cause: Throwable = null)
+    extends RuntimeException(msg, cause)
 
   /** None for a torn manifest — it was never committed (a torn write
    *  is a strict prefix of [[render]]'s output, which ends with the
    *  `eof=true` terminator, so completeness is decidable from the last
-   *  line). A COMMITTED manifest whose legacy retired entries cannot
-   *  be migrated throws [[UnmigratableManifestException]] instead of
-   *  reading as absent — see its scaladoc. */
+   *  line). A COMMITTED manifest that fails to parse for ANY reason —
+   *  unmigratable legacy entry, corrupt line, unknown future format —
+   *  throws [[UnmigratableManifestException]] instead of reading as
+   *  absent — see its scaladoc. */
   def parse(text: String): Option[ClusterStateManifest] = {
     val lines = text.split("\n", -1).map(_.trim).filter(_.nonEmpty)
     if (lines.isEmpty || lines.last != "eof=true") None
@@ -2542,10 +2563,13 @@ private[graft] object ClusterStateManifest {
         })
     } match {
       case scala.util.Success(m) => Some(m)
-      // committed-but-unmigratable ≠ torn: rethrow so readers fail
-      // loud instead of stepping down past real committed state
+      // the Try only runs past the eof-terminator gate, so EVERY
+      // failure here is committed-but-unparseable ≠ torn: fail loud
+      // instead of stepping down past real committed state
       case scala.util.Failure(e: UnmigratableManifestException) => throw e
-      case scala.util.Failure(_) => None
+      case scala.util.Failure(e) => throw new UnmigratableManifestException(
+        s"committed manifest (eof terminator present) failed to parse: " +
+          s"${e.getMessage}", e)
     }
   }
 }

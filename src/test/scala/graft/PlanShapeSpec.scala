@@ -124,10 +124,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(cb.contains("GreaterThanOrEqual(w,2"),
       "the weight cut must reach PushedFilters:\n" + cb)
     // single derivation: running two consumers must not rewrite the
-    // table (the memo guarantees once per (SparkContext, sfDir))
+    // table (the memo guarantees once per (SparkContext, sfDir));
+    // the name carries the applicationId (cross-process isolation)
     val warehouse = new java.io.File(new java.net.URI(
       spark.conf.get("spark.sql.warehouse.dir")).getPath,
-      "graft_graph_copairs_" + sfDir.replaceAll("[^a-zA-Z0-9]+", "_"))
+      ("graft_graph_copairs_" + sfDir.replaceAll("[^a-zA-Z0-9]+", "_") +
+        "_" + spark.sparkContext.applicationId
+          .replaceAll("[^a-zA-Z0-9]+", "_")).toLowerCase)
     assert(warehouse.exists, s"expected table dir at $warehouse")
     val stamp = warehouse.lastModified
     SparkEntry.queries("graph_kcore")(spark, sfDir).collect()

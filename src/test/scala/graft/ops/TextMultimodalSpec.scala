@@ -505,6 +505,20 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got.size == 46, s"expected 46 self-pairs, got ${got.size}")
     assert(got.forall { case (id1, id2, _) => id1 == -(id2 + 1) },
       "an accidental non-self pair crossed the radius")
+    // QUARANTINE purity: corrupt payloads carry the sentinel hash 0 —
+    // pooled unfiltered, two broken images would "near-dup" each
+    // other at hamming 0 and a dedup consumer would drop one broken
+    // file for another. The pair set must be unchanged by corrupt rows.
+    import spark.implicits._
+    val zoo = Seq((900L, Array[Byte](9, 9, 9)),
+      (901L, Array[Byte](8, 8)),
+      (902L, null.asInstanceOf[Array[Byte]])).toDF("img_id", "png")
+    val withCorrupt = PipelineQueries.mmPhashNeardupOf(
+        spark.read.parquet(graft.tools.PngFixture.Path).unionByName(zoo))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(withCorrupt == want,
+      s"corrupt images changed the pair set: ${(withCorrupt -- want).take(5)}")
   }
 
   test("mm_frames_gif: the COMMITTED animated GIFs decode EXACTLY to " +

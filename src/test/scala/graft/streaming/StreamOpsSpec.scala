@@ -1432,6 +1432,24 @@ class StreamOpsSpec extends SparkSpec {
       StreamOps.readClusterManifest(spark, statePath)
     }
     assert(e.getMessage.contains("oops-not-a-partition"))
+    // the rule is GENERAL, not a legacy special case: any committed
+    // manifest that fails to parse (here a modern retired entry with
+    // too few fields — a corrupt line or a future format) fails loud
+    val statePath2 = Files.createTempDirectory("graft-cambad2").toString
+    val bad2 =
+      "floors=bands:0,shingles:0\ngens=bands:1,shingles:1\n" +
+        "live.bands=1:0\nlive.shingles=1:0\n" +
+        "retired=bands:0\neof=true\n" // t:v:g expected, got 2 fields
+    new java.io.File(s"$statePath2/_manifests").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        s"$statePath2/_manifests/${"%020d".format(0)}.manifest"),
+      bad2.getBytes("UTF-8"))
+    intercept[
+      graft.streaming.ClusterStateManifest.UnmigratableManifestException] {
+      StreamOps.readClusterManifest(spark, statePath2)
+    }
+    ()
   }
 
   test("compactClusterState runs CONCURRENT with live triggers: state " +
