@@ -4207,6 +4207,31 @@ object Oracles {
        |FROM p JOIN m USING (a, b) GROUP BY doc_id""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.mmPhashClusters]]: the banded-pair SQL
+   *  nested as a subquery (the dedupClusters device), components via
+   *  WITH RECURSIVE reach from every corpus id, representative =
+   *  min id. Lazy: mmPhashNeardup is declared further down this
+   *  object (the dedupSurvivors initialization-order rule). */
+  lazy val mmPhashClusters: String = {
+    val ids = graft.tools.PngFixture
+      .expectedNeardupHashes(graft.queries.PipelineQueries.PhashShift)
+      .map { case (id, _) => s"($id)" }.mkString(", ")
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT id1, id2 FROM ($mmPhashNeardup) np),
+       |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+       |          UNION SELECT id2, id1 FROM pairs),
+       |ids(id) AS (VALUES $ids),
+       |reach(node, l) AS (
+       |  SELECT id, id FROM ids
+       |  UNION
+       |  SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.node),
+       |cl AS (SELECT node, min(l) AS cluster FROM reach GROUP BY node)
+       |SELECT CAST(node AS BIGINT) AS img_id,
+       |       CAST(cluster AS BIGINT) AS cluster,
+       |       node = cluster AS is_survivor
+       |FROM cl""".stripMargin
+  }
+
   /** Mirrors [[PipelineQueries.textTrigramKn]] by RE-DERIVING the
    *  whole interpolated-KN trigram model: same lowercased whitespace
    *  words, trigram types + an INDEPENDENT (b,c)-type relation for

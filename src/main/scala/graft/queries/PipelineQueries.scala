@@ -3978,6 +3978,41 @@ object PipelineQueries {
     mmPhashNeardupOf(
       spark.read.parquet(graft.tools.PngFixture.Path))
 
+  /** IMAGE DEDUP CLUSTERS — closes the perceptual-hash loop end to
+   *  end (decode → hash → banded pairs → CONNECTED COMPONENTS →
+   *  canonical keep set), the image analogue of `dedup_clusters`:
+   *  every decoded hash (base + variant ids, quarantine filtered)
+   *  labeled with its component's minimum id, `is_survivor` marking
+   *  the representative (the dedup_clusters min-id convention — a
+   *  production keep-policy ranks members by quality instead, the
+   *  dedupSurvivors shape). On the committed corpus: 46 two-member
+   *  (base, variant) clusters + 4 singletons (the two
+   *  beyond-radius variants and their bases) — spec-pinned. Scale
+   *  shape: pairs from the banded equi-join (never all-pairs), CC
+   *  over pair-sized edges with per-round checkpoint truncation —
+   *  the dedup_clusters cost class over a hash-sized relation. */
+  def mmPhashClusters(spark: SparkSession, sfDir: String): DataFrame =
+    mmPhashClustersOf(
+      spark.read.parquet(graft.tools.PngFixture.Path))
+
+  /** The [[mmPhashClusters]] engine over any (img_id, png) frame. */
+  def mmPhashClustersOf(images: DataFrame): DataFrame = {
+    val hashed = MultimodalOps.phashPartitioned(
+      images, "img_id", "png", PhashShift)
+      .toDF()
+      .filter(col("width") =!= -1)
+      .localCheckpoint() // feeds the pair join AND the node set
+    val corpus = hashed.select(col("id"), col("phash"))
+      .unionAll(hashed.select((-(col("id") + 1)).as("id"),
+        col("phash_shifted").as("phash")))
+    val pairs = graft.ops.DedupOps.hammingNearDups64(
+        corpus, col("id"), col("phash"), PhashNeardupMaxHamming)
+      .select("id1", "id2")
+    graft.ops.DedupOps.connectedComponents(pairs, corpus.select(col("id")))
+      .select(col("id").as("img_id"), col("cluster"),
+        (col("id") === col("cluster")).as("is_survivor"))
+  }
+
   /** The [[mmPhashNeardup]] engine over any (img_id, png) frame —
    *  factored so the spec can inject corrupt payloads. */
   def mmPhashNeardupOf(images: DataFrame): DataFrame = {

@@ -521,6 +521,33 @@ class TextMultimodalSpec extends SparkSpec {
       s"corrupt images changed the pair set: ${(withCorrupt -- want).take(5)}")
   }
 
+  test("mm_phash_clusters: components over the banded pairs — 46 " +
+      "(base, variant) two-member clusters plus 4 singletons (the two " +
+      "beyond-radius variants and their bases), representative = min " +
+      "id, every decoded hash labeled") {
+    import graft.queries.PipelineQueries
+    val rows = PipelineQueries.mmPhashClusters(spark, "unused")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length == 96, s"every hash labeled: ${rows.length}")
+    val byCluster = rows.groupBy(_._2)
+    val pairsC = byCluster.filter(_._2.length == 2)
+    val singles = byCluster.filter(_._2.length == 1)
+    assert(pairsC.size == 46 && singles.size == 4,
+      s"want 46 pairs + 4 singletons, got ${pairsC.size}/${singles.size}")
+    // every two-member cluster is a (base, ITS-OWN variant) pair,
+    // labeled by the variant (the min id — variants are negative)
+    pairsC.foreach { case (cl, members) =>
+      val ids = members.map(_._1).sorted
+      assert(ids(1) == -(ids(0) + 1) && cl == ids(0),
+        s"cluster $cl is not a self-pair: ${ids.toSeq}")
+    }
+    // exactly one survivor per cluster, and it is the representative
+    assert(rows.count(_._3) == 50)
+    rows.filter(_._3).foreach { case (id, cl, _) =>
+      assert(id == cl, s"survivor $id != representative $cl")
+    }
+  }
+
   test("mm_frames_gif: the COMMITTED animated GIFs decode EXACTLY to " +
       "the raw pixel arithmetic (lossless codec — no tolerance " +
       "device) and the corruption zoo quarantines") {
