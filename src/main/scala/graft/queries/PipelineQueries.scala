@@ -3997,14 +3997,7 @@ object PipelineQueries {
 
   /** The [[mmPhashClusters]] engine over any (img_id, png) frame. */
   def mmPhashClustersOf(images: DataFrame): DataFrame = {
-    val hashed = MultimodalOps.phashPartitioned(
-      images, "img_id", "png", PhashShift)
-      .toDF()
-      .filter(col("width") =!= -1)
-      .localCheckpoint() // feeds the pair join AND the node set
-    val corpus = hashed.select(col("id"), col("phash"))
-      .unionAll(hashed.select((-(col("id") + 1)).as("id"),
-        col("phash_shifted").as("phash")))
+    val corpus = phashCorpus(images)
     val pairs = graft.ops.DedupOps.hammingNearDups64(
         corpus, col("id"), col("phash"), PhashNeardupMaxHamming)
       .select("id1", "id2")
@@ -4013,29 +4006,38 @@ object PipelineQueries {
         (col("id") === col("cluster")).as("is_survivor"))
   }
 
-  /** The [[mmPhashNeardup]] engine over any (img_id, png) frame —
-   *  factored so the spec can inject corrupt payloads. */
-  def mmPhashNeardupOf(images: DataFrame): DataFrame = {
-    // MATERIALIZED once (the mmPhash lesson): BOTH union branches
-    // consume it — without the cut every image decodes and DCT-folds
-    // twice. QUARANTINED images (width == -1, sentinel phash 0) must
-    // never enter the hash corpus: two undecodable images would pair
-    // at hamming 0 and a dedup consumer would drop one broken file
-    // for another — review-pass fix, spec-pinned. Handle left to the
-    // ContextCleaner (non-boundary convention).
+  /** The ONE hash-corpus construction both [[mmPhashNeardupOf]] and
+   *  [[mmPhashClustersOf]] dedup over — decode, quarantine filter,
+   *  variant pooling share a single definition so the pair query and
+   *  its cluster composition can never desynchronize. MATERIALIZED
+   *  once (the mmPhash lesson): every consumer branch re-reads the
+   *  checkpoint instead of re-running the decode+DCT subtree.
+   *  QUARANTINED images (width == -1, sentinel phash 0) never enter:
+   *  two undecodable images would pair at hamming 0 and a dedup
+   *  consumer would drop one broken file for another — review-pass
+   *  fix, spec-pinned. Variants ride the disjoint -(id+1) keyspace.
+   *  Handle left to the ContextCleaner (non-boundary convention). */
+  private def phashCorpus(images: DataFrame): DataFrame = {
     val hashed = MultimodalOps.phashPartitioned(
       images, "img_id", "png", PhashShift)
       .toDF()
       .filter(col("width") =!= -1)
       .localCheckpoint()
-    val corpus = hashed.select(col("id"), col("phash"))
+    hashed.select(col("id"), col("phash"))
       .unionAll(hashed.select((-(col("id") + 1)).as("id"),
         col("phash_shifted").as("phash")))
+  }
+
+  /** The [[mmPhashNeardup]] engine over any (img_id, png) frame —
+   *  factored so the spec can inject corrupt payloads. Corpus rules
+   *  (quarantine, variant keyspace) live in [[phashCorpus]], shared
+   *  with the cluster composition. */
+  def mmPhashNeardupOf(images: DataFrame): DataFrame =
     graft.ops.DedupOps.hammingNearDups64(
-        corpus, col("id"), col("phash"), PhashNeardupMaxHamming)
+        phashCorpus(images), col("id"), col("phash"),
+        PhashNeardupMaxHamming)
       .select(col("id1"), col("id2"),
         col("hamming").cast("bigint").as("hamming"))
-  }
 
   /** REAL animated-GIF frame decode, end-to-end gated — the LOSSLESS
    *  multi-frame rung beside `mm_frames_mjpeg`
