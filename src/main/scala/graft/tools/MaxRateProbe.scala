@@ -492,6 +492,14 @@ object MaxRateProbe {
         in.select(col("ts"), Generators.docLine(col("value")).as("text")),
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
     }
+    search("lm_score_kn3", seed = 500000, OutputMode.Append) { in =>
+      // the trigram rung: still one kernel call per row; the fold
+      // walks one more word of context and the backoff path probes
+      // up to four maps instead of two
+      StreamOps.trigramKnScoreStream(
+        in.select(col("ts"), Generators.docLine(col("value")).as("text")),
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    }
     search("span_flag", seed = 500000, OutputMode.Append) { in =>
       StreamOps.spanFlagStream(
         in.select(col("ts"), Generators.docLine(col("value")).as("text")),
