@@ -1016,6 +1016,14 @@ object PipelineQueries {
       .select(col("doc_id"),
         explode(array_distinct(graft.functions.native.gram_hashes(
           col("text"), 3, portable = true))).as("h"))
+      // MATERIALIZED once (r18): FIVE consumers read this
+      // corpus-sized frame (sizes, both exact-join sides, the
+      // slot-table distinct, the slot re-join) with differing
+      // downstream keys that defeat ReuseExchange — unchecked, the
+      // kernel+explode subtree re-ran per consumer (measured 5.4 →
+      // 4.2 s standalone at sf0.1; banded's self-join, by contrast,
+      // REUSES its exchange — checkpointing it measured SLOWER)
+      .localCheckpoint()
     val sizes = shh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val exact = shh.filter(col("doc_id") % EvalAnchorMod === 0).as("x")
       .join(shh.as("y"),
