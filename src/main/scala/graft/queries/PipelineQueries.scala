@@ -205,6 +205,7 @@ object PipelineQueries {
         override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           clusterCache.clear()
+          nbModelCache.clear()
           hookedContexts.remove(sc.applicationId)
         }
       })
@@ -743,9 +744,31 @@ object PipelineQueries {
    * planted multilingual corpus with genuinely distinct character
    * statistics.
    */
-  def textLangIdNb(spark: SparkSession, sfDir: String): DataFrame =
-    langIdNbOf(Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"), col("text")))
+  def textLangIdNb(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val (modelF, priorsF) = nbModelFor(spark, sfDir, docs)
+    langIdNbApply(docs, modelF, priorsF, NbMaxModelEntries)
+  }
+
+  /** The NB langid model frames, trained ONCE per (session, corpus)
+   *  and shared by [[textLangIdNb]] and [[textLangIdEval]] (the
+   *  clusterFrame device): training is deterministic — the char-bigram
+   *  corpus explode plus the Laplace grid is ~4 s at bench SF, and the
+   *  eval query re-ran it in full beside the nb query every suite
+   *  pass. Frames are checkpointed (vocab×langs / langs-sized);
+   *  eviction rides the shared [[ensureEvictionHook]] listener. */
+  private val nbModelCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (DataFrame, DataFrame)]
+
+  private def nbModelFor(spark: SparkSession, sfDir: String,
+      docs: DataFrame): (DataFrame, DataFrame) = {
+    ensureEvictionHook(spark)
+    nbModelCache.computeIfAbsent((sessionKey(spark), sfDir), _ => {
+      val (m0, p0) = langIdNbModelFrames(docs)
+      (m0.localCheckpoint(), p0.localCheckpoint())
+    })
+  }
 
   /** The LEARN pass of [[langIdNbOf]], factored so the live scoring
    *  topology (`StreamOps.nbLangIdStream`) trains the identical model
@@ -861,7 +884,17 @@ object PipelineQueries {
   def langIdNbOf(docs: DataFrame,
       maxModelEntries: Long = NbMaxModelEntries): DataFrame = {
     val (modelF0, priorsF) = langIdNbModelFrames(docs)
-    val modelF = modelF0.localCheckpoint()
+    langIdNbApply(docs, modelF0.localCheckpoint(), priorsF,
+      maxModelEntries)
+  }
+
+  /** The ROUTED apply pass of [[langIdNbOf]] over prebuilt model
+   *  frames — factored so [[textLangIdNb]]/[[textLangIdEval]] can
+   *  share one cached training ([[nbModelFor]]). `modelF` must be
+   *  materialized by the caller (the cap count + the collect both
+   *  read it). */
+  private[graft] def langIdNbApply(docs: DataFrame, modelF: DataFrame,
+      priorsF: DataFrame, maxModelEntries: Long): DataFrame = {
     if (modelF.count() > maxModelEntries)
       langIdNbRelationalApply(docs, modelF, priorsF)
     else nbLangIdBroadcast(modelF, priorsF) match {
