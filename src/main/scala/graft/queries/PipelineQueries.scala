@@ -207,6 +207,7 @@ object PipelineQueries {
           clusterCache.clear()
           nbModelCache.clear()
           classifierCache.clear()
+          knnGraphCache.clear()
           hookedContexts.remove(sc.applicationId)
         }
       })
@@ -440,8 +441,22 @@ object PipelineQueries {
    *  similarity-graph construction pass. Shares [[NearDupBits]]/
    *  [[NearDupTables]] with the near-dup path. */
   def knnGraph(spark: SparkSession, sfDir: String): DataFrame =
-    SimilarityOps.knnGraph(Tables.embeddings(spark, sfDir), k = GraphK,
-      bits = NearDupBits, tables = NearDupTables)
+    knnGraphFor(spark, sfDir)
+
+  /** The converged k-NN graph frame, built ONCE per (session, corpus)
+   *  and shared by [[knnGraph]] and [[knnLabelEval]] (the clusterFrame
+   *  device — the banded candidate join + per-node top-k is
+   *  deterministic, and the eval ran the identical machinery verbatim
+   *  every suite pass). Eviction rides [[ensureEvictionHook]]. */
+  private val knnGraphCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), DataFrame]
+
+  private def knnGraphFor(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureEvictionHook(spark)
+    knnGraphCache.computeIfAbsent((sessionKey(spark), sfDir), _ =>
+      SimilarityOps.knnGraph(Tables.embeddings(spark, sfDir), k = GraphK,
+        bits = NearDupBits, tables = NearDupTables).localCheckpoint())
+  }
 
   /**
    * k-NN label-consistency evaluation — the embedding-quality monitor a
@@ -461,8 +476,7 @@ object PipelineQueries {
   def knnLabelEval(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val labels = emb.select(col("vec_id"), col("label"))
-    val votes = SimilarityOps.knnGraph(emb, k = GraphK,
-        bits = NearDupBits, tables = NearDupTables)
+    val votes = knnGraphFor(spark, sfDir)
       .join(labels.select(col("vec_id").as("neighbor_id"),
         col("label").as("nb_label")), "neighbor_id")
       .groupBy(col("vec_id"), col("nb_label")).agg(count(lit(1)).as("votes"))
