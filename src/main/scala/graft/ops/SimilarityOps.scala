@@ -232,47 +232,14 @@ object SimilarityOps {
    * Empty cells keep their previous centroid.
    */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): Array[Array[Float]] = {
-    // TRAINED ONCE per (session, input plan, k, iters): Lloyd is
-    // deterministic (decimal-exact sums), so reuse is semantics-free,
-    // and four suite queries (sim_ivf_kmeans, sem_dedup,
-    // embed_outliers, sim_ivfpq's coarse level) train the identical
-    // quantizer — each previously re-paying `iters` corpus passes.
-    // The key is the CANONICALIZED analyzed plan (collision-free,
-    // unlike a hash), so distinct inputs — pqTopK's per-subspace
-    // slices, spec fixtures — never share. The artifact is a k×dim
-    // float array: driver memory, listener-evicted.
-    ensureEvictionHook(emb.sparkSession)
-    centroidCache.computeIfAbsent(
-      (org.apache.spark.sql.GraftColumnBridge.sessionUUID(emb.sparkSession),
-        emb.queryExecution.analyzed.canonicalized.toString, k, iters),
-      _ => kmeansCentroidsUncached(emb, k, iters))
-  }
-
-  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, Int, Int), Array[Array[Float]]]
-
-  /** Contexts already carrying the cache-eviction listener (the
-   *  PipelineQueries.ensureEvictionHook device). */
-  private val hookedContexts = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean])
-
-  private def ensureEvictionHook(
-      spark: org.apache.spark.sql.SparkSession): Unit = {
-    val sc = spark.sparkContext
-    if (hookedContexts.add(sc.applicationId)) {
-      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
-            : Unit = {
-          centroidCache.clear()
-          hookedContexts.remove(sc.applicationId)
-        }
-      })
-    }
-  }
-
-  private def kmeansCentroidsUncached(emb: DataFrame, k: Int,
-      iters: Int): Array[Array[Float]] = {
+    // NOT memoized here: a cache key would need the input DATA's
+    // identity, and no plan-derived key carries it (a CANONICALIZED
+    // plan erases attribute names, parquet paths and LocalRelation
+    // rows — two different corpora with the same column count
+    // collide; verified empirically on this Spark build in a review
+    // pass). Query-layer callers that know the corpus identity memo
+    // the artifact by sfDir (PipelineQueries.kmFor) and feed the
+    // ...With variants.
     var cents = seedCentroids(emb, k)
     for (_ <- 0 until iters) {
       val cNorms = cents.map(c =>
@@ -360,8 +327,14 @@ object SimilarityOps {
    * hash-partitioned by cell, never all-pairs.
    */
   def semDedup(emb: DataFrame, k: Int, iters: Int,
+      threshold: Double): DataFrame =
+    semDedupWith(emb, kmeansCentroids(emb, k, iters), threshold)
+
+  /** [[semDedup]] over an ALREADY-TRAINED quantizer — factored so the
+   *  query layer can feed the session-memoized centroids
+   *  (PipelineQueries.kmFor). */
+  def semDedupWith(emb: DataFrame, cents: Array[Array[Float]],
       threshold: Double): DataFrame = {
-    val cents = kmeansCentroids(emb, k, iters)
     val cNorms = cents.map(c =>
       math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
     val assigned = emb.select(col("vec_id"), col("embedding"),
@@ -398,8 +371,14 @@ object SimilarityOps {
    */
   def centroidOutliers(emb: DataFrame, k: Int, iters: Int,
       threshold: Double): DataFrame =
+    centroidOutliersWith(emb, kmeansCentroids(emb, k, iters), threshold)
+
+  /** [[centroidOutliers]] over an ALREADY-TRAINED quantizer — factored
+   *  for the session-memoized centroids (PipelineQueries.kmFor). */
+  def centroidOutliersWith(emb: DataFrame, cents: Array[Array[Float]],
+      threshold: Double): DataFrame =
     centroidScore(emb.select(col("vec_id"), col("embedding")),
-      kmeansCentroids(emb, k, iters), threshold)
+      cents, threshold)
       .select(col("vec_id"), col("cell"), col("cos_r"), col("is_outlier"))
 
   /**
@@ -869,8 +848,10 @@ object SimilarityOps {
    */
   def ivfPqTopK(emb: DataFrame, queryIds: Seq[Long], kTop: Int, dim: Int,
       nCells: Int = 8, nProbe: Int = 4, m: Int = 4, ks: Int = 8,
-      iters: Int = 2): DataFrame = {
-    val idx = buildIvfPqIndex(emb, dim, nCells, nProbe, m, ks, iters)
+      iters: Int = 2,
+      coarse: Option[Array[Array[Float]]] = None): DataFrame = {
+    val idx = buildIvfPqIndex(emb, dim, nCells, nProbe, m, ks, iters,
+      coarse)
     val qvecs = emb.filter(col("vec_id").isInCollection(queryIds))
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
@@ -893,11 +874,13 @@ object SimilarityOps {
   /** Train + encode ([[ivfPqTopK]]'s build half, factored so the
    *  streaming service builds ONCE and serves per trigger). */
   private[graft] def buildIvfPqIndex(emb: DataFrame, dim: Int, nCells: Int,
-      nProbe: Int, m: Int, ks: Int, iters: Int): IvfPqIndex = {
+      nProbe: Int, m: Int, ks: Int, iters: Int,
+      coarse: Option[Array[Array[Float]]] = None): IvfPqIndex = {
     require(dim % m == 0, "dim must split evenly into m subspaces")
     val sub = dim / m
-    // coarse quantizer + per-vector cell + float32 residual
-    val cents = kmeansCentroids(emb, nCells, iters)
+    // coarse quantizer + per-vector cell + float32 residual; callers
+    // holding the session-memoized quantizer pass it via `coarse`
+    val cents = coarse.getOrElse(kmeansCentroids(emb, nCells, iters))
     val cNorms = cents.map(c => math.sqrt(seqDot(c, c)))
     val centLit = typedlit(cents.map(_.toSeq).toSeq)
     val res = emb
