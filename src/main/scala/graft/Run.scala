@@ -42,6 +42,7 @@ import graft.streaming.StreamOps
  * hash_sample json_props quality_cut curate trident_wordcount
  * decontaminate text_chunks text_scrub pii_scrub split_assign mix_weights
  * sessionize shuffle_shard lm_score nb_langid span_flag mix_sample neardup_gate
+ * phash_gate
  * outlier_gate langid_eval classify_gate corpus_report ppl_gate funnel
  * anomaly_gate attrib_join entropy_gate gopher_gate winnow_fp winnow_gate
  * dedup_gate trained_gate dsir_gate embed_gate countmin text_normalize
@@ -51,7 +52,7 @@ import graft.streaming.StreamOps
  *  decontaminate takes --bench <parquet path> for the benchmark set;
  *  lm_score takes --corpus <parquet path> for the model corpus and
  *  --order 1|2|3 for unigram / bigram / trigram scoring;
- *  span_flag, mix_sample, neardup_gate, outlier_gate and nb_langid
+ *  span_flag, mix_sample, neardup_gate, phash_gate, outlier_gate and nb_langid
  *  take --corpus <parquet path> for their offline models)
  */
 object Run {
@@ -506,6 +507,19 @@ object Run {
         // offline-model/online-filter split applied to MinHash+LSH
         (nearDupGateTopology(spark, lines(), opts.getOrElse("corpus",
           "/root/testdata/sf0.001/documents.parquet")), OutputMode.Append)
+      case "phash_gate" =>
+        // IMAGE near-dup admission, live (the first streaming
+        // multimodal topology): corpus perceptual hashes fingerprinted
+        // offline from --corpus (an (img_id, png) parquet; default =
+        // the committed PNG fixture) into the banded PhashBandIndex,
+        // each arriving image decoded + hashed + probed
+        // partition-batched. The demo source derives a REAL encoded
+        // PNG per line from the fixture corpus (the embedForLine
+        // demo-labeler pattern — real ingestion replaces this with the
+        // upstream binary column); decisions stream through with
+        // matched_id/hamming observability
+        (phashGateTopology(spark, lines(), opts.getOrElse("corpus",
+          graft.tools.PngFixture.Path)), OutputMode.Append)
       case "hash_sample" =>
         // deterministic content-hash downsampling, live: the same
         // row-local predicate as the gated batch query — no RNG, no
@@ -696,6 +710,29 @@ object Run {
     StreamOps.nearDupGateStream(
       lines.select(col("ts"), col("value").as("text")),
       spark.read.parquet(corpusPath))
+
+  /** Image near-dup admission at ingest: the corpus fingerprint index
+   *  is an offline artifact of the batch decode+hash
+   *  (StreamOps.phashGateStream has the scale reasoning). The demo
+   *  source maps each line to a REAL encoded PNG from the corpus (a
+   *  typedlit blob table indexed by line hash — the embedForLine
+   *  pattern; real ingestion replaces this with the upstream binary
+   *  column). Factored so RunTopologySpec drives the exact
+   *  composition. */
+  private[graft] def phashGateTopology(spark: SparkSession,
+      lines: DataFrame, corpusPath: String): DataFrame = {
+    val corpus = spark.read.parquet(corpusPath)
+    val blobs = corpus.select(col("png")).limit(48)
+      .collect().map(_.getAs[Array[Byte]](0)).toSeq
+    require(blobs.nonEmpty, "phash_gate demo source needs a corpus blob")
+    StreamOps.phashGateStream(
+      lines.select(col("ts"),
+        xxhash64(col("value")).as("img_id"),
+        element_at(typedlit(blobs),
+          (pmod(xxhash64(col("value")), lit(blobs.size)) + 1).cast("int"))
+          .as("png")),
+      corpus)
+  }
 
   /** Deterministic demo embedding for a text line: 64 hash-derived
    *  floats in [-1, 1) — real ingestion replaces this with the

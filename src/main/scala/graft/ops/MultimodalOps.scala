@@ -489,6 +489,38 @@ object MultimodalOps {
    * artifact). Quarantine convention: width = -1. One
    * partition-batched pass; decode and both hashes fuse per row.
    */
+  /** Decode `bytes` and sample the ≤ 32×32 luminance grid both hash
+   *  forms consume — reads ONLY the sampled coordinates (a full
+   *  luminance plane would cost w·h getRGB calls and a frame-sized
+   *  allocation per row for the same 1024 samples; identical values:
+   *  a pre-sampled 32×32 grid makes phash64's index map the identity,
+   *  and a pointwise brightness shift commutes with sampling).
+   *  None = quarantine (null/empty/corrupt/unreadable bytes). ONE
+   *  definition shared by [[phashPartitioned]] and
+   *  [[phashGatePartitioned]] so batch and live hash the same
+   *  pixels. */
+  private def phashGrid(bytes: Array[Byte])
+      : Option[(Int, Int, Array[Array[Int]])] =
+    try {
+      val img =
+        if (bytes == null || bytes.isEmpty) null
+        else javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val grid = Array.tabulate(PhashS, PhashS) { (y, x) =>
+          val rgb = img.getRGB(x * w / PhashS, y * h / PhashS)
+          (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
+            (rgb & 0xFF)) / 3
+        }
+        Some((w, h, grid))
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+
   def phashPartitioned(df: DataFrame, idCol: String, bytesCol: String,
       brightShift: Int)
       : org.apache.spark.sql.Dataset[graft.model.PhashFeatures] = {
@@ -498,38 +530,155 @@ object MultimodalOps {
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
         rows.map { case (id, bytes) =>
-          try {
-            val img =
-              if (bytes == null || bytes.isEmpty) null
-              else javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(bytes))
-            if (img == null) bad(id)
-            else {
-              val w = img.getWidth
-              val h = img.getHeight
-              // read ONLY the ≤ 32×32 sampled coordinates both hashes
-              // consume — a full luminance plane would cost w·h getRGB
-              // calls and a frame-sized allocation per row for the
-              // same 1024 samples (identical values: a pre-sampled
-              // 32×32 grid makes phash64's index map the identity,
-              // and the pointwise brightness shift commutes with
-              // sampling)
-              val grid = Array.tabulate(PhashS, PhashS) { (y, x) =>
-                val rgb = img.getRGB(x * w / PhashS, y * h / PhashS)
-                (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
-                  (rgb & 0xFF)) / 3
-              }
+          phashGrid(bytes) match {
+            case None => bad(id)
+            case Some((w, h, grid)) =>
               val base = phash64((x, y) => grid(y)(x), PhashS, PhashS)
               val shifted = phash64(
                 (x, y) => math.min(255, grid(y)(x) + brightShift),
                 PhashS, PhashS)
               graft.model.PhashFeatures(id, w, h, base, shifted)
-            }
-          } catch {
-            case scala.util.control.NonFatal(_) => bad(id)
           }
         }
       }
+  }
+
+  /**
+   * Broadcastable banded corpus fingerprint index — the offline-model
+   * half of the live image admission gate
+   * (`StreamOps.phashGateStream`): the corpus hashes bucketed by the
+   * SAME C(8,2) = 28 block-pair keys `DedupOps.hammingNearDups64`
+   * joins on, so a probe enumerates 28 map lookups and popcount-
+   * verifies only same-bucket candidates — by the pigeonhole, every
+   * corpus hash within Hamming ≤ 6 of the probe shares at least one
+   * intact block pair, so the banded search finds the EXACT global
+   * minimum over the radius (never a miss, never all-pairs). Ties
+   * break to the smaller corpus id — deterministic. ~28 index
+   * entries per corpus hash, ints only.
+   */
+  final class PhashBandIndex(val hashes: Array[Long],
+      val ids: Array[Long],
+      val bands: java.util.HashMap[Integer, Array[Int]])
+      extends Serializable {
+    /** (matched corpus id, hamming) of the nearest within-radius
+     *  corpus hash, or null — exact over the radius by pigeonhole. */
+    def probe(h: Long, maxHamming: Int): (Long, Int) = {
+      var bestId = Long.MaxValue
+      var bestD = maxHamming + 1
+      var t = 0
+      while (t < PhashBandIndex.Combos.length) {
+        val c = PhashBandIndex.Combos(t)
+        val key = (t << 16) |
+          ((((h >>> (c(0) * 8)) & 0xFF) << 8) |
+            ((h >>> (c(1) * 8)) & 0xFF)).toInt
+        val cand = bands.get(key)
+        if (cand != null) {
+          var i = 0
+          while (i < cand.length) {
+            val d = java.lang.Long.bitCount(h ^ hashes(cand(i)))
+            if (d < bestD || (d == bestD && ids(cand(i)) < bestId)) {
+              bestD = d
+              bestId = ids(cand(i))
+            }
+            i += 1
+          }
+        }
+        t += 1
+      }
+      if (bestD > maxHamming) null else (bestId, bestD)
+    }
+  }
+
+  object PhashBandIndex {
+    /** The 28 block pairs, in [[graft.ops.DedupOps.hammingNearDups64]]'s
+     *  enumeration order. */
+    private[MultimodalOps] val Combos: Array[Array[Int]] =
+      (0 until 8).combinations(2).map(_.toArray).toArray
+
+    /** Build from (id, hash) pairs (any order; dedup'd buckets). */
+    def apply(rows: Seq[(Long, Long)]): PhashBandIndex = {
+      val sorted = rows.sortBy(_._1).toArray
+      val ids = sorted.map(_._1)
+      val hashes = sorted.map(_._2)
+      val buckets = new java.util.HashMap[Integer,
+        scala.collection.mutable.ArrayBuffer[Int]]
+      var i = 0
+      while (i < hashes.length) {
+        val h = hashes(i)
+        var t = 0
+        while (t < Combos.length) {
+          val c = Combos(t)
+          val key = (t << 16) |
+            ((((h >>> (c(0) * 8)) & 0xFF) << 8) |
+              ((h >>> (c(1) * 8)) & 0xFF)).toInt
+          var b = buckets.get(key)
+          if (b == null) {
+            b = new scala.collection.mutable.ArrayBuffer[Int]
+            buckets.put(key, b)
+          }
+          b += i
+          t += 1
+        }
+        i += 1
+      }
+      val bands = new java.util.HashMap[Integer, Array[Int]](
+        buckets.size() * 2)
+      buckets.forEach((k, v) => { bands.put(k, v.toArray); () })
+      new PhashBandIndex(hashes, ids, bands)
+    }
+  }
+
+  /**
+   * Partition-batched decode → hash → banded corpus probe — the live
+   * half of the image admission gate: per row, the [[phashGrid]]
+   * decode (shared with the batch hash), [[phash64]], then ONE
+   * [[PhashBandIndex.probe]] against the broadcast corpus index.
+   * Emits EVERY input column (Row-merge passthrough — the text gates'
+   * contract, which a typed mapPartitions would drop) plus (width,
+   * height, phash, matched_id, hamming, decision): decision =
+   * 'quarantine' (undecodable bytes — never admitted silently,
+   * never near-dup'd on the sentinel hash), 'neardup' (a corpus hash
+   * within the radius; matched_id/hamming say which and how far) or
+   * 'admit'. The admission filter is `decision = 'admit'`; emitting
+   * decisions instead of filtering is the mm-family observability
+   * convention (quarantine routing matters).
+   */
+  def phashGatePartitioned(df: DataFrame, bytesCol: String,
+      idx: org.apache.spark.broadcast.Broadcast[PhashBandIndex],
+      maxHamming: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val outSchema = df.schema
+      .add("width", IntegerType, nullable = false)
+      .add("height", IntegerType, nullable = false)
+      .add("phash", LongType, nullable = false)
+      .add("matched_id", LongType, nullable = true)
+      .add("hamming", LongType, nullable = true)
+      .add("decision", StringType, nullable = false)
+    val iBytes = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](iBytes)
+        phashGrid(bytes) match {
+          case None =>
+            org.apache.spark.sql.Row.merge(r,
+              org.apache.spark.sql.Row(-1, -1, 0L, null, null,
+                "quarantine"))
+          case Some((w, h, grid)) =>
+            val ph = phash64((x, y) => grid(y)(x), PhashS, PhashS)
+            idx.value.probe(ph, maxHamming) match {
+              case null =>
+                org.apache.spark.sql.Row.merge(r,
+                  org.apache.spark.sql.Row(w, h, ph, null, null,
+                    "admit"))
+              case (mid, d) =>
+                org.apache.spark.sql.Row.merge(r,
+                  org.apache.spark.sql.Row(w, h, ph, mid, d.toLong,
+                    "neardup"))
+            }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /**

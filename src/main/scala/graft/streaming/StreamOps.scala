@@ -782,6 +782,61 @@ object StreamOps {
   }
 
   /**
+   * Live IMAGE NEAR-DUP ADMISSION GATE — [[nearDupGateStream]]'s
+   * semantics on the MULTIMODAL side, completing the gate family with
+   * the first streaming image topology: the corpus's perceptual
+   * hashes are computed ONCE at topology build (the batch
+   * `MultimodalOps.phashPartitioned` decode, quarantined images
+   * excluded — the mm_phash_neardup corpus rule) and bucketed into
+   * the broadcastable [[graft.ops.MultimodalOps.PhashBandIndex]] —
+   * the SAME 28 C(8,2) block-pair keys the batch
+   * `DedupOps.hammingNearDups64` joins on, so the live probe finds
+   * the EXACT nearest within-radius corpus image by pigeonhole, never
+   * a miss, never all-pairs. Each arriving image pays one
+   * partition-batched decode + hash + 28 map lookups
+   * ([[graft.ops.MultimodalOps.phashGatePartitioned]]); every input
+   * column passes through (Row-merge) plus (width, height, phash,
+   * matched_id, hamming, decision ∈ admit/neardup/quarantine) — the
+   * decision column instead of a silent filter is the mm-family
+   * observability convention (quarantine routing matters). Stateless,
+   * Append-safe, replay-stable. Same bounded-broadcast contract as
+   * the text gates: the build REFUSES past `maxCorpus` decoded
+   * hashes, counted BEFORE the collect, and an EMPTY corpus refuses
+   * loud (a gate over zero fingerprints would admit everything —
+   * the buildHybridIndex rule). Scale: the model is ~28 int entries
+   * + 16 bytes per corpus image — ~0.2 GB per 10⁹ images; past
+   * executor memory the batch banded join is the right tool. Images
+   * must carry a `png` binary column.
+   */
+  def phashGateStream(images: DataFrame, corpus: DataFrame,
+      maxHamming: Int =
+        graft.queries.PipelineQueries.PhashNeardupMaxHamming,
+      maxCorpus: Long = 4000000L): DataFrame = {
+    val hashed = graft.ops.MultimodalOps.phashPartitioned(
+        corpus, "img_id", "png", 0)
+      .toDF()
+      .filter(col("width") =!= -1)
+      .select(col("id"), col("phash"))
+      .localCheckpoint() // the count + the collect both read it
+    val n = hashed.count()
+    require(n > 0,
+      "phash gate corpus is EMPTY (no image decoded) — a gate over " +
+        "zero fingerprints would admit everything; point --corpus at " +
+        "a real image corpus")
+    require(n <= maxCorpus,
+      s"phash gate corpus has $n decoded images > cap $maxCorpus; a " +
+        "broadcast index this size risks executor memory — dedup with " +
+        "the batch banded join (PipelineQueries.mmPhashNeardup) " +
+        "instead, or raise maxCorpus if the memory budget allows")
+    val idx = graft.ops.MultimodalOps.PhashBandIndex(
+      hashed.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    graft.ops.DedupOps.releaseTruncated(hashed)
+    val bc = images.sparkSession.sparkContext.broadcast(idx)
+    graft.ops.MultimodalOps.phashGatePartitioned(
+      images, "png", bc, maxHamming)
+  }
+
+  /**
    * Live EMBEDDING OUTLIER GATE — the streaming form of
    * `PipelineQueries.embedOutliers`' cut, completing the admission-gate
    * family on the embedding side: k-means prototypes are trained ONCE

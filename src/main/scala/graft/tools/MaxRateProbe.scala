@@ -492,6 +492,13 @@ object MaxRateProbe {
         in.select(col("ts"), Generators.docLine(col("value")).as("text")),
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
     }
+    search("phash_gate", seed = 200000, OutputMode.Append) { in =>
+      // the first multimodal topology: per row one REAL PNG decode +
+      // DCT hash + 28 banded map probes (the demo source replays
+      // fixture blobs — decode dominates)
+      graft.Run.phashGateTopology(spark, in,
+        graft.tools.PngFixture.Path)
+    }
     search("lm_score_kn3", seed = 500000, OutputMode.Append) { in =>
       // the trigram rung: still one kernel call per row; the fold
       // walks one more word of context and the backoff path probes

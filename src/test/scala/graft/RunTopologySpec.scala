@@ -659,6 +659,32 @@ class RunTopologySpec extends SparkSpec {
     assert(e.getMessage.contains("--order 3"), e.getMessage)
   }
 
+  test("Run phash_gate: every demo-source line decodes to a REAL " +
+      "corpus PNG and near-dups against the corpus at hamming 0 " +
+      "(the demo source replays corpus blobs); decisions and " +
+      "observability columns flow through") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.toMemory(
+      Run.phashGateTopology(spark, in.toDF().toDF("ts", "value"),
+        graft.tools.PngFixture.Path),
+      "run_phash_gate", OutputMode.Append, ckpt())
+    try {
+      in.addData(
+        (at("2024-01-01 10:00:00"), "alpha"),
+        (at("2024-01-01 10:00:01"), "bravo"),
+        (at("2024-01-01 10:00:02"), "charlie"))
+      q.processAllAvailable()
+      val rows = spark.table("run_phash_gate")
+        .select("decision", "hamming").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.length == 3)
+      // demo blobs ARE corpus members: exact match at hamming 0
+      assert(rows.forall(_ == (("neardup", 0L))),
+        s"corpus replays must self-match at 0: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("Run sessionize emits finalized sessions that equal the batch " +
       "sessionAgg on an in-order fixture (gap merge included)") {
     implicit val sqlCtx = spark.sqlContext

@@ -614,6 +614,102 @@ class StreamOpsSpec extends SparkSpec {
     assert(emptyE.getMessage.contains("EMPTY"), emptyE.getMessage)
   }
 
+  test("phashGateStream: decisions equal a brute-force probe over the " +
+      "batch-computed corpus hashes (banded index == exhaustive scan " +
+      "by pigeonhole), self-images match themselves at hamming 0, " +
+      "corrupt bytes quarantine, far images admit, every input column " +
+      "passes through; empty corpus and the cap refuse loudly") {
+    import graft.tools.PngFixture
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet(PngFixture.Path)
+    // corpus fingerprints via the BATCH decode (the stream==batch
+    // identity the gate family pins)
+    val corpusHashes = graft.ops.MultimodalOps.phashPartitioned(
+        corpus, "img_id", "png", 0)
+      .collect().filter(_.width != -1).map(f => (f.id, f.phash))
+    def refProbe(h: Long): Option[(Long, Int)] = {
+      // EXHAUSTIVE scan — the banded index must agree by pigeonhole
+      val within = corpusHashes
+        .map { case (id, ch) => (java.lang.Long.bitCount(h ^ ch), id) }
+        .filter(_._1 <= graft.queries.PipelineQueries.PhashNeardupMaxHamming)
+      if (within.isEmpty) None else Some {
+        val m = within.min; (m._2, m._1)
+      }
+    }
+    def flatPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows: Seq[(Long, String, Array[Byte])] =
+      (0 until PngFixture.N).map(i =>
+        (1000L + i, s"self$i", PngFixture.pngBytes(i))) ++
+        Seq(
+          (2000L, "corrupt", Array[Byte](1, 2, 3)),
+          (2001L, "null", null.asInstanceOf[Array[Byte]]),
+          (2002L, "black", flatPng(8, 8, 0x000000)),
+          (2003L, "white", flatPng(16, 12, 0xFFFFFF)))
+    val in = MemoryStream[(Long, String, Array[Byte])]
+    val gated = StreamOps.phashGateStream(
+      in.toDF().toDF("img_id", "tag", "png"), corpus)
+    val q = StreamOps.toMemory(
+      gated.select("img_id", "tag", "decision", "matched_id", "hamming",
+        "phash"),
+      "phash_gate_test", OutputMode.Append, ckpt())
+    try {
+      in.addData(rows.toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("phash_gate_test").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+          if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(4))),
+          r.getLong(5))))
+        .toMap
+      assert(got.size == rows.size, "every input row must emit")
+      // self-images: exact corpus members match THEMSELVES at 0
+      (0 until PngFixture.N).foreach { i =>
+        val (_, dec, m, _) = got(1000L + i)
+        assert(dec == "neardup" && m.contains((i.toLong, 0L)),
+          s"self$i must match itself at hamming 0: $dec $m")
+      }
+      Seq(2000L, 2001L).foreach { id =>
+        assert(got(id)._2 == "quarantine", s"$id: ${got(id)}")
+        assert(got(id)._3.isEmpty, "quarantined rows carry no match")
+      }
+      // synthetic images: decision == the EXHAUSTIVE reference probe
+      Seq(2002L, 2003L).foreach { id =>
+        val (_, dec, m, ph) = got(id)
+        refProbe(ph) match {
+          case None =>
+            assert(dec == "admit" && m.isEmpty, s"$id: $dec $m")
+          case Some((mid, d)) =>
+            assert(dec == "neardup" && m.contains((mid, d.toLong)),
+              s"$id: $dec $m want ($mid,$d)")
+        }
+      }
+      // the passthrough contract: tag survived (asserted implicitly by
+      // the reads above); and at least one synthetic is a REAL admit,
+      // so the admit path is exercised, not vacuous
+      assert(Seq(2002L, 2003L).exists(id => got(id)._2 == "admit"),
+        "expected at least one far synthetic to admit")
+    } finally q.stop()
+    // the bounded-broadcast + empty-model contracts
+    val e1 = intercept[IllegalArgumentException] {
+      StreamOps.phashGateStream(
+        in.toDF().toDF("img_id", "tag", "png"), corpus, maxCorpus = 4)
+    }
+    assert(e1.getMessage.contains("mmPhashNeardup"), e1.getMessage)
+    import spark.implicits._
+    val junk = Seq((900L, Array[Byte](9, 9))).toDF("img_id", "png")
+    val e2 = intercept[IllegalArgumentException] {
+      StreamOps.phashGateStream(
+        in.toDF().toDF("img_id", "tag", "png"), junk)
+    }
+    assert(e2.getMessage.contains("EMPTY"), e2.getMessage)
+  }
+
   test("mixWeightsStream: each trigger's complete snapshot reproduces " +
       "the batch temperature weights over everything seen so far") {
     import graft.queries.PipelineQueries
