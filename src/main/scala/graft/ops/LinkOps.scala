@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Blocked fuzzy ENTITY RESOLUTION (record linkage) — the classic
+ * blocking + verify + rank pipeline (Fellegi–Sunter framing,
+ * Christen 2012's textbook blocking architecture): dirty mentions are
+ * matched against a clean entity catalog without ever forming the
+ * all-pairs product. The reference has no linkage operator; this is
+ * part of the LLM-pipeline layer (entity linking of noisy source
+ * metadata — site names, author strings, product titles — against a
+ * curated catalog is a standard corpus-curation join).
+ *
+ * Scale shape (the whole point): the entity CATALOG is the small
+ * side — catalogs are entity-sized (thousands..millions), mentions
+ * are corpus-sized (billions). Every operator here:
+ *   1. aggregates the catalog once (two-phase, map-side combinable),
+ *   2. broadcasts a BLOCK INDEX of it (block key → candidate set),
+ *   3. streams mentions through ONE broadcast hash join + row-local
+ *      verify — mentions are never shuffled, never exploded beyond
+ *      their block's candidate list, and the edit-distance verify is
+ *      Spark's thresholded `levenshtein(l, r, d)` (banded DP, O(len·d)
+ *      per pair, codegen'd) — never the full O(len²) matrix.
+ * [[bestMatches]] goes one step further: the index row carries the
+ * block's candidates as an ARRAY, so the argmin is a row-local
+ * `array_min` over structs — zero shuffle end to end on the mention
+ * side (PlanShapeSpec pins it).
+ *
+ * Blocking contract: key = (first [[BlockPrefixLen]] chars, length
+ * within ±maxDist). Recall is exact for corruptions that preserve the
+ * prefix (the gated fixture's deletions do, by construction); a
+ * production pass adds more blocking passes (suffix, sorted tokens,
+ * phonetic) and unions candidates — same shape, more index rows.
+ */
+object LinkOps {
+
+  /** Blocking-prefix length: long enough to split the catalog into
+   *  many blocks, short enough that typical typos land past it. */
+  val BlockPrefixLen = 3
+
+  /** Blocking key of a name — the first [[BlockPrefixLen]] chars. */
+  def blockKey(name: Column): Column =
+    substring(name, 1, BlockPrefixLen)
+
+  /** Entity catalog from a (possibly duplicated) reference relation:
+   *  one row per distinct surface form, canonical `entity_id` = the
+   *  smallest source key carrying it (the dedup_exact keeper
+   *  convention). One two-phase agg — catalog-sized output. */
+  def entityCatalog(df: DataFrame, id: Column, name: Column): DataFrame =
+    df.groupBy(name.as("entity_name")).agg(min(id).as("entity_id"))
+      .select(col("entity_id"), col("entity_name"))
+
+  /** The broadcastable block index: every entity appears under the
+   *  (prefix, len + d) keys for d in [-maxDist, maxDist] — an edit
+   *  within the distance budget changes length by at most maxDist, so
+   *  a mention joins EXACTLY the blocks that can contain its entity.
+   *  (2·maxDist + 1) × |catalog| rows, ints and short strings. */
+  private def blockIndex(entities: DataFrame, maxDist: Int): DataFrame =
+    entities
+      .select(col("entity_id"), col("entity_name"),
+        blockKey(col("entity_name")).as("blk"),
+        explode(array((-maxDist to maxDist).map(lit): _*)).as("d"))
+      .select(col("blk"), (length(col("entity_name")) + col("d")).as("mlen"),
+        col("entity_id"), col("entity_name"))
+
+  /** Candidate (mention, entity) pairs with edit distance ≤ maxDist:
+   *  broadcast equi-join of mentions onto the block index, thresholded
+   *  levenshtein verify in the join projection. `mentions` must carry
+   *  (mention_id, mention); all other columns pass through. */
+  def blockedCandidates(mentions: DataFrame, entities: DataFrame,
+      maxDist: Int): DataFrame =
+    mentions.join(
+        broadcast(blockIndex(entities, maxDist)),
+        blockKey(col("mention")) === col("blk") &&
+          length(col("mention")) === col("mlen"))
+      .withColumn("lev",
+        levenshtein(col("mention"), col("entity_name"), maxDist)
+          .cast("bigint"))
+      .filter(col("lev") >= 0)
+      .drop("blk", "mlen", "d")
+
+  /** Best match per mention WITHOUT shuffling mentions: the block
+   *  index is pre-aggregated to one row per (prefix, len) carrying its
+   *  candidate array, so the join emits at most one row per mention
+   *  and the argmin is a row-local `array_min` over
+   *  struct(lev, entity_id, entity_name) — ties break to the smaller
+   *  entity_id by struct ordering. Unmatched mentions keep a NULL
+   *  `best` (left join), so the caller can count coverage. */
+  def bestMatches(mentions: DataFrame, entities: DataFrame,
+      maxDist: Int): DataFrame = {
+    val idx = blockIndex(entities, maxDist)
+      .groupBy(col("blk"), col("mlen"))
+      .agg(collect_list(struct(col("entity_id"), col("entity_name")))
+        .as("cands"))
+    mentions.join(broadcast(idx),
+        blockKey(col("mention")) === col("blk") &&
+          length(col("mention")) === col("mlen"),
+        "left")
+      .withColumn("best",
+        array_min(filter(
+          transform(col("cands"), e =>
+            struct(
+              levenshtein(col("mention"), e("entity_name"), maxDist)
+                .cast("bigint").as("lev"),
+              e("entity_id").as("entity_id"),
+              e("entity_name").as("entity_name"))),
+          s => s("lev") >= 0)))
+      .drop("blk", "mlen", "cands")
+  }
+}

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.LinkOps
+
+/**
+ * ENTITY-RESOLUTION (record linkage) queries over the part catalog —
+ * the [[graft.ops.LinkOps]] blocking + verify + rank pipeline gated
+ * end to end. The testdata carries no dirty-mention feed, so mentions
+ * are derived DETERMINISTICALLY from part names (the cdcApply
+ * engineered-fixture convention; the oracle re-derives them):
+ *
+ *   - every part row emits one SINGLE-DELETION mention (drop the char
+ *     at 1-indexed pos = 4 + p_partkey % (len − 4) — past the
+ *     3-char blocking prefix by construction, so blocking recall is
+ *     exact): true distance 1;
+ *   - rows with p_partkey ≡ 0 (mod [[HardMod]]) apply the SAME
+ *     deletion rule a second time to the once-deleted string: true
+ *     distance 2, where the nearest catalog entity is sometimes a
+ *     DIFFERENT name at a tied distance ("old ring" →→ "old rg" sits
+ *     at distance 2 from both "old ring" and "old rod", and the
+ *     deterministic entity_id tiebreak picks the wrong one — 4 wrong
+ *     matches at sf0.01, measured) — the non-vacuous error channel
+ *     `er_eval` exists to measure;
+ *   - rows with p_partkey ≡ 0 (mod [[JunkMod]]) ALSO emit a junk
+ *     mention (the reversed name, id in the disjoint −(key+1)
+ *     keyspace, NULL clean form): matches nothing, so coverage
+ *     (n_matched < n_mentions) is non-vacuous too.
+ *
+ * Scale: catalog = 64 distinct names here, entity-sized in general —
+ * aggregated once, broadcast as a block index; the corpus-sized
+ * mention side is ONE scan with a broadcast hash join (er_matches
+ * never shuffles mentions at all — PlanShapeSpec pins it).
+ */
+object LinkageQueries {
+
+  /** Edit-distance budget for candidate verification. */
+  val MaxDist = 2
+
+  /** Every HardMod-th part key gets the double-deletion mention. */
+  val HardMod = 11
+
+  /** Every JunkMod-th part key adds an unmatched junk mention. */
+  val JunkMod = 17
+
+  /** One deletion at pos = 4 + key % (len − 4) of `name` — SQL text
+   *  shared by both deletion passes (string-typed, codegen'd). */
+  private def deleteAt(name: String, key: String): String =
+    s"concat(substr($name, 1, 4 + $key % (length($name) - 4) - 1), " +
+      s"substr($name, 4 + $key % (length($name) - 4) + 1, 100))"
+
+  /** The deterministic dirty-mention feed: (mention_id, mention,
+   *  clean) — clean is NULL on junk rows. */
+  private[graft] def mentionsOf(parts: DataFrame): DataFrame = {
+    val d1 = parts.filter(length(col("p_name")) >= 6)
+      .select(col("p_partkey").as("k"), col("p_name").as("clean"),
+        expr(deleteAt("p_name", "p_partkey")).as("m1"))
+    val single = d1.filter(col("k") % HardMod =!= 0)
+      .select(col("k").as("mention_id"), col("m1").as("mention"),
+        col("clean"))
+    val double = d1.filter(col("k") % HardMod === 0 &&
+        length(col("m1")) >= 6)
+      .select(col("k").as("mention_id"),
+        expr(deleteAt("m1", "k")).as("mention"), col("clean"))
+    val junk = parts.filter(col("p_partkey") % JunkMod === 0)
+      .select((-(col("p_partkey") + 1)).as("mention_id"),
+        reverse(col("p_name")).as("mention"),
+        lit(null).cast("string").as("clean"))
+    single.unionAll(double).unionAll(junk)
+  }
+
+  private def catalogOf(parts: DataFrame): DataFrame =
+    LinkOps.entityCatalog(parts, col("p_partkey"), col("p_name"))
+
+  /** Blocked candidate pairs within distance [[MaxDist]] — the
+   *  observable middle of the linkage pipeline (what a threshold
+   *  sweep or a match-weight model trains on). */
+  def erCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = Tables.part(spark, sfDir)
+    LinkOps.blockedCandidates(mentionsOf(parts), catalogOf(parts), MaxDist)
+      .select(col("mention_id"), col("mention"), col("entity_id"),
+        col("entity_name"), col("lev"))
+  }
+
+  /** Best entity per mention (ties to the smaller entity_id), with the
+   *  correctness bit against the mention's true surface form. */
+  def erMatches(spark: SparkSession, sfDir: String): DataFrame =
+    erMatchesOf(Tables.part(spark, sfDir))
+
+  /** The [[erMatches]] engine over any part-shaped frame. */
+  private[graft] def erMatchesOf(parts: DataFrame): DataFrame =
+    LinkOps.bestMatches(mentionsOf(parts), catalogOf(parts), MaxDist)
+      .filter(col("best").isNotNull)
+      .select(col("mention_id"), col("mention"),
+        col("best")("entity_id").as("entity_id"),
+        col("best")("entity_name").as("entity_name"),
+        col("best")("lev").as("lev"),
+        coalesce(col("best")("entity_name") === col("clean"), lit(false))
+          .as("is_correct"))
+
+  /** The linkage scorecard: coverage (junk mentions lower it),
+   *  precision (the double-deletion ambiguity lowers it), mean
+   *  verified distance. One broadcast join + one global agg. */
+  def erEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = Tables.part(spark, sfDir)
+    LinkOps.bestMatches(mentionsOf(parts), catalogOf(parts), MaxDist)
+      .agg(
+        count(lit(1)).as("n_mentions"),
+        count(col("best")).as("n_matched"),
+        count(when(col("best")("entity_name") === col("clean"), 1))
+          .as("n_correct"))
+      .select(col("n_mentions"), col("n_matched"), col("n_correct"),
+        (col("n_matched").cast("double") / col("n_mentions"))
+          .as("match_rate"),
+        (col("n_correct").cast("double") / col("n_matched"))
+          .as("precision"))
+  }
+}

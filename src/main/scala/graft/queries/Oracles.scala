@@ -4441,4 +4441,86 @@ object Oracles {
        |FROM (VALUES
        |  $rows) AS t(clip_id, n_windows, zero_crossings, energy, peak_abs, silent_windows)""".stripMargin
   }
+
+  // ---- entity resolution ---------------------------------------------------
+
+  /** The shared linkage CTE prefix: catalog + deterministic mention
+   *  derivation mirroring [[LinkageQueries.mentionsOf]] (single
+   *  deletion, conditional second deletion, reversed junk), and the
+   *  blocked verified candidates — the blocking predicate written as
+   *  abs(len diff) ≤ 2, relationally equivalent to the Spark side's
+   *  exploded (prefix, len + d) index keys, and FULL levenshtein
+   *  where Spark uses the thresholded banded form (identical on every
+   *  kept row: the thresholded form is exact within the budget). */
+  private val erPrelude: String = {
+    val h = LinkageQueries.HardMod
+    val j = LinkageQueries.JunkMod
+    val d = LinkageQueries.MaxDist
+    def del(name: String, key: String) =
+      s"substr($name, 1, 4 + $key % (length($name) - 4) - 1) || " +
+        s"substr($name, 4 + $key % (length($name) - 4) + 1, 100)"
+    s"""WITH ent AS (
+       |  SELECT min(p_partkey) AS entity_id, p_name AS entity_name
+       |  FROM part GROUP BY p_name),
+       |d1 AS (
+       |  SELECT p_partkey AS k, p_name AS clean,
+       |         ${del("p_name", "p_partkey")} AS m1
+       |  FROM part WHERE length(p_name) >= 6),
+       |men AS (
+       |  SELECT k AS mention_id, m1 AS mention, clean
+       |  FROM d1 WHERE k % $h <> 0
+       |  UNION ALL
+       |  SELECT k, ${del("m1", "k")}, clean
+       |  FROM d1 WHERE k % $h = 0 AND length(m1) >= 6
+       |  UNION ALL
+       |  SELECT -(p_partkey + 1), reverse(p_name), CAST(NULL AS VARCHAR)
+       |  FROM part WHERE p_partkey % $j = 0),
+       |cand AS (
+       |  SELECT m.mention_id, m.mention, m.clean, e.entity_id,
+       |         e.entity_name,
+       |         CAST(levenshtein(m.mention, e.entity_name) AS BIGINT) AS lev
+       |  FROM men m JOIN ent e
+       |    ON substr(m.mention, 1, 3) = substr(e.entity_name, 1, 3)
+       |   AND abs(length(e.entity_name) - length(m.mention)) <= $d
+       |  WHERE levenshtein(m.mention, e.entity_name) <= $d)""".stripMargin
+  }
+
+  val erCandidates: String =
+    s"""$erPrelude
+       |SELECT mention_id, mention, entity_id, entity_name, lev
+       |FROM cand""".stripMargin
+
+  /** Mirrors [[LinkageQueries.erMatches]]: best per mention via
+   *  (lev, entity_id) rank — Spark's struct-min argmin has the same
+   *  total order because entity_name is functionally determined by
+   *  entity_id. */
+  val erMatches: String =
+    s"""$erPrelude,
+       |best AS (
+       |  SELECT mention_id, mention, entity_id, entity_name, lev,
+       |         coalesce(entity_name = clean, false) AS is_correct,
+       |         row_number() OVER (PARTITION BY mention_id
+       |                            ORDER BY lev, entity_id) AS rk
+       |  FROM cand)
+       |SELECT mention_id, mention, entity_id, entity_name, lev, is_correct
+       |FROM best WHERE rk = 1""".stripMargin
+
+  val erEval: String =
+    s"""$erPrelude,
+       |best AS (
+       |  SELECT mention_id, clean, entity_name, lev,
+       |         row_number() OVER (PARTITION BY mention_id
+       |                            ORDER BY lev, entity_id) AS rk
+       |  FROM cand),
+       |m AS (
+       |  SELECT men.mention_id, b.entity_name, men.clean AS clean
+       |  FROM men LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+       |    USING (mention_id))
+       |SELECT count(*) AS n_mentions,
+       |       count(entity_name) AS n_matched,
+       |       count(*) FILTER (entity_name = clean) AS n_correct,
+       |       CAST(count(entity_name) AS DOUBLE) / count(*) AS match_rate,
+       |       CAST(count(*) FILTER (entity_name = clean) AS DOUBLE) /
+       |         count(entity_name) AS precision
+       |FROM m""".stripMargin
 }

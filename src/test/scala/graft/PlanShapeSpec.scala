@@ -654,4 +654,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Join") && !p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), p)
   }
+
+  test("er_matches: catalog block index broadcasts and the mention side " +
+      "never shuffles (row-local argmin, no per-mention groupBy)") {
+    val p = plan("er_matches")
+    assert(p.contains("BroadcastHashJoin"),
+      "block index must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "mention-entity join degraded to SMJ:\n" + p)
+    // only the CATALOG-sized aggregations may hash-exchange (distinct
+    // names; block-array collect) — mentions flow scan -> broadcast
+    // join -> project with zero exchanges
+    val ex = "Exchange hashpartitioning".r.findAllMatchIn(p).length
+    assert(ex <= 2, s"mention side shuffled ($ex hash exchanges):\n" + p)
+  }
 }
