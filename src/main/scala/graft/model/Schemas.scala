@@ -108,6 +108,15 @@ case class PhashFeatures(id: Long, width: Int, height: Int,
 case class GifFeatures(id: Long, n_frames: Long, width: Int,
     height: Int, total_delay_cs: Long, lum_hist: Seq[Long])
 
+/** ONE FRAME's perceptual-hash fingerprints of a decoded animated
+ *  GIF (MultimodalOps.gifFramePhashesPartitioned) — the clip-level
+ *  video signature is the ORDERED sequence of these rows; quarantine
+ *  convention = a single row with frame/width/height -1 and sentinel
+ *  hashes 0 (the clip is routed, its frames never enter a dedup
+ *  pass). */
+case class GifFramePhash(id: Long, frame: Long, width: Int,
+    height: Int, phash: Long, phash_shifted: Long)
+
 /** One decoded MJPEG-in-AVI clip's projection
  *  (MultimodalOps.decodeMjpegAviPartitioned): frame count, constant
  *  frame dimensions, the container's microseconds-per-frame, and a

@@ -610,14 +610,17 @@ object DedupOps {
    *  the packed key, canonical id order, exact popcount verification,
    *  multi-table dedup. `keyed` must carry (id, h, tbl, key). */
   private def bandedHammingPairs(keyed: DataFrame,
-      maxHamming: Int): DataFrame =
-    keyed.as("x").join(keyed.as("y"),
-        col("x.tbl") === col("y.tbl") &&
-          col("x.key") === col("y.key") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id1"), col("y.id").as("id2"),
-        bit_count(col("x.h").bitwiseXOR(col("y.h"))).as("hamming"))
+      maxHamming: Int, extraKeys: Seq[String] = Nil): DataFrame = {
+    val cond = (Seq("tbl", "key") ++ extraKeys)
+      .map(k => col(s"x.$k") === col(s"y.$k"))
+      .reduce(_ && _) && col("x.id") < col("y.id")
+    keyed.as("x").join(keyed.as("y"), cond)
+      .select(col("x.id").as("id1") +: col("y.id").as("id2") +:
+        extraKeys.map(k => col(s"x.$k").as(k)) :+
+        bit_count(col("x.h").bitwiseXOR(col("y.h"))).as("hamming"): _*)
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
 
   /**
    * Near-duplicate pairs over ANY precomputed 64-bit hash column
@@ -658,6 +661,40 @@ object DedupOps {
       }: _*)))
       .toDF("id", "h", "tbl", "key")
     bandedHammingPairs(keyed, maxHamming)
+  }
+
+  /**
+   * [[hammingNearDups64]] with an ALIGNMENT key — near-dup pairs among
+   * hashes that share a position (a video's frame index, a document's
+   * chunk ordinal): the same C(8,2) block-pair banding, with the
+   * alignment column joined ALONGSIDE the band key, so candidates are
+   * generated only between same-position hashes — temporal alignment
+   * is enforced by the join key, never by a post-filter over the
+   * cross-position pair blowup. Emits one row per (id1, id2, align)
+   * with the exact popcount distance; the caller rolls positions up
+   * to object-level verdicts (e.g. "every aligned frame within
+   * radius"). Lossless per position for d ≤ 6 by the same pigeonhole.
+   *
+   * Scale shape: identical to [[hammingNearDups64]] — fixed-width
+   * (id, align, hash) rows in, 28 banded rows each, one shuffled
+   * equi-join on (align, tbl, key). At 100 TB of video the per-frame
+   * hash relation is ~24 bytes/frame; decode stays upstream.
+   */
+  def hammingNearDups64Aligned(df: DataFrame, id: Column, align: Column,
+      hash: Column, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming <= 6,
+      "the 8-block/2-intact banding is lossless only for Hamming <= 6; " +
+        "use C(b, b - d) block combos for a larger radius")
+    val sigs = df.select(id.as("id"), align.as("al"), hash.as("h"))
+    def block(b: Int) =
+      shiftrightunsigned(col("h"), b * 8).bitwiseAND(lit(255L))
+    val combos = (0 until 8).combinations(2).toSeq
+    val keyed = sigs.select(col("id"), col("al"), col("h"),
+      posexplode(array(combos.map { c =>
+        (block(c(0)) * lit(256L)) + block(c(1))
+      }: _*)))
+      .toDF("id", "al", "h", "tbl", "key")
+    bandedHammingPairs(keyed, maxHamming, extraKeys = Seq("al"))
   }
 
   /**

@@ -827,6 +827,90 @@ object MultimodalOps {
   }
 
   /**
+   * Per-FRAME perceptual hashes of an animated GIF — the video
+   * fingerprint a clip-dedup pass stores (the multimodal sibling of
+   * per-chunk text fingerprints): decode every frame like
+   * [[decodeGifFramesPartitioned]] (same magic + structural-walk
+   * cross-check against ImageIO's silent prefix-decode, same
+   * constant-dims requirement), sample each frame's ≤ 32×32 luminance
+   * grid (only the sampled coordinates are read — the phashGrid
+   * rationale), and emit [[phash64]] of the frame PLUS the hash of a
+   * `brightShift`-brightened copy (the built-in near-duplicate ground
+   * truth, the [[phashPartitioned]] device lifted to sequences). One
+   * row per frame; a quarantined clip emits ONE sentinel row
+   * (frame = -1, width = -1) so it is routed, never silently dropped,
+   * and never enters a dedup join. One partition-batched pass; decode
+   * and both hashes fuse per frame.
+   */
+  def gifFramePhashesPartitioned(df: DataFrame, idCol: String,
+      bytesCol: String, brightShift: Int)
+      : org.apache.spark.sql.Dataset[graft.model.GifFramePhash] = {
+    import df.sparkSession.implicits._
+    val bad = graft.model.GifFramePhash(_: Long, -1L, -1, -1, 0L, 0L)
+    df.select(col(idCol), col(bytesCol)).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, b) =>
+          try {
+            val magicOk = b != null && b.length > 6 && {
+              val m = new String(b, 0, 6, "US-ASCII")
+              m == "GIF87a" || m == "GIF89a"
+            }
+            val structure = if (magicOk) gifStructure(b) else None
+            if (structure.isEmpty) Seq(bad(id))
+            else {
+              val reader = javax.imageio.ImageIO
+                .getImageReadersByFormatName("gif").next()
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(b))
+              try {
+                reader.setInput(iis)
+                val n = reader.getNumImages(true)
+                var ok = n > 0 && structure.contains(n)
+                var w = -1
+                var h = -1
+                val out = Seq.newBuilder[graft.model.GifFramePhash]
+                var f = 0
+                while (ok && f < n) {
+                  val img = reader.read(f)
+                  if (w == -1 || (w == img.getWidth &&
+                      h == img.getHeight)) {
+                    w = img.getWidth; h = img.getHeight
+                    val S = PhashS
+                    val grid = Array.tabulate(S, S) { (yy, xx) =>
+                      val rgb = img.getRGB(xx * w / S, yy * h / S)
+                      (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
+                        (rgb & 0xFF)) / 3
+                    }
+                    val base = phash64((x, y) => grid(y)(x), S, S)
+                    // shift 0 ⇒ the control channel IS the base hash:
+                    // skip the second DCT (consumers that only dedup,
+                    // like mm_video_neardup, pay one transform/frame)
+                    val shifted =
+                      if (brightShift == 0) base
+                      else phash64((x, y) =>
+                        math.min(255, grid(y)(x) + brightShift), S, S)
+                    out += graft.model.GifFramePhash(id, f.toLong, w, h,
+                      base, shifted)
+                    f += 1
+                  } else ok = false // dimension change mid-clip
+                }
+                if (!ok) Seq(bad(id)) else out.result()
+              } finally {
+                reader.dispose()
+                iis.close()
+              }
+            }
+          } catch {
+            // the GIF plugin throws unchecked on truncated/adversarial
+            // bytes — quarantine, don't kill
+            case scala.util.control.NonFatal(_) => Seq(bad(id))
+          }
+        }
+      }
+  }
+
+  /**
    * REAL video frame decode — MJPEG-in-AVI, the decoded-pixels rung
    * [[probeMp4Partitioned]]'s scaladoc points at: MJPEG frames are
    * independent baseline JPEGs, so a strict RIFF walk (little-endian

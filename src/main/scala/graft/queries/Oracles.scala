@@ -4523,4 +4523,44 @@ object Oracles {
        |       CAST(count(*) FILTER (entity_name = clean) AS DOUBLE) /
        |         count(entity_name) AS precision
        |FROM m""".stripMargin
+
+  /** Mirrors [[PipelineQueries.mmVideoNeardup]]: the committed
+   *  corpus's per-frame hashes from the raw pixel definition
+   *  ([[graft.tools.VideoDupFixture.expectedFramePhashes]], through
+   *  the fixtures' independent refPhash64 — no GIF bytes, no ImageIO)
+   *  as VALUES literals, then the NEAR-DUP SEMANTICS re-derived
+   *  relationally WITHOUT the banding device: ALL-PAIRS aligned
+   *  frame join, xor + bit_count distances, a clip pair qualifies iff
+   *  frame counts match and every aligned distance is within radius
+   *  (max ≤ r over a complete count ≡ the Spark side's
+   *  candidates-then-rollup). DuckDB's bit_count(BIGINT) counts
+   *  two's-complement bits exactly like Long.bitCount (probe-checked
+   *  on negatives). */
+  val mmVideoNeardup: String = {
+    val r = PipelineQueries.VideoFrameMaxHamming
+    val rows = graft.tools.VideoDupFixture.expectedFramePhashes
+      .map { case (id, f, p) => s"($id, $f, CAST($p AS BIGINT))" }
+      .mkString(",\n  ")
+    s"""WITH fp AS (
+       |  SELECT CAST(clip_id AS BIGINT) AS clip_id,
+       |         CAST(frame AS BIGINT) AS frame, phash
+       |  FROM (VALUES
+       |  $rows) AS t(clip_id, frame, phash)),
+       |cnt AS (SELECT clip_id, count(*) AS n FROM fp GROUP BY 1),
+       |ali AS (
+       |  SELECT x.clip_id AS id1, y.clip_id AS id2,
+       |         count(*) AS n_aligned,
+       |         max(bit_count(xor(x.phash, y.phash))) AS max_h,
+       |         sum(bit_count(xor(x.phash, y.phash))) AS sum_h
+       |  FROM fp x JOIN fp y
+       |    ON x.frame = y.frame AND x.clip_id < y.clip_id
+       |  GROUP BY 1, 2)
+       |SELECT id1, id2, c1.n AS n_frames,
+       |       CAST(max_h AS BIGINT) AS max_hamming,
+       |       CAST(sum_h AS BIGINT) AS sum_hamming
+       |FROM ali
+       |JOIN cnt c1 ON id1 = c1.clip_id
+       |JOIN cnt c2 ON id2 = c2.clip_id
+       |WHERE c1.n = c2.n AND n_aligned = c1.n AND max_h <= $r""".stripMargin
+  }
 }

@@ -4149,6 +4149,70 @@ object PipelineQueries {
       .select(col("id1"), col("id2"),
         col("hamming").cast("bigint").as("hamming"))
 
+  /** Per-frame Hamming radius for [[mmVideoNeardup]] (6 = the banding
+   *  pigeonhole's lossless bound). */
+  val VideoFrameMaxHamming = 6
+
+  /** VIDEO NEAR-DUP — the perceptual-hash dedup loop lifted from
+   *  images to FRAME SEQUENCES (the mm_phash_neardup of clips): decode
+   *  every GIF frame to its DCT perceptual hash
+   *  ([[MultimodalOps.gifFramePhashesPartitioned]], shift 0 — one
+   *  transform per frame), then a clip pair is a near-duplicate iff
+   *  (a) the clips have the SAME frame count and (b) EVERY temporally
+   *  aligned frame pair sits within Hamming [[VideoFrameMaxHamming]] —
+   *  candidates from [[graft.ops.DedupOps.hammingNearDups64Aligned]]
+   *  (banded equi-join keyed on the frame index: alignment is a JOIN
+   *  KEY, never a post-filter over the cross-position blowup), exact
+   *  per the pigeonhole, so the clip-level verdict is exact too.
+   *  The committed [[graft.tools.VideoDupFixture]] corpus carries the
+   *  ground truth: 10 brightness-variant pairs MUST qualify,
+   *  frame-PERMUTED decoys must not (alignment), and a TRUNCATED decoy
+   *  with all-zero aligned distances must not (the count check).
+   *  Oracle = the fixture's raw-pixel hashes through the INDEPENDENT
+   *  refPhash64, all-pairs aligned xor/popcount in SQL (no banding
+   *  echo). Ignores sfDir (scale-free fixture).
+   *
+   *  Scale shape: decode/DCT cost stays in the partition-batched
+   *  pass; past it only (id, frame, hash) triples move — 28 banded
+   *  rows per frame, one shuffled equi-join on (frame, band-table,
+   *  key), clip-sized count/rollup aggs. At 100 TB of video the hash
+   *  relation is ~24 bytes/frame and the pair space is bounded by
+   *  the banding, never all-pairs. */
+  def mmVideoNeardup(spark: SparkSession, sfDir: String): DataFrame =
+    mmVideoNeardupOf(
+      spark.read.parquet(graft.tools.VideoDupFixture.Path))
+
+  /** The [[mmVideoNeardup]] engine over any (clip_id, gif) frame —
+   *  factored so the spec can inject corrupt payloads. Hash frame
+   *  MATERIALIZED once (the phashCorpus lesson): the count agg and
+   *  the banded join both re-read the checkpoint instead of re-running
+   *  decode+DCT. Quarantined clips (width == -1) never enter — two
+   *  undecodable clips must not pair at hamming 0 (the phashCorpus
+   *  rule). Handle left to the ContextCleaner (non-boundary
+   *  convention). */
+  def mmVideoNeardupOf(clips: DataFrame): DataFrame = {
+    val sigs = MultimodalOps.gifFramePhashesPartitioned(
+        clips, "clip_id", "gif", brightShift = 0)
+      .toDF()
+      .filter(col("width") =!= -1)
+      .select(col("id"), col("frame"), col("phash"))
+      .localCheckpoint()
+    val counts = sigs.groupBy(col("id")).agg(count(lit(1)).as("n_frames"))
+    graft.ops.DedupOps.hammingNearDups64Aligned(sigs, col("id"),
+        col("frame"), col("phash"), VideoFrameMaxHamming)
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_aligned"),
+        max(col("hamming")).cast("bigint").as("max_hamming"),
+        sum(col("hamming")).as("sum_hamming"))
+      .join(counts.select(col("id").as("id1"), col("n_frames").as("n1")),
+        "id1")
+      .join(counts.select(col("id").as("id2"), col("n_frames").as("n2")),
+        "id2")
+      .filter(col("n1") === col("n2") && col("n_aligned") === col("n1"))
+      .select(col("id1"), col("id2"), col("n1").as("n_frames"),
+        col("max_hamming"), col("sum_hamming"))
+  }
+
   /** REAL animated-GIF frame decode, end-to-end gated — the LOSSLESS
    *  multi-frame rung beside `mm_frames_mjpeg`
    *  ([[MultimodalOps.decodeGifFramesPartitioned]] over the committed

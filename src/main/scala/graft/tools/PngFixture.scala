@@ -79,7 +79,7 @@ object PngFixture {
    *  left-associated) and StrictMath cosines are part of the hash
    *  definition — a conforming implementation must sum in this order
    *  or risk a last-ulp flip at a coefficient tied with the median. */
-  private def refPhash64(lum: (Int, Int) => Int, w: Int, h: Int): Long = {
+  private[tools] def refPhash64(lum: (Int, Int) => Int, w: Int, h: Int): Long = {
     val coef = new Array[Double](64)
     for (u <- 0 until 8; v <- 0 until 8) {
       var s = 0.0

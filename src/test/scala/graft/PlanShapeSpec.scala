@@ -655,6 +655,14 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("CartesianProduct"), p)
   }
 
+  test("mm_video_neardup generates candidates over the frame-ALIGNED " +
+      "banded equi-join (never all-pairs, never a cross-position " +
+      "theta join)") {
+    val p = plan("mm_video_neardup")
+    assert(p.contains("Join") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
   test("er_matches: catalog block index broadcasts and the mention side " +
       "never shuffles (row-local argmin, no per-mention groupBy)") {
     val p = plan("er_matches")
