@@ -520,6 +520,18 @@ object Run {
         // matched_id/hamming observability
         (phashGateTopology(spark, lines(), opts.getOrElse("corpus",
           graft.tools.PngFixture.Path)), OutputMode.Append)
+      case "er_gate" =>
+        // entity-linkage admission, live: the catalog block index
+        // built offline from --catalog (the er_matches blocking +
+        // argmin resolution, shared definition), each arriving
+        // mention linked row-locally after one broadcast join. The
+        // demo source derives a dirty mention per line from the
+        // catalog's own names (the phash_gate demo-labeler pattern —
+        // real ingestion replaces this with the upstream mention
+        // column); match/nomatch decisions stream through with
+        // entity_id/lev observability
+        (erGateTopology(spark, lines(), opts.getOrElse("catalog",
+          "/root/testdata/sf0.001/part.parquet")), OutputMode.Append)
       case "hash_sample" =>
         // deterministic content-hash downsampling, live: the same
         // row-local predicate as the gated batch query — no RNG, no
@@ -732,6 +744,34 @@ object Run {
           (pmod(xxhash64(col("value")), lit(blobs.size)) + 1).cast("int"))
           .as("png")),
       corpus)
+  }
+
+  /** Entity-linkage admission at ingest: the catalog index is an
+   *  offline artifact of the batch er_matches blocking
+   *  (StreamOps.erGateStream has the scale reasoning). The demo
+   *  mention applies the LinkageQueries corruption class — one
+   *  deletion past the 3-char blocking prefix — to a line-hash-picked
+   *  catalog name. Factored so RunTopologySpec drives the exact
+   *  composition. */
+  private[graft] def erGateTopology(spark: SparkSession,
+      lines: DataFrame, catalogPath: String): DataFrame = {
+    val catalog = spark.read.parquet(catalogPath)
+    val names = catalog.select(col("p_name"))
+      .filter(length(col("p_name")) >= 6)
+      .distinct().limit(256)
+      .collect().map(_.getString(0)).toSeq
+    require(names.nonEmpty, "er_gate demo source needs catalog names")
+    StreamOps.erGateStream(
+      lines.select(col("ts"),
+          xxhash64(col("value")).as("k"),
+          element_at(typedlit(names),
+            (pmod(xxhash64(col("value")), lit(names.size)) + 1)
+              .cast("int")).as("nm"))
+        .select(col("ts"), col("k").as("mention_id"),
+          expr("concat(substr(nm, 1, 4 + pmod(k, length(nm) - 4) - 1), " +
+            "substr(nm, 4 + pmod(k, length(nm) - 4) + 1, 100))")
+            .as("mention")),
+      catalog, "p_partkey", "p_name")
   }
 
   /** Deterministic demo embedding for a text line: 64 hash-derived

@@ -81,19 +81,26 @@ object LinkOps {
       .filter(col("lev") >= 0)
       .drop("blk", "mlen", "d")
 
-  /** Best match per mention WITHOUT shuffling mentions: the block
-   *  index is pre-aggregated to one row per (prefix, len) carrying its
-   *  candidate array, so the join emits at most one row per mention
-   *  and the argmin is a row-local `array_min` over
-   *  struct(lev, entity_id, entity_name) — ties break to the smaller
-   *  entity_id by struct ordering. Unmatched mentions keep a NULL
-   *  `best` (left join), so the caller can count coverage. */
-  def bestMatches(mentions: DataFrame, entities: DataFrame,
-      maxDist: Int): DataFrame = {
-    val idx = blockIndex(entities, maxDist)
+  /** The block-ARRAY form of the index: one row per (prefix, len)
+   *  carrying the block's candidate array — what [[resolveAgainst]]
+   *  joins, so a mention meets at most ONE index row. Built once per
+   *  consumer in batch; the live gate materializes it at topology
+   *  build ([[graft.streaming.StreamOps.erGateStream]]). */
+  def blockArrayIndex(entities: DataFrame, maxDist: Int): DataFrame =
+    blockIndex(entities, maxDist)
       .groupBy(col("blk"), col("mlen"))
       .agg(collect_list(struct(col("entity_id"), col("entity_name")))
         .as("cands"))
+
+  /** Resolution against a prebuilt [[blockArrayIndex]] frame — the
+   *  ONE definition batch [[bestMatches]] and the live er gate share
+   *  (stream == batch by construction): broadcast left join on the
+   *  block key, then a row-local `array_min` argmin over
+   *  struct(lev, entity_id, entity_name) — ties break to the smaller
+   *  entity_id by struct ordering. Unmatched mentions keep a NULL
+   *  `best`, so the caller can count coverage. */
+  def resolveAgainst(mentions: DataFrame, idx: DataFrame,
+      maxDist: Int): DataFrame =
     mentions.join(broadcast(idx),
         blockKey(col("mention")) === col("blk") &&
           length(col("mention")) === col("mlen"),
@@ -108,5 +115,10 @@ object LinkOps {
               e("entity_name").as("entity_name"))),
           s => s("lev") >= 0)))
       .drop("blk", "mlen", "cands")
-  }
+
+  /** Best match per mention WITHOUT shuffling mentions:
+   *  [[resolveAgainst]] over the freshly-built [[blockArrayIndex]]. */
+  def bestMatches(mentions: DataFrame, entities: DataFrame,
+      maxDist: Int): DataFrame =
+    resolveAgainst(mentions, blockArrayIndex(entities, maxDist), maxDist)
 }

@@ -837,6 +837,57 @@ object StreamOps {
   }
 
   /**
+   * Live ENTITY-LINKAGE GATE — the streaming form of
+   * `LinkageQueries.erMatches`' resolution (link noisy arriving
+   * mentions to a curated catalog at ingest): the entity catalog is
+   * aggregated ONCE at topology build (`LinkOps.entityCatalog` over
+   * the static reference relation) and its block-array index
+   * MATERIALIZED with `localCheckpoint`, so no stream-static subplan
+   * re-runs the catalog aggregation per micro-batch (the measured
+   * lm_score failure mode); every arriving mention then resolves
+   * through the IDENTICAL `LinkOps.resolveAgainst` the batch query
+   * uses — broadcast join on the block key + row-local thresholded
+   * levenshtein argmin, stream == batch by shared definition.
+   * Decisions: "match" (entity_id / entity_name / lev attached) or
+   * "nomatch" (nulls); every input column passes through. Stateless →
+   * Append mode, deterministic under replay.
+   *
+   * Guardrails (the phash-gate corpus conventions): an EMPTY catalog
+   * refuses loudly — a gate over zero entities would mark everything
+   * nomatch; an index past `maxCatalog` candidate entries refuses —
+   * a broadcast that size risks executor memory, and catalog-scale
+   * linkage belongs to the batch blocked join (`er_matches`). Index
+   * size is counted from the CHECKPOINTED frame, never collected.
+   */
+  def erGateStream(mentions: DataFrame, catalog: DataFrame,
+      idCol: String, nameCol: String,
+      maxDist: Int = graft.queries.LinkageQueries.MaxDist,
+      maxCatalog: Long = 4000000L): DataFrame = {
+    val idx = graft.ops.LinkOps.blockArrayIndex(
+        graft.ops.LinkOps.entityCatalog(catalog, col(idCol), col(nameCol)),
+        maxDist)
+      .localCheckpoint()
+    val nEntries = idx.agg(
+      coalesce(sum(size(col("cands"))), lit(0L))).head.getLong(0)
+    require(nEntries > 0,
+      "er gate catalog is EMPTY (no entities) — a gate over zero " +
+        "entities would mark every mention nomatch; point --catalog " +
+        "at a real reference relation")
+    require(nEntries <= maxCatalog,
+      s"er gate block index has $nEntries candidate entries > cap " +
+        s"$maxCatalog; a broadcast this size risks executor memory — " +
+        "link with the batch blocked join (LinkageQueries.erMatches) " +
+        "instead, or raise maxCatalog if the memory budget allows")
+    graft.ops.LinkOps.resolveAgainst(mentions, idx, maxDist)
+      .withColumn("decision",
+        when(col("best").isNotNull, lit("match")).otherwise(lit("nomatch")))
+      .withColumn("entity_id", col("best")("entity_id"))
+      .withColumn("entity_name", col("best")("entity_name"))
+      .withColumn("lev", col("best")("lev"))
+      .drop("best")
+  }
+
+  /**
    * Live EMBEDDING OUTLIER GATE — the streaming form of
    * `PipelineQueries.embedOutliers`' cut, completing the admission-gate
    * family on the embedding side: k-means prototypes are trained ONCE

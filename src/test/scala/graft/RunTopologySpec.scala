@@ -685,6 +685,32 @@ class RunTopologySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Run er_gate: every demo-source line corrupts a REAL catalog " +
+      "name past the blocking prefix and links back within lev 1; " +
+      "decisions and observability columns flow through") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.toMemory(
+      Run.erGateTopology(spark, in.toDF().toDF("ts", "value"),
+        "/root/testdata/sf0.001/part.parquet"),
+      "run_er_gate", OutputMode.Append, ckpt())
+    try {
+      in.addData(
+        (at("2024-01-01 10:00:00"), "alpha"),
+        (at("2024-01-01 10:00:01"), "bravo"),
+        (at("2024-01-01 10:00:02"), "charlie"))
+      q.processAllAvailable()
+      val rows = spark.table("run_er_gate")
+        .select("decision", "lev").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.length == 3)
+      // demo mentions are one deletion off a real catalog name with
+      // the blocking prefix intact: recall is exact by construction
+      assert(rows.forall(r => r._1 == "match" && r._2 <= 1L),
+        s"demo corruptions must link within lev 1: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("Run sessionize emits finalized sessions that equal the batch " +
       "sessionAgg on an in-order fixture (gap merge included)") {
     implicit val sqlCtx = spark.sqlContext

@@ -710,6 +710,69 @@ class StreamOpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("EMPTY"), e2.getMessage)
   }
 
+  test("erGateStream: live decisions equal the batch resolution on the " +
+      "same mentions (shared resolveAgainst definition), exact names " +
+      "match at lev 0, deletions at lev 1, junk is nomatch with full " +
+      "passthrough; empty catalog and the index cap refuse loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val catalog = graft.model.Tables.part(spark, "/root/testdata/sf0.001")
+    val aName = catalog.select("p_name").head.getString(0)
+    val deleted = aName.substring(0, 3) + aName.substring(4)
+    val rows = Seq(
+      (1L, "exact", aName),
+      (2L, "deleted", deleted),
+      (3L, "junk", "zzzzzzzz"))
+    val in = MemoryStream[(Long, String, String)]
+    val gated = StreamOps.erGateStream(
+      in.toDF().toDF("mention_id", "tag", "mention"),
+      catalog, "p_partkey", "p_name")
+    val q = StreamOps.toMemory(
+      gated.select("mention_id", "tag", "decision", "entity_id",
+        "entity_name", "lev"),
+      "er_gate_test", OutputMode.Append, ckpt())
+    try {
+      in.addData(rows.toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("er_gate_test").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+          if (r.isNullAt(3)) None
+          else Some((r.getLong(3), r.getString(4), r.getLong(5))))))
+        .toMap
+      assert(got.size == rows.size, "every input row must emit")
+      assert(got(1L)._2 == "match" && got(1L)._3.exists(_._3 == 0L),
+        s"exact name must match at lev 0: ${got(1L)}")
+      assert(got(2L)._2 == "match" && got(2L)._3.exists(_._3 <= 1L),
+        s"single deletion must match within lev 1: ${got(2L)}")
+      assert(got(3L)._2 == "nomatch" && got(3L)._3.isEmpty, got(3L))
+      // stream == batch: the IDENTICAL resolution over a static frame
+      val batch = graft.ops.LinkOps.bestMatches(
+          rows.toDF("mention_id", "tag", "mention"),
+          graft.ops.LinkOps.entityCatalog(catalog, col("p_partkey"),
+            col("p_name")),
+          graft.queries.LinkageQueries.MaxDist)
+        .collect().map { r =>
+          val b = r.getAs[org.apache.spark.sql.Row]("best")
+          r.getAs[Long]("mention_id") ->
+            Option(b).map(x =>
+              (x.getLong(1), x.getString(2), x.getLong(0)))
+        }.toMap
+      rows.foreach { case (id, _, _) =>
+        assert(got(id)._3 == batch(id), s"stream != batch at $id")
+      }
+    } finally q.stop()
+    val e1 = intercept[IllegalArgumentException] {
+      StreamOps.erGateStream(in.toDF().toDF("mention_id", "tag", "mention"),
+        catalog, "p_partkey", "p_name", maxCatalog = 4)
+    }
+    assert(e1.getMessage.contains("erMatches"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      StreamOps.erGateStream(in.toDF().toDF("mention_id", "tag", "mention"),
+        catalog.filter(lit(false)), "p_partkey", "p_name")
+    }
+    assert(e2.getMessage.contains("EMPTY"), e2.getMessage)
+  }
+
   test("mixWeightsStream: each trigger's complete snapshot reproduces " +
       "the batch temperature weights over everything seen so far") {
     import graft.queries.PipelineQueries
