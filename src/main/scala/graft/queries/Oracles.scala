@@ -4563,4 +4563,27 @@ object Oracles {
        |JOIN cnt c2 ON id2 = c2.clip_id
        |WHERE c1.n = c2.n AND n_aligned = c1.n AND max_h <= $r""".stripMargin
   }
+
+  /** Mirrors [[PipelineQueries.mmVideoClusters]]: connected components
+   *  over the [[mmVideoNeardup]] oracle's pairs via a recursive
+   *  reachability CTE (the mmPhashClusters device), nodes = every
+   *  committed clip id. */
+  lazy val mmVideoClusters: String = {
+    val ids = (0 until graft.tools.VideoDupFixture.Total)
+      .map(i => s"($i)").mkString(", ")
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT id1, id2 FROM ($mmVideoNeardup) np),
+       |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+       |          UNION SELECT id2, id1 FROM pairs),
+       |ids(id) AS (VALUES $ids),
+       |reach(node, l) AS (
+       |  SELECT id, id FROM ids
+       |  UNION
+       |  SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.node),
+       |cl AS (SELECT node, min(l) AS cluster FROM reach GROUP BY node)
+       |SELECT CAST(node AS BIGINT) AS clip_id,
+       |       CAST(cluster AS BIGINT) AS cluster,
+       |       node = cluster AS is_survivor
+       |FROM cl""".stripMargin
+  }
 }

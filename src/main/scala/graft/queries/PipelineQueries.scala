@@ -4190,13 +4190,27 @@ object PipelineQueries {
    *  undecodable clips must not pair at hamming 0 (the phashCorpus
    *  rule). Handle left to the ContextCleaner (non-boundary
    *  convention). */
-  def mmVideoNeardupOf(clips: DataFrame): DataFrame = {
-    val sigs = MultimodalOps.gifFramePhashesPartitioned(
+  def mmVideoNeardupOf(clips: DataFrame): DataFrame =
+    videoPairsOf(videoHashCorpus(clips))
+
+  /** The ONE frame-hash corpus construction the video pair query and
+   *  its cluster composition share (the phashCorpus convention):
+   *  decode + per-frame DCT hash, quarantine filtered, MATERIALIZED
+   *  once — every consumer re-reads the checkpoint instead of
+   *  re-running decode+DCT. Handle left to the ContextCleaner
+   *  (non-boundary convention). */
+  private def videoHashCorpus(clips: DataFrame): DataFrame =
+    MultimodalOps.gifFramePhashesPartitioned(
         clips, "clip_id", "gif", brightShift = 0)
       .toDF()
       .filter(col("width") =!= -1)
       .select(col("id"), col("frame"), col("phash"))
       .localCheckpoint()
+
+  /** Clip-level near-dup verdicts over a [[videoHashCorpus]] frame:
+   *  aligned banded candidates → per-pair rollup → the count-equality
+   *  + all-frames-within-radius qualification. */
+  private def videoPairsOf(sigs: DataFrame): DataFrame = {
     val counts = sigs.groupBy(col("id")).agg(count(lit(1)).as("n_frames"))
     graft.ops.DedupOps.hammingNearDups64Aligned(sigs, col("id"),
         col("frame"), col("phash"), VideoFrameMaxHamming)
@@ -4211,6 +4225,30 @@ object PipelineQueries {
       .filter(col("n1") === col("n2") && col("n_aligned") === col("n1"))
       .select(col("id1"), col("id2"), col("n1").as("n_frames"),
         col("max_hamming"), col("sum_hamming"))
+  }
+
+  /** VIDEO DEDUP CLUSTERS — closes the video loop end to end the way
+   *  `mm_phash_clusters` closes the image loop: CONNECTED COMPONENTS
+   *  over the [[mmVideoNeardup]] pairs, every decoded clip labeled
+   *  with its component's minimum id, `is_survivor` marking the
+   *  representative. On the committed corpus: 10 two-member
+   *  (base, variant) clusters + 3 decoy singletons — spec-pinned.
+   *  Scale shape: pairs from the aligned banded equi-join (never
+   *  all-pairs), CC over pair-sized edges — the dedup_clusters cost
+   *  class over a clip-sized relation. Ignores sfDir (scale-free
+   *  fixture). */
+  def mmVideoClusters(spark: SparkSession, sfDir: String): DataFrame =
+    mmVideoClustersOf(
+      spark.read.parquet(graft.tools.VideoDupFixture.Path))
+
+  /** The [[mmVideoClusters]] engine over any (clip_id, gif) frame. */
+  def mmVideoClustersOf(clips: DataFrame): DataFrame = {
+    val sigs = videoHashCorpus(clips)
+    val pairs = videoPairsOf(sigs).select("id1", "id2")
+    graft.ops.DedupOps.connectedComponents(pairs,
+        sigs.select(col("id")).distinct())
+      .select(col("id").as("clip_id"), col("cluster"),
+        (col("id") === col("cluster")).as("is_survivor"))
   }
 
   /** REAL animated-GIF frame decode, end-to-end gated — the LOSSLESS

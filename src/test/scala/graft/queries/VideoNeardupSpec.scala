@@ -53,6 +53,22 @@ class VideoNeardupSpec extends SparkSpec {
       "fixture drifted: the truncated decoy must share base 0's prefix")
   }
 
+  test("mm_video_clusters labels the 10 (base, variant) pairs as " +
+      "two-member clusters and leaves the 3 decoys singletons, " +
+      "min-id survivors") {
+    val got = PipelineQueries.mmVideoClustersOf(corpus)
+      .select("clip_id", "cluster", "is_survivor")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val want =
+      (0 until VideoDupFixture.N).flatMap { i =>
+        Seq((i.toLong, i.toLong, true),
+          ((i + VideoDupFixture.N).toLong, i.toLong, false))
+      }.toSet ++
+        (2 * VideoDupFixture.N until VideoDupFixture.Total)
+          .map(i => (i.toLong, i.toLong, true)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("temporal alignment is a JOIN KEY: identical hashes at " +
       "DIFFERENT frame indexes never become candidates") {
     val df = Seq((1L, 0L, 12345L), (2L, 1L, 12345L), (3L, 0L, 12345L))
