@@ -499,6 +499,14 @@ object MaxRateProbe {
       graft.Run.phashGateTopology(spark, in,
         graft.tools.PngFixture.Path)
     }
+    search("er_gate", seed = 2000000, OutputMode.Append) { in =>
+      // entity linkage at ingest: per row one broadcast block-index
+      // probe + at most a block's worth of thresholded banded-DP
+      // levenshtein verifies + the array_min argmin — all row-local
+      // past the demo mention derivation
+      graft.Run.erGateTopology(spark, in,
+        "/root/testdata/sf0.001/part.parquet")
+    }
     search("lm_score_kn3", seed = 500000, OutputMode.Append) { in =>
       // the trigram rung: still one kernel call per row; the fold
       // walks one more word of context and the backoff path probes
