@@ -117,6 +117,14 @@ case class GifFeatures(id: Long, n_frames: Long, width: Int,
 case class GifFramePhash(id: Long, frame: Long, width: Int,
     height: Int, phash: Long, phash_shifted: Long)
 
+/** One decoded WAV clip's 64-bit envelope-DCT audio fingerprint
+ *  (MultimodalOps.audioFingerprintPartitioned); quarantine
+ *  convention = sample_rate -1 with sentinel fp 0 (undecodable,
+ *  non-PCM16LE, or too short to window — routed, never dropped,
+ *  never enters a dedup join). */
+case class AudioFingerprint(id: Long, sample_rate: Int,
+    n_samples: Long, fp: Long)
+
 /** One decoded MJPEG-in-AVI clip's projection
  *  (MultimodalOps.decodeMjpegAviPartitioned): frame count, constant
  *  frame dimensions, the container's microseconds-per-frame, and a

@@ -79,7 +79,7 @@ object LinkOps {
         levenshtein(col("mention"), col("entity_name"), maxDist)
           .cast("bigint"))
       .filter(col("lev") >= 0)
-      .drop("blk", "mlen", "d")
+      .drop("blk", "mlen")
 
   /** The block-ARRAY form of the index: one row per (prefix, len)
    *  carrying the block's candidate array — what [[resolveAgainst]]

@@ -175,6 +175,113 @@ object MultimodalOps {
       }
   }
 
+  /** Fingerprint window count (and DCT length) for
+   *  [[audioFingerprintPartitioned]]. */
+  private val AfpW = 64
+
+  /** The constant 64×64 DCT basis — hoisted so the transcendental
+   *  evaluations run once per JVM (the PhashCos device). */
+  private lazy val AfpCos: Array[Array[Double]] =
+    Array.tabulate(AfpW, AfpW)((u, x) =>
+      StrictMath.cos(StrictMath.PI * (2 * x + 1) * u / (2.0 * AfpW)))
+
+  /**
+   * REAL decode → 64-bit AUDIO FINGERPRINT — the clip-dedup
+   * fingerprint for sound (the audio rung of the perceptual-hash
+   * family: simhash for text, [[phash64]] for images/frames): decode
+   * via `javax.sound.sampled` exactly like the histogram op, fold
+   * CHANNEL 0 into [[AfpW]] equal-window energies (Σ s², exact longs,
+   * floor boundaries k·n/64 — a time-scale-free envelope, the
+   * Haitsma–Kalker band-energy idea collapsed to one band),
+   * unnormalized 1-D DCT-II of the envelope via `StrictMath` cosines
+   * (fdlibm-exact, platform-independent doubles), every coefficient
+   * thresholded against the median (middle pair averaged). Amplitude
+   * scaling multiplies every energy — and so every coefficient AND
+   * the median — by the same factor, leaving the bits invariant: the
+   * robustness class the near-dup consumer relies on (gated by the
+   * committed [[graft.tools.AudioDupFixture]] variants). Clips
+   * shorter than [[AfpW]] samples, non-PCM16LE, or undecodable
+   * quarantine as sample_rate = -1 (routed, never dropped). One
+   * partition-batched pass; decode, energy fold, and DCT fuse per
+   * row.
+   */
+  def audioFingerprintPartitioned(df: DataFrame, idCol: String,
+      bytesCol: String)
+      : org.apache.spark.sql.Dataset[graft.model.AudioFingerprint] = {
+    import df.sparkSession.implicits._
+    val bad = graft.model.AudioFingerprint(_: Long, -1, -1L, 0L)
+    df.select(col(idCol), col(bytesCol)).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val ais =
+            try {
+              if (bytes == null || bytes.isEmpty) null
+              else javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+            } catch {
+              case scala.util.control.NonFatal(_) => null
+            }
+          if (ais == null) bad(id)
+          else
+            try {
+              val f = ais.getFormat
+              val pcm16le = f.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                f.getSampleSizeInBits == 16 && !f.isBigEndian
+              if (!pcm16le) bad(id)
+              else {
+                val data = ais.readAllBytes()
+                val ch = f.getChannels
+                val n = data.length / (2 * ch)
+                if (n < AfpW) bad(id) // too short to window
+                else {
+                  val W = AfpW
+                  val e = new Array[Double](W)
+                  var w = 0
+                  while (w < W) {
+                    var acc = 0L
+                    var t = w * n / W
+                    val end = (w + 1) * n / W
+                    while (t < end) {
+                      val p = t * 2 * ch // channel 0 of frame t
+                      val s = ((data(p) & 0xFF) |
+                        (data(p + 1) << 8)).toShort.toLong
+                      acc += s * s
+                      t += 1
+                    }
+                    e(w) = acc.toDouble
+                    w += 1
+                  }
+                  val co = AfpCos
+                  val fq = new Array[Double](W)
+                  var u = 0
+                  while (u < W) {
+                    var s = 0.0
+                    var x = 0
+                    while (x < W) { s += e(x) * co(u)(x); x += 1 }
+                    fq(u) = s
+                    u += 1
+                  }
+                  val sorted = fq.clone()
+                  java.util.Arrays.sort(sorted)
+                  val med = (sorted(W / 2 - 1) + sorted(W / 2)) / 2.0
+                  var bits = 0L
+                  var k = 0
+                  while (k < W) {
+                    if (fq(k) > med) bits |= (1L << k)
+                    k += 1
+                  }
+                  graft.model.AudioFingerprint(id,
+                    f.getSampleRate.toInt, n.toLong, bits)
+                }
+              }
+            } catch {
+              case scala.util.control.NonFatal(_) => bad(id)
+            } finally ais.close()
+        }
+      }
+  }
+
   /**
    * REAL decode → windowed FRAME FEATURES — the audio analysis stage
    * above [[decodeWavPartitioned]]'s whole-clip histogram (the

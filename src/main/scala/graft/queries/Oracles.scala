@@ -4564,6 +4564,43 @@ object Oracles {
        |WHERE c1.n = c2.n AND n_aligned = c1.n AND max_h <= $r""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.mmAudioFingerprint]]: the committed
+   *  corpus's fingerprints from the raw sample definition
+   *  ([[graft.tools.AudioDupFixture.refAudioFp64]] — no WAV bytes, no
+   *  AudioSystem) plus the known format/frame constants, as VALUES
+   *  literals. */
+  val mmAudioFingerprint: String = {
+    val rows = graft.tools.AudioDupFixture.expectedFingerprints
+      .map { case (id, fp) =>
+        s"($id, 8000, ${graft.tools.AudioDupFixture.framesOf(id.toInt)}, " +
+          s"CAST($fp AS BIGINT))"
+      }
+      .mkString(",\n  ")
+    s"""SELECT CAST(clip_id AS BIGINT) AS clip_id,
+       |       CAST(sample_rate AS INT) AS sample_rate,
+       |       CAST(n_samples AS BIGINT) AS n_samples, fp
+       |FROM (VALUES
+       |  $rows) AS t(clip_id, sample_rate, n_samples, fp)""".stripMargin
+  }
+
+  /** Mirrors [[PipelineQueries.mmAudioNeardup]]: the independent
+   *  fingerprints as VALUES, ALL-PAIRS xor + bit_count within radius
+   *  in SQL — no banding echo. */
+  val mmAudioNeardup: String = {
+    val r = PipelineQueries.AudioNeardupMaxHamming
+    val rows = graft.tools.AudioDupFixture.expectedFingerprints
+      .map { case (id, fp) => s"($id, CAST($fp AS BIGINT))" }
+      .mkString(",\n  ")
+    s"""WITH fp AS (
+       |  SELECT CAST(clip_id AS BIGINT) AS clip_id, fp
+       |  FROM (VALUES
+       |  $rows) AS t(clip_id, fp))
+       |SELECT x.clip_id AS id1, y.clip_id AS id2,
+       |       CAST(bit_count(xor(x.fp, y.fp)) AS BIGINT) AS hamming
+       |FROM fp x JOIN fp y ON x.clip_id < y.clip_id
+       |WHERE bit_count(xor(x.fp, y.fp)) <= $r""".stripMargin
+  }
+
   /** Mirrors [[PipelineQueries.mmVideoClusters]]: connected components
    *  over the [[mmVideoNeardup]] oracle's pairs via a recursive
    *  reachability CTE (the mmPhashClusters device), nodes = every

@@ -4025,6 +4025,59 @@ object PipelineQueries {
         col("zero_crossings"), col("energy"), col("peak_abs"),
         col("silent_windows"))
 
+  /** Hamming radius for [[mmAudioNeardup]] (6 = the banding
+   *  pigeonhole's lossless bound; measured separation on the
+   *  committed corpus: variants 0–2, everything else ≥ 14). */
+  val AudioNeardupMaxHamming = 6
+
+  /** REAL decode → AUDIO FINGERPRINT, end-to-end gated — the audio
+   *  dedup fingerprint ([[MultimodalOps.audioFingerprintPartitioned]]:
+   *  channel-0 equal-window energy envelope → 1-D DCT-II → median
+   *  threshold, amplitude-scale-invariant by construction) over the
+   *  committed [[graft.tools.AudioDupFixture]] corpus. Oracle = the
+   *  raw-sample fingerprints through the INDEPENDENT
+   *  `AudioDupFixture.refAudioFp64` as VALUES literals (no WAV
+   *  container, no AudioSystem — PCM is lossless, the WavFixture
+   *  contract), so the gate proves the decode AND the fingerprint
+   *  definition. Ignores sfDir (scale-free fixture). */
+  def mmAudioFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    MultimodalOps.audioFingerprintPartitioned(
+        spark.read.parquet(graft.tools.AudioDupFixture.Path),
+        "clip_id", "wav")
+      .toDF()
+      .select(col("id").as("clip_id"), col("sample_rate"),
+        col("n_samples"), col("fp"))
+
+  /** AUDIO NEAR-DUP pairs — the perceptual-hash dedup loop on sound,
+   *  completing the modality family (text simhash, image phash, video
+   *  frame sequences): [[graft.ops.DedupOps.hammingNearDups64]] over
+   *  the clip fingerprints at radius [[AudioNeardupMaxHamming]]. The
+   *  committed corpus carries the ground truth: 10 amplitude-scaled,
+   *  dithered variants MUST pair with their bases (scaling commutes
+   *  with the envelope DCT — hamming 0–2 measured), and the REVERSED
+   *  decoys — the same energy multiset in reverse order — must NOT
+   *  (28–34 bits: the DCT is order-sensitive where a histogram
+   *  fingerprint would be fooled). Scale shape: decode/DCT cost in
+   *  the partition-batched pass; past it one (id, hash) row per clip
+   *  through the banded equi-join, never all-pairs. Ignores sfDir
+   *  (scale-free fixture). */
+  def mmAudioNeardup(spark: SparkSession, sfDir: String): DataFrame =
+    mmAudioNeardupOf(
+      spark.read.parquet(graft.tools.AudioDupFixture.Path))
+
+  /** The [[mmAudioNeardup]] engine over any (clip_id, wav) frame —
+   *  factored so the spec can inject corrupt payloads. Quarantined
+   *  clips (sample_rate == -1) never enter — two undecodable clips
+   *  must not pair at hamming 0 (the phashCorpus rule). */
+  def mmAudioNeardupOf(clips: DataFrame): DataFrame =
+    graft.ops.DedupOps.hammingNearDups64(
+        MultimodalOps.audioFingerprintPartitioned(clips, "clip_id", "wav")
+          .toDF()
+          .filter(col("sample_rate") =!= -1),
+        col("id"), col("fp"), AudioNeardupMaxHamming)
+      .select(col("id1"), col("id2"),
+        col("hamming").cast("bigint").as("hamming"))
+
   /** Brightness shift for [[mmPhash]]'s built-in near-dup control. */
   val PhashShift = 8
 
