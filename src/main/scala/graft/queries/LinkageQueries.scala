@@ -101,6 +101,70 @@ object LinkageQueries {
         coalesce(col("best")("entity_name") === col("clean"), lit(false))
           .as("is_correct"))
 
+  /** Every DupMod-th part key contributes a fuzzy-duplicate record to
+   *  the [[erSelfClusters]] dirty relation. */
+  val DupMod = 7
+
+  /** ENTITY SELF-DEDUP — the other half of entity resolution beside
+   *  mention→catalog linkage ([[erMatches]]): deduplicate a DIRTY
+   *  relation against itself. Records = every part row plus, for keys
+   *  ≡ 0 (mod [[DupMod]]), a fuzzy-duplicate record (the same
+   *  [[deleteAt]] one-char corruption, −(key+1) keyspace) standing
+   *  for the same real-world entity. The pass: collapse exact
+   *  surfaces (distinct names, min-record canonical ids — exact dedup
+   *  first, the cheap 99%), generate blocked fuzzy pairs BETWEEN
+   *  surfaces (the [[graft.ops.LinkOps.blockedCandidates]] device
+   *  with the surface table on both sides, lev 1..[[MaxDist]],
+   *  canonical id1 < id2), CONNECTED COMPONENTS over the surface
+   *  pairs, then label every RECORD through its surface — min-id
+   *  survivors, the dedup_clusters convention (on this fixture the
+   *  min of a dup-bridged component is the NEGATIVE dup record: the
+   *  convention is a deterministic tiebreak, and exactly why the
+   *  mmPhashClusters scaladoc notes a production keep-policy ranks
+   *  members by QUALITY instead).
+   *
+   *  TRANSITIVE OVERMERGE is deliberately observable: a corrupted
+   *  surface at distance ≤ 2 of TWO real names bridges their clusters
+   *  (the classic ER hazard a production pass bounds with
+   *  cluster-size caps or match-score thresholds) — deterministic
+   *  here, and the oracle re-derives the same closure.
+   *
+   *  Scale shape: surfaces ≪ records (the exact collapse is a
+   *  two-phase agg); the fuzzy join runs on the SURFACE table only —
+   *  broadcast block index, never a record-level self-join; CC runs
+   *  over surface-pair edges; the final record labeling is one
+   *  broadcast join back on the name. */
+  def erSelfClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = Tables.part(spark, sfDir)
+    erSelfClustersOf(parts
+      .select(col("p_partkey").as("rec_id"), col("p_name").as("name"))
+      .unionAll(parts
+        .filter(col("p_partkey") % DupMod === 0 &&
+          length(col("p_name")) >= 6)
+        .select((-(col("p_partkey") + 1)).as("rec_id"),
+          expr(deleteAt("p_name", "p_partkey")).as("name"))))
+  }
+
+  /** The [[erSelfClusters]] engine over any (rec_id, name) relation —
+   *  factored so the spec can plant bridge/overmerge shapes. */
+  private[graft] def erSelfClustersOf(recs: DataFrame): DataFrame = {
+    val surfaces = LinkOps.entityCatalog(
+      recs, col("rec_id"), col("name"))
+    val pairs = LinkOps.blockedCandidates(
+        surfaces.select(col("entity_id").as("mention_id"),
+          col("entity_name").as("mention")),
+        surfaces, MaxDist)
+      .filter(col("lev") >= 1 && col("mention_id") < col("entity_id"))
+      .select(col("mention_id").as("id1"), col("entity_id").as("id2"))
+    val clusters = graft.ops.DedupOps.connectedComponents(
+      pairs, surfaces.select(col("entity_id").as("id")))
+    recs
+      .join(broadcast(surfaces), col("name") === col("entity_name"))
+      .join(broadcast(clusters), col("entity_id") === col("id"))
+      .select(col("rec_id"), col("cluster"),
+        (col("rec_id") === col("cluster")).as("is_survivor"))
+  }
+
   /** The linkage scorecard: coverage (junk mentions lower it),
    *  precision (the double-deletion ambiguity lowers it), mean
    *  verified distance. One broadcast join + one global agg. */

@@ -4564,6 +4564,44 @@ object Oracles {
        |WHERE c1.n = c2.n AND n_aligned = c1.n AND max_h <= $r""".stripMargin
   }
 
+  /** Mirrors [[LinkageQueries.erSelfClusters]]: dirty records, exact
+   *  surface collapse, blocked fuzzy surface pairs (full levenshtein
+   *  where Spark thresholds — identical on kept rows), recursive
+   *  reachability closure, record labeling — all RE-DERIVED. */
+  val erSelfClusters: String = {
+    val h = LinkageQueries.DupMod
+    val d = LinkageQueries.MaxDist
+    def del(name: String, key: String) =
+      s"substr($name, 1, 4 + $key % (length($name) - 4) - 1) || " +
+        s"substr($name, 4 + $key % (length($name) - 4) + 1, 100)"
+    s"""WITH RECURSIVE
+       |recs AS (
+       |  SELECT p_partkey AS rec_id, p_name AS name FROM part
+       |  UNION ALL
+       |  SELECT -(p_partkey + 1), ${del("p_name", "p_partkey")}
+       |  FROM part WHERE p_partkey % $h = 0 AND length(p_name) >= 6),
+       |surf AS (SELECT min(rec_id) AS sid, name FROM recs GROUP BY name),
+       |pairs AS (
+       |  SELECT x.sid AS id1, y.sid AS id2
+       |  FROM surf x JOIN surf y
+       |    ON substr(x.name, 1, 3) = substr(y.name, 1, 3)
+       |   AND abs(length(x.name) - length(y.name)) <= $d
+       |   AND x.sid < y.sid
+       |  WHERE levenshtein(x.name, y.name) BETWEEN 1 AND $d),
+       |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+       |          UNION SELECT id2, id1 FROM pairs),
+       |reach(node, l) AS (
+       |  SELECT sid, sid FROM surf
+       |  UNION
+       |  SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.node),
+       |cl AS (SELECT node, min(l) AS cluster FROM reach GROUP BY node)
+       |SELECT r.rec_id, CAST(cl.cluster AS BIGINT) AS cluster,
+       |       r.rec_id = cl.cluster AS is_survivor
+       |FROM recs r
+       |JOIN surf s ON r.name = s.name
+       |JOIN cl ON s.sid = cl.node""".stripMargin
+  }
+
   /** Mirrors [[PipelineQueries.mmAudioFingerprint]]: the committed
    *  corpus's fingerprints from the raw sample definition
    *  ([[graft.tools.AudioDupFixture.refAudioFp64]] — no WAV bytes, no

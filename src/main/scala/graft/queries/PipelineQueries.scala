@@ -4066,14 +4066,21 @@ object PipelineQueries {
       spark.read.parquet(graft.tools.AudioDupFixture.Path))
 
   /** The [[mmAudioNeardup]] engine over any (clip_id, wav) frame —
-   *  factored so the spec can inject corrupt payloads. Quarantined
-   *  clips (sample_rate == -1) never enter — two undecodable clips
-   *  must not pair at hamming 0 (the phashCorpus rule). */
+   *  factored so the spec can inject corrupt payloads. The
+   *  fingerprint frame is MATERIALIZED once (the phashCorpus lesson —
+   *  the banded self-join's two sides would otherwise each re-run the
+   *  decode+DCT subtree: measured 0 ReusedExchange without it).
+   *  Quarantined clips (sample_rate == -1) never enter — two
+   *  undecodable clips must not pair at hamming 0 (the phashCorpus
+   *  rule). Handle left to the ContextCleaner (non-boundary
+   *  convention). */
   def mmAudioNeardupOf(clips: DataFrame): DataFrame =
     graft.ops.DedupOps.hammingNearDups64(
         MultimodalOps.audioFingerprintPartitioned(clips, "clip_id", "wav")
           .toDF()
-          .filter(col("sample_rate") =!= -1),
+          .filter(col("sample_rate") =!= -1)
+          .select(col("id"), col("fp"))
+          .localCheckpoint(),
         col("id"), col("fp"), AudioNeardupMaxHamming)
       .select(col("id1"), col("id2"),
         col("hamming").cast("bigint").as("hamming"))

@@ -61,23 +61,20 @@ object VideoDupFixture {
     40 + (x * a + y * b) * 170 / ((w - 1) * a + (h - 1) * b)
   }
 
-  /** (clip_id, n_frames, frame index map, pixel fn) for ANY clip id
-   *  in the layout — the single definition [[gifBytes]] and
-   *  [[expectedFramePhashes]] share. The pixel fn is (f, x, y) ⇒
-   *  gray; the map routes a clip frame to its base frame. */
-  private def clipDef(id: Int): (Int, Int, Int => Int, (Int, Int, Int) => Int) =
+  /** (base clip, n_frames, pixel fn) for ANY clip id in the layout —
+   *  the single definition [[gifBytes]] and [[expectedFramePhashes]]
+   *  share. The pixel fn is (f, x, y) ⇒ gray. */
+  private def clipDef(id: Int): (Int, Int, (Int, Int, Int) => Int) =
     if (id < N) // base
-      (id, frames(id), f => f, (f, x, y) => grayLevel(id, f, x, y))
+      (id, frames(id), (f, x, y) => grayLevel(id, f, x, y))
     else if (id < 2 * N) { // brightness variant
       val b = id - N
-      (b, frames(b), f => f,
-        (f, x, y) => grayLevel(b, f, x, y) + VariantDelta)
+      (b, frames(b), (f, x, y) => grayLevel(b, f, x, y) + VariantDelta)
     } else if (id < 2 * N + PermN) { // frame-rotation decoy
       val b = id - 2 * N
-      (b, frames(b), f => (f + 1) % frames(b),
-        (f, x, y) => grayLevel(b, (f + 1) % frames(b), x, y))
+      (b, frames(b), (f, x, y) => grayLevel(b, (f + 1) % frames(b), x, y))
     } else // truncated decoy of base 0
-      (0, frames(0) - 1, f => f, (f, x, y) => grayLevel(0, f, x, y))
+      (0, frames(0) - 1, (f, x, y) => grayLevel(0, f, x, y))
 
   /** Per-frame perceptual hashes of EVERY committed clip from the raw
    *  pixel definition via [[PngFixture.refPhash64]] (the fixtures'
@@ -88,7 +85,7 @@ object VideoDupFixture {
    *  ground-truth input. */
   def expectedFramePhashes: Seq[(Long, Long, Long)] =
     (0 until Total).flatMap { id =>
-      val (base, n, _, pix) = clipDef(id)
+      val (base, n, pix) = clipDef(id)
       val (w, h) = dims(base)
       (0 until n).map { f =>
         (id.toLong, f.toLong,
@@ -98,7 +95,7 @@ object VideoDupFixture {
 
   /** A real animated GIF89a encoding of clip id via the JDK writer. */
   def gifBytes(id: Int): Array[Byte] = {
-    val (base, n, _, pix) = clipDef(id)
+    val (base, n, pix) = clipDef(id)
     val (w, h) = dims(base)
     val writer = javax.imageio.ImageIO
       .getImageWritersByFormatName("gif").next()

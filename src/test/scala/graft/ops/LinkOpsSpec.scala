@@ -42,6 +42,25 @@ class LinkOpsSpec extends SparkSpec {
     assert(got == Set((1L, 1L), (2L, 1L)), got) // zen labs: wrong block
   }
 
+  test("erSelfClustersOf: exact surfaces collapse, a fuzzy dup record " +
+      "bridges entities into one component (the documented overmerge), " +
+      "min-id survivors, untouched entities stay singletons") {
+    val recs = Seq(
+      (1L, "acme corp"), (2L, "acme core"), (9L, "zen labs"),
+      (3L, "acme corp"),   // exact dup of 1: same surface
+      (-5L, "acme cor"))   // fuzzy dup: lev 1 to BOTH corp and core
+      .toDF("rec_id", "name")
+    val got = graft.queries.LinkageQueries.erSelfClustersOf(recs)
+      .select("rec_id", "cluster", "is_survivor")
+      .as[(Long, Long, Boolean)].collect().toSet
+    // surfaces: corp(sid 1), core(2), cor(-5), labs(9); pairs
+    // (-5,1), (-5,2), (1,2) -> one component with min -5
+    val want = Set(
+      (1L, -5L, false), (2L, -5L, false), (3L, -5L, false),
+      (-5L, -5L, true), (9L, 9L, true))
+    assert(got == want, got)
+  }
+
   test("blocking recall is EXACT for the fixture's corruption class: " +
       "every non-junk mention matches, and every single-deletion " +
       "mention matches its true entity") {
