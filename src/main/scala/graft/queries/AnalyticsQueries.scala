@@ -1331,6 +1331,88 @@ object AnalyticsQueries {
   /** The BFS fixpoint over any symmetrized (src, dst) adjacency —
    *  factored for fixture tests. `adj` should be materialized by the
    *  caller (it is scanned every round). */
+  /** Edge length for [[graphSssp]]: strong ties are SHORT —
+   *  1 + 100/w (integer division), monotone decreasing in the
+   *  co-purchase count, exact integer arithmetic end to end. */
+  private[graft] def ssspCost(w: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    lit(1L) + floor(lit(100L) / w)
+
+  /**
+   * WEIGHTED single-source-set shortest paths over the co-purchase
+   * backbone — the fifth iterative-graph member, generalizing
+   * [[graphBfs]]'s hop counts to tie-strength distances (the
+   * "how cheaply does influence reach this node" primitive; strong
+   * ties are short via [[ssspCost]]): multi-source Bellman–Ford from
+   * the [[BfsSeedMod]] seed set with the frontier optimization — each
+   * round relaxes ONLY edges out of nodes improved last round, and
+   * the fixpoint is EXACT (a driver-side emptiness scalar on the
+   * improved set, the bfs/kCore convention; positive integer costs
+   * guarantee convergence). The weighted answer genuinely differs
+   * from BFS: a two-hop path through strong ties undercuts a direct
+   * weak edge (spec-pinned on a planted graph AND measured on the
+   * corpus backbone).
+   *
+   * Scale shape: weighted adjacency checkpointed once; per round ONE
+   * shuffle join of the (shrinking) improved frontier onto edges +
+   * one two-phase min agg + one merge anti-join; superseded
+   * dist/frontier checkpoints released with the handle discipline.
+   * The oracle unrolls full-relaxation rounds and fails loud if the
+   * last round still improved (the bfs unroll-guard device).
+   */
+  def graphSssp(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = coPairsTable(spark, sfDir)
+      .filter(col("w") >= LpaMinWeight)
+      .select(col("u"), col("v"), ssspCost(col("w")).as("cost"))
+    val adjW = e.select(col("u").as("src"), col("v").as("dst"), col("cost"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst"),
+        col("cost")))
+      .localCheckpoint()
+    val seeds = adjW.select(col("src").as("node")).distinct()
+      .filter(col("node") % BfsSeedMod === 0)
+    sssp(adjW, seeds)
+  }
+
+  /** The [[graphSssp]] engine over any (src, dst, cost) weighted
+   *  adjacency — factored for fixture tests. Positive costs
+   *  required (Bellman–Ford convergence). */
+  def sssp(adjW: DataFrame, seeds: DataFrame): DataFrame = {
+    var dist = seeds.select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = dist
+    var done = false
+    while (!done) {
+      val improved = adjW
+        .join(frontier.select(col("node").as("src"),
+          col("dist").as("sd")), Seq("src"))
+        .select(col("dst").as("node"), (col("sd") + col("cost")).as("nd"))
+        .groupBy("node").agg(min(col("nd")).as("nd"))
+        .join(dist, Seq("node"), "left")
+        .filter(col("dist").isNull || col("nd") < col("dist"))
+        .select(col("node"), col("nd").as("dist"))
+        .localCheckpoint()
+      if (improved.isEmpty) {
+        graft.ops.DedupOps.releaseTruncated(improved)
+        done = true
+      } else {
+        val nd = dist
+          .join(improved.select(col("node")), Seq("node"), "left_anti")
+          .unionAll(improved)
+          .localCheckpoint()
+        // nd is materialized eagerly — the superseded handles release
+        // now (frontier == dist only on the first round)
+        if (frontier ne dist) graft.ops.DedupOps.releaseTruncated(frontier)
+        graft.ops.DedupOps.releaseTruncated(dist)
+        dist = nd
+        frontier = improved
+      }
+    }
+    // the final improved set's rows live inside dist's checkpoint —
+    // its own handle is superseded (the returned frame is dist)
+    if (frontier ne dist) graft.ops.DedupOps.releaseTruncated(frontier)
+    dist
+  }
+
   def bfs(adj: DataFrame, seeds: DataFrame): DataFrame = {
     var known = seeds.select(col("node"), lit(0L).as("dist"))
       .localCheckpoint()

@@ -4564,6 +4564,53 @@ object Oracles {
        |WHERE c1.n = c2.n AND n_aligned = c1.n AND max_h <= $r""".stripMargin
   }
 
+  /** Mirrors [[AnalyticsQueries.graphSssp]] by RE-DERIVING the
+   *  weighted fixpoint: backbone + integer costs from lineitem, then
+   *  FULL-relaxation Bellman–Ford rounds unrolled as MATERIALIZED
+   *  CTEs (where Spark relaxes only the improved frontier — different
+   *  derivation, same fixpoint), with the bfs unroll-guard device:
+   *  error loud if the last round still improved any node. */
+  val graphSssp: String = {
+    val depth = 32
+    val mod = AnalyticsQueries.BfsSeedMod
+    val minW = AnalyticsQueries.LpaMinWeight
+    val parts = scala.collection.mutable.ArrayBuffer(
+      """mem AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)""",
+      s"""e AS MATERIALIZED (
+        |  SELECT a.p AS u, b.p AS v,
+        |         1 + CAST(floor(100 / count(*)) AS BIGINT) AS cost
+        |  FROM mem a JOIN mem b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= $minW)""".stripMargin,
+      """adj AS MATERIALIZED (
+        |  SELECT u AS src, v AS dst, cost FROM e
+        |  UNION ALL SELECT v, u, cost FROM e)""".stripMargin,
+      s"""d0 AS MATERIALIZED (
+        |  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+        |  FROM adj WHERE src % $mod = 0)""".stripMargin)
+    for (i <- 1 to depth) {
+      parts += s"""d$i AS MATERIALIZED (
+        |  SELECT coalesce(p.node, c.node) AS node,
+        |         CASE WHEN p.dist IS NULL THEN c.nd
+        |              WHEN c.nd IS NULL THEN p.dist
+        |              ELSE least(p.dist, c.nd) END AS dist
+        |  FROM d${i - 1} p FULL OUTER JOIN (
+        |    SELECT a.dst AS node, min(k.dist + a.cost) AS nd
+        |    FROM adj a JOIN d${i - 1} k ON k.node = a.src
+        |    GROUP BY 1) c
+        |  ON p.node = c.node)""".stripMargin
+    }
+    parts += s"""imp AS (
+      |  SELECT count(*) AS n FROM d$depth x
+      |  LEFT JOIN d${depth - 1} y USING (node)
+      |  WHERE y.node IS NULL OR x.dist < y.dist)""".stripMargin
+    parts += s"""g AS (
+      |  SELECT CASE WHEN (SELECT n FROM imp) > 0
+      |              THEN error('sssp oracle: still improving past the unroll depth $depth')
+      |              ELSE 1 END AS ok)""".stripMargin
+    "WITH " + parts.mkString(",\n") +
+      s"\nSELECT node, dist FROM d$depth, g WHERE g.ok = 1"
+  }
+
   /** Mirrors [[LinkageQueries.erSelfClusters]]: dirty records, exact
    *  surface collapse, blocked fuzzy surface pairs (full levenshtein
    *  where Spark thresholds — identical on kept rows), recursive

@@ -67,4 +67,71 @@ class BfsSpec extends SparkSpec {
           s"seed $seed diverged")
     }
   }
+
+  // ---- weighted SSSP (the Bellman-Ford sibling) ---------------------------
+
+  private def refSssp(edges: Set[(Long, Long, Long)], seeds: Set[Long])
+      : Map[Long, Long] = {
+    val adj = edges.toSeq
+      .flatMap(e => Seq((e._1, e._2, e._3), (e._2, e._1, e._3)))
+      .groupBy(_._1).map { case (n, g) => n -> g.map(x => (x._2, x._3)) }
+    var dist = seeds.map(_ -> 0L).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      dist.toSeq.foreach { case (n, d) =>
+        adj.getOrElse(n, Nil).foreach { case (m, c) =>
+          if (!dist.contains(m) || dist(m) > d + c) {
+            dist += m -> (d + c); changed = true
+          }
+        }
+      }
+    }
+    dist
+  }
+
+  private def ssspOf(edges: Set[(Long, Long, Long)], seeds: Set[Long])
+      : Map[Long, Long] = {
+    val e = edges.toSeq.toDF("u", "v", "cost")
+    val adjW = e.selectExpr("u AS src", "v AS dst", "cost")
+      .unionAll(e.selectExpr("v AS src", "u AS dst", "cost"))
+      .localCheckpoint()
+    AnalyticsQueries.sssp(adjW, seeds.toSeq.toDF("node"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("sssp: the CHEAPEST path beats the fewest-hops path (weighted != " +
+      "BFS on this graph), islands stay absent") {
+    // 0 -10- 1 -10- 2 plus a direct 0 -50- 2: dist(2) = 20, not 50
+    val g = Set((0L, 1L, 10L), (1L, 2L, 10L), (0L, 2L, 50L),
+      (30L, 31L, 1L))
+    val got = ssspOf(g, Set(0L))
+    assert(got == Map(0L -> 0L, 1L -> 10L, 2L -> 20L), s"$got")
+  }
+
+  test("sssp: a later round can REVISE an already-settled node (the " +
+      "Bellman-Ford re-relaxation the one-pass frontier would miss)") {
+    // direct 0-3 edge costs 100; the 3-hop chain totals 3 — node 3's
+    // distance must drop from 100 to 3 across rounds
+    val g = Set((0L, 3L, 100L), (0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L))
+    val got = ssspOf(g, Set(0L))
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L), s"$got")
+  }
+
+  test("sssp: randomized weighted graphs == reference Bellman-Ford, " +
+      "multi-seed (three seeds)") {
+    for (seed <- Seq(6, 66, 666)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 60).map { _ =>
+        val a = rnd.nextInt(20).toLong
+        val b = rnd.nextInt(20).toLong
+        (math.min(a, b), math.max(a, b), 1L + rnd.nextInt(30))
+      }.filter(e => e._1 != e._2).toSet
+      val seeds = Set(0L, 7L).filter(s =>
+        edges.exists(e => e._1 == s || e._2 == s))
+      if (seeds.nonEmpty)
+        assert(ssspOf(edges, seeds) == refSssp(edges, seeds),
+          s"seed $seed diverged")
+    }
+  }
 }
