@@ -65,21 +65,29 @@ object LinkOps {
       .select(col("blk"), (length(col("entity_name")) + col("d")).as("mlen"),
         col("entity_id"), col("entity_name"))
 
-  /** Candidate (mention, entity) pairs with edit distance ≤ maxDist:
-   *  broadcast equi-join of mentions onto the block index, thresholded
-   *  levenshtein verify in the join projection. `mentions` must carry
-   *  (mention_id, mention); all other columns pass through. */
-  def blockedCandidates(mentions: DataFrame, entities: DataFrame,
+  /** RAW blocked pairs — the blocker's output BEFORE the edit-distance
+   *  verify (what blocking-quality metrics measure: pair completeness
+   *  counts true pairs surviving to here, reduction ratio counts how
+   *  much of the cross product this stage prunes). `mentions` must
+   *  carry (mention_id, mention); all other columns pass through. */
+  def blockedPairs(mentions: DataFrame, entities: DataFrame,
       maxDist: Int): DataFrame =
     mentions.join(
         broadcast(blockIndex(entities, maxDist)),
         blockKey(col("mention")) === col("blk") &&
           length(col("mention")) === col("mlen"))
+      .drop("blk", "mlen")
+
+  /** Candidate (mention, entity) pairs with edit distance ≤ maxDist:
+   *  [[blockedPairs]] + the thresholded levenshtein verify in the
+   *  join projection. */
+  def blockedCandidates(mentions: DataFrame, entities: DataFrame,
+      maxDist: Int): DataFrame =
+    blockedPairs(mentions, entities, maxDist)
       .withColumn("lev",
         levenshtein(col("mention"), col("entity_name"), maxDist)
           .cast("bigint"))
       .filter(col("lev") >= 0)
-      .drop("blk", "mlen")
 
   /** The block-ARRAY form of the index: one row per (prefix, len)
    *  carrying the block's candidate array — what [[resolveAgainst]]

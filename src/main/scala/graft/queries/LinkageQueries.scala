@@ -105,6 +105,55 @@ object LinkageQueries {
    *  the [[erSelfClusters]] dirty relation. */
   val DupMod = 7
 
+  /** Every PrefixDamageMod-th key of [[erBlockingEval]]'s mention mix
+   *  deletes INSIDE the blocking prefix instead of past it. */
+  val PrefixDamageMod = 19
+
+  /** BLOCKING-QUALITY scorecard — the two metrics the record-linkage
+   *  literature reports for a blocking scheme (Christen 2012):
+   *  PAIR COMPLETENESS (the fraction of true (mention, entity) pairs
+   *  the blocker lets through — blocking RECALL) and REDUCTION RATIO
+   *  (the fraction of the mentions × entities cross product the
+   *  blocker prunes). The dedup_eval convention: the mention mix is
+   *  eval-specific so the curve is non-vacuous — every key gets a
+   *  single deletion, but keys ≡ 0 (mod [[PrefixDamageMod]]) delete
+   *  at position 2, INSIDE the 3-char blocking prefix, so the
+   *  (prefix, length) scheme provably misses them (completeness
+   *  ≈ 1 − 1/19, measured 0.947 at sf0.01) while the reduction ratio
+   *  stays ≈ 0.98 — exactly the trade a production pass tunes with
+   *  additional blocking passes. Metrics measure [[graft.ops.LinkOps
+   *  .blockedPairs]] — the blocker ALONE, before the edit-distance
+   *  verify.
+   *
+   *  Scale shape: one mention scan through the broadcast block join +
+   *  one global agg; the entity/mention counts are one-row broadcast
+   *  frames (the crossJoin-tiny convention). */
+  def erBlockingEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = Tables.part(spark, sfDir)
+    val men = parts.filter(length(col("p_name")) >= 6)
+      .select(col("p_partkey").as("mention_id"),
+        col("p_name").as("clean"),
+        when(col("p_partkey") % PrefixDamageMod === 0,
+          expr("concat(substr(p_name, 1, 1), substr(p_name, 3, 100))"))
+          .otherwise(expr(deleteAt("p_name", "p_partkey")))
+          .as("mention"))
+    val ents = catalogOf(parts)
+    val counts = men.agg(count(lit(1)).as("n_mentions"))
+      .crossJoin(broadcast(ents.agg(count(lit(1)).as("n_entities"))))
+    LinkOps.blockedPairs(men, ents, MaxDist)
+      .agg(count(lit(1)).as("n_candidates"),
+        count(when(col("entity_name") === col("clean"), 1))
+          .as("n_caught"))
+      .crossJoin(broadcast(counts))
+      .select(col("n_mentions"), col("n_entities"), col("n_candidates"),
+        col("n_caught"),
+        (col("n_caught").cast("double") / col("n_mentions"))
+          .as("pair_completeness"),
+        (lit(1.0) - col("n_candidates").cast("double") /
+          (col("n_mentions") * col("n_entities")))
+          .as("reduction_ratio"))
+  }
+
   /** ENTITY SELF-DEDUP — the other half of entity resolution beside
    *  mention→catalog linkage ([[erMatches]]): deduplicate a DIRTY
    *  relation against itself. Records = every part row plus, for keys

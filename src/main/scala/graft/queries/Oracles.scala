@@ -4611,6 +4611,43 @@ object Oracles {
       s"\nSELECT node, dist FROM d$depth, g WHERE g.ok = 1"
   }
 
+  /** Mirrors [[LinkageQueries.erBlockingEval]]: the eval-specific
+   *  mention mix (prefix-damaging deletions every 19th key), the RAW
+   *  block join with no verify, and both blocking metrics re-derived. */
+  val erBlockingEval: String = {
+    val pm = LinkageQueries.PrefixDamageMod
+    val d = LinkageQueries.MaxDist
+    def del(name: String, key: String) =
+      s"substr($name, 1, 4 + $key % (length($name) - 4) - 1) || " +
+        s"substr($name, 4 + $key % (length($name) - 4) + 1, 100)"
+    s"""WITH men AS (
+       |  SELECT p_partkey AS mention_id, p_name AS clean,
+       |         CASE WHEN p_partkey % $pm = 0
+       |              THEN substr(p_name, 1, 1) || substr(p_name, 3, 100)
+       |              ELSE ${del("p_name", "p_partkey")} END AS mention
+       |  FROM part WHERE length(p_name) >= 6),
+       |ent AS (
+       |  SELECT min(p_partkey) AS entity_id, p_name AS entity_name
+       |  FROM part GROUP BY p_name),
+       |bp AS (
+       |  SELECT m.mention_id, m.clean, e.entity_name
+       |  FROM men m JOIN ent e
+       |    ON substr(m.mention, 1, 3) = substr(e.entity_name, 1, 3)
+       |   AND abs(length(e.entity_name) - length(m.mention)) <= $d),
+       |c AS (
+       |  SELECT count(*) AS n_candidates,
+       |         count(*) FILTER (entity_name = clean) AS n_caught
+       |  FROM bp),
+       |n AS (
+       |  SELECT (SELECT count(*) FROM men) AS n_mentions,
+       |         (SELECT count(*) FROM ent) AS n_entities)
+       |SELECT n_mentions, n_entities, n_candidates, n_caught,
+       |       CAST(n_caught AS DOUBLE) / n_mentions AS pair_completeness,
+       |       1.0 - CAST(n_candidates AS DOUBLE) /
+       |         (n_mentions * n_entities) AS reduction_ratio
+       |FROM c, n""".stripMargin
+  }
+
   /** Mirrors [[LinkageQueries.erSelfClusters]]: dirty records, exact
    *  surface collapse, blocked fuzzy surface pairs (full levenshtein
    *  where Spark thresholds — identical on kept rows), recursive

@@ -61,6 +61,19 @@ class LinkOpsSpec extends SparkSpec {
     assert(got == want, got)
   }
 
+  test("erBlockingEval is non-vacuous BOTH ways: the prefix-damage " +
+      "class lowers pair completeness below 1, and the blocker still " +
+      "prunes most of the cross product") {
+    val r = graft.queries.LinkageQueries
+      .erBlockingEval(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val completeness = r.getAs[Double]("pair_completeness")
+    val reduction = r.getAs[Double]("reduction_ratio")
+    assert(completeness < 1.0 && completeness > 0.85,
+      s"completeness $completeness out of the designed band")
+    assert(reduction > 0.5, s"reduction $reduction — blocker not pruning")
+  }
+
   test("blocking recall is EXACT for the fixture's corruption class: " +
       "every non-junk mention matches, and every single-deletion " +
       "mention matches its true entity") {
