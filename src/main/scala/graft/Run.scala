@@ -520,6 +520,16 @@ object Run {
         // matched_id/hamming observability
         (phashGateTopology(spark, lines(), opts.getOrElse("corpus",
           graft.tools.PngFixture.Path)), OutputMode.Append)
+      case "video_gate" =>
+        // VIDEO near-dup admission, live: corpus clips fingerprinted
+        // offline from --corpus (a (clip_id, gif) parquet; default =
+        // the committed video-dup fixture) into the per-frame-position
+        // banded VideoBandIndex; each arriving clip decoded + hashed
+        // per frame + probed with the intersected banded search. The
+        // demo source replays REAL corpus clips per line (the
+        // phash_gate demo-labeler pattern)
+        (videoGateTopology(spark, lines(), opts.getOrElse("corpus",
+          graft.tools.VideoDupFixture.Path)), OutputMode.Append)
       case "er_gate" =>
         // entity-linkage admission, live: the catalog block index
         // built offline from --catalog (the er_matches blocking +
@@ -743,6 +753,25 @@ object Run {
         element_at(typedlit(blobs),
           (pmod(xxhash64(col("value")), lit(blobs.size)) + 1).cast("int"))
           .as("png")),
+      corpus)
+  }
+
+  /** Video near-dup admission at ingest: the per-frame banded corpus
+   *  index is an offline artifact of the batch mm_video_neardup
+   *  decode (StreamOps.videoGateStream has the scale reasoning).
+   *  Factored so RunTopologySpec drives the exact composition. */
+  private[graft] def videoGateTopology(spark: SparkSession,
+      lines: DataFrame, corpusPath: String): DataFrame = {
+    val corpus = spark.read.parquet(corpusPath)
+    val blobs = corpus.select(col("gif")).limit(48)
+      .collect().map(_.getAs[Array[Byte]](0)).toSeq
+    require(blobs.nonEmpty, "video_gate demo source needs a corpus blob")
+    StreamOps.videoGateStream(
+      lines.select(col("ts"),
+        xxhash64(col("value")).as("clip_id"),
+        element_at(typedlit(blobs),
+          (pmod(xxhash64(col("value")), lit(blobs.size)) + 1).cast("int"))
+          .as("gif")),
       corpus)
   }
 

@@ -694,6 +694,34 @@ object MultimodalOps {
       }
       if (bestD > maxHamming) null else (bestId, bestD)
     }
+
+    /** EVERY within-radius corpus entry (id → distance) — the
+     *  multi-candidate form [[VideoBandIndex]] intersects across frame
+     *  positions (where [[probe]] keeps only the argmin); complete
+     *  over the radius by the same pigeonhole, deduplicated across
+     *  band tables by the map. */
+    def probeAll(h: Long, maxHamming: Int)
+        : java.util.HashMap[java.lang.Long, Integer] = {
+      val out = new java.util.HashMap[java.lang.Long, Integer]
+      var t = 0
+      while (t < PhashBandIndex.Combos.length) {
+        val c = PhashBandIndex.Combos(t)
+        val key = (t << 16) |
+          ((((h >>> (c(0) * 8)) & 0xFF) << 8) |
+            ((h >>> (c(1) * 8)) & 0xFF)).toInt
+        val cand = bands.get(key)
+        if (cand != null) {
+          var i = 0
+          while (i < cand.length) {
+            val d = java.lang.Long.bitCount(h ^ hashes(cand(i)))
+            if (d <= maxHamming) out.put(ids(cand(i)), d)
+            i += 1
+          }
+        }
+        t += 1
+      }
+      out
+    }
   }
 
   object PhashBandIndex {
@@ -953,68 +981,192 @@ object MultimodalOps {
       bytesCol: String, brightShift: Int)
       : org.apache.spark.sql.Dataset[graft.model.GifFramePhash] = {
     import df.sparkSession.implicits._
-    val bad = graft.model.GifFramePhash(_: Long, -1L, -1, -1, 0L, 0L)
     df.select(col(idCol), col(bytesCol)).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
-        rows.flatMap { case (id, b) =>
-          try {
-            val magicOk = b != null && b.length > 6 && {
-              val m = new String(b, 0, 6, "US-ASCII")
-              m == "GIF87a" || m == "GIF89a"
-            }
-            val structure = if (magicOk) gifStructure(b) else None
-            if (structure.isEmpty) Seq(bad(id))
-            else {
-              val reader = javax.imageio.ImageIO
-                .getImageReadersByFormatName("gif").next()
-              val iis = javax.imageio.ImageIO.createImageInputStream(
-                new java.io.ByteArrayInputStream(b))
-              try {
-                reader.setInput(iis)
-                val n = reader.getNumImages(true)
-                var ok = n > 0 && structure.contains(n)
-                var w = -1
-                var h = -1
-                val out = Seq.newBuilder[graft.model.GifFramePhash]
-                var f = 0
-                while (ok && f < n) {
-                  val img = reader.read(f)
-                  if (w == -1 || (w == img.getWidth &&
-                      h == img.getHeight)) {
-                    w = img.getWidth; h = img.getHeight
-                    val S = PhashS
-                    val grid = Array.tabulate(S, S) { (yy, xx) =>
-                      val rgb = img.getRGB(xx * w / S, yy * h / S)
-                      (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
-                        (rgb & 0xFF)) / 3
-                    }
-                    val base = phash64((x, y) => grid(y)(x), S, S)
-                    // shift 0 ⇒ the control channel IS the base hash:
-                    // skip the second DCT (consumers that only dedup,
-                    // like mm_video_neardup, pay one transform/frame)
-                    val shifted =
-                      if (brightShift == 0) base
-                      else phash64((x, y) =>
-                        math.min(255, grid(y)(x) + brightShift), S, S)
-                    out += graft.model.GifFramePhash(id, f.toLong, w, h,
-                      base, shifted)
-                    f += 1
-                  } else ok = false // dimension change mid-clip
-                }
-                if (!ok) Seq(bad(id)) else out.result()
-              } finally {
-                reader.dispose()
-                iis.close()
+        rows.flatMap { case (id, b) => gifClipPhashes(id, b, brightShift) }
+      }
+  }
+
+  /** One clip's per-frame hash rows — the ONE decode+hash definition
+   *  [[gifFramePhashesPartitioned]] and [[videoGatePartitioned]]
+   *  share (the phashGrid convention: batch and live hash the same
+   *  pixels by construction). A quarantined clip yields the single
+   *  sentinel row. */
+  private def gifClipPhashes(id: Long, b: Array[Byte], brightShift: Int)
+      : Seq[graft.model.GifFramePhash] = {
+    val bad = graft.model.GifFramePhash(_: Long, -1L, -1, -1, 0L, 0L)
+    try {
+      val magicOk = b != null && b.length > 6 && {
+        val m = new String(b, 0, 6, "US-ASCII")
+        m == "GIF87a" || m == "GIF89a"
+      }
+      val structure = if (magicOk) gifStructure(b) else None
+      if (structure.isEmpty) Seq(bad(id))
+      else {
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next()
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(b))
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          var ok = n > 0 && structure.contains(n)
+          var w = -1
+          var h = -1
+          val out = Seq.newBuilder[graft.model.GifFramePhash]
+          var f = 0
+          while (ok && f < n) {
+            val img = reader.read(f)
+            if (w == -1 || (w == img.getWidth &&
+                h == img.getHeight)) {
+              w = img.getWidth; h = img.getHeight
+              val S = PhashS
+              val grid = Array.tabulate(S, S) { (yy, xx) =>
+                val rgb = img.getRGB(xx * w / S, yy * h / S)
+                (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
+                  (rgb & 0xFF)) / 3
               }
-            }
-          } catch {
-            // the GIF plugin throws unchecked on truncated/adversarial
-            // bytes — quarantine, don't kill
-            case scala.util.control.NonFatal(_) => Seq(bad(id))
+              val base = phash64((x, y) => grid(y)(x), S, S)
+              // shift 0 ⇒ the control channel IS the base hash:
+              // skip the second DCT (consumers that only dedup,
+              // like mm_video_neardup, pay one transform/frame)
+              val shifted =
+                if (brightShift == 0) base
+                else phash64((x, y) =>
+                  math.min(255, grid(y)(x) + brightShift), S, S)
+              out += graft.model.GifFramePhash(id, f.toLong, w, h,
+                base, shifted)
+              f += 1
+            } else ok = false // dimension change mid-clip
+          }
+          if (!ok) Seq(bad(id)) else out.result()
+        } finally {
+          reader.dispose()
+          iis.close()
+        }
+      }
+    } catch {
+      // the GIF plugin throws unchecked on truncated/adversarial
+      // bytes — quarantine, don't kill
+      case scala.util.control.NonFatal(_) => Seq(bad(id))
+    }
+  }
+
+  /**
+   * Broadcastable per-frame-position banded VIDEO fingerprint index —
+   * the [[PhashBandIndex]] device lifted to frame sequences, the
+   * offline-model half of the live video admission gate: one banded
+   * image index PER FRAME POSITION plus each corpus clip's frame
+   * count. A probe clip's candidates start as frame 0's within-radius
+   * clips (pigeonhole-complete), immediately restricted to EQUAL
+   * frame counts (the truncated-decoy rule), then INTERSECTED with
+   * each later frame's candidate set while tracking the max aligned
+   * distance — exact by the batch operator's own qualification rule
+   * (same count + every aligned frame within radius), so the gate and
+   * `mm_video_neardup` agree clip for clip. Ties break to the
+   * smaller corpus id on (max distance, id).
+   */
+  final class VideoBandIndex(
+      val counts: java.util.HashMap[java.lang.Long, Integer],
+      val perFrame: Array[PhashBandIndex]) extends Serializable {
+    /** (matched corpus clip, max aligned hamming) or null. */
+    def probe(frames: Array[Long], maxHamming: Int): (Long, Int) = {
+      if (frames.isEmpty || frames.length > perFrame.length) return null
+      val live = perFrame(0).probeAll(frames(0), maxHamming)
+      val it0 = live.entrySet().iterator()
+      while (it0.hasNext) {
+        val e = it0.next()
+        val c = counts.get(e.getKey)
+        if (c == null || c.intValue() != frames.length) it0.remove()
+      }
+      var f = 1
+      while (f < frames.length && !live.isEmpty) {
+        val cand = perFrame(f).probeAll(frames(f), maxHamming)
+        val it = live.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val d = cand.get(e.getKey)
+          if (d == null) it.remove()
+          else if (d.intValue() > e.getValue.intValue())
+            e.setValue(d)
+        }
+        f += 1
+      }
+      var bestId = Long.MaxValue
+      var bestD = Int.MaxValue
+      live.forEach { (id, d) =>
+        if (d < bestD || (d == bestD && id < bestId)) {
+          bestD = d; bestId = id
+        }
+      }
+      if (bestD == Int.MaxValue) null else (bestId, bestD)
+    }
+  }
+
+  object VideoBandIndex {
+    /** Build from (clip_id, frame, hash) rows (any order). */
+    def apply(rows: Seq[(Long, Long, Long)]): VideoBandIndex = {
+      val counts = new java.util.HashMap[java.lang.Long, Integer]
+      rows.groupBy(_._1).foreach { case (id, fs) =>
+        counts.put(id, fs.length); ()
+      }
+      val maxFrame =
+        if (rows.isEmpty) -1L else rows.iterator.map(_._2).max
+      val perFrame = Array.tabulate(maxFrame.toInt + 1) { f =>
+        PhashBandIndex(rows.collect {
+          case (id, fr, h) if fr == f => (id, h)
+        })
+      }
+      new VideoBandIndex(counts, perFrame)
+    }
+  }
+
+  /**
+   * Partition-batched decode → per-frame hashes → banded sequence
+   * probe — the live half of the VIDEO admission gate (the
+   * [[phashGatePartitioned]] contract on clips): per row the SHARED
+   * [[gifClipPhashes]] decode (batch and live hash the same pixels),
+   * then ONE [[VideoBandIndex.probe]]. Row-merge passthrough plus
+   * (n_frames, matched_id, max_hamming, decision): 'quarantine'
+   * (undecodable/malformed clip — never admitted silently, never
+   * matched on sentinel hashes), 'neardup' (a corpus clip with the
+   * SAME frame count and EVERY aligned frame within the radius), or
+   * 'admit'.
+   */
+  def videoGatePartitioned(df: DataFrame, bytesCol: String,
+      idx: org.apache.spark.broadcast.Broadcast[VideoBandIndex],
+      maxHamming: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val outSchema = df.schema
+      .add("n_frames", LongType, nullable = false)
+      .add("matched_id", LongType, nullable = true)
+      .add("max_hamming", LongType, nullable = true)
+      .add("decision", StringType, nullable = false)
+    val iBytes = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](iBytes)
+        val hashed = gifClipPhashes(0L, bytes, brightShift = 0)
+        if (hashed.exists(_.width == -1))
+          org.apache.spark.sql.Row.merge(r,
+            org.apache.spark.sql.Row(-1L, null, null, "quarantine"))
+        else {
+          val frames = hashed.sortBy(_.frame).map(_.phash).toArray
+          idx.value.probe(frames, maxHamming) match {
+            case null =>
+              org.apache.spark.sql.Row.merge(r,
+                org.apache.spark.sql.Row(frames.length.toLong, null,
+                  null, "admit"))
+            case (mid, d) =>
+              org.apache.spark.sql.Row.merge(r,
+                org.apache.spark.sql.Row(frames.length.toLong, mid,
+                  d.toLong, "neardup"))
           }
         }
       }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /**

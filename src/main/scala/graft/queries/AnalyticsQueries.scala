@@ -367,6 +367,47 @@ object AnalyticsQueries {
         round(last(col("hv"), ignoreNulls = true).over(w), 4).as("v_ff"))
   }
 
+  /**
+   * Seasonal-naive FORECAST BACKTEST — the baseline every forecasting
+   * pipeline reports before anything learned (Hyndman's "no model
+   * beats it, no model ships" yardstick): predict each hour's
+   * per-type event value as the SAME HOUR ONE SEASON (24 h) EARLIER,
+   * then score the prediction against the actual per type — n_eval,
+   * MAE, and signed BIAS. The season lookup is a gap-safe equi-join
+   * on (type, hour − 24 h) — a lag(24 ROWS) window would silently
+   * misalign across missing buckets. Hourly sums are DECIMAL-exact
+   * (the float-ordering rule); the double division happens once per
+   * output cell.
+   *
+   * Scale shape: ONE events scan into a two-phase (type, hour) agg;
+   * everything after runs on the hourly relation (types × hours —
+   * time-bounded, corpus-size-independent): one equi-join for the
+   * season shift, one |types|-group agg, one broadcast join for the
+   * bucket totals.
+   */
+  def qForecast(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(col("value").cast("decimal(14,2)")).as("y"))
+      .localCheckpoint() // season join + totals both read it
+    val totals = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"))
+    val scored = hourly.as("c")
+      .join(hourly.as("p"),
+        col("c.event_type") === col("p.event_type") &&
+          col("p.h") === col("c.h") - expr("INTERVAL 24 HOURS"))
+      .select(col("c.event_type").as("event_type"),
+        (col("c.y") - col("p.y")).as("err"))
+    scored.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("err"))).as("sae"),
+        sum(col("err")).as("se"))
+      .join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("n_hours"), col("n_eval"),
+        (col("sae").cast("double") / col("n_eval")).as("mae"),
+        (col("se").cast("double") / col("n_eval")).as("bias"))
+  }
+
   /** The salted-join plan under the correctness gate: events (power-law
    *  event_type key) salted-joined to a derived per-type dim table,
    *  then aggregated — the oracle is the PLAIN join+agg, which the

@@ -4611,6 +4611,30 @@ object Oracles {
       s"\nSELECT node, dist FROM d$depth, g WHERE g.ok = 1"
   }
 
+  /** Mirrors [[AnalyticsQueries.qForecast]]: same hour buckets, same
+   *  DECIMAL-exact hourly sums, the identical gap-safe season join
+   *  and once-per-cell double divisions. */
+  val qForecast: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h,
+      |         sum(CAST(value AS DECIMAL(14,2))) AS y
+      |  FROM events GROUP BY 1, 2),
+      |totals AS (
+      |  SELECT event_type, count(*) AS n_hours FROM hourly GROUP BY 1),
+      |scored AS (
+      |  SELECT c.event_type, c.y - p.y AS err
+      |  FROM hourly c JOIN hourly p
+      |    ON c.event_type = p.event_type
+      |   AND p.h = c.h - INTERVAL 24 HOURS),
+      |agg AS (
+      |  SELECT event_type, count(*) AS n_eval,
+      |         sum(abs(err)) AS sae, sum(err) AS se
+      |  FROM scored GROUP BY 1)
+      |SELECT a.event_type, t.n_hours, a.n_eval,
+      |       CAST(a.sae AS DOUBLE) / a.n_eval AS mae,
+      |       CAST(a.se AS DOUBLE) / a.n_eval AS bias
+      |FROM agg a JOIN totals t USING (event_type)""".stripMargin
+
   /** Mirrors [[LinkageQueries.erBlockingEval]]: the eval-specific
    *  mention mix (prefix-damaging deletions every 19th key), the RAW
    *  block join with no verify, and both blocking metrics re-derived. */

@@ -837,6 +837,52 @@ object StreamOps {
   }
 
   /**
+   * Live VIDEO near-dup admission gate — the `phash_gate` device
+   * lifted to FRAME SEQUENCES (the streaming form of
+   * `PipelineQueries.mmVideoNeardup`'s qualification rule): corpus
+   * clips are decoded + per-frame hashed ONCE at topology build (the
+   * SHARED batch decode — stream and batch hash the same pixels by
+   * construction), bucketed into one banded image index PER FRAME
+   * POSITION plus frame counts (`MultimodalOps.VideoBandIndex`), and
+   * broadcast; each arriving clip pays one partition-batched decode +
+   * one DCT per frame + an intersected banded probe — EXACT against
+   * the batch rule (same count + every aligned frame within radius)
+   * by the per-frame pigeonhole. Decisions
+   * admit/neardup/quarantine with matched_id + max_hamming
+   * observability, full column passthrough. Empty corpus and the
+   * index cap refuse loud; the corpus count is checked BEFORE the
+   * collect (the KN-model rule).
+   */
+  def videoGateStream(clips: DataFrame, corpus: DataFrame,
+      maxHamming: Int =
+        graft.queries.PipelineQueries.VideoFrameMaxHamming,
+      maxCorpus: Long = 4000000L): DataFrame = {
+    val hashed = graft.ops.MultimodalOps.gifFramePhashesPartitioned(
+        corpus, "clip_id", "gif", brightShift = 0)
+      .toDF()
+      .filter(col("width") =!= -1)
+      .select(col("id"), col("frame"), col("phash"))
+      .localCheckpoint() // the count + the collect both read it
+    val n = hashed.count()
+    require(n > 0,
+      "video gate corpus is EMPTY (no clip decoded) — a gate over " +
+        "zero fingerprints would admit everything; point --corpus at " +
+        "a real clip corpus")
+    require(n <= maxCorpus,
+      s"video gate corpus has $n decoded frames > cap $maxCorpus; a " +
+        "broadcast index this size risks executor memory — dedup with " +
+        "the batch aligned banded join (PipelineQueries.mmVideoNeardup) " +
+        "instead, or raise maxCorpus if the memory budget allows")
+    val idx = graft.ops.MultimodalOps.VideoBandIndex(
+      hashed.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    graft.ops.DedupOps.releaseTruncated(hashed)
+    val bc = clips.sparkSession.sparkContext.broadcast(idx)
+    graft.ops.MultimodalOps.videoGatePartitioned(
+      clips, "gif", bc, maxHamming)
+  }
+
+  /**
    * Live ENTITY-LINKAGE GATE — the streaming form of
    * `LinkageQueries.erMatches`' resolution (link noisy arriving
    * mentions to a curated catalog at ingest): the entity catalog is

@@ -499,6 +499,13 @@ object MaxRateProbe {
       graft.Run.phashGateTopology(spark, in,
         graft.tools.PngFixture.Path)
     }
+    search("video_gate", seed = 100000, OutputMode.Append) { in =>
+      // per row one REAL multi-frame GIF decode + one DCT per frame +
+      // the intersected banded probe (decode-bound, the phash_gate
+      // class at clip granularity)
+      graft.Run.videoGateTopology(spark, in,
+        graft.tools.VideoDupFixture.Path)
+    }
     search("er_gate", seed = 2000000, OutputMode.Append) { in =>
       // entity linkage at ingest: per row one broadcast block-index
       // probe + at most a block's worth of thresholded banded-DP
