@@ -1113,10 +1113,12 @@ object MultimodalOps {
       }
       val maxFrame =
         if (rows.isEmpty) -1L else rows.iterator.map(_._2).max
+      // grouped ONCE: a per-position filter scan would be
+      // O(rows × maxFrame) at build time on long clips
+      val byFrame = rows.groupBy(_._2)
       val perFrame = Array.tabulate(maxFrame.toInt + 1) { f =>
-        PhashBandIndex(rows.collect {
-          case (id, fr, h) if fr == f => (id, h)
-        })
+        PhashBandIndex(byFrame.getOrElse(f.toLong, Nil)
+          .map(r => (r._1, r._3)))
       }
       new VideoBandIndex(counts, perFrame)
     }
