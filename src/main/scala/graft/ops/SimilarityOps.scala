@@ -588,15 +588,30 @@ object SimilarityOps {
    * arrays — the corpus floats are read ONCE (encode) and never
    * shuffle; the rank cut is the WindowGroupLimit contract.
    */
+  /** Sub-vector slice i of an embedding relation — the ONE definition
+   *  both in-op PQ training and the query-layer codebook memo
+   *  (PipelineQueries.pqBooksFor) train from, so the memoized and
+   *  freshly-trained codebooks are identical by construction. */
+  private[graft] def pqSubEmb(emb: DataFrame, i: Int, sub: Int): DataFrame =
+    emb.select(col("vec_id"),
+      slice(col("embedding"), i * sub + 1, sub).as("embedding"))
+
   def pqTopK(emb: DataFrame, queryIds: Seq[Long], kTop: Int, dim: Int,
-      m: Int = 4, ks: Int = 8, iters: Int = 2): DataFrame = {
+      m: Int = 4, ks: Int = 8, iters: Int = 2,
+      codebooks: Option[Seq[Array[Array[Float]]]] = None): DataFrame = {
     require(dim % m == 0, "dim must split evenly into m subspaces")
     val sub = dim / m
     val spark = emb.sparkSession
     import spark.implicits._
-    def subEmb(i: Int) = emb.select(col("vec_id"),
-      slice(col("embedding"), i * sub + 1, sub).as("embedding"))
-    val books = (0 until m).map(i => kmeansCentroids(subEmb(i), ks, iters))
+    // trained HERE only when the caller holds no session-memoized
+    // artifact (the kmeansCentroids not-memoized-here contract:
+    // query-layer callers that know the corpus identity pass
+    // PipelineQueries.pqBooksFor's codebooks in)
+    val books = codebooks.getOrElse((0 until m).map(i =>
+      kmeansCentroids(pqSubEmb(emb, i, sub), ks, iters)))
+    require(books.length == m && books.forall(_.nonEmpty),
+      s"expected $m non-empty sub-codebooks, got shapes " +
+        books.map(_.length).mkString(","))
     val bookNorms = books.map(_.map(c => math.sqrt(seqDot(c, c))))
     val norms2 = books.map(_.map(c => seqDot(c, c)).toSeq)
     val qvecs = emb.filter(col("vec_id").isInCollection(queryIds))
@@ -711,10 +726,12 @@ object SimilarityOps {
    * stage-1 candidate set (both spec-pinned).
    */
   def rerankTopK(emb: DataFrame, queryIds: Seq[Long], kTop: Int,
-      cand: Int, dim: Int, m: Int = 4, ks: Int = 8, iters: Int = 2)
+      cand: Int, dim: Int, m: Int = 4, ks: Int = 8, iters: Int = 2,
+      codebooks: Option[Seq[Array[Array[Float]]]] = None)
       : DataFrame = {
     require(cand >= kTop, "candidate pool must cover the final top-k")
-    val candidates = pqTopK(emb, queryIds, cand, dim, m, ks, iters)
+    val candidates = pqTopK(emb, queryIds, cand, dim, m, ks, iters,
+        codebooks)
       .select(col("query_id"), col("neighbor_id"))
     val q = emb.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),

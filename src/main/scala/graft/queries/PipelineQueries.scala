@@ -209,6 +209,7 @@ object PipelineQueries {
           classifierCache.clear()
           knnGraphCache.clear()
           kmCache.clear()
+          pqBooksCache.clear()
           hookedContexts.remove(sc.applicationId)
         }
       })
@@ -646,9 +647,35 @@ object PipelineQueries {
    *  subspace decimal-exact Lloyd codebooks, corpus encoded to
    *  [[PqM]] codes, queries scored from per-query ADC tables without
    *  touching the original floats. */
+  /** Session-memoized PQ SUB-codebooks per (corpus, m, ks, iters) —
+   *  the [[kmFor]] device for the per-subspace quantizers (trained
+   *  through the SHARED SimilarityOps.pqSubEmb slices, so memoized ==
+   *  freshly-trained bit for bit). Restores the memo `sim_pq` /
+   *  `sim_rerank` lost when the centroid cache moved to the query
+   *  layer (only the COARSE quantizer was rewired — caught by the
+   *  r18 5-pass bench: sim_pq warm 0.5 → 2.4 s, every pass
+   *  retraining m Lloyd runs). Keyed by sfDir (the kmCache
+   *  plan-keys-erase-paths rationale); eviction rides
+   *  [[ensureEvictionHook]]. */
+  private val pqBooksCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int, Int, Int), Seq[Array[Array[Float]]]]
+
+  private def pqBooksFor(spark: SparkSession, sfDir: String, m: Int,
+      ks: Int, iters: Int): Seq[Array[Array[Float]]] = {
+    ensureEvictionHook(spark)
+    pqBooksCache.computeIfAbsent(
+      (sessionKey(spark), sfDir, m, ks, iters), _ => {
+        val sub = EmbeddingDim / m
+        (0 until m).map(i => SimilarityOps.kmeansCentroids(
+          SimilarityOps.pqSubEmb(Tables.embeddings(spark, sfDir), i, sub),
+          ks, iters))
+      })
+  }
+
   def simPq(spark: SparkSession, sfDir: String): DataFrame =
     SimilarityOps.pqTopK(Tables.embeddings(spark, sfDir), SimQueryIds, SimK,
-      dim = EmbeddingDim, m = PqM, ks = PqKs, iters = KmIters)
+      dim = EmbeddingDim, m = PqM, ks = PqKs, iters = KmIters,
+      codebooks = Some(pqBooksFor(spark, sfDir, PqM, PqKs, KmIters)))
 
   /** IVF-PQ composition ([[SimilarityOps.ivfPqTopK]], IVFADC): coarse
    *  [[KmCells]]-cell k-means + per-cell float32 residuals quantized
@@ -678,7 +705,8 @@ object PipelineQueries {
   def simRerank(spark: SparkSession, sfDir: String): DataFrame =
     SimilarityOps.rerankTopK(Tables.embeddings(spark, sfDir), SimQueryIds,
       SimK, cand = RerankCand, dim = EmbeddingDim, m = PqM, ks = PqKs,
-      iters = KmIters)
+      iters = KmIters,
+      codebooks = Some(pqBooksFor(spark, sfDir, PqM, PqKs, KmIters)))
 
   /** Prefix widths for [[simMatryoshka]]: the full-width rung (64) is
    *  the built-in recall-exactly-1 sanity anchor. */
