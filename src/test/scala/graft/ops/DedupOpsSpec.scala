@@ -126,6 +126,44 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("hammingNearDups64Aligned: exactly the brute-force SAME-POSITION " +
+      "pair set (the pigeonhole per position), and cross-position " +
+      "near-identical hashes NEVER pair — alignment is a join key") {
+    def mix(i: Long): Long = {
+      var z = i * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    // per (object, position) hashes: objects 0..11 x positions 0..2;
+    // object 100+i carries i's hashes perturbed by d(i) bits AT THE
+    // SAME positions, and ALSO i's position-0 hash at position 1
+    // (cross-position identical — must never become a candidate)
+    val base = for (i <- 0L until 12L; p <- 0L until 3L)
+      yield (i, p, mix(i * 31 + p))
+    val pert = base.map { case (i, p, h) =>
+      val d = (i % 7).toInt
+      val flips = (0 until d).map(k => (i * 7 + p * 17 + k * 13) % 64)
+      (100L + i, p, flips.foldLeft(h)((acc, b) => acc ^ (1L << b)))
+    }
+    val crossPos = (0L until 12L).map(i => (200L + i, 1L, mix(i * 31)))
+    val corpus = base ++ pert ++ crossPos
+    val want = (for {
+      (a, pa, ha) <- corpus; (b, pb, hb) <- corpus
+      if a < b && pa == pb
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 6
+    } yield (a, b, pa, d.toLong)).toSet
+    val got = DedupOps.hammingNearDups64Aligned(
+        corpus.toDF("id", "p", "h"), col("id"), col("p"), col("h"), 6)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    // the alignment claim specifically: 200+i holds i's EXACT
+    // position-0 hash at position 1 — identical bits, wrong position,
+    // and the ONLY pairs it forms are same-position coincidences
+    assert(!got.exists(p => p._2 >= 200L && p._3 == 0L),
+      "a cross-position clone paired at position 0")
+  }
+
   test("connectedComponents: multi-hop chains collapse, singletons survive") {
     // chain 0-1-2-3-4 (diameter 4 -> needs several propagation rounds),
     // separate pair 10-11, isolated 20
