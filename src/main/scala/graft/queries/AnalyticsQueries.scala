@@ -1372,6 +1372,38 @@ object AnalyticsQueries {
   /** The BFS fixpoint over any symmetrized (src, dst) adjacency —
    *  factored for fixture tests. `adj` should be materialized by the
    *  caller (it is scanned every round). */
+  /**
+   * Connected-component SIZE DISTRIBUTION over the co-purchase
+   * backbone — the graph-topology diagnostic beside the iterative
+   * members (is the backbone one giant component or fragmented?
+   * the first question a graph-algorithm operator asks before
+   * trusting pagerank/LPA numbers), and the graph analogue of
+   * `dedup_cluster_sizes`: min-label connected components
+   * ([[graft.ops.DedupOps.connectedComponents]] — the dedup
+   * fixpoint reused verbatim) rolled to
+   * (component_size, n_components, n_nodes). Non-vacuous on the
+   * committed corpus: the backbone fragments (BFS reaches only part
+   * of it — measured), so the histogram carries a giant component
+   * plus a tail.
+   *
+   * Scale shape: the CC fixpoint over backbone edges (per round one
+   * shuffle join + min agg with checkpoint truncation — the
+   * dedup_clusters cost class), then two fixed-width component-sized
+   * aggs.
+   */
+  def graphComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = coBackbone(spark, sfDir)
+    val nodes = e.select(col("u").as("id"))
+      .unionAll(e.select(col("v").as("id"))).distinct()
+    graft.ops.DedupOps.connectedComponents(
+        e.select(col("u").as("id1"), col("v").as("id2")), nodes)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("component_size"))
+      .agg(count(lit(1)).as("n_components"))
+      .select(col("component_size"), col("n_components"),
+        (col("component_size") * col("n_components")).as("n_nodes"))
+  }
+
   /** Edge length for [[graphSssp]]: strong ties are SHORT —
    *  1 + 100/w (integer division), monotone decreasing in the
    *  co-purchase count, exact integer arithmetic end to end. */

@@ -4564,6 +4564,31 @@ object Oracles {
        |WHERE c1.n = c2.n AND n_aligned = c1.n AND max_h <= $r""".stripMargin
   }
 
+  /** Mirrors [[AnalyticsQueries.graphComponents]]: backbone from
+   *  lineitem, min-label closure via a recursive reachability CTE
+   *  (the dedupClusters device), rolled to the size histogram. */
+  val graphComponents: String = {
+    val minW = AnalyticsQueries.LpaMinWeight
+    s"""WITH RECURSIVE
+       |mem AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT a.p AS u, b.p AS v
+       |  FROM mem a JOIN mem b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY 1, 2 HAVING count(*) >= $minW),
+       |edges AS (SELECT u AS a, v AS b FROM e UNION SELECT v, u FROM e),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |reach(node, l) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT ed.a, r.l FROM edges ed JOIN reach r ON ed.b = r.node),
+       |cl AS (SELECT node, min(l) AS cluster FROM reach GROUP BY node),
+       |sz AS (SELECT cluster, count(*) AS s FROM cl GROUP BY cluster)
+       |SELECT CAST(s AS BIGINT) AS component_size,
+       |       CAST(count(*) AS BIGINT) AS n_components,
+       |       CAST(s * count(*) AS BIGINT) AS n_nodes
+       |FROM sz GROUP BY s""".stripMargin
+  }
+
   /** Mirrors [[AnalyticsQueries.graphSssp]] by RE-DERIVING the
    *  weighted fixpoint: backbone + integer costs from lineitem, then
    *  FULL-relaxation Bellman–Ford rounds unrolled as MATERIALIZED
