@@ -1021,20 +1021,7 @@ object MultimodalOps {
             if (w == -1 || (w == img.getWidth &&
                 h == img.getHeight)) {
               w = img.getWidth; h = img.getHeight
-              val S = PhashS
-              val grid = Array.tabulate(S, S) { (yy, xx) =>
-                val rgb = img.getRGB(xx * w / S, yy * h / S)
-                (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
-                  (rgb & 0xFF)) / 3
-              }
-              val base = phash64((x, y) => grid(y)(x), S, S)
-              // shift 0 ⇒ the control channel IS the base hash:
-              // skip the second DCT (consumers that only dedup,
-              // like mm_video_neardup, pay one transform/frame)
-              val shifted =
-                if (brightShift == 0) base
-                else phash64((x, y) =>
-                  math.min(255, grid(y)(x) + brightShift), S, S)
+              val (base, shifted) = framePhashes(img, brightShift)
               out += graft.model.GifFramePhash(id, f.toLong, w, h,
                 base, shifted)
               f += 1
@@ -1051,6 +1038,104 @@ object MultimodalOps {
       // bytes — quarantine, don't kill
       case scala.util.control.NonFatal(_) => Seq(bad(id))
     }
+  }
+
+  /** The ONE sampled-grid DCT hash every video container shares (the
+   *  phashGrid convention lifted across codecs: GIF frames, MJPEG-AVI
+   *  frames, and the live gates all hash these exact pixels): ≤ 32×32
+   *  luminance samples of the decoded frame — only the sampled
+   *  coordinates are read — then [[phash64]], plus the
+   *  `brightShift`-brightened control hash (shift 0 skips the second
+   *  DCT; consumers that only dedup pay one transform per frame). */
+  private def framePhashes(img: java.awt.image.BufferedImage,
+      brightShift: Int): (Long, Long) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val S = PhashS
+    val grid = Array.tabulate(S, S) { (yy, xx) =>
+      val rgb = img.getRGB(xx * w / S, yy * h / S)
+      (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
+        (rgb & 0xFF)) / 3
+    }
+    val base = phash64((x, y) => grid(y)(x), S, S)
+    val shifted =
+      if (brightShift == 0) base
+      else phash64((x, y) =>
+        math.min(255, grid(y)(x) + brightShift), S, S)
+    (base, shifted)
+  }
+
+  /** Per-FRAME perceptual hashes of an MJPEG-in-AVI clip — the AVI
+   *  rung of [[gifClipPhashes]], built on the SHARED strict RIFF walk
+   *  [[mjpegAviFrames]] (same structural guarantees as
+   *  [[decodeMjpegAviPartitioned]]: bounded chunks, single video
+   *  stream, constant dims, rec-interleave descent) and the SHARED
+   *  [[framePhashes]] grid, so a clip's fingerprint is identical no
+   *  matter which container carried its pixels. Quarantine emits the
+   *  single sentinel row (frame = -1, width = -1). */
+  private def aviClipPhashes(id: Long, b: Array[Byte], brightShift: Int)
+      : Seq[graft.model.GifFramePhash] = {
+    val bad = graft.model.GifFramePhash(_: Long, -1L, -1, -1, 0L, 0L)
+    try {
+      val out = Seq.newBuilder[graft.model.GifFramePhash]
+      var f = 0L
+      mjpegAviFrames(b) { img =>
+        val (base, shifted) = framePhashes(img, brightShift)
+        out += graft.model.GifFramePhash(id, f, img.getWidth,
+          img.getHeight, base, shifted)
+        f += 1
+      } match {
+        case Some(_) => out.result()
+        case None => Seq(bad(id))
+      }
+    } catch {
+      // ImageIO plugins and index arithmetic both throw unchecked on
+      // adversarial bytes — quarantine, don't kill
+      case scala.util.control.NonFatal(_) => Seq(bad(id))
+    }
+  }
+
+  /** CONTAINER-GENERAL per-frame clip hashing — magic-sniffed
+   *  dispatch over every container this engine decodes to pixels
+   *  (GIF87a/GIF89a → [[gifClipPhashes]], RIFF AVI → MJPEG
+   *  [[aviClipPhashes]]); a video-dedup pass must hash whatever
+   *  containers the corpus carries, and both routes share
+   *  [[framePhashes]], so a clip and its re-mux in another container
+   *  fingerprint identically. Unknown magic (including the probe-only
+   *  MP4 rung — no JDK inter-frame codec) quarantines with the single
+   *  sentinel row: routed, never silently dropped, never a dedup-join
+   *  participant. */
+  private[graft] def clipPhashes(id: Long, b: Array[Byte],
+      brightShift: Int): Seq[graft.model.GifFramePhash] = {
+    val isGif = b != null && b.length > 6 && {
+      val m = new String(b, 0, 6, "US-ASCII")
+      m == "GIF87a" || m == "GIF89a"
+    }
+    val isAvi = b != null && b.length >= 12 &&
+      new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(b, 8, 4, "US-ASCII") == "AVI "
+    if (isGif) gifClipPhashes(id, b, brightShift)
+    else if (isAvi) aviClipPhashes(id, b, brightShift)
+    else Seq(graft.model.GifFramePhash(id, -1L, -1, -1, 0L, 0L))
+  }
+
+  /**
+   * Per-FRAME perceptual hashes of ANY supported video container —
+   * [[gifFramePhashesPartitioned]] generalized through the
+   * magic-sniffing [[clipPhashes]] dispatch, the corpus pass
+   * `mm_video_neardup` and the live video gate build on: one row per
+   * decoded frame, one sentinel row per quarantined clip, one
+   * partition-batched pass with decode and hash fused per frame.
+   */
+  def videoFramePhashesPartitioned(df: DataFrame, idCol: String,
+      bytesCol: String, brightShift: Int)
+      : org.apache.spark.sql.Dataset[graft.model.GifFramePhash] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol), col(bytesCol)).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, b) => clipPhashes(id, b, brightShift) }
+      }
   }
 
   /**
@@ -1128,8 +1213,9 @@ object MultimodalOps {
    * Partition-batched decode → per-frame hashes → banded sequence
    * probe — the live half of the VIDEO admission gate (the
    * [[phashGatePartitioned]] contract on clips): per row the SHARED
-   * [[gifClipPhashes]] decode (batch and live hash the same pixels),
-   * then ONE [[VideoBandIndex.probe]]. Row-merge passthrough plus
+   * container-sniffing [[clipPhashes]] decode (batch and live hash
+   * the same pixels, GIF or MJPEG-AVI alike), then ONE
+   * [[VideoBandIndex.probe]]. Row-merge passthrough plus
    * (n_frames, matched_id, max_hamming, decision): 'quarantine'
    * (undecodable/malformed clip — never admitted silently, never
    * matched on sentinel hashes), 'neardup' (a corpus clip with the
@@ -1150,7 +1236,7 @@ object MultimodalOps {
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](iBytes)
-        val hashed = gifClipPhashes(0L, bytes, brightShift = 0)
+        val hashed = clipPhashes(0L, bytes, brightShift = 0)
         if (hashed.exists(_.width == -1))
           org.apache.spark.sql.Row.merge(r,
             org.apache.spark.sql.Row(-1L, null, null, "quarantine"))
@@ -1215,7 +1301,51 @@ object MultimodalOps {
         javax.imageio.ImageIO.setUseCache(false)
         rows.map { case (id, b) =>
           try {
-            if (b == null || b.length < 24) bad(id)
+            val hist = new Array[Long](16)
+            mjpegAviFrames(b) { img =>
+              val hh = img.getHeight
+              val ww = img.getWidth
+              var y = 0
+              while (y < hh) {
+                var x = 0
+                while (x < ww) {
+                  val rgb = img.getRGB(x, y)
+                  val lum = (((rgb >> 16) & 0xFF) +
+                    ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+                  hist(lum >> 4) += 1L
+                  x += 1
+                }
+                y += 1
+              }
+            } match {
+              case Some((usPerFrame, n, w, h)) =>
+                graft.model.VideoFeatures(id, n, w, h, usPerFrame,
+                  hist.toSeq)
+              case None => bad(id)
+            }
+          } catch {
+            // ImageIO plugins and index arithmetic both throw
+            // unchecked on adversarial bytes — quarantine, don't kill
+            case scala.util.control.NonFatal(_) => bad(id)
+          }
+        }
+      }
+  }
+
+  /** The ONE strict per-clip MJPEG-AVI walk
+   *  [[decodeMjpegAviPartitioned]] (histogram consumer) and
+   *  [[aviClipPhashes]] (fingerprint consumer) share — decode and
+   *  structural guarantees can never drift between the stats query
+   *  and the dedup fingerprint: invokes `onFrame` for every decoded
+   *  frame in container order (constant dims enforced inside the
+   *  walk), returns Some((usPerFrame, nFrames, width, height)) or
+   *  None for quarantine. Callers supply the NonFatal catch (ImageIO
+   *  plugins and index arithmetic throw unchecked on adversarial
+   *  bytes) and the once-per-partition ImageIO cache disable. */
+  private def mjpegAviFrames(b: Array[Byte])(
+      onFrame: java.awt.image.BufferedImage => Unit)
+      : Option[(Long, Long, Int, Int)] = {
+            if (b == null || b.length < 24) None
             else {
               def u32(p: Int): Long = (b(p) & 0xFFL) |
                 ((b(p + 1) & 0xFFL) << 8) | ((b(p + 2) & 0xFFL) << 16) |
@@ -1231,7 +1361,7 @@ object MultimodalOps {
               // inter-frame codecs do
               if (fourcc(0) != "RIFF" || fourcc(8) != "AVI " ||
                   riffEnd > b.length ||
-                  b.length - riffEnd > (u32(4) & 1L)) bad(id)
+                  b.length - riffEnd > (u32(4) & 1L)) None
               else {
                 // top-level chunk walk: find the frame clock and the
                 // movi payload bounds
@@ -1266,7 +1396,7 @@ object MultimodalOps {
                     p = body + sz + (sz & 1L) // even-byte padding
                   }
                 }
-                if (!ok || usPerFrame < 0L || moviFrom < 0L) bad(id)
+                if (!ok || usPerFrame < 0L || moviFrom < 0L) None
                 else {
                   // frame chunks: ##dc (compressed video) / ##db
                   // (uncompressed DIB — same JPEG payload contract
@@ -1278,7 +1408,6 @@ object MultimodalOps {
                   var w = -1
                   var h = -1
                   var vidStream = -1 // the ONE video stream we decode
-                  val hist = new Array[Long](16)
                   def walkFrames(from: Long, to: Long,
                       allowRec: Boolean): Unit = {
                     var q = from
@@ -1327,18 +1456,7 @@ object MultimodalOps {
                           else if (w == -1 || (w == img.getWidth &&
                               h == img.getHeight)) {
                             w = img.getWidth; h = img.getHeight
-                            var y = 0
-                            while (y < h) {
-                              var x = 0
-                              while (x < w) {
-                                val rgb = img.getRGB(x, y)
-                                val lum = (((rgb >> 16) & 0xFF) +
-                                  ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
-                                hist(lum >> 4) += 1L
-                                x += 1
-                              }
-                              y += 1
-                            }
+                            onFrame(img)
                             n += 1L
                           } else ok = false // dimension change mid-clip
                         } else {
@@ -1353,18 +1471,10 @@ object MultimodalOps {
                     }
                   }
                   walkFrames(moviFrom, moviTo, allowRec = true)
-                  if (!ok || n == 0L) bad(id)
-                  else graft.model.VideoFeatures(id, n, w, h, usPerFrame,
-                    hist.toSeq)
+                  if (!ok || n == 0L) None
+                  else Some((usPerFrame, n, w, h))
                 }
               }
             }
-          } catch {
-            // ImageIO plugins and index arithmetic both throw
-            // unchecked on adversarial bytes — quarantine, don't kill
-            case scala.util.control.NonFatal(_) => bad(id)
-          }
-        }
-      }
   }
 }

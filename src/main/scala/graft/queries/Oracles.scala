@@ -4524,11 +4524,15 @@ object Oracles {
        |         count(entity_name) AS precision
        |FROM m""".stripMargin
 
-  /** Mirrors [[PipelineQueries.mmVideoNeardup]]: the committed
-   *  corpus's per-frame hashes from the raw pixel definition
-   *  ([[graft.tools.VideoDupFixture.expectedFramePhashes]], through
-   *  the fixtures' independent refPhash64 — no GIF bytes, no ImageIO)
-   *  as VALUES literals, then the NEAR-DUP SEMANTICS re-derived
+  /** Mirrors [[PipelineQueries.mmVideoNeardup]]: BOTH committed
+   *  corpora's per-frame hashes from the raw pixel definitions
+   *  ([[graft.tools.VideoDupFixture.expectedFramePhashes]] plus the
+   *  mixed-container [[graft.tools.VideoRemuxFixture]]'s — through
+   *  the fixtures' independent refPhash64; no GIF bytes, no JPEG
+   *  bytes, no ImageIO — the AVI re-muxes' flat mid-bin mosaics
+   *  round-trip the JPEG codec pixel-exactly, so raw arithmetic IS
+   *  the decoded content) as VALUES literals, then the NEAR-DUP
+   *  SEMANTICS re-derived
    *  relationally WITHOUT the banding device: ALL-PAIRS aligned
    *  frame join, xor + bit_count distances, a clip pair qualifies iff
    *  frame counts match and every aligned distance is within radius
@@ -4538,7 +4542,8 @@ object Oracles {
    *  on negatives). */
   val mmVideoNeardup: String = {
     val r = PipelineQueries.VideoFrameMaxHamming
-    val rows = graft.tools.VideoDupFixture.expectedFramePhashes
+    val rows = (graft.tools.VideoDupFixture.expectedFramePhashes ++
+        graft.tools.VideoRemuxFixture.expectedFramePhashes)
       .map { case (id, f, p) => s"($id, $f, CAST($p AS BIGINT))" }
       .mkString(",\n  ")
     s"""WITH fp AS (
@@ -4777,7 +4782,10 @@ object Oracles {
    *  reachability CTE (the mmPhashClusters device), nodes = every
    *  committed clip id. */
   lazy val mmVideoClusters: String = {
-    val ids = (0 until graft.tools.VideoDupFixture.Total)
+    val ids = ((0 until graft.tools.VideoDupFixture.Total)
+        .map(_.toLong) ++
+      (0 until graft.tools.VideoRemuxFixture.Total)
+        .map(graft.tools.VideoRemuxFixture.IdBase + _))
       .map(i => s"($i)").mkString(", ")
     s"""WITH RECURSIVE
        |pairs AS (SELECT id1, id2 FROM ($mmVideoNeardup) np),

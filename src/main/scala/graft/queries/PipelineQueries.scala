@@ -4242,23 +4242,31 @@ object PipelineQueries {
   val VideoFrameMaxHamming = 6
 
   /** VIDEO NEAR-DUP — the perceptual-hash dedup loop lifted from
-   *  images to FRAME SEQUENCES (the mm_phash_neardup of clips): decode
-   *  every GIF frame to its DCT perceptual hash
-   *  ([[MultimodalOps.gifFramePhashesPartitioned]], shift 0 — one
-   *  transform per frame), then a clip pair is a near-duplicate iff
-   *  (a) the clips have the SAME frame count and (b) EVERY temporally
-   *  aligned frame pair sits within Hamming [[VideoFrameMaxHamming]] —
-   *  candidates from [[graft.ops.DedupOps.hammingNearDups64Aligned]]
+   *  images to FRAME SEQUENCES (the mm_phash_neardup of clips):
+   *  decode every frame of every container the engine ingests to its
+   *  DCT perceptual hash
+   *  ([[MultimodalOps.videoFramePhashesPartitioned]] — magic-sniffed
+   *  GIF or MJPEG-AVI dispatch through the SHARED frame-hash grid,
+   *  shift 0 — one transform per frame), then a clip pair is a
+   *  near-duplicate iff (a) the clips have the SAME frame count and
+   *  (b) EVERY temporally aligned frame pair sits within Hamming
+   *  [[VideoFrameMaxHamming]] — candidates from
+   *  [[graft.ops.DedupOps.hammingNearDups64Aligned]]
    *  (banded equi-join keyed on the frame index: alignment is a JOIN
    *  KEY, never a post-filter over the cross-position blowup), exact
    *  per the pigeonhole, so the clip-level verdict is exact too.
-   *  The committed [[graft.tools.VideoDupFixture]] corpus carries the
-   *  ground truth: 10 brightness-variant pairs MUST qualify,
-   *  frame-PERMUTED decoys must not (alignment), and a TRUNCATED decoy
-   *  with all-zero aligned distances must not (the count check).
-   *  Oracle = the fixture's raw-pixel hashes through the INDEPENDENT
-   *  refPhash64, all-pairs aligned xor/popcount in SQL (no banding
-   *  echo). Ignores sfDir (scale-free fixture).
+   *  The input is the UNION of both committed corpora — container
+   *  coverage is the operator's point, so the registered query runs
+   *  MIXED: [[graft.tools.VideoDupFixture]] (GIF; 10
+   *  brightness-variant pairs MUST qualify, frame-PERMUTED decoys
+   *  must not, a TRUNCATED decoy must not) plus
+   *  [[graft.tools.VideoRemuxFixture]] (each clip committed as a GIF
+   *  AND as an MJPEG-AVI re-mux of the same pixels: the
+   *  CROSS-CONTAINER pair MUST qualify at aligned hamming 0, and a
+   *  truncated AVI decoy must not). Oracle = both fixtures' raw-pixel
+   *  hashes through the INDEPENDENT refPhash64, all-pairs aligned
+   *  xor/popcount in SQL (no banding echo). Ignores sfDir
+   *  (scale-free fixtures).
    *
    *  Scale shape: decode/DCT cost stays in the partition-batched
    *  pass; past it only (id, frame, hash) triples move — 28 banded
@@ -4267,11 +4275,22 @@ object PipelineQueries {
    *  relation is ~24 bytes/frame and the pair space is bounded by
    *  the banding, never all-pairs. */
   def mmVideoNeardup(spark: SparkSession, sfDir: String): DataFrame =
-    mmVideoNeardupOf(
-      spark.read.parquet(graft.tools.VideoDupFixture.Path))
+    mmVideoNeardupOf(mixedVideoCorpus(spark))
 
-  /** The [[mmVideoNeardup]] engine over any (clip_id, gif) frame —
-   *  factored so the spec can inject corrupt payloads. Hash frame
+  /** The ONE mixed-container corpus read `mm_video_neardup` and
+   *  `mm_video_clusters` share: the GIF dedup fixture lifted to the
+   *  (clip_id, video) contract, unioned with the committed GIF+AVI
+   *  re-mux fixture (id ranges disjoint by construction —
+   *  [[graft.tools.VideoRemuxFixture.IdBase]]). */
+  private def mixedVideoCorpus(spark: SparkSession): DataFrame =
+    spark.read.parquet(graft.tools.VideoDupFixture.Path)
+      .select(col("clip_id"), col("gif").as("video"))
+      .unionAll(spark.read.parquet(graft.tools.VideoRemuxFixture.Path)
+        .select(col("clip_id"), col("video")))
+
+  /** The [[mmVideoNeardup]] engine over any (clip_id, video) frame
+   *  (payload container magic-sniffed per clip) — factored so the
+   *  spec can inject corrupt payloads. Hash frame
    *  MATERIALIZED once (the phashCorpus lesson): the count agg and
    *  the banded join both re-read the checkpoint instead of re-running
    *  decode+DCT. Quarantined clips (width == -1) never enter — two
@@ -4283,13 +4302,14 @@ object PipelineQueries {
 
   /** The ONE frame-hash corpus construction the video pair query and
    *  its cluster composition share (the phashCorpus convention):
-   *  decode + per-frame DCT hash, quarantine filtered, MATERIALIZED
+   *  container-sniffed decode (first column = clip id, second =
+   *  payload bytes) + per-frame DCT hash, quarantine filtered, MATERIALIZED
    *  once — every consumer re-reads the checkpoint instead of
    *  re-running decode+DCT. Handle left to the ContextCleaner
    *  (non-boundary convention). */
   private def videoHashCorpus(clips: DataFrame): DataFrame =
-    MultimodalOps.gifFramePhashesPartitioned(
-        clips, "clip_id", "gif", brightShift = 0)
+    MultimodalOps.videoFramePhashesPartitioned(
+        clips, clips.columns(0), clips.columns(1), brightShift = 0)
       .toDF()
       .filter(col("width") =!= -1)
       .select(col("id"), col("frame"), col("phash"))
@@ -4319,17 +4339,18 @@ object PipelineQueries {
    *  `mm_phash_clusters` closes the image loop: CONNECTED COMPONENTS
    *  over the [[mmVideoNeardup]] pairs, every decoded clip labeled
    *  with its component's minimum id, `is_survivor` marking the
-   *  representative. On the committed corpus: 10 two-member
-   *  (base, variant) clusters + 3 decoy singletons — spec-pinned.
+   *  representative. Runs MIXED like the pair query: on the committed
+   *  union, 10 two-member (base, variant) GIF clusters + 3 GIF decoy
+   *  singletons + 6 two-member cross-container (GIF, AVI re-mux)
+   *  clusters + 1 truncated-AVI singleton — spec-pinned.
    *  Scale shape: pairs from the aligned banded equi-join (never
    *  all-pairs), CC over pair-sized edges — the dedup_clusters cost
    *  class over a clip-sized relation. Ignores sfDir (scale-free
-   *  fixture). */
+   *  fixtures). */
   def mmVideoClusters(spark: SparkSession, sfDir: String): DataFrame =
-    mmVideoClustersOf(
-      spark.read.parquet(graft.tools.VideoDupFixture.Path))
+    mmVideoClustersOf(mixedVideoCorpus(spark))
 
-  /** The [[mmVideoClusters]] engine over any (clip_id, gif) frame. */
+  /** The [[mmVideoClusters]] engine over any (clip_id, video) frame. */
   def mmVideoClustersOf(clips: DataFrame): DataFrame = {
     val sigs = videoHashCorpus(clips)
     val pairs = videoPairsOf(sigs).select("id1", "id2")

@@ -840,7 +840,9 @@ object StreamOps {
    * Live VIDEO near-dup admission gate — the `phash_gate` device
    * lifted to FRAME SEQUENCES (the streaming form of
    * `PipelineQueries.mmVideoNeardup`'s qualification rule): corpus
-   * clips are decoded + per-frame hashed ONCE at topology build (the
+   * clips (first column = clip id, second = payload bytes, container
+   * magic-sniffed per clip — GIF or MJPEG-AVI) are decoded +
+   * per-frame hashed ONCE at topology build (the
    * SHARED batch decode — stream and batch hash the same pixels by
    * construction), bucketed into one banded image index PER FRAME
    * POSITION plus frame counts (`MultimodalOps.VideoBandIndex`), and
@@ -856,9 +858,10 @@ object StreamOps {
   def videoGateStream(clips: DataFrame, corpus: DataFrame,
       maxHamming: Int =
         graft.queries.PipelineQueries.VideoFrameMaxHamming,
-      maxCorpus: Long = 4000000L): DataFrame = {
-    val hashed = graft.ops.MultimodalOps.gifFramePhashesPartitioned(
-        corpus, "clip_id", "gif", brightShift = 0)
+      maxCorpus: Long = 4000000L,
+      bytesCol: String = "gif"): DataFrame = {
+    val hashed = graft.ops.MultimodalOps.videoFramePhashesPartitioned(
+        corpus, corpus.columns(0), corpus.columns(1), brightShift = 0)
       .toDF()
       .filter(col("width") =!= -1)
       .select(col("id"), col("frame"), col("phash"))
@@ -879,7 +882,7 @@ object StreamOps {
     graft.ops.DedupOps.releaseTruncated(hashed)
     val bc = clips.sparkSession.sparkContext.broadcast(idx)
     graft.ops.MultimodalOps.videoGatePartitioned(
-      clips, "gif", bc, maxHamming)
+      clips, bytesCol, bc, maxHamming)
   }
 
   /**

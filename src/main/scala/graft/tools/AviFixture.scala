@@ -108,17 +108,28 @@ object AviFixture {
     chunk("LIST", fcc(listType) ++ children)
 
   /** A genuine RIFF AVI container for clip i. */
-  def aviBytes(i: Int): Array[Byte] = {
-    val (w, h) = dims(i)
-    val n = frames(i)
+  def aviBytes(i: Int): Array[Byte] =
+    mux((0 until frames(i)).map(f => jpegFrame(i, f)),
+      dims(i)._1, dims(i)._2, usPerFrame(i), rec = i % 3 == 2)
+
+  /** The ONE RIFF AVI muxer around already-encoded MJPEG frames —
+   *  shared by [[aviBytes]] and [[VideoRemuxFixture]] so the two
+   *  committed AVI corpora can never drift structurally: the public
+   *  MS layout (`RIFF('AVI ' LIST('hdrl' ...) LIST('movi' ...))`),
+   *  even-byte chunk padding, 'vids'/'MJPG' stream header, the frame
+   *  clock mirrored in avih and strh; `rec` wraps the frames in the
+   *  standard LIST('rec ') CD-ROM interleave grouping. */
+  private[tools] def mux(jpegs: Seq[Array[Byte]], w: Int, h: Int,
+      usPerFrame: Long, rec: Boolean): Array[Byte] = {
+    val n = jpegs.length
     val avih = chunk("avih",
-      le32(usPerFrame(i)) ++ le32(0L) ++ le32(0L) ++ le32(0L) ++
+      le32(usPerFrame) ++ le32(0L) ++ le32(0L) ++ le32(0L) ++
         le32(n.toLong) ++ le32(0L) ++ le32(1L) ++ le32(0L) ++
         le32(w.toLong) ++ le32(h.toLong) ++
         le32(0L) ++ le32(0L) ++ le32(0L) ++ le32(0L))
     val strh = chunk("strh",
       fcc("vids") ++ fcc("MJPG") ++ le32(0L) ++ le16(0) ++ le16(0) ++
-        le32(0L) ++ le32(usPerFrame(i)) /* dwScale */ ++
+        le32(0L) ++ le32(usPerFrame) /* dwScale */ ++
         le32(1000000L) /* dwRate: frames/s = rate/scale */ ++
         le32(0L) ++ le32(n.toLong) ++ le32(0L) ++
         le32(0xFFFFFFFFL) /* dwQuality: default */ ++ le32(0L) ++
@@ -128,14 +139,12 @@ object AviFixture {
         le16(24) ++ fcc("MJPG") ++ le32(w.toLong * h * 3) ++
         le32(0L) ++ le32(0L) ++ le32(0L) ++ le32(0L))
     val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
-    val frames00 = (0 until n).map(f => chunk("00dc", jpegFrame(i, f)))
-      .reduce(_ ++ _)
-    // every third clip wraps its frames in the standard LIST('rec ')
-    // CD-ROM interleave grouping, so the committed corpus gates the
-    // walker's one-level rec descent (stats are grouping-invariant —
+    val frames00 = jpegs.map(j => chunk("00dc", j)).reduce(_ ++ _)
+    // rec-wrapped clips gate the walker's one-level LIST('rec ')
+    // CD-ROM interleave descent (stats are grouping-invariant —
     // expectedRows needs no case split)
     val movi = list("movi",
-      if (i % 3 == 2) list("rec ", frames00) else frames00)
+      if (rec) list("rec ", frames00) else frames00)
     val payload = fcc("AVI ") ++ hdrl ++ movi
     fcc("RIFF") ++ le32(payload.length.toLong) ++ payload
   }

@@ -97,13 +97,7 @@ object VideoDupFixture {
   def gifBytes(id: Int): Array[Byte] = {
     val (base, n, pix) = clipDef(id)
     val (w, h) = dims(base)
-    val writer = javax.imageio.ImageIO
-      .getImageWritersByFormatName("gif").next()
-    val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    writer.setOutput(ios)
-    writer.prepareWriteSequence(null)
-    for (f <- 0 until n) {
+    gifMux((0 until n).map { f =>
       val img = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
       var y = 0
@@ -116,6 +110,23 @@ object VideoDupFixture {
         }
         y += 1
       }
+      img
+    })
+  }
+
+  /** The ONE animated-GIF89a sequence writer — shared by [[gifBytes]]
+   *  and [[VideoRemuxFixture]] (grayscale indexed color round-trips
+   *  losslessly, the [[GifFixture]] contract both corpora's oracles
+   *  rest on). */
+  private[tools] def gifMux(
+      imgs: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    imgs.foreach { img =>
       writer.writeToSequence(
         new javax.imageio.IIOImage(img, null, null),
         writer.getDefaultWriteParam)
