@@ -47,7 +47,7 @@ import graft.streaming.StreamOps
  * anomaly_gate attrib_join entropy_gate gopher_gate winnow_fp winnow_gate
  * dedup_gate trained_gate dsir_gate embed_gate countmin text_normalize
  * hybrid_serve
- * line_filter bloom_gate tokenize
+ * line_filter bloom_gate tokenize video_gate audio_gate er_gate
  * (curate also takes --threshold <minScore> and --min-words <n>;
  *  decontaminate takes --bench <parquet path> for the benchmark set;
  *  lm_score takes --corpus <parquet path> for the model corpus and
@@ -56,6 +56,37 @@ import graft.streaming.StreamOps
  *  take --corpus <parquet path> for their offline models)
  */
 object Run {
+  /** The ONE default root for demo --corpus/--catalog tables (the
+   *  driver-generated testdata layout, TESTDATA.md) — env-overridable
+   *  so the demos run on hosts with the data elsewhere, instead of a
+   *  machine-specific literal baked into every topology case. */
+  private[graft] val DemoSfDir: String =
+    sys.env.getOrElse("GRAFT_DEMO_SF_DIR", "/root/testdata/sf0.001")
+
+  /** Byte budget for demo-source blob tables collected into typedlit
+   *  plan literals (phash/video/audio gate demos): the committed
+   *  fixtures are KBs, but a user-supplied --corpus of realistic
+   *  payloads would otherwise inflate the logical plan and driver
+   *  memory on every micro-batch with no guard. */
+  private[graft] val MaxDemoBlobBytes: Long = 8L << 20
+
+  /** Collect up to `maxRows` demo payload blobs under the
+   *  [[MaxDemoBlobBytes]] plan-literal budget — refuses loud, naming
+   *  the real ingestion shape (the upstream binary column). */
+  private def demoBlobs(corpus: DataFrame, bytesCol: String,
+      maxRows: Int, what: String): Seq[Array[Byte]] = {
+    val blobs = corpus.select(col(bytesCol)).limit(maxRows)
+      .collect().map(_.getAs[Array[Byte]](0)).toSeq
+    require(blobs.nonEmpty, s"$what demo source needs a corpus blob")
+    val total = blobs.map(_.length.toLong).sum
+    require(total <= MaxDemoBlobBytes,
+      s"$what demo source would embed $total blob bytes as plan " +
+        s"literals (> $MaxDemoBlobBytes); the demo-labeler pattern is " +
+        "for KB-scale committed fixtures — real ingestion carries the " +
+        "payload as an upstream binary column instead")
+    blobs
+  }
+
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse(sys.error("usage: Run <topology> [options]"))
     val opts = args.drop(1).sliding(2, 2).collect {
@@ -185,7 +216,7 @@ object Run {
         // so the keep region is a BAND, not a one-sided cut); scoring
         // is the same row-local CharEntropy kernel as text_entropy
         (entropyGateTopology(spark, lines(), opts.getOrElse("corpus",
-          "/root/testdata/sf0.001/documents.parquet")), OutputMode.Append)
+          s"$DemoSfDir/documents.parquet")), OutputMode.Append)
       case "curate" =>
         val minScore = opts.getOrElse("threshold", "0.1").toDouble
         val minWords = opts.getOrElse("min-words", "5").toLong
@@ -246,7 +277,7 @@ object Run {
           .filter(col("keep")), OutputMode.Append)
       case "decontaminate" =>
         (decontaminateTopology(spark, lines(), opts.getOrElse("bench",
-          "/root/testdata/sf0.001/documents.parquet")), OutputMode.Append)
+          s"$DemoSfDir/documents.parquet")), OutputMode.Append)
       case "countmin" =>
         // live Count-Min maintenance: the state store is the sketch -
         // one Complete-mode agg on (row, position), 64 K cells bounded
@@ -305,7 +336,7 @@ object Run {
         // 100 TB shape — artifact size independent of benchmark
         // growth); admission is one native kernel call per row
         (bloomGateTopology(spark, lines(), opts.getOrElse("bench",
-          "/root/testdata/sf0.001/documents.parquet")), OutputMode.Append)
+          s"$DemoSfDir/documents.parquet")), OutputMode.Append)
       case "nb_langid" =>
         // trained language-ID at ingest: the char-bigram Naive Bayes
         // is learned from --corpus by the gated batch query's
@@ -313,7 +344,7 @@ object Run {
         // call per line — the same offline-model/online-score split
         // as lm_score (StreamOps.nbLangIdStream has the contracts)
         (nbLangIdTopology(spark, lines(), opts.getOrElse("corpus",
-          "/root/testdata/sf0.001/documents.parquet")),
+          s"$DemoSfDir/documents.parquet")),
           OutputMode.Append)
       case "lm_score" =>
         // unigram (--order 1, default) or bigram (--order 2) LM
@@ -325,7 +356,7 @@ object Run {
         // add-one for interpolated Kneser-Ney (the production KenLM
         // shape; bigram and --order 3 trigram)
         (lmScoreTopology(spark, lines(), opts.getOrElse("corpus",
-          "/root/testdata/sf0.001/documents.parquet"),
+          s"$DemoSfDir/documents.parquet"),
           opts.getOrElse("order", "1").toInt,
           opts.getOrElse("smoothing", "addone")), OutputMode.Append)
       case "anomaly_gate" =>
@@ -342,7 +373,7 @@ object Run {
             (pmod(xxhash64(col("value") + 3), lit(100000L)).cast("double")
               / lit(200.0)).as("value")),
           spark.read.parquet(opts.getOrElse("history",
-            "/root/testdata/sf0.001/events.parquet"))), OutputMode.Append)
+            s"$DemoSfDir/events.parquet"))), OutputMode.Append)
       case "funnel" =>
         // ordered-funnel state machine live: per-user (stage, t0)
         // keyed state, advances emitted as they happen. The demo
@@ -387,7 +418,7 @@ object Run {
         (StreamOps.pplBucketStream(
           lines().select(col("ts"), col("value").as("text")),
           spark.read.parquet(opts.getOrElse("corpus",
-            "/root/testdata/sf0.001/documents.parquet"))),
+            s"$DemoSfDir/documents.parquet"))),
           OutputMode.Append)
       case "span_flag" =>
         // repeated-span flagging, live: the dup-gram hash set is
@@ -395,7 +426,7 @@ object Run {
         // broadcast sorted, and probed row-locally by binary search —
         // the lm_score offline-model/online-filter split
         (spanFlagTopology(spark, lines(), opts.getOrElse("corpus",
-          "/root/testdata/sf0.001/documents.parquet")), OutputMode.Append)
+          s"$DemoSfDir/documents.parquet")), OutputMode.Append)
       case "mix_sample" =>
         // temperature-mixture sampling, live: per-source thresholds
         // learned offline from --corpus (the gated batch query's
@@ -408,7 +439,7 @@ object Run {
         // named that way, silently disarming the gate
         val entries = StreamOps.mixThresholdEntries(
           spark.read.parquet(opts.getOrElse("corpus",
-            "/root/testdata/sf0.001/documents.parquet")))
+            s"$DemoSfDir/documents.parquet")))
         require(entries.nonEmpty, "mix_sample: empty model corpus")
         val names = entries.map(_._1)
         (StreamOps.mixSampleGate(
@@ -455,7 +486,7 @@ object Run {
         // embedding column; the demo synthesizes a deterministic hash
         // vector per line (the mix_sample demo-labeler pattern)
         (outlierGateTopology(spark, lines(), opts.getOrElse("corpus",
-          "/root/testdata/sf0.001/embeddings.parquet")), OutputMode.Append)
+          s"$DemoSfDir/embeddings.parquet")), OutputMode.Append)
       case "dedup_gate" =>
         // streaming EXACT dedup at ingest: first occurrence of a
         // content fingerprint passes, later duplicates within the
@@ -474,14 +505,14 @@ object Run {
         // than WinnowMinShared distinct fingerprints collide — the
         // position-guaranteed member of the admission family
         (winnowGateTopology(spark, lines(), opts.getOrElse("corpus",
-          "/root/testdata/sf0.001/documents.parquet")), OutputMode.Append)
+          s"$DemoSfDir/documents.parquet")), OutputMode.Append)
       case "trained_gate" =>
         // trained-classifier admission, live: the logistic-regression
         // weight table learned offline from --corpus (classify_train's
         // own quantized-GD learner), broadcast; admit iff the model's
         // quantized margin is positive — the train->deploy loop closed
         (trainedGateTopology(spark, lines(), opts.getOrElse("corpus",
-          "/root/testdata/sf0.001/documents.parquet")), OutputMode.Append)
+          s"$DemoSfDir/documents.parquet")), OutputMode.Append)
       case "dsir_gate" =>
         // DSIR domain-matching admission, live: the B-row micro-nat
         // log-ratio model and the batch top-N's minimum score learned
@@ -489,7 +520,7 @@ object Run {
         // broadcast as a long[]; admit iff the one-kernel-call integer
         // importance weight clears the threshold
         (dsirGateTopology(spark, lines(), opts.getOrElse("corpus",
-          "/root/testdata/sf0.001/documents.parquet")), OutputMode.Append)
+          s"$DemoSfDir/documents.parquet")), OutputMode.Append)
       case "embed_gate" =>
         // embedding near-dup admission, live: the corpus's combined
         // LSH band keys learned offline from --corpus (the batch
@@ -498,7 +529,7 @@ object Run {
         // probed row-locally by the EmbBandCollide kernel — the
         // neardup_gate split on the embedding side
         (embedGateTopology(spark, lines(), opts.getOrElse("corpus",
-          "/root/testdata/sf0.001/embeddings.parquet")), OutputMode.Append)
+          s"$DemoSfDir/embeddings.parquet")), OutputMode.Append)
       case "neardup_gate" =>
         // near-dup admission, live: the corpus's LSH band keys learned
         // offline from --corpus (the batch bandCollideAdmit candidate
@@ -506,7 +537,7 @@ object Run {
         // the LshBandCollide kernel — the span_flag
         // offline-model/online-filter split applied to MinHash+LSH
         (nearDupGateTopology(spark, lines(), opts.getOrElse("corpus",
-          "/root/testdata/sf0.001/documents.parquet")), OutputMode.Append)
+          s"$DemoSfDir/documents.parquet")), OutputMode.Append)
       case "phash_gate" =>
         // IMAGE near-dup admission, live (the first streaming
         // multimodal topology): corpus perceptual hashes fingerprinted
@@ -530,6 +561,17 @@ object Run {
         // phash_gate demo-labeler pattern)
         (videoGateTopology(spark, lines(), opts.getOrElse("corpus",
           graft.tools.VideoDupFixture.Path)), OutputMode.Append)
+      case "audio_gate" =>
+        // AUDIO near-dup admission, live: corpus clips fingerprinted
+        // offline from --corpus (a (clip_id, wav) parquet; default =
+        // the committed audio-dup fixture) into the hash-agnostic
+        // banded PhashBandIndex; each arriving clip decoded +
+        // envelope-DCT fingerprinted + probed partition-batched —
+        // completes the admission-gate family's modality coverage.
+        // The demo source replays REAL corpus clips per line (the
+        // phash_gate demo-labeler pattern)
+        (audioGateTopology(spark, lines(), opts.getOrElse("corpus",
+          graft.tools.AudioDupFixture.Path)), OutputMode.Append)
       case "er_gate" =>
         // entity-linkage admission, live: the catalog block index
         // built offline from --catalog (the er_matches blocking +
@@ -541,7 +583,7 @@ object Run {
         // column); match/nomatch decisions stream through with
         // entity_id/lev observability
         (erGateTopology(spark, lines(), opts.getOrElse("catalog",
-          "/root/testdata/sf0.001/part.parquet")), OutputMode.Append)
+          s"$DemoSfDir/part.parquet")), OutputMode.Append)
       case "hash_sample" =>
         // deterministic content-hash downsampling, live: the same
         // row-local predicate as the gated batch query — no RNG, no
@@ -744,9 +786,7 @@ object Run {
   private[graft] def phashGateTopology(spark: SparkSession,
       lines: DataFrame, corpusPath: String): DataFrame = {
     val corpus = spark.read.parquet(corpusPath)
-    val blobs = corpus.select(col("png")).limit(48)
-      .collect().map(_.getAs[Array[Byte]](0)).toSeq
-    require(blobs.nonEmpty, "phash_gate demo source needs a corpus blob")
+    val blobs = demoBlobs(corpus, "png", 48, "phash_gate")
     StreamOps.phashGateStream(
       lines.select(col("ts"),
         xxhash64(col("value")).as("img_id"),
@@ -763,9 +803,7 @@ object Run {
   private[graft] def videoGateTopology(spark: SparkSession,
       lines: DataFrame, corpusPath: String): DataFrame = {
     val corpus = spark.read.parquet(corpusPath)
-    val blobs = corpus.select(col("gif")).limit(48)
-      .collect().map(_.getAs[Array[Byte]](0)).toSeq
-    require(blobs.nonEmpty, "video_gate demo source needs a corpus blob")
+    val blobs = demoBlobs(corpus, "gif", 48, "video_gate")
     StreamOps.videoGateStream(
       lines.select(col("ts"),
         xxhash64(col("value")).as("clip_id"),
@@ -797,10 +835,31 @@ object Run {
             (pmod(xxhash64(col("value")), lit(names.size)) + 1)
               .cast("int")).as("nm"))
         .select(col("ts"), col("k").as("mention_id"),
-          expr("concat(substr(nm, 1, 4 + pmod(k, length(nm) - 4) - 1), " +
-            "substr(nm, 4 + pmod(k, length(nm) - 4) + 1, 100))")
-            .as("mention")),
+          // the ONE LinkageQueries corruption definition, with pmod
+          // for the signed hash key (batch uses % on catalog keys)
+          expr(graft.queries.LinkageQueries.deleteAtWith("nm", "k",
+            (k, m) => s"pmod($k, $m)")).as("mention")),
       catalog, "p_partkey", "p_name")
+  }
+
+  /** Audio near-dup admission at ingest: the banded fingerprint index
+   *  is an offline artifact of the batch mm_audio_fingerprint decode
+   *  (StreamOps.audioGateStream has the scale reasoning). The demo
+   *  source replays REAL corpus WAV clips per line (the phash_gate
+   *  demo-labeler pattern — real ingestion replaces this with the
+   *  upstream binary column). Factored so RunTopologySpec drives the
+   *  exact composition. */
+  private[graft] def audioGateTopology(spark: SparkSession,
+      lines: DataFrame, corpusPath: String): DataFrame = {
+    val corpus = spark.read.parquet(corpusPath)
+    val blobs = demoBlobs(corpus, "wav", 48, "audio_gate")
+    StreamOps.audioGateStream(
+      lines.select(col("ts"),
+        xxhash64(col("value")).as("clip_id"),
+        element_at(typedlit(blobs),
+          (pmod(xxhash64(col("value")), lit(blobs.size)) + 1).cast("int"))
+          .as("wav")),
+      corpus)
   }
 
   /** Deterministic demo embedding for a text line: 64 hash-derived
@@ -930,8 +989,8 @@ object Run {
         // carry no embedding; the demo derives one deterministically
         // from content (the embed_gate device) — real ingestion runs
         // an embedder upstream
-        val docsPath = "/root/testdata/sf0.001/documents.parquet"
-        val embPath = "/root/testdata/sf0.001/embeddings.parquet"
+        val docsPath = s"$DemoSfDir/documents.parquet"
+        val embPath = s"$DemoSfDir/embeddings.parquet"
         // ids strictly NEGATIVE: query ids must be disjoint from
         // corpus doc/vec ids or the query-by-example self-exclusion
         // silently drops the colliding doc (the -(k+1) convention)

@@ -116,8 +116,9 @@ object MultimodalOps {
 
   /**
    * REAL audio decode in the [[decodePartitioned]] shape — the WAV
-   * sibling of [[decodeImagePartitioned]]: `javax.sound.sampled` is
-   * JDK-public, so RIFF/WAVE PCM payloads become format metadata
+   * sibling of [[decodeImagePartitioned]]: the strict lock-free
+   * [[wavPcm16le]] RIFF/WAVE walk (the public layout, zero external
+   * codecs) turns PCM payloads into format metadata
    * (sample rate, channels, frame count) + a 16-bin amplitude
    * histogram with no external codec. Scope is deliberately 16-bit
    * signed little-endian PCM — the dominant raw-audio interchange
@@ -134,45 +135,92 @@ object MultimodalOps {
     df.select(col(idCol), col(bytesCol)).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          val ais =
-            try {
-              if (bytes == null || bytes.isEmpty) null
-              else javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(bytes))
-            } catch {
-              // UnsupportedAudioFileException is checked, but header
-              // parsers also throw unchecked on truncated payloads
-              // whose magic matches — quarantine both.
-              case scala.util.control.NonFatal(_) => null
-            }
-          if (ais == null) bad(id)
-          else
-            try {
-              val f = ais.getFormat
-              val pcm16le = f.getEncoding ==
-                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-                f.getSampleSizeInBits == 16 && !f.isBigEndian
-              if (!pcm16le) bad(id)
-              else {
-                val data = ais.readAllBytes()
-                val ch = f.getChannels
-                val frames = data.length / (2 * ch)
-                val hist = new Array[Long](16)
-                var p = 0
-                val end = frames * ch * 2
-                while (p < end) {
-                  val s = ((data(p) & 0xFF) | (data(p + 1) << 8)).toShort.toInt
-                  hist((s + 32768) >> 12) += 1L
-                  p += 2
-                }
-                graft.model.AudioFeatures(id, f.getSampleRate.toInt, ch,
-                  frames.toLong, hist.toSeq)
+          wavPcm16le(bytes) match {
+            case None => bad(id)
+            case Some((rate, ch, data, from, len)) =>
+              val frames = len / (2 * ch)
+              val hist = new Array[Long](16)
+              var p = from
+              val end = from + frames * ch * 2
+              while (p < end) {
+                val s = ((data(p) & 0xFF) | (data(p + 1) << 8)).toShort.toInt
+                hist((s + 32768) >> 12) += 1L
+                p += 2
               }
-            } catch {
-              case scala.util.control.NonFatal(_) => bad(id)
-            } finally ais.close()
+              graft.model.AudioFeatures(id, rate, ch, frames.toLong,
+                hist.toSeq)
+          }
         }
       }
+  }
+
+  /**
+   * Strict RIFF/WAVE PCM16LE parse — the ONE audio container walk
+   * every audio op shares (decode stats, frame features, fingerprint,
+   * live gate), and a LOCK-FREE replacement for
+   * `AudioSystem.getAudioInputStream`: the JDK provider registry
+   * SYNCHRONIZES, and a 32-thread executor decoding small clips
+   * through it scales NEGATIVELY (measured standalone: 38.7 k clips/s
+   * on ONE thread, 23.6 k TOTAL on 32 — contention, not CPU; the live
+   * audio gate sustained 7.4 k rows/s before this walk, 10× under the
+   * single-thread decode rate). The WAV layout is public and tiny —
+   * the AVI walker precedent: `RIFF` size `WAVE`, then even-padded
+   * chunks of which `fmt ` (PCM format 1, 16-bit, LE by definition)
+   * and `data` matter; other standard chunks (`LIST`, `fact`,
+   * `cue `…) interleave legally and are skipped.
+   *
+   * Strict and total: magic + in-bounds RIFF size required (bytes
+   * past riffEnd beyond one pad byte are a truncation/concat lie —
+   * quarantine), every chunk must sit inside the RIFF bound, both
+   * `fmt ` and `data` must be present, channels/rate positive.
+   * Non-PCM16LE formats (compressed encodings, 8/24-bit,
+   * WAVE_FORMAT_EXTENSIBLE) quarantine for ROUTING exactly like the
+   * AudioSystem path did — same accepted class: the old path parsed
+   * AIFF/AU too but those are big-endian PCM at best, so its PCM16LE
+   * guard quarantined them anyway. Returns
+   * (sampleRate, channels, bytes, dataFrom, dataLen) — a range into
+   * the input, no copy.
+   */
+  private[graft] def wavPcm16le(b: Array[Byte])
+      : Option[(Int, Int, Array[Byte], Int, Int)] = {
+    try {
+      if (b == null || b.length < 44) return None
+      def u32(p: Int): Long = (b(p) & 0xFFL) | ((b(p + 1) & 0xFFL) << 8) |
+        ((b(p + 2) & 0xFFL) << 16) | ((b(p + 3) & 0xFFL) << 24)
+      def u16(p: Int): Int = (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+      def fourcc(p: Int): String = new String(b, p, 4, "US-ASCII")
+      val riffEnd = 8L + u32(4)
+      if (fourcc(0) != "RIFF" || fourcc(8) != "WAVE" ||
+          riffEnd > b.length || b.length - riffEnd > (u32(4) & 1L))
+        return None
+      var rate = -1
+      var ch = -1
+      var fmtOk = false
+      var dataFrom = -1L
+      var dataLen = -1L
+      var p = 12L
+      while (p + 8 <= riffEnd) {
+        val ck = fourcc(p.toInt)
+        val sz = u32(p.toInt + 4)
+        val body = p + 8
+        if (body + sz > riffEnd) return None // escapes RIFF
+        if (ck == "fmt " && sz >= 16) {
+          fmtOk = u16(body.toInt) == 1 /* PCM */ &&
+            u16(body.toInt + 14) == 16 /* bits */
+          ch = u16(body.toInt + 2)
+          rate = u32(body.toInt + 4).toInt
+        } else if (ck == "data") {
+          // a SECOND data chunk would silently drop samples — keep
+          // the first, matching the stream readers' contract
+          if (dataFrom < 0) { dataFrom = body; dataLen = sz }
+        } // other standard chunks (LIST, fact, cue , …) skip legally
+        p = body + sz + (sz & 1L) // even-byte padding
+      }
+      if (!fmtOk || ch <= 0 || rate <= 0 || dataFrom < 0) None
+      else Some((rate, ch, b, dataFrom.toInt, dataLen.toInt))
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
   }
 
   /** Fingerprint window count (and DCT length) for
@@ -189,7 +237,8 @@ object MultimodalOps {
    * REAL decode → 64-bit AUDIO FINGERPRINT — the clip-dedup
    * fingerprint for sound (the audio rung of the perceptual-hash
    * family: simhash for text, [[phash64]] for images/frames): decode
-   * via `javax.sound.sampled` exactly like the histogram op, fold
+   * via the SHARED [[wavPcm16le]] walk exactly like the histogram op
+   * (lock-free — the executor-thread contention note there), fold
    * CHANNEL 0 into [[AfpW]] equal-window energies (Σ s², exact longs,
    * floor boundaries k·n/64 — a time-scale-free envelope, the
    * Haitsma–Kalker band-energy idea collapsed to one band),
@@ -209,84 +258,118 @@ object MultimodalOps {
       bytesCol: String)
       : org.apache.spark.sql.Dataset[graft.model.AudioFingerprint] = {
     import df.sparkSession.implicits._
-    val bad = graft.model.AudioFingerprint(_: Long, -1, -1L, 0L)
     df.select(col(idCol), col(bytesCol)).as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        rows.map { case (id, bytes) =>
-          val ais =
-            try {
-              if (bytes == null || bytes.isEmpty) null
-              else javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(bytes))
-            } catch {
-              case scala.util.control.NonFatal(_) => null
+      .mapPartitions(_.map { case (id, bytes) =>
+        audioClipFingerprint(id, bytes)
+      })
+  }
+
+  /** One clip's fingerprint row — the ONE decode+hash definition
+   *  [[audioFingerprintPartitioned]] and the live audio gate share
+   *  (the phashGrid convention: batch and live hash the same samples
+   *  by construction). Quarantine = sample_rate -1. */
+  private[graft] def audioClipFingerprint(id: Long, bytes: Array[Byte])
+      : graft.model.AudioFingerprint = {
+    def bad(i: Long) = graft.model.AudioFingerprint(i, -1, -1L, 0L)
+    wavPcm16le(bytes) match {
+      case None => bad(id)
+      case Some((rate, ch, data, from, len)) =>
+        val n = len / (2 * ch)
+        if (n < AfpW) bad(id) // too short to window
+        else {
+          val W = AfpW
+          val e = new Array[Double](W)
+          var w = 0
+          while (w < W) {
+            var acc = 0L
+            var t = w * n / W
+            val end = (w + 1) * n / W
+            while (t < end) {
+              val p = from + t * 2 * ch // channel 0 of frame t
+              val s = ((data(p) & 0xFF) |
+                (data(p + 1) << 8)).toShort.toLong
+              acc += s * s
+              t += 1
             }
-          if (ais == null) bad(id)
-          else
-            try {
-              val f = ais.getFormat
-              val pcm16le = f.getEncoding ==
-                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-                f.getSampleSizeInBits == 16 && !f.isBigEndian
-              if (!pcm16le) bad(id)
-              else {
-                val data = ais.readAllBytes()
-                val ch = f.getChannels
-                val n = data.length / (2 * ch)
-                if (n < AfpW) bad(id) // too short to window
-                else {
-                  val W = AfpW
-                  val e = new Array[Double](W)
-                  var w = 0
-                  while (w < W) {
-                    var acc = 0L
-                    var t = w * n / W
-                    val end = (w + 1) * n / W
-                    while (t < end) {
-                      val p = t * 2 * ch // channel 0 of frame t
-                      val s = ((data(p) & 0xFF) |
-                        (data(p + 1) << 8)).toShort.toLong
-                      acc += s * s
-                      t += 1
-                    }
-                    e(w) = acc.toDouble
-                    w += 1
-                  }
-                  val co = AfpCos
-                  val fq = new Array[Double](W)
-                  var u = 0
-                  while (u < W) {
-                    var s = 0.0
-                    var x = 0
-                    while (x < W) { s += e(x) * co(u)(x); x += 1 }
-                    fq(u) = s
-                    u += 1
-                  }
-                  val sorted = fq.clone()
-                  java.util.Arrays.sort(sorted)
-                  val med = (sorted(W / 2 - 1) + sorted(W / 2)) / 2.0
-                  var bits = 0L
-                  var k = 0
-                  while (k < W) {
-                    if (fq(k) > med) bits |= (1L << k)
-                    k += 1
-                  }
-                  graft.model.AudioFingerprint(id,
-                    f.getSampleRate.toInt, n.toLong, bits)
-                }
-              }
-            } catch {
-              case scala.util.control.NonFatal(_) => bad(id)
-            } finally ais.close()
+            e(w) = acc.toDouble
+            w += 1
+          }
+          val co = AfpCos
+          val fq = new Array[Double](W)
+          var u = 0
+          while (u < W) {
+            var s = 0.0
+            var x = 0
+            while (x < W) { s += e(x) * co(u)(x); x += 1 }
+            fq(u) = s
+            u += 1
+          }
+          val sorted = fq.clone()
+          java.util.Arrays.sort(sorted)
+          val med = (sorted(W / 2 - 1) + sorted(W / 2)) / 2.0
+          var bits = 0L
+          var k = 0
+          while (k < W) {
+            if (fq(k) > med) bits |= (1L << k)
+            k += 1
+          }
+          graft.model.AudioFingerprint(id, rate, n.toLong, bits)
+        }
+    }
+  }
+
+  /**
+   * Partition-batched decode → fingerprint → banded corpus probe —
+   * the live half of the AUDIO admission gate (the
+   * [[phashGatePartitioned]] contract on sound): per row the SHARED
+   * [[audioClipFingerprint]] decode (batch and live hash the same
+   * samples), then ONE [[PhashBandIndex.probe]] against the broadcast
+   * corpus fingerprints — the index is hash-agnostic (any 64-bit
+   * fingerprint bands into the same C(8,2) block pairs), so the
+   * envelope-DCT hash rides the image gate's exact-by-pigeonhole
+   * search unchanged. Row-merge passthrough plus (n_samples, fp,
+   * matched_id, hamming, decision): 'quarantine' (undecodable /
+   * non-PCM16LE / shorter than one window — never admitted silently,
+   * never matched on the sentinel fingerprint), 'neardup' (a corpus
+   * clip within the radius), or 'admit'.
+   */
+  def audioGatePartitioned(df: DataFrame, bytesCol: String,
+      idx: org.apache.spark.broadcast.Broadcast[PhashBandIndex],
+      maxHamming: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val outSchema = df.schema
+      .add("n_samples", LongType, nullable = false)
+      .add("fp", LongType, nullable = false)
+      .add("matched_id", LongType, nullable = true)
+      .add("hamming", LongType, nullable = true)
+      .add("decision", StringType, nullable = false)
+    val iBytes = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val fp = audioClipFingerprint(0L, r.getAs[Array[Byte]](iBytes))
+        if (fp.sample_rate == -1)
+          org.apache.spark.sql.Row.merge(r,
+            org.apache.spark.sql.Row(-1L, 0L, null, null, "quarantine"))
+        else idx.value.probe(fp.fp, maxHamming) match {
+          case null =>
+            org.apache.spark.sql.Row.merge(r,
+              org.apache.spark.sql.Row(fp.n_samples, fp.fp, null, null,
+                "admit"))
+          case (mid, d) =>
+            org.apache.spark.sql.Row.merge(r,
+              org.apache.spark.sql.Row(fp.n_samples, fp.fp, mid,
+                d.toLong, "neardup"))
         }
       }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /**
    * REAL decode → windowed FRAME FEATURES — the audio analysis stage
    * above [[decodeWavPartitioned]]'s whole-clip histogram (the
    * VAD-ish statistics a speech-curation pass gates on): decode via
-   * `javax.sound.sampled` exactly like the histogram op, then over
+   * the SHARED [[wavPcm16le]] walk exactly like the histogram op,
+   * then over
    * CHANNEL 0 compute zero-crossing count / total energy / peak
    * amplitude (whole clip, exact integer arithmetic — no floats, so
    * the oracle is pure sample-definition arithmetic) plus
@@ -309,59 +392,40 @@ object MultimodalOps {
     df.select(col(idCol), col(bytesCol)).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          val ais =
-            try {
-              if (bytes == null || bytes.isEmpty) null
-              else javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(bytes))
-            } catch {
-              case scala.util.control.NonFatal(_) => null
-            }
-          if (ais == null) bad(id)
-          else
-            try {
-              val f = ais.getFormat
-              val pcm16le = f.getEncoding ==
-                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-                f.getSampleSizeInBits == 16 && !f.isBigEndian
-              if (!pcm16le) bad(id)
-              else {
-                val data = ais.readAllBytes()
-                val ch = f.getChannels
-                val frames = data.length / (2 * ch)
-                val stride = 2 * ch // channel 0 = first sample per frame
-                var t = 0
-                var prevNeg = false
-                var zc = 0L
-                var energy = 0L
-                var peak = 0L
-                var winMax = 0L
-                var nWin = 0L
-                var silent = 0L
-                while (t < frames) {
-                  val p = t * stride
-                  val s =
-                    ((data(p) & 0xFF) | (data(p + 1) << 8)).toShort.toInt
-                  val neg = s < 0
-                  if (t > 0 && neg != prevNeg) zc += 1L
-                  prevNeg = neg
-                  energy += s.toLong * s
-                  val a = math.abs(s.toLong)
-                  if (a > peak) peak = a
-                  if (a > winMax) winMax = a
-                  if (t % win == win - 1) { // a full window closed
-                    nWin += 1L
-                    if (winMax < silenceThr) silent += 1L
-                    winMax = 0L
-                  }
-                  t += 1
+          wavPcm16le(bytes) match {
+            case None => bad(id)
+            case Some((_, ch, data, from, len)) =>
+              val frames = len / (2 * ch)
+              val stride = 2 * ch // channel 0 = first sample per frame
+              var t = 0
+              var prevNeg = false
+              var zc = 0L
+              var energy = 0L
+              var peak = 0L
+              var winMax = 0L
+              var nWin = 0L
+              var silent = 0L
+              while (t < frames) {
+                val p = from + t * stride
+                val s =
+                  ((data(p) & 0xFF) | (data(p + 1) << 8)).toShort.toInt
+                val neg = s < 0
+                if (t > 0 && neg != prevNeg) zc += 1L
+                prevNeg = neg
+                energy += s.toLong * s
+                val a = math.abs(s.toLong)
+                if (a > peak) peak = a
+                if (a > winMax) winMax = a
+                if (t % win == win - 1) { // a full window closed
+                  nWin += 1L
+                  if (winMax < silenceThr) silent += 1L
+                  winMax = 0L
                 }
-                graft.model.AudioFrameFeatures(id, nWin, zc, energy,
-                  peak, silent)
+                t += 1
               }
-            } catch {
-              case scala.util.control.NonFatal(_) => bad(id)
-            } finally ais.close()
+              graft.model.AudioFrameFeatures(id, nWin, zc, energy,
+                peak, silent)
+          }
         }
       }
   }

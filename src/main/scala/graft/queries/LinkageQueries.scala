@@ -46,11 +46,22 @@ object LinkageQueries {
   /** Every JunkMod-th part key adds an unmatched junk mention. */
   val JunkMod = 17
 
+  /** One deletion at pos = 4 + (key mod (len − 4)) of `name` — the
+   *  ONE corruption definition every dirty-mention derivation shares
+   *  (batch mention feeds AND the er_gate live demo); `mod` renders
+   *  the modulus (`%` for nonnegative catalog keys, `pmod` for signed
+   *  hash keys — same value class on nonnegative inputs). */
+  private[graft] def deleteAtWith(name: String, key: String,
+      mod: (String, String) => String): String = {
+    val off = mod(key, s"(length($name) - 4)")
+    s"concat(substr($name, 1, 4 + $off - 1), " +
+      s"substr($name, 4 + $off + 1, 100))"
+  }
+
   /** One deletion at pos = 4 + key % (len − 4) of `name` — SQL text
    *  shared by both deletion passes (string-typed, codegen'd). */
   private def deleteAt(name: String, key: String): String =
-    s"concat(substr($name, 1, 4 + $key % (length($name) - 4) - 1), " +
-      s"substr($name, 4 + $key % (length($name) - 4) + 1, 100))"
+    deleteAtWith(name, key, (k, m) => s"$k % $m")
 
   /** The deterministic dirty-mention feed: (mention_id, mention,
    *  clean) — clean is NULL on junk rows. */

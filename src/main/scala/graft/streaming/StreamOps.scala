@@ -886,6 +886,60 @@ object StreamOps {
   }
 
   /**
+   * Live AUDIO near-dup admission gate — completes the admission-gate
+   * family (text quality/gopher/decontaminate/lm_score, embedding
+   * outlier, image phash_gate, video video_gate, linkage er_gate)
+   * with the envelope-DCT fingerprint of
+   * `PipelineQueries.mmAudioFingerprint`: corpus clips (first column
+   * = clip id, second = WAV bytes) are decoded + fingerprinted ONCE
+   * at topology build through the SHARED
+   * `MultimodalOps.audioClipFingerprint` (stream and batch hash the
+   * same samples by construction), banded into the hash-agnostic
+   * `PhashBandIndex` (any 64-bit fingerprint bands into the same
+   * C(8,2) block pairs), and broadcast; each arriving clip pays one
+   * partition-batched decode + one 64-point DCT + one banded probe —
+   * EXACT over the radius by the pigeonhole, so the gate's verdicts
+   * agree clip for clip with the batch `mm_audio_neardup` pairs.
+   * Decisions admit/neardup/quarantine with matched_id + hamming
+   * observability, full column passthrough. Amplitude-scaled
+   * re-masters match at hamming ~0 (the fingerprint's invariance
+   * class); reversed audio sits tens of bits out — the committed
+   * fixture's ground truth, spec-pinned.
+   *
+   * Guardrails (the phash-gate corpus conventions): empty corpus and
+   * the index cap refuse loud; the corpus count is checked BEFORE the
+   * collect (the KN-model rule).
+   */
+  def audioGateStream(clips: DataFrame, corpus: DataFrame,
+      maxHamming: Int =
+        graft.queries.PipelineQueries.AudioNeardupMaxHamming,
+      maxCorpus: Long = 4000000L,
+      bytesCol: String = "wav"): DataFrame = {
+    val hashed = graft.ops.MultimodalOps.audioFingerprintPartitioned(
+        corpus, corpus.columns(0), corpus.columns(1))
+      .toDF()
+      .filter(col("sample_rate") =!= -1)
+      .select(col("id"), col("fp"))
+      .localCheckpoint() // the count + the collect both read it
+    val n = hashed.count()
+    require(n > 0,
+      "audio gate corpus is EMPTY (no clip decoded) — a gate over " +
+        "zero fingerprints would admit everything; point --corpus at " +
+        "a real audio corpus")
+    require(n <= maxCorpus,
+      s"audio gate corpus has $n decoded clips > cap $maxCorpus; a " +
+        "broadcast index this size risks executor memory — dedup with " +
+        "the batch banded join (PipelineQueries.mmAudioNeardup) " +
+        "instead, or raise maxCorpus if the memory budget allows")
+    val idx = graft.ops.MultimodalOps.PhashBandIndex(
+      hashed.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    graft.ops.DedupOps.releaseTruncated(hashed)
+    val bc = clips.sparkSession.sparkContext.broadcast(idx)
+    graft.ops.MultimodalOps.audioGatePartitioned(
+      clips, bytesCol, bc, maxHamming)
+  }
+
+  /**
    * Live ENTITY-LINKAGE GATE — the streaming form of
    * `LinkageQueries.erMatches`' resolution (link noisy arriving
    * mentions to a curated catalog at ingest): the entity catalog is

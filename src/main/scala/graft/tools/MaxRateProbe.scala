@@ -506,6 +506,13 @@ object MaxRateProbe {
       graft.Run.videoGateTopology(spark, in,
         graft.tools.VideoDupFixture.Path)
     }
+    search("audio_gate", seed = 200000, OutputMode.Append) { in =>
+      // per row one REAL WAV decode + the 64-window energy fold + one
+      // 64-point DCT + 28 banded map probes (the demo source replays
+      // fixture clips — the ~3k-sample decode+fold dominates)
+      graft.Run.audioGateTopology(spark, in,
+        graft.tools.AudioDupFixture.Path)
+    }
     search("er_gate", seed = 2000000, OutputMode.Append) { in =>
       // entity linkage at ingest: per row one broadcast block-index
       // probe + at most a block's worth of thresholded banded-DP

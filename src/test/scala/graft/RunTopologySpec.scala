@@ -709,6 +709,30 @@ class RunTopologySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Run audio_gate: every demo-source line replays a REAL corpus " +
+      "WAV clip and near-dups against the corpus at hamming 0; " +
+      "decisions and observability columns flow through") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.toMemory(
+      Run.audioGateTopology(spark, in.toDF().toDF("ts", "value"),
+        graft.tools.AudioDupFixture.Path),
+      "run_audio_gate", OutputMode.Append, ckpt())
+    try {
+      in.addData(
+        (at("2024-01-01 10:00:00"), "alpha"),
+        (at("2024-01-01 10:00:01"), "bravo"),
+        (at("2024-01-01 10:00:02"), "charlie"))
+      q.processAllAvailable()
+      val rows = spark.table("run_audio_gate")
+        .select("decision", "hamming").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.length == 3)
+      assert(rows.forall(_ == (("neardup", 0L))),
+        s"corpus replays must self-match at 0: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("Run er_gate: every demo-source line corrupts a REAL catalog " +
       "name past the blocking prefix and links back within lev 1; " +
       "decisions and observability columns flow through") {

@@ -57,6 +57,60 @@ class AudioNeardupSpec extends SparkSpec {
       "scale invariance broke")
   }
 
+  test("audioGateStream: gate decisions == the batch mm_audio_neardup " +
+      "verdicts — variants land neardup on their base (the brute-force " +
+      "argmin), reversed decoys admit, corrupt bytes quarantine; empty " +
+      "corpus and the cap refuse loudly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.StreamOps
+    implicit val sqlCtx = spark.sqlContext
+    val N = AudioDupFixture.N
+    // corpus = the BASE clips only, so a variant's neardup verdict is
+    // exactly its batch pair (base i) — the mm_audio_neardup agreement
+    val bases = corpus.filter(col("clip_id") < N)
+    val in = MemoryStream[(Long, Array[Byte])]
+    val gated = StreamOps.audioGateStream(
+      in.toDF().toDF("clip_id", "wav"), bases)
+    val q = StreamOps.toMemory(
+      gated.select("clip_id", "decision", "matched_id", "hamming"),
+      "audio_gate_test", OutputMode.Append,
+      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    try {
+      in.addData(
+        (0 until N).map(i =>
+          (3000L + i, AudioDupFixture.wavBytes(N + i))) ++
+        (0 until AudioDupFixture.RevN).map(j =>
+          (4000L + j, AudioDupFixture.wavBytes(2 * N + j))) :+
+        ((5000L, Array.tabulate[Byte](32)(i => (i * 31).toByte))))
+      q.processAllAvailable()
+      val got = spark.table("audio_gate_test").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1),
+          if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3))))))
+        .toMap
+      val fp = AudioDupFixture.expectedFingerprints.toMap
+      (0 until N).foreach { i =>
+        val d = java.lang.Long.bitCount(fp(i.toLong) ^ fp((N + i).toLong))
+        assert(got(3000L + i) == (("neardup", Some((i.toLong, d.toLong)))),
+          s"variant $i: ${got(3000L + i)} want base $i at $d")
+      }
+      (0 until AudioDupFixture.RevN).foreach { j =>
+        assert(got(4000L + j) == (("admit", None)), got(4000L + j))
+      }
+      assert(got(5000L) == (("quarantine", None)), got(5000L))
+    } finally q.stop()
+    val e1 = intercept[IllegalArgumentException] {
+      StreamOps.audioGateStream(
+        in.toDF().toDF("clip_id", "wav"), bases, maxCorpus = 2)
+    }
+    assert(e1.getMessage.contains("mmAudioNeardup"), e1.getMessage)
+    val junk = Seq((900L, Array[Byte](1, 2))).toDF("clip_id", "wav")
+    val e2 = intercept[IllegalArgumentException] {
+      StreamOps.audioGateStream(in.toDF().toDF("clip_id", "wav"), junk)
+    }
+    assert(e2.getMessage.contains("EMPTY"), e2.getMessage)
+  }
+
   test("quarantine: corrupt bytes and too-short clips emit the " +
       "sentinel and never enter the dedup join") {
     val garbage = Array.tabulate[Byte](32)(i => (i * 31).toByte)
