@@ -28,11 +28,18 @@ import org.apache.spark.sql.functions._
  * `array_min` over structs — zero shuffle end to end on the mention
  * side (PlanShapeSpec pins it).
  *
- * Blocking contract: key = (first [[BlockPrefixLen]] chars, length
- * within ±maxDist). Recall is exact for corruptions that preserve the
- * prefix (the gated fixture's deletions do, by construction); a
- * production pass adds more blocking passes (suffix, sorted tokens,
- * phonetic) and unions candidates — same shape, more index rows.
+ * Blocking contract: TWO complementary passes, candidates unioned
+ * before the verify (the multi-pass architecture Christen 2012
+ * prescribes — "same shape, more index rows"):
+ *   - pass 1: key = (first [[BlockPrefixLen]] chars, length ±maxDist);
+ *   - pass 2: key = (LAST [[BlockPrefixLen]] chars, length ±maxDist) —
+ *     a single edit damages the prefix or the suffix, never both
+ *     (at length ≥ 2·[[BlockPrefixLen]]), so the union's recall is
+ *     exact for ANY single-edit corruption, and er_blocking_eval
+ *     measures both per-pass and unioned completeness.
+ * The passes stay disjoint by a ROW-LOCAL predicate (pass 2 keeps
+ * only different-prefix pairs), so the union needs no distinct — no
+ * exchange on the corpus-sized candidate relation.
  */
 object LinkOps {
 
@@ -44,6 +51,13 @@ object LinkOps {
   def blockKey(name: Column): Column =
     substring(name, 1, BlockPrefixLen)
 
+  /** Second-pass blocking key — the LAST [[BlockPrefixLen]] chars:
+   *  the complementary pass that recovers prefix-damaged corruptions
+   *  (a deletion before the tail leaves the tail's CONTENT intact
+   *  even though every position shifts). */
+  def suffixKey(name: Column): Column =
+    substring(name, -BlockPrefixLen, BlockPrefixLen)
+
   /** Entity catalog from a (possibly duplicated) reference relation:
    *  one row per distinct surface form, canonical `entity_id` = the
    *  smallest source key carrying it (the dedup_exact keeper
@@ -52,31 +66,49 @@ object LinkOps {
     df.groupBy(name.as("entity_name")).agg(min(id).as("entity_id"))
       .select(col("entity_id"), col("entity_name"))
 
-  /** The broadcastable block index: every entity appears under the
-   *  (prefix, len + d) keys for d in [-maxDist, maxDist] — an edit
-   *  within the distance budget changes length by at most maxDist, so
-   *  a mention joins EXACTLY the blocks that can contain its entity.
+  /** The broadcastable block index under `keyFn`: every entity
+   *  appears under the (key, len + d) keys for d in
+   *  [-maxDist, maxDist] — an edit within the distance budget changes
+   *  length by at most maxDist, so a mention joins EXACTLY the blocks
+   *  that can contain its entity.
    *  (2·maxDist + 1) × |catalog| rows, ints and short strings. */
-  private def blockIndex(entities: DataFrame, maxDist: Int): DataFrame =
+  private def blockIndex(entities: DataFrame, maxDist: Int,
+      keyFn: Column => Column): DataFrame =
     entities
       .select(col("entity_id"), col("entity_name"),
-        blockKey(col("entity_name")).as("blk"),
+        keyFn(col("entity_name")).as("blk"),
         explode(array((-maxDist to maxDist).map(lit): _*)).as("d"))
       .select(col("blk"), (length(col("entity_name")) + col("d")).as("mlen"),
         col("entity_id"), col("entity_name"))
 
-  /** RAW blocked pairs — the blocker's output BEFORE the edit-distance
-   *  verify (what blocking-quality metrics measure: pair completeness
-   *  counts true pairs surviving to here, reduction ratio counts how
-   *  much of the cross product this stage prunes). `mentions` must
-   *  carry (mention_id, mention); all other columns pass through. */
+  /** RAW blocked pairs of ONE pass — the blocker's output BEFORE the
+   *  edit-distance verify (what blocking-quality metrics measure:
+   *  pair completeness counts true pairs surviving to here, reduction
+   *  ratio counts how much of the cross product this stage prunes).
+   *  `mentions` must carry (mention_id, mention); all other columns
+   *  pass through. */
   def blockedPairs(mentions: DataFrame, entities: DataFrame,
-      maxDist: Int): DataFrame =
+      maxDist: Int, keyFn: Column => Column = blockKey): DataFrame =
     mentions.join(
-        broadcast(blockIndex(entities, maxDist)),
-        blockKey(col("mention")) === col("blk") &&
+        broadcast(blockIndex(entities, maxDist, keyFn)),
+        keyFn(col("mention")) === col("blk") &&
           length(col("mention")) === col("mlen"))
       .drop("blk", "mlen")
+
+  /** BOTH passes' raw blocked pairs, unioned DISJOINTLY with a `pass`
+   *  tag (1 = prefix, 2 = suffix-only): the pass-2 side keeps only
+   *  pairs whose PREFIXES differ — a row-local predicate on the
+   *  joined pair, so the union is exact with no distinct and no
+   *  exchange on the corpus-sized candidate relation. */
+  def blockedPairsUnion(mentions: DataFrame, entities: DataFrame,
+      maxDist: Int): DataFrame =
+    blockedPairs(mentions, entities, maxDist, blockKey)
+      .withColumn("pass", lit(1))
+      .unionAll(
+        blockedPairs(mentions, entities, maxDist, suffixKey)
+          .filter(blockKey(col("mention")) =!=
+            blockKey(col("entity_name")))
+          .withColumn("pass", lit(2)))
 
   /** Candidate (mention, entity) pairs with edit distance ≤ maxDist:
    *  [[blockedPairs]] + the thresholded levenshtein verify in the
@@ -89,44 +121,71 @@ object LinkOps {
           .cast("bigint"))
       .filter(col("lev") >= 0)
 
-  /** The block-ARRAY form of the index: one row per (prefix, len)
+  /** The block-ARRAY form of one pass's index: one row per (key, len)
    *  carrying the block's candidate array — what [[resolveAgainst]]
-   *  joins, so a mention meets at most ONE index row. Built once per
-   *  consumer in batch; the live gate materializes it at topology
-   *  build ([[graft.streaming.StreamOps.erGateStream]]). */
-  def blockArrayIndex(entities: DataFrame, maxDist: Int): DataFrame =
-    blockIndex(entities, maxDist)
+   *  joins, so a mention meets at most ONE index row PER PASS. Built
+   *  once per consumer in batch; the live gate materializes both
+   *  passes at topology build
+   *  ([[graft.streaming.StreamOps.erGateStream]]). */
+  def blockArrayIndex(entities: DataFrame, maxDist: Int,
+      keyFn: Column => Column = blockKey): DataFrame =
+    blockIndex(entities, maxDist, keyFn)
       .groupBy(col("blk"), col("mlen"))
       .agg(collect_list(struct(col("entity_id"), col("entity_name")))
         .as("cands"))
 
-  /** Resolution against a prebuilt [[blockArrayIndex]] frame — the
-   *  ONE definition batch [[bestMatches]] and the live er gate share
-   *  (stream == batch by construction): broadcast left join on the
-   *  block key, then a row-local `array_min` argmin over
-   *  struct(lev, entity_id, entity_name) — ties break to the smaller
-   *  entity_id by struct ordering. Unmatched mentions keep a NULL
-   *  `best`, so the caller can count coverage. */
-  def resolveAgainst(mentions: DataFrame, idx: DataFrame,
-      maxDist: Int): DataFrame =
-    mentions.join(broadcast(idx),
+  /** Resolution against prebuilt [[blockArrayIndex]] frames (pass 1 =
+   *  prefix-keyed, pass 2 = suffix-keyed) — the ONE definition batch
+   *  [[bestMatches]] and the live er gate share (stream == batch by
+   *  construction): one broadcast left join PER PASS, the candidate
+   *  arrays concatenated row-locally (`flatten(array_compact(...))` —
+   *  an entity reachable through both passes appears twice, which the
+   *  argmin ignores), then a row-local `array_min` argmin over
+   *  struct(lev, entity_id, entity_name) — the GLOBAL best across
+   *  both passes, ties to the smaller entity_id by struct ordering.
+   *  Unmatched mentions keep a NULL `best`, so the caller can count
+   *  coverage. Mentions still never shuffle: two broadcast joins,
+   *  everything else per-row. */
+  def resolveAgainst(mentions: DataFrame, idxPrefix: DataFrame,
+      idxSuffix: DataFrame, maxDist: Int): DataFrame =
+    mentions
+      .join(broadcast(idxPrefix
+          .withColumnRenamed("cands", "cands1")),
         blockKey(col("mention")) === col("blk") &&
           length(col("mention")) === col("mlen"),
         "left")
+      .drop("blk", "mlen")
+      .join(broadcast(idxSuffix
+          .withColumnRenamed("cands", "cands2")),
+        suffixKey(col("mention")) === col("blk") &&
+          length(col("mention")) === col("mlen"),
+        "left")
+      .drop("blk", "mlen")
       .withColumn("best",
         array_min(filter(
-          transform(col("cands"), e =>
-            struct(
-              levenshtein(col("mention"), e("entity_name"), maxDist)
-                .cast("bigint").as("lev"),
-              e("entity_id").as("entity_id"),
-              e("entity_name").as("entity_name"))),
+          transform(
+            flatten(array_compact(array(col("cands1"), col("cands2")))),
+            e =>
+              struct(
+                levenshtein(col("mention"), e("entity_name"), maxDist)
+                  .cast("bigint").as("lev"),
+                e("entity_id").as("entity_id"),
+                e("entity_name").as("entity_name"))),
           s => s("lev") >= 0)))
-      .drop("blk", "mlen", "cands")
+      .drop("cands1", "cands2")
 
   /** Best match per mention WITHOUT shuffling mentions:
-   *  [[resolveAgainst]] over the freshly-built [[blockArrayIndex]]. */
+   *  [[resolveAgainst]] over freshly-built prefix + suffix
+   *  [[blockArrayIndex]] passes. The catalog aggregation is
+   *  MATERIALIZED once (localCheckpoint) — both index branches read
+   *  it instead of re-running the distinct-surface agg per pass
+   *  (catalog-sized, the phashCorpus convention; handle left to the
+   *  ContextCleaner). */
   def bestMatches(mentions: DataFrame, entities: DataFrame,
-      maxDist: Int): DataFrame =
-    resolveAgainst(mentions, blockArrayIndex(entities, maxDist), maxDist)
+      maxDist: Int): DataFrame = {
+    val ents = entities.localCheckpoint()
+    resolveAgainst(mentions,
+      blockArrayIndex(ents, maxDist, blockKey),
+      blockArrayIndex(ents, maxDist, suffixKey), maxDist)
+  }
 }

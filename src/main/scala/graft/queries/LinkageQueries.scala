@@ -129,16 +129,23 @@ object LinkageQueries {
    *  eval-specific so the curve is non-vacuous — every key gets a
    *  single deletion, but keys ≡ 0 (mod [[PrefixDamageMod]]) delete
    *  at position 2, INSIDE the 3-char blocking prefix, so the
-   *  (prefix, length) scheme provably misses them (completeness
-   *  ≈ 1 − 1/19, measured 0.947 at sf0.01) while the reduction ratio
-   *  stays ≈ 0.98 — exactly the trade a production pass tunes with
-   *  additional blocking passes. Metrics measure [[graft.ops.LinkOps
-   *  .blockedPairs]] — the blocker ALONE, before the edit-distance
-   *  verify.
+   *  (prefix, length) pass provably misses them (completeness
+   *  ≈ 1 − 1/19, measured 0.947 at sf0.01) — and the SUFFIX pass
+   *  provably recovers them (a deletion damages the prefix or the
+   *  tail content, never both at length ≥ 6), so the UNIONED
+   *  completeness is exactly 1.0 on this mix. Both rungs are
+   *  reported: per-pass completeness (the measured recall hole) and
+   *  unioned completeness + reduction ratio (the production
+   *  scheme's honest cost — more candidates, still ≈ 0.96 pruned).
+   *  Metrics measure [[graft.ops.LinkOps.blockedPairsUnion]] — the
+   *  blockers ALONE, before the edit-distance verify; the pass tag
+   *  keeps the two schemes separable in ONE scan.
    *
-   *  Scale shape: one mention scan through the broadcast block join +
-   *  one global agg; the entity/mention counts are one-row broadcast
-   *  frames (the crossJoin-tiny convention). */
+   *  Scale shape: one mention scan per pass through a broadcast
+   *  block join + ONE global agg over the tagged union (the pass
+   *  split is a row-local predicate, no distinct); the entity/
+   *  mention counts are one-row broadcast frames (the crossJoin-tiny
+   *  convention). */
   def erBlockingEval(spark: SparkSession, sfDir: String): DataFrame = {
     val parts = Tables.part(spark, sfDir)
     val men = parts.filter(length(col("p_name")) >= 6)
@@ -151,16 +158,23 @@ object LinkageQueries {
     val ents = catalogOf(parts)
     val counts = men.agg(count(lit(1)).as("n_mentions"))
       .crossJoin(broadcast(ents.agg(count(lit(1)).as("n_entities"))))
-    LinkOps.blockedPairs(men, ents, MaxDist)
-      .agg(count(lit(1)).as("n_candidates"),
+    LinkOps.blockedPairsUnion(men, ents, MaxDist)
+      .agg(
+        count(when(col("pass") === 1, 1)).as("n_cand_prefix"),
+        count(when(col("pass") === 1 &&
+          col("entity_name") === col("clean"), 1)).as("n_caught_prefix"),
+        count(lit(1)).as("n_cand_union"),
         count(when(col("entity_name") === col("clean"), 1))
-          .as("n_caught"))
+          .as("n_caught_union"))
       .crossJoin(broadcast(counts))
-      .select(col("n_mentions"), col("n_entities"), col("n_candidates"),
-        col("n_caught"),
-        (col("n_caught").cast("double") / col("n_mentions"))
-          .as("pair_completeness"),
-        (lit(1.0) - col("n_candidates").cast("double") /
+      .select(col("n_mentions"), col("n_entities"),
+        col("n_cand_prefix"), col("n_caught_prefix"),
+        (col("n_caught_prefix").cast("double") / col("n_mentions"))
+          .as("completeness_prefix"),
+        col("n_cand_union"), col("n_caught_union"),
+        (col("n_caught_union").cast("double") / col("n_mentions"))
+          .as("completeness_union"),
+        (lit(1.0) - col("n_cand_union").cast("double") /
           (col("n_mentions") * col("n_entities")))
           .as("reduction_ratio"))
   }
@@ -205,9 +219,12 @@ object LinkageQueries {
           expr(deleteAt("p_name", "p_partkey")).as("name"))))
   }
 
-  /** The [[erSelfClusters]] engine over any (rec_id, name) relation —
-   *  factored so the spec can plant bridge/overmerge shapes. */
-  private[graft] def erSelfClustersOf(recs: DataFrame): DataFrame = {
+  /** The ONE surface-closure construction [[erSelfClustersOf]] and
+   *  [[erSelfClustersCappedOf]] share: exact-surface collapse, blocked
+   *  fuzzy surface pairs, connected components. Returns (surfaces,
+   *  clusters(id, cluster)). */
+  private def selfClusterLabels(recs: DataFrame)
+      : (DataFrame, DataFrame) = {
     val surfaces = LinkOps.entityCatalog(
       recs, col("rec_id"), col("name"))
     val pairs = LinkOps.blockedCandidates(
@@ -216,13 +233,76 @@ object LinkageQueries {
         surfaces, MaxDist)
       .filter(col("lev") >= 1 && col("mention_id") < col("entity_id"))
       .select(col("mention_id").as("id1"), col("entity_id").as("id2"))
-    val clusters = graft.ops.DedupOps.connectedComponents(
-      pairs, surfaces.select(col("entity_id").as("id")))
+    (surfaces, graft.ops.DedupOps.connectedComponents(
+      pairs, surfaces.select(col("entity_id").as("id"))))
+  }
+
+  /** Label every record through its surface's cluster id — the shared
+   *  tail of both self-dedup variants. */
+  private def labelRecords(recs: DataFrame, surfaces: DataFrame,
+      clusters: DataFrame): DataFrame =
     recs
       .join(broadcast(surfaces), col("name") === col("entity_name"))
       .join(broadcast(clusters), col("entity_id") === col("id"))
       .select(col("rec_id"), col("cluster"),
         (col("rec_id") === col("cluster")).as("is_survivor"))
+
+  /** The [[erSelfClusters]] engine over any (rec_id, name) relation —
+   *  factored so the spec can plant bridge/overmerge shapes. */
+  private[graft] def erSelfClustersOf(recs: DataFrame): DataFrame = {
+    val (surfaces, clusters) = selfClusterLabels(recs)
+    labelRecords(recs, surfaces, clusters)
+  }
+
+  /** Surface-count cap for [[erSelfClustersCapped]]: the fixture's
+   *  intended merges are (base, dup) two-surface components, so any
+   *  larger component is transitive overmerge by construction. */
+  val SelfClusterCap = 2
+
+  /** OVERMERGE-BOUNDED self-dedup — the production guardrail the
+   *  [[erSelfClusters]] scaladoc names (cluster-size caps bounding
+   *  the classic transitive-closure hazard), as a gated twin (the
+   *  uv_approx/mad_approx convention: the cap is a parameter, the
+   *  oracle re-derives the same capped closure): components whose
+   *  SURFACE count exceeds [[SelfClusterCap]] DISSOLVE back to
+   *  exact-surface clusters — the fuzzy merges in an oversized
+   *  component are exactly the untrusted ones (a corrupted surface
+   *  within distance of TWO real names bridges their clusters), so
+   *  the pass keeps the cheap exact dedup and routes the oversized
+   *  closure to review instead of silently merging distinct
+   *  entities. The cap counts SURFACES, not records: popular exact
+   *  duplicates must not dissolve a legitimate merge.
+   *
+   *  Scale shape: [[erSelfClusters]] plus ONE surface-sized size agg
+   *  and a row-local CASE — same broadcast joins, no new shuffle on
+   *  the record side. */
+  def erSelfClustersCapped(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val parts = Tables.part(spark, sfDir)
+    erSelfClustersCappedOf(parts
+      .select(col("p_partkey").as("rec_id"), col("p_name").as("name"))
+      .unionAll(parts
+        .filter(col("p_partkey") % DupMod === 0 &&
+          length(col("p_name")) >= 6)
+        .select((-(col("p_partkey") + 1)).as("rec_id"),
+          expr(deleteAt("p_name", "p_partkey")).as("name"))),
+      SelfClusterCap)
+  }
+
+  /** The [[erSelfClustersCapped]] engine over any (rec_id, name)
+   *  relation — factored so the spec can plant a bridge the cap
+   *  splits. */
+  private[graft] def erSelfClustersCappedOf(recs: DataFrame,
+      cap: Int): DataFrame = {
+    val (surfaces, clusters) = selfClusterLabels(recs)
+    val sizes = clusters.groupBy(col("cluster")).agg(
+      count(lit(1)).as("sz"))
+    val capped = clusters
+      .join(broadcast(sizes), "cluster")
+      .select(col("id"),
+        when(col("sz") > cap, col("id")).otherwise(col("cluster"))
+          .as("cluster"))
+    labelRecords(recs, surfaces, capped)
   }
 
   /** The linkage scorecard: coverage (junk mentions lower it),

@@ -4482,6 +4482,15 @@ object Oracles {
        |  FROM men m JOIN ent e
        |    ON substr(m.mention, 1, 3) = substr(e.entity_name, 1, 3)
        |   AND abs(length(e.entity_name) - length(m.mention)) <= $d
+       |  WHERE levenshtein(m.mention, e.entity_name) <= $d),
+       |cand2 AS (
+       |  SELECT m.mention_id, m.mention, m.clean, e.entity_id,
+       |         e.entity_name,
+       |         CAST(levenshtein(m.mention, e.entity_name) AS BIGINT) AS lev
+       |  FROM men m JOIN ent e
+       |    ON (substr(m.mention, 1, 3) = substr(e.entity_name, 1, 3)
+       |        OR substr(m.mention, -3, 3) = substr(e.entity_name, -3, 3))
+       |   AND abs(length(e.entity_name) - length(m.mention)) <= $d
        |  WHERE levenshtein(m.mention, e.entity_name) <= $d)""".stripMargin
   }
 
@@ -4490,10 +4499,11 @@ object Oracles {
        |SELECT mention_id, mention, entity_id, entity_name, lev
        |FROM cand""".stripMargin
 
-  /** Mirrors [[LinkageQueries.erMatches]]: best per mention via
-   *  (lev, entity_id) rank — Spark's struct-min argmin has the same
-   *  total order because entity_name is functionally determined by
-   *  entity_id. */
+  /** Mirrors [[LinkageQueries.erMatches]]: best per mention over the
+   *  TWO-PASS candidate union (cand2 — the prefix-OR-suffix block
+   *  join) via (lev, entity_id) rank — Spark's struct-min argmin has
+   *  the same total order because entity_name is functionally
+   *  determined by entity_id. */
   val erMatches: String =
     s"""$erPrelude,
        |best AS (
@@ -4501,7 +4511,7 @@ object Oracles {
        |         coalesce(entity_name = clean, false) AS is_correct,
        |         row_number() OVER (PARTITION BY mention_id
        |                            ORDER BY lev, entity_id) AS rk
-       |  FROM cand)
+       |  FROM cand2)
        |SELECT mention_id, mention, entity_id, entity_name, lev, is_correct
        |FROM best WHERE rk = 1""".stripMargin
 
@@ -4511,7 +4521,7 @@ object Oracles {
        |  SELECT mention_id, clean, entity_name, lev,
        |         row_number() OVER (PARTITION BY mention_id
        |                            ORDER BY lev, entity_id) AS rk
-       |  FROM cand),
+       |  FROM cand2),
        |m AS (
        |  SELECT men.mention_id, b.entity_name, men.clean AS clean
        |  FROM men LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
@@ -4666,8 +4676,10 @@ object Oracles {
       |FROM agg a JOIN totals t USING (event_type)""".stripMargin
 
   /** Mirrors [[LinkageQueries.erBlockingEval]]: the eval-specific
-   *  mention mix (prefix-damaging deletions every 19th key), the RAW
-   *  block join with no verify, and both blocking metrics re-derived. */
+   *  mention mix (prefix-damaging deletions every 19th key), BOTH raw
+   *  block joins with no verify (suffix pass restricted to
+   *  different-prefix pairs — the engine's disjoint-union rule), and
+   *  the per-pass + unioned metrics re-derived. */
   val erBlockingEval: String = {
     val pm = LinkageQueries.PrefixDamageMod
     val d = LinkageQueries.MaxDist
@@ -4684,20 +4696,34 @@ object Oracles {
        |  SELECT min(p_partkey) AS entity_id, p_name AS entity_name
        |  FROM part GROUP BY p_name),
        |bp AS (
-       |  SELECT m.mention_id, m.clean, e.entity_name
+       |  SELECT m.mention_id, m.clean, e.entity_name, 1 AS pass
        |  FROM men m JOIN ent e
        |    ON substr(m.mention, 1, 3) = substr(e.entity_name, 1, 3)
+       |   AND abs(length(e.entity_name) - length(m.mention)) <= $d
+       |  UNION ALL
+       |  SELECT m.mention_id, m.clean, e.entity_name, 2
+       |  FROM men m JOIN ent e
+       |    ON substr(m.mention, -3, 3) = substr(e.entity_name, -3, 3)
+       |   AND substr(m.mention, 1, 3) <> substr(e.entity_name, 1, 3)
        |   AND abs(length(e.entity_name) - length(m.mention)) <= $d),
        |c AS (
-       |  SELECT count(*) AS n_candidates,
-       |         count(*) FILTER (entity_name = clean) AS n_caught
+       |  SELECT count(*) FILTER (pass = 1) AS n_cand_prefix,
+       |         count(*) FILTER (pass = 1 AND entity_name = clean)
+       |           AS n_caught_prefix,
+       |         count(*) AS n_cand_union,
+       |         count(*) FILTER (entity_name = clean) AS n_caught_union
        |  FROM bp),
        |n AS (
        |  SELECT (SELECT count(*) FROM men) AS n_mentions,
        |         (SELECT count(*) FROM ent) AS n_entities)
-       |SELECT n_mentions, n_entities, n_candidates, n_caught,
-       |       CAST(n_caught AS DOUBLE) / n_mentions AS pair_completeness,
-       |       1.0 - CAST(n_candidates AS DOUBLE) /
+       |SELECT n_mentions, n_entities,
+       |       n_cand_prefix, n_caught_prefix,
+       |       CAST(n_caught_prefix AS DOUBLE) / n_mentions
+       |         AS completeness_prefix,
+       |       n_cand_union, n_caught_union,
+       |       CAST(n_caught_union AS DOUBLE) / n_mentions
+       |         AS completeness_union,
+       |       1.0 - CAST(n_cand_union AS DOUBLE) /
        |         (n_mentions * n_entities) AS reduction_ratio
        |FROM c, n""".stripMargin
   }
@@ -4738,6 +4764,51 @@ object Oracles {
        |FROM recs r
        |JOIN surf s ON r.name = s.name
        |JOIN cl ON s.sid = cl.node""".stripMargin
+  }
+
+  /** Mirrors [[LinkageQueries.erSelfClustersCapped]]: the same
+   *  re-derived closure as [[erSelfClusters]], then the SURFACE-count
+   *  cap re-applied independently — components past the cap dissolve
+   *  to exact-surface clusters via a CASE over the size rollup. */
+  val erSelfClustersCapped: String = {
+    val h = LinkageQueries.DupMod
+    val d = LinkageQueries.MaxDist
+    val cap = LinkageQueries.SelfClusterCap
+    def del(name: String, key: String) =
+      s"substr($name, 1, 4 + $key % (length($name) - 4) - 1) || " +
+        s"substr($name, 4 + $key % (length($name) - 4) + 1, 100)"
+    s"""WITH RECURSIVE
+       |recs AS (
+       |  SELECT p_partkey AS rec_id, p_name AS name FROM part
+       |  UNION ALL
+       |  SELECT -(p_partkey + 1), ${del("p_name", "p_partkey")}
+       |  FROM part WHERE p_partkey % $h = 0 AND length(p_name) >= 6),
+       |surf AS (SELECT min(rec_id) AS sid, name FROM recs GROUP BY name),
+       |pairs AS (
+       |  SELECT x.sid AS id1, y.sid AS id2
+       |  FROM surf x JOIN surf y
+       |    ON substr(x.name, 1, 3) = substr(y.name, 1, 3)
+       |   AND abs(length(x.name) - length(y.name)) <= $d
+       |   AND x.sid < y.sid
+       |  WHERE levenshtein(x.name, y.name) BETWEEN 1 AND $d),
+       |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+       |          UNION SELECT id2, id1 FROM pairs),
+       |reach(node, l) AS (
+       |  SELECT sid, sid FROM surf
+       |  UNION
+       |  SELECT e.a, r.l FROM edges e JOIN reach r ON e.b = r.node),
+       |cl AS (SELECT node, min(l) AS cluster FROM reach GROUP BY node),
+       |sz AS (SELECT cluster, count(*) AS s FROM cl GROUP BY cluster),
+       |cc AS (
+       |  SELECT cl.node,
+       |         CASE WHEN sz.s > $cap THEN cl.node
+       |              ELSE cl.cluster END AS cluster
+       |  FROM cl JOIN sz USING (cluster))
+       |SELECT r.rec_id, CAST(cc.cluster AS BIGINT) AS cluster,
+       |       r.rec_id = cc.cluster AS is_survivor
+       |FROM recs r
+       |JOIN surf s ON r.name = s.name
+       |JOIN cc ON s.sid = cc.node""".stripMargin
   }
 
   /** Mirrors [[PipelineQueries.mmAudioFingerprint]]: the committed

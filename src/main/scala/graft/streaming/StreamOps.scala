@@ -966,12 +966,19 @@ object StreamOps {
       idCol: String, nameCol: String,
       maxDist: Int = graft.queries.LinkageQueries.MaxDist,
       maxCatalog: Long = 4000000L): DataFrame = {
-    val idx = graft.ops.LinkOps.blockArrayIndex(
-        graft.ops.LinkOps.entityCatalog(catalog, col(idCol), col(nameCol)),
-        maxDist)
-      .localCheckpoint()
-    val nEntries = idx.agg(
-      coalesce(sum(size(col("cands"))), lit(0L))).head.getLong(0)
+    val ents = graft.ops.LinkOps.entityCatalog(
+      catalog, col(idCol), col(nameCol)).localCheckpoint()
+    // BOTH blocking passes materialized at build (the batch
+    // er_matches architecture: prefix + suffix, candidates unioned
+    // row-locally at resolve time)
+    val idxP = graft.ops.LinkOps.blockArrayIndex(
+      ents, maxDist, graft.ops.LinkOps.blockKey).localCheckpoint()
+    val idxS = graft.ops.LinkOps.blockArrayIndex(
+      ents, maxDist, graft.ops.LinkOps.suffixKey).localCheckpoint()
+    val nEntries = idxP.agg(
+      coalesce(sum(size(col("cands"))), lit(0L))).head.getLong(0) +
+      idxS.agg(
+        coalesce(sum(size(col("cands"))), lit(0L))).head.getLong(0)
     require(nEntries > 0,
       "er gate catalog is EMPTY (no entities) — a gate over zero " +
         "entities would mark every mention nomatch; point --catalog " +
@@ -981,7 +988,7 @@ object StreamOps {
         s"$maxCatalog; a broadcast this size risks executor memory — " +
         "link with the batch blocked join (LinkageQueries.erMatches) " +
         "instead, or raise maxCatalog if the memory budget allows")
-    graft.ops.LinkOps.resolveAgainst(mentions, idx, maxDist)
+    graft.ops.LinkOps.resolveAgainst(mentions, idxP, idxS, maxDist)
       .withColumn("decision",
         when(col("best").isNotNull, lit("match")).otherwise(lit("nomatch")))
       .withColumn("entity_id", col("best")("entity_id"))

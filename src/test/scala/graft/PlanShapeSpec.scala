@@ -671,9 +671,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "mention-entity join degraded to SMJ:\n" + p)
     // only the CATALOG-sized aggregations may hash-exchange (distinct
-    // names; block-array collect) — mentions flow scan -> broadcast
-    // join -> project with zero exchanges
+    // names; one block-array collect PER BLOCKING PASS — prefix +
+    // suffix since r19) — mentions flow scan -> two broadcast joins
+    // -> project with zero exchanges
     val ex = "Exchange hashpartitioning".r.findAllMatchIn(p).length
-    assert(ex <= 2, s"mention side shuffled ($ex hash exchanges):\n" + p)
+    assert(ex <= 3, s"mention side shuffled ($ex hash exchanges):\n" + p)
   }
 }

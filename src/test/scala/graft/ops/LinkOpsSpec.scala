@@ -61,17 +61,100 @@ class LinkOpsSpec extends SparkSpec {
     assert(got == want, got)
   }
 
-  test("erBlockingEval is non-vacuous BOTH ways: the prefix-damage " +
-      "class lowers pair completeness below 1, and the blocker still " +
-      "prunes most of the cross product") {
+  test("erSelfClustersCappedOf: a planted bridge (one corrupt surface " +
+      "within distance of TWO real names) is SPLIT by the cap — the " +
+      "oversized component dissolves to exact-surface clusters — " +
+      "while a legitimate two-surface (base, dup) merge survives") {
+    val recs = Seq(
+      (1L, "acme corp"), (2L, "acme core"), // two REAL entities
+      (-5L, "acme cor"),  // bridge: lev 1 to BOTH -> size-3 component
+      (9L, "zen labs"), (-10L, "zen lab"), // legitimate pair: size 2
+      (11L, "zen labs"))  // exact dup of 9 (records, ONE surface)
+      .toDF("rec_id", "name")
+    val got = graft.queries.LinkageQueries
+      .erSelfClustersCappedOf(recs, cap = 2)
+      .select("rec_id", "cluster", "is_survivor")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val want = Set(
+      // bridged component {corp, core, cor} dissolved: each surface
+      // keeps its exact-collapse cluster
+      (1L, 1L, true), (2L, 2L, true), (-5L, -5L, true),
+      // the two-surface zen merge is UNDER the cap and survives,
+      // exact record-dups riding the surface (cap counts SURFACES)
+      (9L, -10L, false), (11L, -10L, false), (-10L, -10L, true))
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    // the UNCAPPED variant merges the bridge — the capped twin is
+    // non-vacuous against it
+    val un = graft.queries.LinkageQueries.erSelfClustersOf(recs)
+      .filter(col("rec_id") === 1L || col("rec_id") === 2L)
+      .select("cluster").as[Long].collect().toSet
+    assert(un == Set(-5L), s"fixture drifted: the bridge must overmerge uncapped: $un")
+  }
+
+  test("erBlockingEval is non-vacuous THREE ways: the prefix-damage " +
+      "class lowers the prefix pass's completeness below 1, the " +
+      "SUFFIX pass recovers it to exactly 1.0 (a single deletion " +
+      "damages prefix or tail content, never both), and the unioned " +
+      "blocker still prunes most of the cross product") {
     val r = graft.queries.LinkageQueries
       .erBlockingEval(spark, "/root/testdata/sf0.001")
       .collect().head
-    val completeness = r.getAs[Double]("pair_completeness")
+    val cp = r.getAs[Double]("completeness_prefix")
+    val cu = r.getAs[Double]("completeness_union")
     val reduction = r.getAs[Double]("reduction_ratio")
-    assert(completeness < 1.0 && completeness > 0.85,
-      s"completeness $completeness out of the designed band")
+    assert(cp < 1.0 && cp > 0.85,
+      s"prefix completeness $cp out of the designed band")
+    assert(cu == 1.0, s"unioned completeness $cu — the suffix pass " +
+      "must recover every single-deletion corruption")
     assert(reduction > 0.5, s"reduction $reduction — blocker not pruning")
+    // the union's honest cost: more candidates than pass 1 alone
+    assert(r.getAs[Long]("n_cand_union") > r.getAs[Long]("n_cand_prefix"))
+  }
+
+  test("the suffix pass recovers a PREFIX-damaged mention that the " +
+      "prefix pass provably misses, through the same global argmin") {
+    val mentions = Seq((30L, "ame corp")) // deletion INSIDE the prefix
+      .toDF("mention_id", "mention")
+    val ents = LinkOps.entityCatalog(catalog, col("p_partkey"), col("p_name"))
+    // pass 1 alone: block key "ame" != "acm" -> no candidates
+    val p1 = LinkOps.blockedCandidates(mentions, ents, maxDist = 2)
+    assert(p1.count() == 0, "fixture drifted: prefix pass must miss")
+    // the union: suffix "orp" == "orp" -> found at lev 1
+    val got = LinkOps.bestMatches(mentions, ents, maxDist = 2)
+      .select(col("mention_id"), col("best")("entity_id"),
+        col("best")("lev"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((30L, 1L, 1L)), got.toSeq)
+  }
+
+  test("two-pass resolution is HASH-IDENTICAL to the prefix-only pass " +
+      "on the fixture's past-prefix corruption class — the second " +
+      "pass adds recall, never disturbs an existing match") {
+    val parts = graft.model.Tables.part(spark, "/root/testdata/sf0.001")
+    val men = graft.queries.LinkageQueries.mentionsOf(parts)
+    val ents = LinkOps.entityCatalog(parts, col("p_partkey"), col("p_name"))
+    val d = graft.queries.LinkageQueries.MaxDist
+    val idxP = LinkOps.blockArrayIndex(ents, d, LinkOps.blockKey)
+    val oldBest = men.join(broadcast(idxP),
+        LinkOps.blockKey(col("mention")) === col("blk") &&
+          length(col("mention")) === col("mlen"), "left")
+      .withColumn("best", array_min(filter(transform(col("cands"), e =>
+        struct(levenshtein(col("mention"), e("entity_name"), d)
+            .cast("bigint").as("lev"),
+          e("entity_id").as("entity_id"),
+          e("entity_name").as("entity_name"))),
+        s => s("lev") >= 0)))
+      .filter(col("best").isNotNull)
+      .select(col("mention_id"), col("best")("entity_id").as("eid"),
+        col("best")("lev").as("lv"))
+      .as[(Long, Long, Long)].collect().toSet
+    val newBest = LinkOps.bestMatches(men, ents, d)
+      .filter(col("best").isNotNull)
+      .select(col("mention_id"), col("best")("entity_id").as("eid"),
+        col("best")("lev").as("lv"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(oldBest == newBest,
+      s"diff=${(oldBest diff newBest).take(3)} / ${(newBest diff oldBest).take(3)}")
   }
 
   test("blocking recall is EXACT for the fixture's corruption class: " +
