@@ -101,14 +101,19 @@ object LinkOps {
    *  joined pair, so the union is exact with no distinct and no
    *  exchange on the corpus-sized candidate relation. */
   def blockedPairsUnion(mentions: DataFrame, entities: DataFrame,
-      maxDist: Int): DataFrame =
-    blockedPairs(mentions, entities, maxDist, blockKey)
+      maxDist: Int): DataFrame = {
+    // catalog agg MATERIALIZED once — both pass branches read it
+    // instead of re-running the distinct-surface agg (the bestMatches
+    // convention; handle left to the ContextCleaner)
+    val ents = entities.localCheckpoint()
+    blockedPairs(mentions, ents, maxDist, blockKey)
       .withColumn("pass", lit(1))
       .unionAll(
-        blockedPairs(mentions, entities, maxDist, suffixKey)
+        blockedPairs(mentions, ents, maxDist, suffixKey)
           .filter(blockKey(col("mention")) =!=
             blockKey(col("entity_name")))
           .withColumn("pass", lit(2)))
+  }
 
   /** Candidate (mention, entity) pairs with edit distance ≤ maxDist:
    *  [[blockedPairs]] + the thresholded levenshtein verify in the

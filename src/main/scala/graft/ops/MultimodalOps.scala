@@ -172,12 +172,17 @@ object MultimodalOps {
    * Strict and total: magic + in-bounds RIFF size required (bytes
    * past riffEnd beyond one pad byte are a truncation/concat lie —
    * quarantine), every chunk must sit inside the RIFF bound, both
-   * `fmt ` and `data` must be present, channels/rate positive.
-   * Non-PCM16LE formats (compressed encodings, 8/24-bit,
-   * WAVE_FORMAT_EXTENSIBLE) quarantine for ROUTING exactly like the
-   * AudioSystem path did — same accepted class: the old path parsed
-   * AIFF/AU too but those are big-endian PCM at best, so its PCM16LE
-   * guard quarantined them anyway. Returns
+   * `fmt ` and `data` must be present (FIRST of each wins — the
+   * stream readers' contract; later duplicates are untrusted),
+   * channels/rate positive. Accepted formats: PCM (tag 1) at 16 bits,
+   * plus WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) whose SubFormat GUID is
+   * KSDATAFORMAT_SUBTYPE_PCM at 16 container bits — the standard
+   * header for multichannel/tooling-produced PCM, which the JDK's
+   * extensible reader also decoded. Everything else (compressed
+   * encodings, 8/24-bit, float) quarantines for ROUTING; the old
+   * AudioSystem path parsed AIFF/AU containers too, but those are
+   * big-endian PCM at best, so its PCM16LE guard quarantined them
+   * anyway — same accepted class. Returns
    * (sampleRate, channels, bytes, dataFrom, dataLen) — a range into
    * the input, no copy.
    */
@@ -195,18 +200,32 @@ object MultimodalOps {
         return None
       var rate = -1
       var ch = -1
+      var fmtSeen = false
       var fmtOk = false
       var dataFrom = -1L
       var dataLen = -1L
+      // KSDATAFORMAT_SUBTYPE_PCM, little-endian GUID bytes
+      val PcmGuid = Array[Byte](0x01, 0x00, 0x00, 0x00, 0x00, 0x00,
+        0x10, 0x00, 0x80.toByte, 0x00, 0x00, 0xAA.toByte, 0x00,
+        0x38, 0x9B.toByte, 0x71)
       var p = 12L
       while (p + 8 <= riffEnd) {
         val ck = fourcc(p.toInt)
         val sz = u32(p.toInt + 4)
         val body = p + 8
         if (body + sz > riffEnd) return None // escapes RIFF
-        if (ck == "fmt " && sz >= 16) {
-          fmtOk = u16(body.toInt) == 1 /* PCM */ &&
-            u16(body.toInt + 14) == 16 /* bits */
+        if (ck == "fmt " && sz >= 16 && !fmtSeen) {
+          // FIRST fmt wins (like data below): a later duplicate is
+          // untrusted structure and must not overwrite the header
+          // the stream readers would decode by
+          fmtSeen = true
+          val tag = u16(body.toInt)
+          val extensiblePcm = tag == 0xFFFE && sz >= 40 &&
+            u16(body.toInt + 14) == 16 /* container bits */ &&
+            (0 until 16).forall(i =>
+              b(body.toInt + 24 + i) == PcmGuid(i))
+          fmtOk = (tag == 1 /* PCM */ &&
+            u16(body.toInt + 14) == 16 /* bits */) || extensiblePcm
           ch = u16(body.toInt + 2)
           rate = u32(body.toInt + 4).toInt
         } else if (ck == "data") {
@@ -271,7 +290,7 @@ object MultimodalOps {
   private[graft] def audioClipFingerprint(id: Long, bytes: Array[Byte])
       : graft.model.AudioFingerprint = {
     def bad(i: Long) = graft.model.AudioFingerprint(i, -1, -1L, 0L)
-    wavPcm16le(bytes) match {
+    try wavPcm16le(bytes) match {
       case None => bad(id)
       case Some((rate, ch, data, from, len)) =>
         val n = len / (2 * ch)
@@ -282,8 +301,11 @@ object MultimodalOps {
           var w = 0
           while (w < W) {
             var acc = 0L
-            var t = w * n / W
-            val end = (w + 1) * n / W
+            // LONG window bounds: w * n wraps Int past ~34M samples
+            // (a legal ~13-minute mono clip) — negative index at best,
+            // a silently skipped window at worst
+            var t = (w.toLong * n / W).toInt
+            val end = ((w + 1).toLong * n / W).toInt
             while (t < end) {
               val p = from + t * 2 * ch // channel 0 of frame t
               val s = ((data(p) & 0xFF) |
@@ -315,6 +337,11 @@ object MultimodalOps {
           }
           graft.model.AudioFingerprint(id, rate, n.toLong, bits)
         }
+    } catch {
+      // the family contract: malformed payloads are ROUTED, never a
+      // task kill (the walker catches its own, but the fold must not
+      // be the one unguarded stretch)
+      case scala.util.control.NonFatal(_) => bad(id)
     }
   }
 

@@ -208,16 +208,20 @@ object LinkageQueries {
    *  broadcast block index, never a record-level self-join; CC runs
    *  over surface-pair edges; the final record labeling is one
    *  broadcast join back on the name. */
-  def erSelfClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val parts = Tables.part(spark, sfDir)
-    erSelfClustersOf(parts
+  /** The ONE dirty-records relation both self-dedup variants
+   *  deduplicate: every part row plus the DupMod-th keys' fuzzy
+   *  duplicates (−(key+1) keyspace, the [[deleteAt]] corruption). */
+  private def selfDedupRecsOf(parts: DataFrame): DataFrame =
+    parts
       .select(col("p_partkey").as("rec_id"), col("p_name").as("name"))
       .unionAll(parts
         .filter(col("p_partkey") % DupMod === 0 &&
           length(col("p_name")) >= 6)
         .select((-(col("p_partkey") + 1)).as("rec_id"),
-          expr(deleteAt("p_name", "p_partkey")).as("name"))))
-  }
+          expr(deleteAt("p_name", "p_partkey")).as("name")))
+
+  def erSelfClusters(spark: SparkSession, sfDir: String): DataFrame =
+    erSelfClustersOf(selfDedupRecsOf(Tables.part(spark, sfDir)))
 
   /** The ONE surface-closure construction [[erSelfClustersOf]] and
    *  [[erSelfClustersCappedOf]] share: exact-surface collapse, blocked
@@ -277,17 +281,9 @@ object LinkageQueries {
    *  and a row-local CASE — same broadcast joins, no new shuffle on
    *  the record side. */
   def erSelfClustersCapped(spark: SparkSession, sfDir: String)
-      : DataFrame = {
-    val parts = Tables.part(spark, sfDir)
-    erSelfClustersCappedOf(parts
-      .select(col("p_partkey").as("rec_id"), col("p_name").as("name"))
-      .unionAll(parts
-        .filter(col("p_partkey") % DupMod === 0 &&
-          length(col("p_name")) >= 6)
-        .select((-(col("p_partkey") + 1)).as("rec_id"),
-          expr(deleteAt("p_name", "p_partkey")).as("name"))),
+      : DataFrame =
+    erSelfClustersCappedOf(selfDedupRecsOf(Tables.part(spark, sfDir)),
       SelfClusterCap)
-  }
 
   /** The [[erSelfClustersCapped]] engine over any (rec_id, name)
    *  relation — factored so the spec can plant a bridge the cap

@@ -840,8 +840,10 @@ object StreamOps {
    * Live VIDEO near-dup admission gate — the `phash_gate` device
    * lifted to FRAME SEQUENCES (the streaming form of
    * `PipelineQueries.mmVideoNeardup`'s qualification rule): corpus
-   * clips (first column = clip id, second = payload bytes, container
-   * magic-sniffed per clip — GIF or MJPEG-AVI) are decoded +
+   * clips (columns `corpusIdCol`/`corpusBytesCol`, BY NAME — a
+   * user-supplied parquet with reordered columns must not silently
+   * bind the wrong field; container magic-sniffed per clip — GIF or
+   * MJPEG-AVI) are decoded +
    * per-frame hashed ONCE at topology build (the
    * SHARED batch decode — stream and batch hash the same pixels by
    * construction), bucketed into one banded image index PER FRAME
@@ -859,9 +861,11 @@ object StreamOps {
       maxHamming: Int =
         graft.queries.PipelineQueries.VideoFrameMaxHamming,
       maxCorpus: Long = 4000000L,
-      bytesCol: String = "gif"): DataFrame = {
+      bytesCol: String = "gif",
+      corpusIdCol: String = "clip_id",
+      corpusBytesCol: String = "gif"): DataFrame = {
     val hashed = graft.ops.MultimodalOps.videoFramePhashesPartitioned(
-        corpus, corpus.columns(0), corpus.columns(1), brightShift = 0)
+        corpus, corpusIdCol, corpusBytesCol, brightShift = 0)
       .toDF()
       .filter(col("width") =!= -1)
       .select(col("id"), col("frame"), col("phash"))
@@ -890,8 +894,9 @@ object StreamOps {
    * family (text quality/gopher/decontaminate/lm_score, embedding
    * outlier, image phash_gate, video video_gate, linkage er_gate)
    * with the envelope-DCT fingerprint of
-   * `PipelineQueries.mmAudioFingerprint`: corpus clips (first column
-   * = clip id, second = WAV bytes) are decoded + fingerprinted ONCE
+   * `PipelineQueries.mmAudioFingerprint`: corpus clips (columns
+   * `corpusIdCol`/`corpusBytesCol`, BY NAME — the video_gate
+   * contract) are decoded + fingerprinted ONCE
    * at topology build through the SHARED
    * `MultimodalOps.audioClipFingerprint` (stream and batch hash the
    * same samples by construction), banded into the hash-agnostic
@@ -914,9 +919,11 @@ object StreamOps {
       maxHamming: Int =
         graft.queries.PipelineQueries.AudioNeardupMaxHamming,
       maxCorpus: Long = 4000000L,
-      bytesCol: String = "wav"): DataFrame = {
+      bytesCol: String = "wav",
+      corpusIdCol: String = "clip_id",
+      corpusBytesCol: String = "wav"): DataFrame = {
     val hashed = graft.ops.MultimodalOps.audioFingerprintPartitioned(
-        corpus, corpus.columns(0), corpus.columns(1))
+        corpus, corpusIdCol, corpusBytesCol)
       .toDF()
       .filter(col("sample_rate") =!= -1)
       .select(col("id"), col("fp"))
@@ -975,10 +982,10 @@ object StreamOps {
       ents, maxDist, graft.ops.LinkOps.blockKey).localCheckpoint()
     val idxS = graft.ops.LinkOps.blockArrayIndex(
       ents, maxDist, graft.ops.LinkOps.suffixKey).localCheckpoint()
-    val nEntries = idxP.agg(
-      coalesce(sum(size(col("cands"))), lit(0L))).head.getLong(0) +
-      idxS.agg(
-        coalesce(sum(size(col("cands"))), lit(0L))).head.getLong(0)
+    // ONE driver action sizes both checkpointed indexes
+    val nEntries = idxP.select(size(col("cands")).as("n"))
+      .unionAll(idxS.select(size(col("cands")).as("n")))
+      .agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
     require(nEntries > 0,
       "er gate catalog is EMPTY (no entities) — a gate over zero " +
         "entities would mark every mention nomatch; point --catalog " +

@@ -91,8 +91,12 @@ object AudioDupFixture {
     var w = 0
     while (w < W) {
       var acc = 0L
-      var t = w * n / W
-      val end = (w + 1) * n / W
+      // LONG window bounds (the operator's rule): w * n wraps Int
+      // past ~34M samples; committed clips are ~2k samples, so the
+      // fixture hashes are unchanged — this keeps the REFERENCE
+      // definition exact for big-clip probes too
+      var t = (w.toLong * n / W).toInt
+      val end = ((w + 1).toLong * n / W).toInt
       while (t < end) {
         val s = samples(t).toLong
         acc += s * s

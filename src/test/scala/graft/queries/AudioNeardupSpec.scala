@@ -111,6 +111,88 @@ class AudioNeardupSpec extends SparkSpec {
     assert(e2.getMessage.contains("EMPTY"), e2.getMessage)
   }
 
+  /** Hand-rolled RIFF/WAVE bytes with an arbitrary fmt body — the
+    * probe for wavPcm16le's header contract. */
+  private def rawWav(fmtBody: Array[Byte], pcm: Array[Byte],
+      extraChunks: Array[Byte] = Array.empty): Array[Byte] = {
+    def le32(v: Long) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def chunk(cc: String, body: Array[Byte]) =
+      cc.getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    val payload = "WAVE".getBytes("US-ASCII") ++
+      chunk("fmt ", fmtBody) ++ extraChunks ++ chunk("data", pcm)
+    "RIFF".getBytes("US-ASCII") ++ le32(payload.length.toLong) ++ payload
+  }
+
+  private def pcmFmt(tag: Int, ch: Int, rate: Int, bits: Int,
+      ext: Array[Byte] = Array.empty): Array[Byte] = {
+    def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    le16(tag) ++ le16(ch) ++ le32(rate) ++ le32(rate * ch * bits / 8) ++
+      le16(ch * bits / 8) ++ le16(bits) ++ ext
+  }
+
+  test("wavPcm16le header contract: WAVE_FORMAT_EXTENSIBLE with the " +
+      "PCM SubFormat GUID is ACCEPTED (the JDK extensible reader's " +
+      "class); a duplicate fmt chunk cannot overwrite the first; " +
+      "float/extensible-non-PCM quarantine") {
+    val pcm = Array.tabulate[Byte](2000 * 2) { i =>
+      if (i % 2 == 0) ((i / 2) % 100).toByte else 0.toByte }
+    // extensible: cbSize 22 + validBits + channel mask + PCM GUID
+    val guid = Array[Byte](0x01, 0, 0, 0, 0, 0, 0x10, 0,
+      0x80.toByte, 0, 0, 0xAA.toByte, 0, 0x38, 0x9B.toByte, 0x71)
+    def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    val extBody = le16(22) ++ le16(16) ++
+      Array[Byte](1, 0, 0, 0) ++ guid
+    val okExt = rawWav(pcmFmt(0xFFFE, 1, 8000, 16, extBody), pcm)
+    val plain = rawWav(pcmFmt(1, 1, 8000, 16), pcm)
+    val extFp = MultimodalOps.audioClipFingerprint(1L, okExt)
+    val plainFp = MultimodalOps.audioClipFingerprint(2L, plain)
+    assert(extFp.sample_rate == 8000 && plainFp.sample_rate == 8000)
+    assert(extFp.fp == plainFp.fp,
+      "extensible and plain headers carry the SAME pcm -> same hash")
+    // duplicate fmt: a second garbage fmt must not overwrite the first
+    def chunk(cc: String, body: Array[Byte]) = {
+      def le32(v: Long) = Array((v & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 24) & 0xFF).toByte)
+      cc.getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+    }
+    val dupFmt = rawWav(pcmFmt(1, 1, 8000, 16), pcm,
+      extraChunks = chunk("fmt ", pcmFmt(85 /* mp3 */, 0, 0, 0)))
+    assert(MultimodalOps.audioClipFingerprint(3L, dupFmt).fp == plainFp.fp,
+      "FIRST fmt must win over a later duplicate")
+    // float (tag 3) and extensible with a non-PCM GUID quarantine
+    val floatWav = rawWav(pcmFmt(3, 1, 8000, 16), pcm)
+    // GUID sits past cbSize(2) + validBits(2) + channelMask(4)
+    val badGuid = extBody.clone(); badGuid(8) = 0x03
+    val extFloat = rawWav(pcmFmt(0xFFFE, 1, 8000, 16, badGuid), pcm)
+    assert(MultimodalOps.audioClipFingerprint(4L, floatWav).sample_rate == -1)
+    assert(MultimodalOps.audioClipFingerprint(5L, extFloat).sample_rate == -1)
+  }
+
+  test("window bounds stay exact past the 32-bit product line: a " +
+      "legal ~35M-sample mono clip fingerprints identically to the " +
+      "independent reference (w*n would wrap Int at window 62)") {
+    val n = 35000000 // > Int.MaxValue / 63
+    val pcm = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      val s = ((t % 100) - 50) * 100
+      pcm(2 * t) = (s & 0xFF).toByte
+      pcm(2 * t + 1) = ((s >> 8) & 0xFF).toByte
+      t += 1
+    }
+    val fp = MultimodalOps.audioClipFingerprint(7L,
+      rawWav(pcmFmt(1, 1, 8000, 16), pcm))
+    assert(fp.sample_rate == 8000 && fp.n_samples == n.toLong)
+    val want = AudioDupFixture.refAudioFp64(
+      tt => ((tt % 100) - 50) * 100, n)
+    assert(fp.fp == want, "big-clip fingerprint diverged from the reference")
+  }
+
   test("quarantine: corrupt bytes and too-short clips emit the " +
       "sentinel and never enter the dedup join") {
     val garbage = Array.tabulate[Byte](32)(i => (i * 31).toByte)

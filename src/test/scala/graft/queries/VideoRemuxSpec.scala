@@ -111,7 +111,8 @@ class VideoRemuxSpec extends SparkSpec {
     val gifCorpus = remux.filter(col("clip_id") < B + M)
     val in = MemoryStream[(Long, Array[Byte])]
     val gated = StreamOps.videoGateStream(
-      in.toDF().toDF("clip_id", "video"), gifCorpus, bytesCol = "video")
+      in.toDF().toDF("clip_id", "video"), gifCorpus, bytesCol = "video",
+      corpusBytesCol = "video")
     val q = StreamOps.toMemory(
       gated.select("clip_id", "decision", "matched_id", "max_hamming"),
       "video_gate_remux_test", OutputMode.Append,
