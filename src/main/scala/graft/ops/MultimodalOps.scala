@@ -256,8 +256,9 @@ object MultimodalOps {
    * REAL decode → 64-bit AUDIO FINGERPRINT — the clip-dedup
    * fingerprint for sound (the audio rung of the perceptual-hash
    * family: simhash for text, [[phash64]] for images/frames): decode
-   * via the SHARED [[wavPcm16le]] walk exactly like the histogram op
-   * (lock-free — the executor-thread contention note there), fold
+   * via the CONTAINER-GENERAL [[pcm16Frames]] dispatch (RIFF/WAVE or
+   * Sun AU, magic-sniffed; lock-free — the executor-thread contention
+   * note at [[wavPcm16le]]), fold
    * CHANNEL 0 into [[AfpW]] equal-window energies (Σ s², exact longs,
    * floor boundaries k·n/64 — a time-scale-free envelope, the
    * Haitsma–Kalker band-energy idea collapsed to one band),
@@ -283,16 +284,77 @@ object MultimodalOps {
       })
   }
 
+  /** CONTAINER-GENERAL audio PCM parse — magic-sniffed dispatch over
+   *  every audio container this engine decodes (the [[clipPhashes]]
+   *  convention on sound): RIFF/WAVE → [[wavPcm16le]]
+   *  (little-endian), `.snd` → [[auPcm16be]] (Sun AU, big-endian) —
+   *  an audio-dedup pass must fingerprint whatever containers the
+   *  corpus carries, and both routes feed the SAME sample fold, so a
+   *  clip and its re-master in the other container fingerprint
+   *  identically (lossless PCM both ways — no tolerance needed).
+   *  Returns (rate, channels, bytes, from, len, bigEndian). */
+  private[graft] def pcm16Frames(b: Array[Byte])
+      : Option[(Int, Int, Array[Byte], Int, Int, Boolean)] = {
+    val isWav = b != null && b.length >= 12 &&
+      new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(b, 8, 4, "US-ASCII") == "WAVE"
+    val isAu = b != null && b.length >= 24 &&
+      new String(b, 0, 4, "US-ASCII") == ".snd"
+    if (isWav)
+      wavPcm16le(b).map { case (r, c, d, f, l) => (r, c, d, f, l, false) }
+    else if (isAu)
+      auPcm16be(b).map { case (r, c, d, f, l) => (r, c, d, f, l, true) }
+    else None
+  }
+
+  /**
+   * Strict Sun AU (`.snd`) 16-bit linear-PCM parse — the second audio
+   * container rung beside [[wavPcm16le]] (the public header: six
+   * BIG-ENDIAN u32 fields — magic, data offset, data size, encoding,
+   * sample rate, channels — then big-endian PCM frames). Strict and
+   * total: magic + offset ≥ 24 and in-bounds required; data size
+   * 0xFFFFFFFF (the legal "unknown" marker streaming writers emit)
+   * resolves to the rest of the payload, any other size must fit;
+   * only encoding 3 (16-bit linear PCM) is accepted — μ-law/A-law/
+   * float quarantine for ROUTING like every other non-PCM16 format.
+   */
+  private[graft] def auPcm16be(b: Array[Byte])
+      : Option[(Int, Int, Array[Byte], Int, Int)] = {
+    try {
+      if (b == null || b.length < 24) return None
+      def u32(p: Int): Long = ((b(p) & 0xFFL) << 24) |
+        ((b(p + 1) & 0xFFL) << 16) | ((b(p + 2) & 0xFFL) << 8) |
+        (b(p + 3) & 0xFFL)
+      if (new String(b, 0, 4, "US-ASCII") != ".snd") return None
+      val off = u32(4)
+      val sz = u32(8)
+      val enc = u32(12)
+      val rate = u32(16)
+      val ch = u32(20)
+      if (off < 24 || off > b.length || enc != 3 /* 16-bit PCM */ ||
+          rate <= 0 || rate > Int.MaxValue || ch <= 0 || ch > 64)
+        return None
+      val len =
+        if (sz == 0xFFFFFFFFL) b.length - off
+        else if (off + sz > b.length) return None
+        else sz
+      Some((rate.toInt, ch.toInt, b, off.toInt, len.toInt))
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
   /** One clip's fingerprint row — the ONE decode+hash definition
    *  [[audioFingerprintPartitioned]] and the live audio gate share
    *  (the phashGrid convention: batch and live hash the same samples
-   *  by construction). Quarantine = sample_rate -1. */
+   *  by construction), container-general via [[pcm16Frames]].
+   *  Quarantine = sample_rate -1. */
   private[graft] def audioClipFingerprint(id: Long, bytes: Array[Byte])
       : graft.model.AudioFingerprint = {
     def bad(i: Long) = graft.model.AudioFingerprint(i, -1, -1L, 0L)
-    try wavPcm16le(bytes) match {
+    try pcm16Frames(bytes) match {
       case None => bad(id)
-      case Some((rate, ch, data, from, len)) =>
+      case Some((rate, ch, data, from, len, be)) =>
         val n = len / (2 * ch)
         if (n < AfpW) bad(id) // too short to window
         else {
@@ -308,8 +370,10 @@ object MultimodalOps {
             val end = ((w + 1).toLong * n / W).toInt
             while (t < end) {
               val p = from + t * 2 * ch // channel 0 of frame t
-              val s = ((data(p) & 0xFF) |
-                (data(p + 1) << 8)).toShort.toLong
+              val s =
+                (if (be) (data(p) << 8) | (data(p + 1) & 0xFF)
+                 else (data(p) & 0xFF) | (data(p + 1) << 8))
+                  .toShort.toLong
               acc += s * s
               t += 1
             }

@@ -4811,16 +4811,24 @@ object Oracles {
        |JOIN cc ON s.sid = cc.node""".stripMargin
   }
 
-  /** Mirrors [[PipelineQueries.mmAudioFingerprint]]: the committed
-   *  corpus's fingerprints from the raw sample definition
-   *  ([[graft.tools.AudioDupFixture.refAudioFp64]] — no WAV bytes, no
-   *  AudioSystem) plus the known format/frame constants, as VALUES
-   *  literals. */
+  /** Mirrors [[PipelineQueries.mmAudioFingerprint]]: BOTH committed
+   *  corpora's fingerprints from the raw sample definitions
+   *  ([[graft.tools.AudioDupFixture.refAudioFp64]] — no WAV or AU
+   *  bytes, no container code; PCM is lossless in both containers)
+   *  plus the known format/frame constants, as VALUES literals. */
   val mmAudioFingerprint: String = {
-    val rows = graft.tools.AudioDupFixture.expectedFingerprints
+    val rows = (graft.tools.AudioDupFixture.expectedFingerprints
       .map { case (id, fp) =>
-        s"($id, 8000, ${graft.tools.AudioDupFixture.framesOf(id.toInt)}, " +
-          s"CAST($fp AS BIGINT))"
+        (id, 8000, graft.tools.AudioDupFixture.framesOf(id.toInt), fp)
+      } ++
+      graft.tools.AudioRemuxFixture.expectedFingerprints
+        .map { case (id, fp) =>
+          (id, graft.tools.AudioRemuxFixture.Rate,
+            graft.tools.AudioRemuxFixture.framesOf(
+              (id - graft.tools.AudioRemuxFixture.IdBase).toInt), fp)
+        })
+      .map { case (id, rate, n, fp) =>
+        s"($id, $rate, $n, CAST($fp AS BIGINT))"
       }
       .mkString(",\n  ")
     s"""SELECT CAST(clip_id AS BIGINT) AS clip_id,
@@ -4830,12 +4838,13 @@ object Oracles {
        |  $rows) AS t(clip_id, sample_rate, n_samples, fp)""".stripMargin
   }
 
-  /** Mirrors [[PipelineQueries.mmAudioNeardup]]: the independent
-   *  fingerprints as VALUES, ALL-PAIRS xor + bit_count within radius
-   *  in SQL — no banding echo. */
+  /** Mirrors [[PipelineQueries.mmAudioNeardup]]: BOTH corpora's
+   *  independent fingerprints as VALUES, ALL-PAIRS xor + bit_count
+   *  within radius in SQL — no banding echo. */
   val mmAudioNeardup: String = {
     val r = PipelineQueries.AudioNeardupMaxHamming
-    val rows = graft.tools.AudioDupFixture.expectedFingerprints
+    val rows = (graft.tools.AudioDupFixture.expectedFingerprints ++
+        graft.tools.AudioRemuxFixture.expectedFingerprints)
       .map { case (id, fp) => s"($id, CAST($fp AS BIGINT))" }
       .mkString(",\n  ")
     s"""WITH fp AS (

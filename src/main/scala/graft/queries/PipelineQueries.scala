@@ -4061,40 +4061,59 @@ object PipelineQueries {
   /** REAL decode → AUDIO FINGERPRINT, end-to-end gated — the audio
    *  dedup fingerprint ([[MultimodalOps.audioFingerprintPartitioned]]:
    *  channel-0 equal-window energy envelope → 1-D DCT-II → median
-   *  threshold, amplitude-scale-invariant by construction) over the
-   *  committed [[graft.tools.AudioDupFixture]] corpus. Oracle = the
-   *  raw-sample fingerprints through the INDEPENDENT
-   *  `AudioDupFixture.refAudioFp64` as VALUES literals (no WAV
-   *  container, no AudioSystem — PCM is lossless, the WavFixture
-   *  contract), so the gate proves the decode AND the fingerprint
-   *  definition. Ignores sfDir (scale-free fixture). */
+   *  threshold, amplitude-scale-invariant by construction;
+   *  CONTAINER-GENERAL since r19 — RIFF/WAVE and Sun AU payloads
+   *  magic-sniffed through the one pcm16Frames dispatch) over the
+   *  UNION of the committed [[graft.tools.AudioDupFixture]] WAV
+   *  corpus and the mixed-container
+   *  [[graft.tools.AudioRemuxFixture]]. Oracle = the raw-sample
+   *  fingerprints through the INDEPENDENT
+   *  `AudioDupFixture.refAudioFp64` as VALUES literals (no audio
+   *  container bytes — PCM is lossless in BOTH containers, so raw
+   *  arithmetic IS the decoded content), so the gate proves both
+   *  decodes AND the fingerprint definition. Ignores sfDir
+   *  (scale-free fixtures). */
   def mmAudioFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     MultimodalOps.audioFingerprintPartitioned(
-        spark.read.parquet(graft.tools.AudioDupFixture.Path),
-        "clip_id", "wav")
+        mixedAudioCorpus(spark), "clip_id", "audio")
       .toDF()
       .select(col("id").as("clip_id"), col("sample_rate"),
         col("n_samples"), col("fp"))
+
+  /** The ONE mixed-container corpus read the audio fingerprint and
+   *  near-dup queries share: the WAV dup fixture lifted to the
+   *  (clip_id, audio) contract, unioned with the committed WAV+AU
+   *  re-master fixture (id ranges disjoint by construction —
+   *  [[graft.tools.AudioRemuxFixture.IdBase]]). */
+  private def mixedAudioCorpus(spark: SparkSession): DataFrame =
+    spark.read.parquet(graft.tools.AudioDupFixture.Path)
+      .select(col("clip_id"), col("wav").as("audio"))
+      .unionAll(spark.read.parquet(graft.tools.AudioRemuxFixture.Path)
+        .select(col("clip_id"), col("audio")))
 
   /** AUDIO NEAR-DUP pairs — the perceptual-hash dedup loop on sound,
    *  completing the modality family (text simhash, image phash, video
    *  frame sequences): [[graft.ops.DedupOps.hammingNearDups64]] over
    *  the clip fingerprints at radius [[AudioNeardupMaxHamming]]. The
-   *  committed corpus carries the ground truth: 10 amplitude-scaled,
-   *  dithered variants MUST pair with their bases (scaling commutes
-   *  with the envelope DCT — hamming 0–2 measured), and the REVERSED
-   *  decoys — the same energy multiset in reverse order — must NOT
-   *  (28–34 bits: the DCT is order-sensitive where a histogram
+   *  committed UNION carries the ground truth (the query runs MIXED
+   *  like mm_video_neardup — container coverage is the operator's
+   *  point): 10 amplitude-scaled, dithered WAV variants MUST pair
+   *  with their bases (scaling commutes with the envelope DCT —
+   *  hamming 0–2 measured), each AU RE-MASTER MUST pair with its WAV
+   *  sibling at hamming 0 (lossless PCM both ways), and the REVERSED
+   *  decoys — the same energy multiset in reverse order, one of them
+   *  an AU — must NOT (the DCT is order-sensitive where a histogram
    *  fingerprint would be fooled). Scale shape: decode/DCT cost in
    *  the partition-batched pass; past it one (id, hash) row per clip
    *  through the banded equi-join, never all-pairs. Ignores sfDir
-   *  (scale-free fixture). */
+   *  (scale-free fixtures). */
   def mmAudioNeardup(spark: SparkSession, sfDir: String): DataFrame =
-    mmAudioNeardupOf(
-      spark.read.parquet(graft.tools.AudioDupFixture.Path))
+    mmAudioNeardupOf(mixedAudioCorpus(spark))
 
-  /** The [[mmAudioNeardup]] engine over any (clip_id, wav) frame —
-   *  factored so the spec can inject corrupt payloads. The
+  /** The [[mmAudioNeardup]] engine over any (clip_id, audio) frame
+   *  (first column = clip id, second = payload bytes,
+   *  container magic-sniffed per clip) — factored so the spec can
+   *  inject corrupt payloads. The
    *  fingerprint frame is MATERIALIZED once (the phashCorpus lesson —
    *  the banded self-join's two sides would otherwise each re-run the
    *  decode+DCT subtree: measured 0 ReusedExchange without it).
@@ -4104,7 +4123,8 @@ object PipelineQueries {
    *  convention). */
   def mmAudioNeardupOf(clips: DataFrame): DataFrame =
     graft.ops.DedupOps.hammingNearDups64(
-        MultimodalOps.audioFingerprintPartitioned(clips, "clip_id", "wav")
+        MultimodalOps.audioFingerprintPartitioned(clips,
+          clips.columns(0), clips.columns(1))
           .toDF()
           .filter(col("sample_rate") =!= -1)
           .select(col("id"), col("fp"))

@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.ops.MultimodalOps
+import graft.tools.{AudioDupFixture, AudioRemuxFixture}
+import org.apache.spark.sql.functions._
+
+/** Container-general audio near-dup: the mixed WAV + Sun-AU corpus
+  * ([[AudioRemuxFixture]]) end to end — a clip and its re-master in
+  * the OTHER container MUST pair at hamming 0 (lossless PCM both
+  * ways), the AU big-endian decode must land on the exact
+  * raw-definition fingerprints, and the registered mixed-union
+  * queries must match brute force over the independent refAudioFp64
+  * ground truth. */
+class AudioRemuxSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val M = AudioRemuxFixture.M
+  private val B = AudioRemuxFixture.IdBase
+  private lazy val remux = spark.read.parquet(AudioRemuxFixture.Path)
+
+  test("decoded fingerprints of EVERY mixed-corpus clip == the " +
+      "fixture's refAudioFp64 rows — proves the magic-sniffing " +
+      "dispatch AND the big-endian AU sample decode (a WAV and its AU " +
+      "re-master fingerprint identically)") {
+    val got = MultimodalOps.audioFingerprintPartitioned(
+        remux, "clip_id", "audio")
+      .collect().map(r => (r.id, r.fp)).toSet
+    val want = AudioRemuxFixture.expectedFingerprints.toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // sample rates decode from the AU header too
+    val rates = MultimodalOps.audioFingerprintPartitioned(
+        remux, "clip_id", "audio")
+      .collect().map(_.sample_rate).toSet
+    assert(rates == Set(AudioRemuxFixture.Rate))
+  }
+
+  test("union ground truth: the ONLY qualifying pairs across both " +
+      "corpora are the 10 WAV (base, variant) pairs and the 6 " +
+      "cross-container (WAV, AU re-master) pairs at hamming 0; the " +
+      "reversed AU decoy sits far outside the radius") {
+    val fp = (AudioDupFixture.expectedFingerprints ++
+      AudioRemuxFixture.expectedFingerprints).toMap
+    val r = PipelineQueries.AudioNeardupMaxHamming
+    val ids = fp.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids; j <- ids if i < j
+      if java.lang.Long.bitCount(fp(i) ^ fp(j)) <= r
+    } yield (i, j)).toSet
+    val want = (0 until AudioDupFixture.N)
+      .map(i => (i.toLong, (i + AudioDupFixture.N).toLong)).toSet ++
+      (0 until M).map(i => (B + i, B + M + i)).toSet
+    assert(brute == want,
+      s"unexpected=${brute -- want} missing=${want -- brute}")
+    (0 until M).foreach { i =>
+      assert(fp(B + i) == fp(B + M + i), s"re-master $i drifted")
+    }
+    val dRev = java.lang.Long.bitCount(fp(B) ^ fp(B + 2 * M))
+    assert(dRev > 2 * r, s"reversed AU decoy drifted to distance $dRev")
+  }
+
+  test("registered mm_audio_neardup (mixed union) == brute force, " +
+      "cross-container pairs at hamming 0; mm_audio_fingerprint " +
+      "covers every clip of both corpora") {
+    val got = PipelineQueries.mmAudioNeardup(spark, "unused")
+      .select("id1", "id2", "hamming")
+      .as[(Long, Long, Long)].collect()
+    val fp = (AudioDupFixture.expectedFingerprints ++
+      AudioRemuxFixture.expectedFingerprints).toMap
+    val r = PipelineQueries.AudioNeardupMaxHamming
+    val ids = fp.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids; j <- ids if i < j
+      if java.lang.Long.bitCount(fp(i) ^ fp(j)) <= r
+    } yield (i, j)).toSet
+    assert(got.map(p => (p._1, p._2)).toSet == brute)
+    (0 until M).foreach { i =>
+      assert(got.exists(p => p._1 == B + i && p._2 == B + M + i &&
+        p._3 == 0L), s"cross-container pair $i missing or nonzero")
+    }
+    val n = PipelineQueries.mmAudioFingerprint(spark, "unused").count()
+    assert(n == AudioDupFixture.Total + AudioRemuxFixture.Total)
+  }
+
+  test("live audio gate is container-general too: an AU re-master " +
+      "probe against a WAV-only corpus lands neardup on its WAV " +
+      "sibling at hamming 0") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.StreamOps
+    implicit val sqlCtx = spark.sqlContext
+    val wavCorpus = remux.filter(col("clip_id") < B + M)
+    val in = MemoryStream[(Long, Array[Byte])]
+    val gated = StreamOps.audioGateStream(
+      in.toDF().toDF("clip_id", "audio"), wavCorpus,
+      bytesCol = "audio", corpusBytesCol = "audio")
+    val q = StreamOps.toMemory(
+      gated.select("clip_id", "decision", "matched_id", "hamming"),
+      "audio_gate_remux_test", OutputMode.Append,
+      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    try {
+      in.addData((0 until M).map(i =>
+        (6000L + i, AudioRemuxFixture.audioBytes(M + i))).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("audio_gate_remux_test").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+          r.getLong(3)))).toMap
+      (0 until M).foreach { i =>
+        assert(got(6000L + i) == (("neardup", B + i, 0L)), got(6000L + i))
+      }
+    } finally q.stop()
+  }
+}
