@@ -115,14 +115,14 @@ object MultimodalOps {
     decodeImageResized(df, idCol, bytesCol, factor = 1)
 
   /**
-   * REAL audio decode in the [[decodePartitioned]] shape — the WAV
-   * sibling of [[decodeImagePartitioned]]: the strict lock-free
-   * [[wavPcm16le]] RIFF/WAVE walk (the public layout, zero external
-   * codecs) turns PCM payloads into format metadata
-   * (sample rate, channels, frame count) + a 16-bin amplitude
-   * histogram with no external codec. Scope is deliberately 16-bit
-   * signed little-endian PCM — the dominant raw-audio interchange
-   * format; anything else (compressed encodings, 8/24-bit, big-endian)
+   * REAL audio decode in the [[decodePartitioned]] shape — the audio
+   * sibling of [[decodeImagePartitioned]]: the CONTAINER-GENERAL
+   * [[pcm16Frames]] dispatch (strict lock-free RIFF/WAVE or Sun AU
+   * walk — the public layouts, zero external codecs) turns PCM
+   * payloads into format metadata (sample rate, channels, frame
+   * count) + a 16-bin amplitude histogram. Scope is deliberately
+   * 16-bit signed linear PCM in either container; anything else
+   * (compressed encodings, 8/24-bit, float, μ-law)
    * quarantines as `sample_rate = -1` like undecodable bytes, because
    * a curation pipeline wants those ROUTED (to a transcode stage or a
    * reject table), not silently misread. Undecodable payloads likewise
@@ -135,15 +135,18 @@ object MultimodalOps {
     df.select(col(idCol), col(bytesCol)).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          wavPcm16le(bytes) match {
+          pcm16Frames(bytes) match {
             case None => bad(id)
-            case Some((rate, ch, data, from, len)) =>
+            case Some((rate, ch, data, from, len, be)) =>
               val frames = len / (2 * ch)
               val hist = new Array[Long](16)
               var p = from
               val end = from + frames * ch * 2
               while (p < end) {
-                val s = ((data(p) & 0xFF) | (data(p + 1) << 8)).toShort.toInt
+                val s =
+                  (if (be) (data(p) << 8) | (data(p + 1) & 0xFF)
+                   else (data(p) & 0xFF) | (data(p + 1) << 8))
+                    .toShort.toInt
                 hist((s + 32768) >> 12) += 1L
                 p += 2
               }
@@ -459,8 +462,8 @@ object MultimodalOps {
    * REAL decode → windowed FRAME FEATURES — the audio analysis stage
    * above [[decodeWavPartitioned]]'s whole-clip histogram (the
    * VAD-ish statistics a speech-curation pass gates on): decode via
-   * the SHARED [[wavPcm16le]] walk exactly like the histogram op,
-   * then over
+   * the SHARED container-general [[pcm16Frames]] dispatch exactly
+   * like the histogram op, then over
    * CHANNEL 0 compute zero-crossing count / total energy / peak
    * amplitude (whole clip, exact integer arithmetic — no floats, so
    * the oracle is pure sample-definition arithmetic) plus
@@ -483,9 +486,9 @@ object MultimodalOps {
     df.select(col(idCol), col(bytesCol)).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          wavPcm16le(bytes) match {
+          pcm16Frames(bytes) match {
             case None => bad(id)
-            case Some((_, ch, data, from, len)) =>
+            case Some((_, ch, data, from, len, be)) =>
               val frames = len / (2 * ch)
               val stride = 2 * ch // channel 0 = first sample per frame
               var t = 0
@@ -499,7 +502,9 @@ object MultimodalOps {
               while (t < frames) {
                 val p = from + t * stride
                 val s =
-                  ((data(p) & 0xFF) | (data(p + 1) << 8)).toShort.toInt
+                  (if (be) (data(p) << 8) | (data(p + 1) & 0xFF)
+                   else (data(p) & 0xFF) | (data(p + 1) << 8))
+                    .toShort.toInt
                 val neg = s < 0
                 if (t > 0 && neg != prevNeg) zc += 1L
                 prevNeg = neg

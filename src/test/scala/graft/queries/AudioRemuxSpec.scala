@@ -83,6 +83,26 @@ class AudioRemuxSpec extends SparkSpec {
     assert(n == AudioDupFixture.Total + AudioRemuxFixture.Total)
   }
 
+  test("the decode-stats ops are container-general too: an AU clip's " +
+      "histogram/features equal its WAV sibling's (identical samples, " +
+      "two containers, two endiannesses)") {
+    val pair = Seq(
+      (0L, AudioRemuxFixture.audioBytes(0)),       // WAV base 0
+      (1L, AudioRemuxFixture.audioBytes(M)))       // AU re-master of 0
+      .toDF("clip_id", "audio")
+    val stats = MultimodalOps.decodeWavPartitioned(
+        pair, "clip_id", "audio")
+      .collect().map(r => r.id -> ((r.sample_rate, r.channels,
+        r.n_samples, r.amp_hist))).toMap
+    assert(stats(0L) == stats(1L), s"${stats(0L)} != ${stats(1L)}")
+    assert(stats(0L)._1 == AudioRemuxFixture.Rate)
+    val feats = MultimodalOps.audioFrameFeaturesPartitioned(
+        pair, "clip_id", "audio", win = 256, silenceThr = 100)
+      .collect().map(r => r.id -> ((r.n_windows, r.zero_crossings,
+        r.energy, r.peak_abs, r.silent_windows))).toMap
+    assert(feats(0L) == feats(1L), s"${feats(0L)} != ${feats(1L)}")
+  }
+
   test("live audio gate is container-general too: an AU re-master " +
       "probe against a WAV-only corpus lands neardup on its WAV " +
       "sibling at hamming 0") {
