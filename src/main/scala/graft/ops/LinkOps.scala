@@ -100,20 +100,20 @@ object LinkOps {
    *  pairs whose PREFIXES differ — a row-local predicate on the
    *  joined pair, so the union is exact with no distinct and no
    *  exchange on the corpus-sized candidate relation. */
+  /** CALLER CONTRACT: pass a MATERIALIZED `entities` frame
+   *  (localCheckpoint) when it is derived by an aggregation — both
+   *  pass branches (and typically the caller's own entity count)
+   *  re-evaluate it otherwise; erBlockingEval checkpoints once and
+   *  feeds all three consumers. */
   def blockedPairsUnion(mentions: DataFrame, entities: DataFrame,
-      maxDist: Int): DataFrame = {
-    // catalog agg MATERIALIZED once — both pass branches read it
-    // instead of re-running the distinct-surface agg (the bestMatches
-    // convention; handle left to the ContextCleaner)
-    val ents = entities.localCheckpoint()
-    blockedPairs(mentions, ents, maxDist, blockKey)
+      maxDist: Int): DataFrame =
+    blockedPairs(mentions, entities, maxDist, blockKey)
       .withColumn("pass", lit(1))
       .unionAll(
-        blockedPairs(mentions, ents, maxDist, suffixKey)
+        blockedPairs(mentions, entities, maxDist, suffixKey)
           .filter(blockKey(col("mention")) =!=
             blockKey(col("entity_name")))
           .withColumn("pass", lit(2)))
-  }
 
   /** Candidate (mention, entity) pairs with edit distance ≤ maxDist:
    *  [[blockedPairs]] + the thresholded levenshtein verify in the

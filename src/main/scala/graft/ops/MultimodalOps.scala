@@ -189,6 +189,12 @@ object MultimodalOps {
    * (sampleRate, channels, bytes, dataFrom, dataLen) — a range into
    * the input, no copy.
    */
+  /** KSDATAFORMAT_SUBTYPE_PCM, little-endian GUID bytes — hoisted off
+   *  the per-clip decode path (the AfpCos convention). */
+  private val PcmGuid = Array[Byte](0x01, 0x00, 0x00, 0x00, 0x00, 0x00,
+    0x10, 0x00, 0x80.toByte, 0x00, 0x00, 0xAA.toByte, 0x00,
+    0x38, 0x9B.toByte, 0x71)
+
   private[graft] def wavPcm16le(b: Array[Byte])
       : Option[(Int, Int, Array[Byte], Int, Int)] = {
     try {
@@ -207,30 +213,36 @@ object MultimodalOps {
       var fmtOk = false
       var dataFrom = -1L
       var dataLen = -1L
-      // KSDATAFORMAT_SUBTYPE_PCM, little-endian GUID bytes
-      val PcmGuid = Array[Byte](0x01, 0x00, 0x00, 0x00, 0x00, 0x00,
-        0x10, 0x00, 0x80.toByte, 0x00, 0x00, 0xAA.toByte, 0x00,
-        0x38, 0x9B.toByte, 0x71)
       var p = 12L
       while (p + 8 <= riffEnd) {
         val ck = fourcc(p.toInt)
         val sz = u32(p.toInt + 4)
         val body = p + 8
         if (body + sz > riffEnd) return None // escapes RIFF
-        if (ck == "fmt " && sz >= 16 && !fmtSeen) {
-          // FIRST fmt wins (like data below): a later duplicate is
-          // untrusted structure and must not overwrite the header
-          // the stream readers would decode by
+        if (ck == "fmt " && !fmtSeen) {
+          // FIRST fmt wins (like data below) — and it wins even when
+          // UNDERSIZED: a truncated first header leaves fmtOk false
+          // (quarantine), rather than letting a later duplicate
+          // header the stream readers would never reach decode the
+          // file
           fmtSeen = true
-          val tag = u16(body.toInt)
-          val extensiblePcm = tag == 0xFFFE && sz >= 40 &&
-            u16(body.toInt + 14) == 16 /* container bits */ &&
-            (0 until 16).forall(i =>
-              b(body.toInt + 24 + i) == PcmGuid(i))
-          fmtOk = (tag == 1 /* PCM */ &&
-            u16(body.toInt + 14) == 16 /* bits */) || extensiblePcm
-          ch = u16(body.toInt + 2)
-          rate = u32(body.toInt + 4).toInt
+          if (sz >= 16) {
+            val tag = u16(body.toInt)
+            val extensiblePcm = tag == 0xFFFE && sz >= 40 &&
+              u16(body.toInt + 14) == 16 /* container bits */ && {
+                var i = 0
+                var eq = true
+                while (eq && i < 16) {
+                  eq = b(body.toInt + 24 + i) == PcmGuid(i)
+                  i += 1
+                }
+                eq
+              }
+            fmtOk = (tag == 1 /* PCM */ &&
+              u16(body.toInt + 14) == 16 /* bits */) || extensiblePcm
+            ch = u16(body.toInt + 2)
+            rate = u32(body.toInt + 4).toInt
+          }
         } else if (ck == "data") {
           // a SECOND data chunk would silently drop samples — keep
           // the first, matching the stream readers' contract
@@ -335,12 +347,17 @@ object MultimodalOps {
       val rate = u32(16)
       val ch = u32(20)
       if (off < 24 || off > b.length || enc != 3 /* 16-bit PCM */ ||
-          rate <= 0 || rate > Int.MaxValue || ch <= 0 || ch > 64)
+          rate <= 0 || rate > Int.MaxValue ||
+          ch <= 0 || ch > 0xFFFF /* the WAV u16 class — same bound */)
         return None
       val len =
         if (sz == 0xFFFFFFFFL) b.length - off
         else if (off + sz > b.length) return None
         else sz
+      // bytes past the data segment are a concat/append lie — the
+      // wavPcm16le trailing-bytes rule (AU annotations live BEFORE
+      // the data offset, never after the samples)
+      if (off + len != b.length) return None
       Some((rate.toInt, ch.toInt, b, off.toInt, len.toInt))
     } catch {
       case scala.util.control.NonFatal(_) => None

@@ -155,7 +155,10 @@ object LinkageQueries {
           expr("concat(substr(p_name, 1, 1), substr(p_name, 3, 100))"))
           .otherwise(expr(deleteAt("p_name", "p_partkey")))
           .as("mention"))
-    val ents = catalogOf(parts)
+    // catalog agg MATERIALIZED once — both pass branches AND the
+    // entity count read it (the bestMatches convention; handle left
+    // to the ContextCleaner)
+    val ents = catalogOf(parts).localCheckpoint()
     val counts = men.agg(count(lit(1)).as("n_mentions"))
       .crossJoin(broadcast(ents.agg(count(lit(1)).as("n_entities"))))
     LinkOps.blockedPairsUnion(men, ents, MaxDist)

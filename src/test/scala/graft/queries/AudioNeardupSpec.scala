@@ -171,6 +171,11 @@ class AudioNeardupSpec extends SparkSpec {
     val extFloat = rawWav(pcmFmt(0xFFFE, 1, 8000, 16, badGuid), pcm)
     assert(MultimodalOps.audioClipFingerprint(4L, floatWav).sample_rate == -1)
     assert(MultimodalOps.audioClipFingerprint(5L, extFloat).sample_rate == -1)
+    // an UNDERSIZED first fmt must quarantine — not let a later valid
+    // duplicate (which a stream reader would never reach) decode it
+    val shortFmt = rawWav(pcmFmt(1, 1, 8000, 16).take(4), pcm,
+      extraChunks = chunk("fmt ", pcmFmt(1, 1, 8000, 16)))
+    assert(MultimodalOps.audioClipFingerprint(6L, shortFmt).sample_rate == -1)
   }
 
   test("window bounds stay exact past the 32-bit product line: a " +

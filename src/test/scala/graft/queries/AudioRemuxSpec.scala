@@ -83,6 +83,19 @@ class AudioRemuxSpec extends SparkSpec {
     assert(n == AudioDupFixture.Total + AudioRemuxFixture.Total)
   }
 
+  test("AU strictness: trailing bytes past the data segment quarantine " +
+      "(the concat/append lie — the wavPcm16le rule on the second " +
+      "container)") {
+    val au = AudioRemuxFixture.audioBytes(M) // a valid AU re-master
+    assert(MultimodalOps.audioClipFingerprint(1L, au).sample_rate ==
+      AudioRemuxFixture.Rate)
+    val concat = au ++ au
+    assert(MultimodalOps.audioClipFingerprint(2L, concat).sample_rate == -1,
+      "two concatenated AU files must not silently decode as the first")
+    val junk = au ++ Array[Byte](7, 7, 7)
+    assert(MultimodalOps.audioClipFingerprint(3L, junk).sample_rate == -1)
+  }
+
   test("the decode-stats ops are container-general too: an AU clip's " +
       "histogram/features equal its WAV sibling's (identical samples, " +
       "two containers, two endiannesses)") {
