@@ -713,6 +713,61 @@ object EngineProps extends Properties("graft") {
             w.amp_hist.sum == w.n_samples * w.channels))
     }
 
+  /** Adversarial zoo for the r19 CONTAINER-GENERAL dispatches: valid
+    * payloads from every committed corpus the sniffers route (WAV,
+    * AU, GIF, MJPEG-AVI), truncated at any point, one byte flipped,
+    * raw junk, and MAGIC-PREFIXED junk (a correct magic over garbage
+    * is exactly what a corrupt blob column carries — the sniffer must
+    * route it into the strict walk and come back with a quarantine,
+    * never a crash). */
+  private val containerBytesGen: Gen[Array[Byte]] = {
+    val raw = Gen.choose(0, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+    val seeds = Gen.oneOf(
+      Gen.choose(0, graft.tools.AudioRemuxFixture.Total - 1)
+        .map(graft.tools.AudioRemuxFixture.audioBytes),
+      Gen.choose(0, graft.tools.VideoRemuxFixture.Total - 1)
+        .map(graft.tools.VideoRemuxFixture.videoBytes),
+      Gen.choose(0, graft.tools.AviFixture.N - 1)
+        .map(graft.tools.AviFixture.aviBytes),
+      Gen.choose(0, graft.tools.AudioDupFixture.Total - 1)
+        .map(graft.tools.AudioDupFixture.wavBytes))
+    val truncated = for {
+      b <- seeds; cut <- Gen.choose(0, b.length)
+    } yield b.take(cut)
+    val flipped = for {
+      b <- seeds; p <- Gen.choose(0, b.length - 1)
+      v <- Gen.choose(Byte.MinValue, Byte.MaxValue)
+    } yield { val c = b.clone(); c(p) = v; c }
+    val magicJunk = for {
+      magic <- Gen.oneOf(".snd", "RIFF    WAVE",
+        "RIFF    AVI ", "GIF89a")
+      n <- Gen.choose(0, 48)
+      tail <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield magic.getBytes("ISO-8859-1") ++ tail.toArray
+    Gen.oneOf(raw, truncated, flipped, magicJunk)
+  }
+
+  property("container-general dispatches are total: audioClipFingerprint " +
+      "and clipPhashes route ANY payload to a parse or a quarantine " +
+      "sentinel — never a crash, never a silent drop") =
+    forAll(Gen.listOfN(8, containerBytesGen)) { payloads =>
+      payloads.zipWithIndex.forall { case (b, i) =>
+        val fp = MultimodalOps.audioClipFingerprint(i.toLong, b)
+        val audioOk = fp.id == i.toLong &&
+          (fp.sample_rate == -1 ||
+            (fp.sample_rate > 0 && fp.n_samples >= 64))
+        val rows = MultimodalOps.clipPhashes(i.toLong, b, brightShift = 0)
+        val videoOk = rows.nonEmpty && rows.forall(_.id == i.toLong) && {
+          if (rows.exists(_.width == -1))
+            rows.length == 1 && rows.head.frame == -1L // ONE sentinel
+          else rows.map(_.frame).sorted ==
+            (0L until rows.length.toLong) // contiguous decoded frames
+        }
+        audioOk && videoOk
+      }
+    }
+
   property("dsirPrefix60 == the relational conv(substring(md5, 1, 15), " +
       "16, 10) device, bit-for-bit, on arbitrary words") =
     forAll(Gen.alphaNumStr.suchThat(_.nonEmpty), Gen.oneOf("", "é", "😀", "ß")) {
