@@ -88,9 +88,11 @@ object LinkOps {
    *  `mentions` must carry (mention_id, mention); all other columns
    *  pass through. */
   def blockedPairs(mentions: DataFrame, entities: DataFrame,
-      maxDist: Int, keyFn: Column => Column = blockKey): DataFrame =
+      maxDist: Int, keyFn: Column => Column = blockKey,
+      hintBroadcast: Boolean = true): DataFrame =
     mentions.join(
-        broadcast(blockIndex(entities, maxDist, keyFn)),
+        maybeBroadcast(blockIndex(entities, maxDist, keyFn),
+          hintBroadcast),
         keyFn(col("mention")) === col("blk") &&
           length(col("mention")) === col("mlen"))
       .drop("blk", "mlen")
@@ -106,11 +108,12 @@ object LinkOps {
    *  re-evaluate it otherwise; erBlockingEval checkpoints once and
    *  feeds all three consumers. */
   def blockedPairsUnion(mentions: DataFrame, entities: DataFrame,
-      maxDist: Int): DataFrame =
-    blockedPairs(mentions, entities, maxDist, blockKey)
+      maxDist: Int, hintBroadcast: Boolean = true): DataFrame =
+    blockedPairs(mentions, entities, maxDist, blockKey, hintBroadcast)
       .withColumn("pass", lit(1))
       .unionAll(
-        blockedPairs(mentions, entities, maxDist, suffixKey)
+        blockedPairs(mentions, entities, maxDist, suffixKey,
+            hintBroadcast)
           .filter(blockKey(col("mention")) =!=
             blockKey(col("entity_name")))
           .withColumn("pass", lit(2)))
@@ -152,16 +155,17 @@ object LinkOps {
    *  coverage. Mentions still never shuffle: two broadcast joins,
    *  everything else per-row. */
   def resolveAgainst(mentions: DataFrame, idxPrefix: DataFrame,
-      idxSuffix: DataFrame, maxDist: Int): DataFrame =
+      idxSuffix: DataFrame, maxDist: Int,
+      hintBroadcast: Boolean = true): DataFrame =
     mentions
-      .join(broadcast(idxPrefix
-          .withColumnRenamed("cands", "cands1")),
+      .join(maybeBroadcast(idxPrefix
+          .withColumnRenamed("cands", "cands1"), hintBroadcast),
         blockKey(col("mention")) === col("blk") &&
           length(col("mention")) === col("mlen"),
         "left")
       .drop("blk", "mlen")
-      .join(broadcast(idxSuffix
-          .withColumnRenamed("cands", "cands2")),
+      .join(maybeBroadcast(idxSuffix
+          .withColumnRenamed("cands", "cands2"), hintBroadcast),
         suffixKey(col("mention")) === col("blk") &&
           length(col("mention")) === col("mlen"),
         "left")
@@ -179,18 +183,39 @@ object LinkOps {
           s => s("lev") >= 0)))
       .drop("cands1", "cands2")
 
-  /** Best match per mention WITHOUT shuffling mentions:
+  /** Catalog-entity budget for the FORCED broadcast hint: past it the
+   *  block-index join falls back to the planner's shuffled equi-join —
+   *  correct and scalable (mentions shuffle ONCE on the block key),
+   *  where a forced broadcast of a 100M-entity index would OOM the
+   *  executors. The graph family's adaptive-broadcast convention
+   *  (triangles' closing side), same 4M figure as the live gates'
+   *  refusal caps. */
+  val MaxBroadcastEntities = 4000000L
+
+  /** The broadcast hint, applied only when the caller KNOWS the small
+   *  side fits — a hint is a command, not a suggestion, and forcing
+   *  it on an entity-scale index is the one way this operator family
+   *  could fall over at 100 TB. */
+  private def maybeBroadcast(df: DataFrame, hint: Boolean): DataFrame =
+    if (hint) broadcast(df) else df
+
+  /** Best match per mention WITHOUT shuffling mentions (when the
+   *  catalog fits the broadcast budget — measured, not assumed):
    *  [[resolveAgainst]] over freshly-built prefix + suffix
    *  [[blockArrayIndex]] passes. The catalog aggregation is
-   *  MATERIALIZED once (localCheckpoint) — both index branches read
-   *  it instead of re-running the distinct-surface agg per pass
-   *  (catalog-sized, the phashCorpus convention; handle left to the
-   *  ContextCleaner). */
+   *  MATERIALIZED once (localCheckpoint) — both index branches and
+   *  the budget count read it instead of re-running the
+   *  distinct-surface agg per pass (catalog-sized, the phashCorpus
+   *  convention; handle left to the ContextCleaner). Past
+   *  [[MaxBroadcastEntities]] the hint is dropped and the planner's
+   *  shuffled equi-join carries the join — the honest fallback at
+   *  entity-scale catalogs. */
   def bestMatches(mentions: DataFrame, entities: DataFrame,
       maxDist: Int): DataFrame = {
     val ents = entities.localCheckpoint()
     resolveAgainst(mentions,
       blockArrayIndex(ents, maxDist, blockKey),
-      blockArrayIndex(ents, maxDist, suffixKey), maxDist)
+      blockArrayIndex(ents, maxDist, suffixKey), maxDist,
+      hintBroadcast = ents.count() <= MaxBroadcastEntities)
   }
 }

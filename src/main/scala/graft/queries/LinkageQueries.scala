@@ -155,13 +155,15 @@ object LinkageQueries {
           expr("concat(substr(p_name, 1, 1), substr(p_name, 3, 100))"))
           .otherwise(expr(deleteAt("p_name", "p_partkey")))
           .as("mention"))
-    // catalog agg MATERIALIZED once — both pass branches AND the
-    // entity count read it (the bestMatches convention; handle left
-    // to the ContextCleaner)
+    // catalog agg MATERIALIZED once — both pass branches, the entity
+    // count, AND the broadcast-budget check read it (the bestMatches
+    // convention; handle left to the ContextCleaner)
     val ents = catalogOf(parts).localCheckpoint()
+    val nEnts = ents.count()
     val counts = men.agg(count(lit(1)).as("n_mentions"))
       .crossJoin(broadcast(ents.agg(count(lit(1)).as("n_entities"))))
-    LinkOps.blockedPairsUnion(men, ents, MaxDist)
+    LinkOps.blockedPairsUnion(men, ents, MaxDist,
+        hintBroadcast = nEnts <= LinkOps.MaxBroadcastEntities)
       .agg(
         count(when(col("pass") === 1, 1)).as("n_cand_prefix"),
         count(when(col("pass") === 1 &&
