@@ -122,8 +122,9 @@ object LinkOps {
    *  [[blockedPairs]] + the thresholded levenshtein verify in the
    *  join projection. */
   def blockedCandidates(mentions: DataFrame, entities: DataFrame,
-      maxDist: Int): DataFrame =
-    blockedPairs(mentions, entities, maxDist)
+      maxDist: Int, hintBroadcast: Boolean = true): DataFrame =
+    blockedPairs(mentions, entities, maxDist,
+        hintBroadcast = hintBroadcast)
       .withColumn("lev",
         levenshtein(col("mention"), col("entity_name"), maxDist)
           .cast("bigint"))

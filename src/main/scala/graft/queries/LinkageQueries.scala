@@ -234,12 +234,19 @@ object LinkageQueries {
    *  clusters(id, cluster)). */
   private def selfClusterLabels(recs: DataFrame)
       : (DataFrame, DataFrame) = {
+    // the surface table is consumed FOUR times (fuzzy-join mention
+    // side, entities side, CC node universe, the record label join) —
+    // materialize the distinct-name agg once, and measure it for the
+    // adaptive broadcast hint (self-dedup surfaces are corpus-derived:
+    // "surfaces ≪ records" is the expectation, not a bound)
     val surfaces = LinkOps.entityCatalog(
-      recs, col("rec_id"), col("name"))
+      recs, col("rec_id"), col("name")).localCheckpoint()
     val pairs = LinkOps.blockedCandidates(
         surfaces.select(col("entity_id").as("mention_id"),
           col("entity_name").as("mention")),
-        surfaces, MaxDist)
+        surfaces, MaxDist,
+        hintBroadcast =
+          surfaces.count() <= LinkOps.MaxBroadcastEntities)
       .filter(col("lev") >= 1 && col("mention_id") < col("entity_id"))
       .select(col("mention_id").as("id1"), col("entity_id").as("id2"))
     (surfaces, graft.ops.DedupOps.connectedComponents(
