@@ -184,14 +184,23 @@ object LinkOps {
           s => s("lev") >= 0)))
       .drop("cands1", "cands2")
 
-  /** Catalog-entity budget for the FORCED broadcast hint: past it the
-   *  block-index join falls back to the planner's shuffled equi-join —
-   *  correct and scalable (mentions shuffle ONCE on the block key),
-   *  where a forced broadcast of a 100M-entity index would OOM the
+  /** Candidate-ENTRY budget for the FORCED broadcast hint — the same
+   *  semantics (and the same 4M figure) as the live gates' refusal
+   *  caps: a block index holds (2·maxDist + 1) × |catalog| entries
+   *  per pass, and THAT is what gets broadcast, so the budget is
+   *  compared against the entry count, not the raw catalog count
+   *  (comparing catalogs would admit broadcasts 5× past the
+   *  calibrated cap). Past it the block-index joins fall back to the
+   *  planner's shuffled equi-joins — correct and scalable (mentions
+   *  pay one exchange PER PASS, prefix- then suffix-keyed), where a
+   *  forced broadcast of an entity-scale index would OOM the
    *  executors. The graph family's adaptive-broadcast convention
-   *  (triangles' closing side), same 4M figure as the live gates'
-   *  refusal caps. */
+   *  (triangles' closing side). */
   val MaxBroadcastEntities = 4000000L
+
+  /** Block-index entries one pass broadcasts for a catalog of `n`. */
+  def indexEntries(n: Long, maxDist: Int): Long =
+    n * (2L * maxDist + 1L)
 
   /** The broadcast hint, applied only when the caller KNOWS the small
    *  side fits — a hint is a command, not a suggestion, and forcing
@@ -212,11 +221,13 @@ object LinkOps {
    *  shuffled equi-join carries the join — the honest fallback at
    *  entity-scale catalogs. */
   def bestMatches(mentions: DataFrame, entities: DataFrame,
-      maxDist: Int): DataFrame = {
+      maxDist: Int,
+      maxBroadcastEntries: Long = MaxBroadcastEntities): DataFrame = {
     val ents = entities.localCheckpoint()
     resolveAgainst(mentions,
       blockArrayIndex(ents, maxDist, blockKey),
       blockArrayIndex(ents, maxDist, suffixKey), maxDist,
-      hintBroadcast = ents.count() <= MaxBroadcastEntities)
+      hintBroadcast =
+        indexEntries(ents.count(), maxDist) <= maxBroadcastEntries)
   }
 }

@@ -157,13 +157,17 @@ object LinkageQueries {
           .as("mention"))
     // catalog agg MATERIALIZED once — both pass branches, the entity
     // count, AND the broadcast-budget check read it (the bestMatches
-    // convention; handle left to the ContextCleaner)
+    // convention; handle left to the ContextCleaner). The driver-side
+    // count serves BOTH the budget check and the n_entities column —
+    // no second in-plan aggregation of the catalog
     val ents = catalogOf(parts).localCheckpoint()
     val nEnts = ents.count()
     val counts = men.agg(count(lit(1)).as("n_mentions"))
-      .crossJoin(broadcast(ents.agg(count(lit(1)).as("n_entities"))))
+      .withColumn("n_entities", lit(nEnts))
     LinkOps.blockedPairsUnion(men, ents, MaxDist,
-        hintBroadcast = nEnts <= LinkOps.MaxBroadcastEntities)
+        hintBroadcast =
+          LinkOps.indexEntries(nEnts, MaxDist) <=
+            LinkOps.MaxBroadcastEntities)
       .agg(
         count(when(col("pass") === 1, 1)).as("n_cand_prefix"),
         count(when(col("pass") === 1 &&
@@ -233,41 +237,46 @@ object LinkageQueries {
    *  fuzzy surface pairs, connected components. Returns (surfaces,
    *  clusters(id, cluster)). */
   private def selfClusterLabels(recs: DataFrame)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, Boolean) = {
     // the surface table is consumed FOUR times (fuzzy-join mention
     // side, entities side, CC node universe, the record label join) —
     // materialize the distinct-name agg once, and measure it for the
     // adaptive broadcast hint (self-dedup surfaces are corpus-derived:
-    // "surfaces ≪ records" is the expectation, not a bound)
+    // "surfaces ≪ records" is the expectation, not a bound). The ONE
+    // measured verdict governs every surface-cardinality broadcast in
+    // the pass: the blocked fuzzy join AND the label joins.
     val surfaces = LinkOps.entityCatalog(
       recs, col("rec_id"), col("name")).localCheckpoint()
+    val fits = LinkOps.indexEntries(surfaces.count(), MaxDist) <=
+      LinkOps.MaxBroadcastEntities
     val pairs = LinkOps.blockedCandidates(
         surfaces.select(col("entity_id").as("mention_id"),
           col("entity_name").as("mention")),
-        surfaces, MaxDist,
-        hintBroadcast =
-          surfaces.count() <= LinkOps.MaxBroadcastEntities)
+        surfaces, MaxDist, hintBroadcast = fits)
       .filter(col("lev") >= 1 && col("mention_id") < col("entity_id"))
       .select(col("mention_id").as("id1"), col("entity_id").as("id2"))
     (surfaces, graft.ops.DedupOps.connectedComponents(
-      pairs, surfaces.select(col("entity_id").as("id"))))
+      pairs, surfaces.select(col("entity_id").as("id"))), fits)
   }
 
   /** Label every record through its surface's cluster id — the shared
-   *  tail of both self-dedup variants. */
+   *  tail of both self-dedup variants; `hint` = the measured
+   *  surface-fits-broadcast verdict (clusters are surface-sized). */
   private def labelRecords(recs: DataFrame, surfaces: DataFrame,
-      clusters: DataFrame): DataFrame =
+      clusters: DataFrame, hint: Boolean): DataFrame = {
+    def mb(df: DataFrame) = if (hint) broadcast(df) else df
     recs
-      .join(broadcast(surfaces), col("name") === col("entity_name"))
-      .join(broadcast(clusters), col("entity_id") === col("id"))
+      .join(mb(surfaces), col("name") === col("entity_name"))
+      .join(mb(clusters), col("entity_id") === col("id"))
       .select(col("rec_id"), col("cluster"),
         (col("rec_id") === col("cluster")).as("is_survivor"))
+  }
 
   /** The [[erSelfClusters]] engine over any (rec_id, name) relation —
    *  factored so the spec can plant bridge/overmerge shapes. */
   private[graft] def erSelfClustersOf(recs: DataFrame): DataFrame = {
-    val (surfaces, clusters) = selfClusterLabels(recs)
-    labelRecords(recs, surfaces, clusters)
+    val (surfaces, clusters, fits) = selfClusterLabels(recs)
+    labelRecords(recs, surfaces, clusters, fits)
   }
 
   /** Surface-count cap for [[erSelfClustersCapped]]: the fixture's
@@ -302,15 +311,15 @@ object LinkageQueries {
    *  splits. */
   private[graft] def erSelfClustersCappedOf(recs: DataFrame,
       cap: Int): DataFrame = {
-    val (surfaces, clusters) = selfClusterLabels(recs)
+    val (surfaces, clusters, fits) = selfClusterLabels(recs)
     val sizes = clusters.groupBy(col("cluster")).agg(
       count(lit(1)).as("sz"))
     val capped = clusters
-      .join(broadcast(sizes), "cluster")
+      .join(if (fits) broadcast(sizes) else sizes, "cluster")
       .select(col("id"),
         when(col("sz") > cap, col("id")).otherwise(col("cluster"))
           .as("cluster"))
-    labelRecords(recs, surfaces, capped)
+    labelRecords(recs, surfaces, capped, fits)
   }
 
   /** The linkage scorecard: coverage (junk mentions lower it),

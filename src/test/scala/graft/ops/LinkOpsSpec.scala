@@ -61,6 +61,41 @@ class LinkOpsSpec extends SparkSpec {
     assert(got == want, got)
   }
 
+  test("the adaptive broadcast hint: past the entry budget the block " +
+      "joins fall back to SHUFFLED equi-joins with IDENTICAL output " +
+      "(budget 0 forces the fallback; the default keeps broadcasting)") {
+    val mentions = Seq((10L, "acme corp"), (11L, "acme cor"),
+      (12L, "zen lab"), (13L, "qqqqqqqq"), (30L, "ame corp"))
+      .toDF("mention_id", "mention")
+    val ents = LinkOps.entityCatalog(catalog, col("p_partkey"), col("p_name"))
+    def run(budget: Long) = LinkOps.bestMatches(mentions, ents,
+        maxDist = 2, maxBroadcastEntries = budget)
+      .select(col("mention_id"), col("best")("entity_id"),
+        col("best")("lev"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // disable the planner's own size-based auto-broadcast so the plan
+    // shape observes the HINT alone (on a KB fixture the planner would
+    // correctly broadcast either way — that choice is its to make; the
+    // budget governs only the FORCED hint)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val plan = LinkOps.bestMatches(mentions, ents, maxDist = 2,
+        maxBroadcastEntries = 0L).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        "budget 0 must drop the broadcast hint:\n" + plan)
+      val hinted = LinkOps.bestMatches(mentions, ents, maxDist = 2)
+        .queryExecution.executedPlan.toString
+      assert(hinted.contains("BroadcastHashJoin"),
+        "within budget the hint must force the broadcast:\n" + hinted)
+      assert(run(0L) == run(LinkOps.MaxBroadcastEntities),
+        "the shuffled fallback changed the resolution")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("erSelfClustersCappedOf: a planted bridge (one corrupt surface " +
       "within distance of TWO real names) is SPLIT by the cap — the " +
       "oversized component dissolves to exact-surface clusters — " +
