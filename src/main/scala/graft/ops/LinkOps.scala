@@ -143,18 +143,41 @@ object LinkOps {
       .agg(collect_list(struct(col("entity_id"), col("entity_name")))
         .as("cands"))
 
+  /** One pass's row-local argmin: the candidate array verified with
+   *  thresholded levenshtein, reduced by `array_min` over
+   *  struct(lev, entity_id, entity_name) — ties to the smaller
+   *  entity_id by struct ordering. NULL when the mention missed the
+   *  pass's block (left-join null propagates through
+   *  transform/filter/array_min). */
+  private def passBest(mention: Column, cands: Column,
+      maxDist: Int): Column =
+    array_min(filter(
+      transform(cands, e =>
+        struct(
+          levenshtein(mention, e("entity_name"), maxDist)
+            .cast("bigint").as("lev"),
+          e("entity_id").as("entity_id"),
+          e("entity_name").as("entity_name"))),
+      s => s("lev") >= 0))
+
   /** Resolution against prebuilt [[blockArrayIndex]] frames (pass 1 =
    *  prefix-keyed, pass 2 = suffix-keyed) — the ONE definition batch
    *  [[bestMatches]] and the live er gate share (stream == batch by
-   *  construction): one broadcast left join PER PASS, the candidate
-   *  arrays concatenated row-locally (`flatten(array_compact(...))` —
-   *  an entity reachable through both passes appears twice, which the
-   *  argmin ignores), then a row-local `array_min` argmin over
-   *  struct(lev, entity_id, entity_name) — the GLOBAL best across
-   *  both passes, ties to the smaller entity_id by struct ordering.
-   *  Unmatched mentions keep a NULL `best`, so the caller can count
-   *  coverage. Mentions still never shuffle: two broadcast joins,
-   *  everything else per-row. */
+   *  construction): one broadcast left join PER PASS, then a
+   *  row-local [[passBest]] argmin per pass combined with `least`
+   *  (null-skipping; struct ordering = the GLOBAL best across both
+   *  passes, ties to the smaller entity_id). LEV-0 FAST PATH: when
+   *  the prefix pass verifies an EXACT match, the suffix probe is
+   *  skipped ROW-LOCALLY (`when` branches short-circuit in codegen) —
+   *  sound because a lev-0 candidate shares the mention's surface
+   *  form, hence its prefix block, so EVERY lev-0 entity (including
+   *  the smallest-id tiebreak winner) is already in the prefix
+   *  pass's array; the suffix pass can only add lev ≥ 1 candidates
+   *  the argmin would discard. Identity with the always-both-probes
+   *  form is spec-pinned on the full corruption mix
+   *  (LinkageQueriesSpec). Unmatched mentions keep a NULL `best`, so
+   *  the caller can count coverage. Mentions still never shuffle:
+   *  two broadcast joins, everything else per-row. */
   def resolveAgainst(mentions: DataFrame, idxPrefix: DataFrame,
       idxSuffix: DataFrame, maxDist: Int,
       hintBroadcast: Boolean = true): DataFrame =
@@ -171,18 +194,12 @@ object LinkOps {
           length(col("mention")) === col("mlen"),
         "left")
       .drop("blk", "mlen")
+      .withColumn("best1", passBest(col("mention"), col("cands1"), maxDist))
       .withColumn("best",
-        array_min(filter(
-          transform(
-            flatten(array_compact(array(col("cands1"), col("cands2")))),
-            e =>
-              struct(
-                levenshtein(col("mention"), e("entity_name"), maxDist)
-                  .cast("bigint").as("lev"),
-                e("entity_id").as("entity_id"),
-                e("entity_name").as("entity_name"))),
-          s => s("lev") >= 0)))
-      .drop("cands1", "cands2")
+        when(col("best1")("lev") === 0, col("best1"))
+          .otherwise(least(col("best1"),
+            passBest(col("mention"), col("cands2"), maxDist))))
+      .drop("cands1", "cands2", "best1")
 
   /** Candidate-ENTRY budget for the FORCED broadcast hint — the same
    *  semantics (and the same 4M figure) as the live gates' refusal

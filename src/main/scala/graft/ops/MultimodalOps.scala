@@ -1275,13 +1275,15 @@ object MultimodalOps {
   /** CONTAINER-GENERAL per-frame clip hashing — magic-sniffed
    *  dispatch over every container this engine decodes to pixels
    *  (GIF87a/GIF89a → [[gifClipPhashes]], RIFF AVI → MJPEG
-   *  [[aviClipPhashes]]); a video-dedup pass must hash whatever
-   *  containers the corpus carries, and both routes share
+   *  [[aviClipPhashes]], ISO BMFF `ftyp` → photo-JPEG sample tables
+   *  [[mp4ClipPhashes]]); a video-dedup pass must hash whatever
+   *  containers the corpus carries, and all routes share
    *  [[framePhashes]], so a clip and its re-mux in another container
-   *  fingerprint identically. Unknown magic (including the probe-only
-   *  MP4 rung — no JDK inter-frame codec) quarantines with the single
-   *  sentinel row: routed, never silently dropped, never a dedup-join
-   *  participant. */
+   *  fingerprint identically. Unknown magic — and MP4s whose stsd
+   *  names an inter-frame codec (no JDK decoder; the walk inside the
+   *  MP4 route quarantines those for the transcode farm) —
+   *  quarantines with the single sentinel row: routed, never
+   *  silently dropped, never a dedup-join participant. */
   private[graft] def clipPhashes(id: Long, b: Array[Byte],
       brightShift: Int): Seq[graft.model.GifFramePhash] = {
     val isGif = b != null && b.length > 6 && {
@@ -1291,8 +1293,11 @@ object MultimodalOps {
     val isAvi = b != null && b.length >= 12 &&
       new String(b, 0, 4, "US-ASCII") == "RIFF" &&
       new String(b, 8, 4, "US-ASCII") == "AVI "
+    val isMp4 = b != null && b.length >= 12 &&
+      new String(b, 4, 4, "US-ASCII") == "ftyp"
     if (isGif) gifClipPhashes(id, b, brightShift)
     else if (isAvi) aviClipPhashes(id, b, brightShift)
+    else if (isMp4) mp4ClipPhashes(id, b, brightShift)
     else Seq(graft.model.GifFramePhash(id, -1L, -1, -1, 0L, 0L))
   }
 
@@ -1653,5 +1658,264 @@ object MultimodalOps {
                 }
               }
             }
+  }
+
+  /**
+   * REAL video frame decode — MJPEG-in-MP4, closing the third
+   * ingested video container (the [[probeMp4Partitioned]] scaladoc's
+   * routing boundary moves: a photo-JPEG ('jpeg') sample table needs
+   * no inter-frame codec, so it decodes HERE with the exact per-frame
+   * JPEG machinery the AVI walk already owns; every other codec
+   * fourcc still quarantines for the transcode farm):
+   * [[mjpegMp4Frames]] + per-frame `javax.imageio`, partition-batched,
+   * the [[decodeMjpegAviPartitioned]] contract (frame count, constant
+   * dims, container frame clock, 16-bin luminance histogram over
+   * EVERY frame; quarantine = n_frames −1, routed never dropped).
+   */
+  def decodeMjpegMp4Partitioned(df: DataFrame, idCol: String,
+      bytesCol: String)
+      : org.apache.spark.sql.Dataset[graft.model.VideoFeatures] = {
+    import df.sparkSession.implicits._
+    val bad = graft.model.VideoFeatures(_: Long, -1L, -1, -1, -1L, Nil)
+    df.select(col(idCol), col(bytesCol)).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, b) =>
+          try {
+            val hist = new Array[Long](16)
+            mjpegMp4Frames(b) { img =>
+              val hh = img.getHeight
+              val ww = img.getWidth
+              var y = 0
+              while (y < hh) {
+                var x = 0
+                while (x < ww) {
+                  val rgb = img.getRGB(x, y)
+                  val lum = (((rgb >> 16) & 0xFF) +
+                    ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+                  hist(lum >> 4) += 1L
+                  x += 1
+                }
+                y += 1
+              }
+            } match {
+              case Some((usPerFrame, n, w, h)) =>
+                graft.model.VideoFeatures(id, n, w, h, usPerFrame,
+                  hist.toSeq)
+              case None => bad(id)
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) => bad(id)
+          }
+        }
+      }
+  }
+
+  /** Per-FRAME perceptual hashes of an MJPEG-in-MP4 clip — the MP4
+   *  rung of [[gifClipPhashes]]/[[aviClipPhashes]], built on the
+   *  SHARED strict sample-table walk [[mjpegMp4Frames]] and the
+   *  SHARED [[framePhashes]] grid, so a clip's fingerprint is
+   *  identical no matter which container carried its pixels. */
+  private def mp4ClipPhashes(id: Long, b: Array[Byte], brightShift: Int)
+      : Seq[graft.model.GifFramePhash] = {
+    val bad = graft.model.GifFramePhash(_: Long, -1L, -1, -1, 0L, 0L)
+    try {
+      val out = Seq.newBuilder[graft.model.GifFramePhash]
+      var f = 0L
+      mjpegMp4Frames(b) { img =>
+        val (base, shifted) = framePhashes(img, brightShift)
+        out += graft.model.GifFramePhash(id, f, img.getWidth,
+          img.getHeight, base, shifted)
+        f += 1
+      } match {
+        case Some(_) => out.result()
+        case None => Seq(bad(id))
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => Seq(bad(id))
+    }
+  }
+
+  /** The ONE strict per-clip MJPEG-MP4 sample-table walk
+   *  [[decodeMjpegMp4Partitioned]] (histogram consumer) and
+   *  [[mp4ClipPhashes]] (fingerprint consumer) share — ISO/IEC
+   *  14496-12's public layout: top level must open with `ftyp` and
+   *  tile exactly into boxes (ONE `moov`, ONE `mdat` — trailing junk
+   *  or a second of either quarantines; 64-bit `largesize` and
+   *  run-to-end sizes quarantine for routing, the >4 GB segmented
+   *  class); `moov` must carry exactly ONE `vide`-handler track
+   *  (audio tracks interleave legally and are skipped WHOLE — their
+   *  sample tables are theirs; a second video track's frames must
+   *  not merge into one histogram, the AVI single-stream rule) whose
+   *  `stsd` holds exactly one 'jpeg' (photo-JPEG) entry — any other
+   *  codec fourcc is the transcode-farm routing boundary; `stts`
+   *  must be a single run (the re-mux class has a constant frame
+   *  clock; a variable-rate edit list is routing, not decode) agreeing
+   *  with `stsz` on the sample count; samples map to file offsets
+   *  through the standard stsc×stco(/co64) expansion with every
+   *  sample byte-range inside `mdat`'s payload (an offset escaping
+   *  mdat is a desync lie — quarantine, never a partial walk).
+   *  UNLIKE the AVI movi walk, unknown boxes inside moov/trak/stbl
+   *  are SKIPPED, not quarantined: ISO BMFF sizes are
+   *  self-describing, so an unknown box cannot desync its siblings
+   *  (the risk the AVI rule guards), and the spec defines skipping
+   *  as the conforming behavior. Frames must decode as JPEG with
+   *  constant dims; zero frames is malformed. Returns
+   *  Some((usPerFrame, nFrames, width, height)) or None for
+   *  quarantine. Callers supply the NonFatal catch and the
+   *  once-per-partition ImageIO cache disable. */
+  private def mjpegMp4Frames(b: Array[Byte])(
+      onFrame: java.awt.image.BufferedImage => Unit)
+      : Option[(Long, Long, Int, Int)] = {
+    if (b == null || b.length < 16) return None
+    def u32(p: Long): Long =
+      ((b(p.toInt) & 0xFFL) << 24) | ((b(p.toInt + 1) & 0xFFL) << 16) |
+        ((b(p.toInt + 2) & 0xFFL) << 8) | (b(p.toInt + 3) & 0xFFL)
+    def fourcc(p: Long): String = new String(b, p.toInt, 4, "US-ASCII")
+    /** Child boxes tiling [from, to) exactly — null on malformed
+     *  sizes (< header, escaping the parent, 0/1 sentinels, or a
+     *  gap at the end). */
+    def kids(from: Long, to: Long): Seq[(String, Long, Long)] = {
+      val out = Seq.newBuilder[(String, Long, Long)]
+      var q = from
+      while (q + 8 <= to) {
+        val sz = u32(q)
+        if (sz < 8 || q + sz > to) return null
+        out += ((fourcc(q + 4), q + 8, q + sz))
+        q += sz
+      }
+      if (q != to) null else out.result()
+    }
+    val top = kids(0, b.length.toLong)
+    if (top == null || top.isEmpty || top.head._1 != "ftyp") return None
+    val moovs = top.filter(_._1 == "moov")
+    val mdats = top.filter(_._1 == "mdat")
+    if (moovs.length != 1 || mdats.length != 1) return None
+    val (_, mdatFrom, mdatTo) = mdats.head
+    val moovKids = kids(moovs.head._2, moovs.head._3)
+    if (moovKids == null) return None
+    // exactly ONE video track: find its mdia
+    var vidMdia: (Long, Long) = null
+    for ((t, f0, t0) <- moovKids if t == "trak") {
+      val trakKids = kids(f0, t0)
+      if (trakKids == null) return None
+      trakKids.find(_._1 == "mdia") match {
+        case None => return None // a track without media structure
+        case Some((_, mf, mt)) =>
+          val mdiaKids = kids(mf, mt)
+          if (mdiaKids == null) return None
+          mdiaKids.find(_._1 == "hdlr") match {
+            case None => return None
+            case Some((_, hf, ht)) =>
+              if (ht - hf < 12) return None
+              if (fourcc(hf + 8) == "vide") {
+                if (vidMdia != null) return None // second video track
+                vidMdia = (mf, mt)
+              }
+          }
+      }
+    }
+    if (vidMdia == null) return None
+    val mdiaKids = kids(vidMdia._1, vidMdia._2)
+    // media timescale (mdhd v0/v1 — the probe's version handling)
+    val timescale = mdiaKids.find(_._1 == "mdhd") match {
+      case Some((_, f0, t0)) if t0 - f0 >= 16 =>
+        if ((b(f0.toInt) & 0xFF) == 1) {
+          if (t0 - f0 < 28) return None
+          u32(f0 + 20)
+        } else u32(f0 + 12)
+      case _ => return None
+    }
+    if (timescale <= 0L) return None
+    val stbl = (for {
+      (t, f0, t0) <- mdiaKids if t == "minf"
+      mk = kids(f0, t0) if mk != null
+      s <- mk.find(_._1 == "stbl")
+    } yield s).headOption.getOrElse(return None)
+    val stblKids = kids(stbl._2, stbl._3)
+    if (stblKids == null) return None
+    def tbl(name: String): (Long, Long) =
+      stblKids.find(_._1 == name) match {
+        case Some((_, f0, t0)) => (f0, t0)
+        case None => (-1L, -1L)
+      }
+    // stsd: exactly one entry, photo-JPEG — the codec routing gate
+    val (sdF, sdT) = tbl("stsd")
+    if (sdF < 0 || sdT - sdF < 16 || u32(sdF + 4) != 1L ||
+        fourcc(sdF + 12) != "jpeg") return None
+    // stts: one run = constant frame clock
+    val (ttF, ttT) = tbl("stts")
+    if (ttF < 0 || ttT - ttF < 16 || u32(ttF + 4) != 1L) return None
+    val sttsCount = u32(ttF + 8)
+    val delta = u32(ttF + 12)
+    if (delta <= 0L) return None
+    // stsz: per-sample sizes (or the uniform-size shortcut)
+    val (szF, szT) = tbl("stsz")
+    if (szF < 0 || szT - szF < 12) return None
+    val uniform = u32(szF + 4)
+    val nSamples = u32(szF + 8)
+    if (nSamples <= 0L || nSamples != sttsCount) return None
+    if (uniform == 0L && szT - szF < 12 + 4 * nSamples) return None
+    def sampleSize(s: Long): Long =
+      if (uniform != 0L) uniform else u32(szF + 12 + 4 * s)
+    // stsc runs + stco/co64 chunk offsets
+    val (scF, scT) = tbl("stsc")
+    if (scF < 0 || scT - scF < 8) return None
+    val nRuns = u32(scF + 4)
+    if (nRuns <= 0L || scT - scF < 8 + 12 * nRuns) return None
+    val (coF, coT) = tbl("stco")
+    val (co64F, co64T) = tbl("co64")
+    if ((coF < 0) == (co64F < 0)) return None // exactly one of the two
+    val wide = coF < 0
+    val (cF, cT) = if (wide) (co64F, co64T) else (coF, coT)
+    if (cT - cF < 8) return None
+    val nChunks = u32(cF + 4)
+    val width = if (wide) 8L else 4L
+    if (nChunks <= 0L || cT - cF < 8 + width * nChunks) return None
+    def chunkOffset(c: Long): Long = {
+      val p = cF + 8 + width * c
+      if (wide) (u32(p) << 32) | u32(p + 4) else u32(p)
+    }
+    def runFirstChunk(r: Long): Long = u32(scF + 8 + 12 * r)
+    def runPerChunk(r: Long): Long = u32(scF + 8 + 12 * r + 4)
+    def runDesc(r: Long): Long = u32(scF + 8 + 12 * r + 8)
+    if (runFirstChunk(0) != 1L) return None
+    var r = 0L
+    while (r < nRuns) {
+      if (runDesc(r) != 1L || runPerChunk(r) <= 0L ||
+          (r > 0 && runFirstChunk(r) <= runFirstChunk(r - 1)))
+        return None
+      r += 1
+    }
+    // walk chunks in order, expanding the stsc runs; decode samples
+    var n = 0L
+    var w = -1
+    var h = -1
+    var run = 0L
+    var chunk = 0L
+    while (chunk < nChunks && n < nSamples) {
+      if (run + 1 < nRuns && chunk + 1 >= runFirstChunk(run + 1)) run += 1
+      var off = chunkOffset(chunk)
+      var s = 0L
+      val per = runPerChunk(run)
+      while (s < per && n < nSamples) {
+        val size = sampleSize(n)
+        if (size <= 0L || off < mdatFrom || off + size > mdatTo)
+          return None // sample range escapes mdat — desync lie
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(b, off.toInt, size.toInt))
+        if (img == null) return None
+        if (w != -1 && (w != img.getWidth || h != img.getHeight))
+          return None // dimension change mid-clip
+        w = img.getWidth; h = img.getHeight
+        onFrame(img)
+        n += 1L
+        off += size
+        s += 1L
+      }
+      chunk += 1L
+    }
+    if (n != nSamples) return None // tables promised more samples
+    Some((delta * 1000000L / timescale, n, w, h))
   }
 }

@@ -91,7 +91,16 @@ object LinkageQueries {
    *  sweep or a match-weight model trains on). */
   def erCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     val parts = Tables.part(spark, sfDir)
-    LinkOps.blockedCandidates(mentionsOf(parts), catalogOf(parts), MaxDist)
+    // The same MEASURED broadcast verdict bestMatches applies: the
+    // catalog agg is materialized once (blockedPairs' caller
+    // contract), its ENTRY count compared against the 4M budget, and
+    // the hint dropped past it — this was the one ER path still
+    // forcing the hint unconditionally, which at an entity-scale
+    // catalog is an executor OOM, not a plan preference.
+    val ents = catalogOf(parts).localCheckpoint()
+    LinkOps.blockedCandidates(mentionsOf(parts), ents, MaxDist,
+        hintBroadcast = LinkOps.indexEntries(ents.count(), MaxDist) <=
+          LinkOps.MaxBroadcastEntities)
       .select(col("mention_id"), col("mention"), col("entity_id"),
         col("entity_name"), col("lev"))
   }

@@ -3800,6 +3800,29 @@ object Oracles {
        |  $rows) AS t(clip_id, n_frames, width, height, us_per_frame, hist_csv)""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.mmFramesMp4]]: the MP4 re-mux
+   *  fixture's raw BLOCK statistics
+   *  (`tools.Mp4RemuxFixture.expectedRows` — pure arithmetic over
+   *  the shared per-frame gray-block definition, no MP4 bytes, no
+   *  ImageIO) as VALUES literals, INCLUDING the codec decoy's
+   *  quarantine sentinel row — the oracle pins the routing boundary
+   *  (an 'avc1' stsd must quarantine), not just the happy path. */
+  val mmFramesMp4: String = {
+    val rows = graft.tools.Mp4RemuxFixture.expectedRows
+      .map { case (id, n, w, h, us, csv) =>
+        s"($id, $n, $w, $h, $us, '$csv')"
+      }
+      .mkString(",\n  ")
+    s"""SELECT CAST(clip_id AS BIGINT) AS clip_id,
+       |       CAST(n_frames AS BIGINT) AS n_frames,
+       |       CAST(width AS BIGINT) AS width,
+       |       CAST(height AS BIGINT) AS height,
+       |       CAST(us_per_frame AS BIGINT) AS us_per_frame,
+       |       hist_csv
+       |FROM (VALUES
+       |  $rows) AS t(clip_id, n_frames, width, height, us_per_frame, hist_csv)""".stripMargin
+  }
+
   // ---- mergeable-sketch contracts (SketchQueries) --------------------------
   // Exact values recomputed relationally; the sketch estimates are
   // asserted Spark-side as within-tolerance booleans (literal TRUE
@@ -4213,8 +4236,9 @@ object Oracles {
    *  min id. Lazy: mmPhashNeardup is declared further down this
    *  object (the dedupSurvivors initialization-order rule). */
   lazy val mmPhashClusters: String = {
-    val ids = graft.tools.PngFixture
-      .expectedNeardupHashes(graft.queries.PipelineQueries.PhashShift)
+    val shift = graft.queries.PipelineQueries.PhashShift
+    val ids = (graft.tools.PngFixture.expectedNeardupHashes(shift) ++
+        graft.tools.ImageRemuxFixture.expectedNeardupHashes(shift))
       .map { case (id, _) => s"($id)" }.mkString(", ")
     s"""WITH RECURSIVE
        |pairs AS (SELECT id1, id2 FROM ($mmPhashNeardup) np),
@@ -4365,8 +4389,10 @@ object Oracles {
   }
 
   /** Mirrors [[PipelineQueries.mmPhashNeardup]]: the independent
-   *  raw-pixel hashes (`tools.PngFixture.expectedNeardupHashes` via
-   *  `refPhash64` — no PNG bytes, no shared hash code) as VALUES,
+   *  raw-pixel hashes of BOTH committed corpora (the PNG fixture and
+   *  the PNG+JPEG remux fixture, via `refPhash64` — no PNG bytes, no
+   *  JPEG bytes, no shared hash code; the corrupt decoy contributes
+   *  no rows, mirroring the quarantine rule) as VALUES,
    *  then the banding RE-DERIVED in SQL — the same 28 C(8,2)
    *  block-pair tables as an offsets relation, packed 16-bit keys,
    *  candidate equi-join, exact `bit_count(xor(...))` verification —
@@ -4376,8 +4402,9 @@ object Oracles {
    *  DuckDB's arithmetic and Spark's unsigned shift (the fill bits
    *  never reach the masked byte). */
   val mmPhashNeardup: String = {
-    val rows = graft.tools.PngFixture
-      .expectedNeardupHashes(graft.queries.PipelineQueries.PhashShift)
+    val shift = graft.queries.PipelineQueries.PhashShift
+    val rows = (graft.tools.PngFixture.expectedNeardupHashes(shift) ++
+        graft.tools.ImageRemuxFixture.expectedNeardupHashes(shift))
       .map { case (id, h) => s"($id, CAST($h AS BIGINT))" }
       .mkString(",\n  ")
     val combos = (0 until 8).combinations(2).toSeq.zipWithIndex
@@ -4553,7 +4580,8 @@ object Oracles {
   val mmVideoNeardup: String = {
     val r = PipelineQueries.VideoFrameMaxHamming
     val rows = (graft.tools.VideoDupFixture.expectedFramePhashes ++
-        graft.tools.VideoRemuxFixture.expectedFramePhashes)
+        graft.tools.VideoRemuxFixture.expectedFramePhashes ++
+        graft.tools.Mp4RemuxFixture.expectedFramePhashes)
       .map { case (id, f, p) => s"($id, $f, CAST($p AS BIGINT))" }
       .mkString(",\n  ")
     s"""WITH fp AS (
@@ -4865,7 +4893,11 @@ object Oracles {
     val ids = ((0 until graft.tools.VideoDupFixture.Total)
         .map(_.toLong) ++
       (0 until graft.tools.VideoRemuxFixture.Total)
-        .map(graft.tools.VideoRemuxFixture.IdBase + _))
+        .map(graft.tools.VideoRemuxFixture.IdBase + _) ++
+      // the MP4 codec decoy QUARANTINES (unlike the truncated-AVI
+      // decoy, which decodes) — it is not a node
+      (0 until graft.tools.Mp4RemuxFixture.M)
+        .map(graft.tools.Mp4RemuxFixture.IdBase + _))
       .map(i => s"($i)").mkString(", ")
     s"""WITH RECURSIVE
        |pairs AS (SELECT id1, id2 FROM ($mmVideoNeardup) np),

@@ -4110,9 +4110,11 @@ object PipelineQueries {
   def mmAudioNeardup(spark: SparkSession, sfDir: String): DataFrame =
     mmAudioNeardupOf(mixedAudioCorpus(spark))
 
-  /** The [[mmAudioNeardup]] engine over any (clip_id, audio) frame
-   *  (first column = clip id, second = payload bytes,
-   *  container magic-sniffed per clip) — factored so the spec can
+  /** The [[mmAudioNeardup]] engine over any clip frame — columns
+   *  bound BY NAME (`idCol`/`bytesCol`, the gates' corpusIdCol
+   *  contract: a caller frame with extra or reordered columns must
+   *  not silently bind the wrong fields), payload container
+   *  magic-sniffed per clip — factored so the spec can
    *  inject corrupt payloads. The
    *  fingerprint frame is MATERIALIZED once (the phashCorpus lesson —
    *  the banded self-join's two sides would otherwise each re-run the
@@ -4121,10 +4123,10 @@ object PipelineQueries {
    *  undecodable clips must not pair at hamming 0 (the phashCorpus
    *  rule). Handle left to the ContextCleaner (non-boundary
    *  convention). */
-  def mmAudioNeardupOf(clips: DataFrame): DataFrame =
+  def mmAudioNeardupOf(clips: DataFrame, idCol: String = "clip_id",
+      bytesCol: String = "audio"): DataFrame =
     graft.ops.DedupOps.hammingNearDups64(
-        MultimodalOps.audioFingerprintPartitioned(clips,
-          clips.columns(0), clips.columns(1))
+        MultimodalOps.audioFingerprintPartitioned(clips, idCol, bytesCol)
           .toDF()
           .filter(col("sample_rate") =!= -1)
           .select(col("id"), col("fp"))
@@ -4177,24 +4179,31 @@ object PipelineQueries {
   val PhashNeardupMaxHamming = 6
 
   /** IMAGE NEAR-DUP at scale — the operator [[mmPhash]]'s fingerprint
-   *  exists for (dedup_simhash's multimodal sibling): decode the
-   *  committed PNGs, hash base AND brightness-shifted variant
-   *  ([[MultimodalOps.phashPartitioned]]), pool both into one hash
-   *  corpus (variant ids on the disjoint -(id+1) keyspace), and find
-   *  every pair within Hamming [[PhashNeardupMaxHamming]] via
-   *  [[DedupOps.hammingNearDups64]]'s banded equi-join — 28 block-pair
-   *  tables, exact popcount verification, NEVER all-pairs
-   *  (plan-pinned). On the committed corpus the (base, variant)
-   *  self-pairs within radius are the built-in ground truth (46 of 48
-   *  at shift 8 — two variants land beyond radius 6, real misses a
-   *  production radius choice trades; the spec pins both counts), and
-   *  base-base distances start at 10 so no accidental pair qualifies.
-   *  Oracle = the raw-pixel hashes through the INDEPENDENT
-   *  `PngFixture.refPhash64`, banded and popcount-verified in SQL.
-   *  Ignores sfDir (scale-free fixture). */
+   *  exists for (dedup_simhash's multimodal sibling): decode every
+   *  image of every container the engine ingests (the `ImageIO.read`
+   *  magic-sniffing dispatch — PNG or JPEG per image), hash base AND
+   *  brightness-shifted variant ([[MultimodalOps.phashPartitioned]]),
+   *  pool both into one hash corpus (variant ids on the disjoint
+   *  -(id+1) keyspace), and find every pair within Hamming
+   *  [[PhashNeardupMaxHamming]] via [[DedupOps.hammingNearDups64]]'s
+   *  banded equi-join — 28 block-pair tables, exact popcount
+   *  verification, NEVER all-pairs (plan-pinned). The input is the
+   *  UNION of both committed corpora — container coverage is the
+   *  operator's point, so the registered query runs MIXED (the
+   *  mm_video_neardup convention): [[graft.tools.PngFixture]] (46 of
+   *  48 (base, variant) self-pairs within radius at shift 8 — two
+   *  variants land beyond radius 6, real misses a production radius
+   *  choice trades; base-base distances start at 10 so no accidental
+   *  pair qualifies) plus [[graft.tools.ImageRemuxFixture]] (each
+   *  content committed as a PNG AND a JPEG re-encode of the same
+   *  pixels: the CROSS-CONTAINER pair MUST qualify at hamming 0 —
+   *  flat mid-bin mosaics round-trip the JDK JPEG codec
+   *  pixel-exactly — and a corrupt decoy must quarantine, never
+   *  pair). Oracle = both fixtures' raw-pixel hashes through the
+   *  INDEPENDENT `PngFixture.refPhash64`, banded and
+   *  popcount-verified in SQL. Ignores sfDir (scale-free fixtures). */
   def mmPhashNeardup(spark: SparkSession, sfDir: String): DataFrame =
-    mmPhashNeardupOf(
-      spark.read.parquet(graft.tools.PngFixture.Path))
+    mmPhashNeardupOf(mixedImageCorpus(spark), bytesCol = "image")
 
   /** IMAGE DEDUP CLUSTERS — closes the perceptual-hash loop end to
    *  end (decode → hash → banded pairs → CONNECTED COMPONENTS →
@@ -4203,19 +4212,36 @@ object PipelineQueries {
    *  labeled with its component's minimum id, `is_survivor` marking
    *  the representative (the dedup_clusters min-id convention — a
    *  production keep-policy ranks members by quality instead, the
-   *  dedupSurvivors shape). On the committed corpus: 46 two-member
-   *  (base, variant) clusters + 4 singletons (the two
-   *  beyond-radius variants and their bases) — spec-pinned. Scale
+   *  dedupSurvivors shape). Runs MIXED like the pair query (the one
+   *  [[mixedImageCorpus]] read): the PNG fixture's 46 two-member
+   *  (base, variant) clusters + 4 singletons, plus the remux
+   *  fixture's cross-container components — each content's PNG and
+   *  JPEG siblings (and their pooled variants) collapse into ONE
+   *  cluster, spec-pinned against brute-force CC over the
+   *  independent raw-pixel hashes. Scale
    *  shape: pairs from the banded equi-join (never all-pairs), CC
    *  over pair-sized edges with per-round checkpoint truncation —
    *  the dedup_clusters cost class over a hash-sized relation. */
   def mmPhashClusters(spark: SparkSession, sfDir: String): DataFrame =
-    mmPhashClustersOf(
-      spark.read.parquet(graft.tools.PngFixture.Path))
+    mmPhashClustersOf(mixedImageCorpus(spark), bytesCol = "image")
 
-  /** The [[mmPhashClusters]] engine over any (img_id, png) frame. */
-  def mmPhashClustersOf(images: DataFrame): DataFrame = {
-    val corpus = phashCorpus(images)
+  /** The ONE mixed-container corpus read `mm_phash_neardup` and
+   *  `mm_phash_clusters` share: the PNG fixture lifted to the
+   *  (img_id, image) contract, unioned with the committed PNG+JPEG
+   *  re-encode fixture (id ranges disjoint by construction —
+   *  [[graft.tools.ImageRemuxFixture.IdBase]]). */
+  private def mixedImageCorpus(spark: SparkSession): DataFrame =
+    spark.read.parquet(graft.tools.PngFixture.Path)
+      .select(col("img_id"), col("png").as("image"))
+      .unionAll(spark.read.parquet(graft.tools.ImageRemuxFixture.Path)
+        .select(col("img_id"), col("image")))
+
+  /** The [[mmPhashClusters]] engine over any image frame (columns
+   *  bound BY NAME via `idCol`/`bytesCol` — the gates' corpusIdCol
+   *  contract). */
+  def mmPhashClustersOf(images: DataFrame, idCol: String = "img_id",
+      bytesCol: String = "png"): DataFrame = {
+    val corpus = phashCorpus(images, idCol, bytesCol)
     val pairs = graft.ops.DedupOps.hammingNearDups64(
         corpus, col("id"), col("phash"), PhashNeardupMaxHamming)
       .select("id1", "id2")
@@ -4235,9 +4261,10 @@ object PipelineQueries {
    *  consumer would drop one broken file for another — review-pass
    *  fix, spec-pinned. Variants ride the disjoint -(id+1) keyspace.
    *  Handle left to the ContextCleaner (non-boundary convention). */
-  private def phashCorpus(images: DataFrame): DataFrame = {
+  private def phashCorpus(images: DataFrame, idCol: String,
+      bytesCol: String): DataFrame = {
     val hashed = MultimodalOps.phashPartitioned(
-      images, "img_id", "png", PhashShift)
+      images, idCol, bytesCol, PhashShift)
       .toDF()
       .filter(col("width") =!= -1)
       .localCheckpoint()
@@ -4246,13 +4273,15 @@ object PipelineQueries {
         col("phash_shifted").as("phash")))
   }
 
-  /** The [[mmPhashNeardup]] engine over any (img_id, png) frame —
-   *  factored so the spec can inject corrupt payloads. Corpus rules
-   *  (quarantine, variant keyspace) live in [[phashCorpus]], shared
-   *  with the cluster composition. */
-  def mmPhashNeardupOf(images: DataFrame): DataFrame =
+  /** The [[mmPhashNeardup]] engine over any image frame (columns
+   *  bound BY NAME via `idCol`/`bytesCol`, payload container
+   *  magic-sniffed per image) — factored so the spec can inject
+   *  corrupt payloads. Corpus rules (quarantine, variant keyspace)
+   *  live in [[phashCorpus]], shared with the cluster composition. */
+  def mmPhashNeardupOf(images: DataFrame, idCol: String = "img_id",
+      bytesCol: String = "png"): DataFrame =
     graft.ops.DedupOps.hammingNearDups64(
-        phashCorpus(images), col("id"), col("phash"),
+        phashCorpus(images, idCol, bytesCol), col("id"), col("phash"),
         PhashNeardupMaxHamming)
       .select(col("id1"), col("id2"),
         col("hamming").cast("bigint").as("hamming"))
@@ -4307,6 +4336,8 @@ object PipelineQueries {
       .select(col("clip_id"), col("gif").as("video"))
       .unionAll(spark.read.parquet(graft.tools.VideoRemuxFixture.Path)
         .select(col("clip_id"), col("video")))
+      .unionAll(spark.read.parquet(graft.tools.Mp4RemuxFixture.Path)
+        .select(col("clip_id"), col("video")))
 
   /** The [[mmVideoNeardup]] engine over any (clip_id, video) frame
    *  (payload container magic-sniffed per clip) — factored so the
@@ -4317,19 +4348,23 @@ object PipelineQueries {
    *  undecodable clips must not pair at hamming 0 (the phashCorpus
    *  rule). Handle left to the ContextCleaner (non-boundary
    *  convention). */
-  def mmVideoNeardupOf(clips: DataFrame): DataFrame =
-    videoPairsOf(videoHashCorpus(clips))
+  def mmVideoNeardupOf(clips: DataFrame, idCol: String = "clip_id",
+      bytesCol: String = "video"): DataFrame =
+    videoPairsOf(videoHashCorpus(clips, idCol, bytesCol))
 
   /** The ONE frame-hash corpus construction the video pair query and
    *  its cluster composition share (the phashCorpus convention):
-   *  container-sniffed decode (first column = clip id, second =
-   *  payload bytes) + per-frame DCT hash, quarantine filtered, MATERIALIZED
+   *  container-sniffed decode (columns bound BY NAME — the gates'
+   *  corpusIdCol contract; positional binding would silently read the
+   *  wrong fields from a wider caller frame) + per-frame DCT hash,
+   *  quarantine filtered, MATERIALIZED
    *  once — every consumer re-reads the checkpoint instead of
    *  re-running decode+DCT. Handle left to the ContextCleaner
    *  (non-boundary convention). */
-  private def videoHashCorpus(clips: DataFrame): DataFrame =
+  private def videoHashCorpus(clips: DataFrame, idCol: String,
+      bytesCol: String): DataFrame =
     MultimodalOps.videoFramePhashesPartitioned(
-        clips, clips.columns(0), clips.columns(1), brightShift = 0)
+        clips, idCol, bytesCol, brightShift = 0)
       .toDF()
       .filter(col("width") =!= -1)
       .select(col("id"), col("frame"), col("phash"))
@@ -4370,9 +4405,11 @@ object PipelineQueries {
   def mmVideoClusters(spark: SparkSession, sfDir: String): DataFrame =
     mmVideoClustersOf(mixedVideoCorpus(spark))
 
-  /** The [[mmVideoClusters]] engine over any (clip_id, video) frame. */
-  def mmVideoClustersOf(clips: DataFrame): DataFrame = {
-    val sigs = videoHashCorpus(clips)
+  /** The [[mmVideoClusters]] engine over any clip frame (columns
+   *  bound BY NAME via `idCol`/`bytesCol`). */
+  def mmVideoClustersOf(clips: DataFrame, idCol: String = "clip_id",
+      bytesCol: String = "video"): DataFrame = {
+    val sigs = videoHashCorpus(clips, idCol, bytesCol)
     val pairs = videoPairsOf(sigs).select("id1", "id2")
     graft.ops.DedupOps.connectedComponents(pairs,
         sigs.select(col("id")).distinct())
@@ -4435,6 +4472,31 @@ object PipelineQueries {
   def mmFramesMjpeg(spark: SparkSession, sfDir: String): DataFrame =
     MultimodalOps.decodeMjpegAviPartitioned(
       spark.read.parquet(graft.tools.AviFixture.Path), "clip_id", "avi")
+      .toDF()
+      .select(col("id").as("clip_id"), col("n_frames"),
+        col("width").cast("bigint").as("width"),
+        col("height").cast("bigint").as("height"),
+        col("us_per_frame"),
+        array_join(transform(col("lum_hist"), _.cast("string")), ",")
+          .as("hist_csv"))
+
+  /** REAL video FRAME decode from MP4 — the third ingested video
+   *  container's decoded-pixels rung, closing [[mmProbeMp4]]'s
+   *  routing gap for the one codec class the JDK CAN decode
+   *  ([[MultimodalOps.decodeMjpegMp4Partitioned]]: strict ISO BMFF
+   *  sample-table walk — stsd codec gate, stts clock, stsc×stco
+   *  chunk expansion, every sample bounds-checked inside mdat — then
+   *  the exact per-frame JPEG decode the AVI walk owns) over the
+   *  committed [[graft.tools.Mp4RemuxFixture]]. Same output contract
+   *  as [[mmFramesMjpeg]]; the fixture's codec decoy ('avc1' stsd)
+   *  emits its quarantine sentinel row, and the ORACLE pins that row
+   *  too — the routing boundary is part of the verified surface.
+   *  Lossiness engineered out by the shared flat mid-bin mosaics.
+   *  Ignores sfDir (scale-free fixture). */
+  def mmFramesMp4(spark: SparkSession, sfDir: String): DataFrame =
+    MultimodalOps.decodeMjpegMp4Partitioned(
+      spark.read.parquet(graft.tools.Mp4RemuxFixture.Path),
+      "clip_id", "video")
       .toDF()
       .select(col("id").as("clip_id"), col("n_frames"),
         col("width").cast("bigint").as("width"),

@@ -982,16 +982,26 @@ object StreamOps {
       ents, maxDist, graft.ops.LinkOps.blockKey).localCheckpoint()
     val idxS = graft.ops.LinkOps.blockArrayIndex(
       ents, maxDist, graft.ops.LinkOps.suffixKey).localCheckpoint()
-    // ONE driver action sizes both checkpointed indexes
-    val nEntries = idxP.select(size(col("cands")).as("n"))
-      .unionAll(idxS.select(size(col("cands")).as("n")))
-      .agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
-    require(nEntries > 0,
+    // ONE driver action sizes both checkpointed indexes — but the cap
+    // compares the LARGER pass, not the two-pass sum: each pass is
+    // its own broadcast, so summing would silently halve the
+    // effective catalog capacity vs the single-pass gate this
+    // replaced (the r19 ADVICE finding).
+    val perPass = idxP
+      .select(size(col("cands")).as("n"), lit(1).as("pass"))
+      .unionAll(idxS.select(size(col("cands")).as("n"), lit(2).as("pass")))
+      .groupBy(col("pass")).agg(sum(col("n")).as("n"))
+      .collect().map(_.getAs[Long]("n"))
+    val total = perPass.sum
+    val maxPass = if (perPass.isEmpty) 0L else perPass.max
+    require(total > 0,
       "er gate catalog is EMPTY (no entities) — a gate over zero " +
         "entities would mark every mention nomatch; point --catalog " +
         "at a real reference relation")
-    require(nEntries <= maxCatalog,
-      s"er gate block index has $nEntries candidate entries > cap " +
+    require(maxPass <= maxCatalog,
+      s"er gate block index holds $maxPass candidate entries in its " +
+        s"larger blocking pass ($total across the prefix + suffix " +
+        s"passes — each pass broadcasts separately) > cap " +
         s"$maxCatalog; a broadcast this size risks executor memory — " +
         "link with the batch blocked join (LinkageQueries.erMatches) " +
         "instead, or raise maxCatalog if the memory budget allows")

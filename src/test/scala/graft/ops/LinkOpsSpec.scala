@@ -208,4 +208,54 @@ class LinkOpsSpec extends SparkSpec {
     // junk rows never match: every matched id is non-negative
     assert(m.filter(col("mention_id") < 0).count() == 0)
   }
+
+  test("lev-0 fast path: resolveAgainst == the always-both-probes " +
+      "reference on the full corruption mix PLUS exact mentions — " +
+      "skipping the suffix probe after an exact prefix-pass hit can " +
+      "never change a verdict (every lev-0 entity shares the " +
+      "mention's prefix block)") {
+    val parts = graft.model.Tables.part(spark, "/root/testdata/sf0.001")
+    // the full corruption mix, plus every CLEAN surface form as an
+    // exact mention (the rows that actually take the fast path)
+    val men = graft.queries.LinkageQueries.mentionsOf(parts)
+      .unionByName(parts.select(
+        (col("p_partkey") + 1000000L).as("mention_id"),
+        col("p_name").as("mention"), col("p_name").as("clean")))
+    val ents = LinkOps.entityCatalog(parts, col("p_partkey"), col("p_name"))
+    val d = graft.queries.LinkageQueries.MaxDist
+    val idxP = LinkOps.blockArrayIndex(ents, d, LinkOps.blockKey)
+    val idxS = LinkOps.blockArrayIndex(ents, d, LinkOps.suffixKey)
+    def collectBest(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("mention_id"),
+          col("best")("entity_id").as("eid"), col("best")("lev").as("lv"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2)))))
+        .toMap
+    // the r19 form: candidates of BOTH passes concatenated, one argmin
+    val ref = men
+      .join(broadcast(idxP.withColumnRenamed("cands", "cands1")),
+        LinkOps.blockKey(col("mention")) === col("blk") &&
+          length(col("mention")) === col("mlen"), "left")
+      .drop("blk", "mlen")
+      .join(broadcast(idxS.withColumnRenamed("cands", "cands2")),
+        LinkOps.suffixKey(col("mention")) === col("blk") &&
+          length(col("mention")) === col("mlen"), "left")
+      .drop("blk", "mlen")
+      .withColumn("best", array_min(filter(transform(
+        flatten(array_compact(array(col("cands1"), col("cands2")))), e =>
+          struct(levenshtein(col("mention"), e("entity_name"), d)
+              .cast("bigint").as("lev"),
+            e("entity_id").as("entity_id"),
+            e("entity_name").as("entity_name"))),
+        s => s("lev") >= 0)))
+    val want = collectBest(ref)
+    val got = collectBest(LinkOps.resolveAgainst(men, idxP, idxS, d))
+    assert(got == want,
+      s"diff=${(got.toSet diff want.toSet).take(3)} / " +
+        s"${(want.toSet diff got.toSet).take(3)}")
+    // non-vacuity: the exact mentions resolve at lev 0, so the fast
+    // path genuinely fires on this mix
+    assert(got.exists { case (id, b) => id >= 1000000L &&
+      b.exists(_._2 == 0L) })
+  }
 }

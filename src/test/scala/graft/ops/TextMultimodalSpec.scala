@@ -482,28 +482,34 @@ class TextMultimodalSpec extends SparkSpec {
   }
 
   test("mm_phash_neardup: the banded hamming join over the decoded " +
-      "corpus equals the brute-force pair set from the independent " +
-      "raw-pixel hashes — 46 of 48 (base, variant) self-pairs within " +
-      "radius 6, ZERO accidental cross pairs (measured fixture " +
-      "separation: base-base distances start at 10)") {
+      "MIXED corpus equals the brute-force pair set from the " +
+      "independent raw-pixel hashes — the PNG half contributes its 46 " +
+      "of 48 (base, variant) self-pairs within radius 6 with ZERO " +
+      "accidental cross pairs (measured fixture separation: base-base " +
+      "distances start at 10); the remux half's cross-container pairs " +
+      "are pinned in ImageRemuxSpec") {
     import graft.queries.PipelineQueries
     val got = PipelineQueries.mmPhashNeardup(spark, "unused")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSet
-    val corpus = graft.tools.PngFixture
+    def brute(corpus: Seq[(Long, Long)]): Set[(Long, Long, Long)] =
+      (for {
+        (a, ha) <- corpus; (b, hb) <- corpus if a < b
+        d = java.lang.Long.bitCount(ha ^ hb)
+        if d <= PipelineQueries.PhashNeardupMaxHamming
+      } yield (a, b, d.toLong)).toSet
+    val pngCorpus = graft.tools.PngFixture
       .expectedNeardupHashes(PipelineQueries.PhashShift)
-    val want = (for {
-      (a, ha) <- corpus; (b, hb) <- corpus if a < b
-      d = java.lang.Long.bitCount(ha ^ hb)
-      if d <= PipelineQueries.PhashNeardupMaxHamming
-    } yield (a, b, d.toLong)).toSet
+    val want = brute(pngCorpus ++ graft.tools.ImageRemuxFixture
+      .expectedNeardupHashes(PipelineQueries.PhashShift))
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
-    // non-vacuity + purity: every emitted pair is a (base, variant)
-    // self-pair (id2 = -(id1+1) under the id1 < id2 canonical order,
-    // since variants sit on the negative keyspace), and most of the
-    // ground-truth variants fall within the production radius
-    assert(got.size == 46, s"expected 46 self-pairs, got ${got.size}")
-    assert(got.forall { case (id1, id2, _) => id1 == -(id2 + 1) },
+    // non-vacuity + purity on the PNG half: every pair there is a
+    // (base, variant) self-pair (id2 = -(id1+1) under the id1 < id2
+    // canonical order, since variants sit on the negative keyspace)
+    val B = graft.tools.ImageRemuxFixture.IdBase
+    val gotPng = got.filter(p => p._1 > -B && p._2 < B)
+    assert(gotPng.size == 46, s"expected 46 self-pairs, got ${gotPng.size}")
+    assert(gotPng.forall { case (id1, id2, _) => id1 == -(id2 + 1) },
       "an accidental non-self pair crossed the radius")
     // QUARANTINE purity: corrupt payloads carry the sentinel hash 0 —
     // pooled unfiltered, two broken images would "near-dup" each
@@ -517,18 +523,32 @@ class TextMultimodalSpec extends SparkSpec {
         spark.read.parquet(graft.tools.PngFixture.Path).unionByName(zoo))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSet
-    assert(withCorrupt == want,
-      s"corrupt images changed the pair set: ${(withCorrupt -- want).take(5)}")
+    assert(withCorrupt == brute(pngCorpus),
+      s"corrupt images changed the pair set: " +
+        s"${(withCorrupt -- brute(pngCorpus)).take(5)}")
   }
 
-  test("mm_phash_clusters: components over the banded pairs — 46 " +
-      "(base, variant) two-member clusters plus 4 singletons (the two " +
-      "beyond-radius variants and their bases), representative = min " +
-      "id, every decoded hash labeled") {
+  test("mm_phash_clusters: components over the banded MIXED-union " +
+      "pairs — the PNG half keeps its 46 (base, variant) two-member " +
+      "clusters plus 4 singletons (the two beyond-radius variants and " +
+      "their bases), representative = min id, every decoded hash " +
+      "labeled (remux components pinned in ImageRemuxSpec)") {
     import graft.queries.PipelineQueries
-    val rows = PipelineQueries.mmPhashClusters(spark, "unused")
+    import graft.tools.ImageRemuxFixture
+    val all = PipelineQueries.mmPhashClusters(spark, "unused")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
-    assert(rows.length == 96, s"every hash labeled: ${rows.length}")
+    // every decodable hash labeled: PNG 2·48 + remux 2·(2M) (the
+    // corrupt decoy quarantines and must be absent)
+    assert(all.length == 96 + 4 * ImageRemuxFixture.M,
+      s"every hash labeled: ${all.length}")
+    // exactly one survivor per cluster, and it is the representative
+    all.filter(_._3).foreach { case (id, cl, _) =>
+      assert(id == cl, s"survivor $id != representative $cl")
+    }
+    assert(all.count(_._3) == all.map(_._2).distinct.length)
+    // the PNG half keeps its r19 layout untouched
+    val B = ImageRemuxFixture.IdBase
+    val rows = all.filter(r => r._1 < B && r._1 > -B)
     val byCluster = rows.groupBy(_._2)
     val pairsC = byCluster.filter(_._2.length == 2)
     val singles = byCluster.filter(_._2.length == 1)
@@ -541,11 +561,7 @@ class TextMultimodalSpec extends SparkSpec {
       assert(ids(1) == -(ids(0) + 1) && cl == ids(0),
         s"cluster $cl is not a self-pair: ${ids.toSeq}")
     }
-    // exactly one survivor per cluster, and it is the representative
     assert(rows.count(_._3) == 50)
-    rows.filter(_._3).foreach { case (id, cl, _) =>
-      assert(id == cl, s"survivor $id != representative $cl")
-    }
   }
 
   test("mm_frames_gif: the COMMITTED animated GIFs decode EXACTLY to " +

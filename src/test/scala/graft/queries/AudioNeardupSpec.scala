@@ -29,7 +29,7 @@ class AudioNeardupSpec extends SparkSpec {
   test("pair verdicts == brute force: exactly the 10 (base, variant) " +
       "pairs qualify — amplitude scaling + dither stays within radius, " +
       "REVERSED decoys (same energy multiset, wrong order) do not") {
-    val got = PipelineQueries.mmAudioNeardupOf(corpus)
+    val got = PipelineQueries.mmAudioNeardupOf(corpus, bytesCol = "wav")
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     val want = (0 until AudioDupFixture.N)
       .map(i => (i.toLong, (i + AudioDupFixture.N).toLong)).toSet
@@ -210,7 +210,7 @@ class AudioNeardupSpec extends SparkSpec {
       mixed, "clip_id", "wav").collect()
     assert(rows.count(_.id == 99L) == 1 &&
       rows.filter(_.id == 99L).forall(_.sample_rate == -1))
-    val got = PipelineQueries.mmAudioNeardupOf(mixed)
+    val got = PipelineQueries.mmAudioNeardupOf(mixed, bytesCol = "wav")
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(got == Set((100L, 110L)), got)
   }

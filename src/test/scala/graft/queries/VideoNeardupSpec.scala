@@ -37,7 +37,7 @@ class VideoNeardupSpec extends SparkSpec {
       "pairs qualify; frame-PERMUTED decoys fail alignment; the " +
       "TRUNCATED decoy (all aligned distances ZERO) fails the count " +
       "check") {
-    val got = PipelineQueries.mmVideoNeardupOf(corpus)
+    val got = PipelineQueries.mmVideoNeardupOf(corpus, bytesCol = "gif")
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     val want = (0 until VideoDupFixture.N)
       .map(i => (i.toLong, (i + VideoDupFixture.N).toLong)).toSet
@@ -56,7 +56,7 @@ class VideoNeardupSpec extends SparkSpec {
   test("mm_video_clusters labels the 10 (base, variant) pairs as " +
       "two-member clusters and leaves the 3 decoys singletons, " +
       "min-id survivors") {
-    val got = PipelineQueries.mmVideoClustersOf(corpus)
+    val got = PipelineQueries.mmVideoClustersOf(corpus, bytesCol = "gif")
       .select("clip_id", "cluster", "is_survivor")
       .as[(Long, Long, Boolean)].collect().toSet
     val want =
@@ -203,7 +203,7 @@ class VideoNeardupSpec extends SparkSpec {
       mixed, "clip_id", "gif", brightShift = 0).collect()
     assert(hashed.count(r => r.id == 99L) == 1 &&
       hashed.filter(_.id == 99L).forall(_.width == -1))
-    val got = PipelineQueries.mmVideoNeardupOf(mixed)
+    val got = PipelineQueries.mmVideoNeardupOf(mixed, bytesCol = "gif")
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(got == Set((100L, 110L)), got)
   }

@@ -48,20 +48,25 @@ class VideoRemuxSpec extends SparkSpec {
   }
 
   test("fixture ground truth: the ONLY qualifying pairs in the full " +
-      "union are the 10 GIF (base, variant) pairs and the 6 " +
-      "cross-container (GIF, AVI re-mux) pairs — equal-count decoys of " +
-      "DIFFERENT content separate past the radius, and the truncated " +
-      "AVI decoy shares base 0's aligned prefix at hamming 0") {
+      "THREE-container union are the 10 GIF (base, variant) pairs and " +
+      "each content's (GIF, AVI), (GIF, MP4), (AVI, MP4) re-mux " +
+      "triangle — equal-count decoys of DIFFERENT content separate " +
+      "past the radius, and the truncated AVI decoy shares base 0's " +
+      "aligned prefix at hamming 0") {
+    val B2 = graft.tools.Mp4RemuxFixture.IdBase
     val fp = toMap(VideoDupFixture.expectedFramePhashes ++
-      VideoRemuxFixture.expectedFramePhashes)
+      VideoRemuxFixture.expectedFramePhashes ++
+      graft.tools.Mp4RemuxFixture.expectedFramePhashes)
     val want = (0 until VideoDupFixture.N)
       .map(i => (i.toLong, (i + VideoDupFixture.N).toLong)).toSet ++
-      (0 until M).map(i => (B + i, B + M + i)).toSet
+      (0 until M).flatMap(i => Seq((B + i, B + M + i),
+        (B + i, B2 + i), (B + M + i, B2 + i))).toSet
     assert(brutePairs(fp) == want,
       s"unexpected=${brutePairs(fp) -- want} missing=${want -- brutePairs(fp)}")
-    // cross-container pairs sit at EXACTLY 0 (same pixels, two codecs)
+    // cross-container pairs sit at EXACTLY 0 (same pixels, three codecs)
     (0 until M).foreach { i =>
       assert(fp(B + i) == fp(B + M + i), s"re-mux $i drifted from its GIF")
+      assert(fp(B + i) == fp(B2 + i), s"MP4 re-mux $i drifted from its GIF")
     }
     // the truncated AVI decoy: aligned prefix identical, count differs
     val trunc = fp(B + 2 * M)
@@ -75,30 +80,41 @@ class VideoRemuxSpec extends SparkSpec {
     val got = PipelineQueries.mmVideoNeardup(spark, "unused")
       .select("id1", "id2", "n_frames", "max_hamming")
       .as[(Long, Long, Long, Long)].collect()
+    val B2 = graft.tools.Mp4RemuxFixture.IdBase
     val fp = toMap(VideoDupFixture.expectedFramePhashes ++
-      VideoRemuxFixture.expectedFramePhashes)
+      VideoRemuxFixture.expectedFramePhashes ++
+      graft.tools.Mp4RemuxFixture.expectedFramePhashes)
     assert(got.map(r => (r._1, r._2)).toSet == brutePairs(fp))
     (0 until M).foreach { i =>
-      val row = got.find(r => r._1 == B + i && r._2 == B + M + i)
-      assert(row.exists(r => r._3 == VideoRemuxFixture.frames(i) &&
-        r._4 == 0L), s"cross-container pair $i: $row")
+      Seq((B + i, B + M + i), (B + i, B2 + i), (B + M + i, B2 + i))
+        .foreach { case (a, bb) =>
+          val row = got.find(r => r._1 == a && r._2 == bb)
+          assert(row.exists(r => r._3 == VideoRemuxFixture.frames(i) &&
+            r._4 == 0L), s"cross-container pair ($a, $bb): $row")
+        }
     }
   }
 
-  test("registered mm_video_clusters (mixed union): each re-mux joins " +
-      "its GIF sibling's two-member cluster with the GIF id (smaller) " +
-      "as survivor; the truncated AVI decoy stays a singleton") {
+  test("registered mm_video_clusters (mixed union): each content's " +
+      "AVI and MP4 re-muxes join the GIF sibling's cluster with the " +
+      "GIF id (smallest) as survivor; the truncated AVI decoy stays a " +
+      "singleton; the quarantined MP4 codec decoy is ABSENT") {
+    val B2 = graft.tools.Mp4RemuxFixture.IdBase
     val got = PipelineQueries.mmVideoClusters(spark, "unused")
       .select("clip_id", "cluster", "is_survivor")
       .as[(Long, Long, Boolean)].collect().toSet
     val wantRemux = (0 until M).flatMap { i =>
-      Seq((B + i, B + i, true), (B + M + i, B + i, false))
+      Seq((B + i, B + i, true), (B + M + i, B + i, false),
+        (B2 + i, B + i, false))
     }.toSet + ((B + 2 * M, B + 2 * M, true))
     val gotRemux = got.filter(_._1 >= B)
     assert(gotRemux == wantRemux,
       s"missing=${wantRemux -- gotRemux} extra=${gotRemux -- wantRemux}")
+    assert(!got.exists(_._1 == B2 + M),
+      "the quarantined MP4 codec decoy was labeled")
     // the GIF-fixture half keeps its r18 layout untouched
-    assert(got.size == VideoDupFixture.Total + VideoRemuxFixture.Total)
+    assert(got.size ==
+      VideoDupFixture.Total + VideoRemuxFixture.Total + M)
   }
 
   test("live video gate is container-general too: an AVI re-mux probe " +
