@@ -302,11 +302,12 @@ object MultimodalOps {
   /** CONTAINER-GENERAL audio PCM parse — magic-sniffed dispatch over
    *  every audio container this engine decodes (the [[clipPhashes]]
    *  convention on sound): RIFF/WAVE → [[wavPcm16le]]
-   *  (little-endian), `.snd` → [[auPcm16be]] (Sun AU, big-endian) —
+   *  (little-endian), `.snd` → [[auPcm16be]] (Sun AU, big-endian),
+   *  `FORM…AIFF` → [[aiffPcm16be]] (big-endian, r20) —
    *  an audio-dedup pass must fingerprint whatever containers the
-   *  corpus carries, and both routes feed the SAME sample fold, so a
-   *  clip and its re-master in the other container fingerprint
-   *  identically (lossless PCM both ways — no tolerance needed).
+   *  corpus carries, and all routes feed the SAME sample fold, so a
+   *  clip and its re-master in another container fingerprints
+   *  identically (lossless PCM throughout — no tolerance needed).
    *  Returns (rate, channels, bytes, from, len, bigEndian). */
   private[graft] def pcm16Frames(b: Array[Byte])
       : Option[(Int, Int, Array[Byte], Int, Int, Boolean)] = {
@@ -315,11 +316,109 @@ object MultimodalOps {
       new String(b, 8, 4, "US-ASCII") == "WAVE"
     val isAu = b != null && b.length >= 24 &&
       new String(b, 0, 4, "US-ASCII") == ".snd"
+    val isAiff = b != null && b.length >= 12 &&
+      new String(b, 0, 4, "US-ASCII") == "FORM" &&
+      new String(b, 8, 4, "US-ASCII") == "AIFF"
     if (isWav)
       wavPcm16le(b).map { case (r, c, d, f, l) => (r, c, d, f, l, false) }
     else if (isAu)
       auPcm16be(b).map { case (r, c, d, f, l) => (r, c, d, f, l, true) }
+    else if (isAiff)
+      aiffPcm16be(b).map { case (r, c, d, f, l) => (r, c, d, f, l, true) }
     else None
+  }
+
+  /**
+   * Strict AIFF 16-bit linear-PCM parse — the third audio container
+   * rung (Apple's public EA-IFF-85 layout: a big-endian `FORM` …
+   * `AIFF` group whose `COMM` chunk carries channels / frame count /
+   * sample size / an 80-bit IEEE-754 EXTENDED sample rate, and whose
+   * `SSND` chunk carries offset + blockSize + big-endian frames).
+   * Strict and total, the RIFF rules transplanted: the FORM bound is
+   * checked both ways (a size escaping the buffer is a truncation
+   * lie; bytes past it beyond one pad byte are a concat/append lie),
+   * chunks walk with even-byte padding, a SECOND `COMM` or `SSND`
+   * quarantines (it would silently redefine the first's samples),
+   * unknown chunks (MARK, INST, annotations) skip legally, sample
+   * size must be 16 and blockSize 0 (block-aligned and non-16-bit
+   * forms quarantine for ROUTING like μ-law AU), and the frame count
+   * must exactly fill the SSND data past its offset. The 80-bit rate
+   * is decoded exactly for integral rates (sign bit or a rate
+   * overflowing Int quarantines).
+   */
+  private[graft] def aiffPcm16be(b: Array[Byte])
+      : Option[(Int, Int, Array[Byte], Int, Int)] = {
+    try {
+      if (b == null || b.length < 12) return None
+      def u32(p: Int): Long = ((b(p) & 0xFFL) << 24) |
+        ((b(p + 1) & 0xFFL) << 16) | ((b(p + 2) & 0xFFL) << 8) |
+        (b(p + 3) & 0xFFL)
+      def u16(p: Int): Int = ((b(p) & 0xFF) << 8) | (b(p + 1) & 0xFF)
+      def fourcc(p: Int): String = new String(b, p, 4, "US-ASCII")
+      if (fourcc(0) != "FORM" || fourcc(8) != "AIFF") return None
+      val formEnd = 8L + u32(4)
+      if (formEnd > b.length || b.length - formEnd > (u32(4) & 1L))
+        return None
+      /** 80-bit extended → integral sample rate (-1 = unusable). */
+      def ext80(p: Int): Long = {
+        val se = u16(p)
+        if ((se & 0x8000) != 0) return -1L // negative rate
+        val exp = (se & 0x7FFF) - 16383
+        var mant = 0L
+        var i = 0
+        while (i < 8) { mant = (mant << 8) | (b(p + 2 + i) & 0xFFL); i += 1 }
+        if (mant == 0L) return 0L
+        val shift = exp - 63 // mantissa carries 2^63 at the top bit
+        if (shift >= 0) return -1L // ≥ 2^63 Hz — nonsense
+        if (shift < -63) return 0L // < 1 Hz floors to 0 → rejected
+        mant >>> -shift
+      }
+      var ch = -1
+      var nFrames = -1L
+      var bits = -1
+      var rate = -1L
+      var dataFrom = -1L
+      var dataLen = -1L
+      var ok = true
+      var p = 12L
+      while (ok && p + 8 <= formEnd) {
+        val ck = fourcc(p.toInt)
+        val sz = u32(p.toInt + 4)
+        val body = p + 8
+        if (body + sz > formEnd) ok = false
+        else {
+          if (ck == "COMM") {
+            if (sz < 18 || ch != -1) ok = false // short or SECOND COMM
+            else {
+              ch = u16(body.toInt)
+              nFrames = u32(body.toInt + 2)
+              bits = u16(body.toInt + 6)
+              rate = ext80(body.toInt + 8)
+            }
+          } else if (ck == "SSND") {
+            if (sz < 8 || dataFrom != -1L) ok = false // SECOND SSND
+            else {
+              val off = u32(body.toInt)
+              val blockSize = u32(body.toInt + 4)
+              if (blockSize != 0L || 8L + off > sz) ok = false
+              else {
+                dataFrom = body + 8 + off
+                dataLen = sz - 8 - off
+              }
+            }
+          } // other standard chunks (MARK, INST, NAME, …) skip legally
+          p = body + sz + (sz & 1L)
+        }
+      }
+      if (!ok || ch <= 0 || ch > 0xFFFF || bits != 16 ||
+          rate <= 0 || rate > Int.MaxValue ||
+          nFrames < 0 || dataFrom < 0 ||
+          nFrames * 2L * ch != dataLen) // frames must exactly fill SSND
+        return None
+      Some((rate.toInt, ch, b, dataFrom.toInt, dataLen.toInt))
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
   }
 
   /**

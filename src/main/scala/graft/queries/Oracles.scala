@@ -4854,7 +4854,17 @@ object Oracles {
           (id, graft.tools.AudioRemuxFixture.Rate,
             graft.tools.AudioRemuxFixture.framesOf(
               (id - graft.tools.AudioRemuxFixture.IdBase).toInt), fp)
-        })
+        } ++
+      graft.tools.AiffRemuxFixture.expectedFingerprints
+        .map { case (id, fp) =>
+          (id, graft.tools.AudioRemuxFixture.Rate,
+            graft.tools.AudioRemuxFixture.frames(
+              (id - graft.tools.AiffRemuxFixture.IdBase).toInt), fp)
+        } :+
+      // the 8-bit AIFF decoy's QUARANTINE sentinel: the oracle pins
+      // the routing boundary (non-PCM16 must route, never decode)
+      ((graft.tools.AiffRemuxFixture.IdBase +
+        graft.tools.AiffRemuxFixture.M, -1, -1, 0L)))
       .map { case (id, rate, n, fp) =>
         s"($id, $rate, $n, CAST($fp AS BIGINT))"
       }
@@ -4872,7 +4882,8 @@ object Oracles {
   val mmAudioNeardup: String = {
     val r = PipelineQueries.AudioNeardupMaxHamming
     val rows = (graft.tools.AudioDupFixture.expectedFingerprints ++
-        graft.tools.AudioRemuxFixture.expectedFingerprints)
+        graft.tools.AudioRemuxFixture.expectedFingerprints ++
+        graft.tools.AiffRemuxFixture.expectedFingerprints)
       .map { case (id, fp) => s"($id, CAST($fp AS BIGINT))" }
       .mkString(",\n  ")
     s"""WITH fp AS (

@@ -4090,6 +4090,8 @@ object PipelineQueries {
       .select(col("clip_id"), col("wav").as("audio"))
       .unionAll(spark.read.parquet(graft.tools.AudioRemuxFixture.Path)
         .select(col("clip_id"), col("audio")))
+      .unionAll(spark.read.parquet(graft.tools.AiffRemuxFixture.Path)
+        .select(col("clip_id"), col("audio")))
 
   /** AUDIO NEAR-DUP pairs — the perceptual-hash dedup loop on sound,
    *  completing the modality family (text simhash, image phash, video

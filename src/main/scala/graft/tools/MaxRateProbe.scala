@@ -517,9 +517,30 @@ object MaxRateProbe {
       // entity linkage at ingest: per row one broadcast block-index
       // probe + at most a block's worth of thresholded banded-DP
       // levenshtein verifies + the array_min argmin — all row-local
-      // past the demo mention derivation
+      // past the demo mention derivation. NOTE: the demo mix corrupts
+      // EVERY mention (single deletion), so the lev-0 fast path never
+      // fires here — er_gate_exact below measures the exact-traffic
+      // regime the fast path exists for.
       graft.Run.erGateTopology(spark, in,
         "/root/testdata/sf0.001/part.parquet")
+    }
+    search("er_gate_exact", seed = 2000000, OutputMode.Append) { in =>
+      // the same gate fed UNCORRUPTED catalog names — catalog
+      // republication / already-clean traffic, where every mention
+      // verifies at lev 0 in the prefix pass and the fast path skips
+      // the whole suffix probe row-locally
+      val catalog = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      val names = catalog.select(col("p_name"))
+        .filter(length(col("p_name")) >= 6)
+        .distinct().limit(256)
+        .collect().map(_.getString(0)).toSeq
+      StreamOps.erGateStream(
+        in.select(col("ts"),
+          xxhash64(col("value")).as("mention_id"),
+          element_at(typedlit(names),
+            (pmod(xxhash64(col("value")), lit(names.size)) + 1)
+              .cast("int")).as("mention")),
+        catalog, "p_partkey", "p_name")
     }
     search("lm_score_kn3", seed = 500000, OutputMode.Append) { in =>
       // the trigram rung: still one kernel call per row; the fold

@@ -36,12 +36,15 @@ class AudioRemuxSpec extends SparkSpec {
     assert(rates == Set(AudioRemuxFixture.Rate))
   }
 
-  test("union ground truth: the ONLY qualifying pairs across both " +
-      "corpora are the 10 WAV (base, variant) pairs and the 6 " +
-      "cross-container (WAV, AU re-master) pairs at hamming 0; the " +
-      "reversed AU decoy sits far outside the radius") {
+  test("union ground truth: the ONLY qualifying pairs across all " +
+      "THREE corpora are the 10 WAV (base, variant) pairs and each " +
+      "content's (WAV, AU), (WAV, AIFF), (AU, AIFF) re-master " +
+      "triangle at hamming 0; the reversed AU decoy sits far outside " +
+      "the radius") {
+    val B3 = graft.tools.AiffRemuxFixture.IdBase
     val fp = (AudioDupFixture.expectedFingerprints ++
-      AudioRemuxFixture.expectedFingerprints).toMap
+      AudioRemuxFixture.expectedFingerprints ++
+      graft.tools.AiffRemuxFixture.expectedFingerprints).toMap
     val r = PipelineQueries.AudioNeardupMaxHamming
     val ids = fp.keys.toSeq.sorted
     val brute = (for {
@@ -50,24 +53,29 @@ class AudioRemuxSpec extends SparkSpec {
     } yield (i, j)).toSet
     val want = (0 until AudioDupFixture.N)
       .map(i => (i.toLong, (i + AudioDupFixture.N).toLong)).toSet ++
-      (0 until M).map(i => (B + i, B + M + i)).toSet
+      (0 until M).flatMap(i => Seq((B + i, B + M + i),
+        (B + i, B3 + i), (B + M + i, B3 + i))).toSet
     assert(brute == want,
       s"unexpected=${brute -- want} missing=${want -- brute}")
     (0 until M).foreach { i =>
       assert(fp(B + i) == fp(B + M + i), s"re-master $i drifted")
+      assert(fp(B + i) == fp(B3 + i), s"AIFF re-master $i drifted")
     }
     val dRev = java.lang.Long.bitCount(fp(B) ^ fp(B + 2 * M))
     assert(dRev > 2 * r, s"reversed AU decoy drifted to distance $dRev")
   }
 
   test("registered mm_audio_neardup (mixed union) == brute force, " +
-      "cross-container pairs at hamming 0; mm_audio_fingerprint " +
-      "covers every clip of both corpora") {
+      "cross-container triangles at hamming 0; mm_audio_fingerprint " +
+      "covers every clip of all three corpora incl. the 8-bit AIFF " +
+      "decoy's quarantine sentinel") {
+    val B3 = graft.tools.AiffRemuxFixture.IdBase
     val got = PipelineQueries.mmAudioNeardup(spark, "unused")
       .select("id1", "id2", "hamming")
       .as[(Long, Long, Long)].collect()
     val fp = (AudioDupFixture.expectedFingerprints ++
-      AudioRemuxFixture.expectedFingerprints).toMap
+      AudioRemuxFixture.expectedFingerprints ++
+      graft.tools.AiffRemuxFixture.expectedFingerprints).toMap
     val r = PipelineQueries.AudioNeardupMaxHamming
     val ids = fp.keys.toSeq.sorted
     val brute = (for {
@@ -76,11 +84,17 @@ class AudioRemuxSpec extends SparkSpec {
     } yield (i, j)).toSet
     assert(got.map(p => (p._1, p._2)).toSet == brute)
     (0 until M).foreach { i =>
-      assert(got.exists(p => p._1 == B + i && p._2 == B + M + i &&
-        p._3 == 0L), s"cross-container pair $i missing or nonzero")
+      Seq((B + i, B + M + i), (B + i, B3 + i), (B + M + i, B3 + i))
+        .foreach { case (a, bb) =>
+          assert(got.exists(p => p._1 == a && p._2 == bb && p._3 == 0L),
+            s"cross-container pair ($a, $bb) missing or nonzero")
+        }
     }
-    val n = PipelineQueries.mmAudioFingerprint(spark, "unused").count()
-    assert(n == AudioDupFixture.Total + AudioRemuxFixture.Total)
+    val fps = PipelineQueries.mmAudioFingerprint(spark, "unused")
+      .select("clip_id", "sample_rate").as[(Long, Int)].collect().toMap
+    assert(fps.size == AudioDupFixture.Total + AudioRemuxFixture.Total +
+      graft.tools.AiffRemuxFixture.Total)
+    assert(fps(B3 + M) == -1, "the 8-bit AIFF decoy must quarantine")
   }
 
   test("AU strictness: trailing bytes past the data segment quarantine " +
