@@ -731,7 +731,13 @@ object EngineProps extends Properties("graft") {
       Gen.choose(0, graft.tools.AviFixture.N - 1)
         .map(graft.tools.AviFixture.aviBytes),
       Gen.choose(0, graft.tools.AudioDupFixture.Total - 1)
-        .map(graft.tools.AudioDupFixture.wavBytes))
+        .map(graft.tools.AudioDupFixture.wavBytes),
+      // the r20 containers: MJPEG-MP4 (incl. the avc1 codec decoy)
+      // and AIFF (incl. the 8-bit decoy)
+      Gen.choose(0, graft.tools.Mp4RemuxFixture.Total - 1)
+        .map(graft.tools.Mp4RemuxFixture.mp4Bytes),
+      Gen.choose(0, graft.tools.AiffRemuxFixture.Total - 1)
+        .map(graft.tools.AiffRemuxFixture.aiffBytes))
     val truncated = for {
       b <- seeds; cut <- Gen.choose(0, b.length)
     } yield b.take(cut)
@@ -741,7 +747,8 @@ object EngineProps extends Properties("graft") {
     } yield { val c = b.clone(); c(p) = v; c }
     val magicJunk = for {
       magic <- Gen.oneOf(".snd", "RIFF    WAVE",
-        "RIFF    AVI ", "GIF89a")
+        "RIFF    AVI ", "GIF89a", "FORM    AIFF",
+        "   ftypisom") // u32 size + ftyp: the MP4 sniff
       n <- Gen.choose(0, 48)
       tail <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
     } yield magic.getBytes("ISO-8859-1") ++ tail.toArray
