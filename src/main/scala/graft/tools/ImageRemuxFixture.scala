@@ -6,9 +6,9 @@ import org.apache.spark.sql.SparkSession
  * Deterministic committed MIXED-CONTAINER image corpus — the
  * cross-container ground truth that makes `mm_phash_neardup` /
  * `mm_phash_clusters` container-general, completing the r18→r19
- * remux trilogy (audio WAV+AU, video GIF+AVI, now image PNG+JPEG):
- * the same image pixels committed once as a PNG and once as a JPEG
- * RE-ENCODE, which MUST pair at hamming 0 (an image-dedup operator
+ * remux trilogy (audio WAV+AU+AIFF, video GIF+AVI+MP4, now image
+ * PNG+JPEG+BMP): the same image pixels committed as a PNG, a JPEG
+ * RE-ENCODE, and a 24-bit BMP, which MUST pair at hamming 0 (an image-dedup operator
  * that only matches within one container misses the most common real
  * duplicate — the same picture saved through a different encoder; a
  * real image corpus is mostly JPEG). The reference pipeline's data
@@ -17,7 +17,8 @@ import org.apache.spark.sql.SparkSession
  * fixture pins the engine's sniffing dispatch (`ImageIO.read` inside
  * `MultimodalOps.phashGrid`) end to end inside the dedup loop.
  *
- * EXACTNESS across both codecs: every image is a mosaic of
+ * EXACTNESS across all three codecs (PNG and BMP lossless by
+ * definition; JPEG engineered exact): every image is a mosaic of
  * 16×16-aligned FLAT GRAY blocks at MID-BIN levels (the
  * [[JpegFixture]] device). PNG is lossless by definition; flat
  * mid-bin gray blocks round-trip the JDK JPEG codec at quality 0.95
@@ -27,7 +28,7 @@ import org.apache.spark.sql.SparkSession
  * is nothing to ring or subsample; re-measured for this fixture's
  * sweep including the PROGRESSIVE arm by [[ImageRemuxSpec]]). Both
  * containers therefore decode to the IDENTICAL raw block definition,
- * the re-encode pair's hamming is exactly 0, and the oracle stays
+ * the re-encode pairs' hamming is exactly 0, and the oracle stays
  * pure raw-pixel arithmetic through the independent
  * [[PngFixture.refPhash64]] — no PNG bytes, no JPEG bytes, no
  * ImageIO.
@@ -35,12 +36,15 @@ import org.apache.spark.sql.SparkSession
  * Image id layout (ids offset by [[IdBase]] to stay disjoint from
  * [[PngFixture]]'s 0..47 and its -(id+1) variant keyspace — the two
  * corpora UNION into one mm_phash_neardup input):
- *   - IdBase + i       (i < M)  PNG encoding of base content i;
- *   - IdBase + M + i   (i < M)  JPEG re-encode of base content i —
+ *   - IdBase + i        (i < M)  PNG encoding of base content i;
+ *   - IdBase + M + i    (i < M)  JPEG re-encode of base content i —
  *     identical pixels, MUST pair with its PNG sibling at hamming 0
  *     (odd i written PROGRESSIVE, gating the multi-scan decode path
  *     inside the dedup loop too);
- *   - IdBase + 2M      CORRUPT decoy: JPEG magic over garbage — must
+ *   - IdBase + 2M + i   (i < M)  BMP re-encode — 24-bit uncompressed
+ *     (lossless by definition), completing each content's
+ *     (PNG, JPEG, BMP) re-encode TRIANGLE at hamming 0;
+ *   - IdBase + 3M       CORRUPT decoy: JPEG magic over garbage — must
  *     QUARANTINE (width −1, sentinel hash) and never enter the
  *     banded join (the committed-corpus form of the injection-zoo
  *     quarantine pin: two broken files must not "pair" at 0).
@@ -51,7 +55,7 @@ import org.apache.spark.sql.SparkSession
  * spec-verified from [[expectedNeardupHashes]].
  */
 object ImageRemuxFixture {
-  /** Distinct base contents (total corpus = 2M + 1 images). */
+  /** Distinct base contents (total corpus = 3M + 1 images). */
   val M = 6
   /** First image id — disjoint from PngFixture's 0..N-1 AND from the
    *  −(id+1) variant keyspace both corpora ride. */
@@ -64,8 +68,8 @@ object ImageRemuxFixture {
   val Path: String = sys.env.getOrElse("GRAFT_IMAGEREMUX_FIXTURE",
     "/root/repo/data/imageremux_fixture.parquet")
 
-  /** Total images committed (2M re-encode pairs + the corrupt decoy). */
-  val Total: Int = 2 * M + 1
+  /** Total images committed (M re-encode triples + the corrupt decoy). */
+  val Total: Int = 3 * M + 1
 
   /** Dimensions of base content i: 32..64 px per side (≥ 2 blocks
    *  per side — a single-block image is FLAT and its DCT hash
@@ -89,7 +93,7 @@ object ImageRemuxFixture {
    *  pooling convention). The corrupt decoy contributes NO rows —
    *  the corpus quarantine rule, mirrored. */
   def expectedNeardupHashes(shift: Int): Seq[(Long, Long)] =
-    (0 until 2 * M).flatMap { id =>
+    (0 until 3 * M).flatMap { id =>
       val base = id % M
       val (w, h) = dims(base)
       def lum(x: Int, y: Int): Int = grayLevel(base, x / Block, y / Block)
@@ -101,9 +105,10 @@ object ImageRemuxFixture {
 
   /** The committed payload of image (IdBase + id): a real PNG for
    *  ids < M, a real JPEG (quality 0.95; PROGRESSIVE for odd ids)
-   *  for ids < 2M, the corrupt decoy past that. */
+   *  for ids < 2M, a real 24-bit BMP for ids < 3M, the corrupt
+   *  decoy past that. */
   def imageBytes(id: Int): Array[Byte] =
-    if (id >= 2 * M)
+    if (id >= 3 * M)
       // JPEG SOI magic over garbage: sniffed as JPEG, then the
       // marker walk fails — the decode must quarantine, not throw
       Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte) ++
@@ -117,8 +122,13 @@ object ImageRemuxFixture {
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
         bos.toByteArray
-      } else
+      } else if (id < 2 * M)
         JpegFixture.encodeJpeg(img, progressive = id % 2 == 1)
+      else {
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "bmp", bos)
+        bos.toByteArray
+      }
     }
 
   /** One-shot generator: writes the fixture parquet (single file —

@@ -537,9 +537,9 @@ class TextMultimodalSpec extends SparkSpec {
     import graft.tools.ImageRemuxFixture
     val all = PipelineQueries.mmPhashClusters(spark, "unused")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
-    // every decodable hash labeled: PNG 2·48 + remux 2·(2M) (the
+    // every decodable hash labeled: PNG 2·48 + remux 2·(3M) (the
     // corrupt decoy quarantines and must be absent)
-    assert(all.length == 96 + 4 * ImageRemuxFixture.M,
+    assert(all.length == 96 + 6 * ImageRemuxFixture.M,
       s"every hash labeled: ${all.length}")
     // exactly one survivor per cluster, and it is the representative
     all.filter(_._3).foreach { case (id, cl, _) =>

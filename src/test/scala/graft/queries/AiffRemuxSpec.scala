@@ -108,6 +108,50 @@ class AiffRemuxSpec extends SparkSpec {
       AudioRemuxFixture.Rate)
   }
 
+  test("stereo AIFF: channel-0 extraction (stride 4) — a 2-channel " +
+      "clip whose left channel is base 0 and whose right channel is " +
+      "junk fingerprints IDENTICALLY to the mono clip (the COMM " +
+      "channel count drives the frame stride and the " +
+      "frames-fill-SSND check)") {
+    val n = AudioRemuxFixture.frames(0)
+    def be32(v: Long) = Array(((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      (v & 0xFF).toByte)
+    def be16(v: Int) = Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    // the committed mono fixture's 80-bit rate field, reused verbatim
+    val mono = AiffRemuxFixture.aiffBytes(0)
+    val commAt = {
+      val p = "COMM".getBytes("US-ASCII")
+      (0 to mono.length - 4)
+        .find(i => p.indices.forall(j => mono(i + j) == p(j))).get
+    }
+    val ext80 = mono.slice(commAt + 16, commAt + 26)
+    val pcm = new Array[Byte](n * 4) // L = sample, R = junk
+    var t = 0
+    while (t < n) {
+      val l = AudioRemuxFixture.sample(0, t)
+      val r = (t * 31 + 7) % 65536 - 32768
+      pcm(4 * t) = ((l >> 8) & 0xFF).toByte
+      pcm(4 * t + 1) = (l & 0xFF).toByte
+      pcm(4 * t + 2) = ((r >> 8) & 0xFF).toByte
+      pcm(4 * t + 3) = (r & 0xFF).toByte
+      t += 1
+    }
+    val comm = "COMM".getBytes("US-ASCII") ++ be32(18L) ++
+      be16(2) ++ be32(n.toLong) ++ be16(16) ++ ext80
+    val ssnd = "SSND".getBytes("US-ASCII") ++ be32(8L + pcm.length) ++
+      be32(0L) ++ be32(0L) ++ pcm
+    val body = "AIFF".getBytes("US-ASCII") ++ comm ++ ssnd
+    val stereo = "FORM".getBytes("US-ASCII") ++
+      be32(body.length.toLong) ++ body
+    val fpStereo = MultimodalOps.audioClipFingerprint(1L, stereo)
+    val fpMono = MultimodalOps.audioClipFingerprint(2L, mono)
+    assert(fpStereo.sample_rate == AudioRemuxFixture.Rate &&
+      fpStereo.n_samples == fpMono.n_samples &&
+      fpStereo.fp == fpMono.fp,
+      s"stereo channel-0 diverged: $fpStereo vs $fpMono")
+  }
+
   test("live audio gate is AIFF-general too: an AIFF probe against " +
       "the WAV corpus lands neardup on its WAV sibling at hamming 0, " +
       "and the 8-bit decoy probe quarantines") {

@@ -5,14 +5,14 @@ import graft.ops.MultimodalOps
 import graft.tools.{ImageRemuxFixture, PngFixture}
 import org.apache.spark.sql.functions._
 
-/** Container-general image near-dup: the mixed PNG + JPEG corpus
-  * ([[ImageRemuxFixture]]) end to end — an image and its re-encode in
-  * the OTHER container MUST pair at hamming 0 (pixel-exact JPEG
-  * round-trip of flat mid-bin mosaics, progressive arm included), the
-  * corrupt decoy must quarantine, and the registered mixed-union
-  * queries must match brute force over the independent refPhash64
-  * ground truth. Completes the remux trilogy (audio r19, video r19,
-  * image r20). */
+/** Container-general image near-dup: the mixed PNG + JPEG + BMP
+  * corpus ([[ImageRemuxFixture]]) end to end — an image and its
+  * re-encodes in the OTHER containers MUST pair at hamming 0
+  * (PNG/BMP lossless; pixel-exact JPEG round-trip of flat mid-bin
+  * mosaics, progressive arm included), the corrupt decoy must
+  * quarantine, and the registered mixed-union queries must match
+  * brute force over the independent refPhash64 ground truth.
+  * Completes the remux trilogy (audio r19, video r19, image r20). */
 class ImageRemuxSpec extends SparkSpec {
   import spark.implicits._
 
@@ -44,7 +44,7 @@ class ImageRemuxSpec extends SparkSpec {
       .collect()
     val byId = got.map(f => f.id -> f).toMap
     val want = ImageRemuxFixture.expectedNeardupHashes(Shift).toMap
-    (0 until 2 * M).foreach { i =>
+    (0 until 3 * M).foreach { i =>
       val f = byId(B + i)
       val (w, h) = ImageRemuxFixture.dims(i % M)
       assert((f.width, f.height) == ((w, h)), s"dims of ${B + i}: $f")
@@ -54,7 +54,7 @@ class ImageRemuxSpec extends SparkSpec {
         s"variant hash of ${B + i} diverged from refPhash64")
     }
     // the corrupt decoy carries the quarantine sentinel
-    val decoy = byId(B + 2 * M)
+    val decoy = byId(B + 3 * M)
     assert(decoy.width == -1 && decoy.height == -1,
       s"corrupt decoy must quarantine: $decoy")
   }
@@ -66,8 +66,11 @@ class ImageRemuxSpec extends SparkSpec {
     val fp = ImageRemuxFixture.expectedNeardupHashes(Shift).toMap
     (0 until M).foreach { i =>
       assert(fp(B + i) == fp(B + M + i),
-        s"re-encode $i drifted from its PNG sibling")
-      assert(fp(-(B + i + 1)) == fp(-(B + M + i + 1)),
+        s"JPEG re-encode $i drifted from its PNG sibling")
+      assert(fp(B + i) == fp(B + 2 * M + i),
+        s"BMP re-encode $i drifted from its PNG sibling")
+      assert(fp(-(B + i + 1)) == fp(-(B + M + i + 1)) &&
+        fp(-(B + i + 1)) == fp(-(B + 2 * M + i + 1)),
         s"variant of re-encode $i drifted")
     }
     // cross-content separation, and separation from the PNG fixture:
@@ -92,12 +95,16 @@ class ImageRemuxSpec extends SparkSpec {
     assert(got == want, s"missing=${(want -- got).take(5)} " +
       s"extra=${(got -- want).take(5)}")
     (0 until M).foreach { i =>
-      assert(got.contains((B + i, B + M + i, 0L)),
-        s"cross-container pair $i missing at hamming 0")
-      assert(got.contains((-(B + M + i + 1), -(B + i + 1), 0L)),
-        s"cross-container VARIANT pair $i missing at hamming 0")
+      Seq((B + i, B + M + i), (B + i, B + 2 * M + i),
+        (B + M + i, B + 2 * M + i)).foreach { case (a, bb) =>
+        assert(got.contains((a, bb, 0L)),
+          s"cross-container pair ($a, $bb) missing at hamming 0")
+      }
+      assert(got.contains((-(B + M + i + 1), -(B + i + 1), 0L)) &&
+        got.contains((-(B + 2 * M + i + 1), -(B + i + 1), 0L)),
+        s"cross-container VARIANT pairs $i missing at hamming 0")
     }
-    val decoy = B + 2 * M
+    val decoy = B + 3 * M
     assert(!got.exists(p => p._1 == decoy || p._2 == decoy ||
       p._1 == -(decoy + 1) || p._2 == -(decoy + 1)),
       "the quarantined decoy entered the banded join")
@@ -129,22 +136,24 @@ class ImageRemuxSpec extends SparkSpec {
     val cl = got.map(r => r._1 -> r._2).toMap
     val fp = ImageRemuxFixture.expectedNeardupHashes(Shift).toMap
     (0 until M).foreach { i =>
-      assert(cl(B + i) == cl(B + M + i),
-        s"content $i: PNG and JPEG siblings split clusters")
-      assert(cl(-(B + i + 1)) == cl(-(B + M + i + 1)),
-        s"content $i: the two variants split clusters")
+      assert(cl(B + i) == cl(B + M + i) &&
+        cl(B + i) == cl(B + 2 * M + i),
+        s"content $i: PNG/JPEG/BMP siblings split clusters")
+      assert(cl(-(B + i + 1)) == cl(-(B + M + i + 1)) &&
+        cl(-(B + i + 1)) == cl(-(B + 2 * M + i + 1)),
+        s"content $i: the three variants split clusters")
       val within = java.lang.Long.bitCount(
         fp(B + i) ^ fp(-(B + i + 1))) <=
         PipelineQueries.PhashNeardupMaxHamming
       assert((cl(B + i) == cl(-(B + i + 1))) == within,
         s"content $i: base-variant merge disagrees with the radius")
     }
-    assert(!got.exists(_._1 == B + 2 * M), "decoy labeled despite quarantine")
+    assert(!got.exists(_._1 == B + 3 * M), "decoy labeled despite quarantine")
   }
 
-  test("live phash gate is container-general too: a JPEG probe " +
-      "against a PNG-only corpus lands neardup on its PNG sibling at " +
-      "hamming 0") {
+  test("live phash gate is container-general too: JPEG and BMP " +
+      "probes against a PNG-only corpus land neardup on their PNG " +
+      "siblings at hamming 0") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
     import graft.streaming.StreamOps
@@ -159,14 +168,15 @@ class ImageRemuxSpec extends SparkSpec {
       "phash_gate_remux_test", OutputMode.Append,
       java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     try {
-      in.addData((0 until M).map(i =>
+      in.addData((0 until 2 * M).map(i =>
         (5000L + i, ImageRemuxFixture.imageBytes(M + i))).toIndexedSeq)
       q.processAllAvailable()
       val got = spark.table("phash_gate_remux_test").collect()
         .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
           r.getLong(3)))).toMap
-      (0 until M).foreach { i =>
-        assert(got(5000L + i) == (("neardup", B + i, 0L)), got(5000L + i))
+      (0 until 2 * M).foreach { i => // first M JPEG, next M BMP probes
+        assert(got(5000L + i) == (("neardup", B + i % M, 0L)),
+          got(5000L + i))
       }
     } finally q.stop()
   }
