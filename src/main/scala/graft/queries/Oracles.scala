@@ -4561,7 +4561,7 @@ object Oracles {
        |         count(entity_name) AS precision
        |FROM m""".stripMargin
 
-  /** Mirrors [[PipelineQueries.mmVideoNeardup]]: BOTH committed
+  /** Mirrors [[PipelineQueries.mmVideoNeardup]]: ALL THREE committed
    *  corpora's per-frame hashes from the raw pixel definitions
    *  ([[graft.tools.VideoDupFixture.expectedFramePhashes]] plus the
    *  mixed-container [[graft.tools.VideoRemuxFixture]]'s — through
@@ -4839,8 +4839,9 @@ object Oracles {
        |JOIN cc ON s.sid = cc.node""".stripMargin
   }
 
-  /** Mirrors [[PipelineQueries.mmAudioFingerprint]]: BOTH committed
-   *  corpora's fingerprints from the raw sample definitions
+  /** Mirrors [[PipelineQueries.mmAudioFingerprint]]: ALL THREE
+   *  committed corpora's fingerprints from the raw sample definitions
+   *  (incl. the 8-bit AIFF decoy's quarantine sentinel)
    *  ([[graft.tools.AudioDupFixture.refAudioFp64]] — no WAV or AU
    *  bytes, no container code; PCM is lossless in both containers)
    *  plus the known format/frame constants, as VALUES literals. */
@@ -4876,7 +4877,7 @@ object Oracles {
        |  $rows) AS t(clip_id, sample_rate, n_samples, fp)""".stripMargin
   }
 
-  /** Mirrors [[PipelineQueries.mmAudioNeardup]]: BOTH corpora's
+  /** Mirrors [[PipelineQueries.mmAudioNeardup]]: ALL THREE corpora's
    *  independent fingerprints as VALUES, ALL-PAIRS xor + bit_count
    *  within radius in SQL — no banding echo. */
   val mmAudioNeardup: String = {

@@ -4097,12 +4097,15 @@ object PipelineQueries {
    *  completing the modality family (text simhash, image phash, video
    *  frame sequences): [[graft.ops.DedupOps.hammingNearDups64]] over
    *  the clip fingerprints at radius [[AudioNeardupMaxHamming]]. The
-   *  committed UNION carries the ground truth (the query runs MIXED
+   *  committed UNION (WAV dup corpus + WAV/AU re-masters + r20 AIFF
+   *  re-masters) carries the ground truth (the query runs MIXED
    *  like mm_video_neardup — container coverage is the operator's
    *  point): 10 amplitude-scaled, dithered WAV variants MUST pair
    *  with their bases (scaling commutes with the envelope DCT —
-   *  hamming 0–2 measured), each AU RE-MASTER MUST pair with its WAV
-   *  sibling at hamming 0 (lossless PCM both ways), and the REVERSED
+   *  hamming 0–2 measured), each content's (WAV, AU, AIFF)
+   *  re-master TRIANGLE MUST pair at hamming 0 (lossless PCM in all
+   *  three containers), the 8-bit AIFF decoy must QUARANTINE (the
+   *  non-PCM16 routing rule), and the REVERSED
    *  decoys — the same energy multiset in reverse order, one of them
    *  an AU — must NOT (the DCT is order-sensitive where a histogram
    *  fingerprint would be fooled). Scale shape: decode/DCT cost in
@@ -4190,17 +4193,18 @@ object PipelineQueries {
    *  [[PhashNeardupMaxHamming]] via [[DedupOps.hammingNearDups64]]'s
    *  banded equi-join — 28 block-pair tables, exact popcount
    *  verification, NEVER all-pairs (plan-pinned). The input is the
-   *  UNION of both committed corpora — container coverage is the
+   *  UNION of the committed corpora — container coverage is the
    *  operator's point, so the registered query runs MIXED (the
    *  mm_video_neardup convention): [[graft.tools.PngFixture]] (46 of
    *  48 (base, variant) self-pairs within radius at shift 8 — two
    *  variants land beyond radius 6, real misses a production radius
    *  choice trades; base-base distances start at 10 so no accidental
    *  pair qualifies) plus [[graft.tools.ImageRemuxFixture]] (each
-   *  content committed as a PNG AND a JPEG re-encode of the same
-   *  pixels: the CROSS-CONTAINER pair MUST qualify at hamming 0 —
-   *  flat mid-bin mosaics round-trip the JDK JPEG codec
-   *  pixel-exactly — and a corrupt decoy must quarantine, never
+   *  content committed as a PNG, a JPEG re-encode, AND a 24-bit BMP
+   *  of the same pixels: the (PNG, JPEG, BMP) re-encode TRIANGLE
+   *  MUST qualify at hamming 0 — flat mid-bin mosaics round-trip the
+   *  JDK JPEG codec pixel-exactly, PNG/BMP are lossless — and a
+   *  corrupt decoy must quarantine, never
    *  pair). Oracle = both fixtures' raw-pixel hashes through the
    *  INDEPENDENT `PngFixture.refPhash64`, banded and
    *  popcount-verified in SQL. Ignores sfDir (scale-free fixtures). */
@@ -4306,15 +4310,19 @@ object PipelineQueries {
    *  (banded equi-join keyed on the frame index: alignment is a JOIN
    *  KEY, never a post-filter over the cross-position blowup), exact
    *  per the pigeonhole, so the clip-level verdict is exact too.
-   *  The input is the UNION of both committed corpora — container
-   *  coverage is the operator's point, so the registered query runs
-   *  MIXED: [[graft.tools.VideoDupFixture]] (GIF; 10
+   *  The input is the UNION of the THREE committed corpora —
+   *  container coverage is the operator's point, so the registered
+   *  query runs MIXED: [[graft.tools.VideoDupFixture]] (GIF; 10
    *  brightness-variant pairs MUST qualify, frame-PERMUTED decoys
    *  must not, a TRUNCATED decoy must not) plus
    *  [[graft.tools.VideoRemuxFixture]] (each clip committed as a GIF
    *  AND as an MJPEG-AVI re-mux of the same pixels: the
    *  CROSS-CONTAINER pair MUST qualify at aligned hamming 0, and a
-   *  truncated AVI decoy must not). Oracle = both fixtures' raw-pixel
+   *  truncated AVI decoy must not) plus
+   *  [[graft.tools.Mp4RemuxFixture]] (r20 — MJPEG-MP4 re-muxes of
+   *  the same contents: each content's (GIF, AVI, MP4) TRIANGLE
+   *  pairs at aligned hamming 0, and an 'avc1' codec decoy
+   *  quarantines out of the join). Oracle = all fixtures' raw-pixel
    *  hashes through the INDEPENDENT refPhash64, all-pairs aligned
    *  xor/popcount in SQL (no banding echo). Ignores sfDir
    *  (scale-free fixtures).
