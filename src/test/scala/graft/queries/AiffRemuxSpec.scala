@@ -108,6 +108,34 @@ class AiffRemuxSpec extends SparkSpec {
       AudioRemuxFixture.Rate)
   }
 
+  test("unknown chunks skip legally: a MARK chunk interleaved between " +
+      "COMM and SSND (FORM size grown to cover it) leaves the decode " +
+      "IDENTICAL — EA-IFF-85 annotations must not quarantine a valid " +
+      "clip") {
+    val good = AiffRemuxFixture.aiffBytes(0)
+    def be32(v: Long) = Array(((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      (v & 0xFF).toByte)
+    def u32(b: Array[Byte], p: Int): Long =
+      ((b(p) & 0xFFL) << 24) | ((b(p + 1) & 0xFFL) << 16) |
+        ((b(p + 2) & 0xFFL) << 8) | (b(p + 3) & 0xFFL)
+    // walk to the SSND chunk structurally (chunks start at 12)
+    var p = 12
+    while (new String(good, p, 4, "US-ASCII") != "SSND")
+      p += 8 + u32(good, p + 4).toInt + (u32(good, p + 4).toInt & 1)
+    val mark = "MARK".getBytes("US-ASCII") ++ be32(2L) ++
+      Array[Byte](0, 0) // no markers (u16 count = 0)
+    val grown = good.slice(0, 4) ++
+      be32(u32(good, 4) + mark.length) ++
+      good.slice(8, p) ++ mark ++ good.slice(p, good.length)
+    val withMark = MultimodalOps.audioClipFingerprint(1L, grown)
+    val plain = MultimodalOps.audioClipFingerprint(1L, good)
+    assert(withMark.sample_rate == plain.sample_rate &&
+      withMark.n_samples == plain.n_samples &&
+      withMark.fp == plain.fp,
+      s"MARK chunk changed the decode: $withMark vs $plain")
+  }
+
   test("stereo AIFF: channel-0 extraction (stride 4) — a 2-channel " +
       "clip whose left channel is base 0 and whose right channel is " +
       "junk fingerprints IDENTICALLY to the mono clip (the COMM " +

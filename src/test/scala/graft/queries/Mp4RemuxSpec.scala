@@ -94,6 +94,69 @@ class Mp4RemuxSpec extends SparkSpec {
       ctrl.length == VideoRemuxFixture.frames(0))
   }
 
+  test("track routing: an AUDIO ('soun') track interleaves legally " +
+      "and is skipped WHOLE (decode identical to the single-track " +
+      "clip); a SECOND video track quarantines — its frames must not " +
+      "merge into one histogram (the AVI single-stream rule)") {
+    val good = Mp4RemuxFixture.mp4Bytes(0)
+    def be32(v: Long) = Array(((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      (v & 0xFF).toByte)
+    def u32(b: Array[Byte], p: Int): Long =
+      ((b(p) & 0xFFL) << 24) | ((b(p + 1) & 0xFFL) << 16) |
+        ((b(p + 2) & 0xFFL) << 8) | (b(p + 3) & 0xFFL)
+    /** Locate a box by WALKING sizes (a bare fourcc grep could match
+      * JPEG entropy bytes inside mdat — boxes are found structurally,
+      * the way the walker itself does). */
+    def findBox(b: Array[Byte], from: Int, to: Int, tpe: String): Int = {
+      var p = from
+      while (p + 8 <= to) {
+        if (new String(b, p + 4, 4, "US-ASCII") == tpe) return p
+        p += u32(b, p).toInt
+      }
+      fail(s"no $tpe box found")
+    }
+    /** Append a copy of the vide trak (optionally re-handled 'soun')
+      * inside moov, growing the moov size field to cover it — moov is
+      * the LAST top-level box, so mdat's absolute stco offsets stay
+      * valid. */
+    def withExtraTrak(handler: String): Array[Byte] = {
+      val moovAt = findBox(good, 0, good.length, "moov")
+      val moovLen = u32(good, moovAt).toInt
+      val trakAt = findBox(good, moovAt + 8, moovAt + moovLen, "trak")
+      val trakLen = u32(good, trakAt).toInt
+      val extra = good.slice(trakAt, trakAt + trakLen)
+      // trak > mdia > hdlr: handler_type sits 8 bytes into the payload
+      val mdiaAt = findBox(extra, 8, trakLen, "mdia")
+      val hdlrAt = findBox(extra, mdiaAt + 8,
+        mdiaAt + u32(extra, mdiaAt).toInt, "hdlr")
+      handler.getBytes("US-ASCII").zipWithIndex.foreach { case (c, i) =>
+        extra(hdlrAt + 16 + i) = c // 8B header + 8B into the payload
+      }
+      good.slice(0, moovAt) ++
+        be32(moovLen + trakLen.toLong) ++
+        good.slice(moovAt + 4, moovAt + moovLen) ++ extra ++
+        good.slice(moovAt + moovLen, good.length)
+    }
+    val withAudio = withExtraTrak("soun")
+    val gotAudio = MultimodalOps.videoFramePhashesPartitioned(
+      Seq((1L, withAudio)).toDF("clip_id", "video"),
+      "clip_id", "video", brightShift = 0).collect()
+    val gotMono = MultimodalOps.videoFramePhashesPartitioned(
+      Seq((1L, good)).toDF("clip_id", "video"),
+      "clip_id", "video", brightShift = 0).collect()
+    assert(gotAudio.map(r => (r.frame, r.phash)).toSet ==
+      gotMono.map(r => (r.frame, r.phash)).toSet &&
+      gotMono.forall(_.width != -1),
+      "an interleaved audio track must not change the video decode")
+    val twoVideo = withExtraTrak("vide")
+    val gotTwo = MultimodalOps.videoFramePhashesPartitioned(
+      Seq((1L, twoVideo)).toDF("clip_id", "video"),
+      "clip_id", "video", brightShift = 0).collect()
+    assert(gotTwo.length == 1 && gotTwo.head.width == -1,
+      s"a second video track must quarantine: ${gotTwo.toSeq}")
+  }
+
   test("live video gate is MP4-general too: an MP4 probe against the " +
       "GIF corpus lands neardup on its GIF sibling at max_hamming 0, " +
       "and the codec decoy probe quarantines") {
