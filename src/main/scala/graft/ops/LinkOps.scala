@@ -174,8 +174,8 @@ object LinkOps {
    *  the smallest-id tiebreak winner) is already in the prefix
    *  pass's array; the suffix pass can only add lev ≥ 1 candidates
    *  the argmin would discard. Identity with the always-both-probes
-   *  form is spec-pinned on the full corruption mix
-   *  (LinkageQueriesSpec). Unmatched mentions keep a NULL `best`, so
+   *  form is spec-pinned on the full corruption mix plus exact
+   *  mentions (LinkOpsSpec). Unmatched mentions keep a NULL `best`, so
    *  the caller can count coverage. Mentions still never shuffle:
    *  two broadcast joins, everything else per-row. */
   def resolveAgainst(mentions: DataFrame, idxPrefix: DataFrame,
