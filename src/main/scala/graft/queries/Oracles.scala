@@ -3555,6 +3555,24 @@ object Oracles {
        |  $rows) AS t(img_id, width, height, hist_csv)""".stripMargin
   }
 
+  /** Mirrors [[PipelineQueries.mmDecodeBmp]]: the remux fixture's
+   *  BMP-arm raw BLOCK statistics
+   *  (`tools.ImageRemuxFixture.expectedBmpDecodeRows` — pure
+   *  arithmetic, no BMP bytes, no ImageIO) as VALUES literals; BMP is
+   *  uncompressed, so the compare is exact with no tolerance
+   *  engineering anywhere. */
+  val mmDecodeBmp: String = {
+    val rows = graft.tools.ImageRemuxFixture.expectedBmpDecodeRows
+      .map { case (id, w, h, csv) => s"($id, $w, $h, '$csv')" }
+      .mkString(",\n  ")
+    s"""SELECT CAST(img_id AS BIGINT) AS img_id,
+       |       CAST(width AS BIGINT) AS width,
+       |       CAST(height AS BIGINT) AS height,
+       |       hist_csv
+       |FROM (VALUES
+       |  $rows) AS t(img_id, width, height, hist_csv)""".stripMargin
+  }
+
   /** Mirrors [[PipelineQueries.mmDecodeResize]]: the PNG fixture
    *  generator's raw-pixel statistics AT THE SAMPLED COORDINATES
    *  (`tools.PngFixture.expectedResizedRows` — nearest-neighbor

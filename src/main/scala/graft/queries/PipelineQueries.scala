@@ -3993,6 +3993,29 @@ object PipelineQueries {
         array_join(transform(col("lum_hist"), _.cast("string")), ",")
           .as("hist_csv"))
 
+  /** REAL BMP decode, end-to-end gated — the third image-codec rung
+   *  beside [[mmDecodePng]]/[[mmDecodeJpeg]] (BMP is 24-bit
+   *  UNCOMPRESSED, so the decode is exact with no tolerance device at
+   *  all — not even the flat-block engineering JPEG needs):
+   *  [[MultimodalOps.decodeImagePartitioned]] over the
+   *  [[graft.tools.ImageRemuxFixture]] BMP arm. Oracle = the
+   *  generator's raw block arithmetic as VALUES literals. Ignores
+   *  sfDir (scale-free fixture). */
+  def mmDecodeBmp(spark: SparkSession, sfDir: String): DataFrame = {
+    val B = graft.tools.ImageRemuxFixture.IdBase
+    val M = graft.tools.ImageRemuxFixture.M
+    MultimodalOps.decodeImagePartitioned(
+      spark.read.parquet(graft.tools.ImageRemuxFixture.Path)
+        .filter(col("img_id") >= B + 2 * M && col("img_id") < B + 3 * M),
+      "img_id", "image")
+      .toDF()
+      .select(col("id").as("img_id"),
+        col("width").cast("bigint").as("width"),
+        col("height").cast("bigint").as("height"),
+        array_join(transform(col("lum_hist"), _.cast("string")), ",")
+          .as("hist_csv"))
+  }
+
   val ResizeFactor = 2
 
   /** REAL decode → resize pipeline stage, end-to-end gated:

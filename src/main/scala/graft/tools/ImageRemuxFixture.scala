@@ -103,6 +103,27 @@ object ImageRemuxFixture {
           (x, y) => math.min(255, lum(x, y) + shift), w, h)))
     }
 
+  /** (img_id, width, height, hist_csv) of the BMP arm from the raw
+   *  block definition — the `mm_decode_bmp` oracle side (no BMP
+   *  bytes, no ImageIO): each flat block contributes Block² pixels
+   *  to its mid-anchored luminance bin (the JpegFixture.expectedRows
+   *  arithmetic over THIS fixture's contents). */
+  def expectedBmpDecodeRows: Seq[(Long, Int, Int, String)] =
+    (0 until M).map { i =>
+      val (w, h) = dims(i)
+      val hist = new Array[Long](16)
+      var by = 0
+      while (by < h / Block) {
+        var bx = 0
+        while (bx < w / Block) {
+          hist(grayLevel(i, bx, by) >> 4) += (Block.toLong * Block)
+          bx += 1
+        }
+        by += 1
+      }
+      (IdBase + 2 * M + i, w, h, hist.mkString(","))
+    }
+
   /** The committed payload of image (IdBase + id): a real PNG for
    *  ids < M, a real JPEG (quality 0.95; PROGRESSIVE for odd ids)
    *  for ids < 2M, a real 24-bit BMP for ids < 3M, the corrupt
