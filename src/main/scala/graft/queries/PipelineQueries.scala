@@ -1993,19 +1993,24 @@ object PipelineQueries {
   /** The LEARN pass of [[textUnigramNll]], factored so the live
    *  scoring topology (`StreamOps.lmScoreStream`) trains the identical
    *  model from a static corpus: (w, freq, nll_micro) — vocab-sized.
-   *  The corpus total is a whole-frame window over the VOCAB-sized
-   *  freq relation (single-partition over tiny data, like
-   *  mix_weights' normalizer) — a separate agg branch would plan an
-   *  independent subtree that re-scans the corpus again for one
-   *  number. */
-  def unigramModel(docs: DataFrame): DataFrame =
-    docs.select(explode(TextAnalyticsOps.words(lower(col("text")))).as("w"))
+   *  The corpus total is a scalar AGGREGATE over the freq relation
+   *  broadcast back by crossJoin (the qualityCut device) — it reuses
+   *  the freq agg's exchange (plan-pinned ReusedExchange, never a
+   *  corpus re-scan), where the previous whole-frame window moved the
+   *  ENTIRE vocab relation to one partition for one number (the
+   *  WindowExec single-partition warning; at 100 TB the vocab is
+   *  millions of rows and that partition is a straggler by
+   *  construction — guide §2.5's monster-partition class). */
+  def unigramModel(docs: DataFrame): DataFrame = {
+    val freq = docs
+      .select(explode(TextAnalyticsOps.words(lower(col("text")))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
+    freq.crossJoin(broadcast(freq.agg(sum(col("freq")).as("ntok"))))
       .select(col("w"), col("freq"),
-        floor(-log(col("freq") /
-          sum(col("freq")).over(Window.partitionBy()))
+        floor(-log(col("freq") / col("ntok"))
           * lit(NllMicro.toDouble))
           .cast("bigint").as("nll_micro"))
+  }
 
   /**
    * Bigram LM quality scoring with add-one smoothing — one rung up
@@ -2036,10 +2041,17 @@ object PipelineQueries {
           i => struct(element_at(col("ws"), i + 1).as("a"),
             element_at(col("ws"), i + 2).as("b")))).as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
-    val model = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    // V (= distinct contexts) is a scalar aggregate over the bigram
+    // TYPE relation, broadcast back by crossJoin — the previous
+    // whole-frame-window collect_set moved the entire type relation to
+    // ONE partition and built a vocab-sized set per partition (guide
+    // §2.5's monster-partition class); the agg reuses the groupBy's
+    // exchange, so the corpus is still scanned exactly twice
+    val bgTypes = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val model = bgTypes
       .withColumn("c_a", sum("c_ab").over(Window.partitionBy("a")))
-      .withColumn("v",
-        size(collect_set(col("a")).over(Window.partitionBy())).cast("long"))
+      .crossJoin(broadcast(bgTypes.agg(
+        count_distinct(col("a")).as("v"))))
       .select(col("a"), col("b"),
         floor(-log((col("c_ab") + 1).cast("double") /
           (col("c_a") + col("v")).cast("double"))
@@ -2106,7 +2118,11 @@ object PipelineQueries {
     .withColumn("c_a", sum("c_ab").over(Window.partitionBy("a")))
     .withColumn("n1p_a", count(lit(1)).over(Window.partitionBy("a")))
     .withColumn("cont_b", count(lit(1)).over(Window.partitionBy("b")))
-    .withColumn("tt", count(lit(1)).over(Window.partitionBy()))
+    // T (bigram type count) as a scalar aggregate broadcast back by
+    // crossJoin, not a whole-frame window (which single-partitions the
+    // ENTIRE type relation for one number — guide §2.5); the agg
+    // reuses bg's exchange, so no extra corpus pass
+    .crossJoin(broadcast(bg.agg(count(lit(1)).as("tt"))))
 
   /** The quantized interpolated-KN seen-pair NLL over [[knStats]]
    *  columns — the ONE expression whose parenthesization the oracle
@@ -2187,7 +2203,13 @@ object PipelineQueries {
         .otherwise(0L))
     .withColumn("n1p_b_dot", sum("fst").over(Window.partitionBy("b")))
     .withColumn("n1p_dot_c", sum("fst").over(Window.partitionBy("c")))
-    .withColumn("tt2", sum("fst").over(Window.partitionBy()))
+    // T₂ = Σ fst = |distinct (b,c)| — a scalar aggregate over the
+    // trigram TYPE relation broadcast back by crossJoin, not a
+    // whole-frame window (which single-partitions the entire type
+    // relation, the biggest frame in this model, for one number —
+    // guide §2.5's monster-partition class)
+    .crossJoin(broadcast(tg.agg(
+      count_distinct(col("b"), col("c")).as("tt2"))))
 
   /** The quantized interpolated-KN seen-trigram NLL over [[kn3Stats]]
    *  columns — the ONE expression whose parenthesization the oracle
@@ -2243,10 +2265,14 @@ object PipelineQueries {
     // time for the c2 side (plan-pinned). The handle stays live under
     // the returned frame — left to the ContextCleaner (the pagerank
     // non-boundary convention)
-    val uni = w.select(explode(col("ws")).as("w"))
+    val uniC = w.select(explode(col("ws")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-      .withColumn("ntok", sum("c").over(Window.partitionBy()))
       .localCheckpoint()
+    // the corpus token total is a scalar aggregate over the
+    // CHECKPOINTED vocab relation broadcast back by crossJoin — the
+    // previous whole-frame window single-partitioned the vocab frame
+    // (guide §2.5); the agg reads the checkpoint, never the corpus
+    val uni = uniC.crossJoin(broadcast(uniC.agg(sum("c").as("ntok"))))
     val bg = w.filter(size(col("ws")) >= 2)
       .select(explode(transform(sequence(lit(0), size(col("ws")) - 2),
         i => struct(element_at(col("ws"), i + 1).as("a"),

@@ -455,8 +455,14 @@ object StreamOps {
     val bg = bgCounts
       .withColumn("c_a", sum("c_ab").over(
         org.apache.spark.sql.expressions.Window.partitionBy("a")))
-      .withColumn("v", size(collect_set(col("a")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy())).cast("long"))
+      // V (= distinct contexts) as a scalar aggregate broadcast back
+      // by crossJoin — the whole-frame-window collect_set form moved
+      // the entire (capped, but up to 4M-row) type relation to ONE
+      // partition and built a vocab-sized set there (guide §2.5's
+      // monster-partition class); same value, batch arithmetic
+      // unchanged (PipelineQueries.textBigramNll uses the same form)
+      .crossJoin(broadcast(bgCounts.agg(
+        count_distinct(col("a")).as("v"))))
     val entries = bg.select(
       concat(col("a"), lit(" "), col("b")).as("k"),
       nllOf(col("c_ab") + 1, col("c_a") + col("v")).as("nll"),
