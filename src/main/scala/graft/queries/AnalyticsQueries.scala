@@ -1201,13 +1201,27 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") < k).select("node")
         .localCheckpoint() // reused by the count + two anti-joins
-      if (drop.count() == 0) {
+      val nDrop = drop.count()
+      if (nDrop == 0) {
         graft.ops.DedupOps.releaseTruncated(drop)
         done = true
       } else {
+        // MEASURED broadcast verdict from the count the convergence
+        // check already pays (the ppr device): under the budget both
+        // anti-joins stream the edge relation unshuffled
+        // (BroadcastHashJoin LeftAnti) — the estimate-blind default
+        // re-shuffled the shrinking edge set TWICE per round (the
+        // checkpoint reports default sizeInBytes, so the small peel
+        // set never auto-broadcast); past it the shuffled anti-joins
+        // stand, the honest form for a peel wave at graph scale.
+        val bc = nDrop <= graft.ops.DedupOps.MaxBroadcastNodes
+        def dropAs(name: String) = {
+          val s = drop.select(col("node").as(name))
+          if (bc) broadcast(s) else s
+        }
         val pruned = edges
-          .join(drop.select(col("node").as("u")), Seq("u"), "left_anti")
-          .join(drop.select(col("node").as("v")), Seq("v"), "left_anti")
+          .join(dropAs("u"), Seq("u"), "left_anti")
+          .join(dropAs("v"), Seq("v"), "left_anti")
         edges = pruned.localCheckpoint() // eager: safe to release below
         graft.ops.DedupOps.releaseTruncated(drop)
         graft.ops.DedupOps.releaseTruncated(lastCkpt)
@@ -1337,18 +1351,31 @@ object AnalyticsQueries {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val edgesDeg = edges.join(deg, "src").localCheckpoint()
     val teleBase = when(seedPred, lit(PrScale * 15 / 100)).otherwise(lit(0L))
+    // initial ranks MATERIALIZED (node-sized) so the broadcast verdict
+    // below is one cheap count over the snapshot — the er_candidates
+    // measured-hint device. Under the budget every round's join
+    // broadcasts the rank state and the EDGE relation never shuffles
+    // again (the checkpoint reports UnknownPartitioning + default
+    // sizeInBytes, so the estimate-blind planner otherwise falls back
+    // to a SortMergeJoin that re-shuffles and re-sorts the edges every
+    // round once ranks are checkpoint-rooted — plan-measured this
+    // round); past it the shuffled join stands, the honest form where
+    // node state outgrows an executor.
     var ranks = deg.select(col("src").as("node"))
       .select(col("node"),
         when(seedPred, lit(PrScale)).otherwise(lit(0L)).as("rank"))
+      .localCheckpoint()
+    val bcastRanks = ranks.count() <= graft.ops.DedupOps.MaxBroadcastNodes
     var sinceTrunc = 0
     // the last CHECKPOINT HANDLE — releaseTruncated matches the plan
     // root, so superseded snapshots must be released via the handle,
     // never via the chained `ranks` frame built on top of it (whose
     // leaves also include the LIVE edgesDeg checkpoint)
-    var lastCkpt: Option[DataFrame] = None
+    var lastCkpt: Option[DataFrame] = Some(ranks)
     for (_ <- 1 to iters) {
+      val rside = if (bcastRanks) broadcast(ranks) else ranks
       val contribs = edgesDeg
-        .join(ranks, edgesDeg("src") === ranks("node"))
+        .join(rside, edgesDeg("src") === rside("node"))
         .select(col("dst"), floor(col("rank") / col("outdeg")).as("c"))
       val next = contribs.groupBy(col("dst").as("node"))
         .agg(sum(col("c")).as("s"))
@@ -1452,24 +1479,36 @@ object AnalyticsQueries {
   def sssp(adjW: DataFrame, seeds: DataFrame): DataFrame = {
     var dist = seeds.select(col("node"), lit(0L).as("dist"))
       .localCheckpoint()
+    // per-round MEASURED broadcast verdicts (the bfs device): the
+    // improved-frontier size falls out of the count the emptiness
+    // check already pays. Under the budget the weighted adjacency
+    // never shuffles for the relax join and the dist merge's
+    // anti-join streams dist unshuffled; past it the shuffled joins
+    // stand (the honest giant-graph form).
+    val cap = graft.ops.DedupOps.MaxBroadcastNodes
     var frontier = dist
+    var frontierN = frontier.count()
     var done = false
     while (!done) {
+      val fside = frontier.select(col("node").as("src"),
+        col("dist").as("sd"))
       val improved = adjW
-        .join(frontier.select(col("node").as("src"),
-          col("dist").as("sd")), Seq("src"))
+        .join(if (frontierN <= cap) broadcast(fside) else fside, Seq("src"))
         .select(col("dst").as("node"), (col("sd") + col("cost")).as("nd"))
         .groupBy("node").agg(min(col("nd")).as("nd"))
         .join(dist, Seq("node"), "left")
         .filter(col("dist").isNull || col("nd") < col("dist"))
         .select(col("node"), col("nd").as("dist"))
         .localCheckpoint()
-      if (improved.isEmpty) {
+      val impN = improved.count()
+      if (impN == 0) {
         graft.ops.DedupOps.releaseTruncated(improved)
         done = true
       } else {
+        val impKeys = improved.select(col("node"))
         val nd = dist
-          .join(improved.select(col("node")), Seq("node"), "left_anti")
+          .join(if (impN <= cap) broadcast(impKeys) else impKeys,
+            Seq("node"), "left_anti")
           .unionAll(improved)
           .localCheckpoint()
         // nd is materialized eagerly — the superseded handles release
@@ -1478,6 +1517,7 @@ object AnalyticsQueries {
         graft.ops.DedupOps.releaseTruncated(dist)
         dist = nd
         frontier = improved
+        frontierN = impN
       }
     }
     // the final improved set's rows live inside dist's checkpoint —
@@ -1489,17 +1529,31 @@ object AnalyticsQueries {
   def bfs(adj: DataFrame, seeds: DataFrame): DataFrame = {
     var known = seeds.select(col("node"), lit(0L).as("dist"))
       .localCheckpoint()
+    // per-round MEASURED broadcast verdicts (the ppr/kCore device):
+    // the frontier and known sizes fall out of counts the loop already
+    // pays (the emptiness check becomes the frontier count; the known
+    // size is seeds + Σ frontiers — no extra job). Under the budget
+    // the adjacency and the expansion never shuffle for their joins;
+    // past it the shuffled joins stand (a giant-component wave at
+    // graph scale outgrows an executor).
+    val cap = graft.ops.DedupOps.MaxBroadcastNodes
+    var knownN = known.count()
     var frontier = known
+    var frontierN = knownN
     var d = 0L
     var done = false
     while (!done) {
+      val fside = frontier.select(col("node").as("src"))
+      val kside = known.select("node")
       val next = adj
-        .join(frontier.select(col("node").as("src")), Seq("src"))
+        .join(if (frontierN <= cap) broadcast(fside) else fside, Seq("src"))
         .select(col("dst").as("node")).distinct()
-        .join(known.select("node"), Seq("node"), "left_anti")
+        .join(if (knownN <= cap) broadcast(kside) else kside,
+          Seq("node"), "left_anti")
         .withColumn("dist", lit(d + 1))
         .localCheckpoint()
-      if (next.isEmpty) {
+      val nextN = next.count()
+      if (nextN == 0) {
         graft.ops.DedupOps.releaseTruncated(next)
         done = true
       } else {
@@ -1509,7 +1563,9 @@ object AnalyticsQueries {
         if (frontier ne known) graft.ops.DedupOps.releaseTruncated(frontier)
         graft.ops.DedupOps.releaseTruncated(known)
         known = nk
+        knownN += nextN
         frontier = next
+        frontierN = nextN
         d += 1
       }
     }
@@ -1532,11 +1588,20 @@ object AnalyticsQueries {
       .unionAll(nodes.select(col("node").as("src"),
         col("node").as("dst")))
       .localCheckpoint()
+    // initial labels MATERIALIZED (node-sized) so the broadcast
+    // verdict is one count over the snapshot (the ppr device, same
+    // rationale): under the budget each round is one
+    // BroadcastHashJoin — the adjacency never shuffles again — where
+    // the estimate-blind default re-shuffled and re-sorted the EDGE
+    // side every round (plan-measured SortMergeJoin this round).
     var lbl = nodes.select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    val bcastLbl = lbl.count() <= graft.ops.DedupOps.MaxBroadcastNodes
     var sinceTrunc = 0
-    var lastCkpt: Option[DataFrame] = None
+    var lastCkpt: Option[DataFrame] = Some(lbl)
     for (_ <- 1 to iters) {
-      val votes = adj.join(lbl, adj("src") === lbl("node"))
+      val lside = if (bcastLbl) broadcast(lbl) else lbl
+      val votes = adj.join(lside, adj("src") === lside("node"))
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
       val next = votes.groupBy(col("dst").as("node"))
         .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
