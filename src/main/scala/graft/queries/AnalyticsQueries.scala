@@ -1000,20 +1000,43 @@ object AnalyticsQueries {
       when(uLtV, col("v")).otherwise(col("u")).as("d"),
       when(uLtV, col("vd")).otherwise(col("ud")).as("dd"))
       .localCheckpoint()
-    // the checkpointed frame's size is KNOWN — adaptively broadcast
-    // the closing side so the wedge stream (the biggest relation in
-    // the plan) never shuffles when edges fit an executor
+    // the checkpointed frame's size is KNOWN — under the broadcast
+    // budget, count by ADJACENCY-LIST INTERSECTION instead of the
+    // wedge self-join: each triangle {s,x,y} with orientation s→x,
+    // s→y, x→y is counted exactly once on its (s, x) edge as a common
+    // out-neighbor y ∈ N⁺(s) ∩ N⁺(x), so n_triangles =
+    // Σ_{(s,d)∈ori} |N⁺(s) ∩ N⁺(d)|. The wedge stream — Σ C(outdeg,2)
+    // rows, the biggest relation of the old plan — never materializes
+    // AT ALL: the oriented out-neighbor lists total exactly |E| longs
+    // (the same bytes the old path broadcast as the closing side),
+    // both joins broadcast, and the count reduces map-side with ZERO
+    // exchanges over wedge-sized data (one 1-row final agg). Past the
+    // budget the shuffled wedge join stands — per-edge neighbor
+    // arrays attached to a SHUFFLED edge stream would carry
+    // Σ outdeg² ≈ 2·wedges longs, re-creating the wedge volume in
+    // shuffle bytes, so broadcast adjacency is the only form where
+    // intersection wins and the honest giant-graph fallback remains
+    // the oriented wedge equi-join.
     val nEdges = ori.count()
-    val close = if (nEdges <= TriBroadcastEdges) broadcast(ori) else ori
-    // wedge at s → (x, y) in orientation order; the closing edge is
-    // oriented x → y by construction, so one equi-join finishes it
-    val tri = ori.as("e1").join(ori.as("e2"),
-        col("e1.s") === col("e2.s") && (col("e1.dd") < col("e2.dd") ||
-          (col("e1.dd") === col("e2.dd") && col("e1.d") < col("e2.d"))))
-      .select(col("e1.d").as("x"), col("e2.d").as("y"))
-      .join(close.as("e3"),
-        col("x") === col("e3.s") && col("y") === col("e3.d"))
-      .agg(count(lit(1)).as("n_triangles"))
+    val tri = if (nEdges <= TriBroadcastEdges) {
+      val nbrs = ori.groupBy(col("s")).agg(collect_list(col("d")).as("ns"))
+      ori.select(col("s"), col("d"))
+        .join(broadcast(nbrs), Seq("s"))
+        .join(broadcast(
+          nbrs.select(col("s").as("d"), col("ns").as("ns2"))), Seq("d"))
+        .agg(coalesce(sum(size(array_intersect(col("ns"), col("ns2")))
+          .cast("bigint")), lit(0L)).as("n_triangles"))
+    } else {
+      // wedge at s → (x, y) in orientation order; the closing edge is
+      // oriented x → y by construction, so one equi-join finishes it
+      ori.as("e1").join(ori.as("e2"),
+          col("e1.s") === col("e2.s") && (col("e1.dd") < col("e2.dd") ||
+            (col("e1.dd") === col("e2.dd") && col("e1.d") < col("e2.d"))))
+        .select(col("e1.d").as("x"), col("e2.d").as("y"))
+        .join(ori.as("e3"),
+          col("x") === col("e3.s") && col("y") === col("e3.d"))
+        .agg(count(lit(1)).as("n_triangles"))
+    }
     val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
     val edgeStats = edges.agg(count(lit(1)).as("n_edges"))
