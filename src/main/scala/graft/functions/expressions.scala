@@ -556,6 +556,45 @@ object VectorMath {
       .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
   }
 
+  /** Per-k slot-seed cache for [[minhashSig]] (seeds depend only on
+   *  k): seed q = XXH64 of int q under seed 42 — the first link of the
+   *  chained xxhash64(q:int, h:long) family. */
+  private val minhashSeeds =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Long]]
+
+  /** k MinHash slot minima over a shingle-hash array: slot q = SIGNED
+   *  min over hashes h of xxhash64(q:int, h:long) (chained XXH64, seed
+   *  42 — the `DedupOps.minhashSignatures` family; the [[lshCollide]]
+   *  slot loop factored out). Bit-identical to the explode + k-column
+   *  min aggregate form (NativeExprSpec asserts it). Empty input
+   *  yields Long.MaxValue slots — callers drop shingle-less docs
+   *  first, the batch explode contract. */
+  def minhashSig(hs: org.apache.spark.sql.catalyst.util.ArrayData,
+      k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.{XXH64 => xh}
+    val seeds = minhashSeeds.computeIfAbsent(Integer.valueOf(k), kk => {
+      val s = new Array[Long](kk)
+      var q = 0
+      while (q < kk) { s(q) = xh.hashInt(q, 42L); q += 1 }
+      s
+    })
+    val n = hs.numElements()
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var p = 0
+    while (p < n) {
+      val h = hs.getLong(p)
+      var q = 0
+      while (q < k) {
+        val v = xh.hashLong(h, seeds(q))
+        if (v < mins(q)) mins(q) = v
+        q += 1
+      }
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
+  }
+
   /** Java regex \s (no UNICODE_CHARACTER_CLASS): [ \t\n\x0B\f\r]. */
   /** Word-separator set for the kernel family whose oracles split with
    *  `regexp_split_to_array(text, '\s+')`. Scope note: this includes
@@ -2395,6 +2434,39 @@ case class ShingleHashes(child: Expression, n: Int)
 }
 
 /**
+ * k MinHash slot minima over a shingle-hash array — the row-local form
+ * of `DedupOps.minhashSignatures`'s explode + k-column min aggregate
+ * (bit-identical; NativeExprSpec asserts it): slot q = signed min over
+ * the hashes of chained xxhash64(q:int, h:long), seed 42 — the
+ * [[VectorMath.lshCollide]] slot loop as a standalone kernel. One
+ * JIT'd loop per row, no explode, no aggregate: signature computation
+ * becomes the pure projection the DedupOps scale contract describes,
+ * removing a corpus-wide (id, shingle-hash) exchange from every
+ * minhash consumer. (A composed SQL-expression form — k transform
+ * lambdas over the array — was measured 50x slower when the explode
+ * form was first chosen; the native kernel has neither the interpreted
+ * HOFs nor the shuffle.)
+ */
+case class MinhashSig(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.minhashSig(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.VectorMath.minhashSig($t, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * Live repeated-span gate: struct(n_grams, n_dup, dup_tokens) of a text
  * against a broadcast SORTED long[] of duplicated gram hashes (learned
  * offline by [[graft.ops.DedupOps.repeatedGramHashes]]). The model
@@ -3677,6 +3749,10 @@ object native {
   def gram_hashes(text: Column, n: Int, portable: Boolean = false): Column =
     GraftColumnBridge.column(
       GramHashes(GraftColumnBridge.expression(text), n, portable))
+
+  def minhash_sig(hashes: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      MinhashSig(GraftColumnBridge.expression(hashes), k))
 
   def span_flag_stats(text: Column, n: Int,
       model: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =

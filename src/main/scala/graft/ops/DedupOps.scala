@@ -123,25 +123,29 @@ object DedupOps {
    * hashes (an affine family over one base hash would need mod-2^64
    * multiplies, which ANSI mode rejects as long overflow).
    *
-   * Shape: explode shingles, then ONE two-phase hash aggregate with k
-   * `min` columns — partial minima combine map-side, so the shuffle
-   * carries k longs per doc, never shingle strings. (A single row-local
-   * array expression would duplicate the shingle pipeline k times in one
-   * projection and blow up codegen — measured 50x slower.)
+   * Shape: ONE row-local kernel pass — the native
+   * [[graft.functions.MinhashSig]] loop over the doc's
+   * [[graft.functions.ShingleHashes]] array (hash each shingle string
+   * once, derive the k family members from the fixed-width base) —
+   * zero exchanges at any corpus size: signature computation is pure
+   * projection, the scale contract in this file's header. The
+   * previous explode + k-column min aggregate paid a corpus-wide
+   * (id, shingle-hash) partial-agg exchange per consumer for the same
+   * integers (bit-identical — NativeExprSpec asserts kernel == agg);
+   * the composed SQL-expression row-local form rejected back then
+   * duplicated the shingle pipeline k times as interpreted lambdas
+   * (measured 50x slower) — the JIT'd kernel has neither problem.
+   * Docs with no shingles drop out (the explode contract, kept).
    */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
-      k: Int = 64, shingleN: Int = 3): DataFrame = {
-    // hash each shingle string ONCE (native ShingleHashes kernel), then
-    // derive the k family members by re-hashing the fixed-width base
-    // (8 bytes) — not the string k times.
+      k: Int = 64, shingleN: Int = 3): DataFrame =
     // fanOut: see ngramJaccardPairs (heavy per-row stage; narrow scans only)
-    val sh = FanOut.fanOut(df)
+    FanOut.fanOut(df)
       .select(id.as("id"),
-        explode(graft.functions.native.shingle_hashes(text, shingleN)).as("h0"))
-    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("h0"))).as(s"m$i"))
-    sh.groupBy("id").agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-  }
+        graft.functions.native.shingle_hashes(text, shingleN).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("id"),
+        graft.functions.native.minhash_sig(col("shs"), k).as("sig"))
 
   /** LSH band hashes over a minhash signature: `bands` buckets of
    *  `rows` signature slots each (b=16, r=4 targets J ~ 0.5+). */

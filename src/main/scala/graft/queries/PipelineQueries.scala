@@ -1558,7 +1558,11 @@ object PipelineQueries {
                 .otherwise(concat(acc, array(t)))).as("ss"))
           sinceTrunc += 1
           if (sinceTrunc >= BpeLearnStride) {
-            segs = applied.localCheckpoint()
+            // fully-merged words (one symbol left) can never produce
+            // a pair again — drop them at the lineage cut so later
+            // rounds scan and materialize a shrinking frame (BPE's
+            // pair stats never read symbol counts, unlike wordpiece)
+            segs = applied.filter(size(col("ss")) >= 2).localCheckpoint()
             // the previous CHECKPOINT HANDLE is now unreachable —
             // release its blocks eagerly (Dataset.unpersist is a
             // no-op on checkpointed frames, and a chained `segs`
@@ -2002,9 +2006,15 @@ object PipelineQueries {
    *  millions of rows and that partition is a straggler by
    *  construction — guide §2.5's monster-partition class). */
   def unigramModel(docs: DataFrame): DataFrame = {
+    // LAZY checkpoint (the dedup_eval device): the vocab relation has
+    // two consumers (the model rows and the ntok scalar) whose
+    // differing shapes defeat static exchange reuse — the snapshot
+    // pins the one-corpus-scan contract in the PLAN itself
+    // (PlanShapeSpec), not in AQE's runtime stage cache
     val freq = docs
       .select(explode(TextAnalyticsOps.words(lower(col("text")))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
+      .localCheckpoint(false)
     freq.crossJoin(broadcast(freq.agg(sum(col("freq")).as("ntok"))))
       .select(col("w"), col("freq"),
         floor(-log(col("freq") / col("ntok"))
@@ -2048,6 +2058,7 @@ object PipelineQueries {
     // §2.5's monster-partition class); the agg reuses the groupBy's
     // exchange, so the corpus is still scanned exactly twice
     val bgTypes = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint(false) // lazy: two consumers (model rows, V)
     val model = bgTypes
       .withColumn("c_a", sum("c_ab").over(Window.partitionBy("a")))
       .crossJoin(broadcast(bgTypes.agg(
@@ -2114,15 +2125,20 @@ object PipelineQueries {
    *  frame — ONE definition shared by [[textBigramKnOf]] and the live
    *  `StreamOps.bigramKnScoreStream` (the linregQuotients convention:
    *  batch and stream cannot drift). */
-  private[graft] def knStats(bg: DataFrame): DataFrame = bg
-    .withColumn("c_a", sum("c_ab").over(Window.partitionBy("a")))
-    .withColumn("n1p_a", count(lit(1)).over(Window.partitionBy("a")))
-    .withColumn("cont_b", count(lit(1)).over(Window.partitionBy("b")))
+  private[graft] def knStats(bg: DataFrame): DataFrame = {
     // T (bigram type count) as a scalar aggregate broadcast back by
     // crossJoin, not a whole-frame window (which single-partitions the
-    // ENTIRE type relation for one number — guide §2.5); the agg
-    // reuses bg's exchange, so no extra corpus pass
-    .crossJoin(broadcast(bg.agg(count(lit(1)).as("tt"))))
+    // ENTIRE type relation for one number — guide §2.5). The LAZY
+    // checkpoint pins the one-derivation contract for the type
+    // relation's two consumers in the plan itself (the unigramModel
+    // device), keeping the two-corpus-scan pin static.
+    val bgM = bg.localCheckpoint(false)
+    bgM
+      .withColumn("c_a", sum("c_ab").over(Window.partitionBy("a")))
+      .withColumn("n1p_a", count(lit(1)).over(Window.partitionBy("a")))
+      .withColumn("cont_b", count(lit(1)).over(Window.partitionBy("b")))
+      .crossJoin(broadcast(bgM.agg(count(lit(1)).as("tt"))))
+  }
 
   /** The quantized interpolated-KN seen-pair NLL over [[knStats]]
    *  columns — the ONE expression whose parenthesization the oracle
@@ -2192,24 +2208,28 @@ object PipelineQueries {
    *  (N₁₊(b·), N₁₊(·c), T₂) use the first-row-per-(b,c) tag summed
    *  per partition — a windowed count-distinct without a second
    *  relation. */
-  private[graft] def kn3Stats(tg: DataFrame): DataFrame = tg
-    .withColumn("c_ab", sum("c_abc").over(Window.partitionBy("a", "b")))
-    .withColumn("n1p_ab", count(lit(1)).over(Window.partitionBy("a", "b")))
-    .withColumn("n1p_dot_bc", count(lit(1)).over(Window.partitionBy("b", "c")))
-    .withColumn("n1p_mid_b", count(lit(1)).over(Window.partitionBy("b")))
-    .withColumn("fst",
-      when(row_number().over(
-        Window.partitionBy("b", "c").orderBy("a")) === 1, 1L)
-        .otherwise(0L))
-    .withColumn("n1p_b_dot", sum("fst").over(Window.partitionBy("b")))
-    .withColumn("n1p_dot_c", sum("fst").over(Window.partitionBy("c")))
-    // T₂ = Σ fst = |distinct (b,c)| — a scalar aggregate over the
-    // trigram TYPE relation broadcast back by crossJoin, not a
-    // whole-frame window (which single-partitions the entire type
-    // relation, the biggest frame in this model, for one number —
-    // guide §2.5's monster-partition class)
-    .crossJoin(broadcast(tg.agg(
-      count_distinct(col("b"), col("c")).as("tt2"))))
+  private[graft] def kn3Stats(tg: DataFrame): DataFrame = {
+    // T₂ = |distinct (b,c)| — a scalar aggregate over the trigram TYPE
+    // relation broadcast back by crossJoin, not a whole-frame window
+    // (which single-partitioned the entire type relation, the biggest
+    // frame in this model, for one number — guide §2.5's
+    // monster-partition class). LAZY checkpoint: the knStats device,
+    // one derivation for the relation's two consumers, plan-pinned.
+    val tgM = tg.localCheckpoint(false)
+    tgM
+      .withColumn("c_ab", sum("c_abc").over(Window.partitionBy("a", "b")))
+      .withColumn("n1p_ab", count(lit(1)).over(Window.partitionBy("a", "b")))
+      .withColumn("n1p_dot_bc", count(lit(1)).over(Window.partitionBy("b", "c")))
+      .withColumn("n1p_mid_b", count(lit(1)).over(Window.partitionBy("b")))
+      .withColumn("fst",
+        when(row_number().over(
+          Window.partitionBy("b", "c").orderBy("a")) === 1, 1L)
+          .otherwise(0L))
+      .withColumn("n1p_b_dot", sum("fst").over(Window.partitionBy("b")))
+      .withColumn("n1p_dot_c", sum("fst").over(Window.partitionBy("c")))
+      .crossJoin(broadcast(tgM.agg(
+        count_distinct(col("b"), col("c")).as("tt2"))))
+  }
 
   /** The quantized interpolated-KN seen-trigram NLL over [[kn3Stats]]
    *  columns — the ONE expression whose parenthesization the oracle

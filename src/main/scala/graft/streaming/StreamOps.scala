@@ -440,6 +440,10 @@ object StreamOps {
           element_at(col("ws"), i + 2).as("b")))).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("c_ab"))
+      // lazy snapshot (the unigramModel device): the cap count below
+      // materializes it once; the model rows and the V scalar then
+      // read blocks instead of re-deriving the corpus agg
+      .localCheckpoint(false)
     val nEntries = bgCounts.count()
     require(nEntries > 0,
       "bigram model is EMPTY (no corpus doc has two words) — every " +

@@ -268,9 +268,16 @@ class PlanShapeSpec extends SparkSpec {
       "broadcast the model for the apply join") {
     for (q <- Seq("text_unigram_nll", "text_bigram_nll")) {
       val p = plan(q)
-      assert("FileScan parquet".r.findAllIn(p).size == 2,
-        s"$q must be the two-pass train+apply shape, no extra scan " +
-          s"for the normalizer:\n" + p)
+      // the learn pass lives behind the model snapshot (lazy
+      // localCheckpoint — r21: the normalizer scalar is an aggregate
+      // branch over it, so without the snapshot the model subtree
+      // would re-derive per consumer); in-plan the corpus is scanned
+      // exactly once (score) and the model reads the snapshot
+      assert("FileScan parquet".r.findAllIn(p).size == 1,
+        s"$q must scan the corpus once in-plan (score); the learn " +
+          s"pass is the model snapshot:\n" + p)
+      assert(p.contains("Scan ExistingRDD"),
+        s"$q model side must read the checkpoint snapshot:\n" + p)
       assert(p.contains("BroadcastHashJoin"),
         s"$q model join must broadcast:\n" + p)
     }
@@ -639,11 +646,17 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("text_bigram_kn derives the whole KN model from the bigram " +
-      "relation alone: two corpus scans (learn, score), model joins " +
-      "broadcast") {
+      "relation alone: one in-plan corpus scan (score) + the model " +
+      "snapshot (learn), model joins broadcast") {
     val p = plan("text_bigram_kn")
-    assert("Scan parquet".r.findAllIn(p).size == 2,
-      "two corpus scans, the textBigramNll contract:\n" + p)
+    // r21: the bigram TYPE relation is snapshot once (lazy
+    // localCheckpoint) and feeds both the windowed model rows and the
+    // T scalar — the corpus itself is scanned once in-plan (score)
+    // and once at snapshot time (learn), the same two total passes
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "one in-plan corpus scan (score); learn is the snapshot:\n" + p)
+    assert(p.contains("Scan ExistingRDD"),
+      "the KN model must read the type-relation snapshot:\n" + p)
     assert(p.contains("BroadcastHashJoin"),
       "the vocab^2-bounded model must broadcast:\n" + p)
   }

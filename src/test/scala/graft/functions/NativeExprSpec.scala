@@ -172,6 +172,34 @@ class NativeExprSpec extends SparkSpec {
     assert(composed.toSeq == nativeH.toSeq)
   }
 
+  test("MinhashSig kernel is bit-identical to the explode + k-column " +
+      "min aggregate form (the old minhashSignatures shape)") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a b a b a b c d e f g h i j"),
+      (3L, "  leading\tand   multiple\nwhitespace  runs here too "),
+      (4L, "único wörd ünïcode mixed with ascii words in one doc"))
+      .toDF("id", "text")
+    val k = 64
+    val agg = df.select(col("id"),
+        explode(native.shingle_hashes(col("text"), 3)).as("h0"))
+      .groupBy("id")
+      .agg(min(xxhash64(lit(0), col("h0"))).as("m0"),
+        (1 until k).map(i => min(xxhash64(lit(i), col("h0"))).as(s"m$i")): _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1)
+    val kernel = df.select(col("id"),
+        native.shingle_hashes(col("text"), 3).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("id"), native.minhash_sig(col("shs"), k).as("sig"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1)
+    assert(agg.toSeq == kernel.toSeq)
+    // shingle-less docs drop out of both forms
+    val short = Seq((9L, "two words")).toDF("id", "text")
+    assert(graft.ops.DedupOps.minhashSignatures(
+      short, col("id"), col("text")).count() == 0)
+  }
+
   test("WordHashes matches the composed split+hash columns, both families") {
     val df = Seq(
       "the quick brown fox the quick", // duplicates kept

@@ -158,11 +158,13 @@ class BucketedTablesSpec extends SparkSpec {
       val pB = bucketed.queryExecution.executedPlan.toString
       val pI = inPlan.queryExecution.executedPlan.toString
       def nEx(p: String) = "Exchange hashpartitioning".r.findAllIn(p).size
-      // the in-plan history side pays its minhash agg + its join-side
-      // shuffle; the bucketed layout erases BOTH — the only exchanges
-      // left belong to the batch side and the distinct
-      assert(nEx(pB) == nEx(pI) - 2,
-        s"bucketed history must erase exactly its 2 exchanges " +
+      // the in-plan history side pays exactly its join-side shuffle
+      // (since r21 the signature is a row-local kernel — no minhash
+      // agg exchange exists on EITHER form); the bucketed layout
+      // erases that one exchange — the only exchanges left belong to
+      // the batch side and the distinct
+      assert(nEx(pB) == nEx(pI) - 1,
+        s"bucketed history must erase exactly its join exchange " +
           s"(got ${nEx(pB)} vs in-plan ${nEx(pI)}):\n" + pB)
       assert(pB.contains("Bucketed: true"),
         "history scan must report its bucket layout:\n" + pB)
@@ -202,10 +204,11 @@ class BucketedTablesSpec extends SparkSpec {
       def nEx(p: String) = "Exchange hashpartitioning".r.findAllIn(p).size
       val pB = bucketed.queryExecution.executedPlan.toString
       val pI = inPlan.queryExecution.executedPlan.toString
-      // in-plan history pays its minhash agg + its join-side shuffle;
-      // the bucket layout erases BOTH
-      assert(nEx(pB) == nEx(pI) - 2,
-        s"bucketed history must erase exactly its 2 exchanges " +
+      // in-plan history pays exactly its join-side shuffle (since r21
+      // the signature is a row-local kernel — no minhash agg exchange
+      // on either form); the bucket layout erases that one exchange
+      assert(nEx(pB) == nEx(pI) - 1,
+        s"bucketed history must erase exactly its join exchange " +
           s"(got ${nEx(pB)} vs in-plan ${nEx(pI)}):\n" + pB)
       assert(pB.contains("Bucketed: true"),
         "history scan must report its bucket layout:\n" + pB)
