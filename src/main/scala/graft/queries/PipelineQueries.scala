@@ -1519,14 +1519,203 @@ object PipelineQueries {
    * the loop: learn (this), learn-stats (`bpe_pair_stats`), apply
    * (`text_tokens_bpe`) all agree cross-engine.
    */
-  def bpeLearn(spark: SparkSession, sfDir: String): DataFrame = {
+  def bpeLearn(spark: SparkSession, sfDir: String): DataFrame =
+    bpeLearnOf(Tables.documents(spark, sfDir), TokenizerDriverVocab)
+
+  /** Word-frequency dicts at or under this row count run the tokenizer
+   *  MERGE LOOPS driver-side ([[bpeLearnOf]]/[[wordpieceLearnOf]]): the
+   *  dict collects behind a count-before-collect gate (the bounded
+   *  model-artifact contract — the dict IS the model input, and it is
+   *  what every production tokenizer trainer holds in memory) and the K
+   *  merge rounds run as plain Scala over it, replacing ~2K serial
+   *  vocab-sized Spark jobs (pair agg + argmax collect per rule, plus
+   *  stride checkpoints) with zero. Past the cap the distributed loop
+   *  stands — the honest form where the dict outgrows driver memory.
+   *  Env-parameterized (the MaxBroadcastNodes device); ~100 MB of
+   *  (word, freq) rows at the default. */
+  private[graft] val TokenizerDriverVocab: Long =
+    sys.env.getOrElse("SPARK_GRAFT_TOKENIZER_DRIVER_VOCAB", "1000000").toLong
+
+  /** Spark's string sort order (UTF8String.binaryCompare = unsigned
+   *  UTF-8 byte order) for driver-side tie-breaks — String.compareTo
+   *  (UTF-16 code units) would misorder supplementary code points
+   *  against U+E000..U+FFFF. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The driver-side merge loop shared by [[bpeLearnOf]] and
+   *  [[wordpieceLearnOf]] under [[TokenizerDriverVocab]] — bit-identical
+   *  to the distributed fold (spec-pinned both against it and against
+   *  the independent reference learners): code-point segmentation (the
+   *  `split(w, "")` semantics — Java's empty regex match never lands
+   *  inside a surrogate pair), exact integer pair/symbol counts, the
+   *  same ONE IEEE double division for the wordpiece score, argmax
+   *  under (cnt desc, a, b) / (score desc, a, b) with ties in UTF-8
+   *  byte order, and the same left-to-right non-overlapping merge
+   *  ("aaa" + (a,a) → ["aa","a"]). Returns (rank, a, b, score); the
+   *  score slot is 0 for BPE. */
+  private def driverMergeRules(dict: Array[(String, Long)], k: Int,
+      wordpiece: Boolean): Seq[(Long, String, String, Double)] = {
+    val symIdx = new java.util.HashMap[String, Integer]
+    val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+    def intern(s: String): Int = {
+      val got = symIdx.get(s)
+      if (got != null) got.intValue
+      else { symIdx.put(s, syms.length); syms += s; syms.length - 1 }
+    }
+    val words = new Array[Array[Int]](dict.length)
+    val freqs = new Array[Long](dict.length)
+    var wi = 0
+    while (wi < dict.length) {
+      val (w, f) = dict(wi)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        val c = new String(Character.toChars(cp))
+        buf += intern(if (wordpiece && i > 0) "##" + c else c)
+        i += Character.charCount(cp)
+      }
+      words(wi) = buf.toArray
+      freqs(wi) = f
+      wi += 1
+    }
+    val rules =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Double)]
+    var done = false
+    while (rules.size < k && !done) {
+      val pairCnt = scala.collection.mutable.LongMap.empty[Long]
+      val symCnt = scala.collection.mutable.LongMap.empty[Long]
+      var w = 0
+      while (w < words.length) {
+        val ss = words(w)
+        val f = freqs(w)
+        var i = 0
+        while (i < ss.length) {
+          if (wordpiece) {
+            val s = ss(i).toLong
+            symCnt(s) = symCnt.getOrElse(s, 0L) + f
+          }
+          if (i < ss.length - 1) {
+            val key = (ss(i).toLong << 32) | (ss(i + 1).toLong & 0xffffffffL)
+            pairCnt(key) = pairCnt.getOrElse(key, 0L) + f
+          }
+          i += 1
+        }
+        w += 1
+      }
+      if (pairCnt.isEmpty) done = true // vocab fully merged before K rules
+      else {
+        var bestA: String = null
+        var bestB: String = null
+        var bestAi = -1
+        var bestBi = -1
+        var bestCnt = 0L
+        var bestScore = 0.0
+        val it = pairCnt.iterator
+        while (it.hasNext) {
+          val (key, cnt) = it.next()
+          val ai = (key >>> 32).toInt
+          val bi = (key & 0xffffffffL).toInt
+          // each count cast to double BEFORE the multiply — the
+          // distributed form's exact arithmetic (graceful past 2^53)
+          val score = if (wordpiece)
+            cnt.toDouble / (symCnt(ai.toLong).toDouble * symCnt(bi.toLong).toDouble)
+          else 0.0
+          val better =
+            if (bestA == null) true
+            else if (wordpiece) {
+              if (score != bestScore) score > bestScore
+              else {
+                val a = syms(ai)
+                if (a != bestA) utf8Lt(a, bestA)
+                else utf8Lt(syms(bi), bestB)
+              }
+            } else {
+              if (cnt != bestCnt) cnt > bestCnt
+              else {
+                val a = syms(ai)
+                if (a != bestA) utf8Lt(a, bestA)
+                else utf8Lt(syms(bi), bestB)
+              }
+            }
+          if (better) {
+            bestA = syms(ai); bestB = syms(bi)
+            bestAi = ai; bestBi = bi
+            bestCnt = cnt; bestScore = score
+          }
+        }
+        rules += ((rules.size + 1L, bestA, bestB, bestScore))
+        if (rules.size < k) { // the last rule is never applied
+          val mergedSym =
+            intern(if (wordpiece) bestA + bestB.stripPrefix("##")
+            else bestA + bestB)
+          var w2 = 0
+          while (w2 < words.length) {
+            val ss = words(w2)
+            if (ss.length >= 2) {
+              var has = false
+              var j = 0
+              while (!has && j < ss.length - 1) {
+                if (ss(j) == bestAi && ss(j + 1) == bestBi) has = true
+                j += 1
+              }
+              if (has) {
+                // left-to-right non-overlapping: the merge looks at the
+                // ACCUMULATED last symbol, exactly the distributed fold
+                val out = new Array[Int](ss.length)
+                var oi = 0
+                var i2 = 0
+                while (i2 < ss.length) {
+                  if (oi > 0 && out(oi - 1) == bestAi && ss(i2) == bestBi)
+                    out(oi - 1) = mergedSym
+                  else { out(oi) = ss(i2); oi += 1 }
+                  i2 += 1
+                }
+                words(w2) = java.util.Arrays.copyOf(out, oi)
+              }
+            }
+            w2 += 1
+          }
+        }
+      }
+    }
+    rules.toSeq
+  }
+
+  /** The learning loop of [[bpeLearn]] over any (text) frame with an
+   *  explicit driver-dict cap — factored for the driver==distributed
+   *  equivalence spec. */
+  private[graft] def bpeLearnOf(docs: DataFrame, driverCap: Long): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val chars = filter(split(col("w"), ""), c => length(c) > 0)
-    var segs = Tables.documents(spark, sfDir)
+    // ONE corpus pass either way: the dict materializes eagerly, then
+    // the count-before-collect gate reads the snapshot, not the corpus
+    val vocab = docs
       .select(explode(TextAnalyticsOps.words(lower(col("text")))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    if (vocab.count() <= driverCap) {
+      val dict = vocab.collect().map(r => (r.getString(0), r.getLong(1)))
+      graft.ops.DedupOps.releaseTruncated(vocab)
+      return driverMergeRules(dict, BpeLearnK, wordpiece = false)
+        .map { case (r, a, b, _) => (r, a, b) }.toDF("rank", "a", "b")
+    }
+    val chars = filter(split(col("w"), ""), c => length(c) > 0)
+    var segs = vocab
       .select(col("freq"), chars.as("ss"))
       .localCheckpoint()
+    graft.ops.DedupOps.releaseTruncated(vocab)
     var lastCkpt = segs // the checkpoint HANDLE (releaseTruncated contract)
     var sinceTrunc = 0
     val rules = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
@@ -1621,17 +1810,35 @@ object PipelineQueries {
 
   /** The learning loop of [[wordpieceLearn]] over any (text) frame —
    *  factored for fixture-corpus specs. */
-  def wordpieceLearnOf(docs: DataFrame): DataFrame = {
+  def wordpieceLearnOf(docs: DataFrame): DataFrame =
+    wordpieceLearnOf(docs, TokenizerDriverVocab)
+
+  /** [[wordpieceLearnOf]] with an explicit driver-dict cap — factored
+   *  for the driver==distributed equivalence spec. */
+  private[graft] def wordpieceLearnOf(docs: DataFrame,
+      driverCap: Long): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // ONE corpus pass either way (the bpeLearnOf gate)
+    val vocab = docs
+      .select(explode(TextAnalyticsOps.words(lower(col("text")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    if (vocab.count() <= driverCap) {
+      val dict = vocab.collect().map(r => (r.getString(0), r.getLong(1)))
+      graft.ops.DedupOps.releaseTruncated(vocab)
+      return driverMergeRules(dict, WordpieceLearnK, wordpiece = true)
+        .toDF("rank", "a", "b", "score")
+        .select(col("rank"), col("a"), col("b"),
+          round(col("score"), 6).as("score_r"))
+    }
     val chars = filter(split(col("w"), ""), c => length(c) > 0)
     val syms = transform(chars,
       (c, i) => when(i === 0, c).otherwise(concat(lit("##"), c)))
-    var segs = docs
-      .select(explode(TextAnalyticsOps.words(lower(col("text")))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var segs = vocab
       .select(col("freq"), syms.as("ss"))
       .localCheckpoint()
+    graft.ops.DedupOps.releaseTruncated(vocab)
     var lastCkpt = segs // the checkpoint HANDLE (releaseTruncated contract)
     var sinceTrunc = 0
     val rules =
