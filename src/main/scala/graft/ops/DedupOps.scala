@@ -1099,7 +1099,7 @@ object DedupOps {
         r.unpersist(blocking = false)
       }
     }
-    val sym = truncate(
+    val sym0 = truncate(
       edges.select(col("id1").as("src"), col("id2").as("dst"))
         .union(edges.select(col("id2").as("src"), col("id1").as("dst"))))
     // Propagate only over nodes that appear in an edge: at corpus scale
@@ -1107,7 +1107,7 @@ object DedupOps {
     // node set, and isolated nodes are singleton clusters by definition
     // (unioned back, label = own id, at the end — no iteration cost).
     var labels = truncate(
-      sym.select(col("src").as("id")).distinct()
+      sym0.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("cluster")))
     // MEASURED broadcast verdict for every round's two node-state
     // joins (the er_candidates/TriBroadcastEdges device): the label
@@ -1123,6 +1123,22 @@ object DedupOps {
     // budget the shuffled join stands — node state at graph scale
     // outgrows any executor, the honest fallback.
     val bcastLabels = labels.count() <= MaxBroadcastNodes
+    // Broadcast regime: re-snapshot the symmetrized edges partitioned
+    // on src — one cheap pass over the in-memory blocks — so every
+    // round's neighbor-min agg (grouped by src, partitioning preserved
+    // through the BroadcastHashJoin) runs with NO Exchange (the
+    // ppr/lpa partitioning-preserving checkpoint). Past the cap the
+    // rounds shuffle the edges by dst for the label join anyway, so
+    // the extra pass is skipped with the same verdict; with a reliable
+    // checkpoint dir configured the fault-tolerance contract wins and
+    // the plain snapshot stands.
+    val sym = if (bcastLabels &&
+        edges.sparkSession.sparkContext.getCheckpointDir.isEmpty) {
+      val s = org.apache.spark.sql.GraftColumnBridge
+        .localCheckpointHashPartitioned(sym0, Seq("src"))
+      release(sym0, checkpointFileOf(sym0), rddOf(sym0))
+      s
+    } else sym0
     var converged = false
     var i = 0
     var prevLabelFile = checkpointFileOf(labels)

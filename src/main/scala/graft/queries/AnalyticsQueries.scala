@@ -995,11 +995,19 @@ object AnalyticsQueries {
       (col("ud") === col("vd") && col("u") < col("v"))
     // THREE consumers (both wedge sides + the closing join, whose
     // different join keys defeat exchange reuse) — materialize once
-    val ori = ek.select(
-      when(uLtV, col("u")).otherwise(col("v")).as("s"),
-      when(uLtV, col("v")).otherwise(col("u")).as("d"),
-      when(uLtV, col("vd")).otherwise(col("ud")).as("dd"))
-      .localCheckpoint()
+    // partitioned on s at build (the partitioning-preserving
+    // checkpoint): the adjacency-list agg (grouped by s) and BOTH
+    // sides of the fallback wedge self-join (keyed s) then plan with
+    // no Exchange over the preserved partitioning — a win in either
+    // census regime for one build-time shuffle of the oriented edges
+    // (the ppr device).
+    val ori = org.apache.spark.sql.GraftColumnBridge
+      .localCheckpointHashPartitioned(
+        ek.select(
+          when(uLtV, col("u")).otherwise(col("v")).as("s"),
+          when(uLtV, col("v")).otherwise(col("u")).as("d"),
+          when(uLtV, col("vd")).otherwise(col("ud")).as("dd")),
+        Seq("s"))
     // the checkpointed frame's size is KNOWN — under the broadcast
     // budget, count by ADJACENCY-LIST INTERSECTION instead of the
     // wedge self-join: each triangle {s,x,y} with orientation s→x,
@@ -1328,9 +1336,18 @@ object AnalyticsQueries {
    */
   def graphBfs(spark: SparkSession, sfDir: String): DataFrame = {
     val e = coBackbone(spark, sfDir)
-    val adj = e.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint()
+    // adjacency partitioned on dst at build (the ppr device, via the
+    // partitioning-preserving checkpoint): while a wave broadcasts
+    // (every round at bench SFs — seeds are a 1/100 fraction), the
+    // expansion's distinct on node (= dst, preserved through the
+    // rename) needs no Exchange. A giant wave past the cap shuffles
+    // the join by src and pays the distinct exchange as before — the
+    // one build-time edge shuffle is the only cost.
+    val adj = org.apache.spark.sql.GraftColumnBridge
+      .localCheckpointHashPartitioned(
+        e.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(e.select(col("v").as("src"), col("u").as("dst"))),
+        Seq("dst"))
     val seeds = adj.select(col("src").as("node")).distinct()
       .filter(col("node") % BfsSeedMod === 0)
     bfs(adj, seeds)
@@ -1372,7 +1389,6 @@ object AnalyticsQueries {
     val edges = e.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val edgesDeg = edges.join(deg, "src").localCheckpoint()
     val teleBase = when(seedPred, lit(PrScale * 15 / 100)).otherwise(lit(0L))
     // initial ranks MATERIALIZED (node-sized) so the broadcast verdict
     // below is one cheap count over the snapshot — the er_candidates
@@ -1389,6 +1405,23 @@ object AnalyticsQueries {
         when(seedPred, lit(PrScale)).otherwise(lit(0L)).as("rank"))
       .localCheckpoint()
     val bcastRanks = ranks.count() <= graft.ops.DedupOps.MaxBroadcastNodes
+    // In the broadcast regime, hash-partition the edge snapshot on dst
+    // ONCE at build (the partitioning-preserving checkpoint — plain
+    // localCheckpoint records UnknownPartitioning under AQE): the
+    // round's BroadcastHashJoin + Project preserve it, and the
+    // per-round contribution sum (grouped by dst) then needs NO
+    // Exchange at all — each round becomes one zero-shuffle codegen
+    // span (plan-verified: Exchange count 1 → 0 in the round frame).
+    // One edge-relation shuffle paid once replaces `iters` partial-agg
+    // exchanges. Past the cap the rounds shuffle edges by src for the
+    // join anyway (dst partitioning would be destroyed), so the build
+    // repartition is skipped with the same measured verdict.
+    val edgesDeg0 = edges.join(deg, "src")
+    val edgesDeg =
+      if (bcastRanks)
+        org.apache.spark.sql.GraftColumnBridge
+          .localCheckpointHashPartitioned(edgesDeg0, Seq("dst"))
+      else edgesDeg0.localCheckpoint()
     var sinceTrunc = 0
     // the last CHECKPOINT HANDLE — releaseTruncated matches the plan
     // root, so superseded snapshots must be released via the handle,
@@ -1487,10 +1520,15 @@ object AnalyticsQueries {
     val e = coPairsTable(spark, sfDir)
       .filter(col("w") >= LpaMinWeight)
       .select(col("u"), col("v"), ssspCost(col("w")).as("cost"))
-    val adjW = e.select(col("u").as("src"), col("v").as("dst"), col("cost"))
-      .unionAll(e.select(col("v").as("src"), col("u").as("dst"),
-        col("cost")))
-      .localCheckpoint()
+    // weighted adjacency partitioned on dst at build (the graphBfs
+    // rationale): the relax pass's per-node min (grouped on node = dst)
+    // runs exchange-free while the frontier broadcasts.
+    val adjW = org.apache.spark.sql.GraftColumnBridge
+      .localCheckpointHashPartitioned(
+        e.select(col("u").as("src"), col("v").as("dst"), col("cost"))
+          .unionAll(e.select(col("v").as("src"), col("u").as("dst"),
+            col("cost"))),
+        Seq("dst"))
     val seeds = adjW.select(col("src").as("node")).distinct()
       .filter(col("node") % BfsSeedMod === 0)
     sssp(adjW, seeds)
@@ -1606,11 +1644,6 @@ object AnalyticsQueries {
     // returned frame for all `iters` rounds — left to the
     // ContextCleaner (the pagerank/kcore non-boundary convention);
     // only SUPERSEDED mid-loop snapshots are released eagerly
-    val adj = e.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
-      .unionAll(nodes.select(col("node").as("src"),
-        col("node").as("dst")))
-      .localCheckpoint()
     // initial labels MATERIALIZED (node-sized) so the broadcast
     // verdict is one count over the snapshot (the ppr device, same
     // rationale): under the budget each round is one
@@ -1620,6 +1653,21 @@ object AnalyticsQueries {
     var lbl = nodes.select(col("node"), col("node").as("lbl"))
       .localCheckpoint()
     val bcastLbl = lbl.count() <= graft.ops.DedupOps.MaxBroadcastNodes
+    // broadcast regime: adjacency partitioned on dst once at build
+    // (the partitioning-preserving checkpoint), so BOTH per-round
+    // aggregates — the (dst, lbl) vote count and the per-dst argmax —
+    // run with NO Exchange on the preserved partitioning (the ppr
+    // device; {dst} ⊆ {dst, lbl} satisfies the vote agg's clustering).
+    // Plan-verified: 2 Exchanges → 0 per round.
+    val adj0 = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+      .unionAll(nodes.select(col("node").as("src"),
+        col("node").as("dst")))
+    val adj =
+      if (bcastLbl)
+        org.apache.spark.sql.GraftColumnBridge
+          .localCheckpointHashPartitioned(adj0, Seq("dst"))
+      else adj0.localCheckpoint()
     var sinceTrunc = 0
     var lastCkpt: Option[DataFrame] = Some(lbl)
     for (_ <- 1 to iters) {
