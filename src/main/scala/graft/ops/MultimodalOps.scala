@@ -371,6 +371,11 @@ object MultimodalOps {
         val shift = exp - 63 // mantissa carries 2^63 at the top bit
         if (shift >= 0) return -1L // ≥ 2^63 Hz — nonsense
         if (shift < -63) return 0L // < 1 Hz floors to 0 → rejected
+        // fractional rates quarantine (the scaladoc's "decoded exactly
+        // for integral rates" contract): a nonzero truncated-mantissa
+        // remainder would otherwise FLOOR silently and declare a wrong
+        // rate — reject instead of mis-decoding
+        if ((mant & ((1L << -shift) - 1)) != 0L) return -1L
         mant >>> -shift
       }
       var ch = -1
@@ -2015,6 +2020,10 @@ object MultimodalOps {
       chunk += 1L
     }
     if (n != nSamples) return None // tables promised more samples
+    // symmetric strictness: stco/stsc chunks the samples never fill
+    // are the same class of table lie as too-few samples — quarantine
+    // (matches the trailing-junk rule applied at top level)
+    if (chunk != nChunks) return None
     Some((delta * 1000000L / timescale, n, w, h))
   }
 }

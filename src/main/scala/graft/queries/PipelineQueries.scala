@@ -1121,11 +1121,14 @@ object PipelineQueries {
     // composed string-shingle column form was interpreted HOFs and
     // cost 4.3 s per consumer at bench cores); the hash IS
     // md560(shingle), so the exact side is unchanged
-    val shh = FanOut.fanOut(
-      Tables.documents(spark, sfDir).select("doc_id", "text"))
-      .select(col("doc_id"),
-        explode(array_distinct(graft.functions.native.gram_hashes(
-          col("text"), 3, portable = true))).as("h"))
+    val shh = org.apache.spark.sql.GraftColumnBridge
+      .localCheckpointHashPartitioned(
+        FanOut.fanOut(
+          Tables.documents(spark, sfDir).select("doc_id", "text"))
+          .select(col("doc_id"),
+            explode(array_distinct(graft.functions.native.gram_hashes(
+              col("text"), 3, portable = true))).as("h")),
+        Seq("h"), eager = false)
       // MATERIALIZED once (r18): FIVE consumers read this
       // corpus-sized frame (sizes, both exact-join sides, the
       // slot-table distinct, the slot re-join) with differing
@@ -1133,10 +1136,13 @@ object PipelineQueries {
       // kernel+explode subtree re-ran per consumer (measured 5.4 →
       // 4.2 s standalone at sf0.1; banded's self-join, by contrast,
       // REUSES its exchange — checkpointing it measured SLOWER).
-      // LAZY: materializes at the query's first action, so merely
-      // BUILDING the frame (plan inspection, topology wiring) costs
-      // nothing — review-pass fix
-      .localCheckpoint(false)
+      // r21: the snapshot is hash-partitioned on h (the
+      // partitioning-preserving checkpoint), so the exact self-join
+      // (both sides), the slot-table distinct, and the slot re-join —
+      // all keyed on h — plan with NO Exchange over it; only the
+      // doc_id-keyed aggs still shuffle. LAZY: materializes at the
+      // query's first action, so merely BUILDING the frame (plan
+      // inspection, topology wiring) costs nothing — review-pass fix
     val sizes = shh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val exact = shh.filter(col("doc_id") % EvalAnchorMod === 0).as("x")
       .join(shh.as("y"),
@@ -2986,6 +2992,10 @@ object PipelineQueries {
       .groupBy("sh")
       .agg(count(lit(1)).as("df"), collect_set("source").as("srcs"))
       .filter(col("df") <= SourceOverlapMaxDf)
+      // SNAPSHOT (lazy): two consumers (sizes, pairs) otherwise re-run
+      // the final gram agg + filter over the reused exchange — the
+      // capped relation is rare-gram-sized, far below the corpus
+      .localCheckpoint(false)
     val sizes = byGram
       .select(explode(col("srcs")).as("source"))
       .groupBy("source").agg(count(lit(1)).as("sz"))
@@ -3551,9 +3561,19 @@ object PipelineQueries {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
       .filter(col("dfreq") <= cap) // the posting-list guard
-    val w = tf.join(dfreq, "term")
-      .select(col("term"), col("doc_id"),
-        (col("tf") * log(lit(n.toDouble) / col("dfreq"))).as("w"))
+    // SNAPSHOT the weighted postings, hash-partitioned on term (the
+    // partitioning-preserving checkpoint): THREE consumers (both pair
+    // self-join sides + the norm agg) re-derived the corpus bigram
+    // explode + tf agg + df join otherwise (plan-measured: 16 parquet
+    // scans of the documents table in the unsnapshotted plan), and the
+    // term partitioning makes the pair self-join — the query's biggest
+    // relation — plan with NO Exchange on either side.
+    val w = org.apache.spark.sql.GraftColumnBridge
+      .localCheckpointHashPartitioned(
+        tf.join(dfreq, "term")
+          .select(col("term"), col("doc_id"),
+            (col("tf") * log(lit(n.toDouble) / col("dfreq"))).as("w")),
+        Seq("term"))
     val ss = w.groupBy("doc_id")
       .agg(sum(floor(col("w") * col("w") * lit(1e9)).cast("long"))
         .as("ss_nano"))
@@ -3642,6 +3662,13 @@ object PipelineQueries {
         explode(TextAnalyticsOps.words(lower(col("text")))).as("term"))
       .join(broadcast(qterms.select("term").distinct()), "term")
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      // SNAPSHOT (lazy — the LM-model-relation device): two consumers
+      // (the df agg below and the scoring join) each re-derived the
+      // full corpus explode + query-term join + agg otherwise; the
+      // restricted postings frame is ≤ |query terms|·docs-containing
+      // rows, far below the corpus, so pinning one derivation in the
+      // plan trades a tiny materialization for a whole corpus pass
+      .localCheckpoint(false)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
     val avgdl = base
       .select(TextAnalyticsOps.wsTokenCount(col("text")).as("dl"))
@@ -4101,15 +4128,24 @@ object PipelineQueries {
   private def dsirBucket(w: Column): Column =
     conv(substring(md5(w), 1, 15), 16, 10).cast("long") % DsirBuckets
 
-  /** The B-row DSIR model (b, lr_micro) — factored so the live gate
-   *  (`StreamOps.dsirGateStream`) learns the identical table once at
-   *  topology build. Input needs (lang, text). */
-  private[graft] def dsirModel(docs: DataFrame): DataFrame = docs
-    .select(col("lang"),
+  /** Per-(doc, lang, bucket) word counts — the ONE corpus
+   *  tokenize+hash pass both DSIR halves read. Grouping keys carry
+   *  lang so the model's target-slice counts derive from the same
+   *  relation (exact integer sums either way). */
+  private def dsirDocBuckets(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), col("lang"),
       explode(TextAnalyticsOps.words(lower(col("text")))).as("w"))
-    .groupBy(dsirBucket(col("w")).as("b"))
-    .agg(count(lit(1)).as("rcnt"),
-      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("tcnt"))
+    .groupBy(col("doc_id"), col("lang"), dsirBucket(col("w")).as("b"))
+    .agg(count(lit(1)).as("cnt"))
+
+  /** The model tail over any (lang?, b, cnt) bucket-count relation —
+   *  the arithmetic of the published estimator, shared by the
+   *  standalone [[dsirModel]] and the fused [[dsirScores]] path. */
+  private def dsirModelOf(bucketCnt: DataFrame): DataFrame = bucketCnt
+    .groupBy(col("b"))
+    .agg(sum(col("cnt")).as("rcnt"),
+      sum(when(col("lang") === DsirTargetLang, col("cnt")).otherwise(0L))
+        .as("tcnt"))
     .select(col("b"), col("rcnt"), col("tcnt"),
       floor(log(
         ((col("tcnt") + 1).cast("double") *
@@ -4120,22 +4156,47 @@ object PipelineQueries {
             .cast("double")))
         * lit(1000000.0)).cast("bigint").as("lr_micro"))
 
+  /** The B-row DSIR model (b, lr_micro) — factored so the live gate
+   *  (`StreamOps.dsirGateStream`) learns the identical table once at
+   *  topology build. Input needs (lang, text). */
+  private[graft] def dsirModel(docs: DataFrame): DataFrame =
+    dsirModelOf(docs
+      .select(col("lang"),
+        explode(TextAnalyticsOps.words(lower(col("text")))).as("w"))
+      .groupBy(col("lang"), dsirBucket(col("w")).as("b"))
+      .agg(count(lit(1)).as("cnt")))
+
   /** Per-doc DSIR scores over the whole corpus (doc_id, n_words,
    *  logw_micro) — the scoring half of [[sampleDsir]], shared with
-   *  the gate's threshold learner. */
-  private[graft] def dsirScores(docs: DataFrame): DataFrame = docs
-    .select(col("doc_id"),
-      explode(TextAnalyticsOps.words(lower(col("text")))).as("w"))
-    .select(col("doc_id"), dsirBucket(col("w")).as("b"))
-    .join(broadcast(dsirModel(docs)), "b")
-    .groupBy("doc_id")
-    .agg(count(lit(1)).as("n_words"), sum("lr_micro").as("logw_micro"))
+   *  the gate's threshold learner. The corpus is tokenized and
+   *  md5-bucketed ONCE: the per-(doc, lang, b) count snapshot (lazy
+   *  localCheckpoint, the LM-model-relation device) feeds BOTH the
+   *  model aggregation and the scoring sum — the old form ran the
+   *  full explode + per-word hash twice, once under each half.
+   *  Identical integers: rcnt/tcnt are sums of the same per-doc
+   *  counts, n_words = Σ cnt, and Σ_w lr(b(w)) = Σ_b cnt·lr. */
+  private[graft] def dsirScores(docs: DataFrame): DataFrame = {
+    val buckets = dsirDocBuckets(docs).localCheckpoint(false)
+    buckets
+      .join(broadcast(dsirModelOf(buckets)), "b")
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("lr_micro")).as("logw_micro"))
+  }
 
   def sampleDsir(spark: SparkSession, sfDir: String): DataFrame =
+    // top-N FIRST as orderBy+limit — plans as TakeOrderedAndProject
+    // (per-partition top-N + driver merge of N·parts rows), where the
+    // old global row_number window single-partitioned the ENTIRE
+    // per-doc score relation for a 100-row cut (guide §2.5's
+    // monster-partition class; the WindowExec warning). The rank
+    // window then runs over ≤ N rows; (logw desc, doc_id) is a total
+    // order, so rank-over-top-N ≡ filter(global rank ≤ N) exactly.
     dsirScores(Tables.documents(spark, sfDir))
+      .orderBy(col("logw_micro").desc, col("doc_id"))
+      .limit(DsirN.toInt)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("logw_micro").desc, col("doc_id"))).cast("bigint"))
-      .filter(col("rank") <= DsirN)
       .select(col("rank"), col("doc_id"), col("n_words"), col("logw_micro"))
 
   val CurateMinScore = 0.40

@@ -141,13 +141,17 @@ object ImageRemuxFixture {
         (bx, by) => grayLevel(base, bx, by))
       if (id < M) {
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
+        // assert the writer verdict: a silently-refused format would
+        // commit EMPTY payloads that quarantine instead of decode
+        require(javax.imageio.ImageIO.write(img, "png", bos),
+          "no ImageIO PNG writer accepted the image type")
         bos.toByteArray
       } else if (id < 2 * M)
         JpegFixture.encodeJpeg(img, progressive = id % 2 == 1)
       else {
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "bmp", bos)
+        require(javax.imageio.ImageIO.write(img, "bmp", bos),
+          "no ImageIO BMP writer accepted the image type")
         bos.toByteArray
       }
     }
