@@ -3550,29 +3550,17 @@ object PipelineQueries {
     // parquet rowcount, no shuffle (the textTfidf device)
     val n = docs.count()
     val cap = math.floor(n * DocsimDfFrac).toLong
-    val tok = FanOut.fanOut(docs)
-      .select(col("doc_id"), TextAnalyticsOps.words(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 2) // Spark sequence(1, 0) DESCENDS
-    val tf = tok
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("ws")) - 1),
-          i => concat(element_at(col("ws"), i), lit(" "),
-            element_at(col("ws"), i + 1)))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
-      .filter(col("dfreq") <= cap) // the posting-list guard
     // SNAPSHOT the weighted postings, hash-partitioned on term (the
     // partitioning-preserving checkpoint): THREE consumers (both pair
     // self-join sides + the norm agg) re-derived the corpus bigram
     // explode + tf agg + df join otherwise (plan-measured: 16 parquet
     // scans of the documents table in the unsnapshotted plan), and the
     // term partitioning makes the pair self-join — the query's biggest
-    // relation — plan with NO Exchange on either side.
+    // relation — plan with NO Exchange on either side. The df cap is
+    // applied inside [[docsimPostings]], i.e. strictly before any pair
+    // fan-out by construction (PlanShapeSpec pins both halves).
     val w = org.apache.spark.sql.GraftColumnBridge
-      .localCheckpointHashPartitioned(
-        tf.join(dfreq, "term")
-          .select(col("term"), col("doc_id"),
-            (col("tf") * log(lit(n.toDouble) / col("dfreq"))).as("w")),
+      .localCheckpointHashPartitioned(docsimPostings(docs, n, cap),
         Seq("term"))
     val ss = w.groupBy("doc_id")
       .agg(sum(floor(col("w") * col("w") * lit(1e9)).cast("long"))
@@ -3592,6 +3580,29 @@ object PipelineQueries {
     sim.orderBy(col("sim").desc, col("doc1"), col("doc2"))
       .limit(DocsimTopN)
       .select(col("doc1"), col("doc2"), round(col("sim"), 4).as("sim_r"))
+  }
+
+  /** [[docsimOf]]'s weighted-postings derivation BEFORE its snapshot —
+   *  bigram explode → tf agg → df-capped idf weights. Factored so the
+   *  plan-shape spec can pin the df cap (the decisive scale guard)
+   *  inside the snapshot build, where the consuming plan no longer
+   *  shows it. */
+  private[graft] def docsimPostings(docs: DataFrame, n: Long,
+      cap: Long): DataFrame = {
+    val tok = FanOut.fanOut(docs)
+      .select(col("doc_id"), TextAnalyticsOps.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2) // Spark sequence(1, 0) DESCENDS
+    val tf = tok
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat(element_at(col("ws"), i), lit(" "),
+            element_at(col("ws"), i + 1)))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") <= cap) // the posting-list guard
+    tf.join(dfreq, "term")
+      .select(col("term"), col("doc_id"),
+        (col("tf") * log(lit(n.toDouble) / col("dfreq"))).as("w"))
   }
 
   /** BM25 parameters (the standard Robertson defaults) and the
@@ -3655,20 +3666,15 @@ object PipelineQueries {
   private def bm25Scores(base: DataFrame, qterms: DataFrame,
       excludeSelf: Boolean): DataFrame = {
     val n = base.count()
-    val docs = FanOut.fanOut(base)
-    val tf = docs
-      .select(col("doc_id"),
-        TextAnalyticsOps.wsTokenCount(col("text")).as("dl"),
-        explode(TextAnalyticsOps.words(lower(col("text")))).as("term"))
-      .join(broadcast(qterms.select("term").distinct()), "term")
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-      // SNAPSHOT (lazy — the LM-model-relation device): two consumers
-      // (the df agg below and the scoring join) each re-derived the
-      // full corpus explode + query-term join + agg otherwise; the
-      // restricted postings frame is ≤ |query terms|·docs-containing
-      // rows, far below the corpus, so pinning one derivation in the
-      // plan trades a tiny materialization for a whole corpus pass
-      .localCheckpoint(false)
+    // SNAPSHOT (lazy — the LM-model-relation device): two consumers
+    // (the df agg below and the scoring join) each re-derived the
+    // full corpus explode + query-term join + agg otherwise; the
+    // restricted postings frame is ≤ |query terms|·docs-containing
+    // rows, far below the corpus, so pinning one derivation in the
+    // plan trades a tiny materialization for a whole corpus pass.
+    // The query-term restriction sits below the tf agg inside
+    // [[bm25Postings]] (PlanShapeSpec pins it there).
+    val tf = bm25Postings(base, qterms).localCheckpoint(false)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
     val avgdl = base
       .select(TextAnalyticsOps.wsTokenCount(col("text")).as("dl"))
@@ -3683,6 +3689,20 @@ object PipelineQueries {
         bm25Contribution(n.toDouble).as("c"))
       .groupBy("qid", "doc_id").agg(sum(col("c")).as("score_nano"))
   }
+
+  /** [[bm25Scores]]' restricted-postings derivation BEFORE its
+   *  snapshot — corpus explode → broadcast query-term semi-join →
+   *  (doc, dl, term) tf agg. Factored so the plan-shape spec can pin
+   *  the query-term restriction below the tf agg inside the snapshot
+   *  build, where the consuming plan no longer shows it. */
+  private[graft] def bm25Postings(base: DataFrame,
+      qterms: DataFrame): DataFrame =
+    FanOut.fanOut(base)
+      .select(col("doc_id"),
+        TextAnalyticsOps.wsTokenCount(col("text")).as("dl"),
+        explode(TextAnalyticsOps.words(lower(col("text")))).as("term"))
+      .join(broadcast(qterms.select("term").distinct()), "term")
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
 
   /** The per-(query-term, doc) Okapi BM25 contribution in integer
    *  nano units over columns (tf, dl, dfreq, avgdl) — the one

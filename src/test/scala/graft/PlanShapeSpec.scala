@@ -224,24 +224,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"),
       "the pair join must stay a term equi-join:\n" + p)
-    // the df-cap filter must sit BELOW the pair self-join (pruning
-    // the posting lists BEFORE the C(df, 2) fan-out). The pair join
-    // is the one whose condition carries the doc_id < doc_id
-    // inequality; the plan prints root-first, so "below" = a LATER
-    // index in the string
-    val pairJoin = "Join [^\\n]*doc_id#\\d+L? < doc_id".r
+    // r21: the weighted postings are SNAPSHOTTED (term-partitioned
+    // localCheckpoint) before the pair self-join, so the df cap — the
+    // decisive scale guard — lives in the snapshot-BUILD plan, not the
+    // consuming plan. Pin both halves:
+    // (1) the consuming pair join reads the snapshot, which by
+    //     construction puts the whole postings derivation (cap
+    //     included) before the C(df, 2) fan-out;
+    val pairJoin = "Join \\[term[^\\n]*doc_id#\\d+L? < doc_id".r
       .findFirstMatchIn(p)
     assert(pairJoin.isDefined, "expected the doc_id< pair join:\n" + p)
-    // the cap literal depends on corpus size — recompute it from the
-    // actual smoke corpus rather than hardcoding
-    val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(p.contains("Scan ExistingRDD"),
+      "the pair join must consume the postings snapshot:\n" + p)
+    assert(!p.contains("FileScan") && !p.contains("Scan parquet"),
+      "in-plan corpus re-scan: the postings snapshot must be the only " +
+        "source:\n" + p)
+    // (2) the snapshot-build plan carries the cap filter below its
+    //     weight projection. The cap literal depends on corpus size —
+    //     recompute it from the actual smoke corpus.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n = docs.count()
     val cap = math.floor(n * graft.queries.PipelineQueries.DocsimDfFrac)
       .toLong
-    val capF = s"Filter [^\\n]*dfreq#\\d+L? <= $cap".r.findFirstMatchIn(p)
-    assert(capF.isDefined, s"expected the dfreq <= $cap cap filter:\n" + p)
-    assert(capF.get.start > pairJoin.get.start,
-      "the posting guard must prune BELOW the pair join, " +
-        "not above its fan-out:\n" + p)
+    val build = graft.queries.PipelineQueries
+      .docsimPostings(docs, n, cap)
+      .queryExecution.executedPlan.toString
+    assert(s"Filter [^\\n]*dfreq#\\d+L? <= $cap".r
+      .findFirstMatchIn(build).isDefined,
+      s"expected the dfreq <= $cap cap filter in the postings " +
+        s"build:\n" + build)
   }
 
   test("re-rank fetches full-precision vectors via the BROADCAST " +
@@ -419,17 +430,30 @@ class PlanShapeSpec extends SparkSpec {
       "corpus postings shuffled for a broadcastable join:\n" + p)
     assert(p.contains("WindowGroupLimit"),
       "top-k rank must prune via WindowGroupLimit:\n" + p)
+    // r21: the restricted postings are SNAPSHOTTED (lazy
+    // localCheckpoint) so the scoring plan consumes Scan ExistingRDD;
+    // the query-term restriction under the tf agg lives in the
+    // snapshot-BUILD plan. Pin both halves:
+    assert(p.contains("Scan ExistingRDD"),
+      "scoring must consume the postings snapshot:\n" + p)
     // the query-term restriction must sit UNDER the tf aggregation,
     // not above it — since r16's bm25Scores factoring it is a
     // broadcast semi-join on term (shared with sim_hybrid's
     // corpus-derived query terms) rather than an isin literal; the
     // explode must meet it before the (doc, term) shuffle
-    val aggIdx = p.indexOf("HashAggregate(keys=[doc_id")
-    assert(aggIdx >= 0, "expected the tf agg:\n" + p)
-    assert("BroadcastHashJoin \\[term#\\d+\\]".r.findAllMatchIn(p)
+    val qterms = graft.queries.PipelineQueries.Bm25Queries
+      .flatMap { case (q, ts) => ts.map((q, _)) }
+    val build = graft.queries.PipelineQueries
+      .bm25Postings(
+        spark.read.parquet(s"$sfDir/documents.parquet"),
+        spark.createDataFrame(qterms).toDF("qid", "term"))
+      .queryExecution.executedPlan.toString
+    val aggIdx = build.indexOf("HashAggregate(keys=[doc_id")
+    assert(aggIdx >= 0, "expected the tf agg:\n" + build)
+    assert("BroadcastHashJoin \\[term#\\d+\\]".r.findAllMatchIn(build)
       .exists(_.start > aggIdx),
       "query-term broadcast restriction must appear BELOW the tf agg " +
-        "(printed after it, as the agg's subtree):\n" + p)
+        "(printed after it, as the agg's subtree):\n" + build)
   }
 
   test("knn_graph joins candidates as id pairs (hash equi-joins, " +
