@@ -36,6 +36,17 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Checkpoint blocks and per-round broadcast relations are
+      // released by the ContextCleaner, which only drains on a driver
+      // GC; a 189-query suite (or any long-lived local-mode service)
+      // accumulates them faster than the 30-minute default ever fires,
+      // squeezing execution memory for UNRELATED queries (measured:
+      // graph_kcore 4.4 → 14.2 s across passes of one run with
+      // untouched code, while a fresh-JVM standalone probe reads a
+      // stable 3.6 s). Env-parameterized; a large cluster can keep the
+      // default by setting it explicitly.
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "45s"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up (uncounted): JVM/codegen/parquet-footer machinery
