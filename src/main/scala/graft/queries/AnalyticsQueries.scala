@@ -1222,46 +1222,81 @@ object AnalyticsQueries {
   def graphKcore(spark: SparkSession, sfDir: String): DataFrame =
     kCore(coPairsTable(spark, sfDir).select("u", "v"), KCoreK)
 
-  /** The peeling fixpoint over any (u, v) edge frame. */
-  def kCore(edges0: DataFrame, k: Int): DataFrame = {
-    var edges = edges0.localCheckpoint()
-    var lastCkpt = edges // the checkpoint HANDLE (releaseTruncated)
+  /** The peeling fixpoint over any (u, v) edge frame. `bcCap` is the
+   *  broadcast budget for the cumulative drop set (default: the
+   *  engine-wide measured verdict) — a parameter so the spec can force
+   *  the rebase fallback on fixture graphs. */
+  def kCore(edges0: DataFrame, k: Int,
+      bcCap: Long = graft.ops.DedupOps.MaxBroadcastNodes): DataFrame = {
+    // ONE base edge materialization; each round's peel applies as a
+    // pair of BROADCAST anti-joins of the CUMULATIVE drop set over it.
+    // Node removal is set subtraction — order-independent — so pruning
+    // against the union of every round's drops is exactly the graph
+    // the round-by-round re-prune produced (KCoreSpec holds both
+    // regimes to the same plain-Scala reference). The former loop
+    // re-checkpointed the full surviving edge set EVERY round: an
+    // edge-sized block write to carry a node-sized decision (guide
+    // §1.2 — fix the distributed algorithm before the per-task work;
+    // §5 — those blocks also squeezed execution memory suite-wide).
+    // When the cumulative set outgrows the broadcast budget the loop
+    // REBASES: materializes the pruned edges once and resets the set —
+    // the honest fallback at graph scale, now paid once per ~budget
+    // dropped nodes instead of every round.
+    var base = edges0.localCheckpoint()
+    var dropCkpts = List.empty[DataFrame] // live handles under dropCum
+    var dropCum: Option[DataFrame] = None
+    var nCum = 0L
+    def pruned(of: DataFrame): DataFrame = dropCum match {
+      case None => of
+      case Some(d) => of
+        .join(broadcast(d.select(col("node").as("u"))), Seq("u"), "left_anti")
+        .join(broadcast(d.select(col("node").as("v"))), Seq("v"), "left_anti")
+    }
     var done = false
     while (!done) {
-      val drop = endpoints(edges).groupBy("node")
+      val drop = endpoints(pruned(base)).groupBy("node")
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") < k).select("node")
-        .localCheckpoint() // reused by the count + two anti-joins
+        .localCheckpoint() // reused by the count + the anti-joins
       val nDrop = drop.count()
       if (nDrop == 0) {
         graft.ops.DedupOps.releaseTruncated(drop)
         done = true
+      } else if (nCum + nDrop <= bcCap) {
+        // broadcast regime: the round's drops extend the cumulative
+        // relation — a union of ≤ #rounds node-sized snapshots, so the
+        // per-round plan depth stays constant and NOTHING edge-sized
+        // materializes
+        dropCum = Some(dropCum.map(_.unionAll(drop)).getOrElse(drop))
+        dropCkpts ::= drop
+        nCum += nDrop
       } else {
-        // MEASURED broadcast verdict from the count the convergence
-        // check already pays (the ppr device): under the budget both
-        // anti-joins stream the edge relation unshuffled
-        // (BroadcastHashJoin LeftAnti) — the estimate-blind default
-        // re-shuffled the shrinking edge set TWICE per round (the
-        // checkpoint reports default sizeInBytes, so the small peel
-        // set never auto-broadcast); past it the shuffled anti-joins
-        // stand, the honest form for a peel wave at graph scale.
-        val bc = nDrop <= graft.ops.DedupOps.MaxBroadcastNodes
+        // REBASE past the budget. The round's own drop set may itself
+        // exceed it — then the anti-joins shuffle (MEASURED verdict
+        // from the count the convergence check already pays, the ppr
+        // device), the honest form for a giant peel wave.
+        val bc = nDrop <= bcCap
         def dropAs(name: String) = {
           val s = drop.select(col("node").as(name))
           if (bc) broadcast(s) else s
         }
-        val pruned = edges
+        val next = pruned(base)
           .join(dropAs("u"), Seq("u"), "left_anti")
           .join(dropAs("v"), Seq("v"), "left_anti")
-        edges = pruned.localCheckpoint() // eager: safe to release below
+          .localCheckpoint() // eager: safe to release the old base
         graft.ops.DedupOps.releaseTruncated(drop)
-        graft.ops.DedupOps.releaseTruncated(lastCkpt)
-        lastCkpt = edges
+        (base :: dropCkpts).foreach(graft.ops.DedupOps.releaseTruncated)
+        base = next
+        dropCkpts = Nil
+        dropCum = None
+        nCum = 0L
       }
     }
-    // the final checkpoint stays live under the returned frame — left
-    // to the ContextCleaner (the pagerank non-boundary convention)
-    endpoints(edges).groupBy("node").agg(count(lit(1)).as("core_deg"))
+    // the live snapshots (base + cumulative drop sets) stay under the
+    // returned frame — left to the ContextCleaner (the pagerank
+    // non-boundary convention)
+    endpoints(pruned(base)).groupBy("node")
+      .agg(count(lit(1)).as("core_deg"))
   }
 
   val LpaIters = 5
@@ -1386,9 +1421,20 @@ object AnalyticsQueries {
    *  never a membership join). */
   def ppr(e: DataFrame, seedPred: org.apache.spark.sql.Column,
       iters: Int): DataFrame = {
-    val edges = e.select(col("u").as("src"), col("v").as("dst"))
+    // ONE derivation of the symmetrized edge relation: it used to
+    // execute TWICE — once under the initial-ranks snapshot (via deg)
+    // and again under the decorated-edge build — which for pagerank
+    // re-ran the whole lineitem-distinct upstream (phase-probed: the
+    // edgesDeg build was the largest single phase, ~1.0 s of the 2.0 s
+    // warm total at sf0.1). Guide §1.2: remove redundant passes before
+    // tuning anything else. Released below once edgesDeg supersedes it.
+    val edgesSnap = e.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    // node-sized snapshot: read by the initial ranks AND the decorated
+    // join's broadcast build — one agg execution instead of two
+    val deg = edgesSnap.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
     val teleBase = when(seedPred, lit(PrScale * 15 / 100)).otherwise(lit(0L))
     // initial ranks MATERIALIZED (node-sized) so the broadcast verdict
     // below is one cheap count over the snapshot — the er_candidates
@@ -1416,12 +1462,21 @@ object AnalyticsQueries {
     // exchanges. Past the cap the rounds shuffle edges by src for the
     // join anyway (dst partitioning would be destroyed), so the build
     // repartition is skipped with the same measured verdict.
-    val edgesDeg0 = edges.join(deg, "src")
+    // deg is node-sized exactly when ranks is (same key set), so the
+    // measured verdict above also licenses broadcasting it here — the
+    // estimate-blind default re-shuffled the edge snapshot by src to
+    // meet a sort-merge join for a node-sized build side
+    val edgesDeg0 = edgesSnap.join(
+      if (bcastRanks) broadcast(deg) else deg, "src")
     val edgesDeg =
       if (bcastRanks)
         org.apache.spark.sql.GraftColumnBridge
           .localCheckpointHashPartitioned(edgesDeg0, Seq("dst"))
       else edgesDeg0.localCheckpoint()
+    // both superseded by the decorated snapshot (ranks is
+    // checkpoint-rooted, so neither is reachable from live frames)
+    graft.ops.DedupOps.releaseTruncated(edgesSnap)
+    graft.ops.DedupOps.releaseTruncated(deg)
     var sinceTrunc = 0
     // the last CHECKPOINT HANDLE — releaseTruncated matches the plan
     // root, so superseded snapshots must be released via the handle,

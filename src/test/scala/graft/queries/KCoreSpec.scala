@@ -63,4 +63,31 @@ class KCoreSpec extends SparkSpec {
       assert(coreOf(edges, 3) == refCore(edges, 3), s"seed $seed diverged")
     }
   }
+
+  test("rebase fallback: a tiny broadcast budget (every regime " +
+      "boundary crossed — pure-broadcast, rebase-with-broadcast, " +
+      "rebase-with-shuffled-anti) peels identically to the default") {
+    // the pendant chain forces one-node rounds (cumulative regime) and
+    // the random graphs force multi-node waves; bcCap = 1 makes EVERY
+    // round past the first rebase (and any wave > 1 node take the
+    // shuffled anti-join arm), bcCap = 3 mixes the regimes
+    val clique = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val chain = Seq((4L, 5L), (5L, 6L), (6L, 7L))
+    val planted = (clique ++ chain).toSet
+    for (cap <- Seq(1L, 3L)) {
+      def capped(edges: Set[(Long, Long)], k: Int): Map[Long, Long] =
+        AnalyticsQueries.kCore(edges.toSeq.toDF("u", "v"), k, bcCap = cap)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(capped(planted, 2) == refCore(planted, 2),
+        s"cap=$cap diverged on the planted cascade")
+      val rnd = new scala.util.Random(42)
+      val edges = (1 to 60).map { _ =>
+        val a = rnd.nextInt(18).toLong
+        val b = rnd.nextInt(18).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).toSet
+      assert(capped(edges, 3) == refCore(edges, 3),
+        s"cap=$cap diverged on the random graph")
+    }
+  }
 }
