@@ -34,4 +34,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // Whole-stage-codegen classes retained by the (raised, see
+  // Bench/Verify builders) generated-code cache are JIT-compiled hot;
+  // the JVM default 240m code cache overflows on a many-hundred-plan
+  // service and HotSpot then DISABLES compilation — measured as a
+  // uniform tail slowdown. Reservation is address space, committed
+  // lazily, so the larger bound costs nothing when unused.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODE_CACHE", "1g")}",
+) ++ sys.env.get("SPARK_GRAFT_JVM_PROPS")
+  .map(_.split(' ').toSeq.filter(_.nonEmpty)).getOrElse(Seq())

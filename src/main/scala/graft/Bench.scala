@@ -47,6 +47,21 @@ object Bench {
       // default by setting it explicitly.
       .config("spark.cleaner.periodicGC.interval",
         sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "45s"))
+      // The generated-code cache (static conf) defaults to 100 classes
+      // — sized for a handful of repeated plans, not a many-query
+      // service. 189 distinct queries hold thousands of codegen
+      // fragments, so at the default every fragment is EVICTED before
+      // its query runs again: each warm pass re-runs Janino and
+      // re-enters HotSpot interpretation for every stage (measured:
+      // warm pass totals 150-167 s at the default vs 119-125 s
+      // retained, graph_pagerank 5.0 -> 2.5 s, matching its
+      // fresh-JVM standalone floor — the suite floor WAS
+      // recompilation). Bounded: ~5000 compiled classes, heap-resident
+      // bytecode; pairs with the ReservedCodeCacheSize raise in
+      // build.sbt (overflowing the JIT code cache disables
+      // compilation, which showed up as a uniform tail slowdown).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up (uncounted): JVM/codegen/parquet-footer machinery

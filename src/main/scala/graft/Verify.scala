@@ -17,6 +17,11 @@ object Verify {
       // (the Bench rationale; env-parameterized, same knob)
       .config("spark.cleaner.periodicGC.interval",
         sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "45s"))
+      // generated-code cache sized for a 189-query service (the Bench
+      // rationale: the 100-class default evicts every fragment between
+      // passes; env-parameterized, same knob)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
