@@ -783,15 +783,30 @@ object SimilarityOps {
    * more bytes per vector than m=4 codes, near-exact recall —
    * SimilarityOpsSpec pins recall@10 strictly above PQ's and ≥ 0.9.
    */
-  def sq8TopK(emb: DataFrame, queryIds: Seq[Long], kTop: Int, dim: Int)
-      : DataFrame = {
-    // the model artifact: per-dim min/max (exact, order-independent)
+  /** The SQ8 model artifact — per-dim (min, max), exact order-
+   *  independent aggregates — factored out as the ONE definition both
+   *  the in-op training and the query-layer memo
+   *  (PipelineQueries.sq8StatsFor) compute, so memoized == freshly
+   *  trained bit for bit (the pqSubEmb pattern). */
+  private[graft] def sq8Stats(emb: DataFrame, dim: Int)
+      : (Seq[Double], Seq[Double]) = {
     val statsAggs = (0 until dim).flatMap(i => Seq(
       min(element_at(col("embedding"), i + 1)).as(s"mn$i"),
       max(element_at(col("embedding"), i + 1)).as(s"mx$i")))
     val st = emb.agg(statsAggs.head, statsAggs.tail: _*).collect()(0)
-    val mins = (0 until dim).map(i => st.getFloat(2 * i).toDouble)
-    val maxs = (0 until dim).map(i => st.getFloat(2 * i + 1).toDouble)
+    ((0 until dim).map(i => st.getFloat(2 * i).toDouble),
+      (0 until dim).map(i => st.getFloat(2 * i + 1).toDouble))
+  }
+
+  def sq8TopK(emb: DataFrame, queryIds: Seq[Long], kTop: Int, dim: Int,
+      stats: Option[(Seq[Double], Seq[Double])] = None): DataFrame = {
+    // the model artifact: per-dim min/max (exact, order-independent) —
+    // trained HERE only when the caller holds no session-memoized
+    // artifact (the kmeansCentroids not-memoized-here contract)
+    val (mins, maxs) = stats.getOrElse(sq8Stats(emb, dim))
+    require(mins.length == dim && maxs.length == dim,
+      s"sq8TopK: stats must carry $dim mins/maxs, got " +
+        s"${mins.length}/${maxs.length}")
     val mnC = typedlit(mins)
     val mxC = typedlit(maxs)
     // encode + decode fused, row-local: code = clamp(floor((x-mn)*255/(mx-mn)))
@@ -866,9 +881,10 @@ object SimilarityOps {
   def ivfPqTopK(emb: DataFrame, queryIds: Seq[Long], kTop: Int, dim: Int,
       nCells: Int = 8, nProbe: Int = 4, m: Int = 4, ks: Int = 8,
       iters: Int = 2,
-      coarse: Option[Array[Array[Float]]] = None): DataFrame = {
+      coarse: Option[Array[Array[Float]]] = None,
+      books: Option[Seq[Array[Array[Float]]]] = None): DataFrame = {
     val idx = buildIvfPqIndex(emb, dim, nCells, nProbe, m, ks, iters,
-      coarse)
+      coarse, books)
     val qvecs = emb.filter(col("vec_id").isInCollection(queryIds))
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
@@ -888,28 +904,65 @@ object SimilarityOps {
       cross: Seq[Seq[Seq[Double]]], bw2: Seq[Seq[Double]],
       codes: DataFrame)
 
-  /** Train + encode ([[ivfPqTopK]]'s build half, factored so the
-   *  streaming service builds ONCE and serves per trigger). */
-  private[graft] def buildIvfPqIndex(emb: DataFrame, dim: Int, nCells: Int,
-      nProbe: Int, m: Int, ks: Int, iters: Int,
-      coarse: Option[Array[Array[Float]]] = None): IvfPqIndex = {
-    require(dim % m == 0, "dim must split evenly into m subspaces")
-    val sub = dim / m
-    // coarse quantizer + per-vector cell + float32 residual; callers
-    // holding the session-memoized quantizer pass it via `coarse`
-    val cents = coarse.getOrElse(kmeansCentroids(emb, nCells, iters))
+  /** The per-vector (cell, float32 residual) relation — factored out
+   *  as the ONE definition both residual-codebook training
+   *  ([[trainIvfPqBooks]]) and corpus encoding derive from, so
+   *  memoized and freshly-trained books are identical by construction
+   *  (the pqSubEmb pattern). */
+  private[graft] def ivfPqResiduals(emb: DataFrame,
+      cents: Array[Array[Float]]): DataFrame = {
     val cNorms = cents.map(c => math.sqrt(seqDot(c, c)))
     val centLit = typedlit(cents.map(_.toSeq).toSeq)
-    val res = emb
+    emb
       .withColumn("cell", element_at(
         graft.functions.native.ivf_probe_cells(col("embedding"), cents, cNorms, 1), 1))
       .withColumn("resid", zip_with(col("embedding"),
         element_at(centLit, col("cell") + 1), (x, c) => x - c))
-    // residual codebooks: the same decimal-exact Lloyd per subspace,
-    // seeded by the first ks residual slices
-    def resSub(i: Int) = res.select(col("vec_id"),
+  }
+
+  /** Residual sub-codebook training — the same decimal-exact Lloyd per
+   *  subspace, seeded by the first ks residual slices. The residual
+   *  relation is MATERIALIZED once (eager localCheckpoint) before the
+   *  m×iters Lloyd jobs: each job used to re-derive it from scratch —
+   *  a full corpus scan plus the coarse-assignment kernel per job,
+   *  m·iters (+ seed collects) executions of the identical subtree
+   *  (guide §1.2: remove redundant passes first; the scale shape note
+   *  in [[ivfPqTopK]]'s doc always said production materializes
+   *  residuals before training). The snapshot is node-count-sized
+   *  fixed-width floats and is RELEASED as soon as the books are
+   *  collected — nothing edge- or suite-lived leaks past training. */
+  private[graft] def trainIvfPqBooks(emb: DataFrame, dim: Int, m: Int,
+      ks: Int, iters: Int, cents: Array[Array[Float]])
+      : Seq[Array[Array[Float]]] = {
+    require(dim % m == 0, "dim must split evenly into m subspaces")
+    val sub = dim / m
+    val resSnap = ivfPqResiduals(emb, cents)
+      .select(col("vec_id"), col("resid")).localCheckpoint()
+    def resSub(i: Int) = resSnap.select(col("vec_id"),
       slice(col("resid"), i * sub + 1, sub).as("embedding"))
     val books = (0 until m).map(i => kmeansCentroids(resSub(i), ks, iters))
+    graft.ops.DedupOps.releaseTruncated(resSnap)
+    books
+  }
+
+  /** Train + encode ([[ivfPqTopK]]'s build half, factored so the
+   *  streaming service builds ONCE and serves per trigger). */
+  private[graft] def buildIvfPqIndex(emb: DataFrame, dim: Int, nCells: Int,
+      nProbe: Int, m: Int, ks: Int, iters: Int,
+      coarse: Option[Array[Array[Float]]] = None,
+      books0: Option[Seq[Array[Array[Float]]]] = None): IvfPqIndex = {
+    require(dim % m == 0, "dim must split evenly into m subspaces")
+    val sub = dim / m
+    // coarse quantizer + per-vector cell + float32 residual; callers
+    // holding the session-memoized artifacts pass them via `coarse` /
+    // `books0` (the kmeansCentroids not-memoized-here contract)
+    val cents = coarse.getOrElse(kmeansCentroids(emb, nCells, iters))
+    val cNorms = cents.map(c => math.sqrt(seqDot(c, c)))
+    val res = ivfPqResiduals(emb, cents)
+    val books = books0.getOrElse(trainIvfPqBooks(emb, dim, m, ks, iters, cents))
+    require(books.length == m && books.forall(_.length == ks),
+      s"expected $m sub-codebooks of $ks codewords, got shapes " +
+        books.map(_.length).mkString(","))
     val bookNorms = books.map(_.map(c => math.sqrt(seqDot(c, c))))
     // reconstruction-norm pieces, all driver doubles:
     // ‖x̂‖² = ‖c‖² + 2·Σ_m dot(c_m, bw_m) + Σ_m ‖bw_m‖²

@@ -210,6 +210,8 @@ object PipelineQueries {
           knnGraphCache.clear()
           kmCache.clear()
           pqBooksCache.clear()
+          ivfPqBooksCache.clear()
+          sq8StatsCache.clear()
           hookedContexts.remove(sc.applicationId)
         }
       })
@@ -369,8 +371,27 @@ object PipelineQueries {
           .select(col("id").as("doc_id"), col("cluster"))
           .localCheckpoint()
       })
-    DedupOps.incrementalClusterAssign(fresh, hist, histClusters,
-      col("doc_id"), col("text"), threshold = 0.5)
+    // the history BAND TRIPLES and SHINGLE SETS are the other two
+    // stored artifacts of the steady-state ingest contract
+    // (incrementalClusterAssignPre's scaladoc: "band keys and shingle
+    // hashes are pure functions of text, so the stored triples ARE
+    // what an in-plan recompute would produce") — memoized with the
+    // converged frame so warm calls re-shingle only the BATCH, the
+    // incremental-COST point of the operator; derived through the
+    // SAME clusterBandKeys/clusterShingleSets definitions the in-plan
+    // overload uses, so memoized == recomputed by construction
+    // (DedupOpsSpec pins the registered path against the in-plan
+    // overload)
+    val histBands = clusterCache.computeIfAbsent(
+      (sessionKey(spark), s"$sfDir#hist-mod5-bands"), _ =>
+        DedupOps.clusterBandKeys(hist, col("doc_id"), col("text"))
+          .localCheckpoint())
+    val histShingles = clusterCache.computeIfAbsent(
+      (sessionKey(spark), s"$sfDir#hist-mod5-shs"), _ =>
+        DedupOps.clusterShingleSets(hist, col("doc_id"), col("text"))
+          .localCheckpoint())
+    DedupOps.incrementalClusterAssignPre(fresh, histBands, histShingles,
+      histClusters, col("doc_id"), col("text"), threshold = 0.5)
   }
 
   /** Incremental ingest extended to NEAR-duplicates
@@ -685,11 +706,33 @@ object PipelineQueries {
    *  PQ loses; queries probe [[KmProbe]] cells and score via ADC
    *  tables. SimilarityOpsSpec pins recall@10 strictly above simPq's
    *  on the same corpus. */
+  /** Session-memoized RESIDUAL sub-codebooks per (corpus, nCells, m,
+   *  ks, iters) — the [[pqBooksFor]] device for IVF-PQ's second level
+   *  (each invocation previously re-ran m×iters Lloyd jobs, every one
+   *  re-deriving the residual relation from a full corpus scan +
+   *  coarse-assignment kernel). Trained through the SHARED
+   *  [[SimilarityOps.ivfPqResiduals]]/[[SimilarityOps.trainIvfPqBooks]]
+   *  definitions, so memoized == freshly-trained bit for bit. Keyed by
+   *  sfDir (the kmCache plan-keys-erase-paths rationale); eviction
+   *  rides [[ensureEvictionHook]]. */
+  private val ivfPqBooksCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int, Int, Int, Int), Seq[Array[Array[Float]]]]
+
+  private def ivfPqBooksFor(spark: SparkSession, sfDir: String,
+      nCells: Int, m: Int, ks: Int, iters: Int): Seq[Array[Array[Float]]] = {
+    ensureEvictionHook(spark)
+    ivfPqBooksCache.computeIfAbsent(
+      (sessionKey(spark), sfDir, nCells, m, ks, iters), _ =>
+        SimilarityOps.trainIvfPqBooks(Tables.embeddings(spark, sfDir),
+          EmbeddingDim, m, ks, iters, kmFor(spark, sfDir, nCells, iters)))
+  }
+
   def simIvfPq(spark: SparkSession, sfDir: String): DataFrame =
     SimilarityOps.ivfPqTopK(Tables.embeddings(spark, sfDir), SimQueryIds,
       SimK, dim = EmbeddingDim, nCells = KmCells, nProbe = KmProbe,
       m = PqM, ks = PqKs, iters = KmIters,
-      coarse = Some(kmFor(spark, sfDir, KmCells, KmIters)))
+      coarse = Some(kmFor(spark, sfDir, KmCells, KmIters)),
+      books = Some(ivfPqBooksFor(spark, sfDir, KmCells, PqM, PqKs, KmIters)))
 
   /** Stage-1 candidate pool size for [[simRerank]]: recall@[[SimK]]
    *  of the two-stage query equals PQ's recall@RerankCand, at the
@@ -727,9 +770,25 @@ object PipelineQueries {
    *  curve, next to [[simPq]]'s 64× / coarse point), asymmetric
    *  scoring of full-precision queries against midpoint-decoded
    *  corpus vectors. */
+  /** Session-memoized SQ8 per-dim min/max per (corpus, dim) — the
+   *  [[kmFor]] device for the scalar quantizer's model artifact (one
+   *  full-corpus agg per invocation otherwise). Computed through the
+   *  SHARED [[SimilarityOps.sq8Stats]] definition, so memoized ==
+   *  freshly trained. Eviction rides [[ensureEvictionHook]]. */
+  private val sq8StatsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int), (Seq[Double], Seq[Double])]
+
+  private def sq8StatsFor(spark: SparkSession, sfDir: String, dim: Int)
+      : (Seq[Double], Seq[Double]) = {
+    ensureEvictionHook(spark)
+    sq8StatsCache.computeIfAbsent((sessionKey(spark), sfDir, dim), _ =>
+      SimilarityOps.sq8Stats(Tables.embeddings(spark, sfDir), dim))
+  }
+
   def simSq8(spark: SparkSession, sfDir: String): DataFrame =
     SimilarityOps.sq8TopK(Tables.embeddings(spark, sfDir), SimQueryIds, SimK,
-      dim = EmbeddingDim)
+      dim = EmbeddingDim,
+      stats = Some(sq8StatsFor(spark, sfDir, EmbeddingDim)))
 
   // ---- text analysis ------------------------------------------------------
 

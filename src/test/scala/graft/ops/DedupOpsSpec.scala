@@ -613,6 +613,33 @@ class DedupOpsSpec extends SparkSpec {
     assert(got(30L) == 30L && got(31L) == 30L)
   }
 
+  test("dedupClustersIncremental registered query (memoized history " +
+      "bands/shingles — the Pre form) equals the in-plan " +
+      "incrementalClusterAssign overload, including on a memo HIT") {
+    import graft.queries.PipelineQueries
+    val sfd = "/root/testdata/sf0.001"
+    val docs = graft.model.Tables.documents(spark, sfd)
+      .select(col("doc_id"), col("text"))
+    val fresh = docs.filter(col("doc_id") % 5 === 0)
+    val hist = docs.filter(col("doc_id") % 5 =!= 0)
+    val histClusters = DedupOps.connectedComponents(
+      DedupOps.minhashNearDups(hist, col("doc_id"), col("text"),
+        threshold = 0.5).select("id1", "id2"),
+      hist.select(col("doc_id").as("id")))
+      .select(col("id").as("doc_id"), col("cluster"))
+    val want = DedupOps.incrementalClusterAssign(fresh, hist,
+      histClusters, col("doc_id"), col("text"), threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def run() = PipelineQueries.dedupClustersIncremental(spark, sfd)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got1 = run() // trains the memos
+    val got2 = run() // memo hit
+    assert(got1 == want, s"memo path diverged: " +
+      s"${(got1.toSet diff want.toSet).take(3)} / " +
+      s"${(want.toSet diff got1.toSet).take(3)}")
+    assert(got2 == want, "memo-HIT path diverged")
+  }
+
   test("incrementalClusterAssign merges two separate history clusters " +
       "through a batch doc and relabels BOTH to the union minimum") {
     def filler(tag: String, n: Int): String =

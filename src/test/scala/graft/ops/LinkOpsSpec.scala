@@ -258,4 +258,25 @@ class LinkOpsSpec extends SparkSpec {
     assert(got.exists { case (id, b) => id >= 1000000L &&
       b.exists(_._2 == 0L) })
   }
+
+  test("erSelfClusters/erSelfClustersCapped registered queries " +
+      "(session-memoized shared labels) reproduce the generic engines " +
+      "bit for bit — including on a memo HIT (second call)") {
+    import graft.queries.LinkageQueries
+    val sfd = "/root/testdata/sf0.001"
+    val recs = LinkageQueries.selfDedupRecsOf(
+      graft.model.Tables.part(spark, sfd))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq.toList: Seq[Any]).sortBy(_.toString).toSeq
+    val wantPlain = rows(LinkageQueries.erSelfClustersOf(recs))
+    val wantCapped = rows(LinkageQueries.erSelfClustersCappedOf(
+      recs, LinkageQueries.SelfClusterCap))
+    // first call trains the memo, second call HITS it — both must
+    // match the uncached engine exactly
+    assert(rows(LinkageQueries.erSelfClusters(spark, sfd)) == wantPlain)
+    assert(rows(LinkageQueries.erSelfClusters(spark, sfd)) == wantPlain,
+      "memo-hit path diverged for erSelfClusters")
+    assert(rows(LinkageQueries.erSelfClustersCapped(spark, sfd))
+      == wantCapped, "memo path diverged for erSelfClustersCapped")
+  }
 }
