@@ -350,21 +350,53 @@ object AnalyticsQueries {
    * (hours in range), the fill is one window pass — no self-join, no
    * per-gap probing.
    */
-  def eventResample(spark: SparkSession, sfDir: String): DataFrame = {
-    val hourly = Tables.events(spark, sfDir)
+  def eventResample(spark: SparkSession, sfDir: String): DataFrame =
+    resampleLocf(Tables.events(spark, sfDir))
+
+  /** [[eventResample]]'s engine over any (user_id, ts, value) frame —
+   *  factored so the spec can hold it to the join+window reference.
+   *
+   *  Shape: the former formulation exploded the dense grid, LEFT-joined
+   *  the hourly relation back on (user_id, h) — a sort-merge join with
+   *  an exchange of BOTH sides — and ran the LOCF fill as a running
+   *  `last(ignoreNulls)` window, whose sort touches every GRID row
+   *  (~10× the hourly rows here: gap hours outnumber observations).
+   *  Grid, join and fill are all per-user decisions over that user's
+   *  own observations, so they now run ROW-LOCALLY over one per-user
+   *  sorted observation array: each observation opens a segment
+   *  [its hour, next observation − 1h] (the last one closes at max h),
+   *  every hour in the segment carries its opener's value — exactly
+   *  LOCF on the dense grid, same rows, same values (spec-pinned
+   *  against the join+window reference). Guide §2.4: the join and the
+   *  window's grid-sized sort are gone; what remains is the hourly agg
+   *  exchange plus ONE user-keyed agg exchange of hourly-sized rows.
+   *  Per-user state is the observation array — bounded by hours in the
+   *  time range (time-bounded, corpus-size-independent), the qForecast
+   *  argument. */
+  private[graft] def resampleLocf(events: DataFrame): DataFrame = {
+    val HourMs = 3600000L
+    val hourly = events
       .withColumn("h", date_trunc("hour", col("ts")))
       .groupBy(col("user_id"), col("h"))
       .agg((sum(col("value").cast("decimal(14,2)")).cast("double") /
         count(lit(1))).as("hv"))
-    val grid = hourly.groupBy("user_id")
-      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
-      .select(col("user_id"),
-        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    grid.join(hourly, Seq("user_id", "h"), "left")
-      .select(col("user_id"), unix_millis(col("h")).as("h_ms"),
-        round(last(col("hv"), ignoreNulls = true).over(w), 4).as("v_ff"))
+    val perUser = hourly.groupBy("user_id")
+      .agg(sort_array(collect_list(
+        struct(unix_millis(col("h")).as("hm"), col("hv")))).as("obs"))
+    // segment expansion: get(obs, i+1) is the NEXT observation
+    // (0-indexed, NULL past the end — ANSI-safe, unlike element_at);
+    // the last segment is one hour
+    val segs = flatten(transform(col("obs"), (o, i) =>
+      transform(
+        sequence(o.getField("hm"),
+          coalesce(get(col("obs"), i + 1).getField("hm") - HourMs,
+            o.getField("hm")),
+          lit(HourMs)),
+        hm => struct(hm.as("h_ms"),
+          round(o.getField("hv"), 4).as("v_ff")))))
+    perUser.select(col("user_id"), explode(segs).as("s"))
+      .select(col("user_id"), col("s.h_ms").as("h_ms"),
+        col("s.v_ff").as("v_ff"))
   }
 
   /**

@@ -74,4 +74,43 @@ class WarehouseOpsSpec extends SparkSpec {
       assert(out(st)._2 == ks, s"status $st key sum: ${out(st)._2} vs $ks")
     }
   }
+
+  test("resampleLocf: the row-local segment expansion reproduces the " +
+      "dense-grid join + running last(ignoreNulls) window reference " +
+      "bit for bit — grid coverage, LOCF fill, gap-heavy users, " +
+      "single-observation users") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val events = graft.model.Tables.events(spark, sfd)
+    // the former formulation, verbatim, as the reference
+    val hourly = events
+      .withColumn("h", date_trunc("hour", col("ts")))
+      .groupBy(col("user_id"), col("h"))
+      .agg((sum(col("value").cast("decimal(14,2)")).cast("double") /
+        count(lit(1))).as("hv"))
+    val grid = hourly.groupBy("user_id")
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = grid.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("user_id"), unix_millis(col("h")).as("h_ms"),
+        round(last(col("hv"), ignoreNulls = true).over(w), 4).as("v_ff"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(identity).toSeq
+    val got = AnalyticsQueries.resampleLocf(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(identity).toSeq
+    assert(got.size == want.size, s"${got.size} rows vs ${want.size}")
+    assert(got == want,
+      s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+    // non-vacuity: the fill genuinely fires — some grid hour carries a
+    // value from an EARLIER hour (a gap), so segments longer than one
+    // hour exist on this fixture
+    val perUser = got.groupBy(_._1)
+    assert(perUser.exists { case (_, rows) => rows.size > 1 &&
+      rows.map(_._3).distinct.size < rows.size })
+  }
 }
