@@ -1033,6 +1033,11 @@ object AnalyticsQueries {
     // no Exchange over the preserved partitioning — a win in either
     // census regime for one build-time shuffle of the oriented edges
     // (the ppr device).
+    // NOT adaptive-narrowed: the census's per-row work (adjacency-list
+    // intersections) is the query's dominant COMPUTE — narrowing the
+    // partitioning serializes it (measured: 3.9 → 6.0 s standalone at
+    // sf0.1 when narrowed; the cheap-per-row engines bfs/sssp/kcore
+    // are where the adaptive width wins)
     val ori = org.apache.spark.sql.GraftColumnBridge
       .localCheckpointHashPartitioned(
         ek.select(
@@ -1274,7 +1279,24 @@ object AnalyticsQueries {
     // REBASES: materializes the pruned edges once and resets the set —
     // the honest fallback at graph scale, now paid once per ~budget
     // dropped nodes instead of every round.
+    // Scale-adaptive READ WIDTH over the snapshot (guide §2): every
+    // round scans `base` twice (the endpoints union), launching
+    // 2×partitions tasks per round — task-launch-bound at small edge
+    // sets. A small snapshot is therefore VIEWED through a coalesce to
+    // ceil(rows / AdaptiveRowsPerPartition) partitions: a NARROW view
+    // over the checkpointed blocks (no shuffle, nothing materialized,
+    // handle discipline untouched); at scale the target reaches the
+    // snapshot's own width and the view is the identity. The row count
+    // is one cheap job per (re)base over in-memory blocks.
+    def adaptView(b: DataFrame): DataFrame = {
+      val rpp = graft.ops.DedupOps.AdaptiveRowsPerPartition
+      val parts = b.rdd.getNumPartitions
+      val target = math.max(1L, math.min(parts.toLong,
+        (b.count() + rpp - 1) / rpp)).toInt
+      if (target >= parts) b else b.coalesce(target)
+    }
     var base = edges0.localCheckpoint()
+    var baseView = adaptView(base)
     var dropCkpts = List.empty[DataFrame] // live handles under dropCum
     var dropCum: Option[DataFrame] = None
     var nCum = 0L
@@ -1286,7 +1308,7 @@ object AnalyticsQueries {
     }
     var done = false
     while (!done) {
-      val drop = endpoints(pruned(base)).groupBy("node")
+      val drop = endpoints(pruned(baseView)).groupBy("node")
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") < k).select("node")
         .localCheckpoint() // reused by the count + the anti-joins
@@ -1312,13 +1334,14 @@ object AnalyticsQueries {
           val s = drop.select(col("node").as(name))
           if (bc) broadcast(s) else s
         }
-        val next = pruned(base)
+        val next = pruned(baseView)
           .join(dropAs("u"), Seq("u"), "left_anti")
           .join(dropAs("v"), Seq("v"), "left_anti")
           .localCheckpoint() // eager: safe to release the old base
         graft.ops.DedupOps.releaseTruncated(drop)
         (base :: dropCkpts).foreach(graft.ops.DedupOps.releaseTruncated)
         base = next
+        baseView = adaptView(base)
         dropCkpts = Nil
         dropCum = None
         nCum = 0L
@@ -1327,7 +1350,7 @@ object AnalyticsQueries {
     // the live snapshots (base + cumulative drop sets) stay under the
     // returned frame — left to the ContextCleaner (the pagerank
     // non-boundary convention)
-    endpoints(pruned(base)).groupBy("node")
+    endpoints(pruned(baseView)).groupBy("node")
       .agg(count(lit(1)).as("core_deg"))
   }
 
@@ -1410,11 +1433,10 @@ object AnalyticsQueries {
     // rename) needs no Exchange. A giant wave past the cap shuffles
     // the join by src and pays the distinct exchange as before — the
     // one build-time edge shuffle is the only cost.
-    val adj = org.apache.spark.sql.GraftColumnBridge
-      .localCheckpointHashPartitioned(
-        e.select(col("u").as("src"), col("v").as("dst"))
-          .unionAll(e.select(col("v").as("src"), col("u").as("dst"))),
-        Seq("dst"))
+    val adj = graft.ops.DedupOps.checkpointHashPartitionedAdaptive(
+      e.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(e.select(col("v").as("src"), col("u").as("dst"))),
+      Seq("dst"))
     val seeds = adj.select(col("src").as("node")).distinct()
       .filter(col("node") % BfsSeedMod === 0)
     bfs(adj, seeds)
@@ -1500,6 +1522,9 @@ object AnalyticsQueries {
     // meet a sort-merge join for a node-sized build side
     val edgesDeg0 = edgesSnap.join(
       if (bcastRanks) broadcast(deg) else deg, "src")
+    // NOT adaptive-narrowed: each round's contribution product-sum is
+    // real per-edge arithmetic ×iters — narrowing serializes it
+    // (measured: pagerank 2.1 → 3.7 s standalone when narrowed)
     val edgesDeg =
       if (bcastRanks)
         org.apache.spark.sql.GraftColumnBridge
@@ -1610,12 +1635,11 @@ object AnalyticsQueries {
     // weighted adjacency partitioned on dst at build (the graphBfs
     // rationale): the relax pass's per-node min (grouped on node = dst)
     // runs exchange-free while the frontier broadcasts.
-    val adjW = org.apache.spark.sql.GraftColumnBridge
-      .localCheckpointHashPartitioned(
-        e.select(col("u").as("src"), col("v").as("dst"), col("cost"))
-          .unionAll(e.select(col("v").as("src"), col("u").as("dst"),
-            col("cost"))),
-        Seq("dst"))
+    val adjW = graft.ops.DedupOps.checkpointHashPartitionedAdaptive(
+      e.select(col("u").as("src"), col("v").as("dst"), col("cost"))
+        .unionAll(e.select(col("v").as("src"), col("u").as("dst"),
+          col("cost"))),
+      Seq("dst"))
     val seeds = adjW.select(col("src").as("node")).distinct()
       .filter(col("node") % BfsSeedMod === 0)
     sssp(adjW, seeds)
@@ -1750,6 +1774,9 @@ object AnalyticsQueries {
       .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
       .unionAll(nodes.select(col("node").as("src"),
         col("node").as("dst")))
+    // NOT adaptive-narrowed: the per-round (dst, lbl) vote count
+    // hashes every adjacency row ×iters — probe read flat-to-worse
+    // narrowed (1.9 → 2.1 s); the width stays with the compute
     val adj =
       if (bcastLbl)
         org.apache.spark.sql.GraftColumnBridge

@@ -35,10 +35,14 @@ object GraftColumnBridge {
    *  physically true modulo mapping, so even independently shuffled
    *  co-partition joins align. */
   def localCheckpointHashPartitioned(df: DataFrame,
-      keys: Seq[String], eager: Boolean = true): DataFrame = {
+      keys: Seq[String], eager: Boolean = true,
+      numPartitions: Option[Int] = None): DataFrame = {
     val ds = df.asInstanceOf[classic.Dataset[Row]]
     val session = ds.sparkSession
-    val n = session.sessionState.conf.numShufflePartitions
+    // explicit count for scale-adaptive callers
+    // (DedupOps.checkpointHashPartitionedAdaptive); the session's
+    // shuffle width otherwise
+    val n = numPartitions.getOrElse(session.sessionState.conf.numShufflePartitions)
     val rep = ds.repartition(n, keys.map(ds.col): _*)
       .asInstanceOf[classic.Dataset[Row]]
     val qe = rep.queryExecution

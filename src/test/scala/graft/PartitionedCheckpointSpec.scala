@@ -86,4 +86,37 @@ class PartitionedCheckpointSpec extends SparkSpec {
       control.orderBy("dst").collect().toSeq)
     graft.ops.DedupOps.releaseTruncated(pinned)
   }
+
+  test("checkpointHashPartitionedAdaptive: a small relation re-hashes " +
+      "to ceil(rows/rowsPerPartition) partitions with identical rows, " +
+      "a truthful narrow partitioning (keyed agg exchange-free), and " +
+      "the wide snapshot released; a large-enough target keeps the " +
+      "session width") {
+    val df = (1 to 5000).map(i => (i % 321L, i.toLong)).toDF("k", "v")
+    val n = spark.sessionState.conf.numShufflePartitions
+    assume(n > 2, s"needs a session shuffle width above 2, got $n")
+    // 5000 rows at 2000 rows/partition -> ceil = 3 partitions
+    val narrow = graft.ops.DedupOps
+      .checkpointHashPartitionedAdaptive(df, Seq("k"),
+        rowsPerPartition = 2000L)
+    assert(narrow.rdd.getNumPartitions == 3,
+      s"expected 3 partitions, got ${narrow.rdd.getNumPartitions}")
+    assert(narrow.orderBy("k", "v").collect().toSeq ==
+      df.orderBy("k", "v").collect().toSeq)
+    val agg = narrow.groupBy("k").agg(sum("v").as("s"))
+    assert(exchanges(agg) == 0,
+      s"keyed agg over the narrow snapshot must not re-shuffle:\n" +
+        agg.queryExecution.executedPlan)
+    assert(agg.orderBy("k").collect().toSeq ==
+      df.groupBy("k").agg(sum("v").as("s")).orderBy("k").collect().toSeq)
+    // at a target >= the session width the relation stays wide (the
+    // at-scale identity: no second shuffle)
+    val wide = graft.ops.DedupOps
+      .checkpointHashPartitionedAdaptive(df, Seq("k"),
+        rowsPerPartition = 1L)
+    assert(wide.rdd.getNumPartitions == n,
+      s"expected the session width $n, got ${wide.rdd.getNumPartitions}")
+    graft.ops.DedupOps.releaseTruncated(narrow)
+    graft.ops.DedupOps.releaseTruncated(wide)
+  }
 }
