@@ -109,11 +109,28 @@ object MaxRateProbe {
       // warmup trial (codegen/state-store init) — result ignored
       sustainable(name, math.max(seed / 8, math.min(1000, floor)), mode,
         topology, fb)
+      // One trial, with a FAIL confirmed by a single retry. The search
+      // below never revisits a rate once marked bad, so a single noisy
+      // trial caps the whole bracket — and this box demonstrably has
+      // 1–3 minute ambient-load windows (r19/r20 verdicts; adjudicated
+      // round 21 when phash_gate bisected at 42–59 k rows/s in two
+      // burst-overlapped runs and at its true r18 bracket, 238–259 k,
+      // minutes later). Load can only SLOW consumption, so noise
+      // manufactures false FAILs, never false PASSes: retrying
+      // failures — and only failures — is strictly truth-seeking and
+      // keeps the rate grid (hence bracket comparability) unchanged.
+      def trial(rate: Long): Boolean =
+        sustainable(name, rate, mode, topology, fb) || {
+          val second = sustainable(name, rate, mode, topology, fb)
+          if (second) println(s"[maxrate] $name@$rate first-trial " +
+            "FAIL overturned on confirm (transient load window)")
+          second
+        }
       var good = 0L
       var bad = 0L
       var r = seed
       while (bad == 0 && r <= seed * 64) {
-        if (sustainable(name, r, mode, topology, fb)) { good = r; r *= 2 }
+        if (trial(r)) { good = r; r *= 2 }
         else bad = r
       }
       // seed itself unsustainable: walk down to find a floor — clamped
@@ -121,7 +138,7 @@ object MaxRateProbe {
       // undershoot it, e.g. floor=50 with bad=60 would probe 15)
       while (good == 0 && bad > floor) {
         val lower = math.max(bad / 4, floor)
-        if (sustainable(name, lower, mode, topology, fb)) good = lower
+        if (trial(lower)) good = lower
         else bad = lower
       }
       if (good == 0) {
@@ -130,7 +147,7 @@ object MaxRateProbe {
       (1 to 3).foreach { _ =>
         if (bad > 0) {
           val mid = math.round(math.sqrt(good.toDouble * bad.toDouble))
-          if (sustainable(name, mid, mode, topology, fb)) good = mid else bad = mid
+          if (trial(mid)) good = mid else bad = mid
         }
       }
       // unbracketed: the loop exited with `good` as the last VERIFIED
