@@ -531,8 +531,14 @@ object DedupOps {
     // batch's derived triples (clusterAssignStream writes them as
     // state before assigning) passes the stored frames back instead
     // of paying up to three more shingle+minhash passes in-plan —
-    // fb feeds two joins, fshs two verifies
-    val fb = freshBands.getOrElse(banded(fresh))
+    // fb feeds two joins, fshs two verifies. A caller with NOTHING
+    // stored (the batch query path) gets a LAZY snapshot instead:
+    // fb executes under three consumers and fshs under two, so
+    // without it each consumer re-runs the batch-sized
+    // shingle+minhash subtree; the checkpoint pins one derivation
+    // (ContextCleaner reclaims the blocks when the result frame is
+    // dropped — the multi-consumer snapshot idiom used throughout)
+    val fb = freshBands.getOrElse(banded(fresh).localCheckpoint(false))
     val histCand = fb.as("x").join(histBands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .select(col("x.id").as("fid"), col("y.id").as("oid")).distinct()
@@ -540,7 +546,8 @@ object DedupOps {
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("fid"), col("y.id").as("oid")).distinct()
-    val fshs = freshShingles.getOrElse(shingleSets(fresh))
+    val fshs = freshShingles.getOrElse(
+      shingleSets(fresh).localCheckpoint(false))
     val hshs = histShingles
     def verified(cand: DataFrame, partner: DataFrame) = cand
       .join(fshs.as("a"), col("fid") === col("a.sid"))
